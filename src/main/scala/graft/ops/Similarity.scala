@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Scale design (100 TB): the query set is small and broadcast; the corpus
+  * is scanned once, partition-parallel. Top-k is taken per partition first
+  * (window over the bucket-local rows after a broadcast join never
+  * shuffles the corpus), then globally. The IVF variant prunes the scan to
+  * the probed centroid cells — at 1000 executors the corpus stays
+  * partitioned by cell and only probed cells are read.
+  */
+object Similarity {
+
+  /** Brute-force exact top-k by cosine: every (query, corpus) pair via a
+    * broadcast nested-loop join, then per-query top-k. Baseline + oracle
+    * for the approximate paths. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     qId: String, qVec: String, cId: String, cVec: String,
+                     k: Int): DataFrame = {
+    val q = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("qv"))
+    val c = corpus.select(col(cId).as("corpus_id"), col(cVec).cast("array<double>").as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", round(cosine_similarity(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"), col("corpus_id"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * md5-derived uniform in [-1, 1). Portable across engines. */
+  private def planeComponent(plane: Column, dim: Column): Column =
+    conv(substring(md5(concat(plane.cast("string"), lit("_"), dim.cast("string"))), 1, 12), 16, 10)
+      .cast("double") / lit(1.1258999068426240e15 / 2) - 1.0 // 2^48 hex range → [-1,1)
+
+  /** Sign-random-projection LSH signature: `planes` bits starting at
+    * plane index `offset`, bit = sign of dot(v, plane). Map-side only. */
+  def srpSignature(vec: Column, dim: Int, planes: Int, offset: Int = 0): Column =
+    transform(sequence(lit(offset), lit(offset + planes - 1)), p =>
+      when(aggregate(zip_with(vec,
+        transform(sequence(lit(0), lit(dim - 1)),
+          d => planeComponent(p, d)),
+        (x, w) => x * w), lit(0.0d), (a, x) => a + x) >= 0, 1).otherwise(0))
+
+  /** LSH-bucketed approximate top-k: corpus and queries hashed to SRP
+    * buckets; candidates = same-bucket pairs (equi-join on the bucket
+    * key), re-ranked by exact cosine. Recall grows with `tables`. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+              qId: String, qVec: String, cId: String, cVec: String,
+              k: Int, dim: Int, planesPerTable: Int = 8, tables: Int = 4): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String, idOut: String): DataFrame = {
+      val v = col(vec).cast("array<double>")
+      df.select(col(id).as(idOut), v.as(idOut + "_v"),
+        posexplode(array((0 until tables).map(t =>
+          concat_ws(",", srpSignature(v, dim, planesPerTable, offset = t * planesPerTable)
+            .cast("array<string>"))): _*)))
+        .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+    }
+    val qb = bucketed(queries, qId, qVec, "query_id")
+    val cb = bucketed(corpus, cId, cVec, "corpus_id")
+    val cands = qb.join(cb, Seq("table", "bucket"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("query_id_v").as("qv"),
+        col("corpus_id"), col("corpus_id_v").as("cv"))
+      .distinct()
+    val scored = cands.withColumn("cos", round(cosine_similarity(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"), col("corpus_id"), col("cos"))
+  }
+
+  /** IVF (inverted-file) index: k-means-lite centroid assignment. The
+    * centroids here are deterministic samples (every nth vector) — at
+    * scale you'd train them; assignment + probing mechanics are the same.
+    * Returns the corpus augmented with its nearest-centroid cell id, to be
+    * written `partitionBy("cell")` so probes prune partitions. */
+  def ivfAssign(corpus: DataFrame, cId: String, cVec: String,
+                centroids: DataFrame, centId: String, centVec: String): DataFrame = {
+    val c = corpus.select(col(cId).as("corpus_id"), col(cVec).cast("array<double>").as("cv"))
+    val cent = centroids.select(col(centId).as("cell"), col(centVec).cast("array<double>").as("centv"))
+    val w = Window.partitionBy(col("corpus_id")).orderBy(col("d").desc, col("cell"))
+    c.crossJoin(broadcast(cent))
+      .withColumn("d", cosine_similarity(col("cv"), col("centv")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") === 1)
+      .select(col("corpus_id"), col("cv"), col("cell"))
+  }
+
+  /** IVF probe: search only the `nprobe` cells nearest to each query. */
+  def ivfTopK(queries: DataFrame, assigned: DataFrame,
+              qId: String, qVec: String,
+              centroids: DataFrame, centId: String, centVec: String,
+              k: Int, nprobe: Int): DataFrame = {
+    val q = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("qv"))
+    val cent = centroids.select(col(centId).as("cell"), col(centVec).cast("array<double>").as("centv"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("d").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("d", cosine_similarity(col("qv"), col("centv")))
+      .withColumn("rnk", row_number().over(wq))
+      .where(col("rnk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
+    broadcast(probes).join(assigned, "cell") // cell equi-join prunes the scan
+      .where(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", round(cosine_similarity(col("qv"), col("cv")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"), col("corpus_id"), col("cos"))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language identification, document fingerprinting.
+  * Everything is composed from codegen'd built-ins (no UDFs) so it stays
+  * inside whole-stage codegen and scales linearly with the scan. */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def wordCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= "")).cast("long")
+
+  /** BPE-ish subword token estimate: word tokens are further split on
+    * letter/digit boundaries and long words count ceil(len/4) pieces —
+    * a deterministic stand-in for a real tokenizer's token count. */
+  def tokenEstimate(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + ceil(length(t).cast("double") / 4.0d).cast("long"))
+
+  /** Quality-scoring feature struct: lengths, ratios, diversity. */
+  def qualityFeatures(text: Column): Column = {
+    val toks = tokens(text)
+    val nChars = length(text)
+    val nTokens = size(toks)
+    val nAlnum = length(regexp_replace(text, "[^\\p{L}\\p{N}]", ""))
+    val nPunct = length(regexp_replace(text, "[^\\p{Punct}]", ""))
+    val nUpper = length(regexp_replace(text, "[^A-Z]", ""))
+    struct(
+      nChars.cast("long").as("n_chars"),
+      nTokens.cast("long").as("n_tokens"),
+      round(size(array_distinct(toks)).cast("double") /
+        greatest(nTokens, lit(1)), 6).as("distinct_ratio"),
+      round(nAlnum.cast("double") / greatest(nChars, lit(1)), 6).as("alnum_ratio"),
+      round(nPunct.cast("double") / greatest(nChars, lit(1)), 6).as("punct_ratio"),
+      round(nUpper.cast("double") / greatest(nChars, lit(1)), 6).as("upper_ratio"),
+      round(nChars.cast("double") / greatest(nTokens, lit(1)), 6).as("mean_word_len"))
+  }
+
+  /** Scalar quality score in [0,1]: penalizes extreme lengths, low
+    * alphanumeric content, low token diversity. Deterministic, portable. */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val lenOk = when(f.getField("n_tokens").between(10, 100000), 1.0d).otherwise(0.5d)
+    round(least(
+      lenOk * f.getField("alnum_ratio") * (lit(0.5d) + lit(0.5d) * f.getField("distinct_ratio")),
+      lit(1.0d)), 6)
+  }
+
+  /** Per-language stopword profiles for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: the mechanism (broadcast profile match +
+    * argmax) is what scales, the wordlists are swappable. */
+  val stopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "for", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "en", "para", "que"))
+
+  /** Stopword-hit ratio against one profile. */
+  def stopwordRatio(toks: Column, profile: Seq[String]): Column =
+    round(size(array_intersect(toks, array(profile.map(lit): _*))).cast("double") /
+      greatest(size(array_distinct(toks)), lit(1)), 6)
+
+  /** Language-ID: argmax of stopword-ratio over the profiles; 'und' when
+    * every score is zero. Ties break lexicographically (deterministic). */
+  def langId(text: Column): Column = {
+    val toks = array_distinct(tokens(text))
+    val scored = stopwordProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(stopwordRatio(toks, words).as("score"), lit(lang).as("lang"))
+    }
+    // argmax by (score, lang): ties pick the lexicographically larger code
+    // — any fixed rule works, it just must be deterministic and mirrored
+    // in the oracle.
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** Polynomial rolling-hash fingerprint of the token stream (order
+    * sensitive, whitespace/case insensitive):
+    * h = (h*31 + tokenHash) mod (2^31-1), h0 = 7. The modulus is small
+    * enough that no int64 overflow occurs (2^31·31 + 2^60 < 2^63), so the
+    * fold is portable to engines with checked arithmetic. Token hash =
+    * first 15 md5 hex chars as a 60-bit int. */
+  def fingerprint(text: Column): Column = {
+    val mod = lit(2147483647L) // 2^31-1
+    aggregate(tokens(text), lit(7L),
+      (acc, t) => pmod(acc * 31L + conv(substring(md5(t), 1, 15), 16, 10).cast("long"), mod))
+  }
+
+  /** Convenience: annotate a documents DataFrame with all analyses. */
+  def annotate(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("features", qualityFeatures(col(textCol)))
+      .withColumn("quality", qualityScore(col(textCol)))
+      .withColumn("lang_pred", langId(col(textCol)))
+      .withColumn("n_words", wordCount(col(textCol)))
+      .withColumn("n_tokens_est", tokenEstimate(col(textCol)))
+      .withColumn("fp", fingerprint(col(textCol)))
+}

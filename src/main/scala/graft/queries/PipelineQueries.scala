@@ -1,0 +1,276 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions._
+
+/** Training-data pipeline operators (dedup, similarity search, text
+  * analysis, multimodal plumbing) wired to the driver's `documents` /
+  * `embeddings` tables, each with a deterministic shape the DuckDB oracle
+  * can recompute (all hashing is md5-based; see graft.ops.Dedup). */
+object PipelineQueries {
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: one shuffle on a 128-bit digest
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), "doc_id", Seq("text"))
+        .orderBy(col("digest"))),
+
+    // normalized (token-stream) dedup
+    "dedup_normalized" -> ((s, dir) =>
+      Dedup.normalized(docs(s, dir), "doc_id", "text")
+        .orderBy(col("digest"))),
+
+    // MinHash signatures (first 4 of 16 hash slots, for oracle size)
+    "dedup_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", numHashes = 4)
+        .select(col("id").as("doc_id"),
+          col("sig")(0).as("mh0"), col("sig")(1).as("mh1"),
+          col("sig")(2).as("mh2"), col("sig")(3).as("mh3"))
+        .orderBy(col("doc_id"))),
+
+    // MinHash + LSH banding → candidate pairs → exact-Jaccard verify
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
+        numHashes = 16, bands = 4, shingleSize = 3, threshold = 0.2)
+        .orderBy(col("id1"), col("id2"))),
+
+    // SimHash values (portable md5-derived 60-bit)
+    "dedup_simhash" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))),
+
+    // n-gram Jaccard all-pairs within (lang, source) blocks
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        blockCol = concat_ws("|", col("lang"), col("source")),
+        shingleSize = 2, threshold = 0.15)
+        .orderBy(col("id1"), col("id2"))),
+
+    // embedding near-dup within same-label blocks
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDup(embs(s, dir), "vec_id", "embedding",
+        blockCol = col("label"), threshold = 0.3)
+        .orderBy(col("id1"), col("id2"))),
+
+    // exact brute-force cosine top-k (query set = vec_id < 8, broadcast)
+    "knn_brute" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(
+        e.where(col("vec_id") < 8), e, "vec_id", "embedding", "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // LSH-bucketed approximate top-k (scale path; no oracle — approximate)
+    "knn_lsh" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.lshTopK(
+        e.where(col("vec_id") < 8), e, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, dim = 64, planesPerTable = 6, tables = 4)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // text statistics / quality features
+    "text_stats" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.qualityFeatures(col("text")).as("f"),
+        TextAnalysis.wordCount(col("text")).as("n_words"),
+        TextAnalysis.tokenEstimate(col("text")).as("n_tokens_est"))
+        .select(col("doc_id"), col("f.n_chars").as("n_chars"),
+          col("f.n_tokens").as("n_tokens"), col("f.distinct_ratio").as("distinct_ratio"),
+          col("f.alnum_ratio").as("alnum_ratio"), col("f.mean_word_len").as("mean_word_len"),
+          col("n_words"), col("n_tokens_est"))
+        .orderBy(col("doc_id"))),
+
+    "text_quality" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    // language-ID heuristic (stopword-profile argmax)
+    "text_langid" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    // order-sensitive rolling-hash fingerprint
+    "text_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // multimodal: binary payload plumbing + stubbed decode (metadata query
+    // never reads the payload column — Parquet column pruning)
+    "mm_decode" -> ((s, dir) => {
+      val media = Multimodal.synthesize(docs(s, dir), "doc_id", "text", "image", "source")
+      media.select(col("media_id"), col("kind"), col("meta.source").as("source"),
+        col("meta.n_bytes").as("n_bytes"),
+        Multimodal.decodeStub(col("payload")).as("d"))
+        .select(col("media_id"), col("kind"), col("source"), col("n_bytes"),
+          col("d.width").as("width"), col("d.height").as("height"),
+          col("d.channels").as("channels"))
+        .orderBy(col("media_id"))
+    }),
+
+    // multimodal: frame-sampling plumbing (video-like payload windows)
+    "mm_frames" -> ((s, dir) => {
+      val media = Multimodal.synthesize(docs(s, dir), "doc_id", "text", "video", "source")
+      Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"), length(col("frame")).cast("long").as("frame_bytes"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    })
+  )
+
+  // ---- oracle SQL (DuckDB dialect) ----
+
+  /** Shared CTE: tokenized + shingled documents, mirroring
+    * graft.functions.tokens / shingles exactly. */
+  private def tokCte(n: Int): String =
+    s"""toks AS (SELECT doc_id, lang, source, text,
+       |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS t
+       |  FROM documents),
+       |sh AS (SELECT doc_id, lang, source,
+       |  list_distinct(list_transform(range(greatest(len(t) - ${n - 1}, 0)),
+       |    i -> ${(0 until n).map(j => s"t[i + ${j + 1}]").mkString(" || ' ' || ")})) AS s
+       |  FROM toks)""".stripMargin.replace("\n", " ")
+
+  private val hex15 = "('0x' || substr(md5(%s), 1, 15))::BIGINT"
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+        | FROM documents GROUP BY 1 ORDER BY digest""".om,
+    "dedup_normalized" ->
+      s"""WITH ${tokCte(1)} SELECT md5(array_to_string(t, ' ')) AS digest,
+         | min(doc_id) AS keep_id, count(*) AS n_copies
+         | FROM toks GROUP BY 1 ORDER BY digest""".om,
+    "dedup_minhash_sig" ->
+      s"""WITH ${tokCte(3)},
+         | ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE len(s) > 0)
+         | SELECT doc_id,
+         |  min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+         |  min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3
+         | FROM ex GROUP BY doc_id ORDER BY doc_id""".om,
+    "dedup_minhash_lsh" ->
+      s"""WITH ${tokCte(3)},
+         | ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE len(s) > 0),
+         | seeds AS (SELECT unnest(range(16)) AS seed),
+         | sig AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || shingle)) AS mh
+         |   FROM ex CROSS JOIN seeds GROUP BY doc_id, seed),
+         | bandkey AS (SELECT doc_id, seed // 4 AS band,
+         |   md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+         |   FROM sig GROUP BY doc_id, band),
+         | cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |   FROM bandkey a JOIN bandkey b ON a.band = b.band AND a.band_key = b.band_key
+         |   WHERE a.doc_id < b.doc_id),
+         | j AS (SELECT id1, id2,
+         |   round(len(list_intersect(s1.s, s2.s))::DOUBLE /
+         |         len(list_distinct(list_concat(s1.s, s2.s))), 6) AS jaccard
+         |   FROM cand JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2)
+         | SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY id1, id2""".om,
+    "dedup_simhash" ->
+      s"""WITH ${tokCte(1)},
+         | ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         | th AS (SELECT doc_id, ${hex15.format("tok")} AS h FROM ex),
+         | bits AS (SELECT doc_id, b,
+         |   sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+         |   FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) GROUP BY doc_id, b)
+         | SELECT doc_id,
+         |   sum(CASE WHEN cnt > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+         | FROM bits GROUP BY doc_id ORDER BY doc_id""".om,
+    "dedup_ngram_jaccard" ->
+      s"""WITH ${tokCte(2)}
+         | SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+         |        len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+         | FROM sh a JOIN sh b
+         |   ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         | WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+         |        len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.15
+         | ORDER BY id1, id2""".om,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label,
+        |   list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        | p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |   round(list_sum(list_transform(range(64), i -> a.v[i+1] * b.v[i+1])) /
+        |     (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+        |      sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos
+        |   FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        | SELECT id1, id2, cos FROM p WHERE cos >= 0.3 ORDER BY id1, id2""".om,
+    "knn_brute" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        | scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |   round(list_sum(list_transform(range(64), i -> q.v[i+1] * c.v[i+1])) /
+        |     (sqrt(list_sum(list_transform(q.v, x -> x * x))) *
+        |      sqrt(list_sum(list_transform(c.v, x -> x * x)))), 6) AS cos
+        |   FROM e q JOIN e c ON q.vec_id < 8 AND q.vec_id <> c.vec_id),
+        | ranked AS (SELECT query_id, corpus_id, cos,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
+        |   FROM scored)
+        | SELECT query_id, rnk, corpus_id, cos FROM ranked WHERE rnk <= 5
+        | ORDER BY query_id, rnk""".om,
+    "text_stats" ->
+      s"""WITH ${tokCte(1)}
+         | SELECT doc_id, length(text) AS n_chars, len(t) AS n_tokens,
+         |  round(len(list_distinct(t))::DOUBLE / greatest(len(t), 1), 6) AS distinct_ratio,
+         |  round(length(regexp_replace(text, '[^\\p{L}\\p{N}]', '', 'g'))::DOUBLE /
+         |        greatest(length(text), 1), 6) AS alnum_ratio,
+         |  round(length(text)::DOUBLE / greatest(len(t), 1), 6) AS mean_word_len,
+         |  len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_words,
+         |  list_sum(list_transform(t, x -> ceil(length(x)::DOUBLE / 4.0)::BIGINT))::BIGINT AS n_tokens_est
+         | FROM toks ORDER BY doc_id""".om,
+    "text_quality" ->
+      s"""WITH ${tokCte(1)}
+         | SELECT doc_id, round(least(
+         |  CASE WHEN len(t) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.5 END
+         |  * round(length(regexp_replace(text, '[^\\p{L}\\p{N}]', '', 'g'))::DOUBLE /
+         |          greatest(length(text), 1), 6)
+         |  * (0.5 + 0.5 * round(len(list_distinct(t))::DOUBLE / greatest(len(t), 1), 6)),
+         |  1.0), 6) AS quality
+         | FROM toks ORDER BY doc_id""".om,
+    "text_langid" -> {
+      val profiles = TextAnalysis.stopwordProfiles.toSeq.sortBy(_._1)
+      val scoreExprs = profiles.map { case (lang, words) =>
+        val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"round(len(list_intersect(td, $arr))::DOUBLE / greatest(len(td), 1), 6) AS s_$lang"
+      }.mkString(", ")
+      val structList = profiles.map { case (lang, _) =>
+        s"{'score': s_$lang, 'lang': '$lang'}"
+      }.mkString("[", ", ", "]")
+      s"""WITH ${tokCte(1)},
+         | sc AS (SELECT doc_id, $scoreExprs
+         |   FROM (SELECT doc_id, list_distinct(t) AS td FROM toks)),
+         | best AS (SELECT doc_id, list_max($structList) AS b FROM sc)
+         | SELECT doc_id, CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS lang_pred
+         | FROM best ORDER BY doc_id""".om
+    },
+    "text_fingerprint" ->
+      s"""WITH ${tokCte(1)}
+         | SELECT doc_id, list_reduce(list_prepend(7::BIGINT,
+         |   list_transform(t, tok -> ${hex15.format("tok")})),
+         |   (acc, h) -> (acc * 31 + h) % 2147483647) AS fp
+         | FROM toks ORDER BY doc_id""".om,
+    "mm_decode" ->
+      s"""SELECT doc_id AS media_id, 'image' AS kind, source,
+         | octet_length(encode(text)) AS n_bytes,
+         | (${hex15.format("text")} % 1024) + 32 AS width,
+         | ((${hex15.format("text")} >> 10) % 1024) + 32 AS height,
+         | (${hex15.format("text")} % 3) + 1 AS channels
+         | FROM documents ORDER BY media_id""".om,
+    "mm_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes, text
+        |   FROM documents),
+        | f AS (SELECT media_id, unnest(range((n_bytes // 64) + 1)) AS i, text, n_bytes FROM m),
+        | kept AS (SELECT media_id, i, octet_length(encode(substr(text, i * 64 + 1, 64))) AS frame_bytes,
+        |   row_number() OVER (PARTITION BY media_id ORDER BY i) - 1 AS frame_idx
+        |   FROM f WHERE i % 2 = 0 AND length(substr(text, i * 64 + 1, 64)) > 0)
+        | SELECT media_id, frame_idx, frame_bytes FROM kept ORDER BY media_id, frame_idx""".om
+  )
+
+  implicit private class OneLine(val s: String) extends AnyVal {
+    def om: String = s.stripMargin.replace("\n", " ")
+  }
+}

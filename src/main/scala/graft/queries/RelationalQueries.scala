@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Beyond-reference relational operator surface (SURVEY.md §7.2 M6) over
+  * the driver's TPC-H-ish tables: aggregation, multi-way join (broadcast
+  * for dims), window functions, top-k, set ops, scalar functions, JSON.
+  *
+  * Scale notes (100 TB): `region/nation/supplier/part/customer` are
+  * dimension tables → always `broadcast()`; the only shuffles are on
+  * fact-table aggregate keys. Doubles are rounded after aggregation so
+  * results hash-compare against the DuckDB oracle.
+  */
+object RelationalQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: scan + groupBy aggregate (map-side partials, one shuffle)
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // TPC-H Q3 shape: fact-fact join + top-k (order stabilized by keys)
+    "q3_topk" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders").where(col("o_orderdate") < lit("1995-03-15"))
+      val li = t(s, dir, "lineitem").where(col("l_shipdate") > lit("1995-03-15"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: star join, all dims broadcast; one shuffle on n_name
+    "q5_star_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // semi/anti join: customers with orders vs without
+    "q_semi_anti" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders").select(col("o_custkey"))
+      val withOrders = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(lit("with_orders").as("bucket"), col("c_custkey"))
+      val without = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(lit("no_orders").as("bucket"), col("c_custkey"))
+      withOrders.unionByName(without)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"), min(col("c_custkey")).as("min_key"))
+        .orderBy(col("bucket"))
+    }),
+
+    // window functions: per-customer order sequencing + running totals
+    "q_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running_spend", round(sum(col("o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).cast("double"))
+        .withColumn("prev_price", round(lag(col("o_totalprice"), 1, 0.0).over(w), 2).cast("double"))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn").cast("long").as("rn"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("running_spend"), col("prev_price"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // rank/dense_rank + top-n per group (part price ranking within brand)
+    "q_rank_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc, col("p_partkey"))
+      t(s, dir, "part")
+        .withColumn("rnk", rank().over(w))
+        .where(col("rnk") <= 2)
+        .select(col("p_brand"), col("rnk").cast("long").as("rnk"), col("p_partkey"), round(col("p_retailprice"), 2).as("p_retailprice"))
+        .orderBy(col("p_brand"), col("rnk"), col("p_partkey"))
+    }),
+
+    // set operations: INTERSECT / EXCEPT on key domains
+    "q_set_ops" -> ((s, dir) => {
+      val liParts = t(s, dir, "lineitem").select(col("l_partkey").as("k")).distinct()
+      val allParts = t(s, dir, "part").select(col("p_partkey").as("k")).distinct()
+      val both = liParts.intersect(allParts).select(lit("in_both").as("bucket"), col("k"))
+      val unused = allParts.except(liParts).select(lit("unused").as("bucket"), col("k"))
+      both.unionByName(unused)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
+    // scalar function surface: string/date/math/conditional + JSON extraction
+    "q_scalar_json" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("ts", Tables.tsMicros(col("ts")))
+        .select(
+          col("event_id"),
+          upper(col("event_type")).as("etype"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          year(col("ts")).cast("long").as("yr"),
+          dayofweek(col("ts")).cast("long").as("dow"),
+          round(sqrt(col("value")), 4).as("sqrt_v"),
+          round(ln(col("value") + 1), 4).as("ln_v"),
+          when(col("value") >= 100, "big").otherwise("small").as("sizecls"),
+          get_json_object(col("props"), "$.k").cast("long").as("prop_k"),
+          substring(col("event_type"), 1, 2).as("pre2"),
+          length(col("event_type")).cast("long").as("tlen"))
+        .where(col("event_id") < 500)
+        .orderBy(col("event_id"))),
+
+    // time bucketing / date_trunc aggregation (daily rollup)
+    "q_time_rollup" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("ts", Tables.tsMicros(col("ts")))
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"),
+          round(min(col("value")), 2).as("min_v"), round(max(col("value")), 2).as("max_v"))
+        .orderBy(col("day"), col("event_type"))),
+
+    // grouping sets / rollup
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"), col("n"), col("sum_price"))
+        .orderBy(col("status"), col("prio")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty, count(*) AS count_order
+        | FROM lineitem WHERE l_shipdate <= '1998-09-02'
+        | GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".om,
+    "q3_topk" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | WHERE c_mktsegment = 'BUILDING' AND o_orderdate < '1995-03-15' AND l_shipdate > '1995-03-15'
+        | GROUP BY l_orderkey, o_orderdate ORDER BY revenue DESC, l_orderkey LIMIT 10""".om,
+    "q5_star_join" ->
+      """SELECT r_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY r_name, n_name ORDER BY r_name, n_name""".om,
+    "q_semi_anti" ->
+      """SELECT bucket, count(*) AS n, min(c_custkey) AS min_key FROM (
+        | SELECT 'with_orders' AS bucket, c_custkey FROM customer
+        |   WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        | UNION ALL
+        | SELECT 'no_orders' AS bucket, c_custkey FROM customer
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |) GROUP BY bucket ORDER BY bucket""".om,
+    "q_window" ->
+      """SELECT o_custkey, rn, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+        | running_spend, prev_price FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER w AS rn,
+        |  round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+        |  round(coalesce(lag(o_totalprice, 1) OVER w, 0.0), 2) AS prev_price
+        | FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |) WHERE rn <= 3 ORDER BY o_custkey, rn""".om,
+    "q_rank_per_group" ->
+      """SELECT p_brand, rnk, p_partkey, round(p_retailprice, 2) AS p_retailprice FROM (
+        | SELECT p_brand, p_partkey, p_retailprice,
+        |  rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rnk
+        | FROM part) WHERE rnk <= 2 ORDER BY p_brand, rnk, p_partkey""".om,
+    "q_set_ops" ->
+      """SELECT bucket, count(*) AS n FROM (
+        | SELECT 'in_both' AS bucket, k FROM
+        |  (SELECT DISTINCT l_partkey AS k FROM lineitem INTERSECT SELECT DISTINCT p_partkey FROM part)
+        | UNION ALL
+        | SELECT 'unused' AS bucket, k FROM
+        |  (SELECT DISTINCT p_partkey AS k FROM part EXCEPT SELECT DISTINCT l_partkey FROM lineitem)
+        |) GROUP BY bucket ORDER BY bucket""".om,
+    "q_scalar_json" ->
+      """SELECT event_id, upper(event_type) AS etype, strftime(ts, '%Y-%m-%d') AS day,
+        | year(ts) AS yr, dayofweek(ts) + 1 AS dow,
+        | round(sqrt("value"), 4) AS sqrt_v, round(ln("value" + 1), 4) AS ln_v,
+        | CASE WHEN "value" >= 100 THEN 'big' ELSE 'small' END AS sizecls,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+        | substr(event_type, 1, 2) AS pre2, length(event_type) AS tlen
+        | FROM events WHERE event_id < 500 ORDER BY event_id""".om,
+    "q_time_rollup" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        | count(*) AS n, round(sum("value"), 2) AS sum_v,
+        | round(min("value"), 2) AS min_v, round(max("value"), 2) AS max_v
+        | FROM events GROUP BY 1, 2 ORDER BY day, event_type""".om,
+    "q_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS prio,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        | FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) ORDER BY status, prio""".om
+  )
+
+  implicit private class OneLine(val s: String) extends AnyVal {
+    def om: String = s.stripMargin.replace("\n", " ")
+  }
+}

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tsdb._
+
+/** The reference's query surface (time-range + label-matcher selection,
+  * SURVEY.md §2-§3) exercised over the driver's `events` table, mapped to
+  * the labeled-series model:
+  *   labels = { __name__: event_type, user: user_id,
+  *              big: "1" iff value >= 100 (absent otherwise) }
+  *   t = epoch millis of ts, v = value.
+  * Every query returns flat, deterministic columns (strings / longs /
+  * rounded doubles) ordered by the full row so the DuckDB oracle can
+  * hash-compare.
+  */
+object TsQueries {
+  // 2024-01-10T00:00:00Z .. 2024-01-20T00:00:00Z, inside the events span
+  val Mint = 1704844800000L
+  val Maxt = 1705708800000L
+
+  /** events → canonical long-form series store (SURVEY.md §1.3). */
+  def store(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val longForm = ev.select(
+      map(
+        lit(Labels.MetricName), col("event_type"),
+        lit("user"), col("user_id").cast("string"),
+        lit("big"), when(col("value") >= 100, lit("1")).otherwise(lit(""))
+      ).as("labels"),
+      Tables.tsMillis(col("ts")).as("t"),
+      col("value").as("v"))
+    TsSchema.canonicalize(longForm, promoted = Seq(Labels.MetricName))
+  }
+
+  private def querier(s: SparkSession, dir: String): TsQuerier =
+    new TsQuerier(store(s, dir), promoted = Seq(Labels.MetricName))
+
+  /** Long-form select → flat projection in deterministic order. */
+  private def flat(q: DataFrame): DataFrame =
+    q.select(
+      TsSchema.labelValue(col("labels"), Labels.MetricName).as("name"),
+      TsSchema.labelValue(col("labels"), "user").as("user"),
+      col("t"), col("v"))
+      .orderBy(col("name"), col("user"), col("t"), col("v"))
+
+  /** Oracle-side long-form projection of the same store. */
+  private val oracleBase =
+    """SELECT event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+      |       epoch_ms(ts) AS t, "value" AS v,
+      |       CASE WHEN "value" >= 100 THEN '1' ELSE '' END AS big
+      |  FROM events""".stripMargin.replace("\n", " ")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1 equality matcher + P10-P12 time clamps
+    "ts_select_eq" -> ((s, dir) => flat(
+      querier(s, dir).selectLong(Mint, Maxt, Seq(LabelMatcher.eq(Labels.MetricName, "click"))))),
+
+    // P2 regex matcher, Prometheus-anchored: "click|sign.*" must not match "signups2"
+    "ts_select_regex" -> ((s, dir) => flat(
+      querier(s, dir).selectLong(Mint, Maxt, Seq(
+        LabelMatcher.re(Labels.MetricName, "cl.*|sign.*"),
+        LabelMatcher.re("user", "[0-4][0-9]"))))),
+
+    // P3 negation matchers
+    "ts_select_neg" -> ((s, dir) => flat(
+      querier(s, dir).selectLong(Mint, Maxt, Seq(
+        LabelMatcher.neq(Labels.MetricName, "click"),
+        LabelMatcher.notRe("user", "1.*"))))),
+
+    // P4 prefix matcher
+    "ts_select_prefix" -> ((s, dir) => flat(
+      querier(s, dir).selectLong(Mint, Maxt, Seq(
+        LabelMatcher.prefix(Labels.MetricName, "s"),
+        LabelMatcher.prefix("user", "2"))))),
+
+    // P5 absent-label semantics: big="" (absent ≡ value<100), job="" (never present)
+    "ts_select_absent" -> ((s, dir) => flat(
+      querier(s, dir).selectLong(Mint, Maxt, Seq(
+        LabelMatcher.absent("big"),
+        LabelMatcher.absent("job"),
+        LabelMatcher.eq(Labels.MetricName, "error"))))),
+
+    // P5 inverse: big!="" (label present)
+    "ts_select_present" -> ((s, dir) => flat(
+      querier(s, dir).selectLong(Mint, Maxt, Seq(
+        LabelMatcher.neq("big", ""),
+        LabelMatcher.eq(Labels.MetricName, "purchase"))))),
+
+    // J1/J2 cross-block merge: per-series sample assembly as flat aggregates
+    "ts_series_agg" -> ((s, dir) =>
+      querier(s, dir).selectLong(Mint, Maxt, Seq(LabelMatcher.re(Labels.MetricName, ".*")))
+        .groupBy(
+          TsSchema.labelValue(col("labels"), Labels.MetricName).as("name"),
+          TsSchema.labelValue(col("labels"), "user").as("user"))
+        .agg(count(lit(1)).as("n_samples"),
+          min(col("t")).as("min_t"), max(col("t")).as("max_t"),
+          round(sum(col("v")), 2).as("sum_v"))
+        .orderBy(col("name"), col("user"))),
+
+    // J3 label-values cross-block distinct merge
+    "ts_label_values" -> ((s, dir) => querier(s, dir).labelValues("user")),
+
+    // label names enumeration
+    "ts_label_names" -> ((s, dir) => querier(s, dir).labelNames())
+  )
+
+  private def flatOracle(pred: String): String =
+    s"""SELECT name, "user", t, v FROM ($oracleBase) WHERE t BETWEEN $Mint AND $Maxt AND ($pred) ORDER BY name, "user", t, v"""
+
+  val oracles: Map[String, String] = Map(
+    "ts_select_eq" -> flatOracle("name = 'click'"),
+    "ts_select_regex" -> flatOracle(
+      "regexp_matches(name, '^(?:cl.*|sign.*)$') AND regexp_matches(\"user\", '^(?:[0-4][0-9])$')"),
+    "ts_select_neg" -> flatOracle(
+      "name <> 'click' AND NOT regexp_matches(\"user\", '^(?:1.*)$')"),
+    "ts_select_prefix" -> flatOracle(
+      "starts_with(name, 's') AND starts_with(\"user\", '2')"),
+    "ts_select_absent" -> flatOracle("big = '' AND name = 'error'"),
+    "ts_select_present" -> flatOracle("big <> '' AND name = 'purchase'"),
+    "ts_series_agg" ->
+      s"""SELECT name, "user", count(*) AS n_samples, min(t) AS min_t, max(t) AS max_t,
+         | round(sum(v), 2) AS sum_v FROM ($oracleBase)
+         | WHERE t BETWEEN $Mint AND $Maxt GROUP BY name, "user" ORDER BY name, "user"""".stripMargin.replace("\n", " "),
+    "ts_label_values" ->
+      "SELECT DISTINCT CAST(user_id AS VARCHAR) AS value FROM events ORDER BY value",
+    "ts_label_names" ->
+      """SELECT name FROM (SELECT '__name__' AS name UNION SELECT 'user'
+        | UNION SELECT DISTINCT 'big' FROM events WHERE "value" >= 100) ORDER BY name""".stripMargin.replace("\n", " ")
+  )
+}

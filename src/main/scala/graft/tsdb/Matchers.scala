@@ -1,0 +1,75 @@
+package graft.tsdb
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Label matchers — the reference's entire WHERE-clause surface
+  * (SURVEY.md §2.2, P1-P5).
+  *
+  * Reference semantics:
+  *  - `=` exact string equality (`vendor/.../tsdb/labels/selector.go:42-59`)
+  *  - `=~` regex; Prometheus proper anchors the pattern `^(?:re)$`
+  *    (`vendor/.../prometheus/storage/metric/matcher.go:83`). The reference
+  *    drops the anchoring when converting matchers (`server.go:116-121`) —
+  *    a documented bug; we follow Prometheus semantics and anchor.
+  *  - `!=` / `!~` negation wrappers (`selector.go:79-89`)
+  *  - prefix matcher (`selector.go:91-108`)
+  *  - matching against an ABSENT label uses the empty string: a matcher on
+  *    `l` where the series has no `l` sees value "" (`querier.go:189-195`,
+  *    `querier.go:457-462`).
+  *
+  * Each matcher compiles to a Catalyst predicate over a string column; the
+  * inverted-index machinery of the reference (postings lookup, leapfrog
+  * intersection, sorted union — P6-P9) is subsumed by Parquet predicate
+  * pushdown + dictionary/stats filtering, which Catalyst applies to these
+  * predicates for free.
+  */
+sealed trait MatchType
+object MatchType {
+  case object Eq extends MatchType
+  case object Neq extends MatchType
+  case object Re extends MatchType
+  case object NotRe extends MatchType
+  case object Prefix extends MatchType
+}
+
+final case class LabelMatcher(tpe: MatchType, name: String, value: String) {
+
+  /** Predicate over the label's string value; `valueCol` must evaluate to
+    * "" when the label is absent (the caller arranges
+    * `coalesce(labels[name], "")` for map-typed label columns). */
+  def predicate(valueCol: Column): Column = tpe match {
+    case MatchType.Eq     => valueCol === value
+    case MatchType.Neq    => valueCol =!= value
+    case MatchType.Re     => valueCol.rlike(LabelMatcher.anchored(value))
+    case MatchType.NotRe  => !valueCol.rlike(LabelMatcher.anchored(value))
+    case MatchType.Prefix => valueCol.startsWith(value)
+  }
+
+  /** Plain-Scala evaluation (for the brute-force test oracle). */
+  def matches(v: String): Boolean = tpe match {
+    case MatchType.Eq     => v == value
+    case MatchType.Neq    => v != value
+    case MatchType.Re     => LabelMatcher.compiled(value).matcher(v).matches()
+    case MatchType.NotRe  => !LabelMatcher.compiled(value).matcher(v).matches()
+    case MatchType.Prefix => v.startsWith(value)
+  }
+}
+
+object LabelMatcher {
+  /** Prometheus-anchored form: the full value must match. */
+  def anchored(pattern: String): String = "^(?:" + pattern + ")$"
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+  private def compiled(p: String): java.util.regex.Pattern =
+    cache.computeIfAbsent(p, s => java.util.regex.Pattern.compile("(?:" + s + ")"))
+
+  def eq(name: String, value: String) = LabelMatcher(MatchType.Eq, name, value)
+  def neq(name: String, value: String) = LabelMatcher(MatchType.Neq, name, value)
+  def re(name: String, value: String) = LabelMatcher(MatchType.Re, name, value)
+  def notRe(name: String, value: String) = LabelMatcher(MatchType.NotRe, name, value)
+  def prefix(name: String, value: String) = LabelMatcher(MatchType.Prefix, name, value)
+
+  /** Matcher for "label is absent": equality with "" (P5). */
+  def absent(name: String) = eq(name, "")
+}

@@ -1,0 +1,136 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The Spark-native equivalent of the reference's whole query path
+  * (SURVEY.md §3.1): time-partitioned long-form samples table + label
+  * matchers compiled to Catalyst predicates + `groupBy(labels)` series
+  * assembly in canonical label order.
+  *
+  * Storage schema (long form — SURVEY.md §1.3):
+  * {{{
+  *   labels      ARRAY<STRUCT<name STRING, value STRING>>  -- canonical (sorted, non-empty)
+  *   fingerprint LONG                                      -- Labels.fingerprint
+  *   t           LONG                                      -- epoch millis
+  *   v           DOUBLE
+  *   block_start LONG                                      -- partition col, blockMs-aligned
+  * }}}
+  * plus one promoted top-level STRING column per "hot" label
+  * (`__name__` → `l___name__`, etc.) so equality/prefix matchers reach the
+  * Parquet scan as pushed filters + dictionary pruning — the role of the
+  * reference's inverted index (`querier.go:184-284`).
+  *
+  * Scale design (100 TB): the only shuffle in the whole pipeline is the
+  * `groupBy(fingerprint)` that assembles per-series sample arrays, keyed on
+  * a LONG. Selection is pure scan-side work: partition pruning on
+  * `block_start` replaces block-overlap pruning (`querier.go:31-43`),
+  * Parquet row-group stats replace per-chunk time pruning
+  * (`querier.go:510-531`), and pushed label predicates replace postings
+  * intersection (`vendor/.../tsdb/postings.go:170-233`).
+  */
+object TsSchema {
+  val BlockMs: Long = 2 * 60 * 60 * 1000L // 2h blocks, shipper.go:39-43
+
+  /** Default hot labels promoted to top-level columns. */
+  val DefaultPromoted: Seq[String] = Seq(Labels.MetricName, "job", "instance")
+
+  def promotedColName(label: String): String = "l_" + label
+
+  /** Normalize a DataFrame with columns (labels: map<string,string>,
+    * t: long, v: double) into the canonical storage form. */
+  def canonicalize(df: DataFrame, promoted: Seq[String] = DefaultPromoted): DataFrame = {
+    val canonLabels = array_sort(
+      filter(map_entries(col("labels")), e => e.getField("value") =!= lit("")))
+    val base = df
+      .withColumn("labels", canonLabels.cast("array<struct<name:string,value:string>>"))
+      .withColumn("fingerprint", FingerprintUdf.forArray(col("labels")))
+      .withColumn("block_start", col("t") - pmod(col("t"), lit(BlockMs)))
+    promoted.foldLeft(base) { (d, name) =>
+      d.withColumn(promotedColName(name), labelValue(col("labels"), name))
+    }
+  }
+
+  /** Value of label `name` from the array-of-struct column; "" if absent
+    * (the reference's absent-label convention, querier.go:457-462). */
+  def labelValue(labelsCol: Column, name: String): Column =
+    coalesce(element_at(map_from_entries(labelsCol), name), lit(""))
+}
+
+private object FingerprintUdf {
+  import org.apache.spark.sql.functions.udf
+  private val fpArray = udf { entries: Seq[org.apache.spark.sql.Row] =>
+    Labels.fingerprint(entries.map(r => Label(r.getString(0), r.getString(1))))
+  }
+  def forArray(c: Column): Column = fpArray(c)
+}
+
+/** Querier over a canonical samples DataFrame — the `tsdb.Querier`
+  * interface (`vendor/.../tsdb/querier.go:27-40`): `select`,
+  * `labelValues`, `labelNames`, over a time range + matcher set. */
+final class TsQuerier(data: DataFrame, promoted: Seq[String] = TsSchema.DefaultPromoted) {
+  import TsSchema._
+
+  private def valueCol(name: String): Column =
+    if (promoted.contains(name)) col(promotedColName(name))
+    else labelValue(col("labels"), name)
+
+  /** Time + matcher selection, long form (one row per sample), in
+    * canonical (labels, t) order. Equivalent of `q.Select(ms...)` +
+    * sample iteration (`querier.go:75-89`, `server.go:134-157`).
+    * Time semantics: inclusive [mint, maxt] (`querier.go:728-793`). */
+  def selectLong(mint: Long, maxt: Long, matchers: Seq[LabelMatcher]): DataFrame = {
+    // Partition pruning (P10): block overlaps [mint, maxt] iff
+    // block_start in [mint - BlockMs + 1, maxt]; block_start is aligned so
+    // a closed range on it prunes at the partition listing.
+    val pruned = data
+      .where(col("block_start") >= lit(mint - BlockMs + 1) && col("block_start") <= lit(maxt))
+      .where(col("t").between(mint, maxt)) // P11 via row-group stats + P12
+    matchers.foldLeft(pruned)((d, m) => d.where(m.predicate(valueCol(m.name))))
+  }
+
+  /** Full select: per-series sample arrays sorted by time, streams sorted
+    * by canonical label order — the merged SeriesSet (J1/J2) +
+    * `model.Matrix` assembly (`querier.go:323-388`, `server.go:134-157`). */
+  def select(mint: Long, maxt: Long, matchers: Seq[LabelMatcher]): DataFrame =
+    selectLong(mint, maxt, matchers)
+      .groupBy(col("fingerprint"), col("labels"))
+      .agg(sort_array(collect_list(struct(col("t"), col("v")))).as("samples"))
+      .orderBy(col("labels")) // array<struct> ordering == labels.Compare on canonical sets
+      .select(col("labels"), col("samples"))
+
+  def selectStreams(mint: Long, maxt: Long, matchers: Seq[LabelMatcher]): Dataset[SampleStream] = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    select(mint, maxt, matchers)
+      .select(map_from_entries(col("labels")).as("labels"), col("samples"))
+      .as[SampleStream]
+  }
+
+  /** Sorted distinct values of one label across all blocks — `LabelValues`
+    * + cross-block k-way distinct merge (J3, `querier.go:48-69,286-312`).
+    * Only series that carry the label contribute (absent ≡ ""). */
+  def labelValues(name: String): DataFrame =
+    data.select(valueCol(name).as("value"))
+      .where(col("value") =!= "").distinct().orderBy(col("value"))
+
+  /** Sorted distinct label names in the store. */
+  def labelNames(): DataFrame =
+    data.select(explode(col("labels.name")).as("name"))
+      .distinct().orderBy(col("name"))
+}
+
+object TsStore {
+  /** Open a store written by [[write]]. */
+  def read(spark: SparkSession, path: String,
+           promoted: Seq[String] = TsSchema.DefaultPromoted): TsQuerier =
+    new TsQuerier(spark.read.parquet(path), promoted)
+
+  /** Ingest a long-form DataFrame (labels map, t, v) as a partitioned
+    * store — the shipper-equivalent batch write (SURVEY.md §3.2). Blocks
+    * are disjoint by construction since block_start is derived from t. */
+  def write(df: DataFrame, path: String,
+            promoted: Seq[String] = TsSchema.DefaultPromoted): Unit =
+    TsSchema.canonicalize(df, promoted)
+      .write.partitionBy("block_start").mode("overwrite").parquet(path)
+}
