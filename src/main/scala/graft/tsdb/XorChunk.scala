@@ -106,7 +106,8 @@ object XorChunk {
     samples.foreach { s =>
       if (i == 0) {
         w.writeVarint(s.t)
-        w.writeBits(java.lang.Double.doubleToLongBits(s.v), 64)
+        prevV = java.lang.Double.doubleToLongBits(s.v)
+        w.writeBits(prevV, 64)
       } else if (i == 1) {
         prevDelta = s.t - prevT
         w.writeUvarint(prevDelta)
