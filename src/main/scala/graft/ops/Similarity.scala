@@ -34,19 +34,36 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * md5-derived uniform in [-1, 1). Portable across engines. */
-  private def planeComponent(plane: Column, dim: Column): Column =
-    conv(substring(md5(concat(plane.cast("string"), lit("_"), dim.cast("string"))), 1, 12), 16, 10)
-      .cast("double") / lit(1.1258999068426240e15 / 2) - 1.0 // 2^48 hex range → [-1,1)
+    * md5-derived uniform in [-1, 1). The planes are data-independent, so
+    * they are computed ONCE on the driver and embedded as literals — the
+    * per-row work is just the dot products, no hashing. */
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${plane}_${dim}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    java.lang.Long.parseLong(hex, 16).toDouble / (1L << 47).toDouble - 1.0 // 48-bit → [-1,1)
+  }
 
   /** Sign-random-projection LSH signature: `planes` bits starting at
-    * plane index `offset`, bit = sign of dot(v, plane). Map-side only. */
-  def srpSignature(vec: Column, dim: Int, planes: Int, offset: Int = 0): Column =
-    transform(sequence(lit(offset), lit(offset + planes - 1)), p =>
-      when(aggregate(zip_with(vec,
-        transform(sequence(lit(0), lit(dim - 1)),
-          d => planeComponent(p, d)),
-        (x, w) => x * w), lit(0.0d), (a, x) => a + x) >= 0, 1).otherwise(0))
+    * plane index `offset`, bit = sign of dot(v, plane). Map-side only.
+    * Implemented as a compact UDF over the precomputed plane matrix:
+    * lambda higher-order functions are CodegenFallback (interpreted, ~10×
+    * slower per element), and fully unrolling the dots blows Janino's
+    * method limits — a tight JVM loop over a captured Array[Array[Double]]
+    * is the fastest shape that stays deterministic. */
+  def srpSignature(vec: Column, dim: Int, planes: Int, offset: Int = 0): Column = {
+    val matrix: Array[Array[Double]] = Array.tabulate(planes, dim)(
+      (p, d) => planeComponent(offset + p, d))
+    val sigUdf = udf { v: Seq[Double] =>
+      val arr = v.toArray
+      matrix.map { plane =>
+        var s = 0.0; var d = 0
+        while (d < arr.length && d < plane.length) { s += arr(d) * plane(d); d += 1 }
+        if (s >= 0) 1 else 0
+      }
+    }
+    sigUdf(vec)
+  }
 
   /** LSH-bucketed approximate top-k: corpus and queries hashed to SRP
     * buckets; candidates = same-bucket pairs (equi-join on the bucket
@@ -56,10 +73,18 @@ object Similarity {
               k: Int, dim: Int, planesPerTable: Int = 8, tables: Int = 4): DataFrame = {
     def bucketed(df: DataFrame, id: String, vec: String, idOut: String): DataFrame = {
       val v = col(vec).cast("array<double>")
-      df.select(col(id).as(idOut), v.as(idOut + "_v"),
-        posexplode(array((0 until tables).map(t =>
-          concat_ws(",", srpSignature(v, dim, planesPerTable, offset = t * planesPerTable)
-            .cast("array<string>"))): _*)))
+      // persist = optimizer barrier: the (tables·planes)-bit signature is
+      // computed once per vector; the explode below fans out over cheap
+      // slices of the concrete column (GenerateExec re-evaluates its child
+      // per OUTPUT row — never hand it the heavy expression)
+      val mat = df.select(col(id).as(idOut), v.as(idOut + "_v"),
+        srpSignature(v, dim, planesPerTable * tables).as("sigall"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      mat.select(col(idOut), col(idOut + "_v"),
+        posexplode(transform(sequence(lit(0), lit(tables - 1)), t =>
+          concat(t.cast("string"), lit(":"), concat_ws(",",
+            transform(slice(col("sigall"), t * planesPerTable + 1, lit(planesPerTable)),
+              b => b.cast("string")))))))
         .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
     }
     val qb = bucketed(queries, qId, qVec, "query_id")

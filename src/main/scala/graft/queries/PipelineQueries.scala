@@ -139,6 +139,20 @@ object PipelineQueries {
 
   private val hex15 = "('0x' || substr(md5(%s), 1, 15))::BIGINT"
 
+  /** CTE over `sh`: distinct 31-bit shingle-hash sets (mirrors
+    * Dedup.shingleHashes). */
+  private val hsCte =
+    s"""hx AS (SELECT doc_id, lang, source,
+       |  list_distinct(list_transform(s,
+       |    x -> ${hex15.format("x")} % ${Dedup.MinhashP})) AS hs
+       |  FROM sh WHERE len(s) > 0)""".stripMargin.replace("\n", " ")
+
+  /** VALUES table of the affine MinHash params (mirrors Dedup.minhashA/B). */
+  private def seedsCte(numHashes: Int): String =
+    (0 until numHashes)
+      .map(j => s"(${j}, ${Dedup.minhashA(j)}, ${Dedup.minhashB(j)})")
+      .mkString("seeds(seed, a, b) AS (VALUES ", ", ", ")")
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -148,28 +162,31 @@ object PipelineQueries {
          | min(doc_id) AS keep_id, count(*) AS n_copies
          | FROM toks GROUP BY 1 ORDER BY digest""".om,
     "dedup_minhash_sig" ->
-      s"""WITH ${tokCte(3)},
-         | ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE len(s) > 0)
+      s"""WITH ${tokCte(3)}, $hsCte, ${seedsCte(4)},
+         | ex AS (SELECT doc_id, unnest(hs) AS h FROM hx),
+         | sig AS (SELECT doc_id, seed, min((h * a + b) % ${Dedup.MinhashP}) AS mh
+         |   FROM ex CROSS JOIN seeds GROUP BY doc_id, seed)
          | SELECT doc_id,
-         |  min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
-         |  min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3
-         | FROM ex GROUP BY doc_id ORDER BY doc_id""".om,
+         |  min(CASE WHEN seed = 0 THEN mh END) AS mh0,
+         |  min(CASE WHEN seed = 1 THEN mh END) AS mh1,
+         |  min(CASE WHEN seed = 2 THEN mh END) AS mh2,
+         |  min(CASE WHEN seed = 3 THEN mh END) AS mh3
+         | FROM sig GROUP BY doc_id ORDER BY doc_id""".om,
     "dedup_minhash_lsh" ->
-      s"""WITH ${tokCte(3)},
-         | ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE len(s) > 0),
-         | seeds AS (SELECT unnest(range(16)) AS seed),
-         | sig AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || shingle)) AS mh
+      s"""WITH ${tokCte(3)}, $hsCte, ${seedsCte(16)},
+         | ex AS (SELECT doc_id, unnest(hs) AS h FROM hx),
+         | sig AS (SELECT doc_id, seed, min((h * a + b) % ${Dedup.MinhashP}) AS mh
          |   FROM ex CROSS JOIN seeds GROUP BY doc_id, seed),
          | bandkey AS (SELECT doc_id, seed // 4 AS band,
-         |   md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+         |   md5(string_agg(mh::VARCHAR, '|' ORDER BY seed)) AS band_key
          |   FROM sig GROUP BY doc_id, band),
          | cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
          |   FROM bandkey a JOIN bandkey b ON a.band = b.band AND a.band_key = b.band_key
          |   WHERE a.doc_id < b.doc_id),
          | j AS (SELECT id1, id2,
-         |   round(len(list_intersect(s1.s, s2.s))::DOUBLE /
-         |         len(list_distinct(list_concat(s1.s, s2.s))), 6) AS jaccard
-         |   FROM cand JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2)
+         |   round(len(list_intersect(h1.hs, h2.hs))::DOUBLE /
+         |         len(list_distinct(list_concat(h1.hs, h2.hs))), 6) AS jaccard
+         |   FROM cand JOIN hx h1 ON h1.doc_id = id1 JOIN hx h2 ON h2.doc_id = id2)
          | SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY id1, id2""".om,
     "dedup_simhash" ->
       s"""WITH ${tokCte(1)},
@@ -182,14 +199,15 @@ object PipelineQueries {
          |   sum(CASE WHEN cnt > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
          | FROM bits GROUP BY doc_id ORDER BY doc_id""".om,
     "dedup_ngram_jaccard" ->
-      s"""WITH ${tokCte(2)}
-         | SELECT a.doc_id AS id1, b.doc_id AS id2,
-         |  round(len(list_intersect(a.s, b.s))::DOUBLE /
-         |        len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-         | FROM sh a JOIN sh b
-         |   ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-         | WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
-         |        len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.15
+      s"""WITH ${tokCte(2)}, $hsCte,
+         | ex AS (SELECT doc_id, lang, source, len(hs) AS n, unnest(hs) AS h FROM hx),
+         | p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS n1, b.n AS n2,
+         |    count(*) AS c
+         |   FROM ex a JOIN ex b ON a.lang = b.lang AND a.source = b.source
+         |    AND a.h = b.h AND a.doc_id < b.doc_id
+         |   GROUP BY 1, 2, 3, 4)
+         | SELECT id1, id2, round(c::DOUBLE / (n1 + n2 - c), 6) AS jaccard
+         | FROM p WHERE round(c::DOUBLE / (n1 + n2 - c), 6) >= 0.15
          | ORDER BY id1, id2""".om,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label,

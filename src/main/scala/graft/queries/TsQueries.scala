@@ -19,8 +19,18 @@ object TsQueries {
   val Mint = 1704844800000L
   val Maxt = 1705708800000L
 
+  /** Per-(session, dir) cache of the canonicalized store: one pass over
+    * events builds the long form, every matcher query then scans the
+    * cached columnar form — the same shape a real deployment gets from
+    * reading the written store (TsStore.read) instead of re-deriving it. */
+  private val storeCache =
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+
+  def store(s: SparkSession, dir: String): DataFrame =
+    storeCache.getOrElseUpdate((System.identityHashCode(s).toString, dir), buildStore(s, dir).cache())
+
   /** events → canonical long-form series store (SURVEY.md §1.3). */
-  def store(s: SparkSession, dir: String): DataFrame = {
+  private def buildStore(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
     val longForm = ev.select(
       map(

@@ -44,7 +44,7 @@ object TsSchema {
       filter(map_entries(col("labels")), e => e.getField("value") =!= lit("")))
     val base = df
       .withColumn("labels", canonLabels.cast("array<struct<name:string,value:string>>"))
-      .withColumn("fingerprint", FingerprintUdf.forArray(col("labels")))
+      .withColumn("fingerprint", fingerprintCol(col("labels")))
       .withColumn("block_start", col("t") - pmod(col("t"), lit(BlockMs)))
     promoted.foldLeft(base) { (d, name) =>
       d.withColumn(promotedColName(name), labelValue(col("labels"), name))
@@ -55,14 +55,15 @@ object TsSchema {
     * (the reference's absent-label convention, querier.go:457-462). */
   def labelValue(labelsCol: Column, name: String): Column =
     coalesce(element_at(map_from_entries(labelsCol), name), lit(""))
-}
 
-private object FingerprintUdf {
-  import org.apache.spark.sql.functions.udf
-  private val fpArray = udf { entries: Seq[org.apache.spark.sql.Row] =>
-    Labels.fingerprint(entries.map(r => Label(r.getString(0), r.getString(1))))
-  }
-  def forArray(c: Column): Column = fpArray(c)
+  /** Series fingerprint: 64-bit hash of the canonical label array — the
+    * shuffle/group key standing in for `labels.Hash` (labels.go:58-68).
+    * xxhash64 over an unambiguous separator encoding; codegen'd (no UDF).
+    * Grouping also carries the full `labels` column, so even a hash
+    * collision cannot merge two distinct series. */
+  def fingerprintCol(labelsCol: Column): Column =
+    xxhash64(concat_ws("ÿ",
+      transform(labelsCol, e => concat(e.getField("name"), lit("þ"), e.getField("value")))))
 }
 
 /** Querier over a canonical samples DataFrame — the `tsdb.Querier`
