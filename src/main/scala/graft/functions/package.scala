@@ -20,6 +20,14 @@ package object functions {
   def tsdb_decode_chunk(c: Column): Column = tsdbDecodeChunk(c).cast(
     "array<struct<t:long,v:double>>")
 
+  /** Encode `array<struct<t,v>>` (time-sorted) as a reference-format XOR
+    * chunk — the write side of the migration path (shipper equivalent). */
+  val tsdbEncodeChunk = udf { samples: Seq[org.apache.spark.sql.Row] =>
+    XorChunk.encode(samples.map(r => Sample(r.getLong(0), r.getDouble(1))))
+  }
+
+  def tsdb_encode_chunk(c: Column): Column = tsdbEncodeChunk(c)
+
   /** Prometheus-anchored regex match (SURVEY.md §2.2 P2: the reference
     * drops anchoring — we follow Prometheus and anchor `^(?:re)$`). */
   def regex_match_anchored(c: Column, pattern: String): Column =

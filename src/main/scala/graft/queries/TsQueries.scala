@@ -112,7 +112,62 @@ object TsQueries {
     "ts_label_values" -> ((s, dir) => querier(s, dir).labelValues("user")),
 
     // label names enumeration
-    "ts_label_names" -> ((s, dir) => querier(s, dir).labelNames())
+    "ts_label_names" -> ((s, dir) => querier(s, dir).labelNames()),
+
+    // P13 tombstone interval mask: deletions applied as a broadcast
+    // anti-join (the reference's deletedIterator, querier.go:845-883 —
+    // always-empty there, block.go:73-75; modeled as a real table here)
+    "ts_tombstone" -> ((s, dir) => {
+      import s.implicits._
+      val deletions = Seq( // (name, mint, maxt) deletion intervals
+        ("click", 1704844800000L, 1705276800000L),
+        ("error", 1705276800000L, 1705708800000L)
+      ).toDF("del_name", "del_mint", "del_maxt")
+      val sel = querier(s, dir).selectLong(Mint, Maxt, Seq(
+        LabelMatcher.re(Labels.MetricName, "click|error")))
+        .withColumn("name", TsSchema.labelValue(col("labels"), Labels.MetricName))
+      sel.join(broadcast(deletions),
+        col("name") === col("del_name") &&
+          col("t").between(col("del_mint"), col("del_maxt")), "left_anti")
+        .select(col("name"), TsSchema.labelValue(col("labels"), "user").as("user"),
+          col("t"), col("v"))
+        .orderBy(col("name"), col("user"), col("t"), col("v"))
+    }),
+
+    // beyond-reference: PromQL-style per-series rate over sample deltas
+    "ts_rate" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fingerprint")).orderBy(col("t"))
+      querier(s, dir).selectLong(Mint, Maxt, Seq(LabelMatcher.eq(Labels.MetricName, "purchase")))
+        .withColumn("prev_t", lag(col("t"), 1).over(w))
+        .withColumn("prev_v", lag(col("v"), 1).over(w))
+        .where(col("prev_t").isNotNull)
+        .select(
+          TsSchema.labelValue(col("labels"), Labels.MetricName).as("name"),
+          TsSchema.labelValue(col("labels"), "user").as("user"),
+          col("t"),
+          round((col("v") - col("prev_v")) / ((col("t") - col("prev_t")) / 1000.0d), 6).as("rate"))
+        .orderBy(col("name"), col("user"), col("t"))
+    }),
+
+    // S5/S9 in-engine round-trip: assemble per-series chunks, XOR-encode,
+    // decode back, re-explode — output must equal the plain select (the
+    // oracle is the UNENCODED query, proving codec fidelity end-to-end)
+    "ts_chunk_roundtrip" -> ((s, dir) => {
+      import graft.functions.{tsdb_decode_chunk, tsdb_encode_chunk}
+      val chunks = querier(s, dir)
+        .selectLong(Mint, Maxt, Seq(LabelMatcher.eq(Labels.MetricName, "signup")))
+        .groupBy(col("fingerprint"), col("labels"))
+        .agg(sort_array(collect_list(struct(col("t"), col("v")))).as("samples"))
+        .select(col("labels"), tsdb_encode_chunk(col("samples")).as("chunk"))
+      chunks
+        .select(col("labels"), explode(tsdb_decode_chunk(col("chunk"))).as("s"))
+        .select(
+          TsSchema.labelValue(col("labels"), Labels.MetricName).as("name"),
+          TsSchema.labelValue(col("labels"), "user").as("user"),
+          col("s.t").as("t"), col("s.v").as("v"))
+        .orderBy(col("name"), col("user"), col("t"), col("v"))
+    })
   )
 
   private def flatOracle(pred: String): String =
@@ -136,6 +191,23 @@ object TsQueries {
       "SELECT DISTINCT CAST(user_id AS VARCHAR) AS value FROM events ORDER BY value",
     "ts_label_names" ->
       """SELECT name FROM (SELECT '__name__' AS name UNION SELECT 'user'
-        | UNION SELECT DISTINCT 'big' FROM events WHERE "value" >= 100) ORDER BY name""".stripMargin.replace("\n", " ")
+        | UNION SELECT DISTINCT 'big' FROM events WHERE "value" >= 100) ORDER BY name""".stripMargin.replace("\n", " "),
+    "ts_tombstone" ->
+      s"""SELECT name, "user", t, v FROM ($oracleBase)
+         | WHERE t BETWEEN $Mint AND $Maxt
+         |  AND regexp_matches(name, '^(?:click|error)$$')
+         |  AND NOT (name = 'click' AND t BETWEEN 1704844800000 AND 1705276800000)
+         |  AND NOT (name = 'error' AND t BETWEEN 1705276800000 AND 1705708800000)
+         | ORDER BY name, "user", t, v""".stripMargin.replace("\n", " "),
+    "ts_rate" ->
+      s"""SELECT name, "user", t, round((v - prev_v) / ((t - prev_t) / 1000.0), 6) AS rate
+         | FROM (
+         |  SELECT name, "user", t, v,
+         |   lag(t) OVER w AS prev_t, lag(v) OVER w AS prev_v
+         |  FROM ($oracleBase) WHERE t BETWEEN $Mint AND $Maxt AND name = 'purchase'
+         |  WINDOW w AS (PARTITION BY name, "user", big ORDER BY t)
+         | ) WHERE prev_t IS NOT NULL ORDER BY name, "user", t""".stripMargin.replace("\n", " "),
+    "ts_chunk_roundtrip" ->
+      flatOracle("name = 'signup'")
   )
 }

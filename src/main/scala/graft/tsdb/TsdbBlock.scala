@@ -1,0 +1,157 @@
+package graft.tsdb
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** TSDB block read/write + ingest — the shipper/sync equivalent
+  * (SURVEY.md §2.1 S2-S6, S9; §3.2-§3.3).
+  *
+  * Block layout (reference `db.go:22-25`, `shipper.go:262-309`):
+  * `<dir>/meta.json`, `<dir>/index`, `<dir>/chunks/000001`, …
+  *
+  * Read path mirrors agni's split: the index is parsed on the DRIVER
+  * (agni downloads + mmaps index locally, `db.go:93-102`), while chunk
+  * decoding is distributed — executors range-read their chunk file
+  * segments (agni's parallel populate, `querier.go:542-574`).
+  */
+object TsdbBlock {
+  final case class BlockStats(numSamples: Long, numSeries: Long, numChunks: Long)
+  final case class BlockMeta(ulid: String, minTime: Long, maxTime: Long,
+                             stats: BlockStats, level: Int = 1)
+
+  val MaxSamplesPerChunk = 120 // reference chunk target (SURVEY.md §1.2)
+
+  // ---------- meta.json (reference vendor/.../tsdb/block.go:64-96) ----------
+  def writeMeta(dir: Path, meta: BlockMeta): Unit = {
+    val json =
+      s"""{"version":1,"ulid":"${meta.ulid}","minTime":${meta.minTime},"maxTime":${meta.maxTime},
+         |"stats":{"numSamples":${meta.stats.numSamples},"numSeries":${meta.stats.numSeries},"numChunks":${meta.stats.numChunks}},
+         |"compaction":{"level":${meta.level},"sources":["${meta.ulid}"]}}""".stripMargin.replace("\n", "")
+    Files.writeString(dir.resolve("meta.json"), json)
+  }
+
+  def readMeta(dir: Path): BlockMeta = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = mapper.readTree(Files.readString(dir.resolve("meta.json")))
+    require(n.get("version").asInt() == 1, "unsupported block meta version")
+    BlockMeta(
+      n.get("ulid").asText(),
+      n.get("minTime").asLong(), n.get("maxTime").asLong(),
+      BlockStats(
+        n.path("stats").path("numSamples").asLong(),
+        n.path("stats").path("numSeries").asLong(),
+        n.path("stats").path("numChunks").asLong()),
+      n.path("compaction").path("level").asInt(1))
+  }
+
+  /** Deterministic ULID-shaped id from a seed (Crockford base32, 26 chars). */
+  def syntheticUlid(seed: Long): String = {
+    val alphabet = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+    val rnd = new scala.util.Random(seed)
+    (0 until 26).map(_ => alphabet(rnd.nextInt(32))).mkString
+  }
+
+  // ---------- write ----------
+  /** Write `series` (sorted by canonical label order enforced here) as a
+    * complete block directory. Samples per series must be time-sorted. */
+  def write(dir: Path, seriesIn: Seq[(Seq[Label], Seq[Sample])], ulid: String): BlockMeta = {
+    val series = seriesIn
+      .map { case (ls, ss) => (Labels.canonical(ls), ss) }
+      .sortBy(_._1)(Labels.ordering)
+    Files.createDirectories(dir.resolve("chunks"))
+
+    // chunk each series, pack all chunks into segment file 000001
+    val perSeriesChunks = series.map { case (_, samples) =>
+      samples.grouped(MaxSamplesPerChunk).map { grp =>
+        (grp.head.t, grp.last.t, XorChunk.encode(grp))
+      }.toSeq
+    }
+    val flat = perSeriesChunks.flatten
+    val (segBytes, refs) = ChunkFile.write(1, flat.map(_._3))
+    Files.write(dir.resolve("chunks").resolve("000001"), segBytes)
+
+    // index
+    var refIdx = 0
+    val idxSeries = series.zip(perSeriesChunks).map { case ((labels, _), chunks) =>
+      val metas = chunks.map { case (mint, maxt, _) =>
+        val m = TsdbIndex.ChunkMeta(mint, maxt, refs(refIdx)); refIdx += 1; m
+      }
+      TsdbIndex.IndexSeries(labels, metas)
+    }
+    Files.write(dir.resolve("index"), TsdbIndex.write(idxSeries))
+
+    val allSamples = series.map(_._2.size.toLong).sum
+    val meta = BlockMeta(ulid,
+      series.flatMap(_._2.headOption).map(_.t).min,
+      series.flatMap(_._2.lastOption).map(_.t).max,
+      BlockStats(allSamples, series.size.toLong, flat.size.toLong))
+    writeMeta(dir, meta)
+    meta
+  }
+
+  // ---------- read ----------
+  private val longFormSchema = StructType(Seq(
+    StructField("labels", MapType(StringType, StringType), nullable = false),
+    StructField("t", LongType, nullable = false),
+    StructField("v", DoubleType, nullable = false)))
+
+  /** Distributed block read → long-form DataFrame (labels map, t, v).
+    * Driver parses the index; executors decode chunks from the segment
+    * files in parallel (one task per series batch). */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val idx = new TsdbIndex.IndexReader(Files.readAllBytes(Paths.get(dir, "index")))
+    val entries = idx.allSeries.map(s =>
+      (s.labels.map(l => l.name -> l.value).toMap, s.chunks.map(c => c.ref)))
+    val chunksDir = Paths.get(dir, "chunks").toString
+    val rdd = spark.sparkContext
+      .parallelize(entries, math.max(1, math.min(entries.size, 32)))
+      .mapPartitions { it =>
+        // one segment-file cache per task (agni groups reads per segment,
+        // chunks.go:161-251)
+        val segCache = scala.collection.mutable.Map[Int, Array[Byte]]()
+        def segment(fileSeq: Int): Array[Byte] = segCache.getOrElseUpdate(fileSeq,
+          Files.readAllBytes(Paths.get(chunksDir, f"$fileSeq%06d")))
+        it.flatMap { case (labels, refs) =>
+          refs.iterator.flatMap { ref =>
+            val rec = ChunkFile.readAt(segment(ChunkFile.refFileSeq(ref)), ChunkFile.refOffset(ref))
+            XorChunk.decode(rec.data).iterator.map(s => Row(labels, s.t, s.v))
+          }
+        }
+      }
+    spark.createDataFrame(rdd, longFormSchema)
+  }
+
+  // ---------- ingest (shipper equivalent, idempotent on ULID) ----------
+  /** Append a block into a partitioned parquet store. Skip-if-present on
+    * the block ULID (the reference's shipped-block dedup,
+    * `shipper.go:257-259`); a marker file records completion AFTER the
+    * data write, so a crashed ingest re-runs. */
+  def ingest(spark: SparkSession, blockDir: String, storePath: String,
+             promoted: Seq[String] = TsSchema.DefaultPromoted): Boolean = {
+    val meta = readMeta(Paths.get(blockDir))
+    val markerDir = Paths.get(storePath, "_ingested")
+    val marker = markerDir.resolve(meta.ulid)
+    if (Files.exists(marker)) return false
+    val canonical = TsSchema.canonicalize(read(spark, blockDir), promoted)
+    canonical.write.partitionBy("block_start").mode("append").parquet(storePath)
+    Files.createDirectories(markerDir)
+    Files.writeString(marker, s"${meta.minTime}..${meta.maxTime}")
+    true
+  }
+
+  /** Sync a directory of blocks (the shipper's refresh loop, batch form):
+    * ingest every ULID-named child dir not yet present. Returns ingested
+    * ULIDs. */
+  def syncDir(spark: SparkSession, blocksRoot: String, storePath: String): Seq[String] = {
+    val root = Paths.get(blocksRoot)
+    if (!Files.isDirectory(root)) return Seq.empty
+    Files.list(root).iterator().asScala
+      .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("meta.json")))
+      .toSeq.sortBy(_.getFileName.toString)
+      .filter(p => ingest(spark, p.toString, storePath))
+      .map(_.getFileName.toString)
+  }
+}
