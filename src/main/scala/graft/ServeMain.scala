@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.queries.TsQueries
+import graft.remote.RemoteReadServer
+import graft.tsdb.{Labels, TsQuerier, TsStore}
+
+/** Remote-read server entry point (the reference's `server` subcommand,
+  * `main.go:47-81`): serves Prometheus remote-read over a series store.
+  *
+  * Usage: `runMain graft.ServeMain [storeDirOrSfDir] [port]`
+  *  - a dir containing `events.parquet` → served via the events mapping;
+  *  - otherwise treated as a canonical store written by TsStore.write /
+  *    TsdbBlock.ingest.
+  */
+object ServeMain {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val port = if (args.length > 1) args(1).toInt else 19090
+    val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val querier: TsQuerier =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "events.parquet")))
+        new TsQuerier(TsQueries.store(spark, dir), promoted = Seq(Labels.MetricName))
+      else TsStore.read(spark, dir)
+    val server = new RemoteReadServer(querier, port)
+    println("LISTENING on " + server.start())
+    Thread.sleep(Long.MaxValue)
+  }
+}

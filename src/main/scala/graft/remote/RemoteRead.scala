@@ -1,0 +1,232 @@
+package graft.remote
+
+import java.io.ByteArrayOutputStream
+import java.net.InetSocketAddress
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.xerial.snappy.Snappy
+import graft.tsdb.{LabelMatcher, MatchType, Sample, SampleStream, TsQuerier}
+
+/** Prometheus remote-read protocol front-end — the reference's only query
+  * entry point (`server.go:51,64-97`; SURVEY.md §2.1 S10, §3.1).
+  *
+  * Wire format: HTTP POST body = snappy(block) ∘ protobuf `ReadRequest`;
+  * response = snappy ∘ protobuf `ReadResponse`
+  * (`vendor/.../storage/remote/codec.go:29-61`). The protobuf layer is a
+  * hand-rolled proto3 codec for the five message types of `remote.proto`
+  * (`vendor/.../storage/remote/remote.proto:18-67`) — no codegen dep.
+  *
+  * Matcher conversion follows Prometheus semantics: regex matchers are
+  * ANCHORED (`^(?:re)$`). The reference drops anchoring in its conversion
+  * (`server.go:116-121`) — a documented bug we do not reproduce
+  * (SURVEY.md §2.2 P2).
+  */
+object Proto {
+  // ---- minimal proto3 wire primitives ----
+  final class W {
+    val out = new ByteArrayOutputStream()
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    def tag(field: Int, wire: Int): Unit = varint((field << 3) | wire)
+    def str(field: Int, s: String): Unit = {
+      val b = s.getBytes("UTF-8"); tag(field, 2); varint(b.length); out.write(b, 0, b.length)
+    }
+    def i64(field: Int, v: Long): Unit = { tag(field, 0); varint(v) }
+    def dbl(field: Int, v: Double): Unit = {
+      tag(field, 1)
+      val bits = java.lang.Double.doubleToLongBits(v)
+      (0 until 8).foreach(i => out.write(((bits >>> (8 * i)) & 0xff).toInt)) // little-endian
+    }
+    def msg(field: Int, body: W): Unit = {
+      val b = body.out.toByteArray; tag(field, 2); varint(b.length); out.write(b, 0, b.length)
+    }
+    def bytes: Array[Byte] = out.toByteArray
+  }
+
+  final class R(buf: Array[Byte], var pos: Int, val end: Int) {
+    def this(buf: Array[Byte]) = this(buf, 0, buf.length)
+    def hasMore: Boolean = pos < end
+    def varint(): Long = {
+      var v = 0L; var shift = 0; var b = 0
+      do { b = buf(pos) & 0xff; pos += 1; v |= (b & 0x7fL) << shift; shift += 7 } while ((b & 0x80) != 0)
+      v
+    }
+    def tag(): (Int, Int) = { val t = varint(); ((t >>> 3).toInt, (t & 7).toInt) }
+    def dbl(): Double = {
+      var bits = 0L
+      (0 until 8).foreach(i => { bits |= (buf(pos) & 0xffL) << (8 * i); pos += 1 })
+      java.lang.Double.longBitsToDouble(bits)
+    }
+    def sub(): R = { val len = varint().toInt; val r = new R(buf, pos, pos + len); pos += len; r }
+    def str(): String = { val len = varint().toInt; val s = new String(buf, pos, len, "UTF-8"); pos += len; s }
+    def skip(wire: Int): Unit = wire match {
+      case 0 => varint()
+      case 1 => pos += 8
+      case 2 => pos += varint().toInt
+      case 5 => pos += 4
+    }
+  }
+
+  // ---- remote.proto messages ----
+  final case class Query(startMs: Long, endMs: Long, matchers: Seq[LabelMatcher])
+
+  /** remote.proto MatchType enum (0..3) ↔ our matcher types, with
+    * Prometheus anchoring for regex (see class doc). */
+  def matchTypeToProto(t: MatchType): Int = t match {
+    case MatchType.Eq => 0; case MatchType.Neq => 1
+    case MatchType.Re => 2; case MatchType.NotRe => 3
+    case MatchType.Prefix =>
+      throw new IllegalArgumentException("prefix matcher has no remote-read wire form")
+  }
+  def matchTypeFromProto(i: Int): MatchType = i match {
+    case 0 => MatchType.Eq; case 1 => MatchType.Neq
+    case 2 => MatchType.Re; case 3 => MatchType.NotRe
+  }
+
+  def encodeReadRequest(queries: Seq[Query]): Array[Byte] = {
+    val w = new W
+    queries.foreach { q =>
+      val qw = new W
+      qw.i64(1, q.startMs); qw.i64(2, q.endMs)
+      q.matchers.foreach { m =>
+        val mw = new W
+        if (matchTypeToProto(m.tpe) != 0) mw.i64(1, matchTypeToProto(m.tpe))
+        mw.str(2, m.name); mw.str(3, m.value)
+        qw.msg(3, mw)
+      }
+      w.msg(1, qw)
+    }
+    w.bytes
+  }
+
+  def decodeReadRequest(bytes: Array[Byte]): Seq[Query] = {
+    val out = scala.collection.mutable.ArrayBuffer[Query]()
+    val r = new R(bytes)
+    while (r.hasMore) r.tag() match {
+      case (1, 2) =>
+        val qr = r.sub()
+        var start = 0L; var end = 0L
+        val ms = scala.collection.mutable.ArrayBuffer[LabelMatcher]()
+        while (qr.hasMore) qr.tag() match {
+          case (1, 0) => start = qr.varint()
+          case (2, 0) => end = qr.varint()
+          case (3, 2) =>
+            val mr = qr.sub()
+            var tpe = 0; var name = ""; var value = ""
+            while (mr.hasMore) mr.tag() match {
+              case (1, 0) => tpe = mr.varint().toInt
+              case (2, 2) => name = mr.str()
+              case (3, 2) => value = mr.str()
+              case (_, wire) => mr.skip(wire)
+            }
+            ms += LabelMatcher(matchTypeFromProto(tpe), name, value)
+          case (_, wire) => qr.skip(wire)
+        }
+        out += Query(start, end, ms.toSeq)
+      case (_, wire) => r.skip(wire)
+    }
+    out.toSeq
+  }
+
+  def encodeReadResponse(results: Seq[Seq[SampleStream]]): Array[Byte] = {
+    val w = new W
+    results.foreach { streams =>
+      val rw = new W
+      streams.foreach { ss =>
+        val tw = new W
+        ss.labels.toSeq.sortBy(_._1).foreach { case (n, v) =>
+          val lw = new W; lw.str(1, n); lw.str(2, v); tw.msg(1, lw)
+        }
+        ss.samples.foreach { s =>
+          val sw = new W
+          if (s.v != 0.0 || java.lang.Double.doubleToLongBits(s.v) != 0L) sw.dbl(1, s.v)
+          sw.i64(2, s.t)
+          tw.msg(2, sw)
+        }
+        rw.msg(1, tw)
+      }
+      w.msg(1, rw)
+    }
+    w.bytes
+  }
+
+  def decodeReadResponse(bytes: Array[Byte]): Seq[Seq[SampleStream]] = {
+    val out = scala.collection.mutable.ArrayBuffer[Seq[SampleStream]]()
+    val r = new R(bytes)
+    while (r.hasMore) r.tag() match {
+      case (1, 2) =>
+        val rr = r.sub()
+        val streams = scala.collection.mutable.ArrayBuffer[SampleStream]()
+        while (rr.hasMore) rr.tag() match {
+          case (1, 2) =>
+            val tr = rr.sub()
+            val labels = scala.collection.mutable.Map[String, String]()
+            val samples = scala.collection.mutable.ArrayBuffer[Sample]()
+            while (tr.hasMore) tr.tag() match {
+              case (1, 2) =>
+                val lr = tr.sub()
+                var n = ""; var v = ""
+                while (lr.hasMore) lr.tag() match {
+                  case (1, 2) => n = lr.str()
+                  case (2, 2) => v = lr.str()
+                  case (_, wire) => lr.skip(wire)
+                }
+                labels(n) = v
+              case (2, 2) =>
+                val sr = tr.sub()
+                var t = 0L; var v = 0.0
+                while (sr.hasMore) sr.tag() match {
+                  case (1, 1) => v = sr.dbl()
+                  case (2, 0) => t = sr.varint()
+                  case (_, wire) => sr.skip(wire)
+                }
+                samples += Sample(t, v)
+              case (_, wire) => tr.skip(wire)
+            }
+            streams += SampleStream(labels.toMap, samples.toSeq)
+          case (_, wire) => rr.skip(wire)
+        }
+        out += streams.toSeq
+      case (_, wire) => r.skip(wire)
+    }
+    out.toSeq
+  }
+}
+
+/** HTTP server for `POST /read` over a [[TsQuerier]] — the full query
+  * lifecycle of the reference (`server.go:64-97`): body → snappy →
+  * ReadRequest → per-query select → Matrix → ReadResponse → snappy. */
+final class RemoteReadServer(querier: TsQuerier, port: Int = 0) {
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  server.createContext("/read", (ex: HttpExchange) => {
+    try {
+      if (ex.getRequestMethod != "POST") {
+        ex.sendResponseHeaders(405, -1); ex.close()
+      } else {
+        val body = ex.getRequestBody.readAllBytes()
+        val queries = Proto.decodeReadRequest(Snappy.uncompress(body))
+        val results = queries.map { q =>
+          querier.selectStreams(q.startMs, q.endMs, q.matchers).collect().toSeq
+        }
+        val resp = Snappy.compress(Proto.encodeReadResponse(results))
+        ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
+        ex.getResponseHeaders.set("Content-Encoding", "snappy")
+        ex.sendResponseHeaders(200, resp.length)
+        ex.getResponseBody.write(resp)
+        ex.close()
+      }
+    } catch {
+      case e: Exception =>
+        val msg = ("remote read error: " + e.getMessage).getBytes("UTF-8")
+        ex.sendResponseHeaders(400, msg.length)
+        ex.getResponseBody.write(msg)
+        ex.close()
+    }
+  })
+
+  def start(): Int = { server.start(); server.getAddress.getPort }
+  def stop(): Unit = server.stop(0)
+}

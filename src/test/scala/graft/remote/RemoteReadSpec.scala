@@ -1,0 +1,97 @@
+package graft.remote
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import org.xerial.snappy.Snappy
+import graft.SparkSpec
+import graft.tsdb._
+
+class ProtoSpec extends AnyFunSuite {
+  test("ReadRequest wire round-trip") {
+    val qs = Seq(
+      Proto.Query(1000L, 2000L, Seq(
+        LabelMatcher.eq("__name__", "up"),
+        LabelMatcher.re("job", "api.*"),
+        LabelMatcher.neq("instance", "i-0"),
+        LabelMatcher.notRe("code", "5.."))),
+      Proto.Query(0L, Long.MaxValue / 2, Seq.empty))
+    assert(Proto.decodeReadRequest(Proto.encodeReadRequest(qs)) == qs)
+  }
+
+  test("ReadResponse wire round-trip incl. zero values and empty results") {
+    val res = Seq(
+      Seq(
+        SampleStream(Map("__name__" -> "up", "job" -> "api"),
+          Seq(Sample(1, 1.5), Sample(2, 0.0), Sample(3, -7.25))),
+        SampleStream(Map("job" -> "web"), Seq.empty)),
+      Seq.empty)
+    assert(Proto.decodeReadResponse(Proto.encodeReadResponse(res)) == res)
+  }
+
+  test("prefix matcher has no wire form") {
+    assertThrows[IllegalArgumentException] {
+      Proto.encodeReadRequest(Seq(Proto.Query(0, 1, Seq(LabelMatcher.prefix("a", "b")))))
+    }
+  }
+}
+
+class RemoteReadServerSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private def mkQuerier: TsQuerier = {
+    import scala.jdk.CollectionConverters._
+    val rows = (for {
+      job <- Seq("api", "api-canary", "web"); i <- 0 to 2; k <- 0 until 50
+    } yield Row(Map("__name__" -> "http_requests_total", "job" -> job, "instance" -> s"i-$i"),
+      1700000000000L + k * 15000L, (k * 2).toDouble)).asJava
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "labels map<string,string>, t long, v double")
+    new TsQuerier(TsSchema.canonicalize(spark.createDataFrame(rows, schema)))
+  }
+
+  test("end-to-end POST /read over HTTP: snappy + proto + querier") {
+    val server = new RemoteReadServer(mkQuerier)
+    val port = server.start()
+    try {
+      val req = Proto.encodeReadRequest(Seq(Proto.Query(
+        1700000000000L, 1700000300000L,
+        Seq(LabelMatcher.eq("__name__", "http_requests_total"),
+          LabelMatcher.re("job", "api"))))) // anchored: must NOT match api-canary
+      val http = HttpClient.newHttpClient()
+      val resp = http.send(
+        HttpRequest.newBuilder(new URI(s"http://127.0.0.1:$port/read"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(Snappy.compress(req))).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(resp.statusCode() == 200)
+      val results = Proto.decodeReadResponse(Snappy.uncompress(resp.body()))
+      assert(results.size == 1)
+      val streams = results.head
+      assert(streams.size == 3) // job=api × 3 instances; api-canary excluded (anchoring)
+      assert(streams.forall(_.labels("job") == "api"))
+      // canonical label order of streams + time order of samples
+      val labelSeqs = streams.map(s => Labels.fromMap(s.labels))
+      assert(labelSeqs == labelSeqs.sorted(Labels.ordering))
+      assert(streams.head.samples.size == 21) // t in [0, 300s] at 15s cadence
+      assert(streams.head.samples.map(_.t).sliding(2).forall(w => w.size < 2 || w(0) < w(1)))
+    } finally server.stop()
+  }
+
+  test("malformed body → 400, wrong method → 405") {
+    val server = new RemoteReadServer(mkQuerier)
+    val port = server.start()
+    try {
+      val http = HttpClient.newHttpClient()
+      val bad = http.send(
+        HttpRequest.newBuilder(new URI(s"http://127.0.0.1:$port/read"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(Array[Byte](1, 2, 3))).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(bad.statusCode() == 400)
+      val get = http.send(
+        HttpRequest.newBuilder(new URI(s"http://127.0.0.1:$port/read")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(get.statusCode() == 405)
+    } finally server.stop()
+  }
+}
