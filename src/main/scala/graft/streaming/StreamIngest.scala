@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.tsdb.TsSchema
+
+/** Structured-Streaming equivalents of the reference's continuous pieces
+  * (SURVEY.md §3.2-§3.3) plus beyond-reference streaming aggregation.
+  *
+  * The reference's shipper is a file-watcher micro-stream (fsnotify + 5s
+  * tick, `shipper.go:189-249`) and its server polls for new blocks every
+  * minute (`db.go:58-122`). In Spark both collapse into a file-source
+  * stream: new files are discovered by the source, exactly-once ingest
+  * comes from the checkpoint (replacing the shipper's shipped-ULID
+  * dedup), and readers see atomic appends — no custom sync loop.
+  *
+  * Scale notes: the ingest stream is pure map-side work (no shuffle —
+  * canonicalize + partitioned append); windowed aggregation shuffles on
+  * (window, series) with watermark-bounded state.
+  */
+object StreamIngest {
+
+  /** Long-form input schema expected from upstream writers. */
+  val inputSchema: StructType = StructType.fromDDL(
+    "labels map<string,string>, t long, v double")
+
+  /** Continuous ingest: watch `inputDir` for long-form parquet files,
+    * canonicalize, append into the partitioned store. Trigger
+    * AvailableNow = the batch-shipper mode (process everything pending,
+    * then stop); ProcessingTime = the daemon mode. */
+  def ingestStream(spark: SparkSession, inputDir: String, storePath: String,
+                   checkpoint: String,
+                   promoted: Seq[String] = TsSchema.DefaultPromoted,
+                   daemon: Boolean = false): StreamingQuery = {
+    val in = spark.readStream.schema(inputSchema).parquet(inputDir)
+    val canonical = TsSchema.canonicalize(in, promoted)
+    val w: DataStreamWriter[org.apache.spark.sql.Row] = canonical.writeStream
+      .format("parquet")
+      .option("path", storePath)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("block_start")
+      .trigger(if (daemon) Trigger.ProcessingTime("5 seconds") else Trigger.AvailableNow())
+    w.start()
+  }
+
+  /** Beyond-reference: watermarked tumbling-window aggregation per metric
+    * name — the PromQL `sum/count by (__name__)` shape as a stream.
+    * Late data beyond `watermark` is dropped; state is bounded. */
+  def windowedAgg(longForm: DataFrame, windowDur: String = "1 minute",
+                  watermark: String = "2 minutes"): DataFrame =
+    longForm
+      .withColumn("ts", timestamp_millis(col("t")))
+      .withColumn("name", coalesce(element_at(col("labels"), graft.tsdb.Labels.MetricName), lit("")))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur).as("w"), col("name"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .select(col("w.start").as("window_start"), col("name"),
+        col("n"), col("sum_v"), col("min_v"), col("max_v"))
+
+  /** Beyond-reference: session windows per series (gap-based sessions over
+    * sample arrival times) — the stateful-window shape training pipelines
+    * use for sessionization. */
+  def sessionAgg(longForm: DataFrame, gap: String = "5 minutes",
+                 watermark: String = "10 minutes"): DataFrame =
+    longForm
+      .withColumn("ts", timestamp_millis(col("t")))
+      .withColumn("name", coalesce(element_at(col("labels"), graft.tsdb.Labels.MetricName), lit("")))
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("name"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("name"), col("n"))
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.{Row, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+import graft.tsdb._
+
+class StreamIngestSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private def writeBatch(dir: String, fromK: Int, untilK: Int): Unit = {
+    import scala.jdk.CollectionConverters._
+    val rows = (for {
+      job <- Seq("api", "web"); k <- fromK until untilK
+    } yield Row(Map("__name__" -> "up", "job" -> job),
+      1700000000000L + k * 15000L, k.toDouble)).asJava
+    spark.createDataFrame(rows, StreamIngest.inputSchema)
+      .coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+  }
+
+  test("file-stream ingest: exactly-once across restarts (shipper equivalent)") {
+    val root = Files.createTempDirectory("graft-stream")
+    val in = root.resolve("in").toString
+    val store = root.resolve("store").toString
+    val ckpt = root.resolve("ckpt").toString
+
+    writeBatch(in, 0, 100)
+    StreamIngest.ingestStream(spark, in, store, ckpt).awaitTermination()
+    assert(spark.read.parquet(store).count() == 200)
+
+    // second batch arrives; restart processes ONLY the new file
+    writeBatch(in, 100, 150)
+    StreamIngest.ingestStream(spark, in, store, ckpt).awaitTermination()
+    assert(spark.read.parquet(store).count() == 300)
+
+    // re-run with nothing new: no duplicates (checkpoint = ULID-dedup role)
+    StreamIngest.ingestStream(spark, in, store, ckpt).awaitTermination()
+    assert(spark.read.parquet(store).count() == 300)
+
+    // ingested store is queryable through the standard querier
+    val q = TsStore.read(spark, store)
+    val s = q.selectStreams(0, Long.MaxValue, Seq(LabelMatcher.eq("job", "api"))).collect()
+    assert(s.length == 1 && s.head.samples.size == 150)
+    assert(s.head.samples.map(_.t) == s.head.samples.map(_.t).sorted)
+  }
+
+  test("windowed aggregation with watermark over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val longForm = mem.toDF()
+      .select(map(lit("__name__"), lit("up")).as("labels"),
+        col("_1").as("t"), col("_2").as("v"))
+    val agg = StreamIngest.windowedAgg(longForm, "1 minute", "2 minutes")
+    val query = agg.writeStream.format("memory").queryName("winagg")
+      .outputMode("append").start()
+    // two complete minutes of data + events far enough ahead to close them
+    mem.addData((0 until 8).map(i => (1699999980000L + i * 15000L, 1.0)): _*) // minute-aligned t0
+    query.processAllAvailable()
+    mem.addData((1699999980000L + 10 * 60000L, 5.0)) // advances watermark
+    query.processAllAvailable()
+    val out = spark.table("winagg").orderBy("window_start").collect()
+    query.stop()
+    assert(out.length == 2) // two closed 1-minute windows emitted
+    assert(out.forall(_.getAs[Long]("n") == 4))
+    assert(out.forall(_.getAs[Double]("sum_v") == 4.0))
+  }
+
+  test("session windows close after gap") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val longForm = mem.toDF()
+      .select(map(lit("__name__"), lit("up")).as("labels"),
+        col("_1").as("t"), col("_2").as("v"))
+    val agg = StreamIngest.sessionAgg(longForm, "5 minutes", "10 minutes")
+    val query = agg.writeStream.format("memory").queryName("sessagg")
+      .outputMode("append").start()
+    // burst of 3 samples, 6-minute silence, burst of 2, then a far event
+    mem.addData((0 until 3).map(i => (1700000000000L + i * 60000L, 1.0)): _*)
+    mem.addData((0 until 2).map(i => (1700000000000L + 9 * 60000L + i * 60000L, 1.0)): _*)
+    query.processAllAvailable()
+    mem.addData((1700000000000L + 60 * 60000L, 1.0))
+    query.processAllAvailable()
+    val out = spark.table("sessagg").orderBy("session_start").collect()
+    query.stop()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[Long]("n")).toSeq == Seq(3L, 2L))
+  }
+}
