@@ -210,7 +210,7 @@ object Dedup {
     val r = banded.select(col("band"), col("band_key"), col("id").as("id2"), col("sh").as("sh2"))
     l.join(r, Seq("band", "band_key")).where(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
-        bit_count(col("sh1").bitwiseXOR(col("sh2"))).as("hamming"))
+        bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxDist)
   }

@@ -115,6 +115,56 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // as-of join: each click paired with the user's latest purchase at or
+    // before it (one shuffle on the key; no range explosion)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), Tables.tsMillis(col("ts")).as("t"),
+          col("event_type"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("t"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("t").as("p_t"), col("value").as("p_value"))
+      graft.ops.AsOf.join(clicks, purchases,
+        col("user_id"), col("p_user"), col("t"), col("p_t"), Seq("p_t", "p_value"))
+        .select(col("event_id"), col("user_id"), col("t"),
+          col("p_t"), col("p_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // IVF-bucketed ANN: deterministic sampled centroids, nprobe=3 probe
+    // (scale path: corpus partitioned by cell, probes prune the scan)
+    "knn_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val centroids = e.where(pmod(col("vec_id"), lit(50)) === 0)
+        .select((col("vec_id") / 50).cast("long").as("cell"), col("embedding"))
+      val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", centroids, "cell", "embedding")
+      Similarity.ivfTopK(e.where(col("vec_id") < 8), assigned, "vec_id", "embedding",
+        centroids, "cell", "embedding", k = 5, nprobe = 3)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // SimHash near-dup pairs: banded hamming-distance blocking
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 16)
+        .orderBy(col("id1"), col("id2"))),
+
+    // sketch surface: approximate distinct + percentiles (impl-specific
+    // values → rows-only check; exact complements live in q1/q_window)
+    "q_sketches" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
+          percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99"))
+        .orderBy(col("event_type"))),
+
+    // multimodal: batched mapPartitions decode (JNI-codec integration shape)
+    "mm_batch_decode" -> ((s, dir) => {
+      val media = Multimodal.synthesize(docs(s, dir), "doc_id", "text", "image", "source")
+      Multimodal.decodeBatched(s, media).orderBy(col("media_id"))
+    }),
+
     // multimodal: frame-sampling plumbing (video-like payload windows)
     "mm_frames" -> ((s, dir) => {
       val media = Multimodal.synthesize(docs(s, dir), "doc_id", "text", "video", "source")
@@ -198,6 +248,32 @@ object PipelineQueries {
          | SELECT doc_id,
          |   sum(CASE WHEN cnt > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
          | FROM bits GROUP BY doc_id ORDER BY doc_id""".om,
+    "q_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS t, event_type, "value" FROM events),
+        | clicks AS (SELECT event_id, user_id, t FROM ev WHERE event_type = 'click'),
+        | purchases AS (SELECT user_id AS p_user, t AS p_t, "value" AS p_value
+        |   FROM ev WHERE event_type = 'purchase')
+        | SELECT c.event_id, c.user_id, c.t, p.p_t, p.p_value
+        | FROM clicks c ASOF LEFT JOIN purchases p
+        |   ON c.user_id = p.p_user AND c.t >= p.p_t
+        | ORDER BY c.event_id""".om,
+    "dedup_simhash_pairs" ->
+      s"""WITH ${tokCte(1)},
+         | ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         | th AS (SELECT doc_id, ${hex15.format("tok")} AS h FROM ex),
+         | bits AS (SELECT doc_id, b,
+         |   sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+         |   FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) GROUP BY doc_id, b),
+         | shv AS (SELECT doc_id,
+         |   sum(CASE WHEN cnt > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sh
+         |   FROM bits GROUP BY doc_id),
+         | banded AS (SELECT doc_id, sh, band, (sh >> (band * 15)) & 32767 AS key
+         |   FROM shv CROSS JOIN (SELECT unnest(range(4)) AS band)),
+         | pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+         |   bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+         |   FROM banded a JOIN banded b
+         |     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         | SELECT id1, id2, hamming FROM pairs WHERE hamming <= 16 ORDER BY id1, id2""".om,
     "dedup_ngram_jaccard" ->
       s"""WITH ${tokCte(2)}, $hsCte,
          | ex AS (SELECT doc_id, lang, source, len(hs) AS n, unnest(hs) AS h FROM hx),

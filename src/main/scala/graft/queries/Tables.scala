@@ -19,11 +19,15 @@ object Tables {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
+  // NOTE: Column./ is DOUBLE division; epoch-nanos (~1.7e18) exceed
+  // double's 2^53 mantissa, so `ts / 1000000` is off by ±1 on edge values.
+  // `div` resolves to IntegralDivide — exact on longs.
+
   /** events.ts (nanos long) → TimestampType at µs precision. */
   def tsMicros(tsNanos: Column): Column =
-    timestamp_micros((tsNanos / 1000L).cast("long"))
+    timestamp_micros(call_function("div", tsNanos, lit(1000L)))
 
   /** events.ts (nanos long) → epoch milliseconds. */
   def tsMillis(tsNanos: Column): Column =
-    (tsNanos / 1000000L).cast("long")
+    call_function("div", tsNanos, lit(1000000L))
 }
