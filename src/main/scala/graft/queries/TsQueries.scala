@@ -46,6 +46,27 @@ object TsQueries {
   private def querier(s: SparkSession, dir: String): TsQuerier =
     new TsQuerier(store(s, dir), promoted = Seq(Labels.MetricName))
 
+  /** Chunked-form variant of the same store (SURVEY.md §7.4): chunk rows
+    * are pruned by label + min_t/max_t BEFORE exploding samples. */
+  private val chunkedCache =
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+
+  private def chunkedQuerier(s: SparkSession, dir: String): TsChunkedQuerier = {
+    val df = chunkedCache.getOrElseUpdate((System.identityHashCode(s).toString, dir), {
+      val ev = Tables.load(s, dir, "events")
+      val longForm = ev.select(
+        map(
+          lit(Labels.MetricName), col("event_type"),
+          lit("user"), col("user_id").cast("string"),
+          lit("big"), when(col("value") >= 100, lit("1")).otherwise(lit(""))
+        ).as("labels"),
+        Tables.tsMillis(col("ts")).as("t"),
+        col("value").as("v"))
+      TsChunkedStore.fromLongForm(longForm, promoted = Seq(Labels.MetricName)).cache()
+    })
+    new TsChunkedQuerier(df, promoted = Seq(Labels.MetricName))
+  }
+
   /** Long-form select → flat projection in deterministic order. */
   private def flat(q: DataFrame): DataFrame =
     q.select(
@@ -150,6 +171,22 @@ object TsQueries {
         .orderBy(col("name"), col("user"), col("t"))
     }),
 
+    // chunked storage form (SURVEY.md §7.4): same semantics, chunk-level
+    // pruning before explode — shares its oracle with the long-form query
+    "ts_chunked_eq" -> ((s, dir) => flat(
+      chunkedQuerier(s, dir).selectLong(Mint, Maxt,
+        Seq(LabelMatcher.eq(Labels.MetricName, "click"))))),
+
+    "ts_chunked_series_agg" -> ((s, dir) =>
+      chunkedQuerier(s, dir).selectLong(Mint, Maxt, Seq(LabelMatcher.neq("user", "")))
+        .groupBy(
+          TsSchema.labelValue(col("labels"), Labels.MetricName).as("name"),
+          TsSchema.labelValue(col("labels"), "user").as("user"))
+        .agg(count(lit(1)).as("n_samples"),
+          min(col("t")).as("min_t"), max(col("t")).as("max_t"),
+          round(sum(col("v")), 2).as("sum_v"))
+        .orderBy(col("name"), col("user"))),
+
     // S5/S9 in-engine round-trip: assemble per-series chunks, XOR-encode,
     // decode back, re-explode — output must equal the plain select (the
     // oracle is the UNENCODED query, proving codec fidelity end-to-end)
@@ -208,6 +245,11 @@ object TsQueries {
          |  WINDOW w AS (PARTITION BY name, "user", big ORDER BY t)
          | ) WHERE prev_t IS NOT NULL ORDER BY name, "user", t""".stripMargin.replace("\n", " "),
     "ts_chunk_roundtrip" ->
-      flatOracle("name = 'signup'")
+      flatOracle("name = 'signup'"),
+    "ts_chunked_eq" -> flatOracle("name = 'click'"),
+    "ts_chunked_series_agg" ->
+      s"""SELECT name, "user", count(*) AS n_samples, min(t) AS min_t, max(t) AS max_t,
+         | round(sum(v), 2) AS sum_v FROM ($oracleBase)
+         | WHERE t BETWEEN $Mint AND $Maxt GROUP BY name, "user" ORDER BY name, "user"""".stripMargin.replace("\n", " ")
   )
 }

@@ -118,6 +118,26 @@ class TsQuerierSpec extends AnyFunSuite {
     check(t0, tEnd, Seq.empty)
   }
 
+  test("chunked form: identical results to long form for every matcher type") {
+    import scala.jdk.CollectionConverters._
+    val rows = corpus.flatMap(s => s.samples.map(x => Row(s.labels, x.t, x.v))).asJava
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "labels map<string,string>, t long, v double")
+    val chunked = new TsChunkedQuerier(
+      TsChunkedStore.fromLongForm(spark.createDataFrame(rows, schema)))
+    val cases = Seq(
+      (t0, tEnd, Seq(LabelMatcher.eq("job", "api"))),
+      (t0 + 3600000, t0 + 7000000, Seq(LabelMatcher.re("job", "api.*"))),
+      (t0, tEnd, Seq(LabelMatcher.absent("job"))),
+      (t0 + 100, t0 + 100, Seq.empty[LabelMatcher]))
+    cases.foreach { case (mint, maxt, ms) =>
+      val long = runSelect(mint, maxt, ms).map(s => (s.labels, s.samples)).toSet
+      val chk = chunked.selectStreams(mint, maxt, ms).collect()
+        .map(ss => (ss.labels, ss.samples)).toSet
+      assert(chk == long, s"chunked != long for $ms")
+    }
+  }
+
   test("partition layout: store is 2h-block partitioned, pruning keeps plan to matching blocks") {
     val blocks = store.select(col("block_start")).distinct().collect().map(_.getLong(0)).sorted
     assert(blocks.length >= 4) // 8h span → ≥4 two-hour blocks
