@@ -201,7 +201,11 @@ object Dedup {
     * shares at least one exact band). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
+    // persist = optimizer barrier: simhash64 is an interpreted HOF fold;
+    // without it, projection collapse inlines it into the band-explode
+    // generator child, which GenerateExec re-evaluates per OUTPUT row
     val docs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = docs.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sh"), b * 15).bitwiseAND(0x7fffL)): _*)))
@@ -211,8 +215,8 @@ object Dedup {
     l.join(r, Seq("band", "band_key")).where(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxDist) // filter BEFORE the distinct shuffle
       .distinct()
-      .where(col("hamming") <= maxDist)
   }
 
   /** Embedding near-dup: pairs with cosine >= threshold. Brute force
@@ -220,17 +224,15 @@ object Dedup {
     * see Similarity.lshTopK for the sub-quadratic path. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        blockCol: Column, threshold: Double): DataFrame = {
-    // norms precomputed per vector (not per pair) behind a persist barrier
     val docs = df.select(col(idCol).as("id"), blockCol.as("blk"),
       col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nrm", graft.functions.vec_norm(col("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = docs.select(col("blk"), col("id").as("id1"), col("v").as("v1"), col("nrm").as("nrm1"))
-    val r = docs.select(col("blk"), col("id").as("id2"), col("v").as("v2"), col("nrm").as("nrm2"))
+    val l = docs.select(col("blk"), col("id").as("id1"), col("v").as("v1"))
+    val r = docs.select(col("blk"), col("id").as("id2"), col("v").as("v2"))
     l.join(r, "blk").where(col("id1") < col("id2"))
+      // codegen'd fused loop (CosineSimilarityExpr) — one pass per pair,
+      // no boxing; beats precomputing norms + interpreted HOF dot
       .withColumn("cos", round(
-        when(col("nrm1") * col("nrm2") === 0.0d, 0.0d)
-          .otherwise(graft.functions.vec_dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2"))), 6))
+        graft.functions.VectorExpressions.cosine_native(col("v1"), col("v2")), 6))
       .where(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
   }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions._
+import graft.functions.VectorExpressions.cosine_native
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -26,7 +27,7 @@ object Similarity {
     val c = corpus.select(col(cId).as("corpus_id"), col(cVec).cast("array<double>").as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("corpus_id"))
-      .withColumn("cos", round(cosine_similarity(col("qv"), col("cv")), 6))
+      .withColumn("cos", round(cosine_native(col("qv"), col("cv")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
     scored.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
@@ -94,7 +95,7 @@ object Similarity {
       .select(col("query_id"), col("query_id_v").as("qv"),
         col("corpus_id"), col("corpus_id_v").as("cv"))
       .distinct()
-    val scored = cands.withColumn("cos", round(cosine_similarity(col("qv"), col("cv")), 6))
+    val scored = cands.withColumn("cos", round(cosine_native(col("qv"), col("cv")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
     scored.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
@@ -112,7 +113,7 @@ object Similarity {
     val cent = centroids.select(col(centId).as("cell"), col(centVec).cast("array<double>").as("centv"))
     val w = Window.partitionBy(col("corpus_id")).orderBy(col("d").desc, col("cell"))
     c.crossJoin(broadcast(cent))
-      .withColumn("d", cosine_similarity(col("cv"), col("centv")))
+      .withColumn("d", cosine_native(col("cv"), col("centv")))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") === 1)
       .select(col("corpus_id"), col("cv"), col("cell"))
@@ -127,14 +128,14 @@ object Similarity {
     val cent = centroids.select(col(centId).as("cell"), col(centVec).cast("array<double>").as("centv"))
     val wq = Window.partitionBy(col("query_id")).orderBy(col("d").desc, col("cell"))
     val probes = q.crossJoin(broadcast(cent))
-      .withColumn("d", cosine_similarity(col("qv"), col("centv")))
+      .withColumn("d", cosine_native(col("qv"), col("centv")))
       .withColumn("rnk", row_number().over(wq))
       .where(col("rnk") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
     broadcast(probes).join(assigned, "cell") // cell equi-join prunes the scan
       .where(col("query_id") =!= col("corpus_id"))
-      .withColumn("cos", round(cosine_similarity(col("qv"), col("cv")), 6))
+      .withColumn("cos", round(cosine_native(col("qv"), col("cv")), 6))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("query_id"), col("rnk").cast("long").as("rnk"), col("corpus_id"), col("cos"))

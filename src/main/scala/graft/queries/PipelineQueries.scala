@@ -146,7 +146,7 @@ object PipelineQueries {
 
     // SimHash near-dup pairs: banded hamming-distance blocking
     "dedup_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 16)
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 8)
         .orderBy(col("id1"), col("id2"))),
 
     // sketch surface: approximate distinct + percentiles (impl-specific
@@ -273,7 +273,7 @@ object PipelineQueries {
          |   bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
          |   FROM banded a JOIN banded b
          |     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-         | SELECT id1, id2, hamming FROM pairs WHERE hamming <= 16 ORDER BY id1, id2""".om,
+         | SELECT id1, id2, hamming FROM pairs WHERE hamming <= 8 ORDER BY id1, id2""".om,
     "dedup_ngram_jaccard" ->
       s"""WITH ${tokCte(2)}, $hsCte,
          | ex AS (SELECT doc_id, lang, source, len(hs) AS n, unnest(hs) AS h FROM hx),

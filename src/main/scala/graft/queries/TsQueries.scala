@@ -187,6 +187,40 @@ object TsQueries {
           round(sum(col("v")), 2).as("sum_v"))
         .orderBy(col("name"), col("user"))),
 
+    // PromQL-flavored: counter increase + rate with reset semantics
+    "ts_prom_rate" -> ((s, dir) =>
+      graft.ops.PromOps.rate(
+        querier(s, dir).selectLong(Mint, Maxt, Seq(LabelMatcher.eq(Labels.MetricName, "error"))))
+        .select(
+          TsSchema.labelValue(col("labels"), Labels.MetricName).as("name"),
+          TsSchema.labelValue(col("labels"), "user").as("user"),
+          col("t"), round(col("increase"), 6).as("increase"), round(col("rate"), 6).as("rate"))
+        .orderBy(col("name"), col("user"), col("t"))),
+
+    // PromQL-flavored: sliding <agg>_over_time(1h) range windows
+    "ts_prom_over_time" -> ((s, dir) =>
+      graft.ops.PromOps.overTime(
+        querier(s, dir).selectLong(Mint, Maxt, Seq(LabelMatcher.eq(Labels.MetricName, "view"))),
+        rangeMs = 3600000L)
+        .select(
+          TsSchema.labelValue(col("labels"), Labels.MetricName).as("name"),
+          TsSchema.labelValue(col("labels"), "user").as("user"),
+          col("t"), round(col("sum_over_time"), 4).as("sot"),
+          round(col("avg_over_time"), 6).as("aot"),
+          col("count_over_time").as("cot"))
+        .orderBy(col("name"), col("user"), col("t"))),
+
+    // PromQL-flavored: sum/avg by (__name__) at 1h steps
+    "ts_prom_agg_by" -> ((s, dir) =>
+      graft.ops.PromOps.aggregateBy(
+        querier(s, dir).selectLong(Mint, Maxt, Seq.empty),
+        byLabels = Seq(Labels.MetricName), stepMs = 3600000L,
+        labelValue = TsSchema.labelValue)
+        .select(col("step_t"), col("by___name__").as("name"),
+          round(col("sum_v"), 4).as("sum_v"), round(col("avg_v"), 6).as("avg_v"),
+          col("n_series"))
+        .orderBy(col("step_t"), col("name"))),
+
     // S5/S9 in-engine round-trip: assemble per-series chunks, XOR-encode,
     // decode back, re-explode — output must equal the plain select (the
     // oracle is the UNENCODED query, proving codec fidelity end-to-end)
@@ -246,6 +280,34 @@ object TsQueries {
          | ) WHERE prev_t IS NOT NULL ORDER BY name, "user", t""".stripMargin.replace("\n", " "),
     "ts_chunk_roundtrip" ->
       flatOracle("name = 'signup'"),
+    "ts_prom_rate" ->
+      s"""SELECT name, "user", t,
+         | round(CASE WHEN v >= prev_v THEN v - prev_v ELSE v END, 6) AS increase,
+         | round((CASE WHEN v >= prev_v THEN v - prev_v ELSE v END) / ((t - prev_t) / 1000.0), 6) AS rate
+         | FROM (
+         |  SELECT name, "user", t, v, lag(v) OVER w AS prev_v, lag(t) OVER w AS prev_t
+         |  FROM ($oracleBase) WHERE t BETWEEN $Mint AND $Maxt AND name = 'error'
+         |  WINDOW w AS (PARTITION BY name, "user", big ORDER BY t)
+         | ) WHERE prev_v IS NOT NULL ORDER BY name, "user", t""".stripMargin.replace("\n", " "),
+    "ts_prom_over_time" ->
+      s"""SELECT name, "user", t,
+         | round(sum(v) OVER w, 4) AS sot,
+         | round(avg(v) OVER w, 6) AS aot,
+         | count(v) OVER w AS cot
+         | FROM ($oracleBase) WHERE t BETWEEN $Mint AND $Maxt AND name = 'view'
+         | WINDOW w AS (PARTITION BY name, "user", big ORDER BY t
+         |   RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+         | ORDER BY name, "user", t""".stripMargin.replace("\n", " "),
+    "ts_prom_agg_by" ->
+      s"""WITH stepped AS (
+         |  SELECT name, "user", big, t - (t % 3600000) AS step_t, t, v
+         |  FROM ($oracleBase) WHERE t BETWEEN $Mint AND $Maxt),
+         | per_series AS (
+         |  SELECT name, "user", big, step_t, (max({'t': t, 'v': v})).v AS v
+         |  FROM stepped GROUP BY name, "user", big, step_t)
+         | SELECT step_t, name, round(sum(v), 4) AS sum_v, round(avg(v), 6) AS avg_v,
+         |  count(*) AS n_series
+         | FROM per_series GROUP BY step_t, name ORDER BY step_t, name""".stripMargin.replace("\n", " "),
     "ts_chunked_eq" -> flatOracle("name = 'click'"),
     "ts_chunked_series_agg" ->
       s"""SELECT name, "user", count(*) AS n_samples, min(t) AS min_t, max(t) AS max_t,

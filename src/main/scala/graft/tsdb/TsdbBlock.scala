@@ -135,6 +135,16 @@ object TsdbBlock {
     val markerDir = Paths.get(storePath, "_ingested")
     val marker = markerDir.resolve(meta.ulid)
     if (Files.exists(marker)) return false
+    // block non-overlap invariant (reference validates at load,
+    // db.go:206-220; Prometheus semantics on overlap is "error")
+    if (Files.isDirectory(markerDir)) {
+      Files.list(markerDir).iterator().asScala.foreach { m =>
+        val Array(lo, hi) = Files.readString(m).split("\\.\\.").map(_.toLong)
+        require(meta.maxTime < lo || meta.minTime > hi,
+          s"block ${meta.ulid} [${meta.minTime},${meta.maxTime}] overlaps " +
+            s"ingested block ${m.getFileName} [$lo,$hi]")
+      }
+    }
     val canonical = TsSchema.canonicalize(read(spark, blockDir), promoted)
     canonical.write.partitionBy("block_start").mode("append").parquet(storePath)
     Files.createDirectories(markerDir)

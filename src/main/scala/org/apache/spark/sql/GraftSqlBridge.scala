@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into `private[sql]` conversion helpers — the standard pattern
+  * for third-party Catalyst extensions that need to wrap a custom
+  * `Expression` as a user-facing `Column` (Spark 4 moved `Column` to a
+  * ColumnNode facade; `classic.ExpressionUtils` does the conversion). */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

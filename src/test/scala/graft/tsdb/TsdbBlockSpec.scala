@@ -103,6 +103,18 @@ class TsdbBlockSpec extends AnyFunSuite {
     assert(streams.head.samples == want)
   }
 
+  test("overlapping block is rejected at ingest (db.go:206-220 invariant)") {
+    val root = Files.createTempDirectory("graft-overlap")
+    val store = root.resolve("store").toString
+    val b1 = Files.createDirectory(root.resolve("b1"))
+    TsdbBlock.write(b1, corpus, TsdbBlock.syntheticUlid(31))
+    assert(TsdbBlock.ingest(spark, b1.toString, store))
+    // same time range, different ULID → overlap → must be rejected
+    val b2 = Files.createDirectory(root.resolve("b2"))
+    TsdbBlock.write(b2, corpus, TsdbBlock.syntheticUlid(32))
+    assertThrows[IllegalArgumentException](TsdbBlock.ingest(spark, b2.toString, store))
+  }
+
   test("syncDir ingests each ULID block once") {
     val root = Files.createTempDirectory("graft-sync")
     val store = root.resolve("store").toString
