@@ -138,6 +138,35 @@ class TsQuerierSpec extends AnyFunSuite {
     }
   }
 
+  test("written store: partition pruning + promoted-label pushdown reach the parquet scan") {
+    import scala.jdk.CollectionConverters._
+    val rows = corpus.flatMap(s => s.samples.map(x => Row(s.labels, x.t, x.v))).asJava
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "labels map<string,string>, t long, v double")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pushdown").resolve("store").toString
+    TsStore.write(spark.createDataFrame(rows, schema), dir)
+    val q = TsStore.read(spark, dir)
+    val executed = q.selectLong(t0, t0 + 3600000L,
+      Seq(LabelMatcher.eq("__name__", "http_requests_total"), LabelMatcher.eq("job", "api")))
+      .queryExecution.executedPlan
+    val scan = executed.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    // P10: partition pruning on block_start reaches the partition filters
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "block_start")),
+      s"no block_start partition filter: ${scan.partitionFilters}")
+    // P1/P6: promoted label matchers become data filters pushed at the scan
+    val dataFilterStr = scan.dataFilters.mkString(";")
+    assert(dataFilterStr.contains("l___name__") && dataFilterStr.contains("l_job"),
+      s"label pushdown missing: $dataFilterStr")
+    // correctness on the written store matches the in-memory path
+    val got = q.selectStreams(t0, tEnd, Seq(LabelMatcher.eq("job", "api"))).collect()
+      .map(s => (s.labels, s.samples)).toSet
+    val want = runSelect(t0, tEnd, Seq(LabelMatcher.eq("job", "api")))
+      .map(s => (s.labels, s.samples)).toSet
+    assert(got == want)
+  }
+
   test("partition layout: store is 2h-block partitioned, pruning keeps plan to matching blocks") {
     val blocks = store.select(col("block_start")).distinct().collect().map(_.getLong(0)).sorted
     assert(blocks.length >= 4) // 8h span → ≥4 two-hour blocks
