@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.tsdb._
+
+/** Scale sanity harness (not part of the driver contract): builds a
+  * multi-day synthetic series corpus through the WRITTEN-store path and
+  * reports select/aggregate latencies + partition layout, to validate the
+  * design holds beyond the sf corpora. Usage: runMain graft.ScaleCheck
+  * [nSeries] [nSamplesPerSeries] */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val nSeries = if (args.nonEmpty) args(0).toInt else 2000
+    val nSamples = if (args.length > 1) args(1).toInt else 5760 // 2 days @30s
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = java.nio.file.Files.createTempDirectory("graft-scale").resolve("store").toString
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"SCALE $name ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    }
+
+    // generate long form distributed (never collected on the driver)
+    val t0ms = 1700000000000L
+    val longForm = spark.range(nSeries.toLong * nSamples)
+      .select(
+        (col("id") / nSamples).cast("long").as("series"),
+        pmod(col("id"), lit(nSamples)).as("k"))
+      .select(
+        map(
+          lit("__name__"), concat(lit("metric_"), pmod(col("series"), lit(20))),
+          lit("job"), concat(lit("job-"), pmod(col("series"), lit(50))),
+          lit("instance"), concat(lit("i-"), col("series"))
+        ).as("labels"),
+        (lit(t0ms) + col("k") * 30000L).as("t"),
+        (col("series") + col("k")).cast("double").as("v"))
+
+    time(s"write store ($nSeries series x $nSamples samples = ${nSeries.toLong * nSamples} rows)") {
+      TsStore.write(longForm, dir)
+    }
+    val q = TsStore.read(spark, dir)
+    val blocks = spark.read.parquet(dir).select(col("block_start")).distinct().count()
+    println(s"SCALE partitions=$blocks (2h blocks)")
+    time("select 1 series, 2h window") {
+      q.selectStreams(t0ms, t0ms + 7200000L, Seq(
+        LabelMatcher.eq("__name__", "metric_1"), LabelMatcher.eq("instance", "i-1"))).collect().length
+    }
+    time("select job regex, 6h window, long form count") {
+      q.selectLong(t0ms, t0ms + 6 * 3600000L, Seq(LabelMatcher.re("job", "job-1[0-9]"))).count()
+    }
+    time("series assembly: 1 metric all series, full range") {
+      q.select(t0ms, Long.MaxValue / 2, Seq(LabelMatcher.eq("__name__", "metric_7"))).count()
+    }
+    time("labelValues(job)") { q.labelValues("job").count() }
+    time("promql rate over 1 metric, full range") {
+      graft.ops.PromOps.rate(q.selectLong(t0ms, Long.MaxValue / 2,
+        Seq(LabelMatcher.eq("__name__", "metric_3")))).count()
+    }
+    spark.stop()
+  }
+}
