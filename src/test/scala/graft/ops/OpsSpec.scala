@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Hand-computed fixtures + degenerate-input edges for the pipeline ops
+  * (the DuckDB oracle covers bulk parity; these pin the semantics). */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def docsDF(texts: (Long, String)*) =
+    texts.toSeq.toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, keeps min id") {
+    val df = docsDF(1L -> "hello world", 2L -> "hello world", 3L -> "bye")
+    val out = Dedup.exact(df, "doc_id", Seq("text")).orderBy("keep_id").collect()
+    assert(out.length == 2)
+    assert(out.map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies"))).toSeq ==
+      Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("normalized dedup ignores case/punct/whitespace") {
+    val df = docsDF(1L -> "Hello,   WORLD!", 2L -> "hello world", 3L -> "helloworld")
+    val out = Dedup.normalized(df, "doc_id", "text").collect()
+    assert(out.length == 2) // 1 and 2 merge; 3 differs (one token)
+  }
+
+  test("shingleRows produces ordered word n-grams") {
+    val df = docsDF(1L -> "a b c d")
+    val sh = Dedup.shingleRows(df, "doc_id", "text", 3)
+      .orderBy("s").collect().map(_.getString(1)).toSeq
+    assert(sh == Seq("a b c", "b c d"))
+    // doc shorter than shingle size → no rows
+    assert(Dedup.shingleRows(docsDF(2L -> "a b"), "doc_id", "text", 3).count() == 0)
+  }
+
+  test("minhash signatures identical for identical shingle sets, differ otherwise") {
+    val df = docsDF(1L -> "x y z w", 2L -> "x y z w", 3L -> "q r s t")
+    val sig = Dedup.minhashSignatures(df, "doc_id", "text", numHashes = 8)
+      .select("id", "sig").collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+    assert(sig(1L).forall(h => h >= 0 && h < Dedup.MinhashP))
+  }
+
+  test("minhashLsh finds the duplicate pair with jaccard 1.0") {
+    val df = docsDF(1L -> "x y z w v u t s", 2L -> "x y z w v u t s", 3L -> "a b c d e f g h")
+    val out = Dedup.minhashLsh(df, "doc_id", "text", 16, 4, 3, 0.5).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
+    assert(out.head.getDouble(2) == 1.0)
+  }
+
+  test("simhash: identical docs share hash; hamming 0 pair found") {
+    val df = docsDF(1L -> "alpha beta gamma", 2L -> "alpha beta gamma", 3L -> "delta epsilon zeta")
+    val hashes = df.select(col("doc_id"), Dedup.simhash64(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) == hashes(2L))
+    assert(hashes(1L) != hashes(3L))
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxDist = 0).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("ngram jaccard: hand-computed value") {
+    // 2-gram sets: {a b, b c, c d} vs {a b, b c, c x} → J = 2/4 = 0.5
+    val df = Seq((1L, "a b c d", "blk"), (2L, "a b c x", "blk")).toDF("doc_id", "text", "grp")
+    val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", col("grp"), 2, 0.1).collect()
+    assert(out.length == 1 && out.head.getDouble(2) == 0.5)
+  }
+
+  test("degenerate text inputs do not crash and yield sane values") {
+    val df = docsDF(1L -> "", 2L -> "!!! ??? ...", 3L -> "单 词 测 试", 4L -> "one")
+    val stats = df.select(col("doc_id"),
+      TextAnalysis.wordCount(col("text")).as("w"),
+      TextAnalysis.tokenEstimate(col("text")).as("te"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id").collect()
+    assert(stats(0).getAs[Long]("w") == 0 && stats(0).getAs[Long]("te") == 0)
+    assert(stats(1).getAs[Long]("te") == 0) // punctuation-only → no tokens
+    assert(stats(2).getAs[Long]("w") == 4)  // unicode letters are tokens
+    assert(stats.forall(r => r.getAs[Double]("q") >= 0.0 && r.getAs[Double]("q") <= 1.0))
+    assert(stats(0).getAs[String]("lang") == "und")
+    // fingerprint of empty token stream is the seed
+    assert(stats(0).getAs[Long]("fp") == 7L)
+    // dedup ops tolerate empty/short docs: only the 4-token unicode doc
+    // clears the 3-shingle threshold
+    val sigs = Dedup.minhashSignatures(df, "doc_id", "text", 4, 3)
+    assert(sigs.select("id").as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("langId picks profile by stopword ratio, ties deterministic") {
+    val en = docsDF(1L -> "the cat and the dog of it")
+    assert(en.select(TextAnalysis.langId(col("text"))).head().getString(0) == "en")
+    val de = docsDF(2L -> "der hund und die katze ist nicht da")
+    assert(de.select(TextAnalysis.langId(col("text"))).head().getString(0) == "de")
+  }
+
+  test("asof join: hand case incl. no-match and equal-time inclusivity") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 150L))
+      .toDF("lid", "k", "t")
+    val right = Seq((10L, 100L, 1.0), (10L, 150L, 2.0), (99L, 1L, 9.0))
+      .toDF("rk", "rt", "payload")
+    val out = AsOf.join(left, right, col("k"), col("rk"), col("t"), col("rt"),
+      Seq("rt", "payload"))
+      .orderBy("lid").collect()
+    // lid=1 t=100: right at rt=100 (inclusive <=) → payload 1.0
+    assert(out(0).getAs[Double]("payload") == 1.0)
+    // lid=2 t=200: latest rt=150 → 2.0
+    assert(out(1).getAs[Double]("payload") == 2.0)
+    // lid=3 key=20: no right rows → null
+    assert(out(2).isNullAt(out(2).fieldIndex("payload")))
+  }
+
+  test("cosine: native expression matches HOF formulation bit-exactly") {
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.0, 0.0), Seq(1.0, 2.0)), // zero norm → 0.0
+      (Seq(-1.0, 2.0, -3.0), Seq(3.0, -2.0, 1.0))
+    ).toDF("a", "b")
+    val rows = df.select(
+      graft.functions.VectorExpressions.cosine_native(col("a"), col("b")).as("native"),
+      graft.functions.cosine_similarity(col("a"), col("b")).as("hof")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), s"native=${r.getDouble(0)} hof=${r.getDouble(1)}")
+    }
+    assert(rows(1).getDouble(0) == 0.0)
+  }
+}
