@@ -26,21 +26,23 @@ object ScaleCheck {
 
     // generate long form distributed (never collected on the driver)
     val t0ms = 1700000000000L
-    val longForm = spark.range(nSeries.toLong * nSamples)
+    val base = spark.range(nSeries.toLong * nSamples)
       .select(
         (col("id") / nSamples).cast("long").as("series"),
         pmod(col("id"), lit(nSamples)).as("k"))
-      .select(
-        map(
-          lit("__name__"), concat(lit("metric_"), pmod(col("series"), lit(20))),
-          lit("job"), concat(lit("job-"), pmod(col("series"), lit(50))),
-          lit("instance"), concat(lit("i-"), col("series"))
-        ).as("labels"),
+      .select(col("series"),
         (lit(t0ms) + col("k") * 30000L).as("t"),
         (col("series") + col("k")).cast("double").as("v"))
+    // codegen'd static-label canonicalization (no per-row lambda chain)
+    val canonical = TsSchema.canonicalizeStatic(base, Seq(
+        "__name__" -> concat(lit("metric_"), pmod(col("series"), lit(20))),
+        "job" -> concat(lit("job-"), pmod(col("series"), lit(50))),
+        "instance" -> concat(lit("i-"), col("series"))))
+      .select(col("labels"), col("fingerprint"), col("t"), col("v"), col("block_start"),
+        col("l___name__"), col("l_job"), col("l_instance"))
 
     time(s"write store ($nSeries series x $nSamples samples = ${nSeries.toLong * nSamples} rows)") {
-      TsStore.write(longForm, dir)
+      canonical.write.partitionBy("block_start").mode("overwrite").parquet(dir)
     }
     val q = TsStore.read(spark, dir)
     val blocks = spark.read.parquet(dir).select(col("block_start")).distinct().count()

@@ -29,18 +29,19 @@ object TsQueries {
   def store(s: SparkSession, dir: String): DataFrame =
     storeCache.getOrElseUpdate((System.identityHashCode(s).toString, dir), buildStore(s, dir).cache())
 
-  /** events → canonical long-form series store (SURVEY.md §1.3). */
+  /** events → canonical long-form series store (SURVEY.md §1.3), via the
+    * codegen'd static-label fast path. */
   private def buildStore(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
-    val longForm = ev.select(
-      map(
-        lit(Labels.MetricName), col("event_type"),
-        lit("user"), col("user_id").cast("string"),
-        lit("big"), when(col("value") >= 100, lit("1")).otherwise(lit(""))
-      ).as("labels"),
-      Tables.tsMillis(col("ts")).as("t"),
-      col("value").as("v"))
-    TsSchema.canonicalize(longForm, promoted = Seq(Labels.MetricName))
+      .select(col("event_type"), col("user_id"), col("value"),
+        Tables.tsMillis(col("ts")).as("t"), col("value").as("v"))
+    TsSchema.canonicalizeStatic(ev, Seq(
+      Labels.MetricName -> col("event_type"),
+      "user" -> col("user_id").cast("string"),
+      "big" -> when(col("value") >= 100, lit("1")).otherwise(lit(""))),
+      promoted = Seq(Labels.MetricName))
+      .select(col("labels"), col("fingerprint"), col("t"), col("v"),
+        col("block_start"), col(TsSchema.promotedColName(Labels.MetricName)))
   }
 
   private def querier(s: SparkSession, dir: String): TsQuerier =
