@@ -218,7 +218,11 @@ object TsQueries {
         byLabels = Seq(Labels.MetricName), stepMs = 3600000L,
         labelValue = TsSchema.labelValue)
         .select(col("step_t"), col("by___name__").as("name"),
-          round(col("sum_v"), 4).as("sum_v"), round(col("avg_v"), 6).as("avg_v"),
+          round(col("sum_v"), 4).as("sum_v"),
+          // avg from the ROUNDED sum: raw-avg rounding can land exactly on
+          // a 6-dp half (e.g. 1114.23/32) where engine summation order
+          // flips the digit; dividing identical rounded sums cannot
+          round(round(col("sum_v"), 4) / col("n_series"), 6).as("avg_v"),
           col("n_series"))
         .orderBy(col("step_t"), col("name"))),
 
@@ -306,7 +310,7 @@ object TsQueries {
          | per_series AS (
          |  SELECT name, "user", big, step_t, (max({'t': t, 'v': v})).v AS v
          |  FROM stepped GROUP BY name, "user", big, step_t)
-         | SELECT step_t, name, round(sum(v), 4) AS sum_v, round(avg(v), 6) AS avg_v,
+         | SELECT step_t, name, round(sum(v), 4) AS sum_v, round(round(sum(v), 4) / count(*), 6) AS avg_v,
          |  count(*) AS n_series
          | FROM per_series GROUP BY step_t, name ORDER BY step_t, name""".stripMargin.replace("\n", " "),
     "ts_chunked_eq" -> flatOracle("name = 'click'"),
