@@ -36,11 +36,19 @@ object StreamIngest {
                    daemon: Boolean = false): StreamingQuery = {
     val in = spark.readStream.schema(inputSchema).parquet(inputDir)
     val canonical = TsSchema.canonicalize(in, promoted)
+    // foreachBatch + plain partitioned append, NOT the parquet sink: the
+    // sink's _spark_metadata log would become the store's source of truth
+    // and any external rewrite (compaction, retention) breaks reads. The
+    // store stays an ordinary parquet table; the source checkpoint still
+    // prevents re-reading input files, leaving the same
+    // at-least-once-on-crash window as the reference shipper's
+    // marker-after-upload (shipper.go:252-325).
     val w: DataStreamWriter[org.apache.spark.sql.Row] = canonical.writeStream
-      .format("parquet")
-      .option("path", storePath)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.partitionBy("block_start")
+          .mode(org.apache.spark.sql.SaveMode.Append).parquet(storePath)
+      }
       .option("checkpointLocation", checkpoint)
-      .partitionBy("block_start")
       .trigger(if (daemon) Trigger.ProcessingTime("5 seconds") else Trigger.AvailableNow())
     w.start()
   }
