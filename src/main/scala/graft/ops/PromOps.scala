@@ -78,11 +78,12 @@ object PromOps {
         count(lit(1)).as("n_series"))
   }
 
-  /** topk(k) per group: highest-valued series per (step, group). */
+  /** topk(k) per group: highest-valued series per (step, group). Ties
+    * break on `tieCols` (default: the series fingerprint). */
   def topk(aggregatedPerSeries: DataFrame, k: Int, groupCols: Seq[String],
-           orderCol: String): DataFrame = {
+           orderCol: String, tieCols: Seq[String] = Seq("fingerprint")): DataFrame = {
     val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(col(orderCol).desc, col("fingerprint"))
+      .orderBy(col(orderCol).desc +: tieCols.map(col): _*)
     aggregatedPerSeries.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
   }

@@ -226,6 +226,20 @@ object TsQueries {
           col("n_series"))
         .orderBy(col("step_t"), col("name"))),
 
+    // PromQL-flavored: topk(3) series by per-step sum within each metric
+    "ts_prom_topk" -> ((s, dir) => {
+      val perSeries = querier(s, dir).selectLong(Mint, Maxt, Seq.empty)
+        .groupBy(col("fingerprint"),
+          TsSchema.labelValue(col("labels"), Labels.MetricName).as("name"),
+          TsSchema.labelValue(col("labels"), "user").as("user"),
+          TsSchema.labelValue(col("labels"), "big").as("big"))
+        .agg(round(sum(col("v")), 4).as("series_sum"))
+      graft.ops.PromOps.topk(perSeries, k = 3, groupCols = Seq("name"), orderCol = "series_sum", tieCols = Seq("user", "big"))
+        .select(col("name"), col("rnk").cast("long").as("rnk"),
+          col("user"), col("big"), col("series_sum"))
+        .orderBy(col("name"), col("rnk"))
+    }),
+
     // S5/S9 in-engine round-trip: assemble per-series chunks, XOR-encode,
     // decode back, re-explode — output must equal the plain select (the
     // oracle is the UNENCODED query, proving codec fidelity end-to-end)
@@ -313,6 +327,16 @@ object TsQueries {
          | SELECT step_t, name, round(sum(v), 4) AS sum_v, round(round(sum(v), 4) / count(*), 6) AS avg_v,
          |  count(*) AS n_series
          | FROM per_series GROUP BY step_t, name ORDER BY step_t, name""".stripMargin.replace("\n", " "),
+    "ts_prom_topk" ->
+      s"""WITH per_series AS (
+         |  SELECT name, "user", big, round(sum(v), 4) AS series_sum
+         |  FROM ($oracleBase) WHERE t BETWEEN $Mint AND $Maxt
+         |  GROUP BY name, "user", big),
+         | ranked AS (SELECT name, "user", big, series_sum,
+         |  row_number() OVER (PARTITION BY name ORDER BY series_sum DESC, "user", big) AS rnk
+         |  FROM per_series)
+         | SELECT name, rnk, "user", big, series_sum FROM ranked
+         | WHERE rnk <= 3 ORDER BY name, rnk""".stripMargin.replace("\n", " "),
     "ts_chunked_eq" -> flatOracle("name = 'click'"),
     "ts_chunked_series_agg" ->
       s"""SELECT name, "user", count(*) AS n_samples, min(t) AS min_t, max(t) AS max_t,
