@@ -198,8 +198,13 @@ object Proto {
 /** HTTP server for `POST /read` over a [[TsQuerier]] — the full query
   * lifecycle of the reference (`server.go:64-97`): body → snappy →
   * ReadRequest → per-query select → Matrix → ReadResponse → snappy. */
-final class RemoteReadServer(querier: TsQuerier, port: Int = 0) {
+final class RemoteReadServer(querier: TsQuerier, port: Int = 0, threads: Int = 8) {
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  // default HttpServer executor runs handlers on the dispatch thread,
+  // serializing all requests; a pool lets concurrent reads overlap their
+  // Spark jobs (the scheduler interleaves fairly across them)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+  server.setExecutor(pool)
 
   server.createContext("/read", (ex: HttpExchange) => {
     try {
@@ -228,5 +233,5 @@ final class RemoteReadServer(querier: TsQuerier, port: Int = 0) {
   })
 
   def start(): Int = { server.start(); server.getAddress.getPort }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 }

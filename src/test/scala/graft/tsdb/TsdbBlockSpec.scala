@@ -132,3 +132,39 @@ class TsdbBlockSpec extends AnyFunSuite {
     assert(TsStore.read(spark, store).labelValues("job").count() == 3)
   }
 }
+
+class TsdbIndexPropertySpec extends AnyFunSuite {
+  test("property: random label sets + chunk lists round-trip through the index format") {
+    val rnd = new scala.util.Random(1234)
+    (1 to 30).foreach { trial =>
+      val nSeries = 1 + rnd.nextInt(40)
+      val raw = (0 until nSeries).map { i =>
+        val nl = 1 + rnd.nextInt(5)
+        val labels = (0 until nl).map(j =>
+          Label(s"l${rnd.nextInt(8)}", s"v${rnd.nextInt(20)}")) :+ Label("uniq", s"s$i")
+        val nc = 1 + rnd.nextInt(6)
+        var t = rnd.nextLong() % (1L << 40)
+        val chunks = (0 until nc).map { _ =>
+          val mint = t + 1 + rnd.nextInt(100000)
+          val maxt = mint + rnd.nextInt(7200000)
+          t = maxt
+          TsdbIndex.ChunkMeta(mint, maxt, ChunkFile.ref(1 + rnd.nextInt(3), rnd.nextInt(1 << 28)))
+        }
+        TsdbIndex.IndexSeries(labels, chunks)
+      }
+      // dedupe canonical label sets (duplicates rejected by design)
+      val unique = raw.groupBy(s => Labels.canonical(s.labels)).map(_._2.head).toSeq
+      val idx = new TsdbIndex.IndexReader(TsdbIndex.write(unique))
+      val got = idx.allSeries.map(s => (s.labels, s.chunks))
+      val want = unique.map(s => (Labels.canonical(s.labels), s.chunks))
+        .sortBy(_._1)(Labels.ordering)
+      assert(got == want, s"trial $trial mismatch")
+      // every label pair's postings select exactly the matching series
+      val pairs = unique.flatMap(_.labels.map(l => (l.name, l.value))).distinct.take(5)
+      pairs.foreach { case (n, v) =>
+        val refs = idx.postings(n, v)
+        assert(refs.forall(r => idx.series(r).labels.contains(Label(n, v))))
+      }
+    }
+  }
+}
