@@ -56,12 +56,17 @@ package object functions {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => t =!= "")
 
-  /** Sorted distinct word-level n-gram shingles ("a b c" style). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    array_distinct(transform(
-      filter(idx, i => i + n <= size(toks)),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  /** Distinct word-level n-gram shingles ("a b c" style).
+    *
+    * The token array is bound ONCE via a single-element `transform` lambda:
+    * a HOF lambda body re-evaluates every non-lambda-variable subexpression
+    * per element, so referencing `tokens(text)` directly inside the index
+    * lambdas would re-run the regex tokenizer O(tokens) times per document.
+    */
+  def shingles(text: Column, n: Int): Column =
+    element_at(transform(array(tokens(text)), ts =>
+      array_distinct(transform(
+        filter(sequence(lit(0), greatest(size(ts) - n, lit(0))),
+          i => i + n <= size(ts)),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))), 1)
 }

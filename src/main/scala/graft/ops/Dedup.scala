@@ -53,51 +53,32 @@ object Dedup {
     array_distinct(transform(shingles(textCol, shingleSize),
       s => pmod(hash60(s), lit(MinhashP))))
 
-  /** Exploded (id, ordinal, token) rows. The generator child is a plain
-    * `split` (codegen'd): Spark's GenerateExec re-evaluates the generator
-    * child once per OUTPUT row, so an expensive lambda-chain child (e.g.
-    * building the whole shingle array) multiplies its cost by the fan-out
-    * — keep the exploded expression trivial and do real work afterwards. */
-  def tokenRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
-      posexplode(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+")))
-      .where(col("col") =!= "")
-      .select(col("id"), col("pos").as("p"), col("col").as("tok"))
-
-  /** Exploded (id, shingle) rows: word n-grams via `lead` windows over the
-    * token stream — one narrow shuffle on id, no per-row array building. */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String,
-                  shingleSize: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("p"))
-    val toks = tokenRows(df, idCol, textCol)
-    val parts = col("tok") +: (1 until shingleSize).map(k => lead(col("tok"), k).over(w))
-    toks.select(col("id"), concat_ws(" ", parts: _*).as("s"),
-      lead(col("tok"), shingleSize - 1).over(w).isNotNull.as("full"))
-      .where(col("full")).select(col("id"), col("s"))
-  }
-
-  /** Exploded distinct (id, h) shingle-hash rows: md5 exactly once per
-    * (doc, shingle). */
-  private def shingleHashRows(df: DataFrame, idCol: String, textCol: String,
-                              shingleSize: Int): DataFrame =
-    shingleRows(df, idCol, textCol, shingleSize)
-      .select(col("id"), pmod(hash60(col("s")), lit(MinhashP)).as("h"))
-      .distinct()
-
-  /** MinHash signature matrix: (id, hs ARRAY<LONG>, sig ARRAY<LONG> of
-    * length numHashes), computed as ONE aggregation over exploded shingle
-    * hashes — one shuffle on id, each affine permutation is a plain `min`
-    * aggregate (map-side partials apply). */
+  /** Per-document (id, hs, sig): the distinct 31-bit shingle-hash set and
+    * the full MinHash signature, computed ENTIRELY map-side — zero
+    * shuffles. Each affine permutation is an `array_min(transform(hs, …))`
+    * pass over the per-doc hash array; the hash array itself is bound once
+    * via a single-element `transform` lambda so tokenize/shingle/md5 run
+    * once per document regardless of numHashes.
+    *
+    * The previous shape (explode tokens → window-lead shingles → distinct
+    * → groupBy(id) with k min-aggregates) shuffled every token three
+    * times; at 100 TB the per-doc arrays (~KBs) never leave their input
+    * partition under this form, which is the difference between a scan
+    * and three full-corpus shuffles. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16, shingleSize: Int = 3): DataFrame = {
-    val ex = shingleHashRows(df, idCol, textCol, shingleSize)
-    val mins = (0 until numHashes).map(j =>
-      min(pmod(col("h") * minhashA(j) + minhashB(j), lit(MinhashP))).as(s"m$j"))
-    ex.groupBy(col("id"))
-      .agg(collect_set(col("h")).as("hs"), mins: _*)
-      .select(col("id"), col("hs"),
-        array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
+    val aLit = array((0 until numHashes).map(j => lit(minhashA(j))): _*)
+    val bLit = array((0 until numHashes).map(j => lit(minhashB(j))): _*)
+    val packed = element_at(
+      transform(array(shingleHashes(col(textCol), shingleSize)), hs =>
+        struct(hs.as("hs"),
+          transform(sequence(lit(0), lit(numHashes - 1)), j =>
+            array_min(transform(hs, h =>
+              pmod(h * element_at(aLit, j + 1) + element_at(bLit, j + 1),
+                lit(MinhashP))))).as("sig"))), 1)
+    df.select(col(idCol).as("id"), packed.as("d"))
+      .where(size(col("d.hs")) > 0) // docs with < shingleSize tokens drop out
+      .select(col("id"), col("d.hs").as("hs"), col("d.sig").as("sig"))
   }
 
   /** LSH banding: explode the signature into `bands` buckets of
@@ -156,14 +137,19 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: Column, shingleSize: Int = 3,
                         threshold: Double = 0.3): DataFrame = {
-    // persisted: referenced by both self-join sides + the size table (Spark
-    // recomputes a DataFrame per consumer otherwise; same pattern Spark ML
-    // uses for iterative reuse)
-    val ex = shingleHashRows(df, idCol, textCol, shingleSize)
-      .join(df.select(col(idCol).as("id"), blockCol.as("blk")), "id")
+    // per-doc hash sets computed map-side; persisted because both
+    // self-join sides + the size table read it (Spark recomputes a
+    // DataFrame per consumer otherwise). The explode below fans out over a
+    // concrete cached column — GenerateExec re-evaluates its child per
+    // OUTPUT row, so it must never be handed the heavy hash expression.
+    val base = df.select(col(idCol).as("id"), blockCol.as("blk"),
+        shingleHashes(col(textCol), shingleSize).as("hs"))
+      .where(size(col("hs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hs is already distinct → exploding gives distinct (id, h) rows
+    val ex = base.select(col("id"), col("blk"), explode(col("hs")).as("h"))
     // per-doc set sizes: tiny table, broadcast back onto the pair counts
-    val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val sizes = base.select(col("id"), size(col("hs")).cast("long").as("n"))
     val l = ex.select(col("blk"), col("h"), col("id").as("id1"))
     val r = ex.select(col("blk"), col("h"), col("id").as("id2"))
     l.join(r, Seq("blk", "h"))
@@ -198,25 +184,47 @@ object Dedup {
 
   /** SimHash near-dup pairs: hamming distance <= maxDist within
     * same-band blocking (4 bands of 15 bits → any pair within distance 3
-    * shares at least one exact band). */
+    * shares at least one exact band).
+    *
+    * The band self-join runs over DISTINCT simhash values, not documents:
+    * a degenerate corpus with an m-document identical cluster would
+    * otherwise put m copies of the same key in every band bucket and pay
+    * an m² join blow-up per band. Distinct-value pairs are expanded back
+    * to document pairs afterwards, and same-value (hamming 0) pairs are
+    * produced by a direct equi-self-join — both expansions are
+    * proportional to the OUTPUT size, which is the lower bound anyway. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
     // persist = optimizer barrier: simhash64 is an interpreted HOF fold;
-    // without it, projection collapse inlines it into the band-explode
-    // generator child, which GenerateExec re-evaluates per OUTPUT row
+    // without it, projection collapse inlines it into downstream joins
     val docs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = docs.select(col("id"), col("sh"),
+    val values = docs.select(col("sh")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = values.select(col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sh"), b * 15).bitwiseAND(0x7fffL)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    val l = banded.select(col("band"), col("band_key"), col("id").as("id1"), col("sh").as("sh1"))
-    val r = banded.select(col("band"), col("band_key"), col("id").as("id2"), col("sh").as("sh2"))
-    l.join(r, Seq("band", "band_key")).where(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
+    val l = banded.select(col("band"), col("band_key"), col("sh").as("sh1"))
+    val r = banded.select(col("band"), col("band_key"), col("sh").as("sh2"))
+    // distinct simhash pairs within hamming range (deduped across bands)
+    val shPairs = l.join(r, Seq("band", "band_key")).where(col("sh1") < col("sh2"))
+      .select(col("sh1"), col("sh2"),
         bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxDist) // filter BEFORE the distinct shuffle
       .distinct()
+    // expand value pairs to document pairs (id order normalized)
+    val cross = shPairs
+      .join(docs.select(col("sh").as("sh1"), col("id").as("ida")), "sh1")
+      .join(docs.select(col("sh").as("sh2"), col("id").as("idb")), "sh2")
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"), col("hamming"))
+    // identical-simhash document pairs (hamming 0)
+    val same = docs.select(col("sh"), col("id").as("id1"))
+      .join(docs.select(col("sh"), col("id").as("id2")), "sh")
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), lit(0L).as("hamming"))
+    cross.unionByName(same)
   }
 
   /** Embedding near-dup: pairs with cosine >= threshold. Brute force

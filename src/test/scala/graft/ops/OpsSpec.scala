@@ -27,13 +27,17 @@ class OpsSpec extends AnyFunSuite {
     assert(out.length == 2) // 1 and 2 merge; 3 differs (one token)
   }
 
-  test("shingleRows produces ordered word n-grams") {
+  test("shingles produces ordered distinct word n-grams") {
     val df = docsDF(1L -> "a b c d")
-    val sh = Dedup.shingleRows(df, "doc_id", "text", 3)
-      .orderBy("s").collect().map(_.getString(1)).toSeq
+    val sh = df.select(graft.functions.shingles(col("text"), 3))
+      .head().getSeq[String](0)
     assert(sh == Seq("a b c", "b c d"))
-    // doc shorter than shingle size → no rows
-    assert(Dedup.shingleRows(docsDF(2L -> "a b"), "doc_id", "text", 3).count() == 0)
+    // doc shorter than shingle size → empty array
+    assert(docsDF(2L -> "a b").select(graft.functions.shingles(col("text"), 3))
+      .head().getSeq[String](0).isEmpty)
+    // repeated n-grams dedup
+    assert(docsDF(3L -> "a b a b a b").select(graft.functions.shingles(col("text"), 2))
+      .head().getSeq[String](0) == Seq("a b", "b a"))
   }
 
   test("minhash signatures identical for identical shingle sets, differ otherwise") {
