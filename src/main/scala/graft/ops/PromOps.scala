@@ -87,4 +87,79 @@ object PromOps {
     aggregatedPerSeries.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
   }
+
+  /** bottomk(k): lowest-valued series per group — topk's mirror. */
+  def bottomk(aggregatedPerSeries: DataFrame, k: Int, groupCols: Seq[String],
+              orderCol: String, tieCols: Seq[String] = Seq("fingerprint")): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(orderCol).asc +: tieCols.map(col): _*)
+    aggregatedPerSeries.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+  }
+
+  /** PromQL `increase(range)` per sample position: the sum of
+    * reset-adjusted per-step increments inside the trailing `rangeMs`
+    * window. (PromQL proper extrapolates to the window edges; we define
+    * the un-extrapolated sum — the same quantity Prometheus uses before
+    * extrapolation — so the result is exactly reproducible.) One shuffle
+    * on fingerprint; both window passes share the sort. */
+  def increaseOverTime(longForm: DataFrame, rangeMs: Long): DataFrame = {
+    val inc = counterIncrease(longForm) // adds `increase` per step, drops first sample
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col("t"))
+      .rangeBetween(-rangeMs, 0)
+    inc.withColumn("increase_over_time", sum(col("increase")).over(w))
+  }
+
+  /** PromQL `resets()` and `changes()` over the whole selected range,
+    * per series: counts of counter resets (v < prev_v) and of value
+    * changes (v <> prev_v). Window pass + one aggregation. */
+  def resetsAndChanges(longForm: DataFrame): DataFrame = {
+    val stepped = longForm
+      .withColumn("prev_v", lag(col("v"), 1).over(seriesWindow))
+    stepped.groupBy(col("fingerprint"), col("labels"))
+      .agg(
+        sum(when(col("prev_v").isNotNull && col("v") < col("prev_v"), 1L)
+          .otherwise(0L)).as("resets"),
+        sum(when(col("prev_v").isNotNull && col("v") =!= col("prev_v"), 1L)
+          .otherwise(0L)).as("changes"),
+        count(lit(1)).as("n_samples"))
+  }
+
+  /** PromQL `histogram_quantile(q, …)` over cumulative `le` buckets.
+    *
+    * Input: one row per (groupCols…, le, cum) where `le` is the bucket
+    * upper bound (Double.PositiveInfinity for +Inf) and `cum` the
+    * cumulative count. Semantics follow Prometheus
+    * (`promql/quantile.go` upstream, public): rank = q × total; take the
+    * first bucket whose cumulative count reaches rank and interpolate
+    * linearly between its bounds; the lowest bucket interpolates from 0;
+    * a rank landing in the +Inf bucket returns the largest finite bound.
+    *
+    * Pure window functions over the tiny bucket frame — the heavy work
+    * (building the cumulative counts) is a plain groupBy upstream. */
+  def histogramQuantile(buckets: DataFrame, q: Double,
+                        groupCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("le"))
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val ranked = buckets
+      .withColumn("prev_le", lag(col("le"), 1).over(w))
+      .withColumn("prev_cum", lag(col("cum"), 1).over(w))
+      .withColumn("total", max(col("cum")).over(wAll))
+      .withColumn("max_finite_le",
+        max(when(col("le") =!= Double.PositiveInfinity, col("le"))).over(wAll))
+      .withColumn("rank", lit(q) * col("total"))
+    // first bucket reaching the rank (ties: lowest le wins via min over the filtered set)
+    val hit = ranked.where(col("cum") >= col("rank"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(groupCols.map(col): _*).orderBy(col("le"))))
+      .where(col("rn") === 1)
+    hit.select(groupCols.map(col) :+
+      when(col("le") === Double.PositiveInfinity, col("max_finite_le"))
+        .otherwise(
+          coalesce(col("prev_le"), lit(0.0d)) +
+            (col("le") - coalesce(col("prev_le"), lit(0.0d))) *
+              ((col("rank") - coalesce(col("prev_cum"), lit(0.0d))) /
+                (col("cum") - coalesce(col("prev_cum"), lit(0.0d)))))
+        .as("quantile"): _*)
+  }
 }

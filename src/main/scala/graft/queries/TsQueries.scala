@@ -240,6 +240,123 @@ object TsQueries {
         .orderBy(col("name"), col("rnk"))
     }),
 
+    // PromQL increase(2h): reset-adjusted increments summed over a
+    // trailing range window (un-extrapolated — see PromOps.increaseOverTime)
+    "ts_prom_increase" -> ((s, dir) =>
+      graft.ops.PromOps.increaseOverTime(
+        querier(s, dir).selectLong(Mint, Maxt, Seq(LabelMatcher.eq(Labels.MetricName, "error"))),
+        rangeMs = 7200000L)
+        .select(
+          TsSchema.labelValue(col("labels"), Labels.MetricName).as("name"),
+          TsSchema.labelValue(col("labels"), "user").as("user"),
+          col("t"), round(col("increase_over_time"), 4).as("iot"))
+        .orderBy(col("name"), col("user"), col("t"))),
+
+    // PromQL resets() + changes() over the selected range, per series
+    "ts_prom_resets" -> ((s, dir) =>
+      graft.ops.PromOps.resetsAndChanges(
+        querier(s, dir).selectLong(Mint, Maxt, Seq(LabelMatcher.eq(Labels.MetricName, "click"))))
+        .select(
+          TsSchema.labelValue(col("labels"), Labels.MetricName).as("name"),
+          TsSchema.labelValue(col("labels"), "user").as("user"),
+          TsSchema.labelValue(col("labels"), "big").as("big"),
+          col("resets"), col("changes"), col("n_samples"))
+        .orderBy(col("name"), col("user"), col("big"))),
+
+    // PromQL quantile_over_time + stddev/stdvar_over_time per series
+    "ts_prom_quantile" -> ((s, dir) =>
+      querier(s, dir).selectLong(Mint, Maxt, Seq(LabelMatcher.eq(Labels.MetricName, "view")))
+        .groupBy(
+          TsSchema.labelValue(col("labels"), Labels.MetricName).as("name"),
+          TsSchema.labelValue(col("labels"), "user").as("user"),
+          TsSchema.labelValue(col("labels"), "big").as("big"))
+        .agg(
+          round(expr("percentile(v, 0.5)"), 4).as("q50"),
+          round(expr("percentile(v, 0.9)"), 4).as("q90"),
+          round(stddev_pop(col("v")), 4).as("sd"),
+          // variance from the ROUNDED stddev: raw var_pop differs in the
+          // last digit across engines (summation order); squaring the
+          // agreed-on sd is engine-independent
+          round(pow(round(stddev_pop(col("v")), 4), 2.0), 4).as("sv"),
+          count(lit(1)).as("n_samples"))
+        .orderBy(col("name"), col("user"), col("big"))),
+
+    // PromQL histogram_quantile(0.9): cumulative le-bucket counts per
+    // metric (one pass, k conditional sums — no explode fan-out), then
+    // the Prometheus interpolation formula over the tiny bucket frame
+    "ts_prom_hist_quantile" -> ((s, dir) => {
+      val les = Seq(25.0, 50.0, 100.0, 250.0)
+      val sel = querier(s, dir).selectLong(Mint, Maxt, Seq.empty)
+        .select(TsSchema.labelValue(col("labels"), Labels.MetricName).as("name"), col("v"))
+      val bucketAggs = les.zipWithIndex.map { case (le, i) =>
+        sum(when(col("v") <= le, 1L).otherwise(0L)).as(s"c_$i")
+      } :+ count(lit(1)).as("c_inf")
+      val grouped = sel.groupBy(col("name")).agg(bucketAggs.head, bucketAggs.tail: _*)
+      val buckets = grouped.select(col("name"), explode(array(
+        les.zipWithIndex.map { case (le, i) =>
+          struct(lit(le).as("le"), col(s"c_$i").as("cum"))
+        } :+ struct(lit(Double.PositiveInfinity).as("le"), col("c_inf").as("cum")): _*)).as("b"))
+        .select(col("name"), col("b.le").as("le"), col("b.cum").as("cum"))
+      graft.ops.PromOps.histogramQuantile(buckets, 0.9, Seq("name"))
+        .select(col("name"), round(col("quantile"), 6).as("q90"))
+        .orderBy(col("name"))
+    }),
+
+    // PromQL bottomk(3): lowest-sum series per metric (topk's mirror)
+    "ts_prom_bottomk" -> ((s, dir) => {
+      val perSeries = querier(s, dir).selectLong(Mint, Maxt, Seq.empty)
+        .groupBy(col("fingerprint"),
+          TsSchema.labelValue(col("labels"), Labels.MetricName).as("name"),
+          TsSchema.labelValue(col("labels"), "user").as("user"),
+          TsSchema.labelValue(col("labels"), "big").as("big"))
+        .agg(round(sum(col("v")), 4).as("series_sum"))
+      graft.ops.PromOps.bottomk(perSeries, k = 3, groupCols = Seq("name"),
+        orderCol = "series_sum", tieCols = Seq("user", "big"))
+        .select(col("name"), col("rnk").cast("long").as("rnk"),
+          col("user"), col("big"), col("series_sum"))
+        .orderBy(col("name"), col("rnk"))
+    }),
+
+    // PromQL count_values at 1d steps: how many series report each
+    // distinct value (instant-vector = last sample per series per step)
+    "ts_prom_count_values" -> ((s, dir) => {
+      val stepped = querier(s, dir).selectLong(Mint, Maxt, Seq.empty)
+        .withColumn("step_t", col("t") - pmod(col("t"), lit(86400000L)))
+      val perSeries = stepped
+        .groupBy(col("fingerprint"),
+          TsSchema.labelValue(col("labels"), Labels.MetricName).as("name"),
+          col("step_t"))
+        .agg(max(struct(col("t"), col("v"))).getField("v").as("v"))
+      perSeries.groupBy(col("step_t"), col("name"), col("v"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("step_t"), col("name"), col("v"))
+    }),
+
+    // PromQL label_replace + label_join over the series set
+    "ts_prom_label_ops" -> ((s, dir) =>
+      querier(s, dir).selectLong(Mint, Maxt, Seq.empty)
+        .groupBy(
+          TsSchema.labelValue(col("labels"), Labels.MetricName).as("name"),
+          TsSchema.labelValue(col("labels"), "user").as("user"),
+          TsSchema.labelValue(col("labels"), "big").as("big"))
+        .agg(count(lit(1)).as("n_samples"))
+        .withColumn("region", regexp_replace(col("user"), "^([0-9])[0-9]*$", "g$1"))
+        .withColumn("joined", concat_ws("-", col("name"), col("user"), col("big")))
+        .orderBy(col("name"), col("user"), col("big"))),
+
+    // PromQL absent_over_time at 1d steps: steps in range with no sample
+    // for the matcher (sparse series signup/user=11 — 5 of 10 days)
+    "ts_prom_absent" -> ((s, dir) => {
+      val steps = s.range(1).select(explode(
+        sequence(lit(Mint), lit(Maxt - 1), lit(86400000L))).as("step_t"))
+      val present = querier(s, dir).selectLong(Mint, Maxt, Seq(
+        LabelMatcher.eq(Labels.MetricName, "signup"), LabelMatcher.eq("user", "11")))
+        .select((col("t") - pmod(col("t"), lit(86400000L))).as("step_t")).distinct()
+      steps.join(present, Seq("step_t"), "left_anti")
+        .select(col("step_t"), lit(1L).as("absent"))
+        .orderBy(col("step_t"))
+    }),
+
     // S5/S9 in-engine round-trip: assemble per-series chunks, XOR-encode,
     // decode back, re-explode — output must equal the plain select (the
     // oracle is the UNENCODED query, proving codec fidelity end-to-end)
@@ -337,6 +454,101 @@ object TsQueries {
          |  FROM per_series)
          | SELECT name, rnk, "user", big, series_sum FROM ranked
          | WHERE rnk <= 3 ORDER BY name, rnk""".stripMargin.replace("\n", " "),
+    "ts_prom_increase" ->
+      s"""WITH lagged AS (
+         |  SELECT name, "user", big, t, v, lag(v) OVER w AS prev_v
+         |  FROM ($oracleBase) WHERE t BETWEEN $Mint AND $Maxt AND name = 'error'
+         |  WINDOW w AS (PARTITION BY name, "user", big ORDER BY t)),
+         | inc AS (
+         |  SELECT name, "user", big, t,
+         |   CASE WHEN v >= prev_v THEN v - prev_v ELSE v END AS increase
+         |  FROM lagged WHERE prev_v IS NOT NULL)
+         | SELECT name, "user", t, round(sum(increase) OVER (
+         |   PARTITION BY name, "user", big ORDER BY t
+         |   RANGE BETWEEN 7200000 PRECEDING AND CURRENT ROW), 4) AS iot
+         | FROM inc ORDER BY name, "user", t""".stripMargin.replace("\n", " "),
+    "ts_prom_resets" ->
+      s"""SELECT name, "user", big,
+         | CAST(sum(CASE WHEN prev_v IS NOT NULL AND v < prev_v THEN 1 ELSE 0 END) AS BIGINT) AS resets,
+         | CAST(sum(CASE WHEN prev_v IS NOT NULL AND v <> prev_v THEN 1 ELSE 0 END) AS BIGINT) AS changes,
+         | count(*) AS n_samples
+         | FROM (
+         |  SELECT name, "user", big, v, lag(v) OVER w AS prev_v
+         |  FROM ($oracleBase) WHERE t BETWEEN $Mint AND $Maxt AND name = 'click'
+         |  WINDOW w AS (PARTITION BY name, "user", big ORDER BY t))
+         | GROUP BY name, "user", big ORDER BY name, "user", big""".stripMargin.replace("\n", " "),
+    "ts_prom_quantile" ->
+      s"""SELECT name, "user", big,
+         | round(quantile_cont(v, 0.5), 4) AS q50,
+         | round(quantile_cont(v, 0.9), 4) AS q90,
+         | round(stddev_pop(v), 4) AS sd,
+         | round(pow(round(stddev_pop(v), 4), 2), 4) AS sv,
+         | count(*) AS n_samples
+         | FROM ($oracleBase) WHERE t BETWEEN $Mint AND $Maxt AND name = 'view'
+         | GROUP BY name, "user", big ORDER BY name, "user", big""".stripMargin.replace("\n", " "),
+    "ts_prom_hist_quantile" ->
+      s"""WITH grouped AS (
+         |  SELECT name,
+         |   sum(CASE WHEN v <= 25.0 THEN 1 ELSE 0 END) AS c0,
+         |   sum(CASE WHEN v <= 50.0 THEN 1 ELSE 0 END) AS c1,
+         |   sum(CASE WHEN v <= 100.0 THEN 1 ELSE 0 END) AS c2,
+         |   sum(CASE WHEN v <= 250.0 THEN 1 ELSE 0 END) AS c3,
+         |   count(*) AS c4
+         |  FROM ($oracleBase) WHERE t BETWEEN $Mint AND $Maxt GROUP BY name),
+         | buckets AS (
+         |  SELECT name, 25.0 AS le, c0 AS cum FROM grouped
+         |  UNION ALL SELECT name, 50.0, c1 FROM grouped
+         |  UNION ALL SELECT name, 100.0, c2 FROM grouped
+         |  UNION ALL SELECT name, 250.0, c3 FROM grouped
+         |  UNION ALL SELECT name, 'Infinity'::DOUBLE, c4 FROM grouped),
+         | ranked AS (
+         |  SELECT name, le, cum,
+         |   lag(le) OVER w AS prev_le, lag(cum) OVER w AS prev_cum,
+         |   max(cum) OVER (PARTITION BY name) AS total,
+         |   max(CASE WHEN le <> 'Infinity'::DOUBLE THEN le END)
+         |     OVER (PARTITION BY name) AS max_finite_le
+         |  FROM buckets WINDOW w AS (PARTITION BY name ORDER BY le)),
+         | hit AS (
+         |  SELECT *, row_number() OVER (PARTITION BY name ORDER BY le) AS rn
+         |  FROM (SELECT *, 0.9 * total AS rank FROM ranked) WHERE cum >= rank)
+         | SELECT name, round(CASE WHEN le = 'Infinity'::DOUBLE THEN max_finite_le
+         |  ELSE coalesce(prev_le, 0.0) + (le - coalesce(prev_le, 0.0)) *
+         |   ((rank - coalesce(prev_cum, 0.0)) / (cum - coalesce(prev_cum, 0.0))) END, 6) AS q90
+         | FROM hit WHERE rn = 1 ORDER BY name""".stripMargin.replace("\n", " "),
+    "ts_prom_bottomk" ->
+      s"""WITH per_series AS (
+         |  SELECT name, "user", big, round(sum(v), 4) AS series_sum
+         |  FROM ($oracleBase) WHERE t BETWEEN $Mint AND $Maxt
+         |  GROUP BY name, "user", big),
+         | ranked AS (SELECT name, "user", big, series_sum,
+         |  row_number() OVER (PARTITION BY name ORDER BY series_sum ASC, "user", big) AS rnk
+         |  FROM per_series)
+         | SELECT name, rnk, "user", big, series_sum FROM ranked
+         | WHERE rnk <= 3 ORDER BY name, rnk""".stripMargin.replace("\n", " "),
+    "ts_prom_count_values" ->
+      s"""WITH stepped AS (
+         |  SELECT name, "user", big, t - (t % 86400000) AS step_t, t, v
+         |  FROM ($oracleBase) WHERE t BETWEEN $Mint AND $Maxt),
+         | per_series AS (
+         |  SELECT name, "user", big, step_t, (max({'t': t, 'v': v})).v AS v
+         |  FROM stepped GROUP BY name, "user", big, step_t)
+         | SELECT step_t, name, v, count(*) AS n
+         | FROM per_series GROUP BY step_t, name, v
+         | ORDER BY step_t, name, v""".stripMargin.replace("\n", " "),
+    "ts_prom_label_ops" ->
+      s"""SELECT name, "user", big, count(*) AS n_samples,
+         | regexp_replace("user", '^([0-9])[0-9]*$$', 'g\\1') AS region,
+         | concat_ws('-', name, "user", big) AS joined
+         | FROM ($oracleBase) WHERE t BETWEEN $Mint AND $Maxt
+         | GROUP BY name, "user", big ORDER BY name, "user", big""".stripMargin.replace("\n", " "),
+    "ts_prom_absent" ->
+      s"""SELECT step_t, CAST(1 AS BIGINT) AS absent FROM (
+         |  SELECT generate_series AS step_t
+         |  FROM generate_series($Mint, ${Maxt - 1}, 86400000))
+         | WHERE step_t NOT IN (
+         |  SELECT DISTINCT t - (t % 86400000) FROM ($oracleBase)
+         |  WHERE t BETWEEN $Mint AND $Maxt AND name = 'signup' AND "user" = '11')
+         | ORDER BY step_t""".stripMargin.replace("\n", " "),
     "ts_chunked_eq" -> flatOracle("name = 'click'"),
     "ts_chunked_series_agg" ->
       s"""SELECT name, "user", count(*) AS n_samples, min(t) AS min_t, max(t) AS max_t,

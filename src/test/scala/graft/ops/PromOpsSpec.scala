@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Hand-computed fixtures for the PromQL-flavored operators. Counter
+  * semantics (resets) follow Prometheus: a decrease is a reset and the
+  * post-reset value is the increase. */
+class PromOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  /** One series "a", samples at 1s spacing: 0, 5, 2 (reset), 2, 7. */
+  private def counterDF = Seq(
+    ("a", 1000L, 0.0), ("a", 2000L, 5.0), ("a", 3000L, 2.0),
+    ("a", 4000L, 2.0), ("a", 5000L, 7.0)
+  ).toDF("fingerprint", "t", "v").withColumn("labels",
+    array(struct(lit("__name__").as("name"), lit("c").as("value"))))
+
+  test("counterIncrease treats decreases as resets") {
+    val inc = PromOps.counterIncrease(counterDF)
+      .orderBy("t").select("increase").as[Double].collect().toSeq
+    assert(inc == Seq(5.0, 2.0, 0.0, 5.0)) // 0→5, 5→2 RESET(=2), 2→2, 2→7
+  }
+
+  test("increaseOverTime sums in-window increments only") {
+    // 2.5s trailing window at t=5000 covers increments at t=3000,4000,5000
+    val iot = PromOps.increaseOverTime(counterDF, rangeMs = 2500L)
+      .orderBy("t").select("increase_over_time").as[Double].collect().toSeq
+    assert(iot == Seq(5.0, 7.0, 7.0, 7.0)) // windows: {5},{5,2},{5,2,0},{2,0,5}
+  }
+
+  test("resetsAndChanges counts resets and value changes") {
+    val r = PromOps.resetsAndChanges(counterDF).head()
+    assert(r.getAs[Long]("resets") == 1L)   // 5→2
+    assert(r.getAs[Long]("changes") == 3L)  // 0→5, 5→2, 2→7 (2→2 is no change)
+    assert(r.getAs[Long]("n_samples") == 5L)
+  }
+
+  test("bottomk mirrors topk with ascending order") {
+    val per = Seq(("m", "s1", 10.0), ("m", "s2", 5.0), ("m", "s3", 7.0))
+      .toDF("name", "fingerprint", "sum_v")
+    val bot = PromOps.bottomk(per, k = 2, groupCols = Seq("name"), orderCol = "sum_v")
+      .orderBy("rnk").select("fingerprint").as[String].collect().toSeq
+    assert(bot == Seq("s2", "s3"))
+    val top = PromOps.topk(per, k = 2, groupCols = Seq("name"), orderCol = "sum_v")
+      .orderBy("rnk").select("fingerprint").as[String].collect().toSeq
+    assert(top == Seq("s1", "s3"))
+  }
+
+  test("histogramQuantile interpolates within the first reaching bucket") {
+    // 10 obs: cum = le0.1→2, le0.5→6, le1.0→9, +Inf→10
+    val buckets = Seq(
+      ("m", 0.1, 2L), ("m", 0.5, 6L), ("m", 1.0, 9L),
+      ("m", Double.PositiveInfinity, 10L)
+    ).toDF("name", "le", "cum")
+    def q(p: Double): Double =
+      PromOps.histogramQuantile(buckets, p, Seq("name"))
+        .head().getAs[Double]("quantile")
+    // rank 5 → bucket (0.1,0.5]: 0.1 + 0.4*(5-2)/(6-2) = 0.4
+    assert(math.abs(q(0.5) - 0.4) < 1e-12)
+    // rank 2 → first bucket, interpolate from 0: 0.1*(2/2) = 0.1
+    assert(math.abs(q(0.2) - 0.1) < 1e-12)
+    // rank 9.5 → +Inf bucket → largest finite bound
+    assert(q(0.95) == 1.0)
+  }
+}
