@@ -26,7 +26,7 @@ object ProfileMain {
     import graft.ops.Dedup._
     import graft.functions._
     time("tokens only")(
-      docs.select(size(tokens(col("text")))).agg(sum("size(tokens(text))")).collect())
+      docs.select(size(tokens(col("text"))).as("n")).agg(sum("n")).collect())
     time("shingles only")(
       docs.select(size(shingles(col("text"), 3)).as("n")).agg(sum("n")).collect())
     time("hs only")(
@@ -62,6 +62,19 @@ object ProfileMain {
     time("verify join")(full.count())
     time("full pipeline (fresh)")(
       graft.ops.Dedup.minhashLsh(docs, "doc_id", "text", 16, 4, 3, 0.2).count())
+
+    // --- simhashPairs stages ---
+    import org.apache.spark.storage.StorageLevel
+    val sh = docs.select(col("doc_id").as("id"),
+      graft.ops.Dedup.simhash64(col("text")).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    time("simhash64 materialize")(sh.count())
+    val values = sh.select(col("sh")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    time("distinct values")(values.count())
+    time("simhashPairs full (fresh)")(
+      graft.ops.Dedup.simhashPairs(docs, "doc_id", "text", 8).count())
+    time("simhashPairs again")(
+      graft.ops.Dedup.simhashPairs(docs, "doc_id", "text", 8).count())
     spark.stop()
   }
 }

@@ -76,8 +76,13 @@ object Dedup {
             array_min(transform(hs, h =>
               pmod(h * element_at(aLit, j + 1) + element_at(bLit, j + 1),
                 lit(MinhashP))))).as("sig"))), 1)
-    df.select(col(idCol).as("id"), packed.as("d"))
-      .where(size(col("d.hs")) > 0) // docs with < shingleSize tokens drop out
+    // Filter FIRST, on the cheap token count (size(hs) > 0 ≡ #tokens >=
+    // shingleSize): a filter on the packed struct would be pushed below
+    // the projection and re-evaluate the whole 16-permutation expression
+    // a second time per row. The two selects collapse into one Project
+    // where d.hs/d.sig share the packed subexpression (codegen CSE).
+    df.where(size(graft.functions.tokens(col(textCol))) >= shingleSize)
+      .select(col(idCol).as("id"), packed.as("d"))
       .select(col("id"), col("d.hs").as("hs"), col("d.sig").as("sig"))
   }
 
