@@ -68,6 +68,31 @@ object TsQueries {
     new TsChunkedQuerier(df, promoted = Seq(Labels.MetricName))
   }
 
+  /** Per-(session, dir) one-time write of the events store as a native
+    * TSDB block (ULID dir with index + XOR chunk segments), for the DSv2
+    * read-back query. Driver-side assembly is the test-scale shape of the
+    * shipper path; production ingest is the distributed TsdbBlock.ingest. */
+  private val blockDirCache =
+    scala.collection.concurrent.TrieMap[(String, String), String]()
+
+  private def dsv2BlockDir(s: SparkSession, dir: String): String =
+    blockDirCache.getOrElseUpdate((System.identityHashCode(s).toString, dir), {
+      val series = store(s, dir)
+        .groupBy(col("labels"))
+        .agg(sort_array(collect_list(struct(col("t"), col("v")))).as("samples"))
+        .collect()
+        .map { r =>
+          val labels = r.getSeq[org.apache.spark.sql.Row](0)
+            .map(l => Label(l.getString(0), l.getString(1)))
+          val samples = r.getSeq[org.apache.spark.sql.Row](1)
+            .map(sm => Sample(sm.getLong(0), sm.getDouble(1)))
+          (labels, samples)
+        }.toSeq
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2_block")
+      TsdbBlock.write(root.resolve("b1"), series, TsdbBlock.syntheticUlid(1L))
+      root.toString
+    })
+
   /** Long-form select → flat projection in deterministic order. */
   private def flat(q: DataFrame): DataFrame =
     q.select(
@@ -357,6 +382,19 @@ object TsQueries {
         .orderBy(col("step_t"))
     }),
 
+    // S4/S5 + P6/P10-P12 via the DSv2 block source: write the store out as
+    // a native TSDB block (index + XOR chunks), read it back through
+    // spark.read.format("graft-tsdb") with label + time pushdown — the
+    // oracle is the plain un-encoded select, proving the whole
+    // write→index→postings→decode→clamp path end-to-end
+    "ts_dsv2_select" -> ((s, dir) => {
+      val root = dsv2BlockDir(s, dir)
+      s.read.format("graft-tsdb").load(root)
+        .where(col(Labels.MetricName) === "click" && col("t").between(Mint, Maxt))
+        .select(col(Labels.MetricName).as("name"), col("user"), col("t"), col("v"))
+        .orderBy(col("name"), col("user"), col("t"), col("v"))
+    }),
+
     // S5/S9 in-engine round-trip: assemble per-series chunks, XOR-encode,
     // decode back, re-explode — output must equal the plain select (the
     // oracle is the UNENCODED query, proving codec fidelity end-to-end)
@@ -416,6 +454,7 @@ object TsQueries {
          | ) WHERE prev_t IS NOT NULL ORDER BY name, "user", t""".stripMargin.replace("\n", " "),
     "ts_chunk_roundtrip" ->
       flatOracle("name = 'signup'"),
+    "ts_dsv2_select" -> flatOracle("name = 'click'"),
     "ts_prom_rate" ->
       s"""SELECT name, "user", t,
          | round(CASE WHEN v >= prev_v THEN v - prev_v ELSE v END, 6) AS increase,

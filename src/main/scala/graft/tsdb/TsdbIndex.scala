@@ -248,6 +248,10 @@ object TsdbIndex {
       }.toMap
     }
 
+    /** Sorted distinct label names present in this block (from the label
+      * offset table — no series decode). */
+    def labelNames: Seq[String] = labelTable.keys.filter(_.nonEmpty).toSeq.sorted
+
     def labelValues(name: String): Seq[String] =
       labelTable.get(name).map { off =>
         val r = new Reader(buf, off.toInt)

@@ -1,0 +1,272 @@
+package graft.tsdb.datasource
+
+import java.nio.file.{Files, Path, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.tsdb.{ChunkFile, TsdbBlock, TsdbIndex, XorChunk}
+
+/** DataSource V2 reader for native TSDB blocks (the reference's on-disk
+  * format: ULID dir with `meta.json`, `index`, `chunks/NNNNNN` — SURVEY.md
+  * §1.2). `spark.read.format("graft-tsdb").load(dir)` where `dir` is one
+  * block or a directory of blocks.
+  *
+  * Spark-first mapping of the reference's read pipeline:
+  *  - schema inference lists each block's label names from the index
+  *    symbol/offset tables and exposes every label as a TOP-LEVEL string
+  *    column (plus `labels` map, `t`, `v`) — so ordinary Catalyst
+  *    predicates on label columns arrive as DSv2 [[Filter]]s;
+  *  - `EqualTo`/`In` on a label column → postings lookup
+  *    (`querier.go:235-284` P6), `StringStartsWith` → label-value
+  *    enumeration + postings union (P4/P7);
+  *  - `t` bounds → block pruning via `meta.json` (P10, `querier.go:31-43`)
+  *    + chunk pruning via per-chunk MinTime/MaxTime (P11,
+  *    `querier.go:510-531`) + exact per-sample clamp (P12) in the reader,
+  *    which is why the time filters are reported as fully pushed;
+  *  - each partition decodes a batch of series from one block with a
+  *    per-task segment-file cache (the reference's coalesced group read,
+  *    `chunks.go:161-251`).
+  */
+class TsdbBlockSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-tsdb"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TsdbBlockTable.schemaFor(TsdbBlockTable.blockDirs(TsdbBlockTable.root(options)))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new TsdbBlockTable(
+      TsdbBlockTable.root(new CaseInsensitiveStringMap(properties)), schema)
+}
+
+object TsdbBlockTable {
+  val FixedFields = Seq("labels", "t", "v")
+
+  def root(options: CaseInsensitiveStringMap): String = {
+    val p = Option(options.get("path")).getOrElse(
+      sys.error("graft-tsdb: .load(path) is required"))
+    p
+  }
+
+  /** One block dir (has meta.json) or a root of ULID-named block dirs. */
+  def blockDirs(root: String): Seq[Path] = {
+    val r = Paths.get(root)
+    if (Files.exists(r.resolve("meta.json"))) Seq(r)
+    else if (Files.isDirectory(r))
+      Files.list(r).iterator().asScala
+        .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("meta.json")))
+        .toSeq.sortBy(_.getFileName.toString)
+    else Seq.empty
+  }
+
+  /** labels map + t + v + one string column per label name present in any
+    * block index (sorted). Label names shadowing the fixed columns are
+    * rejected rather than silently remapped. */
+  def schemaFor(dirs: Seq[Path]): StructType = {
+    val labelNames = dirs.flatMap { d =>
+      new TsdbIndex.IndexReader(Files.readAllBytes(d.resolve("index"))).labelNames
+    }.distinct.sorted
+    require(labelNames.intersect(FixedFields).isEmpty,
+      s"graft-tsdb: label names collide with fixed columns: " +
+        labelNames.intersect(FixedFields).mkString(","))
+    StructType(
+      StructField("labels", MapType(StringType, StringType), nullable = false) ::
+        StructField("t", LongType, nullable = false) ::
+        StructField("v", DoubleType, nullable = false) ::
+        labelNames.map(n => StructField(n, StringType, nullable = true)).toList)
+  }
+}
+
+class TsdbBlockTable(rootPath: String, tableSchema: StructType)
+  extends Table with SupportsRead {
+  override def name(): String = s"graft-tsdb `$rootPath`"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TsdbScanBuilder(rootPath, tableSchema,
+      Option(options.get("seriesPerPartition")).map(_.toInt).getOrElse(256))
+}
+
+class TsdbScanBuilder(rootPath: String, tableSchema: StructType, seriesPerPartition: Int)
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var mint = Long.MinValue
+  private var maxt = Long.MaxValue
+  // (labelName, acceptable values | prefix) — conjunctive matchers
+  private var eqMatchers = Vector.empty[(String, Set[String])]
+  private var prefixMatchers = Vector.empty[(String, String)]
+  private var pushed = Vector.empty[Filter]
+  private var required: StructType = tableSchema
+
+  private def isLabelCol(f: String): Boolean =
+    !TsdbBlockTable.FixedFields.contains(f) && tableSchema.fieldNames.contains(f)
+
+  /** Consume a filter if the index can honor it EXACTLY; conjuncts of
+    * `And` are consumed independently (P8 intersection is implicit in
+    * applying all matchers). Everything else stays post-scan. */
+  private def tryPush(f: Filter): Boolean = f match {
+    case And(l, r) =>
+      // both sides must be individually pushable: push-or-nothing so we
+      // never claim a half-honored And
+      val okL = tryPush(l); val okR = okL && tryPush(r); okL && okR
+    case GreaterThanOrEqual("t", v: Long) => mint = math.max(mint, v); true
+    case GreaterThan("t", v: Long) => mint = math.max(mint, v + 1); true
+    case LessThanOrEqual("t", v: Long) => maxt = math.min(maxt, v); true
+    case LessThan("t", v: Long) => maxt = math.min(maxt, v - 1); true
+    case EqualTo(a, v: String) if isLabelCol(a) =>
+      eqMatchers :+= (a, Set(v)); true
+    case In(a, vs) if isLabelCol(a) && vs.forall(_.isInstanceOf[String]) =>
+      eqMatchers :+= (a, vs.map(_.asInstanceOf[String]).toSet); true
+    case StringStartsWith(a, p) if isLabelCol(a) =>
+      prefixMatchers :+= (a, p); true
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition(tryPush)
+    pushed = ok.toVector
+    rest // residual: Spark evaluates them post-scan
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed.toArray
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new TsdbScan(rootPath, required, mint, maxt, eqMatchers, prefixMatchers,
+      seriesPerPartition)
+}
+
+/** Driver-side planning: prune blocks by meta time range, resolve
+  * matchers against each block's index (postings), batch the selected
+  * series into partitions. */
+class TsdbScan(rootPath: String, required: StructType, mint: Long, maxt: Long,
+               eqMatchers: Seq[(String, Set[String])],
+               prefixMatchers: Seq[(String, String)],
+               seriesPerPartition: Int) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-tsdb $rootPath time=[$mint,$maxt] " +
+      s"eq=${eqMatchers.mkString(",")} prefix=${prefixMatchers.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = Vector.newBuilder[InputPartition]
+    for (dir <- TsdbBlockTable.blockDirs(rootPath)) {
+      val meta = TsdbBlock.readMeta(dir)
+      // P10 block pruning
+      if (meta.minTime <= maxt && mint <= meta.maxTime) {
+        val idx = new TsdbIndex.IndexReader(Files.readAllBytes(dir.resolve("index")))
+        // P6/P7: postings per matcher, P8: intersect via multi-set count
+        val postingSets: Seq[Set[Long]] =
+          eqMatchers.map { case (n, vs) =>
+            vs.flatMap(v => idx.postings(n, v)).toSet // P9 union within matcher
+          } ++ prefixMatchers.map { case (n, p) =>
+            idx.labelValues(n).filter(_.startsWith(p))
+              .flatMap(v => idx.postings(n, v)).toSet
+          }
+        val refs: Seq[Long] =
+          if (postingSets.isEmpty) idx.allPostings
+          else postingSets.reduce(_ intersect _).toSeq.sorted
+        val selected = refs.iterator.map(idx.series).flatMap { s =>
+          // P11 chunk pruning by per-chunk [MinTime, MaxTime]
+          val chunks = s.chunks.filter(c => c.minTime <= maxt && mint <= c.maxTime)
+          if (chunks.isEmpty) None
+          else Some(SeriesTask(s.labels.map(l => (l.name, l.value)),
+            chunks.map(_.ref)))
+        }.toVector
+        selected.grouped(math.max(1, seriesPerPartition)).foreach { batch =>
+          parts += TsdbInputPartition(dir.resolve("chunks").toString, batch,
+            mint, maxt, required.fieldNames.toSeq)
+        }
+      }
+    }
+    parts.result().toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    TsdbReaderFactory
+}
+
+final case class SeriesTask(labels: Seq[(String, String)], chunkRefs: Seq[Long])
+
+final case class TsdbInputPartition(chunksDir: String, series: Seq[SeriesTask],
+                                    mint: Long, maxt: Long,
+                                    fields: Seq[String]) extends InputPartition
+
+object TsdbReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new TsdbPartitionReader(partition.asInstanceOf[TsdbInputPartition])
+}
+
+/** Decodes one batch of series. Field writers are resolved once per
+  * series (not per sample); segment files are read once per task
+  * (the reference's per-query coalesced read, chunks.go:161-251). */
+class TsdbPartitionReader(p: TsdbInputPartition) extends PartitionReader[InternalRow] {
+  private val segCache = scala.collection.mutable.Map[Int, Array[Byte]]()
+  private def segment(fileSeq: Int): Array[Byte] = segCache.getOrElseUpdate(fileSeq,
+    Files.readAllBytes(Paths.get(p.chunksDir, f"$fileSeq%06d")))
+
+  private val seriesIt = p.series.iterator
+  private var samples: Iterator[graft.tsdb.Sample] = Iterator.empty
+  // per-series constant cells (everything except t and v)
+  private var template: Array[Any] = _
+  private var tIdx = -1
+  private var vIdx = -1
+  private var current: InternalRow = _
+
+  private def startSeries(s: SeriesTask): Unit = {
+    val labelMap = s.labels.toMap
+    template = new Array[Any](p.fields.length)
+    tIdx = -1; vIdx = -1
+    p.fields.zipWithIndex.foreach { case (f, i) =>
+      f match {
+        case "t" => tIdx = i
+        case "v" => vIdx = i
+        case "labels" =>
+          template(i) = ArrayBasedMapData(
+            s.labels.map(l => UTF8String.fromString(l._1)).toArray,
+            s.labels.map(l => UTF8String.fromString(l._2)).toArray)
+        case name =>
+          template(i) = labelMap.get(name).map(UTF8String.fromString).orNull
+      }
+    }
+    samples = s.chunkRefs.iterator.flatMap { ref =>
+      val rec = ChunkFile.readAt(segment(ChunkFile.refFileSeq(ref)),
+        ChunkFile.refOffset(ref))
+      XorChunk.decode(rec.data).iterator
+    }.filter(sm => sm.t >= p.mint && sm.t <= p.maxt) // P12 exact clamp
+  }
+
+  override def next(): Boolean = {
+    while (!samples.hasNext) {
+      if (!seriesIt.hasNext) return false
+      startSeries(seriesIt.next())
+    }
+    val sm = samples.next()
+    val cells = template.clone()
+    if (tIdx >= 0) cells(tIdx) = sm.t
+    if (vIdx >= 0) cells(vIdx) = sm.v
+    current = new GenericInternalRow(cells)
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = segCache.clear()
+}

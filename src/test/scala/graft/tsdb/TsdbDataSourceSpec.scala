@@ -1,0 +1,103 @@
+package graft.tsdb
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.tsdb.datasource.TsdbScan
+
+/** DSv2 block reader: schema inference from the index, postings-backed
+  * filter pushdown, block/chunk/sample time pruning, column pruning. */
+class TsdbDataSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private def corpus(t0: Long): Seq[(Seq[Label], Seq[Sample])] =
+    for {
+      job <- Seq("api", "api-canary", "web"); inst <- (0 to 2).map("i-" + _)
+    } yield (
+      Seq(Label("__name__", "up"), Label("job", job), Label("instance", inst)),
+      (0 until 300).map(i => Sample(t0 + i * 15000L, (i % 17).toDouble)))
+
+  /** Two time-disjoint blocks under one root. */
+  private lazy val root: String = {
+    val dir = Files.createTempDirectory("dsv2blocks")
+    TsdbBlock.write(dir.resolve("b1"), corpus(1700000000000L), TsdbBlock.syntheticUlid(1))
+    TsdbBlock.write(dir.resolve("b2"), corpus(1700010000000L), TsdbBlock.syntheticUlid(2))
+    dir.toString
+  }
+
+  private def ds = spark.read.format("graft-tsdb").load(root)
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): TsdbScan =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.asInstanceOf[TsdbScan]
+    }.get
+
+  test("schema: fixed columns + one column per label name") {
+    assert(ds.schema.fieldNames.toSeq ==
+      Seq("labels", "t", "v", "__name__", "instance", "job"))
+  }
+
+  test("full read matches the RDD block reader") {
+    val viaRdd = TsdbBlock.read(spark, root + "/b1").count() +
+      TsdbBlock.read(spark, root + "/b2").count()
+    assert(ds.count() == viaRdd)
+    assert(ds.count() == 2L * 9 * 300)
+  }
+
+  test("label equality is pushed to postings and rows match") {
+    val q = ds.where(col("job") === "api").select("instance", "t", "v")
+    val scan = scanOf(q)
+    assert(scan.description().contains("eq=(job,Set(api))"))
+    assert(q.count() == 2L * 3 * 300) // 3 instances x 2 blocks
+    // flattened column values agree with the labels map
+    val both = ds.where(col("job") === "api")
+      .select(col("labels")("job").as("m"), col("job").as("c"))
+    assert(both.where(col("m") =!= col("c")).count() == 0)
+  }
+
+  test("prefix matcher expands via label values (api matches api-canary too)") {
+    val q = ds.where(col("job").startsWith("api"))
+    assert(scanOf(q).description().contains("prefix=(job,api)"))
+    assert(q.select("job").distinct().collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("api", "api-canary"))
+  }
+
+  test("IN pushes as a postings union") {
+    val q = ds.where(col("instance").isin("i-0", "i-2"))
+    assert(scanOf(q).description().contains("(instance,"))
+    assert(q.count() == 2L * 3 * 2 * 300)
+  }
+
+  test("time bounds prune blocks and clamp samples exactly") {
+    // range covering only block 1 (b2 starts at t0+10^7)
+    val q = ds.where(col("t").between(1700000000000L, 1700004499000L))
+    val scan = scanOf(q)
+    assert(scan.description().contains("time=[1700000000000,1700004499000]"))
+    assert(scan.planInputPartitions().length > 0)
+    assert(q.count() == 9L * 300) // all of b1, none of b2
+    // sub-chunk clamp: first 10 samples only
+    assert(ds.where(col("t") < 1700000150000L).count() == 9L * 10)
+  }
+
+  test("unsupported filters stay post-scan and still apply") {
+    val q = ds.where(col("v") > 10.0 && col("job") === "web")
+    assert(scanOf(q).description().contains("eq=(job,Set(web))"))
+    assert(q.count() ==
+      ds.where(col("job") === "web").where(col("v") > 10.0).count())
+  }
+
+  test("column pruning: projecting (t,v) still works, no label cells") {
+    val q = ds.where(col("job") === "api").select(sum(col("v")).as("s"))
+    assert(q.head().getDouble(0) == 2 * 3 * (0 until 300).map(_ % 17).sum.toDouble)
+  }
+
+  test("conjunction of matchers intersects postings") {
+    val q = ds.where(col("job") === "api" && col("instance") === "i-1")
+    assert(q.count() == 2L * 300)
+    assert(q.select("labels").head().getMap[String, String](0).size == 3)
+  }
+}
