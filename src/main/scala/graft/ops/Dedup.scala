@@ -232,6 +232,75 @@ object Dedup {
     cross.unionByName(same)
   }
 
+  /** Duplicate-cluster assignment: connected components over a pair
+    * graph, labeling every node with the MIN id reachable from it (the
+    * cluster's canonical representative — what a training-data pipeline
+    * keeps). Hash-min label propagation: each round every node adopts the
+    * smallest label in its closed neighborhood; converges in
+    * O(graph diameter) rounds (near-dup clusters are short chains, so a
+    * handful). Each round is one shuffle on `id`; the driver checks an
+    * AGGREGATE (sum of labels) for convergence, never collecting nodes.
+    * The classic sub-log alternative (large-star/small-star, Kiveris et
+    * al., public) drops in here if diameters ever warrant it. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    // The iteration runs on RDDs with an EXPLICIT HashPartitioner — the
+    // legitimate use of the RDD layer: every per-round join below is
+    // co-partitioned (narrow, no shuffle), and the partition count scales
+    // with the GRAPH (~500k edges/partition), not with the parent query's
+    // spark.sql.shuffle.partitions. The DataFrame formulation paid
+    // full-width shuffle scheduling per round: 10s for a 253-edge graph.
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val spark = pairs.sparkSession
+    val edges: RDD[(Long, Long)] = pairs
+      .select(col("id1").cast("long"), col("id2").cast("long"))
+      .where(col("id1") =!= col("id2"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edges.count()
+    val parts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, (nEdges / 500000L).toInt + 1))
+    val part = new HashPartitioner(parts)
+    // symmetric adjacency so the min label flows both directions
+    val adj = edges.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    var labels: RDD[(Long, Long)] = adj.mapValues(_ => ()).distinct(parts)
+      .map { case ((id, _)) => (id, id) }
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    var it = 0
+    var done = false
+    while (it < maxIter && !done) {
+      // hash-min: adopt the smallest label in the closed neighborhood
+      val nbMin = adj.join(labels, part) // narrow: both sides on `part`
+        .map { case (id, (nb, comp)) => (nb, comp) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      val oneHop = labels.leftOuterJoin(nbMin, part)
+        .mapValues { case (c, m) => math.min(c, m.getOrElse(Long.MaxValue)) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // path-halving: also adopt your LABEL's label (labels are node
+      // ids, so they resolve) — O(diameter) rounds become O(log d)
+      val halved = oneHop.map { case (id, c) => (c, id) }
+        .join(oneHop, part) // (c, (id, labelOf(c)))
+        .map { case (c, (id, cc)) => (id, math.min(c, cc)) }
+        .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = halved.join(labels, part)
+        .filter { case (_, (a, b)) => a != b }.count()
+      labels.unpersist(false); oneHop.unpersist(false)
+      labels = halved
+      done = changed == 0
+      it += 1
+    }
+    adj.unpersist(false); edges.unpersist(false)
+    spark.createDataFrame(
+      labels.map { case (id, c) => org.apache.spark.sql.Row(id, c) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("component",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** Embedding near-dup: pairs with cosine >= threshold. Brute force
     * within a blocking column (default: none → label-blocked by caller);
     * see Similarity.lshTopK for the sub-quadratic path. */

@@ -40,6 +40,21 @@ class OpsSpec extends AnyFunSuite {
       .head().getSeq[String](0) == Seq("a b", "b a"))
   }
 
+  test("connectedComponents labels every node with its cluster min") {
+    // chain 1-2-3, pair 5-6, triangle 7-8-9 with bridge 9-10
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L), (7L, 8L), (8L, 9L),
+      (7L, 9L), (9L, 10L)).toDF("id1", "id2")
+    val out = Dedup.connectedComponents(pairs).orderBy("id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L, 10L -> 7L))
+    // long chain converges (diameter > 1 round)
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(chain).select("component")
+      .distinct().collect().map(_.getLong(0)).toSeq
+    assert(cc == Seq(1L))
+  }
+
   test("minhash signatures identical for identical shingle sets, differ otherwise") {
     val df = docsDF(1L -> "x y z w", 2L -> "x y z w", 3L -> "q r s t")
     val sig = Dedup.minhashSignatures(df, "doc_id", "text", numHashes = 8)
