@@ -68,6 +68,67 @@ object StreamIngest {
       .select(col("w.start").as("window_start"), col("name"),
         col("n"), col("sum_v"), col("min_v"), col("max_v"))
 
+  /** Per-series state carried between micro-batches by [[streamingRate]]:
+    * the last seen sample. */
+  final case class RateState(lastT: Long, lastV: Double)
+
+  /** One emitted rate point. */
+  final case class RatePoint(fingerprint: Long, t: Long, increase: Double,
+                             rate: Double)
+
+  /** Beyond-reference: continuous counter rate per series — the streaming
+    * form of PromOps.rate (same Prometheus reset semantics), implemented
+    * with flatMapGroupsWithState: state = the last (t, v) seen per
+    * fingerprint, carried across micro-batches, so a sample's rate is
+    * computed against its true predecessor even when the two arrive in
+    * different batches. State is dropped after `stateTtlMs` of event time
+    * (EventTimeTimeout + watermark on the input keeps it bounded — a
+    * series that stops reporting costs nothing forever after). */
+  def streamingRate(longForm: DataFrame, watermark: String = "10 minutes",
+                    stateTtlMs: Long = 60 * 60 * 1000L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = longForm.sparkSession
+    import spark.implicits._
+    val keyed = longForm
+      .withColumn("fingerprint", TsSchema.fingerprintCol(
+        array_sort(filter(map_entries(col("labels")), e => e.getField("value") =!= lit("")))
+          .cast("array<struct<name:string,value:string>>")))
+      .withColumn("ts", timestamp_millis(col("t")))
+      .withWatermark("ts", watermark)
+      // the watermarked `ts` column must survive projection for the
+      // stateful operator's event-time timeout to resolve
+      .select(col("fingerprint").as[Long], col("t").as[Long],
+        col("v").as[Double], col("ts").as[java.sql.Timestamp])
+      .as[(Long, Long, Double, java.sql.Timestamp)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[RateState, RatePoint](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (fp, rows, state: GroupState[RateState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            state.remove(); Iterator.empty
+          } else {
+            // within-batch samples processed in time order; predecessor
+            // carried in from the previous batch via state
+            val sorted = rows.toSeq.sortBy(_._2)
+            var last = state.getOption
+            val out = sorted.iterator.flatMap { case (_, t, v, _) =>
+              val point = last.collect {
+                case RateState(pt, pv) if t > pt =>
+                  val inc = if (v >= pv) v - pv else v // reset: post-reset value
+                  RatePoint(fp, t, inc, inc / ((t - pt) / 1000.0d))
+              }
+              last = Some(RateState(t, v))
+              point
+            }.toVector
+            last.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastT + stateTtlMs)
+            }
+            out.iterator
+          }
+      }.toDF()
+  }
+
   /** Beyond-reference: session windows per series (gap-based sessions over
     * sample arrival times) — the stateful-window shape training pipelines
     * use for sessionization. */

@@ -90,4 +90,33 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(out.length == 2)
     assert(out.map(_.getAs[Long]("n")).toSeq == Seq(3L, 2L))
   }
+
+  test("streaming rate: state carries the predecessor across batches, resets handled") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)] // (job, t, v)
+    val longForm = mem.toDF()
+      .select(map(lit("__name__"), lit("reqs"), lit("job"), col("_1")).as("labels"),
+        col("_2").as("t"), col("_3").as("v"))
+    val rate = StreamIngest.streamingRate(longForm)
+    val query = rate.writeStream.format("memory").queryName("srate")
+      .outputMode("append").start()
+    val t0 = 1700000000000L
+    // batch 1: api counter 0 → 10 (10s apart); web single sample
+    mem.addData(("api", t0, 0.0), ("api", t0 + 10000, 10.0), ("web", t0, 5.0))
+    query.processAllAvailable()
+    // batch 2: api continues 10 → 4 (RESET) → 6; web continues from state
+    mem.addData(("api", t0 + 20000, 4.0), ("api", t0 + 30000, 6.0),
+      ("web", t0 + 20000, 9.0))
+    query.processAllAvailable()
+    val out = spark.table("srate").orderBy("fingerprint", "t").collect()
+      .map(r => (r.getAs[Long]("t") - t0, r.getAs[Double]("increase"),
+        r.getAs[Double]("rate")))
+    query.stop()
+    // api: +10 over 10s; reset→4 over 10s; +2 over 10s. web: +4 over 20s.
+    // (fingerprints differ so group by offset set)
+    assert(out.toSet == Set(
+      (10000L, 10.0, 1.0), (20000L, 4.0, 0.4), (30000L, 2.0, 0.2),
+      (20000L, 4.0, 0.2)))
+  }
 }
