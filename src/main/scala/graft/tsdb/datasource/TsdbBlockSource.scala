@@ -172,8 +172,8 @@ class TsdbScan(rootPath: String, required: StructType, mint: Long, maxt: Long,
       val meta = TsdbBlock.readMeta(dir)
       // P10 block pruning
       if (meta.minTime <= maxt && mint <= meta.maxTime) {
-        val idx = new TsdbIndex.IndexReader(Files.readAllBytes(dir.resolve("index")))
-        // P6/P7: postings per matcher, P8: intersect via multi-set count
+        val idx = TsdbIndexCache.get(dir.resolve("index").toString)
+        // P6/P7: postings per matcher, P8: intersect
         val postingSets: Seq[Set[Long]] =
           eqMatchers.map { case (n, vs) =>
             vs.flatMap(v => idx.postings(n, v)).toSet // P9 union within matcher
@@ -184,15 +184,13 @@ class TsdbScan(rootPath: String, required: StructType, mint: Long, maxt: Long,
         val refs: Seq[Long] =
           if (postingSets.isEmpty) idx.allPostings
           else postingSets.reduce(_ intersect _).toSeq.sorted
-        val selected = refs.iterator.map(idx.series).flatMap { s =>
-          // P11 chunk pruning by per-chunk [MinTime, MaxTime]
-          val chunks = s.chunks.filter(c => c.minTime <= maxt && mint <= c.maxTime)
-          if (chunks.isEmpty) None
-          else Some(SeriesTask(s.labels.map(l => (l.name, l.value)),
-            chunks.map(_.ref)))
-        }.toVector
-        selected.grouped(math.max(1, seriesPerPartition)).foreach { batch =>
-          parts += TsdbInputPartition(dir.resolve("chunks").toString, batch,
+        // The driver ships only POSTINGS REF SLICES (8 bytes/series), not
+        // decoded labels — series entries are decoded executor-side, so
+        // planning stays O(postings) however many series match. This is
+        // the file-split discipline of the built-in sources applied to
+        // the TSDB index.
+        refs.grouped(math.max(1, seriesPerPartition)).foreach { batch =>
+          parts += TsdbInputPartition(dir.toString, batch.toArray,
             mint, maxt, required.fieldNames.toSeq)
         }
       }
@@ -204,9 +202,7 @@ class TsdbScan(rootPath: String, required: StructType, mint: Long, maxt: Long,
     TsdbReaderFactory
 }
 
-final case class SeriesTask(labels: Seq[(String, String)], chunkRefs: Seq[Long])
-
-final case class TsdbInputPartition(chunksDir: String, series: Seq[SeriesTask],
+final case class TsdbInputPartition(blockDir: String, refs: Array[Long],
                                     mint: Long, maxt: Long,
                                     fields: Seq[String]) extends InputPartition
 
@@ -215,15 +211,43 @@ object TsdbReaderFactory extends PartitionReaderFactory {
     new TsdbPartitionReader(partition.asInstanceOf[TsdbInputPartition])
 }
 
-/** Decodes one batch of series. Field writers are resolved once per
-  * series (not per sample); segment files are read once per task
-  * (the reference's per-query coalesced read, chunks.go:161-251). */
+/** Per-JVM parsed-index cache. Blocks are immutable (ULID-named dirs,
+  * SURVEY.md §1.2), so caching by path is safe; bounded at a few entries
+  * (an executor reads a handful of blocks concurrently). Shared by the
+  * driver's planner and every reader task in the same JVM. */
+object TsdbIndexCache {
+  private val MaxEntries = 8
+  private val cache =
+    new java.util.LinkedHashMap[String, TsdbIndex.IndexReader](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, TsdbIndex.IndexReader]): Boolean =
+        size() > MaxEntries
+    }
+  def get(path: String): TsdbIndex.IndexReader = cache.synchronized {
+    val hit = cache.get(path)
+    if (hit != null) hit
+    else {
+      val r = new TsdbIndex.IndexReader(Files.readAllBytes(Paths.get(path)))
+      cache.put(path, r)
+      r
+    }
+  }
+}
+
+/** Decodes one slice of postings refs: series entry (labels + chunk
+  * list) from the index, chunk-level time pruning (P11), XOR decode,
+  * exact sample clamp (P12). Field writers are resolved once per series
+  * (not per sample); segment files are read once per task (the
+  * reference's per-query coalesced read, chunks.go:161-251). */
 class TsdbPartitionReader(p: TsdbInputPartition) extends PartitionReader[InternalRow] {
+  private val idx = TsdbIndexCache.get(
+    Paths.get(p.blockDir, "index").toString)
+  private val chunksDir = Paths.get(p.blockDir, "chunks").toString
   private val segCache = scala.collection.mutable.Map[Int, Array[Byte]]()
   private def segment(fileSeq: Int): Array[Byte] = segCache.getOrElseUpdate(fileSeq,
-    Files.readAllBytes(Paths.get(p.chunksDir, f"$fileSeq%06d")))
+    Files.readAllBytes(Paths.get(chunksDir, f"$fileSeq%06d")))
 
-  private val seriesIt = p.series.iterator
+  private val refIt = p.refs.iterator
   private var samples: Iterator[graft.tsdb.Sample] = Iterator.empty
   // per-series constant cells (everything except t and v)
   private var template: Array[Any] = _
@@ -231,8 +255,12 @@ class TsdbPartitionReader(p: TsdbInputPartition) extends PartitionReader[Interna
   private var vIdx = -1
   private var current: InternalRow = _
 
-  private def startSeries(s: SeriesTask): Unit = {
-    val labelMap = s.labels.toMap
+  /** @return true if the series has chunks in range */
+  private def startSeries(ref: Long): Boolean = {
+    val s = idx.series(ref)
+    val chunks = s.chunks.filter(c => c.minTime <= p.maxt && p.mint <= c.maxTime)
+    if (chunks.isEmpty) return false // P11: wholly out-of-range series
+    val labelMap = s.labels.map(l => l.name -> l.value).toMap
     template = new Array[Any](p.fields.length)
     tIdx = -1; vIdx = -1
     p.fields.zipWithIndex.foreach { case (f, i) =>
@@ -241,23 +269,24 @@ class TsdbPartitionReader(p: TsdbInputPartition) extends PartitionReader[Interna
         case "v" => vIdx = i
         case "labels" =>
           template(i) = ArrayBasedMapData(
-            s.labels.map(l => UTF8String.fromString(l._1)).toArray,
-            s.labels.map(l => UTF8String.fromString(l._2)).toArray)
+            s.labels.map(l => UTF8String.fromString(l.name)).toArray,
+            s.labels.map(l => UTF8String.fromString(l.value)).toArray)
         case name =>
           template(i) = labelMap.get(name).map(UTF8String.fromString).orNull
       }
     }
-    samples = s.chunkRefs.iterator.flatMap { ref =>
-      val rec = ChunkFile.readAt(segment(ChunkFile.refFileSeq(ref)),
-        ChunkFile.refOffset(ref))
+    samples = chunks.iterator.flatMap { c =>
+      val rec = ChunkFile.readAt(segment(ChunkFile.refFileSeq(c.ref)),
+        ChunkFile.refOffset(c.ref))
       XorChunk.decode(rec.data).iterator
     }.filter(sm => sm.t >= p.mint && sm.t <= p.maxt) // P12 exact clamp
+    samples.hasNext
   }
 
   override def next(): Boolean = {
     while (!samples.hasNext) {
-      if (!seriesIt.hasNext) return false
-      startSeries(seriesIt.next())
+      if (!refIt.hasNext) return false
+      startSeries(refIt.next())
     }
     val sm = samples.next()
     val cells = template.clone()
