@@ -62,6 +62,47 @@ object ScaleCheck {
       graft.ops.PromOps.rate(q.selectLong(t0ms, Long.MaxValue / 2,
         Seq(LabelMatcher.eq("__name__", "metric_3")))).count()
     }
+
+    // --- round 2: DSv2 block source at scale ---
+    // write a native TSDB block per 2h window for ONE metric's series
+    // (driver assembles only this slice), then matcher-pushdown reads
+    val blockRoot = java.nio.file.Files.createTempDirectory("graft-scale-blocks")
+    time("write native TSDB block (1 metric slice)") {
+      val slice = q.selectLong(t0ms, t0ms + 7200000L,
+        Seq(LabelMatcher.eq("__name__", "metric_5")))
+        .groupBy(col("labels"))
+        .agg(sort_array(collect_list(struct(col("t"), col("v")))).as("samples"))
+        .collect()
+        .map { r =>
+          val ls = r.getSeq[org.apache.spark.sql.Row](0)
+            .map(l => Label(l.getString(0), l.getString(1)))
+          val ss = r.getSeq[org.apache.spark.sql.Row](1)
+            .map(sm => Sample(sm.getLong(0), sm.getDouble(1)))
+          (ls, ss)
+        }.toSeq
+      TsdbBlock.write(blockRoot.resolve("b1"), slice, TsdbBlock.syntheticUlid(99L))
+      println(s"SCALE block series=${slice.size}")
+    }
+    val ds = spark.read.format("graft-tsdb").load(blockRoot.toString)
+    time("dsv2: full block scan") { ds.count() }
+    time("dsv2: one-instance postings lookup") {
+      ds.where(col("instance") === s"i-${5 + 20}").count()
+    }
+    time("dsv2: prefix + time clamp") {
+      ds.where(col("job").startsWith("job-1") &&
+        col("t") < t0ms + 3600000L).count()
+    }
+
+    // --- round 2: connected components on a synthetic pair graph ---
+    // 100k-node graph of 10-node chains (worst-ish diameter per cluster)
+    val ccPairs = spark.range(100000)
+      .select(col("id").as("id1"), (col("id") + 1).as("id2"))
+      .where(pmod(col("id1"), lit(10)) =!= 9)
+    time("connected components: 100k nodes, 90k edges") {
+      val cc = graft.ops.Dedup.connectedComponents(ccPairs)
+      println(s"SCALE cc clusters=" +
+        cc.select(col("component")).distinct().count())
+    }
     spark.stop()
   }
 }
