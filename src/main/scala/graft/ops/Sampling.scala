@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic sampling & data-mixing operators for training-data
+  * curation. All randomness is an md5 hash of a caller-chosen key (+
+  * salt), so samples are REPRODUCIBLE across runs, engines and cluster
+  * sizes — the property a 100 TB pipeline needs so a re-run (or an
+  * auditor with DuckDB) selects byte-identical subsets. Everything is a
+  * scan-side filter or a per-stratum window — no driver-side state.
+  */
+object Sampling {
+
+  /** Uniform pseudo-random value in [0, 1) derived from key + salt —
+    * 60-bit md5 prefix scaled. Codegen'd built-ins only. */
+  def hashUnit(key: Column, salt: String): Column =
+    Dedup.hash60(concat_ws("", lit(salt), key)) / 1152921504606846976.0d // 2^60
+
+  /** Bernoulli sample: keep rows whose hash-unit < rate. A pure map-side
+    * filter — pushes to the scan, shuffles nothing. */
+  def bernoulli(df: DataFrame, keyCol: Column, rate: Double,
+                salt: String = "graft"): DataFrame =
+    df.where(hashUnit(keyCol, salt) < rate)
+
+  /** Per-stratum quota sample: the k rows with the SMALLEST hash in each
+    * stratum (deterministic "reservoir"). Orders by the INTEGER 60-bit
+    * hash, not the double unit value — double rounding could merge two
+    * distinct hashes and make the cross-engine order ambiguous. One
+    * shuffle on the stratum; skewed strata cost only their own
+    * partition. */
+  def stratifiedQuota(df: DataFrame, stratumCol: Column, keyCol: Column,
+                      k: Int, salt: String = "graft"): DataFrame = {
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(Dedup.hash60(concat_ws("", lit(salt), keyCol)))
+    df.withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= k)
+  }
+
+  /** Mixture weighting: per-stratum Bernoulli rates (e.g. up/down-weight
+    * sources when composing a training mix). Unlisted strata drop out. */
+  def weightedMix(df: DataFrame, stratumCol: Column, keyCol: Column,
+                  rates: Map[String, Double], salt: String = "graft"): DataFrame = {
+    val rate = rates.foldLeft(lit(0.0d)) { case (acc, (s, r)) =>
+      when(stratumCol === s, lit(r)).otherwise(acc)
+    }
+    df.where(hashUnit(keyCol, salt) < rate)
+  }
+}

@@ -58,6 +58,32 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("component").as("cluster"))
         .orderBy(col("doc_id"))),
 
+    // deterministic Bernoulli sample (reproducible subset selection):
+    // pure map-side filter, no shuffle
+    "sample_bernoulli" -> ((s, dir) =>
+      graft.ops.Sampling.bernoulli(
+        docs(s, dir).select(col("doc_id"), col("lang"), col("source")),
+        col("doc_id"), rate = 0.1)
+        .orderBy(col("doc_id"))),
+
+    // deterministic per-stratum quota (hash-ordered "reservoir"):
+    // 20 docs per language
+    "sample_stratified" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedQuota(
+        docs(s, dir).select(col("doc_id"), col("lang")),
+        col("lang"), col("doc_id"), k = 20)
+        .select(col("doc_id"), col("lang"), col("sample_rank").cast("long").as("sample_rank"))
+        .orderBy(col("lang"), col("sample_rank"))),
+
+    // training-mix composition: per-language Bernoulli weights
+    "sample_mix" -> ((s, dir) =>
+      graft.ops.Sampling.weightedMix(
+        docs(s, dir).select(col("doc_id"), col("lang")),
+        col("lang"), col("doc_id"),
+        rates = Map("en" -> 0.8, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.3, "zh" -> 0.2))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("lang"))),
+
     // SimHash values (portable md5-derived 60-bit)
     "dedup_simhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
@@ -262,6 +288,24 @@ object PipelineQueries {
     "dedup_minhash_lsh" ->
       s"""WITH $lshPairCtes
          | SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY id1, id2""".om,
+    "sample_bernoulli" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         | WHERE ${hex15.format("'graft' || CAST(doc_id AS VARCHAR)")}
+         |   / 1152921504606846976.0 < 0.1
+         | ORDER BY doc_id""".om,
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang, sample_rank FROM (
+         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |   ORDER BY ${hex15.format("'graft' || CAST(doc_id AS VARCHAR)")}) AS sample_rank
+         |  FROM documents)
+         | WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".om,
+    "sample_mix" ->
+      s"""SELECT lang, count(*) AS n_kept FROM documents
+         | WHERE ${hex15.format("'graft' || CAST(doc_id AS VARCHAR)")}
+         |   / 1152921504606846976.0 <
+         |  CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5 WHEN 'fr' THEN 0.5
+         |   WHEN 'es' THEN 0.3 WHEN 'zh' THEN 0.2 ELSE 0.0 END
+         | GROUP BY lang ORDER BY lang""".om,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $lshPairCtes,
          | pairs AS (SELECT id1, id2 FROM j WHERE jaccard >= 0.2),

@@ -55,6 +55,26 @@ class OpsSpec extends AnyFunSuite {
     assert(cc == Seq(1L))
   }
 
+  test("sampling is deterministic, quota-bounded, and disjoint-salt independent") {
+    val df = (1L to 500L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "stratum")
+    val s1 = Sampling.bernoulli(df, col("doc_id"), 0.2).collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.bernoulli(df, col("doc_id"), 0.2).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1.nonEmpty && s1.size < 200) // reproducible, plausible rate
+    // a higher rate is a superset (hash-threshold nesting)
+    val s3 = Sampling.bernoulli(df, col("doc_id"), 0.5).collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(s3))
+    // different salt decorrelates
+    assert(Sampling.bernoulli(df, col("doc_id"), 0.2, salt = "other")
+      .collect().map(_.getLong(0)).toSet != s1)
+    // quota: exactly k per stratum, stable rank
+    val q = Sampling.stratifiedQuota(df, col("stratum"), col("doc_id"), k = 7)
+    assert(q.groupBy("stratum").count().collect().forall(_.getLong(1) == 7L))
+    // mix: stratum "a" only
+    val m = Sampling.weightedMix(df, col("stratum"), col("doc_id"), Map("a" -> 1.0))
+    assert(m.count() == 250 && m.select("stratum").distinct().head().getString(0) == "a")
+  }
+
   test("minhash signatures identical for identical shingle sets, differ otherwise") {
     val df = docsDF(1L -> "x y z w", 2L -> "x y z w", 3L -> "q r s t")
     val sig = Dedup.minhashSignatures(df, "doc_id", "text", numHashes = 8)
