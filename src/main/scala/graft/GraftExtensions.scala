@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.CosineSimilarityExpr
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * expressions as SQL functions, so plain `spark.sql` users get the same
+  * surface as the Scala API. Enable with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the
+  * standard third-party extension mechanism (no session rebuild, no
+  * temp-function scoping).
+  *
+  *  - `graft_cosine(a, b)` — codegen'd cosine similarity over numeric
+  *    arrays ([[graft.functions.VectorExpressions.CosineSimilarityExpr]])
+  *  - `graft_decode_chunk(bytes)` / `graft_encode_chunk(samples)` —
+  *    reference-format XOR chunk codec (migration path, SURVEY.md §7.3)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "graft_cosine"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_cosine(a, b) takes two array arguments")
+        import org.apache.spark.sql.GraftSqlBridge
+        GraftSqlBridge.toCatalyst(
+          graft.functions.VectorExpressions.cosine_native(
+            GraftSqlBridge.column(args(0)), GraftSqlBridge.column(args(1))))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_decode_chunk"),
+      new ExpressionInfo("graft.functions", "graft_decode_chunk"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_decode_chunk(bytes) takes one argument")
+        import org.apache.spark.sql.GraftSqlBridge
+        GraftSqlBridge.toCatalyst(
+          graft.functions.tsdb_decode_chunk(GraftSqlBridge.column(args.head)))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_encode_chunk"),
+      new ExpressionInfo("graft.functions", "graft_encode_chunk"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_encode_chunk(samples) takes one argument")
+        import org.apache.spark.sql.GraftSqlBridge
+        GraftSqlBridge.toCatalyst(
+          graft.functions.tsdb_encode_chunk(GraftSqlBridge.column(args.head)))
+      }))
+  }
+}

@@ -9,4 +9,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Fully convert a Column (including casts, UDF application, lambdas)
+    * into a concrete Catalyst expression tree — what a
+    * SparkSessionExtensions `injectFunction` builder must return
+    * (`ExpressionUtils.expression` leaves a lazy ColumnNode facade that
+    * the analyzer never visits in that context). */
+  def toCatalyst(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }
