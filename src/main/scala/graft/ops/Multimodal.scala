@@ -80,7 +80,10 @@ object Multimodal {
 
   /** Batched low-level decode path via mapPartitions over an iterator of
     * rows — the signature a JNI codec integration needs (amortizes
-    * per-batch setup). The stub computes a CRC "decode" per payload. */
+    * per-batch setup). The stub "decode" is the 60-bit md5 prefix of the
+    * payload, computed with a per-partition MessageDigest (the init-once
+    * slot a real codec context occupies) — md5-based so the DuckDB oracle
+    * can recompute it exactly. */
   def decodeBatched(spark: SparkSession, df: DataFrame): DataFrame = {
     val out = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -89,12 +92,12 @@ object Multimodal {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
     df.select(col("media_id"), col("payload")).mapPartitions { rows =>
       // per-partition init happens once (real codecs allocate contexts here)
-      val crc = new java.util.zip.CRC32C
+      val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
-        crc.reset()
+        md.reset()
         val bytes = r.getAs[Array[Byte]]("payload")
-        crc.update(bytes, 0, bytes.length)
-        Row(r.getLong(0), true, crc.getValue)
+        val hex = md.digest(bytes).take(8).map(b => f"$b%02x").mkString
+        Row(r.getLong(0), bytes.nonEmpty, java.lang.Long.parseLong(hex.take(15), 16))
       }
     }(enc)
   }

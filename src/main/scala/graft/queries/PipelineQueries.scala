@@ -433,6 +433,10 @@ object PipelineQueries {
          | ((${hex15.format("text")} >> 10) % 1024) + 32 AS height,
          | (${hex15.format("text")} % 3) + 1 AS channels
          | FROM documents ORDER BY media_id""".om,
+    "mm_batch_decode" ->
+      s"""SELECT doc_id AS media_id, octet_length(encode(text)) > 0 AS decoded_ok,
+         | ${hex15.format("text")} AS checksum
+         | FROM documents ORDER BY media_id""".om,
     "mm_frames" ->
       """WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes, text
         |   FROM documents),
