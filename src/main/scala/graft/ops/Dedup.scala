@@ -48,34 +48,35 @@ object Dedup {
   def minhashA(j: Int): Long = (2654435761L * (j + 1)) % MinhashP
   def minhashB(j: Int): Long = (97531L * j + 12345L) % MinhashP
 
-  /** Distinct 31-bit shingle-hash set of a document (map-side only). */
-  def shingleHashes(textCol: Column, shingleSize: Int): Column =
+  /** Distinct 31-bit shingle-hash set of a document (map-side only) —
+    * lambda-HOF reference formulation, kept as the parity oracle for the
+    * fused native expression below. */
+  def shingleHashesHof(textCol: Column, shingleSize: Int): Column =
     array_distinct(transform(shingles(textCol, shingleSize),
       s => pmod(hash60(s), lit(MinhashP))))
 
+  /** Distinct 31-bit shingle-hash set of a document (map-side only).
+    * Fused native expression — one pass, no per-lambda interpretation
+    * (see [[graft.functions.MinhashPackedExpr]]); bit-identical to
+    * [[shingleHashesHof]] and the DuckDB oracle. */
+  def shingleHashes(textCol: Column, shingleSize: Int): Column =
+    graft.functions.MinhashExpressions.shingle_hashes_native(textCol, shingleSize)
+
   /** Per-document (id, hs, sig): the distinct 31-bit shingle-hash set and
     * the full MinHash signature, computed ENTIRELY map-side — zero
-    * shuffles. Each affine permutation is an `array_min(transform(hs, …))`
-    * pass over the per-doc hash array; the hash array itself is bound once
-    * via a single-element `transform` lambda so tokenize/shingle/md5 run
-    * once per document regardless of numHashes.
+    * shuffles — by the fused native [[graft.functions.MinhashPackedExpr]]
+    * (one pass per document: tokenize, shingle, md5, k affine minima; no
+    * per-lambda interpretation).
     *
-    * The previous shape (explode tokens → window-lead shingles → distinct
+    * The original shape (explode tokens → window-lead shingles → distinct
     * → groupBy(id) with k min-aggregates) shuffled every token three
     * times; at 100 TB the per-doc arrays (~KBs) never leave their input
     * partition under this form, which is the difference between a scan
     * and three full-corpus shuffles. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16, shingleSize: Int = 3): DataFrame = {
-    val aLit = array((0 until numHashes).map(j => lit(minhashA(j))): _*)
-    val bLit = array((0 until numHashes).map(j => lit(minhashB(j))): _*)
-    val packed = element_at(
-      transform(array(shingleHashes(col(textCol), shingleSize)), hs =>
-        struct(hs.as("hs"),
-          transform(sequence(lit(0), lit(numHashes - 1)), j =>
-            array_min(transform(hs, h =>
-              pmod(h * element_at(aLit, j + 1) + element_at(bLit, j + 1),
-                lit(MinhashP))))).as("sig"))), 1)
+    val packed = graft.functions.MinhashExpressions.minhash_packed(
+      col(textCol), shingleSize, numHashes)
     // Filter FIRST, on the cheap token count (size(hs) > 0 ≡ #tokens >=
     // shingleSize): a filter on the packed struct would be pushed below
     // the projection and re-evaluate the whole 16-permutation expression

@@ -75,6 +75,25 @@ class OpsSpec extends AnyFunSuite {
     assert(m.count() == 250 && m.select("stratum").distinct().head().getString(0) == "a")
   }
 
+  test("native minhash expression is bit-identical to the HOF formulation") {
+    val texts = Seq(
+      1L -> "The quick brown fox jumps over the lazy dog",
+      2L -> "  Héllo,   wörld! Ça va? Süß—straße 42 ",
+      3L -> "中文 文本 分词 测试 中文 文本",
+      4L -> "a b",               // shorter than shingle size
+      5L -> "same same same same same", // repeated shingles collapse
+      6L -> "MiXeD CaSe TOKENS and 123 456 789 numbers")
+    val df = docsDF(texts: _*)
+    val both = df.select(col("doc_id"),
+      Dedup.shingleHashesHof(col("text"), 3).as("hof"),
+      Dedup.shingleHashes(col("text"), 3).as("native"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"doc ${r.getLong(0)}: hof=${r.getSeq[Long](1)} native=${r.getSeq[Long](2)}")
+    }
+  }
+
   test("minhash signatures identical for identical shingle sets, differ otherwise") {
     val df = docsDF(1L -> "x y z w", 2L -> "x y z w", 3L -> "q r s t")
     val sig = Dedup.minhashSignatures(df, "doc_id", "text", numHashes = 8)
