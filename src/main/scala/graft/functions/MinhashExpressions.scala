@@ -112,7 +112,60 @@ case class MinhashPackedExpr(child: Expression, shingleSize: Int, numHashes: Int
     copy(child = newChild)
 }
 
+/** Fused 64-bit (60 used) SimHash over word tokens — the native form of
+  * [[graft.ops.Dedup.simhash64Hof]]: every token occurrence votes ±1 per
+  * bit of its 60-bit md5-prefix hash; a bit is set iff its vote sum is
+  * positive. One pass per document; the HOF form folds a 60-counter
+  * array through two lambda layers per token. */
+case class SimhashExpr(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  @transient private lazy val splitter = Pattern.compile("[^\\p{L}\\p{N}]+")
+  @transient private lazy val md5 = MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val toks = splitter.split(text, -1)
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        md5.reset()
+        val digest = md5.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h60 = 0L
+        var k = 0
+        while (k < 8) { h60 = (h60 << 8) | (digest(k) & 0xffL); k += 1 }
+        h60 = h60 >>> 4
+        var b = 0
+        while (b < 60) {
+          votes(b) += (if (((h60 >> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object MinhashExpressions {
+  /** Native fused SimHash (see [[SimhashExpr]]). */
+  def simhash_native(text: Column): Column =
+    GraftSqlBridge.column(SimhashExpr(
+      GraftSqlBridge.expression(text.cast("string"))))
+
   /** struct(hs, sig) in one fused pass. */
   def minhash_packed(text: Column, shingleSize: Int, numHashes: Int): Column =
     GraftSqlBridge.column(MinhashPackedExpr(

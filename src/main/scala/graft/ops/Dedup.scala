@@ -171,9 +171,14 @@ object Dedup {
   }
 
   /** 64-bit SimHash over word tokens: per-bit majority vote of token
-    * hashes. Deterministic md5-derived token hashes (first 16 hex chars
-    * → 64 bits) keep it oracle-portable. Map-side only. */
-  def simhash64(textCol: Column): Column = {
+    * hashes. Deterministic md5-derived token hashes (first 15 hex chars
+    * → 60 bits, sign-safe) keep it oracle-portable. Map-side only.
+    * Fused native expression; [[simhash64Hof]] is the parity oracle. */
+  def simhash64(textCol: Column): Column =
+    graft.functions.MinhashExpressions.simhash_native(textCol)
+
+  /** Lambda-HOF reference formulation of [[simhash64]] (parity tests). */
+  def simhash64Hof(textCol: Column): Column = {
     val tokenHashes = transform(tokens(textCol),
       t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")) // 60 bits, sign-safe
     val bits = sequence(lit(0), lit(59))

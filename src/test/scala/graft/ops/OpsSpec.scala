@@ -94,6 +94,18 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("native simhash expression is bit-identical to the HOF formulation") {
+    val df = docsDF(
+      1L -> "The quick brown fox jumps over the lazy dog",
+      2L -> "  Héllo,   wörld! Ça va? Süß—straße 42 ",
+      3L -> "中文 文本 分词 测试 中文 文本",
+      4L -> "",
+      5L -> "repeat repeat repeat distinct")
+    df.select(Dedup.simhash64Hof(col("text")).as("hof"),
+      Dedup.simhash64(col("text")).as("native"))
+      .collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("minhash signatures identical for identical shingle sets, differ otherwise") {
     val df = docsDF(1L -> "x y z w", 2L -> "x y z w", 3L -> "q r s t")
     val sig = Dedup.minhashSignatures(df, "doc_id", "text", numHashes = 8)
