@@ -53,18 +53,11 @@ object TsQueries {
     scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
 
   private def chunkedQuerier(s: SparkSession, dir: String): TsChunkedQuerier = {
-    val df = chunkedCache.getOrElseUpdate((System.identityHashCode(s).toString, dir), {
-      val ev = Tables.load(s, dir, "events")
-      val longForm = ev.select(
-        map(
-          lit(Labels.MetricName), col("event_type"),
-          lit("user"), col("user_id").cast("string"),
-          lit("big"), when(col("value") >= 100, lit("1")).otherwise(lit(""))
-        ).as("labels"),
-        Tables.tsMillis(col("ts")).as("t"),
-        col("value").as("v"))
-      TsChunkedStore.fromLongForm(longForm, promoted = Seq(Labels.MetricName)).cache()
-    })
+    val df = chunkedCache.getOrElseUpdate((System.identityHashCode(s).toString, dir),
+      // derive from the CACHED canonical long form — the two storage
+      // forms share one canonicalization pass; building the chunked rows
+      // is then a single shuffle on the series key
+      TsChunkedStore.fromCanonical(store(s, dir), promoted = Seq(Labels.MetricName)).cache())
     new TsChunkedQuerier(df, promoted = Seq(Labels.MetricName))
   }
 

@@ -22,8 +22,14 @@ object TsChunkedStore {
   import TsSchema.{BlockMs, DefaultPromoted, promotedColName, labelValue}
 
   /** Long-form (labels map, t, v) → chunked rows, partitioned by block. */
-  def fromLongForm(df: DataFrame, promoted: Seq[String] = DefaultPromoted): DataFrame = {
-    val canonical = TsSchema.canonicalize(df, promoted)
+  def fromLongForm(df: DataFrame, promoted: Seq[String] = DefaultPromoted): DataFrame =
+    fromCanonical(TsSchema.canonicalize(df, promoted), promoted)
+
+  /** Already-canonical long form (labels array, fingerprint, block_start,
+    * promoted cols) → chunked rows — ONE shuffle on the series key, no
+    * re-canonicalization. Use when the long-form store already exists
+    * (the two forms share the canonicalization pass). */
+  def fromCanonical(canonical: DataFrame, promoted: Seq[String] = DefaultPromoted): DataFrame =
     canonical
       .groupBy(col("fingerprint") +: col("labels") +: col("block_start") +:
         promoted.map(p => col(promotedColName(p))): _*)
@@ -31,7 +37,6 @@ object TsChunkedStore {
         sort_array(collect_list(struct(col("t"), col("v")))).as("samples"),
         min(col("t")).as("min_t"), max(col("t")).as("max_t"),
         count(lit(1)).as("n_samples"))
-  }
 
   def write(df: DataFrame, path: String, promoted: Seq[String] = DefaultPromoted): Unit =
     fromLongForm(df, promoted)
