@@ -320,6 +320,23 @@ object TsQueries {
         .orderBy(col("name"))
     }),
 
+    // PromQL deriv(): per-series least-squares slope of v over time
+    // (seconds), plus predict_linear(1h) from the same regression
+    "ts_prom_deriv" -> ((s, dir) =>
+      querier(s, dir).selectLong(Mint, Maxt, Seq(LabelMatcher.eq(Labels.MetricName, "view")))
+        .groupBy(
+          TsSchema.labelValue(col("labels"), Labels.MetricName).as("name"),
+          TsSchema.labelValue(col("labels"), "user").as("user"),
+          TsSchema.labelValue(col("labels"), "big").as("big"))
+        .agg(
+          round(regr_slope(col("v"), col("t") / 1000.0d), 6).as("deriv"),
+          round(regr_intercept(col("v"), col("t") / 1000.0d) +
+            regr_slope(col("v"), col("t") / 1000.0d) * (lit(Maxt) / 1000.0d + 3600.0d), 2)
+            .as("predict_1h"),
+          count(lit(1)).as("n_samples"))
+        .where(col("n_samples") >= 2)
+        .orderBy(col("name"), col("user"), col("big"))),
+
     // PromQL bottomk(3): lowest-sum series per metric (topk's mirror)
     "ts_prom_bottomk" -> ((s, dir) => {
       val perSeries = querier(s, dir).selectLong(Mint, Maxt, Seq.empty)
@@ -547,6 +564,15 @@ object TsQueries {
          |  ELSE coalesce(prev_le, 0.0) + (le - coalesce(prev_le, 0.0)) *
          |   ((rank - coalesce(prev_cum, 0.0)) / (cum - coalesce(prev_cum, 0.0))) END, 6) AS q90
          | FROM hit WHERE rn = 1 ORDER BY name""".stripMargin.replace("\n", " "),
+    "ts_prom_deriv" ->
+      s"""SELECT name, "user", big,
+         | round(regr_slope(v, t / 1000.0), 6) AS deriv,
+         | round(regr_intercept(v, t / 1000.0) +
+         |   regr_slope(v, t / 1000.0) * ($Maxt / 1000.0 + 3600.0), 2) AS predict_1h,
+         | count(*) AS n_samples
+         | FROM ($oracleBase) WHERE t BETWEEN $Mint AND $Maxt AND name = 'view'
+         | GROUP BY name, "user", big HAVING count(*) >= 2
+         | ORDER BY name, "user", big""".stripMargin.replace("\n", " "),
     "ts_prom_bottomk" ->
       s"""WITH per_series AS (
          |  SELECT name, "user", big, round(sum(v), 4) AS series_sum
