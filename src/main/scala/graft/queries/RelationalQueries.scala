@@ -143,7 +143,19 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
         .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("prio"), col("n"), col("sum_price"))
-        .orderBy(col("status"), col("prio")))
+        .orderBy(col("status"), col("prio"))),
+
+    // CUBE + GROUPING(): all four aggregation lattices in one pass, with
+    // the grouping bitmap distinguishing which dimensions are rolled up
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"),
+          grouping_id().cast("long").as("gid"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("gid"), col("n"), col("sum_price"))
+        .orderBy(col("gid"), col("status"), col("prio")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -213,7 +225,12 @@ object RelationalQueries {
     "q_rollup" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS prio,
         | count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
-        | FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) ORDER BY status, prio""".om
+        | FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) ORDER BY status, prio""".om,
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS prio,
+        | CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        | FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) ORDER BY gid, status, prio""".om
   )
 
   implicit private class OneLine(val s: String) extends AnyVal {
