@@ -67,21 +67,12 @@ object ScaleCheck {
     // write a native TSDB block per 2h window for ONE metric's series
     // (driver assembles only this slice), then matcher-pushdown reads
     val blockRoot = java.nio.file.Files.createTempDirectory("graft-scale-blocks")
-    time("write native TSDB block (1 metric slice)") {
-      val slice = q.selectLong(t0ms, t0ms + 7200000L,
-        Seq(LabelMatcher.eq("__name__", "metric_5")))
-        .groupBy(col("labels"))
-        .agg(sort_array(collect_list(struct(col("t"), col("v")))).as("samples"))
-        .collect()
-        .map { r =>
-          val ls = r.getSeq[org.apache.spark.sql.Row](0)
-            .map(l => Label(l.getString(0), l.getString(1)))
-          val ss = r.getSeq[org.apache.spark.sql.Row](1)
-            .map(sm => Sample(sm.getLong(0), sm.getDouble(1)))
-          (ls, ss)
-        }.toSeq
-      TsdbBlock.write(blockRoot.resolve("b1"), slice, TsdbBlock.syntheticUlid(99L))
-      println(s"SCALE block series=${slice.size}")
+    time("write native TSDB block (1 metric slice, distributed encode)") {
+      val meta = TsdbBlock.writeDistributed(
+        q.selectLong(t0ms, t0ms + 7200000L,
+          Seq(LabelMatcher.eq("__name__", "metric_5"))),
+        blockRoot.resolve("b1"), TsdbBlock.syntheticUlid(99L))
+      println(s"SCALE block series=${meta.stats.numSeries}")
     }
     val ds = spark.read.format("graft-tsdb").load(blockRoot.toString)
     time("dsv2: full block scan") { ds.count() }

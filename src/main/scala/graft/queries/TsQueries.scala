@@ -70,19 +70,11 @@ object TsQueries {
 
   private def dsv2BlockDir(s: SparkSession, dir: String): String =
     blockDirCache.getOrElseUpdate((System.identityHashCode(s).toString, dir), {
-      val series = store(s, dir)
-        .groupBy(col("labels"))
-        .agg(sort_array(collect_list(struct(col("t"), col("v")))).as("samples"))
-        .collect()
-        .map { r =>
-          val labels = r.getSeq[org.apache.spark.sql.Row](0)
-            .map(l => Label(l.getString(0), l.getString(1)))
-          val samples = r.getSeq[org.apache.spark.sql.Row](1)
-            .map(sm => Sample(sm.getLong(0), sm.getDouble(1)))
-          (labels, samples)
-        }.toSeq
       val root = java.nio.file.Files.createTempDirectory("graft_dsv2_block")
-      TsdbBlock.write(root.resolve("b1"), series, TsdbBlock.syntheticUlid(1L))
+      // XOR encoding runs on executors; the driver only assembles the
+      // segment + index layout (TsdbBlock.writeDistributed)
+      TsdbBlock.writeDistributed(store(s, dir), root.resolve("b1"),
+        TsdbBlock.syntheticUlid(1L))
       root.toString
     })
 

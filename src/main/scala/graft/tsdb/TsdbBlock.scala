@@ -58,24 +58,52 @@ object TsdbBlock {
   /** Write `series` (sorted by canonical label order enforced here) as a
     * complete block directory. Samples per series must be time-sorted. */
   def write(dir: Path, seriesIn: Seq[(Seq[Label], Seq[Sample])], ulid: String): BlockMeta = {
+    val encoded = seriesIn.map { case (ls, samples) =>
+      val chunks = samples.grouped(MaxSamplesPerChunk).map { grp =>
+        (grp.head.t, grp.last.t, XorChunk.encode(grp))
+      }.toSeq
+      (ls, chunks, samples.size.toLong)
+    }
+    writeAssembled(dir, encoded, ulid)
+  }
+
+  /** Distributed block write — the shipper path at scale: XOR encoding
+    * (the CPU cost, ~all of it) runs on EXECUTORS, one series per row of
+    * the grouped frame; only compressed chunk bytes (~1.37 B/sample)
+    * travel to the driver, which assembles the segment file, index and
+    * meta (inherently sequential layout: byte offsets + sorted series).
+    * Input: canonical long form (labels array, fingerprint, t, v). */
+  def writeDistributed(canonical: DataFrame, dir: Path, ulid: String): BlockMeta = {
+    val encoded = canonical
+      .groupBy(col("fingerprint"), col("labels"))
+      .agg(sort_array(collect_list(struct(col("t"), col("v")))).as("samples"))
+      .select(col("labels"), col("samples"))
+      .rdd.map { r =>
+        val labels = r.getSeq[Row](0).map(l => Label(l.getString(0), l.getString(1)))
+        val samples = r.getSeq[Row](1).map(s => Sample(s.getLong(0), s.getDouble(1)))
+        val chunks = samples.grouped(MaxSamplesPerChunk).map { grp =>
+          (grp.head.t, grp.last.t, XorChunk.encode(grp))
+        }.toSeq
+        (labels, chunks, samples.size.toLong)
+      }.collect().toSeq
+    writeAssembled(dir, encoded, ulid)
+  }
+
+  /** Pack pre-encoded per-series chunks into segment file + index + meta. */
+  private def writeAssembled(dir: Path,
+                             seriesIn: Seq[(Seq[Label], Seq[(Long, Long, Array[Byte])], Long)],
+                             ulid: String): BlockMeta = {
     val series = seriesIn
-      .map { case (ls, ss) => (Labels.canonical(ls), ss) }
+      .map { case (ls, cs, n) => (Labels.canonical(ls), cs, n) }
       .sortBy(_._1)(Labels.ordering)
     Files.createDirectories(dir.resolve("chunks"))
 
-    // chunk each series, pack all chunks into segment file 000001
-    val perSeriesChunks = series.map { case (_, samples) =>
-      samples.grouped(MaxSamplesPerChunk).map { grp =>
-        (grp.head.t, grp.last.t, XorChunk.encode(grp))
-      }.toSeq
-    }
-    val flat = perSeriesChunks.flatten
+    val flat = series.flatMap(_._2)
     val (segBytes, refs) = ChunkFile.write(1, flat.map(_._3))
     Files.write(dir.resolve("chunks").resolve("000001"), segBytes)
 
-    // index
     var refIdx = 0
-    val idxSeries = series.zip(perSeriesChunks).map { case ((labels, _), chunks) =>
+    val idxSeries = series.map { case (labels, chunks, _) =>
       val metas = chunks.map { case (mint, maxt, _) =>
         val m = TsdbIndex.ChunkMeta(mint, maxt, refs(refIdx)); refIdx += 1; m
       }
@@ -83,11 +111,9 @@ object TsdbBlock {
     }
     Files.write(dir.resolve("index"), TsdbIndex.write(idxSeries))
 
-    val allSamples = series.map(_._2.size.toLong).sum
     val meta = BlockMeta(ulid,
-      series.flatMap(_._2.headOption).map(_.t).min,
-      series.flatMap(_._2.lastOption).map(_.t).max,
-      BlockStats(allSamples, series.size.toLong, flat.size.toLong))
+      flat.map(_._1).min, flat.map(_._2).max,
+      BlockStats(series.map(_._3).sum, series.size.toLong, flat.size.toLong))
     writeMeta(dir, meta)
     meta
   }

@@ -95,6 +95,26 @@ class TsdbDataSourceSpec extends AnyFunSuite {
     assert(q.head().getDouble(0) == 2 * 3 * (0 until 300).map(_ % 17).sum.toDouble)
   }
 
+  test("distributed block write matches the local writer byte-for-byte") {
+    import spark.implicits._
+    val long = corpus(1700000000000L).flatMap { case (ls, ss) =>
+      ss.map(s => (ls.map(l => (l.name, l.value)), s.t, s.v))
+    }
+    val canonical = long.toDF("pairs", "t", "v")
+      .select(expr("transform(pairs, p -> struct(p._1 as name, p._2 as value))").as("labels"),
+        TsSchema.fingerprintCol(col("labels")).as("fingerprint"), col("t"), col("v"))
+    val d1 = Files.createTempDirectory("distblk")
+    val d2 = Files.createTempDirectory("localblk")
+    val m1 = TsdbBlock.writeDistributed(canonical, d1.resolve("b"), TsdbBlock.syntheticUlid(7))
+    val m2 = TsdbBlock.write(d2.resolve("b"), corpus(1700000000000L), TsdbBlock.syntheticUlid(7))
+    assert(m1 == m2)
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(d1.resolve("b/index")), Files.readAllBytes(d2.resolve("b/index"))))
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(d1.resolve("b/chunks/000001")),
+      Files.readAllBytes(d2.resolve("b/chunks/000001"))))
+  }
+
   test("conjunction of matchers intersects postings") {
     val q = ds.where(col("job") === "api" && col("instance") === "i-1")
     assert(q.count() == 2L * 300)
