@@ -125,6 +125,30 @@ object PromOps {
         count(lit(1)).as("n_samples"))
   }
 
+  /** PromQL binary operation between two instant vectors with
+    * `on(labels…)` matching: both sides are bucketed to `stepMs` and
+    * reduced to one value per (step, match-labels) — `last` sample per
+    * series then `sum` across series, the shape `sum by (l) (m)` produces
+    * — then joined one-to-one on (step, match-labels) and combined with
+    * `op`. Inner join ≡ PromQL semantics: entries without a match drop
+    * out. One shuffle per side on the match key. */
+  def binaryOp(left: DataFrame, right: DataFrame, onLabels: Seq[String],
+               stepMs: Long, labelValue: (Column, String) => Column,
+               op: (Column, Column) => Column): DataFrame = {
+    def side(df: DataFrame, out: String): DataFrame = {
+      val stepped = df.withColumn("step_t", col("t") - pmod(col("t"), lit(stepMs)))
+      stepped
+        .groupBy(col("fingerprint") +: col("step_t") +: onLabels.map(n =>
+          labelValue(col("labels"), n).as("on_" + n)): _*)
+        .agg(max(struct(col("t"), col("v"))).getField("v").as("v"))
+        .groupBy(col("step_t") +: onLabels.map(n => col("on_" + n)): _*)
+        .agg(sum(col("v")).as(out))
+    }
+    side(left, "lv").join(side(right, "rv"),
+        Seq("step_t") ++ onLabels.map("on_" + _))
+      .withColumn("result", op(col("lv"), col("rv")))
+  }
+
   /** PromQL `histogram_quantile(q, …)` over cumulative `le` buckets.
     *
     * Input: one row per (groupCols…, le, cum) where `le` is the bucket

@@ -312,6 +312,24 @@ object TsQueries {
         .orderBy(col("name"))
     }),
 
+    // PromQL binary op with on(user) vector matching at 1d steps:
+    // error_sum / view_sum per user (entries without a match drop out)
+    "ts_prom_binary_op" -> ((s, dir) => {
+      val q = querier(s, dir)
+      graft.ops.PromOps.binaryOp(
+        q.selectLong(Mint, Maxt, Seq(LabelMatcher.eq(Labels.MetricName, "error"))),
+        q.selectLong(Mint, Maxt, Seq(LabelMatcher.eq(Labels.MetricName, "view"))),
+        onLabels = Seq("user"), stepMs = 86400000L,
+        labelValue = TsSchema.labelValue,
+        op = (l, r) => round(l / r, 6))
+        .select(col("step_t"), col("on_user").as("user"),
+          round(col("lv"), 4).as("err_sum"), round(col("rv"), 4).as("view_sum"),
+          // ratio recomputed from the ROUNDED sums so both engines
+          // divide identical inputs
+          round(round(col("lv"), 4) / round(col("rv"), 4), 6).as("ratio"))
+        .orderBy(col("step_t"), col("user"))
+    }),
+
     // PromQL deriv(): per-series least-squares slope of v over time
     // (seconds), plus predict_linear(1h) from the same regression
     "ts_prom_deriv" -> ((s, dir) =>
@@ -556,6 +574,23 @@ object TsQueries {
          |  ELSE coalesce(prev_le, 0.0) + (le - coalesce(prev_le, 0.0)) *
          |   ((rank - coalesce(prev_cum, 0.0)) / (cum - coalesce(prev_cum, 0.0))) END, 6) AS q90
          | FROM hit WHERE rn = 1 ORDER BY name""".stripMargin.replace("\n", " "),
+    "ts_prom_binary_op" ->
+      s"""WITH stepped AS (
+         |  SELECT name, "user", big, t - (t % 86400000) AS step_t, t, v
+         |  FROM ($oracleBase) WHERE t BETWEEN $Mint AND $Maxt AND name IN ('error', 'view')),
+         | per_series AS (
+         |  SELECT name, "user", big, step_t, (max({'t': t, 'v': v})).v AS v
+         |  FROM stepped GROUP BY name, "user", big, step_t),
+         | sums AS (
+         |  SELECT name, "user", step_t, sum(v) AS sv
+         |  FROM per_series GROUP BY name, "user", step_t)
+         | SELECT e.step_t, e."user" AS "user",
+         |  round(e.sv, 4) AS err_sum, round(v.sv, 4) AS view_sum,
+         |  round(round(e.sv, 4) / round(v.sv, 4), 6) AS ratio
+         | FROM (SELECT * FROM sums WHERE name = 'error') e
+         | JOIN (SELECT * FROM sums WHERE name = 'view') v
+         |  ON e.step_t = v.step_t AND e."user" = v."user"
+         | ORDER BY e.step_t, e."user"""".stripMargin.replace("\n", " "),
     "ts_prom_deriv" ->
       s"""SELECT name, "user", big,
          | round(regr_slope(v, t / 1000.0), 6) AS deriv,
