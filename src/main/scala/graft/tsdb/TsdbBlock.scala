@@ -110,6 +110,9 @@ object TsdbBlock {
       TsdbIndex.IndexSeries(labels, metas)
     }
     Files.write(dir.resolve("index"), TsdbIndex.write(idxSeries))
+    // every block carries a tombstones file (empty on write, like
+    // Prometheus's writer; deletes rewrite it)
+    Tombstones.write(dir, Map.empty)
 
     val meta = BlockMeta(ulid,
       flat.map(_._1).min, flat.map(_._2).max,
@@ -129,8 +132,15 @@ object TsdbBlock {
     * files in parallel (one task per series batch). */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val idx = new TsdbIndex.IndexReader(Files.readAllBytes(Paths.get(dir, "index")))
-    val entries = idx.allSeries.map(s =>
-      (s.labels.map(l => l.name -> l.value).toMap, s.chunks.map(c => c.ref)))
+    val stones = Tombstones.read(Paths.get(dir))
+    val entries = idx.allPostings.map { ref =>
+      val s = idx.series(ref)
+      val ivs = stones.getOrElse(ref, Seq.empty)
+      // drop chunks wholly inside a deleted interval (querier.go:466-478)
+      val chunks = s.chunks.filterNot(c =>
+        ivs.exists { case (lo, hi) => c.minTime >= lo && c.maxTime <= hi })
+      (s.labels.map(l => l.name -> l.value).toMap, chunks.map(_.ref), ivs)
+    }
     val chunksDir = Paths.get(dir, "chunks").toString
     val rdd = spark.sparkContext
       .parallelize(entries, math.max(1, math.min(entries.size, 32)))
@@ -140,10 +150,12 @@ object TsdbBlock {
         val segCache = scala.collection.mutable.Map[Int, Array[Byte]]()
         def segment(fileSeq: Int): Array[Byte] = segCache.getOrElseUpdate(fileSeq,
           Files.readAllBytes(Paths.get(chunksDir, f"$fileSeq%06d")))
-        it.flatMap { case (labels, refs) =>
+        it.flatMap { case (labels, refs, ivs) =>
           refs.iterator.flatMap { ref =>
             val rec = ChunkFile.readAt(segment(ChunkFile.refFileSeq(ref)), ChunkFile.refOffset(ref))
-            XorChunk.decode(rec.data).iterator.map(s => Row(labels, s.t, s.v))
+            XorChunk.decode(rec.data).iterator
+              .filterNot(s => Tombstones.deleted(ivs, s.t)) // P13 mask
+              .map(s => Row(labels, s.t, s.v))
           }
         }
       }

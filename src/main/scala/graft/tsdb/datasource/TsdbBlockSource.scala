@@ -242,6 +242,7 @@ object TsdbIndexCache {
 class TsdbPartitionReader(p: TsdbInputPartition) extends PartitionReader[InternalRow] {
   private val idx = TsdbIndexCache.get(
     Paths.get(p.blockDir, "index").toString)
+  private val stones = graft.tsdb.Tombstones.read(Paths.get(p.blockDir))
   private val chunksDir = Paths.get(p.blockDir, "chunks").toString
   private val segCache = scala.collection.mutable.Map[Int, Array[Byte]]()
   private def segment(fileSeq: Int): Array[Byte] = segCache.getOrElseUpdate(fileSeq,
@@ -258,7 +259,11 @@ class TsdbPartitionReader(p: TsdbInputPartition) extends PartitionReader[Interna
   /** @return true if the series has chunks in range */
   private def startSeries(ref: Long): Boolean = {
     val s = idx.series(ref)
-    val chunks = s.chunks.filter(c => c.minTime <= p.maxt && p.mint <= c.maxTime)
+    val ivs = stones.getOrElse(ref, Seq.empty)
+    val chunks = s.chunks
+      .filter(c => c.minTime <= p.maxt && p.mint <= c.maxTime)
+      // P13: drop chunks wholly inside a deleted interval (querier.go:466-478)
+      .filterNot(c => ivs.exists { case (lo, hi) => c.minTime >= lo && c.maxTime <= hi })
     if (chunks.isEmpty) return false // P11: wholly out-of-range series
     val labelMap = s.labels.map(l => l.name -> l.value).toMap
     template = new Array[Any](p.fields.length)
@@ -280,6 +285,7 @@ class TsdbPartitionReader(p: TsdbInputPartition) extends PartitionReader[Interna
         ChunkFile.refOffset(c.ref))
       XorChunk.decode(rec.data).iterator
     }.filter(sm => sm.t >= p.mint && sm.t <= p.maxt) // P12 exact clamp
+      .filterNot(sm => graft.tsdb.Tombstones.deleted(ivs, sm.t)) // P13 mask
     samples.hasNext
   }
 

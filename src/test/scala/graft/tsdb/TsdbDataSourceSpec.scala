@@ -115,6 +115,38 @@ class TsdbDataSourceSpec extends AnyFunSuite {
       Files.readAllBytes(d2.resolve("b/chunks/000001"))))
   }
 
+  test("tombstones: round-trip, sample masking, whole-chunk drop in both readers") {
+    // format round-trip
+    val tmp = Files.createTempDirectory("tomb")
+    val stones: Tombstones.Stones = Map(3L -> Seq((100L, 200L), (500L, 600L)), 9L -> Seq((0L, 50L)))
+    Tombstones.write(tmp, stones)
+    assert(Tombstones.read(tmp) == stones)
+    assert(Tombstones.read(Files.createTempDirectory("empty")) == Map.empty)
+
+    // block with a deleted range on ONE series: find job=api/i-0's ref,
+    // delete its first chunk entirely plus a partial range of the second
+    val dir = Files.createTempDirectory("tombblk")
+    val t0 = 1700000000000L
+    TsdbBlock.write(dir.resolve("b"), corpus(t0), TsdbBlock.syntheticUlid(3))
+    val idx = new TsdbIndex.IndexReader(Files.readAllBytes(dir.resolve("b/index")))
+    val ref = idx.postings("job", "api").filter(r =>
+      idx.series(r).labels.contains(Label("instance", "i-0"))).head
+    val chunks = idx.series(ref).chunks
+    // interval covering all of chunk 0 and the first 10 samples of chunk 1
+    val iv = (chunks(0).minTime, chunks(1).minTime + 9 * 15000L)
+    Tombstones.write(dir.resolve("b"), Map(ref -> Seq(iv)))
+
+    val expectedDeleted = 120 + 10
+    // DSv2 path
+    val ds2 = spark.read.format("graft-tsdb").load(dir.resolve("b").toString)
+    assert(ds2.count() == 9L * 300 - expectedDeleted)
+    assert(ds2.where(col("job") === "api" && col("instance") === "i-0").count() ==
+      300L - expectedDeleted)
+    // RDD block-read path agrees
+    assert(TsdbBlock.read(spark, dir.resolve("b").toString).count() ==
+      9L * 300 - expectedDeleted)
+  }
+
   test("conjunction of matchers intersects postings") {
     val q = ds.where(col("job") === "api" && col("instance") === "i-1")
     assert(q.count() == 2L * 300)
