@@ -145,6 +145,23 @@ object RelationalQueries {
           coalesce(col("o_orderpriority"), lit("ALL")).as("prio"), col("n"), col("sum_price"))
         .orderBy(col("status"), col("prio"))),
 
+    // salted two-stage aggregation (skew mitigation): spread each group
+    // key over 16 sub-keys, partially aggregate, combine — exact distinct
+    // + sum + count, identical to the direct GROUP BY (oracle-checked)
+    "q_salted_agg" -> ((s, dir) => {
+      import graft.ops.Skew
+      Skew.saltedAgg(
+        Tables.load(s, dir, "events")
+          .select(col("event_type"), col("user_id"), col("value"), col("event_id")),
+        keyCols = Seq(col("event_type")), spread = col("event_id"), salts = 16,
+        measures = Seq(
+          Skew.Measure("n_users", collect_set(col("user_id")),
+            c => size(array_distinct(flatten(collect_list(c)))).cast("long")),
+          Skew.Measure("sum_v", sum(col("value")), c => round(sum(c), 2)),
+          Skew.Measure("n", count(lit(1)), c => sum(c))))
+        .orderBy(col("event_type"))
+    }),
+
     // CUBE + GROUPING(): all four aggregation lattices in one pass, with
     // the grouping bitmap distinguishing which dimensions are rolled up
     "q_cube" -> ((s, dir) =>
@@ -226,6 +243,10 @@ object RelationalQueries {
       """SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS prio,
         | count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
         | FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) ORDER BY status, prio""".om,
+    "q_salted_agg" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        | round(sum("value"), 2) AS sum_v, count(*) AS n
+        | FROM events GROUP BY event_type ORDER BY event_type""".om,
     "q_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS prio,
         | CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,

@@ -106,6 +106,26 @@ class OpsSpec extends AnyFunSuite {
       .collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("salted aggregation equals the direct group-by on a skewed frame") {
+    // 10k rows on one hot key + 100 on a cold key
+    val df = spark.range(10100).select(
+      when(col("id") < 10000, lit("hot")).otherwise(lit("cold")).as("k"),
+      pmod(col("id"), lit(7L)).as("u"), col("id").as("rid"),
+      (col("id") % 13).cast("double").as("v"))
+    val salted = Skew.saltedAgg(df, Seq(col("k")), col("rid"), salts = 16,
+      Seq(Skew.Measure("n_u", collect_set(col("u")),
+        c => size(array_distinct(flatten(collect_list(c)))).cast("long")),
+        Skew.Measure("sum_v", sum(col("v")), c => sum(c)),
+        Skew.Measure("n", count(lit(1)), c => sum(c))))
+      .orderBy("k").collect()
+    val direct = df.groupBy(col("k"))
+      .agg(countDistinct(col("u")).as("n_u"), sum(col("v")).as("sum_v"),
+        count(lit(1)).as("n"))
+      .orderBy("k").collect()
+    assert(salted.map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq ==
+      direct.map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq)
+  }
+
   test("minhash signatures identical for identical shingle sets, differ otherwise") {
     val df = docsDF(1L -> "x y z w", 2L -> "x y z w", 3L -> "q r s t")
     val sig = Dedup.minhashSignatures(df, "doc_id", "text", numHashes = 8)
