@@ -90,6 +90,27 @@ object TextAnalysis {
       (acc, t) => pmod(acc * 31L + conv(substring(md5(t), 1, 15), 16, 10).cast("long"), mod))
   }
 
+  /** Repetition metrics (Gopher-style quality rules, public): per
+    * document, the fraction of DISTINCT word bigrams and the fraction of
+    * occurrences claimed by the single most frequent bigram — low
+    * distinct-frac / high top-frac flags boilerplate and degenerate
+    * repetition. One shuffle on (doc, bigram); documents shorter than
+    * two tokens drop out (no bigrams). */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // NON-distinct bigrams (occurrence counts matter here), tokens bound
+    // once via the single-element transform trick
+    val bigrams = element_at(transform(array(graft.functions.tokens(col(textCol))), ts =>
+      transform(
+        filter(sequence(lit(0), greatest(size(ts) - 2, lit(0))), i => i + 2 <= size(ts)),
+        i => concat_ws(" ", slice(ts, i + 1, lit(2))))), 1)
+    df.select(col(idCol).as("doc_id"), explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        round(count(lit(1)) / sum(col("c")), 6).as("distinct_frac"),
+        round(max(col("c")) / sum(col("c")), 6).as("top_frac"))
+  }
+
   /** Convenience: annotate a documents DataFrame with all analyses. */
   def annotate(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("features", qualityFeatures(col(textCol)))

@@ -58,6 +58,12 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("component").as("cluster"))
         .orderBy(col("doc_id"))),
 
+    // Gopher-style repetition metrics: distinct-bigram and top-bigram
+    // fractions per document
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // deterministic Bernoulli sample (reproducible subset selection):
     // pure map-side filter, no shuffle
     "sample_bernoulli" -> ((s, dir) =>
@@ -288,6 +294,18 @@ object PipelineQueries {
     "dedup_minhash_lsh" ->
       s"""WITH $lshPairCtes
          | SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY id1, id2""".om,
+    "text_repetition" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS t
+         |  FROM documents),
+         | bg AS (SELECT doc_id,
+         |  unnest(list_transform(range(greatest(len(t) - 1, 0)), i -> t[i+1] || ' ' || t[i+2])) AS bg
+         |  FROM toks),
+         | counts AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg)
+         | SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |  round(count(*) / sum(c), 6) AS distinct_frac,
+         |  round(max(c) / sum(c), 6) AS top_frac
+         | FROM counts GROUP BY doc_id ORDER BY doc_id""".om,
     "sample_bernoulli" ->
       s"""SELECT doc_id, lang, source FROM documents
          | WHERE ${hex15.format("'graft' || CAST(doc_id AS VARCHAR)")}

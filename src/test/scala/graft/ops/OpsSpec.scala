@@ -106,6 +106,16 @@ class OpsSpec extends AnyFunSuite {
       .collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("repetition metrics: hand-computed bigram fractions") {
+    // "a a a b": bigrams (a a),(a a),(a b) → n=3, distinct 2/3, top 2/3
+    val r = TextAnalysis.repetition(docsDF(1L -> "a a a b"), "doc_id", "text").head()
+    assert(r.getAs[Long]("n_bigrams") == 3L)
+    assert(r.getAs[Double]("distinct_frac") == 0.666667)
+    assert(r.getAs[Double]("top_frac") == 0.666667)
+    // single-token doc yields no row
+    assert(TextAnalysis.repetition(docsDF(2L -> "only"), "doc_id", "text").count() == 0)
+  }
+
   test("salted aggregation equals the direct group-by on a skewed frame") {
     // 10k rows on one hot key + 100 on a cold key
     val df = spark.range(10100).select(
