@@ -145,6 +145,25 @@ object RelationalQueries {
           coalesce(col("o_orderpriority"), lit("ALL")).as("prio"), col("n"), col("sum_price"))
         .orderBy(col("status"), col("prio"))),
 
+    // batch sessionization: gap-based session assignment per user (new
+    // session when >1h since previous event), via a cumulative sum of
+    // session-start flags — one shuffle on user, no self-join
+    "q_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      val flagged = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), Tables.tsMillis(col("ts")).as("t"))
+        .withColumn("prev_t", lag(col("t"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_t").isNull || col("t") - col("prev_t") > 3600000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_session"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      flagged.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("t")).as("session_start"), max(col("t")).as("session_end"))
+        .where(col("n_events") >= 3) // keep the interesting sessions, bounds output
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     // salted two-stage aggregation (skew mitigation): spread each group
     // key over 16 sub-keys, partially aggregate, combine — exact distinct
     // + sum + count, identical to the direct GROUP BY (oracle-checked)
@@ -243,6 +262,21 @@ object RelationalQueries {
       """SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS prio,
         | count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
         | FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) ORDER BY status, prio""".om,
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS t,
+        |   CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |     OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 3600000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        | sessions AS (
+        |  SELECT user_id, event_id, t,
+        |   sum(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        | SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        |  min(t) AS session_start, max(t) AS session_end
+        | FROM sessions GROUP BY user_id, session_id HAVING count(*) >= 3
+        | ORDER BY user_id, session_id""".om,
     "q_salted_agg" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         | round(sum("value"), 2) AS sum_v, count(*) AS n
