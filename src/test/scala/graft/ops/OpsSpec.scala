@@ -94,6 +94,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("property: native minhash/simhash match HOF on random unicode text") {
+    import org.scalacheck.Gen
+    val wordGen = Gen.oneOf(
+      Gen.stringOfN(3, Gen.alphaNumChar),
+      Gen.oneOf("héllo", "wörld", "中文", "Straße", "été", "a", "B9", "ß"),
+      Gen.stringOfN(2, Gen.oneOf('α', 'β', 'ж', '漢', '0', 'z')))
+    val sepGen = Gen.oneOf(" ", "  ", ", ", "—", "\t", "!?", ".")
+    val textGen = for {
+      n <- Gen.choose(0, 30)
+      ws <- Gen.listOfN(n, wordGen)
+      seps <- Gen.listOfN(n, sepGen)
+    } yield ws.zip(seps).map { case (w, s) => w + s }.mkString
+    val texts = (1 to 60).flatMap(i =>
+      textGen.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i)).map(i.toLong -> _))
+    val df = docsDF(texts: _*)
+    val rows = df.select(
+      Dedup.shingleHashesHof(col("text"), 2).as("hhof"),
+      Dedup.shingleHashes(col("text"), 2).as("hnat"),
+      Dedup.simhash64Hof(col("text")).as("shof"),
+      Dedup.simhash64(col("text")).as("snat")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+      assert(r.getLong(2) == r.getLong(3))
+    }
+  }
+
   test("native simhash expression is bit-identical to the HOF formulation") {
     val df = docsDF(
       1L -> "The quick brown fox jumps over the lazy dog",
