@@ -34,6 +34,51 @@ object Similarity {
       .select(col("query_id"), col("rnk").cast("long").as("rnk"), col("corpus_id"), col("cos"))
   }
 
+  /** Int8 scalar quantization (the ANN memory-scale path: 8× smaller
+    * than float64 vectors, 4× smaller than float32): per-vector min +
+    * scale, each dimension floored to a 0..255 code. Deterministic
+    * arithmetic — a re-run or a different engine produces identical
+    * codes, so quantized distances are oracle-checkable. The (v, mn,
+    * scale) triple is bound ONCE via the single-element transform trick
+    * (a bare lambda would re-run array_min per element). */
+  def scalarQuantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val mn = array_min(v)
+    val sc = greatest((array_max(v) - mn) / 255.0d, lit(1e-12))
+    val packed = element_at(transform(
+      array(struct(v.as("v"), mn.as("mn"), sc.as("sc"))), s =>
+        struct(s.getField("mn").as("mn"), s.getField("sc").as("sc"),
+          transform(s.getField("v"), x =>
+            least(lit(255L), greatest(lit(0L),
+              floor((x - s.getField("mn")) / s.getField("sc")).cast("long"))))
+            .as("codes"))), 1)
+    df.select(col(idCol).as("id"), packed.getField("mn").as("mn"),
+      packed.getField("sc").as("sc"), packed.getField("codes").as("codes"))
+  }
+
+  /** Reconstructed vector from quantization: mn + (code + 0.5)·scale
+    * (midpoint of each cell). */
+  def dequantize(mn: Column, sc: Column, codes: Column): Column =
+    transform(codes, c => mn + (c + 0.5d) * sc)
+
+  /** Asymmetric quantized top-k: exact query vectors against
+    * RECONSTRUCTED corpus vectors (the standard SQ search shape — only
+    * the big side is compressed). Same join/top-k plan as the brute
+    * path; recall loss is bounded by the quantization cell size. */
+  def sqTopK(queries: DataFrame, quantizedCorpus: DataFrame,
+             qId: String, qVec: String, k: Int): DataFrame = {
+    val q = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("qv"))
+    val c = quantizedCorpus.select(col("id").as("corpus_id"),
+      dequantize(col("mn"), col("sc"), col("codes")).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", round(cosine_native(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"), col("corpus_id"), col("cos"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * md5-derived uniform in [-1, 1). The planes are data-independent, so
     * they are computed ONCE on the driver and embedded as literals — the

@@ -116,6 +116,18 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // int8 scalar-quantized top-k (memory-scale path): exact queries vs
+    // reconstructed corpus; quantization is deterministic arithmetic so
+    // the whole approximate search is still oracle-checked exactly
+    "knn_sq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.sqTopK(
+        e.where(col("vec_id") < 8),
+        Similarity.scalarQuantize(e, "vec_id", "embedding"),
+        "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // LSH-bucketed approximate top-k (scale path; no oracle — approximate)
     "knn_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -398,6 +410,23 @@ object PipelineQueries {
         |     (sqrt(list_sum(list_transform(q.v, x -> x * x))) *
         |      sqrt(list_sum(list_transform(c.v, x -> x * x)))), 6) AS cos
         |   FROM e q JOIN e c ON q.vec_id < 8 AND q.vec_id <> c.vec_id),
+        | ranked AS (SELECT query_id, corpus_id, cos,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
+        |   FROM scored)
+        | SELECT query_id, rnk, corpus_id, cos FROM ranked WHERE rnk <= 5
+        | ORDER BY query_id, rnk""".om,
+    "knn_sq" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        | qz AS (SELECT vec_id, mn, sc,
+        |   list_transform(v, x -> least(255, greatest(0, floor((x - mn) / sc)::BIGINT))) AS codes
+        |  FROM (SELECT vec_id, v, list_min(v) AS mn,
+        |    greatest((list_max(v) - list_min(v)) / 255.0, 1e-12) AS sc FROM e)),
+        | recon AS (SELECT vec_id, list_transform(codes, c -> mn + (c + 0.5) * sc) AS cv FROM qz),
+        | scored AS (SELECT q.vec_id AS query_id, r.vec_id AS corpus_id,
+        |   round(list_sum(list_transform(range(64), i -> q.v[i+1] * r.cv[i+1])) /
+        |     (sqrt(list_sum(list_transform(q.v, x -> x * x))) *
+        |      sqrt(list_sum(list_transform(r.cv, x -> x * x)))), 6) AS cos
+        |   FROM e q JOIN recon r ON q.vec_id < 8 AND q.vec_id <> r.vec_id),
         | ranked AS (SELECT query_id, corpus_id, cos,
         |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
         |   FROM scored)

@@ -132,6 +132,30 @@ class OpsSpec extends AnyFunSuite {
       .collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("scalar quantization: codes in range, reconstruction error bounded, top-1 preserved") {
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.2)),
+      (1L, Array(0.9, 0.1, 0.0, 0.2)),   // near query 0
+      (2L, Array(-1.0, 5.0, 3.0, -2.0)), // far
+      (3L, Array(0.0, 0.0, 1.0, 7.0)))
+    val df = vecs.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+    val qz = Similarity.scalarQuantize(df, "vec_id", "embedding")
+    val rows = qz.orderBy("id").collect()
+    rows.foreach { r =>
+      val codes = r.getSeq[Long](3)
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      // max reconstruction error = one quantization cell
+      val mn = r.getDouble(1); val sc = r.getDouble(2)
+      val recon = codes.map(c => mn + (c + 0.5) * sc)
+      val orig = vecs(r.getLong(0).toInt)._2
+      recon.zip(orig).foreach { case (a, b) => assert(math.abs(a - b) <= sc) }
+    }
+    // asymmetric search still ranks the near-duplicate first
+    val top = Similarity.sqTopK(df.where(col("vec_id") === 0), qz, "vec_id", "embedding", k = 1)
+      .head()
+    assert(top.getAs[Long]("corpus_id") == 1L)
+  }
+
   test("repetition metrics: hand-computed bigram fractions") {
     // "a a a b": bigrams (a a),(a a),(a b) → n=3, distinct 2/3, top 2/3
     val r = TextAnalysis.repetition(docsDF(1L -> "a a a b"), "doc_id", "text").head()
