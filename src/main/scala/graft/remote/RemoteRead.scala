@@ -152,6 +152,63 @@ object Proto {
     w.bytes
   }
 
+  /** remote.proto `WriteRequest{repeated TimeSeries timeseries = 1}`
+    * (`remote.proto:34-36`) — same repeated-TimeSeries layout as
+    * `QueryResult`, so the remote-WRITE body reuses the TimeSeries wire
+    * helpers. */
+  def encodeWriteRequest(series: Seq[SampleStream]): Array[Byte] = {
+    val w = new W
+    series.foreach { ss =>
+      val tw = new W
+      ss.labels.toSeq.sortBy(_._1).foreach { case (n, v) =>
+        val lw = new W; lw.str(1, n); lw.str(2, v); tw.msg(1, lw)
+      }
+      ss.samples.foreach { s =>
+        val sw = new W
+        if (s.v != 0.0 || java.lang.Double.doubleToLongBits(s.v) != 0L) sw.dbl(1, s.v)
+        sw.i64(2, s.t)
+        tw.msg(2, sw)
+      }
+      w.msg(1, tw)
+    }
+    w.bytes
+  }
+
+  def decodeWriteRequest(bytes: Array[Byte]): Seq[SampleStream] = {
+    val streams = scala.collection.mutable.ArrayBuffer[SampleStream]()
+    val r = new R(bytes)
+    while (r.hasMore) r.tag() match {
+      case (1, 2) =>
+        val tr = r.sub()
+        val labels = scala.collection.mutable.Map[String, String]()
+        val samples = scala.collection.mutable.ArrayBuffer[Sample]()
+        while (tr.hasMore) tr.tag() match {
+          case (1, 2) =>
+            val lr = tr.sub()
+            var n = ""; var v = ""
+            while (lr.hasMore) lr.tag() match {
+              case (1, 2) => n = lr.str()
+              case (2, 2) => v = lr.str()
+              case (_, wire) => lr.skip(wire)
+            }
+            labels(n) = v
+          case (2, 2) =>
+            val sr = tr.sub()
+            var t = 0L; var v = 0.0
+            while (sr.hasMore) sr.tag() match {
+              case (1, 1) => v = sr.dbl()
+              case (2, 0) => t = sr.varint()
+              case (_, wire) => sr.skip(wire)
+            }
+            samples += Sample(t, v)
+          case (_, wire) => tr.skip(wire)
+        }
+        streams += SampleStream(labels.toMap, samples.toSeq)
+      case (_, wire) => r.skip(wire)
+    }
+    streams.toSeq
+  }
+
   def decodeReadResponse(bytes: Array[Byte]): Seq[Seq[SampleStream]] = {
     val out = scala.collection.mutable.ArrayBuffer[Seq[SampleStream]]()
     val r = new R(bytes)
@@ -198,7 +255,11 @@ object Proto {
 /** HTTP server for `POST /read` over a [[TsQuerier]] — the full query
   * lifecycle of the reference (`server.go:64-97`): body → snappy →
   * ReadRequest → per-query select → Matrix → ReadResponse → snappy. */
-final class RemoteReadServer(querier: TsQuerier, port: Int = 0, threads: Int = 8) {
+final class RemoteReadServer(querier: => TsQuerier, port: Int = 0, threads: Int = 8,
+                             writeSink: Option[Seq[SampleStream] => Unit] = None) {
+  // by-name querier: each request resolves a FRESH store view (the
+  // reference re-locks its block list per query, querier.go:25-46), so
+  // data appended between requests — e.g. via /write — is visible
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   // default HttpServer executor runs handlers on the dispatch thread,
   // serializing all requests; a pool lets concurrent reads overlap their
@@ -232,6 +293,52 @@ final class RemoteReadServer(querier: TsQuerier, port: Int = 0, threads: Int = 8
     }
   })
 
+  // beyond-reference: Prometheus remote-WRITE directly into the store
+  // (agni ingests via the shipper only; accepting /write makes the store
+  // a drop-in remote_write target, no sidecar needed)
+  writeSink.foreach { sink =>
+    server.createContext("/write", (ex: HttpExchange) => {
+      try {
+        if (ex.getRequestMethod != "POST") {
+          ex.sendResponseHeaders(405, -1); ex.close()
+        } else {
+          val body = ex.getRequestBody.readAllBytes()
+          sink(Proto.decodeWriteRequest(Snappy.uncompress(body)))
+          ex.sendResponseHeaders(204, -1)
+          ex.close()
+        }
+      } catch {
+        case e: Exception =>
+          val msg = ("remote write error: " + e.getMessage).getBytes("UTF-8")
+          ex.sendResponseHeaders(400, msg.length)
+          ex.getResponseBody.write(msg)
+          ex.close()
+      }
+    })
+  }
+
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = { server.stop(0); pool.shutdown() }
+}
+
+/** Store-append sink for remote-write: canonicalize the written series
+  * and append into the partitioned parquet store — the same shape the
+  * streaming ingest produces, so the data is immediately queryable
+  * through [[graft.tsdb.TsQuerier]]. */
+object RemoteWrite {
+  def appendToStore(spark: org.apache.spark.sql.SparkSession, storePath: String,
+                    promoted: Seq[String] = graft.tsdb.TsSchema.DefaultPromoted)
+                   (streams: Seq[SampleStream]): Unit = {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    if (streams.isEmpty) return
+    val rows = streams.flatMap(ss =>
+      ss.samples.map(s => Row(ss.labels, s.t, s.v))).asJava
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "labels map<string,string>, t long, v double")
+    val df = spark.createDataFrame(rows, schema)
+    graft.tsdb.TsSchema.canonicalize(df, promoted)
+      .write.partitionBy("block_start")
+      .mode(org.apache.spark.sql.SaveMode.Append).parquet(storePath)
+  }
 }

@@ -78,6 +78,44 @@ class RemoteReadServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("remote-write → store → remote-read round-trip") {
+    val store = java.nio.file.Files.createTempDirectory("rw-store").resolve("s").toString
+    // serve reads over whatever has been written so far (lazy re-read)
+    def querier = TsStore.read(spark, store)
+    val server = new RemoteReadServer(
+      querier, // by-name: re-reads the store per request
+      writeSink = Some(RemoteWrite.appendToStore(spark, store)))
+    val port = server.start()
+    try {
+      val http = HttpClient.newHttpClient()
+      val streams = Seq(
+        SampleStream(Map("__name__" -> "up", "job" -> "api"),
+          (0 until 40).map(k => Sample(1700000000000L + k * 15000L, k.toDouble))),
+        SampleStream(Map("__name__" -> "up", "job" -> "web"),
+          (0 until 10).map(k => Sample(1700000000000L + k * 15000L, 1.0))))
+      val wr = http.send(
+        HttpRequest.newBuilder(new URI(s"http://127.0.0.1:$port/write"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(
+            Snappy.compress(Proto.encodeWriteRequest(streams)))).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(wr.statusCode() == 204)
+      // written data is queryable through the standard querier
+      val got = querier.selectStreams(0L, Long.MaxValue / 2,
+        Seq(LabelMatcher.eq("job", "api"))).collect()
+      assert(got.length == 1 && got.head.samples.size == 40)
+      // and over the read endpoint
+      val req = Proto.encodeReadRequest(Seq(
+        Proto.Query(0L, Long.MaxValue / 2, Seq(LabelMatcher.eq("__name__", "up")))))
+      val rr = http.send(
+        HttpRequest.newBuilder(new URI(s"http://127.0.0.1:$port/read"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(Snappy.compress(req))).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(rr.statusCode() == 200)
+      val results = Proto.decodeReadResponse(Snappy.uncompress(rr.body()))
+      assert(results.head.map(_.samples.size).sum == 50)
+    } finally server.stop()
+  }
+
   test("malformed body → 400, wrong method → 405") {
     val server = new RemoteReadServer(mkQuerier)
     val port = server.start()
