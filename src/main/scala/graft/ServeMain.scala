@@ -2,16 +2,18 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import graft.queries.TsQueries
-import graft.remote.RemoteReadServer
+import graft.remote.{RemoteReadServer, RemoteWrite}
 import graft.tsdb.{Labels, TsQuerier, TsStore}
 
-/** Remote-read server entry point (the reference's `server` subcommand,
-  * `main.go:47-81`): serves Prometheus remote-read over a series store.
+/** Remote-read/-write server entry point (the reference's `server`
+  * subcommand, `main.go:47-81`, plus beyond-reference `/write`).
   *
   * Usage: `runMain graft.ServeMain [storeDirOrSfDir] [port]`
-  *  - a dir containing `events.parquet` → served via the events mapping;
+  *  - a dir containing `events.parquet` → served read-only via the
+  *    events mapping;
   *  - otherwise treated as a canonical store written by TsStore.write /
-  *    TsdbBlock.ingest.
+  *    TsdbBlock.ingest — served for reads AND accepting remote-write
+  *    appends (each read resolves a fresh store view).
   */
 object ServeMain {
   def main(args: Array[String]): Unit = {
@@ -21,11 +23,15 @@ object ServeMain {
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val querier: TsQuerier =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "events.parquet")))
+    val isEventsDir =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "events.parquet"))
+    def querier: TsQuerier =
+      if (isEventsDir)
         new TsQuerier(TsQueries.store(spark, dir), promoted = Seq(Labels.MetricName))
       else TsStore.read(spark, dir)
-    val server = new RemoteReadServer(querier, port)
+    val server = new RemoteReadServer(querier, port,
+      writeSink = if (isEventsDir) None
+        else Some(RemoteWrite.appendToStore(spark, dir)))
     println("LISTENING on " + server.start())
     Thread.sleep(Long.MaxValue)
   }
