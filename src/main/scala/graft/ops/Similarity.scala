@@ -57,9 +57,15 @@ object Similarity {
   }
 
   /** Reconstructed vector from quantization: mn + (code + 0.5)·scale
-    * (midpoint of each cell). */
+    * (midpoint of each cell). The (mn, sc, codes) triple is bound ONCE
+    * via the single-element transform trick — referencing the outer
+    * columns directly inside the per-element lambda would re-evaluate
+    * them (and anything they derive from) once per element. */
   def dequantize(mn: Column, sc: Column, codes: Column): Column =
-    transform(codes, c => mn + (c + 0.5d) * sc)
+    element_at(transform(
+      array(struct(mn.as("mn"), sc.as("sc"), codes.as("codes"))), s =>
+        transform(s.getField("codes"), c =>
+          s.getField("mn") + (c + 0.5d) * s.getField("sc"))), 1)
 
   /** Asymmetric quantized top-k: exact query vectors against
     * RECONSTRUCTED corpus vectors (the standard SQ search shape — only
