@@ -57,14 +57,15 @@ object TsdbBlock {
   // ---------- write ----------
   /** Write `series` (sorted by canonical label order enforced here) as a
     * complete block directory. Samples per series must be time-sorted. */
-  def write(dir: Path, seriesIn: Seq[(Seq[Label], Seq[Sample])], ulid: String): BlockMeta = {
+  def write(dir: Path, seriesIn: Seq[(Seq[Label], Seq[Sample])], ulid: String,
+            maxSegmentBytes: Long = MaxSegmentBytes): BlockMeta = {
     val encoded = seriesIn.map { case (ls, samples) =>
       val chunks = samples.grouped(MaxSamplesPerChunk).map { grp =>
         (grp.head.t, grp.last.t, XorChunk.encode(grp))
       }.toSeq
       (ls, chunks, samples.size.toLong)
     }
-    writeAssembled(dir, encoded, ulid)
+    writeAssembled(dir, encoded, ulid, maxSegmentBytes)
   }
 
   /** Distributed block write — the shipper path at scale: XOR encoding
@@ -89,18 +90,48 @@ object TsdbBlock {
     writeAssembled(dir, encoded, ulid)
   }
 
-  /** Pack pre-encoded per-series chunks into segment file + index + meta. */
+  /** Reference segment-file size cap (`vendor/.../tsdb/chunks.go:122`):
+    * chunks spill into `000002`, `000003`, … past this many bytes. */
+  val MaxSegmentBytes: Long = 512L * 1024 * 1024
+
+  /** Pack pre-encoded per-series chunks into segment file(s) + index +
+    * meta. Chunks are split across numbered segment files at
+    * `maxSegmentBytes` (refs carry the file sequence, so readers need no
+    * layout knowledge beyond the ref). */
   private def writeAssembled(dir: Path,
                              seriesIn: Seq[(Seq[Label], Seq[(Long, Long, Array[Byte])], Long)],
-                             ulid: String): BlockMeta = {
+                             ulid: String,
+                             maxSegmentBytes: Long = MaxSegmentBytes): BlockMeta = {
     val series = seriesIn
       .map { case (ls, cs, n) => (Labels.canonical(ls), cs, n) }
       .sortBy(_._1)(Labels.ordering)
     Files.createDirectories(dir.resolve("chunks"))
 
     val flat = series.flatMap(_._2)
-    val (segBytes, refs) = ChunkFile.write(1, flat.map(_._3))
-    Files.write(dir.resolve("chunks").resolve("000001"), segBytes)
+    // greedy split: a segment takes chunks until the byte cap (a chunk
+    // record adds ~6 bytes of framing; always at least one per segment)
+    val segments = {
+      val segs = Vector.newBuilder[Seq[(Long, Long, Array[Byte])]]
+      var cur = Vector.newBuilder[(Long, Long, Array[Byte])]
+      var curBytes = 5L // magic + version
+      var curN = 0
+      flat.foreach { c =>
+        val rec = c._3.length.toLong + 10
+        if (curN > 0 && curBytes + rec > maxSegmentBytes) {
+          segs += cur.result(); cur = Vector.newBuilder; curBytes = 5L; curN = 0
+        }
+        cur += c; curBytes += rec; curN += 1
+      }
+      val last = cur.result()
+      if (last.nonEmpty || flat.isEmpty) segs += last
+      segs.result()
+    }
+    val refs = segments.zipWithIndex.flatMap { case (chunks, i) =>
+      val fileSeq = i + 1
+      val (segBytes, segRefs) = ChunkFile.write(fileSeq, chunks.map(_._3))
+      Files.write(dir.resolve("chunks").resolve(f"$fileSeq%06d"), segBytes)
+      segRefs
+    }
 
     var refIdx = 0
     val idxSeries = series.map { case (labels, chunks, _) =>

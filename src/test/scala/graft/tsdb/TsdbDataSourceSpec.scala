@@ -115,6 +115,27 @@ class TsdbDataSourceSpec extends AnyFunSuite {
       Files.readAllBytes(d2.resolve("b/chunks/000001"))))
   }
 
+  test("multi-segment blocks: chunks spill across files, both readers stitch refs") {
+    val dir = Files.createTempDirectory("multiseg")
+    val t0 = 1700000000000L
+    // tiny cap → many segment files (each chunk is ~100-200 bytes)
+    TsdbBlock.write(dir.resolve("b"), corpus(t0), TsdbBlock.syntheticUlid(4),
+      maxSegmentBytes = 2048)
+    val segs = Files.list(dir.resolve("b/chunks")).count()
+    assert(segs > 1, s"expected multiple segment files, got $segs")
+    // contents identical to a single-segment write
+    val ref = Files.createTempDirectory("singleseg")
+    TsdbBlock.write(ref.resolve("b"), corpus(t0), TsdbBlock.syntheticUlid(4))
+    val a = TsdbBlock.read(spark, dir.resolve("b").toString)
+      .orderBy("t", "v").collect().toSeq
+    val b = TsdbBlock.read(spark, ref.resolve("b").toString)
+      .orderBy("t", "v").collect().toSeq
+    assert(a == b)
+    val viaDs = spark.read.format("graft-tsdb").load(dir.resolve("b").toString)
+    assert(viaDs.count() == 9L * 300)
+    assert(viaDs.where(col("job") === "web").count() == 3L * 300)
+  }
+
   test("tombstones: round-trip, sample masking, whole-chunk drop in both readers") {
     // format round-trip
     val tmp = Files.createTempDirectory("tomb")
