@@ -330,6 +330,23 @@ object TsQueries {
         .orderBy(col("step_t"), col("user"))
     }),
 
+    // PromQL offset modifier: day-over-day comparison — current daily
+    // sums joined against the same series OFFSET 1d (implemented by
+    // time-shifting the right side before the vector match)
+    "ts_prom_offset" -> ((s, dir) => {
+      val q = querier(s, dir)
+      val cur = q.selectLong(Mint, Maxt, Seq(LabelMatcher.eq(Labels.MetricName, "click")))
+      graft.ops.PromOps.binaryOp(
+        cur, cur.withColumn("t", col("t") + 86400000L),
+        onLabels = Seq("user"), stepMs = 86400000L,
+        labelValue = TsSchema.labelValue,
+        op = (l, r) => l - r)
+        .select(col("step_t"), col("on_user").as("user"),
+          round(col("lv"), 4).as("today"), round(col("rv"), 4).as("yesterday"),
+          round(round(col("lv"), 4) - round(col("rv"), 4), 4).as("dod_delta"))
+        .orderBy(col("step_t"), col("user"))
+    }),
+
     // PromQL deriv(): per-series least-squares slope of v over time
     // (seconds), plus predict_linear(1h) from the same regression
     "ts_prom_deriv" -> ((s, dir) =>
@@ -591,6 +608,22 @@ object TsQueries {
          | JOIN (SELECT * FROM sums WHERE name = 'view') v
          |  ON e.step_t = v.step_t AND e."user" = v."user"
          | ORDER BY e.step_t, e."user"""".stripMargin.replace("\n", " "),
+    "ts_prom_offset" ->
+      s"""WITH stepped AS (
+         |  SELECT "user", big, t - (t % 86400000) AS step_t, t, v
+         |  FROM ($oracleBase) WHERE t BETWEEN $Mint AND $Maxt AND name = 'click'),
+         | per_series AS (
+         |  SELECT "user", big, step_t, (max({'t': t, 'v': v})).v AS v
+         |  FROM stepped GROUP BY "user", big, step_t),
+         | sums AS (
+         |  SELECT "user", step_t, sum(v) AS sv
+         |  FROM per_series GROUP BY "user", step_t)
+         | SELECT c.step_t, c."user" AS "user",
+         |  round(c.sv, 4) AS today, round(p.sv, 4) AS yesterday,
+         |  round(round(c.sv, 4) - round(p.sv, 4), 4) AS dod_delta
+         | FROM sums c JOIN sums p
+         |  ON p.step_t = c.step_t - 86400000 AND p."user" = c."user"
+         | ORDER BY c.step_t, c."user"""".stripMargin.replace("\n", " "),
     "ts_prom_deriv" ->
       s"""SELECT name, "user", big,
          | round(regr_slope(v, t / 1000.0), 6) AS deriv,
