@@ -74,7 +74,8 @@ object TsdbBlock {
     * travel to the driver, which assembles the segment file, index and
     * meta (inherently sequential layout: byte offsets + sorted series).
     * Input: canonical long form (labels array, fingerprint, t, v). */
-  def writeDistributed(canonical: DataFrame, dir: Path, ulid: String): BlockMeta = {
+  def writeDistributed(canonical: DataFrame, dir: Path, ulid: String,
+                       level: Int = 1): BlockMeta = {
     val encoded = canonical
       .groupBy(col("fingerprint"), col("labels"))
       .agg(sort_array(collect_list(struct(col("t"), col("v")))).as("samples"))
@@ -87,7 +88,25 @@ object TsdbBlock {
         }.toSeq
         (labels, chunks, samples.size.toLong)
       }.collect().toSeq
-    writeAssembled(dir, encoded, ulid)
+    writeAssembled(dir, encoded, ulid, level = level)
+  }
+
+  /** Compact blocks into one higher-level block (the Prometheus
+    * compactor's role — the reference ships only level-1 blocks,
+    * `shipper.go:39-43`, and leaves compaction upstream): read every
+    * input block (tombstone masks APPLY, so deletes are materialized
+    * away, like the upstream compactor), dedupe identical (labels, t)
+    * samples across overlapping inputs (vertical compaction), and write
+    * one merged block at level = max(input levels) + 1. Encoding is
+    * distributed; the inputs are left in place for the caller to retire. */
+  def compact(spark: SparkSession, blockDirs: Seq[String], outDir: Path,
+              ulid: String): BlockMeta = {
+    require(blockDirs.nonEmpty, "compact: no input blocks")
+    val level = blockDirs.map(d => readMeta(Paths.get(d)).level).max + 1
+    val union = blockDirs.map(d => read(spark, d)).reduce(_ unionByName _)
+    val canonical = TsSchema.canonicalize(union)
+      .dropDuplicates("labels", "t")
+    writeDistributed(canonical, outDir, ulid, level = level)
   }
 
   /** Reference segment-file size cap (`vendor/.../tsdb/chunks.go:122`):
@@ -101,7 +120,8 @@ object TsdbBlock {
   private def writeAssembled(dir: Path,
                              seriesIn: Seq[(Seq[Label], Seq[(Long, Long, Array[Byte])], Long)],
                              ulid: String,
-                             maxSegmentBytes: Long = MaxSegmentBytes): BlockMeta = {
+                             maxSegmentBytes: Long = MaxSegmentBytes,
+                             level: Int = 1): BlockMeta = {
     val series = seriesIn
       .map { case (ls, cs, n) => (Labels.canonical(ls), cs, n) }
       .sortBy(_._1)(Labels.ordering)
@@ -147,7 +167,8 @@ object TsdbBlock {
 
     val meta = BlockMeta(ulid,
       flat.map(_._1).min, flat.map(_._2).max,
-      BlockStats(series.map(_._3).sum, series.size.toLong, flat.size.toLong))
+      BlockStats(series.map(_._3).sum, series.size.toLong, flat.size.toLong),
+      level)
     writeMeta(dir, meta)
     meta
   }

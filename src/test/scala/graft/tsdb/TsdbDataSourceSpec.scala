@@ -168,6 +168,36 @@ class TsdbDataSourceSpec extends AnyFunSuite {
       9L * 300 - expectedDeleted)
   }
 
+  test("compaction merges blocks, materializes deletes, bumps the level") {
+    val dir = Files.createTempDirectory("compact")
+    val t0 = 1700000000000L
+    val t1 = 1700010000000L
+    val m1 = TsdbBlock.write(dir.resolve("b1"), corpus(t0), TsdbBlock.syntheticUlid(11))
+    TsdbBlock.write(dir.resolve("b2"), corpus(t1), TsdbBlock.syntheticUlid(12))
+    // delete one series' first 50 samples in b1
+    val idx = new TsdbIndex.IndexReader(Files.readAllBytes(dir.resolve("b1/index")))
+    val ref = idx.allPostings.head
+    Tombstones.write(dir.resolve("b1"), Map(ref -> Seq((t0, t0 + 49 * 15000L))))
+
+    val out = TsdbBlock.compact(spark,
+      Seq(dir.resolve("b1").toString, dir.resolve("b2").toString),
+      dir.resolve("c"), TsdbBlock.syntheticUlid(13))
+    assert(out.level == 2)
+    assert(out.stats.numSeries == 9)
+    assert(out.stats.numSamples == 2L * 9 * 300 - 50) // deletes materialized
+    assert(out.minTime == t0 + 50 * 15000L || out.minTime == t0) // dropped range may shift min of that series only
+    // output block reads correctly and carries no tombstones
+    assert(Tombstones.read(dir.resolve("c")) == Map.empty)
+    val ds2 = spark.read.format("graft-tsdb").load(dir.resolve("c").toString)
+    assert(ds2.count() == 2L * 9 * 300 - 50)
+    // the merged series' samples are time-sorted and span both inputs
+    val one = TsdbBlock.read(spark, dir.resolve("c").toString)
+      .where(col("labels")("job") === "api" && col("labels")("instance") === "i-1")
+      .select("t").collect().map(_.getLong(0)).toSeq
+    assert(one.size == 600 && one == one.sorted)
+    assert(m1.minTime == t0)
+  }
+
   test("conjunction of matchers intersects postings") {
     val q = ds.where(col("job") === "api" && col("instance") === "i-1")
     assert(q.count() == 2L * 300)
