@@ -20,6 +20,10 @@ import graft.functions.CosineSimilarityExpr
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // P7 regex matchers → label-value enumeration → postings (`In`)
+    // pushdown for the graft-tsdb DSv2 source; runs in the operator
+    // optimization batch, before V2 scan pushdown.
+    ext.injectOptimizerRule(_ => graft.tsdb.datasource.TsdbRegexRewrite)
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "graft_cosine"),

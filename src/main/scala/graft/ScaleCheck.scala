@@ -15,6 +15,7 @@ object ScaleCheck {
     val nSamples = if (args.length > 1) args(1).toInt else 5760 // 2 days @30s
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = java.nio.file.Files.createTempDirectory("graft-scale").resolve("store").toString

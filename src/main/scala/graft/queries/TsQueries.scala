@@ -432,6 +432,28 @@ object TsQueries {
         .orderBy(col("name"), col("user"), col("t"), col("v"))
     }),
 
+    // P7 regex → postings through DSv2: TsdbRegexRewrite (GraftExtensions)
+    // rewrites the rlikes into label-value In-lists, which push as
+    // postings unions — no series outside the match set is decoded
+    "ts_dsv2_regex" -> ((s, dir) => {
+      val root = dsv2BlockDir(s, dir)
+      s.read.format("graft-tsdb").load(root)
+        .where(col(Labels.MetricName).rlike("^(?:cl.*|sign.*)$") &&
+          col("user").rlike("^(?:[0-4][0-9])$") && col("t").between(Mint, Maxt))
+        .select(col(Labels.MetricName).as("name"), col("user"), col("t"), col("v"))
+        .orderBy(col("name"), col("user"), col("t"), col("v"))
+    }),
+
+    // P3/P7 `!=` → complement-of-values postings through DSv2
+    "ts_dsv2_neq" -> ((s, dir) => {
+      val root = dsv2BlockDir(s, dir)
+      s.read.format("graft-tsdb").load(root)
+        .where(col(Labels.MetricName) =!= "click" &&
+          col("user").isin("10", "11", "12") && col("t").between(Mint, Maxt))
+        .select(col(Labels.MetricName).as("name"), col("user"), col("t"), col("v"))
+        .orderBy(col("name"), col("user"), col("t"), col("v"))
+    }),
+
     // S5/S9 in-engine round-trip: assemble per-series chunks, XOR-encode,
     // decode back, re-explode — output must equal the plain select (the
     // oracle is the UNENCODED query, proving codec fidelity end-to-end)
@@ -492,6 +514,10 @@ object TsQueries {
     "ts_chunk_roundtrip" ->
       flatOracle("name = 'signup'"),
     "ts_dsv2_select" -> flatOracle("name = 'click'"),
+    "ts_dsv2_regex" -> flatOracle(
+      "regexp_matches(name, '^(?:cl.*|sign.*)$') AND regexp_matches(\"user\", '^(?:[0-4][0-9])$')"),
+    "ts_dsv2_neq" -> flatOracle(
+      "name <> 'click' AND \"user\" IN ('10','11','12')"),
     "ts_prom_rate" ->
       s"""SELECT name, "user", t,
          | round(CASE WHEN v >= prev_v THEN v - prev_v ELSE v END, 6) AS increase,

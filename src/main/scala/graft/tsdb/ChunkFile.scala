@@ -70,6 +70,90 @@ object ChunkFile {
     ChunkRecord(ref(0, offset), enc, data)
   }
 
+  /** Total bytes fetched by [[SegmentRangeReader]]s in this JVM — lets
+    * specs assert that selective reads touch a small fraction of the
+    * segment (scan-amplification guard). */
+  val bytesFetched = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Estimated upper bound on one chunk record's framing + payload: a
+    * 120-sample XOR chunk is a few hundred bytes; 4 KiB of slack covers
+    * it without a second read in practice (the reference uses the same
+    * trick — read to last offset + max-chunk-size, `chunks.go:161-251`). */
+  val RangeSlack = 4096
+  /** Coalesce two requested records into one read when the gap between
+    * their offsets is below this (object-storage-friendly: one larger GET
+    * beats two small ones). */
+  val MergeGap = 64 * 1024
+
+  /** Bounded, coalesced range reads over one segment file — the
+    * reference's grouped chunk populate (`chunks.go:161-251`): instead of
+    * mapping/reading the whole (up to 512 MiB) segment, sort the
+    * requested refs, merge near-adjacent offsets into ranges, and issue
+    * one positional read per range. At 100 TB against object storage this
+    * is the difference between O(needed bytes) and O(segment bytes) per
+    * task. */
+  final class SegmentRangeReader(path: java.nio.file.Path) extends AutoCloseable {
+    private val ch = java.nio.channels.FileChannel.open(path,
+      java.nio.file.StandardOpenOption.READ)
+    private val fileSize = ch.size()
+
+    private def readRange(pos: Long, len: Int): Array[Byte] = {
+      val buf = ByteBuffer.allocate(len)
+      var p = pos
+      while (buf.hasRemaining) {
+        val n = ch.read(buf, p)
+        if (n < 0) sys.error(s"unexpected EOF in $path at $p")
+        p += n
+      }
+      bytesFetched.addAndGet(len.toLong)
+      buf.array()
+    }
+
+    /** Parse the record at absolute `off` from `buf` (which starts at
+      * absolute `base`); if the record extends past the buffer (slack too
+      * small for an oversized chunk), fall back to one exact read. */
+    private def parse(buf: Array[Byte], base: Long, off: Int): ChunkRecord = {
+      var pos = off - base.toInt
+      var len = 0L; var shift = 0; var header = 1
+      var b = buf(pos) & 0xff; pos += 1
+      while ((b & 0x80) != 0) { len |= (b & 0x7fL) << shift; shift += 7; b = buf(pos) & 0xff; pos += 1; header += 1 }
+      len |= (b & 0x7fL) << shift
+      val total = header + 1 + len.toInt + 4 // varint + enc + data + crc
+      if (off - base + total > buf.length)
+        readAt(readRange(off, total), 0).copy(ref = ref(0, off))
+      else readAt(buf, off - base.toInt).copy(ref = ref(0, off))
+    }
+
+    /** Read the records at `offsets` with coalesced bounded ranges. */
+    def read(offsets: Seq[Int]): Map[Int, ChunkRecord] = {
+      val sorted = offsets.distinct.sorted
+      val out = Map.newBuilder[Int, ChunkRecord]
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j + 1 < sorted.length && sorted(j + 1) - sorted(j) <= MergeGap) j += 1
+        val start = sorted(i).toLong
+        val stop = math.min(sorted(j).toLong + RangeSlack, fileSize)
+        val buf = readRange(start, (stop - start).toInt)
+        var k = i
+        while (k <= j) { out += sorted(k) -> parse(buf, start, sorted(k)); k += 1 }
+        i = j + 1
+      }
+      out.result()
+    }
+
+    override def close(): Unit = ch.close()
+  }
+
+  /** Read `refs` (fileSeq << 32 | offset) across segment files with one
+    * [[SegmentRangeReader]] per touched segment. */
+  def readRefs(chunksDir: java.nio.file.Path, refs: Seq[Long]): Map[Long, ChunkRecord] =
+    refs.groupBy(refFileSeq).iterator.flatMap { case (seq, rs) =>
+      val rd = new SegmentRangeReader(chunksDir.resolve(f"$seq%06d"))
+      try rd.read(rs.map(refOffset)).map { case (off, rec) => ref(seq, off) -> rec }
+      finally rd.close()
+    }.toMap
+
   /** Sequentially scan all chunk records in a segment file. */
   def readAll(bytes: Array[Byte]): Seq[ChunkRecord] = {
     require(ByteBuffer.wrap(bytes, 0, 4).order(ByteOrder.BIG_ENDIAN).getInt == Magic, "bad chunk file magic")

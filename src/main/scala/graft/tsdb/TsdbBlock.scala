@@ -104,8 +104,12 @@ object TsdbBlock {
     require(blockDirs.nonEmpty, "compact: no input blocks")
     val level = blockDirs.map(d => readMeta(Paths.get(d)).level).max + 1
     val union = blockDirs.map(d => read(spark, d)).reduce(_ unionByName _)
-    val canonical = TsSchema.canonicalize(union)
-      .dropDuplicates("labels", "t")
+    // vertical dedup with a DETERMINISTIC pick: duplicate (series, t)
+    // keys across overlapping inputs keep max(v) (dropDuplicates would
+    // keep an arbitrary one, making compaction output run-dependent)
+    val canonical0 = TsSchema.canonicalize(union)
+    val keys = canonical0.columns.filterNot(_ == "v").map(col)
+    val canonical = canonical0.groupBy(keys: _*).agg(max(col("v")).as("v"))
     writeDistributed(canonical, outDir, ulid, level = level)
   }
 
@@ -174,45 +178,14 @@ object TsdbBlock {
   }
 
   // ---------- read ----------
-  private val longFormSchema = StructType(Seq(
-    StructField("labels", MapType(StringType, StringType), nullable = false),
-    StructField("t", LongType, nullable = false),
-    StructField("v", DoubleType, nullable = false)))
-
-  /** Distributed block read → long-form DataFrame (labels map, t, v).
-    * Driver parses the index; executors decode chunks from the segment
-    * files in parallel (one task per series batch). */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    val idx = new TsdbIndex.IndexReader(Files.readAllBytes(Paths.get(dir, "index")))
-    val stones = Tombstones.read(Paths.get(dir))
-    val entries = idx.allPostings.map { ref =>
-      val s = idx.series(ref)
-      val ivs = stones.getOrElse(ref, Seq.empty)
-      // drop chunks wholly inside a deleted interval (querier.go:466-478)
-      val chunks = s.chunks.filterNot(c =>
-        ivs.exists { case (lo, hi) => c.minTime >= lo && c.maxTime <= hi })
-      (s.labels.map(l => l.name -> l.value).toMap, chunks.map(_.ref), ivs)
-    }
-    val chunksDir = Paths.get(dir, "chunks").toString
-    val rdd = spark.sparkContext
-      .parallelize(entries, math.max(1, math.min(entries.size, 32)))
-      .mapPartitions { it =>
-        // one segment-file cache per task (agni groups reads per segment,
-        // chunks.go:161-251)
-        val segCache = scala.collection.mutable.Map[Int, Array[Byte]]()
-        def segment(fileSeq: Int): Array[Byte] = segCache.getOrElseUpdate(fileSeq,
-          Files.readAllBytes(Paths.get(chunksDir, f"$fileSeq%06d")))
-        it.flatMap { case (labels, refs, ivs) =>
-          refs.iterator.flatMap { ref =>
-            val rec = ChunkFile.readAt(segment(ChunkFile.refFileSeq(ref)), ChunkFile.refOffset(ref))
-            XorChunk.decode(rec.data).iterator
-              .filterNot(s => Tombstones.deleted(ivs, s.t)) // P13 mask
-              .map(s => Row(labels, s.t, s.v))
-          }
-        }
-      }
-    spark.createDataFrame(rdd, longFormSchema)
-  }
+  /** Distributed block read → long-form DataFrame (labels map, t, v),
+    * through the DSv2 source: the driver ships only postings-ref slices
+    * (8 bytes/series) and executors decode labels + chunks with
+    * coalesced range reads — planning stays O(postings) however many
+    * series the block holds (the previous RDD path decoded every label
+    * map on the driver). Tombstones are honored by the reader. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-tsdb").load(dir).select("labels", "t", "v")
 
   // ---------- ingest (shipper equivalent, idempotent on ULID) ----------
   /** Append a block into a partitioned parquet store. Skip-if-present on
@@ -228,11 +201,13 @@ object TsdbBlock {
     // block non-overlap invariant (reference validates at load,
     // db.go:206-220; Prometheus semantics on overlap is "error")
     if (Files.isDirectory(markerDir)) {
-      Files.list(markerDir).iterator().asScala.foreach { m =>
-        val Array(lo, hi) = Files.readString(m).split("\\.\\.").map(_.toLong)
-        require(meta.maxTime < lo || meta.minTime > hi,
-          s"block ${meta.ulid} [${meta.minTime},${meta.maxTime}] overlaps " +
-            s"ingested block ${m.getFileName} [$lo,$hi]")
+      scala.util.Using.resource(Files.list(markerDir)) { st =>
+        st.iterator().asScala.foreach { m =>
+          val Array(lo, hi) = Files.readString(m).split("\\.\\.").map(_.toLong)
+          require(meta.maxTime < lo || meta.minTime > hi,
+            s"block ${meta.ulid} [${meta.minTime},${meta.maxTime}] overlaps " +
+              s"ingested block ${m.getFileName} [$lo,$hi]")
+        }
       }
     }
     val canonical = TsSchema.canonicalize(read(spark, blockDir), promoted)
@@ -248,9 +223,11 @@ object TsdbBlock {
   def syncDir(spark: SparkSession, blocksRoot: String, storePath: String): Seq[String] = {
     val root = Paths.get(blocksRoot)
     if (!Files.isDirectory(root)) return Seq.empty
-    Files.list(root).iterator().asScala
-      .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("meta.json")))
-      .toSeq.sortBy(_.getFileName.toString)
+    scala.util.Using.resource(Files.list(root)) { st =>
+      st.iterator().asScala
+        .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("meta.json")))
+        .toSeq.sortBy(_.getFileName.toString)
+    }
       .filter(p => ingest(spark, p.toString, storePath))
       .map(_.getFileName.toString)
   }

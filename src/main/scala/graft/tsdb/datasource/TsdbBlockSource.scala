@@ -4,6 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import java.util
 
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -30,14 +31,21 @@ import graft.tsdb.{ChunkFile, TsdbBlock, TsdbIndex, XorChunk}
   *    predicates on label columns arrive as DSv2 [[Filter]]s;
   *  - `EqualTo`/`In` on a label column → postings lookup
   *    (`querier.go:235-284` P6), `StringStartsWith` → label-value
-  *    enumeration + postings union (P4/P7);
+  *    enumeration + postings union (P4/P7), `Not(EqualTo)`/`Not(In)` →
+  *    complement-of-values postings union (P3/P7, `querier.go:245-284`),
+  *    `IsNotNull`/`IsNull` → present/absent-label postings (P5);
+  *  - regex matchers arrive as `In` lists too: Spark's filter API has no
+  *    regex filter, so [[TsdbRegexRewrite]] (injected via
+  *    `graft.GraftExtensions`) rewrites `rlike` over a label column into
+  *    `In(matching label values)` by consulting the index driver-side —
+  *    exactly the reference's P7 value-enumeration strategy;
   *  - `t` bounds → block pruning via `meta.json` (P10, `querier.go:31-43`)
   *    + chunk pruning via per-chunk MinTime/MaxTime (P11,
   *    `querier.go:510-531`) + exact per-sample clamp (P12) in the reader,
   *    which is why the time filters are reported as fully pushed;
-  *  - each partition decodes a batch of series from one block with a
-  *    per-task segment-file cache (the reference's coalesced group read,
-  *    `chunks.go:161-251`).
+  *  - each partition reads exactly the chunk byte ranges its series need,
+  *    coalesced per segment file (the reference's grouped populate,
+  *    `chunks.go:161-251`) — never whole segments.
   */
 class TsdbBlockSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-tsdb"
@@ -67,9 +75,11 @@ object TsdbBlockTable {
     val r = Paths.get(root)
     if (Files.exists(r.resolve("meta.json"))) Seq(r)
     else if (Files.isDirectory(r))
-      Files.list(r).iterator().asScala
-        .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("meta.json")))
-        .toSeq.sortBy(_.getFileName.toString)
+      Using.resource(Files.list(r)) { st =>
+        st.iterator().asScala
+          .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("meta.json")))
+          .toSeq.sortBy(_.getFileName.toString)
+      }
     else Seq.empty
   }
 
@@ -78,7 +88,7 @@ object TsdbBlockTable {
     * rejected rather than silently remapped. */
   def schemaFor(dirs: Seq[Path]): StructType = {
     val labelNames = dirs.flatMap { d =>
-      new TsdbIndex.IndexReader(Files.readAllBytes(d.resolve("index"))).labelNames
+      TsdbIndexCache.get(d.resolve("index").toString).labelNames
     }.distinct.sorted
     require(labelNames.intersect(FixedFields).isEmpty,
       s"graft-tsdb: label names collide with fixed columns: " +
@@ -91,7 +101,23 @@ object TsdbBlockTable {
   }
 }
 
-class TsdbBlockTable(rootPath: String, tableSchema: StructType)
+/** A label predicate the index can honor exactly, resolved to postings
+  * PER BLOCK at plan time (label-value universes differ per block). */
+sealed trait LabelPred { def name: String }
+/** value ∈ `values` → union of each value's postings (P6/P9). */
+final case class EqValues(name: String, values: Set[String]) extends LabelPred
+/** value starts with `prefix` → enumerate + union (P4/P7). */
+final case class PrefixPred(name: String, prefix: String) extends LabelPred
+/** label present and value ∉ `excluded` → complement-of-values union
+  * (P3 as the reference resolves it, `querier.go:245-284`). SQL `!=`
+  * null semantics hold: series without the label are excluded. */
+final case class NotValues(name: String, excluded: Set[String]) extends LabelPred
+/** label present (IsNotNull) → union over all the name's postings. */
+final case class PresentPred(name: String) extends LabelPred
+/** label absent (IsNull) → allPostings minus present set (P5). */
+final case class AbsentPred(name: String) extends LabelPred
+
+class TsdbBlockTable(val rootPath: String, tableSchema: StructType)
   extends Table with SupportsRead {
   override def name(): String = s"graft-tsdb `$rootPath`"
   override def schema(): StructType = tableSchema
@@ -107,9 +133,7 @@ class TsdbScanBuilder(rootPath: String, tableSchema: StructType, seriesPerPartit
 
   private var mint = Long.MinValue
   private var maxt = Long.MaxValue
-  // (labelName, acceptable values | prefix) — conjunctive matchers
-  private var eqMatchers = Vector.empty[(String, Set[String])]
-  private var prefixMatchers = Vector.empty[(String, String)]
+  private var preds = Vector.empty[LabelPred]
   private var pushed = Vector.empty[Filter]
   private var required: StructType = tableSchema
 
@@ -118,22 +142,33 @@ class TsdbScanBuilder(rootPath: String, tableSchema: StructType, seriesPerPartit
 
   /** Consume a filter if the index can honor it EXACTLY; conjuncts of
     * `And` are consumed independently (P8 intersection is implicit in
-    * applying all matchers). Everything else stays post-scan. */
+    * applying all matchers). Everything else stays post-scan. The
+    * strict `t` bounds guard the Long extremes: `t > Long.MaxValue`
+    * cannot be represented by adjusting `mint`, so it stays residual
+    * instead of being silently dropped. */
   private def tryPush(f: Filter): Boolean = f match {
     case And(l, r) =>
       // both sides must be individually pushable: push-or-nothing so we
       // never claim a half-honored And
       val okL = tryPush(l); val okR = okL && tryPush(r); okL && okR
     case GreaterThanOrEqual("t", v: Long) => mint = math.max(mint, v); true
-    case GreaterThan("t", v: Long) => mint = math.max(mint, v + 1); true
+    case GreaterThan("t", v: Long) if v != Long.MaxValue =>
+      mint = math.max(mint, v + 1); true
     case LessThanOrEqual("t", v: Long) => maxt = math.min(maxt, v); true
-    case LessThan("t", v: Long) => maxt = math.min(maxt, v - 1); true
+    case LessThan("t", v: Long) if v != Long.MinValue =>
+      maxt = math.min(maxt, v - 1); true
     case EqualTo(a, v: String) if isLabelCol(a) =>
-      eqMatchers :+= (a, Set(v)); true
+      preds :+= EqValues(a, Set(v)); true
     case In(a, vs) if isLabelCol(a) && vs.forall(_.isInstanceOf[String]) =>
-      eqMatchers :+= (a, vs.map(_.asInstanceOf[String]).toSet); true
+      preds :+= EqValues(a, vs.map(_.asInstanceOf[String]).toSet); true
     case StringStartsWith(a, p) if isLabelCol(a) =>
-      prefixMatchers :+= (a, p); true
+      preds :+= PrefixPred(a, p); true
+    case Not(EqualTo(a, v: String)) if isLabelCol(a) =>
+      preds :+= NotValues(a, Set(v)); true
+    case Not(In(a, vs)) if isLabelCol(a) && vs.forall(_.isInstanceOf[String]) =>
+      preds :+= NotValues(a, vs.map(_.asInstanceOf[String]).toSet); true
+    case IsNotNull(a) if isLabelCol(a) => preds :+= PresentPred(a); true
+    case IsNull(a) if isLabelCol(a) => preds :+= AbsentPred(a); true
     case _ => false
   }
 
@@ -149,22 +184,42 @@ class TsdbScanBuilder(rootPath: String, tableSchema: StructType, seriesPerPartit
     required = requiredSchema
 
   override def build(): Scan =
-    new TsdbScan(rootPath, required, mint, maxt, eqMatchers, prefixMatchers,
-      seriesPerPartition)
+    new TsdbScan(rootPath, required, mint, maxt, preds, seriesPerPartition)
 }
 
 /** Driver-side planning: prune blocks by meta time range, resolve
   * matchers against each block's index (postings), batch the selected
   * series into partitions. */
 class TsdbScan(rootPath: String, required: StructType, mint: Long, maxt: Long,
-               eqMatchers: Seq[(String, Set[String])],
-               prefixMatchers: Seq[(String, String)],
+               preds: Seq[LabelPred],
                seriesPerPartition: Int) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-tsdb $rootPath time=[$mint,$maxt] " +
-      s"eq=${eqMatchers.mkString(",")} prefix=${prefixMatchers.mkString(",")}"
+    s"graft-tsdb $rootPath time=[$mint,$maxt] " + preds.map {
+      case EqValues(n, vs) => s"eq=($n,Set(${vs.toSeq.sorted.mkString(", ")}))"
+      case PrefixPred(n, p) => s"prefix=($n,$p)"
+      case NotValues(n, vs) => s"neq=($n,Set(${vs.toSeq.sorted.mkString(", ")}))"
+      case PresentPred(n) => s"present=$n"
+      case AbsentPred(n) => s"absent=$n"
+    }.mkString(" ")
+
+  /** Resolve one predicate to a postings ref set against one block's
+    * index (the reference's matcher→postings step, `querier.go:235-284`). */
+  private def resolve(idx: TsdbIndex.IndexReader, p: LabelPred): Set[Long] = p match {
+    case EqValues(n, vs) => vs.flatMap(v => idx.postings(n, v)) // P9 union
+    case PrefixPred(n, pre) =>
+      idx.labelValues(n).filter(_.startsWith(pre))
+        .flatMap(v => idx.postings(n, v)).toSet
+    case NotValues(n, excl) =>
+      idx.labelValues(n).filterNot(excl)
+        .flatMap(v => idx.postings(n, v)).toSet
+    case PresentPred(n) =>
+      idx.labelValues(n).flatMap(v => idx.postings(n, v)).toSet
+    case AbsentPred(n) =>
+      idx.allPostings.toSet --
+        idx.labelValues(n).flatMap(v => idx.postings(n, v)).toSet
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val parts = Vector.newBuilder[InputPartition]
@@ -173,17 +228,10 @@ class TsdbScan(rootPath: String, required: StructType, mint: Long, maxt: Long,
       // P10 block pruning
       if (meta.minTime <= maxt && mint <= meta.maxTime) {
         val idx = TsdbIndexCache.get(dir.resolve("index").toString)
-        // P6/P7: postings per matcher, P8: intersect
-        val postingSets: Seq[Set[Long]] =
-          eqMatchers.map { case (n, vs) =>
-            vs.flatMap(v => idx.postings(n, v)).toSet // P9 union within matcher
-          } ++ prefixMatchers.map { case (n, p) =>
-            idx.labelValues(n).filter(_.startsWith(p))
-              .flatMap(v => idx.postings(n, v)).toSet
-          }
+        val postingSets = preds.map(resolve(idx, _))
         val refs: Seq[Long] =
           if (postingSets.isEmpty) idx.allPostings
-          else postingSets.reduce(_ intersect _).toSeq.sorted
+          else postingSets.reduce(_ intersect _).toSeq.sorted // P8 intersect
         // The driver ships only POSTINGS REF SLICES (8 bytes/series), not
         // decoded labels — series entries are decoded executor-side, so
         // planning stays O(postings) however many series match. This is
@@ -237,18 +285,33 @@ object TsdbIndexCache {
 /** Decodes one slice of postings refs: series entry (labels + chunk
   * list) from the index, chunk-level time pruning (P11), XOR decode,
   * exact sample clamp (P12). Field writers are resolved once per series
-  * (not per sample); segment files are read once per task (the
-  * reference's per-query coalesced read, chunks.go:161-251). */
+  * (not per sample). Chunk bytes are fetched with ONE pass of coalesced
+  * bounded range reads per touched segment file ([[ChunkFile.readRefs]])
+  * — the reference's grouped populate (`chunks.go:161-251`) — so a
+  * 1-series select against a 512 MiB segment reads KiB, not the segment. */
 class TsdbPartitionReader(p: TsdbInputPartition) extends PartitionReader[InternalRow] {
   private val idx = TsdbIndexCache.get(
     Paths.get(p.blockDir, "index").toString)
   private val stones = graft.tsdb.Tombstones.read(Paths.get(p.blockDir))
-  private val chunksDir = Paths.get(p.blockDir, "chunks").toString
-  private val segCache = scala.collection.mutable.Map[Int, Array[Byte]]()
-  private def segment(fileSeq: Int): Array[Byte] = segCache.getOrElseUpdate(fileSeq,
-    Files.readAllBytes(Paths.get(chunksDir, f"$fileSeq%06d")))
 
-  private val refIt = p.refs.iterator
+  /** Per-series plan: pruned chunk refs + tombstone intervals. Built once
+    * from the in-memory index — no chunk IO yet. */
+  private val plan: Array[(Long, Seq[Long], Seq[(Long, Long)])] =
+    p.refs.flatMap { ref =>
+      val s = idx.series(ref)
+      val ivs = stones.getOrElse(ref, Seq.empty)
+      val chunks = s.chunks
+        .filter(c => c.minTime <= p.maxt && p.mint <= c.maxTime) // P11
+        // P13: drop chunks wholly inside a deleted interval (querier.go:466-478)
+        .filterNot(c => ivs.exists { case (lo, hi) => c.minTime >= lo && c.maxTime <= hi })
+      if (chunks.isEmpty) None else Some((ref, chunks.map(_.ref), ivs))
+    }
+
+  /** One coalesced fetch for every chunk this partition will decode. */
+  private val chunkData: Map[Long, ChunkFile.ChunkRecord] =
+    ChunkFile.readRefs(Paths.get(p.blockDir, "chunks"), plan.flatMap(_._2).toSeq)
+
+  private val seriesIt = plan.iterator
   private var samples: Iterator[graft.tsdb.Sample] = Iterator.empty
   // per-series constant cells (everything except t and v)
   private var template: Array[Any] = _
@@ -256,15 +319,10 @@ class TsdbPartitionReader(p: TsdbInputPartition) extends PartitionReader[Interna
   private var vIdx = -1
   private var current: InternalRow = _
 
-  /** @return true if the series has chunks in range */
-  private def startSeries(ref: Long): Boolean = {
+  /** @return true if the series has samples in range */
+  private def startSeries(ref: Long, chunkRefs: Seq[Long],
+                          ivs: Seq[(Long, Long)]): Boolean = {
     val s = idx.series(ref)
-    val ivs = stones.getOrElse(ref, Seq.empty)
-    val chunks = s.chunks
-      .filter(c => c.minTime <= p.maxt && p.mint <= c.maxTime)
-      // P13: drop chunks wholly inside a deleted interval (querier.go:466-478)
-      .filterNot(c => ivs.exists { case (lo, hi) => c.minTime >= lo && c.maxTime <= hi })
-    if (chunks.isEmpty) return false // P11: wholly out-of-range series
     val labelMap = s.labels.map(l => l.name -> l.value).toMap
     template = new Array[Any](p.fields.length)
     tIdx = -1; vIdx = -1
@@ -280,10 +338,8 @@ class TsdbPartitionReader(p: TsdbInputPartition) extends PartitionReader[Interna
           template(i) = labelMap.get(name).map(UTF8String.fromString).orNull
       }
     }
-    samples = chunks.iterator.flatMap { c =>
-      val rec = ChunkFile.readAt(segment(ChunkFile.refFileSeq(c.ref)),
-        ChunkFile.refOffset(c.ref))
-      XorChunk.decode(rec.data).iterator
+    samples = chunkRefs.iterator.flatMap { cref =>
+      XorChunk.decode(chunkData(cref).data).iterator
     }.filter(sm => sm.t >= p.mint && sm.t <= p.maxt) // P12 exact clamp
       .filterNot(sm => graft.tsdb.Tombstones.deleted(ivs, sm.t)) // P13 mask
     samples.hasNext
@@ -291,8 +347,9 @@ class TsdbPartitionReader(p: TsdbInputPartition) extends PartitionReader[Interna
 
   override def next(): Boolean = {
     while (!samples.hasNext) {
-      if (!refIt.hasNext) return false
-      startSeries(refIt.next())
+      if (!seriesIt.hasNext) return false
+      val (ref, chunkRefs, ivs) = seriesIt.next()
+      startSeries(ref, chunkRefs, ivs)
     }
     val sm = samples.next()
     val cells = template.clone()
@@ -303,5 +360,5 @@ class TsdbPartitionReader(p: TsdbInputPartition) extends PartitionReader[Interna
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = segCache.clear()
+  override def close(): Unit = ()
 }

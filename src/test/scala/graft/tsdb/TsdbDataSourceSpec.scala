@@ -198,6 +198,70 @@ class TsdbDataSourceSpec extends AnyFunSuite {
     assert(m1.minTime == t0)
   }
 
+  test("regex matcher rewrites to a pushed postings union (P7)") {
+    val q = ds.where(col("job").rlike("^api"))
+    // TsdbRegexRewrite turned the rlike into In(matching values), which
+    // pushed as a postings union — nothing regex-shaped survives the plan
+    val d = scanOf(q).description()
+    assert(d.contains("eq=(job,Set(api, api-canary))"), d)
+    assert(!q.queryExecution.executedPlan.toString.toLowerCase.contains("rlike"))
+    assert(q.count() == 2L * 2 * 3 * 300)
+  }
+
+  test("negated regex pushes the Not(In) complement with null semantics") {
+    val q = ds.where(!col("job").rlike("^api$")) // find(): matches exactly "api"
+    assert(scanOf(q).description().contains("neq=(job,Set(api))"),
+      scanOf(q).description())
+    assert(q.select("job").distinct().collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("api-canary", "web"))
+  }
+
+  test("!= matcher pushes as complement-of-values (P3 via P7)") {
+    val q = ds.where(col("job") =!= "api")
+    val d = scanOf(q).description()
+    assert(d.contains("neq=(job,Set(api))"), d)
+    assert(q.count() == 2L * 2 * 3 * 300)
+  }
+
+  test("IsNull/IsNotNull push as absent/present-label postings (P5)") {
+    val dir = Files.createTempDirectory("mixedlabels")
+    val t0 = 1700000000000L
+    val mk = (i: Int) => (0 until 60).map(k => Sample(t0 + k * 15000L, i.toDouble))
+    TsdbBlock.write(dir.resolve("b"), Seq(
+      (Seq(Label("__name__", "up"), Label("job", "a")), mk(1)),
+      (Seq(Label("__name__", "up"), Label("job", "b"), Label("canary", "1")), mk(2)),
+      (Seq(Label("__name__", "up"), Label("job", "c"), Label("canary", "2")), mk(3))),
+      TsdbBlock.syntheticUlid(21))
+    val mixed = spark.read.format("graft-tsdb").load(dir.resolve("b").toString)
+    val absent = mixed.where(col("canary").isNull)
+    assert(scanOf(absent).description().contains("absent=canary"))
+    assert(absent.select("job").distinct().collect().map(_.getString(0)).toSeq == Seq("a"))
+    val present = mixed.where(col("canary").isNotNull)
+    assert(scanOf(present).description().contains("present=canary"))
+    assert(present.count() == 2L * 60)
+  }
+
+  test("selective read fetches a small fraction of the segment (coalesced ranges)") {
+    // 400-series block: a 1-series select must range-read its few chunks,
+    // not the whole segment file (the scan-amplification guard at 100 TB)
+    val dir = Files.createTempDirectory("rangeread")
+    val t0 = 1700000000000L
+    val many = (0 until 400).map { i =>
+      (Seq(Label("__name__", "up"), Label("instance", f"i-$i%03d")),
+        (0 until 300).map(k => Sample(t0 + k * 15000L, ((i * 31 + k) % 97).toDouble)))
+    }
+    TsdbBlock.write(dir.resolve("b"), many, TsdbBlock.syntheticUlid(22))
+    val segSize = Files.size(dir.resolve("b/chunks/000001"))
+    val one = spark.read.format("graft-tsdb").load(dir.resolve("b").toString)
+      .where(col("instance") === "i-007")
+    ChunkFile.bytesFetched.set(0)
+    assert(one.count() == 300)
+    val fetched = ChunkFile.bytesFetched.get()
+    assert(fetched > 0)
+    assert(fetched < segSize / 10,
+      s"fetched $fetched of $segSize-byte segment for a 1/400-series select")
+  }
+
   test("conjunction of matchers intersects postings") {
     val q = ds.where(col("job") === "api" && col("instance") === "i-1")
     assert(q.count() == 2L * 300)
