@@ -5,51 +5,58 @@ import java.util.regex.Pattern
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Fused single-pass tokenize → shingle → md5 → MinHash expression.
+/** Fused single-pass tokenize → shingle → md5 → MinHash (+ LSH band
+  * keys) expression.
   *
   * Semantically identical to the HOF formulation in
   * [[graft.ops.Dedup.shingleHashes]]/`minhashSignatures` (and to the
   * DuckDB oracle): lowercase via UTF8String (Spark's own `lower`), split
   * on `[^\p{L}\p{N}]+`, word n-gram shingles joined with a single space,
   * 60-bit md5-prefix hash mod 2^31-1, first-occurrence-distinct hash
-  * set, and per-slot affine-permutation minima.
+  * set, per-slot affine-permutation minima, and (when `numBands` > 0)
+  * the per-band md5 bucket keys `md5(sig-slice joined with "|")` — so
+  * the whole LSH prep is ONE map-side pass per document with no
+  * re-evaluation anywhere downstream (the posexplode that follows fans
+  * out over a concrete array column).
   *
   * Why a native expression (extension ladder step (b)): the HOF chain is
   * CodegenFallback and interprets ~6 lambda layers per document, boxing
-  * every token, shingle and hash; this eval is one pass with primitive
-  * arrays and a reused MessageDigest. `CodegenFallback` here only means
-  * the expression itself is invoked virtually — everything inside is a
-  * tight loop.
+  * every token, shingle and hash; this is one pass with primitive arrays
+  * and a thread-local MessageDigest, and `doGenCode` keeps it inside
+  * whole-stage codegen (no fallback stage break, no per-row boxing of
+  * the input).
   *
-  * Returns `struct(hs: array<long>, sig: array<long>)`; `hs` is empty
-  * when the document has fewer than `shingleSize` tokens, `sig` is empty
-  * when `numHashes` is 0 (hash-set-only mode for the n-gram Jaccard
-  * path).
+  * Returns `struct(hs: array<long>, sig: array<long>, bands:
+  * array<string>)`; `hs` is empty when the document has fewer than
+  * `shingleSize` tokens, `sig` is empty when `numHashes` is 0
+  * (hash-set-only mode for the n-gram Jaccard path), `bands` is empty
+  * when `numBands` is 0.
   */
-case class MinhashPackedExpr(child: Expression, shingleSize: Int, numHashes: Int)
-  extends UnaryExpression with CodegenFallback {
-
-  import graft.ops.Dedup.{minhashA, minhashB, MinhashP}
+case class MinhashPackedExpr(child: Expression, shingleSize: Int, numHashes: Int,
+                             numBands: Int = 0)
+  extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("hs", ArrayType(LongType, containsNull = false), nullable = false),
-    StructField("sig", ArrayType(LongType, containsNull = false), nullable = false)))
+    StructField("sig", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("bands", ArrayType(StringType, containsNull = false), nullable = false)))
   override def prettyName: String = "minhash_packed"
 
-  @transient private lazy val splitter = Pattern.compile("[^\\p{L}\\p{N}]+")
-  @transient private lazy val md5 = MessageDigest.getInstance("MD5")
-  @transient private lazy val aParams = (0 until numHashes).map(minhashA).toArray
-  @transient private lazy val bParams = (0 until numHashes).map(minhashB).toArray
-
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toLowerCase.toString
-    val rawToks = splitter.split(text, -1)
+  /** One-pass compute; called from both interpreted eval and generated
+    * code. Public because the generated Java invokes it via a plan
+    * reference object. */
+  def compute(input: UTF8String): InternalRow = {
+    import graft.ops.Dedup.{minhashA, minhashB, MinhashP}
+    val md5 = MinhashExpressions.threadMd5.get()
+    val text = input.toLowerCase.toString
+    val rawToks = MinhashExpressions.splitter.split(text, -1)
     // drop empties (leading separator yields one)
     var nTok = 0
     val toks = new Array[String](rawToks.length)
@@ -60,8 +67,9 @@ case class MinhashPackedExpr(child: Expression, shingleSize: Int, numHashes: Int
     }
     val nSh = nTok - shingleSize + 1
     if (nSh <= 0)
-      return org.apache.spark.sql.catalyst.InternalRow(
-        new GenericArrayData(Array.empty[Long]), new GenericArrayData(Array.empty[Long]))
+      return InternalRow(
+        new GenericArrayData(Array.empty[Long]), new GenericArrayData(Array.empty[Long]),
+        new GenericArrayData(Array.empty[Any]))
     // first-occurrence-distinct shingle hashes (mod P), one md5 per
     // DISTINCT shingle string like the HOF form (array_distinct after
     // hashing distinct strings ≡ distinct after mod — dedupe on the mod)
@@ -94,7 +102,7 @@ case class MinhashPackedExpr(child: Expression, shingleSize: Int, numHashes: Int
     var j = 0
     while (j < numHashes) {
       var m = Long.MaxValue
-      val a = aParams(j); val b = bParams(j)
+      val a = minhashA(j); val b = minhashB(j)
       var k = 0
       while (k < hs.length) {
         val p = (hs(k) * a + b) % MinhashP
@@ -104,8 +112,43 @@ case class MinhashPackedExpr(child: Expression, shingleSize: Int, numHashes: Int
       sig(j) = m
       j += 1
     }
-    org.apache.spark.sql.catalyst.InternalRow(
-      new GenericArrayData(hs), new GenericArrayData(sig))
+    // LSH band keys: md5 hex of the band's sig slice joined with "|"
+    // (bit-identical to the HOF lshBuckets form and the DuckDB oracle)
+    val bands = new Array[Any](numBands)
+    if (numBands > 0) {
+      val perBand = numHashes / numBands
+      var b = 0
+      while (b < numBands) {
+        sb.setLength(0)
+        var k = 0
+        while (k < perBand) {
+          if (k > 0) sb.append('|')
+          sb.append(sig(b * perBand + k))
+          k += 1
+        }
+        md5.reset()
+        val digest = md5.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val hex = new java.lang.StringBuilder(32)
+        var d = 0
+        while (d < 16) {
+          hex.append(Character.forDigit((digest(d) >> 4) & 0xf, 16))
+          hex.append(Character.forDigit(digest(d) & 0xf, 16))
+          d += 1
+        }
+        bands(b) = UTF8String.fromString(hex.toString)
+        b += 1
+      }
+    }
+    InternalRow(new GenericArrayData(hs), new GenericArrayData(sig),
+      new GenericArrayData(bands))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minhashPacked", this, classOf[MinhashPackedExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -116,19 +159,19 @@ case class MinhashPackedExpr(child: Expression, shingleSize: Int, numHashes: Int
   * [[graft.ops.Dedup.simhash64Hof]]: every token occurrence votes ±1 per
   * bit of its 60-bit md5-prefix hash; a bit is set iff its vote sum is
   * positive. One pass per document; the HOF form folds a 60-counter
-  * array through two lambda layers per token. */
+  * array through two lambda layers per token. `doGenCode` keeps the call
+  * inside whole-stage codegen. */
 case class SimhashExpr(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  @transient private lazy val splitter = Pattern.compile("[^\\p{L}\\p{N}]+")
-  @transient private lazy val md5 = MessageDigest.getInstance("MD5")
-
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toLowerCase.toString
-    val toks = splitter.split(text, -1)
+  /** One-pass compute; shared by interpreted eval and generated code. */
+  def compute(input: UTF8String): Long = {
+    val md5 = MinhashExpressions.threadMd5.get()
+    val text = input.toLowerCase.toString
+    val toks = MinhashExpressions.splitter.split(text, -1)
     val votes = new Array[Int](60)
     var i = 0
     while (i < toks.length) {
@@ -156,20 +199,36 @@ case class SimhashExpr(child: Expression)
     out
   }
 
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simhashExpr", this, classOf[SimhashExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object MinhashExpressions {
+  private[functions] val splitter = Pattern.compile("[^\\p{L}\\p{N}]+")
+  /** MessageDigest is stateful and NOT thread-safe; expression instances
+    * can be shared across tasks via codegen reference arrays, so the
+    * digest is per-thread. */
+  private[functions] val threadMd5: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   /** Native fused SimHash (see [[SimhashExpr]]). */
   def simhash_native(text: Column): Column =
     GraftSqlBridge.column(SimhashExpr(
       GraftSqlBridge.expression(text.cast("string"))))
 
-  /** struct(hs, sig) in one fused pass. */
-  def minhash_packed(text: Column, shingleSize: Int, numHashes: Int): Column =
+  /** struct(hs, sig, bands) in one fused pass. */
+  def minhash_packed(text: Column, shingleSize: Int, numHashes: Int,
+                     numBands: Int = 0): Column =
     GraftSqlBridge.column(MinhashPackedExpr(
-      GraftSqlBridge.expression(text.cast("string")), shingleSize, numHashes))
+      GraftSqlBridge.expression(text.cast("string")), shingleSize, numHashes, numBands))
 
   /** Distinct shingle-hash set only (n-gram Jaccard path). */
   def shingle_hashes_native(text: Column, shingleSize: Int): Column =

@@ -74,29 +74,39 @@ object Dedup {
     * partition under this form, which is the difference between a scan
     * and three full-corpus shuffles. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 16, shingleSize: Int = 3): DataFrame = {
+                        numHashes: Int = 16, shingleSize: Int = 3,
+                        bands: Int = 0): DataFrame = {
     val packed = graft.functions.MinhashExpressions.minhash_packed(
-      col(textCol), shingleSize, numHashes)
+      col(textCol), shingleSize, numHashes, bands)
     // Filter FIRST, on the cheap token count (size(hs) > 0 ≡ #tokens >=
     // shingleSize): a filter on the packed struct would be pushed below
     // the projection and re-evaluate the whole 16-permutation expression
     // a second time per row. The two selects collapse into one Project
-    // where d.hs/d.sig share the packed subexpression (codegen CSE).
-    df.where(size(graft.functions.tokens(col(textCol))) >= shingleSize)
+    // where the d.* extractions share the packed subexpression (CSE).
+    val base = df.where(size(graft.functions.tokens(col(textCol))) >= shingleSize)
       .select(col(idCol).as("id"), packed.as("d"))
-      .select(col("id"), col("d.hs").as("hs"), col("d.sig").as("sig"))
+    if (bands > 0)
+      base.select(col("id"), col("d.hs").as("hs"), col("d.sig").as("sig"),
+        col("d.bands").as("bands"))
+    else base.select(col("id"), col("d.hs").as("hs"), col("d.sig").as("sig"))
   }
 
-  /** LSH banding: explode the signature into `bands` buckets of
-    * `numHashes/bands` rows each; docs sharing any (band, key) bucket are
-    * candidate near-duplicates. Returns (band, band_key, id). */
+  /** LSH banding: one (band, band_key, id) row per signature band; docs
+    * sharing any bucket are candidate near-duplicates. When `signatures`
+    * carries a fused `bands` column ([[minhashSignatures]] with
+    * `bands > 0`) the explode fans out over that precomputed array;
+    * otherwise the band keys are derived from sig slices here (HOF form,
+    * kept as the parity oracle for the fused path). */
   def lshBuckets(signatures: DataFrame, bands: Int): DataFrame = {
-    val sigLen = // rows per band derived at plan time from the array
-      size(col("sig")) / bands
-    signatures.select(col("id"), col("hs"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => md5(concat_ws("|", transform(slice(col("sig"), b * sigLen + 1, sigLen),
-          x => x.cast("string")))))))
+    val keys =
+      if (signatures.columns.contains("bands")) col("bands")
+      else {
+        val sigLen = size(col("sig")) / bands // rows per band, plan-time
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => md5(concat_ws("|", transform(slice(col("sig"), b * sigLen + 1, sigLen),
+            x => x.cast("string")))))
+      }
+    signatures.select(col("id"), col("hs"), posexplode(keys))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
   }
 
@@ -119,7 +129,8 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 16, bands: Int = 4, shingleSize: Int = 3,
                  threshold: Double = 0.6): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
+    // band keys are fused into the same single pass as hs/sig
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hs = sigs.select(col("id"), col("hs"))
     lshCandidatePairs(sigs, bands)
@@ -206,12 +217,13 @@ object Dedup {
     * proportional to the OUTPUT size, which is the lower bound anyway. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
-    // persist = optimizer barrier: simhash64 is an interpreted HOF fold;
-    // without it, projection collapse inlines it into downstream joins
+    // persist = optimizer barrier AND the only heavy scan: one fused
+    // codegen'd simhash per document
     val docs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // distinct VALUES (not persisted: one cheap shuffle of longs over the
+    // cached docs, consumed once by the band join and once as self-pairs)
     val values = docs.select(col("sh")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = values.select(col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sh"), b * 15).bitwiseAND(0x7fffL)): _*)))
@@ -224,18 +236,19 @@ object Dedup {
         bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxDist) // filter BEFORE the distinct shuffle
       .distinct()
-    // expand value pairs to document pairs (id order normalized)
-    val cross = shPairs
+      // hamming-0: every distinct value paired with itself — identical
+      // docs fall out of the SAME expansion joins below, so no separate
+      // doc-level equi-self-join + union is needed
+      .unionByName(values.select(col("sh").as("sh1"), col("sh").as("sh2"),
+        lit(0L).as("hamming")))
+    // expand value pairs to document pairs (id order normalized; the
+    // sh1==sh2 self-pairs produce each unordered pair twice → keep one)
+    shPairs
       .join(docs.select(col("sh").as("sh1"), col("id").as("ida")), "sh1")
       .join(docs.select(col("sh").as("sh2"), col("id").as("idb")), "sh2")
+      .where(col("sh1") =!= col("sh2") || col("ida") < col("idb"))
       .select(least(col("ida"), col("idb")).as("id1"),
         greatest(col("ida"), col("idb")).as("id2"), col("hamming"))
-    // identical-simhash document pairs (hamming 0)
-    val same = docs.select(col("sh"), col("id").as("id1"))
-      .join(docs.select(col("sh"), col("id").as("id2")), "sh")
-      .where(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), lit(0L).as("hamming"))
-    cross.unionByName(same)
   }
 
   /** Duplicate-cluster assignment: connected components over a pair

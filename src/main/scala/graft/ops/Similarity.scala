@@ -162,12 +162,17 @@ object Similarity {
                 centroids: DataFrame, centId: String, centVec: String): DataFrame = {
     val c = corpus.select(col(cId).as("corpus_id"), col(cVec).cast("array<double>").as("cv"))
     val cent = centroids.select(col(centId).as("cell"), col(centVec).cast("array<double>").as("centv"))
-    val w = Window.partitionBy(col("corpus_id")).orderBy(col("d").desc, col("cell"))
+    // nearest-centroid via aggregation, NOT a rank-1 window: min(struct)
+    // gets a map-side partial combine, so the shuffle carries ONE row per
+    // corpus vector instead of ncentroids rows plus per-key sort state.
+    // struct ordering = (-d asc, cell asc) ≡ (d desc, cell asc) — the
+    // same deterministic tie-break the old window used.
     c.crossJoin(broadcast(cent))
       .withColumn("d", cosine_native(col("cv"), col("centv")))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") === 1)
-      .select(col("corpus_id"), col("cv"), col("cell"))
+      .groupBy(col("corpus_id"))
+      .agg(first(col("cv")).as("cv"),
+        min(struct((-col("d")).as("nd"), col("cell").as("cell"))).as("best"))
+      .select(col("corpus_id"), col("cv"), col("best").getField("cell").as("cell"))
   }
 
   /** IVF probe: search only the `nprobe` cells nearest to each query. */

@@ -68,27 +68,139 @@ object TsdbBlock {
     writeAssembled(dir, encoded, ulid, maxSegmentBytes)
   }
 
-  /** Distributed block write — the shipper path at scale: XOR encoding
-    * (the CPU cost, ~all of it) runs on EXECUTORS, one series per row of
-    * the grouped frame; only compressed chunk bytes (~1.37 B/sample)
-    * travel to the driver, which assembles the segment file, index and
-    * meta (inherently sequential layout: byte offsets + sorted series).
+  private def uvarintSize(v: Long): Int = {
+    var n = 1; var x = v
+    while (java.lang.Long.compareUnsigned(x, 0x80L) >= 0) { n += 1; x >>>= 7 }
+    n
+  }
+
+  /** Exact byte size of one chunk record in a segment file
+    * (uvarint len + encoding byte + data + crc32). */
+  private def recordSize(dataLen: Int): Long =
+    uvarintSize(dataLen.toLong) + 1L + dataLen + 4L
+
+  /** Canonical-label string key used to join driver-side segment
+    * assignments back to executor-resident encoded chunks. */
+  private def labelKey(ls: Seq[Label]): String =
+    ls.map(l => l.name + "þ" + l.value).mkString("ÿ")
+
+  /** Distributed block write — the shipper path at scale. XOR encoding
+    * AND segment-file assembly run on EXECUTORS: chunk bytes never touch
+    * the driver. Two phases over one persisted per-series RDD:
+    *
+    *  1. driver collects METADATA only — (labels, per-chunk
+    *     (mint, maxt, encodedLen), sampleCount), a few dozen bytes per
+    *     series — sorts series canonically and computes every chunk's
+    *     (fileSeq, offset) with the same greedy 512 MiB split and exact
+    *     record framing as the local writer;
+    *  2. executors regroup chunks by target segment (one reducer per
+    *     segment file, ≤ `maxSegmentBytes` each) and write the files;
+    *     the driver writes only index + tombstones + meta.json.
+    *
+    * Output is byte-identical to [[write]]. A compaction of N large
+    * blocks therefore streams chunk data executor→disk without a driver
+    * bottleneck (the previous implementation collected every encoded
+    * chunk). Executors must share the destination filesystem with the
+    * driver (local mode / NFS / object-store mount — same assumption the
+    * reference's shipper makes about its upload dir, `shipper.go:262-309`).
     * Input: canonical long form (labels array, fingerprint, t, v). */
   def writeDistributed(canonical: DataFrame, dir: Path, ulid: String,
-                       level: Int = 1): BlockMeta = {
-    val encoded = canonical
+                       level: Int = 1,
+                       maxSegmentBytes: Long = MaxSegmentBytes): BlockMeta = {
+    val spark = canonical.sparkSession
+    val perSeries = canonical
       .groupBy(col("fingerprint"), col("labels"))
       .agg(sort_array(collect_list(struct(col("t"), col("v")))).as("samples"))
       .select(col("labels"), col("samples"))
       .rdd.map { r =>
-        val labels = r.getSeq[Row](0).map(l => Label(l.getString(0), l.getString(1)))
+        val labels = Labels.canonical(
+          r.getSeq[Row](0).map(l => Label(l.getString(0), l.getString(1))))
         val samples = r.getSeq[Row](1).map(s => Sample(s.getLong(0), s.getDouble(1)))
         val chunks = samples.grouped(MaxSamplesPerChunk).map { grp =>
           (grp.head.t, grp.last.t, XorChunk.encode(grp))
-        }.toSeq
+        }.toVector
         (labels, chunks, samples.size.toLong)
-      }.collect().toSeq
-    writeAssembled(dir, encoded, ulid, level = level)
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ---- phase 1: metadata to the driver, layout assignment ----
+      val metaRows = perSeries
+        .map { case (ls, chunks, n) =>
+          (ls, chunks.map(c => (c._1, c._2, c._3.length)), n)
+        }.collect()
+        .sortBy(_._1)(Labels.ordering)
+      require(metaRows.map(_._1).distinct.length == metaRows.length,
+        "duplicate series label sets")
+
+      // greedy segment split — same rule as writeAssembled (estimate
+      // len+10 per record against the cap), then EXACT offsets within
+      // each segment from the real framing
+      val flatLens = metaRows.iterator.flatMap(_._2.map(_._3)).toVector
+      val fileSeqOf = new Array[Int](flatLens.length)
+      val offsetOf = new Array[Int](flatLens.length)
+      var seg = 1; var curBytes = 5L; var curN = 0; var off = 5L
+      flatLens.zipWithIndex.foreach { case (len, i) =>
+        if (curN > 0 && curBytes + len + 10 > maxSegmentBytes) {
+          seg += 1; curBytes = 5L; curN = 0; off = 5L
+        }
+        fileSeqOf(i) = seg; offsetOf(i) = off.toInt
+        curBytes += len + 10; curN += 1; off += recordSize(len)
+      }
+      val nSegs = if (flatLens.isEmpty) 1 else seg
+
+      // per-series chunk assignments + index refs
+      val assignment = scala.collection.mutable.HashMap[String, Vector[(Int, Int)]]()
+      var idx = 0
+      val idxSeries = metaRows.map { case (ls, chunkMetas, _) =>
+        val asg = chunkMetas.map { _ =>
+          val a = (fileSeqOf(idx), offsetOf(idx)); idx += 1; a
+        }.toVector
+        assignment(labelKey(ls)) = asg
+        TsdbIndex.IndexSeries(ls, chunkMetas.zip(asg).map { case ((mint, maxt, _), (fs, o)) =>
+          TsdbIndex.ChunkMeta(mint, maxt, ChunkFile.ref(fs, o))
+        })
+      }
+
+      // ---- phase 2: executors write segment files ----
+      Files.createDirectories(dir.resolve("chunks"))
+      val bc = spark.sparkContext.broadcast(assignment.toMap)
+      val chunksDir = dir.resolve("chunks").toString
+      if (flatLens.nonEmpty) {
+        perSeries.flatMap { case (ls, chunks, _) =>
+          val asg = bc.value(ls.map(l => l.name + "þ" + l.value).mkString("ÿ"))
+          chunks.zipWithIndex.map { case (c, i) =>
+            (asg(i)._1, (asg(i)._2, c._3))
+          }
+        }.partitionBy(new org.apache.spark.HashPartitioner(nSegs + 1))
+          .foreachPartition { it =>
+            it.toSeq.groupBy(_._1).foreach { case (fileSeq, rows) =>
+              val ordered = rows.map(_._2).sortBy(_._1)
+              val (bytes, refs) = ChunkFile.write(fileSeq, ordered.map(_._2))
+              // framing must land every chunk at its assigned offset
+              ordered.map(_._1).zip(refs.map(ChunkFile.refOffset)).foreach {
+                case (want, got) => require(want == got,
+                  s"segment $fileSeq: assigned offset $want != written $got")
+              }
+              Files.write(Paths.get(chunksDir, f"$fileSeq%06d"), bytes)
+            }
+          }
+      } else {
+        // empty block still carries one (header-only) segment file
+        Files.write(dir.resolve("chunks").resolve("000001"),
+          ChunkFile.write(1, Seq.empty)._1)
+      }
+
+      // ---- driver: index + tombstones + meta only ----
+      Files.write(dir.resolve("index"), TsdbIndex.write(idxSeries.toSeq))
+      Tombstones.write(dir, Map.empty)
+      val allMetas = metaRows.flatMap(_._2)
+      val meta = BlockMeta(ulid,
+        allMetas.map(_._1).min, allMetas.map(_._2).max,
+        BlockStats(metaRows.map(_._3).sum, metaRows.length.toLong,
+          allMetas.length.toLong),
+        level)
+      writeMeta(dir, meta)
+      meta
+    } finally perSeries.unpersist(blocking = false)
   }
 
   /** Compact blocks into one higher-level block (the Prometheus

@@ -118,6 +118,18 @@ class OpsSpec extends AnyFunSuite {
       assert(r.getSeq[Long](0) == r.getSeq[Long](1))
       assert(r.getLong(2) == r.getLong(3))
     }
+    // fused band keys ≡ HOF md5-over-sig-slice derivation (same docs)
+    val bandRows = df
+      .where(size(graft.functions.tokens(col("text"))) >= 2)
+      .select(graft.functions.MinhashExpressions
+        .minhash_packed(col("text"), 2, 8, 4).as("d"))
+      .select(col("d.bands").as("nat"),
+        transform(sequence(lit(0), lit(3)), b => md5(concat_ws("|",
+          transform(slice(col("d.sig"), b * 2 + 1, lit(2)), x => x.cast("string")))))
+          .as("hof"))
+      .collect()
+    assert(bandRows.nonEmpty)
+    bandRows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
   test("native simhash expression is bit-identical to the HOF formulation") {

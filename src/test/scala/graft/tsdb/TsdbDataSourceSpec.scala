@@ -115,6 +115,33 @@ class TsdbDataSourceSpec extends AnyFunSuite {
       Files.readAllBytes(d2.resolve("b/chunks/000001"))))
   }
 
+  test("distributed multi-segment write is byte-identical to the local writer") {
+    import spark.implicits._
+    val long = corpus(1700000000000L).flatMap { case (ls, ss) =>
+      ss.map(s => (ls.map(l => (l.name, l.value)), s.t, s.v))
+    }
+    val canonical = long.toDF("pairs", "t", "v")
+      .select(expr("transform(pairs, p -> struct(p._1 as name, p._2 as value))").as("labels"),
+        TsSchema.fingerprintCol(col("labels")).as("fingerprint"), col("t"), col("v"))
+    val d1 = Files.createTempDirectory("distseg")
+    val d2 = Files.createTempDirectory("localseg")
+    val m1 = TsdbBlock.writeDistributed(canonical, d1.resolve("b"),
+      TsdbBlock.syntheticUlid(8), maxSegmentBytes = 2048)
+    val m2 = TsdbBlock.write(d2.resolve("b"), corpus(1700000000000L),
+      TsdbBlock.syntheticUlid(8), maxSegmentBytes = 2048)
+    assert(m1 == m2)
+    val segs = Files.list(d1.resolve("b/chunks")).toArray.map(_.toString).sorted
+    assert(segs.length > 1, s"expected multiple segments, got ${segs.length}")
+    segs.foreach { s =>
+      val rel = d1.resolve("b").relativize(java.nio.file.Paths.get(s))
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(java.nio.file.Paths.get(s)),
+        Files.readAllBytes(d2.resolve("b").resolve(rel))), s"segment $rel differs")
+    }
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(d1.resolve("b/index")), Files.readAllBytes(d2.resolve("b/index"))))
+  }
+
   test("multi-segment blocks: chunks spill across files, both readers stitch refs") {
     val dir = Files.createTempDirectory("multiseg")
     val t0 = 1700000000000L
