@@ -78,6 +78,23 @@ object TsQueries {
       root.toString
     })
 
+  /** Per-(session, dir) parquet store with two pending deletion records,
+    * for the Delta-style delete workflow query (TsDeletions). */
+  private val deleteStoreCache =
+    scala.collection.concurrent.TrieMap[(String, String), String]()
+
+  private def deleteStore(s: SparkSession, dir: String): String =
+    deleteStoreCache.getOrElseUpdate((System.identityHashCode(s).toString, dir), {
+      val p = java.nio.file.Files.createTempDirectory("graft_delstore")
+        .resolve("store").toString
+      store(s, dir).write.partitionBy("block_start").parquet(p)
+      TsDeletions.delete(s, p, Seq(LabelMatcher.eq(Labels.MetricName, "click")),
+        1704844800000L, 1705276800000L)
+      TsDeletions.delete(s, p, Seq(LabelMatcher.eq(Labels.MetricName, "error")),
+        1705276800000L, 1705708800000L)
+      p
+    })
+
   /** Long-form select → flat projection in deterministic order. */
   private def flat(q: DataFrame): DataFrame =
     q.select(
@@ -164,6 +181,18 @@ object TsQueries {
         .select(col("name"), TsSchema.labelValue(col("labels"), "user").as("user"),
           col("t"), col("v"))
         .orderBy(col("name"), col("user"), col("t"), col("v"))
+    }),
+
+    // Delta-style deletion workflow: delete(matchers, mint, maxt) appends
+    // to the store's _deletions log; the querier masks pending deletions
+    // with a compiled predicate (no rewrite until materialize runs).
+    // Same intervals as ts_tombstone → same oracle shape.
+    "ts_delete_select" -> ((s, dir) => {
+      val p = deleteStore(s, dir)
+      val q = new TsQuerier(TsDeletions.readMasked(s, p),
+        promoted = Seq(Labels.MetricName))
+      flat(q.selectLong(Mint, Maxt, Seq(
+        LabelMatcher.re(Labels.MetricName, "click|error"))))
     }),
 
     // beyond-reference: PromQL-style per-series rate over sample deltas
@@ -497,6 +526,13 @@ object TsQueries {
       """SELECT name FROM (SELECT '__name__' AS name UNION SELECT 'user'
         | UNION SELECT DISTINCT 'big' FROM events WHERE "value" >= 100) ORDER BY name""".stripMargin.replace("\n", " "),
     "ts_tombstone" ->
+      s"""SELECT name, "user", t, v FROM ($oracleBase)
+         | WHERE t BETWEEN $Mint AND $Maxt
+         |  AND regexp_matches(name, '^(?:click|error)$$')
+         |  AND NOT (name = 'click' AND t BETWEEN 1704844800000 AND 1705276800000)
+         |  AND NOT (name = 'error' AND t BETWEEN 1705276800000 AND 1705708800000)
+         | ORDER BY name, "user", t, v""".stripMargin.replace("\n", " "),
+    "ts_delete_select" ->
       s"""SELECT name, "user", t, v FROM ($oracleBase)
          | WHERE t BETWEEN $Mint AND $Maxt
          |  AND regexp_matches(name, '^(?:click|error)$$')

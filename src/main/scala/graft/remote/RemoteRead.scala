@@ -130,23 +130,35 @@ object Proto {
     out.toSeq
   }
 
-  def encodeReadResponse(results: Seq[Seq[SampleStream]]): Array[Byte] = {
+  /** One `TimeSeries` message (shared by QueryResult and WriteRequest —
+    * remote.proto uses the same layout in both). */
+  def encodeTimeSeries(ss: SampleStream): W = {
+    val tw = new W
+    ss.labels.toSeq.sortBy(_._1).foreach { case (n, v) =>
+      val lw = new W; lw.str(1, n); lw.str(2, v); tw.msg(1, lw)
+    }
+    ss.samples.foreach { s =>
+      val sw = new W
+      if (s.v != 0.0 || java.lang.Double.doubleToLongBits(s.v) != 0L) sw.dbl(1, s.v)
+      sw.i64(2, s.t)
+      tw.msg(2, sw)
+    }
+    tw
+  }
+
+  def encodeReadResponse(results: Seq[Seq[SampleStream]]): Array[Byte] =
+    encodeReadResponseStreaming(results.map(_.iterator))
+
+  /** Streaming encode: consumes each query's series from an iterator
+    * (e.g. `Dataset.toLocalIterator`), so only the ENCODED bytes — not
+    * the materialized series objects — accumulate on the driver. The
+    * response itself is one snappy(protobuf) block (the v1 protocol
+    * buffers the full Matrix; inherent). */
+  def encodeReadResponseStreaming(results: Seq[Iterator[SampleStream]]): Array[Byte] = {
     val w = new W
     results.foreach { streams =>
       val rw = new W
-      streams.foreach { ss =>
-        val tw = new W
-        ss.labels.toSeq.sortBy(_._1).foreach { case (n, v) =>
-          val lw = new W; lw.str(1, n); lw.str(2, v); tw.msg(1, lw)
-        }
-        ss.samples.foreach { s =>
-          val sw = new W
-          if (s.v != 0.0 || java.lang.Double.doubleToLongBits(s.v) != 0L) sw.dbl(1, s.v)
-          sw.i64(2, s.t)
-          tw.msg(2, sw)
-        }
-        rw.msg(1, tw)
-      }
+      streams.foreach(ss => rw.msg(1, encodeTimeSeries(ss)))
       w.msg(1, rw)
     }
     w.bytes
@@ -158,19 +170,7 @@ object Proto {
     * helpers. */
   def encodeWriteRequest(series: Seq[SampleStream]): Array[Byte] = {
     val w = new W
-    series.foreach { ss =>
-      val tw = new W
-      ss.labels.toSeq.sortBy(_._1).foreach { case (n, v) =>
-        val lw = new W; lw.str(1, n); lw.str(2, v); tw.msg(1, lw)
-      }
-      ss.samples.foreach { s =>
-        val sw = new W
-        if (s.v != 0.0 || java.lang.Double.doubleToLongBits(s.v) != 0L) sw.dbl(1, s.v)
-        sw.i64(2, s.t)
-        tw.msg(2, sw)
-      }
-      w.msg(1, tw)
-    }
+    series.foreach(ss => w.msg(1, encodeTimeSeries(ss)))
     w.bytes
   }
 
@@ -274,10 +274,15 @@ final class RemoteReadServer(querier: => TsQuerier, port: Int = 0, threads: Int 
       } else {
         val body = ex.getRequestBody.readAllBytes()
         val queries = Proto.decodeReadRequest(Snappy.uncompress(body))
-        val results = queries.map { q =>
-          querier.selectStreams(q.startMs, q.endMs, q.matchers).collect().toSeq
-        }
-        val resp = Snappy.compress(Proto.encodeReadResponse(results))
+        // toLocalIterator: the driver holds one task's series at a time
+        // plus the growing ENCODED buffer — peak memory is bounded by the
+        // wire size of the response, not by materialized row objects
+        import scala.jdk.CollectionConverters._
+        val resp = Snappy.compress(Proto.encodeReadResponseStreaming(
+          queries.map { q =>
+            querier.selectStreams(q.startMs, q.endMs, q.matchers)
+              .toLocalIterator().asScala
+          }))
         ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
         ex.getResponseHeaders.set("Content-Encoding", "snappy")
         ex.sendResponseHeaders(200, resp.length)
@@ -326,6 +331,15 @@ final class RemoteReadServer(querier: => TsQuerier, port: Int = 0, threads: Int 
   * streaming ingest produces, so the data is immediately queryable
   * through [[graft.tsdb.TsQuerier]]. */
 object RemoteWrite {
+  // Prometheus remote_write shards concurrently by default, and the
+  // server handlers run on a thread pool — but concurrent append jobs to
+  // the SAME parquet path share the Hadoop committer's _temporary dir,
+  // so one job's commit can delete another's in-flight task output
+  // (silent sample loss). One writer lock per store path serializes the
+  // sink; decode/uncompress still overlap on the pool.
+  private val storeLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
   def appendToStore(spark: org.apache.spark.sql.SparkSession, storePath: String,
                     promoted: Seq[String] = graft.tsdb.TsSchema.DefaultPromoted)
                    (streams: Seq[SampleStream]): Unit = {
@@ -337,8 +351,10 @@ object RemoteWrite {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "labels map<string,string>, t long, v double")
     val df = spark.createDataFrame(rows, schema)
-    graft.tsdb.TsSchema.canonicalize(df, promoted)
-      .write.partitionBy("block_start")
-      .mode(org.apache.spark.sql.SaveMode.Append).parquet(storePath)
+    storeLocks.getOrElseUpdate(storePath, new Object).synchronized {
+      graft.tsdb.TsSchema.canonicalize(df, promoted)
+        .write.partitionBy("block_start")
+        .mode(org.apache.spark.sql.SaveMode.Append).parquet(storePath)
+    }
   }
 }

@@ -117,7 +117,12 @@ object StreamIngest {
                   val inc = if (v >= pv) v - pv else v // reset: post-reset value
                   RatePoint(fp, t, inc, inc / ((t - pt) / 1000.0d))
               }
-              last = Some(RateState(t, v))
+              // advance ONLY on strictly newer samples: a late sample
+              // (t <= lastT, allowed inside the watermark) emits nothing
+              // and must not regress the stored predecessor — otherwise
+              // the next in-order sample recomputes increase against the
+              // older point and double-counts
+              if (last.forall(t > _.lastT)) last = Some(RateState(t, v))
               point
             }.toVector
             last.foreach { s =>

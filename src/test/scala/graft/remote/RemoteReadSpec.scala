@@ -116,6 +116,34 @@ class RemoteReadServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("large response streams through toLocalIterator (100k samples)") {
+    import scala.jdk.CollectionConverters._
+    // 200 series × 500 samples — the response is built from an iterator
+    // over the Dataset, so the driver never materializes the full Matrix
+    // as row objects (peak extra memory ≈ the encoded wire bytes)
+    val rows = (for {
+      s <- 0 until 200; k <- 0 until 500
+    } yield Row(Map("__name__" -> "big", "instance" -> s"i-$s"),
+      1700000000000L + k * 15000L, k.toDouble)).asJava
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "labels map<string,string>, t long, v double")
+    val q = new TsQuerier(TsSchema.canonicalize(spark.createDataFrame(rows, schema)))
+    val server = new RemoteReadServer(q)
+    val port = server.start()
+    try {
+      val req = Proto.encodeReadRequest(Seq(Proto.Query(
+        0L, 2000000000000L, Seq(LabelMatcher.eq("__name__", "big")))))
+      val resp = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(new URI(s"http://127.0.0.1:$port/read"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(Snappy.compress(req))).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(resp.statusCode() == 200)
+      val results = Proto.decodeReadResponse(Snappy.uncompress(resp.body()))
+      assert(results.head.size == 200)
+      assert(results.head.map(_.samples.size).sum == 100000)
+    } finally server.stop()
+  }
+
   test("malformed body → 400, wrong method → 405") {
     val server = new RemoteReadServer(mkQuerier)
     val port = server.start()

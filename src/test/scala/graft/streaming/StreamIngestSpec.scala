@@ -119,4 +119,31 @@ class StreamIngestSpec extends AnyFunSuite {
       (10000L, 10.0, 1.0), (20000L, 4.0, 0.4), (30000L, 2.0, 0.2),
       (20000L, 4.0, 0.2)))
   }
+
+  test("streaming rate: a late sample neither emits nor regresses state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val longForm = mem.toDF()
+      .select(map(lit("__name__"), lit("reqs"), lit("job"), col("_1")).as("labels"),
+        col("_2").as("t"), col("_3").as("v"))
+    val rate = StreamIngest.streamingRate(longForm)
+    val query = rate.writeStream.format("memory").queryName("srate_late")
+      .outputMode("append").start()
+    val t0 = 1700000000000L
+    mem.addData(("api", t0, 0.0), ("api", t0 + 20000, 10.0))
+    query.processAllAvailable()
+    // late sample INSIDE the 10m watermark: must not emit a point and
+    // must not replace the stored (t0+20s, 10.0) predecessor
+    mem.addData(("api", t0 + 10000, 4.0))
+    query.processAllAvailable()
+    // next in-order sample computes against 10.0 at t0+20s, NOT 4.0
+    mem.addData(("api", t0 + 30000, 12.0))
+    query.processAllAvailable()
+    val out = spark.table("srate_late").orderBy("t").collect()
+      .map(r => (r.getAs[Long]("t") - t0, r.getAs[Double]("increase"),
+        r.getAs[Double]("rate")))
+    query.stop()
+    assert(out.toSeq == Seq((20000L, 10.0, 0.5), (30000L, 2.0, 0.2)))
+  }
 }
