@@ -84,6 +84,12 @@ object ScaleCheck {
       ds.where(col("job").startsWith("job-1") &&
         col("t") < t0ms + 3600000L).count()
     }
+    time("dsv2: regex matcher (rewritten to postings In-list)") {
+      ds.where(col("instance").rlike("^i-1[0-9]$")).count()
+    }
+    time("dsv2: != matcher (complement-of-values postings)") {
+      ds.where(col("job") =!= "job-1").count()
+    }
 
     // --- round 2: connected components on a synthetic pair graph ---
     // 100k-node graph of 10-node chains (worst-ish diameter per cluster)

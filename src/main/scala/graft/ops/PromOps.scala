@@ -149,6 +149,39 @@ object PromOps {
       .withColumn("result", op(col("lv"), col("rv")))
   }
 
+  /** PromQL many-to-one binary operation with `group_left` — the
+    * `metric / on(l…) group_left sum by (l…)(metric)` shape. The "many"
+    * (left) side keeps its FULL per-series identity (fingerprint +
+    * labels survive to the output); the "one" (right) side reduces to a
+    * single value per (step, on-labels) and is BROADCAST onto every
+    * matching left row. Scale shape: the one side is an aggregate over
+    * few groups (tiny), so the many side pays only its own per-series
+    * step reduction — no shuffle on the match key at all. */
+  def binaryOpGroupLeft(left: DataFrame, right: DataFrame, onLabels: Seq[String],
+                        stepMs: Long, labelValue: (Column, String) => Column,
+                        op: (Column, Column) => Column): DataFrame = {
+    def stepped(df: DataFrame) =
+      df.withColumn("step_t", col("t") - pmod(col("t"), lit(stepMs)))
+    val many = stepped(left)
+      .groupBy(col("fingerprint") +: col("labels") +: col("step_t") +:
+        onLabels.map(n => labelValue(col("labels"), n).as("on_" + n)): _*)
+      .agg(max(struct(col("t"), col("v"))).getField("v").as("lv"))
+    val one = stepped(right)
+      .groupBy(col("fingerprint") +: col("step_t") +: onLabels.map(n =>
+        labelValue(col("labels"), n).as("on_" + n)): _*)
+      .agg(max(struct(col("t"), col("v"))).getField("v").as("v"))
+      .groupBy(col("step_t") +: onLabels.map(n => col("on_" + n)): _*)
+      .agg(sum(col("v")).as("rv"))
+    many.join(broadcast(one), Seq("step_t") ++ onLabels.map("on_" + _))
+      .withColumn("result", op(col("lv"), col("rv")))
+  }
+
+  /** PromQL `clamp(v, lo, hi)` / `clamp_min` / `clamp_max`. */
+  def clamp(v: Column, lo: Double, hi: Double): Column =
+    least(greatest(v, lit(lo)), lit(hi))
+  def clampMin(v: Column, lo: Double): Column = greatest(v, lit(lo))
+  def clampMax(v: Column, hi: Double): Column = least(v, lit(hi))
+
   /** PromQL `histogram_quantile(q, …)` over cumulative `le` buckets.
     *
     * Input: one row per (groupCols…, le, cum) where `le` is the bucket

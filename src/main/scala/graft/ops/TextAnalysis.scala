@@ -78,6 +78,21 @@ object TextAnalysis {
     when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
   }
 
+  /** PII patterns written to the common RE2/Java-regex subset (no
+    * lookaround, explicit ASCII classes) so an engine swap — or the
+    * DuckDB oracle — matches byte-identically. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumRe = "[0-9]{9,}"
+
+  /** PII scrubbing for training corpora: replace emails and long digit
+    * runs (phone/account/id numbers) with type tags. Pure map-side
+    * `regexp_replace` — codegen'd, no UDF, order fixed (emails first so
+    * an address's digits aren't half-eaten by the number rule). */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      LongNumRe, "<NUM>")
+
   /** Polynomial rolling-hash fingerprint of the token stream (order
     * sensitive, whitespace/case insensitive):
     * h = (h*31 + tokenHash) mod (2^31-1), h0 = 7. The modulus is small

@@ -95,6 +95,28 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
         .orderBy(col("doc_id"))),
 
+    // train/test decontamination: corpus docs sharing ≥40% of their
+    // distinct bigram hashes with the benchmark subset (doc_id % 37 == 0)
+    // — benchmark hash set broadcast, corpus never shuffles its text
+    "decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.Decontaminate.flag(
+        d.where(col("doc_id") % 37 =!= 0), d.where(col("doc_id") % 37 === 0),
+        "doc_id", "text", shingleSize = 2, threshold = 0.4)
+        .orderBy(col("id"))
+    }),
+
+    // PII scrubbing: emails + long digit runs tagged; counts + digest of
+    // the scrubbed text (map-side regexp_replace, no UDF)
+    "text_pii_scrub" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit(TextAnalysis.EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"),
+          lit(TextAnalysis.LongNumRe), lit(0))).cast("long").as("n_long_nums"),
+        md5(TextAnalysis.scrubPii(col("text"))).as("scrubbed_digest"))
+        .orderBy(col("doc_id"))),
+
     // n-gram Jaccard all-pairs within (lang, source) blocks
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
@@ -383,6 +405,22 @@ object PipelineQueries {
          |   FROM banded a JOIN banded b
          |     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
          | SELECT id1, id2, hamming FROM pairs WHERE hamming <= 8 ORDER BY id1, id2""".om,
+    "decontaminate" ->
+      s"""WITH ${tokCte(2)}, $hsCte,
+         | bench AS (SELECT DISTINCT unnest(hs) AS h FROM hx WHERE doc_id % 37 = 0),
+         | corp AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS h FROM hx WHERE doc_id % 37 <> 0),
+         | m AS (SELECT doc_id, n, count(*) AS c FROM corp JOIN bench USING (h) GROUP BY 1, 2)
+         | SELECT doc_id AS id, c AS n_matched, n::BIGINT AS n_grams,
+         |  round(c::DOUBLE / n, 6) AS overlap
+         | FROM m WHERE round(c::DOUBLE / n, 6) >= 0.4 ORDER BY id""".om,
+    "text_pii_scrub" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        | len(regexp_extract_all(text, '[0-9]{9,}'))::BIGINT AS n_long_nums,
+        | md5(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '[0-9]{9,}', '<NUM>', 'g')) AS scrubbed_digest
+        | FROM documents ORDER BY doc_id""".om,
     "dedup_ngram_jaccard" ->
       s"""WITH ${tokCte(2)}, $hsCte,
          | ex AS (SELECT doc_id, lang, source, len(hs) AS n, unnest(hs) AS h FROM hx),

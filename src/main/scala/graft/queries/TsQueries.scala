@@ -359,6 +359,38 @@ object TsQueries {
         .orderBy(col("step_t"), col("user"))
     }),
 
+    // PromQL group_left many-to-one vector match: each (name,user,big)
+    // series' daily value against the name's daily total (broadcast one
+    // side) — v / on(__name__) group_left sum by (__name__)(v)
+    "ts_prom_group_left" -> ((s, dir) => {
+      val q = querier(s, dir)
+      val sel = q.selectLong(Mint, Maxt, Seq(
+        LabelMatcher.re(Labels.MetricName, "click|purchase")))
+      graft.ops.PromOps.binaryOpGroupLeft(
+        sel, sel, onLabels = Seq(Labels.MetricName), stepMs = 86400000L,
+        labelValue = TsSchema.labelValue,
+        op = (l, r) => round(l / r, 6))
+        .select(col("step_t"), col("on___name__").as("name"),
+          TsSchema.labelValue(col("labels"), "user").as("user"),
+          round(col("lv"), 4).as("user_v"), round(col("rv"), 4).as("total_sum"),
+          // share recomputed from the ROUNDED inputs so both engines
+          // divide identical values
+          round(round(col("lv"), 4) / round(col("rv"), 4), 6).as("share"))
+        .orderBy(col("name"), col("user"), col("step_t"), col("user_v"))
+    }),
+
+    // PromQL clamp family (scalar functions over an instant vector)
+    "ts_prom_clamp" -> ((s, dir) => {
+      val sel = querier(s, dir).selectLong(Mint, Maxt, Seq(
+        LabelMatcher.eq(Labels.MetricName, "purchase")))
+      sel.select(
+        TsSchema.labelValue(col("labels"), "user").as("user"), col("t"),
+        round(graft.ops.PromOps.clamp(col("v"), 20.0, 120.0), 4).as("clamped"),
+        round(graft.ops.PromOps.clampMin(col("v"), 50.0), 4).as("clamped_min"),
+        round(graft.ops.PromOps.clampMax(col("v"), 80.0), 4).as("clamped_max"))
+        .orderBy(col("user"), col("t"), col("clamped"))
+    }),
+
     // PromQL offset modifier: day-over-day comparison — current daily
     // sums joined against the same series OFFSET 1d (implemented by
     // time-shifting the right side before the vector match)
@@ -670,6 +702,28 @@ object TsQueries {
          | JOIN (SELECT * FROM sums WHERE name = 'view') v
          |  ON e.step_t = v.step_t AND e."user" = v."user"
          | ORDER BY e.step_t, e."user"""".stripMargin.replace("\n", " "),
+    "ts_prom_group_left" ->
+      s"""WITH stepped AS (
+         |  SELECT name, "user", big, t - (t % 86400000) AS step_t, t, v
+         |  FROM ($oracleBase) WHERE t BETWEEN $Mint AND $Maxt
+         |   AND regexp_matches(name, '^(?:click|purchase)$$')),
+         | per_series AS (
+         |  SELECT name, "user", big, step_t, (max({'t': t, 'v': v})).v AS v
+         |  FROM stepped GROUP BY name, "user", big, step_t),
+         | totals AS (
+         |  SELECT name, step_t, sum(v) AS rv FROM per_series GROUP BY name, step_t)
+         | SELECT p.step_t, p.name AS name, p."user" AS "user",
+         |  round(p.v, 4) AS user_v, round(t.rv, 4) AS total_sum,
+         |  round(round(p.v, 4) / round(t.rv, 4), 6) AS share
+         | FROM per_series p JOIN totals t ON p.name = t.name AND p.step_t = t.step_t
+         | ORDER BY name, "user", p.step_t, user_v""".stripMargin.replace("\n", " "),
+    "ts_prom_clamp" ->
+      s"""SELECT "user", t,
+         | round(least(greatest(v, 20.0), 120.0), 4) AS clamped,
+         | round(greatest(v, 50.0), 4) AS clamped_min,
+         | round(least(v, 80.0), 4) AS clamped_max
+         | FROM ($oracleBase) WHERE t BETWEEN $Mint AND $Maxt AND name = 'purchase'
+         | ORDER BY "user", t, clamped""".stripMargin.replace("\n", " "),
     "ts_prom_offset" ->
       s"""WITH stepped AS (
          |  SELECT "user", big, t - (t % 86400000) AS step_t, t, v

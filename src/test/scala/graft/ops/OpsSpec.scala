@@ -144,6 +144,36 @@ class OpsSpec extends AnyFunSuite {
       .collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("decontamination flags n-gram overlap with the benchmark set") {
+    val corpus = docsDF(
+      1L -> "the quick brown fox jumps over the lazy dog",  // identical to bench
+      2L -> "completely unrelated text about databases and queries",
+      3L -> "the quick brown fox sleeps all day long today") // partial overlap
+    val bench = docsDF(100L -> "the quick brown fox jumps over the lazy dog")
+    val flagged = Decontaminate.flag(corpus, bench, "doc_id", "text",
+      shingleSize = 2, threshold = 0.4).collect()
+    assert(flagged.map(_.getLong(0)).toSet == Set(1L))
+    assert(flagged.head.getDouble(3) == 1.0) // full overlap
+    // lower threshold also catches the partial doc, never the unrelated one
+    val loose = Decontaminate.flag(corpus, bench, "doc_id", "text",
+      shingleSize = 2, threshold = 0.2).collect().map(_.getLong(0)).toSet
+    assert(loose == Set(1L, 3L))
+    val clean = Decontaminate.clean(corpus, bench, "doc_id", "text",
+      shingleSize = 2, threshold = 0.4).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L, 3L))
+  }
+
+  test("PII scrub replaces emails and long digit runs, keeps the rest") {
+    val df = docsDF(
+      1L -> "contact me at jane.doe+spam@example.co.uk or call 1234567890 now",
+      2L -> "short numbers 12345 stay, version 1.2.3 stays")
+    val out = df.select(col("doc_id"),
+      TextAnalysis.scrubPii(col("text")).as("s")).orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "contact me at <EMAIL> or call <NUM> now")
+    assert(out(1).getString(1) == "short numbers 12345 stay, version 1.2.3 stays")
+  }
+
   test("scalar quantization: codes in range, reconstruction error bounded, top-1 preserved") {
     val vecs = Seq(
       (0L, Array(1.0, 0.0, 0.0, 0.2)),
