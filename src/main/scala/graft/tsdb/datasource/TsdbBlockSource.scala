@@ -129,13 +129,15 @@ class TsdbBlockTable(val rootPath: String, tableSchema: StructType)
 }
 
 class TsdbScanBuilder(rootPath: String, tableSchema: StructType, seriesPerPartition: Int)
-  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var mint = Long.MinValue
   private var maxt = Long.MaxValue
   private var preds = Vector.empty[LabelPred]
   private var pushed = Vector.empty[Filter]
   private var required: StructType = tableSchema
+  private var countSchema: Option[StructType] = None
 
   private def isLabelCol(f: String): Boolean =
     !TsdbBlockTable.FixedFields.contains(f) && tableSchema.fieldNames.contains(f)
@@ -183,8 +185,67 @@ class TsdbScanBuilder(rootPath: String, tableSchema: StructType, seriesPerPartit
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new TsdbScan(rootPath, required, mint, maxt, preds, seriesPerPartition)
+  /** Metadata-only COUNT(*): `meta.json` carries exact `numSamples` per
+    * block (written by the same pipeline that writes the chunks), so an
+    * unrestricted count never decodes a chunk — the parquet
+    * metadata-count optimization applied to the TSDB format. Pushed only
+    * when NOTHING restricts rows: no matchers, no time bounds, no
+    * tombstones (a deletion makes the meta count stale). Partial
+    * pushdown: the scan emits one count row per block; Spark sums. */
+  override def supportCompletePushDown(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
+
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    if (agg.groupByExpressions().nonEmpty) return false
+    val fns = agg.aggregateExpressions()
+    if (fns.length != 1 || !fns(0).isInstanceOf[CountStar]) return false
+    if (preds.nonEmpty || mint != Long.MinValue || maxt != Long.MaxValue) return false
+    val dirs = TsdbBlockTable.blockDirs(rootPath)
+    if (dirs.isEmpty || !dirs.forall(d => graft.tsdb.Tombstones.read(d).isEmpty))
+      return false
+    val schema = org.apache.spark.sql.execution.datasources.AggregatePushDownUtils
+      .getSchemaForPushedAggregation(agg, tableSchema, Set.empty[String],
+        Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression])
+    countSchema = schema
+    schema.isDefined
+  }
+
+  override def build(): Scan = countSchema match {
+    case Some(s) => new TsdbCountScan(rootPath, s)
+    case None =>
+      new TsdbScan(rootPath, required, mint, maxt, preds, seriesPerPartition)
+  }
+}
+
+/** COUNT(*) answered from block metadata — no index parse, no chunk IO.
+  * One row per block carrying `numSamples`; Spark's final aggregation
+  * sums them. */
+class TsdbCountScan(rootPath: String, aggSchema: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-tsdb $rootPath metadata-count"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val counts = TsdbBlockTable.blockDirs(rootPath)
+      .map(d => TsdbBlock.readMeta(d).stats.numSamples).toArray
+    Array(TsdbCountPartition(counts))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = TsdbCountReaderFactory
+}
+
+final case class TsdbCountPartition(counts: Array[Long]) extends InputPartition
+
+object TsdbCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val counts = partition.asInstanceOf[TsdbCountPartition].counts
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < counts.length }
+      override def get(): InternalRow = new GenericInternalRow(Array[Any](counts(i)))
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** Driver-side planning: prune blocks by meta time range, resolve

@@ -289,6 +289,35 @@ class TsdbDataSourceSpec extends AnyFunSuite {
       s"fetched $fetched of $segSize-byte segment for a 1/400-series select")
   }
 
+  test("COUNT(*) is answered from block metadata with zero chunk IO") {
+    import graft.tsdb.datasource.TsdbCountScan
+    val agg = ds.groupBy().count()
+    // sparkPlan (pre-AQE): the adaptive wrapper hides children pre-execution
+    val scan = agg.queryExecution.sparkPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }.get
+    assert(scan.isInstanceOf[TsdbCountScan], scan.getClass.getName)
+    ChunkFile.bytesFetched.set(0)
+    assert(agg.head().getLong(0) == 2L * 9 * 300)
+    assert(ChunkFile.bytesFetched.get() == 0, "metadata count must not read chunks")
+    // restricted counts fall back to the decoding scan and stay correct
+    assert(ds.where(col("job") === "api").count() == 2L * 3 * 300)
+    assert(ds.where(col("t") < 1700000150000L).count() == 9L * 10)
+    // a tombstoned block makes meta stale → pushdown refused, count exact
+    val dir = Files.createTempDirectory("cnttomb")
+    TsdbBlock.write(dir.resolve("b"), corpus(1700000000000L), TsdbBlock.syntheticUlid(31))
+    val idx = new TsdbIndex.IndexReader(Files.readAllBytes(dir.resolve("b/index")))
+    val ref = idx.allPostings.head
+    Tombstones.write(dir.resolve("b"), Map(ref -> Seq((1700000000000L, 1700000000000L + 9 * 15000L))))
+    val tds = spark.read.format("graft-tsdb").load(dir.resolve("b").toString)
+    val tagg = tds.groupBy().count()
+    val tscan = tagg.queryExecution.sparkPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }.get
+    assert(!tscan.isInstanceOf[TsdbCountScan])
+    assert(tagg.head().getLong(0) == 9L * 300 - 10)
+  }
+
   test("conjunction of matchers intersects postings") {
     val q = ds.where(col("job") === "api" && col("instance") === "i-1")
     assert(q.count() == 2L * 300)
