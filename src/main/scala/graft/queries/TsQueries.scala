@@ -391,6 +391,24 @@ object TsQueries {
         .orderBy(col("user"), col("t"), col("clamped"))
     }),
 
+    // PromQL subquery composition: max/sum_over_time(increase(m)[3d:]) —
+    // an inner function evaluated per sample, re-windowed by an outer
+    // range function (two chained per-series window passes, no shuffle
+    // between them: both partition on fingerprint)
+    "ts_prom_subquery" -> ((s, dir) => {
+      val base = querier(s, dir).selectLong(Mint, Maxt, Seq(
+        LabelMatcher.eq(Labels.MetricName, "purchase")))
+      val inc = graft.ops.PromOps.counterIncrease(base)
+        .select(col("fingerprint"), col("labels"), col("t"),
+          round(col("increase"), 4).as("v"))
+      graft.ops.PromOps.overTime(inc, 3L * 86400000L)
+        .select(TsSchema.labelValue(col("labels"), "user").as("user"), col("t"),
+          col("v").as("increase"),
+          round(col("max_over_time"), 4).as("max_increase_3d"),
+          round(col("sum_over_time"), 4).as("sum_increase_3d"))
+        .orderBy(col("user"), col("t"), col("increase"))
+    }),
+
     // PromQL offset modifier: day-over-day comparison — current daily
     // sums joined against the same series OFFSET 1d (implemented by
     // time-shifting the right side before the vector match)
@@ -724,6 +742,22 @@ object TsQueries {
          | round(least(v, 80.0), 4) AS clamped_max
          | FROM ($oracleBase) WHERE t BETWEEN $Mint AND $Maxt AND name = 'purchase'
          | ORDER BY "user", t, clamped""".stripMargin.replace("\n", " "),
+    "ts_prom_subquery" ->
+      s"""WITH base AS (
+         |  SELECT name, "user", big, t, v FROM ($oracleBase)
+         |  WHERE t BETWEEN $Mint AND $Maxt AND name = 'purchase'),
+         | inc AS (
+         |  SELECT "user", big, t, round(CASE WHEN v >= prev_v THEN v - prev_v ELSE v END, 4) AS iv
+         |  FROM (SELECT *, lag(v) OVER w AS prev_v FROM base
+         |        WINDOW w AS (PARTITION BY name, "user", big ORDER BY t))
+         |  WHERE prev_v IS NOT NULL)
+         | SELECT "user", t, iv AS increase,
+         |  round(max(iv) OVER wr, 4) AS max_increase_3d,
+         |  round(sum(iv) OVER wr, 4) AS sum_increase_3d
+         | FROM inc
+         | WINDOW wr AS (PARTITION BY "user", big ORDER BY t
+         |   RANGE BETWEEN 259200000 PRECEDING AND CURRENT ROW)
+         | ORDER BY "user", t, increase""".stripMargin.replace("\n", " "),
     "ts_prom_offset" ->
       s"""WITH stepped AS (
          |  SELECT "user", big, t - (t % 86400000) AS step_t, t, v

@@ -185,20 +185,34 @@ class TsdbScanBuilder(rootPath: String, tableSchema: StructType, seriesPerPartit
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Metadata-only COUNT(*): `meta.json` carries exact `numSamples` per
-    * block (written by the same pipeline that writes the chunks), so an
-    * unrestricted count never decodes a chunk — the parquet
-    * metadata-count optimization applied to the TSDB format. Pushed only
-    * when NOTHING restricts rows: no matchers, no time bounds, no
-    * tombstones (a deletion makes the meta count stale). Partial
-    * pushdown: the scan emits one count row per block; Spark sums. */
+  /** Metadata-only aggregates: `meta.json` carries exact `numSamples`,
+    * `minTime` and `maxTime` per block (written by the same pipeline
+    * that writes the chunks), so an unrestricted COUNT(*) / MIN(t) /
+    * MAX(t) never decodes a chunk — the parquet metadata-count
+    * optimization applied to the TSDB format. Pushed only when NOTHING
+    * restricts rows: no matchers, no time bounds, no tombstones (a
+    * deletion makes the meta stats stale). Partial pushdown: the scan
+    * emits one stats row per block; Spark's final aggregation combines
+    * (sum for count, min/max for the time bounds). */
   override def supportCompletePushDown(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
 
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
     if (agg.groupByExpressions().nonEmpty) return false
+    def isT(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case f: NamedReference => f.fieldNames.toSeq == Seq("t")
+        case _ => false
+      }
     val fns = agg.aggregateExpressions()
-    if (fns.length != 1 || !fns(0).isInstanceOf[CountStar]) return false
+    val allMeta = fns.nonEmpty && fns.forall {
+      case _: CountStar => true
+      case m: Min => isT(m.column)
+      case m: Max => isT(m.column)
+      case _ => false
+    }
+    if (!allMeta) return false
     if (preds.nonEmpty || mint != Long.MinValue || maxt != Long.MaxValue) return false
     val dirs = TsdbBlockTable.blockDirs(rootPath)
     if (dirs.isEmpty || !dirs.forall(d => graft.tsdb.Tombstones.read(d).isEmpty))
@@ -207,42 +221,53 @@ class TsdbScanBuilder(rootPath: String, tableSchema: StructType, seriesPerPartit
       .getSchemaForPushedAggregation(agg, tableSchema, Set.empty[String],
         Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression])
     countSchema = schema
+    metaFields = fns.map {
+      case _: CountStar => 0; case _: Min => 1; case _: Max => 2
+    }.toSeq
     schema.isDefined
   }
+  private var metaFields: Seq[Int] = Seq.empty
 
   override def build(): Scan = countSchema match {
-    case Some(s) => new TsdbCountScan(rootPath, s)
+    case Some(s) => new TsdbMetaStatsScan(rootPath, s, metaFields)
     case None =>
       new TsdbScan(rootPath, required, mint, maxt, preds, seriesPerPartition)
   }
 }
 
-/** COUNT(*) answered from block metadata — no index parse, no chunk IO.
-  * One row per block carrying `numSamples`; Spark's final aggregation
-  * sums them. */
-class TsdbCountScan(rootPath: String, aggSchema: StructType) extends Scan with Batch {
+/** COUNT(*)/MIN(t)/MAX(t) answered from block metadata — no index
+  * parse, no chunk IO. One row per block with the requested stats
+  * (field codes: 0=numSamples, 1=minTime, 2=maxTime); Spark's final
+  * aggregation combines across blocks. */
+class TsdbMetaStatsScan(rootPath: String, aggSchema: StructType,
+                        fields: Seq[Int]) extends Scan with Batch {
   override def readSchema(): StructType = aggSchema
   override def toBatch: Batch = this
-  override def description(): String = s"graft-tsdb $rootPath metadata-count"
+  override def description(): String = s"graft-tsdb $rootPath metadata-stats"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val counts = TsdbBlockTable.blockDirs(rootPath)
-      .map(d => TsdbBlock.readMeta(d).stats.numSamples).toArray
-    Array(TsdbCountPartition(counts))
+    val rows: Array[Seq[Long]] = TsdbBlockTable.blockDirs(rootPath).map { d =>
+      val m = TsdbBlock.readMeta(d)
+      fields.map {
+        case 0 => m.stats.numSamples; case 1 => m.minTime; case 2 => m.maxTime
+      }
+    }.toArray
+    Array(TsdbMetaStatsPartition(rows))
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = TsdbCountReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = TsdbMetaStatsReaderFactory
 }
 
-final case class TsdbCountPartition(counts: Array[Long]) extends InputPartition
+final case class TsdbMetaStatsPartition(rows: Array[Seq[Long]]) extends InputPartition
 
-object TsdbCountReaderFactory extends PartitionReaderFactory {
+object TsdbMetaStatsReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val counts = partition.asInstanceOf[TsdbCountPartition].counts
+    val rows = partition.asInstanceOf[TsdbMetaStatsPartition].rows
     new PartitionReader[InternalRow] {
       private var i = -1
-      override def next(): Boolean = { i += 1; i < counts.length }
-      override def get(): InternalRow = new GenericInternalRow(Array[Any](counts(i)))
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow =
+        new GenericInternalRow(rows(i).map(_.asInstanceOf[Any]).toArray)
       override def close(): Unit = ()
     }
   }

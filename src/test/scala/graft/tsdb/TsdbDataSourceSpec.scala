@@ -290,16 +290,20 @@ class TsdbDataSourceSpec extends AnyFunSuite {
   }
 
   test("COUNT(*) is answered from block metadata with zero chunk IO") {
-    import graft.tsdb.datasource.TsdbCountScan
-    val agg = ds.groupBy().count()
+    import graft.tsdb.datasource.TsdbMetaStatsScan
+    val agg = ds.groupBy().agg(count(lit(1)).as("n"),
+      min(col("t")).as("mn"), max(col("t")).as("mx"))
     // sparkPlan (pre-AQE): the adaptive wrapper hides children pre-execution
     val scan = agg.queryExecution.sparkPlan.collectFirst {
       case b: BatchScanExec => b.scan
     }.get
-    assert(scan.isInstanceOf[TsdbCountScan], scan.getClass.getName)
+    assert(scan.isInstanceOf[TsdbMetaStatsScan], scan.getClass.getName)
     ChunkFile.bytesFetched.set(0)
-    assert(agg.head().getLong(0) == 2L * 9 * 300)
-    assert(ChunkFile.bytesFetched.get() == 0, "metadata count must not read chunks")
+    val row = agg.head()
+    assert(row.getLong(0) == 2L * 9 * 300)
+    assert(row.getLong(1) == 1700000000000L)
+    assert(row.getLong(2) == 1700010000000L + 299 * 15000L)
+    assert(ChunkFile.bytesFetched.get() == 0, "metadata stats must not read chunks")
     // restricted counts fall back to the decoding scan and stay correct
     assert(ds.where(col("job") === "api").count() == 2L * 3 * 300)
     assert(ds.where(col("t") < 1700000150000L).count() == 9L * 10)
@@ -314,7 +318,7 @@ class TsdbDataSourceSpec extends AnyFunSuite {
     val tscan = tagg.queryExecution.sparkPlan.collectFirst {
       case b: BatchScanExec => b.scan
     }.get
-    assert(!tscan.isInstanceOf[TsdbCountScan])
+    assert(!tscan.isInstanceOf[TsdbMetaStatsScan])
     assert(tagg.head().getLong(0) == 9L * 300 - 10)
   }
 
