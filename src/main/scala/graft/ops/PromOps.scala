@@ -176,6 +176,17 @@ object PromOps {
       .withColumn("result", op(col("lv"), col("rv")))
   }
 
+  /** PromQL one-to-many `group_right`: mirror of [[binaryOpGroupLeft]]
+    * with the roles swapped — the "many" side is the RIGHT operand (its
+    * series identity survives in `labels`/`lv`); `rv` carries the left
+    * operand's per-(step, on-labels) aggregate. `op` still receives
+    * (left-value, right-value) in operator order. */
+  def binaryOpGroupRight(left: DataFrame, right: DataFrame, onLabels: Seq[String],
+                         stepMs: Long, labelValue: (Column, String) => Column,
+                         op: (Column, Column) => Column): DataFrame =
+    binaryOpGroupLeft(right, left, onLabels, stepMs, labelValue,
+      (manyV, oneV) => op(oneV, manyV))
+
   /** PromQL `clamp(v, lo, hi)` / `clamp_min` / `clamp_max`. */
   def clamp(v: Column, lo: Double, hi: Double): Column =
     least(greatest(v, lit(lo)), lit(hi))

@@ -175,6 +175,55 @@ object Similarity {
       .select(col("corpus_id"), col("cv"), col("best").getField("cell").as("cell"))
   }
 
+  /** Deterministic k-means-lite centroid training (Lloyd iterations)
+    * for the IVF index: seeds = every ⌈n/k⌉-th vector by id order
+    * (deterministic, no RNG — re-runs produce identical centroids);
+    * each round assigns via the same min(struct) aggregation as
+    * [[ivfAssign]] and recomputes centroids as per-cell means.
+    *
+    * Scale shape: centroids are always broadcast (k ≪ n); one
+    * map-side-combined shuffle per iteration keyed on the cell id; the
+    * corpus is scanned `iters` times but never reshuffled. Empty cells
+    * keep their previous centroid (standard Lloyd practice). */
+  def kmeansCentroids(corpus: DataFrame, cId: String, cVec: String,
+                      k: Int, iters: Int = 3): DataFrame = {
+    val c = corpus.select(col(cId).as("id"), col(cVec).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deterministic pseudo-random seeds, scale-safe: k smallest md5(id)
+    // (TakeOrdered top-k, no global sort/window); cell ids assigned over
+    // the tiny k-row frame only
+    val seedW = Window.orderBy(col("h"))
+    var cent = c.select(col("v"), md5(col("id").cast("string")).as("h"))
+      .orderBy(col("h")).limit(k)
+      .select((row_number().over(seedW) - 1).cast("long").as("cell"),
+        col("v").as("centv"))
+    for (_ <- 0 until iters) {
+      val assigned = c.crossJoin(broadcast(cent))
+        .withColumn("d", cosine_native(col("v"), col("centv")))
+        .groupBy(col("id"))
+        .agg(first(col("v")).as("v"),
+          min(struct((-col("d")).as("nd"), col("cell").as("cell"))).as("best"))
+        .select(col("best").getField("cell").as("cell"), col("v"))
+      // per-cell element-wise mean (posexplode → one map-side-combined
+      // shuffle on (cell, pos) → reassembled in position order)
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ms"))
+        .select(col("cell"), expr("transform(ms, x -> x.m)").as("newv"))
+      // empty cells keep their previous centroid (standard Lloyd)
+      cent = cent.join(means, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("newv"), col("centv")).as("centv"))
+    }
+    val out = cent.select(col("cell"), col("centv")).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize before unpersisting the corpus projection
+    c.unpersist(blocking = false)
+    out
+  }
+
   /** IVF probe: search only the `nprobe` cells nearest to each query. */
   def ivfTopK(queries: DataFrame, assigned: DataFrame,
               qId: String, qVec: String,

@@ -228,6 +228,21 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // IVF with TRAINED centroids: 3 deterministic Lloyd iterations over
+    // md5-seeded cells, then the same probe-pruned search (rows-only:
+    // recall is approximate by construction; knn_brute is the exact
+    // complement)
+    "knn_ivf_trained" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val centroids = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        k = 10, iters = 3)
+      val assigned = Similarity.ivfAssign(e, "vec_id", "embedding",
+        centroids, "cell", "centv")
+      Similarity.ivfTopK(e.where(col("vec_id") < 8), assigned, "vec_id", "embedding",
+        centroids, "cell", "centv", k = 5, nprobe = 3)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // SimHash near-dup pairs: banded hamming-distance blocking
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 8)

@@ -174,6 +174,38 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1).getString(1) == "short numbers 12345 stay, version 1.2.3 stays")
   }
 
+  test("k-means centroids: deterministic, Lloyd-monotone, full coverage") {
+    // 3 planted clusters near orthogonal axes, 8 points each
+    val pts = for {
+      c <- 0 until 3; i <- 0 until 8
+    } yield {
+      val base = Array.fill(6)(0.05 * ((c * 31 + i) % 7))
+      base(c * 2) = 10.0 + i * 0.01 // dominant axis per cluster
+      (c * 8 + i).toLong -> base.toSeq
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val cent1 = Similarity.kmeansCentroids(df, "vec_id", "embedding", k = 3, iters = 3)
+      .orderBy("cell").collect().map(_.getSeq[Double](1))
+    val cent2 = Similarity.kmeansCentroids(df, "vec_id", "embedding", k = 3, iters = 3)
+      .orderBy("cell").collect().map(_.getSeq[Double](1))
+    assert(cent1.toSeq == cent2.toSeq) // deterministic
+    assert(cent1.length == 3)
+    // Lloyd monotonicity: training never degrades total assignment
+    // quality (sum over points of cosine to the nearest centroid)
+    def quality(cents: org.apache.spark.sql.DataFrame): Double =
+      Similarity.ivfAssign(df, "vec_id", "embedding", cents, "cell", "centv")
+        .join(cents, "cell")
+        .select(sum(graft.functions.VectorExpressions
+          .cosine_native(col("cv"), col("centv"))))
+        .head().getDouble(0)
+    val seeds = Similarity.kmeansCentroids(df, "vec_id", "embedding", k = 3, iters = 0)
+    val trained = Similarity.kmeansCentroids(df, "vec_id", "embedding", k = 3, iters = 3)
+    assert(quality(trained) >= quality(seeds) - 1e-9)
+    // every point gets exactly one cell
+    assert(Similarity.ivfAssign(df, "vec_id", "embedding", trained, "cell", "centv")
+      .count() == 24)
+  }
+
   test("scalar quantization: codes in range, reconstruction error bounded, top-1 preserved") {
     val vecs = Seq(
       (0L, Array(1.0, 0.0, 0.0, 0.2)),

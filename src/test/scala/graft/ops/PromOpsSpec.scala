@@ -49,6 +49,37 @@ class PromOpsSpec extends AnyFunSuite {
     assert(top == Seq("s1", "s3"))
   }
 
+  test("group_left keeps the many side's series; group_right mirrors it") {
+    // two series per name over one step; on(__name__) aggregate = sum
+    def series(name: String, inst: String, v: Double) = (
+      s"$name/$inst".hashCode.toLong, 1000L, v,
+      Seq(("__name__", name), ("instance", inst)))
+    val df = Seq(
+      series("m", "a", 1.0), series("m", "b", 3.0),
+      series("n", "a", 10.0), series("n", "b", 30.0)
+    ).toDF("fingerprint", "t", "v", "pairs")
+      .withColumn("labels",
+        expr("transform(pairs, p -> struct(p._1 as name, p._2 as value))"))
+    def lv(labels: org.apache.spark.sql.Column, n: String) =
+      graft.tsdb.TsSchema.labelValue(labels, n)
+    val gl = PromOps.binaryOpGroupLeft(df, df, Seq("__name__"), 1000L, lv,
+      (l, r) => l / r)
+      .select(lv(col("labels"), "instance").as("inst"),
+        col("on___name__").as("name"), col("result"))
+      .collect().map(r => (r.getString(1), r.getString(0), r.getDouble(2))).toSet
+    // each series' share of its name's total
+    assert(gl == Set(("m", "a", 0.25), ("m", "b", 0.75),
+      ("n", "a", 0.25), ("n", "b", 0.75)))
+    // group_right with op = division: one-side-total / many-side value
+    val gr = PromOps.binaryOpGroupRight(df, df, Seq("__name__"), 1000L, lv,
+      (l, r) => l / r)
+      .select(lv(col("labels"), "instance").as("inst"),
+        col("on___name__").as("name"), col("result"))
+      .collect().map(r => (r.getString(1), r.getString(0), r.getDouble(2))).toSet
+    assert(gr == Set(("m", "a", 4.0), ("m", "b", 4.0 / 3),
+      ("n", "a", 4.0), ("n", "b", 4.0 / 3)))
+  }
+
   test("histogramQuantile interpolates within the first reaching bucket") {
     // 10 obs: cum = le0.1→2, le0.5→6, le1.0→9, +Inf→10
     val buckets = Seq(
