@@ -87,7 +87,10 @@ object TsQueries {
     deleteStoreCache.getOrElseUpdate((System.identityHashCode(s).toString, dir), {
       val p = java.nio.file.Files.createTempDirectory("graft_delstore")
         .resolve("store").toString
-      store(s, dir).write.partitionBy("block_start").parquet(p)
+      // one file per 2h partition: without the repartition, partitionBy
+      // fans every shuffle partition across every block dir (32×N files)
+      store(s, dir).repartition(col("block_start"))
+        .write.partitionBy("block_start").parquet(p)
       TsDeletions.delete(s, p, Seq(LabelMatcher.eq(Labels.MetricName, "click")),
         1704844800000L, 1705276800000L)
       TsDeletions.delete(s, p, Seq(LabelMatcher.eq(Labels.MetricName, "error")),
