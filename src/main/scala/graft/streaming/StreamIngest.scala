@@ -53,6 +53,41 @@ object StreamIngest {
     w.start()
   }
 
+  /** The full shipper lifecycle as ONE checkpointed stream: each
+    * micro-batch appends to the partitioned store, then ships every 2h
+    * window that closed — `beforeMs` = (max event time seen so far) −
+    * `lagMs`, so a window ships once the stream has moved `lagMs` past
+    * its end (the streaming analog of the reference's "block is
+    * finished" detection, `shipper.go:189-249`; late data inside the lag
+    * stays shippable). Marker idempotency makes crash-replays safe: a
+    * re-run batch re-appends (at-least-once, same as [[ingestStream]])
+    * and re-shipping an already-marked window is a no-op. */
+  def ingestAndShipStream(spark: SparkSession, inputDir: String, storePath: String,
+                          blocksDir: String, checkpoint: String,
+                          lagMs: Long = 10 * 60 * 1000L,
+                          promoted: Seq[String] = TsSchema.DefaultPromoted,
+                          daemon: Boolean = false): StreamingQuery = {
+    val in = spark.readStream.schema(inputSchema).parquet(inputDir)
+    val canonical = TsSchema.canonicalize(in, promoted)
+    val maxSeen = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val w: DataStreamWriter[org.apache.spark.sql.Row] = canonical.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.persist()
+        batch.write.partitionBy("block_start")
+          .mode(org.apache.spark.sql.SaveMode.Append).parquet(storePath)
+        val mx = batch.agg(max(col("t"))).head()
+        if (!mx.isNullAt(0)) maxSeen.getAndAccumulate(mx.getLong(0), math.max)
+        batch.unpersist()
+        if (maxSeen.get() != Long.MinValue)
+          graft.tsdb.BlockShipper.shipClosed(batch.sparkSession, storePath,
+            blocksDir, maxSeen.get() - lagMs)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (daemon) Trigger.ProcessingTime("5 seconds") else Trigger.AvailableNow())
+    w.start()
+  }
+
   /** Beyond-reference: watermarked tumbling-window aggregation per metric
     * name — the PromQL `sum/count by (__name__)` shape as a stream.
     * Late data beyond `watermark` is dropped; state is bounded. */

@@ -47,6 +47,34 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(s.head.samples.map(_.t) == s.head.samples.map(_.t).sorted)
   }
 
+  test("ingest+ship stream: closed windows become native blocks") {
+    import spark.implicits._
+    val t0 = 1700000000000L - (1700000000000L % TsSchema.BlockMs)
+    val in = Files.createTempDirectory("shipstream-in").toString
+    val store = Files.createTempDirectory("shipstream-store").resolve("s").toString
+    val blocks = Files.createTempDirectory("shipstream-blocks").toString
+    val ckpt = Files.createTempDirectory("shipstream-ckpt").toString
+    def write(ts: Seq[Long]): Unit =
+      ts.map(t => (Map("__name__" -> "up", "job" -> "a"), t, 1.0))
+        .toDF("labels", "t", "v").coalesce(1).write.mode("append").parquet(in)
+    // window 1 fully present + the first sample of window 2
+    write((0 until 120).map(k => t0 + k * 60000L) :+ (t0 + TsSchema.BlockMs))
+    val q1 = StreamIngest.ingestAndShipStream(spark, in, store, blocks, ckpt,
+      lagMs = 10 * 60000L)
+    q1.awaitTermination()
+    // stream head is only 1 min into window 2 → nothing closed yet
+    assert(BlockShipper.shipped(blocks).isEmpty)
+    // advance 11 min past the window-1 boundary → window 1 ships
+    write(Seq(t0 + TsSchema.BlockMs + 11 * 60000L))
+    val q2 = StreamIngest.ingestAndShipStream(spark, in, store, blocks, ckpt,
+      lagMs = 10 * 60000L)
+    q2.awaitTermination()
+    assert(BlockShipper.shipped(blocks) == Set(t0))
+    val ds = spark.read.format("graft-tsdb").load(blocks)
+    assert(ds.count() == 120)
+    assert(ds.agg(org.apache.spark.sql.functions.min(col("t"))).head().getLong(0) == t0)
+  }
+
   test("windowed aggregation with watermark over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
