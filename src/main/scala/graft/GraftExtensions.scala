@@ -35,6 +35,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             GraftSqlBridge.column(args(0)), GraftSqlBridge.column(args(1))))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[graft.functions.SimhashExpr].getName, "graft_simhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_simhash(text) takes one argument")
+        import org.apache.spark.sql.GraftSqlBridge
+        GraftSqlBridge.toCatalyst(
+          graft.functions.MinhashExpressions.simhash_native(
+            GraftSqlBridge.column(args.head)))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[graft.functions.MinhashPackedExpr].getName, "graft_minhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3 || args.length == 4,
+          "graft_minhash(text, shingleSize, numHashes[, numBands]) -> struct(hs, sig, bands)")
+        import org.apache.spark.sql.GraftSqlBridge
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        def intArg(i: Int): Int = args(i) match {
+          case Literal(v: Int, _) => v
+          case other => sys.error(s"graft_minhash: argument ${i + 1} must be an int literal, got $other")
+        }
+        GraftSqlBridge.toCatalyst(
+          graft.functions.MinhashExpressions.minhash_packed(
+            GraftSqlBridge.column(args.head), intArg(1), intArg(2),
+            if (args.length == 4) intArg(3) else 0))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_decode_chunk"),
       new ExpressionInfo("graft.functions", "graft_decode_chunk"),
       (args: Seq[Expression]) => {

@@ -35,6 +35,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_simhash / graft_minhash are callable from SQL, match the Scala API") {
+    withExtendedSession { s =>
+      val df = s.sql(
+        "SELECT graft_simhash('the quick brown fox') AS sh, " +
+          "graft_minhash('the quick brown fox jumps', 2, 8, 4) AS mh")
+      val row = df.head()
+      val expected = s.range(1).select(
+        graft.ops.Dedup.simhash64(
+          org.apache.spark.sql.functions.lit("the quick brown fox")).as("sh"),
+        graft.functions.MinhashExpressions.minhash_packed(
+          org.apache.spark.sql.functions.lit("the quick brown fox jumps"), 2, 8, 4).as("mh"))
+        .head()
+      assert(row.getLong(0) == expected.getLong(0))
+      assert(row.getStruct(1) == expected.getStruct(1))
+      // non-literal sizes are rejected with a clear error
+      assertThrows[Exception] {
+        s.sql("SELECT graft_minhash('x', 2, CAST(rand()*4 AS INT))").collect()
+      }
+    }
+  }
+
   test("chunk codec round-trips through SQL") {
     withExtendedSession { s =>
       val out = s.sql(
