@@ -198,16 +198,37 @@ object Similarity {
       .select((row_number().over(seedW) - 1).cast("long").as("cell"),
         col("v").as("centv"))
     for (_ <- 0 until iters) {
-      val assigned = c.crossJoin(broadcast(cent))
-        .withColumn("d", cosine_native(col("v"), col("centv")))
-        .groupBy(col("id"))
-        .agg(first(col("v")).as("v"),
-          min(struct((-col("d")).as("nd"), col("cell").as("cell"))).as("best"))
-        .select(col("best").getField("cell").as("cell"), col("v"))
+      // assignment is MAP-SIDE: the k×dim centroid matrix is tiny, so it
+      // rides a broadcast into a tight argmax loop per row (same
+      // justification as the SRP planes UDF: HOFs are CodegenFallback and
+      // the matrix is data-independent within the iteration). The corpus
+      // vectors never shuffle — the only exchange per iteration is the
+      // map-side-combined (cell, dim) partial-mean shuffle below.
+      val centArr = cent.orderBy("cell").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val bcCent = c.sparkSession.sparkContext.broadcast(centArr)
+      val assignUdf = udf { v: Seq[Double] =>
+        val x = v.toArray
+        var bestCell = -1L; var bestCos = Double.NegativeInfinity
+        bcCent.value.foreach { case (cell, cv) =>
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          val n = math.min(x.length, cv.length)
+          while (i < n) {
+            dot += x(i) * cv(i); na += x(i) * x(i); nb += cv(i) * cv(i); i += 1
+          }
+          val denom = math.sqrt(na) * math.sqrt(nb)
+          val cos = if (denom == 0.0) 0.0 else dot / denom
+          // tie-break identical to ivfAssign: max cosine, then min cell
+          if (cos > bestCos || (cos == bestCos && cell < bestCell)) {
+            bestCos = cos; bestCell = cell
+          }
+        }
+        bestCell
+      }
       // per-cell element-wise mean (posexplode → one map-side-combined
       // shuffle on (cell, pos) → reassembled in position order)
-      val means = assigned
-        .select(col("cell"), posexplode(col("v")))
+      val means = c
+        .select(assignUdf(col("v")).as("cell"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos"))
         .agg(avg(col("col")).as("m"))
         .groupBy(col("cell"))
