@@ -64,4 +64,49 @@ class IntegrationSpec extends AnyFunSuite {
       assert(order == order.sorted(Labels.ordering))
     } finally server.stop()
   }
+
+  test("write → delete → materialize → ship → DSv2 regex → compact lifecycle") {
+    val root = Files.createTempDirectory("graft-e2e2")
+    val store = root.resolve("store").toString
+    val t0 = 1700000000000L - (1700000000000L % TsSchema.BlockMs)
+
+    // 1. remote-write two full 2h windows straight into the store
+    val streams = for {
+      job <- Seq("api", "api-canary", "web"); i <- 0 to 1
+    } yield SampleStream(
+      Map("__name__" -> "rps", "job" -> job, "instance" -> s"i-$i"),
+      (0 until 240).map(k => Sample(t0 + k * 60000L, k.toDouble)))
+    remote.RemoteWrite.appendToStore(spark, store)(streams)
+    assert(spark.read.parquet(store).count() == 6L * 240)
+
+    // 2. store-level delete: api-canary's first hour, masked then physical
+    TsDeletions.delete(spark, store,
+      Seq(LabelMatcher.eq("job", "api-canary")), t0, t0 + 59 * 60000L)
+    assert(TsDeletions.readMasked(spark, store).count() == 6L * 240 - 2 * 60)
+    TsDeletions.materialize(spark, store)
+    assert(spark.read.parquet(store).count() == 6L * 240 - 2 * 60)
+
+    // 3. ship both (closed) windows as native blocks
+    val blocks = root.resolve("blocks").toString
+    assert(BlockShipper.shipClosed(spark, store, blocks, Long.MaxValue / 2)
+      .size == 2)
+
+    // 4. DSv2 regex matcher over the shipped blocks: rewritten to a
+    // postings union; anchored pattern excludes api-canary
+    val ds = spark.read.format("graft-tsdb").load(blocks)
+    val api = ds.where(org.apache.spark.sql.functions.col("job").rlike("^api$"))
+    assert(api.count() == 2L * 240)
+    assert(ds.count() == 6L * 240 - 2 * 60)
+
+    // 5. compact the two blocks into one level-2 block; data intact
+    val out = root.resolve("compacted")
+    val meta = TsdbBlock.compact(spark,
+      BlockShipper.shipped(blocks).toSeq.sorted.map(b =>
+        root.resolve("blocks").resolve(TsdbBlock.syntheticUlid(b)).toString),
+      out, TsdbBlock.syntheticUlid(999))
+    assert(meta.level == 2)
+    assert(meta.stats.numSamples == 6L * 240 - 2 * 60)
+    assert(spark.read.format("graft-tsdb").load(out.toString).count() ==
+      6L * 240 - 2 * 60)
+  }
 }
