@@ -187,6 +187,20 @@ object PromOps {
     binaryOpGroupLeft(right, left, onLabels, stepMs, labelValue,
       (manyV, oneV) => op(oneV, manyV))
 
+  /** PromQL time functions over an epoch-ms timestamp column (UTC
+    * session): minute, hour, day_of_week (0 = Sunday, Prometheus
+    * convention), day_of_month, month, year. */
+  def timeFunctions(tMs: Column): Column = {
+    val ts = timestamp_millis(tMs)
+    struct(
+      minute(ts).cast("long").as("minute"),
+      hour(ts).cast("long").as("hour"),
+      (dayofweek(ts) - 1).cast("long").as("day_of_week"),
+      dayofmonth(ts).cast("long").as("day_of_month"),
+      month(ts).cast("long").as("month"),
+      year(ts).cast("long").as("year"))
+  }
+
   /** PromQL `clamp(v, lo, hi)` / `clamp_min` / `clamp_max`. */
   def clamp(v: Column, lo: Double, hi: Double): Column =
     least(greatest(v, lit(lo)), lit(hi))

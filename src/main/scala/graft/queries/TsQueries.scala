@@ -412,6 +412,20 @@ object TsQueries {
         .orderBy(col("user"), col("t"), col("increase"))
     }),
 
+    // PromQL time functions (minute/hour/day_of_week/…, UTC; Prometheus
+    // 0=Sunday convention)
+    "ts_prom_time_fns" -> ((s, dir) => {
+      val sel = querier(s, dir).selectLong(Mint, Maxt, Seq(
+        LabelMatcher.eq(Labels.MetricName, "signup")))
+      sel.select(TsSchema.labelValue(col("labels"), "user").as("user"), col("t"),
+          graft.ops.PromOps.timeFunctions(col("t")).as("f"))
+        .select(col("user"), col("t"), col("f.minute").as("minute"),
+          col("f.hour").as("hour"), col("f.day_of_week").as("day_of_week"),
+          col("f.day_of_month").as("day_of_month"), col("f.month").as("month"),
+          col("f.year").as("year"))
+        .orderBy(col("user"), col("t"))
+    }),
+
     // PromQL offset modifier: day-over-day comparison — current daily
     // sums joined against the same series OFFSET 1d (implemented by
     // time-shifting the right side before the vector match)
@@ -761,6 +775,14 @@ object TsQueries {
          | WINDOW wr AS (PARTITION BY "user", big ORDER BY t
          |   RANGE BETWEEN 259200000 PRECEDING AND CURRENT ROW)
          | ORDER BY "user", t, increase""".stripMargin.replace("\n", " "),
+    "ts_prom_time_fns" ->
+      s"""SELECT "user", t,
+         | minute(epoch_ms(t))::BIGINT AS minute, hour(epoch_ms(t))::BIGINT AS hour,
+         | dayofweek(epoch_ms(t))::BIGINT AS day_of_week,
+         | dayofmonth(epoch_ms(t))::BIGINT AS day_of_month,
+         | month(epoch_ms(t))::BIGINT AS month, year(epoch_ms(t))::BIGINT AS year
+         | FROM ($oracleBase) WHERE t BETWEEN $Mint AND $Maxt AND name = 'signup'
+         | ORDER BY "user", t""".stripMargin.replace("\n", " "),
     "ts_prom_offset" ->
       s"""WITH stepped AS (
          |  SELECT "user", big, t - (t % 86400000) AS step_t, t, v
