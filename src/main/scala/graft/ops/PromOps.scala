@@ -46,6 +46,29 @@ object PromOps {
       .withColumn("rate", col("increase") / ((col("t") - col("prev_t")) / 1000.0d))
       .drop("prev_t")
 
+  /** PromQL `irate()` / `idelta()`: the instantaneous rate/delta taken
+    * from the LAST TWO samples of each series in the selected range
+    * (Prometheus functions.go `instantValue`). Counter reset between the
+    * two samples → the last value alone is the increase; `idelta` keeps
+    * the raw (possibly negative) difference. One shuffle on the series
+    * fingerprint; emits one row per series with >= 2 samples. Samples
+    * sharing a timestamp are ordered by value so both engines agree. */
+  def instantRate(longForm: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col("t"), col("v"))
+    val wDesc = Window.partitionBy(col("fingerprint"))
+      .orderBy(col("t").desc, col("v").desc)
+    longForm
+      .withColumn("pt", lag(col("t"), 1).over(w))
+      .withColumn("pv", lag(col("v"), 1).over(w))
+      .withColumn("rn", row_number().over(wDesc))
+      .where(col("rn") === 1 && col("pt").isNotNull)
+      .withColumn("irate",
+        when(col("v") >= col("pv"), col("v") - col("pv")).otherwise(col("v"))
+          * 1000.0d / (col("t") - col("pt")))
+      .withColumn("idelta", col("v") - col("pv"))
+      .drop("pt", "pv", "rn")
+  }
+
   /** `<agg>_over_time(range)` family: per-series sliding range window of
     * `rangeMs` milliseconds ending at each sample. */
   def overTime(longForm: DataFrame, rangeMs: Long): DataFrame = {
@@ -186,6 +209,44 @@ object PromOps {
                          op: (Column, Column) => Column): DataFrame =
     binaryOpGroupLeft(right, left, onLabels, stepMs, labelValue,
       (manyV, oneV) => op(oneV, manyV))
+
+  /** PromQL `holt_winters(v[range], sf, tf)` (double exponential
+    * smoothing; Prometheus functions.go `funcHoltWinters`): per-series
+    * fold in time order with level `s` and trend `b`:
+    * seed s=x0, b=x1-x0, then for each subsequent sample
+    * s' = sf*x + (1-sf)*(s+b); b' = tf*(s'-s) + (1-tf)*b; emit the final
+    * level. Series with < 2 samples emit nothing.
+    *
+    * Shape: one shuffle on the series key, then a sorted collect + one
+    * linear fold per series (the recurrence is inherently sequential —
+    * the lambda-HOF fold stays on the executor that owns the series, no
+    * further exchange). Samples sharing a timestamp order by value so
+    * re-runs and the oracle agree. Prefer exactly-representable sf/tf
+    * (0.25, 0.5, ...) when an external engine must reproduce the fold
+    * bit-for-bit. */
+  def holtWinters(longForm: DataFrame, sf: Double, tf: Double): DataFrame = {
+    val oneMinusSf = 1 - sf
+    val oneMinusTf = 1 - tf
+    longForm.groupBy(col("fingerprint"), col("labels"))
+      .agg(array_sort(collect_list(struct(col("t"), col("v")))).as("xs"))
+      .where(size(col("xs")) >= 2)
+      .withColumn("smoothed", {
+        val vs = expr("transform(xs, x -> x.v)")
+        def sNext(acc: Column, v: Column): Column =
+          lit(sf) * v + lit(oneMinusSf) * (acc.getField("s") + acc.getField("b"))
+        aggregate(
+          slice(vs, lit(2), size(vs) - 1),
+          struct(element_at(vs, 1).as("s"),
+            (element_at(vs, 2) - element_at(vs, 1)).as("b")),
+          (acc, v) => struct(
+            sNext(acc, v).as("s"),
+            (lit(tf) * (sNext(acc, v) - acc.getField("s"))
+              + lit(oneMinusTf) * acc.getField("b")).as("b")),
+          acc => acc.getField("s"))
+      })
+      .withColumn("n_samples", size(col("xs")).cast("long"))
+      .drop("xs")
+  }
 
   /** PromQL time functions over an epoch-ms timestamp column (UTC
     * session): minute, hour, day_of_week (0 = Sunday, Prometheus

@@ -382,6 +382,25 @@ object TsQueries {
         .orderBy(col("name"), col("user"), col("step_t"), col("user_v"))
     }),
 
+    // PromQL one-to-many group_right: mirror of ts_prom_group_left with
+    // the MANY side as the RIGHT operand — series identity survives from
+    // the right, the left operand reduces to the per-(step, name)
+    // aggregate; inv_share = total ÷ user-series value
+    "ts_prom_group_right" -> ((s, dir) => {
+      val q = querier(s, dir)
+      val sel = q.selectLong(Mint, Maxt, Seq(
+        LabelMatcher.re(Labels.MetricName, "click|purchase")))
+      graft.ops.PromOps.binaryOpGroupRight(
+        sel, sel, onLabels = Seq(Labels.MetricName), stepMs = 86400000L,
+        labelValue = TsSchema.labelValue,
+        op = (l, r) => round(l / r, 6))
+        .select(col("step_t"), col("on___name__").as("name"),
+          TsSchema.labelValue(col("labels"), "user").as("user"),
+          round(col("lv"), 4).as("user_v"), round(col("rv"), 4).as("total_sum"),
+          round(round(col("rv"), 4) / round(col("lv"), 4), 6).as("inv_share"))
+        .orderBy(col("name"), col("user"), col("step_t"), col("user_v"))
+    }),
+
     // PromQL clamp family (scalar functions over an instant vector)
     "ts_prom_clamp" -> ((s, dir) => {
       val sel = querier(s, dir).selectLong(Mint, Maxt, Seq(
@@ -458,6 +477,35 @@ object TsQueries {
             .as("predict_1h"),
           count(lit(1)).as("n_samples"))
         .where(col("n_samples") >= 2)
+        .orderBy(col("name"), col("user"), col("big"))),
+
+    // PromQL irate()/idelta(): instantaneous rate/delta from the last
+    // two samples of each series in the range (counter reset → the last
+    // value alone is the increase; idelta keeps the raw difference)
+    "ts_prom_irate" -> ((s, dir) =>
+      graft.ops.PromOps.instantRate(
+        querier(s, dir).selectLong(Mint, Maxt, Seq(LabelMatcher.eq(Labels.MetricName, "click"))))
+        .select(
+          TsSchema.labelValue(col("labels"), Labels.MetricName).as("name"),
+          TsSchema.labelValue(col("labels"), "user").as("user"),
+          TsSchema.labelValue(col("labels"), "big").as("big"),
+          round(col("irate"), 6).as("irate"),
+          round(col("idelta"), 4).as("idelta"))
+        .orderBy(col("name"), col("user"), col("big"))),
+
+    // PromQL holt_winters (double exponential smoothing) with exactly-
+    // representable sf=0.25, tf=0.5 — the sequential per-series fold is
+    // reproduced by the oracle as a recursive CTE, so the hash compare
+    // covers every intermediate (s, b) step bit-for-bit
+    "ts_prom_holt_winters" -> ((s, dir) =>
+      graft.ops.PromOps.holtWinters(
+        querier(s, dir).selectLong(Mint, Maxt, Seq(LabelMatcher.eq(Labels.MetricName, "purchase"))),
+        sf = 0.25, tf = 0.5)
+        .select(
+          TsSchema.labelValue(col("labels"), Labels.MetricName).as("name"),
+          TsSchema.labelValue(col("labels"), "user").as("user"),
+          TsSchema.labelValue(col("labels"), "big").as("big"),
+          round(col("smoothed"), 4).as("smoothed"), col("n_samples"))
         .orderBy(col("name"), col("user"), col("big"))),
 
     // PromQL bottomk(3): lowest-sum series per metric (topk's mirror)
@@ -750,6 +798,54 @@ object TsQueries {
          | SELECT p.step_t, p.name AS name, p."user" AS "user",
          |  round(p.v, 4) AS user_v, round(t.rv, 4) AS total_sum,
          |  round(round(p.v, 4) / round(t.rv, 4), 6) AS share
+         | FROM per_series p JOIN totals t ON p.name = t.name AND p.step_t = t.step_t
+         | ORDER BY name, "user", p.step_t, user_v""".stripMargin.replace("\n", " "),
+    "ts_prom_irate" ->
+      s"""WITH s AS (
+         |  SELECT name, "user", big, t, v, lag(t) OVER w AS pt, lag(v) OVER w AS pv,
+         |    row_number() OVER (PARTITION BY name, "user", big ORDER BY t DESC, v DESC) AS rn
+         |  FROM ($oracleBase) WHERE t BETWEEN $Mint AND $Maxt AND name = 'click'
+         |  WINDOW w AS (PARTITION BY name, "user", big ORDER BY t, v))
+         | SELECT name, "user", big,
+         |  round((CASE WHEN v >= pv THEN v - pv ELSE v END) * 1000.0 / (t - pt), 6) AS irate,
+         |  round(v - pv, 4) AS idelta
+         | FROM s WHERE rn = 1 AND pt IS NOT NULL
+         | ORDER BY name, "user", big""".stripMargin.replace("\n", " "),
+    "ts_prom_holt_winters" ->
+      s"""WITH RECURSIVE base AS (
+         |  SELECT name, "user", big, v,
+         |    row_number() OVER (PARTITION BY name, "user", big ORDER BY t, v) AS rn,
+         |    count(*) OVER (PARTITION BY name, "user", big) AS n
+         |  FROM ($oracleBase) WHERE t BETWEEN $Mint AND $Maxt AND name = 'purchase'),
+         | hw AS (
+         |  SELECT b2.name, b2."user", b2.big, 2 AS rn, b2.n,
+         |    0.25::DOUBLE * b2.v + 0.75::DOUBLE * (b1.v + (b2.v - b1.v)) AS s,
+         |    0.5::DOUBLE * ((0.25::DOUBLE * b2.v + 0.75::DOUBLE * (b1.v + (b2.v - b1.v))) - b1.v)
+         |      + 0.5::DOUBLE * (b2.v - b1.v) AS b
+         |  FROM base b1 JOIN base b2 ON b1.name = b2.name AND b1."user" = b2."user"
+         |    AND b1.big = b2.big AND b1.rn = 1 AND b2.rn = 2
+         |  UNION ALL
+         |  SELECT x.name, x."user", x.big, x.rn, x.n,
+         |    0.25::DOUBLE * x.v + 0.75::DOUBLE * (hw.s + hw.b),
+         |    0.5::DOUBLE * ((0.25::DOUBLE * x.v + 0.75::DOUBLE * (hw.s + hw.b)) - hw.s)
+         |      + 0.5::DOUBLE * hw.b
+         |  FROM hw JOIN base x ON x.name = hw.name AND x."user" = hw."user"
+         |    AND x.big = hw.big AND x.rn = hw.rn + 1)
+         | SELECT name, "user", big, round(s, 4) AS smoothed, n::BIGINT AS n_samples
+         | FROM hw WHERE rn = n ORDER BY name, "user", big""".stripMargin.replace("\n", " "),
+    "ts_prom_group_right" ->
+      s"""WITH stepped AS (
+         |  SELECT name, "user", big, t - (t % 86400000) AS step_t, t, v
+         |  FROM ($oracleBase) WHERE t BETWEEN $Mint AND $Maxt
+         |   AND regexp_matches(name, '^(?:click|purchase)$$')),
+         | per_series AS (
+         |  SELECT name, "user", big, step_t, (max({'t': t, 'v': v})).v AS v
+         |  FROM stepped GROUP BY name, "user", big, step_t),
+         | totals AS (
+         |  SELECT name, step_t, sum(v) AS rv FROM per_series GROUP BY name, step_t)
+         | SELECT p.step_t, p.name AS name, p."user" AS "user",
+         |  round(p.v, 4) AS user_v, round(t.rv, 4) AS total_sum,
+         |  round(round(t.rv, 4) / round(p.v, 4), 6) AS inv_share
          | FROM per_series p JOIN totals t ON p.name = t.name AND p.step_t = t.step_t
          | ORDER BY name, "user", p.step_t, user_v""".stripMargin.replace("\n", " "),
     "ts_prom_clamp" ->
