@@ -278,7 +278,8 @@ object TsdbMetaStatsReaderFactory extends PartitionReaderFactory {
   * series into partitions. */
 class TsdbScan(rootPath: String, required: StructType, mint: Long, maxt: Long,
                preds: Seq[LabelPred],
-               seriesPerPartition: Int) extends Scan with Batch {
+               seriesPerPartition: Int)
+  extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -307,29 +308,70 @@ class TsdbScan(rootPath: String, required: StructType, mint: Long, maxt: Long,
         idx.labelValues(n).flatMap(v => idx.postings(n, v)).toSet
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val parts = Vector.newBuilder[InputPartition]
-    for (dir <- TsdbBlockTable.blockDirs(rootPath)) {
+  /** Per-block matcher resolution, shared by partition planning and
+    * statistics estimation (computed once per Scan): blocks surviving
+    * P10 time pruning, with their selected postings refs and total
+    * series count. */
+  private lazy val resolvedBlocks
+      : Seq[(Path, TsdbBlock.BlockMeta, Seq[Long], Int)] =
+    TsdbBlockTable.blockDirs(rootPath).flatMap { dir =>
       val meta = TsdbBlock.readMeta(dir)
       // P10 block pruning
       if (meta.minTime <= maxt && mint <= meta.maxTime) {
         val idx = TsdbIndexCache.get(dir.resolve("index").toString)
+        val all = idx.allPostings
         val postingSets = preds.map(resolve(idx, _))
         val refs: Seq[Long] =
-          if (postingSets.isEmpty) idx.allPostings
+          if (postingSets.isEmpty) all
           else postingSets.reduce(_ intersect _).toSeq.sorted // P8 intersect
-        // The driver ships only POSTINGS REF SLICES (8 bytes/series), not
-        // decoded labels — series entries are decoded executor-side, so
-        // planning stays O(postings) however many series match. This is
-        // the file-split discipline of the built-in sources applied to
-        // the TSDB index.
-        refs.grouped(math.max(1, seriesPerPartition)).foreach { batch =>
-          parts += TsdbInputPartition(dir.toString, batch.toArray,
-            mint, maxt, required.fieldNames.toSeq)
-        }
+        Some((dir, meta, refs, all.size))
+      } else None
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = Vector.newBuilder[InputPartition]
+    for ((dir, _, refs, _) <- resolvedBlocks) {
+      // The driver ships only POSTINGS REF SLICES (8 bytes/series), not
+      // decoded labels — series entries are decoded executor-side, so
+      // planning stays O(postings) however many series match. This is
+      // the file-split discipline of the built-in sources applied to
+      // the TSDB index.
+      refs.grouped(math.max(1, seriesPerPartition)).foreach { batch =>
+        parts += TsdbInputPartition(dir.toString, batch.toArray,
+          mint, maxt, required.fieldNames.toSeq)
       }
     }
     parts.result().toArray
+  }
+
+  /** Postings-aware statistics so Catalyst sizes this source correctly
+    * in join planning: a one-series select against a million-series
+    * store reports ~samples-per-series rows, not the whole store —
+    * which is what lets `tsdb-scan JOIN dim` broadcast the scan side.
+    * rows = Σ_blocks selected × (samples/series) × time-overlap
+    * fraction; bytes = rows × width(required schema). Estimates only —
+    * never used for correctness. */
+  override def estimateStatistics(): Statistics = {
+    var rows = 0.0
+    for ((_, meta, refs, total) <- resolvedBlocks if total > 0) {
+      val span = math.max(1L, meta.maxTime - meta.minTime)
+      val lo = math.max(mint, meta.minTime)
+      val hi = math.min(maxt, meta.maxTime)
+      val frac = math.min(1.0, math.max(0.0, (hi - lo).toDouble / span))
+      rows += refs.size * (meta.stats.numSamples.toDouble / total) * frac
+    }
+    val est = math.round(rows)
+    val bytesPerRow = math.max(8, required.fields.map(_.dataType match {
+      case _: MapType => 48L // labels map: a handful of short entries
+      case StringType => 16L // promoted label column
+      case _ => 8L           // t / v
+    }).sum)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(est * bytesPerRow)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(est)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -327,4 +327,24 @@ class TsdbDataSourceSpec extends AnyFunSuite {
     assert(q.count() == 2L * 300)
     assert(q.select("labels").head().getMap[String, String](0).size == 3)
   }
+
+  test("scan reports postings-aware statistics (join sizing at scale)") {
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      scanOf(df).estimateStatistics()
+    val full = stats(ds)
+    assert(full.numRows().getAsLong == 2L * 9 * 300)
+    // one series of eighteen → 1/9 of the rows (both blocks keep 1 of 9)
+    val one = stats(ds.where(col("job") === "web" && col("instance") === "i-0"))
+    assert(one.numRows().getAsLong == 2L * 300)
+    assert(one.sizeInBytes().getAsLong < full.sizeInBytes().getAsLong / 8)
+    // time clamp scales the estimate by block overlap: half of b1, none
+    // of b2 (b2 starts at 1700010000000L > the bound)
+    val mid = 1700000000000L + 150 * 15000L
+    val half = stats(ds.where(col("t") < mid))
+    assert(half.numRows().getAsLong > 0)
+    assert(half.numRows().getAsLong < full.numRows().getAsLong / 2 + 9 * 2)
+    // the optimizer SEES these stats through the V2 relation
+    val rel = ds.where(col("job") === "api").queryExecution.optimizedPlan
+    assert(rel.stats.sizeInBytes < full.sizeInBytes().getAsLong)
+  }
 }
