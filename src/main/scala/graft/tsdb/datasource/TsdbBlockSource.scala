@@ -277,9 +277,41 @@ object TsdbMetaStatsReaderFactory extends PartitionReaderFactory {
   * matchers against each block's index (postings), batch the selected
   * series into partitions. */
 class TsdbScan(rootPath: String, required: StructType, mint: Long, maxt: Long,
-               preds: Seq[LabelPred],
+               initPreds: Seq[LabelPred],
                seriesPerPartition: Int)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  /** Plan-time matchers plus any runtime filters Spark delivers after
+    * the build side of a join materializes (dynamic pruning for V2
+    * sources). Runtime filters arrive before partition planning. */
+  private var preds: Seq[LabelPred] = initPreds
+
+  /** Runtime-filterable columns: the promoted label columns. A join
+    * whose key is a label (`scan JOIN dim ON scan.job = dim.job`) then
+    * prunes POSTINGS at execution time with the build side's actual key
+    * set — the DSv2 analog of dynamic partition pruning: series that
+    * can't match never have their chunks read. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fieldNames.toSeq
+      .filterNot(TsdbBlockTable.FixedFields.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val extra = filters.flatMap {
+      case EqualTo(a, v: String) if !TsdbBlockTable.FixedFields.contains(a) =>
+        Some(EqValues(a, Set(v)))
+      case In(a, vs) if !TsdbBlockTable.FixedFields.contains(a) &&
+          vs.forall(_.isInstanceOf[String]) =>
+        Some(EqValues(a, vs.map(_.asInstanceOf[String]).toSet))
+      case _ => None // unsupported runtime filters are advisory only
+    }
+    if (extra.nonEmpty) {
+      preds ++= extra
+      cachedResolution = null // re-resolve postings with the new matchers
+    }
+  }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -309,24 +341,29 @@ class TsdbScan(rootPath: String, required: StructType, mint: Long, maxt: Long,
   }
 
   /** Per-block matcher resolution, shared by partition planning and
-    * statistics estimation (computed once per Scan): blocks surviving
-    * P10 time pruning, with their selected postings refs and total
-    * series count. */
-  private lazy val resolvedBlocks
-      : Seq[(Path, TsdbBlock.BlockMeta, Seq[Long], Int)] =
-    TsdbBlockTable.blockDirs(rootPath).flatMap { dir =>
-      val meta = TsdbBlock.readMeta(dir)
-      // P10 block pruning
-      if (meta.minTime <= maxt && mint <= meta.maxTime) {
-        val idx = TsdbIndexCache.get(dir.resolve("index").toString)
-        val all = idx.allPostings
-        val postingSets = preds.map(resolve(idx, _))
-        val refs: Seq[Long] =
-          if (postingSets.isEmpty) all
-          else postingSets.reduce(_ intersect _).toSeq.sorted // P8 intersect
-        Some((dir, meta, refs, all.size))
-      } else None
-    }
+    * statistics estimation (computed once per Scan, invalidated when a
+    * runtime filter narrows `preds`): blocks surviving P10 time
+    * pruning, with their selected postings refs and total series
+    * count. */
+  private var cachedResolution: Seq[(Path, TsdbBlock.BlockMeta, Seq[Long], Int)] = _
+
+  private def resolvedBlocks: Seq[(Path, TsdbBlock.BlockMeta, Seq[Long], Int)] = {
+    if (cachedResolution == null) cachedResolution =
+      TsdbBlockTable.blockDirs(rootPath).flatMap { dir =>
+        val meta = TsdbBlock.readMeta(dir)
+        // P10 block pruning
+        if (meta.minTime <= maxt && mint <= meta.maxTime) {
+          val idx = TsdbIndexCache.get(dir.resolve("index").toString)
+          val all = idx.allPostings
+          val postingSets = preds.map(resolve(idx, _))
+          val refs: Seq[Long] =
+            if (postingSets.isEmpty) all
+            else postingSets.reduce(_ intersect _).toSeq.sorted // P8 intersect
+          Some((dir, meta, refs, all.size))
+        } else None
+      }
+    cachedResolution
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val parts = Vector.newBuilder[InputPartition]

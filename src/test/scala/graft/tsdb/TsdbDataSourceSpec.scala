@@ -328,6 +328,32 @@ class TsdbDataSourceSpec extends AnyFunSuite {
     assert(q.select("labels").head().getMap[String, String](0).size == 3)
   }
 
+  test("runtime filters prune postings at execution (V2 dynamic pruning)") {
+    import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+    // the attributes Spark may runtime-filter on: the label columns
+    val scan = scanOf(ds.select("job", "instance", "t", "v"))
+    assert(scan.filterAttributes().map(_.fieldNames.mkString).toSet ==
+      Set("job", "instance"))
+    // simulate the join build side delivering its key set
+    val before = scan.planInputPartitions().map(
+      _.asInstanceOf[graft.tsdb.datasource.TsdbInputPartition].refs.length).sum
+    scan.filter(Array[Filter](In("job", Array[Any]("api", "web"))))
+    val after = scan.planInputPartitions().map(
+      _.asInstanceOf[graft.tsdb.datasource.TsdbInputPartition].refs.length).sum
+    assert(before == 2 * 9 && after == 2 * 6) // api-canary series dropped
+    scan.filter(Array[Filter](EqualTo("instance", "i-1")))
+    val narrowed = scan.planInputPartitions().map(
+      _.asInstanceOf[graft.tsdb.datasource.TsdbInputPartition].refs.length).sum
+    assert(narrowed == 2 * 2)
+    // statistics follow the narrowed postings (AQE re-optimizes on them)
+    assert(scan.estimateStatistics().numRows().getAsLong == 2L * 2 * 300)
+    // end-to-end: a dim join over the label column stays correct
+    val dim = spark.createDataFrame(Seq(("api", "prod"))).toDF("job", "tier")
+    val joined = ds.join(dim, "job")
+    assert(joined.count() == 2L * 3 * 300)
+    assert(joined.select("tier").distinct().head().getString(0) == "prod")
+  }
+
   test("scan reports postings-aware statistics (join sizing at scale)") {
     def stats(df: org.apache.spark.sql.DataFrame) =
       scanOf(df).estimateStatistics()
