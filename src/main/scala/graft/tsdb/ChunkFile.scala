@@ -145,13 +145,53 @@ object ChunkFile {
     override def close(): Unit = ch.close()
   }
 
+  /** Per-JVM bounded LRU of decoded chunk records keyed by
+    * (segment path, offset) — the reference's caching chunk reader
+    * (S7, its groupcache analog `cache.go`) brought in-process: blocks
+    * are immutable (ULID dirs), so a cached record never goes stale;
+    * repeated scans of hot blocks decode from memory with zero segment
+    * IO. Bounded by payload bytes (default 128 MiB per JVM,
+    * `-Dgraft.chunkCache.bytes=N`; 0 disables). On a 1000-executor
+    * cluster each executor caches its own hot set — the access-locality
+    * the partition planner already creates by batching series refs. */
+  object RecordCache {
+    private val maxBytes: Long = sys.props.get("graft.chunkCache.bytes")
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    private def cost(r: ChunkRecord): Long = r.data.length.toLong + 64
+    private var total = 0L
+    private val map =
+      new java.util.LinkedHashMap[(String, Int), ChunkRecord](1024, 0.75f, true)
+    def get(path: String, off: Int): Option[ChunkRecord] = synchronized {
+      Option(map.get((path, off)))
+    }
+    def put(path: String, off: Int, rec: ChunkRecord): Unit = synchronized {
+      if (maxBytes <= 0) return
+      if (map.put((path, off), rec) == null) total += cost(rec)
+      val it = map.entrySet().iterator()
+      while (total > maxBytes && it.hasNext) {
+        total -= cost(it.next().getValue); it.remove()
+      }
+    }
+  }
+
   /** Read `refs` (fileSeq << 32 | offset) across segment files with one
-    * [[SegmentRangeReader]] per touched segment. */
+    * [[SegmentRangeReader]] per touched segment; records already in the
+    * [[RecordCache]] are served without touching the file. */
   def readRefs(chunksDir: java.nio.file.Path, refs: Seq[Long]): Map[Long, ChunkRecord] =
     refs.groupBy(refFileSeq).iterator.flatMap { case (seq, rs) =>
-      val rd = new SegmentRangeReader(chunksDir.resolve(f"$seq%06d"))
-      try rd.read(rs.map(refOffset)).map { case (off, rec) => ref(seq, off) -> rec }
-      finally rd.close()
+      val path = chunksDir.resolve(f"$seq%06d")
+      val key = path.toAbsolutePath.toString
+      val offs = rs.map(refOffset).distinct
+      val cached = offs.flatMap(o => RecordCache.get(key, o).map(o -> _)).toMap
+      val missing = offs.filterNot(cached.contains)
+      val fresh =
+        if (missing.isEmpty) Map.empty[Int, ChunkRecord]
+        else {
+          val rd = new SegmentRangeReader(path)
+          try rd.read(missing) finally rd.close()
+        }
+      fresh.foreach { case (o, rec) => RecordCache.put(key, o, rec) }
+      (cached ++ fresh).map { case (off, rec) => ref(seq, off) -> rec }
     }.toMap
 
   /** Sequentially scan all chunk records in a segment file. */

@@ -136,4 +136,34 @@ class ChunkFileSpec extends AnyFunSuite {
     assert(ChunkFile.refFileSeq(ChunkFile.ref(7, 99)) == 7)
     assert(ChunkFile.refOffset(ChunkFile.ref(7, 99)) == 99)
   }
+
+  test("record cache serves repeated reads with zero segment IO (S7)") {
+    val chunks = (0 until 20).map(i =>
+      XorChunk.encode((0 until 50).map(k =>
+        Sample(1700000000000L + k * 15000L, (i * 50 + k).toDouble))))
+    val dir = java.nio.file.Files.createTempDirectory("chunkcache")
+    val (bytes, refs) = ChunkFile.write(1, chunks)
+    java.nio.file.Files.write(dir.resolve("000001"), bytes)
+    ChunkFile.bytesFetched.set(0)
+    val first = ChunkFile.readRefs(dir, refs)
+    assert(ChunkFile.bytesFetched.get() > 0)
+    ChunkFile.bytesFetched.set(0)
+    val second = ChunkFile.readRefs(dir, refs)
+    assert(ChunkFile.bytesFetched.get() == 0,
+      "second read of an immutable segment must be served from the cache")
+    assert(first.keySet == second.keySet)
+    assert(first.forall { case (r, rec) =>
+      java.util.Arrays.equals(rec.data, second(r).data) })
+    // a partial overlap fetches only the missing records
+    val more = ChunkFile.write(2, chunks)._1
+    java.nio.file.Files.write(dir.resolve("000002"), more)
+    ChunkFile.bytesFetched.set(0)
+    val mixed = ChunkFile.readRefs(dir,
+      refs.take(5) ++ chunks.indices.take(3).map(i =>
+        ChunkFile.ref(2, ChunkFile.refOffset(refs(i)))))
+    assert(mixed.size == 8)
+    val freshBytes = ChunkFile.bytesFetched.get()
+    assert(freshBytes > 0 && freshBytes < bytes.length,
+      s"expected only segment-2 ranges, fetched $freshBytes")
+  }
 }
