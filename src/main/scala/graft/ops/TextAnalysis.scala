@@ -126,6 +126,36 @@ object TextAnalysis {
         round(max(col("c")) / sum(col("c")), 6).as("top_frac"))
   }
 
+  /** TF-IDF keyword extraction: top-`k` terms per document by
+    * tf × ln(N / df), the standard curation signal for topic balance /
+    * keyword indexing over a training corpus.
+    *
+    * Scale shape: explode → one shuffle on (doc, word) for tf; one
+    * shuffle on word for document frequency; tf⋈df joins on word
+    * (Catalyst broadcasts a small vocabulary, sort-merge-joins a huge
+    * one — no hint pinned); N arrives as a broadcast 1-row cross join,
+    * never a driver collect. Ranking happens on the ROUNDED score so
+    * mathematically-tied terms (2·ln4 ≡ 4·ln2) break on the word, not
+    * on last-ulp noise. */
+  def tfIdfTopK(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 3): DataFrame = {
+    val words = df
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("word"))
+      .where(col("word") =!= "")
+    val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("word")).agg(count(lit(1)).as("df_docs"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfc, "word").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df_docs")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("word"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("word"), col("tf"),
+        col("df_docs"), col("tfidf"))
+  }
+
   /** Convenience: annotate a documents DataFrame with all analyses. */
   def annotate(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("features", qualityFeatures(col(textCol)))

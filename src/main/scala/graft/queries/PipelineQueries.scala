@@ -64,6 +64,12 @@ object PipelineQueries {
       TextAnalysis.repetition(docs(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // TF-IDF keyword extraction: top-3 terms per document by
+    // tf·ln(N/df), ranked on the rounded score with word tie-break
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopK(docs(s, dir), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rnk"))),
+
     // deterministic Bernoulli sample (reproducible subset selection):
     // pure map-side filter, no shuffle
     "sample_bernoulli" -> ((s, dir) =>
@@ -343,6 +349,24 @@ object PipelineQueries {
     "dedup_minhash_lsh" ->
       s"""WITH $lshPairCtes
          | SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY id1, id2""".om,
+    "text_tfidf" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         | tf AS (
+         |  SELECT doc_id, word, count(*) AS tf FROM words WHERE word <> ''
+         |  GROUP BY doc_id, word),
+         | dfc AS (SELECT word, count(*) AS df_docs FROM tf GROUP BY word),
+         | n AS (SELECT count(*) AS n_docs FROM documents),
+         | scored AS (
+         |  SELECT tf.doc_id, tf.word, tf.tf, dfc.df_docs,
+         |    round(tf.tf * ln(n.n_docs::DOUBLE / dfc.df_docs), 6) AS tfidf
+         |  FROM tf JOIN dfc USING (word) CROSS JOIN n),
+         | ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rnk
+         |  FROM scored)
+         | SELECT doc_id, rnk::BIGINT AS rnk, word, tf::BIGINT AS tf,
+         |  df_docs::BIGINT AS df_docs, tfidf
+         | FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".om,
     "text_repetition" ->
       s"""WITH toks AS (SELECT doc_id,
          |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS t
