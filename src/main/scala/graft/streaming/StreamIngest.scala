@@ -182,4 +182,19 @@ object StreamIngest {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("name"), col("n"))
+
+  /** Beyond-reference: streaming exact dedup for a continuously-arriving
+    * document stream — the streaming form of the batch `Dedup.exact`
+    * digest key. First occurrence wins (emitted in append mode);
+    * duplicates arriving within the watermark horizon are suppressed;
+    * `dropDuplicatesWithinWatermark` drops a digest's state once the
+    * watermark passes it, so state stays bounded by the horizon's
+    * arrival rate, not by corpus size — the property that lets this run
+    * forever against a firehose. */
+  def streamingDedup(docs: DataFrame, tsCol: String, textCol: String,
+                     watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("digest", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("digest")
 }

@@ -174,4 +174,26 @@ class StreamIngestSpec extends AnyFunSuite {
     query.stop()
     assert(out.toSeq == Seq((20000L, 10.0, 0.5), (30000L, 2.0, 0.2)))
   }
+
+  test("streaming dedup suppresses repeated documents within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)] // (t ms, text)
+    val docsStream = mem.toDF()
+      .select(timestamp_millis(col("_1")).as("ts"), col("_2").as("text"))
+    val dd = StreamIngest.streamingDedup(docsStream, "ts", "text", "10 minutes")
+    val query = dd.writeStream.format("memory").queryName("streamdedup")
+      .outputMode("append").start()
+    val t0 = 1700000000000L
+    // within-batch duplicate + distinct doc
+    mem.addData((t0, "alpha doc"), (t0 + 1000L, "alpha doc"), (t0 + 2000L, "beta doc"))
+    query.processAllAvailable()
+    // cross-batch duplicate still inside the watermark horizon
+    mem.addData((t0 + 60000L, "alpha doc"), (t0 + 61000L, "gamma doc"))
+    query.processAllAvailable()
+    val texts = spark.table("streamdedup").collect()
+      .map(_.getAs[String]("text")).sorted.toSeq
+    query.stop()
+    assert(texts == Seq("alpha doc", "beta doc", "gamma doc"))
+  }
 }
