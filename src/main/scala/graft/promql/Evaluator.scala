@@ -1,0 +1,283 @@
+package graft.promql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tsdb.{Labels, TsQuerier}
+
+/** Step-based PromQL range-query evaluation over a [[TsQuerier]].
+  *
+  * Model (Prometheus HTTP range query): evaluation instants are
+  * `t_k = mint + k·step` for `k = 0 .. (maxt-mint)/step`. An instant
+  * vector at `t_k` holds, per series, the newest sample in the
+  * left-open lookback window `(t_k - lookback, t_k]` (Prometheus's
+  * 5-minute lookback delta). A range function over `[range]` sees the
+  * samples in `(t_k - range, t_k]`.
+  *
+  * Spark shape — built for the 100 TB case:
+  *  - A sample at time `t` can serve the steps in `[t, t + horizon)`.
+  *    That's `≤ horizon/step + 1` steps, so the step assignment is a
+  *    BOUNDED map-side explode (sequence of step ordinals), never a
+  *    per-(series × step) cross join: cost scales with samples, not
+  *    with samples × steps.
+  *  - After assignment everything is one shuffle keyed on
+  *    (fingerprint, step) — aggregations, window folds and joins all
+  *    reuse that key.
+  *  - Binary operators join two instant vectors on (match-labels, t);
+  *    Catalyst broadcasts whichever side statistics call small.
+  *
+  * Deviation from Prometheus proper (documented): `rate`/`increase` do
+  * not extrapolate to the window edges — they return the exact
+  * counter-reset-corrected increase over the observed span
+  * (`(v_last - v_first + resets)` and that divided by the observed
+  * seconds). This is the behavior several production engines chose
+  * (and what a SQL oracle can replicate bit-for-bit); the extrapolated
+  * variant is a pure post-map if ever needed.
+  */
+final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
+                      stepMs: Long, lookbackMs: Long = 5 * 60 * 1000L) {
+  import PromExpr._
+
+  require(stepMs > 0 && maxt >= mint, "bad evaluation window")
+  private val nSteps: Long = (maxt - mint) / stepMs + 1
+
+  private val emptyLabels =
+    array().cast("array<struct<name:string,value:string>>")
+
+  private def dropName(labels: Column): Column =
+    filter(labels, e => e.getField("name") =!= Labels.MetricName)
+
+  private def subset(labels: Column, names: Seq[String]): Column =
+    if (names.isEmpty) emptyLabels
+    else filter(labels, e => e.getField("name").isin(names.map(x => x: Any): _*))
+
+  // exact integral floor/ceil division for step math (values ≪ 2^53, and
+  // the numerator is made exactly divisible first, so the double divide
+  // is exact)
+  private def floorDiv(a: Column, b: Long): Column =
+    ((a - pmod(a, lit(b))) / b).cast("long")
+  private def ceilDiv(a: Column, b: Long): Column =
+    (lit(0L) - floorDiv(lit(0L) - a, b)).cast("long")
+
+  /** Raw shifted samples able to serve any step: t ∈ (mint-horizon, maxt]
+    * in query time (selection happens in storage time, then shifts by
+    * the offset). */
+  private def raw(sel: Selector, horizonMs: Long): DataFrame =
+    querier
+      .selectLong(mint - sel.offsetMs - horizonMs + 1, maxt - sel.offsetMs,
+        sel.matchers)
+      .withColumn("t", col("t") + sel.offsetMs)
+
+  /** Attach the step ordinals each sample serves — `k` with
+    * `t_k ∈ [t, t + horizon)` — as a bounded explode. */
+  private def atSteps(df: DataFrame, horizonMs: Long): DataFrame = {
+    val kLo = greatest(ceilDiv(col("t") - mint, stepMs), lit(0L))
+    val kHi = least(floorDiv(col("t") + horizonMs - 1 - mint, stepMs),
+      lit(nSteps - 1))
+    df.withColumn("k",
+      explode(when(kLo <= kHi, sequence(kLo, kHi))
+        .otherwise(array().cast("array<long>"))))
+  }
+
+  private def stepT: Column = (lit(mint) + col("k") * stepMs).as("t")
+
+  /** Instant vector of a plain selector: newest sample per series per
+    * step within the lookback window. */
+  private def instant(sel: Selector): DataFrame = {
+    require(sel.rangeMs.isEmpty, "range selector used as instant vector")
+    atSteps(raw(sel, lookbackMs), lookbackMs)
+      .groupBy(col("fingerprint"), col("labels"), col("k"))
+      .agg(max(struct(col("t"), col("v"))).getField("v").as("v"))
+      .select(col("labels"), stepT, col("v"))
+  }
+
+  private val twoSampleFns = Set("rate", "increase", "delta", "idelta",
+    "irate", "resets", "changes")
+
+  /** Range function: per (series, step) aggregate over the samples in
+    * the left-open `[range]` window. The sequential fns are expressed
+    * as a lag window + grouped aggregate — one sort, one aggregate,
+    * all on the (fingerprint, k) key. */
+  private def rangeFn(fn: String, sel: Selector): DataFrame = {
+    val range = sel.rangeMs.get
+    val stepped = atSteps(raw(sel, range), range)
+    val out: DataFrame = fn match {
+      case "sum_over_time" | "avg_over_time" | "min_over_time" |
+           "max_over_time" | "count_over_time" | "last_over_time" =>
+        val agg: Column = fn match {
+          case "sum_over_time" => sum(col("v"))
+          case "avg_over_time" => avg(col("v"))
+          case "min_over_time" => min(col("v"))
+          case "max_over_time" => max(col("v"))
+          case "count_over_time" => count(lit(1)).cast("double")
+          case "last_over_time" => max(struct(col("t"), col("v"))).getField("v")
+        }
+        stepped.groupBy(col("fingerprint"), col("labels"), col("k"))
+          .agg(agg.as("v"))
+      case _ if twoSampleFns(fn) =>
+        val w = Window.partitionBy(col("fingerprint"), col("k"))
+          .orderBy(col("t"), col("v"))
+        val prevd = stepped
+          .withColumn("pv", lag(col("v"), 1).over(w))
+          .withColumn("pt", lag(col("t"), 1).over(w))
+        val grouped = prevd
+          .groupBy(col("fingerprint"), col("labels"), col("k"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("t")).as("min_t"), max(col("t")).as("max_t"),
+            min(struct(col("t"), col("v"))).getField("v").as("first_v"),
+            max(struct(col("t"), col("v"))).getField("v").as("last_v"),
+            // the last row's predecessor: max over the lag pairs
+            max(struct(col("pt"), col("pv"))).getField("pv").as("prev_last_v"),
+            max(struct(col("pt"), col("pv"))).getField("pt").as("prev_last_t"),
+            sum(when(col("pv").isNull, 0.0)
+              .when(col("v") >= col("pv"), col("v") - col("pv"))
+              .otherwise(col("v"))).as("inc"),
+            sum(when(col("pv").isNotNull && col("v") < col("pv"), 1L)
+              .otherwise(0L)).cast("double").as("resets"),
+            sum(when(col("pv").isNotNull && col("v") =!= col("pv"), 1L)
+              .otherwise(0L)).cast("double").as("changes"))
+          .where(col("n") >= 2)
+        val value: Column = fn match {
+          case "increase" => col("inc")
+          case "rate" => col("inc") * 1000.0d / (col("max_t") - col("min_t"))
+          case "delta" => col("last_v") - col("first_v")
+          case "idelta" => col("last_v") - col("prev_last_v")
+          case "irate" =>
+            when(col("last_v") >= col("prev_last_v"),
+              col("last_v") - col("prev_last_v")).otherwise(col("last_v")) *
+              1000.0d / (col("max_t") - col("prev_last_t"))
+          case "resets" => col("resets")
+          case "changes" => col("changes")
+        }
+        val guarded = fn match {
+          // a window whose samples share one timestamp has no time span
+          case "rate" => grouped.where(col("max_t") > col("min_t"))
+          case "irate" => grouped.where(col("max_t") > col("prev_last_t"))
+          case _ => grouped
+        }
+        guarded.withColumn("v", value)
+      case other => sys.error(s"unsupported range function $other")
+    }
+    // function results drop the metric name (Prometheus semantics)
+    out.select(dropName(col("labels")).as("labels"), stepT, col("v"))
+  }
+
+  private def agg(op: String, by: Seq[String], param: Option[Double],
+                  arg: PromExpr): DataFrame = {
+    val in = eval(arg)
+    op match {
+      case "topk" | "bottomk" =>
+        val k = param.getOrElse(sys.error(s"$op needs a scalar k")).toInt
+        val grouped = in.withColumn("gl", subset(col("labels"), by))
+        val ord =
+          if (op == "topk") Seq(col("v").desc, col("labels").asc)
+          else Seq(col("v").asc, col("labels").asc)
+        val w = Window.partitionBy(col("gl"), col("t")).orderBy(ord: _*)
+        // topk keeps the SELECTED SERIES' own labels
+        grouped.withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= k)
+          .select(col("labels"), col("t"), col("v"))
+      case _ =>
+        val fn: Column = op match {
+          case "sum" => sum(col("v"))
+          case "avg" => avg(col("v"))
+          case "min" => min(col("v"))
+          case "max" => max(col("v"))
+          case "count" => count(lit(1)).cast("double")
+          case "quantile" =>
+            expr(s"percentile(v, ${param.getOrElse(sys.error("quantile needs φ"))})")
+          case other => sys.error(s"unsupported aggregation $other")
+        }
+        in.groupBy(subset(col("labels"), by).as("labels"), col("t"))
+          .agg(fn.as("v"))
+    }
+  }
+
+  private val arith: Map[String, (Column, Column) => Column] = Map(
+    "+" -> (_ + _), "-" -> (_ - _), "*" -> (_ * _), "/" -> (_ / _),
+    "%" -> ((a, b) => a % b), "^" -> ((a, b) => pow(a, b)))
+  private val cmp: Map[String, (Column, Column) => Column] = Map(
+    ">" -> (_ > _), "<" -> (_ < _), ">=" -> (_ >= _), "<=" -> (_ <= _),
+    "==" -> (_ === _), "!=" -> (_ =!= _))
+
+  private def bin(op: String, l: PromExpr, r: PromExpr,
+                  on: Option[Seq[String]]): DataFrame = (l, r) match {
+    case (Num(a), Num(b)) =>
+      sys.error(s"scalar-scalar '$a $op $b' is not a vector")
+    case (Num(a), e) =>
+      val in = eval(e)
+      if (cmp.contains(op)) in.where(cmp(op)(lit(a), col("v")))
+      else in.withColumn("v", arith(op)(lit(a), col("v")))
+    case (e, Num(b)) =>
+      val in = eval(e)
+      if (cmp.contains(op)) in.where(cmp(op)(col("v"), lit(b)))
+      else in.withColumn("v", arith(op)(col("v"), lit(b)))
+    case (le, re) =>
+      val key: Column => Column = on match {
+        case Some(names) => subset(_, names)
+        case None => dropName(_)
+      }
+      val lf = eval(le).select(key(col("labels")).as("jk"),
+        col("labels"), col("t"), col("v"))
+      val rf = eval(re).select(key(col("labels")).as("jk"),
+        col("t"), col("v").as("rv"))
+      val joined = lf.join(rf, Seq("jk", "t"))
+      if (cmp.contains(op))
+        // comparison = filter: the left series survives unchanged
+        joined.where(cmp(op)(col("v"), col("rv")))
+          .select(col("labels"), col("t"), col("v"))
+      else
+        // one-to-one arithmetic: result carries the MATCH labels
+        joined.select(col("jk").as("labels"), col("t"),
+          arith(op)(col("v"), col("rv")).as("v"))
+  }
+
+  private def scalarFn(fn: String, arg: PromExpr, ps: Seq[Double]): DataFrame = {
+    val in = eval(arg)
+    val f: Column => Column = fn match {
+      case "abs" => abs(_)
+      case "ceil" => ceil(_).cast("double")
+      case "floor" => floor(_).cast("double")
+      case "exp" => exp(_)
+      case "sqrt" => sqrt(_)
+      case "ln" => log(_)
+      case "log2" => log2(_)
+      case "log10" => log10(_)
+      case "clamp" => v => least(greatest(v, lit(ps(0))), lit(ps(1)))
+      case "clamp_min" => v => greatest(v, lit(ps(0)))
+      case "clamp_max" => v => least(v, lit(ps(0)))
+      case other => sys.error(s"unsupported function $other")
+    }
+    in.withColumn("v", f(col("v")))
+  }
+
+  /** Evaluate to the canonical result frame
+    * `(labels array<struct<name,value>>, t long, v double)` — one row
+    * per series per evaluation step where the expression is defined. */
+  def eval(e: PromExpr): DataFrame = e match {
+    case s: Selector => instant(s)
+    case RangeFn(fn, sel) => rangeFn(fn, sel)
+    case Agg(op, by, param, arg) => agg(op, by, param, arg)
+    case Bin(op, le, re, on) => bin(op, le, re, on)
+    case ScalarFn(fn, arg, ps) => scalarFn(fn, arg, ps)
+    case Num(v) => sys.error(s"bare scalar $v is not a vector expression")
+  }
+}
+
+/** Entry points: parse + evaluate a PromQL string against a store. */
+object PromQL {
+  def parse(query: String): PromExpr = new Parser(query).parse()
+
+  /** Range query: evaluate at each step in `[mint, maxt]`. Returns
+    * `(labels, t, v)` rows. */
+  def rangeQuery(querier: TsQuerier, query: String, mint: Long, maxt: Long,
+                 stepMs: Long, lookbackMs: Long = 5 * 60 * 1000L): DataFrame =
+    new Evaluator(querier, mint, maxt, stepMs, lookbackMs).eval(parse(query))
+
+  /** Instant query: a range query with a single evaluation step. */
+  def instantQuery(querier: TsQuerier, query: String, at: Long,
+                   lookbackMs: Long = 5 * 60 * 1000L): DataFrame =
+    rangeQuery(querier, query, at, at, 1L, lookbackMs)
+}

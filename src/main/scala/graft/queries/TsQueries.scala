@@ -479,6 +479,17 @@ object TsQueries {
         .where(col("n_samples") >= 2)
         .orderBy(col("name"), col("user"), col("big"))),
 
+    // The PromQL FRONT-END end-to-end: the query string a Prometheus
+    // user would type, parsed and compiled onto the engine's operators
+    // (graft.promql), step-evaluated over the store — gated by a DuckDB
+    // oracle that replicates the step/window semantics exactly
+    "ts_promql_e2e" -> ((s, dir) =>
+      graft.promql.PromQL.rangeQuery(querier(s, dir),
+        "sum by (user) (increase(click[1d]))", Mint, Maxt, 86400000L)
+        .select(TsSchema.labelValue(col("labels"), "user").as("user"),
+          col("t"), round(col("v"), 4).as("v"))
+        .orderBy(col("user"), col("t"))),
+
     // PromQL irate()/idelta(): instantaneous rate/delta from the last
     // two samples of each series in the range (counter reset → the last
     // value alone is the increase; idelta keeps the raw difference)
@@ -800,6 +811,23 @@ object TsQueries {
          |  round(round(p.v, 4) / round(t.rv, 4), 6) AS share
          | FROM per_series p JOIN totals t ON p.name = t.name AND p.step_t = t.step_t
          | ORDER BY name, "user", p.step_t, user_v""".stripMargin.replace("\n", " "),
+    "ts_promql_e2e" ->
+      s"""WITH steps AS (SELECT unnest(range($Mint, $Maxt + 1, 86400000)) AS step_t),
+         | raw AS (SELECT name, "user", big, t, v FROM ($oracleBase)
+         |         WHERE name = 'click' AND t > $Mint - 86400000 AND t <= $Maxt),
+         | win AS (SELECT r.name, r."user", r.big, r.t, r.v, s.step_t
+         |         FROM raw r JOIN steps s
+         |           ON r.t > s.step_t - 86400000 AND r.t <= s.step_t),
+         | lagd AS (SELECT *, lag(v) OVER (
+         |            PARTITION BY name, "user", big, step_t ORDER BY t, v) AS pv
+         |          FROM win),
+         | inc AS (SELECT name, "user", big, step_t,
+         |           sum(CASE WHEN pv IS NULL THEN 0
+         |                    WHEN v >= pv THEN v - pv ELSE v END) AS increase
+         |         FROM lagd GROUP BY name, "user", big, step_t
+         |         HAVING count(*) >= 2)
+         | SELECT "user", step_t AS t, round(sum(increase), 4) AS v
+         | FROM inc GROUP BY "user", step_t ORDER BY "user", t""".stripMargin.replace("\n", " "),
     "ts_prom_irate" ->
       s"""WITH s AS (
          |  SELECT name, "user", big, t, v, lag(t) OVER w AS pt, lag(v) OVER w AS pv,

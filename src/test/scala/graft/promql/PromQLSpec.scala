@@ -1,0 +1,142 @@
+package graft.promql
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.tsdb.{LabelMatcher, MatchType, TsQuerier, TsSchema}
+
+/** PromQL front-end: parser AST shapes and step-evaluation semantics
+  * against a tiny hand-checkable store. */
+class PromQLSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import PromExpr._
+
+  // ---- parser ----
+
+  test("parser: selector with matchers, range and offset") {
+    val e = PromQL.parse("""http_req{job="api", inst=~"i-[0-9]+", env!="dev"}[5m] offset 1h""")
+    val s = e.asInstanceOf[Selector]
+    assert(s.rangeMs.contains(300000L))
+    assert(s.offsetMs == 3600000L)
+    assert(s.matchers.map(m => (m.tpe, m.name, m.value)) == Seq(
+      (MatchType.Eq, "__name__", "http_req"),
+      (MatchType.Eq, "job", "api"),
+      (MatchType.Re, "inst", "i-[0-9]+"),
+      (MatchType.Neq, "env", "dev")))
+  }
+
+  test("parser: precedence, by-clauses, parameterized aggregations") {
+    assert(PromQL.parse("a + b * c") ==
+      Bin("+", Selector(Seq(LabelMatcher.eq("__name__", "a")), None, 0),
+        Bin("*", Selector(Seq(LabelMatcher.eq("__name__", "b")), None, 0),
+          Selector(Seq(LabelMatcher.eq("__name__", "c")), None, 0), None), None))
+    val pre = PromQL.parse("sum by (job) (rate(m[1m30s]))").asInstanceOf[Agg]
+    val post = PromQL.parse("sum(rate(m[90s])) by (job)").asInstanceOf[Agg]
+    assert(pre == post && pre.by == Seq("job"))
+    assert(pre.arg.asInstanceOf[RangeFn].sel.rangeMs.contains(90000L))
+    val tk = PromQL.parse("topk(3, m)").asInstanceOf[Agg]
+    assert(tk.op == "topk" && tk.param.contains(3.0))
+  }
+
+  test("parser: rejects malformed input") {
+    assert(intercept[IllegalArgumentException](PromQL.parse("rate(m)"))
+      .getMessage.contains("[range]"))
+    intercept[IllegalArgumentException](PromQL.parse("m{job=}"))
+    intercept[IllegalArgumentException](PromQL.parse("m[5m] extra"))
+    intercept[IllegalArgumentException](PromQL.parse("nosuchfn(m, 1)"))
+  }
+
+  // ---- evaluator ----
+
+  private val T0 = 1700000000000L // step grid origin for the fixture
+
+  /** req (counter, with one reset on i-1) and mem (gauge), two
+    * instances, samples every 30s for 10 minutes. */
+  private lazy val querier: TsQuerier = {
+    val rows = for {
+      inst <- Seq("i-0", "i-1"); k <- 0 until 21
+    } yield {
+      val t = T0 + k * 30000L
+      val req = // i-1 resets at k=10 (counter drops to 0)
+        if (inst == "i-1" && k >= 10) (k - 10) * 2.0 else k * (if (inst == "i-0") 10.0 else 2.0)
+      (inst, t, req)
+    }
+    val df = spark.createDataFrame(rows).toDF("inst", "t", "req")
+    val longForm = df.select(
+      map(lit("__name__"), lit("req"), lit("inst"), col("inst")).as("labels"),
+      col("t"), col("req").as("v"))
+      .unionByName(df.select(
+        map(lit("__name__"), lit("mem"), lit("inst"), col("inst")).as("labels"),
+        col("t"), (col("t") % 7 + 1).cast("double").as("v")))
+    new TsQuerier(TsSchema.canonicalize(longForm, promoted = Seq()), promoted = Seq())
+  }
+
+  private def rows(q: String, mint: Long, maxt: Long, step: Long):
+      Seq[(String, Long, Double)] =
+    PromQL.rangeQuery(querier, q, mint, maxt, step)
+      .select(to_json(col("labels")).as("l"), col("t"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+
+  test("instant selector honors the lookback window") {
+    // samples end at T0+10m; with the left-open 5m lookback, steps at
+    // T0+10m..T0+14m (m=0..4) still see the last sample, the step at
+    // T0+15m has window (T0+10m, T0+15m] and drops the series
+    val out = rows("""req{inst="i-0"}""", T0 + 600000L, T0 + 1200000L, 60000L)
+    assert(out.map(_._2).toSet ==
+      (0 to 4).map(m => T0 + 600000L + m * 60000L).toSet)
+    assert(out.forall(_._3 == 200.0)) // i-0's last counter value
+  }
+
+  test("rate and increase handle counter resets over the step window") {
+    // window (T0, T0+10m] holds samples k=1..20 (k=0 sits on the open
+    // left edge). i-0: 19 deltas of +10 ⇒ 190. i-1: k=1..9 deltas +2
+    // (16), reset at k=10 contributes its post-reset value 0, then ten
+    // +2 deltas ⇒ 36.
+    val out = rows("increase(req[10m])", T0 + 600000L, T0 + 600000L, 60000L)
+    assert(out.size == 2)
+    val byInst = out.map(r => (r._1.contains("i-0"), r._3)).toMap
+    assert(byInst(true) == 190.0)
+    assert(byInst(false) == 36.0)
+    // rate = increase / observed span (k=1..k=20 ⇒ 570 s, no
+    // extrapolation — documented deviation)
+    val rate = rows("rate(req[10m])", T0 + 600000L, T0 + 600000L, 60000L)
+    val rateByInst = rate.map(r => (r._1.contains("i-0"), r._3)).toMap
+    assert(math.abs(rateByInst(true) - 190.0 / 570) < 1e-12)
+    assert(math.abs(rateByInst(false) - 36.0 / 570) < 1e-12)
+  }
+
+  test("aggregation by label and binary division compose") {
+    val out = rows("""sum by (inst) (increase(req[10m]))""",
+      T0 + 600000L, T0 + 600000L, 60000L)
+    assert(out.size == 2)
+    // share of total via one-to-one division on inst
+    val share = rows(
+      """increase(req[10m]) / on(inst) sum by (inst) (increase(req[10m]))""",
+      T0 + 600000L, T0 + 600000L, 60000L)
+    assert(share.size == 2 && share.forall(r => math.abs(r._3 - 1.0) < 1e-12))
+  }
+
+  test("topk keeps the winning series' labels") {
+    val out = rows("topk(1, increase(req[10m]))",
+      T0 + 600000L, T0 + 600000L, 60000L)
+    assert(out.size == 1 && out.head._1.contains("i-0") && out.head._3 == 190.0)
+  }
+
+  test("offset shifts the evaluation window") {
+    // at T0+10m with offset 5m ⇒ sees the counter at T0+5m: i-0 = 100
+    val out = rows("""req{inst="i-0"} offset 5m""",
+      T0 + 600000L, T0 + 600000L, 60000L)
+    assert(out.size == 1 && out.head._3 == 100.0)
+  }
+
+  test("scalar functions and comparison filters") {
+    val clamped = rows("""clamp(req{inst="i-0"}, 25, 125)""",
+      T0 + 600000L, T0 + 600000L, 60000L)
+    assert(clamped.head._3 == 125.0)
+    val filtered = rows("increase(req[10m]) > 100",
+      T0 + 600000L, T0 + 600000L, 60000L)
+    assert(filtered.size == 1 && filtered.head._1.contains("i-0"))
+  }
+}
