@@ -6,7 +6,9 @@ import graft.remote.{RemoteReadServer, RemoteWrite}
 import graft.tsdb.{Labels, TsQuerier, TsStore}
 
 /** Remote-read/-write server entry point (the reference's `server`
-  * subcommand, `main.go:47-81`, plus beyond-reference `/write`).
+  * subcommand, `main.go:47-81`, plus beyond-reference `/write` and the
+  * Prometheus HTTP query API `/api/v1/query_range`, answered by the
+  * in-engine PromQL front-end).
   *
   * Usage: `runMain graft.ServeMain [storeDirOrSfDir] [port]`
   *  - a dir containing `events.parquet` → served read-only via the

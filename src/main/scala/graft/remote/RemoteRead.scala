@@ -322,8 +322,140 @@ final class RemoteReadServer(querier: => TsQuerier, port: Int = 0, threads: Int 
     })
   }
 
+  // beyond-reference: the Prometheus HTTP query API's range endpoint,
+  // answered by the in-engine PromQL front-end (graft.promql) — a
+  // Grafana-style client can point at this server directly instead of
+  // proxying raw samples through an upstream Prometheus. Matrix JSON
+  // matches the upstream wire shape: {"status":"success","data":
+  // {"resultType":"matrix","result":[{"metric":{...},"values":
+  // [[seconds, "v"], ...]}]}}.
+  server.createContext("/api/v1/query_range", (ex: HttpExchange) => {
+    try {
+      val params = QueryApi.params(ex)
+      def need(k: String) = params.getOrElse(k,
+        throw new IllegalArgumentException(s"missing parameter '$k'"))
+      val startMs = QueryApi.toMs(need("start"))
+      val endMs = QueryApi.toMs(need("end"))
+      val stepMs = QueryApi.durMs(need("step"))
+      val df = graft.promql.PromQL.rangeQuery(
+        querier, need("query"), startMs, endMs, stepMs)
+      val body = QueryApi.matrixJson(df).getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    } catch {
+      case e: Exception =>
+        val msg = ("""{"status":"error","errorType":"bad_data","error":""" +
+          QueryApi.jsonStr(String.valueOf(e.getMessage)) + "}").getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(400, msg.length)
+        ex.getResponseBody.write(msg)
+        ex.close()
+    }
+  })
+
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = { server.stop(0); pool.shutdown() }
+}
+
+/** Parameter parsing + Prometheus-matrix JSON encoding for the
+  * `/api/v1/query_range` endpoint. */
+object QueryApi {
+  import org.apache.spark.sql.functions._
+
+  /** Merge URI query-string and form-body parameters (Prometheus
+    * accepts both GET and POST form). */
+  def params(ex: HttpExchange): Map[String, String] = {
+    def split(s: String): Map[String, String] =
+      if (s == null || s.isEmpty) Map.empty
+      else s.split('&').iterator.flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(
+            java.net.URLDecoder.decode(k, "UTF-8") ->
+              java.net.URLDecoder.decode(v, "UTF-8"))
+          case _ => None
+        }
+      }.toMap
+    val fromUri = split(ex.getRequestURI.getRawQuery)
+    val fromBody =
+      if (ex.getRequestMethod == "POST")
+        split(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+      else Map.empty[String, String]
+    fromUri ++ fromBody
+  }
+
+  /** Prometheus timestamps: unix seconds, possibly fractional. */
+  def toMs(s: String): Long = math.round(s.toDouble * 1000.0)
+
+  /** Step: float seconds or a duration literal like `1m`. */
+  def durMs(s: String): Long =
+    if (s.nonEmpty && s.forall(c => c.isDigit || c == '.'))
+      math.round(s.toDouble * 1000.0)
+    else QueryApi.parseDuration(s)
+
+  private[remote] def parseDuration(s: String): Long = {
+    // reuse the PromQL duration grammar by parsing "x[<dur>]"
+    graft.promql.PromQL.parse(s"x[$s]") match {
+      case graft.promql.PromExpr.Selector(_, Some(ms), _) => ms
+      case _ => throw new IllegalArgumentException(s"bad duration '$s'")
+    }
+  }
+
+  def jsonStr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  /** Encode the evaluator's (labels, t, v) frame as a Prometheus
+    * matrix. Series assemble on the EXECUTORS (one shuffle on the
+    * series key); the driver streams one series at a time into the
+    * growing JSON buffer via toLocalIterator — peak driver memory is
+    * the encoded response, not row objects (same discipline as the
+    * remote-read path). */
+  def matrixJson(result: org.apache.spark.sql.DataFrame): String = {
+    import scala.jdk.CollectionConverters._
+    val series = result
+      .groupBy(col("labels"))
+      .agg(sort_array(collect_list(struct(col("t"), col("v")))).as("samples"))
+      .orderBy(col("labels"))
+    val sb = new StringBuilder(
+      """{"status":"success","data":{"resultType":"matrix","result":[""")
+    var firstSeries = true
+    series.toLocalIterator().asScala.foreach { row =>
+      if (!firstSeries) sb.append(',')
+      firstSeries = false
+      sb.append("""{"metric":{""")
+      val labels = row.getSeq[org.apache.spark.sql.Row](0)
+      sb.append(labels.map(l =>
+        jsonStr(l.getString(0)) + ":" + jsonStr(l.getString(1))).mkString(","))
+      sb.append("""},"values":[""")
+      val samples = row.getSeq[org.apache.spark.sql.Row](1)
+      sb.append(samples.map { s =>
+        val t = s.getLong(0); val v = s.getDouble(1)
+        val ts = if (t % 1000 == 0) (t / 1000).toString else (t / 1000.0).toString
+        s"[$ts,${jsonStr(fmt(v))}]"
+      }.mkString(","))
+      sb.append("]}")
+    }
+    sb.append("]}}")
+    sb.toString
+  }
+
+  /** Prometheus prints values with Go's shortest-round-trip float
+    * formatting; Java's Double.toString is also round-trippable but
+    * keeps a trailing `.0` on integers — strip it for the common case
+    * so clients comparing strings see `"42"` not `"42.0"`. */
+  private def fmt(v: Double): String = {
+    val s = v.toString
+    if (s.endsWith(".0")) s.dropRight(2) else s
+  }
 }
 
 /** Store-append sink for remote-write: canonicalize the written series

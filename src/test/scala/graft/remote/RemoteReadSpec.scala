@@ -160,4 +160,38 @@ class RemoteReadServerSpec extends AnyFunSuite {
       assert(get.statusCode() == 405)
     } finally server.stop()
   }
+
+  test("GET /api/v1/query_range evaluates PromQL and returns a matrix") {
+    val server = new RemoteReadServer(mkQuerier)
+    val port = server.start()
+    try {
+      val http = HttpClient.newHttpClient()
+      val q = java.net.URLEncoder.encode(
+        """sum by (job) (increase(http_requests_total{job=~"api.*"}[5m]))""", "UTF-8")
+      // start/end in unix SECONDS, step as a duration literal
+      val uri = s"http://127.0.0.1:$port/api/v1/query_range" +
+        s"?query=$q&start=1700000300&end=1700000600&step=5m"
+      val resp = http.send(
+        HttpRequest.newBuilder(new URI(uri)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200, resp.body())
+      val body = resp.body()
+      assert(body.startsWith(
+        """{"status":"success","data":{"resultType":"matrix","result":["""))
+      // two series (api, api-canary), each with both steps
+      assert(body.contains(""""metric":{"job":"api"}"""))
+      assert(body.contains(""""metric":{"job":"api-canary"}"""))
+      assert(!body.contains("web"))
+      // 5m window at t=1700000300 holds samples k=1..20 per instance:
+      // 19 deltas × 2 × 3 instances = 114
+      assert(body.contains("[1700000300,\"114\"]"))
+      // a bad query reports the Prometheus error envelope
+      val bad = http.send(
+        HttpRequest.newBuilder(new URI(
+          s"http://127.0.0.1:$port/api/v1/query_range?query=rate(m)&start=0&end=0&step=1")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(bad.statusCode() == 400)
+      assert(bad.body().contains(""""status":"error""""))
+    } finally server.stop()
+  }
 }
