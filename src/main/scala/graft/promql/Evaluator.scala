@@ -165,12 +165,19 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
   }
 
   private def agg(op: String, by: Seq[String], param: Option[Double],
-                  arg: PromExpr): DataFrame = {
+                  arg: PromExpr, without: Boolean): DataFrame = {
     val in = eval(arg)
+    // `by` keeps the listed labels; `without` keeps the complement
+    // (minus the metric name, per Prometheus)
+    val groupKey: Column => Column =
+      if (without)
+        filter(_, e => !e.getField("name").isin(
+          (Labels.MetricName +: by).map(x => x: Any): _*))
+      else subset(_, by)
     op match {
       case "topk" | "bottomk" =>
         val k = param.getOrElse(sys.error(s"$op needs a scalar k")).toInt
-        val grouped = in.withColumn("gl", subset(col("labels"), by))
+        val grouped = in.withColumn("gl", groupKey(col("labels")))
         val ord =
           if (op == "topk") Seq(col("v").desc, col("labels").asc)
           else Seq(col("v").asc, col("labels").asc)
@@ -190,7 +197,7 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
             expr(s"percentile(v, ${param.getOrElse(sys.error("quantile needs φ"))})")
           case other => sys.error(s"unsupported aggregation $other")
         }
-        in.groupBy(subset(col("labels"), by).as("labels"), col("t"))
+        in.groupBy(groupKey(col("labels")).as("labels"), col("t"))
           .agg(fn.as("v"))
     }
   }
@@ -259,7 +266,7 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
   def eval(e: PromExpr): DataFrame = e match {
     case s: Selector => instant(s)
     case RangeFn(fn, sel) => rangeFn(fn, sel)
-    case Agg(op, by, param, arg) => agg(op, by, param, arg)
+    case Agg(op, by, param, arg, without) => agg(op, by, param, arg, without)
     case Bin(op, le, re, on) => bin(op, le, re, on)
     case ScalarFn(fn, arg, ps) => scalarFn(fn, arg, ps)
     case Num(v) => sys.error(s"bare scalar $v is not a vector expression")

@@ -118,6 +118,18 @@ class PromQLSpec extends AnyFunSuite {
     assert(share.size == 2 && share.forall(r => math.abs(r._3 - 1.0) < 1e-12))
   }
 
+  test("without() groups on the label complement") {
+    // without (inst) strips the only non-name label ⇒ one global group,
+    // identical to sum without any by-clause
+    val w = rows("sum without (inst) (increase(req[10m]))",
+      T0 + 600000L, T0 + 600000L, 60000L)
+    val g = rows("sum(increase(req[10m]))", T0 + 600000L, T0 + 600000L, 60000L)
+    assert(w == g && w.size == 1 && w.head._3 == 190.0 + 36.0)
+    // parser accepts the clause after the parens too
+    assert(PromQL.parse("sum without (inst) (m)") ==
+      PromQL.parse("sum(m) without (inst)"))
+  }
+
   test("topk keeps the winning series' labels") {
     val out = rows("topk(1, increase(req[10m]))",
       T0 + 600000L, T0 + 600000L, 60000L)
