@@ -95,13 +95,37 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
   private val twoSampleFns = Set("rate", "increase", "delta", "idelta",
     "irate", "resets", "changes")
 
+  /** The sample stream a range function consumes, with its window
+    * width: a range selector's raw samples, or a SUBQUERY — the inner
+    * instant expression re-evaluated by a child evaluator at the
+    * subquery's resolution over the extended window, its instants then
+    * becoming the "samples". The child shares the querier, so the inner
+    * expression still enjoys store pushdown; its own step grid keeps
+    * the bounded-explode property, so a subquery costs (inner samples ×
+    * inner-window/inner-step), never a cross join. */
+  private def rangeSamples(input: PromExpr): (DataFrame, Long) = input match {
+    case sel: Selector => (raw(sel, sel.rangeMs.get), sel.rangeMs.get)
+    case Subquery(arg, range, innerStepRaw, offsetMs) =>
+      val innerStep = if (innerStepRaw > 0) innerStepRaw else stepMs
+      // inner instants cover (mint - range, maxt] in query time: first
+      // instant one inner step inside the left-open window edge
+      val inner = new Evaluator(querier, mint - offsetMs - range + innerStep,
+        maxt - offsetMs, innerStep, lookbackMs)
+      val df = inner.eval(arg)
+        .withColumn("t", col("t") + offsetMs)
+        .withColumn("fingerprint",
+          graft.tsdb.TsSchema.fingerprintCol(col("labels")))
+      (df, range)
+    case other => sys.error(s"$other is not a range expression")
+  }
+
   /** Range function: per (series, step) aggregate over the samples in
     * the left-open `[range]` window. The sequential fns are expressed
     * as a lag window + grouped aggregate — one sort, one aggregate,
     * all on the (fingerprint, k) key. */
-  private def rangeFn(fn: String, sel: Selector): DataFrame = {
-    val range = sel.rangeMs.get
-    val stepped = atSteps(raw(sel, range), range)
+  private def rangeFn(fn: String, input: PromExpr): DataFrame = {
+    val (samples, range) = rangeSamples(input)
+    val stepped = atSteps(samples, range)
     val out: DataFrame = fn match {
       case "sum_over_time" | "avg_over_time" | "min_over_time" |
            "max_over_time" | "count_over_time" | "last_over_time" =>
@@ -265,7 +289,9 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
     * per series per evaluation step where the expression is defined. */
   def eval(e: PromExpr): DataFrame = e match {
     case s: Selector => instant(s)
-    case RangeFn(fn, sel) => rangeFn(fn, sel)
+    case RangeFn(fn, arg) => rangeFn(fn, arg)
+    case sq: Subquery => sys.error(
+      s"subquery [${sq.rangeMs}ms:${sq.stepMs}ms] used as an instant vector")
     case Agg(op, by, param, arg, without) => agg(op, by, param, arg, without)
     case Bin(op, le, re, on) => bin(op, le, re, on)
     case ScalarFn(fn, arg, ps) => scalarFn(fn, arg, ps)

@@ -34,7 +34,8 @@ class PromQLSpec extends AnyFunSuite {
     val pre = PromQL.parse("sum by (job) (rate(m[1m30s]))").asInstanceOf[Agg]
     val post = PromQL.parse("sum(rate(m[90s])) by (job)").asInstanceOf[Agg]
     assert(pre == post && pre.by == Seq("job"))
-    assert(pre.arg.asInstanceOf[RangeFn].sel.rangeMs.contains(90000L))
+    assert(pre.arg.asInstanceOf[RangeFn].arg
+      .asInstanceOf[Selector].rangeMs.contains(90000L))
     val tk = PromQL.parse("topk(3, m)").asInstanceOf[Agg]
     assert(tk.op == "topk" && tk.param.contains(3.0))
   }
@@ -141,6 +142,26 @@ class PromQLSpec extends AnyFunSuite {
     val out = rows("""req{inst="i-0"} offset 5m""",
       T0 + 600000L, T0 + 600000L, 60000L)
     assert(out.size == 1 && out.head._3 == 100.0)
+  }
+
+  test("subqueries re-evaluate the inner expression at their own step") {
+    // selector subquery: m[10m:1m] over i-0 — inner instants at minutes
+    // 1..10 see the counter at 20,40,..,200 ⇒ avg 110
+    val sq = PromQL.parse("""avg_over_time(req{inst="i-0"}[10m:1m])""")
+      .asInstanceOf[RangeFn].arg.asInstanceOf[Subquery]
+    assert(sq.rangeMs == 600000L && sq.stepMs == 60000L)
+    val out = rows("""avg_over_time(req{inst="i-0"}[10m:1m])""",
+      T0 + 600000L, T0 + 600000L, 60000L)
+    assert(out.size == 1 && out.head._3 == 110.0)
+    // composite subquery: the postfix form over a function result —
+    // max_over_time of the 2m increase, sampled each minute: each
+    // left-open 2m window holds 4 samples (3 deltas of +10) ⇒ max 30
+    val mx = rows("""max_over_time(increase(req{inst="i-0"}[2m])[10m:1m])""",
+      T0 + 600000L, T0 + 600000L, 60000L)
+    assert(mx.size == 1 && mx.head._3 == 30.0)
+    // [range:] with empty step inherits the outer step
+    assert(PromQL.parse("avg_over_time(m[10m:])")
+      .asInstanceOf[RangeFn].arg.asInstanceOf[Subquery].stepMs == 0L)
   }
 
   test("scalar functions and comparison filters") {
