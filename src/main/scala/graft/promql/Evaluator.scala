@@ -295,6 +295,23 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
     case Agg(op, by, param, arg, without) => agg(op, by, param, arg, without)
     case Bin(op, le, re, on) => bin(op, le, re, on)
     case ScalarFn(fn, arg, ps) => scalarFn(fn, arg, ps)
+    case HistQ(phi, arg) =>
+      // group on labels-minus-(le, name), parse `le` ("+Inf" included),
+      // then the shared Prometheus interpolation over the bucket frame
+      val in = eval(arg)
+      val leStr = graft.tsdb.TsSchema.labelValue(col("labels"), "le")
+      val withLe = in
+        .withColumn("gkey", filter(col("labels"), e =>
+          e.getField("name") =!= "le" &&
+            e.getField("name") =!= Labels.MetricName))
+        .withColumn("le",
+          when(leStr === "+Inf", lit(Double.PositiveInfinity))
+            .otherwise(leStr.cast("double")))
+        .where(col("le").isNotNull)
+      graft.ops.PromOps.histogramQuantile(
+        withLe.select(col("gkey"), col("t"), col("le"), col("v").as("cum")),
+        phi, Seq("gkey", "t"))
+        .select(col("gkey").as("labels"), col("t"), col("quantile").as("v"))
     case Num(v) => sys.error(s"bare scalar $v is not a vector expression")
   }
 }

@@ -164,6 +164,32 @@ class PromQLSpec extends AnyFunSuite {
       .asInstanceOf[RangeFn].arg.asInstanceOf[Subquery].stepMs == 0L)
   }
 
+  test("histogram_quantile interpolates cumulative le buckets") {
+    // one histogram, two instances: i-0 has cum counts (10, 20, 40) at
+    // le (0.1, 1, +Inf); i-1 (5, 30, 30). φ=0.5 rank: i-0 → 20 of 40 at
+    // le=1 exactly: prev cum 10, rank 20 ⇒ 0.1 + 0.9·(10/10) = 1.0;
+    // i-1 → rank 15 in (5..30] ⇒ 0.1 + 0.9·(10/25) = 0.46
+    val rows = for {
+      (inst, counts) <- Seq("i-0" -> Seq(10.0, 20.0, 40.0),
+                            "i-1" -> Seq(5.0, 30.0, 30.0))
+      (le, c) <- Seq("0.1", "1", "+Inf").zip(counts)
+    } yield (inst, le, c)
+    val df = spark.createDataFrame(rows).toDF("inst", "le", "c")
+    val longForm = df.select(
+      map(lit("__name__"), lit("lat_bucket"), lit("inst"), col("inst"),
+        lit("le"), col("le")).as("labels"),
+      lit(T0).as("t"), col("c").as("v"))
+    val q = new TsQuerier(TsSchema.canonicalize(longForm, promoted = Seq()),
+      promoted = Seq())
+    val out = PromQL.rangeQuery(q, "histogram_quantile(0.5, lat_bucket)",
+      T0, T0, 60000L)
+      .select(TsSchema.labelValue(col("labels"), "inst").as("i"), col("v"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq("i-0", "i-1"))
+    assert(math.abs(out(0)._2 - 1.0) < 1e-12)
+    assert(math.abs(out(1)._2 - 0.46) < 1e-12)
+  }
+
   test("scalar functions and comparison filters") {
     val clamped = rows("""clamp(req{inst="i-0"}, 25, 125)""",
       T0 + 600000L, T0 + 600000L, 60000L)
