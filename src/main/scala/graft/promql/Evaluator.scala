@@ -295,6 +295,25 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
     case Agg(op, by, param, arg, without) => agg(op, by, param, arg, without)
     case Bin(op, le, re, on) => bin(op, le, re, on)
     case ScalarFn(fn, arg, ps) => scalarFn(fn, arg, ps)
+    case Absent(sel) =>
+      // the step grid is tiny and driver-known (nSteps rows) — generate
+      // it, anti-join the steps where the selector matched anything, and
+      // label the result from the selector's equality matchers
+      // (Prometheus absent() semantics)
+      val spark = querier.selectLong(0, 0, Seq.empty).sparkSession
+      val steps = spark.range(nSteps)
+        .select((lit(mint) + col("id") * stepMs).as("t"))
+      val present = instant(sel).select(col("t")).distinct()
+      val eqLabels = sel.matchers.collect {
+        case m if m.tpe == graft.tsdb.MatchType.Eq &&
+          m.name != Labels.MetricName && m.value.nonEmpty =>
+          struct(lit(m.name).as("name"), lit(m.value).as("value"))
+      }
+      val labelsLit =
+        if (eqLabels.isEmpty) emptyLabels
+        else array_sort(array(eqLabels: _*))
+      steps.join(present, Seq("t"), "left_anti")
+        .select(labelsLit.as("labels"), col("t"), lit(1.0).as("v"))
     case HistQ(phi, arg) =>
       // group on labels-minus-(le, name), parse `le` ("+Inf" included),
       // then the shared Prometheus interpolation over the bucket frame

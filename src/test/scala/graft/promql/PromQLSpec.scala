@@ -190,6 +190,20 @@ class PromQLSpec extends AnyFunSuite {
     assert(math.abs(out(1)._2 - 0.46) < 1e-12)
   }
 
+  test("absent() emits 1 at steps with no matching series") {
+    // samples end at T0+10m; with the 5m lookback the series disappears
+    // from steps T0+15m on — absent() fires exactly there
+    val out = rows("""absent(req{inst="i-0"})""",
+      T0 + 600000L, T0 + 1200000L, 60000L)
+    assert(out.map(_._2).toSet ==
+      (5 to 10).map(m => T0 + 600000L + m * 60000L).toSet)
+    assert(out.forall(r => r._3 == 1.0 && r._1.contains("i-0")))
+    // a selector that never matches fires at every step
+    val never = rows("""absent(req{env="prod"})""",
+      T0 + 600000L, T0 + 1200000L, 60000L)
+    assert(never.size == 11 && never.forall(_._1.contains("prod")))
+  }
+
   test("scalar functions and comparison filters") {
     val clamped = rows("""clamp(req{inst="i-0"}, 25, 125)""",
       T0 + 600000L, T0 + 600000L, 60000L)
