@@ -490,6 +490,16 @@ object TsQueries {
           col("t"), round(col("v"), 4).as("v"))
         .orderBy(col("user"), col("t"))),
 
+    // A second parser-driven pipeline: topk over a by-aggregation over
+    // a range function, all composed from the PromQL string
+    "ts_promql_topk" -> ((s, dir) =>
+      graft.promql.PromQL.rangeQuery(querier(s, dir),
+        "topk(3, sum by (user) (sum_over_time(purchase[2d])))",
+        Mint, Maxt, 172800000L)
+        .select(TsSchema.labelValue(col("labels"), "user").as("user"),
+          col("t"), round(col("v"), 4).as("v"))
+        .orderBy(col("user"), col("t"))),
+
     // PromQL irate()/idelta(): instantaneous rate/delta from the last
     // two samples of each series in the range (counter reset → the last
     // value alone is the increase; idelta keeps the raw difference)
@@ -828,6 +838,19 @@ object TsQueries {
          |         HAVING count(*) >= 2)
          | SELECT "user", step_t AS t, round(sum(increase), 4) AS v
          | FROM inc GROUP BY "user", step_t ORDER BY "user", t""".stripMargin.replace("\n", " "),
+    "ts_promql_topk" ->
+      s"""WITH steps AS (SELECT unnest(range($Mint, $Maxt + 1, 172800000)) AS step_t),
+         | raw AS (SELECT name, "user", big, t, v FROM ($oracleBase)
+         |         WHERE name = 'purchase' AND t > $Mint - 172800000 AND t <= $Maxt),
+         | win AS (SELECT r."user", r.big, r.t, r.v, s.step_t
+         |         FROM raw r JOIN steps s
+         |           ON r.t > s.step_t - 172800000 AND r.t <= s.step_t),
+         | ser AS (SELECT "user", big, step_t, sum(v) AS sv FROM win GROUP BY 1, 2, 3),
+         | byu AS (SELECT "user", step_t, sum(sv) AS v FROM ser GROUP BY 1, 2),
+         | ranked AS (SELECT *, row_number() OVER (
+         |             PARTITION BY step_t ORDER BY v DESC, "user") AS rnk FROM byu)
+         | SELECT "user", step_t AS t, round(v, 4) AS v
+         | FROM ranked WHERE rnk <= 3 ORDER BY "user", t""".stripMargin.replace("\n", " "),
     "ts_prom_irate" ->
       s"""WITH s AS (
          |  SELECT name, "user", big, t, v, lag(t) OVER w AS pt, lag(v) OVER w AS pv,
