@@ -27,16 +27,17 @@ import graft.tsdb.{Labels, TsQuerier}
   *  - Binary operators join two instant vectors on (match-labels, t);
   *    Catalyst broadcasts whichever side statistics call small.
   *
-  * Deviation from Prometheus proper (documented): `rate`/`increase` do
-  * not extrapolate to the window edges — they return the exact
-  * counter-reset-corrected increase over the observed span
-  * (`(v_last - v_first + resets)` and that divided by the observed
-  * seconds). This is the behavior several production engines chose
-  * (and what a SQL oracle can replicate bit-for-bit); the extrapolated
-  * variant is a pure post-map if ever needed.
+  * By default `rate`/`increase` return the exact counter-reset-
+  * corrected increase over the observed span (what a SQL oracle can
+  * replicate bit-for-bit, and what several production engines chose);
+  * `extrapolate = true` switches them to Prometheus's
+  * `extrapolatedRate` estimator — edge extrapolation capped at half
+  * the average sample interval per side and at the counter's implied
+  * time-to-zero — for drop-in numeric parity with upstream.
   */
 final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
-                      stepMs: Long, lookbackMs: Long = 5 * 60 * 1000L) {
+                      stepMs: Long, lookbackMs: Long = 5 * 60 * 1000L,
+                      extrapolate: Boolean = false) {
   import PromExpr._
 
   require(stepMs > 0 && maxt >= mint, "bad evaluation window")
@@ -110,7 +111,7 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
       // inner instants cover (mint - range, maxt] in query time: first
       // instant one inner step inside the left-open window edge
       val inner = new Evaluator(querier, mint - offsetMs - range + innerStep,
-        maxt - offsetMs, innerStep, lookbackMs)
+        maxt - offsetMs, innerStep, lookbackMs, extrapolate)
       val df = inner.eval(arg)
         .withColumn("t", col("t") + offsetMs)
         .withColumn("fingerprint",
@@ -163,9 +164,35 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
             sum(when(col("pv").isNotNull && col("v") =!= col("pv"), 1L)
               .otherwise(0L)).cast("double").as("changes"))
           .where(col("n") >= 2)
+        /** Prometheus's `extrapolatedRate` (functions.go): scale the
+          * observed increase out to the window edges, but never by more
+          * than half the average sample interval per side, and never
+          * past the point where a counter would have been zero. All
+          * column arithmetic — no extra pass. */
+        def extrapolated(inc: Column): Column = {
+          val winStart = lit(mint) + col("k") * stepMs - range
+          val winEnd = lit(mint) + col("k") * stepMs
+          val sampled = (col("max_t") - col("min_t")).cast("double")
+          val avgIvl = sampled / (col("n") - 1)
+          val toStart = (col("min_t") - winStart).cast("double")
+          val toEnd = (winEnd - col("max_t")).cast("double")
+          val threshold = avgIvl * 1.1d
+          // counters can't extrapolate below zero: cap the start-side
+          // extension at the implied time-to-zero
+          val toZero = sampled * (col("first_v") / inc)
+          val startCap = when(inc > 0 && col("first_v") >= 0 && toZero < toStart,
+            toZero).otherwise(toStart)
+          val extendStart =
+            when(startCap < threshold, startCap).otherwise(avgIvl / 2)
+          val extendEnd = when(toEnd < threshold, toEnd).otherwise(avgIvl / 2)
+          inc * ((sampled + extendStart + extendEnd) / sampled)
+        }
         val value: Column = fn match {
-          case "increase" => col("inc")
-          case "rate" => col("inc") * 1000.0d / (col("max_t") - col("min_t"))
+          case "increase" =>
+            if (extrapolate) extrapolated(col("inc")) else col("inc")
+          case "rate" =>
+            if (extrapolate) extrapolated(col("inc")) / (lit(range) / 1000.0d)
+            else col("inc") * 1000.0d / (col("max_t") - col("min_t"))
           case "delta" => col("last_v") - col("first_v")
           case "idelta" => col("last_v") - col("prev_last_v")
           case "irate" =>
@@ -340,13 +367,19 @@ object PromQL {
   def parse(query: String): PromExpr = new Parser(query).parse()
 
   /** Range query: evaluate at each step in `[mint, maxt]`. Returns
-    * `(labels, t, v)` rows. */
+    * `(labels, t, v)` rows. `extrapolate = true` switches
+    * `rate`/`increase` to Prometheus's edge-extrapolated estimator
+    * (`extrapolatedRate`); the default returns the exact
+    * reset-corrected increase over the observed span. */
   def rangeQuery(querier: TsQuerier, query: String, mint: Long, maxt: Long,
-                 stepMs: Long, lookbackMs: Long = 5 * 60 * 1000L): DataFrame =
-    new Evaluator(querier, mint, maxt, stepMs, lookbackMs).eval(parse(query))
+                 stepMs: Long, lookbackMs: Long = 5 * 60 * 1000L,
+                 extrapolate: Boolean = false): DataFrame =
+    new Evaluator(querier, mint, maxt, stepMs, lookbackMs, extrapolate)
+      .eval(parse(query))
 
   /** Instant query: a range query with a single evaluation step. */
   def instantQuery(querier: TsQuerier, query: String, at: Long,
-                   lookbackMs: Long = 5 * 60 * 1000L): DataFrame =
-    rangeQuery(querier, query, at, at, 1L, lookbackMs)
+                   lookbackMs: Long = 5 * 60 * 1000L,
+                   extrapolate: Boolean = false): DataFrame =
+    rangeQuery(querier, query, at, at, 1L, lookbackMs, extrapolate)
 }

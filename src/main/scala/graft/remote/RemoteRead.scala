@@ -338,7 +338,8 @@ final class RemoteReadServer(querier: => TsQuerier, port: Int = 0, threads: Int 
       val endMs = QueryApi.toMs(need("end"))
       val stepMs = QueryApi.durMs(need("step"))
       val df = graft.promql.PromQL.rangeQuery(
-        querier, need("query"), startMs, endMs, stepMs)
+        querier, need("query"), startMs, endMs, stepMs,
+        extrapolate = params.get("extrapolate").contains("true"))
       val body = QueryApi.matrixJson(df).getBytes("UTF-8")
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(200, body.length)

@@ -108,6 +108,26 @@ class PromQLSpec extends AnyFunSuite {
     assert(math.abs(rateByInst(false) - 36.0 / 570) < 1e-12)
   }
 
+  test("extrapolated rate/increase match Prometheus's estimator") {
+    // i-0 over (T0, T0+10m]: samples k=1..20, inc=190, span 570s,
+    // avg interval 30s. Edges: start gap 30s (≤ 1.1·avg AND exactly the
+    // counter's time-to-zero) → extend 30s; end gap 0 → extend 0.
+    // increase = 190 · 600/570 = 200; rate = 200/600s = 1/3.
+    val out = PromQL.rangeQuery(querier, "increase(req[10m])",
+      T0 + 600000L, T0 + 600000L, 60000L, extrapolate = true)
+      .select(to_json(col("labels")).as("l"), col("v"))
+      .collect().map(r => (r.getString(0).contains("i-0"), r.getDouble(1))).toMap
+    assert(math.abs(out(true) - 200.0) < 1e-9)
+    // i-1: inc=36, time-to-zero 570·(2/36)=31.67s > start gap 30s →
+    // extend by the 30s gap: 36 · 600/570
+    assert(math.abs(out(false) - 36.0 * 600 / 570) < 1e-9)
+    val rate = PromQL.rangeQuery(querier, "rate(req[10m])",
+      T0 + 600000L, T0 + 600000L, 60000L, extrapolate = true)
+      .select(to_json(col("labels")).as("l"), col("v"))
+      .collect().map(r => (r.getString(0).contains("i-0"), r.getDouble(1))).toMap
+    assert(math.abs(rate(true) - 1.0 / 3) < 1e-9)
+  }
+
   test("aggregation by label and binary division compose") {
     val out = rows("""sum by (inst) (increase(req[10m]))""",
       T0 + 600000L, T0 + 600000L, 60000L)
