@@ -261,35 +261,46 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
     "==" -> (_ === _), "!=" -> (_ =!= _))
 
   private def bin(op: String, l: PromExpr, r: PromExpr,
-                  on: Option[Seq[String]]): DataFrame = (l, r) match {
-    case (Num(a), Num(b)) =>
-      sys.error(s"scalar-scalar '$a $op $b' is not a vector")
-    case (Num(a), e) =>
-      val in = eval(e)
-      if (cmp.contains(op)) in.where(cmp(op)(lit(a), col("v")))
-      else in.withColumn("v", arith(op)(lit(a), col("v")))
-    case (e, Num(b)) =>
-      val in = eval(e)
-      if (cmp.contains(op)) in.where(cmp(op)(col("v"), lit(b)))
-      else in.withColumn("v", arith(op)(col("v"), lit(b)))
-    case (le, re) =>
-      val key: Column => Column = on match {
-        case Some(names) => subset(_, names)
-        case None => dropName(_)
-      }
-      val lf = eval(le).select(key(col("labels")).as("jk"),
-        col("labels"), col("t"), col("v"))
-      val rf = eval(re).select(key(col("labels")).as("jk"),
-        col("t"), col("v").as("rv"))
-      val joined = lf.join(rf, Seq("jk", "t"))
-      if (cmp.contains(op))
-        // comparison = filter: the left series survives unchanged
-        joined.where(cmp(op)(col("v"), col("rv")))
-          .select(col("labels"), col("t"), col("v"))
-      else
-        // one-to-one arithmetic: result carries the MATCH labels
-        joined.select(col("jk").as("labels"), col("t"),
-          arith(op)(col("v"), col("rv")).as("v"))
+                  on: Option[Seq[String]], bool: Boolean): DataFrame = {
+    // `bool` comparisons emit 0/1 and (like arithmetic) drop the name
+    def boolV(cond: Column): Column = when(cond, 1.0d).otherwise(0.0d)
+    (l, r) match {
+      case (Num(a), Num(b)) =>
+        sys.error(s"scalar-scalar '$a $op $b' is not a vector")
+      case (Num(a), e) =>
+        val in = eval(e)
+        if (!cmp.contains(op)) in.withColumn("v", arith(op)(lit(a), col("v")))
+        else if (bool) in.withColumn("v", boolV(cmp(op)(lit(a), col("v"))))
+          .withColumn("labels", dropName(col("labels")))
+        else in.where(cmp(op)(lit(a), col("v")))
+      case (e, Num(b)) =>
+        val in = eval(e)
+        if (!cmp.contains(op)) in.withColumn("v", arith(op)(col("v"), lit(b)))
+        else if (bool) in.withColumn("v", boolV(cmp(op)(col("v"), lit(b))))
+          .withColumn("labels", dropName(col("labels")))
+        else in.where(cmp(op)(col("v"), lit(b)))
+      case (le, re) =>
+        val key: Column => Column = on match {
+          case Some(names) => subset(_, names)
+          case None => dropName(_)
+        }
+        val lf = eval(le).select(key(col("labels")).as("jk"),
+          col("labels"), col("t"), col("v"))
+        val rf = eval(re).select(key(col("labels")).as("jk"),
+          col("t"), col("v").as("rv"))
+        val joined = lf.join(rf, Seq("jk", "t"))
+        if (!cmp.contains(op))
+          // one-to-one arithmetic: result carries the MATCH labels
+          joined.select(col("jk").as("labels"), col("t"),
+            arith(op)(col("v"), col("rv")).as("v"))
+        else if (bool)
+          joined.select(col("jk").as("labels"), col("t"),
+            boolV(cmp(op)(col("v"), col("rv"))).as("v"))
+        else
+          // comparison = filter: the left series survives unchanged
+          joined.where(cmp(op)(col("v"), col("rv")))
+            .select(col("labels"), col("t"), col("v"))
+    }
   }
 
   private def scalarFn(fn: String, arg: PromExpr, ps: Seq[Double]): DataFrame = {
@@ -320,8 +331,31 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
     case sq: Subquery => sys.error(
       s"subquery [${sq.rangeMs}ms:${sq.stepMs}ms] used as an instant vector")
     case Agg(op, by, param, arg, without) => agg(op, by, param, arg, without)
-    case Bin(op, le, re, on) => bin(op, le, re, on)
+    case Bin(op, le, re, on, bool) => bin(op, le, re, on, bool)
     case ScalarFn(fn, arg, ps) => scalarFn(fn, arg, ps)
+    case LabelFn(fn, arg, strs) =>
+      val in = eval(arg)
+      val lv: String => Column =
+        n => graft.tsdb.TsSchema.labelValue(col("labels"), n)
+      val dst = strs.head
+      // the new value: a regex expansion (label_replace) or a separator
+      // join (label_join); empty ⇒ the destination label is REMOVED
+      // (Prometheus semantics for both functions)
+      val (apply: Column, newV: Column) = fn match {
+        case "label_replace" =>
+          val Seq(_, repl, src, regex) = strs
+          val anchored = graft.tsdb.LabelMatcher.anchored(regex)
+          (lv(src).rlike(anchored),
+            regexp_replace(lv(src), anchored, repl))
+        case "label_join" =>
+          (lit(true), concat_ws(strs(1), strs.drop(2).map(lv): _*))
+      }
+      val without = filter(col("labels"), e => e.getField("name") =!= dst)
+      val replaced = array_sort(concat(without,
+        array(struct(lit(dst).as("name"), newV.as("value")))))
+      in.withColumn("labels",
+        when(apply, when(newV === "", without).otherwise(replaced))
+          .otherwise(col("labels")))
     case Absent(sel) =>
       // the step grid is tiny and driver-known (nSteps rows) — generate
       // it, anti-join the steps where the selector matched anything, and

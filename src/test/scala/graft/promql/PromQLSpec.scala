@@ -210,6 +210,33 @@ class PromQLSpec extends AnyFunSuite {
     assert(math.abs(out(1)._2 - 0.46) < 1e-12)
   }
 
+  test("bool comparisons emit 0/1 instead of filtering") {
+    val out = rows("increase(req[10m]) > bool 100",
+      T0 + 600000L, T0 + 600000L, 60000L)
+    assert(out.size == 2)
+    assert(out.map(r => (r._1.contains("i-0"), r._3)).toMap ==
+      Map(true -> 1.0, false -> 0.0))
+  }
+
+  test("label_replace and label_join rewrite the label set") {
+    val rep = rows(
+      """label_replace(req{inst="i-0"}, "shard", "$1", "inst", "i-(.*)")""",
+      T0 + 600000L, T0 + 600000L, 60000L)
+    assert(rep.size == 1 &&
+      rep.head._1.contains("""{"name":"shard","value":"0"}""") &&
+      rep.head._1.contains("""{"name":"inst","value":"i-0"}"""))
+    // non-matching regex leaves the series untouched
+    val miss = rows(
+      """label_replace(req{inst="i-0"}, "shard", "$1", "inst", "x-(.*)")""",
+      T0 + 600000L, T0 + 600000L, 60000L)
+    assert(miss.size == 1 && !miss.head._1.contains("shard"))
+    val join = rows(
+      """label_join(req{inst="i-0"}, "id", "-", "__name__", "inst")""",
+      T0 + 600000L, T0 + 600000L, 60000L)
+    assert(join.size == 1 &&
+      join.head._1.contains("""{"name":"id","value":"req-i-0"}"""))
+  }
+
   test("absent() emits 1 at steps with no matching series") {
     // samples end at T0+10m; with the 5m lookback the series disappears
     // from steps T0+15m on — absent() fires exactly there
