@@ -129,7 +129,8 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
     val stepped = atSteps(samples, range)
     val out: DataFrame = fn match {
       case "sum_over_time" | "avg_over_time" | "min_over_time" |
-           "max_over_time" | "count_over_time" | "last_over_time" =>
+           "max_over_time" | "count_over_time" | "last_over_time" |
+           "stddev_over_time" | "stdvar_over_time" =>
         val agg: Column = fn match {
           case "sum_over_time" => sum(col("v"))
           case "avg_over_time" => avg(col("v"))
@@ -137,9 +138,15 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
           case "max_over_time" => max(col("v"))
           case "count_over_time" => count(lit(1)).cast("double")
           case "last_over_time" => max(struct(col("t"), col("v"))).getField("v")
+          case "stddev_over_time" => stddev_pop(col("v"))
+          case "stdvar_over_time" => var_pop(col("v"))
         }
         stepped.groupBy(col("fingerprint"), col("labels"), col("k"))
           .agg(agg.as("v"))
+      case q if q.startsWith("quantile_over_time:") =>
+        val phi = q.substring("quantile_over_time:".length).toDouble
+        stepped.groupBy(col("fingerprint"), col("labels"), col("k"))
+          .agg(expr(s"percentile(v, $phi)").as("v"))
       case _ if twoSampleFns(fn) =>
         val w = Window.partitionBy(col("fingerprint"), col("k"))
           .orderBy(col("t"), col("v"))

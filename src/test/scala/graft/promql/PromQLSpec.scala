@@ -210,6 +210,22 @@ class PromQLSpec extends AnyFunSuite {
     assert(math.abs(out(1)._2 - 0.46) < 1e-12)
   }
 
+  test("stddev/stdvar/quantile over time") {
+    // i-0 window (T0, T0+10m]: v = 10,20,..,200 — median = 105,
+    // var_pop = (4·10²·(20²-1))/12·... use the closed forms:
+    // mean 105, var = Σ(v-105)²/20 = 3325, sd = √3325
+    val out = rows(
+      """quantile_over_time(0.5, req{inst="i-0"}[10m])""",
+      T0 + 600000L, T0 + 600000L, 60000L)
+    assert(out.size == 1 && out.head._3 == 105.0)
+    val sv = rows("""stdvar_over_time(req{inst="i-0"}[10m])""",
+      T0 + 600000L, T0 + 600000L, 60000L)
+    assert(math.abs(sv.head._3 - 3325.0) < 1e-9)
+    val sd = rows("""stddev_over_time(req{inst="i-0"}[10m])""",
+      T0 + 600000L, T0 + 600000L, 60000L)
+    assert(math.abs(sd.head._3 - math.sqrt(3325.0)) < 1e-9)
+  }
+
   test("bool comparisons emit 0/1 instead of filtering") {
     val out = rows("increase(req[10m]) > bool 100",
       T0 + 600000L, T0 + 600000L, 60000L)
