@@ -329,10 +329,26 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
     in.withColumn("v", f(col("v")))
   }
 
+  /** `@`-pinned expressions: evaluate once at the pinned instant, then
+    * replicate the (tiny) per-series result across the step grid. */
+  private def pinnedAt(at: Long, e: PromExpr): DataFrame = {
+    val once = new Evaluator(querier, at, at, 1L, lookbackMs, extrapolate)
+      .eval(e)
+    val spark = once.sparkSession
+    val steps = spark.range(nSteps)
+      .select((lit(mint) + col("id") * stepMs).as("t"))
+    once.drop("t").crossJoin(broadcast(steps))
+      .select(col("labels"), col("t"), col("v"))
+  }
+
   /** Evaluate to the canonical result frame
     * `(labels array<struct<name,value>>, t long, v double)` — one row
     * per series per evaluation step where the expression is defined. */
   def eval(e: PromExpr): DataFrame = e match {
+    case s: Selector if s.atMs.isDefined =>
+      pinnedAt(s.atMs.get, s.copy(atMs = None))
+    case RangeFn(fn, s: Selector) if s.atMs.isDefined =>
+      pinnedAt(s.atMs.get, RangeFn(fn, s.copy(atMs = None)))
     case s: Selector => instant(s)
     case RangeFn(fn, arg) => rangeFn(fn, arg)
     case sq: Subquery => sys.error(

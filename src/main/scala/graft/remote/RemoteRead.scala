@@ -398,7 +398,7 @@ object QueryApi {
   private[remote] def parseDuration(s: String): Long = {
     // reuse the PromQL duration grammar by parsing "x[<dur>]"
     graft.promql.PromQL.parse(s"x[$s]") match {
-      case graft.promql.PromExpr.Selector(_, Some(ms), _) => ms
+      case graft.promql.PromExpr.Selector(_, Some(ms), _, _) => ms
       case _ => throw new IllegalArgumentException(s"bad duration '$s'")
     }
   }

@@ -157,6 +157,22 @@ class PromQLSpec extends AnyFunSuite {
     assert(out.size == 1 && out.head._1.contains("i-0") && out.head._3 == 190.0)
   }
 
+  test("@ modifier pins the evaluation time across all steps") {
+    // pinned at T0+5m (counter=100), evaluated over an 11-step grid:
+    // every step carries the pinned value — including steps where the
+    // unpinned series would have aged out of the lookback
+    val atSec = (T0 + 300000L) / 1000
+    val out = rows(s"""req{inst="i-0"} @ $atSec""",
+      T0 + 600000L, T0 + 1200000L, 60000L)
+    assert(out.size == 11 && out.forall(_._3 == 100.0))
+    assert(out.map(_._2).toSet ==
+      (0 to 10).map(m => T0 + 600000L + m * 60000L).toSet)
+    // range fn pinned: increase over (T0, T0+5m] = deltas k=1..10
+    val inc = rows(s"""increase(req{inst="i-0"}[5m] @ $atSec)""",
+      T0 + 600000L, T0 + 600000L, 60000L)
+    assert(inc.size == 1 && inc.head._3 == 90.0)
+  }
+
   test("offset shifts the evaluation window") {
     // at T0+10m with offset 5m ⇒ sees the counter at T0+5m: i-0 = 100
     val out = rows("""req{inst="i-0"} offset 5m""",
