@@ -274,6 +274,9 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
     (l, r) match {
       case (Num(a), Num(b)) =>
         sys.error(s"scalar-scalar '$a $op $b' is not a vector")
+      case (Num(_), _) | (_, Num(_))
+          if op == "and" || op == "or" || op == "unless" =>
+        sys.error(s"set operator '$op' needs vector operands")
       case (Num(a), e) =>
         val in = eval(e)
         if (!cmp.contains(op)) in.withColumn("v", arith(op)(lit(a), col("v")))
@@ -293,6 +296,27 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
         }
         val lf = eval(le).select(key(col("labels")).as("jk"),
           col("labels"), col("t"), col("v"))
+        if (op == "and" || op == "unless" || op == "or") {
+          // PromQL set operators: series-level semi / anti / union
+          // joins on (match-key, step) — left rows keep their own
+          // labels and values
+          val rKeys = eval(re).select(key(col("labels")).as("jk"), col("t"))
+            .distinct()
+          return op match {
+            case "and" => lf.join(rKeys, Seq("jk", "t"), "left_semi")
+              .select(col("labels"), col("t"), col("v"))
+            case "unless" => lf.join(rKeys, Seq("jk", "t"), "left_anti")
+              .select(col("labels"), col("t"), col("v"))
+            case "or" =>
+              val lKeys = lf.select(col("jk"), col("t")).distinct()
+              val rightOnly = eval(re)
+                .select(key(col("labels")).as("jk"), col("labels"),
+                  col("t"), col("v"))
+                .join(lKeys, Seq("jk", "t"), "left_anti")
+              lf.select(col("labels"), col("t"), col("v"))
+                .unionByName(rightOnly.select(col("labels"), col("t"), col("v")))
+          }
+        }
         val rf = eval(re).select(key(col("labels")).as("jk"),
           col("t"), col("v").as("rv"))
         val joined = lf.join(rf, Seq("jk", "t"))

@@ -242,6 +242,22 @@ class PromQLSpec extends AnyFunSuite {
     assert(math.abs(sd.head._3 - math.sqrt(3325.0)) < 1e-9)
   }
 
+  test("set operators and/unless/or join on the series identity") {
+    val at = (T0 + 600000L, T0 + 600000L, 60000L)
+    // both metrics share {inst=...} after the name drops ⇒ `and` keeps
+    // every req series that has a matching mem series
+    val both = rows("req and mem", at._1, at._2, at._3)
+    assert(both.size == 2 &&
+      both.map(_._3).toSet == Set(200.0, 20.0)) // req's own values
+    val minus = rows("""req unless mem{inst="i-0"}""", at._1, at._2, at._3)
+    assert(minus.size == 1 && minus.head._3 == 20.0) // only i-1 survives
+    // or: left wins on conflict, right fills the gaps
+    val either = rows("(req > 100) or mem", at._1, at._2, at._3)
+    assert(either.size == 2)
+    assert(either.exists(r => r._1.contains("i-0") && r._3 == 200.0))
+    assert(either.exists(r => r._1.contains("i-1") && r._3 != 20.0)) // mem's value
+  }
+
   test("bool comparisons emit 0/1 instead of filtering") {
     val out = rows("increase(req[10m]) > bool 100",
       T0 + 600000L, T0 + 600000L, 60000L)
