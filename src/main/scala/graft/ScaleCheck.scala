@@ -101,6 +101,16 @@ object ScaleCheck {
       println(s"SCALE cc clusters=" +
         cc.select(col("component")).distinct().count())
     }
+
+    // --- round 3: PromQL front-end at scale ---
+    // full parser + step evaluator over the store: every sample serves
+    // ≤ window/step + 1 steps, so the explode stays bounded however
+    // long the range is
+    time("promql front-end: sum by (job) (rate(metric_3[5m])) @ 5m step, full range") {
+      graft.promql.PromQL.rangeQuery(q,
+        "sum by (job) (rate(metric_3[5m]))",
+        t0ms, t0ms + nSamples.toLong * 30000L, 300000L).count()
+    }
     spark.stop()
   }
 }
