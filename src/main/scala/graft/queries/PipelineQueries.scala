@@ -70,6 +70,23 @@ object PipelineQueries {
       TextAnalysis.tfIdfTopK(docs(s, dir), "doc_id", "text", k = 3)
         .orderBy(col("doc_id"), col("rnk"))),
 
+    // sequence chunking: 64-token windows advancing by 48 (overlap 16);
+    // chunk text digested so the oracle hash-checks the exact content
+    "pack_chunks" -> ((s, dir) =>
+      graft.ops.Packing.chunk(docs(s, dir), "doc_id", "text",
+        chunkSize = 64, stride = 48)
+        .select(col("id"), col("chunk_id"), col("n_tokens"),
+          md5(col("chunk")).as("chunk_digest"))
+        .orderBy(col("id"), col("chunk_id"))),
+
+    // sequence packing: concatenated-stream packing into 1024-token
+    // budgets per source, deterministic ascending-id layout
+    "pack_sequences" -> ((s, dir) =>
+      graft.ops.Packing.pack(docs(s, dir), col("source"), "doc_id",
+        size(split(col("text"), " ")), budget = 1024)
+        .withColumnRenamed("grp", "source")
+        .orderBy(col("source"), col("id"))),
+
     // deterministic Bernoulli sample (reproducible subset selection):
     // pure map-side filter, no shuffle
     "sample_bernoulli" -> ((s, dir) =>
@@ -367,6 +384,24 @@ object PipelineQueries {
          | SELECT doc_id, rnk::BIGINT AS rnk, word, tf::BIGINT AS tf,
          |  df_docs::BIGINT AS df_docs, tfidf
          | FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".om,
+    "pack_chunks" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         | ch AS (SELECT doc_id,
+         |   unnest(range(greatest(CAST(ceil(len(t)::DOUBLE / 48) AS BIGINT), 1))) AS chunk_id,
+         |   t FROM toks)
+         | SELECT doc_id AS id, chunk_id,
+         |  len(t[chunk_id*48+1 : chunk_id*48+64])::BIGINT AS n_tokens,
+         |  md5(array_to_string(t[chunk_id*48+1 : chunk_id*48+64], ' ')) AS chunk_digest
+         | FROM ch ORDER BY id, chunk_id""".om,
+    "pack_sequences" ->
+      s"""WITH n AS (SELECT source, doc_id AS id,
+         |   len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+         | c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY id) AS cum FROM n),
+         | p AS (SELECT source, id, n_tokens,
+         |   CAST(floor((cum - n_tokens) / 1024) AS BIGINT) AS pack_id FROM c)
+         | SELECT source, id, n_tokens, pack_id,
+         |  (row_number() OVER (PARTITION BY source, pack_id ORDER BY id) - 1)::BIGINT AS pack_pos
+         | FROM p ORDER BY source, id""".om,
     "text_repetition" ->
       s"""WITH toks AS (SELECT doc_id,
          |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS t
