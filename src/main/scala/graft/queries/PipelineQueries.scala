@@ -58,6 +58,26 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("component").as("cluster"))
         .orderBy(col("doc_id"))),
 
+    // cluster-representative selection: keep the HIGHEST-QUALITY doc
+    // per near-dup cluster (ties → lowest id) — what a curation
+    // pipeline actually ships, vs. dedup_clusters' min-id labeling
+    "dedup_keep_best" -> ((s, dir) => {
+      val clusters = Dedup.connectedComponents(lshPairs(s, dir))
+        .select(col("id").as("doc_id"), col("component").as("cluster"))
+      val quality = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      clusters.join(quality, "doc_id")
+        .groupBy(col("cluster"))
+        .agg(
+          max(struct(col("quality").as("q"),
+            (-col("doc_id")).cast("long").as("nid"))).as("best"),
+          count(lit(1)).as("cluster_size"))
+        .select(col("cluster"),
+          (-col("best.nid")).cast("long").as("keep_id"),
+          col("best.q").as("keep_quality"), col("cluster_size"))
+        .orderBy(col("cluster"))
+    }),
+
     // Gopher-style repetition metrics: distinct-bigram and top-bigram
     // fractions per document
     "text_repetition" -> ((s, dir) =>
@@ -443,6 +463,29 @@ object PipelineQueries {
          |   SELECT e.id, r.comp FROM edges e JOIN reach r ON e.nb = r.id)
          | SELECT id AS doc_id, min(comp) AS cluster FROM reach
          | GROUP BY id ORDER BY doc_id""".om,
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $lshPairCtes,
+         | pairs AS (SELECT id1, id2 FROM j WHERE jaccard >= 0.2),
+         | edges AS (SELECT id1 AS id, id2 AS nb FROM pairs
+         |   UNION SELECT id2, id1 FROM pairs),
+         | reach AS (
+         |   SELECT id, id AS comp FROM (SELECT DISTINCT id FROM edges)
+         |   UNION
+         |   SELECT e.id, r.comp FROM edges e JOIN reach r ON e.nb = r.id),
+         | clus AS (SELECT id AS doc_id, min(comp) AS cluster FROM reach GROUP BY id),
+         | q AS (SELECT doc_id, round(least(
+         |   CASE WHEN len(t) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.5 END
+         |   * round(length(regexp_replace(text, '[^\\p{L}\\p{N}]', '', 'g'))::DOUBLE /
+         |           greatest(length(text), 1), 6)
+         |   * (0.5 + 0.5 * round(len(list_distinct(t))::DOUBLE / greatest(len(t), 1), 6)),
+         |   1.0), 6) AS quality FROM toks),
+         | j2 AS (SELECT c.cluster, c.doc_id, q.quality
+         |        FROM clus c JOIN q ON c.doc_id = q.doc_id),
+         | best AS (SELECT cluster, count(*) AS cluster_size,
+         |   max({'q': quality, 'nid': -doc_id}) AS b FROM j2 GROUP BY cluster)
+         | SELECT cluster, CAST(-(b.nid) AS BIGINT) AS keep_id,
+         |  b.q AS keep_quality, cluster_size::BIGINT AS cluster_size
+         | FROM best ORDER BY cluster""".om,
     "dedup_simhash" ->
       s"""WITH ${tokCte(1)},
          | ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
