@@ -268,7 +268,8 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
     "==" -> (_ === _), "!=" -> (_ =!= _))
 
   private def bin(op: String, l: PromExpr, r: PromExpr,
-                  on: Option[Seq[String]], bool: Boolean): DataFrame = {
+                  on: Option[Seq[String]], bool: Boolean,
+                  group: Option[String]): DataFrame = {
     // `bool` comparisons emit 0/1 and (like arithmetic) drop the name
     def boolV(cond: Column): Column = when(cond, 1.0d).otherwise(0.0d)
     (l, r) match {
@@ -318,14 +319,20 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
           }
         }
         val rf = eval(re).select(key(col("labels")).as("jk"),
-          col("t"), col("v").as("rv"))
+          dropName(col("labels")).as("rlabels"), col("t"), col("v").as("rv"))
         val joined = lf.join(rf, Seq("jk", "t"))
+        // one-to-one: the match key IS the output identity; many-to-one
+        // (group_left/group_right): the many side's full labels survive
+        val outLabels: Column = group match {
+          case Some("left") => dropName(col("labels"))
+          case Some("right") => col("rlabels")
+          case _ => col("jk")
+        }
         if (!cmp.contains(op))
-          // one-to-one arithmetic: result carries the MATCH labels
-          joined.select(col("jk").as("labels"), col("t"),
+          joined.select(outLabels.as("labels"), col("t"),
             arith(op)(col("v"), col("rv")).as("v"))
         else if (bool)
-          joined.select(col("jk").as("labels"), col("t"),
+          joined.select(outLabels.as("labels"), col("t"),
             boolV(cmp(op)(col("v"), col("rv"))).as("v"))
         else
           // comparison = filter: the left series survives unchanged
@@ -378,7 +385,7 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
     case sq: Subquery => sys.error(
       s"subquery [${sq.rangeMs}ms:${sq.stepMs}ms] used as an instant vector")
     case Agg(op, by, param, arg, without) => agg(op, by, param, arg, without)
-    case Bin(op, le, re, on, bool) => bin(op, le, re, on, bool)
+    case Bin(op, le, re, on, bool, group) => bin(op, le, re, on, bool, group)
     case ScalarFn(fn, arg, ps) => scalarFn(fn, arg, ps)
     case LabelFn(fn, arg, strs) =>
       val in = eval(arg)

@@ -151,6 +151,19 @@ class PromQLSpec extends AnyFunSuite {
       PromQL.parse("sum(m) without (inst)"))
   }
 
+  test("group_left keeps the many side's full labels") {
+    // share of each series against the per-__name__... here: per-inst
+    // req divided by the global sum — many (per-inst) on the left
+    val out = rows(
+      "increase(req[10m]) / on() group_left sum(increase(req[10m]))",
+      T0 + 600000L, T0 + 600000L, 60000L)
+    assert(out.size == 2)
+    val byInst = out.map(r => (r._1.contains("i-0"), r._3)).toMap
+    assert(math.abs(byInst(true) - 190.0 / 226.0) < 1e-12)
+    assert(math.abs(byInst(false) - 36.0 / 226.0) < 1e-12)
+    assert(out.forall(_._1.contains("inst"))) // per-series identity kept
+  }
+
   test("topk keeps the winning series' labels") {
     val out = rows("topk(1, increase(req[10m]))",
       T0 + 600000L, T0 + 600000L, 60000L)
