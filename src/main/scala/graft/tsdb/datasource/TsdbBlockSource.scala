@@ -422,6 +422,121 @@ final case class TsdbInputPartition(blockDir: String, refs: Array[Long],
 object TsdbReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new TsdbPartitionReader(partition.asInstanceOf[TsdbInputPartition])
+
+  /** Vectorized fast path for FLAT projections (no `labels` map): the
+    * XOR decode writes straight into column vectors and the label
+    * columns are per-series constants. The common analytic shape —
+    * promoted labels + t + v — then flows through Spark's columnar
+    * pipeline with no per-row boxing. Projections that keep the map
+    * column fall back to the row reader. */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    !partition.asInstanceOf[TsdbInputPartition].fields.contains("labels")
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new TsdbColumnarReader(partition.asInstanceOf[TsdbInputPartition])
+}
+
+/** Shared per-partition planning: chunk pruning (P11/P13) + one
+  * coalesced fetch of every chunk the partition will decode. */
+private[datasource] object TsdbSeriesPlan {
+  type Plan = Array[(Long, Seq[Long], Seq[(Long, Long)])]
+  def build(p: TsdbInputPartition)
+      : (TsdbIndex.IndexReader, Plan, Map[Long, ChunkFile.ChunkRecord]) = {
+    val idx = TsdbIndexCache.get(Paths.get(p.blockDir, "index").toString)
+    val stones = graft.tsdb.Tombstones.read(Paths.get(p.blockDir))
+    val plan: Plan = p.refs.flatMap { ref =>
+      val s = idx.series(ref)
+      val ivs = stones.getOrElse(ref, Seq.empty)
+      val chunks = s.chunks
+        .filter(c => c.minTime <= p.maxt && p.mint <= c.maxTime) // P11
+        // P13: drop chunks wholly inside a deleted interval
+        .filterNot(c => ivs.exists { case (lo, hi) => c.minTime >= lo && c.maxTime <= hi })
+      if (chunks.isEmpty) None else Some((ref, chunks.map(_.ref), ivs))
+    }
+    val chunkData = ChunkFile.readRefs(
+      Paths.get(p.blockDir, "chunks"), plan.flatMap(_._2).toSeq)
+    (idx, plan, chunkData)
+  }
+}
+
+/** Columnar reader: batches of up to 4096 samples, label columns
+  * resolved once per series and stamped as constant byte arrays. */
+class TsdbColumnarReader(p: TsdbInputPartition)
+  extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val (idx, plan, chunkData) = TsdbSeriesPlan.build(p)
+  private val schema = StructType(p.fields.map {
+    case "t" => StructField("t", LongType, nullable = false)
+    case "v" => StructField("v", DoubleType, nullable = false)
+    case name => StructField(name, StringType, nullable = true)
+  }.toArray)
+  private val Capacity = 4096
+  private val vectors = OnHeapColumnVector.allocateColumns(Capacity, schema)
+  private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector).toArray)
+
+  private val seriesIt = plan.iterator
+  private var samples: Iterator[graft.tsdb.Sample] = Iterator.empty
+  private var labelBytes: Array[Array[Byte]] = _ // per column; null for t/v/absent
+  private var tIdx = -1
+  private var vIdx = -1
+
+  private def startSeries(ref: Long, chunkRefs: Seq[Long],
+                          ivs: Seq[(Long, Long)]): Unit = {
+    val s = idx.series(ref)
+    val labelMap = s.labels.map(l => l.name -> l.value).toMap
+    labelBytes = new Array[Array[Byte]](p.fields.length)
+    tIdx = -1; vIdx = -1
+    p.fields.zipWithIndex.foreach { case (f, i) =>
+      f match {
+        case "t" => tIdx = i
+        case "v" => vIdx = i
+        case name => labelBytes(i) =
+          labelMap.get(name).map(_.getBytes("UTF-8")).orNull
+      }
+    }
+    samples = chunkRefs.iterator.flatMap { cref =>
+      XorChunk.decode(chunkData(cref).data).iterator
+    }.filter(sm => sm.t >= p.mint && sm.t <= p.maxt)
+      .filterNot(sm => graft.tsdb.Tombstones.deleted(ivs, sm.t))
+  }
+
+  override def next(): Boolean = {
+    vectors.foreach(_.reset())
+    var row = 0
+    while (row < Capacity) {
+      if (!samples.hasNext) {
+        if (!seriesIt.hasNext) {
+          if (row == 0) return false
+          batch.setNumRows(row)
+          return true
+        }
+        val (ref, chunkRefs, ivs) = seriesIt.next()
+        startSeries(ref, chunkRefs, ivs)
+      } else {
+        val sm = samples.next()
+        var i = 0
+        while (i < vectors.length) {
+          if (i == tIdx) vectors(i).putLong(row, sm.t)
+          else if (i == vIdx) vectors(i).putDouble(row, sm.v)
+          else {
+            val b = labelBytes(i)
+            if (b == null) vectors(i).putNull(row)
+            else vectors(i).putByteArray(row, b, 0, b.length)
+          }
+          i += 1
+        }
+        row += 1
+      }
+    }
+    batch.setNumRows(row)
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = batch.close()
 }
 
 /** Per-JVM parsed-index cache. Blocks are immutable (ULID-named dirs,
@@ -455,26 +570,9 @@ object TsdbIndexCache {
   * — the reference's grouped populate (`chunks.go:161-251`) — so a
   * 1-series select against a 512 MiB segment reads KiB, not the segment. */
 class TsdbPartitionReader(p: TsdbInputPartition) extends PartitionReader[InternalRow] {
-  private val idx = TsdbIndexCache.get(
-    Paths.get(p.blockDir, "index").toString)
-  private val stones = graft.tsdb.Tombstones.read(Paths.get(p.blockDir))
-
-  /** Per-series plan: pruned chunk refs + tombstone intervals. Built once
-    * from the in-memory index — no chunk IO yet. */
-  private val plan: Array[(Long, Seq[Long], Seq[(Long, Long)])] =
-    p.refs.flatMap { ref =>
-      val s = idx.series(ref)
-      val ivs = stones.getOrElse(ref, Seq.empty)
-      val chunks = s.chunks
-        .filter(c => c.minTime <= p.maxt && p.mint <= c.maxTime) // P11
-        // P13: drop chunks wholly inside a deleted interval (querier.go:466-478)
-        .filterNot(c => ivs.exists { case (lo, hi) => c.minTime >= lo && c.maxTime <= hi })
-      if (chunks.isEmpty) None else Some((ref, chunks.map(_.ref), ivs))
-    }
-
-  /** One coalesced fetch for every chunk this partition will decode. */
-  private val chunkData: Map[Long, ChunkFile.ChunkRecord] =
-    ChunkFile.readRefs(Paths.get(p.blockDir, "chunks"), plan.flatMap(_._2).toSeq)
+  // per-series plan (pruned chunk refs + tombstones, P11/P13) and ONE
+  // coalesced fetch for every chunk this partition will decode
+  private val (idx, plan, chunkData) = TsdbSeriesPlan.build(p)
 
   private val seriesIt = plan.iterator
   private var samples: Iterator[graft.tsdb.Sample] = Iterator.empty

@@ -328,6 +328,48 @@ class TsdbDataSourceSpec extends AnyFunSuite {
     assert(q.select("labels").head().getMap[String, String](0).size == 3)
   }
 
+  test("flat projections read through the columnar fast path") {
+    import graft.tsdb.datasource.{TsdbInputPartition, TsdbReaderFactory}
+    val flatQ = ds.select("job", "instance", "t", "v").where(col("job") === "api")
+    val flatParts = scanOf(flatQ).planInputPartitions()
+    assert(flatParts.forall(TsdbReaderFactory.supportColumnarReads))
+    // keeping the labels map falls back to the row reader
+    val mapParts = scanOf(ds.select("labels", "t", "v")).planInputPartitions()
+    assert(mapParts.forall(pt => !TsdbReaderFactory.supportColumnarReads(pt)))
+    // the two readers produce identical data for the same partition
+    val part = flatParts.head.asInstanceOf[TsdbInputPartition]
+    val fi = part.fields.zipWithIndex.toMap
+    val (ti, vi, ji) = (fi("t"), fi("v"), fi("job"))
+    val colReader = TsdbReaderFactory.createColumnarReader(part)
+    var colRows = 0L; var colSumV = 0.0; var colSumT = 0L; var nulls = 0
+    while (colReader.next()) {
+      val b = colReader.get()
+      colRows += b.numRows()
+      (0 until b.numRows()).foreach { r =>
+        colSumT += b.column(ti).getLong(r)
+        colSumV += b.column(vi).getDouble(r)
+        if (b.column(ji).isNullAt(r)) nulls += 1
+        else assert(b.column(ji).getUTF8String(r).toString.startsWith("api"))
+      }
+    }
+    colReader.close()
+    val rowReader = TsdbReaderFactory.createReader(part)
+    var rowRows = 0L; var rowSumV = 0.0; var rowSumT = 0L
+    while (rowReader.next()) {
+      val r = rowReader.get()
+      rowSumT += r.getLong(ti); rowSumV += r.getDouble(vi); rowRows += 1
+    }
+    assert(nulls == 0 && colRows == rowRows && colRows > 0)
+    assert(colSumT == rowSumT && colSumV == rowSumV)
+    // end-to-end through Spark: same aggregate either path
+    assert(flatQ.count() == 2L * 3 * 300)
+    val viaCol = flatQ.agg(sum("v").as("s")).head().getDouble(0)
+    val viaRow = ds.where(col("job") === "api")
+      .select(map_values(col("labels")).as("mv"), col("v"))
+      .agg(sum("v").as("s")).head().getDouble(0)
+    assert(viaCol == viaRow)
+  }
+
   test("runtime filters prune postings at execution (V2 dynamic pruning)") {
     import org.apache.spark.sql.sources.{EqualTo, Filter, In}
     // the attributes Spark may runtime-filter on: the label columns
