@@ -500,6 +500,17 @@ object TsQueries {
           col("t"), round(col("v"), 4).as("v"))
         .orderBy(col("user"), col("t"))),
 
+    // Parser-driven SUBQUERY: the inner instant selector re-evaluated
+    // at 1d resolution (5m lookback per inner instant), then averaged
+    // over the outer 2d window — the oracle rebuilds both step grids
+    "ts_promql_subquery" -> ((s, dir) =>
+      graft.promql.PromQL.rangeQuery(querier(s, dir),
+        "avg_over_time(purchase[2d:1d])", Mint, Maxt, 86400000L)
+        .select(TsSchema.labelValue(col("labels"), "user").as("user"),
+          TsSchema.labelValue(col("labels"), "big").as("big"),
+          col("t"), round(col("v"), 4).as("v"))
+        .orderBy(col("user"), col("big"), col("t"))),
+
     // PromQL irate()/idelta(): instantaneous rate/delta from the last
     // two samples of each series in the range (counter reset → the last
     // value alone is the increase; idelta keeps the raw difference)
@@ -851,6 +862,24 @@ object TsQueries {
          |             PARTITION BY step_t ORDER BY v DESC, "user") AS rnk FROM byu)
          | SELECT "user", step_t AS t, round(v, 4) AS v
          | FROM ranked WHERE rnk <= 3 ORDER BY "user", t""".stripMargin.replace("\n", " "),
+    "ts_promql_subquery" ->
+      s"""WITH isteps AS (
+         |   SELECT unnest(range($Mint - 86400000, $Maxt + 1, 86400000)) AS is_t),
+         | osteps AS (SELECT unnest(range($Mint, $Maxt + 1, 86400000)) AS step_t),
+         | raw AS (SELECT "user", big, t, v FROM ($oracleBase)
+         |         WHERE name = 'purchase'),
+         | inner_v AS (
+         |   SELECT r."user", r.big, s.is_t, (max({'t': r.t, 'v': r.v})).v AS iv
+         |   FROM raw r JOIN isteps s
+         |     ON r.t > s.is_t - 300000 AND r.t <= s.is_t
+         |   GROUP BY r."user", r.big, s.is_t),
+         | outer_v AS (
+         |   SELECT i."user", i.big, o.step_t, avg(i.iv) AS v
+         |   FROM inner_v i JOIN osteps o
+         |     ON i.is_t > o.step_t - 172800000 AND i.is_t <= o.step_t
+         |   GROUP BY i."user", i.big, o.step_t)
+         | SELECT "user", big, step_t AS t, round(v, 4) AS v
+         | FROM outer_v ORDER BY "user", big, t""".stripMargin.replace("\n", " "),
     "ts_prom_irate" ->
       s"""WITH s AS (
          |  SELECT name, "user", big, t, v, lag(t) OVER w AS pt, lag(v) OVER w AS pv,
