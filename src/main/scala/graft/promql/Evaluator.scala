@@ -108,9 +108,15 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
     case sel: Selector => (raw(sel, sel.rangeMs.get), sel.rangeMs.get)
     case Subquery(arg, range, innerStepRaw, offsetMs) =>
       val innerStep = if (innerStepRaw > 0) innerStepRaw else stepMs
-      // inner instants cover (mint - range, maxt] in query time: first
-      // instant one inner step inside the left-open window edge
-      val inner = new Evaluator(querier, mint - offsetMs - range + innerStep,
+      // Prometheus aligns the inner grid to ABSOLUTE multiples of the
+      // inner step (the engine bumps a misaligned window start up to
+      // the next multiple; an aligned start stays). An instant landing
+      // exactly on a left-open window edge is evaluated but then
+      // excluded by the range window — same as upstream.
+      val rawStart = mint - offsetMs - range
+      val rem = Math.floorMod(rawStart, innerStep)
+      val alignedStart = if (rem == 0) rawStart else rawStart + (innerStep - rem)
+      val inner = new Evaluator(querier, alignedStart,
         maxt - offsetMs, innerStep, lookbackMs, extrapolate)
       val df = inner.eval(arg)
         .withColumn("t", col("t") + offsetMs)
@@ -280,13 +286,17 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
         sys.error(s"set operator '$op' needs vector operands")
       case (Num(a), e) =>
         val in = eval(e)
+        // arithmetic (like every value-transforming op) drops the
+        // metric name; comparison-as-filter keeps the series unchanged
         if (!cmp.contains(op)) in.withColumn("v", arith(op)(lit(a), col("v")))
+          .withColumn("labels", dropName(col("labels")))
         else if (bool) in.withColumn("v", boolV(cmp(op)(lit(a), col("v"))))
           .withColumn("labels", dropName(col("labels")))
         else in.where(cmp(op)(lit(a), col("v")))
       case (e, Num(b)) =>
         val in = eval(e)
         if (!cmp.contains(op)) in.withColumn("v", arith(op)(col("v"), lit(b)))
+          .withColumn("labels", dropName(col("labels")))
         else if (bool) in.withColumn("v", boolV(cmp(op)(col("v"), lit(b))))
           .withColumn("labels", dropName(col("labels")))
         else in.where(cmp(op)(col("v"), lit(b)))
@@ -320,7 +330,24 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
         }
         val rf = eval(re).select(key(col("labels")).as("jk"),
           dropName(col("labels")).as("rlabels"), col("t"), col("v").as("rv"))
-        val joined = lf.join(rf, Seq("jk", "t"))
+        // Prometheus cardinality enforcement: the side(s) the match
+        // mode declares unique may hold at most one series per
+        // (match group, step); duplicates are a QUERY ERROR
+        // ("many-to-many matching not allowed"), never a silent cross
+        // product. The check is a count window keyed on the join key,
+        // so it rides the join's own (jk, t) exchange.
+        def unique(df: DataFrame, vcol: String, side: String): DataFrame = {
+          val mode = group.fold("one-to-one")(g => s"group_$g")
+          val n = count(lit(1)).over(Window.partitionBy(col("jk"), col("t")))
+          df.withColumn(vcol,
+            when(n > lit(1), raise_error(concat(
+              lit(s"$mode matching: found duplicate series on the $side" +
+                s" side for match group "), to_json(col("jk")))))
+              .otherwise(col(vcol)))
+        }
+        val lfU = if (group.contains("left")) lf else unique(lf, "v", "left")
+        val rfU = if (group.contains("right")) rf else unique(rf, "rv", "right")
+        val joined = lfU.join(rfU, Seq("jk", "t"))
         // one-to-one: the match key IS the output identity; many-to-one
         // (group_left/group_right): the many side's full labels survive
         val outLabels: Column = group match {
@@ -345,6 +372,10 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
     val in = eval(arg)
     val f: Column => Column = fn match {
       case "abs" => abs(_)
+      case "sgn" => v => signum(v)
+      case "round" =>
+        val nearest = ps.headOption.getOrElse(1.0d)
+        v => round(v / nearest) * nearest
       case "ceil" => ceil(_).cast("double")
       case "floor" => floor(_).cast("double")
       case "exp" => exp(_)
@@ -357,7 +388,10 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
       case "clamp_max" => v => least(v, lit(ps(0)))
       case other => sys.error(s"unsupported function $other")
     }
+    // value-transforming functions drop the metric name (Prometheus
+    // drops __name__ for abs/ceil/floor/clamp*/round/... alike)
     in.withColumn("v", f(col("v")))
+      .withColumn("labels", dropName(col("labels")))
   }
 
   /** `@`-pinned expressions: evaluate once at the pinned instant, then

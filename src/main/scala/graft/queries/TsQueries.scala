@@ -864,7 +864,7 @@ object TsQueries {
          | FROM ranked WHERE rnk <= 3 ORDER BY "user", t""".stripMargin.replace("\n", " "),
     "ts_promql_subquery" ->
       s"""WITH isteps AS (
-         |   SELECT unnest(range($Mint - 86400000, $Maxt + 1, 86400000)) AS is_t),
+         |   SELECT unnest(range($Mint - 172800000, $Maxt + 1, 86400000)) AS is_t),
          | osteps AS (SELECT unnest(range($Mint, $Maxt + 1, 86400000)) AS step_t),
          | raw AS (SELECT "user", big, t, v FROM ($oracleBase)
          |         WHERE name = 'purchase'),

@@ -53,9 +53,13 @@ object BlockShipper {
     closed.foreach { b =>
       // partition files hold the full canonical schema minus the
       // partition column itself; writeDistributed needs only
-      // (fingerprint, labels, t, v), all present
-      val part = spark.read.parquet(
-        Paths.get(storePath, s"block_start=$b").toString)
+      // (fingerprint, labels, t, v), all present. PENDING deletions
+      // must be masked here: shipped blocks are immutable and marked,
+      // so a deleted sample that leaks into one is resurrected forever
+      // (a PII-removal hazard) — the mask is the same compiled
+      // predicate readers apply, a map-side filter, no extra pass.
+      val part = TsDeletions.masked(spark, storePath, spark.read.parquet(
+        Paths.get(storePath, s"block_start=$b").toString))
       val ulid = TsdbBlock.syntheticUlid(b)
       val dest = Paths.get(blocksDir, ulid)
       TsdbBlock.writeDistributed(part, dest, ulid)

@@ -194,17 +194,21 @@ class PromQLSpec extends AnyFunSuite {
   }
 
   test("subqueries re-evaluate the inner expression at their own step") {
-    // selector subquery: m[10m:1m] over i-0 — inner instants at minutes
-    // 1..10 see the counter at 20,40,..,200 ⇒ avg 110
+    // selector subquery: m[10m:1m] over i-0 — inner instants sit on
+    // ABSOLUTE minute multiples (Prometheus alignment). T0 is 20s past
+    // a minute, so the window start T0 rounds up to T0+40s: instants
+    // T0+40s+j·60s (j=0..9) see the counter at k=1+2j ⇒ v=10,30,..,190
+    // ⇒ avg 100
     val sq = PromQL.parse("""avg_over_time(req{inst="i-0"}[10m:1m])""")
       .asInstanceOf[RangeFn].arg.asInstanceOf[Subquery]
     assert(sq.rangeMs == 600000L && sq.stepMs == 60000L)
     val out = rows("""avg_over_time(req{inst="i-0"}[10m:1m])""",
       T0 + 600000L, T0 + 600000L, 60000L)
-    assert(out.size == 1 && out.head._3 == 110.0)
+    assert(out.size == 1 && out.head._3 == 100.0)
     // composite subquery: the postfix form over a function result —
-    // max_over_time of the 2m increase, sampled each minute: each
-    // left-open 2m window holds 4 samples (3 deltas of +10) ⇒ max 30
+    // max_over_time of the 2m increase on the same aligned grid: from
+    // the second instant on, each left-open 2m window holds 4 samples
+    // (3 deltas of +10) ⇒ max 30
     val mx = rows("""max_over_time(increase(req{inst="i-0"}[2m])[10m:1m])""",
       T0 + 600000L, T0 + 600000L, 60000L)
     assert(mx.size == 1 && mx.head._3 == 30.0)
@@ -316,8 +320,45 @@ class PromQLSpec extends AnyFunSuite {
     val clamped = rows("""clamp(req{inst="i-0"}, 25, 125)""",
       T0 + 600000L, T0 + 600000L, 60000L)
     assert(clamped.head._3 == 125.0)
+    // value-transforming functions drop the metric name...
+    assert(!clamped.head._1.contains("__name__"))
+    // ...while comparison-as-filter keeps the series identity intact
     val filtered = rows("increase(req[10m]) > 100",
       T0 + 600000L, T0 + 600000L, 60000L)
     assert(filtered.size == 1 && filtered.head._1.contains("i-0"))
+  }
+
+  test("arithmetic drops the metric name; round/sgn transform values") {
+    val at = (T0 + 600000L, T0 + 600000L, 60000L)
+    val dbl = rows("""req{inst="i-0"} * 2""", at._1, at._2, at._3)
+    assert(dbl.size == 1 && dbl.head._3 == 400.0)
+    assert(!dbl.head._1.contains("__name__") && dbl.head._1.contains("i-0"))
+    // unary minus parses as 0 - e and behaves like any arithmetic
+    val neg = rows("""-req{inst="i-0"}""", at._1, at._2, at._3)
+    assert(neg.head._3 == -200.0 && !neg.head._1.contains("__name__"))
+    // round(v, to_nearest): 200/3 = 66.67 → nearest 10 ⇒ 70
+    val r = rows("""round(req{inst="i-0"} / 3, 10)""", at._1, at._2, at._3)
+    assert(r.head._3 == 70.0)
+    val sg = rows("""sgn(-req{inst="i-0"})""", at._1, at._2, at._3)
+    assert(sg.head._3 == -1.0)
+  }
+
+  test("one-to-one matching rejects duplicate series per match group") {
+    // on() collapses every series into ONE match group: both req series
+    // collide on the left (and both mem on the right) — Prometheus
+    // raises instead of emitting a cross product
+    val ex = intercept[Exception](
+      rows("req + on() mem", T0 + 600000L, T0 + 600000L, 60000L))
+    val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("; ")
+    assert(chain.contains("duplicate series"))
+    // the `one` side of group_left must be unique too
+    val ex2 = intercept[Exception](
+      rows("req / on() group_left mem", T0 + 600000L, T0 + 600000L, 60000L))
+    val chain2 = Iterator.iterate(ex2: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("; ")
+    assert(chain2.contains("duplicate series"))
   }
 }

@@ -56,6 +56,24 @@ class BlockShipperSpec extends AnyFunSuite {
     assert(spark.read.format("graft-tsdb").load(blocks).count() == 4L * 3 * 120)
   }
 
+  test("pending deletions never leak into shipped blocks") {
+    val store = mkStore
+    val blocks = Files.createTempDirectory("shipdel").toString
+    // a PENDING (unmaterialized) deletion: job=api over the first hour
+    // of window 1 — shipped blocks are immutable + markered, so a leak
+    // here would resurrect the deleted samples forever
+    TsDeletions.delete(spark, store, Seq(LabelMatcher.eq("job", "api")),
+      t0, t0 + 3600000L - 1)
+    BlockShipper.shipClosed(spark, store, blocks, beforeMs = Long.MaxValue / 2)
+    val ds = spark.read.format("graft-tsdb").load(blocks)
+    // 2 api series lose 60 one-minute samples each
+    assert(ds.count() == 4L * 3 * 120 - 2 * 60)
+    assert(ds.where(col("job") === "api" && col("t") < t0 + 3600000L)
+      .count() == 0)
+    // the other series and windows are untouched
+    assert(ds.where(col("job") === "web").count() == 2L * 3 * 120)
+  }
+
   test("full cycle: store → shipped blocks → ingest into a second store") {
     val store = mkStore
     val blocks = Files.createTempDirectory("shipcycle").toString
