@@ -38,6 +38,20 @@ object Sampling {
       .where(col("sample_rank") <= k)
   }
 
+  /** Per-stratum cap keeping the TOP-k rows by a caller-supplied order
+    * (≤N documents per domain/source, best-first) — the "domain cap"
+    * that stops crawl-heavy sources from dominating a training mix.
+    * Same single-shuffle shape as [[stratifiedQuota]], ranked by
+    * quality instead of by hash; the caller must break ties with a
+    * unique key so the cap is deterministic across engines. Skewed
+    * strata cost only their own partition and spill, never OOM. */
+  def capPerStratum(df: DataFrame, stratumCol: Column, k: Int,
+                    order: Column*): DataFrame = {
+    val w = Window.partitionBy(stratumCol).orderBy(order: _*)
+    df.withColumn("cap_rank", row_number().over(w))
+      .where(col("cap_rank") <= k)
+  }
+
   /** Mixture weighting: per-stratum Bernoulli rates (e.g. up/down-weight
     * sources when composing a training mix). Unlisted strata drop out. */
   def weightedMix(df: DataFrame, stratumCol: Column, keyCol: Column,

@@ -153,6 +153,28 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
         val phi = q.substring("quantile_over_time:".length).toDouble
         stepped.groupBy(col("fingerprint"), col("labels"), col("k"))
           .agg(expr(s"percentile(v, $phi)").as("v"))
+      case "present_over_time" =>
+        stepped.groupBy(col("fingerprint"), col("labels"), col("k"))
+          .agg(lit(1.0d).as("v"))
+      case f if f == "deriv" || f.startsWith("predict_linear:") =>
+        // least-squares regression of v over time in SECONDS, the same
+        // built-in regr_* aggregates the relational deriv query uses
+        // (mean-centered accumulation, so absolute epoch x-values stay
+        // precise). deriv = slope; predict_linear = the regression
+        // line's value at (step time + horizon).
+        val g = stepped.groupBy(col("fingerprint"), col("labels"), col("k"))
+          .agg(regr_slope(col("v"), col("t") / 1000.0d).as("slope"),
+            regr_intercept(col("v"), col("t") / 1000.0d).as("icept"),
+            count(lit(1)).as("n"))
+          .where(col("n") >= 2)
+        val value =
+          if (f == "deriv") col("slope")
+          else {
+            val d = f.substring("predict_linear:".length).toDouble
+            col("icept") + col("slope") *
+              ((lit(mint) + col("k") * stepMs) / 1000.0d + d)
+          }
+        g.withColumn("v", value)
       case _ if twoSampleFns(fn) =>
         val w = Window.partitionBy(col("fingerprint"), col("k"))
           .orderBy(col("t"), col("v"))

@@ -124,6 +124,17 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("sample_rank").cast("long").as("sample_rank"))
         .orderBy(col("lang"), col("sample_rank"))),
 
+    // per-source "domain cap": keep at most 40 docs per source,
+    // best-first (longest docs as the quality proxy, doc_id tiebreak) —
+    // the anti-domination guard a crawl-derived training mix needs
+    "sample_source_cap" -> ((s, dir) =>
+      graft.ops.Sampling.capPerStratum(
+        docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        col("source"), k = 40, col("n_chars").desc, col("doc_id").asc)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("cap_rank").cast("long").as("cap_rank"))
+        .orderBy(col("source"), col("cap_rank"))),
+
     // training-mix composition: per-language Bernoulli weights
     "sample_mix" -> ((s, dir) =>
       graft.ops.Sampling.weightedMix(
@@ -445,6 +456,12 @@ object PipelineQueries {
          |   ORDER BY ${hex15.format("'graft' || CAST(doc_id AS VARCHAR)")}) AS sample_rank
          |  FROM documents)
          | WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".om,
+    "sample_source_cap" ->
+      s"""SELECT doc_id, source, n_chars, cap_rank FROM (
+         |  SELECT doc_id, source, n_chars, row_number() OVER (
+         |   PARTITION BY source ORDER BY n_chars DESC, doc_id) AS cap_rank
+         |  FROM documents)
+         | WHERE cap_rank <= 40 ORDER BY source, cap_rank""".om,
     "sample_mix" ->
       s"""SELECT lang, count(*) AS n_kept FROM documents
          | WHERE ${hex15.format("'graft' || CAST(doc_id AS VARCHAR)")}

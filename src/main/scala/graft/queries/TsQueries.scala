@@ -511,6 +511,25 @@ object TsQueries {
           col("t"), round(col("v"), 4).as("v"))
         .orderBy(col("user"), col("big"), col("t"))),
 
+    // Parser-driven regression functions: predict_linear's horizon rides
+    // in the fn name; deriv shares the regression — both join on the
+    // per-step window's (series, step) key, gated by DuckDB's regr_*
+    "ts_promql_predict" -> ((s, dir) => {
+      val q = querier(s, dir)
+      val pl = graft.promql.PromQL.rangeQuery(q,
+        "predict_linear(view[2d], 3600)", Mint, Maxt, 86400000L)
+        .select(TsSchema.labelValue(col("labels"), "user").as("user"),
+          TsSchema.labelValue(col("labels"), "big").as("big"),
+          col("t"), round(col("v"), 2).as("predict_1h"))
+      val dv = graft.promql.PromQL.rangeQuery(q,
+        "deriv(view[2d])", Mint, Maxt, 86400000L)
+        .select(TsSchema.labelValue(col("labels"), "user").as("user"),
+          TsSchema.labelValue(col("labels"), "big").as("big"),
+          col("t"), round(col("v"), 6).as("deriv"))
+      pl.join(dv, Seq("user", "big", "t"))
+        .orderBy(col("user"), col("big"), col("t"))
+    }),
+
     // PromQL irate()/idelta(): instantaneous rate/delta from the last
     // two samples of each series in the range (counter reset → the last
     // value alone is the increase; idelta keeps the raw difference)
@@ -880,6 +899,21 @@ object TsQueries {
          |   GROUP BY i."user", i.big, o.step_t)
          | SELECT "user", big, step_t AS t, round(v, 4) AS v
          | FROM outer_v ORDER BY "user", big, t""".stripMargin.replace("\n", " "),
+    "ts_promql_predict" ->
+      s"""WITH steps AS (SELECT unnest(range($Mint, $Maxt + 1, 86400000)) AS step_t),
+         | raw AS (SELECT "user", big, t, v FROM ($oracleBase)
+         |         WHERE name = 'view' AND t > $Mint - 172800000 AND t <= $Maxt),
+         | win AS (SELECT r."user", r.big, r.t, r.v, s.step_t
+         |         FROM raw r JOIN steps s
+         |           ON r.t > s.step_t - 172800000 AND r.t <= s.step_t),
+         | reg AS (SELECT "user", big, step_t,
+         |           regr_slope(v, t / 1000.0) AS slope,
+         |           regr_intercept(v, t / 1000.0) AS icept
+         |         FROM win GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+         | SELECT "user", big, step_t AS t,
+         |  round(icept + slope * (step_t / 1000.0 + 3600.0), 2) AS predict_1h,
+         |  round(slope, 6) AS deriv
+         | FROM reg ORDER BY "user", big, t""".stripMargin.replace("\n", " "),
     "ts_prom_irate" ->
       s"""WITH s AS (
          |  SELECT name, "user", big, t, v, lag(t) OVER w AS pt, lag(v) OVER w AS pv,

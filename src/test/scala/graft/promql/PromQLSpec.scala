@@ -343,6 +343,21 @@ class PromQLSpec extends AnyFunSuite {
     assert(sg.head._3 == -1.0)
   }
 
+  test("deriv, predict_linear and present_over_time") {
+    val at = (T0 + 600000L, T0 + 600000L, 60000L)
+    // i-0 climbs +10 every 30s ⇒ slope exactly 1/3 per second
+    val d = rows("""deriv(req{inst="i-0"}[10m])""", at._1, at._2, at._3)
+    assert(d.size == 1 && math.abs(d.head._3 - 1.0 / 3.0) < 1e-9)
+    assert(!d.head._1.contains("__name__"))
+    // a perfectly linear counter: the regression line hits the exact
+    // future value — at T0+10m the counter is 200, 60s later 220
+    val p = rows("""predict_linear(req{inst="i-0"}[10m], 60)""",
+      at._1, at._2, at._3)
+    assert(p.size == 1 && math.abs(p.head._3 - 220.0) < 1e-6)
+    val pr = rows("present_over_time(req[10m])", at._1, at._2, at._3)
+    assert(pr.size == 2 && pr.forall(_._3 == 1.0))
+  }
+
   test("one-to-one matching rejects duplicate series per match group") {
     // on() collapses every series into ONE match group: both req series
     // collide on the left (and both mem on the right) — Prometheus
