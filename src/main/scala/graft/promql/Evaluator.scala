@@ -272,6 +272,24 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
         grouped.withColumn("rnk", row_number().over(w))
           .where(col("rnk") <= k)
           .select(col("labels"), col("t"), col("v"))
+      case cv if cv.startsWith("count_values:") =>
+        // value-distribution: group on (group key, step, value string),
+        // emit the count with the value as an extra label. Integral
+        // doubles print without a trailing ".0" (the canonical form an
+        // external engine reproduces); Java's shortest-roundtrip
+        // rendering covers the rest.
+        val lbl = cv.substring("count_values:".length)
+        val vstr = when(col("v") === col("v").cast("long").cast("double"),
+          col("v").cast("long").cast("string"))
+          .otherwise(col("v").cast("string"))
+        in.withColumn("gl", groupKey(col("labels")))
+          .groupBy(col("gl"), col("t"), vstr.as("vs"))
+          .agg(count(lit(1)).cast("double").as("v"))
+          .select(array_sort(concat(
+            filter(col("gl"), e => e.getField("name") =!= lbl),
+            array(struct(lit(lbl).as("name"), col("vs").as("value")))))
+            .as("labels"),
+            col("t"), col("v"))
       case _ =>
         val fn: Column = op match {
           case "sum" => sum(col("v"))
@@ -279,6 +297,10 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
           case "min" => min(col("v"))
           case "max" => max(col("v"))
           case "count" => count(lit(1)).cast("double")
+          case "stddev" => stddev_pop(col("v"))
+          case "stdvar" => var_pop(col("v"))
+          // `group`: 1 for every group with at least one series
+          case "group" => lit(1.0d)
           case "quantile" =>
             expr(s"percentile(v, ${param.getOrElse(sys.error("quantile needs φ"))})")
           case other => sys.error(s"unsupported aggregation $other")
@@ -295,17 +317,80 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
     ">" -> (_ > _), "<" -> (_ < _), ">=" -> (_ >= _), "<=" -> (_ <= _),
     "==" -> (_ === _), "!=" -> (_ =!= _))
 
+  private def session: org.apache.spark.sql.SparkSession =
+    querier.selectLong(0, 0, Seq.empty).sparkSession
+
+  /** The full evaluation-step grid `(t)` — nSteps rows, driver-known,
+    * always broadcast-sized. */
+  private def stepsGrid: DataFrame =
+    session.range(nSteps).select((lit(mint) + col("id") * stepMs).as("t"))
+
+  /** Scalar expressions: `time()`, `scalar(v)`, numbers, and arithmetic
+    * over them — one value per step, never a labeled series. */
+  private def isScalarExpr(e: PromExpr): Boolean = e match {
+    case TimeE | _: ScalarOf | _: Num => true
+    case Bin(op, l, r, _, _, _) =>
+      arith.contains(op) && isScalarExpr(l) && isScalarExpr(r)
+    case _ => false
+  }
+
+  /** Evaluate a scalar expression to `(t, sv)` over the full grid.
+    * Only called when [[isScalarExpr]] holds. */
+  private def buildScalar(e: PromExpr): DataFrame = e match {
+    case TimeE => stepsGrid.withColumn("sv", col("t") / 1000.0d)
+    case Num(v) => stepsGrid.withColumn("sv", lit(v))
+    case ScalarOf(arg) =>
+      // exactly one series at a step ⇒ its value; otherwise NaN
+      // (Prometheus scalar() semantics)
+      val per = eval(arg).groupBy(col("t"))
+        .agg(when(count(lit(1)) === 1, min(col("v")))
+          .otherwise(lit(Double.NaN)).as("sv"))
+      stepsGrid.join(per, Seq("t"), "left")
+        .withColumn("sv", coalesce(col("sv"), lit(Double.NaN)))
+    case Bin(op, l, r, _, _, _) =>
+      buildScalar(l).join(
+        buildScalar(r).withColumnRenamed("sv", "sv2"), Seq("t"))
+        .select(col("t"), arith(op)(col("sv"), col("sv2")).as("sv"))
+    case other => sys.error(s"$other is not a scalar expression")
+  }
+
+  /** Scalar-vector arithmetic/comparison: the scalar frame is grid-
+    * sized and broadcasts; the vector side never shuffles. */
+  private def scalarVector(op: String, sc: DataFrame, in: DataFrame,
+                           scalarLeft: Boolean, bool: Boolean): DataFrame = {
+    def boolV(cond: Column): Column = when(cond, 1.0d).otherwise(0.0d)
+    val joined = in.join(broadcast(sc), Seq("t"))
+    val (a, b) =
+      if (scalarLeft) (col("sv"), col("v")) else (col("v"), col("sv"))
+    if (!cmp.contains(op))
+      joined.select(dropName(col("labels")).as("labels"), col("t"),
+        arith(op)(a, b).as("v"))
+    else if (bool)
+      joined.select(dropName(col("labels")).as("labels"), col("t"),
+        boolV(cmp(op)(a, b)).as("v"))
+    else
+      joined.where(cmp(op)(a, b))
+        .select(col("labels"), col("t"), col("v"))
+  }
+
   private def bin(op: String, l: PromExpr, r: PromExpr,
                   on: Option[Seq[String]], bool: Boolean,
                   group: Option[String]): DataFrame = {
     // `bool` comparisons emit 0/1 and (like arithmetic) drop the name
     def boolV(cond: Column): Column = when(cond, 1.0d).otherwise(0.0d)
     (l, r) match {
-      case (Num(a), Num(b)) =>
-        sys.error(s"scalar-scalar '$a $op $b' is not a vector")
-      case (Num(_), _) | (_, Num(_))
-          if op == "and" || op == "or" || op == "unless" =>
+      case (a, b) if (op == "and" || op == "or" || op == "unless") &&
+          (isScalarExpr(a) || isScalarExpr(b)) =>
         sys.error(s"set operator '$op' needs vector operands")
+      case (a, b) if isScalarExpr(a) && isScalarExpr(b) =>
+        sys.error(
+          s"scalar-scalar '$op' is not a vector — wrap it in vector()")
+      // composite scalars (time(), scalar(v), arithmetic over them)
+      // broadcast their per-step value onto the vector side
+      case (a, e) if isScalarExpr(a) && !a.isInstanceOf[Num] =>
+        scalarVector(op, buildScalar(a), eval(e), scalarLeft = true, bool)
+      case (e, b) if isScalarExpr(b) && !b.isInstanceOf[Num] =>
+        scalarVector(op, buildScalar(b), eval(e), scalarLeft = false, bool)
       case (Num(a), e) =>
         val in = eval(e)
         // arithmetic (like every value-transforming op) drops the
@@ -442,6 +527,26 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
       s"subquery [${sq.rangeMs}ms:${sq.stepMs}ms] used as an instant vector")
     case Agg(op, by, param, arg, without) => agg(op, by, param, arg, without)
     case Bin(op, le, re, on, bool, group) => bin(op, le, re, on, bool, group)
+    case TimeE =>
+      sys.error("time() is a scalar — wrap it in vector() or use it in arithmetic")
+    case _: ScalarOf =>
+      sys.error("scalar(v) is a scalar — wrap it in vector() or use it in arithmetic")
+    case VectorOf(arg) =>
+      if (!isScalarExpr(arg)) sys.error("vector() takes a scalar expression")
+      buildScalar(arg)
+        .select(emptyLabels.as("labels"), col("t"), col("sv").as("v"))
+    // timestamp() over a plain selector reports the SAMPLE's timestamp
+    // (the winning lookback sample); over any derived vector the sample
+    // time IS the evaluation time
+    case ScalarFn("timestamp", s: Selector, _)
+        if s.rangeMs.isEmpty && s.atMs.isEmpty =>
+      atSteps(raw(s, lookbackMs), lookbackMs)
+        .groupBy(col("fingerprint"), col("labels"), col("k"))
+        .agg((max(struct(col("t"), col("v"))).getField("t") / 1000.0d).as("v"))
+        .select(dropName(col("labels")).as("labels"), stepT, col("v"))
+    case ScalarFn("timestamp", arg, _) =>
+      eval(arg).withColumn("v", col("t") / 1000.0d)
+        .withColumn("labels", dropName(col("labels")))
     case ScalarFn(fn, arg, ps) => scalarFn(fn, arg, ps)
     case LabelFn(fn, arg, strs) =>
       val in = eval(arg)
@@ -470,11 +575,14 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
       // the step grid is tiny and driver-known (nSteps rows) — generate
       // it, anti-join the steps where the selector matched anything, and
       // label the result from the selector's equality matchers
-      // (Prometheus absent() semantics)
-      val spark = querier.selectLong(0, 0, Seq.empty).sparkSession
-      val steps = spark.range(nSteps)
-        .select((lit(mint) + col("id") * stepMs).as("t"))
-      val present = instant(sel).select(col("t")).distinct()
+      // (Prometheus absent()/absent_over_time() semantics: the window
+      // is the lookback for the instant form, [range] for the range
+      // form)
+      val steps = stepsGrid
+      val present = sel.rangeMs match {
+        case Some(r) => atSteps(raw(sel, r), r).select(stepT).distinct()
+        case None => instant(sel).select(col("t")).distinct()
+      }
       val eqLabels = sel.matchers.collect {
         case m if m.tpe == graft.tsdb.MatchType.Eq &&
           m.name != Labels.MetricName && m.value.nonEmpty =>

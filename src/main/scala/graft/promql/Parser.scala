@@ -42,9 +42,21 @@ object PromExpr {
   /** `histogram_quantile(φ, expr)` over an instant vector carrying
     * cumulative `le` buckets. */
   final case class HistQ(phi: Double, arg: PromExpr) extends PromExpr
-  /** `absent(selector)`: 1 at each step where the selector matches no
-    * series, labeled from the selector's equality matchers. */
+  /** `absent(selector)` / `absent_over_time(selector[range])`: 1 at
+    * each step where the selector matches no series (in the lookback
+    * window / in the `[range]` window), labeled from the selector's
+    * equality matchers. `sel.rangeMs` picks the variant. */
   final case class Absent(sel: Selector) extends PromExpr
+  /** `time()` — the evaluation timestamp in seconds, a per-step
+    * scalar. Usable in scalar positions (arithmetic against a vector,
+    * inside `vector(...)`), not as a bare vector expression. */
+  case object TimeE extends PromExpr
+  /** `vector(s)` — lifts a scalar expression to a single-series
+    * instant vector with an empty label set. */
+  final case class VectorOf(arg: PromExpr) extends PromExpr
+  /** `scalar(v)` — the value of a single-series vector as a per-step
+    * scalar (NaN at steps where the vector has ≠ 1 series). */
+  final case class ScalarOf(arg: PromExpr) extends PromExpr
   /** `label_replace(v, dst, repl, src, regex)` /
     * `label_join(v, dst, sep, src...)` — string args in call order. */
   final case class LabelFn(fn: String, arg: PromExpr,
@@ -173,7 +185,7 @@ final class Parser(input: String) {
   }
 
   private val aggOps = Set("sum", "avg", "min", "max", "count",
-    "quantile", "topk", "bottomk")
+    "quantile", "topk", "bottomk", "stddev", "stdvar", "group")
   private val paramAggs = Set("quantile", "topk", "bottomk")
   private val rangeFns = Set("rate", "increase", "delta", "idelta", "irate",
     "resets", "changes", "sum_over_time", "avg_over_time", "min_over_time",
@@ -183,6 +195,7 @@ final class Parser(input: String) {
   private val scalarFns = Map(
     "abs" -> 0, "ceil" -> 0, "floor" -> 0, "exp" -> 0, "sqrt" -> 0,
     "ln" -> 0, "log2" -> 0, "log10" -> 0, "sgn" -> 0, "round" -> 0,
+    "timestamp" -> 0,
     "clamp" -> 2, "clamp_min" -> 1, "clamp_max" -> 1)
 
   private def labelList(): Seq[String] = {
@@ -276,7 +289,34 @@ final class Parser(input: String) {
   }
 
   private def call(name: String): PromExpr = {
-    if (aggOps(name)) {
+    if (name == "count_values") {
+      // count_values("label", v): the value-distribution aggregation —
+      // the destination label rides in the op name so Agg stays a
+      // simple (op, by, param, arg) tuple
+      var by = Seq.empty[String]
+      var without = false
+      def clause(): Boolean = peekIdent() match {
+        case Some("by") => ident(); by = labelList(); true
+        case Some("without") => ident(); by = labelList(); without = true; true
+        case _ => false
+      }
+      clause()
+      ws(); eat('(')
+      val lbl = stringLit()
+      ws(); eat(',')
+      val arg = parseExpr(0)
+      ws(); eat(')')
+      clause()
+      Agg(s"count_values:$lbl", by, None, arg, without)
+    } else if (name == "time") {
+      ws(); eat('('); ws(); eat(')')
+      TimeE
+    } else if (name == "vector" || name == "scalar") {
+      ws(); eat('(')
+      val arg = parseExpr(0)
+      ws(); eat(')')
+      if (name == "vector") VectorOf(arg) else ScalarOf(arg)
+    } else if (aggOps(name)) {
       // by/without clause may come before or after the parens
       var by = Seq.empty[String]
       var without = false
@@ -314,13 +354,16 @@ final class Parser(input: String) {
         case sq: Subquery => RangeFn(fnName, sq)
         case _ => err(s"$name() needs a [range] selector or subquery")
       }
-    } else if (name == "absent") {
+    } else if (name == "absent" || name == "absent_over_time") {
       ws(); eat('(')
       val inner = parseExpr(0)
       ws(); eat(')')
       inner match {
-        case s: Selector if s.rangeMs.isEmpty => Absent(s)
-        case _ => err("absent() takes an instant selector")
+        case s: Selector if name == "absent" && s.rangeMs.isEmpty => Absent(s)
+        case s: Selector if name == "absent_over_time" && s.rangeMs.isDefined =>
+          Absent(s)
+        case _ if name == "absent" => err("absent() takes an instant selector")
+        case _ => err("absent_over_time() takes a [range] selector")
       }
     } else if (name == "label_replace" || name == "label_join") {
       ws(); eat('(')

@@ -530,6 +530,39 @@ object TsQueries {
         .orderBy(col("user"), col("big"), col("t"))
     }),
 
+    // count_values through the parser: the instant-vector value
+    // distribution per step (1h lookback for density); the value label
+    // round-trips back to a double so the oracle compares numerically
+    "ts_promql_count_values" -> ((s, dir) =>
+      graft.promql.PromQL.rangeQuery(querier(s, dir),
+        """count_values("val", purchase)""", Mint, Maxt, 86400000L,
+        lookbackMs = 3600000L)
+        .select(TsSchema.labelValue(col("labels"), "val").cast("double").as("val"),
+          col("t"), col("v").as("n"))
+        .orderBy(col("val"), col("t"))),
+
+    // scalar() in arithmetic: each series' share of the per-step total —
+    // the scalar side is grid-sized and broadcasts, no extra shuffle
+    "ts_promql_scalar" -> ((s, dir) =>
+      graft.promql.PromQL.rangeQuery(querier(s, dir),
+        "purchase / scalar(sum(purchase))", Mint, Maxt, 86400000L,
+        lookbackMs = 3600000L)
+        .select(TsSchema.labelValue(col("labels"), "user").as("user"),
+          TsSchema.labelValue(col("labels"), "big").as("big"),
+          col("t"), round(col("v"), 6).as("share"))
+        .orderBy(col("user"), col("big"), col("t"))),
+
+    // time() arithmetic against a range function: seconds since each
+    // series' 2d max was set... the step time enters as a per-step
+    // scalar, exercising the scalar-vector broadcast path
+    "ts_promql_time_arith" -> ((s, dir) =>
+      graft.promql.PromQL.rangeQuery(querier(s, dir),
+        "time() - max_over_time(purchase[2d])", Mint, Maxt, 86400000L)
+        .select(TsSchema.labelValue(col("labels"), "user").as("user"),
+          TsSchema.labelValue(col("labels"), "big").as("big"),
+          col("t"), round(col("v"), 4).as("v"))
+        .orderBy(col("user"), col("big"), col("t"))),
+
     // PromQL irate()/idelta(): instantaneous rate/delta from the last
     // two samples of each series in the range (counter reset → the last
     // value alone is the increase; idelta keeps the raw difference)
@@ -914,6 +947,40 @@ object TsQueries {
          |  round(icept + slope * (step_t / 1000.0 + 3600.0), 2) AS predict_1h,
          |  round(slope, 6) AS deriv
          | FROM reg ORDER BY "user", big, t""".stripMargin.replace("\n", " "),
+    "ts_promql_count_values" ->
+      s"""WITH steps AS (SELECT unnest(range($Mint, $Maxt + 1, 86400000)) AS step_t),
+         | raw AS (SELECT "user", big, t, v FROM ($oracleBase)
+         |         WHERE name = 'purchase' AND t > $Mint - 3600000 AND t <= $Maxt),
+         | iv AS (SELECT r."user", r.big, s.step_t, (max({'t': r.t, 'v': r.v})).v AS v
+         |        FROM raw r JOIN steps s
+         |          ON r.t > s.step_t - 3600000 AND r.t <= s.step_t
+         |        GROUP BY 1, 2, 3)
+         | SELECT v AS val, step_t AS t, CAST(count(*) AS DOUBLE) AS n
+         | FROM iv GROUP BY 1, 2 ORDER BY val, t""".stripMargin.replace("\n", " "),
+    "ts_promql_scalar" ->
+      s"""WITH steps AS (SELECT unnest(range($Mint, $Maxt + 1, 86400000)) AS step_t),
+         | raw AS (SELECT "user", big, t, v FROM ($oracleBase)
+         |         WHERE name = 'purchase' AND t > $Mint - 3600000 AND t <= $Maxt),
+         | iv AS (SELECT r."user", r.big, s.step_t, (max({'t': r.t, 'v': r.v})).v AS v
+         |        FROM raw r JOIN steps s
+         |          ON r.t > s.step_t - 3600000 AND r.t <= s.step_t
+         |        GROUP BY 1, 2, 3),
+         | tot AS (SELECT step_t, sum(v) AS sv FROM iv GROUP BY 1)
+         | SELECT i."user", i.big, i.step_t AS t, round(i.v / t.sv, 6) AS share
+         | FROM iv i JOIN tot t ON i.step_t = t.step_t
+         | ORDER BY "user", big, t""".stripMargin.replace("\n", " "),
+    "ts_promql_time_arith" ->
+      s"""WITH steps AS (SELECT unnest(range($Mint, $Maxt + 1, 86400000)) AS step_t),
+         | raw AS (SELECT "user", big, t, v FROM ($oracleBase)
+         |         WHERE name = 'purchase' AND t > $Mint - 172800000 AND t <= $Maxt),
+         | win AS (SELECT r."user", r.big, r.v, s.step_t
+         |         FROM raw r JOIN steps s
+         |           ON r.t > s.step_t - 172800000 AND r.t <= s.step_t),
+         | mx AS (SELECT "user", big, step_t, max(v) AS mv
+         |        FROM win GROUP BY 1, 2, 3)
+         | SELECT "user", big, step_t AS t,
+         |  round(step_t / 1000.0 - mv, 4) AS v
+         | FROM mx ORDER BY "user", big, t""".stripMargin.replace("\n", " "),
     "ts_prom_irate" ->
       s"""WITH s AS (
          |  SELECT name, "user", big, t, v, lag(t) OVER w AS pt, lag(v) OVER w AS pv,

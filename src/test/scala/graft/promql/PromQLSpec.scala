@@ -358,6 +358,54 @@ class PromQLSpec extends AnyFunSuite {
     assert(pr.size == 2 && pr.forall(_._3 == 1.0))
   }
 
+  test("stddev/stdvar/group/count_values aggregations") {
+    val at = (T0 + 600000L, T0 + 600000L, 60000L)
+    // instant values at T0+10m: i-0=200, i-1=20 ⇒ mean 110, var_pop 8100
+    val sv = rows("stdvar(req)", at._1, at._2, at._3)
+    assert(sv.size == 1 && sv.head._3 == 8100.0)
+    val sd = rows("stddev(req)", at._1, at._2, at._3)
+    assert(sd.head._3 == 90.0)
+    val g = rows("group by (inst) (req)", at._1, at._2, at._3)
+    assert(g.size == 2 && g.forall(_._3 == 1.0))
+    // count_values: distinct instant values become a label
+    val cv = rows("""count_values("val", req)""", at._1, at._2, at._3)
+    assert(cv.size == 2)
+    assert(cv.exists(r => r._1.contains("\"value\":\"200\"}") && r._3 == 1.0))
+    assert(cv.exists(r => r._1.contains("\"value\":\"20\"}") && r._3 == 1.0))
+  }
+
+  test("time/timestamp/scalar/vector scalar machinery") {
+    val at = (T0 + 600000L, T0 + 600000L, 60000L)
+    // timestamp(selector) reports the winning SAMPLE's time in seconds
+    val ts = rows("""timestamp(req{inst="i-0"})""", at._1, at._2, at._3)
+    assert(ts.size == 1 && ts.head._3 == (T0 + 600000L) / 1000.0)
+    assert(!ts.head._1.contains("__name__"))
+    // time() - timestamp(v): the sample's age in seconds (0 here)
+    val age = rows("""time() - timestamp(req{inst="i-0"})""",
+      at._1, at._2, at._3)
+    assert(age.size == 1 && age.head._3 == 0.0)
+    // scalar(): single-series vector value usable in arithmetic
+    val sc = rows("""req / scalar(sum(req))""", at._1, at._2, at._3)
+    assert(sc.size == 2 &&
+      math.abs(sc.map(_._3).sum - 1.0) < 1e-12)
+    // vector(time() - 100) lifts a composite scalar to an instant vector
+    val vt = rows("vector(time() - 100)", at._1, at._2, at._3)
+    assert(vt.size == 1 && vt.head._3 == (T0 + 600000L) / 1000.0 - 100
+      && vt.head._1 == "[]")
+    // scalar of a non-singleton vector is NaN
+    val nan = rows("""vector(scalar(req))""", at._1, at._2, at._3)
+    assert(nan.size == 1 && nan.head._3.isNaN)
+  }
+
+  test("absent_over_time fires on empty range windows") {
+    // samples end at T0+10m; a 2m range window empties from T0+12m on
+    val out = rows("""absent_over_time(req{inst="i-0"}[2m])""",
+      T0 + 600000L, T0 + 1200000L, 60000L)
+    assert(out.map(_._2).toSet ==
+      (2 to 10).map(m => T0 + 600000L + m * 60000L).toSet)
+    assert(out.forall(r => r._3 == 1.0 && r._1.contains("i-0")))
+  }
+
   test("one-to-one matching rejects duplicate series per match group") {
     // on() collapses every series into ONE match group: both req series
     // collide on the left (and both mem on the right) — Prometheus
