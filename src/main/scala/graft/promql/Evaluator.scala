@@ -493,6 +493,20 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
       case "clamp" => v => least(greatest(v, lit(ps(0))), lit(ps(1)))
       case "clamp_min" => v => greatest(v, lit(ps(0)))
       case "clamp_max" => v => least(v, lit(ps(0)))
+      // calendar functions read the VALUE as epoch seconds in UTC
+      // (callers must pin spark.sql.session.timeZone=UTC, as Verify
+      // and Bench do); Prometheus's day_of_week is 0=Sunday while
+      // Spark's dayofweek is 1=Sunday
+      case "minute" => v => minute(timestamp_seconds(v)).cast("double")
+      case "hour" => v => hour(timestamp_seconds(v)).cast("double")
+      case "day_of_week" =>
+        v => (dayofweek(timestamp_seconds(v)) - 1).cast("double")
+      case "day_of_month" => v => dayofmonth(timestamp_seconds(v)).cast("double")
+      case "day_of_year" => v => dayofyear(timestamp_seconds(v)).cast("double")
+      case "days_in_month" =>
+        v => dayofmonth(last_day(timestamp_seconds(v))).cast("double")
+      case "month" => v => month(timestamp_seconds(v)).cast("double")
+      case "year" => v => year(timestamp_seconds(v)).cast("double")
       case other => sys.error(s"unsupported function $other")
     }
     // value-transforming functions drop the metric name (Prometheus
@@ -500,6 +514,13 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
     in.withColumn("v", f(col("v")))
       .withColumn("labels", dropName(col("labels")))
   }
+
+  /** `@ start()` / `@ end()` parse to MinValue/MaxValue sentinels —
+    * resolve them against this evaluator's own window. */
+  private def resolveAt(at: Long): Long =
+    if (at == Long.MinValue) mint
+    else if (at == Long.MaxValue) maxt
+    else at
 
   /** `@`-pinned expressions: evaluate once at the pinned instant, then
     * replicate the (tiny) per-series result across the step grid. */
@@ -518,9 +539,9 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
     * per series per evaluation step where the expression is defined. */
   def eval(e: PromExpr): DataFrame = e match {
     case s: Selector if s.atMs.isDefined =>
-      pinnedAt(s.atMs.get, s.copy(atMs = None))
+      pinnedAt(resolveAt(s.atMs.get), s.copy(atMs = None))
     case RangeFn(fn, s: Selector) if s.atMs.isDefined =>
-      pinnedAt(s.atMs.get, RangeFn(fn, s.copy(atMs = None)))
+      pinnedAt(resolveAt(s.atMs.get), RangeFn(fn, s.copy(atMs = None)))
     case s: Selector => instant(s)
     case RangeFn(fn, arg) => rangeFn(fn, arg)
     case sq: Subquery => sys.error(

@@ -196,7 +196,13 @@ final class Parser(input: String) {
     "abs" -> 0, "ceil" -> 0, "floor" -> 0, "exp" -> 0, "sqrt" -> 0,
     "ln" -> 0, "log2" -> 0, "log10" -> 0, "sgn" -> 0, "round" -> 0,
     "timestamp" -> 0,
+    "minute" -> 0, "hour" -> 0, "day_of_week" -> 0, "day_of_month" -> 0,
+    "day_of_year" -> 0, "days_in_month" -> 0, "month" -> 0, "year" -> 0,
     "clamp" -> 2, "clamp_min" -> 1, "clamp_max" -> 1)
+
+  /** Calendar functions default their argument to `vector(time())`. */
+  private val calendarFns = Set("minute", "hour", "day_of_week",
+    "day_of_month", "day_of_year", "days_in_month", "month", "year")
 
   private def labelList(): Seq[String] = {
     ws(); eat('(')
@@ -234,7 +240,17 @@ final class Parser(input: String) {
       ws()
       if (peekIdent().contains("offset")) { ident(); off = duration() }
       else if (peek == '@') {
-        pos += 1; at = Some(math.round(number() * 1000.0))
+        // `@ start()` / `@ end()` pin to the query window edges —
+        // encoded as Long.MinValue/MaxValue sentinels the evaluator
+        // resolves against its own mint/maxt
+        pos += 1; ws()
+        at = peekIdent() match {
+          case Some("start") =>
+            ident(); ws(); eat('('); ws(); eat(')'); Some(Long.MinValue)
+          case Some("end") =>
+            ident(); ws(); eat('('); ws(); eat(')'); Some(Long.MaxValue)
+          case _ => Some(math.round(number() * 1000.0))
+        }
       }
       else more = false
     }
@@ -316,6 +332,13 @@ final class Parser(input: String) {
       val arg = parseExpr(0)
       ws(); eat(')')
       if (name == "vector") VectorOf(arg) else ScalarOf(arg)
+    } else if (name == "sort" || name == "sort_desc") {
+      // presentation-only in Prometheus (instant-query ordering);
+      // results are row sets here, so sort() is the identity
+      ws(); eat('(')
+      val arg = parseExpr(0)
+      ws(); eat(')')
+      arg
     } else if (aggOps(name)) {
       // by/without clause may come before or after the parens
       var by = Seq.empty[String]
@@ -386,6 +409,11 @@ final class Parser(input: String) {
       HistQ(phi, arg)
     } else if (scalarFns.contains(name)) {
       ws(); eat('(')
+      ws()
+      if (peek == ')' && calendarFns(name)) {
+        pos += 1
+        return ScalarFn(name, VectorOf(TimeE), Seq.empty)
+      }
       val arg = parseExpr(0)
       val params = (0 until scalarFns(name)).map { _ => ws(); eat(','); number() }
       // round(v[, to_nearest]) takes an optional granularity scalar

@@ -406,6 +406,33 @@ class PromQLSpec extends AnyFunSuite {
     assert(out.forall(r => r._3 == 1.0 && r._1.contains("i-0")))
   }
 
+  test("calendar functions over vector(time())") {
+    val at = (T0 + 600000L, T0 + 600000L, 60000L)
+    def one(q: String): Double = rows(q, at._1, at._2, at._3).head._3
+    // T0+10m = 2023-11-14T22:23:20Z, a Tuesday
+    assert(one("minute()") == 23.0 && one("hour()") == 22.0)
+    assert(one("day_of_week()") == 2.0) // Prometheus: 0 = Sunday
+    assert(one("day_of_month()") == 14.0 && one("day_of_year()") == 318.0)
+    assert(one("days_in_month()") == 30.0)
+    assert(one("month()") == 11.0 && one("year()") == 2023.0)
+    // explicit vector argument
+    assert(one("month(vector(1700000600))") == 11.0)
+  }
+
+  test("@ start()/end() pin to the window edges; sort is identity") {
+    // grid T0+10m..T0+20m: @ start() pins every step to T0+10m (200)
+    val st = rows("""req{inst="i-0"} @ start()""",
+      T0 + 600000L, T0 + 1200000L, 60000L)
+    assert(st.size == 11 && st.forall(_._3 == 200.0))
+    // @ end() pins to T0+20m — past the last sample + lookback ⇒ empty
+    val en = rows("""req{inst="i-0"} @ end()""",
+      T0 + 600000L, T0 + 1200000L, 60000L)
+    assert(en.isEmpty)
+    // sort only affects presentation order — the row set is unchanged
+    val s = rows("sort_desc(req)", T0 + 600000L, T0 + 600000L, 60000L)
+    assert(s.map(_._3).toSet == Set(200.0, 20.0))
+  }
+
   test("one-to-one matching rejects duplicate series per match group") {
     // on() collapses every series into ONE match group: both req series
     // collide on the left (and both mem on the right) — Prometheus
