@@ -187,16 +187,20 @@ object Similarity {
     * keep their previous centroid (standard Lloyd practice). */
   def kmeansCentroids(corpus: DataFrame, cId: String, cVec: String,
                       k: Int, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
     val c = corpus.select(col(cId).as("id"), col(cVec).cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // deterministic pseudo-random seeds, scale-safe: k smallest md5(id)
-    // (TakeOrdered top-k, no global sort/window); cell ids assigned over
-    // the tiny k-row frame only
-    val seedW = Window.orderBy(col("h"))
-    var cent = c.select(col("v"), md5(col("id").cast("string")).as("h"))
-      .orderBy(col("h")).limit(k)
-      .select((row_number().over(seedW) - 1).cast("long").as("cell"),
-        col("v").as("centv"))
+    // (TakeOrdered top-k, no global sort/window). The k×dim centroid
+    // matrix lives on the DRIVER between iterations — keeping it as a
+    // DataFrame would rebuild the whole join lineage on every
+    // iteration's collect (quadratic in iters); as a local array each
+    // iteration runs exactly ONE distributed job.
+    var centArr: Array[(Long, Array[Double])] =
+      c.select(col("v"), md5(col("id").cast("string")).as("h"))
+        .orderBy(col("h")).limit(k).select(col("v")).collect()
+        .zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getSeq[Double](0).toArray) }
     for (_ <- 0 until iters) {
       // assignment is MAP-SIDE: the k×dim centroid matrix is tiny, so it
       // rides a broadcast into a tight argmax loop per row (same
@@ -204,9 +208,7 @@ object Similarity {
       // the matrix is data-independent within the iteration). The corpus
       // vectors never shuffle — the only exchange per iteration is the
       // map-side-combined (cell, dim) partial-mean shuffle below.
-      val centArr = cent.orderBy("cell").collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      val bcCent = c.sparkSession.sparkContext.broadcast(centArr)
+      val bcCent = spark.sparkContext.broadcast(centArr)
       val assignUdf = udf { v: Seq[Double] =>
         val x = v.toArray
         var bestCell = -1L; var bestCos = Double.NegativeInfinity
@@ -226,7 +228,8 @@ object Similarity {
         bestCell
       }
       // per-cell element-wise mean (posexplode → one map-side-combined
-      // shuffle on (cell, pos) → reassembled in position order)
+      // shuffle on (cell, pos) → reassembled in position order); the
+      // k-row result collects straight back into the driver matrix
       val means = c
         .select(assignUdf(col("v")).as("cell"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos"))
@@ -234,15 +237,19 @@ object Similarity {
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ms"))
         .select(col("cell"), expr("transform(ms, x -> x.m)").as("newv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+      bcCent.unpersist(blocking = false)
       // empty cells keep their previous centroid (standard Lloyd)
-      cent = cent.join(means, Seq("cell"), "left")
-        .select(col("cell"), coalesce(col("newv"), col("centv")).as("centv"))
+      centArr = centArr.map { case (cell, v) =>
+        (cell, means.getOrElse(cell, v))
+      }
     }
-    val out = cent.select(col("cell"), col("centv")).persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize before unpersisting the corpus projection
     c.unpersist(blocking = false)
-    out
+    // a LocalRelation: always broadcastable, no lineage to recompute
+    import spark.implicits._
+    centArr.toSeq.map { case (cell, v) => (cell, v.toSeq) }
+      .toDF("cell", "centv")
   }
 
   /** IVF probe: search only the `nprobe` cells nearest to each query. */
