@@ -356,6 +356,79 @@ final class RemoteReadServer(querier: => TsQuerier, port: Int = 0, threads: Int 
     }
   })
 
+  /** Standard query-API error envelope around a JSON-producing
+    * handler. */
+  private def jsonContext(path: String)(f: HttpExchange => String): Unit =
+    server.createContext(path, (ex: HttpExchange) => {
+      try {
+        val body = f(ex).getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+        ex.close()
+      } catch {
+        case e: Exception =>
+          val msg = ("""{"status":"error","errorType":"bad_data","error":""" +
+            QueryApi.jsonStr(String.valueOf(e.getMessage)) + "}").getBytes("UTF-8")
+          ex.getResponseHeaders.set("Content-Type", "application/json")
+          ex.sendResponseHeaders(400, msg.length)
+          ex.getResponseBody.write(msg)
+          ex.close()
+      }
+    })
+
+  // beyond-reference: the rest of the Prometheus HTTP query API —
+  // instant queries, label metadata and series discovery — the calls a
+  // Grafana datasource probe actually makes beyond /query_range
+  jsonContext("/api/v1/query") { ex =>
+    val params = QueryApi.params(ex)
+    def need(k: String) = params.getOrElse(k,
+      throw new IllegalArgumentException(s"missing parameter '$k'"))
+    val atMs = params.get("time").map(QueryApi.toMs)
+      .getOrElse(System.currentTimeMillis())
+    QueryApi.vectorJson(graft.promql.PromQL.instantQuery(
+      querier, need("query"), atMs,
+      extrapolate = params.get("extrapolate").contains("true")))
+  }
+
+  jsonContext("/api/v1/labels") { _ =>
+    QueryApi.stringListJson(querier.labelNames()
+      .collect().map(_.getString(0)).toSeq)
+  }
+
+  // /api/v1/label/<name>/values
+  jsonContext("/api/v1/label") { ex =>
+    ex.getRequestURI.getPath.split('/') match {
+      case Array(_, "api", "v1", "label", name, "values") =>
+        QueryApi.stringListJson(querier.labelValues(name)
+          .collect().map(_.getString(0)).toSeq)
+      case _ =>
+        throw new IllegalArgumentException(
+          "expected /api/v1/label/<name>/values")
+    }
+  }
+
+  jsonContext("/api/v1/series") { ex =>
+    val all = QueryApi.paramsList(ex)
+    val sels = all.collect { case ("match[]", v) => v }
+    if (sels.isEmpty)
+      throw new IllegalArgumentException("missing parameter 'match[]'")
+    val params = all.toMap
+    val mint = params.get("start").map(QueryApi.toMs).getOrElse(0L)
+    val maxt = params.get("end").map(QueryApi.toMs)
+      .getOrElse(4102444800000L) // 2100-01-01: "unbounded"
+    val frames = sels.map { s =>
+      graft.promql.PromQL.parse(s) match {
+        case sel: graft.promql.PromExpr.Selector if sel.rangeMs.isEmpty =>
+          querier.selectLong(mint, maxt, sel.matchers)
+            .select(org.apache.spark.sql.functions.col("labels"))
+        case _ => throw new IllegalArgumentException(
+          s"match[] must be an instant selector: '$s'")
+      }
+    }
+    QueryApi.seriesJson(frames.reduce(_ unionByName _))
+  }
+
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = { server.stop(0); pool.shutdown() }
 }
@@ -365,11 +438,12 @@ final class RemoteReadServer(querier: => TsQuerier, port: Int = 0, threads: Int 
 object QueryApi {
   import org.apache.spark.sql.functions._
 
-  /** Merge URI query-string and form-body parameters (Prometheus
-    * accepts both GET and POST form). */
-  def params(ex: HttpExchange): Map[String, String] = {
-    def split(s: String): Map[String, String] =
-      if (s == null || s.isEmpty) Map.empty
+  /** URI query-string and form-body parameters in order, repeats kept
+    * (`match[]` may legally appear several times). Reads the request
+    * body — call once per exchange. */
+  def paramsList(ex: HttpExchange): Seq[(String, String)] = {
+    def split(s: String): Seq[(String, String)] =
+      if (s == null || s.isEmpty) Seq.empty
       else s.split('&').iterator.flatMap { kv =>
         kv.split("=", 2) match {
           case Array(k, v) => Some(
@@ -377,14 +451,18 @@ object QueryApi {
               java.net.URLDecoder.decode(v, "UTF-8"))
           case _ => None
         }
-      }.toMap
+      }.toSeq
     val fromUri = split(ex.getRequestURI.getRawQuery)
     val fromBody =
       if (ex.getRequestMethod == "POST")
         split(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
-      else Map.empty[String, String]
+      else Seq.empty
     fromUri ++ fromBody
   }
+
+  /** Merge URI query-string and form-body parameters (Prometheus
+    * accepts both GET and POST form); body wins on duplicates. */
+  def params(ex: HttpExchange): Map[String, String] = paramsList(ex).toMap
 
   /** Prometheus timestamps: unix seconds, possibly fractional. */
   def toMs(s: String): Long = math.round(s.toDouble * 1000.0)
@@ -446,6 +524,59 @@ object QueryApi {
       sb.append("]}")
     }
     sb.append("]}}")
+    sb.toString
+  }
+
+  /** Instant-query result: the Prometheus `vector` envelope — one
+    * `[seconds, "v"]` value per series. Same streaming discipline as
+    * [[matrixJson]]. */
+  def vectorJson(result: org.apache.spark.sql.DataFrame): String = {
+    import scala.jdk.CollectionConverters._
+    val rows = result.orderBy(col("labels"))
+    val sb = new StringBuilder(
+      """{"status":"success","data":{"resultType":"vector","result":[""")
+    var first = true
+    rows.toLocalIterator().asScala.foreach { row =>
+      if (!first) sb.append(',')
+      first = false
+      sb.append("""{"metric":{""")
+      val labels = row.getSeq[org.apache.spark.sql.Row](
+        row.fieldIndex("labels"))
+      sb.append(labels.map(l =>
+        jsonStr(l.getString(0)) + ":" + jsonStr(l.getString(1))).mkString(","))
+      val t = row.getLong(row.fieldIndex("t"))
+      val v = row.getDouble(row.fieldIndex("v"))
+      val ts = if (t % 1000 == 0) (t / 1000).toString else (t / 1000.0).toString
+      sb.append("""},"value":[""").append(ts).append(',')
+        .append(jsonStr(fmt(v))).append("]}")
+    }
+    sb.append("]}}")
+    sb.toString
+  }
+
+  /** `{"status":"success","data":[...strings...]}` — the /labels and
+    * /label/<name>/values envelope. */
+  def stringListJson(values: Seq[String]): String =
+    values.map(jsonStr).mkString(
+      """{"status":"success","data":[""", ",", "]}")
+
+  /** Series-discovery result: distinct label sets of a `labels` frame,
+    * streamed one series at a time. */
+  def seriesJson(labelsFrames: org.apache.spark.sql.DataFrame): String = {
+    import scala.jdk.CollectionConverters._
+    val distinctSeries = labelsFrames.distinct().orderBy(col("labels"))
+    val sb = new StringBuilder("""{"status":"success","data":[""")
+    var first = true
+    distinctSeries.toLocalIterator().asScala.foreach { row =>
+      if (!first) sb.append(',')
+      first = false
+      sb.append('{')
+      val labels = row.getSeq[org.apache.spark.sql.Row](0)
+      sb.append(labels.map(l =>
+        jsonStr(l.getString(0)) + ":" + jsonStr(l.getString(1))).mkString(","))
+      sb.append('}')
+    }
+    sb.append("]}")
     sb.toString
   }
 

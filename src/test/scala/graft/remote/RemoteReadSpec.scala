@@ -194,4 +194,43 @@ class RemoteReadServerSpec extends AnyFunSuite {
       assert(bad.body().contains(""""status":"error""""))
     } finally server.stop()
   }
+
+  test("instant query, labels, label values and series endpoints") {
+    val server = new RemoteReadServer(mkQuerier)
+    val port = server.start()
+    try {
+      val http = HttpClient.newHttpClient()
+      def get(path: String): HttpResponse[String] =
+        http.send(HttpRequest.newBuilder(
+          new URI(s"http://127.0.0.1:$port$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      // instant vector at t=1700000300 (sample k=20 ⇒ v=40), 3 instances
+      val q = java.net.URLEncoder.encode(
+        """http_requests_total{job="api"}""", "UTF-8")
+      val inst = get(s"/api/v1/query?query=$q&time=1700000300")
+      assert(inst.statusCode() == 200, inst.body())
+      assert(inst.body().startsWith(
+        """{"status":"success","data":{"resultType":"vector","result":["""))
+      assert(inst.body().contains(""""value":[1700000300,"40"]"""))
+      assert(inst.body().split("\"metric\"").length - 1 == 3)
+      // label names and values, sorted
+      assert(get("/api/v1/labels").body() ==
+        """{"status":"success","data":["__name__","instance","job"]}""")
+      assert(get("/api/v1/label/job/values").body() ==
+        """{"status":"success","data":["api","api-canary","web"]}""")
+      // series discovery: two match[] selectors union + dedup
+      // (3 web instances ∪ 3 i-0 jobs, web/i-0 shared ⇒ 5 series)
+      val m1 = java.net.URLEncoder.encode(
+        """http_requests_total{job="web"}""", "UTF-8")
+      val m2 = java.net.URLEncoder.encode("""{instance="i-0"}""", "UTF-8")
+      val ser = get(s"/api/v1/series?match%5B%5D=$m1&match%5B%5D=$m2")
+      assert(ser.statusCode() == 200, ser.body())
+      assert(ser.body().split("\\{\"__name__\"").length - 1 == 5)
+      assert(ser.body().contains(""""instance":"i-0","job":"api-canary""""))
+      // missing match[] is a 400 with the Prometheus error envelope
+      val bad = get("/api/v1/series")
+      assert(bad.statusCode() == 400 &&
+        bad.body().contains("missing parameter 'match[]'"))
+    } finally server.stop()
+  }
 }
