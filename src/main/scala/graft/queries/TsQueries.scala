@@ -98,6 +98,21 @@ object TsQueries {
       p
     })
 
+  /** Per-(session, dir) store holding one materialized recording rule
+    * (the e2e expression recorded as a new metric). */
+  private val ruleStoreCache =
+    scala.collection.concurrent.TrieMap[(String, String), String]()
+
+  private def ruleStore(s: SparkSession, dir: String): String =
+    ruleStoreCache.getOrElseUpdate((System.identityHashCode(s).toString, dir), {
+      val p = java.nio.file.Files.createTempDirectory("graft_rules")
+        .resolve("store").toString
+      graft.promql.RecordingRules.record(querier(s, dir), p,
+        "user:click:increase1d", "sum by (user) (increase(click[1d]))",
+        Mint, Maxt, 86400000L)
+      p
+    })
+
   /** Long-form select → flat projection in deterministic order. */
   private def flat(q: DataFrame): DataFrame =
     q.select(
@@ -112,6 +127,26 @@ object TsQueries {
       |       epoch_ms(ts) AS t, "value" AS v,
       |       CASE WHEN "value" >= 100 THEN '1' ELSE '' END AS big
       |  FROM events""".stripMargin.replace("\n", " ")
+
+  /** Shared by ts_promql_e2e and ts_rule_record: the step-window
+    * replication of `sum by (user) (increase(click[1d]))`. */
+  private lazy val promqlE2eSql =
+    s"""WITH steps AS (SELECT unnest(range($Mint, $Maxt + 1, 86400000)) AS step_t),
+       | raw AS (SELECT name, "user", big, t, v FROM ($oracleBase)
+       |         WHERE name = 'click' AND t > $Mint - 86400000 AND t <= $Maxt),
+       | win AS (SELECT r.name, r."user", r.big, r.t, r.v, s.step_t
+       |         FROM raw r JOIN steps s
+       |           ON r.t > s.step_t - 86400000 AND r.t <= s.step_t),
+       | lagd AS (SELECT *, lag(v) OVER (
+       |            PARTITION BY name, "user", big, step_t ORDER BY t, v) AS pv
+       |          FROM win),
+       | inc AS (SELECT name, "user", big, step_t,
+       |           sum(CASE WHEN pv IS NULL THEN 0
+       |                    WHEN v >= pv THEN v - pv ELSE v END) AS increase
+       |         FROM lagd GROUP BY name, "user", big, step_t
+       |         HAVING count(*) >= 2)
+       | SELECT "user", step_t AS t, round(sum(increase), 4) AS v
+       | FROM inc GROUP BY "user", step_t ORDER BY "user", t""".stripMargin.replace("\n", " ")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P1 equality matcher + P10-P12 time clamps
@@ -530,6 +565,17 @@ object TsQueries {
         .orderBy(col("user"), col("big"), col("t"))
     }),
 
+    // recording rule: the e2e expression materialized into a store as a
+    // new metric, then selected back through the ordinary querier — the
+    // oracle is the SAME SQL as ts_promql_e2e because the rule series
+    // IS that expression's result
+    "ts_rule_record" -> ((s, dir) =>
+      TsStore.read(s, ruleStore(s, dir)).selectLong(Mint, Maxt, Seq(
+        LabelMatcher.eq(Labels.MetricName, "user:click:increase1d")))
+        .select(TsSchema.labelValue(col("labels"), "user").as("user"),
+          col("t"), round(col("v"), 4).as("v"))
+        .orderBy(col("user"), col("t"))),
+
     // count_values through the parser: the instant-vector value
     // distribution per step (1h lookback for density); the value label
     // round-trips back to a double so the oracle compares numerically
@@ -884,23 +930,10 @@ object TsQueries {
          |  round(round(p.v, 4) / round(t.rv, 4), 6) AS share
          | FROM per_series p JOIN totals t ON p.name = t.name AND p.step_t = t.step_t
          | ORDER BY name, "user", p.step_t, user_v""".stripMargin.replace("\n", " "),
-    "ts_promql_e2e" ->
-      s"""WITH steps AS (SELECT unnest(range($Mint, $Maxt + 1, 86400000)) AS step_t),
-         | raw AS (SELECT name, "user", big, t, v FROM ($oracleBase)
-         |         WHERE name = 'click' AND t > $Mint - 86400000 AND t <= $Maxt),
-         | win AS (SELECT r.name, r."user", r.big, r.t, r.v, s.step_t
-         |         FROM raw r JOIN steps s
-         |           ON r.t > s.step_t - 86400000 AND r.t <= s.step_t),
-         | lagd AS (SELECT *, lag(v) OVER (
-         |            PARTITION BY name, "user", big, step_t ORDER BY t, v) AS pv
-         |          FROM win),
-         | inc AS (SELECT name, "user", big, step_t,
-         |           sum(CASE WHEN pv IS NULL THEN 0
-         |                    WHEN v >= pv THEN v - pv ELSE v END) AS increase
-         |         FROM lagd GROUP BY name, "user", big, step_t
-         |         HAVING count(*) >= 2)
-         | SELECT "user", step_t AS t, round(sum(increase), 4) AS v
-         | FROM inc GROUP BY "user", step_t ORDER BY "user", t""".stripMargin.replace("\n", " "),
+    "ts_promql_e2e" -> promqlE2eSql,
+    // the recording rule materializes exactly the e2e expression, so
+    // the same oracle verifies the record → store → select round-trip
+    "ts_rule_record" -> promqlE2eSql,
     "ts_promql_topk" ->
       s"""WITH steps AS (SELECT unnest(range($Mint, $Maxt + 1, 172800000)) AS step_t),
          | raw AS (SELECT name, "user", big, t, v FROM ($oracleBase)

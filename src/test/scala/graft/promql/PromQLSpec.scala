@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
-import graft.tsdb.{LabelMatcher, MatchType, TsQuerier, TsSchema}
+import graft.tsdb.{LabelMatcher, Labels, MatchType, TsQuerier, TsSchema, TsStore}
 
 /** PromQL front-end: parser AST shapes and step-evaluation semantics
   * against a tiny hand-checkable store. */
@@ -431,6 +431,25 @@ class PromQLSpec extends AnyFunSuite {
     // sort only affects presentation order — the row set is unchanged
     val s = rows("sort_desc(req)", T0 + 600000L, T0 + 600000L, 60000L)
     assert(s.map(_._3).toSet == Set(200.0, 20.0))
+  }
+
+  test("recording rules materialize an expression as a new metric") {
+    val dest = java.nio.file.Files.createTempDirectory("rules")
+      .resolve("s").toString
+    val n = RecordingRules.record(querier, dest, "inst:req:increase10m",
+      "sum by (inst) (increase(req[10m]))",
+      T0 + 600000L, T0 + 600000L, 60000L)
+    assert(n == 2)
+    // rule series read back through the ordinary querier, renamed
+    val got = TsStore.read(spark, dest)
+      .selectLong(0L, Long.MaxValue / 2, Seq(
+        LabelMatcher.eq(Labels.MetricName, "inst:req:increase10m")))
+      .select(TsSchema.labelValue(col("labels"), "inst").as("inst"), col("v"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got == Map("i-0" -> 190.0, "i-1" -> 36.0))
+    // malformed rule names are rejected before any evaluation
+    intercept[IllegalArgumentException](
+      RecordingRules.record(querier, dest, "bad name", "req", 0L, 0L, 1L))
   }
 
   test("one-to-one matching rejects duplicate series per match group") {
