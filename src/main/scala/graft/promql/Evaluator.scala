@@ -329,7 +329,7 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
     * over them — one value per step, never a labeled series. */
   private def isScalarExpr(e: PromExpr): Boolean = e match {
     case TimeE | _: ScalarOf | _: Num => true
-    case Bin(op, l, r, _, _, _) =>
+    case Bin(op, l, r, _, _, _, _) =>
       arith.contains(op) && isScalarExpr(l) && isScalarExpr(r)
     case _ => false
   }
@@ -347,7 +347,7 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
           .otherwise(lit(Double.NaN)).as("sv"))
       stepsGrid.join(per, Seq("t"), "left")
         .withColumn("sv", coalesce(col("sv"), lit(Double.NaN)))
-    case Bin(op, l, r, _, _, _) =>
+    case Bin(op, l, r, _, _, _, _) =>
       buildScalar(l).join(
         buildScalar(r).withColumnRenamed("sv", "sv2"), Seq("t"))
         .select(col("t"), arith(op)(col("sv"), col("sv2")).as("sv"))
@@ -375,7 +375,8 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
 
   private def bin(op: String, l: PromExpr, r: PromExpr,
                   on: Option[Seq[String]], bool: Boolean,
-                  group: Option[String]): DataFrame = {
+                  group: Option[String],
+                  groupLabels: Seq[String] = Seq.empty): DataFrame = {
     // `bool` comparisons emit 0/1 and (like arithmetic) drop the name
     def boolV(cond: Column): Column = when(cond, 1.0d).otherwise(0.0d)
     (l, r) match {
@@ -456,10 +457,20 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
         val rfU = if (group.contains("right")) rf else unique(rf, "rv", "right")
         val joined = lfU.join(rfU, Seq("jk", "t"))
         // one-to-one: the match key IS the output identity; many-to-one
-        // (group_left/group_right): the many side's full labels survive
+        // (group_left/group_right): the many side's full labels survive,
+        // with the group_left(lbl, ...) list COPIED from the one side
+        // (conflicting names on the many side are overwritten, as
+        // upstream does)
+        def copyOnto(base: Column, from: Column): Column =
+          if (groupLabels.isEmpty) base
+          else array_sort(concat(
+            filter(base, e =>
+              !e.getField("name").isin(groupLabels.map(x => x: Any): _*)),
+            filter(from, e =>
+              e.getField("name").isin(groupLabels.map(x => x: Any): _*))))
         val outLabels: Column = group match {
-          case Some("left") => dropName(col("labels"))
-          case Some("right") => col("rlabels")
+          case Some("left") => copyOnto(dropName(col("labels")), col("rlabels"))
+          case Some("right") => copyOnto(col("rlabels"), dropName(col("labels")))
           case _ => col("jk")
         }
         if (!cmp.contains(op))
@@ -547,7 +558,8 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
     case sq: Subquery => sys.error(
       s"subquery [${sq.rangeMs}ms:${sq.stepMs}ms] used as an instant vector")
     case Agg(op, by, param, arg, without) => agg(op, by, param, arg, without)
-    case Bin(op, le, re, on, bool, group) => bin(op, le, re, on, bool, group)
+    case Bin(op, le, re, on, bool, group, groupLabels) =>
+      bin(op, le, re, on, bool, group, groupLabels)
     case TimeE =>
       sys.error("time() is a scalar — wrap it in vector() or use it in arithmetic")
     case _: ScalarOf =>

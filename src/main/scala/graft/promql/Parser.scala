@@ -34,11 +34,14 @@ object PromExpr {
   /** Binary operator with optional `on(...)` vector matching; `bool`
     * turns a comparison from a filter into a 0/1-valued vector;
     * `group` is Some("left"/"right") for many-to-one matching — the
-    * many side's full label set survives to the output. */
+    * many side's full label set survives to the output, with
+    * `groupLabels` (the `group_left(lbl, ...)` list) copied over from
+    * the one side. */
   final case class Bin(op: String, l: PromExpr, r: PromExpr,
                        on: Option[Seq[String]],
                        bool: Boolean = false,
-                       group: Option[String] = None) extends PromExpr
+                       group: Option[String] = None,
+                       groupLabels: Seq[String] = Seq.empty) extends PromExpr
   /** `histogram_quantile(φ, expr)` over an instant vector carrying
     * cumulative `le` buckets. */
   final case class HistQ(phi: Double, arg: PromExpr) extends PromExpr
@@ -473,15 +476,19 @@ final class Parser(input: String) {
           val on = if (peekIdent().contains("on")) { ident(); Some(labelList()) }
                    else if (peekIdent().contains("ignoring")) err("ignoring() not supported; use on()")
                    else None
+          var groupLabels = Seq.empty[String]
           val group = peekIdent() match {
             case Some(g @ ("group_left" | "group_right")) =>
               ident()
-              ws(); if (peek == '(') labelList() // label-copy list: parsed, not copied
+              ws()
+              // label-copy list: these labels transfer from the one
+              // side onto the many side's output series
+              if (peek == '(') groupLabels = labelList()
               Some(g.stripPrefix("group_"))
             case _ => None
           }
           val right = parseExpr(if (op == "^") p else p + 1)
-          left = Bin(op, left, right, on, bool, group)
+          left = Bin(op, left, right, on, bool, group, groupLabels)
         case None => done = true
       }
     }

@@ -576,6 +576,16 @@ object TsQueries {
           col("t"), round(col("v"), 4).as("v"))
         .orderBy(col("user"), col("t"))),
 
+    // alert rule with a for-duration: fire once the condition has held
+    // for 2 consecutive days — a trailing count window over the
+    // condition grid, no state machine
+    "ts_alert_firing" -> ((s, dir) =>
+      graft.promql.AlertRules.firing(querier(s, dir),
+        "sum(increase(click[1d])) > 100",
+        Mint, Maxt, 86400000L, forMs = 172800000L)
+        .select(col("t"), round(col("v"), 4).as("v"))
+        .orderBy(col("t"))),
+
     // count_values through the parser: the instant-vector value
     // distribution per step (1h lookback for density); the value label
     // round-trips back to a double so the oracle compares numerically
@@ -980,6 +990,33 @@ object TsQueries {
          |  round(icept + slope * (step_t / 1000.0 + 3600.0), 2) AS predict_1h,
          |  round(slope, 6) AS deriv
          | FROM reg ORDER BY "user", big, t""".stripMargin.replace("\n", " "),
+    "ts_alert_firing" ->
+      s"""WITH steps AS (
+         |   SELECT unnest(range($Mint - 172800000, $Maxt + 1, 86400000)) AS step_t),
+         | raw AS (SELECT name, "user", big, t, v FROM ($oracleBase)
+         |         WHERE name = 'click'
+         |           AND t > $Mint - 172800000 - 86400000 AND t <= $Maxt),
+         | win AS (SELECT r.name, r."user", r.big, r.t, r.v, s.step_t
+         |         FROM raw r JOIN steps s
+         |           ON r.t > s.step_t - 86400000 AND r.t <= s.step_t),
+         | lagd AS (SELECT *, lag(v) OVER (
+         |            PARTITION BY name, "user", big, step_t ORDER BY t, v) AS pv
+         |          FROM win),
+         | inc AS (SELECT name, "user", big, step_t,
+         |           sum(CASE WHEN pv IS NULL THEN 0
+         |                    WHEN v >= pv THEN v - pv ELSE v END) AS increase
+         |         FROM lagd GROUP BY name, "user", big, step_t
+         |         HAVING count(*) >= 2),
+         | su AS (SELECT step_t, sum(increase) AS v
+         |        FROM inc GROUP BY 1),
+         | cond AS (SELECT * FROM su WHERE v > 100),
+         | held AS (SELECT step_t, v, count(*) OVER (
+         |            ORDER BY step_t
+         |            RANGE BETWEEN 172800000 PRECEDING AND CURRENT ROW) AS n
+         |          FROM cond)
+         | SELECT step_t AS t, round(v, 4) AS v
+         | FROM held WHERE n = 3 AND step_t >= $Mint
+         | ORDER BY t""".stripMargin.replace("\n", " "),
     "ts_promql_count_values" ->
       s"""WITH steps AS (SELECT unnest(range($Mint, $Maxt + 1, 86400000)) AS step_t),
          | raw AS (SELECT "user", big, t, v FROM ($oracleBase)

@@ -433,6 +433,35 @@ class PromQLSpec extends AnyFunSuite {
     assert(s.map(_._3).toSet == Set(200.0, 20.0))
   }
 
+  test("group_left(lbl) copies labels from the one side") {
+    // the static-label idiom: label_replace(v, "tier", "gold", "", "")
+    // sets tier=gold on the one side; group_left(tier) copies it onto
+    // every many-side series
+    val out = rows(
+      """req / on(inst) group_left(tier) label_replace(mem, "tier", "gold", "", "")""",
+      T0 + 600000L, T0 + 600000L, 60000L)
+    assert(out.size == 2)
+    assert(out.forall(_._1.contains(""""name":"tier","value":"gold"""")))
+    assert(out.forall(_._1.contains("inst")))
+  }
+
+  test("alert rules fire after the for-duration holds") {
+    // req > 100 on i-0 first holds at T0+6m (v=120) on the 1m grid;
+    // with for=2m the alert needs 3 consecutive holding steps, so it
+    // fires from T0+8m on. i-1 (max 20) never fires.
+    val out = AlertRules.firing(querier, "req > 100",
+      T0 + 360000L, T0 + 600000L, 60000L, forMs = 120000L)
+      .select(to_json(col("labels")).as("l"), col("t"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(out.size == 3 && out.forall(_._1.contains("i-0")))
+    assert(out.map(_._2) == (8 to 10).map(m => T0 + m * 60000L))
+    assert(out.map(_._3) == Seq(160.0, 180.0, 200.0))
+    // a for-duration off the grid is rejected
+    intercept[IllegalArgumentException](AlertRules.firing(
+      querier, "req > 100", T0, T0, 60000L, forMs = 90000L))
+  }
+
   test("recording rules materialize an expression as a new metric") {
     val dest = java.nio.file.Files.createTempDirectory("rules")
       .resolve("s").toString
