@@ -1,7 +1,6 @@
 package graft.promql
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.tsdb.TsQuerier
@@ -11,10 +10,14 @@ import graft.tsdb.TsQuerier
   *
   * A comparison expression without `bool` is a filter, so "the
   * condition holds at step t" ≡ "the expression produced a sample at
-  * t". Firing therefore reduces to a per-series trailing count over
-  * the step grid: a series fires at `t` iff a conditional sample
-  * exists at every step in `[t - for, t]` — one window over the same
-  * (series, step) key the evaluator already shuffles on, no joins.
+  * t". Firing therefore reduces to a trailing count over the step
+  * grid: a series fires at `t` iff a conditional sample exists at
+  * every step in `[t - for, t]`. That count uses the evaluator's own
+  * bounded-explode shape — each conditional step serves the `for/step
+  * + 1` later steps it can help fire, then one groupBy on (series,
+  * step) — rather than a sort-based window: a global alert (empty
+  * label set after `sum(...)`) would constant-fold the window's
+  * partition spec away and funnel everything through one partition.
   *
   * The upstream server keeps pending/firing state in memory between
   * evaluations; the batch grid IS that state, so backfilled history
@@ -37,10 +40,17 @@ object AlertRules {
     val cond = PromQL.rangeQuery(querier, expr, mint - forMs, maxt,
       stepMs, lookbackMs)
     val need = forMs / stepMs + 1
-    val w = Window.partitionBy(col("labels")).orderBy(col("t"))
-      .rangeBetween(-forMs, 0)
-    cond.withColumn("held", count(lit(1)).over(w))
-      .where(col("held") === need && col("t") >= mint)
-      .select(col("labels"), col("t"), col("v"))
+    // a holding step at t supports firing at t .. t+for (bounded
+    // explode, ≤ need ordinals); a step fires iff all `need` of its
+    // trailing steps contributed. max(struct) recovers the firing
+    // step's own value (its t is the window max).
+    cond
+      .withColumn("ft",
+        explode(sequence(col("t"), col("t") + forMs, lit(stepMs))))
+      .groupBy(col("labels"), col("ft"))
+      .agg(count(lit(1)).as("held"),
+        max(struct(col("t"), col("v"))).getField("v").as("v"))
+      .where(col("held") === need && col("ft").between(mint, maxt))
+      .select(col("labels"), col("ft").as("t"), col("v"))
   }
 }
