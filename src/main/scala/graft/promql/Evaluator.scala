@@ -329,8 +329,8 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
     * over them — one value per step, never a labeled series. */
   private def isScalarExpr(e: PromExpr): Boolean = e match {
     case TimeE | _: ScalarOf | _: Num => true
-    case Bin(op, l, r, _, _, _, _) =>
-      arith.contains(op) && isScalarExpr(l) && isScalarExpr(r)
+    case b: Bin =>
+      arith.contains(b.op) && isScalarExpr(b.l) && isScalarExpr(b.r)
     case _ => false
   }
 
@@ -347,10 +347,10 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
           .otherwise(lit(Double.NaN)).as("sv"))
       stepsGrid.join(per, Seq("t"), "left")
         .withColumn("sv", coalesce(col("sv"), lit(Double.NaN)))
-    case Bin(op, l, r, _, _, _, _) =>
-      buildScalar(l).join(
-        buildScalar(r).withColumnRenamed("sv", "sv2"), Seq("t"))
-        .select(col("t"), arith(op)(col("sv"), col("sv2")).as("sv"))
+    case b: Bin =>
+      buildScalar(b.l).join(
+        buildScalar(b.r).withColumnRenamed("sv", "sv2"), Seq("t"))
+        .select(col("t"), arith(b.op)(col("sv"), col("sv2")).as("sv"))
     case other => sys.error(s"$other is not a scalar expression")
   }
 
@@ -376,7 +376,8 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
   private def bin(op: String, l: PromExpr, r: PromExpr,
                   on: Option[Seq[String]], bool: Boolean,
                   group: Option[String],
-                  groupLabels: Seq[String] = Seq.empty): DataFrame = {
+                  groupLabels: Seq[String] = Seq.empty,
+                  ignoring: Option[Seq[String]] = None): DataFrame = {
     // `bool` comparisons emit 0/1 and (like arithmetic) drop the name
     def boolV(cond: Column): Column = when(cond, 1.0d).otherwise(0.0d)
     (l, r) match {
@@ -409,9 +410,14 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
           .withColumn("labels", dropName(col("labels")))
         else in.where(cmp(op)(col("v"), lit(b)))
       case (le, re) =>
-        val key: Column => Column = on match {
-          case Some(names) => subset(_, names)
-          case None => dropName(_)
+        // on(...) keeps the listed labels; ignoring(...) keeps the
+        // complement (minus the metric name, like the bare form)
+        val key: Column => Column = (on, ignoring) match {
+          case (Some(names), _) => subset(_, names)
+          case (_, Some(names)) =>
+            filter(_, e => !e.getField("name").isin(
+              (Labels.MetricName +: names).map(x => x: Any): _*))
+          case _ => dropName(_)
         }
         val lf = eval(le).select(key(col("labels")).as("jk"),
           col("labels"), col("t"), col("v"))
@@ -558,8 +564,8 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
     case sq: Subquery => sys.error(
       s"subquery [${sq.rangeMs}ms:${sq.stepMs}ms] used as an instant vector")
     case Agg(op, by, param, arg, without) => agg(op, by, param, arg, without)
-    case Bin(op, le, re, on, bool, group, groupLabels) =>
-      bin(op, le, re, on, bool, group, groupLabels)
+    case Bin(op, le, re, on, bool, group, groupLabels, ignoring) =>
+      bin(op, le, re, on, bool, group, groupLabels, ignoring)
     case TimeE =>
       sys.error("time() is a scalar — wrap it in vector() or use it in arithmetic")
     case _: ScalarOf =>

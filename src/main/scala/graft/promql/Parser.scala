@@ -41,7 +41,8 @@ object PromExpr {
                        on: Option[Seq[String]],
                        bool: Boolean = false,
                        group: Option[String] = None,
-                       groupLabels: Seq[String] = Seq.empty) extends PromExpr
+                       groupLabels: Seq[String] = Seq.empty,
+                       ignoring: Option[Seq[String]] = None) extends PromExpr
   /** `histogram_quantile(φ, expr)` over an instant vector carrying
     * cumulative `le` buckets. */
   final case class HistQ(phi: Double, arg: PromExpr) extends PromExpr
@@ -231,8 +232,17 @@ final class Parser(input: String) {
     m(name, stringLit())
   }
 
+  /** `offset [-]d` — a negative offset looks into the FUTURE of the
+    * window (Prometheus allows them since 2.26). */
+  private def signedDuration(): Long = {
+    ws()
+    val neg = peek == '-'
+    if (neg) pos += 1
+    (if (neg) -1L else 1L) * duration()
+  }
+
   private def offsetClause(): Long =
-    if (peekIdent().contains("offset")) { ident(); duration() } else 0L
+    if (peekIdent().contains("offset")) { ident(); signedDuration() } else 0L
 
   /** `offset d` and `@ ts` in either order. */
   private def modifiers(): (Long, Option[Long]) = {
@@ -241,7 +251,7 @@ final class Parser(input: String) {
     var more = true
     while (more) {
       ws()
-      if (peekIdent().contains("offset")) { ident(); off = duration() }
+      if (peekIdent().contains("offset")) { ident(); off = signedDuration() }
       else if (peek == '@') {
         // `@ start()` / `@ end()` pin to the query window edges —
         // encoded as Long.MinValue/MaxValue sentinels the evaluator
@@ -474,8 +484,11 @@ final class Parser(input: String) {
           pos += op.length
           val bool = peekIdent().contains("bool") && { ident(); true }
           val on = if (peekIdent().contains("on")) { ident(); Some(labelList()) }
-                   else if (peekIdent().contains("ignoring")) err("ignoring() not supported; use on()")
                    else None
+          val ignoring =
+            if (on.isEmpty && peekIdent().contains("ignoring")) {
+              ident(); Some(labelList())
+            } else None
           var groupLabels = Seq.empty[String]
           val group = peekIdent() match {
             case Some(g @ ("group_left" | "group_right")) =>
@@ -488,7 +501,7 @@ final class Parser(input: String) {
             case _ => None
           }
           val right = parseExpr(if (op == "^") p else p + 1)
-          left = Bin(op, left, right, on, bool, group, groupLabels)
+          left = Bin(op, left, right, on, bool, group, groupLabels, ignoring)
         case None => done = true
       }
     }

@@ -433,6 +433,22 @@ class PromQLSpec extends AnyFunSuite {
     assert(s.map(_._3).toSet == Set(200.0, 20.0))
   }
 
+  test("ignoring() matches on the label complement; negative offsets") {
+    // ignoring(inst) strips the only distinguishing label, so each
+    // series matches the global sum — per-series share of total
+    val share = rows(
+      "increase(req[10m]) / ignoring(inst) group_left sum(increase(req[10m]))",
+      T0 + 600000L, T0 + 600000L, 60000L)
+    assert(share.size == 2)
+    val byInst = share.map(r => (r._1.contains("i-0"), r._3)).toMap
+    assert(math.abs(byInst(true) - 190.0 / 226.0) < 1e-12)
+    assert(math.abs(byInst(false) - 36.0 / 226.0) < 1e-12)
+    // offset -5m at T0+5m reads the FUTURE sample at T0+10m
+    val neg = rows("""req{inst="i-0"} offset -5m""",
+      T0 + 300000L, T0 + 300000L, 60000L)
+    assert(neg.size == 1 && neg.head._3 == 200.0)
+  }
+
   test("group_left(lbl) copies labels from the one side") {
     // the static-label idiom: label_replace(v, "tier", "gold", "", "")
     // sets tier=gold on the one side; group_left(tier) copies it onto
