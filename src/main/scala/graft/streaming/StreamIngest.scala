@@ -88,6 +88,93 @@ object StreamIngest {
     w.start()
   }
 
+  /** Continuous rule evaluation: after each ingest batch, materialize
+    * recording rules and alert rules over the grid steps that have
+    * CLOSED (step ≤ max ingested t − lag) — the streaming analog of
+    * the upstream rule manager's interval ticks, with backfill as the
+    * same code path.
+    *
+    * A per-rule high-water marker under `<store>/_rules/<name>` (an
+    * underscore dir, invisible to partition discovery) makes each
+    * batch evaluate ONLY the new steps and makes restarts safe: a
+    * replayed batch re-evaluates from the marker, and rule output for
+    * an already-marked step is never recomputed. Alert firings append
+    * as ALERTS-style series named by the alert (value = the condition
+    * value at the firing step). Rule expressions must not select their
+    * own output metric (no feedback).
+    *
+    * `rules` = (name, expr); `alerts` = (name, expr, forMs). */
+  def rulesStream(spark: SparkSession, inputDir: String, storePath: String,
+                  checkpoint: String, startMs: Long, stepMs: Long,
+                  rules: Seq[(String, String)] = Seq.empty,
+                  alerts: Seq[(String, String, Long)] = Seq.empty,
+                  lagMs: Long = 10 * 60 * 1000L,
+                  promoted: Seq[String] = TsSchema.DefaultPromoted,
+                  daemon: Boolean = false): StreamingQuery = {
+    import java.nio.file.{Files, Paths}
+    val rulesDir = Paths.get(storePath, "_rules")
+    def markerOf(name: String): Long = {
+      val p = rulesDir.resolve(name)
+      if (Files.exists(p)) Files.readString(p).trim.toLong
+      else startMs - stepMs
+    }
+    def setMarker(name: String, t: Long): Unit = {
+      Files.createDirectories(rulesDir)
+      Files.writeString(rulesDir.resolve(name), t.toString)
+    }
+    val in = spark.readStream.schema(inputSchema).parquet(inputDir)
+    val canonical = TsSchema.canonicalize(in, promoted)
+    val maxSeen = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val w: DataStreamWriter[org.apache.spark.sql.Row] = canonical.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.persist()
+        batch.write.partitionBy("block_start")
+          .mode(org.apache.spark.sql.SaveMode.Append).parquet(storePath)
+        val mx = batch.agg(max(col("t"))).head()
+        batch.unpersist()
+        if (!mx.isNullAt(0)) maxSeen.getAndAccumulate(mx.getLong(0), math.max)
+        val horizon = maxSeen.get() - lagMs
+        if (maxSeen.get() != Long.MinValue && horizon >= startMs) {
+          // newest grid step that has fully closed
+          val closed = startMs + ((horizon - startMs) / stepMs) * stepMs
+          val s2 = batch.sparkSession
+          rules.foreach { case (name, expr) =>
+            val from = markerOf(name) + stepMs
+            if (from <= closed) {
+              graft.promql.RecordingRules.record(
+                graft.tsdb.TsStore.read(s2, storePath, promoted), storePath,
+                name, expr, from, closed, stepMs, promoted)
+              setMarker(name, closed)
+            }
+          }
+          alerts.foreach { case (name, expr, forMs) =>
+            val from = markerOf(name) + stepMs
+            if (from <= closed) {
+              val firing = graft.promql.AlertRules.firing(
+                graft.tsdb.TsStore.read(s2, storePath, promoted),
+                expr, from, closed, stepMs, forMs)
+              val renamed = firing.select(
+                map_from_entries(concat(
+                  filter(col("labels"),
+                    e => e.getField("name") =!= graft.tsdb.Labels.MetricName),
+                  array(struct(
+                    lit(graft.tsdb.Labels.MetricName).as("name"),
+                    lit(name).as("value"))))).as("labels"),
+                col("t"), col("v"))
+              TsSchema.canonicalize(renamed, promoted)
+                .write.partitionBy("block_start")
+                .mode(org.apache.spark.sql.SaveMode.Append).parquet(storePath)
+              setMarker(name, closed)
+            }
+          }
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (daemon) Trigger.ProcessingTime("5 seconds") else Trigger.AvailableNow())
+    w.start()
+  }
+
   /** Beyond-reference: watermarked tumbling-window aggregation per metric
     * name — the PromQL `sum/count by (__name__)` shape as a stream.
     * Late data beyond `watermark` is dropped; state is bounded. */

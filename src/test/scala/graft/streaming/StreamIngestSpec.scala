@@ -75,6 +75,53 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(ds.agg(org.apache.spark.sql.functions.min(col("t"))).head().getLong(0) == t0)
   }
 
+  test("rules stream: incremental recording + alert materialization") {
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("rulestream")
+    val in = root.resolve("in").toString
+    val store = root.resolve("store").toString
+    val ckpt = root.resolve("ckpt").toString
+    val t0 = 1700000000000L - (1700000000000L % 60000L) // minute-aligned
+    def write(fromK: Int, untilK: Int): Unit = {
+      val rows = (for {
+        job <- Seq("api", "web"); k <- fromK until untilK
+      } yield Row(Map("__name__" -> "up", "job" -> job),
+        t0 + k * 15000L, k.toDouble)).asJava
+      spark.createDataFrame(rows, StreamIngest.inputSchema)
+        .coalesce(1).write.mode(SaveMode.Append).parquet(in)
+    }
+    def run(): Unit = StreamIngest.rulesStream(spark, in, store, ckpt,
+      startMs = t0, stepMs = 60000L,
+      rules = Seq("up:sum" -> "sum(up)"),
+      alerts = Seq(("UpHigh", "sum(up) > 50", 120000L)),
+      lagMs = 120000L).awaitTermination()
+
+    write(0, 100) // ~25 min of 15s samples, values = k, two series
+    run()
+    def metric(name: String) = TsStore.read(spark, store)
+      .selectLong(0L, Long.MaxValue / 2,
+        Seq(LabelMatcher.eq(Labels.MetricName, name)))
+    // sum(up) at minute m sees k=4m per series ⇒ 8m; m=0..22 closed
+    // under the 2-minute lag
+    val rec1 = metric("up:sum").select(col("t"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(rec1.size == 23)
+    assert(rec1.forall { case (t, v) => v == 8.0 * ((t - t0) / 60000L) })
+    // alert: 8m > 50 holds from m=7; with for=2m it fires from m=9
+    val al1 = metric("UpHigh").select(col("t")).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(al1 == (9 to 22).map(m => t0 + m * 60000L))
+
+    write(100, 140) // stream advances; markers resume, nothing recomputed
+    run()
+    val rec2 = metric("up:sum").select(col("t")).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(rec2 == (0 to 32).map(m => t0 + m * 60000L)) // no duplicates
+    val al2 = metric("UpHigh").select(col("t")).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(al2 == (9 to 32).map(m => t0 + m * 60000L))
+  }
+
   test("windowed aggregation with watermark over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
