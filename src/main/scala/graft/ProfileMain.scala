@@ -21,6 +21,17 @@ object ProfileMain {
       println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
       r
     }
+    // bench-condition reproduction: dedup_clusters as the first heavy
+    // query on a cold session (the shape Bench charges 17s to)
+    time("COLD dedup_clusters")(
+      graft.queries.PipelineQueries.defs("dedup_clusters")(spark, sfDir).count())
+    time("WARM dedup_clusters")(
+      graft.queries.PipelineQueries.defs("dedup_clusters")(spark, sfDir).count())
+    time("WARM2 dedup_clusters")(
+      graft.queries.PipelineQueries.defs("dedup_clusters")(spark, sfDir).count())
+    time("COLD dedup_keep_best")(
+      graft.queries.PipelineQueries.defs("dedup_keep_best")(spark, sfDir).count())
+
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     time("docs.count")(docs.count())
 
@@ -63,6 +74,15 @@ object ProfileMain {
     time("verify join")(full.count())
     time("full pipeline (fresh)")(
       graft.ops.Dedup.minhashLsh(docs, "doc_id", "text", 16, 4, 3, 0.2).count())
+
+    // --- connected components over the verified pair set ---
+    val pairs = graft.ops.Dedup.minhashLsh(docs, "doc_id", "text", 16, 4, 3, 0.2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("pairs persist")(println("  n_pairs=" + pairs.count()))
+    time("CC over warm pairs")(
+      graft.ops.Dedup.connectedComponents(pairs).count())
+    time("CC again")(
+      graft.ops.Dedup.connectedComponents(pairs).count())
 
     // --- simhashPairs stages ---
     import org.apache.spark.storage.StorageLevel

@@ -272,21 +272,28 @@ object Dedup {
     import org.apache.spark.rdd.RDD
     import org.apache.spark.storage.StorageLevel
     val spark = pairs.sparkSession
+    val dbg = sys.props.contains("graft.cc.debug")
+    def phase[T](name: String)(f: => T): T =
+      if (!dbg) f else {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[cc] $name%-16s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+        r
+      }
     val edges: RDD[(Long, Long)] = pairs
       .select(col("id1").cast("long"), col("id2").cast("long"))
       .where(col("id1") =!= col("id2"))
       .rdd.map(r => (r.getLong(0), r.getLong(1)))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nEdges = edges.count()
+    val nEdges = phase("edges.count")(edges.count())
     val parts = math.max(1, math.min(
       spark.sparkContext.defaultParallelism, (nEdges / 500000L).toInt + 1))
     val part = new HashPartitioner(parts)
     // symmetric adjacency so the min label flows both directions
     val adj = edges.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
       .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
-    var labels: RDD[(Long, Long)] = adj.mapValues(_ => ()).distinct(parts)
+    var labels: RDD[(Long, Long)] = phase("init labels")(adj.mapValues(_ => ()).distinct(parts)
       .map { case ((id, _)) => (id, id) }
-      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK))
     var it = 0
     var done = false
     while (it < maxIter && !done) {
@@ -303,8 +310,8 @@ object Dedup {
         .join(oneHop, part) // (c, (id, labelOf(c)))
         .map { case (c, (id, cc)) => (id, math.min(c, cc)) }
         .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = halved.join(labels, part)
-        .filter { case (_, (a, b)) => a != b }.count()
+      val changed = phase(s"iter $it changed")(halved.join(labels, part)
+        .filter { case (_, (a, b)) => a != b }.count())
       labels.unpersist(false); oneHop.unpersist(false)
       labels = halved
       done = changed == 0

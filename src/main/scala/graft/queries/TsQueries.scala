@@ -85,12 +85,15 @@ object TsQueries {
 
   private def deleteStore(s: SparkSession, dir: String): String =
     deleteStoreCache.getOrElseUpdate((System.identityHashCode(s).toString, dir), {
+      // deletes are metadata-only: the log lives under <store>/_deletions
+      // and never needs the data files present, so the fixture appends
+      // the two records to an empty dir and the query masks the cached
+      // canonical frame — same read path as a real store
+      // (TsDeletions.masked), without re-writing the store as parquet.
+      // The on-disk roundtrip + materialize are covered by
+      // TsDeletionsSpec / TsMaintenanceSpec.
       val p = java.nio.file.Files.createTempDirectory("graft_delstore")
         .resolve("store").toString
-      // one file per 2h partition: without the repartition, partitionBy
-      // fans every shuffle partition across every block dir (32×N files)
-      store(s, dir).repartition(col("block_start"))
-        .write.partitionBy("block_start").parquet(p)
       TsDeletions.delete(s, p, Seq(LabelMatcher.eq(Labels.MetricName, "click")),
         1704844800000L, 1705276800000L)
       TsDeletions.delete(s, p, Seq(LabelMatcher.eq(Labels.MetricName, "error")),
@@ -227,7 +230,7 @@ object TsQueries {
     // Same intervals as ts_tombstone → same oracle shape.
     "ts_delete_select" -> ((s, dir) => {
       val p = deleteStore(s, dir)
-      val q = new TsQuerier(TsDeletions.readMasked(s, p),
+      val q = new TsQuerier(TsDeletions.masked(s, p, store(s, dir)),
         promoted = Seq(Labels.MetricName))
       flat(q.selectLong(Mint, Maxt, Seq(
         LabelMatcher.re(Labels.MetricName, "click|error"))))
@@ -755,6 +758,54 @@ object TsQueries {
           TsSchema.labelValue(col("labels"), "user").as("user"),
           col("s.t").as("t"), col("s.v").as("v"))
         .orderBy(col("name"), col("user"), col("t"), col("v"))
+    }),
+
+    // Thanos-style downsampling (TsDownsample): per-series 1d aggregate
+    // windows — the long-range-query lever for a long-term store; the
+    // aggregate set (n/sum/min/max/first/last/inc) is closed under
+    // query-time re-aggregation
+    "ts_downsample" -> ((s, dir) =>
+      TsDownsample.downsample(
+        querier(s, dir).selectLong(Mint, Maxt, Seq(LabelMatcher.neq("user", ""))),
+        86400000L)
+        .select(
+          TsSchema.labelValue(col("labels"), Labels.MetricName).as("name"),
+          TsSchema.labelValue(col("labels"), "user").as("user"),
+          TsSchema.labelValue(col("labels"), "big").as("big"),
+          col("w_t"), col("n"), round(col("sum_v"), 2).as("sum_v"),
+          col("min_v"), col("max_v"), col("first_v"), col("last_v"),
+          round(col("inc_v"), 2).as("inc_v"))
+        .orderBy(col("name"), col("user"), col("big"), col("w_t"))),
+
+    // counter increase computed FROM the downsampled form — exactly equal
+    // to the raw reset-corrected increase (every raw sample pair is either
+    // intra-window inc_v or a boundary delta between consecutive rows)
+    "ts_downsample_rate" -> ((s, dir) => {
+      val down = TsDownsample.downsample(
+        querier(s, dir).selectLong(Mint, Maxt, Seq(
+          LabelMatcher.eq(Labels.MetricName, "click"))), 86400000L)
+      TsDownsample.increaseOver(down, 86400000L, Mint, Maxt)
+        .select(
+          TsSchema.labelValue(col("labels"), Labels.MetricName).as("name"),
+          TsSchema.labelValue(col("labels"), "user").as("user"),
+          TsSchema.labelValue(col("labels"), "big").as("big"),
+          round(col("increase"), 2).as("increase"), col("n_samples"))
+        .orderBy(col("name"), col("user"), col("big"))
+    }),
+
+    // HA replica dedup (ReplicaDedup): two synthetic replicas with
+    // deterministic sample gaps; per (series, 1d window) the replica with
+    // the most samples is elected (tie → smallest name) and only its
+    // samples survive — the Cortex/Mimir HA-tracker model
+    "ts_replica_dedup" -> ((s, dir) => {
+      val base = querier(s, dir).selectLong(Mint, Maxt, Seq(
+        LabelMatcher.re(Labels.MetricName, "click|error")))
+      def rep(n: String, pred: org.apache.spark.sql.Column) = base.where(pred)
+        .withColumn("labels", array_sort(concat(col("labels"),
+          array(struct(lit("replica").as("name"), lit(n).as("value"))))))
+      val r0 = rep("r0", expr("(t div 3600000) % 5 != 0"))
+      val r1 = rep("r1", expr("(t div 3600000) % 4 != 0"))
+      flat(ReplicaDedup.dedup(r0.unionByName(r1), "replica", 86400000L))
     })
   )
 
@@ -794,6 +845,47 @@ object TsQueries {
          |  AND NOT (name = 'click' AND t BETWEEN 1704844800000 AND 1705276800000)
          |  AND NOT (name = 'error' AND t BETWEEN 1705276800000 AND 1705708800000)
          | ORDER BY name, "user", t, v""".stripMargin.replace("\n", " "),
+    "ts_downsample" ->
+      s"""WITH raw AS (SELECT name, "user", big, t, v FROM ($oracleBase)
+         |             WHERE t BETWEEN $Mint AND $Maxt AND "user" <> ''),
+         | lagd AS (SELECT *, lag(v) OVER w AS pv, lag(t) OVER w AS pt FROM raw
+         |          WINDOW w AS (PARTITION BY name, "user", big ORDER BY t))
+         |SELECT name, "user", big, t - t % 86400000 AS w_t, count(*) AS n,
+         |       round(sum(v), 2) AS sum_v, min(v) AS min_v, max(v) AS max_v,
+         |       min_by(v, t) AS first_v, max_by(v, t) AS last_v,
+         |       round(sum(CASE WHEN pv IS NULL OR pt - pt % 86400000 <> t - t % 86400000 THEN 0
+         |                      WHEN v >= pv THEN v - pv ELSE v END), 2) AS inc_v
+         |  FROM lagd GROUP BY name, "user", big, w_t
+         | ORDER BY name, "user", big, w_t""".stripMargin.replace("\n", " "),
+    "ts_downsample_rate" ->
+      s"""WITH raw AS (SELECT name, "user", big, t, v FROM ($oracleBase)
+         |             WHERE t BETWEEN $Mint AND $Maxt AND name = 'click'),
+         | lagd AS (SELECT *, lag(v) OVER w AS pv FROM raw
+         |          WINDOW w AS (PARTITION BY name, "user", big ORDER BY t))
+         |SELECT name, "user", big,
+         |       round(sum(CASE WHEN pv IS NULL THEN 0
+         |                      WHEN v >= pv THEN v - pv ELSE v END), 2) AS increase,
+         |       count(*) AS n_samples
+         |  FROM lagd GROUP BY name, "user", big
+         | ORDER BY name, "user", big""".stripMargin.replace("\n", " "),
+    "ts_replica_dedup" ->
+      s"""WITH raw AS (SELECT name, "user", big, t, v FROM ($oracleBase)
+         |             WHERE t BETWEEN $Mint AND $Maxt
+         |               AND regexp_matches(name, '^(?:click|error)$$')),
+         | reps AS (SELECT 'r0' AS rep, * FROM raw WHERE (t // 3600000) % 5 <> 0
+         |          UNION ALL
+         |          SELECT 'r1' AS rep, * FROM raw WHERE (t // 3600000) % 4 <> 0),
+         | wr AS (SELECT *, t - t % 86400000 AS w FROM reps),
+         | cnt AS (SELECT name, "user", big, w, rep, count(*) AS n FROM wr
+         |         GROUP BY name, "user", big, w, rep),
+         | el AS (SELECT name, "user", big, w, rep FROM
+         |          (SELECT *, row_number() OVER (PARTITION BY name, "user", big, w
+         |                                        ORDER BY n DESC, rep) AS rn FROM cnt)
+         |        WHERE rn = 1)
+         |SELECT w.name, w."user", w.t, w.v FROM wr w JOIN el e
+         |    ON w.name = e.name AND w."user" = e."user" AND w.big = e.big
+         |   AND w.w = e.w AND w.rep = e.rep
+         | ORDER BY w.name, w."user", w.t, w.v""".stripMargin.replace("\n", " "),
     "ts_rate" ->
       s"""SELECT name, "user", t, round((v - prev_v) / ((t - prev_t) / 1000.0), 6) AS rate
          | FROM (
