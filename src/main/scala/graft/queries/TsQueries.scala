@@ -793,6 +793,24 @@ object TsQueries {
         .orderBy(col("name"), col("user"), col("big"))
     }),
 
+    // the query-path payoff of downsampling: step-gridded
+    // sum/min/max/count/avg_over_time served from 6h windows — exact for
+    // window-aligned queries, reading resolution²-fewer rows than raw
+    "ts_prom_downsampled" -> ((s, dir) => {
+      val down = TsDownsample.downsample(
+        querier(s, dir).selectLong(Mint, Maxt, Seq(
+          LabelMatcher.eq(Labels.MetricName, "view"))), 21600000L)
+      TsDownsample.overTime(down, 21600000L, Mint, Maxt, 86400000L, 86400000L)
+        .select(
+          TsSchema.labelValue(col("labels"), Labels.MetricName).as("name"),
+          TsSchema.labelValue(col("labels"), "user").as("user"),
+          TsSchema.labelValue(col("labels"), "big").as("big"),
+          col("t"), col("n"), round(col("sum_v"), 2).as("sum_v"),
+          col("min_v"), col("max_v"),
+          round(col("sum_v") / col("n"), 6).as("avg_v"))
+        .orderBy(col("name"), col("user"), col("big"), col("t"))
+    }),
+
     // HA replica dedup (ReplicaDedup): two synthetic replicas with
     // deterministic sample gaps; per (series, 1d window) the replica with
     // the most samples is elected (tie → smallest name) and only its
@@ -868,6 +886,17 @@ object TsQueries {
          |       count(*) AS n_samples
          |  FROM lagd GROUP BY name, "user", big
          | ORDER BY name, "user", big""".stripMargin.replace("\n", " "),
+    "ts_prom_downsampled" ->
+      s"""WITH steps AS (SELECT unnest(range(${Mint + 86400000L}, ${Maxt + 1}, 86400000)) AS step_t),
+         | raw AS (SELECT name, "user", big, t, v FROM ($oracleBase)
+         |         WHERE t BETWEEN $Mint AND $Maxt AND name = 'view')
+         |SELECT r.name, r."user", r.big, s.step_t AS t, count(*) AS n,
+         |       round(sum(v), 2) AS sum_v, min(v) AS min_v, max(v) AS max_v,
+         |       round(sum(v) / count(*), 6) AS avg_v
+         |  FROM raw r JOIN steps s
+         |    ON r.t >= s.step_t - 86400000 AND r.t < s.step_t
+         | GROUP BY r.name, r."user", r.big, s.step_t
+         | ORDER BY r.name, r."user", r.big, s.step_t""".stripMargin.replace("\n", " "),
     "ts_replica_dedup" ->
       s"""WITH raw AS (SELECT name, "user", big, t, v FROM ($oracleBase)
          |             WHERE t BETWEEN $Mint AND $Maxt

@@ -77,6 +77,42 @@ object TsDownsample {
       .withColumn("block_start", col("w_t") - pmod(col("w_t"), lit(TsSchema.BlockMs)))
   }
 
+  /** Step-gridded `<agg>_over_time` served FROM the downsampled form —
+    * the query-path payoff: a range function over months reads
+    * resolution²-fewer rows than raw samples. Windows are combined
+    * whole, so the semantics are window-aligned: step instants
+    * `t_k = mint + k·step` see the samples in `[t_k - range, t_k)`
+    * (`step`, `range` and `t_k` all multiples of `resMs`) — for which
+    * the per-window aggregate set recombines EXACTLY (sum of sums,
+    * min of mins, …), no approximation at the edges.
+    *
+    * Same bounded-explode shape as the raw-path evaluator: a window at
+    * `w_t` serves steps `t_k ∈ [w_t + res, w_t + range]` — at most
+    * `range/step` ordinals per downsampled row — then one shuffle on
+    * (series, step). */
+  def overTime(down: DataFrame, resMs: Long, mint: Long, maxt: Long,
+               stepMs: Long, rangeMs: Long): DataFrame = {
+    require(stepMs % resMs == 0 && rangeMs % resMs == 0 &&
+      mint % resMs == 0, "step/range/mint must be multiples of the resolution")
+    val nSteps = (maxt - mint) / stepMs
+    // exact integral floor division: make the numerator divisible first,
+    // so the double divide is exact (Column./ is double division)
+    def floorDiv(a: Column, b: Long): Column =
+      ((a - pmod(a, lit(b))) / b).cast("long")
+    // smallest k with t_k >= w_t + res, largest with t_k <= w_t + range
+    val kLo = greatest(floorDiv(col("w_t") + (resMs - mint + stepMs - 1), stepMs), lit(0L))
+    val kHi = least(floorDiv(col("w_t") + (rangeMs - mint), stepMs), lit(nSteps))
+    down
+      .withColumn("k", explode(when(kLo <= kHi, sequence(kLo, kHi))
+        .otherwise(array().cast("array<long>"))))
+      .groupBy(col("fingerprint"), col("labels"), col("k"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+      .withColumn("t", lit(mint) + col("k") * stepMs)
+      .withColumn("avg_v", col("sum_v") / col("n"))
+      .drop("k")
+  }
+
   /** Exact counter increase per series over the downsampled rows in
     * `[mint, maxt]` (window-aligned bounds): Σ within-window `inc_v`
     * plus the reset-corrected delta across each consecutive pair of

@@ -59,6 +59,27 @@ class TsDownsampleSpec extends AnyFunSuite {
     assert(math.abs(inc - 91.0) < 1e-9)
   }
 
+  test("overTime from downsampled equals raw window-aligned aggregation") {
+    val res = 15 * 60000L
+    val step = 30 * 60000L
+    val down = TsDownsample.downsample(canonical(), res)
+    val got = TsDownsample.overTime(down, res, T0, T0 + 90 * 60000L, step, step)
+      .select(col("labels"), col("t"), col("n"), col("sum_v"), col("min_v"), col("max_v"))
+    // raw, window-aligned [t_k - range, t_k)
+    val steps = spark.range(1, 4).select((lit(T0) + col("id") * step).as("st"))
+    val raw = canonical().join(steps,
+      col("t") >= col("st") - step && col("t") < col("st"))
+      .groupBy(col("labels"), col("st"))
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"),
+        min("v").as("min_v"), max("v").as("max_v"))
+    val mismatch = got.alias("g").join(raw.alias("r"),
+      col("g.labels") === col("r.labels") && col("g.t") === col("r.st"), "full")
+      .where(col("g.n").isNull || col("r.n").isNull || col("g.n") =!= col("r.n") ||
+        abs(col("g.sum_v") - col("r.sum_v")) > 1e-9 ||
+        col("g.min_v") =!= col("r.min_v") || col("g.max_v") =!= col("r.max_v"))
+    assert(mismatch.count() == 0)
+  }
+
   test("resolution pick follows the min-points rule") {
     assert(TsDownsample.pick(60 * 60000L) == 5 * 60000L) // 1h step → 5m (12 pts)
     assert(TsDownsample.pick(3 * 60 * 60000L) == 60 * 60000L) // 3h step → 1h
