@@ -175,6 +175,37 @@ object StreamIngest {
     w.start()
   }
 
+  /** Continuous downsampling: each micro-batch appends to the raw store,
+    * then materializes every downsample resolution whose windows have
+    * closed (newest event time − `lagMs` past the window end). The
+    * marker inside each `_downsample/res=<r>` dir keeps replays
+    * incremental — an already-materialized window is never recomputed,
+    * the same contract as [[rulesStream]]'s rule markers. Query-time
+    * resolution choice then reads the coarsest materialized form
+    * ([[graft.tsdb.TsDownsample.pick]]). */
+  def downsampleStream(spark: SparkSession, inputDir: String, storePath: String,
+                       checkpoint: String,
+                       resolutions: Seq[Long] = graft.tsdb.TsDownsample.Ladder,
+                       lagMs: Long = 10 * 60 * 1000L,
+                       promoted: Seq[String] = TsSchema.DefaultPromoted,
+                       daemon: Boolean = false): StreamingQuery = {
+    val in = spark.readStream.schema(inputSchema).parquet(inputDir)
+    val canonical = TsSchema.canonicalize(in, promoted)
+    val w: DataStreamWriter[org.apache.spark.sql.Row] = canonical.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.partitionBy("block_start")
+          .mode(org.apache.spark.sql.SaveMode.Append).parquet(storePath)
+        resolutions.foreach { res =>
+          graft.tsdb.TsDownsample.materialize(
+            batch.sparkSession, storePath, res, lagMs, promoted)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (daemon) Trigger.ProcessingTime("5 seconds") else Trigger.AvailableNow())
+    w.start()
+  }
+
   /** Beyond-reference: watermarked tumbling-window aggregation per metric
     * name — the PromQL `sum/count by (__name__)` shape as a stream.
     * Late data beyond `watermark` is dropped; state is bounded. */

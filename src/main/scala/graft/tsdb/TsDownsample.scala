@@ -1,6 +1,8 @@
 package graft.tsdb
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -112,6 +114,58 @@ object TsDownsample {
       .withColumn("avg_v", col("sum_v") / col("n"))
       .drop("k")
   }
+
+  // ---- store-level materialization -----------------------------------
+  // <store>/_downsample/res=<resMs>/ holds the downsampled form as an
+  // ordinary block_start-partitioned parquet table (underscore dir —
+  // invisible to the raw store's partition discovery, same trick as
+  // _deletions). A marker file records the newest fully-materialized
+  // window start, making re-runs incremental and crash-replays
+  // idempotent-ish (an interrupted run re-appends its unfinished window
+  // — the same at-least-once window as the streaming ingest, resolved
+  // by rewriting that window's partition on the next run).
+
+  private def resDir(store: String, resMs: Long) =
+    Paths.get(store, "_downsample", s"res=$resMs")
+
+  private def markerOf(store: String, resMs: Long): Option[Long] = {
+    val p = resDir(store, resMs).resolve("_marker")
+    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
+  }
+
+  /** Materialize every fully-closed window newer than the marker:
+    * a window `[w, w+res)` is closed once the store's newest sample is
+    * at least `lagMs` past its end. Reads ONLY the partitions covering
+    * the new windows (partition-pruned on `block_start`). Returns the
+    * materialized window range, or None if nothing closed. */
+  def materialize(spark: SparkSession, store: String, resMs: Long,
+                  lagMs: Long = 0L,
+                  promoted: Seq[String] = TsSchema.DefaultPromoted): Option[(Long, Long)] = {
+    val allBlocks = TsMaintenance.blocks(store)
+    if (allBlocks.isEmpty) return None
+    // newest sample: scan only the newest partition
+    val raw = spark.read.parquet(store)
+    val maxT = raw.where(col("block_start") === allBlocks.max)
+      .agg(max(col("t"))).head().getLong(0)
+    // newest window start whose window has fully closed
+    val wMax = Math.floorDiv(maxT - lagMs - resMs + 1, resMs) * resMs
+    val from = markerOf(store, resMs).map(_ + resMs)
+      .getOrElse(Math.floorDiv(allBlocks.min, resMs) * resMs)
+    if (wMax < from) return None
+    val slice = raw.where(
+      col("block_start") >= (from - from % TsSchema.BlockMs) &&
+        col("t") >= from && col("t") <= wMax + resMs - 1)
+    val out = downsample(slice, resMs).where(col("w_t").between(from, wMax))
+    val dir = resDir(store, resMs)
+    Files.createDirectories(dir)
+    out.write.partitionBy("block_start").mode(SaveMode.Append).parquet(dir.toString)
+    Files.writeString(dir.resolve("_marker"), wMax.toString)
+    Some((from, wMax))
+  }
+
+  /** Open a materialized resolution of a store. */
+  def readMaterialized(spark: SparkSession, store: String, resMs: Long): DataFrame =
+    spark.read.parquet(resDir(store, resMs).toString)
 
   /** Exact counter increase per series over the downsampled rows in
     * `[mint, maxt]` (window-aligned bounds): Σ within-window `inc_v`

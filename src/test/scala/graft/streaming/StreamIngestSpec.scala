@@ -47,6 +47,44 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(s.head.samples.map(_.t) == s.head.samples.map(_.t).sorted)
   }
 
+  test("downsample stream: closed windows materialize incrementally") {
+    val root = Files.createTempDirectory("graft-downstream")
+    val in = root.resolve("in").toString
+    val store = root.resolve("store").toString
+    val ckpt = root.resolve("ckpt").toString
+    val res = 5 * 60 * 1000L // 5m ladder rung
+
+    // 100 samples @15s per series = 25 minutes; lag 1m → windows closed
+    // through minute 24 → w_t ∈ {0,5,10,15}m relative to the aligned start
+    writeBatch(in, 0, 100)
+    StreamIngest.downsampleStream(spark, in, store, ckpt,
+      resolutions = Seq(res), lagMs = 60 * 1000L).awaitTermination()
+    val t0 = 1700000000000L
+    val w0 = t0 - (t0 % res)
+    val d1 = TsDownsample.readMaterialized(spark, store, res)
+    val w1 = d1.select("w_t").distinct().collect().map(_.getLong(0)).sorted
+    assert(w1.nonEmpty && w1.head == w0 && w1.last < t0 + 100 * 15000L - 60000L)
+
+    // more data arrives: restart materializes ONLY the newly closed
+    // windows (no duplicates for already-materialized ones)
+    writeBatch(in, 100, 200)
+    StreamIngest.downsampleStream(spark, in, store, ckpt,
+      resolutions = Seq(res), lagMs = 60 * 1000L).awaitTermination()
+    val d2 = TsDownsample.readMaterialized(spark, store, res)
+    assert(d2.groupBy("fingerprint", "w_t").count().where(col("count") > 1).count() == 0)
+    assert(d2.select("w_t").distinct().count() > w1.length)
+
+    // materialized aggregates equal a batch downsample of the raw store
+    // over the same closed windows
+    val wMax = d2.agg(max("w_t")).head().getLong(0)
+    val batch = TsDownsample.downsample(
+      spark.read.parquet(store), res).where(col("w_t") <= wMax)
+    val joined = d2.alias("m").join(batch.alias("b"), Seq("labels", "w_t"), "full")
+      .where(col("m.n").isNull || col("b.n").isNull ||
+        col("m.n") =!= col("b.n") || abs(col("m.sum_v") - col("b.sum_v")) > 1e-9)
+    assert(joined.count() == 0)
+  }
+
   test("ingest+ship stream: closed windows become native blocks") {
     import spark.implicits._
     val t0 = 1700000000000L - (1700000000000L % TsSchema.BlockMs)
