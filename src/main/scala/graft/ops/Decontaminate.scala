@@ -42,6 +42,49 @@ object Decontaminate {
         col("overlap"))
   }
 
+  /** Fuzzy decontamination for when the benchmark itself is corpus-sized
+    * (multi-benchmark suites, paraphrased eval sets) and cannot be
+    * broadcast: cross-corpus MinHash-LSH. Both sides get the fused
+    * single-pass signatures; candidate (corpus, benchmark) pairs form
+    * only inside shared (band, band_key) buckets — an equi-join, never
+    * corpus × benchmark — and candidates verify by exact CONTAINMENT
+    * |C ∩ B| / |C| over the shingle-hash sets (containment, not Jaccard:
+    * a short benchmark item embedded in a long training doc must still
+    * flag it). Returns per flagged corpus doc its best-matching
+    * benchmark doc (max containment, ties → smallest id) and the number
+    * of matching benchmark docs.
+    *
+    * Scale: signatures are map-side on both sides; the band join and the
+    * two hash-set joins shuffle only ids, band keys and the (small)
+    * candidate set — the same bucket-local shape as [[Dedup.minhashLsh]],
+    * with no broadcast requirement on either input. */
+  def flagFuzzy(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                textCol: String, numHashes: Int = 16, bands: Int = 4,
+                shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val cs = Dedup.minhashSignatures(corpus, idCol, textCol, numHashes, shingleSize, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bs = Dedup.minhashSignatures(benchmark, idCol, textCol, numHashes, shingleSize, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = Dedup.lshBuckets(cs, bands)
+      .select(col("band"), col("band_key"), col("id").as("cid"))
+    val bb = Dedup.lshBuckets(bs, bands)
+      .select(col("band"), col("band_key"), col("id").as("bid"))
+    val cands = cb.join(bb, Seq("band", "band_key"))
+      .select(col("cid"), col("bid")).distinct()
+    cands
+      .join(cs.select(col("id").as("cid"), col("hs").as("chs")), "cid")
+      .join(bs.select(col("id").as("bid"), col("hs").as("bhs")), "bid")
+      .withColumn("containment", round(
+        size(array_intersect(col("chs"), col("bhs"))).cast("double") /
+          size(col("chs")), 6))
+      .where(col("containment") >= threshold)
+      .groupBy(col("cid"))
+      .agg(max(struct(col("containment").as("c"), (-col("bid")).as("nbid"))).as("best"),
+        count(lit(1)).as("n_matches"))
+      .select(col("cid").as("id"), col("best.c").as("containment"),
+        (-col("best.nbid")).cast("long").as("benchmark_id"), col("n_matches"))
+  }
+
   /** The complement workflow: corpus minus contaminated docs (the frame
     * a training job would actually read). */
   def clean(corpus: DataFrame, benchmark: DataFrame, idCol: String,

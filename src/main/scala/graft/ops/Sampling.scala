@@ -52,6 +52,30 @@ object Sampling {
       .where(col("cap_rank") <= k)
   }
 
+  /** Deterministic train/val/test split: each row lands in exactly one
+    * named bucket by hash range over the unit interval — reproducible
+    * across runs, engines and cluster sizes, and STABLE UNDER CORPUS
+    * GROWTH (a doc's assignment depends only on its own key, so adding
+    * data never reshuffles existing splits — the property that keeps a
+    * held-out set held out across dataset versions). Pure map-side.
+    * `splits` = (name, weight); weights need not sum to 1 — they are
+    * normalized. */
+  def split(df: DataFrame, keyCol: Column, splits: Seq[(String, Double)],
+            salt: String = "graft"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "bad split weights")
+    val total = splits.map(_._2).sum
+    val u = hashUnit(keyCol, salt)
+    val (assign, _) = splits.foldLeft((lit(null).cast("string"), 0.0)) {
+      case ((acc, cum), (name, wgt)) =>
+        val hi = cum + wgt / total
+        (when(u >= cum && u < hi, lit(name)).otherwise(acc), hi)
+    }
+    // float edge: u == normalized total is impossible (u < 1), but the
+    // last bucket's hi may fall just below 1 — close the interval
+    df.withColumn("split",
+      coalesce(assign, lit(splits.last._1)))
+  }
+
   /** Mixture weighting: per-stratum Bernoulli rates (e.g. up/down-weight
     * sources when composing a training mix). Unlisted strata drop out. */
   def weightedMix(df: DataFrame, stratumCol: Column, keyCol: Column,

@@ -160,6 +160,26 @@ object PipelineQueries {
         .orderBy(col("id"))
     }),
 
+    // fuzzy decontamination: cross-corpus MinHash-LSH (benchmark too big
+    // to broadcast) — candidates only in shared band buckets, verified by
+    // exact containment |C∩B|/|C|
+    "decontaminate_fuzzy" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.Decontaminate.flagFuzzy(
+        d.where(col("doc_id") % 10 =!= 0), d.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", numHashes = 16, bands = 4, shingleSize = 3,
+        threshold = 0.2)
+        .orderBy(col("id"))
+    }),
+
+    // deterministic hash-range train/val/test split — stable under
+    // corpus growth (assignment depends only on the doc's own key)
+    "sample_split" -> ((s, dir) =>
+      graft.ops.Sampling.split(
+        docs(s, dir).select(col("doc_id"), col("lang")),
+        col("doc_id"), splitSpec)
+        .orderBy(col("doc_id"))),
+
     // PII scrubbing: emails + long digit runs tagged; counts + digest of
     // the scrubbed text (map-side regexp_replace, no UDF)
     "text_pii_scrub" -> ((s, dir) =>
@@ -359,6 +379,19 @@ object PipelineQueries {
   /** Shared CTE chain producing `j(id1, id2, jaccard)` — the verified
     * MinHash-LSH candidate pairs (mirrors Dedup.minhashLsh at 16 hashes /
     * 4 bands / 3-shingles). */
+  /** Shared split spec for `sample_split` — the oracle regenerates the
+    * cumulative double boundaries with the same fold, so the SQL CASE
+    * carries bit-identical thresholds. */
+  private val splitSpec = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+
+  private def splitCaseSql(u: String): String = {
+    val total = splitSpec.map(_._2).sum
+    val his = splitSpec.scanLeft(0.0) { case (c, (_, w)) => c + w / total }.tail
+    val whens = splitSpec.zip(his).dropRight(1)
+      .map { case ((n, _), hi) => s"WHEN $u < $hi THEN '$n'" }.mkString(" ")
+    s"CASE $whens ELSE '${splitSpec.last._1}' END"
+  }
+
   private val lshPairCtes =
     s"""${tokCte(3)}, $hsCte, ${seedsCte(16)},
        | ex AS (SELECT doc_id, unnest(hs) AS h FROM hx),
@@ -547,6 +580,31 @@ object PipelineQueries {
          | SELECT doc_id AS id, c AS n_matched, n::BIGINT AS n_grams,
          |  round(c::DOUBLE / n, 6) AS overlap
          | FROM m WHERE round(c::DOUBLE / n, 6) >= 0.4 ORDER BY id""".om,
+    "decontaminate_fuzzy" ->
+      s"""WITH ${tokCte(3)}, $hsCte, ${seedsCte(16)},
+         | ex AS (SELECT doc_id, unnest(hs) AS h FROM hx),
+         | sig AS (SELECT doc_id, seed, min((h * a + b) % ${Dedup.MinhashP}) AS mh
+         |   FROM ex CROSS JOIN seeds GROUP BY doc_id, seed),
+         | bandkey AS (SELECT doc_id, seed // 4 AS band,
+         |   md5(string_agg(mh::VARCHAR, '|' ORDER BY seed)) AS band_key
+         |   FROM sig GROUP BY doc_id, band),
+         | cand AS (SELECT DISTINCT a.doc_id AS cid, b.doc_id AS bid
+         |   FROM bandkey a JOIN bandkey b
+         |     ON a.band = b.band AND a.band_key = b.band_key
+         |   WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0),
+         | j AS (SELECT cid, bid,
+         |   round(len(list_intersect(h1.hs, h2.hs))::DOUBLE / len(h1.hs), 6) AS containment
+         |   FROM cand JOIN hx h1 ON h1.doc_id = cid JOIN hx h2 ON h2.doc_id = bid),
+         | f AS (SELECT * FROM j WHERE containment >= 0.2),
+         | g AS (SELECT cid, max({'c': containment, 'nbid': -bid}) AS b,
+         |   count(*) AS n_matches FROM f GROUP BY cid)
+         | SELECT cid AS id, g.b.c AS containment,
+         |  CAST(-(g.b.nbid) AS BIGINT) AS benchmark_id, n_matches
+         | FROM g ORDER BY id""".om,
+    "sample_split" ->
+      s"""SELECT doc_id, lang,
+         | ${splitCaseSql(s"(${hex15.format("'graft' || CAST(doc_id AS VARCHAR)")} / 1152921504606846976.0)")} AS split
+         | FROM documents ORDER BY doc_id""".om,
     "text_pii_scrub" ->
       """SELECT doc_id,
         | len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
