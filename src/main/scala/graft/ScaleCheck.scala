@@ -111,6 +111,30 @@ object ScaleCheck {
         "sum by (job) (rate(metric_3[5m]))",
         t0ms, t0ms + nSamples.toLong * 30000L, 300000L).count()
     }
+
+    // --- round 4: downsampling at scale ---
+    // materialize the 1h ladder rung for the whole store (one window
+    // pass + one agg, both on the series key), then serve a long-range
+    // aggregation from it — the rows read drop by ~samples-per-hour×
+    val resMs = 3600000L
+    time("downsample materialize 1h, full store") {
+      graft.tsdb.TsDownsample.materialize(spark, dir, resMs, lagMs = 0L)
+    }
+    val down = graft.tsdb.TsDownsample.readMaterialized(spark, dir, resMs)
+    println(s"SCALE downsampled rows=${down.count()} " +
+      s"(raw ${nSeries.toLong * nSamples})")
+    val m0 = t0ms - t0ms % 86400000L
+    time("sum/min/max_over_time 1d windows @1d step, ALL series, from 1h downsample") {
+      graft.tsdb.TsDownsample.overTime(down, resMs,
+        m0, m0 + 3 * 86400000L, 86400000L, 86400000L).count()
+    }
+    time("same aggregation from raw samples (comparison)") {
+      spark.read.parquet(dir)
+        .where(col("t") >= m0 && col("t") < m0 + 3 * 86400000L)
+        .groupBy(col("fingerprint"), col("labels"),
+          (col("t") - pmod(col("t"), lit(86400000L))).as("w"))
+        .agg(count(lit(1)), sum(col("v")), min(col("v")), max(col("v"))).count()
+    }
     spark.stop()
   }
 }
