@@ -204,6 +204,10 @@ object TsQueries {
     // label names enumeration
     "ts_label_names" -> ((s, dir) => querier(s, dir).labelNames()),
 
+    // cardinality statistics (the /api/v1/status/tsdb analog): distinct
+    // values + series count per label name, over unique series only
+    "ts_cardinality" -> ((s, dir) => querier(s, dir).labelStats()),
+
     // P13 tombstone interval mask: deletions applied as a broadcast
     // anti-join (the reference's deletedIterator, querier.go:845-883 —
     // always-empty there, block.go:73-75; modeled as a real table here)
@@ -849,6 +853,13 @@ object TsQueries {
     "ts_label_names" ->
       """SELECT name FROM (SELECT '__name__' AS name UNION SELECT 'user'
         | UNION SELECT DISTINCT 'big' FROM events WHERE "value" >= 100) ORDER BY name""".stripMargin.replace("\n", " "),
+    "ts_cardinality" ->
+      s"""WITH series AS (SELECT DISTINCT name, "user", big FROM ($oracleBase)),
+         | lab AS (SELECT '__name__' AS label, name AS value FROM series
+         |   UNION ALL SELECT 'user', "user" FROM series
+         |   UNION ALL SELECT 'big', big FROM series WHERE big <> '')
+         |SELECT label, count(DISTINCT value) AS n_values, count(*) AS n_series
+         |  FROM lab GROUP BY label ORDER BY label""".stripMargin.replace("\n", " "),
     "ts_tombstone" ->
       s"""SELECT name, "user", t, v FROM ($oracleBase)
          | WHERE t BETWEEN $Mint AND $Maxt

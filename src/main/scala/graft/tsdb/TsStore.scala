@@ -148,6 +148,19 @@ final class TsQuerier(data: DataFrame, promoted: Seq[String] = TsSchema.DefaultP
   def labelNames(): DataFrame =
     data.select(explode(col("labels.name")).as("name"))
       .distinct().orderBy(col("name"))
+
+  /** Cardinality statistics per label name — the `/api/v1/status/tsdb`
+    * analog (label value counts, series counts): how an operator finds
+    * the label that is exploding the index. One distinct-series shuffle;
+    * the explode runs over unique series only, so cost scales with
+    * series count, not sample count. */
+  def labelStats(): DataFrame =
+    data.select(col("fingerprint"), col("labels")).distinct()
+      .select(explode(col("labels")).as("l"))
+      .groupBy(col("l.name").as("label"))
+      .agg(countDistinct(col("l.value")).as("n_values"),
+        count(lit(1)).as("n_series"))
+      .orderBy(col("label"))
 }
 
 object TsStore {
