@@ -39,10 +39,14 @@ object Proto {
       val bits = java.lang.Double.doubleToLongBits(v)
       (0 until 8).foreach(i => out.write(((bits >>> (8 * i)) & 0xff).toInt)) // little-endian
     }
+    def raw(field: Int, b: Array[Byte]): Unit = {
+      tag(field, 2); varint(b.length); out.write(b, 0, b.length)
+    }
     def msg(field: Int, body: W): Unit = {
       val b = body.out.toByteArray; tag(field, 2); varint(b.length); out.write(b, 0, b.length)
     }
     def bytes: Array[Byte] = out.toByteArray
+    def size: Int = out.size()
   }
 
   final class R(buf: Array[Byte], var pos: Int, val end: Int) {
@@ -67,6 +71,12 @@ object Proto {
       case 2 => pos += varint().toInt
       case 5 => pos += 4
     }
+    def byteAt(i: Int): Byte = buf(pos + i)
+    def advance(n: Int): Unit = pos += n
+    def take(n: Int): Array[Byte] = {
+      val a = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; a
+    }
+    def takeLen(): Array[Byte] = take(varint().toInt)
   }
 
   // ---- remote.proto messages ----
@@ -85,7 +95,12 @@ object Proto {
     case 2 => MatchType.Re; case 3 => MatchType.NotRe
   }
 
-  def encodeReadRequest(queries: Seq[Query]): Array[Byte] = {
+  /** `ReadRequest.accepted_response_types` values (`remote.proto`). */
+  val RespSamples = 0
+  val RespStreamedXorChunks = 1
+
+  def encodeReadRequest(queries: Seq[Query],
+                        acceptedResponseTypes: Seq[Int] = Seq.empty): Array[Byte] = {
     val w = new W
     queries.foreach { q =>
       val qw = new W
@@ -98,13 +113,31 @@ object Proto {
       }
       w.msg(1, qw)
     }
+    acceptedResponseTypes.foreach(t => w.i64(2, t.toLong))
     w.bytes
   }
 
-  def decodeReadRequest(bytes: Array[Byte]): Seq[Query] = {
+  def decodeReadRequest(bytes: Array[Byte]): Seq[Query] =
+    decodeReadRequestFull(bytes)._1
+
+  /** Queries + accepted response types (field 2 — packed or unpacked,
+    * both legal on the wire for a repeated proto3 enum). */
+  def decodeReadRequestFull(bytes: Array[Byte]): (Seq[Query], Set[Int]) = {
+    val accepted = scala.collection.mutable.Set[Int]()
     val out = scala.collection.mutable.ArrayBuffer[Query]()
     val r = new R(bytes)
     while (r.hasMore) r.tag() match {
+      case (2, 0) => accepted += r.varint().toInt
+      case (2, 2) =>
+        val pr = r.sub(); while (pr.hasMore) accepted += pr.varint().toInt
+      case other => decodeQueryField(other, r, out)
+    }
+    (out.toSeq, accepted.toSet)
+  }
+
+  private def decodeQueryField(tagWire: (Int, Int), r: R,
+                               out: scala.collection.mutable.ArrayBuffer[Query]): Unit =
+    tagWire match {
       case (1, 2) =>
         val qr = r.sub()
         var start = 0L; var end = 0L
@@ -127,8 +160,6 @@ object Proto {
         out += Query(start, end, ms.toSeq)
       case (_, wire) => r.skip(wire)
     }
-    out.toSeq
-  }
 
   /** One `TimeSeries` message (shared by QueryResult and WriteRequest —
     * remote.proto uses the same layout in both). */
@@ -162,6 +193,123 @@ object Proto {
       w.msg(1, rw)
     }
     w.bytes
+  }
+
+  // ---- STREAMED_XOR_CHUNKS response type (remote.proto's modern path) --
+  // ChunkedReadResponse { repeated ChunkedSeries chunked_series = 1;
+  //                       int64 query_index = 2; }
+  // ChunkedSeries { repeated Label labels = 1; repeated Chunk chunks = 2; }
+  // Chunk { int64 min_time_ms = 1; int64 max_time_ms = 2;
+  //         Encoding type = 3 (XOR = 1); bytes data = 4; }
+  // Each ChunkedReadResponse travels as its own frame:
+  //   uvarint(len) | 4-byte BE crc32c(data) | data   (no snappy — the
+  // XOR chunks are already compressed), so neither side ever holds more
+  // than one frame of the response in memory.
+
+  /** One ChunkedSeries message: labels + XOR-encoded sample groups. */
+  def encodeChunkedSeries(ss: SampleStream,
+                          maxSamplesPerChunk: Int = 120): W = {
+    val sw = new W
+    ss.labels.toSeq.sortBy(_._1).foreach { case (n, v) =>
+      val lw = new W; lw.str(1, n); lw.str(2, v); sw.msg(1, lw)
+    }
+    ss.samples.grouped(maxSamplesPerChunk).foreach { grp =>
+      val cw = new W
+      cw.i64(1, grp.head.t); cw.i64(2, grp.last.t)
+      cw.i64(3, 1) // Encoding.XOR
+      cw.raw(4, graft.tsdb.XorChunk.encode(grp))
+      sw.msg(2, cw)
+    }
+    sw
+  }
+
+  /** Frame one ChunkedReadResponse: uvarint length + BE crc32c + body. */
+  def frame(body: Array[Byte]): Array[Byte] = {
+    val crc = new java.util.zip.CRC32C
+    crc.update(body)
+    val head = new W
+    head.varint(body.length)
+    val out = new java.io.ByteArrayOutputStream
+    out.write(head.bytes)
+    val c = crc.getValue.toInt
+    out.write((c >>> 24) & 0xff); out.write((c >>> 16) & 0xff)
+    out.write((c >>> 8) & 0xff); out.write(c & 0xff)
+    out.write(body, 0, body.length)
+    out.toByteArray
+  }
+
+  /** Stream a query's series as framed ChunkedReadResponse messages to
+    * `sink`, batching series until ~`frameBytes` of encoded payload per
+    * frame. Peak memory = one frame. */
+  def writeChunkedFrames(series: Iterator[SampleStream], queryIndex: Long,
+                         sink: Array[Byte] => Unit,
+                         frameBytes: Int = 1 << 20): Unit = {
+    var batch = new W
+    var n = 0
+    def flush(): Unit = if (n > 0) {
+      batch.i64(2, queryIndex)
+      sink(frame(batch.bytes)); batch = new W; n = 0
+    }
+    series.foreach { ss =>
+      batch.msg(1, encodeChunkedSeries(ss)); n += 1
+      if (batch.size >= frameBytes) flush()
+    }
+    flush()
+  }
+
+  /** Parse a framed chunked response stream back into
+    * (queryIndex, series, chunks=(mint, maxt, xorBytes)) — the client
+    * side, used by the spec and any Scala consumer. Verifies each
+    * frame's crc32c. */
+  def decodeChunkedFrames(bytes: Array[Byte]): Seq[(Long, SampleStream, Seq[(Long, Long, Array[Byte])])] = {
+    val out = scala.collection.mutable.ArrayBuffer[(Long, SampleStream, Seq[(Long, Long, Array[Byte])])]()
+    val r = new R(bytes)
+    while (r.hasMore) {
+      val len = r.varint().toInt
+      val crcWant = ((r.byteAt(0) & 0xffL) << 24) | ((r.byteAt(1) & 0xffL) << 16) |
+        ((r.byteAt(2) & 0xffL) << 8) | (r.byteAt(3) & 0xffL)
+      r.advance(4)
+      val body = r.take(len)
+      val crc = new java.util.zip.CRC32C
+      crc.update(body)
+      require((crc.getValue & 0xffffffffL) == crcWant, "chunked frame crc mismatch")
+      // one ChunkedReadResponse
+      var qi = 0L
+      val br = new R(body)
+      val seriesInFrame = scala.collection.mutable.ArrayBuffer[(SampleStream, Seq[(Long, Long, Array[Byte])])]()
+      while (br.hasMore) br.tag() match {
+        case (1, 2) =>
+          val sr = br.sub()
+          val labels = scala.collection.mutable.LinkedHashMap[String, String]()
+          val chunks = scala.collection.mutable.ArrayBuffer[(Long, Long, Array[Byte])]()
+          while (sr.hasMore) sr.tag() match {
+            case (1, 2) =>
+              val lr = sr.sub(); var n = ""; var v = ""
+              while (lr.hasMore) lr.tag() match {
+                case (1, 2) => n = lr.str()
+                case (2, 2) => v = lr.str()
+                case (_, wire) => lr.skip(wire)
+              }
+              labels(n) = v
+            case (2, 2) =>
+              val cr = sr.sub(); var mint = 0L; var maxt = 0L; var data = Array.empty[Byte]
+              while (cr.hasMore) cr.tag() match {
+                case (1, 0) => mint = cr.varint()
+                case (2, 0) => maxt = cr.varint()
+                case (3, 0) => require(cr.varint() == 1L, "unexpected chunk encoding")
+                case (4, 2) => data = cr.takeLen()
+                case (_, wire) => cr.skip(wire)
+              }
+              chunks += ((mint, maxt, data))
+            case (_, wire) => sr.skip(wire)
+          }
+          seriesInFrame += ((SampleStream(labels.toMap, Seq.empty), chunks.toSeq))
+        case (2, 0) => qi = br.varint()
+        case (_, wire) => br.skip(wire)
+      }
+      seriesInFrame.foreach { case (ss, cks) => out += ((qi, ss, cks)) }
+    }
+    out.toSeq
   }
 
   /** remote.proto `WriteRequest{repeated TimeSeries timeseries = 1}`
@@ -273,21 +421,39 @@ final class RemoteReadServer(querier: => TsQuerier, port: Int = 0, threads: Int 
         ex.sendResponseHeaders(405, -1); ex.close()
       } else {
         val body = ex.getRequestBody.readAllBytes()
-        val queries = Proto.decodeReadRequest(Snappy.uncompress(body))
-        // toLocalIterator: the driver holds one task's series at a time
-        // plus the growing ENCODED buffer — peak memory is bounded by the
-        // wire size of the response, not by materialized row objects
+        val (queries, accepted) =
+          Proto.decodeReadRequestFull(Snappy.uncompress(body))
         import scala.jdk.CollectionConverters._
-        val resp = Snappy.compress(Proto.encodeReadResponseStreaming(
-          queries.map { q =>
-            querier.selectStreams(q.startMs, q.endMs, q.matchers)
-              .toLocalIterator().asScala
-          }))
-        ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
-        ex.getResponseHeaders.set("Content-Encoding", "snappy")
-        ex.sendResponseHeaders(200, resp.length)
-        ex.getResponseBody.write(resp)
-        ex.close()
+        if (accepted.contains(Proto.RespStreamedXorChunks)) {
+          // modern streamed path: each ChunkedReadResponse frame goes out
+          // as soon as it fills — neither side ever buffers the full
+          // response (the SAMPLES path below must, protocol-inherent)
+          ex.getResponseHeaders.set("Content-Type",
+            "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse")
+          ex.sendResponseHeaders(200, 0) // chunked transfer
+          val os = ex.getResponseBody
+          queries.zipWithIndex.foreach { case (q, i) =>
+            Proto.writeChunkedFrames(
+              querier.selectStreams(q.startMs, q.endMs, q.matchers)
+                .toLocalIterator().asScala,
+              i.toLong, b => { os.write(b); os.flush() })
+          }
+          ex.close()
+        } else {
+          // toLocalIterator: the driver holds one task's series at a time
+          // plus the growing ENCODED buffer — peak memory is bounded by
+          // the wire size of the response, not by materialized row objects
+          val resp = Snappy.compress(Proto.encodeReadResponseStreaming(
+            queries.map { q =>
+              querier.selectStreams(q.startMs, q.endMs, q.matchers)
+                .toLocalIterator().asScala
+            }))
+          ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
+          ex.getResponseHeaders.set("Content-Encoding", "snappy")
+          ex.sendResponseHeaders(200, resp.length)
+          ex.getResponseBody.write(resp)
+          ex.close()
+        }
       }
     } catch {
       case e: Exception =>

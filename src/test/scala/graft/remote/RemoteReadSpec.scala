@@ -78,6 +78,48 @@ class RemoteReadServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("STREAMED_XOR_CHUNKS: framed chunked response decodes to the same samples") {
+    val server = new RemoteReadServer(mkQuerier)
+    val port = server.start()
+    try {
+      val q = Proto.Query(1700000000000L, 1700000750000L - 1,
+        Seq(LabelMatcher.eq("__name__", "http_requests_total"),
+          LabelMatcher.eq("job", "web")))
+      val req = Proto.encodeReadRequest(Seq(q),
+        acceptedResponseTypes = Seq(Proto.RespStreamedXorChunks))
+      val http = HttpClient.newHttpClient()
+      val resp = http.send(
+        HttpRequest.newBuilder(new URI(s"http://127.0.0.1:$port/read"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(Snappy.compress(req))).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(resp.statusCode() == 200)
+      assert(resp.headers().firstValue("Content-Type").orElse("")
+        .startsWith("application/x-streamed-protobuf"))
+      // decode frames (crc32c verified inside), XOR-decode every chunk
+      val decoded = Proto.decodeChunkedFrames(resp.body())
+      assert(decoded.nonEmpty && decoded.forall(_._1 == 0L))
+      val streams = decoded.map { case (_, ss, chunks) =>
+        chunks.foreach { case (mint, maxt, _) => assert(mint <= maxt) }
+        ss.copy(samples = chunks.flatMap { case (_, _, data) =>
+          XorChunk.decode(data)
+        })
+      }
+      // must equal the SAMPLES-path result bit for bit
+      val want = mkQuerier.selectStreams(q.startMs, q.endMs, q.matchers).collect()
+      assert(streams.size == want.length)
+      streams.sortBy(s => Labels.fromMap(s.labels))(Labels.ordering)
+        .zip(want.sortBy(s => Labels.fromMap(s.labels))(Labels.ordering))
+        .foreach { case (got, w) =>
+          assert(got.labels == w.labels)
+          assert(got.samples == w.samples)
+        }
+      // chunk size discipline: ≤120 samples per chunk
+      decoded.foreach { case (_, _, chunks) =>
+        chunks.foreach { case (_, _, d) => assert(XorChunk.decode(d).size <= 120) }
+      }
+    } finally server.stop()
+  }
+
   test("remote-write → store → remote-read round-trip") {
     val store = java.nio.file.Files.createTempDirectory("rw-store").resolve("s").toString
     // serve reads over whatever has been written so far (lazy re-read)
