@@ -815,6 +815,23 @@ object TsQueries {
         .orderBy(col("name"), col("user"), col("big"), col("t"))
     }),
 
+    // step-gridded counter increase from the 6h downsampled form (2d
+    // windows at 1d steps) — exact: in-range window increases plus
+    // reset-corrected boundary deltas between consecutive rows
+    "ts_downsample_rate_steps" -> ((s, dir) => {
+      val down = TsDownsample.downsample(
+        querier(s, dir).selectLong(Mint, Maxt, Seq(
+          LabelMatcher.eq(Labels.MetricName, "error"))), 21600000L)
+      TsDownsample.increaseAtSteps(down, 21600000L, Mint, Maxt,
+        86400000L, 2 * 86400000L)
+        .select(
+          TsSchema.labelValue(col("labels"), Labels.MetricName).as("name"),
+          TsSchema.labelValue(col("labels"), "user").as("user"),
+          TsSchema.labelValue(col("labels"), "big").as("big"),
+          col("t"), round(col("increase"), 2).as("increase"), col("n_samples"))
+        .orderBy(col("name"), col("user"), col("big"), col("t"))
+    }),
+
     // HA replica dedup (ReplicaDedup): two synthetic replicas with
     // deterministic sample gaps; per (series, 1d window) the replica with
     // the most samples is elected (tie → smallest name) and only its
@@ -908,6 +925,20 @@ object TsQueries {
          |    ON r.t >= s.step_t - 86400000 AND r.t < s.step_t
          | GROUP BY r.name, r."user", r.big, s.step_t
          | ORDER BY r.name, r."user", r.big, s.step_t""".stripMargin.replace("\n", " "),
+    "ts_downsample_rate_steps" ->
+      s"""WITH steps AS (SELECT unnest(range($Mint, ${Maxt + 1}, 86400000)) AS step_t),
+         | raw AS (SELECT name, "user", big, t, v FROM ($oracleBase)
+         |         WHERE t BETWEEN $Mint AND $Maxt AND name = 'error'),
+         | stepped AS (SELECT r.*, s.step_t FROM raw r JOIN steps s
+         |   ON r.t >= s.step_t - ${2 * 86400000L} AND r.t < s.step_t),
+         | lagd AS (SELECT *, lag(v) OVER w AS pv FROM stepped
+         |   WINDOW w AS (PARTITION BY name, "user", big, step_t ORDER BY t))
+         |SELECT name, "user", big, step_t AS t,
+         |       round(sum(CASE WHEN pv IS NULL THEN 0
+         |                      WHEN v >= pv THEN v - pv ELSE v END), 2) AS increase,
+         |       count(*) AS n_samples
+         |  FROM lagd GROUP BY name, "user", big, step_t
+         | ORDER BY name, "user", big, step_t""".stripMargin.replace("\n", " "),
     "ts_replica_dedup" ->
       s"""WITH raw AS (SELECT name, "user", big, t, v FROM ($oracleBase)
          |             WHERE t BETWEEN $Mint AND $Maxt

@@ -92,8 +92,12 @@ object TsDownsample {
     * `w_t` serves steps `t_k ∈ [w_t + res, w_t + range]` — at most
     * `range/step` ordinals per downsampled row — then one shuffle on
     * (series, step). */
-  def overTime(down: DataFrame, resMs: Long, mint: Long, maxt: Long,
-               stepMs: Long, rangeMs: Long): DataFrame = {
+  /** Bounded step-ordinal explode shared by the downsampled serving
+    * paths: a window at `w_t` serves steps `t_k ∈ [w_t+res, w_t+range]`
+    * (the windows fully inside `[t_k - range, t_k)`), ≤ range/step
+    * ordinals per row. */
+  private def atSteps(down: DataFrame, resMs: Long, mint: Long, maxt: Long,
+                      stepMs: Long, rangeMs: Long): DataFrame = {
     require(stepMs % resMs == 0 && rangeMs % resMs == 0 &&
       mint % resMs == 0, "step/range/mint must be multiples of the resolution")
     val nSteps = (maxt - mint) / stepMs
@@ -101,17 +105,42 @@ object TsDownsample {
     // so the double divide is exact (Column./ is double division)
     def floorDiv(a: Column, b: Long): Column =
       ((a - pmod(a, lit(b))) / b).cast("long")
-    // smallest k with t_k >= w_t + res, largest with t_k <= w_t + range
     val kLo = greatest(floorDiv(col("w_t") + (resMs - mint + stepMs - 1), stepMs), lit(0L))
     val kHi = least(floorDiv(col("w_t") + (rangeMs - mint), stepMs), lit(nSteps))
-    down
-      .withColumn("k", explode(when(kLo <= kHi, sequence(kLo, kHi))
-        .otherwise(array().cast("array<long>"))))
+    down.withColumn("k", explode(when(kLo <= kHi, sequence(kLo, kHi))
+      .otherwise(array().cast("array<long>"))))
+  }
+
+  def overTime(down: DataFrame, resMs: Long, mint: Long, maxt: Long,
+               stepMs: Long, rangeMs: Long): DataFrame = {
+    atSteps(down, resMs, mint, maxt, stepMs, rangeMs)
       .groupBy(col("fingerprint"), col("labels"), col("k"))
       .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"),
         min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
       .withColumn("t", lit(mint) + col("k") * stepMs)
       .withColumn("avg_v", col("sum_v") / col("n"))
+      .drop("k")
+  }
+
+  /** Step-gridded counter increase from downsampled windows — the
+    * `increase(metric[range])` shape at a step grid, window-aligned like
+    * [[overTime]] and EXACT like [[increaseOver]]: per step, the sum of
+    * the in-range windows' `inc_v` plus the reset-corrected delta across
+    * each consecutive pair of rows in the range. One step-explode, one
+    * window sort, one aggregation — all keyed on (series, step). */
+  def increaseAtSteps(down: DataFrame, resMs: Long, mint: Long, maxt: Long,
+                      stepMs: Long, rangeMs: Long): DataFrame = {
+    val w = Window.partitionBy(col("fingerprint"), col("labels"), col("k"))
+      .orderBy(col("w_t"))
+    atSteps(down, resMs, mint, maxt, stepMs, rangeMs)
+      .withColumn("prev_last", lag(col("last_v"), 1).over(w))
+      .withColumn("bnd", when(col("prev_last").isNull, lit(0.0))
+        .otherwise(when(col("first_v") >= col("prev_last"), col("first_v") - col("prev_last"))
+          .otherwise(col("first_v"))))
+      .groupBy(col("fingerprint"), col("labels"), col("k"))
+      .agg(sum(col("inc_v") + col("bnd")).as("increase"),
+        sum(col("n")).as("n_samples"))
+      .withColumn("t", lit(mint) + col("k") * stepMs)
       .drop("k")
   }
 

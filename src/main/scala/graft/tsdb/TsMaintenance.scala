@@ -70,4 +70,35 @@ object TsMaintenance {
     if (dropped.nonEmpty) spark.catalog.refreshByPath(store)
     dropped
   }
+
+  /** Thanos-style retention ladder: raw samples age out first, each
+    * downsampled resolution keeps its own (longer) horizon — the storage
+    * contract that makes a year of 1h aggregates cost less than a week
+    * of raw samples. `ladder` maps resolution (ms) → retain-after cutoff
+    * (drop windows entirely before it); `rawRetainAfterMs` is the raw
+    * store's cutoff. Every drop is a whole-partition delete (2h-aligned
+    * block dirs), never a rewrite. Returns (resolution → dropped
+    * block_starts), with resolution 0 = raw. */
+  def applyRetentionLadder(spark: SparkSession, store: String,
+                           rawRetainAfterMs: Long,
+                           ladder: Map[Long, Long]): Map[Long, Seq[Long]] = {
+    val rawDropped = applyRetention(spark, store, rawRetainAfterMs)
+    val downDropped = ladder.map { case (resMs, cutoff) =>
+      val dir = Paths.get(store, "_downsample", s"res=$resMs")
+      if (!Files.isDirectory(dir)) resMs -> Seq.empty[Long]
+      else {
+        val dropped = blocks(dir.toString)
+          .filter(b => b + TsSchema.BlockMs <= cutoff).map { b =>
+            val pdir = dir.resolve(s"block_start=$b")
+            dataFiles(pdir).foreach(Files.delete)
+            Files.list(pdir).iterator().asScala.toSeq.foreach(Files.delete)
+            Files.delete(pdir)
+            b
+          }
+        if (dropped.nonEmpty) spark.catalog.refreshByPath(dir.toString)
+        resMs -> dropped
+      }
+    }
+    downDropped + (0L -> rawDropped)
+  }
 }

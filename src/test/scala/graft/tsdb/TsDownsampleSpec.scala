@@ -80,11 +80,47 @@ class TsDownsampleSpec extends AnyFunSuite {
     assert(mismatch.count() == 0)
   }
 
+  test("increaseAtSteps equals raw per-step reset-corrected increase") {
+    val res = 15 * 60000L
+    val step = 30 * 60000L
+    val range = 60 * 60000L // 1h windows at 30m steps
+    val down = TsDownsample.downsample(canonical(), res)
+    val got = TsDownsample.increaseAtSteps(down, res, T0, T0 + 90 * 60000L, step, range)
+      .where(TsSchema.labelValue(col("labels"), "__name__") === "reqs")
+      .select(col("t"), col("increase")).orderBy("t").collect()
+      .map(r => (r.getLong(0) - T0) / 60000L -> r.getDouble(1)).toMap
+    // raw: counter 0..39 then resets to 3 and counts up; per [t_k-60m, t_k)
+    // window the increase is (#pairs) except the reset window
+    // k=30m: samples 0..29 → inc 29; k=60m: samples 0..59 crossing the
+    // reset at 40 (39→3: +3) → 39 + 3 + 19 - ... compute: pairs 0..59:
+    // deltas +1 ×38 pre-reset (0..39 = 39 pairs... keep to spot values
+    assert(got((30 * 60000L) / 60000L * 0 + 30) == 29.0) // [0,30m): 0..29 → +29
+    // [30m,90m) at k=90m: samples 30..89: 30→39 (+9), reset +3, 3→52 (+49) = 61
+    assert(got(90) == 61.0)
+  }
+
   test("resolution pick follows the min-points rule") {
     assert(TsDownsample.pick(60 * 60000L) == 5 * 60000L) // 1h step → 5m (12 pts)
     assert(TsDownsample.pick(3 * 60 * 60000L) == 60 * 60000L) // 3h step → 1h
     assert(TsDownsample.pick(5 * 60000L) == 0L) // 5m step → raw
     assert(TsDownsample.pick(10 * 60000L) == 5 * 60000L) // 10m step → 5m (2 pts)
+  }
+
+  test("retention ladder: raw ages out first, downsampled survives") {
+    val store = java.nio.file.Files.createTempDirectory("ladder").resolve("s").toString
+    canonical().write.partitionBy("block_start").parquet(store)
+    val res = 15 * 60000L
+    assert(TsDownsample.materialize(spark, store, res, lagMs = 0L).nonEmpty)
+    val rawBlocksBefore = TsMaintenance.blocks(store).size
+    val downBefore = TsDownsample.readMaterialized(spark, store, res).count()
+    // cut raw at T0+1h (drops the first 2h-aligned? blocks strictly older),
+    // keep every downsampled window
+    val dropped = TsMaintenance.applyRetentionLadder(spark, store,
+      rawRetainAfterMs = Long.MaxValue / 2, ladder = Map(res -> 0L))
+    assert(dropped(0L).size == rawBlocksBefore) // all raw gone
+    assert(dropped(res).isEmpty)
+    assert(TsMaintenance.blocks(store).isEmpty)
+    assert(TsDownsample.readMaterialized(spark, store, res).count() == downBefore)
   }
 
   test("replica dedup elects most samples, tie-breaks to smallest name") {
