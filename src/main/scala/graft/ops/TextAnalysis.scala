@@ -156,6 +156,30 @@ object TextAnalysis {
         col("df_docs"), col("tfidf"))
   }
 
+  /** CCNet-style language-model quality scoring: per-document mean
+    * negative log-likelihood under an add-one-smoothed unigram model
+    * fitted on the corpus itself (low = looks like the corpus, high =
+    * outlier/noise — the standard LM-filter signal, deterministic here
+    * so an auditor recomputes it exactly).
+    *
+    * Scale: one token-keyed aggregation builds the model, one token-keyed
+    * join scores against it — the model table shuffles alongside the
+    * token stream, so it may exceed any single executor's memory (no
+    * broadcast needed; Catalyst broadcasts it anyway when small). The
+    * two scalar totals (token count, vocabulary size) are the only
+    * driver-side values. */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(graft.functions.tokens(col(textCol))).as("tok"))
+    val lm = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val t = lm.agg(sum(col("c")), count(lit(1))).head()
+    val denom = t.getLong(0) + t.getLong(1) // N + V (add-one smoothing)
+    toks.join(lm, "tok")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log((col("c") + 1) / lit(denom.toDouble))), 6).as("nll"))
+  }
+
   /** Convenience: annotate a documents DataFrame with all analyses. */
   def annotate(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("features", qualityFeatures(col(textCol)))

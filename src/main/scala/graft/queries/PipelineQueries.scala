@@ -180,6 +180,13 @@ object PipelineQueries {
         col("doc_id"), splitSpec)
         .orderBy(col("doc_id"))),
 
+    // CCNet-style LM quality scoring: mean NLL under an add-one unigram
+    // model fitted on the corpus (outlier docs score high)
+    "text_unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"), col("nll"))
+        .orderBy(col("doc_id"))),
+
     // PII scrubbing: emails + long digit runs tagged; counts + digest of
     // the scrubbed text (map-side regexp_replace, no UDF)
     "text_pii_scrub" -> ((s, dir) =>
@@ -605,6 +612,15 @@ object PipelineQueries {
       s"""SELECT doc_id, lang,
          | ${splitCaseSql(s"(${hex15.format("'graft' || CAST(doc_id AS VARCHAR)")} / 1152921504606846976.0)")} AS split
          | FROM documents ORDER BY doc_id""".om,
+    "text_unigram_logprob" ->
+      s"""WITH ${tokCte(1)},
+         | ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         | lm AS (SELECT tok, count(*) AS c FROM ex GROUP BY tok),
+         | tot AS (SELECT CAST(sum(c) + count(*) AS DOUBLE) AS denom FROM lm)
+         | SELECT doc_id, count(*) AS n_tokens,
+         |  round(avg(-ln((c + 1) / denom)), 6) AS nll
+         | FROM ex JOIN lm USING (tok) CROSS JOIN tot
+         | GROUP BY doc_id ORDER BY doc_id""".om,
     "text_pii_scrub" ->
       """SELECT doc_id,
         | len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
