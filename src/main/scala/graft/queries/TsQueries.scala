@@ -832,6 +832,22 @@ object TsQueries {
         .orderBy(col("name"), col("user"), col("big"), col("t"))
     }),
 
+    // Thanos-Querier-style federation (TsFederatedQuerier): two
+    // OVERLAPPING store shards (split at mid-range with a 2-day overlap)
+    // fan in; exact duplicate samples collapse by (series, t) — the
+    // result must equal a single-store select, which is the oracle
+    "ts_federated_select" -> ((s, dir) => {
+      val mid = (Mint + Maxt) / 2
+      val full = store(s, dir)
+      val shard1 = new TsQuerier(full.where(col("t") <= mid + 86400000L),
+        promoted = Seq(Labels.MetricName))
+      val shard2 = new TsQuerier(full.where(col("t") >= mid - 86400000L),
+        promoted = Seq(Labels.MetricName))
+      val fed = new TsFederatedQuerier(Seq(shard1, shard2), dedupOverlap = true)
+      flat(fed.selectLong(Mint, Maxt, Seq(
+        LabelMatcher.re(Labels.MetricName, "click|error"))))
+    }),
+
     // HA replica dedup (ReplicaDedup): two synthetic replicas with
     // deterministic sample gaps; per (series, 1d window) the replica with
     // the most samples is elected (tie → smallest name) and only its
@@ -925,6 +941,7 @@ object TsQueries {
          |    ON r.t >= s.step_t - 86400000 AND r.t < s.step_t
          | GROUP BY r.name, r."user", r.big, s.step_t
          | ORDER BY r.name, r."user", r.big, s.step_t""".stripMargin.replace("\n", " "),
+    "ts_federated_select" -> flatOracle("regexp_matches(name, '^(?:click|error)$')"),
     "ts_downsample_rate_steps" ->
       s"""WITH steps AS (SELECT unnest(range($Mint, ${Maxt + 1}, 86400000)) AS step_t),
          | raw AS (SELECT name, "user", big, t, v FROM ($oracleBase)
