@@ -76,4 +76,58 @@ object VectorExpressions {
     GraftSqlBridge.column(CosineSimilarityExpr(
       GraftSqlBridge.expression(a.cast("array<double>")),
       GraftSqlBridge.expression(b.cast("array<double>"))))
+
+  /** Column wrapper: codegen'd product-quantization encode. */
+  def pq_encode_native(v: Column, codebook: Array[Double],
+                       m: Int, k: Int, subDim: Int): Column =
+    GraftSqlBridge.column(PqEncodeExpr(
+      GraftSqlBridge.expression(v.cast("array<double>")), codebook, m, k, subDim))
+}
+
+/** Product-quantization encoder: assigns each subvector of an
+  * `ARRAY<DOUBLE>` to its nearest codebook centroid (L2, ties to the
+  * lowest index — the deterministic choice an external engine can
+  * replicate). The flat codebook rides along as a referenced object;
+  * `compute` is a primitive triple loop (m × k × subDim) and
+  * `doGenCode` keeps the single call inside whole-stage codegen — the
+  * HOF formulation would interpret ~m·k·subDim lambda frames per row. */
+case class PqEncodeExpr(child: Expression, codebook: Array[Double],
+                        m: Int, k: Int, subDim: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType,
+      containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  def compute(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = Double.MaxValue; var bc = 0
+      var c = 0
+      while (c < k) {
+        var d = 0.0; var i = 0
+        while (i < subDim) {
+          val x = v.getDouble(j * subDim + i) - codebook(j * k * subDim + c * subDim + i)
+          d += x * x; i += 1
+        }
+        if (d < best) { best = d; bc = c }
+        c += 1
+      }
+      codes(j) = bc; j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqEncode", this, classOf[PqEncodeExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

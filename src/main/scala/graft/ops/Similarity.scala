@@ -273,4 +273,75 @@ object Similarity {
       .where(col("rnk") <= k)
       .select(col("query_id"), col("rnk").cast("long").as("rnk"), col("corpus_id"), col("cos"))
   }
+
+  // ---- product quantization (the memory rung between SQ and IVF) ------
+  // m subspaces × k centroids: a D-dim float64 vector becomes m bytes
+  // (m=8, k=16 → 8 codes for a 64-dim vector, 64× smaller than float64).
+  // Codebooks are a DETERMINISTIC hash-ranked sample of the corpus's own
+  // subvectors (the md5 ranking [[Sampling.stratifiedQuota]] uses), so —
+  // like the SQ path — the codes, the reconstructions and the search
+  // results are exactly reproducible by an external engine: the
+  // approximate path still gets an exact oracle.
+
+  /** Per-subspace codebooks: for subspace j, the k corpus subvectors
+    * with the smallest md5("<salt><j>_<id>") hash, in hash order
+    * (centroid index = hash rank). Flat layout
+    * `[j][centroid][dim] → j·k·subDim + c·subDim + i`. TakeOrdered per
+    * subspace: k·m vectors ever reach the driver. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  m: Int = 8, k: Int = 16,
+                  salt: String = "pq"): Array[Double] = {
+    val v = col(vecCol).cast("array<double>")
+    val dim = corpus.select(size(v)).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val flat = new Array[Double](m * k * sub)
+    (0 until m).foreach { j =>
+      val rows = corpus
+        .select(slice(v, j * sub + 1, sub).as("sv"),
+          Dedup.hash60(concat(lit(s"$salt${j}_"), col(idCol).cast("string"))).as("h"))
+        .orderBy(col("h")).limit(k).collect()
+      rows.zipWithIndex.foreach { case (r, c) =>
+        val sv = r.getSeq[Double](0)
+        (0 until sub).foreach(i => flat(j * k * sub + c * sub + i) = sv(i))
+      }
+    }
+    flat
+  }
+
+  /** Encode a corpus against trained codebooks: one codegen'd pass per
+    * row ([[graft.functions.PqEncodeExpr]]), map-side only. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebook: Array[Double], m: Int = 8, k: Int = 16): DataFrame = {
+    val sub = codebook.length / (m * k)
+    corpus.select(col(idCol).as("id"),
+      VectorExpressions.pq_encode_native(col(vecCol), codebook, m, k, sub).as("codes"))
+  }
+
+  /** Asymmetric PQ top-k: exact query vectors against corpus vectors
+    * reconstructed from their codes (same search shape as [[sqTopK]];
+    * the reconstruction is a cheap per-element codebook lookup). */
+  def pqTopK(queries: DataFrame, encoded: DataFrame, qId: String, qVec: String,
+             codebook: Array[Double], m: Int, k: Int, topK: Int): DataFrame = {
+    val sub = codebook.length / (m * k)
+    val cbLit = array(codebook.map(lit): _*)
+    // recon[d] = cb[j(d)][codes[j(d)]][d mod sub]; codes bound once via
+    // the single-element transform trick
+    val recon = element_at(transform(array(struct(col("codes").as("cs"))), s =>
+      transform(sequence(lit(0), lit(m * sub - 1)), d => {
+        val j = ((d - pmod(d, lit(sub))) / sub).cast("int")
+        element_at(cbLit,
+          (j * (k * sub) + element_at(s.getField("cs"), j + 1) * sub +
+            pmod(d, lit(sub)) + 1).cast("int"))
+      })), 1)
+    val q = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("qv"))
+    val c = encoded.select(col("id").as("corpus_id"), recon.as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", round(cosine_native(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topK)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"), col("corpus_id"), col("cos"))
+  }
 }

