@@ -94,4 +94,13 @@ object Decontaminate {
       flag(corpus, benchmark, idCol, textCol, shingleSize, threshold)
         .select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
+
+  /** Fuzzy complement: corpus minus [[flagFuzzy]]-flagged docs. */
+  def cleanFuzzy(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                 textCol: String, numHashes: Int = 16, bands: Int = 4,
+                 shingleSize: Int = 3, threshold: Double = 0.5): DataFrame =
+    corpus.join(
+      flagFuzzy(corpus, benchmark, idCol, textCol, numHashes, bands,
+        shingleSize, threshold).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
 }

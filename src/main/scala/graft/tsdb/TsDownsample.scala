@@ -196,6 +196,54 @@ object TsDownsample {
   def readMaterialized(spark: SparkSession, store: String, resMs: Long): DataFrame =
     spark.read.parquet(resDir(store, resMs).toString)
 
+  /** Materialized resolutions available for a store (ascending). */
+  def resolutions(store: String): Seq[Long] = {
+    val d = Paths.get(store, "_downsample")
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(d).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("res="))
+        .map(_.stripPrefix("res=").toLong).toSeq.sorted
+    }
+  }
+
+  /** Query-time auto-resolution: serve a step-gridded over_time from the
+    * COARSEST materialized resolution the step supports ([[pick]] over
+    * what [[materialize]] has produced, further restricted to exact
+    * alignment), falling back to raw samples when none fits. This is the
+    * single call a dashboard backend makes: zoomed-out panels hit the 1h
+    * form, zoomed-in panels hit raw, same answer shape either way. */
+  def autoOverTime(spark: SparkSession, store: String, canonicalRaw: DataFrame,
+                   mint: Long, maxt: Long, stepMs: Long, rangeMs: Long): DataFrame = {
+    val usable = resolutions(store).filter(r =>
+      stepMs % r == 0 && rangeMs % r == 0 && mint % r == 0)
+    pick(stepMs, usable) match {
+      case 0L =>
+        // raw fallback: same window-aligned [t_k - range, t_k) semantics.
+        // A sample at t serves steps t_k ∈ (t, t + range]; exact integral
+        // floor division via the pmod trick (Column./ is double division)
+        val nSteps = (maxt - mint) / stepMs
+        def floorDiv(a: Column, b: Long): Column =
+          ((a - pmod(a, lit(b))) / b).cast("long")
+        val kLo = greatest(floorDiv(col("t") - mint, stepMs) + 1, lit(0L))
+        val kHi = least(floorDiv(col("t") - mint + rangeMs, stepMs), lit(nSteps))
+        canonicalRaw
+          .where(col("t") >= mint - rangeMs && col("t") <= maxt)
+          .withColumn("k", explode(when(kLo <= kHi, sequence(kLo, kHi))
+            .otherwise(array().cast("array<long>"))))
+          .groupBy(col("fingerprint"), col("labels"), col("k"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+            min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+          .withColumn("t", lit(mint) + col("k") * stepMs)
+          .withColumn("avg_v", col("sum_v") / col("n"))
+          .drop("k")
+      case res =>
+        overTime(readMaterialized(spark, store, res), res, mint, maxt, stepMs, rangeMs)
+    }
+  }
+
   /** Exact counter increase per series over the downsampled rows in
     * `[mint, maxt]` (window-aligned bounds): Σ within-window `inc_v`
     * plus the reset-corrected delta across each consecutive pair of

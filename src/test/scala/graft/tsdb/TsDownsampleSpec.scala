@@ -106,6 +106,31 @@ class TsDownsampleSpec extends AnyFunSuite {
     assert(TsDownsample.pick(10 * 60000L) == 5 * 60000L) // 10m step → 5m (2 pts)
   }
 
+  test("autoOverTime routes to downsampled and matches the raw fallback") {
+    val store = java.nio.file.Files.createTempDirectory("auto").resolve("s").toString
+    canonical().write.partitionBy("block_start").parquet(store)
+    val res = 15 * 60000L
+    TsDownsample.materialize(spark, store, res, lagMs = 0L)
+    val step = 30 * 60000L
+    val raw = spark.read.parquet(store)
+    val cols = Seq("labels", "t", "n", "round(sum_v, 9) AS sum_v", "min_v", "max_v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr(cols: _*).collect().map(_.toString).sorted.toSeq
+    // query only CLOSED windows (the 90-minute corpus has an incomplete
+    // last 15m window that materialize correctly excludes); step
+    // supports the 15m rung (2 points per step) → routed downsampled
+    val a = rows(TsDownsample.autoOverTime(spark, store, raw,
+      T0, T0 + 60 * 60000L, step, step))
+    // destroy the materialized form → raw fallback, same answer
+    val d = java.nio.file.Paths.get(store, "_downsample")
+    java.nio.file.Files.walk(d)
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.delete(p))
+    val b = rows(TsDownsample.autoOverTime(spark, store, raw,
+      T0, T0 + 60 * 60000L, step, step))
+    assert(a.nonEmpty && a == b)
+  }
+
   test("retention ladder: raw ages out first, downsampled survives") {
     val store = java.nio.file.Files.createTempDirectory("ladder").resolve("s").toString
     canonical().write.partitionBy("block_start").parquet(store)
