@@ -312,7 +312,8 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
 
   private val arith: Map[String, (Column, Column) => Column] = Map(
     "+" -> (_ + _), "-" -> (_ - _), "*" -> (_ * _), "/" -> (_ / _),
-    "%" -> ((a, b) => a % b), "^" -> ((a, b) => pow(a, b)))
+    "%" -> ((a, b) => a % b), "^" -> ((a, b) => pow(a, b)),
+    "atan2" -> ((a, b) => atan2(a, b)))
   private val cmp: Map[String, (Column, Column) => Column] = Map(
     ">" -> (_ > _), "<" -> (_ < _), ">=" -> (_ >= _), "<=" -> (_ <= _),
     "==" -> (_ === _), "!=" -> (_ =!= _))
@@ -508,6 +509,21 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
       case "log2" => log2(_)
       case "log10" => log10(_)
       case "clamp" => v => least(greatest(v, lit(ps(0))), lit(ps(1)))
+      // trigonometric family (Prometheus 2.31+); deg/rad per upstream
+      case "sin" => sin(_)
+      case "cos" => cos(_)
+      case "tan" => tan(_)
+      case "asin" => asin(_)
+      case "acos" => acos(_)
+      case "atan" => atan(_)
+      case "sinh" => sinh(_)
+      case "cosh" => cosh(_)
+      case "tanh" => tanh(_)
+      case "asinh" => asinh(_)
+      case "acosh" => acosh(_)
+      case "atanh" => atanh(_)
+      case "deg" => v => degrees(v)
+      case "rad" => v => radians(v)
       case "clamp_min" => v => greatest(v, lit(ps(0)))
       case "clamp_max" => v => least(v, lit(ps(0)))
       // calendar functions read the VALUE as epoch seconds in UTC

@@ -202,7 +202,10 @@ final class Parser(input: String) {
     "timestamp" -> 0,
     "minute" -> 0, "hour" -> 0, "day_of_week" -> 0, "day_of_month" -> 0,
     "day_of_year" -> 0, "days_in_month" -> 0, "month" -> 0, "year" -> 0,
-    "clamp" -> 2, "clamp_min" -> 1, "clamp_max" -> 1)
+    "clamp" -> 2, "clamp_min" -> 1, "clamp_max" -> 1,
+    "sin" -> 0, "cos" -> 0, "tan" -> 0, "asin" -> 0, "acos" -> 0,
+    "atan" -> 0, "sinh" -> 0, "cosh" -> 0, "tanh" -> 0,
+    "asinh" -> 0, "acosh" -> 0, "atanh" -> 0, "deg" -> 0, "rad" -> 0)
 
   /** Calendar functions default their argument to `vector(time())`. */
   private val calendarFns = Set("minute", "hour", "day_of_week",
@@ -340,6 +343,9 @@ final class Parser(input: String) {
     } else if (name == "time") {
       ws(); eat('('); ws(); eat(')')
       TimeE
+    } else if (name == "pi") {
+      ws(); eat('('); ws(); eat(')')
+      Num(math.Pi)
     } else if (name == "vector" || name == "scalar") {
       ws(); eat('(')
       val arg = parseExpr(0)
@@ -462,9 +468,9 @@ final class Parser(input: String) {
     Seq("and", "unless"),                  // 1 (set intersect / minus)
     Seq("==", "!=", ">=", "<=", ">", "<"), // 2 (comparisons filter)
     Seq("+", "-"),                         // 3
-    Seq("*", "/", "%"),                    // 4
+    Seq("*", "/", "%", "atan2"),           // 4 (atan2: keyword, same tier)
     Seq("^"))                              // 5
-  private val keywordOps = Set("or", "and", "unless")
+  private val keywordOps = Set("or", "and", "unless", "atan2")
 
   private def parseExpr(minPrec: Int): PromExpr = {
     var left = unary()

@@ -328,6 +328,24 @@ class PromQLSpec extends AnyFunSuite {
     assert(filtered.size == 1 && filtered.head._1.contains("i-0"))
   }
 
+  test("trigonometric family, pi() and atan2") {
+    val at = (T0 + 600000L, T0 + 600000L, 60000L)
+    // sin²+cos² = 1 over a real series value
+    val s2 = rows("""sin(req{inst="i-0"})^2 + cos(req{inst="i-0"})^2""",
+      at._1, at._2, at._3)
+    assert(math.abs(s2.head._3 - 1.0) < 1e-12)
+    // deg(rad(x)) = x; rad(180·v/v)… simpler: deg over the value
+    val d = rows("""deg(rad(req{inst="i-0"}))""", at._1, at._2, at._3)
+    assert(math.abs(d.head._3 - 200.0) < 1e-9)
+    assert(!d.head._1.contains("__name__")) // value-transforming drops name
+    // pi() is a scalar; atan2 is a keyword binary op at * precedence:
+    // atan2(v, v) = pi/4 for positive v
+    val a = rows("""req{inst="i-0"} atan2 req{inst="i-0"}""", at._1, at._2, at._3)
+    assert(math.abs(a.head._3 - math.Pi / 4) < 1e-12)
+    val p = rows("""vector(pi())""", at._1, at._2, at._3)
+    assert(math.abs(p.head._3 - math.Pi) < 1e-15)
+  }
+
   test("arithmetic drops the metric name; round/sgn transform values") {
     val at = (T0 + 600000L, T0 + 600000L, 60000L)
     val dbl = rows("""req{inst="i-0"} * 2""", at._1, at._2, at._3)
