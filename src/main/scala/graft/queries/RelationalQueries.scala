@@ -145,6 +145,29 @@ object RelationalQueries {
           coalesce(col("o_orderpriority"), lit("ALL")).as("prio"), col("n"), col("sum_price"))
         .orderBy(col("status"), col("prio"))),
 
+    // PIVOT: per-user event-type sums as columns (the wide-form report
+    // shape); one shuffle, Spark's pivot with an EXPLICIT value list so
+    // no extra distinct-values job runs
+    "q_pivot" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(round(sum(col("value")), 2))
+        .orderBy(col("user_id"))),
+
+    // GROUPING SETS: the general form of rollup/cube — two chosen
+    // groupings in one pass over orders
+    "q_grouping_sets" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              |       coalesce(o_orderpriority, 'ALL') AS prio,
+              |       count(1) AS n, round(sum(o_totalprice), 2) AS sum_price
+              |  FROM orders_gs
+              | GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+              | ORDER BY status, prio""".stripMargin)
+    }),
+
     // batch sessionization: gap-based session assignment per user (new
     // session when >1h since previous event), via a cumulative sum of
     // session-start flags — one shuffle on user, no self-join
@@ -262,6 +285,19 @@ object RelationalQueries {
       """SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS prio,
         | count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
         | FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) ORDER BY status, prio""".om,
+    "q_pivot" ->
+      """SELECT user_id,
+        | round(sum(CASE WHEN event_type = 'click' THEN "value" END), 2) AS click,
+        | round(sum(CASE WHEN event_type = 'view' THEN "value" END), 2) AS view,
+        | round(sum(CASE WHEN event_type = 'purchase' THEN "value" END), 2) AS purchase,
+        | round(sum(CASE WHEN event_type = 'signup' THEN "value" END), 2) AS signup,
+        | round(sum(CASE WHEN event_type = 'error' THEN "value" END), 2) AS error
+        | FROM events GROUP BY user_id ORDER BY user_id""".om,
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS prio,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        | FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        | ORDER BY status, prio""".om,
     "q_sessionize" ->
       """WITH flagged AS (
         |  SELECT event_id, user_id, epoch_ms(ts) AS t,
