@@ -28,9 +28,20 @@ object Bench {
     graft.ops.Dedup.simhashPairs(wdocs, "doc_id", "text").count()
     graft.ops.Dedup.connectedComponents(
       spark.range(8).selectExpr("id as id1", "id + 1 as id2")).count()
+    // explicit fixture warm-up: shared one-time builds (canonical +
+    // chunked stores, DSv2 block dir, delete/rule stores, LSH pairs, PQ
+    // codebooks) are materialized BEFORE any query is timed and reported
+    // as their own labeled lines — otherwise their cost lands on whichever
+    // query touches them first and round-over-round per-query numbers are
+    // incomparable (round-4 verdict item #1).
+    val fixtures = (graft.queries.TsQueries.fixtures ++
+      graft.queries.PipelineQueries.fixtures).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir) } catch { case _: Throwable => () }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
     // name-sorted run order: HashMap iteration order would otherwise
-    // shift which query absorbs the one-time store/block builds between
-    // runs, making round-over-round per-query numbers incomparable
+    // shift which query runs first between rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -44,6 +55,12 @@ object Bench {
     // omitted_n/omitted_sum so the total stays exact.
     def s3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val fxSum = fixtures.map(_._2).sum
+    // fixtures are reported compactly (2 decimals, always all of them):
+    // they're the one-time build costs, separate from the query total
+    def s2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val fxJson = fixtures.map { case (k, v) => "\"" + k + "\":" + s2(v) }
+      .mkString("{", ",", "}")
     val byCost = results.sortBy(-_._2)
     def line(keep: Int): String = {
       val kept = byCost.take(keep).sortBy(_._1)
@@ -53,7 +70,7 @@ object Bench {
       val omitted =
         if (rest.isEmpty) ""
         else s""","omitted_n":${rest.size},"omitted_sum":${s3(rest.map(_._2).sum)}"""
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs$omitted,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs$omitted,"fixtures":$fxJson,"fixtures_sum":${s2(fxSum)},"sf":"$sfDir"}"""
     }
     var keep = results.size
     while (keep > 0 && line(keep).length > 1880) keep -= 1

@@ -52,14 +52,15 @@ object TsQueries {
   private val chunkedCache =
     scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
 
-  private def chunkedQuerier(s: SparkSession, dir: String): TsChunkedQuerier = {
-    val df = chunkedCache.getOrElseUpdate((System.identityHashCode(s).toString, dir),
+  private def chunkedStore(s: SparkSession, dir: String): DataFrame =
+    chunkedCache.getOrElseUpdate((System.identityHashCode(s).toString, dir),
       // derive from the CACHED canonical long form — the two storage
       // forms share one canonicalization pass; building the chunked rows
       // is then a single shuffle on the series key
       TsChunkedStore.fromCanonical(store(s, dir), promoted = Seq(Labels.MetricName)).cache())
-    new TsChunkedQuerier(df, promoted = Seq(Labels.MetricName))
-  }
+
+  private def chunkedQuerier(s: SparkSession, dir: String): TsChunkedQuerier =
+    new TsChunkedQuerier(chunkedStore(s, dir), promoted = Seq(Labels.MetricName))
 
   /** Per-(session, dir) one-time write of the events store as a native
     * TSDB block (ULID dir with index + XOR chunk segments), for the DSv2
@@ -115,6 +116,19 @@ object TsQueries {
         Mint, Maxt, 86400000L)
       p
     })
+
+  /** Shared-fixture builders, in dependency order. Bench runs these in an
+    * explicit warm-up pass and reports each build as its own labeled line,
+    * so the one-time store/block/rule-store costs are no longer charged to
+    * whichever query happens to touch them first (that attribution made
+    * round-over-round per-query comparisons unreadable). Each thunk fully
+    * materializes its fixture (count() forces the lazy .cache()). */
+  def fixtures: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "fx_ts_store" -> ((s, dir) => { store(s, dir).count(); () }),
+    "fx_ts_chunked" -> ((s, dir) => { chunkedStore(s, dir).count(); () }),
+    "fx_ts_dsv2_block" -> ((s, dir) => { dsv2BlockDir(s, dir); () }),
+    "fx_ts_delete_store" -> ((s, dir) => { deleteStore(s, dir); () }),
+    "fx_ts_rule_store" -> ((s, dir) => { ruleStore(s, dir); () }))
 
   /** Long-form select → flat projection in deterministic order. */
   private def flat(q: DataFrame): DataFrame =
