@@ -47,12 +47,23 @@ object Decontaminate {
     * broadcast: cross-corpus MinHash-LSH. Both sides get the fused
     * single-pass signatures; candidate (corpus, benchmark) pairs form
     * only inside shared (band, band_key) buckets — an equi-join, never
-    * corpus × benchmark — and candidates verify by exact CONTAINMENT
-    * |C ∩ B| / |C| over the shingle-hash sets (containment, not Jaccard:
-    * a short benchmark item embedded in a long training doc must still
-    * flag it). Returns per flagged corpus doc its best-matching
-    * benchmark doc (max containment, ties → smallest id) and the number
-    * of matching benchmark docs.
+    * corpus × benchmark — and candidates verify by exact BENCHMARK
+    * containment |C ∩ B| / |B| over the shingle-hash sets (containment,
+    * not Jaccard, with the BENCHMARK set as the denominator: a short
+    * benchmark item embedded in a long training doc scores ~1.0, where
+    * Jaccard or corpus-side containment would score ~|B|/|C| and miss
+    * it). Returns per flagged corpus doc its best-matching benchmark doc
+    * (max containment, ties → smallest id) and the number of matching
+    * benchmark docs.
+    *
+    * Recall caveat: MinHash banding is Jaccard-shaped, so very
+    * asymmetric true pairs (tiny benchmark item inside a huge doc) have
+    * low Jaccard and may never form a band candidate even though their
+    * containment is high — banding bounds recall here. When the
+    * benchmark fits in a broadcast, [[flag]] is exact and has no such
+    * limit; when it doesn't, raising `bands` (narrower bands → more
+    * candidates) or banding benchmark-sized shingle windows of the
+    * corpus docs recovers recall at extra candidate cost.
     *
     * Scale: signatures are map-side on both sides; the band join and the
     * two hash-set joins shuffle only ids, band keys and the (small)
@@ -76,7 +87,7 @@ object Decontaminate {
       .join(bs.select(col("id").as("bid"), col("hs").as("bhs")), "bid")
       .withColumn("containment", round(
         size(array_intersect(col("chs"), col("bhs"))).cast("double") /
-          size(col("chs")), 6))
+          size(col("bhs")), 6))
       .where(col("containment") >= threshold)
       .groupBy(col("cid"))
       .agg(max(struct(col("containment").as("c"), (-col("bid")).as("nbid"))).as("best"),

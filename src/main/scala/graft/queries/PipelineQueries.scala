@@ -174,7 +174,7 @@ object PipelineQueries {
 
     // fuzzy decontamination: cross-corpus MinHash-LSH (benchmark too big
     // to broadcast) — candidates only in shared band buckets, verified by
-    // exact containment |C∩B|/|C|
+    // exact benchmark containment |C∩B|/|B|
     "decontaminate_fuzzy" -> ((s, dir) => {
       val d = docs(s, dir)
       graft.ops.Decontaminate.flagFuzzy(
@@ -685,7 +685,7 @@ object PipelineQueries {
          |     ON a.band = b.band AND a.band_key = b.band_key
          |   WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0),
          | j AS (SELECT cid, bid,
-         |   round(len(list_intersect(h1.hs, h2.hs))::DOUBLE / len(h1.hs), 6) AS containment
+         |   round(len(list_intersect(h1.hs, h2.hs))::DOUBLE / len(h2.hs), 6) AS containment
          |   FROM cand JOIN hx h1 ON h1.doc_id = cid JOIN hx h2 ON h2.doc_id = bid),
          | f AS (SELECT * FROM j WHERE containment >= 0.2),
          | g AS (SELECT cid, max({'c': containment, 'nbid': -bid}) AS b,

@@ -416,6 +416,14 @@ final class RemoteReadServer(querier: => TsQuerier, port: Int = 0, threads: Int 
   server.setExecutor(pool)
 
   server.createContext("/read", (ex: HttpExchange) => {
+    // once the streamed path has committed its 200 headers, an error can
+    // no longer be reported in-band: re-sending headers on a committed
+    // exchange throws a SECONDARY exception and leaks the exchange. Track
+    // commitment and, mid-stream, abort the connection instead — the
+    // client sees a truncated chunked body (each complete frame already
+    // flushed decodes; truncation = error for this transport, exactly the
+    // upstream streamed remote-read contract).
+    var headersSent = false
     try {
       if (ex.getRequestMethod != "POST") {
         ex.sendResponseHeaders(405, -1); ex.close()
@@ -431,6 +439,7 @@ final class RemoteReadServer(querier: => TsQuerier, port: Int = 0, threads: Int 
           ex.getResponseHeaders.set("Content-Type",
             "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse")
           ex.sendResponseHeaders(200, 0) // chunked transfer
+          headersSent = true
           val os = ex.getResponseBody
           queries.zipWithIndex.foreach { case (q, i) =>
             Proto.writeChunkedFrames(
@@ -451,15 +460,21 @@ final class RemoteReadServer(querier: => TsQuerier, port: Int = 0, threads: Int 
           ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
           ex.getResponseHeaders.set("Content-Encoding", "snappy")
           ex.sendResponseHeaders(200, resp.length)
+          headersSent = true
           ex.getResponseBody.write(resp)
           ex.close()
         }
       }
     } catch {
-      case e: Exception =>
+      case e: Exception if !headersSent =>
         val msg = ("remote read error: " + e.getMessage).getBytes("UTF-8")
         ex.sendResponseHeaders(400, msg.length)
         ex.getResponseBody.write(msg)
+        ex.close()
+      case _: Exception =>
+        // mid-stream failure: 200 already committed — abort the
+        // connection so the client sees truncation, never a fake success
+        // trailer and never a secondary headers-already-sent throw
         ex.close()
     }
   })

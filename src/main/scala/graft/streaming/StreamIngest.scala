@@ -197,7 +197,7 @@ object StreamIngest {
           .mode(org.apache.spark.sql.SaveMode.Append).parquet(storePath)
         resolutions.foreach { res =>
           graft.tsdb.TsDownsample.materialize(
-            batch.sparkSession, storePath, res, lagMs, promoted)
+            batch.sparkSession, storePath, res, lagMs)
         }
         ()
       }

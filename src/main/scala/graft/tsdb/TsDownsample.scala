@@ -149,10 +149,14 @@ object TsDownsample {
   // ordinary block_start-partitioned parquet table (underscore dir —
   // invisible to the raw store's partition discovery, same trick as
   // _deletions). A marker file records the newest fully-materialized
-  // window start, making re-runs incremental and crash-replays
-  // idempotent-ish (an interrupted run re-appends its unfinished window
-  // — the same at-least-once window as the streaming ingest, resolved
-  // by rewriting that window's partition on the next run).
+  // window start, making re-runs incremental. Crash safety: each run
+  // recomputes WHOLE block_start partitions (from the partition floor of
+  // its first new window) and publishes them with dynamic partition
+  // OVERWRITE, so a crash between the data write and the marker write
+  // replays idempotently — the re-run overwrites the same partitions
+  // with identical rows instead of appending duplicates. The raw blocks
+  // are immutable, so recomputing a partition's older windows is
+  // deterministic.
 
   private def resDir(store: String, resMs: Long) =
     Paths.get(store, "_downsample", s"res=$resMs")
@@ -165,11 +169,15 @@ object TsDownsample {
   /** Materialize every fully-closed window newer than the marker:
     * a window `[w, w+res)` is closed once the store's newest sample is
     * at least `lagMs` past its end. Reads ONLY the partitions covering
-    * the new windows (partition-pruned on `block_start`). Returns the
-    * materialized window range, or None if nothing closed. */
+    * the touched windows (partition-pruned on `block_start`). Returns
+    * the materialized window range, or None if nothing closed.
+    *
+    * Idempotent resume: the recompute range starts at the BLOCK floor of
+    * the first new window, so every touched block_start partition is
+    * rebuilt in full and written with dynamic partition overwrite — a
+    * crash before the marker update replays to the same bytes. */
   def materialize(spark: SparkSession, store: String, resMs: Long,
-                  lagMs: Long = 0L,
-                  promoted: Seq[String] = TsSchema.DefaultPromoted): Option[(Long, Long)] = {
+                  lagMs: Long = 0L): Option[(Long, Long)] = {
     val allBlocks = TsMaintenance.blocks(store)
     if (allBlocks.isEmpty) return None
     // newest sample: scan only the newest partition
@@ -181,13 +189,20 @@ object TsDownsample {
     val from = markerOf(store, resMs).map(_ + resMs)
       .getOrElse(Math.floorDiv(allBlocks.min, resMs) * resMs)
     if (wMax < from) return None
+    // recompute from the partition floor: windows in [fromPart, from)
+    // were already materialized, but they share partitions with the new
+    // ones — rebuilding them (same immutable inputs → same rows) lets
+    // the write be a whole-partition overwrite instead of an append
+    val fromPart = from - Math.floorMod(from, TsSchema.BlockMs)
     val slice = raw.where(
-      col("block_start") >= (from - from % TsSchema.BlockMs) &&
-        col("t") >= from && col("t") <= wMax + resMs - 1)
-    val out = downsample(slice, resMs).where(col("w_t").between(from, wMax))
+      col("block_start") >= fromPart &&
+        col("t") >= fromPart && col("t") <= wMax + resMs - 1)
+    val out = downsample(slice, resMs).where(col("w_t").between(fromPart, wMax))
     val dir = resDir(store, resMs)
     Files.createDirectories(dir)
-    out.write.partitionBy("block_start").mode(SaveMode.Append).parquet(dir.toString)
+    out.write.partitionBy("block_start")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite).parquet(dir.toString)
     Files.writeString(dir.resolve("_marker"), wMax.toString)
     Some((from, wMax))
   }

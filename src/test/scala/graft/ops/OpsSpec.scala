@@ -164,6 +164,24 @@ class OpsSpec extends AnyFunSuite {
     assert(clean == Set(2L, 3L))
   }
 
+  test("fuzzy decontamination: benchmark-side containment flags an embedded item") {
+    // corpus doc 1 fully embeds the short benchmark item 100 inside a
+    // longer doc: |C∩B|/|B| = 1.0 even though |C∩B|/|C| would be small.
+    // shingleSize=1 + bands=numHashes keeps banding recall out of the
+    // way so the test isolates the verify formula.
+    val corpus = docsDF(
+      1L -> ("the quick brown fox jumps over the lazy dog " +
+        "padding alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"),
+      2L -> "completely unrelated text about databases and queries")
+    val bench = docsDF(100L -> "the quick brown fox jumps over the lazy dog")
+    val flagged = Decontaminate.flagFuzzy(corpus, bench, "doc_id", "text",
+      numHashes = 16, bands = 16, shingleSize = 1, threshold = 0.9).collect()
+    assert(flagged.map(_.getLong(0)).toSet == Set(1L))
+    assert(flagged.head.getDouble(1) == 1.0) // containment vs the benchmark set
+    assert(flagged.head.getLong(2) == 100L)
+  }
+
   test("PII scrub replaces emails and long digit runs, keeps the rest") {
     val df = docsDF(
       1L -> "contact me at jane.doe+spam@example.co.uk or call 1234567890 now",

@@ -186,6 +186,55 @@ class RemoteReadServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("streamed-path failure after headers commit: truncation, server survives") {
+    import scala.jdk.CollectionConverters._
+    // a querier whose evaluation throws on the EXECUTORS (lazily, after
+    // the 200 headers are committed on the streamed path): the server
+    // must not attempt a second sendResponseHeaders — it closes the
+    // exchange (client sees a truncated/empty stream = error for this
+    // transport) and keeps serving subsequent requests
+    val boom = org.apache.spark.sql.functions.udf { v: Double =>
+      if (v < 0) throw new RuntimeException("poisoned sample") else v
+    }
+    val rows = (for (k <- 0 until 50) yield Row(
+      Map("__name__" -> "m", "job" -> "a"),
+      1700000000000L + k * 15000L, if (k == 40) -1.0 else k.toDouble)).asJava
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "labels map<string,string>, t long, v double")
+    val poisoned = new TsQuerier(TsSchema.canonicalize(
+      spark.createDataFrame(rows, schema))
+      .withColumn("v", boom(org.apache.spark.sql.functions.col("v"))))
+    var q = poisoned
+    val server = new RemoteReadServer(q) // by-name: re-resolved per request
+    val port = server.start()
+    try {
+      val req = Proto.encodeReadRequest(
+        Seq(Proto.Query(0L, 2000000000000L, Seq(LabelMatcher.eq("__name__", "m")))),
+        acceptedResponseTypes = Seq(Proto.RespStreamedXorChunks))
+      val http = HttpClient.newHttpClient()
+      val r1 = try {
+        val resp = http.send(
+          HttpRequest.newBuilder(new URI(s"http://127.0.0.1:$port/read"))
+            .POST(HttpRequest.BodyPublishers.ofByteArray(Snappy.compress(req))).build(),
+          HttpResponse.BodyHandlers.ofByteArray())
+        // headers were committed before the failure → 200 with a
+        // truncated (possibly empty) frame stream, NEVER a decodable
+        // complete result
+        assert(resp.statusCode() == 200)
+        Proto.decodeChunkedFrames(resp.body())
+      } catch { case _: java.io.IOException => Seq.empty } // hard abort also fine
+      assert(r1.isEmpty)
+      // the exchange was not leaked: the same server serves the next
+      // request on a healthy querier
+      q = mkQuerier
+      val ok = http.send(
+        HttpRequest.newBuilder(new URI(s"http://127.0.0.1:$port/read"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(Snappy.compress(req))).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(ok.statusCode() == 200)
+    } finally server.stop()
+  }
+
   test("malformed body → 400, wrong method → 405") {
     val server = new RemoteReadServer(mkQuerier)
     val port = server.start()

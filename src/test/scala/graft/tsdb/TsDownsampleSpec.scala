@@ -131,6 +131,28 @@ class TsDownsampleSpec extends AnyFunSuite {
     assert(a.nonEmpty && a == b)
   }
 
+  test("materialize crash-replay is idempotent (overwrite, not append)") {
+    val store = java.nio.file.Files.createTempDirectory("idem").resolve("s").toString
+    canonical().write.partitionBy("block_start").parquet(store)
+    val res = 15 * 60000L
+    assert(TsDownsample.materialize(spark, store, res, lagMs = 0L).nonEmpty)
+    val first = TsDownsample.readMaterialized(spark, store, res)
+      .selectExpr("labels", "w_t", "n", "round(sum_v, 9)", "first_t", "last_t")
+      .collect().map(_.toString).sorted.toSeq
+    // simulate a crash AFTER the data write but BEFORE the marker write:
+    // the next run must replay the same windows without duplicating them
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(store, "_downsample", s"res=$res", "_marker"))
+    assert(TsDownsample.materialize(spark, store, res, lagMs = 0L).nonEmpty)
+    val second = TsDownsample.readMaterialized(spark, store, res)
+      .selectExpr("labels", "w_t", "n", "round(sum_v, 9)", "first_t", "last_t")
+      .collect().map(_.toString).sorted.toSeq
+    assert(second == first) // same rows, no duplicates
+    // and a no-op resume (marker intact, no new data) stays a no-op
+    assert(TsDownsample.materialize(spark, store, res, lagMs = 0L).isEmpty)
+    assert(TsDownsample.readMaterialized(spark, store, res).count() == first.size)
+  }
+
   test("retention ladder: raw ages out first, downsampled survives") {
     val store = java.nio.file.Files.createTempDirectory("ladder").resolve("s").toString
     canonical().write.partitionBy("block_start").parquet(store)
