@@ -75,6 +75,20 @@ object ChunkFile {
     * segment (scan-amplification guard). */
   val bytesFetched = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Per-consumer IO counters (the reference exports the same set:
+    * request totals + cache hit/miss, `pkg/chunkr/groupcache.go:17-27`).
+    * One instance per DSv2 partition reader, surfaced to Spark as scan
+    * CustomMetrics — at scale these are how an operator notices scan
+    * amplification without profiling executors. */
+  final class ReadStats {
+    @volatile var rangeReads = 0L
+    @volatile var bytesFetched = 0L
+    @volatile var chunkCacheHits = 0L
+    @volatile var chunkCacheMisses = 0L
+    @volatile var indexCacheHits = 0L
+    @volatile var indexCacheMisses = 0L
+  }
+
   /** Estimated upper bound on one chunk record's framing + payload: a
     * 120-sample XOR chunk is a few hundred bytes; 4 KiB of slack covers
     * it without a second read in practice (the reference uses the same
@@ -92,7 +106,8 @@ object ChunkFile {
     * one positional read per range. At 100 TB against object storage this
     * is the difference between O(needed bytes) and O(segment bytes) per
     * task. */
-  final class SegmentRangeReader(path: java.nio.file.Path) extends AutoCloseable {
+  final class SegmentRangeReader(path: java.nio.file.Path,
+                                 stats: ReadStats = null) extends AutoCloseable {
     private val ch = java.nio.channels.FileChannel.open(path,
       java.nio.file.StandardOpenOption.READ)
     private val fileSize = ch.size()
@@ -106,6 +121,7 @@ object ChunkFile {
         p += n
       }
       bytesFetched.addAndGet(len.toLong)
+      if (stats != null) { stats.rangeReads += 1; stats.bytesFetched += len }
       buf.array()
     }
 
@@ -177,17 +193,22 @@ object ChunkFile {
   /** Read `refs` (fileSeq << 32 | offset) across segment files with one
     * [[SegmentRangeReader]] per touched segment; records already in the
     * [[RecordCache]] are served without touching the file. */
-  def readRefs(chunksDir: java.nio.file.Path, refs: Seq[Long]): Map[Long, ChunkRecord] =
+  def readRefs(chunksDir: java.nio.file.Path, refs: Seq[Long],
+               stats: ReadStats = null): Map[Long, ChunkRecord] =
     refs.groupBy(refFileSeq).iterator.flatMap { case (seq, rs) =>
       val path = chunksDir.resolve(f"$seq%06d")
       val key = path.toAbsolutePath.toString
       val offs = rs.map(refOffset).distinct
       val cached = offs.flatMap(o => RecordCache.get(key, o).map(o -> _)).toMap
       val missing = offs.filterNot(cached.contains)
+      if (stats != null) {
+        stats.chunkCacheHits += cached.size
+        stats.chunkCacheMisses += missing.size
+      }
       val fresh =
         if (missing.isEmpty) Map.empty[Int, ChunkRecord]
         else {
-          val rd = new SegmentRangeReader(path)
+          val rd = new SegmentRangeReader(path, stats)
           try rd.read(missing) finally rd.close()
         }
       fresh.foreach { case (o, rec) => RecordCache.put(key, o, rec) }

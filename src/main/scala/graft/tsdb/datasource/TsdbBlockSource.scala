@@ -413,6 +413,11 @@ class TsdbScan(rootPath: String, required: StructType, mint: Long, maxt: Long,
 
   override def createReaderFactory(): PartitionReaderFactory =
     TsdbReaderFactory
+
+  /** Runtime IO counters (range reads, bytes, cache hit/miss) — rolled
+    * up from per-task [[TsdbMetrics.taskValues]] into the scan node. */
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] = TsdbMetrics.all
 }
 
 final case class TsdbInputPartition(blockDir: String, refs: Array[Long],
@@ -441,9 +446,9 @@ object TsdbReaderFactory extends PartitionReaderFactory {
   * coalesced fetch of every chunk the partition will decode. */
 private[datasource] object TsdbSeriesPlan {
   type Plan = Array[(Long, Seq[Long], Seq[(Long, Long)])]
-  def build(p: TsdbInputPartition)
+  def build(p: TsdbInputPartition, stats: ChunkFile.ReadStats = null)
       : (TsdbIndex.IndexReader, Plan, Map[Long, ChunkFile.ChunkRecord]) = {
-    val idx = TsdbIndexCache.get(Paths.get(p.blockDir, "index").toString)
+    val idx = TsdbIndexCache.get(Paths.get(p.blockDir, "index").toString, stats)
     val stones = graft.tsdb.Tombstones.read(Paths.get(p.blockDir))
     val plan: Plan = p.refs.flatMap { ref =>
       val s = idx.series(ref)
@@ -455,7 +460,7 @@ private[datasource] object TsdbSeriesPlan {
       if (chunks.isEmpty) None else Some((ref, chunks.map(_.ref), ivs))
     }
     val chunkData = ChunkFile.readRefs(
-      Paths.get(p.blockDir, "chunks"), plan.flatMap(_._2).toSeq)
+      Paths.get(p.blockDir, "chunks"), plan.flatMap(_._2).toSeq, stats)
     (idx, plan, chunkData)
   }
 }
@@ -467,7 +472,12 @@ class TsdbColumnarReader(p: TsdbInputPartition)
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
-  private val (idx, plan, chunkData) = TsdbSeriesPlan.build(p)
+  private val stats = new ChunkFile.ReadStats
+  private val (idx, plan, chunkData) = TsdbSeriesPlan.build(p, stats)
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    TsdbMetrics.taskValues(stats)
   private val schema = StructType(p.fields.map {
     case "t" => StructField("t", LongType, nullable = false)
     case "v" => StructField("v", DoubleType, nullable = false)
@@ -551,15 +561,56 @@ object TsdbIndexCache {
           e: java.util.Map.Entry[String, TsdbIndex.IndexReader]): Boolean =
         size() > MaxEntries
     }
-  def get(path: String): TsdbIndex.IndexReader = cache.synchronized {
-    val hit = cache.get(path)
-    if (hit != null) hit
-    else {
-      val r = new TsdbIndex.IndexReader(Files.readAllBytes(Paths.get(path)))
-      cache.put(path, r)
-      r
+  def get(path: String, stats: ChunkFile.ReadStats = null): TsdbIndex.IndexReader =
+    cache.synchronized {
+      val hit = cache.get(path)
+      if (hit != null) {
+        if (stats != null) stats.indexCacheHits += 1
+        hit
+      } else {
+        if (stats != null) stats.indexCacheMisses += 1
+        val r = new TsdbIndex.IndexReader(Files.readAllBytes(Paths.get(path)))
+        cache.put(path, r)
+        r
+      }
     }
+}
+
+/** Runtime IO counters for the `graft-tsdb` scan — the Spark-native slot
+  * for what the reference exports as Prometheus metrics
+  * (`agni_s3_reqs_total`, groupcache hit/miss,
+  * `pkg/chunkr/groupcache.go:17-27,132-255`): per-task values roll up
+  * into the SQL UI / listener metrics of the BatchScan node, so scan
+  * amplification is visible per QUERY, not just per JVM. */
+object TsdbMetrics {
+  import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
+
+  private final class SumMetric(metricName: String, desc: String)
+    extends CustomSumMetric {
+    override def name(): String = metricName
+    override def description(): String = desc
   }
+
+  val all: Array[CustomMetric] = Array(
+    new SumMetric("rangeReads", "chunk range reads issued"),
+    new SumMetric("bytesFetched", "chunk bytes fetched"),
+    new SumMetric("chunkCacheHits", "chunk record cache hits"),
+    new SumMetric("chunkCacheMisses", "chunk record cache misses"),
+    new SumMetric("indexCacheHits", "parsed index cache hits"),
+    new SumMetric("indexCacheMisses", "parsed index cache misses"))
+
+  private final case class TaskVal(metricName: String, v: Long) extends CustomTaskMetric {
+    override def name(): String = metricName
+    override def value(): Long = v
+  }
+
+  def taskValues(s: ChunkFile.ReadStats): Array[CustomTaskMetric] = Array(
+    TaskVal("rangeReads", s.rangeReads),
+    TaskVal("bytesFetched", s.bytesFetched),
+    TaskVal("chunkCacheHits", s.chunkCacheHits),
+    TaskVal("chunkCacheMisses", s.chunkCacheMisses),
+    TaskVal("indexCacheHits", s.indexCacheHits),
+    TaskVal("indexCacheMisses", s.indexCacheMisses))
 }
 
 /** Decodes one slice of postings refs: series entry (labels + chunk
@@ -572,7 +623,12 @@ object TsdbIndexCache {
 class TsdbPartitionReader(p: TsdbInputPartition) extends PartitionReader[InternalRow] {
   // per-series plan (pruned chunk refs + tombstones, P11/P13) and ONE
   // coalesced fetch for every chunk this partition will decode
-  private val (idx, plan, chunkData) = TsdbSeriesPlan.build(p)
+  private val stats = new ChunkFile.ReadStats
+  private val (idx, plan, chunkData) = TsdbSeriesPlan.build(p, stats)
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    TsdbMetrics.taskValues(stats)
 
   private val seriesIt = plan.iterator
   private var samples: Iterator[graft.tsdb.Sample] = Iterator.empty

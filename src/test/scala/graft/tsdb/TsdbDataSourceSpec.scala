@@ -281,12 +281,50 @@ class TsdbDataSourceSpec extends AnyFunSuite {
     val segSize = Files.size(dir.resolve("b/chunks/000001"))
     val one = spark.read.format("graft-tsdb").load(dir.resolve("b").toString)
       .where(col("instance") === "i-007")
-    ChunkFile.bytesFetched.set(0)
-    assert(one.count() == 300)
-    val fetched = ChunkFile.bytesFetched.get()
+    assert(one.collect().length == 300)
+    // the scan's own runtime counters report the amplification (no JVM
+    // globals needed): a 1/400-series select fetches KiB, not the segment
+    val m = one.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.get.metrics
+    val fetched = m("bytesFetched").value
+    assert(m("rangeReads").value > 0)
     assert(fetched > 0)
     assert(fetched < segSize / 10,
       s"fetched $fetched of $segSize-byte segment for a 1/400-series select")
+  }
+
+  test("repeated selection serves from the record cache: zero file reads") {
+    // S7 (caching chunk reader): the second identical selection must hit
+    // the per-JVM RecordCache for every chunk — no range reads, no bytes
+    val dir = Files.createTempDirectory("recordcache")
+    TsdbBlock.write(dir.resolve("b"), corpus(1700000000000L), TsdbBlock.syntheticUlid(23))
+    def sel = spark.read.format("graft-tsdb").load(dir.resolve("b").toString)
+      .where(col("job") === "web")
+    assert(sel.collect().length == 3 * 300) // first pass fills the cache
+    val second = sel
+    ChunkFile.bytesFetched.set(0)
+    assert(second.collect().length == 3 * 300)
+    val m = second.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.get.metrics
+    assert(m("chunkCacheHits").value > 0)
+    assert(m("rangeReads").value == 0)
+    assert(m("bytesFetched").value == 0)
+    assert(ChunkFile.bytesFetched.get() == 0, "second pass must not touch the file")
+  }
+
+  test("scan populates runtime IO counters (index cache + chunk IO)") {
+    val q = ds.where(col("job") === "api")
+    assert(q.collect().length == 2 * 3 * 300)
+    val m = q.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.get.metrics
+    // every partition resolved its block index through the cache…
+    assert(m("indexCacheHits").value + m("indexCacheMisses").value > 0)
+    // …and every chunk came from a range read or the record cache
+    assert(m("rangeReads").value + m("chunkCacheHits").value > 0)
+    assert(m("chunkCacheHits").value + m("chunkCacheMisses").value > 0)
   }
 
   test("COUNT(*) is answered from block metadata with zero chunk IO") {
