@@ -224,28 +224,33 @@ object PromOps {
     * re-runs and the oracle agree. Prefer exactly-representable sf/tf
     * (0.25, 0.5, ...) when an external engine must reproduce the fold
     * bit-for-bit. */
-  def holtWinters(longForm: DataFrame, sf: Double, tf: Double): DataFrame = {
-    val oneMinusSf = 1 - sf
-    val oneMinusTf = 1 - tf
+  def holtWinters(longForm: DataFrame, sf: Double, tf: Double): DataFrame =
     longForm.groupBy(col("fingerprint"), col("labels"))
       .agg(array_sort(collect_list(struct(col("t"), col("v")))).as("xs"))
       .where(size(col("xs")) >= 2)
-      .withColumn("smoothed", {
-        val vs = expr("transform(xs, x -> x.v)")
-        def sNext(acc: Column, v: Column): Column =
-          lit(sf) * v + lit(oneMinusSf) * (acc.getField("s") + acc.getField("b"))
-        aggregate(
-          slice(vs, lit(2), size(vs) - 1),
-          struct(element_at(vs, 1).as("s"),
-            (element_at(vs, 2) - element_at(vs, 1)).as("b")),
-          (acc, v) => struct(
-            sNext(acc, v).as("s"),
-            (lit(tf) * (sNext(acc, v) - acc.getField("s"))
-              + lit(oneMinusTf) * acc.getField("b")).as("b")),
-          acc => acc.getField("s"))
-      })
+      .withColumn("smoothed", desSmooth(col("xs"), sf, tf))
       .withColumn("n_samples", size(col("xs")).cast("long"))
       .drop("xs")
+
+  /** The double-exponential-smoothing fold over a SORTED `(t, v)` struct
+    * array — shared by [[holtWinters]] and the PromQL evaluator's
+    * `double_exponential_smoothing` range function (upstream renamed
+    * `holt_winters` in 3.x; both names parse). */
+  def desSmooth(xs: Column, sf: Double, tf: Double): Column = {
+    val oneMinusSf = 1 - sf
+    val oneMinusTf = 1 - tf
+    val vs = transform(xs, x => x.getField("v"))
+    def sNext(acc: Column, v: Column): Column =
+      lit(sf) * v + lit(oneMinusSf) * (acc.getField("s") + acc.getField("b"))
+    aggregate(
+      slice(vs, lit(2), size(vs) - 1),
+      struct(element_at(vs, 1).as("s"),
+        (element_at(vs, 2) - element_at(vs, 1)).as("b")),
+      (acc, v) => struct(
+        sNext(acc, v).as("s"),
+        (lit(tf) * (sNext(acc, v) - acc.getField("s"))
+          + lit(oneMinusTf) * acc.getField("b")).as("b")),
+      acc => acc.getField("s"))
   }
 
   /** PromQL time functions over an epoch-ms timestamp column (UTC

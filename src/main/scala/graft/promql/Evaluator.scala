@@ -156,6 +156,19 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
       case "present_over_time" =>
         stepped.groupBy(col("fingerprint"), col("labels"), col("k"))
           .agg(lit(1.0d).as("v"))
+      case des if des.startsWith("double_exponential_smoothing:") =>
+        // upstream funcDoubleExponentialSmoothing (pre-3.x holt_winters):
+        // sequential level/trend fold per (series, step window) — sorted
+        // collect + the shared PromOps fold, no further exchange
+        val parts = des.split(":")
+        val (sf, tf) = (parts(1).toDouble, parts(2).toDouble)
+        require(sf > 0 && sf < 1 && tf > 0 && tf < 1,
+          s"double_exponential_smoothing: sf/tf must be in (0, 1), got $sf/$tf")
+        stepped.groupBy(col("fingerprint"), col("labels"), col("k"))
+          .agg(array_sort(collect_list(struct(col("t"), col("v")))).as("xs"))
+          .where(size(col("xs")) >= 2)
+          .withColumn("v", graft.ops.PromOps.desSmooth(col("xs"), sf, tf))
+          .drop("xs")
       case f if f == "deriv" || f.startsWith("predict_linear:") =>
         // least-squares regression of v over time in SECONDS, the same
         // built-in regr_* aggregates the relational deriv query uses
@@ -272,6 +285,31 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
         grouped.withColumn("rnk", row_number().over(w))
           .where(col("rnk") <= k)
           .select(col("labels"), col("t"), col("v"))
+      case "limitk" =>
+        // upstream (3.x experimental) keeps an ARBITRARY k series per
+        // group; this engine keeps the k first in canonical label order
+        // — a deterministic subset an external engine can reproduce
+        // (documented deviation: deterministic, not sampling-random)
+        val k = param.getOrElse(sys.error("limitk needs a scalar k")).toInt
+        val grouped = in.withColumn("gl", groupKey(col("labels")))
+        val w = Window.partitionBy(col("gl"), col("t")).orderBy(col("labels").asc)
+        grouped.withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= k)
+          .select(col("labels"), col("t"), col("v"))
+      case "limit_ratio" =>
+        // upstream (3.x experimental) deterministically samples series
+        // by a hash of the label set: r ∈ [0,1] keeps ≈ r of them;
+        // r < 0 keeps the exact complement of the +|r| selection.
+        // Same contract here with md5 as the hash (documented deviation:
+        // different hash → different sample, same ratio + complement
+        // guarantees, reproducible by the oracle). Map-side filter —
+        // no shuffle at all.
+        val r = param.getOrElse(sys.error("limit_ratio needs a scalar r"))
+        require(r >= -1.0 && r <= 1.0, s"limit_ratio: r must be in [-1, 1], got $r")
+        val u = graft.ops.Dedup.hash60(to_json(col("labels"))) /
+          lit(1152921504606846976.0d) // 2^60 → uniform [0, 1)
+        val keep = if (r >= 0) u < lit(r) else u >= lit(1.0 + r)
+        in.where(keep).select(col("labels"), col("t"), col("v"))
       case cv if cv.startsWith("count_values:") =>
         // value-distribution: group on (group key, step, value string),
         // emit the count with the value as an extra label. Integral

@@ -189,8 +189,10 @@ final class Parser(input: String) {
   }
 
   private val aggOps = Set("sum", "avg", "min", "max", "count",
-    "quantile", "topk", "bottomk", "stddev", "stdvar", "group")
-  private val paramAggs = Set("quantile", "topk", "bottomk")
+    "quantile", "topk", "bottomk", "stddev", "stdvar", "group",
+    "limitk", "limit_ratio")
+  private val paramAggs = Set("quantile", "topk", "bottomk",
+    "limitk", "limit_ratio")
   private val rangeFns = Set("rate", "increase", "delta", "idelta", "irate",
     "resets", "changes", "sum_over_time", "avg_over_time", "min_over_time",
     "max_over_time", "count_over_time", "last_over_time",
@@ -351,11 +353,14 @@ final class Parser(input: String) {
       val arg = parseExpr(0)
       ws(); eat(')')
       if (name == "vector") VectorOf(arg) else ScalarOf(arg)
-    } else if (name == "sort" || name == "sort_desc") {
+    } else if (name == "sort" || name == "sort_desc" ||
+               name == "sort_by_label" || name == "sort_by_label_desc") {
       // presentation-only in Prometheus (instant-query ordering);
-      // results are row sets here, so sort() is the identity
+      // results are row sets here, so all four sorts are the identity —
+      // the label arguments of sort_by_label* are parsed and discarded
       ws(); eat('(')
       val arg = parseExpr(0)
+      while ({ ws(); peek == ',' }) { pos += 1; stringLit() }
       ws(); eat(')')
       arg
     } else if (aggOps(name)) {
@@ -374,7 +379,8 @@ final class Parser(input: String) {
       ws(); eat(')')
       clause()
       Agg(name, by, param, arg, without)
-    } else if (rangeFns(name) || name == "quantile_over_time") {
+    } else if (rangeFns(name) || name == "quantile_over_time" ||
+               name == "double_exponential_smoothing" || name == "holt_winters") {
       ws(); eat('(')
       // quantile_over_time carries its φ in the fn name ("fn:φ") so
       // RangeFn stays a simple (name, arg) pair
@@ -387,9 +393,16 @@ final class Parser(input: String) {
       val post = if (name == "predict_linear") {
         ws(); eat(','); Some(number())
       } else None
+      // double_exponential_smoothing(v[r], sf, tf) — `holt_winters` is
+      // the pre-3.x upstream name for the same function
+      val smooth = if (name == "double_exponential_smoothing" || name == "holt_winters") {
+        ws(); eat(','); val sf = number(); ws(); eat(','); val tf = number()
+        Some((sf, tf))
+      } else None
       ws(); eat(')')
       val fnName = phi.map(p => s"quantile_over_time:$p")
         .orElse(post.map(p => s"predict_linear:$p"))
+        .orElse(smooth.map { case (sf, tf) => s"double_exponential_smoothing:$sf:$tf" })
         .getOrElse(name)
       inner match {
         case s: Selector if s.rangeMs.isDefined => RangeFn(fnName, s)

@@ -669,6 +669,19 @@ object TsQueries {
           round(col("smoothed"), 4).as("smoothed"), col("n_samples"))
         .orderBy(col("name"), col("user"), col("big"))),
 
+    // the same smoothing through the PARSED PromQL path: per-step
+    // [5d] windows, 2 steps — oracle unrolls the fold per (series, step)
+    // as a recursive CTE (window semantics left-open, like the evaluator)
+    "ts_promql_smooth" -> ((s, dir) =>
+      graft.promql.PromQL.rangeQuery(querier(s, dir),
+        "double_exponential_smoothing(purchase[5d], 0.25, 0.5)",
+        Mint + 432000000L, Maxt, 432000000L)
+        .select(
+          TsSchema.labelValue(col("labels"), "user").as("user"),
+          TsSchema.labelValue(col("labels"), "big").as("big"),
+          col("t"), round(col("v"), 4).as("v"))
+        .orderBy(col("user"), col("big"), col("t"))),
+
     // PromQL bottomk(3): lowest-sum series per metric (topk's mirror)
     "ts_prom_bottomk" -> ((s, dir) => {
       val perSeries = querier(s, dir).selectLong(Mint, Maxt, Seq.empty)
@@ -1256,6 +1269,35 @@ object TsQueries {
          |  round(v - pv, 4) AS idelta
          | FROM s WHERE rn = 1 AND pt IS NOT NULL
          | ORDER BY name, "user", big""".stripMargin.replace("\n", " "),
+    "ts_promql_smooth" ->
+      s"""WITH RECURSIVE steps AS (
+         |  SELECT unnest([${Mint + 432000000L}, $Maxt]) AS step_t),
+         | raw AS (SELECT "user", big, t, v FROM ($oracleBase)
+         |         WHERE name = 'purchase' AND t > $Mint AND t <= $Maxt),
+         | base AS (
+         |  SELECT r."user", r.big, s.step_t, r.v,
+         |    row_number() OVER (PARTITION BY r."user", r.big, s.step_t
+         |      ORDER BY r.t, r.v) AS rn,
+         |    count(*) OVER (PARTITION BY r."user", r.big, s.step_t) AS n
+         |  FROM raw r JOIN steps s
+         |    ON r.t > s.step_t - 432000000 AND r.t <= s.step_t),
+         | hw AS (
+         |  SELECT b2."user", b2.big, b2.step_t, 2 AS rn, b2.n,
+         |    0.25::DOUBLE * b2.v + 0.75::DOUBLE * (b1.v + (b2.v - b1.v)) AS s,
+         |    0.5::DOUBLE * ((0.25::DOUBLE * b2.v + 0.75::DOUBLE * (b1.v + (b2.v - b1.v))) - b1.v)
+         |      + 0.5::DOUBLE * (b2.v - b1.v) AS b
+         |  FROM base b1 JOIN base b2 ON b1."user" = b2."user" AND b1.big = b2.big
+         |    AND b1.step_t = b2.step_t AND b1.rn = 1 AND b2.rn = 2
+         |  UNION ALL
+         |  SELECT x."user", x.big, x.step_t, x.rn, x.n,
+         |    0.25::DOUBLE * x.v + 0.75::DOUBLE * (hw.s + hw.b),
+         |    0.5::DOUBLE * ((0.25::DOUBLE * x.v + 0.75::DOUBLE * (hw.s + hw.b)) - hw.s)
+         |      + 0.5::DOUBLE * hw.b
+         |  FROM hw JOIN base x ON x."user" = hw."user" AND x.big = hw.big
+         |    AND x.step_t = hw.step_t AND x.rn = hw.rn + 1)
+         | SELECT "user", big, step_t AS t, round(s, 4) AS v
+         | FROM hw WHERE rn = n AND n >= 2
+         | ORDER BY "user", big, t""".stripMargin.replace("\n", " "),
     "ts_prom_holt_winters" ->
       s"""WITH RECURSIVE base AS (
          |  SELECT name, "user", big, v,

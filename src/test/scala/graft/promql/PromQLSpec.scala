@@ -451,6 +451,45 @@ class PromQLSpec extends AnyFunSuite {
     assert(s.map(_._3).toSet == Set(200.0, 20.0))
   }
 
+  test("double_exponential_smoothing matches a reference fold; holt_winters aliases") {
+    val at = T0 + 600000L
+    // window (at-2m, at]: mem samples k=17..20 (30s cadence)
+    val out = rows("""double_exponential_smoothing(mem{inst="i-0"}[2m], 0.4, 0.3)""",
+      at, at, 60000L)
+    val xs = (17 to 20).map(k => ((T0 + k * 30000L) % 7 + 1).toDouble)
+    var s = xs(0); var b = xs(1) - xs(0)
+    xs.drop(1).foreach { x =>
+      val s2 = 0.4 * x + 0.6 * (s + b)
+      b = 0.3 * (s2 - s) + 0.7 * b
+      s = s2
+    }
+    assert(out.size == 1 && math.abs(out.head._3 - s) < 1e-9)
+    // pre-3.x upstream name, same function
+    assert(rows("""holt_winters(mem{inst="i-0"}[2m], 0.4, 0.3)""",
+      at, at, 60000L) == out)
+    // sf/tf outside (0,1) are rejected at evaluation
+    intercept[IllegalArgumentException] {
+      rows("""double_exponential_smoothing(mem[2m], 1.5, 0.3)""", at, at, 60000L)
+    }
+  }
+
+  test("sort_by_label/_desc parse as identity; limitk/limit_ratio sample series") {
+    val at = T0 + 300000L
+    val all = rows("req", at, at, 60000L)
+    assert(all.size == 2)
+    assert(rows("""sort_by_label(req, "inst")""", at, at, 60000L) == all)
+    assert(rows("""sort_by_label_desc(req, "inst")""", at, at, 60000L) == all)
+    // limitk: deterministic k-first-in-label-order subset, own labels kept
+    val lk = rows("limitk(1, req)", at, at, 60000L)
+    assert(lk.size == 1 && lk.head._1.contains("i-0"))
+    assert(rows("limitk(5, req)", at, at, 60000L) == all)
+    // limit_ratio: md5-hash sampling; r and r-1 are exact complements
+    assert(rows("limit_ratio(1, req)", at, at, 60000L) == all)
+    val pos = rows("limit_ratio(0.5, req)", at, at, 60000L)
+    val neg = rows("limit_ratio(-0.5, req)", at, at, 60000L)
+    assert((pos ++ neg).sortBy(x => (x._1, x._2)) == all)
+  }
+
   test("ignoring() matches on the label complement; negative offsets") {
     // ignoring(inst) strips the only distinguishing label, so each
     // series matches the global sum — per-series share of total
