@@ -37,7 +37,8 @@ import graft.tsdb.{Labels, TsQuerier}
   */
 final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
                       stepMs: Long, lookbackMs: Long = 5 * 60 * 1000L,
-                      extrapolate: Boolean = false) {
+                      extrapolate: Boolean = false,
+                      downsamples: Seq[(Long, DataFrame)] = Seq.empty) {
   import PromExpr._
 
   require(stepMs > 0 && maxt >= mint, "bad evaluation window")
@@ -126,11 +127,80 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
     case other => sys.error(s"$other is not a range expression")
   }
 
+  /** Downsample-aware routing (the Thanos query-path rule applied to
+    * PromQL, via [[graft.tsdb.TsDownsample]]): an ALIGNED `*_over_time`
+    * or non-extrapolated `increase` over a selector reads the
+    * 1-row-per-window materialized form instead of raw samples — a
+    * 30-day query at 1h resolution reads ~samples-per-hour× fewer rows.
+    * Eligibility: the resolution divides step, range, grid origin and
+    * offset, with ≥ 2 windows per range; [[TsDownsample.pick]] then
+    * chooses the coarsest usable rung. Semantics are WINDOW-ALIGNED
+    * like `TsDownsample.overTime` — step `t_k` combines the windows in
+    * `[t_k - range, t_k)`; the raw path's left-open `(t_k - range, t_k]`
+    * differs only for samples sitting exactly on a window edge. Routed
+    * `increase` is the exact reset-corrected increase (`inc_v` + window
+    * boundary deltas); spans with < 2 samples are dropped, matching the
+    * raw path. */
+  private val downRouteFns = Set("sum_over_time", "count_over_time",
+    "min_over_time", "max_over_time", "avg_over_time", "increase")
+
+  private def applyMatchers(df: DataFrame, ms: Seq[graft.tsdb.LabelMatcher]): DataFrame =
+    ms.foldLeft(df) { (d, m) =>
+      val pc = graft.tsdb.TsSchema.promotedColName(m.name)
+      val vc = if (d.columns.contains(pc)) col(pc)
+      else graft.tsdb.TsSchema.labelValue(col("labels"), m.name)
+      d.where(m.predicate(vc))
+    }
+
+  private def downRouted(fn: String, input: PromExpr): Option[DataFrame] = input match {
+    case sel: Selector if downsamples.nonEmpty && downRouteFns(fn) &&
+        !(fn == "increase" && extrapolate) =>
+      val range = sel.rangeMs.get
+      val usable = downsamples.map(_._1).filter { r =>
+        stepMs % r == 0 && range % r == 0 && mint % r == 0 &&
+          sel.offsetMs % r == 0 && range >= 2 * r
+      }
+      graft.tsdb.TsDownsample.pick(math.min(stepMs, range), usable) match {
+        case 0L => None
+        case res =>
+          val frame = downsamples.find(_._1 == res).get._2
+          val shifted = applyMatchers(frame, sel.matchers)
+            .withColumn("w_t", col("w_t") + sel.offsetMs)
+            // windows serving any step: w_t ∈ [grid mint - range, maxt)
+            .where(col("w_t") >= mint - range && col("w_t") < maxt)
+          val out = fn match {
+            case "increase" =>
+              graft.tsdb.TsDownsample
+                .increaseAtSteps(shifted, res, mint, maxt, stepMs, range)
+                .where(col("n_samples") >= 2)
+                .withColumn("v", col("increase"))
+            case _ =>
+              val o = graft.tsdb.TsDownsample
+                .overTime(shifted, res, mint, maxt, stepMs, range)
+              val v = fn match {
+                case "sum_over_time" => col("sum_v")
+                case "count_over_time" => col("n").cast("double")
+                case "min_over_time" => col("min_v")
+                case "max_over_time" => col("max_v")
+                case "avg_over_time" => col("avg_v")
+              }
+              o.withColumn("v", v)
+          }
+          Some(out.select(dropName(col("labels")).as("labels"), col("t"), col("v")))
+      }
+    case _ => None
+  }
+
   /** Range function: per (series, step) aggregate over the samples in
     * the left-open `[range]` window. The sequential fns are expressed
     * as a lag window + grouped aggregate — one sort, one aggregate,
-    * all on the (fingerprint, k) key. */
-  private def rangeFn(fn: String, input: PromExpr): DataFrame = {
+    * all on the (fingerprint, k) key. Aligned over_time/increase over a
+    * materialized downsample ladder short-circuit through
+    * [[downRouted]]. */
+  private def rangeFn(fn: String, input: PromExpr): DataFrame =
+    downRouted(fn, input).getOrElse(rangeFnRaw(fn, input))
+
+  private def rangeFnRaw(fn: String, input: PromExpr): DataFrame = {
     val (samples, range) = rangeSamples(input)
     val stepped = atSteps(samples, range)
     val out: DataFrame = fn match {
@@ -718,8 +788,9 @@ object PromQL {
     * reset-corrected increase over the observed span. */
   def rangeQuery(querier: TsQuerier, query: String, mint: Long, maxt: Long,
                  stepMs: Long, lookbackMs: Long = 5 * 60 * 1000L,
-                 extrapolate: Boolean = false): DataFrame =
-    new Evaluator(querier, mint, maxt, stepMs, lookbackMs, extrapolate)
+                 extrapolate: Boolean = false,
+                 downsamples: Seq[(Long, DataFrame)] = Seq.empty): DataFrame =
+    new Evaluator(querier, mint, maxt, stepMs, lookbackMs, extrapolate, downsamples)
       .eval(parse(query))
 
   /** Instant query: a range query with a single evaluation step. */

@@ -669,6 +669,24 @@ object TsQueries {
           round(col("smoothed"), 4).as("smoothed"), col("n_samples"))
         .orderBy(col("name"), col("user"), col("big"))),
 
+    // PARSED PromQL served from the downsample ladder: the evaluator
+    // routes this aligned sum_over_time through the 6h materialized
+    // form (TsDownsample.pick) instead of raw samples — the month-scale
+    // query path. Window-aligned semantics [t_k - range, t_k), which the
+    // oracle replicates directly over raw samples.
+    "ts_promql_downsampled" -> ((s, dir) => {
+      val down = TsDownsample.downsample(
+        querier(s, dir).selectLong(Mint, Maxt, Seq.empty), 21600000L)
+      graft.promql.PromQL.rangeQuery(querier(s, dir),
+        "sum_over_time(click[2d])", Mint + 172800000L, Maxt, 86400000L,
+        downsamples = Seq((21600000L, down)))
+        .select(
+          TsSchema.labelValue(col("labels"), "user").as("user"),
+          TsSchema.labelValue(col("labels"), "big").as("big"),
+          col("t"), round(col("v"), 4).as("v"))
+        .orderBy(col("user"), col("big"), col("t"))
+    }),
+
     // the same smoothing through the PARSED PromQL path: per-step
     // [5d] windows, 2 steps — oracle unrolls the fold per (series, step)
     // as a recursive CTE (window semantics left-open, like the evaluator)
@@ -1269,6 +1287,17 @@ object TsQueries {
          |  round(v - pv, 4) AS idelta
          | FROM s WHERE rn = 1 AND pt IS NOT NULL
          | ORDER BY name, "user", big""".stripMargin.replace("\n", " "),
+    "ts_promql_downsampled" ->
+      s"""WITH steps AS (
+         |  SELECT unnest(range(${Mint + 172800000L}, $Maxt + 1, 86400000)) AS step_t),
+         | raw AS (SELECT "user", big, t, v FROM ($oracleBase)
+         |         WHERE name = 'click' AND t >= $Mint AND t <= $Maxt),
+         | win AS (SELECT r."user", r.big, r.v, s.step_t
+         |         FROM raw r JOIN steps s
+         |           ON r.t >= s.step_t - 172800000 AND r.t < s.step_t)
+         | SELECT "user", big, step_t AS t, round(sum(v), 4) AS v
+         | FROM win GROUP BY 1, 2, 3
+         | ORDER BY "user", big, t""".stripMargin.replace("\n", " "),
     "ts_promql_smooth" ->
       s"""WITH RECURSIVE steps AS (
          |  SELECT unnest([${Mint + 432000000L}, $Maxt]) AS step_t),

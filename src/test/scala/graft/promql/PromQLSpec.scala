@@ -73,9 +73,10 @@ class PromQLSpec extends AnyFunSuite {
     new TsQuerier(TsSchema.canonicalize(longForm, promoted = Seq()), promoted = Seq())
   }
 
-  private def rows(q: String, mint: Long, maxt: Long, step: Long):
+  private def rows(q: String, mint: Long, maxt: Long, step: Long,
+                   downsamples: Seq[(Long, org.apache.spark.sql.DataFrame)] = Seq.empty):
       Seq[(String, Long, Double)] =
-    PromQL.rangeQuery(querier, q, mint, maxt, step)
+    PromQL.rangeQuery(querier, q, mint, maxt, step, downsamples = downsamples)
       .select(to_json(col("labels")).as("l"), col("t"), col("v"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
       .sortBy(x => (x._1, x._2)).toSeq
@@ -488,6 +489,36 @@ class PromQLSpec extends AnyFunSuite {
     val pos = rows("limit_ratio(0.5, req)", at, at, 60000L)
     val neg = rows("limit_ratio(-0.5, req)", at, at, 60000L)
     assert((pos ++ neg).sortBy(x => (x._1, x._2)) == all)
+  }
+
+  test("aligned over_time/increase route through the downsample ladder") {
+    import graft.tsdb.TsDownsample
+    // 10s windows (T0 is 10s-aligned; every 30s sample gets its own
+    // window) materialized straight from the store's canonical form
+    val canon = querier.selectLong(T0 - 86400000L, T0 + 86400000L, Seq.empty)
+    val down = Seq((10000L, TsDownsample.downsample(canon, 10000L)))
+    val at = T0 + 600000L
+    // routed semantics are window-aligned [t_k - range, t_k): the 2m
+    // window at k=20 sees samples k=16..19 → 160+170+180+190 = 700
+    // (the raw path's (t_k - range, t_k] would see k=17..20 = 740, so
+    // 700 PROVES the downsampled form was read)
+    val sum = rows("""sum_over_time(req{inst="i-0"}[2m])""", at, at, 60000L,
+      downsamples = down)
+    assert(sum == Seq((sum.head._1, at, 700.0)))
+    val cnt = rows("""count_over_time(req{inst="i-0"}[2m])""", at, at, 60000L,
+      downsamples = down)
+    assert(cnt.map(_._3) == Seq(4.0))
+    // exact reset-corrected increase from inc_v + boundary deltas:
+    // i-1 samples k=16..19 → 12,14,16,18 → increase 6
+    val inc = rows("""increase(req{inst="i-1"}[2m])""", at, at, 60000L,
+      downsamples = down)
+    assert(inc.map(_._3) == Seq(6.0))
+    // a resolution that doesn't divide the step is refused → raw path,
+    // identical to evaluating with no ladder at all
+    val misaligned = Seq((25000L, TsDownsample.downsample(canon, 25000L)))
+    assert(rows("""sum_over_time(req{inst="i-0"}[2m])""", at, at, 60000L,
+      downsamples = misaligned) ==
+      rows("""sum_over_time(req{inst="i-0"}[2m])""", at, at, 60000L))
   }
 
   test("ignoring() matches on the label complement; negative offsets") {
