@@ -223,6 +223,39 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
         val phi = q.substring("quantile_over_time:".length).toDouble
         stepped.groupBy(col("fingerprint"), col("labels"), col("k"))
           .agg(expr(s"percentile(v, $phi)").as("v"))
+      case "mad_over_time" =>
+        // median absolute deviation (experimental upstream): one sorted
+        // collect per (series, step); both medians come from the same
+        // array with the quantile_cont(0.5) interpolation (= average of
+        // the two middle elements), so an external engine's median()
+        // reproduces them bit-for-bit — no second shuffle for the
+        // deviation pass.
+        def med(vs: Column): Column = {
+          val n = size(vs)
+          (element_at(vs, (floor((n - 1) / 2.0d) + 1).cast("int")) +
+            element_at(vs, (ceil((n - 1) / 2.0d) + 1).cast("int"))) / 2.0d
+        }
+        stepped.groupBy(col("fingerprint"), col("labels"), col("k"))
+          .agg(array_sort(collect_list(col("v"))).as("vs"))
+          .withColumn("m", med(col("vs")))
+          .withColumn("v", med(array_sort(
+            transform(col("vs"), x => abs(x - col("m"))))))
+          .drop("vs", "m")
+      case ts if ts.startsWith("ts_of_") =>
+        // ts_of_{max,min,last}_over_time (experimental upstream): the
+        // timestamp, in SECONDS, of the extremal/last sample in the
+        // window. Ties break to the EARLIEST attaining sample — a
+        // deterministic choice (upstream's strict-compare loop keeps the
+        // first maximum in iteration order, which is time order).
+        val pick: Column = ts match {
+          case "ts_of_max_over_time" =>
+            max(struct(col("v"), (-col("t")).as("nt"))).getField("nt") * -1L
+          case "ts_of_min_over_time" =>
+            min(struct(col("v"), col("t"))).getField("t")
+          case "ts_of_last_over_time" => max(col("t"))
+        }
+        stepped.groupBy(col("fingerprint"), col("labels"), col("k"))
+          .agg((pick.cast("double") / 1000.0d).as("v"))
       case "present_over_time" =>
         stepped.groupBy(col("fingerprint"), col("labels"), col("k"))
           .agg(lit(1.0d).as("v"))

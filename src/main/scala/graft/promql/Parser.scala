@@ -197,7 +197,8 @@ final class Parser(input: String) {
     "resets", "changes", "sum_over_time", "avg_over_time", "min_over_time",
     "max_over_time", "count_over_time", "last_over_time",
     "stddev_over_time", "stdvar_over_time", "present_over_time",
-    "deriv", "predict_linear")
+    "mad_over_time", "ts_of_max_over_time", "ts_of_min_over_time",
+    "ts_of_last_over_time", "deriv", "predict_linear")
   private val scalarFns = Map(
     "abs" -> 0, "ceil" -> 0, "floor" -> 0, "exp" -> 0, "sqrt" -> 0,
     "ln" -> 0, "log2" -> 0, "log10" -> 0, "sgn" -> 0, "round" -> 0,

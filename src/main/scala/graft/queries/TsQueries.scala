@@ -687,6 +687,20 @@ object TsQueries {
         .orderBy(col("user"), col("big"), col("t"))
     }),
 
+    // robust dispersion through the PARSED path: median absolute
+    // deviation per step window (the experimental upstream
+    // mad_over_time) — oracle recomputes both medians with DuckDB's
+    // interpolated median(), the same quantile_cont(0.5) rule the
+    // evaluator's sorted-array midpoint implements
+    "ts_promql_mad" -> ((s, dir) =>
+      graft.promql.PromQL.rangeQuery(querier(s, dir),
+        "mad_over_time(purchase[2d])", Mint + 172800000L, Maxt, 86400000L)
+        .select(
+          TsSchema.labelValue(col("labels"), "user").as("user"),
+          TsSchema.labelValue(col("labels"), "big").as("big"),
+          col("t"), round(col("v"), 4).as("v"))
+        .orderBy(col("user"), col("big"), col("t"))),
+
     // the same smoothing through the PARSED PromQL path: per-step
     // [5d] windows, 2 steps — oracle unrolls the fold per (series, step)
     // as a recursive CTE (window semantics left-open, like the evaluator)
@@ -1298,6 +1312,21 @@ object TsQueries {
          | SELECT "user", big, step_t AS t, round(sum(v), 4) AS v
          | FROM win GROUP BY 1, 2, 3
          | ORDER BY "user", big, t""".stripMargin.replace("\n", " "),
+    "ts_promql_mad" ->
+      s"""WITH steps AS (
+         |  SELECT unnest(range(${Mint + 172800000L}, $Maxt + 1, 86400000)) AS step_t),
+         | raw AS (SELECT "user", big, t, v FROM ($oracleBase)
+         |         WHERE name = 'purchase' AND t >= $Mint AND t <= $Maxt),
+         | win AS (SELECT r."user", r.big, r.v, s.step_t
+         |         FROM raw r JOIN steps s
+         |           ON r.t > s.step_t - 172800000 AND r.t <= s.step_t),
+         | med AS (SELECT "user", big, step_t, median(v) AS m
+         |         FROM win GROUP BY 1, 2, 3)
+         | SELECT w."user", w.big, w.step_t AS t,
+         |   round(median(abs(w.v - med.m)), 4) AS v
+         | FROM win w JOIN med ON w."user" = med."user" AND w.big = med.big
+         |   AND w.step_t = med.step_t
+         | GROUP BY 1, 2, 3 ORDER BY w."user", w.big, t""".stripMargin.replace("\n", " "),
     "ts_promql_smooth" ->
       s"""WITH RECURSIVE steps AS (
          |  SELECT unnest([${Mint + 432000000L}, $Maxt]) AS step_t),

@@ -491,6 +491,31 @@ class PromQLSpec extends AnyFunSuite {
     assert((pos ++ neg).sortBy(x => (x._1, x._2)) == all)
   }
 
+  test("mad_over_time and the ts_of_* family") {
+    val at = T0 + 600000L
+    // i-0 window (at-2m, at]: v = 170, 180, 190, 200
+    // median = 185; |v-185| = 15, 5, 5, 15 → mad = 10
+    val mad = rows("""mad_over_time(req{inst="i-0"}[2m])""", at, at, 60000L)
+    assert(mad.map(_._3) == Seq(10.0))
+    // odd count: [90s] window (at-90s, at] → v = 180, 190, 200, median 190
+    // |v-190| = 10, 0, 10 → mad = 10; also checks the odd-n median path
+    val mad3 = rows("""mad_over_time(req{inst="i-0"}[1m30s])""", at, at, 60000L)
+    assert(mad3.map(_._3) == Seq(10.0))
+    // counters rise, so ts-of-max = last sample, ts-of-min = first
+    val tmax = rows("""ts_of_max_over_time(req{inst="i-0"}[2m])""", at, at, 60000L)
+    assert(tmax.map(_._3) == Seq(at / 1000.0))
+    val tmin = rows("""ts_of_min_over_time(req{inst="i-0"}[2m])""", at, at, 60000L)
+    assert(tmin.map(_._3) == Seq((at - 90000L) / 1000.0))
+    val tlast = rows("""ts_of_last_over_time(req{inst="i-0"}[2m])""", at, at, 60000L)
+    assert(tlast.map(_._3) == Seq(at / 1000.0))
+    // ts_of_max tie-break: mem gauge repeats values (t % 7 + 1); the
+    // EARLIEST sample attaining the window max must win
+    val memXs = (17 to 20).map(k => (T0 + k * 30000L, ((T0 + k * 30000L) % 7 + 1).toDouble))
+    val expect = memXs.filter(_._2 == memXs.map(_._2).max).map(_._1).min / 1000.0
+    val tmem = rows("""ts_of_max_over_time(mem{inst="i-0"}[2m])""", at, at, 60000L)
+    assert(tmem.map(_._3) == Seq(expect))
+  }
+
   test("aligned over_time/increase route through the downsample ladder") {
     import graft.tsdb.TsDownsample
     // 10s windows (T0 is 10s-aligned; every 30s sample gets its own
