@@ -176,4 +176,36 @@ object TsStore {
             promoted: Seq[String] = TsSchema.DefaultPromoted): Unit =
     TsSchema.canonicalize(df, promoted)
       .write.partitionBy("block_start").mode("overwrite").parquet(path)
+
+  /** SERIES-BUCKETED store variant: the same canonical schema, written
+    * `bucketBy(n, fingerprint)` + `sortBy(fingerprint, t)` as a catalog
+    * table (bucketing needs the catalog; plain parquet paths don't carry
+    * bucket metadata). The scan then reports HashPartitioning on
+    * `fingerprint`, which satisfies the clustering of every per-series
+    * operation downstream — J1/J2 series assembly
+    * (`groupBy(fingerprint, labels)`), range-function step aggregation,
+    * replica dedup, and joins between stores sharing the bucket count —
+    * so they all plan with ZERO shuffle exchanges. Time-partition
+    * pruning composes (`partitionBy(block_start)` + `bucketBy` is a
+    * partitioned bucketed table).
+    *
+    * This is the co-location half of the 100 TB layout: at 1000
+    * executors the expensive exchange of every series-keyed stage
+    * disappears in favor of a layout decided once at write time. Choose
+    * `numBuckets` ≈ cluster cores × small factor; it is a property of
+    * the TABLE, so all writers of one store must agree on it. */
+  def writeBucketed(df: DataFrame, table: String, numBuckets: Int = 64,
+                    promoted: Seq[String] = TsSchema.DefaultPromoted): Unit =
+    TsSchema.canonicalize(df, promoted)
+      .write
+      .partitionBy("block_start")
+      .bucketBy(numBuckets, "fingerprint")
+      .sortBy("fingerprint", "t")
+      .mode("overwrite")
+      .saveAsTable(table)
+
+  /** Open a bucketed store written by [[writeBucketed]]. */
+  def readBucketed(spark: SparkSession, table: String,
+                   promoted: Seq[String] = TsSchema.DefaultPromoted): TsQuerier =
+    new TsQuerier(spark.table(table), promoted)
 }

@@ -14,6 +14,62 @@ import graft.SparkSpec
 class BucketedJoinSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
 
+  test("series-bucketed ts store: per-series assembly and self-join plan shuffle-free") {
+    import graft.tsdb.{TsSchema, TsStore}
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val t0 = 1700000000000L
+    val rows = (for {
+      inst <- 0 until 40; k <- 0 until 50
+    } yield Row(Map("__name__" -> "up", "instance" -> s"i-$inst"),
+      t0 + k * 15000L, (k % 13).toDouble)).asJava
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "labels map<string,string>, t long, v double")
+    val longForm = spark.createDataFrame(rows, schema)
+    spark.sql("DROP TABLE IF EXISTS b_ts")
+    TsStore.writeBucketed(longForm, "b_ts", numBuckets = 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = TsStore.readBucketed(spark, "b_ts")
+      // J1/J2 series assembly: groupBy(fingerprint, labels) — the
+      // bucket layout (HashPartitioning on fingerprint) must satisfy
+      // the aggregation's clustering with ZERO exchanges
+      val assembled = q.select(t0, t0 + 3600000L, Seq.empty)
+      // (the final orderBy is a range exchange — only the AGG must be
+      // exchange-free, so count exchanges below the aggregate instead)
+      val aggNode = assembled.queryExecution.executedPlan.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      }.get
+      assert(aggNode.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"bucketed series assembly must not shuffle:\n$aggNode")
+      assert(assembled.count() == 40)
+      // series-keyed self-join (the federation/replica shape): both
+      // sides read the same bucket layout → no exchange on either side
+      val a = spark.table("b_ts").groupBy("fingerprint").count()
+      val b = spark.table("b_ts").groupBy("fingerprint")
+        .agg(sum(col("v")).as("sv"))
+      val joined = a.join(b, "fingerprint")
+      val smj = joined.queryExecution.executedPlan.collectFirst {
+        case j: SortMergeJoinExec => j
+      }
+      assert(smj.isDefined, s"expected SMJ:\n${joined.queryExecution.executedPlan}")
+      assert(smj.get.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"bucketed self-join must not shuffle:\n${smj.get}")
+      assert(joined.count() == 40)
+      // results agree with the unbucketed path
+      val plain = TsSchema.canonicalize(longForm)
+      assert(q.selectLong(t0, t0 + 3600000L, Seq.empty).agg(sum("v")).head().getDouble(0) ==
+        plain.where(col("t").between(t0, t0 + 3600000L)).agg(sum("v")).head().getDouble(0))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.sql("DROP TABLE IF EXISTS b_ts")
+    }
+  }
+
   test("bucketed fact-to-fact join plans without a shuffle on either side") {
     import spark.implicits._
     val n = 10000
