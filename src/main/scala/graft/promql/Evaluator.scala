@@ -789,6 +789,44 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
         else array_sort(array(eqLabels: _*))
       steps.join(present, Seq("t"), "left_anti")
         .select(labelsLit.as("labels"), col("t"), lit(1.0).as("v"))
+    case InfoFn(arg, sel) =>
+      // info(v[, {sel}]) (3.x experimental): join v's series with the
+      // target_info instant vector on the identifying labels
+      // (job, instance) per step and union in the info metric's DATA
+      // labels. Deviations, documented: multiple matching info series
+      // pick the lexicographically smallest data-label set (upstream
+      // errors); series without a match pass through unchanged. The
+      // optional selector must match the info series and restricts the
+      // copied labels to the names it mentions. One equi-join on
+      // (job, instance, t) — the info side is tiny (one row per target
+      // per step) and broadcasts.
+      val idLabels = Seq("instance", "job")
+      val in = eval(arg)
+      val infoRaw = instant(Selector(
+        Seq(graft.tsdb.LabelMatcher.eq(Labels.MetricName, "target_info")), None, 0))
+      val infoSel = sel.foldLeft(infoRaw)((d, m) =>
+        d.where(m.predicate(graft.tsdb.TsSchema.labelValue(col("labels"), m.name))))
+      val nonId = filter(col("labels"), e =>
+        !e.getField("name").isin((Labels.MetricName +: idLabels).map(x => x: Any): _*))
+      val copied =
+        if (sel.isEmpty) nonId
+        else filter(nonId, e =>
+          e.getField("name").isin(sel.map(_.name).map(x => x: Any): _*))
+      val infoK = infoSel.select(
+        graft.tsdb.TsSchema.labelValue(col("labels"), "job").as("job_k"),
+        graft.tsdb.TsSchema.labelValue(col("labels"), "instance").as("inst_k"),
+        col("t"), copied.as("extra"))
+        .groupBy(col("job_k"), col("inst_k"), col("t"))
+        .agg(min(col("extra")).as("extra"))
+      val dk = in
+        .withColumn("job_k", graft.tsdb.TsSchema.labelValue(col("labels"), "job"))
+        .withColumn("inst_k", graft.tsdb.TsSchema.labelValue(col("labels"), "instance"))
+      dk.join(broadcast(infoK), Seq("job_k", "inst_k", "t"), "left")
+        .withColumn("labels", array_sort(concat(col("labels"),
+          coalesce(filter(col("extra"), e =>
+            !exists(col("labels"), d => d.getField("name") === e.getField("name"))),
+            emptyLabels))))
+        .select(col("labels"), col("t"), col("v"))
     case HistQ(phi, arg) =>
       // group on labels-minus-(le, name), parse `le` ("+Inf" included),
       // then the shared Prometheus interpolation over the bucket frame

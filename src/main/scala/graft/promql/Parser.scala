@@ -65,6 +65,13 @@ object PromExpr {
     * `label_join(v, dst, sep, src...)` — string args in call order. */
   final case class LabelFn(fn: String, arg: PromExpr,
                            strs: Seq[String]) extends PromExpr
+  /** `info(v[, {matchers}])` (3.x experimental): enrich each series of
+    * `v` with data labels copied from the `target_info` info metric
+    * sharing its identifying labels (`job`, `instance`) at the same
+    * step. The optional selector must match the info series' data
+    * labels and, when present, restricts the copied labels to the names
+    * it mentions. Data-side labels win on collision. */
+  final case class InfoFn(arg: PromExpr, sel: Seq[LabelMatcher]) extends PromExpr
   final case class Num(v: Double) extends PromExpr
 }
 
@@ -433,6 +440,22 @@ final class Parser(input: String) {
       if (name == "label_join" && got.size < 2)
         err("label_join(v, dst, sep, src...)")
       LabelFn(name, arg, got)
+    } else if (name == "info") {
+      ws(); eat('(')
+      val arg = parseExpr(0)
+      val sel = Seq.newBuilder[LabelMatcher]
+      ws()
+      if (peek == ',') {
+        pos += 1; ws(); eat('{')
+        ws()
+        if (peek != '}') {
+          sel += matcher()
+          while ({ ws(); peek == ',' }) { pos += 1; ws(); sel += matcher() }
+        }
+        ws(); eat('}')
+      }
+      ws(); eat(')')
+      InfoFn(arg, sel.result())
     } else if (name == "histogram_quantile") {
       ws(); eat('(')
       val phi = number()

@@ -491,6 +491,40 @@ class PromQLSpec extends AnyFunSuite {
     assert((pos ++ neg).sortBy(x => (x._1, x._2)) == all)
   }
 
+  test("info() enriches series with target_info data labels") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val t = T0 + 60000L
+    def series(lbls: Map[String, String], v: Double) = Row(lbls, t, v)
+    val rws = Seq(
+      series(Map("__name__" -> "up", "job" -> "a", "instance" -> "i0"), 1.0),
+      series(Map("__name__" -> "up", "job" -> "b", "instance" -> "i9"), 2.0), // no info
+      series(Map("__name__" -> "target_info", "job" -> "a", "instance" -> "i0",
+        "cluster" -> "us-east", "env" -> "prod"), 1.0)).asJava
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "labels map<string,string>, t long, v double")
+    val q = new TsQuerier(TsSchema.canonicalize(
+      spark.createDataFrame(rws, schema), promoted = Seq()), promoted = Seq())
+    def run(expr: String): Seq[(String, Double)] =
+      PromQL.rangeQuery(q, expr, t, t, 60000L)
+        .select(to_json(col("labels")).as("l"), col("v"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
+    // all data labels of the matching info series are copied; the
+    // series with no matching target_info passes through unchanged
+    val enriched = run("info(up)")
+    assert(enriched.size == 2)
+    val (ja, jb) = (enriched.find(_._2 == 1.0).get._1, enriched.find(_._2 == 2.0).get._1)
+    assert(ja.contains("cluster") && ja.contains("us-east") && ja.contains("env"))
+    assert(!jb.contains("cluster") && !jb.contains("env"))
+    // the selector restricts the copied labels to the names it mentions
+    val only = run("""info(up, {cluster="us-east"})""")
+    val jc = only.find(_._2 == 1.0).get._1
+    assert(jc.contains("cluster") && !jc.contains("env"))
+    // a selector the info series does not match ⇒ nothing is copied
+    val none = run("""info(up, {cluster="eu-west"})""")
+    assert(none.forall(x => !x._1.contains("cluster")))
+  }
+
   test("mad_over_time and the ts_of_* family") {
     val at = T0 + 600000L
     // i-0 window (at-2m, at]: v = 170, 180, 190, 200
