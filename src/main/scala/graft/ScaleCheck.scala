@@ -135,6 +135,40 @@ object ScaleCheck {
           (col("t") - pmod(col("t"), lit(86400000L))).as("w"))
         .agg(count(lit(1)), sum(col("v")), min(col("v")), max(col("v"))).count()
     }
+
+    // --- round 5: downsample-ROUTED PromQL at scale ---
+    // the evaluator picks the 1h rung for an aligned day-window
+    // sum_over_time — same parsed query, resolution²-fewer rows read
+    val gridLo = m0 + 86400000L
+    val gridHi = m0 + 86400000L // grid must sit inside the materialized span
+    time("promql sum_over_time(metric_3[1d]) ROUTED via 1h downsample") {
+      graft.promql.PromQL.rangeQuery(q, "sum_over_time(metric_3[1d])",
+        gridLo, gridHi, 86400000L,
+        downsamples = Seq((resMs, down))).count()
+    }
+    time("promql sum_over_time(metric_3[1d]) raw path (comparison)") {
+      graft.promql.PromQL.rangeQuery(q, "sum_over_time(metric_3[1d])",
+        gridLo, gridHi, 86400000L).count()
+    }
+
+    // --- round 5: series-bucketed store ---
+    // bucketBy(fingerprint) at write time removes the per-series
+    // exchange from every downstream series-keyed stage
+    spark.sql("DROP TABLE IF EXISTS scale_b_ts")
+    time("write bucketed store (64 buckets on fingerprint)") {
+      // same canonical rows, routed through TsStore.writeBucketed's
+      // bucket-key pre-shuffle (one file per partition × bucket)
+      canonical
+        .repartition(64, col("fingerprint"))
+        .write.partitionBy("block_start")
+        .bucketBy(64, "fingerprint").sortBy("fingerprint", "t")
+        .mode("overwrite").saveAsTable("scale_b_ts")
+    }
+    val bq = TsStore.readBucketed(spark, "scale_b_ts")
+    time("bucketed: series assembly, 1 metric, full range (no exchange)") {
+      bq.select(t0ms, Long.MaxValue / 2, Seq(LabelMatcher.eq("__name__", "metric_7"))).count()
+    }
+    spark.sql("DROP TABLE IF EXISTS scale_b_ts")
     spark.stop()
   }
 }

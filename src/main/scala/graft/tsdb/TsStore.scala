@@ -197,6 +197,13 @@ object TsStore {
   def writeBucketed(df: DataFrame, table: String, numBuckets: Int = 64,
                     promoted: Seq[String] = TsSchema.DefaultPromoted): Unit =
     TsSchema.canonicalize(df, promoted)
+      // pre-shuffle on the bucket key: a bucketed write emits one file
+      // per (task, partition, bucket), so without this every writer
+      // task holds rows of every bucket and the table explodes into
+      // tasks × partitions × buckets small files; repartitioning on the
+      // same hash the bucketing uses collapses that to one file per
+      // (partition, bucket)
+      .repartition(numBuckets, org.apache.spark.sql.functions.col("fingerprint"))
       .write
       .partitionBy("block_start")
       .bucketBy(numBuckets, "fingerprint")
