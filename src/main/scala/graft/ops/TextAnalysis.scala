@@ -180,6 +180,31 @@ object TextAnalysis {
         round(avg(-log((col("c") + 1) / lit(denom.toDouble))), 6).as("nll"))
   }
 
+  /** CCNet-style perplexity bucketing: within each `groupCol` group
+    * (typically language), rank documents by their unigram-LM mean NLL
+    * ([[unigramLogProb]], already 6-decimal rounded) and split into
+    * equal-depth head/middle/tail thirds — head = most fluent, the
+    * slice CCNet keeps for high-quality corpora. Standard NTILE
+    * distribution (earlier buckets absorb the remainder rows), ties
+    * broken by doc id: integer-rank based, so any SQL engine reproduces
+    * the assignment exactly.
+    *
+    * Scale note: the per-group window serializes each group through one
+    * reducer. That is the exact, oracle-reproducible form; at 100 TB
+    * with few huge language groups, switch to threshold bucketing
+    * (approxQuantile cut points per group, broadcast, map-side filter)
+    * at the documented cost of tie/remainder drift around the cuts. */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                        groupCol: String): DataFrame = {
+    val scored = unigramLogProb(df, idCol, textCol)
+      .join(df.select(col(idCol).as("id"), col(groupCol)), "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("nll"), col("id"))
+    scored.withColumn("bucket",
+      element_at(array(lit("head"), lit("middle"), lit("tail")),
+        ntile(3).over(w)))
+  }
+
   /** Convenience: annotate a documents DataFrame with all analyses. */
   def annotate(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("features", qualityFeatures(col(textCol)))

@@ -199,6 +199,13 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("n_tokens"), col("nll"))
         .orderBy(col("doc_id"))),
 
+    // CCNet-style corpus split: head/middle/tail perplexity thirds per
+    // language (head = most fluent under the corpus's own unigram LM)
+    "text_ccnet_buckets" -> ((s, dir) =>
+      TextAnalysis.perplexityBuckets(docs(s, dir), "doc_id", "text", "lang")
+        .select(col("id").as("doc_id"), col("lang"), col("nll"), col("bucket"))
+        .orderBy(col("doc_id"))),
+
     // PII scrubbing: emails + long digit runs tagged; counts + digest of
     // the scrubbed text (map-side regexp_replace, no UDF)
     "text_pii_scrub" -> ((s, dir) =>
@@ -706,6 +713,17 @@ object PipelineQueries {
          |  round(avg(-ln((c + 1) / denom)), 6) AS nll
          | FROM ex JOIN lm USING (tok) CROSS JOIN tot
          | GROUP BY doc_id ORDER BY doc_id""".om,
+    "text_ccnet_buckets" ->
+      s"""WITH ${tokCte(1)},
+         | ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         | lm AS (SELECT tok, count(*) AS c FROM ex GROUP BY tok),
+         | tot AS (SELECT CAST(sum(c) + count(*) AS DOUBLE) AS denom FROM lm),
+         | sc AS (SELECT doc_id, round(avg(-ln((c + 1) / denom)), 6) AS nll
+         |   FROM ex JOIN lm USING (tok) CROSS JOIN tot GROUP BY doc_id)
+         | SELECT d.doc_id, d.lang, sc.nll,
+         |  (['head', 'middle', 'tail'])[ntile(3) OVER (
+         |    PARTITION BY d.lang ORDER BY sc.nll, d.doc_id)] AS bucket
+         | FROM sc JOIN documents d USING (doc_id) ORDER BY d.doc_id""".om,
     "text_pii_scrub" ->
       """SELECT doc_id,
         | len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,

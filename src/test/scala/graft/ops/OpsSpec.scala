@@ -182,6 +182,34 @@ class OpsSpec extends AnyFunSuite {
     assert(flagged.head.getLong(2) == 100L)
   }
 
+  test("perplexity buckets split each group into equal-depth thirds") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the dog sat on the mat", "en"),
+      (3L, "the cat and the dog sat", "en"),
+      (4L, "the mat the cat the dog", "en"),
+      (5L, "a cat sat near the dog", "en"),
+      (6L, "dogs and cats sat around", "en"),
+      (7L, "zxqv wvut qpozam vrilk xenoth", "en"), // unique tokens → worst NLL
+      (8L, "bonjour le monde", "fr"),
+      (9L, "le monde est bonjour", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val b = TextAnalysis.perplexityBuckets(docs, "doc_id", "text", "lang")
+      .select(col("id"), col("lang"), col("bucket")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val en = b.filter(_._2 == "en")
+    // NTILE(3) over 7 rows → 3/2/2 (earlier buckets take the remainder)
+    assert(en.count(_._3 == "head") == 3)
+    assert(en.count(_._3 == "middle") == 2)
+    assert(en.count(_._3 == "tail") == 2)
+    // the all-unique-token doc has the highest mean NLL → tail
+    assert(en.find(_._1 == 7L).get._3 == "tail")
+    // the 2-doc group splits head/middle (tail empty — NTILE semantics)
+    val fr = b.filter(_._2 == "fr").map(_._3).sorted.toSeq
+    assert(fr == Seq("head", "middle"))
+  }
+
   test("PII scrub replaces emails and long digit runs, keeps the rest") {
     val df = docsDF(
       1L -> "contact me at jane.doe+spam@example.co.uk or call 1234567890 now",
