@@ -112,9 +112,30 @@ object Dedup {
 
   /** Candidate pairs from LSH buckets (id1 < id2, distinct). The join is
     * an equi-join on (band, band_key) — bucket-local, no cross product;
-    * only ids travel through the distinct. */
-  def lshCandidatePairs(signatures: DataFrame, bands: Int): DataFrame = {
-    val b = lshBuckets(signatures, bands).select(col("band"), col("band_key"), col("id"))
+    * only ids travel through the distinct.
+    *
+    * `maxBucket` (opt-in) is the degenerate-bucket guard for corpus
+    * scale: a bucket of n docs yields n(n-1)/2 candidate pairs, so ONE
+    * pathological key (boilerplate, near-empty docs sharing a
+    * signature) can dominate the whole job — at 100 TB a single
+    * million-doc bucket is 5·10¹¹ pairs. Buckets above the cap are
+    * dropped before the self-join (standard production LSH practice);
+    * a true near-dup pair inside an over-full bucket is still found
+    * whenever it shares any smaller band bucket, so the recall loss is
+    * confined to pairs ALL of whose shared buckets are degenerate —
+    * exactly the boilerplate case the cap exists to neutralize. */
+  def lshCandidatePairs(signatures: DataFrame, bands: Int,
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
+    val b0 = lshBuckets(signatures, bands).select(col("band"), col("band_key"), col("id"))
+    val b =
+      if (maxBucket == Int.MaxValue) b0
+      else {
+        val keep = b0.groupBy(col("band"), col("band_key"))
+          .agg(count(lit(1)).as("n_bucket"))
+          .where(col("n_bucket") <= maxBucket)
+          .select(col("band"), col("band_key"))
+        b0.join(keep, Seq("band", "band_key"))
+      }
     val l = b.select(col("band"), col("band_key"), col("id").as("id1"))
     val r = b.select(col("band"), col("band_key"), col("id").as("id2"))
     l.join(r, Seq("band", "band_key"))
@@ -128,12 +149,13 @@ object Dedup {
     * depends on candidate count. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 16, bands: Int = 4, shingleSize: Int = 3,
-                 threshold: Double = 0.6): DataFrame = {
+                 threshold: Double = 0.6,
+                 maxBucket: Int = Int.MaxValue): DataFrame = {
     // band keys are fused into the same single pass as hs/sig
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hs = sigs.select(col("id"), col("hs"))
-    lshCandidatePairs(sigs, bands)
+    lshCandidatePairs(sigs, bands, maxBucket)
       .join(hs.select(col("id").as("id1"), col("hs").as("hs1")), "id1")
       .join(hs.select(col("id").as("id2"), col("hs").as("hs2")), "id2")
       .withColumn("jaccard", jaccardOf(col("hs1"), col("hs2")))

@@ -57,7 +57,18 @@ final case class LabelMatcher(tpe: MatchType, name: String, value: String) {
 }
 
 object LabelMatcher {
-  /** Prometheus-anchored form: the full value must match. */
+  /** Prometheus-anchored form: the full value must match.
+    *
+    * Dialect note: regexes evaluate in Java's engine (Spark `rlike`),
+    * not Prometheus's RE2. Java is a strict SUPERSET on the surface
+    * PromQL users write (character classes, alternation, repetition,
+    * anchoring all agree); the divergences are (a) Java accepts
+    * backreferences/lookaround that RE2 rejects — queries using them
+    * would error on Prometheus but work here, and (b) RE2 guarantees
+    * linear-time matching while Java can backtrack pathologically, so a
+    * hostile pattern is a DoS vector upstream callers should bound with
+    * their own timeouts. Bare equality-shaped patterns are rewritten to
+    * postings lookups before any regex runs (TsdbRegexRewrite). */
   def anchored(pattern: String): String = "^(?:" + pattern + ")$"
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()

@@ -182,6 +182,28 @@ class OpsSpec extends AnyFunSuite {
     assert(flagged.head.getLong(2) == 100L)
   }
 
+  test("lsh bucket cap drops degenerate buckets, keeps small-bucket pairs") {
+    import spark.implicits._
+    // 60 identical boilerplate docs (every band bucket degenerate) plus
+    // one near-dup pair of distinct docs (small buckets)
+    val boiler = (0 until 60).map(i =>
+      (100L + i, "click here to accept cookies and continue to the site"))
+    val pair = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"))
+    val docs = (boiler ++ pair).toDF("doc_id", "text")
+    val capped = Dedup.minhashLsh(docs, "doc_id", "text",
+      numHashes = 16, bands = 4, shingleSize = 3, threshold = 0.5,
+      maxBucket = 10).collect()
+    // the boilerplate clique (60*59/2 = 1770 pairs) is gone; the real
+    // near-dup pair survives in its own small buckets
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    // the capped result is a subset of the uncapped one
+    val full = Dedup.minhashLsh(docs, "doc_id", "text",
+      numHashes = 16, bands = 4, shingleSize = 3, threshold = 0.5).collect()
+    assert(full.length == 1770 + 1)
+  }
+
   test("perplexity buckets split each group into equal-depth thirds") {
     import spark.implicits._
     val docs = Seq(
