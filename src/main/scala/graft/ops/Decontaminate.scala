@@ -96,6 +96,54 @@ object Decontaminate {
         (-col("best.nbid")).cast("long").as("benchmark_id"), col("n_matches"))
   }
 
+  /** Exact cross-corpus decontamination WITHOUT broadcast and WITHOUT
+    * banding's Jaccard-shaped recall limit: candidate (corpus,
+    * benchmark) pairs come from a RARE-shingle inverted index — pairs
+    * sharing at least one shingle whose corpus document frequency is
+    * ≤ `dfCap` — then verify by exact benchmark containment |C∩B|/|B|
+    * like [[flagFuzzy]]. A benchmark item embedded verbatim in an
+    * arbitrarily long training doc shares ALL its shingles with it, so
+    * it is found whenever ANY of its shingles is rare; the only misses
+    * are benchmark docs composed entirely of >dfCap boilerplate
+    * shingles, which the threshold would likely reject anyway.
+    *
+    * Scale: the corpus explodes its shingle set once (linear, the same
+    * pass [[flag]] does); the benchmark side is pre-filtered to rare
+    * shingles, so the candidate join output is bounded by
+    * dfCap × |benchmark shingles| — no broadcast, no n², no MinHash
+    * recall cliff. Use [[flagFuzzy]] when near-duplicate (paraphrase)
+    * matching is wanted; use this when the contract is exact
+    * containment at any size asymmetry. */
+  def flagFuzzyRare(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, shingleSize: Int = 3,
+                    threshold: Double = 0.5, dfCap: Int = 100): DataFrame = {
+    val cs = corpus.select(col(idCol).as("cid"),
+        Dedup.shingleHashes(col(textCol), shingleSize).as("chs"))
+      .where(size(col("chs")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bs = benchmark.select(col(idCol).as("bid"),
+        Dedup.shingleHashes(col(textCol), shingleSize).as("bhs"))
+      .where(size(col("bhs")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cex = cs.select(col("cid"), explode(col("chs")).as("h"))
+    val rare = cex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap).select(col("h"))
+    val bex = bs.select(col("bid"), explode(col("bhs")).as("h")).join(rare, "h")
+    val cands = cex.join(bex, "h").select(col("cid"), col("bid")).distinct()
+    cands
+      .join(cs, "cid")
+      .join(bs, "bid")
+      .withColumn("containment", round(
+        size(array_intersect(col("chs"), col("bhs"))).cast("double") /
+          size(col("bhs")), 6))
+      .where(col("containment") >= threshold)
+      .groupBy(col("cid"))
+      .agg(max(struct(col("containment").as("c"), (-col("bid")).as("nbid"))).as("best"),
+        count(lit(1)).as("n_matches"))
+      .select(col("cid").as("id"), col("best.c").as("containment"),
+        (-col("best.nbid")).cast("long").as("benchmark_id"), col("n_matches"))
+  }
+
   /** The complement workflow: corpus minus contaminated docs (the frame
     * a training job would actually read). */
   def clean(corpus: DataFrame, benchmark: DataFrame, idCol: String,

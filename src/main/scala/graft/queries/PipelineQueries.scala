@@ -184,6 +184,17 @@ object PipelineQueries {
         .orderBy(col("id"))
     }),
 
+    // exact-containment decontamination via the rare-shingle inverted
+    // index (no broadcast, no banding recall limit): candidates share a
+    // shingle with corpus document frequency <= 100
+    "decontaminate_rare" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.Decontaminate.flagFuzzyRare(
+        d.where(col("doc_id") % 10 =!= 0), d.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleSize = 3, threshold = 0.2, dfCap = 100)
+        .orderBy(col("id"))
+    }),
+
     // deterministic hash-range train/val/test split — stable under
     // corpus growth (assignment depends only on the doc's own key)
     "sample_split" -> ((s, dir) =>
@@ -691,6 +702,22 @@ object PipelineQueries {
          |   FROM bandkey a JOIN bandkey b
          |     ON a.band = b.band AND a.band_key = b.band_key
          |   WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0),
+         | j AS (SELECT cid, bid,
+         |   round(len(list_intersect(h1.hs, h2.hs))::DOUBLE / len(h2.hs), 6) AS containment
+         |   FROM cand JOIN hx h1 ON h1.doc_id = cid JOIN hx h2 ON h2.doc_id = bid),
+         | f AS (SELECT * FROM j WHERE containment >= 0.2),
+         | g AS (SELECT cid, max({'c': containment, 'nbid': -bid}) AS b,
+         |   count(*) AS n_matches FROM f GROUP BY cid)
+         | SELECT cid AS id, g.b.c AS containment,
+         |  CAST(-(g.b.nbid) AS BIGINT) AS benchmark_id, n_matches
+         | FROM g ORDER BY id""".om,
+    "decontaminate_rare" ->
+      s"""WITH ${tokCte(3)}, $hsCte,
+         | cex AS (SELECT doc_id AS cid, unnest(hs) AS h FROM hx WHERE doc_id % 10 <> 0),
+         | bexall AS (SELECT doc_id AS bid, unnest(hs) AS h FROM hx WHERE doc_id % 10 = 0),
+         | rare AS (SELECT h FROM cex GROUP BY h HAVING count(*) <= 100),
+         | bex AS (SELECT bid, bexall.h FROM bexall JOIN rare ON rare.h = bexall.h),
+         | cand AS (SELECT DISTINCT cid, bid FROM cex JOIN bex USING (h)),
          | j AS (SELECT cid, bid,
          |   round(len(list_intersect(h1.hs, h2.hs))::DOUBLE / len(h2.hs), 6) AS containment
          |   FROM cand JOIN hx h1 ON h1.doc_id = cid JOIN hx h2 ON h2.doc_id = bid),

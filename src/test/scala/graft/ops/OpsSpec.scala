@@ -164,6 +164,29 @@ class OpsSpec extends AnyFunSuite {
     assert(clean == Set(2L, 3L))
   }
 
+  test("rare-shingle decontamination finds the asymmetric embedded item") {
+    // the case MinHash banding structurally misses: a short benchmark
+    // item inside a MUCH longer doc (low Jaccard, containment 1.0).
+    // flagFuzzyRare forms the candidate from any rare shared shingle.
+    val pad = (1 to 80).map(i => s"filler$i").mkString(" ")
+    val corpus = docsDF(
+      1L -> (pad + " the quick brown fox jumps over the lazy dog " + pad),
+      2L -> "completely unrelated text about databases and queries")
+    val bench = docsDF(100L -> "the quick brown fox jumps over the lazy dog")
+    val flagged = Decontaminate.flagFuzzyRare(corpus, bench, "doc_id", "text",
+      shingleSize = 3, threshold = 0.9, dfCap = 10).collect()
+    assert(flagged.map(_.getLong(0)).toSet == Set(1L))
+    assert(flagged.head.getDouble(1) == 1.0)
+    assert(flagged.head.getLong(2) == 100L)
+    // a benchmark doc made ONLY of >dfCap boilerplate shingles is the
+    // documented miss: every corpus doc shares its shingles → df > cap
+    val boilerCorpus = docsDF((1L to 12L).map(i => i -> "common words here always").toSeq: _*)
+    val boilerBench = docsDF(200L -> "common words here always")
+    val none = Decontaminate.flagFuzzyRare(boilerCorpus, boilerBench,
+      "doc_id", "text", shingleSize = 3, threshold = 0.5, dfCap = 10).collect()
+    assert(none.isEmpty)
+  }
+
   test("fuzzy decontamination: benchmark-side containment flags an embedded item") {
     // corpus doc 1 fully embeds the short benchmark item 100 inside a
     // longer doc: |C∩B|/|B| = 1.0 even though |C∩B|/|C| would be small.
