@@ -349,6 +349,47 @@ object Dedup {
           org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
+  /** C4-style corpus-wide LINE deduplication: any line occurring more
+    * than once across the corpus keeps only its FIRST occurrence (min
+    * (doc_id, line_no)); every other instance — including repeats inside
+    * the same document — is dropped. Returns one row per document with
+    * the cleaned text reassembled in original line order plus kept /
+    * removed counts (docs whose every line was removed keep an empty
+    * string, so no document disappears from the corpus).
+    *
+    * Scale shape (100 TB): the line stream shuffles ONCE, keyed on its
+    * 128-bit md5 (16 bytes + two longs per line — the raw text rides
+    * along only as the aggregation's payload for reassembly, it is
+    * never the shuffle key), as a groupBy with a map-side-combinable
+    * `min(struct(doc_id, line_no))` rather than a window sort — a
+    * window over the same key would shuffle identically but sort every
+    * bucket and combine nothing map-side. The first-occurrence verdict
+    * then broadcasts/joins back and the second shuffle (doc_id) is the
+    * unavoidable reassembly. Reference: the C4 dataset's three-sentence
+    * / line-level dedup (Raffel et al. 2020, §2.2 "deduplication"). */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+      .withColumn("lh", md5(col("line")))
+    // map-side-combined: one surviving (lh → first occurrence) row per
+    // distinct line per input partition reaches the shuffle
+    val firstSeen = lines.groupBy(col("lh"))
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("keep"))
+    val marked = lines.join(firstSeen, "lh")
+      .withColumn("kept", struct(col("doc_id"), col("line_no")) === col("keep"))
+    // collect_list skips nulls → the when() keeps only surviving lines;
+    // array_sort on (line_no, line) structs restores document order
+    marked.groupBy(col("doc_id"))
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("line_no"), col("line"))))),
+          s => s.getField("line"))).as("clean_text"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"))
+  }
+
   /** Embedding near-dup: pairs with cosine >= threshold. Brute force
     * within a blocking column (default: none → label-blocked by caller);
     * see Similarity.lshTopK for the sub-quadratic path. */

@@ -353,29 +353,77 @@ object Similarity {
       VectorExpressions.pq_encode_native(col(vecCol), codebook, m, k, sub).as("codes"))
   }
 
-  /** Asymmetric PQ top-k: exact query vectors against corpus vectors
-    * reconstructed from their codes (same search shape as [[sqTopK]];
-    * the reconstruction is a cheap per-element codebook lookup). */
-  def pqTopK(queries: DataFrame, encoded: DataFrame, qId: String, qVec: String,
-             codebook: Array[Double], m: Int, k: Int, topK: Int): DataFrame = {
+  /** Reconstructed vector from PQ codes: recon[d] = cb[j(d)][codes[j(d)]]
+    * [d mod sub]. Codes are bound once via the single-element transform
+    * trick (a bare lambda would re-evaluate the codes expression per
+    * element). Shared by the flat PQ search and the IVF+PQ composition. */
+  def pqRecon(codes: Column, codebook: Array[Double], m: Int, k: Int): Column = {
     val sub = codebook.length / (m * k)
     val cbLit = array(codebook.map(lit): _*)
-    // recon[d] = cb[j(d)][codes[j(d)]][d mod sub]; codes bound once via
-    // the single-element transform trick
-    val recon = element_at(transform(array(struct(col("codes").as("cs"))), s =>
+    element_at(transform(array(struct(codes.as("cs"))), s =>
       transform(sequence(lit(0), lit(m * sub - 1)), d => {
         val j = ((d - pmod(d, lit(sub))) / sub).cast("int")
         element_at(cbLit,
           (j * (k * sub) + element_at(s.getField("cs"), j + 1) * sub +
             pmod(d, lit(sub)) + 1).cast("int"))
       })), 1)
+  }
+
+  /** Asymmetric PQ top-k: exact query vectors against corpus vectors
+    * reconstructed from their codes (same search shape as [[sqTopK]];
+    * the reconstruction is a cheap per-element codebook lookup). */
+  def pqTopK(queries: DataFrame, encoded: DataFrame, qId: String, qVec: String,
+             codebook: Array[Double], m: Int, k: Int, topK: Int): DataFrame = {
     val q = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("qv"))
-    val c = encoded.select(col("id").as("corpus_id"), recon.as("cv"))
+    val c = encoded.select(col("id").as("corpus_id"),
+      pqRecon(col("codes"), codebook, m, k).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("corpus_id"))
       .withColumn("cos", round(cosine_native(col("qv"), col("cv")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
     scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topK)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"), col("corpus_id"), col("cos"))
+  }
+
+  /** IVF+PQ composed index (the FAISS IVFADC shape): the corpus is
+    * cell-assigned against trained centroids AND PQ-encoded, so a probe
+    * scans only `nprobe` cells and scores against 8-byte codes instead
+    * of raw vectors — the two compressions multiply (cell pruning cuts
+    * the scan, PQ cuts the bytes per scanned row 64×).
+    *
+    * Scale shape: centroids + probes broadcast; the corpus is encoded in
+    * one map-side pass (cell argmax UDF-free via [[ivfAssign]]'s
+    * min(struct) aggregation + codegen'd [[graft.functions.PqEncodeExpr]])
+    * and would be written `partitionBy("cell")` so probes prune
+    * partitions; the search joins the tiny probe set to the encoded
+    * corpus on the cell key. Both stages are deterministic (trained
+    * centroids from [[kmeansCentroids]], hash-ranked codebooks from
+    * [[pqCodebooks]]) so the composed approximate search still gets an
+    * exact DuckDB oracle. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+                qId: String, qVec: String, cId: String, cVec: String,
+                centroids: DataFrame, centId: String, centVec: String,
+                codebook: Array[Double], m: Int, k: Int,
+                topK: Int, nprobe: Int): DataFrame = {
+    val sub = codebook.length / (m * k)
+    val assigned = ivfAssign(corpus, cId, cVec, centroids, centId, centVec)
+    val encoded = assigned.select(col("corpus_id"), col("cell"),
+      VectorExpressions.pq_encode_native(col("cv"), codebook, m, k, sub).as("codes"))
+    val q = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("qv"))
+    val cent = centroids.select(col(centId).as("cell"), col(centVec).cast("array<double>").as("centv"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("d").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("d", cosine_native(col("qv"), col("centv")))
+      .withColumn("rnk", row_number().over(wq))
+      .where(col("rnk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
+    broadcast(probes).join(encoded, "cell") // cell equi-join prunes the scan
+      .where(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", round(
+        cosine_native(col("qv"), pqRecon(col("codes"), codebook, m, k)), 6))
+      .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= topK)
       .select(col("query_id"), col("rnk").cast("long").as("rnk"), col("corpus_id"), col("cos"))
   }

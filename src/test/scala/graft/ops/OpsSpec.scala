@@ -454,6 +454,47 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2).isNullAt(out(2).fieldIndex("payload")))
   }
 
+  test("lineDedup keeps first occurrence corpus-wide, reassembles in order") {
+    val df = docsDF(
+      1L -> "alpha\nboiler\ngamma",
+      2L -> "boiler\ndelta",          // "boiler" first seen in doc 1 → dropped
+      3L -> "same\nsame\nend",        // in-doc repeat → second "same" dropped
+      4L -> "boiler")                 // whole doc removed → empty clean_text
+    val out = Dedup.lineDedup(df, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out.map(_.getString(1)).toSeq ==
+      Seq("alpha\nboiler\ngamma", "delta", "same\nend", ""))
+    assert(out.map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((3L, 0L), (1L, 1L), (2L, 1L), (0L, 1L)))
+    // no document disappears even when fully deduplicated
+    assert(out.length == 4)
+  }
+
+  test("ivfPqTopK with all cells probed equals flat pqTopK") {
+    // 24 deterministic 8-dim vectors; m=4 subspaces × k=4 codewords
+    val vecs = (0L until 24L).map { i =>
+      (i, (0 until 8).map(d => math.sin(i * 3.7 + d * 1.3) + 0.1 * d))
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(vecs, "vec_id", "embedding", m = 4, k = 4)
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding", k = 3, iters = 2)
+    val queries = vecs.where(col("vec_id") < 3)
+    val flat = Similarity.pqTopK(queries,
+        Similarity.pqEncode(vecs, "vec_id", "embedding", cb, m = 4, k = 4),
+        "vec_id", "embedding", cb, m = 4, k = 4, topK = 4)
+      .orderBy("query_id", "rnk").collect()
+    // nprobe = ncells → no pruning → identical to the flat PQ search
+    val composed = Similarity.ivfPqTopK(queries, vecs,
+        "vec_id", "embedding", "vec_id", "embedding",
+        cents, "cell", "centv", cb, m = 4, k = 4, topK = 4, nprobe = 3)
+      .orderBy("query_id", "rnk").collect()
+    assert(composed.map(_.toSeq).toSeq == flat.map(_.toSeq).toSeq)
+    // pruned probe returns a subset ranking: k rows per query, valid cos
+    val pruned = Similarity.ivfPqTopK(queries, vecs,
+        "vec_id", "embedding", "vec_id", "embedding",
+        cents, "cell", "centv", cb, m = 4, k = 4, topK = 4, nprobe = 1)
+      .collect()
+    assert(pruned.nonEmpty && pruned.forall(r => math.abs(r.getDouble(3)) <= 1.0))
+  }
+
   test("cosine: native expression matches HOF formulation bit-exactly") {
     val df = Seq(
       (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
