@@ -390,6 +390,50 @@ object Dedup {
         sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"))
   }
 
+  /** Embedding near-dup at corpus scale: SRP-LSH banded candidate
+    * generation + exact-cosine verify — the sub-quadratic path
+    * [[embeddingNearDup]]'s doc promises ("documented LSH hand-off").
+    *
+    * Scale shape (100 TB): each vector is hashed ONCE map-side into
+    * `tables`×`planesPerTable` sign bits (deterministic md5-derived
+    * planes, [[Similarity.srpSignature]]); candidates only form inside
+    * identical (table, bucket) keys — a plain shuffle equi-join, never
+    * all-pairs — and the exact cosine runs only on the candidate set.
+    * Recall: two vectors at angle θ share one table's bucket with
+    * probability (1 - θ/π)^planesPerTable, amplified by `tables`
+    * independent tables; raise `tables` for recall, `planesPerTable`
+    * for precision. Same banding calculus as MinHash-LSH
+    * ([[minhashLsh]]) with cosine in place of Jaccard. */
+  def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, planesPerTable: Int = 4, tables: Int = 2,
+                          threshold: Double = 0.3): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    // persist = optimizer barrier: the signature is computed once per
+    // vector; the explode fans out over cheap slices of the concrete
+    // column (GenerateExec re-evaluates its child per OUTPUT row)
+    val mat = df.select(col(idCol).as("id"), v.as("v"),
+        Similarity.srpSignature(v, dim, planesPerTable * tables).as("sigall"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketed = mat.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(tables - 1)), t =>
+          concat(t.cast("string"), lit(":"), concat_ws(",",
+            transform(slice(col("sigall"), t * planesPerTable + 1, lit(planesPerTable)),
+              b => b.cast("string")))))))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+    val l = bucketed.select(col("table"), col("bucket"), col("id").as("id1"))
+    val r = bucketed.select(col("table"), col("bucket"), col("id").as("id2"))
+    val cands = l.join(r, Seq("table", "bucket"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    cands
+      .join(mat.select(col("id").as("id1"), col("v").as("v1")), "id1")
+      .join(mat.select(col("id").as("id2"), col("v").as("v2")), "id2")
+      .withColumn("cos", round(
+        graft.functions.VectorExpressions.cosine_native(col("v1"), col("v2")), 6))
+      .where(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+
   /** Embedding near-dup: pairs with cosine >= threshold. Brute force
     * within a blocking column (default: none → label-blocked by caller);
     * see Similarity.lshTopK for the sub-quadratic path. */

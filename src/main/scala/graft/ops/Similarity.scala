@@ -96,6 +96,11 @@ object Similarity {
     java.lang.Long.parseLong(hex, 16).toDouble / (1L << 47).toDouble - 1.0 // 48-bit → [-1,1)
   }
 
+  /** The full SRP plane matrix for (dim, planes) — data-independent and
+    * deterministic, so oracle SQL can embed the same values as literals. */
+  def srpPlanes(dim: Int, planes: Int, offset: Int = 0): Array[Array[Double]] =
+    Array.tabulate(planes, dim)((p, d) => planeComponent(offset + p, d))
+
   /** Sign-random-projection LSH signature: `planes` bits starting at
     * plane index `offset`, bit = sign of dot(v, plane). Map-side only.
     * Implemented as a compact UDF over the precomputed plane matrix:
@@ -104,8 +109,7 @@ object Similarity {
     * method limits — a tight JVM loop over a captured Array[Array[Double]]
     * is the fastest shape that stays deterministic. */
   def srpSignature(vec: Column, dim: Int, planes: Int, offset: Int = 0): Column = {
-    val matrix: Array[Array[Double]] = Array.tabulate(planes, dim)(
-      (p, d) => planeComponent(offset + p, d))
+    val matrix: Array[Array[Double]] = srpPlanes(dim, planes, offset)
     val sigUdf = udf { v: Seq[Double] =>
       val arr = v.toArray
       matrix.map { plane =>

@@ -261,6 +261,15 @@ object PipelineQueries {
         blockCol = col("label"), threshold = 0.3)
         .orderBy(col("id1"), col("id2"))),
 
+    // embedding near-dup at corpus scale: SRP-LSH banded candidates +
+    // exact-cosine verify (no blocking column needed). The md5-derived
+    // planes are deterministic, so the bucketed approximate path still
+    // gets an EXACT oracle (plane matrix embedded as SQL literals)
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDupLsh(embs(s, dir), "vec_id", "embedding",
+        dim = 64, planesPerTable = 4, tables = 2, threshold = 0.3)
+        .orderBy(col("id1"), col("id2"))),
+
     // exact brute-force cosine top-k (query set = vec_id < 8, broadcast)
     "knn_brute" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -581,6 +590,36 @@ object PipelineQueries {
        |  JOIN cb ON cb.j = a.j AND cb.c = a.best.c),
        | recon AS (SELECT vec_id, flatten(list(sv ORDER BY j)) AS cv
        |  FROM parts GROUP BY vec_id)""".om
+
+  /** The SRP-LSH embedding near-dup mirrored exactly: the 8 md5-derived
+    * hyperplanes ride in as a VALUES table of 64-double list literals
+    * (Double.toString round-trips bit-exactly), each sign bit is the
+    * same left-to-right dot fold the Spark UDF runs, and the bucket key
+    * reproduces `t:b0,b1,b2,b3`. */
+  private val srpLshOracle: String = {
+    val planesPerTable = 4; val tables = 2
+    val planes = Similarity.srpPlanes(64, planesPerTable * tables)
+    val planeRows = planes.zipWithIndex.map { case (pl, p) =>
+      s"($p, [${pl.map(java.lang.Double.toString).mkString(", ")}])"
+    }.mkString(", ")
+    s"""WITH $eCte,
+       | planes(p, pl) AS (VALUES $planeRows),
+       | bits AS (SELECT e.vec_id, p.p,
+       |   CASE WHEN list_sum(list_transform(range(64), i -> e.v[i+1] * p.pl[i+1])) >= 0
+       |        THEN 1 ELSE 0 END AS b
+       |  FROM e CROSS JOIN planes p),
+       | sig AS (SELECT vec_id, p // $planesPerTable AS tbl,
+       |   (p // $planesPerTable)::VARCHAR || ':' || string_agg(b::VARCHAR, ',' ORDER BY p) AS bucket
+       |  FROM bits GROUP BY vec_id, p // $planesPerTable),
+       | cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |   AND a.vec_id < b.vec_id),
+       | pairs AS (SELECT id1, id2,
+       |   round(${cosSql("e1.v", "e2.v")}, 6) AS cos
+       |  FROM cand JOIN e e1 ON e1.vec_id = id1 JOIN e e2 ON e2.vec_id = id2)
+       | SELECT id1, id2, cos FROM pairs WHERE cos >= 0.3
+       | ORDER BY id1, id2""".om
+  }
 
   /** The IVF+PQ composition (Similarity.ivfPqTopK): probed-cell pruning
     * from the kmeans chain × PQ-reconstructed scoring from the codebook
@@ -915,6 +954,7 @@ object PipelineQueries {
          | SELECT query_id, rnk, corpus_id, cos FROM rankedq WHERE rnk <= 5
          | ORDER BY query_id, rnk""".om,
     "knn_ivfpq" -> ivfPqOracle,
+    "dedup_embedding_lsh" -> srpLshOracle,
     "knn_ivf_trained" -> kmeansIvfOracle,
     "text_stats" ->
       s"""WITH ${tokCte(1)}

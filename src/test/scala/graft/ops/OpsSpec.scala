@@ -495,6 +495,22 @@ class OpsSpec extends AnyFunSuite {
     assert(pruned.nonEmpty && pruned.forall(r => math.abs(r.getDouble(3)) <= 1.0))
   }
 
+  test("embeddingNearDupLsh: exact dups always collide; subset of brute force") {
+    val base = (0L until 30L).map(i =>
+      (i, (0 until 16).map(d => math.cos(i * 2.1 + d * 0.7))))
+    val df = (base :+ ((40L, base.head._2))).toDF("id", "v") // 40 = copy of 0
+    val lsh = Dedup.embeddingNearDupLsh(df, "id", "v",
+        dim = 16, planesPerTable = 4, tables = 2, threshold = 0.5).collect()
+    // an identical vector shares every table's bucket → always recalled
+    assert(lsh.exists(r => r.getLong(0) == 0L && r.getLong(1) == 40L &&
+      r.getDouble(2) == 1.0))
+    // soundness: every LSH pair appears in the exact all-pairs result
+    val brute = Dedup.embeddingNearDup(df, "id", "v", lit(1), 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .forall(brute.contains))
+  }
+
   test("cosine: native expression matches HOF formulation bit-exactly") {
     val df = Seq(
       (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
