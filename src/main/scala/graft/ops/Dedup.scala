@@ -390,6 +390,64 @@ object Dedup {
         sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"))
   }
 
+  /** Duplicated-span index — the distributed re-expression of
+    * suffix-array exact-substring dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): every `spanTokens`-token
+    * window that appears in at least `minDocs` distinct documents, with
+    * its document frequency and first (min) containing doc.
+    *
+    * Scale shape (100 TB): spans are generated AND hashed map-side (the
+    * per-doc distinct window set from the fused shingle pass), so the one
+    * shuffle carries (16-byte digest, doc_id) pairs — never span text.
+    * The aggregation is map-side combined; the output is only the
+    * multi-doc tail, which is what a masking/filtering pass consumes. */
+  def spanIndex(df: DataFrame, idCol: String, textCol: String,
+                spanTokens: Int, minDocs: Int = 2): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), spanTokens)).as("span"))
+      .groupBy(md5(col("span")).as("span_digest"))
+      // per-doc spans are distinct → count(1) ≡ document frequency
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .where(col("n_docs") >= minDocs)
+
+  /** Per-document duplicated-span contamination score: the fraction of a
+    * document's `spanTokens`-token windows that also appear in some OTHER
+    * document (the Lee et al. filter criterion). `keep` = docs below
+    * `maxDupFrac` — what a curation pipeline passes downstream.
+    *
+    * Scale: the span stream shuffles on the digest twice (dup-index
+    * aggregation, then the semi-join back) and once on doc_id for the
+    * per-doc score — all three carry digests/ids only. The multi-doc
+    * index is NOT broadcast: boilerplate-heavy corpora make it large, and
+    * the semi-join handles skewed digests via AQE. Documents shorter than
+    * one span window score 0 and are kept (nothing to compare). */
+  def spanDupScore(df: DataFrame, idCol: String, textCol: String,
+                   spanTokens: Int, maxDupFrac: Double = 0.5): DataFrame = {
+    val spans = df.select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), spanTokens)).as("span"))
+      .select(col("doc_id"), md5(col("span")).as("sd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // spans duplicated across docs (df >= 2); a span repeated only
+    // WITHIN one doc is already collapsed by the distinct shingle set
+    val dup = spans.groupBy(col("sd"))
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2)
+      .select(col("sd"))
+    val perDoc = spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+    val dupPerDoc = spans.join(dup, Seq("sd"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
+    // re-anchor on the full corpus so window-less docs still score
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac", round(coalesce(
+        col("n_dup_spans").cast("double") / col("n_spans"), lit(0.0)), 6))
+      .withColumn("keep", col("dup_frac") <= maxDupFrac)
+  }
+
   /** Embedding near-dup at corpus scale: SRP-LSH banded candidate
     * generation + exact-cosine verify — the sub-quadratic path
     * [[embeddingNearDup]]'s doc promises ("documented LSH hand-off").

@@ -70,6 +70,18 @@ object PipelineQueries {
       Dedup.lineDedup(docs(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // exact duplicated-span index (the suffix-array substring-dedup
+    // shape, Lee et al. 2021): 5-token windows appearing in >= 2 docs
+    "dedup_span_index" -> ((s, dir) =>
+      Dedup.spanIndex(docs(s, dir), "doc_id", "text", spanTokens = 5)
+        .orderBy(col("span_digest"))),
+
+    // per-document duplicated-span contamination score + keep verdict
+    "dedup_span_score" -> ((s, dir) =>
+      Dedup.spanDupScore(docs(s, dir), "doc_id", "text",
+        spanTokens = 5, maxDupFrac = 0.5)
+        .orderBy(col("doc_id"))),
+
     // MinHash signatures (first 4 of 16 hash slots, for oracle size)
     "dedup_minhash_sig" -> ((s, dir) =>
       Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", numHashes = 4)
@@ -648,6 +660,27 @@ object PipelineQueries {
       s"""WITH ${tokCte(1)} SELECT md5(array_to_string(t, ' ')) AS digest,
          | min(doc_id) AS keep_id, count(*) AS n_copies
          | FROM toks GROUP BY 1 ORDER BY digest""".om,
+    "dedup_span_index" ->
+      s"""WITH ${tokCte(5)},
+         | spans AS (SELECT doc_id, unnest(s) AS span FROM sh)
+         | SELECT md5(span) AS span_digest, count(*) AS n_docs,
+         |  min(doc_id) AS first_doc
+         | FROM spans GROUP BY 1 HAVING count(*) >= 2
+         | ORDER BY span_digest""".om,
+    "dedup_span_score" ->
+      s"""WITH ${tokCte(5)},
+         | sp AS (SELECT doc_id, md5(span) AS sd FROM
+         |   (SELECT doc_id, unnest(s) AS span FROM sh)),
+         | dup AS (SELECT sd FROM sp GROUP BY sd HAVING count(*) >= 2),
+         | pd AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id),
+         | dpd AS (SELECT doc_id, count(*) AS n_dup FROM sp
+         |   WHERE sd IN (SELECT sd FROM dup) GROUP BY doc_id)
+         | SELECT d.doc_id, coalesce(pd.n_spans, 0) AS n_spans,
+         |  coalesce(dpd.n_dup, 0) AS n_dup_spans,
+         |  round(coalesce(dpd.n_dup::DOUBLE / pd.n_spans, 0), 6) AS dup_frac,
+         |  round(coalesce(dpd.n_dup::DOUBLE / pd.n_spans, 0), 6) <= 0.5 AS keep
+         | FROM documents d LEFT JOIN pd USING (doc_id) LEFT JOIN dpd USING (doc_id)
+         | ORDER BY doc_id""".om,
     "dedup_lines" ->
       """WITH lines AS (SELECT doc_id,
         |   unnest(string_split(text, chr(10))) AS line,

@@ -495,6 +495,24 @@ class OpsSpec extends AnyFunSuite {
     assert(pruned.nonEmpty && pruned.forall(r => math.abs(r.getDouble(3)) <= 1.0))
   }
 
+  test("span dedup: index finds cross-doc windows; score fraction + keep") {
+    val df = docsDF(
+      1L -> "a b c d e f",   // 3-spans: abc bcd cde def
+      2L -> "x y a b c d z", // 3-spans: xya yab abc bcd cdz
+      3L -> "q r s t")       // all unique
+    val idx = Dedup.spanIndex(df, "doc_id", "text", spanTokens = 3).collect()
+    // "a b c" and "b c d" are shared by docs 1+2; first_doc = 1
+    assert(idx.length == 2 &&
+      idx.forall(r => r.getLong(1) == 2L && r.getLong(2) == 1L))
+    val sc = Dedup.spanDupScore(df, "doc_id", "text",
+        spanTokens = 3, maxDupFrac = 0.4)
+      .orderBy("doc_id").collect()
+    assert(sc.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((4L, 2L), (5L, 2L), (2L, 0L)))
+    // doc1: 2/4 = 0.5 > 0.4 → drop; doc2: 2/5 = 0.4 → keep; doc3: keep
+    assert(sc.map(_.getBoolean(4)).toSeq == Seq(false, true, true))
+  }
+
   test("embeddingNearDupLsh: exact dups always collide; subset of brute force") {
     val base = (0L until 30L).map(i =>
       (i, (0 until 16).map(d => math.cos(i * 2.1 + d * 0.7))))
