@@ -169,6 +169,50 @@ object ScaleCheck {
       bq.select(t0ms, Long.MaxValue / 2, Seq(LabelMatcher.eq("__name__", "metric_7"))).count()
     }
     spark.sql("DROP TABLE IF EXISTS scale_b_ts")
+
+    // --- round 5: corpus-scale pipeline dedup ---
+    // 200k synthetic docs (generated distributed, never collected):
+    // ~50 tokens each, with a repeated boilerplate line in half of them
+    // and exact-duplicate pairs every 100 ids — exercises line dedup,
+    // span indexing and SRP-LSH end-to-end at 400× the sf0.01 corpus
+    val nDocs = 200000L
+    val corpus = spark.range(nDocs).select(col("id").as("doc_id"),
+      concat(
+        when(pmod(col("id"), lit(2)) === 0,
+          lit("shared boilerplate header line\n")).otherwise(lit("")),
+        lit("alpha doc "), (col("id") % 100).cast("string"),
+        lit(" body token stream "),
+        concat_ws(" ", (0 until 40).map(j =>
+          concat(lit(s"w$j-"), pmod(col("id") + j, lit(997)).cast("string"))): _*),
+        lit("\ntrailing line "), (col("id") % 100).cast("string")).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    corpus.count() // materialize outside the timers
+    time("line dedup: 200k docs (3 lines each, 100k-way shared line)") {
+      println(s"SCALE lineDedup rows=" +
+        graft.ops.Dedup.lineDedup(corpus, "doc_id", "text").count())
+    }
+    time("span index: 200k docs, 5-token windows") {
+      println(s"SCALE spanIndex dup spans=" +
+        graft.ops.Dedup.spanIndex(corpus, "doc_id", "text", 5).count())
+    }
+    time("exact dedup digest: 200k docs") {
+      graft.ops.Dedup.exact(corpus, "doc_id", Seq("text")).count()
+    }
+    corpus.unpersist(false)
+    // SRP-LSH embedding near-dup on 100k hash-random 64-dim vectors
+    // (near-orthogonal in expectation) with 100 PLANTED duplicate pairs
+    // (ids k·1000 and k·1000+1 share a vector) — the pair count the scan
+    // must recover is known, and the bucket histogram stays uniform
+    val dupKey = when(pmod(col("id"), lit(1000)) === 1, col("id") - 1)
+      .otherwise(col("id"))
+    val vecs = spark.range(100000).select(col("id"),
+      transform(sequence(lit(0), lit(63)), d =>
+        hash(dupKey, d).cast("double") / lit(Int.MaxValue.toDouble)).as("v"))
+    time("SRP-LSH near-dup: 100k × 64-dim vectors (16 planes × 2 tables)") {
+      println(s"SCALE srpLsh pairs=" + graft.ops.Dedup.embeddingNearDupLsh(
+        vecs, "id", "v", dim = 64, planesPerTable = 16, tables = 2,
+        threshold = 0.9).count())
+    }
     spark.stop()
   }
 }

@@ -352,6 +352,28 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    // end-to-end curation verdict — the composition a corpus pipeline
+    // actually ships: exact-dup first-copy election × quality floor ×
+    // duplicated-span ceiling, with predicted language for routing.
+    // Every stage is map-side or digest-keyed, so the composition adds
+    // no shuffle beyond its parts
+    "pipeline_curate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val firstCopy = d.select(col("doc_id"), md5(col("text")).as("digest"))
+        .join(Dedup.exact(d, "doc_id", Seq("text")), "digest")
+        .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("is_first_copy"))
+      val span = Dedup.spanDupScore(d, "doc_id", "text", spanTokens = 5)
+        .select(col("doc_id"), col("dup_frac"))
+      d.select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .join(firstCopy, "doc_id")
+        .join(span, "doc_id")
+        .withColumn("keep",
+          col("is_first_copy") && col("quality") >= 0.2 && col("dup_frac") <= 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // multimodal: binary payload plumbing + stubbed decode (metadata query
     // never reads the payload column — Parquet column pruning)
     "mm_decode" -> ((s, dir) => {
@@ -602,6 +624,35 @@ object PipelineQueries {
        |  JOIN cb ON cb.j = a.j AND cb.c = a.best.c),
        | recon AS (SELECT vec_id, flatten(list(sv ORDER BY j)) AS cv
        |  FROM parts GROUP BY vec_id)""".om
+
+  /** Quality-score SQL over the `toks` CTE (mirrors
+    * TextAnalysis.qualityScore): length gate × alnum ratio × token
+    * diversity, clamped to 1. Shared by text_quality and the composite
+    * curation oracle. */
+  private val qualitySqlExpr =
+    """round(least(
+      | CASE WHEN len(t) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.5 END
+      | * round(length(regexp_replace(text, '[^\p{L}\p{N}]', '', 'g'))::DOUBLE /
+      |         greatest(length(text), 1), 6)
+      | * (0.5 + 0.5 * round(len(list_distinct(t))::DOUBLE / greatest(len(t), 1), 6)),
+      | 1.0), 6)""".om
+
+  /** Stopword-profile argmax CTEs over `toks` (mirrors
+    * TextAnalysis.langId): per-language overlap scores + struct-max
+    * `best(doc_id, b)`. Shared by text_langid and the curation oracle. */
+  private val langidCtes: String = {
+    val profiles = TextAnalysis.stopwordProfiles.toSeq.sortBy(_._1)
+    val scoreExprs = profiles.map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"round(len(list_intersect(td, $arr))::DOUBLE / greatest(len(td), 1), 6) AS s_$lang"
+    }.mkString(", ")
+    val structList = profiles.map { case (lang, _) =>
+      s"{'score': s_$lang, 'lang': '$lang'}"
+    }.mkString("[", ", ", "]")
+    s"""sc AS (SELECT doc_id, $scoreExprs
+       |   FROM (SELECT doc_id, list_distinct(t) AS td FROM toks)),
+       | best AS (SELECT doc_id, list_max($structList) AS b FROM sc)""".om
+  }
 
   /** The SRP-LSH embedding near-dup mirrored exactly: the 8 md5-derived
     * hyperplanes ride in as a VALUES table of 64-double list literals
@@ -1001,29 +1052,38 @@ object PipelineQueries {
          | FROM toks ORDER BY doc_id""".om,
     "text_quality" ->
       s"""WITH ${tokCte(1)}
-         | SELECT doc_id, round(least(
-         |  CASE WHEN len(t) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.5 END
-         |  * round(length(regexp_replace(text, '[^\\p{L}\\p{N}]', '', 'g'))::DOUBLE /
-         |          greatest(length(text), 1), 6)
-         |  * (0.5 + 0.5 * round(len(list_distinct(t))::DOUBLE / greatest(len(t), 1), 6)),
-         |  1.0), 6) AS quality
+         | SELECT doc_id, $qualitySqlExpr AS quality
          | FROM toks ORDER BY doc_id""".om,
-    "text_langid" -> {
-      val profiles = TextAnalysis.stopwordProfiles.toSeq.sortBy(_._1)
-      val scoreExprs = profiles.map { case (lang, words) =>
-        val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
-        s"round(len(list_intersect(td, $arr))::DOUBLE / greatest(len(td), 1), 6) AS s_$lang"
-      }.mkString(", ")
-      val structList = profiles.map { case (lang, _) =>
-        s"{'score': s_$lang, 'lang': '$lang'}"
-      }.mkString("[", ", ", "]")
-      s"""WITH ${tokCte(1)},
-         | sc AS (SELECT doc_id, $scoreExprs
-         |   FROM (SELECT doc_id, list_distinct(t) AS td FROM toks)),
-         | best AS (SELECT doc_id, list_max($structList) AS b FROM sc)
+    "text_langid" ->
+      s"""WITH ${tokCte(1)}, $langidCtes
          | SELECT doc_id, CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS lang_pred
-         | FROM best ORDER BY doc_id""".om
-    },
+         | FROM best ORDER BY doc_id""".om,
+    "pipeline_curate" ->
+      s"""WITH ${tokCte(1)}, $langidCtes,
+         | q AS (SELECT doc_id, $qualitySqlExpr AS quality FROM toks),
+         | l AS (SELECT doc_id, CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS lang_pred
+         |   FROM best),
+         | dg AS (SELECT doc_id, md5(text) AS digest FROM documents),
+         | fc AS (SELECT doc_id,
+         |   doc_id = min(doc_id) OVER (PARTITION BY digest) AS is_first_copy FROM dg),
+         | sh5 AS (SELECT doc_id, list_distinct(list_transform(
+         |   range(greatest(len(t) - 4, 0)),
+         |   i -> ${(0 until 5).map(j => s"t[i + ${j + 1}]").mkString(" || ' ' || ")})) AS s
+         |  FROM toks),
+         | sp AS (SELECT doc_id, md5(span) AS sd FROM
+         |   (SELECT doc_id, unnest(s) AS span FROM sh5)),
+         | dup AS (SELECT sd FROM sp GROUP BY sd HAVING count(*) >= 2),
+         | pd AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id),
+         | dpd AS (SELECT doc_id, count(*) AS n_dup FROM sp
+         |   WHERE sd IN (SELECT sd FROM dup) GROUP BY doc_id),
+         | sps AS (SELECT d.doc_id,
+         |   round(coalesce(dpd.n_dup::DOUBLE / pd.n_spans, 0), 6) AS dup_frac
+         |  FROM documents d LEFT JOIN pd USING (doc_id) LEFT JOIN dpd USING (doc_id))
+         | SELECT d.doc_id, q.quality, l.lang_pred, fc.is_first_copy, sps.dup_frac,
+         |  (fc.is_first_copy AND q.quality >= 0.2 AND sps.dup_frac <= 0.5) AS keep
+         | FROM documents d JOIN q USING (doc_id) JOIN l USING (doc_id)
+         |  JOIN fc USING (doc_id) JOIN sps USING (doc_id)
+         | ORDER BY doc_id""".om,
     "text_fingerprint" ->
       s"""WITH ${tokCte(1)}
          | SELECT doc_id, list_reduce(list_prepend(7::BIGINT,
