@@ -76,6 +76,33 @@ object Sampling {
       coalesce(assign, lit(splits.last._1)))
   }
 
+  /** Temperature-scaled source mixing — the T-sampling of multilingual /
+    * multi-source LLM recipes (mC4 §3.1, PaLM): output share of stratum
+    * s ∝ n_s^(1/T), realized by DOWNSAMPLING only:
+    * rate_s = n_s^(1/T−1) / max_s'(n_s'^(1/T−1)), so the stratum with
+    * the largest factor (the SMALLEST one when T > 1, the largest when
+    * T < 1) keeps everything and nothing is upsampled. T > 1 flattens a
+    * skewed source histogram toward uniform, T = 1 is the identity,
+    * T < 1 sharpens. Rates derive from the observed counts in one tiny
+    * aggregation (k strata rows, broadcast back — the corpus is scanned
+    * once for counts and once for the filter; cache the input when both
+    * passes matter). Rates are rounded to 6 decimals so an external
+    * engine derives bit-identical thresholds; membership stays
+    * per-key deterministic like every sampler here. */
+  def temperatureMix(df: DataFrame, stratumCol: Column, keyCol: Column,
+                     temperature: Double, salt: String = "graft"): DataFrame = {
+    require(temperature > 0, "temperature must be > 0")
+    val factors = df.groupBy(stratumCol.as("stratum"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("stratum"),
+        pow(col("n").cast("double"), 1.0 / temperature - 1.0).as("x"))
+    val rates = factors.crossJoin(broadcast(factors.agg(max(col("x")).as("x_max"))))
+      .select(col("stratum"), round(col("x") / col("x_max"), 6).as("mix_rate"))
+    df.join(broadcast(rates), stratumCol === col("stratum"))
+      .where(hashUnit(keyCol, salt) < col("mix_rate"))
+      .drop("stratum")
+  }
+
   /** Mixture weighting: per-stratum Bernoulli rates (e.g. up/down-weight
     * sources when composing a training mix). Unlisted strata drop out. */
   def weightedMix(df: DataFrame, stratumCol: Column, keyCol: Column,

@@ -159,6 +159,16 @@ object PipelineQueries {
         col("doc_id"), rate = 0.1)
         .orderBy(col("doc_id"))),
 
+    // temperature-scaled language mixing (T=2 flattening, the mC4/PaLM
+    // recipe): output share ∝ n_lang^(1/T), realized by count-derived
+    // per-language downsampling rates — the skewed lang histogram
+    // (en-heavy) flattens toward uniform
+    "sample_temperature" -> ((s, dir) =>
+      graft.ops.Sampling.temperatureMix(
+        docs(s, dir).select(col("doc_id"), col("lang")),
+        col("lang"), col("doc_id"), temperature = 2.0)
+        .orderBy(col("doc_id"))),
+
     // deterministic per-stratum quota (hash-ordered "reservoir"):
     // 20 docs per language
     "sample_stratified" -> ((s, dir) =>
@@ -812,6 +822,15 @@ object PipelineQueries {
          | WHERE ${hex15.format("'graft' || CAST(doc_id AS VARCHAR)")}
          |   / 1152921504606846976.0 < 0.1
          | ORDER BY doc_id""".om,
+    "sample_temperature" ->
+      s"""WITH c AS (SELECT lang, pow(count(*)::DOUBLE, 1.0/2.0 - 1.0) AS x
+         |  FROM documents GROUP BY lang),
+         | r AS (SELECT lang, round(x / (SELECT max(x) FROM c), 6) AS mix_rate FROM c)
+         | SELECT d.doc_id, d.lang, r.mix_rate
+         | FROM documents d JOIN r USING (lang)
+         | WHERE ${hex15.format("'graft' || CAST(d.doc_id AS VARCHAR)")}
+         |   / 1152921504606846976.0 < r.mix_rate
+         | ORDER BY d.doc_id""".om,
     "sample_stratified" ->
       s"""SELECT doc_id, lang, sample_rank FROM (
          |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang

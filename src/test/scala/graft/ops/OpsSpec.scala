@@ -495,6 +495,20 @@ class OpsSpec extends AnyFunSuite {
     assert(pruned.nonEmpty && pruned.forall(r => math.abs(r.getDouble(3)) <= 1.0))
   }
 
+  test("temperatureMix flattens a skewed histogram, downsample-only") {
+    val df = ((1L to 400L).map((_, "big")) ++ (401L to 500L).map((_, "small")))
+      .toDF("doc_id", "s")
+    val out = Sampling.temperatureMix(df, col("s"), col("doc_id"), temperature = 2.0)
+    val counts = out.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // smallest stratum has the max factor → rate 1.0, keeps everything
+    assert(counts("small") == 100L)
+    // big stratum rate = (100/400)^0.5 = 0.5 → ~half kept, never upsampled
+    assert(counts("big") <= 400L && math.abs(counts("big") - 200L) < 60L)
+    // T = 1 is the identity mix
+    assert(Sampling.temperatureMix(df, col("s"), col("doc_id"), 1.0).count() == 500L)
+  }
+
   test("span dedup: index finds cross-doc windows; score fraction + keep") {
     val df = docsDF(
       1L -> "a b c d e f",   // 3-spans: abc bcd cde def
