@@ -214,6 +214,18 @@ object PipelineQueries {
         .orderBy(col("id"))
     }),
 
+    // the decontamination COMPLEMENT a training job actually reads:
+    // corpus minus flagged docs (left_anti on the flag set)
+    "decontaminate_clean" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.Decontaminate.clean(
+        d.where(col("doc_id") % 37 =!= 0).select(col("doc_id"), col("text")),
+        d.where(col("doc_id") % 37 === 0),
+        "doc_id", "text", shingleSize = 2, threshold = 0.4)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // fuzzy decontamination: cross-corpus MinHash-LSH (benchmark too big
     // to broadcast) — candidates only in shared band buckets, verified by
     // exact benchmark containment |C∩B|/|B|
@@ -928,6 +940,15 @@ object PipelineQueries {
          | SELECT doc_id AS id, c AS n_matched, n::BIGINT AS n_grams,
          |  round(c::DOUBLE / n, 6) AS overlap
          | FROM m WHERE round(c::DOUBLE / n, 6) >= 0.4 ORDER BY id""".om,
+    "decontaminate_clean" ->
+      s"""WITH ${tokCte(2)}, $hsCte,
+         | bench AS (SELECT DISTINCT unnest(hs) AS h FROM hx WHERE doc_id % 37 = 0),
+         | corp AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS h FROM hx WHERE doc_id % 37 <> 0),
+         | m AS (SELECT doc_id, n, count(*) AS c FROM corp JOIN bench USING (h) GROUP BY 1, 2)
+         | SELECT doc_id FROM documents
+         | WHERE doc_id % 37 <> 0 AND doc_id NOT IN
+         |   (SELECT doc_id FROM m WHERE round(c::DOUBLE / n, 6) >= 0.4)
+         | ORDER BY doc_id""".om,
     "decontaminate_fuzzy" ->
       s"""WITH ${tokCte(3)}, $hsCte, ${seedsCte(16)},
          | ex AS (SELECT doc_id, unnest(hs) AS h FROM hx),
