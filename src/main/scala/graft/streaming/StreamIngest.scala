@@ -315,4 +315,22 @@ object StreamIngest {
       .withColumn("digest", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("digest")
+
+  /** Beyond-reference: the streaming form of the batch curation pipeline
+    * ([[graft.queries.PipelineQueries]] `pipeline_curate`) — the
+    * watermark-bounded exact dedup composed with the STATELESS per-doc
+    * curation columns (quality score, language id, BPE-ish token
+    * estimate) and a quality floor. The stateless ops are codegen'd
+    * projections riding the same micro-batch; only the digest dedup
+    * keeps (bounded) state. Dedup runs FIRST so a duplicate never
+    * re-enters scoring, and the emitted stream is exactly what a
+    * continuously-curated training corpus appends. */
+  def curateStream(docs: DataFrame, tsCol: String, textCol: String,
+                   watermark: String = "10 minutes",
+                   minQuality: Double = 0.2): DataFrame =
+    streamingDedup(docs, tsCol, textCol, watermark)
+      .withColumn("quality", graft.ops.TextAnalysis.qualityScore(col(textCol)))
+      .withColumn("lang_pred", graft.ops.TextAnalysis.langId(col(textCol)))
+      .withColumn("n_tokens_est", graft.ops.TextAnalysis.tokenEstimate(col(textCol)))
+      .where(col("quality") >= minQuality)
 }

@@ -281,4 +281,29 @@ class StreamIngestSpec extends AnyFunSuite {
     query.stop()
     assert(texts == Seq("alpha doc", "beta doc", "gamma doc"))
   }
+
+  test("streaming curation: dedup + quality floor + langid in one stream") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)] // (t ms, text)
+    val s = mem.toDF()
+      .select(timestamp_millis(col("_1")).as("ts"), col("_2").as("text"))
+    val cur = StreamIngest.curateStream(s, "ts", "text", "10 minutes",
+      minQuality = 0.2)
+    val query = cur.writeStream.format("memory").queryName("streamcurate")
+      .outputMode("append").start()
+    val t0 = 1700000000000L
+    val good = "the quick brown fox jumps over the lazy dog again and again"
+    // duplicate good doc + an all-punctuation doc (quality 0 → dropped)
+    mem.addData((t0, good), (t0 + 1000L, good), (t0 + 2000L, "!!! ??? !!!"))
+    query.processAllAvailable()
+    val rows = spark.table("streamcurate").collect()
+    query.stop()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("text") == good)
+    assert(r.getAs[String]("lang_pred") == "en")
+    assert(r.getAs[Long]("n_tokens_est") >= 12L)
+    assert(r.getAs[Double]("quality") >= 0.2)
+  }
 }
