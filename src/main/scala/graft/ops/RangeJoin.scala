@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bucketed range join — the scale-right form of `point BETWEEN lo AND hi`.
+  *
+  * Spark plans a raw inequality join as BroadcastNestedLoop (or a
+  * cartesian when neither side fits in memory): every point compared
+  * against every interval per key. The bucketed form turns it into a
+  * plain shuffle EQUI-join: time is cut into fixed-width buckets, each
+  * interval explodes into the buckets it covers, each point maps to its
+  * single bucket, and the join key becomes (key, bucket) with the exact
+  * containment check as a cheap post-filter. Cost is
+  * |intervals| × (span/bucketWidth) exploded rows instead of
+  * |points| × |intervals| comparisons — at 100 TB that is the
+  * difference between a shuffle join and an impossible nested loop.
+  * (The same strategy Databricks ships as its range-join optimization;
+  * here it is an explicit operator any Spark cluster runs.)
+  *
+  * A point lands in exactly ONE bucket, so no post-join dedup is ever
+  * needed — each (point, containing interval) pair appears once.
+  *
+  * Pick `bucketWidth` near the median interval length: much smaller
+  * multiplies the interval explosion; much larger makes every bucket a
+  * mini nested loop. Degenerate long intervals (span ≫ bucketWidth)
+  * multiply rows linearly — cap or split them upstream if unbounded.
+  */
+object RangeJoin {
+
+  /** Inner-join `points` (columns: `key`, `t`, + payload) against
+    * `intervals` (columns: `key`, `lo`, `hi`, + payload) on key equality
+    * and `lo <= t <= hi` (both ends inclusive). Times are LONGs in any
+    * consistent unit (epoch days/ms); column names must not collide
+    * beyond `key`. */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val p = points.withColumn("__b", floor(col("t") / bucketWidth))
+    val i = intervals.withColumn("__b",
+      explode(sequence(floor(col("lo") / bucketWidth),
+        floor(col("hi") / bucketWidth))))
+    p.join(i, Seq("key", "__b"))
+      .where(col("t") >= col("lo") && col("t") <= col("hi"))
+      .drop("__b")
+  }
+}

@@ -18,6 +18,27 @@ object RelationalQueries {
     s.read.parquet(s"$dir/$name.parquet")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // bucketed range join (ops.RangeJoin): per-supplier "in transit on
+    // my ship date" — interval = [shipdate, shipdate + deterministic
+    // receipt delay], point = shipdate; the inequality join runs as a
+    // (key, bucket) EQUI-join with containment as a post-filter, never
+    // a nested loop
+    "q_range_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_suppkey").as("key"),
+        datediff(to_date(col("l_shipdate")), to_date(lit("1970-01-01")))
+          .cast("long").as("d"))
+      val points = li.select(col("key"), col("d").as("t"),
+        col("l_orderkey"), col("l_linenumber"))
+      val intervals = li.select(col("key"), col("d").as("lo"),
+        (col("d") + (col("l_orderkey") * 7 + col("l_linenumber")) % 30 + 1).as("hi"))
+      graft.ops.RangeJoin.pointInInterval(points, intervals, bucketWidth = 16L)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("in_transit"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // TPC-H Q1 shape: scan + groupBy aggregate (map-side partials, one shuffle)
     "q1_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -321,7 +342,16 @@ object RelationalQueries {
       """SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS prio,
         | CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
         | count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
-        | FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) ORDER BY gid, status, prio""".om
+        | FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) ORDER BY gid, status, prio""".om,
+    "q_range_join" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_suppkey,
+        |   datediff('day', DATE '1970-01-01', l_shipdate) AS d FROM lineitem),
+        | iv AS (SELECT l_suppkey, d AS lo,
+        |   d + (l_orderkey * 7 + l_linenumber) % 30 + 1 AS hi FROM li)
+        | SELECT p.l_orderkey, p.l_linenumber, count(*) AS in_transit
+        | FROM li p JOIN iv ON iv.l_suppkey = p.l_suppkey
+        |   AND p.d >= iv.lo AND p.d <= iv.hi
+        | GROUP BY 1, 2 ORDER BY 1, 2""".om
   )
 
   implicit private class OneLine(val s: String) extends AnyVal {

@@ -495,6 +495,23 @@ class OpsSpec extends AnyFunSuite {
     assert(pruned.nonEmpty && pruned.forall(r => math.abs(r.getDouble(3)) <= 1.0))
   }
 
+  test("bucketed range join: inclusive ends, bucket crossing, equi-join plan") {
+    val points = Seq((1L, 10L, "p10"), (1L, 15L, "p15"), (1L, 31L, "p31"),
+      (2L, 10L, "px")).toDF("key", "t", "pid")
+    val intervals = Seq((1L, 10L, 15L), (1L, 28L, 35L), (2L, 50L, 60L))
+      .toDF("key", "lo", "hi")
+    val out = RangeJoin.pointInInterval(points, intervals, bucketWidth = 16L)
+    val got = out.select("pid", "lo", "hi").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // both ends inclusive; [28,35] crosses the bucket boundary and still
+    // matches exactly once; key 2's point has no containing interval
+    assert(got == Set(("p10", 10L, 15L), ("p15", 10L, 15L), ("p31", 28L, 35L)))
+    assert(out.count() == 3) // no (point, interval) pair duplicated
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+  }
+
   test("temperatureMix flattens a skewed histogram, downsample-only") {
     val df = ((1L to 400L).map((_, "big")) ++ (401L to 500L).map((_, "small")))
       .toDF("doc_id", "s")
