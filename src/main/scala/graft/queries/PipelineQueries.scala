@@ -472,6 +472,21 @@ object PipelineQueries {
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 8)
         .orderBy(col("id1"), col("id2"))),
 
+    // deterministic KMV distinct-count sketch: the k smallest md5
+    // hashes are a pure function of the data, so the APPROXIMATE
+    // estimate is exactly oracle-checked (unlike HLL++ below) —
+    // emitted next to the true distinct count for calibration
+    "q_kmv_sketch" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val est = graft.ops.Sketches.kmvDistinct(ev, col("event_type"),
+        col("user_id"), k = 64)
+      val exact = ev.groupBy(col("event_type").as("grp"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      est.join(exact, "grp")
+        .select(col("grp").as("event_type"), col("est"), col("exact_users"))
+        .orderBy(col("event_type"))
+    }),
+
     // sketch surface: approximate distinct + percentiles (impl-specific
     // values → rows-only check; exact complements live in q1/q_window)
     "q_sketches" -> ((s, dir) =>
@@ -940,6 +955,19 @@ object PipelineQueries {
          | SELECT doc_id AS id, c AS n_matched, n::BIGINT AS n_grams,
          |  round(c::DOUBLE / n, 6) AS overlap
          | FROM m WHERE round(c::DOUBLE / n, 6) >= 0.4 ORDER BY id""".om,
+    "q_kmv_sketch" ->
+      s"""WITH hset AS (SELECT DISTINCT event_type AS grp,
+         |   ${hex15.format("'kmv' || CAST(user_id AS VARCHAR)")} AS h FROM events),
+         | r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rnk
+         |  FROM hset),
+         | s AS (SELECT grp, count(*) AS n_kept, max(h) AS hk FROM r
+         |  WHERE rnk <= 64 GROUP BY grp),
+         | e AS (SELECT grp, CASE WHEN n_kept < 64 THEN n_kept::DOUBLE
+         |   ELSE round(63.0 * 1152921504606846976.0 / hk, 2) END AS est FROM s),
+         | x AS (SELECT event_type AS grp, count(DISTINCT user_id) AS exact_users
+         |  FROM events GROUP BY 1)
+         | SELECT grp AS event_type, est, exact_users
+         | FROM e JOIN x USING (grp) ORDER BY event_type""".om,
     "decontaminate_clean" ->
       s"""WITH ${tokCte(2)}, $hsCte,
          | bench AS (SELECT DISTINCT unnest(hs) AS h FROM hx WHERE doc_id % 37 = 0),

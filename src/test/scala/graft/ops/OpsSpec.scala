@@ -495,6 +495,19 @@ class OpsSpec extends AnyFunSuite {
     assert(pruned.nonEmpty && pruned.forall(r => math.abs(r.getDouble(3)) <= 1.0))
   }
 
+  test("KMV sketch: exact under k, calibrated over k, duplicate-invariant") {
+    val df = (1L to 1000L).map(i => (if (i <= 30) "small" else "big", i))
+      .toDF("g", "u")
+    val out = Sketches.kmvDistinct(df, col("g"), col("u"), k = 64).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("small") == 30.0) // below k → exact count
+    assert(math.abs(out("big") - 970.0) / 970.0 < 0.3) // k=64 → ~±12% σ
+    // a sketch is a pure function of the SET: duplicates change nothing
+    val dup = Sketches.kmvDistinct(df.union(df), col("g"), col("u"), 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(dup == out)
+  }
+
   test("bucketed range join: inclusive ends, bucket crossing, equi-join plan") {
     val points = Seq((1L, 10L, "p10"), (1L, 15L, "p15"), (1L, 31L, "p31"),
       (2L, 10L, "px")).toDF("key", "t", "pid")
