@@ -76,6 +76,27 @@ object Sampling {
       coalesce(assign, lit(splits.last._1)))
   }
 
+  /** Weighted sampling WITHOUT replacement, k per stratum — the
+    * Efraimidis–Spirakis A-ES scheme made deterministic: each row draws
+    * its reproducible uniform u from the md5 hash and ranks by the key
+    * u^(1/w) (largest keep), which samples proportional to weight
+    * without replacement. Rank keys are rounded to 6 decimals (ulp
+    * armor for the cross-engine pow) with the row key as tie-break, so
+    * an external engine reproduces the exact subset. Same single
+    * stratum-shuffle shape as [[stratifiedQuota]]; weights must be
+    * strictly positive. Use for quality-weighted corpus subsetting:
+    * high-quality docs are favored, but every doc keeps a nonzero,
+    * reproducible chance. */
+  def weightedQuota(df: DataFrame, stratumCol: Column, keyCol: Column,
+                    weightCol: Column, k: Int,
+                    salt: String = "graft"): DataFrame = {
+    val rankKey = round(pow(hashUnit(keyCol, salt), lit(1.0) / weightCol), 6)
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(rankKey.desc, keyCol)
+    df.withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= k)
+  }
+
   /** Temperature-scaled source mixing — the T-sampling of multilingual /
     * multi-source LLM recipes (mC4 §3.1, PaLM): output share of stratum
     * s ∝ n_s^(1/T), realized by DOWNSAMPLING only:

@@ -159,6 +159,19 @@ object PipelineQueries {
         col("doc_id"), rate = 0.1)
         .orderBy(col("doc_id"))),
 
+    // quality-weighted sampling without replacement (Efraimidis-
+    // Spirakis keys over the md5 uniform): 20 docs per language drawn
+    // proportional to quality — favored but never certain, reproducible
+    "sample_weighted" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      graft.ops.Sampling.weightedQuota(d, col("lang"), col("doc_id"),
+        greatest(col("quality"), lit(0.001)), k = 20)
+        .select(col("doc_id"), col("lang"), col("quality"),
+          col("sample_rank").cast("long").as("sample_rank"))
+        .orderBy(col("doc_id"))
+    }),
+
     // temperature-scaled language mixing (T=2 flattening, the mC4/PaLM
     // recipe): output share ∝ n_lang^(1/T), realized by count-derived
     // per-language downsampling rates — the skewed lang histogram
@@ -849,6 +862,17 @@ object PipelineQueries {
          | WHERE ${hex15.format("'graft' || CAST(doc_id AS VARCHAR)")}
          |   / 1152921504606846976.0 < 0.1
          | ORDER BY doc_id""".om,
+    "sample_weighted" ->
+      s"""WITH ${tokCte(1)},
+         | q AS (SELECT doc_id, lang, $qualitySqlExpr AS quality FROM toks),
+         | r AS (SELECT doc_id, lang, quality,
+         |   row_number() OVER (PARTITION BY lang ORDER BY
+         |     round(pow(${hex15.format("'graft' || CAST(doc_id AS VARCHAR)")}
+         |       / 1152921504606846976.0, 1.0 / greatest(quality, 0.001)), 6) DESC,
+         |     doc_id) AS sample_rank
+         |  FROM q)
+         | SELECT doc_id, lang, quality, sample_rank FROM r
+         | WHERE sample_rank <= 20 ORDER BY doc_id""".om,
     "sample_temperature" ->
       s"""WITH c AS (SELECT lang, pow(count(*)::DOUBLE, 1.0/2.0 - 1.0) AS x
          |  FROM documents GROUP BY lang),

@@ -495,6 +495,23 @@ class OpsSpec extends AnyFunSuite {
     assert(pruned.nonEmpty && pruned.forall(r => math.abs(r.getDouble(3)) <= 1.0))
   }
 
+  test("weightedQuota: deterministic, favors heavy weights, exact under k") {
+    val df = (1L to 400L).map(i => ("s", i, if (i <= 40) 10.0 else 0.5))
+      .toDF("g", "id", "wt")
+    val out = Sampling.weightedQuota(df, col("g"), col("id"), col("wt"), k = 50)
+    val ids = out.collect().map(_.getLong(1)).toSet
+    // heavy rows (10% of pop at 20x weight) dominate the sample
+    assert(ids.count(_ <= 40L) > 25)
+    // reproducible: the subset is a pure function of (key, weight)
+    val again = Sampling.weightedQuota(df, col("g"), col("id"), col("wt"), 50)
+      .collect().map(_.getLong(1)).toSet
+    assert(again == ids)
+    // stratum smaller than k keeps every row
+    val small = (1L to 5L).map(i => ("t", i, 1.0)).toDF("g", "id", "wt")
+    assert(Sampling.weightedQuota(small, col("g"), col("id"), col("wt"), 50)
+      .count() == 5L)
+  }
+
   test("KMV sketch: exact under k, calibrated over k, duplicate-invariant") {
     val df = (1L to 1000L).map(i => (if (i <= 30) "small" else "big", i))
       .toDF("g", "u")
