@@ -709,14 +709,20 @@ object PipelineQueries {
     * (Double.toString round-trips bit-exactly), each sign bit is the
     * same left-to-right dot fold the Spark UDF runs, and the bucket key
     * reproduces `t:b0,b1,b2,b3`. */
-  private val srpLshOracle: String = {
-    val planesPerTable = 4; val tables = 2
-    val planes = Similarity.srpPlanes(64, planesPerTable * tables)
-    val planeRows = planes.zipWithIndex.map { case (pl, p) =>
+  /** VALUES table of the first `nPlanes` md5-derived SRP hyperplanes as
+    * 64-double list literals (Double.toString round-trips bit-exactly). */
+  private def planesValuesCte(nPlanes: Int): String = {
+    val planes = Similarity.srpPlanes(64, nPlanes)
+    val rows = planes.zipWithIndex.map { case (pl, p) =>
       s"($p, [${pl.map(java.lang.Double.toString).mkString(", ")}])"
     }.mkString(", ")
+    s"planes(p, pl) AS (VALUES $rows)"
+  }
+
+  private val srpLshOracle: String = {
+    val planesPerTable = 4
     s"""WITH $eCte,
-       | planes(p, pl) AS (VALUES $planeRows),
+       | ${planesValuesCte(8)},
        | bits AS (SELECT e.vec_id, p.p,
        |   CASE WHEN list_sum(list_transform(range(64), i -> e.v[i+1] * p.pl[i+1])) >= 0
        |        THEN 1 ELSE 0 END AS b
@@ -732,6 +738,58 @@ object PipelineQueries {
        |  FROM cand JOIN e e1 ON e1.vec_id = id1 JOIN e e2 ON e2.vec_id = id2)
        | SELECT id1, id2, cos FROM pairs WHERE cos >= 0.3
        | ORDER BY id1, id2""".om
+  }
+
+  /** The sampled-centroid IVF mirrored exactly (every-50th-vector
+    * centroids → ivfAssign → ivfTopK): fully deterministic, so the
+    * formerly rows-only knn_ivf gains a complete oracle. */
+  private val ivfSampledOracle: String =
+    s"""WITH $eCte,
+       | cent AS (SELECT vec_id // 50 AS cell, v AS centv FROM e WHERE vec_id % 50 = 0),
+       | asg AS (SELECT e.vec_id AS corpus_id, e.v AS cv,
+       |   min({'nd': -${cosSql("e.v", "c.centv")}, 'cell': c.cell}) AS best
+       |  FROM e CROSS JOIN cent c GROUP BY e.vec_id, e.v),
+       | pr AS (SELECT query_id, qv, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.v", "c.centv")} DESC, c.cell) AS prnk
+       |    FROM e q CROSS JOIN cent c WHERE q.vec_id < 8) WHERE prnk <= 3),
+       | scored AS (SELECT p.query_id, a.corpus_id,
+       |   round(${cosSql("p.qv", "a.cv")}, 6) AS cos
+       |  FROM pr p JOIN asg a ON a.best.cell = p.cell
+       |  WHERE p.query_id <> a.corpus_id),
+       | ranked AS (SELECT query_id, corpus_id, cos,
+       |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
+       |  FROM scored)
+       | SELECT query_id, rnk, corpus_id, cos FROM ranked WHERE rnk <= 5
+       | ORDER BY query_id, rnk""".om
+
+  /** The SRP-LSH top-k mirrored exactly (lshTopK at 6 planes × 4
+    * tables): same plane-literal technique as [[srpLshOracle]], so the
+    * formerly rows-only knn_lsh gains a complete oracle too. */
+  private val lshTopKOracle: String = {
+    val planesPerTable = 6
+    s"""WITH $eCte,
+       | ${planesValuesCte(24)},
+       | bits AS (SELECT e.vec_id, p.p,
+       |   CASE WHEN list_sum(list_transform(range(64), i -> e.v[i+1] * p.pl[i+1])) >= 0
+       |        THEN 1 ELSE 0 END AS b
+       |  FROM e CROSS JOIN planes p),
+       | sig AS (SELECT vec_id, p // $planesPerTable AS tbl,
+       |   (p // $planesPerTable)::VARCHAR || ':' || string_agg(b::VARCHAR, ',' ORDER BY p) AS bucket
+       |  FROM bits GROUP BY vec_id, p // $planesPerTable),
+       | cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+       |  FROM sig q JOIN sig c ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+       | scored AS (SELECT query_id, corpus_id,
+       |   round(${cosSql("e1.v", "e2.v")}, 6) AS cos
+       |  FROM cand JOIN e e1 ON e1.vec_id = query_id
+       |   JOIN e e2 ON e2.vec_id = corpus_id),
+       | ranked AS (SELECT query_id, corpus_id, cos,
+       |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
+       |  FROM scored)
+       | SELECT query_id, rnk, corpus_id, cos FROM ranked WHERE rnk <= 5
+       | ORDER BY query_id, rnk""".om
   }
 
   /** The IVF+PQ composition (Similarity.ivfPqTopK): probed-cell pruning
@@ -1132,6 +1190,8 @@ object PipelineQueries {
     "knn_ivfpq" -> ivfPqOracle,
     "dedup_embedding_lsh" -> srpLshOracle,
     "knn_ivf_trained" -> kmeansIvfOracle,
+    "knn_ivf" -> ivfSampledOracle,
+    "knn_lsh" -> lshTopKOracle,
     "text_stats" ->
       s"""WITH ${tokCte(1)}
          | SELECT doc_id, length(text) AS n_chars, len(t) AS n_tokens,
