@@ -109,4 +109,32 @@ class IntegrationSpec extends AnyFunSuite {
     assert(spark.read.format("graft-tsdb").load(out.toString).count() ==
       6L * 240 - 2 * 60)
   }
+
+  test("corpus curation lifecycle: curate → split → partitioned write → reread") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    // full curation verdict (dedup election × quality × span ceiling)
+    val verdicts = graft.queries.PipelineQueries.defs("pipeline_curate")(spark, dir)
+    val kept = d.join(verdicts.where(col("keep")).select("doc_id"), "doc_id")
+    val nKept = kept.count()
+    assert(nKept > 0 && nKept < d.count()) // non-trivial verdict mix
+    // deterministic held-out split, stable under corpus growth
+    val withSplit = graft.ops.Sampling.split(kept, col("doc_id"),
+      Seq("train" -> 0.9, "val" -> 0.1))
+    val out = Files.createTempDirectory("graft-corpus").resolve("curated").toString
+    withSplit.write.partitionBy("split", "lang").parquet(out)
+    // the dataset a training job reads: layout prunes by split and lang
+    val back = spark.read.parquet(out)
+    assert(back.count() == nKept)
+    assert(back.select("split").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("train", "val")))
+    val trainOnly = spark.read.parquet(out).where(col("split") === "train")
+    assert(trainOnly.queryExecution.executedPlan.toString.contains("split=train")
+      || trainOnly.count() < nKept) // partition pruning reaches the scan
+    // the whole lifecycle is deterministic: a re-run keeps the same docs
+    val verdicts2 = graft.queries.PipelineQueries.defs("pipeline_curate")(spark, dir)
+    assert(verdicts2.where(col("keep")).select("doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(verdicts.where(col("keep")).select("doc_id").collect().map(_.getLong(0)).sorted))
+  }
 }
