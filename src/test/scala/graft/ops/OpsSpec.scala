@@ -469,6 +469,35 @@ class OpsSpec extends AnyFunSuite {
     assert(out.length == 4)
   }
 
+  test("IVF layout: cell-partitioned corpus prunes probes at the scan") {
+    val vecs = (0L until 40L).map { i =>
+      (i, (0 until 8).map(d => math.sin(i * 1.9 + d * 0.8)))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding", k = 4, iters = 2)
+    val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding",
+      cents, "cell", "centv")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf")
+      .resolve("corpus").toString
+    // the production layout: one directory per IVF cell
+    assigned.write.partitionBy("cell").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    // a probe's cell filter reaches the scan as a PARTITION filter —
+    // unprobed cells are never read (the claim in Similarity's docs)
+    val pruned = stored.where(col("cell") === 1)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+      s"expected partition pruning on cell:\n$scan")
+    // and the stored layout serves the same search results
+    val q = vecs.where(col("vec_id") < 2)
+    val fromStore = Similarity.ivfTopK(q, stored, "vec_id", "embedding",
+      cents, "cell", "centv", k = 3, nprobe = 2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val fromMem = Similarity.ivfTopK(q, assigned, "vec_id", "embedding",
+      cents, "cell", "centv", k = 3, nprobe = 2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(fromStore == fromMem)
+  }
+
   test("ivfPqTopK with all cells probed equals flat pqTopK") {
     // 24 deterministic 8-dim vectors; m=4 subspaces × k=4 codewords
     val vecs = (0L until 24L).map { i =>
