@@ -213,6 +213,31 @@ object ScaleCheck {
         vecs, "id", "v", dim = 64, planesPerTable = 16, tables = 2,
         threshold = 0.9).count())
     }
+
+    // --- round 5: bucketed range join + KMV sketch at scale ---
+    // 5M points × 500k intervals over 1000 keys: the containment join
+    // runs as a (key, bucket) equi-join — a nested loop here would be
+    // 2.5 × 10^9 comparisons per key-pair batch
+    val rjPoints = spark.range(5000000).select(
+      pmod(col("id"), lit(1000)).as("key"), pmod(col("id") * 31, lit(100000)).as("t"),
+      col("id").as("pid"))
+    val rjIntervals = spark.range(500000).select(
+      pmod(col("id"), lit(1000)).as("key"),
+      pmod(col("id") * 17, lit(100000)).as("lo"))
+      .withColumn("hi", col("lo") + pmod(col("lo"), lit(24)) + 8)
+    time("range join: 5M points × 500k intervals, 1000 keys, width-16 buckets") {
+      println(s"SCALE rangeJoin pairs=" + graft.ops.RangeJoin
+        .pointInInterval(rjPoints, rjIntervals, bucketWidth = 16L).count())
+    }
+    // KMV over 10M rows / 1M distinct keys in 10 groups: the shuffle
+    // carries at most groups × k × partitions rows (partial group limit)
+    val kmvRows = spark.range(10000000).select(
+      pmod(col("id"), lit(10)).as("g"), pmod(col("id"), lit(1000000)).as("u"))
+    time("KMV distinct sketch: 10M rows, 100k distinct/group, 10 groups, k=256") {
+      val ests = graft.ops.Sketches.kmvDistinct(kmvRows, col("g"), col("u"), k = 256)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      println(s"SCALE kmv g0 est=${ests(0L)} (true 100000)")
+    }
     spark.stop()
   }
 }
