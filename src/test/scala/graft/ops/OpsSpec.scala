@@ -454,6 +454,44 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2).isNullAt(out(2).fieldIndex("payload")))
   }
 
+  test("property: lineDedup emits each distinct line exactly once") {
+    import org.scalacheck.Gen
+    val lineGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "", "alpha beta")
+    val docGen = for {
+      n <- Gen.choose(1, 5)
+      ls <- Gen.listOfN(n, lineGen)
+    } yield ls.mkString("\n")
+    val texts = (1 to 40).flatMap(i =>
+      docGen.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i))
+        .map(i.toLong -> _))
+    val df = docsDF(texts: _*)
+    val out = Dedup.lineDedup(df, "doc_id", "text").collect()
+    // every document survives
+    assert(out.length == texts.length)
+    // invariant 1: the multiset of kept lines = the set of distinct lines
+    val keptLines = out.flatMap(r =>
+      if (r.getString(1).isEmpty && r.getLong(2) == 0) Nil
+      else r.getString(1).split("\n", -1).toSeq)
+    val allLines = texts.flatMap(_._2.split("\n", -1))
+    assert(keptLines.sorted.toSeq == allLines.distinct.sorted)
+    // invariant 2: kept + removed counts cover every input line
+    assert(out.map(r => r.getLong(2) + r.getLong(3)).sum == allLines.length)
+    // invariant 3: each doc's kept lines are a subsequence of its input
+    val byId = texts.toMap
+    out.foreach { r =>
+      val orig = byId(r.getLong(0)).split("\n", -1).toSeq
+      val kept = if (r.getLong(2) == 0) Nil
+        else r.getString(1).split("\n", -1).toSeq
+      var i = 0
+      kept.foreach { l =>
+        i = orig.indexOf(l, i)
+        assert(i >= 0, s"kept line '$l' out of order for doc ${r.getLong(0)}")
+        i += 1
+      }
+    }
+  }
+
   test("lineDedup keeps first occurrence corpus-wide, reassembles in order") {
     val df = docsDF(
       1L -> "alpha\nboiler\ngamma",
