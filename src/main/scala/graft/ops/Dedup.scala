@@ -443,8 +443,13 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
-      .withColumn("dup_frac", round(coalesce(
-        col("n_dup_spans").cast("double") / col("n_spans"), lit(0.0)), 6))
+      // explicit zero-window guard: under ANSI mode (the Spark 4
+      // default) x/0 throws rather than yielding the null a coalesce
+      // could absorb, so a sub-window-length doc must never reach the
+      // division
+      .withColumn("dup_frac", when(col("n_spans") > 0, round(
+        col("n_dup_spans").cast("double") / col("n_spans"), 6))
+        .otherwise(lit(0.0)))
       .withColumn("keep", col("dup_frac") <= maxDupFrac)
   }
 

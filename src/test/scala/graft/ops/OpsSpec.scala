@@ -623,6 +623,38 @@ class OpsSpec extends AnyFunSuite {
     assert(Sampling.temperatureMix(df, col("s"), col("doc_id"), 1.0).count() == 500L)
   }
 
+  test("property: spanDupScore bounds hold; verbatim copies score 1.0") {
+    import org.scalacheck.Gen
+    val wordGen = Gen.oneOf("red", "green", "blue", "cyan", "teal", "plum",
+      "rust", "sage")
+    val docGen = for {
+      n <- Gen.choose(1, 12)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    val base = (1 to 25).flatMap(i =>
+      docGen.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(100 + i))
+        .map(i.toLong -> _))
+    // plant verbatim copies of the first 5 docs under new ids
+    val texts = base ++ base.take(5).map { case (id, t) => (id + 1000L, t) }
+    val out = Dedup.spanDupScore(docsDF(texts: _*), "doc_id", "text",
+      spanTokens = 3).collect()
+    assert(out.length == texts.length)
+    out.foreach { r =>
+      val (n, nd, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nd >= 0 && nd <= n) // dup spans are a subset
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(n > 0 || (nd == 0 && frac == 0.0)) // window-less docs score 0
+    }
+    // a verbatim copy with at least one 3-token window scores exactly 1.0
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    base.take(5).foreach { case (id, t) =>
+      if (t.split(" ").length >= 3) {
+        assert(byId(id).getDouble(3) == 1.0, s"original $id")
+        assert(byId(id + 1000L).getDouble(3) == 1.0, s"copy of $id")
+      }
+    }
+  }
+
   test("span dedup: index finds cross-doc windows; score fraction + keep") {
     val df = docsDF(
       1L -> "a b c d e f",   // 3-spans: abc bcd cde def
