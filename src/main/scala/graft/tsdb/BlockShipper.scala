@@ -1,9 +1,6 @@
 package graft.tsdb
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** The shipper's OUTBOUND direction (`shipper.go:22-113,252-325`):
   * package finished 2-hour windows as immutable native TSDB blocks.
@@ -31,16 +28,15 @@ import org.apache.spark.sql.functions._
   */
 object BlockShipper {
 
-  private def markerDir(blocksDir: String) = Paths.get(blocksDir, "_shipped")
+  private def markerDir(blocksDir: String) = BlockIO.child(blocksDir, "_shipped")
 
-  /** Block starts already shipped to `blocksDir`. */
+  /** Block starts already shipped to `blocksDir` (any Hadoop-FS URI —
+    * the reference's marker objects in the upload bucket,
+    * `shipper.go:257-259`). */
   def shipped(blocksDir: String): Set[Long] = {
     val d = markerDir(blocksDir)
-    if (!Files.isDirectory(d)) return Set.empty
-    scala.util.Using.resource(Files.list(d)) { st =>
-      import scala.jdk.CollectionConverters._
-      st.iterator().asScala.map(_.getFileName.toString.toLong).toSet
-    }
+    if (!BlockIO.isDirectory(d)) return Set.empty
+    BlockIO.listNames(d).map(_.toLong).toSet
   }
 
   /** Ship every store partition with `block_start + 2h <= beforeMs` not
@@ -59,12 +55,11 @@ object BlockShipper {
       // (a PII-removal hazard) — the mask is the same compiled
       // predicate readers apply, a map-side filter, no extra pass.
       val part = TsDeletions.masked(spark, storePath, spark.read.parquet(
-        Paths.get(storePath, s"block_start=$b").toString))
+        BlockIO.child(storePath, s"block_start=$b")))
       val ulid = TsdbBlock.syntheticUlid(b)
-      val dest = Paths.get(blocksDir, ulid)
-      TsdbBlock.writeDistributed(part, dest, ulid)
-      Files.createDirectories(markerDir(blocksDir))
-      Files.writeString(markerDir(blocksDir).resolve(b.toString), ulid)
+      TsdbBlock.writeDistributed(part, BlockIO.child(blocksDir, ulid), ulid)
+      BlockIO.mkdirs(markerDir(blocksDir))
+      BlockIO.writeString(BlockIO.child(markerDir(blocksDir), b.toString), ulid)
     }
     closed
   }

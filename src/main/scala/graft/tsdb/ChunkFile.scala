@@ -105,24 +105,24 @@ object ChunkFile {
     * requested refs, merge near-adjacent offsets into ranges, and issue
     * one positional read per range. At 100 TB against object storage this
     * is the difference between O(needed bytes) and O(segment bytes) per
-    * task. */
-  final class SegmentRangeReader(path: java.nio.file.Path,
-                                 stats: ReadStats = null) extends AutoCloseable {
-    private val ch = java.nio.channels.FileChannel.open(path,
-      java.nio.file.StandardOpenOption.READ)
-    private val fileSize = ch.size()
+    * task. IO goes through Hadoop `FileSystem` ([[BlockIO.RangeIn]]), so
+    * `path` may be a local path or any object-store URI (`s3a://…`) —
+    * each range is one ranged GET, exactly the reference's S3 read shape
+    * (`chunks.go:47-101`). */
+  final class SegmentRangeReader(path: String,
+                                 stats: ReadStats = null,
+                                 conf: org.apache.hadoop.conf.Configuration = null)
+    extends AutoCloseable {
+    def this(path: java.nio.file.Path) = this(path.toString)
+
+    private val in = new BlockIO.RangeIn(path, conf)
+    private val fileSize = in.size
 
     private def readRange(pos: Long, len: Int): Array[Byte] = {
-      val buf = ByteBuffer.allocate(len)
-      var p = pos
-      while (buf.hasRemaining) {
-        val n = ch.read(buf, p)
-        if (n < 0) sys.error(s"unexpected EOF in $path at $p")
-        p += n
-      }
+      val buf = in.readFully(pos, len)
       bytesFetched.addAndGet(len.toLong)
       if (stats != null) { stats.rangeReads += 1; stats.bytesFetched += len }
-      buf.array()
+      buf
     }
 
     /** Parse the record at absolute `off` from `buf` (which starts at
@@ -158,7 +158,7 @@ object ChunkFile {
       out.result()
     }
 
-    override def close(): Unit = ch.close()
+    override def close(): Unit = in.close()
   }
 
   /** Per-JVM bounded LRU of decoded chunk records keyed by
@@ -192,12 +192,14 @@ object ChunkFile {
 
   /** Read `refs` (fileSeq << 32 | offset) across segment files with one
     * [[SegmentRangeReader]] per touched segment; records already in the
-    * [[RecordCache]] are served without touching the file. */
-  def readRefs(chunksDir: java.nio.file.Path, refs: Seq[Long],
-               stats: ReadStats = null): Map[Long, ChunkRecord] =
+    * [[RecordCache]] are served without touching the file. `chunksDir`
+    * may be a local path or any Hadoop-FS URI. */
+  def readRefs(chunksDir: String, refs: Seq[Long],
+               stats: ReadStats = null,
+               conf: org.apache.hadoop.conf.Configuration = null): Map[Long, ChunkRecord] =
     refs.groupBy(refFileSeq).iterator.flatMap { case (seq, rs) =>
-      val path = chunksDir.resolve(f"$seq%06d")
-      val key = path.toAbsolutePath.toString
+      val path = BlockIO.child(chunksDir, f"$seq%06d")
+      val key = BlockIO.qualified(path, conf)
       val offs = rs.map(refOffset).distinct
       val cached = offs.flatMap(o => RecordCache.get(key, o).map(o -> _)).toMap
       val missing = offs.filterNot(cached.contains)
@@ -208,12 +210,16 @@ object ChunkFile {
       val fresh =
         if (missing.isEmpty) Map.empty[Int, ChunkRecord]
         else {
-          val rd = new SegmentRangeReader(path, stats)
+          val rd = new SegmentRangeReader(path, stats, conf)
           try rd.read(missing) finally rd.close()
         }
       fresh.foreach { case (o, rec) => RecordCache.put(key, o, rec) }
       (cached ++ fresh).map { case (off, rec) => ref(seq, off) -> rec }
     }.toMap
+
+  /** nio-Path convenience (local specs/tools). */
+  def readRefs(chunksDir: java.nio.file.Path, refs: Seq[Long]): Map[Long, ChunkRecord] =
+    readRefs(chunksDir.toString, refs)
 
   /** Sequentially scan all chunk records in a segment file. */
   def readAll(bytes: Array[Byte]): Seq[ChunkRecord] = {

@@ -2,7 +2,6 @@ package graft.tsdb
 
 import java.io.ByteArrayOutputStream
 import java.nio.ByteBuffer
-import java.nio.file.{Files, Path}
 
 /** Tombstones file: per-series deleted time intervals, part of every
   * block directory (reference `vendor/.../tsdb/tombstones.go:40-82`
@@ -27,7 +26,10 @@ object Tombstones {
     c.getValue.toInt
   }
 
-  def write(dir: Path, stones: Stones): Unit = {
+  def write(dir: java.nio.file.Path, stones: Stones): Unit =
+    write(dir.toString, stones)
+
+  def write(dir: String, stones: Stones): Unit = {
     val out = new ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xff)
     def be32(v: Int): Unit = { u8(v >>> 24); u8(v >>> 16); u8(v >>> 8); u8(v) }
@@ -48,15 +50,19 @@ object Tombstones {
     val full = ByteBuffer.allocate(bytes.length + 4)
     full.put(bytes)
     full.putInt(crc32c(bytes, bodyStart, bytes.length))
-    Files.write(dir.resolve("tombstones"), full.array())
+    BlockIO.writeBytes(BlockIO.child(dir, "tombstones"), full.array())
   }
 
+  def read(dir: java.nio.file.Path): Stones = read(dir.toString)
+
   /** Read a block's tombstones; empty map when the file is absent (the
-    * reference's nop behavior) or contains no intervals. */
-  def read(dir: Path): Stones = {
-    val p = dir.resolve("tombstones")
-    if (!Files.exists(p)) return Map.empty
-    val b = Files.readAllBytes(p)
+    * reference's nop behavior) or contains no intervals. `dir` may be any
+    * Hadoop-FS URI. */
+  def read(dir: String,
+           conf: org.apache.hadoop.conf.Configuration = null): Stones = {
+    val p = BlockIO.child(dir, "tombstones")
+    if (!BlockIO.exists(p, conf)) return Map.empty
+    val b = BlockIO.readAllBytes(p, conf)
     require(b.length >= 9, "tombstones file too short")
     var pos = 0
     def u8(): Int = { val v = b(pos) & 0xff; pos += 1; v }

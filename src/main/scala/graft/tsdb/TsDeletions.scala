@@ -1,7 +1,5 @@
 package graft.tsdb
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -34,7 +32,7 @@ object TsDeletions {
     "seq long, mint long, maxt long, " +
       "matchers array<struct<tpe: string, name: string, value: string>>")
 
-  private def dir(store: String) = Paths.get(store, "_deletions")
+  private def dir(store: String) = BlockIO.child(store, "_deletions")
 
   private def tpeOf(m: MatchType): String = m match {
     case MatchType.Eq => "eq"; case MatchType.Neq => "neq"
@@ -49,8 +47,8 @@ object TsDeletions {
 
   /** Pending deletion records (empty when none). */
   def list(spark: SparkSession, store: String): Seq[Deletion] = {
-    if (!Files.isDirectory(dir(store))) return Seq.empty
-    spark.read.schema(schema).parquet(dir(store).toString).collect().toSeq
+    if (!BlockIO.isDirectory(dir(store))) return Seq.empty
+    spark.read.schema(schema).parquet(dir(store)).collect().toSeq
       .map { r =>
         Deletion(r.getLong(0), r.getLong(1), r.getLong(2),
           r.getSeq[Row](3).map(m =>
@@ -69,7 +67,7 @@ object TsDeletions {
     val row = Row(seq, mint, maxt,
       matchers.map(m => Row(tpeOf(m.tpe), m.name, m.value)))
     spark.createDataFrame(Seq(row).asJava, schema)
-      .coalesce(1).write.mode(SaveMode.Append).parquet(dir(store).toString)
+      .coalesce(1).write.mode(SaveMode.Append).parquet(dir(store))
     seq
   }
 
@@ -102,23 +100,20 @@ object TsDeletions {
       pending.exists(d => b <= d.maxt && d.mint <= b + TsSchema.BlockMs - 1))
     val cond = surviveCond(pending).get
     touched.foreach { b =>
-      val pdir = Paths.get(store, s"block_start=$b")
-      val tmp = Paths.get(store, s".delete-$b")
+      val pdir = BlockIO.child(store, s"block_start=$b")
+      val tmp = BlockIO.child(store, s".delete-$b")
       // partition files lack the block_start column (it's in the dir
       // name); the mask only reads labels + t, both present
-      spark.read.parquet(pdir.toString).where(cond)
-        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      val old = Paths.get(store, s".old-del-$b")
-      Files.move(pdir, old)
-      Files.move(tmp, pdir)
-      old.toFile.listFiles().foreach(_.delete()); Files.delete(old)
+      spark.read.parquet(pdir).where(cond)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      val old = BlockIO.child(store, s".old-del-$b")
+      BlockIO.rename(pdir, old)
+      BlockIO.rename(tmp, pdir)
+      BlockIO.delete(old, recursive = true)
     }
     // clear the log (all pending deletions are now physical)
     val d = dir(store)
-    if (Files.isDirectory(d)) {
-      Files.walk(d).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => Files.delete(p))
-    }
+    if (BlockIO.isDirectory(d)) BlockIO.delete(d, recursive = true)
     spark.catalog.refreshByPath(store)
     touched
   }

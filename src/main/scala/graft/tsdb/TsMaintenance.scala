@@ -1,9 +1,6 @@
 package graft.tsdb
 
-import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.{SaveMode, SparkSession}
-import org.apache.spark.sql.functions._
-import scala.jdk.CollectionConverters._
 
 /** Store maintenance: compaction and retention.
   *
@@ -16,16 +13,16 @@ import scala.jdk.CollectionConverters._
   * reference keeps blocks time-disjoint). */
 object TsMaintenance {
 
-  /** Partitions (block_start values) present in a store. */
+  /** Partitions (block_start values) present in a store (any Hadoop-FS
+    * URI). */
   def blocks(store: String): Seq[Long] =
-    Files.list(Paths.get(store)).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("block_start="))
-      .map(_.getFileName.toString.stripPrefix("block_start=").toLong)
-      .toSeq.sorted
+    BlockIO.listNames(store)
+      .filter(_.startsWith("block_start="))
+      .map(_.stripPrefix("block_start=").toLong)
+      .sorted
 
-  private def dataFiles(dir: Path): Seq[Path] =
-    Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+  private def dataFileCount(dir: String): Int =
+    BlockIO.listNames(dir).count(_.endsWith(".parquet"))
 
   /** Rewrite any partition whose file count exceeds `maxFilesPerBlock`
     * down to `targetFiles` files. Partition-local: reads and rewrites one
@@ -35,18 +32,18 @@ object TsMaintenance {
   def compact(spark: SparkSession, store: String,
               maxFilesPerBlock: Int = 8, targetFiles: Int = 1): Seq[Long] = {
     val out = blocks(store).filter { b =>
-      val dir = Paths.get(store, s"block_start=$b")
-      if (dataFiles(dir).size <= maxFilesPerBlock) false
+      val dir = BlockIO.child(store, s"block_start=$b")
+      if (dataFileCount(dir) <= maxFilesPerBlock) false
       else {
-        val tmp = Paths.get(store, s".compact-$b")
-        spark.read.parquet(dir.toString)
+        val tmp = BlockIO.child(store, s".compact-$b")
+        spark.read.parquet(dir)
           .repartition(targetFiles)
-          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          .write.mode(SaveMode.Overwrite).parquet(tmp)
         // atomic-ish swap: move old out, promote new, drop old
-        val old = Paths.get(store, s".old-$b")
-        Files.move(dir, old)
-        Files.move(tmp, dir)
-        old.toFile.listFiles().foreach(_.delete()); Files.delete(old)
+        val old = BlockIO.child(store, s".old-$b")
+        BlockIO.rename(dir, old)
+        BlockIO.rename(tmp, dir)
+        BlockIO.delete(old, recursive = true)
         true
       }
     }
@@ -61,10 +58,7 @@ object TsMaintenance {
     * re-shipped old block is still deduped). Returns dropped blocks. */
   def applyRetention(spark: SparkSession, store: String, retainAfterMs: Long): Seq[Long] = {
     val dropped = blocks(store).filter(b => b + TsSchema.BlockMs <= retainAfterMs).map { b =>
-      val dir = Paths.get(store, s"block_start=$b")
-      dataFiles(dir).foreach(Files.delete)
-      Files.list(dir).iterator().asScala.toSeq.foreach(Files.delete) // crc/_SUCCESS remnants
-      Files.delete(dir)
+      BlockIO.delete(BlockIO.child(store, s"block_start=$b"), recursive = true)
       b
     }
     if (dropped.nonEmpty) spark.catalog.refreshByPath(store)
@@ -84,18 +78,15 @@ object TsMaintenance {
                            ladder: Map[Long, Long]): Map[Long, Seq[Long]] = {
     val rawDropped = applyRetention(spark, store, rawRetainAfterMs)
     val downDropped = ladder.map { case (resMs, cutoff) =>
-      val dir = Paths.get(store, "_downsample", s"res=$resMs")
-      if (!Files.isDirectory(dir)) resMs -> Seq.empty[Long]
+      val dir = BlockIO.child(BlockIO.child(store, "_downsample"), s"res=$resMs")
+      if (!BlockIO.isDirectory(dir)) resMs -> Seq.empty[Long]
       else {
-        val dropped = blocks(dir.toString)
+        val dropped = blocks(dir)
           .filter(b => b + TsSchema.BlockMs <= cutoff).map { b =>
-            val pdir = dir.resolve(s"block_start=$b")
-            dataFiles(pdir).foreach(Files.delete)
-            Files.list(pdir).iterator().asScala.toSeq.foreach(Files.delete)
-            Files.delete(pdir)
+            BlockIO.delete(BlockIO.child(dir, s"block_start=$b"), recursive = true)
             b
           }
-        if (dropped.nonEmpty) spark.catalog.refreshByPath(dir.toString)
+        if (dropped.nonEmpty) spark.catalog.refreshByPath(dir)
         resMs -> dropped
       }
     }

@@ -1,10 +1,8 @@
 package graft.tsdb
 
-import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import scala.jdk.CollectionConverters._
 
 /** TSDB block read/write + ingest — the shipper/sync equivalent
   * (SURVEY.md §2.1 S2-S6, S9; §3.2-§3.3).
@@ -16,6 +14,12 @@ import scala.jdk.CollectionConverters._
   * (agni downloads + mmaps index locally, `db.go:93-102`), while chunk
   * decoding is distributed — executors range-read their chunk file
   * segments (agni's parallel populate, `querier.go:542-574`).
+  *
+  * All paths are Hadoop-FS URIs through [[BlockIO]] — the same block
+  * machinery serves a local dir in tests and `s3a://bucket/blocks/…` in
+  * production, which is the reference's defining deployment
+  * (`db.go:93-102`, `shipper.go:252-325`). `java.nio.file.Path`
+  * overloads are kept for local callers.
   */
 object TsdbBlock {
   final case class BlockStats(numSamples: Long, numSeries: Long, numChunks: Long)
@@ -25,17 +29,22 @@ object TsdbBlock {
   val MaxSamplesPerChunk = 120 // reference chunk target (SURVEY.md §1.2)
 
   // ---------- meta.json (reference vendor/.../tsdb/block.go:64-96) ----------
-  def writeMeta(dir: Path, meta: BlockMeta): Unit = {
+  def writeMeta(dir: java.nio.file.Path, meta: BlockMeta): Unit =
+    writeMeta(dir.toString, meta)
+
+  def writeMeta(dir: String, meta: BlockMeta): Unit = {
     val json =
       s"""{"version":1,"ulid":"${meta.ulid}","minTime":${meta.minTime},"maxTime":${meta.maxTime},
          |"stats":{"numSamples":${meta.stats.numSamples},"numSeries":${meta.stats.numSeries},"numChunks":${meta.stats.numChunks}},
          |"compaction":{"level":${meta.level},"sources":["${meta.ulid}"]}}""".stripMargin.replace("\n", "")
-    Files.writeString(dir.resolve("meta.json"), json)
+    BlockIO.writeString(BlockIO.child(dir, "meta.json"), json)
   }
 
-  def readMeta(dir: Path): BlockMeta = {
+  def readMeta(dir: java.nio.file.Path): BlockMeta = readMeta(dir.toString)
+
+  def readMeta(dir: String): BlockMeta = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val n = mapper.readTree(Files.readString(dir.resolve("meta.json")))
+    val n = mapper.readTree(BlockIO.readString(BlockIO.child(dir, "meta.json")))
     require(n.get("version").asInt() == 1, "unsupported block meta version")
     BlockMeta(
       n.get("ulid").asText(),
@@ -55,9 +64,17 @@ object TsdbBlock {
   }
 
   // ---------- write ----------
+  def write(dir: java.nio.file.Path, seriesIn: Seq[(Seq[Label], Seq[Sample])],
+            ulid: String): BlockMeta =
+    write(dir.toString, seriesIn, ulid)
+
+  def write(dir: java.nio.file.Path, seriesIn: Seq[(Seq[Label], Seq[Sample])],
+            ulid: String, maxSegmentBytes: Long): BlockMeta =
+    write(dir.toString, seriesIn, ulid, maxSegmentBytes)
+
   /** Write `series` (sorted by canonical label order enforced here) as a
     * complete block directory. Samples per series must be time-sorted. */
-  def write(dir: Path, seriesIn: Seq[(Seq[Label], Seq[Sample])], ulid: String,
+  def write(dir: String, seriesIn: Seq[(Seq[Label], Seq[Sample])], ulid: String,
             maxSegmentBytes: Long = MaxSegmentBytes): BlockMeta = {
     val encoded = seriesIn.map { case (ls, samples) =>
       val chunks = samples.grouped(MaxSamplesPerChunk).map { grp =>
@@ -102,9 +119,26 @@ object TsdbBlock {
     * bottleneck (the previous implementation collected every encoded
     * chunk). Executors must share the destination filesystem with the
     * driver (local mode / NFS / object-store mount — same assumption the
-    * reference's shipper makes about its upload dir, `shipper.go:262-309`).
+    * reference's shipper makes about its upload dir, `shipper.go:262-309`)
+    * — or, through [[BlockIO]], any shared Hadoop filesystem: with an
+    * `s3a://` destination each executor uploads its segment files
+    * directly to the bucket, the reference's shipper upload
+    * (`shipper.go:252-325`) without the local staging copy.
     * Input: canonical long form (labels array, fingerprint, t, v). */
-  def writeDistributed(canonical: DataFrame, dir: Path, ulid: String,
+  def writeDistributed(canonical: DataFrame, dir: java.nio.file.Path,
+                       ulid: String): BlockMeta =
+    writeDistributed(canonical, dir.toString, ulid)
+
+  def writeDistributed(canonical: DataFrame, dir: java.nio.file.Path,
+                       ulid: String, level: Int,
+                       maxSegmentBytes: Long): BlockMeta =
+    writeDistributed(canonical, dir.toString, ulid, level, maxSegmentBytes)
+
+  def writeDistributed(canonical: DataFrame, dir: java.nio.file.Path,
+                       ulid: String, maxSegmentBytes: Long): BlockMeta =
+    writeDistributed(canonical, dir.toString, ulid, maxSegmentBytes = maxSegmentBytes)
+
+  def writeDistributed(canonical: DataFrame, dir: String, ulid: String,
                        level: Int = 1,
                        maxSegmentBytes: Long = MaxSegmentBytes): BlockMeta = {
     val spark = canonical.sparkSession
@@ -161,9 +195,13 @@ object TsdbBlock {
       }
 
       // ---- phase 2: executors write segment files ----
-      Files.createDirectories(dir.resolve("chunks"))
+      val chunksDir = BlockIO.child(dir, "chunks")
+      BlockIO.mkdirs(chunksDir)
       val bc = spark.sparkContext.broadcast(assignment.toMap)
-      val chunksDir = dir.resolve("chunks").toString
+      // ship the driver's Hadoop conf so executor-side segment uploads
+      // resolve object-store URIs with the session's credentials
+      val bcConf = spark.sparkContext.broadcast(
+        new BlockIO.SerConf(spark.sparkContext.hadoopConfiguration))
       if (flatLens.nonEmpty) {
         perSeries.flatMap { case (ls, chunks, _) =>
           val asg = bc.value(ls.map(l => l.name + "þ" + l.value).mkString("ÿ"))
@@ -180,17 +218,18 @@ object TsdbBlock {
                 case (want, got) => require(want == got,
                   s"segment $fileSeq: assigned offset $want != written $got")
               }
-              Files.write(Paths.get(chunksDir, f"$fileSeq%06d"), bytes)
+              BlockIO.writeBytes(BlockIO.child(chunksDir, f"$fileSeq%06d"),
+                bytes, bcConf.value.value)
             }
           }
       } else {
         // empty block still carries one (header-only) segment file
-        Files.write(dir.resolve("chunks").resolve("000001"),
+        BlockIO.writeBytes(BlockIO.child(chunksDir, "000001"),
           ChunkFile.write(1, Seq.empty)._1)
       }
 
       // ---- driver: index + tombstones + meta only ----
-      Files.write(dir.resolve("index"), TsdbIndex.write(idxSeries.toSeq))
+      BlockIO.writeBytes(BlockIO.child(dir, "index"), TsdbIndex.write(idxSeries.toSeq))
       Tombstones.write(dir, Map.empty)
       val allMetas = metaRows.flatMap(_._2)
       val meta = BlockMeta(ulid,
@@ -211,10 +250,14 @@ object TsdbBlock {
     * samples across overlapping inputs (vertical compaction), and write
     * one merged block at level = max(input levels) + 1. Encoding is
     * distributed; the inputs are left in place for the caller to retire. */
-  def compact(spark: SparkSession, blockDirs: Seq[String], outDir: Path,
+  def compact(spark: SparkSession, blockDirs: Seq[String],
+              outDir: java.nio.file.Path, ulid: String): BlockMeta =
+    compact(spark, blockDirs, outDir.toString, ulid)
+
+  def compact(spark: SparkSession, blockDirs: Seq[String], outDir: String,
               ulid: String): BlockMeta = {
     require(blockDirs.nonEmpty, "compact: no input blocks")
-    val level = blockDirs.map(d => readMeta(Paths.get(d)).level).max + 1
+    val level = blockDirs.map(d => readMeta(d).level).max + 1
     val union = blockDirs.map(d => read(spark, d)).reduce(_ unionByName _)
     // vertical dedup with a DETERMINISTIC pick: duplicate (series, t)
     // keys across overlapping inputs keep max(v) (dropDuplicates would
@@ -233,7 +276,7 @@ object TsdbBlock {
     * meta. Chunks are split across numbered segment files at
     * `maxSegmentBytes` (refs carry the file sequence, so readers need no
     * layout knowledge beyond the ref). */
-  private def writeAssembled(dir: Path,
+  private def writeAssembled(dir: String,
                              seriesIn: Seq[(Seq[Label], Seq[(Long, Long, Array[Byte])], Long)],
                              ulid: String,
                              maxSegmentBytes: Long = MaxSegmentBytes,
@@ -241,7 +284,8 @@ object TsdbBlock {
     val series = seriesIn
       .map { case (ls, cs, n) => (Labels.canonical(ls), cs, n) }
       .sortBy(_._1)(Labels.ordering)
-    Files.createDirectories(dir.resolve("chunks"))
+    val chunksDir = BlockIO.child(dir, "chunks")
+    BlockIO.mkdirs(chunksDir)
 
     val flat = series.flatMap(_._2)
     // greedy split: a segment takes chunks until the byte cap (a chunk
@@ -265,7 +309,7 @@ object TsdbBlock {
     val refs = segments.zipWithIndex.flatMap { case (chunks, i) =>
       val fileSeq = i + 1
       val (segBytes, segRefs) = ChunkFile.write(fileSeq, chunks.map(_._3))
-      Files.write(dir.resolve("chunks").resolve(f"$fileSeq%06d"), segBytes)
+      BlockIO.writeBytes(BlockIO.child(chunksDir, f"$fileSeq%06d"), segBytes)
       segRefs
     }
 
@@ -276,7 +320,7 @@ object TsdbBlock {
       }
       TsdbIndex.IndexSeries(labels, metas)
     }
-    Files.write(dir.resolve("index"), TsdbIndex.write(idxSeries))
+    BlockIO.writeBytes(BlockIO.child(dir, "index"), TsdbIndex.write(idxSeries))
     // every block carries a tombstones file (empty on write, like
     // Prometheus's writer; deletes rewrite it)
     Tombstones.write(dir, Map.empty)
@@ -306,41 +350,36 @@ object TsdbBlock {
     * data write, so a crashed ingest re-runs. */
   def ingest(spark: SparkSession, blockDir: String, storePath: String,
              promoted: Seq[String] = TsSchema.DefaultPromoted): Boolean = {
-    val meta = readMeta(Paths.get(blockDir))
-    val markerDir = Paths.get(storePath, "_ingested")
-    val marker = markerDir.resolve(meta.ulid)
-    if (Files.exists(marker)) return false
+    val meta = readMeta(blockDir)
+    val markerDir = BlockIO.child(storePath, "_ingested")
+    val marker = BlockIO.child(markerDir, meta.ulid)
+    if (BlockIO.exists(marker)) return false
     // block non-overlap invariant (reference validates at load,
     // db.go:206-220; Prometheus semantics on overlap is "error")
-    if (Files.isDirectory(markerDir)) {
-      scala.util.Using.resource(Files.list(markerDir)) { st =>
-        st.iterator().asScala.foreach { m =>
-          val Array(lo, hi) = Files.readString(m).split("\\.\\.").map(_.toLong)
-          require(meta.maxTime < lo || meta.minTime > hi,
-            s"block ${meta.ulid} [${meta.minTime},${meta.maxTime}] overlaps " +
-              s"ingested block ${m.getFileName} [$lo,$hi]")
-        }
+    if (BlockIO.isDirectory(markerDir)) {
+      BlockIO.listNames(markerDir).foreach { name =>
+        val Array(lo, hi) =
+          BlockIO.readString(BlockIO.child(markerDir, name)).split("\\.\\.").map(_.toLong)
+        require(meta.maxTime < lo || meta.minTime > hi,
+          s"block ${meta.ulid} [${meta.minTime},${meta.maxTime}] overlaps " +
+            s"ingested block $name [$lo,$hi]")
       }
     }
     val canonical = TsSchema.canonicalize(read(spark, blockDir), promoted)
     canonical.write.partitionBy("block_start").mode("append").parquet(storePath)
-    Files.createDirectories(markerDir)
-    Files.writeString(marker, s"${meta.minTime}..${meta.maxTime}")
+    BlockIO.mkdirs(markerDir)
+    BlockIO.writeString(marker, s"${meta.minTime}..${meta.maxTime}")
     true
   }
 
   /** Sync a directory of blocks (the shipper's refresh loop, batch form):
-    * ingest every ULID-named child dir not yet present. Returns ingested
+    * ingest every ULID-named child dir not yet present — `blocksRoot` may
+    * be a bucket prefix (`db.go:93-102`'s bucket sync). Returns ingested
     * ULIDs. */
   def syncDir(spark: SparkSession, blocksRoot: String, storePath: String): Seq[String] = {
-    val root = Paths.get(blocksRoot)
-    if (!Files.isDirectory(root)) return Seq.empty
-    scala.util.Using.resource(Files.list(root)) { st =>
-      st.iterator().asScala
-        .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("meta.json")))
-        .toSeq.sortBy(_.getFileName.toString)
-    }
-      .filter(p => ingest(spark, p.toString, storePath))
-      .map(_.getFileName.toString)
+    if (!BlockIO.isDirectory(blocksRoot)) return Seq.empty
+    BlockIO.listDirNames(blocksRoot)
+      .filter(n => BlockIO.exists(BlockIO.child(BlockIO.child(blocksRoot, n), "meta.json")))
+      .filter(n => ingest(spark, BlockIO.child(blocksRoot, n), storePath))
   }
 }

@@ -1,10 +1,6 @@
 package graft.tsdb.datasource
 
-import java.nio.file.{Files, Path, Paths}
 import java.util
-
-import scala.jdk.CollectionConverters._
-import scala.util.Using
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -17,7 +13,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.tsdb.{ChunkFile, TsdbBlock, TsdbIndex, XorChunk}
+import graft.tsdb.{BlockIO, ChunkFile, TsdbBlock, TsdbIndex, XorChunk}
 
 /** DataSource V2 reader for native TSDB blocks (the reference's on-disk
   * format: ULID dir with `meta.json`, `index`, `chunks/NNNNNN` — SURVEY.md
@@ -70,25 +66,25 @@ object TsdbBlockTable {
     p
   }
 
-  /** One block dir (has meta.json) or a root of ULID-named block dirs. */
-  def blockDirs(root: String): Seq[Path] = {
-    val r = Paths.get(root)
-    if (Files.exists(r.resolve("meta.json"))) Seq(r)
-    else if (Files.isDirectory(r))
-      Using.resource(Files.list(r)) { st =>
-        st.iterator().asScala
-          .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("meta.json")))
-          .toSeq.sortBy(_.getFileName.toString)
-      }
+  /** One block dir (has meta.json) or a root of ULID-named block dirs.
+    * `root` is a Hadoop-FS URI string (local path, `file://`, `s3a://`,
+    * …) — the reference's bucket listing (`db.go:93-102`) through the
+    * session's filesystem. */
+  def blockDirs(root: String): Seq[String] = {
+    if (BlockIO.exists(BlockIO.child(root, "meta.json"))) Seq(root)
+    else if (BlockIO.isDirectory(root))
+      BlockIO.listDirNames(root)
+        .map(n => BlockIO.child(root, n))
+        .filter(d => BlockIO.exists(BlockIO.child(d, "meta.json")))
     else Seq.empty
   }
 
   /** labels map + t + v + one string column per label name present in any
     * block index (sorted). Label names shadowing the fixed columns are
     * rejected rather than silently remapped. */
-  def schemaFor(dirs: Seq[Path]): StructType = {
+  def schemaFor(dirs: Seq[String]): StructType = {
     val labelNames = dirs.flatMap { d =>
-      TsdbIndexCache.get(d.resolve("index").toString).labelNames
+      TsdbIndexCache.get(BlockIO.child(d, "index")).labelNames
     }.distinct.sorted
     require(labelNames.intersect(FixedFields).isEmpty,
       s"graft-tsdb: label names collide with fixed columns: " +
@@ -345,15 +341,15 @@ class TsdbScan(rootPath: String, required: StructType, mint: Long, maxt: Long,
     * runtime filter narrows `preds`): blocks surviving P10 time
     * pruning, with their selected postings refs and total series
     * count. */
-  private var cachedResolution: Seq[(Path, TsdbBlock.BlockMeta, Seq[Long], Int)] = _
+  private var cachedResolution: Seq[(String, TsdbBlock.BlockMeta, Seq[Long], Int)] = _
 
-  private def resolvedBlocks: Seq[(Path, TsdbBlock.BlockMeta, Seq[Long], Int)] = {
+  private def resolvedBlocks: Seq[(String, TsdbBlock.BlockMeta, Seq[Long], Int)] = {
     if (cachedResolution == null) cachedResolution =
       TsdbBlockTable.blockDirs(rootPath).flatMap { dir =>
         val meta = TsdbBlock.readMeta(dir)
         // P10 block pruning
         if (meta.minTime <= maxt && mint <= meta.maxTime) {
-          val idx = TsdbIndexCache.get(dir.resolve("index").toString)
+          val idx = TsdbIndexCache.get(BlockIO.child(dir, "index"))
           val all = idx.allPostings
           val postingSets = preds.map(resolve(idx, _))
           val refs: Seq[Long] =
@@ -374,7 +370,7 @@ class TsdbScan(rootPath: String, required: StructType, mint: Long, maxt: Long,
       // the file-split discipline of the built-in sources applied to
       // the TSDB index.
       refs.grouped(math.max(1, seriesPerPartition)).foreach { batch =>
-        parts += TsdbInputPartition(dir.toString, batch.toArray,
+        parts += TsdbInputPartition(dir, batch.toArray,
           mint, maxt, required.fieldNames.toSeq)
       }
     }
@@ -412,7 +408,9 @@ class TsdbScan(rootPath: String, required: StructType, mint: Long, maxt: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    TsdbReaderFactory
+    TsdbReaderFactory(org.apache.spark.sql.SparkSession.active.sparkContext
+      .broadcast(new BlockIO.SerConf(
+        org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)))
 
   /** Runtime IO counters (range reads, bytes, cache hit/miss) — rolled
     * up from per-task [[TsdbMetrics.taskValues]] into the scan node. */
@@ -424,9 +422,14 @@ final case class TsdbInputPartition(blockDir: String, refs: Array[Long],
                                     mint: Long, maxt: Long,
                                     fields: Seq[String]) extends InputPartition
 
-object TsdbReaderFactory extends PartitionReaderFactory {
+/** Carries the driver's Hadoop conf (broadcast) so partition readers on
+  * remote executors resolve block URIs with the session's filesystem
+  * settings/credentials — required for `s3a://` blocks in cluster mode. */
+final case class TsdbReaderFactory(
+    conf: org.apache.spark.broadcast.Broadcast[BlockIO.SerConf])
+  extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new TsdbPartitionReader(partition.asInstanceOf[TsdbInputPartition])
+    new TsdbPartitionReader(partition.asInstanceOf[TsdbInputPartition], conf.value.value)
 
   /** Vectorized fast path for FLAT projections (no `labels` map): the
     * XOR decode writes straight into column vectors and the label
@@ -439,17 +442,18 @@ object TsdbReaderFactory extends PartitionReaderFactory {
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new TsdbColumnarReader(partition.asInstanceOf[TsdbInputPartition])
+    new TsdbColumnarReader(partition.asInstanceOf[TsdbInputPartition], conf.value.value)
 }
 
 /** Shared per-partition planning: chunk pruning (P11/P13) + one
   * coalesced fetch of every chunk the partition will decode. */
 private[datasource] object TsdbSeriesPlan {
   type Plan = Array[(Long, Seq[Long], Seq[(Long, Long)])]
-  def build(p: TsdbInputPartition, stats: ChunkFile.ReadStats = null)
+  def build(p: TsdbInputPartition, stats: ChunkFile.ReadStats = null,
+            conf: org.apache.hadoop.conf.Configuration = null)
       : (TsdbIndex.IndexReader, Plan, Map[Long, ChunkFile.ChunkRecord]) = {
-    val idx = TsdbIndexCache.get(Paths.get(p.blockDir, "index").toString, stats)
-    val stones = graft.tsdb.Tombstones.read(Paths.get(p.blockDir))
+    val idx = TsdbIndexCache.get(BlockIO.child(p.blockDir, "index"), stats, conf)
+    val stones = graft.tsdb.Tombstones.read(p.blockDir, conf)
     val plan: Plan = p.refs.flatMap { ref =>
       val s = idx.series(ref)
       val ivs = stones.getOrElse(ref, Seq.empty)
@@ -460,20 +464,21 @@ private[datasource] object TsdbSeriesPlan {
       if (chunks.isEmpty) None else Some((ref, chunks.map(_.ref), ivs))
     }
     val chunkData = ChunkFile.readRefs(
-      Paths.get(p.blockDir, "chunks"), plan.flatMap(_._2).toSeq, stats)
+      BlockIO.child(p.blockDir, "chunks"), plan.flatMap(_._2).toSeq, stats, conf)
     (idx, plan, chunkData)
   }
 }
 
 /** Columnar reader: batches of up to 4096 samples, label columns
   * resolved once per series and stamped as constant byte arrays. */
-class TsdbColumnarReader(p: TsdbInputPartition)
+class TsdbColumnarReader(p: TsdbInputPartition,
+                         conf: org.apache.hadoop.conf.Configuration = null)
   extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
   private val stats = new ChunkFile.ReadStats
-  private val (idx, plan, chunkData) = TsdbSeriesPlan.build(p, stats)
+  private val (idx, plan, chunkData) = TsdbSeriesPlan.build(p, stats, conf)
 
   override def currentMetricsValues()
       : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
@@ -561,19 +566,22 @@ object TsdbIndexCache {
           e: java.util.Map.Entry[String, TsdbIndex.IndexReader]): Boolean =
         size() > MaxEntries
     }
-  def get(path: String, stats: ChunkFile.ReadStats = null): TsdbIndex.IndexReader =
+  def get(path: String, stats: ChunkFile.ReadStats = null,
+          conf: org.apache.hadoop.conf.Configuration = null): TsdbIndex.IndexReader = {
+    val key = BlockIO.qualified(path, conf)
     cache.synchronized {
-      val hit = cache.get(path)
+      val hit = cache.get(key)
       if (hit != null) {
         if (stats != null) stats.indexCacheHits += 1
         hit
       } else {
         if (stats != null) stats.indexCacheMisses += 1
-        val r = new TsdbIndex.IndexReader(Files.readAllBytes(Paths.get(path)))
-        cache.put(path, r)
+        val r = new TsdbIndex.IndexReader(BlockIO.readAllBytes(path, conf))
+        cache.put(key, r)
         r
       }
     }
+  }
 }
 
 /** Runtime IO counters for the `graft-tsdb` scan — the Spark-native slot
@@ -620,11 +628,13 @@ object TsdbMetrics {
   * bounded range reads per touched segment file ([[ChunkFile.readRefs]])
   * — the reference's grouped populate (`chunks.go:161-251`) — so a
   * 1-series select against a 512 MiB segment reads KiB, not the segment. */
-class TsdbPartitionReader(p: TsdbInputPartition) extends PartitionReader[InternalRow] {
+class TsdbPartitionReader(p: TsdbInputPartition,
+                          conf: org.apache.hadoop.conf.Configuration = null)
+  extends PartitionReader[InternalRow] {
   // per-series plan (pruned chunk refs + tombstones, P11/P13) and ONE
   // coalesced fetch for every chunk this partition will decode
   private val stats = new ChunkFile.ReadStats
-  private val (idx, plan, chunkData) = TsdbSeriesPlan.build(p, stats)
+  private val (idx, plan, chunkData) = TsdbSeriesPlan.build(p, stats, conf)
 
   override def currentMetricsValues()
       : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =

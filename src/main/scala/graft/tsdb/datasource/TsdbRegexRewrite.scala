@@ -52,7 +52,7 @@ object TsdbRegexRewrite extends Rule[LogicalPlan] {
       try java.util.regex.Pattern.compile(pattern)
       catch { case _: Exception => return None } // let RLike raise it
     val values = TsdbBlockTable.blockDirs(tbl.rootPath).flatMap { d =>
-      TsdbIndexCache.get(d.resolve("index").toString).labelValues(a.name)
+      TsdbIndexCache.get(graft.tsdb.BlockIO.child(d, "index")).labelValues(a.name)
     }.distinct
     if (values.size > MaxInList) None
     else Some(In(a,

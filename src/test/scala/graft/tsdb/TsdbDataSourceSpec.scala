@@ -368,17 +368,19 @@ class TsdbDataSourceSpec extends AnyFunSuite {
 
   test("flat projections read through the columnar fast path") {
     import graft.tsdb.datasource.{TsdbInputPartition, TsdbReaderFactory}
+    val factory = TsdbReaderFactory(spark.sparkContext.broadcast(
+      new BlockIO.SerConf(spark.sparkContext.hadoopConfiguration)))
     val flatQ = ds.select("job", "instance", "t", "v").where(col("job") === "api")
     val flatParts = scanOf(flatQ).planInputPartitions()
-    assert(flatParts.forall(TsdbReaderFactory.supportColumnarReads))
+    assert(flatParts.forall(factory.supportColumnarReads))
     // keeping the labels map falls back to the row reader
     val mapParts = scanOf(ds.select("labels", "t", "v")).planInputPartitions()
-    assert(mapParts.forall(pt => !TsdbReaderFactory.supportColumnarReads(pt)))
+    assert(mapParts.forall(pt => !factory.supportColumnarReads(pt)))
     // the two readers produce identical data for the same partition
     val part = flatParts.head.asInstanceOf[TsdbInputPartition]
     val fi = part.fields.zipWithIndex.toMap
     val (ti, vi, ji) = (fi("t"), fi("v"), fi("job"))
-    val colReader = TsdbReaderFactory.createColumnarReader(part)
+    val colReader = factory.createColumnarReader(part)
     var colRows = 0L; var colSumV = 0.0; var colSumT = 0L; var nulls = 0
     while (colReader.next()) {
       val b = colReader.get()
@@ -391,7 +393,7 @@ class TsdbDataSourceSpec extends AnyFunSuite {
       }
     }
     colReader.close()
-    val rowReader = TsdbReaderFactory.createReader(part)
+    val rowReader = factory.createReader(part)
     var rowRows = 0L; var rowSumV = 0.0; var rowSumT = 0L
     while (rowReader.next()) {
       val r = rowReader.get()
