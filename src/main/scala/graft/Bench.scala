@@ -41,11 +41,25 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     // name-sorted run order: HashMap iteration order would otherwise
-    // shift which query runs first between rounds
+    // shift which query runs first between rounds.
+    // Sub-2s queries report the MEDIAN of `reps` runs: one timed
+    // iteration jitters ±2x at this data size (JIT/scheduling), which
+    // masked real regressions round-over-round (round-5 verdict item).
+    // Heavier queries stay single-run — their signal already dominates
+    // the noise and re-running them would double bench wall-clock.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val repBelow = 2.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val first = once()
+      val times =
+        if (first < repBelow && reps > 1) first +: Vector.fill(reps - 1)(once())
+        else Vector(first)
+      name -> times.sorted.apply(times.size / 2)
     }
     // The driver keeps only the LAST 2000 chars of stdout (BENCH_r3's
     // full line overflowed that window → parsed:null), and sbt appends a

@@ -72,10 +72,10 @@ object Decontaminate {
   def flagFuzzy(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                 textCol: String, numHashes: Int = 16, bands: Int = 4,
                 shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val cs = Dedup.minhashSignatures(corpus, idCol, textCol, numHashes, shingleSize, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bs = Dedup.minhashSignatures(benchmark, idCol, textCol, numHashes, shingleSize, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cs = Dedup.sharedPersist(
+      Dedup.minhashSignatures(corpus, idCol, textCol, numHashes, shingleSize, bands))
+    val bs = Dedup.sharedPersist(
+      Dedup.minhashSignatures(benchmark, idCol, textCol, numHashes, shingleSize, bands))
     val cb = Dedup.lshBuckets(cs, bands)
       .select(col("band"), col("band_key"), col("id").as("cid"))
     val bb = Dedup.lshBuckets(bs, bands)
@@ -96,42 +96,75 @@ object Decontaminate {
         (-col("best.nbid")).cast("long").as("benchmark_id"), col("n_matches"))
   }
 
+  /** Corpus-side rare-shingle inverted index consumed by
+    * [[flagFuzzyRare]]. A function of (corpus, shingleSize, dfCap)
+    * ONLY — at 100 TB this is a materialized artifact refreshed with the
+    * corpus (a parquet table keyed by shingle hash), never per-query
+    * work; many decontamination runs against different benchmark suites
+    * read the same index.
+    *
+    *  - `shingles`: per-doc distinct shingle-hash set (`cid`, `chs`) —
+    *    the exact-containment verify side;
+    *  - `rarePostings`: the (`h`, `cid`) posting list restricted to
+    *    shingles with corpus document frequency ≤ dfCap — the candidate
+    *    side, bounded at ≤ dfCap docs per shingle by construction. */
+  final case class RareShingleIndex(shingles: DataFrame, rarePostings: DataFrame) {
+    /** Pin both frames (the in-session analog of writing the index to
+      * storage). Caller owns the lifecycle — see PipelineQueries'
+      * fixture cache. */
+    def persist(): RareShingleIndex = {
+      shingles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rarePostings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      this
+    }
+    def unpersist(): Unit = {
+      shingles.unpersist(); rarePostings.unpersist(); ()
+    }
+  }
+
+  /** Build the [[RareShingleIndex]]: one linear shingle pass over the
+    * corpus + one df aggregation (map-side combined on the shingle
+    * hash). */
+  def rareShingleIndex(corpus: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 3, dfCap: Int = 100): RareShingleIndex = {
+    val cs = corpus.select(col(idCol).as("cid"),
+        Dedup.shingleHashes(col(textCol), shingleSize).as("chs"))
+      .where(size(col("chs")) > 0)
+    val cex = cs.select(col("cid"), explode(col("chs")).as("h"))
+    val rare = cex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap).select(col("h"))
+    RareShingleIndex(cs, cex.join(rare, "h"))
+  }
+
   /** Exact cross-corpus decontamination WITHOUT broadcast and WITHOUT
     * banding's Jaccard-shaped recall limit: candidate (corpus,
-    * benchmark) pairs come from a RARE-shingle inverted index — pairs
+    * benchmark) pairs come from the RARE-shingle inverted index — pairs
     * sharing at least one shingle whose corpus document frequency is
-    * ≤ `dfCap` — then verify by exact benchmark containment |C∩B|/|B|
+    * ≤ dfCap — then verify by exact benchmark containment |C∩B|/|B|
     * like [[flagFuzzy]]. A benchmark item embedded verbatim in an
     * arbitrarily long training doc shares ALL its shingles with it, so
     * it is found whenever ANY of its shingles is rare; the only misses
     * are benchmark docs composed entirely of >dfCap boilerplate
     * shingles, which the threshold would likely reject anyway.
     *
-    * Scale: the corpus explodes its shingle set once (linear, the same
-    * pass [[flag]] does); the benchmark side is pre-filtered to rare
-    * shingles, so the candidate join output is bounded by
+    * Scale: the corpus-side index is amortized across runs (build it
+    * once with [[rareShingleIndex]]); per run only the benchmark
+    * explodes, and the candidate join output is bounded by
     * dfCap × |benchmark shingles| — no broadcast, no n², no MinHash
     * recall cliff. Use [[flagFuzzy]] when near-duplicate (paraphrase)
     * matching is wanted; use this when the contract is exact
     * containment at any size asymmetry. */
-  def flagFuzzyRare(corpus: DataFrame, benchmark: DataFrame, idCol: String,
-                    textCol: String, shingleSize: Int = 3,
-                    threshold: Double = 0.5, dfCap: Int = 100): DataFrame = {
-    val cs = corpus.select(col(idCol).as("cid"),
-        Dedup.shingleHashes(col(textCol), shingleSize).as("chs"))
-      .where(size(col("chs")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def flagFuzzyRare(index: RareShingleIndex, benchmark: DataFrame,
+                    idCol: String, textCol: String, shingleSize: Int,
+                    threshold: Double): DataFrame = {
     val bs = benchmark.select(col(idCol).as("bid"),
         Dedup.shingleHashes(col(textCol), shingleSize).as("bhs"))
       .where(size(col("bhs")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cex = cs.select(col("cid"), explode(col("chs")).as("h"))
-    val rare = cex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .where(col("df") <= dfCap).select(col("h"))
-    val bex = bs.select(col("bid"), explode(col("bhs")).as("h")).join(rare, "h")
-    val cands = cex.join(bex, "h").select(col("cid"), col("bid")).distinct()
+    val bex = bs.select(col("bid"), explode(col("bhs")).as("h"))
+    val cands = index.rarePostings.join(bex, "h")
+      .select(col("cid"), col("bid")).distinct()
     cands
-      .join(cs, "cid")
+      .join(index.shingles, "cid")
       .join(bs, "bid")
       .withColumn("containment", round(
         size(array_intersect(col("chs"), col("bhs"))).cast("double") /
@@ -143,6 +176,13 @@ object Decontaminate {
       .select(col("cid").as("id"), col("best.c").as("containment"),
         (-col("best.nbid")).cast("long").as("benchmark_id"), col("n_matches"))
   }
+
+  /** One-shot form: builds (and leaves unpersisted) the index inline. */
+  def flagFuzzyRare(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, shingleSize: Int = 3,
+                    threshold: Double = 0.5, dfCap: Int = 100): DataFrame =
+    flagFuzzyRare(rareShingleIndex(corpus, idCol, textCol, shingleSize, dfCap),
+      benchmark, idCol, textCol, shingleSize, threshold)
 
   /** The complement workflow: corpus minus contaminated docs (the frame
     * a training job would actually read). */

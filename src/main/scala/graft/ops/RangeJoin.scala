@@ -28,18 +28,28 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Exact floor division of the named LONG column by a positive
+    * constant, in pure integer arithmetic: `long / long` in Spark SQL is
+    * DOUBLE division, which misassigns buckets for |t| > 2^53
+    * (epoch-nanos territory) and would silently drop matching pairs.
+    * `t - pmod(t, w)` is the floor multiple (pmod is non-negative), so
+    * the integral `div` is exact at any magnitude. */
+  private def floorDiv(colName: String, w: Long) =
+    expr(s"(`$colName` - pmod(`$colName`, ${w}L)) div ${w}L")
+
   /** Inner-join `points` (columns: `key`, `t`, + payload) against
     * `intervals` (columns: `key`, `lo`, `hi`, + payload) on key equality
     * and `lo <= t <= hi` (both ends inclusive). Times are LONGs in any
-    * consistent unit (epoch days/ms); column names must not collide
-    * beyond `key`. */
+    * consistent unit (epoch days/ms/ns — bucket math is exact integer
+    * floor division, no 2^53 double limit); column names must not
+    * collide beyond `key`. */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val p = points.withColumn("__b", floor(col("t") / bucketWidth))
+    val p = points.withColumn("__b", floorDiv("t", bucketWidth))
     val i = intervals.withColumn("__b",
-      explode(sequence(floor(col("lo") / bucketWidth),
-        floor(col("hi") / bucketWidth))))
+      explode(sequence(floorDiv("lo", bucketWidth),
+        floorDiv("hi", bucketWidth))))
     p.join(i, Seq("key", "__b"))
       .where(col("t") >= col("lo") && col("t") <= col("hi"))
       .drop("__b")

@@ -113,15 +113,20 @@ object Sampling {
   def temperatureMix(df: DataFrame, stratumCol: Column, keyCol: Column,
                      temperature: Double, salt: String = "graft"): DataFrame = {
     require(temperature > 0, "temperature must be > 0")
-    val factors = df.groupBy(stratumCol.as("stratum"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("stratum"),
-        pow(col("n").cast("double"), 1.0 / temperature - 1.0).as("x"))
-    val rates = factors.crossJoin(broadcast(factors.agg(max(col("x")).as("x_max"))))
-      .select(col("stratum"), round(col("x") / col("x_max"), 6).as("mix_rate"))
-    df.join(broadcast(rates), stratumCol === col("stratum"))
+    // collision-proof internal names: a caller's own "stratum"/"x"
+    // column must neither make the join condition ambiguous nor get
+    // silently dropped (only `mix_rate` is part of the output contract)
+    val factors = df.groupBy(stratumCol.as("__tm_stratum"))
+      .agg(count(lit(1)).as("__tm_n"))
+      .select(col("__tm_stratum"),
+        pow(col("__tm_n").cast("double"), 1.0 / temperature - 1.0).as("__tm_x"))
+    val rates = factors
+      .crossJoin(broadcast(factors.agg(max(col("__tm_x")).as("__tm_xmax"))))
+      .select(col("__tm_stratum"),
+        round(col("__tm_x") / col("__tm_xmax"), 6).as("mix_rate"))
+    df.join(broadcast(rates), stratumCol === col("__tm_stratum"))
       .where(hashUnit(keyCol, salt) < col("mix_rate"))
-      .drop("stratum")
+      .drop("__tm_stratum")
   }
 
   /** Mixture weighting: per-stratum Bernoulli rates (e.g. up/down-weight

@@ -133,9 +133,9 @@ object Similarity {
       // computed once per vector; the explode below fans out over cheap
       // slices of the concrete column (GenerateExec re-evaluates its child
       // per OUTPUT row — never hand it the heavy expression)
-      val mat = df.select(col(id).as(idOut), v.as(idOut + "_v"),
-        srpSignature(v, dim, planesPerTable * tables).as("sigall"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mat = Dedup.sharedPersist(
+        df.select(col(id).as(idOut), v.as(idOut + "_v"),
+          srpSignature(v, dim, planesPerTable * tables).as("sigall")))
       mat.select(col(idOut), col(idOut + "_v"),
         posexplode(transform(sequence(lit(0), lit(tables - 1)), t =>
           concat(t.cast("string"), lit(":"), concat_ws(",",
@@ -263,6 +263,18 @@ object Similarity {
       .toDF("cell", "centv")
   }
 
+  /** Per-query probed cells: the `nprobe` centroid cells nearest each
+    * query — (query_id, qv, cell), tiny (|queries| × nprobe), always
+    * broadcast. */
+  private def probesOf(q: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("d").desc, col("cell"))
+    q.crossJoin(broadcast(cent))
+      .withColumn("d", cosine_native(col("qv"), col("centv")))
+      .withColumn("rnk", row_number().over(wq))
+      .where(col("rnk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+  }
+
   /** IVF probe: search only the `nprobe` cells nearest to each query. */
   def ivfTopK(queries: DataFrame, assigned: DataFrame,
               qId: String, qVec: String,
@@ -270,12 +282,7 @@ object Similarity {
               k: Int, nprobe: Int): DataFrame = {
     val q = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("qv"))
     val cent = centroids.select(col(centId).as("cell"), col(centVec).cast("array<double>").as("centv"))
-    val wq = Window.partitionBy(col("query_id")).orderBy(col("d").desc, col("cell"))
-    val probes = q.crossJoin(broadcast(cent))
-      .withColumn("d", cosine_native(col("qv"), col("centv")))
-      .withColumn("rnk", row_number().over(wq))
-      .where(col("rnk") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cell"))
+    val probes = probesOf(q, cent, nprobe)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
     broadcast(probes).join(assigned, "cell") // cell equi-join prunes the scan
       .where(col("query_id") =!= col("corpus_id"))
@@ -283,6 +290,35 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("query_id"), col("rnk").cast("long").as("rnk"), col("corpus_id"), col("cos"))
+  }
+
+  /** The union of probed cells across the query set, resolved
+    * DRIVER-side: bounded by the centroid count (k cells), never by the
+    * corpus or query count — a legitimate driver collect at any scale. */
+  def probedCellSet(queries: DataFrame, qId: String, qVec: String,
+                    centroids: DataFrame, centId: String, centVec: String,
+                    nprobe: Int): Seq[Long] = {
+    val q = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("qv"))
+    val cent = centroids.select(col(centId).as("cell"), col(centVec).cast("array<double>").as("centv"))
+    probesOf(q, cent, nprobe).select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+  }
+
+  /** IVF probe over a STORED cell-partitioned corpus
+    * (`assigned.write.partitionBy("cell").parquet(dir)`, the layout the
+    * OpsSpec proves prunes at the scan): the probed cell set is resolved
+    * driver-side ([[probedCellSet]] — ≤ ncentroids values) and applied
+    * as a STATIC partition filter, so unprobed cell directories are
+    * never listed or read. This is the production read path of the IVF
+    * index: at 1000 executors a 3-probe query over a 1000-cell corpus
+    * touches 0.3% of the files. */
+  def ivfTopKStored(queries: DataFrame, storedAssigned: DataFrame,
+                    qId: String, qVec: String,
+                    centroids: DataFrame, centId: String, centVec: String,
+                    k: Int, nprobe: Int): DataFrame = {
+    val cells = probedCellSet(queries, qId, qVec, centroids, centId, centVec, nprobe)
+    ivfTopK(queries, storedAssigned.where(col("cell").isin(cells: _*)),
+      qId, qVec, centroids, centId, centVec, k, nprobe)
   }
 
   // ---- product quantization (the memory rung between SQ and IVF) ------
@@ -409,19 +445,35 @@ object Similarity {
                 qId: String, qVec: String, cId: String, cVec: String,
                 centroids: DataFrame, centId: String, centVec: String,
                 codebook: Array[Double], m: Int, k: Int,
-                topK: Int, nprobe: Int): DataFrame = {
+                topK: Int, nprobe: Int): DataFrame =
+    ivfPqSearch(queries,
+      ivfPqEncode(corpus, cId, cVec, centroids, centId, centVec, codebook, m, k),
+      qId, qVec, centroids, centId, centVec, codebook, m, k, topK, nprobe)
+
+  /** The storable IVF+PQ corpus layout: (corpus_id, codes, cell) — cell
+    * assignment against the trained centroids + PQ codes, one map-side
+    * pass. Write it `partitionBy("cell")` and serve probes from the
+    * stored form ([[ivfPqSearchStored]]). */
+  def ivfPqEncode(corpus: DataFrame, cId: String, cVec: String,
+                  centroids: DataFrame, centId: String, centVec: String,
+                  codebook: Array[Double], m: Int, k: Int): DataFrame = {
     val sub = codebook.length / (m * k)
-    val assigned = ivfAssign(corpus, cId, cVec, centroids, centId, centVec)
-    val encoded = assigned.select(col("corpus_id"), col("cell"),
-      VectorExpressions.pq_encode_native(col("cv"), codebook, m, k, sub).as("codes"))
+    ivfAssign(corpus, cId, cVec, centroids, centId, centVec)
+      .select(col("corpus_id"),
+        VectorExpressions.pq_encode_native(col("cv"), codebook, m, k, sub).as("codes"),
+        col("cell"))
+  }
+
+  /** IVFADC search over an already-encoded corpus (in-memory or read
+    * back from the stored layout). */
+  def ivfPqSearch(queries: DataFrame, encoded: DataFrame,
+                  qId: String, qVec: String,
+                  centroids: DataFrame, centId: String, centVec: String,
+                  codebook: Array[Double], m: Int, k: Int,
+                  topK: Int, nprobe: Int): DataFrame = {
     val q = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("qv"))
     val cent = centroids.select(col(centId).as("cell"), col(centVec).cast("array<double>").as("centv"))
-    val wq = Window.partitionBy(col("query_id")).orderBy(col("d").desc, col("cell"))
-    val probes = q.crossJoin(broadcast(cent))
-      .withColumn("d", cosine_native(col("qv"), col("centv")))
-      .withColumn("rnk", row_number().over(wq))
-      .where(col("rnk") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cell"))
+    val probes = probesOf(q, cent, nprobe)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
     broadcast(probes).join(encoded, "cell") // cell equi-join prunes the scan
       .where(col("query_id") =!= col("corpus_id"))
@@ -430,5 +482,20 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= topK)
       .select(col("query_id"), col("rnk").cast("long").as("rnk"), col("corpus_id"), col("cos"))
+  }
+
+  /** IVFADC search over the STORED `partitionBy("cell")` encoded corpus:
+    * probed cells resolve driver-side ([[probedCellSet]]) into a static
+    * partition filter — unprobed cell directories are never read (the
+    * same pruning contract as [[ivfTopKStored]], with PQ codes cutting
+    * the bytes of every file that IS read 64×). */
+  def ivfPqSearchStored(queries: DataFrame, storedEncoded: DataFrame,
+                        qId: String, qVec: String,
+                        centroids: DataFrame, centId: String, centVec: String,
+                        codebook: Array[Double], m: Int, k: Int,
+                        topK: Int, nprobe: Int): DataFrame = {
+    val cells = probedCellSet(queries, qId, qVec, centroids, centId, centVec, nprobe)
+    ivfPqSearch(queries, storedEncoded.where(col("cell").isin(cells: _*)),
+      qId, qVec, centroids, centId, centVec, codebook, m, k, topK, nprobe)
   }
 }

@@ -27,13 +27,17 @@ object Sketches {
 
   /** Per-group KMV distinct-count estimate of `keyCol`, k minimum
     * 60-bit md5 values. Exact (returns the true count) when a group has
-    * fewer than k distinct keys. Output: (grp, est). */
+    * fewer than k distinct keys. NULL keys are excluded (COUNT DISTINCT
+    * semantics — and the portable contract: `concat_ws` would silently
+    * hash a null key as the bare salt while SQL `'salt' || key` yields
+    * NULL, so the two engines would diverge on null input). Output:
+    * (grp, est). */
   def kmvDistinct(df: DataFrame, groupCol: Column, keyCol: Column,
                   k: Int, salt: String = "kmv"): DataFrame = {
     require(k >= 2, "k must be >= 2")
     val h = Dedup.hash60(concat_ws("", lit(salt), keyCol))
     val w = Window.partitionBy(col("grp")).orderBy(col("h"))
-    df.select(groupCol.as("grp"), h.as("h")).distinct()
+    df.where(keyCol.isNotNull).select(groupCol.as("grp"), h.as("h")).distinct()
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .groupBy(col("grp"))
@@ -43,5 +47,74 @@ object Sketches {
           .otherwise(round(
             lit((k - 1).toDouble) * lit(1152921504606846976.0d) / col("hk"),
             2)).as("est"))
+  }
+
+  // ---- deterministic register-level HyperLogLog ----------------------
+
+  /** HLL bias-correction constant alpha_m (Flajolet et al. 2007). Kept
+    * as a Double so the SAME literal reaches both engines (Double
+    * .toString round-trips). */
+  def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** Per-group deterministic HyperLogLog distinct-count estimate:
+    * classic HLL over md5-derived registers, bit-reproducible by any
+    * engine with md5 (unlike Spark's HLL++, whose register layout is
+    * implementation-private — `approx_count_distinct` can never be
+    * cross-checked).
+    *
+    * Register index = 60-bit md5 slice mod `m`; rank = leading zeros of
+    * an INDEPENDENT 32-bit md5 slice + 1 (`33 - bitlength`, 33 for 0).
+    * The harmonic-mean denominator is summed as EXACT integers — each
+    * register contributes `2^(33 - rank)` (and each empty register
+    * `2^33`), so the only floating-point steps are one literal/integer
+    * division and (in the small-range branch) one `ln`, both absorbed
+    * by round(_, 2). Summation order cannot matter: integer addition is
+    * associative, which is what makes this portable where a
+    * `sum(pow(2.0, -rank))` formulation would not be.
+    *
+    * Scale shape: ONE shuffle keyed (grp, register) with a map-side
+    * partial max — the exchange carries at most m rows per group per
+    * partition, never the distinct stream. Registers are mergeable by
+    * max, the same property HLL++ itself exploits.
+    *
+    * Output: (grp, est). NULL keys excluded (COUNT DISTINCT
+    * semantics, matching [[kmvDistinct]]). */
+  def hllDistinct(df: DataFrame, groupCol: Column, keyCol: Column,
+                  m: Int = 64, salt: String = "hll"): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
+    val md5hex = md5(concat_ws("", lit(salt), keyCol))
+    val idx = pmod(conv(substring(md5hex, 1, 15), 16, 10).cast("long"), lit(m))
+    val v32 = conv(substring(md5hex, 17, 8), 16, 10).cast("long")
+    val rank = when(col("v") === 0, lit(33))
+      .otherwise(lit(33) - length(bin(col("v"))))
+    // numerator alpha * m^2 * 2^33 as ONE driver-computed literal: the
+    // whole estimate is then literal / exact-integer — a single
+    // float division, bit-identical in any IEEE-754 engine
+    val numer = hllAlpha(m) * m * m * 8589934592.0d
+    df.where(keyCol.isNotNull)
+      .select(groupCol.as("grp"), idx.as("idx"), v32.as("v"))
+      .groupBy(col("grp"), col("idx"))
+      .agg(max(rank).as("mj"))
+      .groupBy(col("grp"))
+      .agg(
+        // present registers: 2^(33 - mj) each, exact longs (the DSL
+        // shiftleft only takes a literal shift, so SQL form)
+        sum(expr("shiftleft(1L, 33 - mj)")).as("z_present"),
+        count(lit(1)).as("n_regs"))
+      .select(col("grp"),
+        // empty registers contribute 2^33 (rank 0) each
+        (col("z_present") + (lit(m.toLong) - col("n_regs")) * lit(8589934592L)).as("z"),
+        (lit(m.toLong) - col("n_regs")).as("v_zero"))
+      .select(col("grp"),
+        round(
+          when(lit(numer) / col("z") <= lit(2.5 * m) && col("v_zero") > 0,
+            // small-range (linear counting) correction: m * ln(m / V)
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero")))
+          .otherwise(lit(numer) / col("z")), 2).as("est"))
   }
 }

@@ -44,14 +44,67 @@ object PipelineQueries {
       Similarity.kmeansCentroids(embs(s, dir), "vec_id", "embedding",
         k = 10, iters = 3))
 
+  /** Deterministic sampled IVF centroids (every 50th vector) — the
+    * untrained-index variant knn_ivf exercises. */
+  private def sampledCents(e: DataFrame): DataFrame =
+    e.where(pmod(col("vec_id"), lit(50)) === 0)
+      .select((col("vec_id") / 50).cast("long").as("cell"), col("embedding"))
+
+  /** Per-(session, dir) STORED IVF layouts — `partitionBy("cell")`
+    * parquet written once to a temp dir and read back, so the
+    * oracle-gated queries exercise the PRODUCTION scan shape: probes
+    * resolve to a static partition filter and unprobed cell directories
+    * are never read (plan-asserted in OpsSpec). */
+  private val ivfStoreCache =
+    scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]()
+
+  private def storedLayout(s: SparkSession, dir: String, tag: String,
+                           build: => DataFrame): DataFrame =
+    ivfStoreCache.getOrElseUpdate((System.identityHashCode(s).toString, dir, tag), {
+      val path = java.nio.file.Files.createTempDirectory(s"graft-$tag")
+        .resolve("corpus").toString
+      build.write.partitionBy("cell").parquet(path)
+      s.read.parquet(path)
+    })
+
+  /** Sampled-centroid assigned corpus (knn_ivf's index). */
+  private def ivfStore(s: SparkSession, dir: String): DataFrame =
+    storedLayout(s, dir, "ivf", {
+      val e = embs(s, dir)
+      Similarity.ivfAssign(e, "vec_id", "embedding",
+        sampledCents(e), "cell", "embedding")
+    })
+
+  /** Trained-centroid + PQ-encoded corpus (knn_ivfpq's IVFADC index). */
+  private def ivfPqStore(s: SparkSession, dir: String): DataFrame =
+    storedLayout(s, dir, "ivfpq",
+      Similarity.ivfPqEncode(embs(s, dir), "vec_id", "embedding",
+        kmCentroids(s, dir), "cell", "centv", pqCb(s, dir), m = 8, k = 16))
+
+  /** Per-(session, dir) corpus rare-shingle inverted index — a function
+    * of the corpus alone, so it is built once and consumed by every
+    * decontamination run (at 100 TB: a materialized parquet artifact
+    * refreshed with the corpus, not per-query work). */
+  private val rareIdxCache = scala.collection.concurrent
+    .TrieMap[(String, String), graft.ops.Decontaminate.RareShingleIndex]()
+
+  private def rareIdx(s: SparkSession, dir: String): graft.ops.Decontaminate.RareShingleIndex =
+    rareIdxCache.getOrElseUpdate((System.identityHashCode(s).toString, dir),
+      graft.ops.Decontaminate.rareShingleIndex(
+        docs(s, dir).where(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        shingleSize = 3, dfCap = 100).persist())
+
   /** Shared-fixture builders (see TsQueries.fixtures): the verified LSH
-    * pair set, the trained PQ codebooks and the trained IVF centroids are
-    * each consumed by more than one query; Bench warms + reports them as
-    * separate labeled lines. */
+    * pair set, the trained PQ codebooks, the trained IVF centroids and
+    * the corpus rare-shingle index are each consumed by more than one
+    * query/run; Bench warms + reports them as separate labeled lines. */
   def fixtures: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "fx_lsh_pairs" -> ((s, dir) => { lshPairs(s, dir).count(); () }),
     "fx_pq_codebooks" -> ((s, dir) => { pqCb(s, dir); () }),
-    "fx_kmeans_centroids" -> ((s, dir) => { kmCentroids(s, dir).count(); () }))
+    "fx_kmeans_centroids" -> ((s, dir) => { kmCentroids(s, dir).count(); () }),
+    "fx_rare_index" -> ((s, dir) => { rareIdx(s, dir).rarePostings.count(); () }),
+    "fx_ivf_store" -> ((s, dir) => { ivfStore(s, dir).count(); () }),
+    "fx_ivfpq_store" -> ((s, dir) => { ivfPqStore(s, dir).count(); () }))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: one shuffle on a 128-bit digest
@@ -253,12 +306,13 @@ object PipelineQueries {
 
     // exact-containment decontamination via the rare-shingle inverted
     // index (no broadcast, no banding recall limit): candidates share a
-    // shingle with corpus document frequency <= 100
+    // shingle with corpus document frequency <= 100. The corpus-side
+    // index is the shared fx_rare_index fixture — per run only the
+    // benchmark side is computed
     "decontaminate_rare" -> ((s, dir) => {
-      val d = docs(s, dir)
       graft.ops.Decontaminate.flagFuzzyRare(
-        d.where(col("doc_id") % 10 =!= 0), d.where(col("doc_id") % 10 === 0),
-        "doc_id", "text", shingleSize = 3, threshold = 0.2, dfCap = 100)
+        rareIdx(s, dir), docs(s, dir).where(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleSize = 3, threshold = 0.2)
         .orderBy(col("id"))
     }),
 
@@ -440,14 +494,13 @@ object PipelineQueries {
     }),
 
     // IVF-bucketed ANN: deterministic sampled centroids, nprobe=3 probe
-    // (scale path: corpus partitioned by cell, probes prune the scan)
+    // over the STORED cell-partitioned corpus — probed cells become a
+    // static partition filter, unprobed cell dirs are never read
     "knn_ivf" -> ((s, dir) => {
       val e = embs(s, dir)
-      val centroids = e.where(pmod(col("vec_id"), lit(50)) === 0)
-        .select((col("vec_id") / 50).cast("long").as("cell"), col("embedding"))
-      val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", centroids, "cell", "embedding")
-      Similarity.ivfTopK(e.where(col("vec_id") < 8), assigned, "vec_id", "embedding",
-        centroids, "cell", "embedding", k = 5, nprobe = 3)
+      Similarity.ivfTopKStored(e.where(col("vec_id") < 8), ivfStore(s, dir),
+        "vec_id", "embedding", sampledCents(e), "cell", "embedding",
+        k = 5, nprobe = 3)
         .orderBy(col("query_id"), col("rnk"))
     }),
 
@@ -469,13 +522,13 @@ object PipelineQueries {
 
     // IVF+PQ composed (the FAISS IVFADC shape): trained-centroid cell
     // pruning × PQ-coded scoring — the two compressions multiply (probe
-    // prunes the scan, codes cut bytes/row 64×). Both training paths are
+    // prunes the scan, codes cut bytes/row 64×). Served from the STORED
+    // partitionBy(cell) encoded corpus; both training paths are
     // deterministic, so the composition still gets an EXACT oracle
     "knn_ivfpq" -> ((s, dir) => {
       val e = embs(s, dir)
-      Similarity.ivfPqTopK(e.where(col("vec_id") < 8), e,
-        "vec_id", "embedding", "vec_id", "embedding",
-        kmCentroids(s, dir), "cell", "centv",
+      Similarity.ivfPqSearchStored(e.where(col("vec_id") < 8), ivfPqStore(s, dir),
+        "vec_id", "embedding", kmCentroids(s, dir), "cell", "centv",
         pqCb(s, dir), m = 8, k = 16, topK = 5, nprobe = 3)
         .orderBy(col("query_id"), col("rnk"))
     }),
@@ -500,15 +553,23 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
 
-    // sketch surface: approximate distinct + percentiles (impl-specific
-    // values → rows-only check; exact complements live in q1/q_window)
-    "q_sketches" -> ((s, dir) =>
-      Tables.load(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
-          percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99"))
-        .orderBy(col("event_type"))),
+    // sketch surface: deterministic register-level HLL (md5-bucketed
+    // registers + exact-integer harmonic sum — portable, unlike Spark's
+    // HLL++ whose register layout is implementation-private) next to
+    // interpolated percentiles. Every value is cross-checkable, so the
+    // formerly rows-only query now carries an exact oracle
+    "q_sketches" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val est = graft.ops.Sketches.hllDistinct(ev, col("event_type"),
+        col("user_id"), m = 64)
+      val pct = ev.groupBy(col("event_type").as("grp"))
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      est.join(pct, "grp")
+        .select(col("grp").as("event_type"), col("est").as("approx_users"),
+          col("p50"), col("p99"))
+        .orderBy(col("event_type"))
+    }),
 
     // multimodal: batched mapPartitions decode (JNI-codec integration shape)
     "mm_batch_decode" -> ((s, dir) => {
@@ -539,6 +600,14 @@ object PipelineQueries {
        |  FROM toks)""".stripMargin.replace("\n", " ")
 
   private val hex15 = "('0x' || substr(md5(%s), 1, 15))::BIGINT"
+
+  /** HLL estimate numerator alpha * m^2 * 2^33 for m = 64, computed
+    * ONCE in Scala and interpolated into both engines' plans (Double
+    * .toString round-trips) — the estimate is then literal / exact
+    * integer on both sides, a single bit-identical float division.
+    * MUST match the expression order in Sketches.hllDistinct. */
+  private val hllNumer =
+    graft.ops.Sketches.hllAlpha(64) * 64 * 64 * 8589934592.0d
 
   /** CTE over `sh`: distinct 31-bit shingle-hash sets (mirrors
     * Dedup.shingleHashes). */
@@ -1039,7 +1108,8 @@ object PipelineQueries {
          | FROM m WHERE round(c::DOUBLE / n, 6) >= 0.4 ORDER BY id""".om,
     "q_kmv_sketch" ->
       s"""WITH hset AS (SELECT DISTINCT event_type AS grp,
-         |   ${hex15.format("'kmv' || CAST(user_id AS VARCHAR)")} AS h FROM events),
+         |   ${hex15.format("'kmv' || CAST(user_id AS VARCHAR)")} AS h FROM events
+         |   WHERE user_id IS NOT NULL),
          | r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rnk
          |  FROM hset),
          | s AS (SELECT grp, count(*) AS n_kept, max(h) AS hk FROM r
@@ -1050,6 +1120,29 @@ object PipelineQueries {
          |  FROM events GROUP BY 1)
          | SELECT grp AS event_type, est, exact_users
          | FROM e JOIN x USING (grp) ORDER BY event_type""".om,
+    // deterministic register-level HLL: md5 slice 1-15 → register index,
+    // slice 17-24 → rank (33 - bit length); harmonic denominator summed
+    // as exact integers (2^(33-mj), empty registers 2^33) so the only
+    // float steps are one literal/integer division and the linear-
+    // counting ln, absorbed by round(_, 2)
+    "q_sketches" ->
+      s"""WITH h AS (SELECT event_type AS grp,
+         |   ('0x' || substr(md5('hll' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 64 AS idx,
+         |   ('0x' || substr(md5('hll' || CAST(user_id AS VARCHAR)), 17, 8))::BIGINT AS v
+         |  FROM events WHERE user_id IS NOT NULL),
+         | regs AS (SELECT grp, idx,
+         |   max(CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END) AS mj
+         |  FROM h GROUP BY grp, idx),
+         | z AS (SELECT grp,
+         |   sum(1::BIGINT << (33 - mj)) + (64 - count(*)) * 8589934592 AS z,
+         |   64 - count(*) AS v_zero
+         |  FROM regs GROUP BY grp),
+         | e AS (SELECT grp, round(CASE WHEN $hllNumer / z <= 160.0 AND v_zero > 0
+         |   THEN 64.0 * ln(64.0 / v_zero) ELSE $hllNumer / z END, 2) AS est FROM z),
+         | p AS (SELECT event_type AS grp, round(quantile_cont(value, 0.5), 4) AS p50,
+         |   round(quantile_cont(value, 0.99), 4) AS p99 FROM events GROUP BY 1)
+         | SELECT grp AS event_type, est AS approx_users, p50, p99
+         | FROM e JOIN p USING (grp) ORDER BY event_type""".om,
     "decontaminate_clean" ->
       s"""WITH ${tokCte(2)}, $hsCte,
          | bench AS (SELECT DISTINCT unnest(hs) AS h FROM hx WHERE doc_id % 37 = 0),

@@ -171,22 +171,50 @@ object ChunkFile {
     * cluster each executor caches its own hot set — the access-locality
     * the partition planner already creates by batching series refs. */
   object RecordCache {
-    private val maxBytes: Long = sys.props.get("graft.chunkCache.bytes")
+    private var maxBytes: Long = sys.props.get("graft.chunkCache.bytes")
       .map(_.toLong).getOrElse(128L * 1024 * 1024)
     private def cost(r: ChunkRecord): Long = r.data.length.toLong + 64
     private var total = 0L
     private val map =
       new java.util.LinkedHashMap[(String, Int), ChunkRecord](1024, 0.75f, true)
+
+    // lifetime counters — the reference exports the same set for its
+    // caching chunk reader (hits/misses/evictions,
+    // `pkg/chunkr/groupcache.go:17-27,132-255`); the DSv2 scan surfaces
+    // per-query CustomMetrics, these cover every OTHER consumer of the
+    // cache (readRefs outside a scan, tools, specs)
+    private val hitCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val missCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val evictionCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    def hits: Long = hitCount.get()
+    def misses: Long = missCount.get()
+    def evictions: Long = evictionCount.get()
+    def entryCount: Int = synchronized { map.size }
+    def currentBytes: Long = synchronized { total }
+
+    /** Test hook: override the byte cap (existing entries evict down to
+      * the new cap); returns the previous cap so callers can restore. */
+    private[tsdb] def setMaxBytes(n: Long): Long = synchronized {
+      val old = maxBytes; maxBytes = n; evictToCap(); old
+    }
+
+    private def evictToCap(): Unit = {
+      val it = map.entrySet().iterator()
+      while (total > maxBytes && it.hasNext) {
+        total -= cost(it.next().getValue); it.remove()
+        evictionCount.incrementAndGet()
+      }
+    }
+
     def get(path: String, off: Int): Option[ChunkRecord] = synchronized {
-      Option(map.get((path, off)))
+      val r = Option(map.get((path, off)))
+      if (r.isDefined) hitCount.incrementAndGet() else missCount.incrementAndGet()
+      r
     }
     def put(path: String, off: Int, rec: ChunkRecord): Unit = synchronized {
       if (maxBytes <= 0) return
       if (map.put((path, off), rec) == null) total += cost(rec)
-      val it = map.entrySet().iterator()
-      while (total > maxBytes && it.hasNext) {
-        total -= cost(it.next().getValue); it.remove()
-      }
+      evictToCap()
     }
   }
 

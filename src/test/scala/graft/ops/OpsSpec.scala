@@ -562,6 +562,69 @@ class OpsSpec extends AnyFunSuite {
     assert(pruned.nonEmpty && pruned.forall(r => math.abs(r.getDouble(3)) <= 1.0))
   }
 
+  test("stored IVF/IVFADC layouts: probes read only their cell partitions") {
+    val vecs = (0L until 40L).map { i =>
+      (i, (0 until 8).map(d => math.sin(i * 1.9 + d * 0.8)))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding", k = 4, iters = 2)
+    val cb = Similarity.pqCodebooks(vecs, "vec_id", "embedding", m = 4, k = 4)
+    val queries = vecs.where(col("vec_id") < 2)
+
+    def writeRead(df: org.apache.spark.sql.DataFrame, tag: String) = {
+      val dir = java.nio.file.Files.createTempDirectory(tag).resolve("c").toString
+      df.write.partitionBy("cell").parquet(dir)
+      spark.read.parquet(dir)
+    }
+    val storedAssigned = writeRead(
+      Similarity.ivfAssign(vecs, "vec_id", "embedding", cents, "cell", "centv"),
+      "graft-ivf-stored")
+    val storedEncoded = writeRead(
+      Similarity.ivfPqEncode(vecs, "vec_id", "embedding",
+        cents, "cell", "centv", cb, m = 4, k = 4),
+      "graft-ivfpq-stored")
+
+    // the stored-path searches equal their in-memory counterparts
+    val ivfStored = Similarity.ivfTopKStored(queries, storedAssigned,
+        "vec_id", "embedding", cents, "cell", "centv", k = 3, nprobe = 2)
+      .orderBy("query_id", "rnk")
+    val ivfMem = Similarity.ivfTopK(queries,
+        Similarity.ivfAssign(vecs, "vec_id", "embedding", cents, "cell", "centv"),
+        "vec_id", "embedding", cents, "cell", "centv", k = 3, nprobe = 2)
+      .orderBy("query_id", "rnk")
+    assert(ivfStored.collect().map(_.toSeq).toSeq == ivfMem.collect().map(_.toSeq).toSeq)
+
+    val pqStored = Similarity.ivfPqSearchStored(queries, storedEncoded,
+        "vec_id", "embedding", cents, "cell", "centv",
+        cb, m = 4, k = 4, topK = 3, nprobe = 2)
+      .orderBy("query_id", "rnk")
+    val pqMem = Similarity.ivfPqTopK(queries, vecs,
+        "vec_id", "embedding", "vec_id", "embedding",
+        cents, "cell", "centv", cb, m = 4, k = 4, topK = 3, nprobe = 2)
+      .orderBy("query_id", "rnk")
+    assert(pqStored.collect().map(_.toSeq).toSeq == pqMem.collect().map(_.toSeq).toSeq)
+
+    // the probed cell set is a strict subset, applied as a STATIC
+    // partition filter: the scan plans fewer files than the full layout
+    val cells = Similarity.probedCellSet(queries, "vec_id", "embedding",
+      cents, "cell", "centv", nprobe = 2)
+    val totalCells = storedEncoded.select("cell").distinct().count()
+    assert(cells.size < totalCells, "probe must prune at least one cell")
+    // the exact frame the stored search scans (probe filter over the
+    // layout) — a bare filter plan, so the scan node is inspectable
+    val prunedRead = storedEncoded.where(col("cell").isin(cells: _*))
+    val scan = prunedRead.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.map(_.toString).exists(_.contains("cell")),
+      s"expected a cell partition filter, got: ${scan.partitionFilters}")
+    // partition dirs actually planned = probed cells only — unprobed
+    // cell directories are never read
+    val scannedParts = scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters).length
+    assert(scannedParts == cells.size,
+      s"planned $scannedParts cell dirs, probed ${cells.size}")
+  }
+
   test("weightedQuota: deterministic, favors heavy weights, exact under k") {
     val df = (1L to 400L).map(i => ("s", i, if (i <= 40) 10.0 else 0.5))
       .toDF("g", "id", "wt")
@@ -588,6 +651,22 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(out("big") - 970.0) / 970.0 < 0.3) // k=64 → ~±12% σ
     // a sketch is a pure function of the SET: duplicates change nothing
     val dup = Sketches.kmvDistinct(df.union(df), col("g"), col("u"), 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(dup == out)
+  }
+
+  test("HLL sketch: calibrated, duplicate-invariant, linear-counting floor") {
+    val df = (1L to 5000L).map(i => (if (i <= 12) "tiny" else "big", i))
+      .toDF("g", "u")
+    val out = Sketches.hllDistinct(df, col("g"), col("u"), m = 64).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // m=64 → σ ≈ 1.04/sqrt(64) = 13%; allow 3σ
+    assert(math.abs(out("big") - 4988.0) / 4988.0 < 0.4, s"big est ${out("big")}")
+    // 12 distinct keys over 64 registers → the linear-counting branch,
+    // which cannot exceed m*ln(m) and must be in the right ballpark
+    assert(out("tiny") > 3.0 && out("tiny") < 40.0, s"tiny est ${out("tiny")}")
+    // registers are max-merged: duplicates change nothing
+    val dup = Sketches.hllDistinct(df.union(df), col("g"), col("u"), 64)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(dup == out)
   }

@@ -455,4 +455,32 @@ class TsdbDataSourceSpec extends AnyFunSuite {
     val rel = ds.where(col("job") === "api").queryExecution.optimizedPlan
     assert(rel.stats.sizeInBytes < full.sizeInBytes().getAsLong)
   }
+
+  test("RecordCache exposes hit/miss/eviction counters (groupcache parity)") {
+    import ChunkFile.RecordCache
+    // the reference exports these for its caching chunk reader
+    // (pkg/chunkr/groupcache.go:17-27); the DSv2 scan has per-query
+    // CustomMetrics, these cover every non-scan consumer of the cache
+    val old = RecordCache.setMaxBytes(4096)
+    try {
+      val h0 = RecordCache.hits
+      val m0 = RecordCache.misses
+      val e0 = RecordCache.evictions
+      val rec = ChunkFile.ChunkRecord(0L, XorChunk.Encoding, new Array[Byte](1500))
+      assert(RecordCache.get("rc-spec", 0).isEmpty)
+      assert(RecordCache.misses == m0 + 1)
+      RecordCache.put("rc-spec", 0, rec)
+      assert(RecordCache.get("rc-spec", 0).isDefined)
+      assert(RecordCache.hits == h0 + 1)
+      // cap 4096, cost 1564/entry: the third insert must evict the LRU
+      RecordCache.put("rc-spec", 1, rec)
+      RecordCache.put("rc-spec", 2, rec)
+      assert(RecordCache.evictions > e0)
+      assert(RecordCache.currentBytes <= 4096)
+      assert(RecordCache.entryCount > 0)
+      // evicted entry misses; the survivor still hits
+      assert(RecordCache.get("rc-spec", 0).isEmpty)
+      assert(RecordCache.get("rc-spec", 2).isDefined)
+    } finally RecordCache.setMaxBytes(old)
+  }
 }
