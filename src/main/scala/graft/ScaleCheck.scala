@@ -238,6 +238,40 @@ object ScaleCheck {
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       println(s"SCALE kmv g0 est=${ests(0L)} (true 100000)")
     }
+    // HLL over the same rows: registers shuffle O(groups × m × parts)
+    // vs KMV's O(groups × k × parts) — both never the distinct stream
+    time("HLL register sketch: 10M rows, 100k distinct/group, m=64") {
+      val ests = graft.ops.Sketches.hllDistinct(kmvRows, col("g"), col("u"), m = 64)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      println(s"SCALE hll g0 est=${ests(0L)} (true 100000)")
+    }
+
+    // --- round 6: 10M-line line dedup + span scoring at scale ---
+    // 2M docs × 5 lines = 10M lines; 2 lines shared corpus-wide (the
+    // worst skew a boilerplate line produces), 2 unique per doc, 1
+    // shared by id%1000 — the digest-keyed shuffle must absorb a key
+    // carried by 2M rows without the line text ever being the key
+    val bigDocs = spark.range(2000000).select(col("id").as("doc_id"),
+      concat(
+        lit("shared boilerplate header line\n"),
+        lit("doc body "), col("id").cast("string"), lit(" first line\n"),
+        lit("middle unique "), (col("id") * 7).cast("string"), lit("\n"),
+        lit("shared boilerplate footer line\n"),
+        lit("tail group "), pmod(col("id"), lit(1000)).cast("string")).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bigDocs.count() // materialize outside the timers
+    time("line dedup: 2M docs x 5 lines = 10M lines") {
+      println(s"SCALE lineDedup10M rows=" +
+        graft.ops.Dedup.lineDedup(bigDocs, "doc_id", "text").count())
+    }
+    // full Lee-et-al score path (span explode -> dup tail -> semi-join
+    // -> per-doc fraction): ~22M 4-token windows
+    time("span dup score: 2M docs, 4-token windows") {
+      println(s"SCALE spanDupScore kept=" + graft.ops.Dedup
+        .spanDupScore(bigDocs, "doc_id", "text", 4).where(col("keep")).count())
+    }
+    bigDocs.unpersist(false)
+    graft.ops.Dedup.clearSharedPersists()
     spark.stop()
   }
 }

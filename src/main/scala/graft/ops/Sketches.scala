@@ -117,4 +117,50 @@ object Sketches {
             lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero")))
           .otherwise(lit(numer) / col("z")), 2).as("est"))
   }
+
+  // ---- deterministic histogram quantiles ------------------------------
+
+  /** Per-group approximate quantiles from a fixed-width histogram — the
+    * deterministic, cross-checkable alternative to Spark's
+    * `percentile_approx` (GK sketch, implementation-private layout).
+    * Error is bounded by the bin width; histograms are mergeable by
+    * addition, so the shuffle carries at most `nBins` counts per group
+    * per partition (map-side combined) — the same partial-merge property
+    * the KMV/HLL sketches above exploit, here for ranks.
+    *
+    * Estimate: inverse CDF over cumulative bin counts with linear
+    * interpolation inside the selected bin (`lo + width * (bin + (q*n -
+    * below) / cnt)`). Every step is count arithmetic + IEEE-exact
+    * +,-,*,/ — when `(hi-lo)/nBins` is a power of two the bin assignment
+    * itself is exact — so the oracle matches bit-for-bit after
+    * round(_, 6). Values outside [lo, hi) clamp into the edge bins.
+    * Quantiles must lie in (0, 1]. Output: (grp, q, est), one row per
+    * group × quantile. */
+  def histQuantiles(df: DataFrame, groupCol: Column, valueCol: Column,
+                    lo: Double, hi: Double, nBins: Int,
+                    qs: Seq[Double]): DataFrame = {
+    require(nBins >= 2 && hi > lo, "need nBins >= 2 and hi > lo")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "quantiles must be in (0, 1]")
+    val width = (hi - lo) / nBins
+    val bin = least(greatest(floor((valueCol - lit(lo)) / lit(width)), lit(0)),
+      lit(nBins - 1))
+    val counts = df.where(valueCol.isNotNull)
+      .select(groupCol.as("grp"), bin.cast("long").as("bin"))
+      .groupBy(col("grp"), col("bin")).agg(count(lit(1)).as("cnt"))
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("grp")).orderBy(col("bin"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("grp"))))
+    val qlits = array(qs.map(lit): _*)
+    val target = col("q") * col("n")
+    // cum is strictly increasing over a group's (cnt > 0) bins, so
+    // exactly one bin satisfies below < target <= cum
+    cum.select(col("grp"), col("bin"), col("cnt"), col("cum"), col("n"),
+        explode(qlits).as("q"))
+      .where(col("cum") >= target && (col("cum") - col("cnt")) < target)
+      .select(col("grp"), col("q"),
+        round(lit(lo) + lit(width) * (col("bin") +
+          (target - (col("cum") - col("cnt"))) / col("cnt")), 6).as("est"))
+  }
 }

@@ -553,6 +553,18 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
 
+    // deterministic histogram quantiles: fixed-width bins (width 2.0 =
+    // exact power-of-two bin math), inverse-CDF with in-bin
+    // interpolation — the mergeable, cross-checkable counterpart of
+    // percentile_approx, shuffling at most nBins counts per group per
+    // partition
+    "q_hist_quantile" -> ((s, dir) =>
+      graft.ops.Sketches.histQuantiles(Tables.load(s, dir, "events"),
+        col("event_type"), col("value"), lo = 0.0, hi = 512.0, nBins = 256,
+        qs = Seq(0.5, 0.9, 0.99))
+        .select(col("grp").as("event_type"), col("q"), col("est"))
+        .orderBy(col("event_type"), col("q"))),
+
     // sketch surface: deterministic register-level HLL (md5-bucketed
     // registers + exact-integer harmonic sum — portable, unlike Spark's
     // HLL++ whose register layout is implementation-private) next to
@@ -1143,6 +1155,23 @@ object PipelineQueries {
          |   round(quantile_cont(value, 0.99), 4) AS p99 FROM events GROUP BY 1)
          | SELECT grp AS event_type, est AS approx_users, p50, p99
          | FROM e JOIN p USING (grp) ORDER BY event_type""".om,
+    // fixed-width histogram quantiles: bin width 2.0 is a power of two,
+    // so bin assignment is IEEE-exact; ranks are count arithmetic; the
+    // only rounding is the final round(_, 6)
+    "q_hist_quantile" ->
+      s"""WITH b AS (SELECT event_type AS grp,
+         |   least(greatest(floor(value / 2.0), 0), 255)::BIGINT AS bin
+         |  FROM events WHERE value IS NOT NULL),
+         | c AS (SELECT grp, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+         | cc AS (SELECT grp, bin, cnt,
+         |   sum(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+         |   sum(cnt) OVER (PARTITION BY grp) AS n FROM c),
+         | qs(q) AS (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE))
+         | SELECT grp AS event_type, q,
+         |  round(0.0 + 2.0 * (bin + (q * n - (cum - cnt)) / cnt), 6) AS est
+         | FROM cc CROSS JOIN qs
+         | WHERE cum >= q * n AND (cum - cnt) < q * n
+         | ORDER BY event_type, q""".om,
     "decontaminate_clean" ->
       s"""WITH ${tokCte(2)}, $hsCte,
          | bench AS (SELECT DISTINCT unnest(hs) AS h FROM hx WHERE doc_id % 37 = 0),

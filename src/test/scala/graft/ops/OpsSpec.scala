@@ -671,6 +671,30 @@ class OpsSpec extends AnyFunSuite {
     assert(dup == out)
   }
 
+  test("histogram quantiles: bounded by bin width, clamped edges, mergeable") {
+    // uniform 1..1000 → true q-quantile = 1000q; width-8 bins bound the
+    // error by one bin
+    val df = (1L to 1000L).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val est = Sketches.histQuantiles(df, col("g"), col("v"),
+        lo = 0.0, hi = 1024.0, nBins = 128, qs = Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(math.abs(est(0.5) - 500.0) <= 8.0)
+    assert(math.abs(est(0.9) - 900.0) <= 8.0)
+    assert(math.abs(est(0.99) - 990.0) <= 8.0)
+    // out-of-range values clamp into edge bins instead of vanishing
+    val out = Sketches.histQuantiles(
+      Seq(("g", -5.0), ("g", 1.0), ("g", 99.0)).toDF("g", "v"),
+      col("g"), col("v"), lo = 0.0, hi = 64.0, nBins = 8, qs = Seq(1.0))
+      .collect()
+    assert(out.length == 1 && out.head.getDouble(2) <= 64.0)
+    // histograms merge by addition: a doubled corpus has identical
+    // quantiles (counts scale, ranks scale with them)
+    val dbl = Sketches.histQuantiles(df.union(df), col("g"), col("v"),
+        lo = 0.0, hi = 1024.0, nBins = 128, qs = Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(dbl == est)
+  }
+
   test("bucketed range join: inclusive ends, bucket crossing, equi-join plan") {
     val points = Seq((1L, 10L, "p10"), (1L, 15L, "p15"), (1L, 31L, "p31"),
       (2L, 10L, "px")).toDF("key", "t", "pid")
