@@ -482,6 +482,86 @@ object Dedup {
       .withColumn("keep", col("dup_frac") <= maxDupFrac)
   }
 
+  /** [[spanDupScore]] against an EXTERNAL duplicated-span index — the
+    * incremental/streaming form: `dupIndex` is the multi-doc tail
+    * maintained by [[graft.streaming.StreamIngest.spanIndexStream]]
+    * (or any frame with a `span_digest` column, e.g. [[spanIndex]]
+    * output), so scoring a new micro-batch — or RE-scoring docs whose
+    * spans became duplicated later — costs one pass over the scored
+    * docs plus a digest semi-join, never a corpus-wide span recompute.
+    * Scoring the whole corpus against its own [[spanIndex]] equals
+    * [[spanDupScore]] exactly. */
+  def spanDupScoreAgainst(df: DataFrame, idCol: String, textCol: String,
+                          spanTokens: Int, dupIndex: DataFrame,
+                          maxDupFrac: Double = 0.5): DataFrame = {
+    val spans = sharedPersist(
+      df.select(col(idCol).as("doc_id"),
+          explode(shingles(col(textCol), spanTokens)).as("span"))
+        .select(col("doc_id"), md5(col("span")).as("sd")))
+    val dup = dupIndex.select(col("span_digest").as("sd"))
+    val perDoc = spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+    val dupPerDoc = spans.join(dup, Seq("sd"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac", when(col("n_spans") > 0, round(
+        col("n_dup_spans").cast("double") / col("n_spans"), 6))
+        .otherwise(lit(0.0)))
+      .withColumn("keep", col("dup_frac") <= maxDupFrac)
+  }
+
+  /** Surgical duplicated-span REMOVAL — the third Lee et al. stage after
+    * detection ([[spanIndex]]) and scoring ([[spanDupScore]]): rather
+    * than dropping a whole document over boilerplate, delete exactly the
+    * tokens covered by some `spanTokens`-window that appears in ≥ 2
+    * documents, keeping the copy in the span's FIRST (min doc_id)
+    * containing document. Document-level granularity: the first doc
+    * keeps all its occurrences of the span; every other doc loses all of
+    * its covered tokens. Output: (doc_id, clean_text, n_tokens,
+    * n_removed) over the normalized token stream.
+    *
+    * Scale shape: windows are hashed map-side into a MATERIALIZED
+    * (position, digest) array — GenerateExec then fans out over the
+    * concrete column, never re-running the window hash per output row —
+    * and the shuffles carry digests/positions only. The per-doc mask is
+    * a position-lambda filter over the token array (codegen'd HOFs,
+    * O(tokens × flagged-starts) per doc). */
+  def maskDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                          spanTokens: Int): DataFrame = {
+    val k = spanTokens
+    val base = sharedPersist(df.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("t")))
+    val winArr = when(size(col("t")) >= k,
+      transform(sequence(lit(0), size(col("t")) - k), i =>
+        struct(i.as("p"),
+          md5(concat_ws(" ", slice(col("t"), i + lit(1), lit(k)))).as("sd"))))
+      .otherwise(array().cast("array<struct<p:int,sd:string>>"))
+    val wins = sharedPersist(base.select(col("doc_id"), winArr.as("wins")))
+    val flat = wins.select(col("doc_id"), explode(col("wins")).as("w"))
+      .select(col("doc_id"), col("w.p").as("p"), col("w.sd").as("sd"))
+    // the dup tail over DISTINCT per-doc spans — same counts as spanIndex
+    val dup = flat.select(col("doc_id"), col("sd")).distinct()
+      .groupBy(col("sd"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .where(col("n_docs") >= 2)
+    val starts = flat.join(dup.select(col("sd"), col("first_doc")), "sd")
+      .where(col("doc_id") =!= col("first_doc"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("p")).as("starts"))
+    def covered(i: Column) =
+      exists(col("starts"), s => s <= i && i < s + k)
+    base.join(starts, Seq("doc_id"), "left")
+      .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        concat_ws(" ", filter(col("t"), (_, i) => !covered(i))).as("clean_text"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(filter(col("t"), (_, i) => covered(i))).cast("long").as("n_removed"))
+  }
+
   /** Embedding near-dup at corpus scale: SRP-LSH banded candidate
     * generation + exact-cosine verify — the sub-quadratic path
     * [[embeddingNearDup]]'s doc promises ("documented LSH hand-off").

@@ -85,21 +85,38 @@ object Sketches {
     * Output: (grp, est). NULL keys excluded (COUNT DISTINCT
     * semantics, matching [[kmvDistinct]]). */
   def hllDistinct(df: DataFrame, groupCol: Column, keyCol: Column,
-                  m: Int = 64, salt: String = "hll"): DataFrame = {
+                  m: Int = 64, salt: String = "hll"): DataFrame =
+    hllEstimate(hllRegisters(df, groupCol, keyCol, m, salt), m)
+
+  /** The register stage of [[hllDistinct]]: per (group, register index)
+    * max rank — (grp, idx, mj). Registers are a MAX-monoid: partials
+    * from any split of the data (partitions, micro-batches, shards)
+    * merge by `max(mj)` into exactly the registers of the union, which
+    * is what makes the sketch streamable
+    * ([[graft.streaming.StreamIngest.hllRegisterStream]]) and
+    * map-side combinable. */
+  def hllRegisters(df: DataFrame, groupCol: Column, keyCol: Column,
+                   m: Int, salt: String = "hll"): DataFrame = {
     require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
     val md5hex = md5(concat_ws("", lit(salt), keyCol))
     val idx = pmod(conv(substring(md5hex, 1, 15), 16, 10).cast("long"), lit(m))
     val v32 = conv(substring(md5hex, 17, 8), 16, 10).cast("long")
     val rank = when(col("v") === 0, lit(33))
       .otherwise(lit(33) - length(bin(col("v"))))
-    // numerator alpha * m^2 * 2^33 as ONE driver-computed literal: the
-    // whole estimate is then literal / exact-integer — a single
-    // float division, bit-identical in any IEEE-754 engine
-    val numer = hllAlpha(m) * m * m * 8589934592.0d
     df.where(keyCol.isNotNull)
       .select(groupCol.as("grp"), idx.as("idx"), v32.as("v"))
       .groupBy(col("grp"), col("idx"))
       .agg(max(rank).as("mj"))
+  }
+
+  /** Finalize (grp, idx, mj) registers into (grp, est) — see
+    * [[hllDistinct]] for the determinism contract. */
+  def hllEstimate(registers: DataFrame, m: Int): DataFrame = {
+    // numerator alpha * m^2 * 2^33 as ONE driver-computed literal: the
+    // whole estimate is then literal / exact-integer — a single
+    // float division, bit-identical in any IEEE-754 engine
+    val numer = hllAlpha(m) * m * m * 8589934592.0d
+    registers
       .groupBy(col("grp"))
       .agg(
         // present registers: 2^(33 - mj) each, exact longs (the DSL

@@ -135,6 +135,13 @@ object PipelineQueries {
         spanTokens = 5, maxDupFrac = 0.5)
         .orderBy(col("doc_id"))),
 
+    // surgical span removal (the third Lee-et-al stage): delete exactly
+    // the tokens covered by a multi-doc span, keep the first doc's copy
+    "dedup_span_mask" -> ((s, dir) =>
+      Dedup.maskDuplicatedSpans(docs(s, dir), "doc_id", "text",
+        spanTokens = 5)
+        .orderBy(col("doc_id"))),
+
     // MinHash signatures (first 4 of 16 hash slots, for oracle size)
     "dedup_minhash_sig" -> ((s, dir) =>
       Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", numHashes = 4)
@@ -907,6 +914,28 @@ object PipelineQueries {
          |  min(doc_id) AS first_doc
          | FROM spans GROUP BY 1 HAVING count(*) >= 2
          | ORDER BY span_digest""".om,
+    // positional window walk (no distinct: positions matter), dup tail
+    // over per-doc DISTINCT spans, then a covered-position mask — the
+    // first doc (min doc_id) keeps its copy
+    "dedup_span_mask" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |   list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS t
+         |  FROM documents),
+         | w AS (SELECT doc_id, unnest(range(greatest(len(t) - 4, 0))) AS i, t FROM tk),
+         | wd AS (SELECT doc_id, i, md5(array_to_string(t[i+1:i+5], ' ')) AS sd FROM w),
+         | ds AS (SELECT DISTINCT doc_id, sd FROM wd),
+         | dup AS (SELECT sd, min(doc_id) AS first_doc FROM ds GROUP BY sd HAVING count(*) >= 2),
+         | flg AS (SELECT wd.doc_id, wd.i FROM wd JOIN dup USING (sd) WHERE wd.doc_id <> dup.first_doc),
+         | st AS (SELECT doc_id, list(DISTINCT i) AS starts FROM flg GROUP BY doc_id),
+         | m AS (SELECT tk.doc_id, t, coalesce(st.starts, []) AS starts FROM tk LEFT JOIN st USING (doc_id))
+         | SELECT doc_id,
+         |  coalesce(array_to_string(list_filter(list_transform(range(len(t)),
+         |    p -> CASE WHEN len(list_filter(starts, s -> (s <= p) AND (p < s + 5))) = 0
+         |      THEN t[p+1] END), x -> x IS NOT NULL), ' '), '') AS clean_text,
+         |  len(t)::BIGINT AS n_tokens,
+         |  len(list_filter(range(len(t)),
+         |    p -> len(list_filter(starts, s -> (s <= p) AND (p < s + 5))) > 0))::BIGINT AS n_removed
+         | FROM m ORDER BY doc_id""".om,
     "dedup_span_score" ->
       s"""WITH ${tokCte(5)},
          | sp AS (SELECT doc_id, md5(span) AS sd FROM

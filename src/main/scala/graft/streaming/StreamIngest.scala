@@ -316,6 +316,125 @@ object StreamIngest {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("digest")
 
+  /** Beyond-reference: streaming duplicated-span index — the incremental
+    * form of [[graft.ops.Dedup.spanIndex]] (Lee et al. exact-substring
+    * dedup). Each micro-batch appends PARTIAL per-span aggregates
+    * (16-byte span digest, batch doc count, batch min doc) to a parquet
+    * index store: O(batch) work per trigger — the corpus-wide tail is
+    * never recomputed. Merging is possible because the span index is a
+    * (sum, min) monoid over digests, the same property that makes the
+    * batch aggregation map-side combinable.
+    *
+    * The store is LSM-shaped: [[spanIndexView]] is the read-side merge of
+    * the partials, [[compactSpanIndex]] collapses them back to one row
+    * per digest (run it on the maintenance cadence, like block
+    * compaction). Singleton spans ARE retained in the store — a span
+    * unique today becomes duplicated when a later batch re-emits it, so
+    * dropping singletons would break exactly the cross-batch detection
+    * this stream exists for. Span TEXT never leaves the map side: the
+    * store holds digests only.
+    *
+    * EXACTLY-once under crash replay: each micro-batch OVERWRITES its
+    * own `batch=<id>` partition directory — the canonical (batchId,
+    * idempotent-write) foreachBatch contract — so a replayed batch
+    * clobbers its previous partials instead of double-counting them
+    * (a plain append would silently inflate every replayed span's doc
+    * frequency). Consequence: an index store is owned by ONE checkpoint;
+    * starting a fresh checkpoint against an existing store would reuse
+    * batch ids ([[compactSpanIndex]] first — compacted rows live in
+    * `batch=-1`, which no live stream ever writes). */
+  def spanIndexStream(docs: DataFrame, idCol: String, textCol: String,
+                      spanTokens: Int, indexPath: String,
+                      checkpoint: String,
+                      daemon: Boolean = false): StreamingQuery = {
+    val w: DataStreamWriter[org.apache.spark.sql.Row] = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch
+          .select(col(idCol).as("doc_id"),
+            explode(graft.functions.shingles(col(textCol), spanTokens)).as("span"))
+          // per-doc spans are distinct → count(1) ≡ document frequency
+          .groupBy(md5(col("span")).as("span_digest"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$indexPath/batch=$batchId")
+        batch.sparkSession.catalog.refreshByPath(indexPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (daemon) Trigger.ProcessingTime("5 seconds") else Trigger.AvailableNow())
+    w.start()
+  }
+
+  /** The queryable multi-doc span tail over a [[spanIndexStream]] store:
+    * merge the appended partials (sum doc counts, min first doc) and keep
+    * spans in ≥ `minDocs` documents. Output schema matches the batch
+    * [[graft.ops.Dedup.spanIndex]] exactly. */
+  def spanIndexView(spark: SparkSession, indexPath: String,
+                    minDocs: Int = 2): DataFrame =
+    spark.read.parquet(indexPath)
+      .drop("batch") // the replay-idempotency partition key
+      .groupBy(col("span_digest"))
+      .agg(sum(col("n_docs")).as("n_docs"), min(col("first_doc")).as("first_doc"))
+      .where(col("n_docs") >= minDocs)
+
+  /** Collapse a [[spanIndexStream]] store's accumulated partials to one
+    * row per digest (keeping singletons — see [[spanIndexStream]]).
+    * Same atomic-ish temp-dir swap as block compaction
+    * ([[graft.tsdb.TsMaintenance.compact]]). */
+  def compactSpanIndex(spark: SparkSession, indexPath: String,
+                       targetFiles: Int = 8): Unit = {
+    import graft.tsdb.BlockIO
+    val merged = spark.read.parquet(indexPath)
+      .drop("batch")
+      .groupBy(col("span_digest"))
+      .agg(sum(col("n_docs")).as("n_docs"), min(col("first_doc")).as("first_doc"))
+      .repartition(targetFiles)
+    val tmp = indexPath + ".compact"
+    // compacted rows land in batch=-1 (no live stream writes that id),
+    // keeping the store uniformly batch-partitioned for discovery
+    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(tmp + "/batch=-1")
+    val old = indexPath + ".old"
+    BlockIO.rename(indexPath, old)
+    BlockIO.rename(tmp, indexPath)
+    BlockIO.delete(old, recursive = true)
+    spark.catalog.refreshByPath(indexPath)
+  }
+
+  /** Beyond-reference: streaming HyperLogLog — the incremental form of
+    * [[graft.ops.Sketches.hllDistinct]]. Registers are a MAX-monoid
+    * ([[graft.ops.Sketches.hllRegisters]]), so each micro-batch writes
+    * its own (grp, idx, mj) partials and the union's registers are
+    * recovered by `max` at read time: O(groups × m) rows per batch,
+    * never the distinct stream. Same `batch=<id>` Overwrite
+    * replay-idempotency contract as [[spanIndexStream]] (max-merge is
+    * additionally insensitive to duplicated partials — double counting
+    * is structurally impossible, unlike a sum sketch). */
+  def hllRegisterStream(rows: DataFrame, groupCol: String, keyCol: String,
+                        m: Int, indexPath: String, checkpoint: String,
+                        daemon: Boolean = false): StreamingQuery = {
+    val w: DataStreamWriter[org.apache.spark.sql.Row] = rows.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.ops.Sketches.hllRegisters(batch, col(groupCol), col(keyCol), m)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$indexPath/batch=$batchId")
+        batch.sparkSession.catalog.refreshByPath(indexPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (daemon) Trigger.ProcessingTime("5 seconds") else Trigger.AvailableNow())
+    w.start()
+  }
+
+  /** Current distinct-count estimates over a [[hllRegisterStream]]
+    * store: max-merge the register partials, then the standard HLL
+    * finalize — identical to the batch [[graft.ops.Sketches
+    * .hllDistinct]] over the union of all batches. `m` must match the
+    * stream's. */
+  def hllEstimateView(spark: SparkSession, indexPath: String, m: Int): DataFrame =
+    graft.ops.Sketches.hllEstimate(
+      spark.read.parquet(indexPath)
+        .drop("batch")
+        .groupBy(col("grp"), col("idx")).agg(max(col("mj")).as("mj")), m)
+
   /** Beyond-reference: the streaming form of the batch curation pipeline
     * ([[graft.queries.PipelineQueries]] `pipeline_curate`) — the
     * watermark-bounded exact dedup composed with the STATELESS per-doc

@@ -671,6 +671,28 @@ class OpsSpec extends AnyFunSuite {
     assert(dup == out)
   }
 
+  test("maskDuplicatedSpans: first doc keeps the span, later docs lose it") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),         // first occurrence
+      (2L, "intro alpha beta gamma delta epsilon outro"),  // loses the span
+      (3L, "totally unrelated words with no overlap here") // untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.maskDuplicatedSpans(df, "doc_id", "text", spanTokens = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1 is the min doc for every shared window → untouched
+    assert(out(1L) == ("alpha beta gamma delta epsilon zeta", 6L, 0L))
+    // doc 2 shares windows "alpha..epsilon" (positions 1..5 covered by
+    // the 5-token window at start 1): exactly those 5 tokens removed
+    assert(out(2L) == ("intro outro", 7L, 5L))
+    assert(out(3L)._3 == 0L)
+    // documents shorter than one window never flag and never lose tokens
+    val short = Seq((1L, "just three words"), (2L, "just three words"))
+      .toDF("doc_id", "text")
+    val so = Dedup.maskDuplicatedSpans(short, "doc_id", "text", 5).collect()
+    assert(so.forall(_.getLong(3) == 0L))
+  }
+
   test("histogram quantiles: bounded by bin width, clamped edges, mergeable") {
     // uniform 1..1000 → true q-quantile = 1000q; width-8 bins bound the
     // error by one bin

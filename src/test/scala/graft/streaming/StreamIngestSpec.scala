@@ -282,6 +282,91 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(texts == Seq("alpha doc", "beta doc", "gamma doc"))
   }
 
+  test("streaming span index: batch N+1 flags spans duplicated across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("graft-spanidx")
+    val idx = root.resolve("idx").toString
+    val ckpt = root.resolve("ckpt").toString
+    val mem = MemoryStream[(Long, String)] // (doc_id, text)
+    val docsStream = mem.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"))
+    val query = StreamIngest.spanIndexStream(docsStream, "doc_id", "text",
+      spanTokens = 3, idx, ckpt, daemon = true)
+
+    val b1 = Seq((1L, "alpha beta gamma delta unique tail"),
+      (2L, "totally different words in here"))
+    val b2 = Seq((3L, "prefix alpha beta gamma delta suffix"))
+    mem.addData(b1: _*)
+    query.processAllAvailable()
+    // batch 1 alone: no span crosses minDocs — empty tail
+    assert(StreamIngest.spanIndexView(spark, idx, minDocs = 2).count() == 0)
+
+    mem.addData(b2: _*)
+    query.processAllAvailable()
+    query.stop()
+    // batch 2 shares "alpha beta gamma"/"beta gamma delta" with doc 1:
+    // the incremental tail must equal the batch spanIndex on the UNION
+    val union = (b1 ++ b2).toDF("doc_id", "text")
+    def key(r: Row) = (r.getString(0), r.getLong(1), r.getLong(2))
+    val streamed = StreamIngest.spanIndexView(spark, idx, minDocs = 2)
+      .collect().map(key).toSet
+    val batch = graft.ops.Dedup.spanIndex(union, "doc_id", "text",
+      spanTokens = 3, minDocs = 2).collect().map(key).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+
+    // scoring against the incremental tail — including RE-scoring doc 1,
+    // whose spans became duplicated only at batch 2 — matches the batch
+    // spanDupScore on the union
+    def skey(r: Row) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3), r.getBoolean(4))
+    val against = graft.ops.Dedup.spanDupScoreAgainst(union, "doc_id", "text",
+      spanTokens = 3, StreamIngest.spanIndexView(spark, idx, minDocs = 2),
+      maxDupFrac = 0.5).collect().map(skey).toSet
+    val full = graft.ops.Dedup.spanDupScore(union, "doc_id", "text",
+      spanTokens = 3, maxDupFrac = 0.5).collect().map(skey).toSet
+    assert(against == full)
+    assert(against.exists { case (id, _, nd, _, _) => id == 1L && nd > 0 })
+
+    // compaction collapses the per-batch partials; the tail is unchanged
+    StreamIngest.compactSpanIndex(spark, idx, targetFiles = 1)
+    val compacted = StreamIngest.spanIndexView(spark, idx, minDocs = 2)
+      .collect().map(key).toSet
+    assert(compacted == batch)
+    // singletons survive compaction (future batches may duplicate them)
+    assert(spark.read.parquet(idx).where(col("n_docs") === 1).count() > 0)
+  }
+
+  test("streaming HLL: register max-merge equals the batch sketch on the union") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("graft-hllstream")
+    val idx = root.resolve("regs").toString
+    val ckpt = root.resolve("ckpt").toString
+    val mem = MemoryStream[(String, Long)] // (group, user)
+    val rows = mem.toDF().select(col("_1").as("g"), col("_2").as("u"))
+    val query = StreamIngest.hllRegisterStream(rows, "g", "u", m = 64,
+      idx, ckpt, daemon = true)
+
+    val b1 = (1L to 400L).map(i => ("a", i)) ++ (1L to 9L).map(i => ("b", i))
+    val b2 = (201L to 600L).map(i => ("a", i)) // 200 overlap + 200 new
+    mem.addData(b1: _*)
+    query.processAllAvailable()
+    mem.addData(b2: _*)
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = StreamIngest.hllEstimateView(spark, idx, m = 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val batch = graft.ops.Sketches.hllDistinct(
+      (b1 ++ b2).toDF("g", "u"), col("g"), col("u"), m = 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // register max-merge is EXACTLY the union's registers — estimates
+    // agree bit-for-bit, including the overlap (no double counting)
+    assert(streamed == batch)
+    assert(math.abs(streamed("a") - 600.0) / 600.0 < 0.4) // m=64 ≈ ±13% σ
+  }
+
   test("streaming curation: dedup + quality floor + langid in one stream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
