@@ -270,6 +270,13 @@ object ScaleCheck {
       println(s"SCALE spanDupScore kept=" + graft.ops.Dedup
         .spanDupScore(bigDocs, "doc_id", "text", 4).where(col("keep")).count())
     }
+    // surgical span masking over the same corpus: positional window
+    // walk (~30M windows), dup-tail join, covered-token filter
+    time("span mask: 2M docs, 4-token windows") {
+      println(s"SCALE spanMask removedTokens=" + graft.ops.Dedup
+        .maskDuplicatedSpans(bigDocs, "doc_id", "text", 4)
+        .agg(sum(col("n_removed"))).head().getLong(0))
+    }
     bigDocs.unpersist(false)
     graft.ops.Dedup.clearSharedPersists()
     spark.stop()

@@ -527,8 +527,11 @@ object Dedup {
     * Scale shape: windows are hashed map-side into a MATERIALIZED
     * (position, digest) array — GenerateExec then fans out over the
     * concrete column, never re-running the window hash per output row —
-    * and the shuffles carry digests/positions only. The per-doc mask is
-    * a position-lambda filter over the token array (codegen'd HOFs,
+    * and the shuffles carry digests/positions only. Digests are 60-bit
+    * longs ([[hash60]], the oracle-mirrorable md5 truncation): 4× less
+    * array/shuffle weight than 32-char md5 strings, which cut the 2M-doc
+    * ScaleCheck section materially. The per-doc mask is a
+    * position-lambda filter over the token array (codegen'd HOFs,
     * O(tokens × flagged-starts) per doc). */
   def maskDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                           spanTokens: Int): DataFrame = {
@@ -538,8 +541,8 @@ object Dedup {
     val winArr = when(size(col("t")) >= k,
       transform(sequence(lit(0), size(col("t")) - k), i =>
         struct(i.as("p"),
-          md5(concat_ws(" ", slice(col("t"), i + lit(1), lit(k)))).as("sd"))))
-      .otherwise(array().cast("array<struct<p:int,sd:string>>"))
+          hash60(concat_ws(" ", slice(col("t"), i + lit(1), lit(k)))).as("sd"))))
+      .otherwise(array().cast("array<struct<p:int,sd:bigint>>"))
     val wins = sharedPersist(base.select(col("doc_id"), winArr.as("wins")))
     val flat = wins.select(col("doc_id"), explode(col("wins")).as("w"))
       .select(col("doc_id"), col("w.p").as("p"), col("w.sd").as("sd"))
@@ -556,10 +559,12 @@ object Dedup {
       exists(col("starts"), s => s <= i && i < s + k)
     base.join(starts, Seq("doc_id"), "left")
       .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
+      // one covered-mask pass: n_removed falls out of the size delta
+      .withColumn("kept", filter(col("t"), (_, i) => !covered(i)))
       .select(col("doc_id"),
-        concat_ws(" ", filter(col("t"), (_, i) => !covered(i))).as("clean_text"),
+        concat_ws(" ", col("kept")).as("clean_text"),
         size(col("t")).cast("long").as("n_tokens"),
-        size(filter(col("t"), (_, i) => covered(i))).cast("long").as("n_removed"))
+        (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"))
   }
 
   /** Embedding near-dup at corpus scale: SRP-LSH banded candidate

@@ -33,11 +33,33 @@ object Sketches {
     * NULL, so the two engines would diverge on null input). Output:
     * (grp, est). */
   def kmvDistinct(df: DataFrame, groupCol: Column, keyCol: Column,
-                  k: Int, salt: String = "kmv"): DataFrame = {
+                  k: Int, salt: String = "kmv"): DataFrame =
+    kmvEstimateFromHashes(kmvBottomK(df, groupCol, keyCol, k, salt), k)
+
+  /** The hash stage of [[kmvDistinct]]: the ≤ k smallest distinct
+    * 60-bit md5 values per group — (grp, h). Bottom-k sets are a
+    * monoid: the k smallest of a union are among the union of each
+    * part's k smallest, which is what makes the sketch mergeable
+    * across partitions, shards and micro-batches
+    * ([[graft.streaming.StreamIngest.kmvHashStream]]). */
+  def kmvBottomK(df: DataFrame, groupCol: Column, keyCol: Column,
+                 k: Int, salt: String = "kmv"): DataFrame = {
     require(k >= 2, "k must be >= 2")
     val h = Dedup.hash60(concat_ws("", lit(salt), keyCol))
     val w = Window.partitionBy(col("grp")).orderBy(col("h"))
     df.where(keyCol.isNotNull).select(groupCol.as("grp"), h.as("h")).distinct()
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("grp"), col("h"))
+  }
+
+  /** Finalize (grp, h) hash partials into (grp, est): dedupe, re-take
+    * the k smallest (a union of bottom-k partials can hold more), then
+    * the KMV estimator `(k-1)/F(h_k)` — or the exact count when a group
+    * holds fewer than k distinct hashes. */
+  def kmvEstimateFromHashes(hashes: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("grp")).orderBy(col("h"))
+    hashes.distinct()
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .groupBy(col("grp"))

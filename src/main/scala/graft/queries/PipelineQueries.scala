@@ -922,7 +922,8 @@ object PipelineQueries {
          |   list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS t
          |  FROM documents),
          | w AS (SELECT doc_id, unnest(range(greatest(len(t) - 4, 0))) AS i, t FROM tk),
-         | wd AS (SELECT doc_id, i, md5(array_to_string(t[i+1:i+5], ' ')) AS sd FROM w),
+         | wd AS (SELECT doc_id, i,
+         |   ${hex15.format("array_to_string(t[i+1:i+5], ' ')")} AS sd FROM w),
          | ds AS (SELECT DISTINCT doc_id, sd FROM wd),
          | dup AS (SELECT sd, min(doc_id) AS first_doc FROM ds GROUP BY sd HAVING count(*) >= 2),
          | flg AS (SELECT wd.doc_id, wd.i FROM wd JOIN dup USING (sd) WHERE wd.doc_id <> dup.first_doc),

@@ -435,6 +435,36 @@ object StreamIngest {
         .drop("batch")
         .groupBy(col("grp"), col("idx")).agg(max(col("mj")).as("mj")), m)
 
+  /** Streaming KMV — the bottom-k counterpart of [[hllRegisterStream]]:
+    * each micro-batch writes its ≤ k smallest distinct hashes per group
+    * ([[graft.ops.Sketches.kmvBottomK]], ≤ groups × k rows per batch);
+    * the k smallest of the union are among the union of each batch's k
+    * smallest, so the view re-takes bottom-k over the partials and
+    * lands on EXACTLY the batch sketch. Same `batch=<id>` Overwrite
+    * replay contract; like the HLL, min-merge is insensitive to
+    * duplicated partials. */
+  def kmvHashStream(rows: DataFrame, groupCol: String, keyCol: String,
+                    k: Int, indexPath: String, checkpoint: String,
+                    daemon: Boolean = false): StreamingQuery = {
+    val w: DataStreamWriter[org.apache.spark.sql.Row] = rows.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.ops.Sketches.kmvBottomK(batch, col(groupCol), col(keyCol), k)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$indexPath/batch=$batchId")
+        batch.sparkSession.catalog.refreshByPath(indexPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (daemon) Trigger.ProcessingTime("5 seconds") else Trigger.AvailableNow())
+    w.start()
+  }
+
+  /** Current KMV estimates over a [[kmvHashStream]] store — identical
+    * to the batch [[graft.ops.Sketches.kmvDistinct]] on the union.
+    * `k` must match the stream's. */
+  def kmvEstimateView(spark: SparkSession, indexPath: String, k: Int): DataFrame =
+    graft.ops.Sketches.kmvEstimateFromHashes(
+      spark.read.parquet(indexPath).drop("batch"), k)
+
   /** Beyond-reference: the streaming form of the batch curation pipeline
     * ([[graft.queries.PipelineQueries]] `pipeline_curate`) — the
     * watermark-bounded exact dedup composed with the STATELESS per-doc

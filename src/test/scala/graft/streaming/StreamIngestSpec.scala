@@ -367,6 +367,35 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(math.abs(streamed("a") - 600.0) / 600.0 < 0.4) // m=64 ≈ ±13% σ
   }
 
+  test("streaming KMV: bottom-k merge equals the batch sketch on the union") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("graft-kmvstream")
+    val idx = root.resolve("hashes").toString
+    val ckpt = root.resolve("ckpt").toString
+    val mem = MemoryStream[(String, Long)]
+    val rows = mem.toDF().select(col("_1").as("g"), col("_2").as("u"))
+    val query = StreamIngest.kmvHashStream(rows, "g", "u", k = 32,
+      idx, ckpt, daemon = true)
+
+    mem.addData((1L to 300L).map(i => ("a", i)): _*)
+    query.processAllAvailable()
+    mem.addData((151L to 450L).map(i => ("a", i)) ++ Seq(("b", 1L), ("b", 2L)): _*)
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = StreamIngest.kmvEstimateView(spark, idx, k = 32)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val batch = graft.ops.Sketches.kmvDistinct(
+      ((1L to 450L).map(i => ("a", i)) ++ Seq(("b", 1L), ("b", 2L))).toDF("g", "u"),
+      col("g"), col("u"), k = 32)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the k smallest of the union are among the union of per-batch
+    // bottom-ks → estimates agree exactly; overlap cannot double-count
+    assert(streamed == batch)
+    assert(streamed("b") == 2.0) // below k → exact count survives merge
+  }
+
   test("streaming curation: dedup + quality floor + langid in one stream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
