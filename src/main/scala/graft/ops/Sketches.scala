@@ -177,16 +177,39 @@ object Sketches {
     * group × quantile. */
   def histQuantiles(df: DataFrame, groupCol: Column, valueCol: Column,
                     lo: Double, hi: Double, nBins: Int,
-                    qs: Seq[Double]): DataFrame = {
+                    qs: Seq[Double]): DataFrame =
+    histQuantilesFromCounts(
+      histCounts(df, groupCol, valueCol, lo, hi, nBins), nBins, lo, hi, qs)
+
+  /** The count stage of [[histQuantiles]]: per-(group, bin) counts —
+    * (grp, bin, cnt). Histograms are a SUM-monoid: counts from any
+    * split of the data (partitions, micro-batches, shards) add into
+    * exactly the union's histogram, which is what makes the sketch
+    * map-side combinable and streamable
+    * ([[graft.streaming.StreamIngest.histCountStream]]). */
+  def histCounts(df: DataFrame, groupCol: Column, valueCol: Column,
+                 lo: Double, hi: Double, nBins: Int): DataFrame = {
     require(nBins >= 2 && hi > lo, "need nBins >= 2 and hi > lo")
-    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
-      "quantiles must be in (0, 1]")
     val width = (hi - lo) / nBins
     val bin = least(greatest(floor((valueCol - lit(lo)) / lit(width)), lit(0)),
       lit(nBins - 1))
-    val counts = df.where(valueCol.isNotNull)
+    df.where(valueCol.isNotNull)
       .select(groupCol.as("grp"), bin.cast("long").as("bin"))
       .groupBy(col("grp"), col("bin")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Finalize (grp, bin, cnt) count partials into (grp, q, est) — see
+    * [[histQuantiles]] for the estimator and determinism contract.
+    * Partial rows for the same (grp, bin) are summed first, so merged
+    * stores feed in directly. */
+  def histQuantilesFromCounts(countsIn: DataFrame, nBins: Int,
+                              lo: Double, hi: Double,
+                              qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "quantiles must be in (0, 1]")
+    val width = (hi - lo) / nBins
+    val counts = countsIn.groupBy(col("grp"), col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
     val cum = counts
       .withColumn("cum", sum(col("cnt")).over(
         Window.partitionBy(col("grp")).orderBy(col("bin"))))

@@ -465,6 +465,40 @@ object StreamIngest {
     graft.ops.Sketches.kmvEstimateFromHashes(
       spark.read.parquet(indexPath).drop("batch"), k)
 
+  /** Streaming histogram — the sum-monoid member of the streaming
+    * sketch family (HLL registers merge by max, KMV hashes by min,
+    * histogram bins by SUM): each micro-batch writes its per-(group,
+    * bin) counts (≤ groups × nBins rows); the view sums partials into
+    * exactly the union's histogram and serves quantiles from it. Same
+    * `batch=<id>` Overwrite replay contract — sums DO double-count
+    * duplicated partials, so the idempotent per-batch directory is
+    * load-bearing here, not just hygiene. */
+  def histCountStream(rows: DataFrame, groupCol: String, valueCol: String,
+                      lo: Double, hi: Double, nBins: Int,
+                      indexPath: String, checkpoint: String,
+                      daemon: Boolean = false): StreamingQuery = {
+    val w: DataStreamWriter[org.apache.spark.sql.Row] = rows.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.ops.Sketches.histCounts(batch, col(groupCol), col(valueCol),
+            lo, hi, nBins)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$indexPath/batch=$batchId")
+        batch.sparkSession.catalog.refreshByPath(indexPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (daemon) Trigger.ProcessingTime("5 seconds") else Trigger.AvailableNow())
+    w.start()
+  }
+
+  /** Current quantile estimates over a [[histCountStream]] store —
+    * identical to the batch [[graft.ops.Sketches.histQuantiles]] on the
+    * union. (lo, hi, nBins) must match the stream's. */
+  def histQuantileView(spark: SparkSession, indexPath: String,
+                       lo: Double, hi: Double, nBins: Int,
+                       qs: Seq[Double]): DataFrame =
+    graft.ops.Sketches.histQuantilesFromCounts(
+      spark.read.parquet(indexPath).drop("batch"), nBins, lo, hi, qs)
+
   /** Beyond-reference: the streaming form of the batch curation pipeline
     * ([[graft.queries.PipelineQueries]] `pipeline_curate`) — the
     * watermark-bounded exact dedup composed with the STATELESS per-doc

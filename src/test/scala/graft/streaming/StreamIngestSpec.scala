@@ -396,6 +396,37 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(streamed("b") == 2.0) // below k → exact count survives merge
   }
 
+  test("streaming histogram: summed bin partials equal the batch quantiles") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("graft-histstream")
+    val idx = root.resolve("bins").toString
+    val ckpt = root.resolve("ckpt").toString
+    val mem = MemoryStream[(String, Double)]
+    val rows = mem.toDF().select(col("_1").as("g"), col("_2").as("v"))
+    val query = StreamIngest.histCountStream(rows, "g", "v",
+      lo = 0.0, hi = 1024.0, nBins = 128, idx, ckpt, daemon = true)
+
+    val b1 = (1 to 500).map(i => ("a", i.toDouble))
+    val b2 = (501 to 1000).map(i => ("a", i.toDouble))
+    mem.addData(b1: _*)
+    query.processAllAvailable()
+    mem.addData(b2: _*)
+    query.processAllAvailable()
+    query.stop()
+
+    val qs = Seq(0.5, 0.9, 0.99)
+    val streamed = StreamIngest.histQuantileView(spark, idx,
+        0.0, 1024.0, 128, qs)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val batch = graft.ops.Sketches.histQuantiles(
+      (b1 ++ b2).toDF("g", "v"), col("g"), col("v"), 0.0, 1024.0, 128, qs)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    // bin counts add across batches into exactly the union's histogram
+    assert(streamed == batch)
+    assert(math.abs(streamed(0.5) - 500.0) <= 8.0) // one-bin error bound
+  }
+
   test("streaming curation: dedup + quality floor + langid in one stream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
