@@ -516,4 +516,34 @@ object StreamIngest {
       .withColumn("lang_pred", graft.ops.TextAnalysis.langId(col(textCol)))
       .withColumn("n_tokens_est", graft.ops.TextAnalysis.tokenEstimate(col(textCol)))
       .where(col("quality") >= minQuality)
+
+  /** The complete streaming curation pipeline, ending in a curated
+    * parquet corpus: [[curateStream]] (watermark-bounded exact dedup ×
+    * quality floor × langid) composed with per-micro-batch benchmark
+    * DECONTAMINATION ([[graft.ops.Decontaminate.clean]]) against a
+    * static benchmark frame. Decontamination is doc-local — a document's
+    * overlap with the (static) benchmark does not depend on any other
+    * corpus document — so cleaning each micro-batch independently equals
+    * cleaning the batch union: no state beyond the dedup horizon, and
+    * the benchmark side broadcast per batch exactly as in the batch
+    * path. Output append is the same at-least-once-on-crash contract as
+    * [[ingestStream]] (the curated corpus is a plain parquet table). */
+  def curateToStore(docs: DataFrame, tsCol: String, idCol: String,
+                    textCol: String, benchmark: DataFrame,
+                    storePath: String, checkpoint: String,
+                    watermark: String = "10 minutes",
+                    minQuality: Double = 0.2, shingleSize: Int = 2,
+                    threshold: Double = 0.4,
+                    daemon: Boolean = false): StreamingQuery = {
+    val curated = curateStream(docs, tsCol, textCol, watermark, minQuality)
+    val w: DataStreamWriter[org.apache.spark.sql.Row] = curated.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.Decontaminate.clean(batch, benchmark, idCol, textCol,
+            shingleSize, threshold)
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(storePath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (daemon) Trigger.ProcessingTime("5 seconds") else Trigger.AvailableNow())
+    w.start()
+  }
 }

@@ -427,6 +427,38 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(math.abs(streamed(0.5) - 500.0) <= 8.0) // one-bin error bound
   }
 
+  test("curateToStore: dedup, quality floor and decontamination end in the corpus") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("graft-curatestore")
+    val store = root.resolve("corpus").toString
+    val ckpt = root.resolve("ckpt").toString
+    val leaked = "the benchmark question asks what is the capital of france exactly"
+    val benchmark = Seq((900L, leaked)).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, Long, String)] // (t ms, doc_id, text)
+    val docsStream = mem.toDF().select(timestamp_millis(col("_1")).as("ts"),
+      col("_2").as("doc_id"), col("_3").as("text"))
+    val query = StreamIngest.curateToStore(docsStream, "ts", "doc_id", "text",
+      benchmark, store, ckpt, daemon = true)
+
+    val t0 = 1700000000000L
+    val good = "a perfectly ordinary training document with many useful words inside"
+    mem.addData((t0, 1L, good), (t0 + 1000L, 2L, good), // duplicate of 1
+      (t0 + 2000L, 3L, "!!! ??? !!!"))                  // quality floor
+    query.processAllAvailable()
+    // batch 2: a benchmark-contaminated doc + a clean one
+    mem.addData((t0 + 60000L, 4L, leaked), (t0 + 61000L, 5L,
+      "another clean document about cooking pasta with fresh tomatoes"))
+    query.processAllAvailable()
+    query.stop()
+
+    val out = spark.read.parquet(store).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    // 1 survives (first copy), 2 deduped, 3 below quality floor,
+    // 4 decontaminated (verbatim benchmark hit), 5 clean
+    assert(out == Seq(1L, 5L))
+  }
+
   test("streaming curation: dedup + quality floor + langid in one stream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
