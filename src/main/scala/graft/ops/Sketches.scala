@@ -157,6 +157,50 @@ object Sketches {
           .otherwise(lit(numer) / col("z")), 2).as("est"))
   }
 
+  // ---- deterministic count-min frequency sketch -----------------------
+
+  /** The counter stage of the count-min sketch: `depth` md5-derived hash
+    * rows × `width` columns of integer counts — (r, c, cnt), at most
+    * depth × width rows however large the input. Counters are a
+    * SUM-monoid (mergeable across partitions/batches, map-side
+    * combined), and every value is an integer count, so estimates are
+    * exactly cross-checkable — frequency's counterpart to the HLL/KMV
+    * cardinality and histogram rank sketches above. */
+  def cmCounters(df: DataFrame, keyCol: Column, depth: Int, width: Int,
+                 salt: String = "cm"): DataFrame = {
+    require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
+    df.where(keyCol.isNotNull)
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("r"), keyCol.as("k"))
+      .select(col("r"),
+        pmod(Dedup.hash60(concat_ws("", lit(salt), col("r"), col("k"))),
+          lit(width)).as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Count-min frequency estimates for `probes` (a small frame with a
+    * `key` column, broadcast): est(k) = min over rows r of
+    * counter[r][h_r(k)] — an overestimate by at most the collision mass,
+    * never an underestimate. Output: (key, est). */
+  def cmEstimate(counters: DataFrame, probes: DataFrame,
+                 depth: Int, width: Int, salt: String = "cm"): DataFrame = {
+    val merged = counters.groupBy(col("r"), col("c"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val cells = broadcast(probes
+      .select(col("key"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("key"), col("r"),
+        pmod(Dedup.hash60(concat_ws("", lit(salt), col("r"), col("key"))),
+          lit(width)).as("c")))
+    cells.join(merged, Seq("r", "c"), "left")
+      .groupBy(col("key"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** One-shot count-min: build + probe. */
+  def cmFrequency(df: DataFrame, keyCol: Column, probes: DataFrame,
+                  depth: Int, width: Int, salt: String = "cm"): DataFrame =
+    cmEstimate(cmCounters(df, keyCol, depth, width, salt),
+      probes, depth, width, salt)
+
   // ---- deterministic histogram quantiles ------------------------------
 
   /** Per-group approximate quantiles from a fixed-width histogram — the

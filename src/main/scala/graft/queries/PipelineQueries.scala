@@ -560,6 +560,23 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
 
+    // deterministic count-min frequency sketch: depth x width integer
+    // counters (md5-derived cells, pure count arithmetic — exactly
+    // cross-checkable, unlike impl-private sketches); probes estimate
+    // per-user event counts next to the exact answer
+    "q_cm_sketch" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val probes = s.range(1, 11).select(col("id").as("key"))
+      val est = graft.ops.Sketches.cmFrequency(ev, col("user_id"), probes,
+        depth = 4, width = 512)
+      val exact = ev.where(col("user_id").between(1, 10))
+        .groupBy(col("user_id").as("key")).agg(count(lit(1)).as("exact_n"))
+      est.join(exact, Seq("key"), "left")
+        .select(col("key").as("user_id"), col("est"),
+          coalesce(col("exact_n"), lit(0L)).as("exact_n"))
+        .orderBy(col("user_id"))
+    }),
+
     // deterministic histogram quantiles: fixed-width bins (width 2.0 =
     // exact power-of-two bin math), inverse-CDF with in-bin
     // interpolation — the mergeable, cross-checkable counterpart of
@@ -1185,6 +1202,23 @@ object PipelineQueries {
          |   round(quantile_cont(value, 0.99), 4) AS p99 FROM events GROUP BY 1)
          | SELECT grp AS event_type, est AS approx_users, p50, p99
          | FROM e JOIN p USING (grp) ORDER BY event_type""".om,
+    // count-min: integer counters, min over rows — exact by construction
+    "q_cm_sketch" ->
+      s"""WITH rs AS (SELECT unnest(range(4)) AS r),
+         | cnt AS (SELECT r,
+         |   ${hex15.format("'cm' || CAST(r AS VARCHAR) || CAST(user_id AS VARCHAR)")} % 512 AS c,
+         |   count(*) AS cnt
+         |  FROM events CROSS JOIN rs WHERE user_id IS NOT NULL GROUP BY 1, 2),
+         | probes AS (SELECT unnest(range(1, 11)) AS key),
+         | cells AS (SELECT key, r,
+         |   ${hex15.format("'cm' || CAST(r AS VARCHAR) || CAST(key AS VARCHAR)")} % 512 AS c
+         |  FROM probes CROSS JOIN rs),
+         | e AS (SELECT key, min(coalesce(cnt, 0)) AS est
+         |  FROM cells LEFT JOIN cnt USING (r, c) GROUP BY key),
+         | x AS (SELECT user_id AS key, count(*) AS exact_n FROM events
+         |  WHERE user_id BETWEEN 1 AND 10 GROUP BY 1)
+         | SELECT key AS user_id, est, coalesce(exact_n, 0) AS exact_n
+         | FROM e LEFT JOIN x USING (key) ORDER BY user_id""".om,
     // fixed-width histogram quantiles: bin width 2.0 is a power of two,
     // so bin assignment is IEEE-exact; ranks are count arithmetic; the
     // only rounding is the final round(_, 6)

@@ -499,6 +499,36 @@ object StreamIngest {
     graft.ops.Sketches.histQuantilesFromCounts(
       spark.read.parquet(indexPath).drop("batch"), nBins, lo, hi, qs)
 
+  /** Streaming count-min — frequency's member of the streaming sketch
+    * family: per-batch (r, c, cnt) counter partials (≤ depth × width
+    * rows per batch), summed at read time into exactly the union's
+    * counters. Same `batch=<id>` Overwrite replay contract as
+    * [[histCountStream]] (counters sum, so idempotency is
+    * load-bearing). */
+  def cmCounterStream(rows: DataFrame, keyCol: String,
+                      depth: Int, width: Int,
+                      indexPath: String, checkpoint: String,
+                      daemon: Boolean = false): StreamingQuery = {
+    val w: DataStreamWriter[org.apache.spark.sql.Row] = rows.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.ops.Sketches.cmCounters(batch, col(keyCol), depth, width)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$indexPath/batch=$batchId")
+        batch.sparkSession.catalog.refreshByPath(indexPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (daemon) Trigger.ProcessingTime("5 seconds") else Trigger.AvailableNow())
+    w.start()
+  }
+
+  /** Frequency estimates for `probes` over a [[cmCounterStream]] store —
+    * identical to the batch [[graft.ops.Sketches.cmFrequency]] on the
+    * union. (depth, width) must match the stream's. */
+  def cmFrequencyView(spark: SparkSession, indexPath: String,
+                      probes: DataFrame, depth: Int, width: Int): DataFrame =
+    graft.ops.Sketches.cmEstimate(
+      spark.read.parquet(indexPath).drop("batch"), probes, depth, width)
+
   /** Beyond-reference: the streaming form of the batch curation pipeline
     * ([[graft.queries.PipelineQueries]] `pipeline_curate`) — the
     * watermark-bounded exact dedup composed with the STATELESS per-doc

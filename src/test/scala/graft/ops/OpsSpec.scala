@@ -693,6 +693,28 @@ class OpsSpec extends AnyFunSuite {
     assert(so.forall(_.getLong(3) == 0L))
   }
 
+  test("count-min: never underestimates, exact when cells are collision-free") {
+    // 3 keys with known counts; width 64 over 3 keys → no collisions in
+    // practice, so estimates are exact
+    val df = (Seq.fill(100)("a") ++ Seq.fill(10)("b") ++ Seq.fill(1)("c"))
+      .toDF("k")
+    val probes = Seq("a", "b", "c", "never-seen").toDF("key")
+    val est = Sketches.cmFrequency(df, col("k"), probes, depth = 4, width = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("a") == 100L && est("b") == 10L && est("c") == 1L)
+    assert(est("never-seen") >= 0L) // absent key may only collide upward
+    // counters are a sum-monoid: the union of two halves' counter
+    // partials estimates exactly like the whole
+    val h1 = (Seq.fill(60)("a") ++ Seq.fill(4)("b")).toDF("k")
+    val h2 = (Seq.fill(40)("a") ++ Seq.fill(6)("b") ++ Seq.fill(1)("c")).toDF("k")
+    val merged = Sketches.cmEstimate(
+      Sketches.cmCounters(h1, col("k"), 4, 64)
+        .union(Sketches.cmCounters(h2, col("k"), 4, 64)),
+      probes, 4, 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == est)
+  }
+
   test("histogram quantiles: bounded by bin width, clamped edges, mergeable") {
     // uniform 1..1000 → true q-quantile = 1000q; width-8 bins bound the
     // error by one bin

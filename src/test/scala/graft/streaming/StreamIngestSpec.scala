@@ -427,6 +427,31 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(math.abs(streamed(0.5) - 500.0) <= 8.0) // one-bin error bound
   }
 
+  test("streaming count-min: summed counter partials equal the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("graft-cmstream")
+    val idx = root.resolve("counters").toString
+    val ckpt = root.resolve("ckpt").toString
+    val mem = MemoryStream[String]
+    val rows = mem.toDF().select(col("value").as("k"))
+    val query = StreamIngest.cmCounterStream(rows, "k", depth = 4, width = 64,
+      idx, ckpt, daemon = true)
+
+    mem.addData(Seq.fill(60)("a") ++ Seq.fill(4)("b"): _*)
+    query.processAllAvailable()
+    mem.addData(Seq.fill(40)("a") ++ Seq.fill(6)("b") ++ Seq("c"): _*)
+    query.processAllAvailable()
+    query.stop()
+
+    val probes = Seq("a", "b", "c").toDF("key")
+    val streamed = StreamIngest.cmFrequencyView(spark, idx, probes, 4, 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // counters sum across batches into exactly the union's sketch; at
+    // this key/width ratio there are no collisions, so counts are exact
+    assert(streamed == Map("a" -> 100L, "b" -> 10L, "c" -> 1L))
+  }
+
   test("curateToStore: dedup, quality floor and decontamination end in the corpus") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
