@@ -201,6 +201,60 @@ object Sketches {
     cmEstimate(cmCounters(df, keyCol, depth, width, salt),
       probes, depth, width, salt)
 
+  // ---- deterministic Bloom membership filter --------------------------
+
+  /** The bit stage of a Bloom filter, as a SPARSE (word, bits) bitmap
+    * table: each key sets `numHashes` md5-derived bit positions in a
+    * `widthBits`-wide bitmap packed 62 bits
+    * per 64-bit word (shifts past 61 overflow checked engines) — at
+    * most ceil(widthBits/62) rows however large the input, and words merge by
+    * BIT_OR (an idempotent monoid: re-adding a key, a partition or a
+    * replayed micro-batch changes nothing). Deterministic md5 positions
+    * + integer bit arithmetic → exactly cross-checkable, like the rest
+    * of the sketch family. */
+  def bloomBits(df: DataFrame, keyCol: Column, widthBits: Int,
+                numHashes: Int, salt: String = "bloom"): DataFrame = {
+    require(widthBits >= 62, "widthBits must be >= 62")
+    require(numHashes >= 1, "numHashes must be >= 1")
+    df.where(keyCol.isNotNull)
+      .select(explode(sequence(lit(0), lit(numHashes - 1))).as("j"), keyCol.as("k"))
+      .select(pmod(Dedup.hash60(concat_ws("", lit(salt), col("j"), col("k"))),
+        lit(widthBits)).as("p"))
+      // 62 bits per word: shift 62/63 overflows engines with CHECKED
+      // shifts (DuckDB), and 62 keeps every word positive everywhere
+      .select(expr("p div 62").as("word"),
+        expr("shiftleft(1L, cast(p % 62 as int))").as("m"))
+      .groupBy(col("word")).agg(expr("bit_or(m)").as("bits"))
+  }
+
+  /** Membership test for `probes` (small frame with a `key` column,
+    * broadcast) against a [[bloomBits]] bitmap: `present` is true iff
+    * ALL of the key's bits are set — no false negatives ever; false
+    * positives bounded by the standard (1 - e^(-kn/m))^k. Bitmap
+    * partials for the same word are OR-merged first, so unioned /
+    * streamed stores feed in directly. Output: (key, present). */
+  def bloomContains(bits: DataFrame, probes: DataFrame, widthBits: Int,
+                    numHashes: Int, salt: String = "bloom"): DataFrame = {
+    val merged = bits.groupBy(col("word")).agg(expr("bit_or(bits)").as("bits"))
+    val cells = broadcast(probes
+      .select(col("key"), explode(sequence(lit(0), lit(numHashes - 1))).as("j"))
+      .select(col("key"),
+        pmod(Dedup.hash60(concat_ws("", lit(salt), col("j"), col("key"))),
+          lit(widthBits)).as("p"))
+      .select(col("key"), expr("p div 62").as("word"),
+        expr("shiftleft(1L, cast(p % 62 as int))").as("m")))
+    cells.join(merged, Seq("word"), "left")
+      .groupBy(col("key"))
+      .agg(expr("bool_and((coalesce(bits, 0L) & m) != 0)").as("present"))
+  }
+
+  /** One-shot Bloom: build + probe. */
+  def bloomMembership(df: DataFrame, keyCol: Column, probes: DataFrame,
+                      widthBits: Int, numHashes: Int,
+                      salt: String = "bloom"): DataFrame =
+    bloomContains(bloomBits(df, keyCol, widthBits, numHashes, salt),
+      probes, widthBits, numHashes, salt)
+
   // ---- deterministic histogram quantiles ------------------------------
 
   /** Per-group approximate quantiles from a fixed-width histogram — the

@@ -560,6 +560,29 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
 
+    // deterministic Bloom membership: the decontamination PREFILTER
+    // shape — corpus digests go into an OR-monoid bitmap, benchmark
+    // digests probe it; no false negatives, so "not present" safely
+    // skips the expensive exact pass. Exactly oracle-checked, including
+    // any false positives (they're a pure function of the md5 positions)
+    "q_bloom_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.where(col("doc_id") % 10 =!= 0)
+        .select(md5(col("text")).as("k"))
+      val bench = d.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), md5(col("text")).as("key"))
+      val hit = graft.ops.Sketches.bloomContains(
+        graft.ops.Sketches.bloomBits(corpus, col("k"), widthBits = 4096,
+          numHashes = 5),
+        bench.select(col("key")).distinct(), widthBits = 4096, numHashes = 5)
+      val actual = corpus.distinct().select(col("k").as("key"))
+        .withColumn("actual", lit(true))
+      bench.join(hit, "key").join(actual, Seq("key"), "left")
+        .select(col("doc_id"), col("present").as("maybe_present"),
+          coalesce(col("actual"), lit(false)).as("actually_present"))
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic count-min frequency sketch: depth x width integer
     // counters (md5-derived cells, pure count arithmetic — exactly
     // cross-checkable, unlike impl-private sketches); probes estimate
@@ -1202,6 +1225,28 @@ object PipelineQueries {
          |   round(quantile_cont(value, 0.99), 4) AS p99 FROM events GROUP BY 1)
          | SELECT grp AS event_type, est AS approx_users, p50, p99
          | FROM e JOIN p USING (grp) ORDER BY event_type""".om,
+    // bloom: OR-monoid bitmap of md5 positions, all-bits-set membership
+    "q_bloom_decontam" ->
+      s"""WITH corpus AS (SELECT DISTINCT md5(text) AS k FROM documents
+         |   WHERE doc_id % 10 <> 0),
+         | bench AS (SELECT doc_id, md5(text) AS key FROM documents
+         |   WHERE doc_id % 10 = 0),
+         | js AS (SELECT unnest(range(5)) AS j),
+         | pos AS (SELECT ${hex15.format("'bloom' || CAST(j AS VARCHAR) || k")} % 4096 AS p
+         |  FROM corpus CROSS JOIN js),
+         | bm AS (SELECT p // 62 AS word, bit_or(1::BIGINT << (p % 62)) AS bits
+         |  FROM pos GROUP BY 1),
+         | cells AS (SELECT key, ${hex15.format("'bloom' || CAST(j AS VARCHAR) || key")} % 4096 AS p
+         |  FROM (SELECT DISTINCT key FROM bench) CROSS JOIN js),
+         | hit AS (SELECT key,
+         |   bool_and((coalesce(bits, 0) & (1::BIGINT << (p % 62))) <> 0) AS maybe
+         |  FROM (SELECT key, p // 62 AS word, p FROM cells) c
+         |  LEFT JOIN bm USING (word) GROUP BY key),
+         | act AS (SELECT k AS key, true AS actual FROM corpus)
+         | SELECT doc_id, maybe AS maybe_present,
+         |  coalesce(actual, false) AS actually_present
+         | FROM bench JOIN hit USING (key) LEFT JOIN act USING (key)
+         | ORDER BY doc_id""".om,
     // count-min: integer counters, min over rows — exact by construction
     "q_cm_sketch" ->
       s"""WITH rs AS (SELECT unnest(range(4)) AS r),

@@ -529,6 +529,39 @@ object StreamIngest {
     graft.ops.Sketches.cmEstimate(
       spark.read.parquet(indexPath).drop("batch"), probes, depth, width)
 
+  /** Streaming Bloom filter — membership's member of the family: each
+    * micro-batch writes its sparse (word, bits) partials; OR-merge is
+    * IDEMPOTENT (re-adding a key changes nothing), so this sketch is
+    * insensitive to replays by construction — the `batch=<id>` store is
+    * kept purely for uniformity with the other streams. The continuously
+    * maintained bitmap is the streaming decontamination prefilter: probe
+    * a new benchmark against the corpus-so-far without touching the
+    * corpus. */
+  def bloomBitsStream(rows: DataFrame, keyCol: String,
+                      widthBits: Int, numHashes: Int,
+                      indexPath: String, checkpoint: String,
+                      daemon: Boolean = false): StreamingQuery = {
+    val w: DataStreamWriter[org.apache.spark.sql.Row] = rows.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.ops.Sketches.bloomBits(batch, col(keyCol), widthBits, numHashes)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$indexPath/batch=$batchId")
+        batch.sparkSession.catalog.refreshByPath(indexPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (daemon) Trigger.ProcessingTime("5 seconds") else Trigger.AvailableNow())
+    w.start()
+  }
+
+  /** Membership of `probes` in a [[bloomBitsStream]] store — identical
+    * to the batch [[graft.ops.Sketches.bloomMembership]] on the union.
+    * (widthBits, numHashes) must match the stream's. */
+  def bloomContainsView(spark: SparkSession, indexPath: String,
+                        probes: DataFrame, widthBits: Int,
+                        numHashes: Int): DataFrame =
+    graft.ops.Sketches.bloomContains(
+      spark.read.parquet(indexPath).drop("batch"), probes, widthBits, numHashes)
+
   /** Beyond-reference: the streaming form of the batch curation pipeline
     * ([[graft.queries.PipelineQueries]] `pipeline_curate`) — the
     * watermark-bounded exact dedup composed with the STATELESS per-doc

@@ -693,6 +693,26 @@ class OpsSpec extends AnyFunSuite {
     assert(so.forall(_.getLong(3) == 0L))
   }
 
+  test("bloom: no false negatives, OR-merge idempotent, sparse words") {
+    val corpus = (1L to 200L).map(i => s"doc-$i").toDF("k")
+    val probes = ((1L to 20L).map(i => s"doc-$i") ++
+      (1L to 20L).map(i => s"absent-$i")).toDF("key")
+    val bits = Sketches.bloomBits(corpus, col("k"), widthBits = 8192, numHashes = 5)
+    // sparse representation: never more than widthBits/64 word rows
+    assert(bits.count() <= 8192 / 62 + 1)
+    val out = Sketches.bloomContains(bits, probes, 8192, 5)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // every member MUST be present (no false negatives, the contract a
+    // decontamination prefilter depends on)
+    assert((1L to 20L).forall(i => out(s"doc-$i")))
+    // at this fill ratio (5*200/8192) false positives are ~0: absentees miss
+    assert((1L to 20L).count(i => out(s"absent-$i")) <= 2)
+    // OR is idempotent: unioning the bitmap with itself changes nothing
+    val doubled = Sketches.bloomContains(bits.union(bits), probes, 8192, 5)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(doubled == out)
+  }
+
   test("count-min: never underestimates, exact when cells are collision-free") {
     // 3 keys with known counts; width 64 over 3 keys → no collisions in
     // practice, so estimates are exact

@@ -452,6 +452,36 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(streamed == Map("a" -> 100L, "b" -> 10L, "c" -> 1L))
   }
 
+  test("streaming bloom: OR-merged bit partials equal the batch filter") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("graft-bloomstream")
+    val idx = root.resolve("bits").toString
+    val ckpt = root.resolve("ckpt").toString
+    val mem = MemoryStream[String]
+    val rows = mem.toDF().select(col("value").as("k"))
+    val query = StreamIngest.bloomBitsStream(rows, "k", widthBits = 8192,
+      numHashes = 5, idx, ckpt, daemon = true)
+
+    val b1 = (1L to 100L).map(i => s"doc-$i")
+    val b2 = (101L to 200L).map(i => s"doc-$i")
+    mem.addData(b1: _*)
+    query.processAllAvailable()
+    mem.addData(b2: _*)
+    query.processAllAvailable()
+    query.stop()
+
+    val probes = (Seq("doc-5", "doc-150", "absent")).toDF("key")
+    val streamed = StreamIngest.bloomContainsView(spark, idx, probes, 8192, 5)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val batch = graft.ops.Sketches.bloomMembership(
+      (b1 ++ b2).toDF("k"), col("k"), probes, 8192, 5)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(streamed == batch)
+    // members from BOTH batches are present; the absentee is not
+    assert(streamed("doc-5") && streamed("doc-150") && !streamed("absent"))
+  }
+
   test("curateToStore: dedup, quality floor and decontamination end in the corpus") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
