@@ -270,6 +270,22 @@ object ScaleCheck {
       println(s"SCALE spanDupScore kept=" + graft.ops.Dedup
         .spanDupScore(bigDocs, "doc_id", "text", 4).where(col("keep")).count())
     }
+    // count-min + bloom over the 10M-row frame: counters/bitmap are
+    // bounded (depth x width cells / width/62 words) however large the
+    // input — pure map-side + one tiny-keyed combine
+    time("count-min: 10M rows, depth 4 x width 4096, 10 probes") {
+      val probes = spark.range(10).select(col("id").as("key"))
+      println(s"SCALE cm probes=" + graft.ops.Sketches
+        .cmFrequency(kmvRows, col("u"), probes, depth = 4, width = 4096).count())
+    }
+    time("bloom: 10M rows into a 1M-bit filter, 20 probes") {
+      val probes = spark.range(20).select(col("id").cast("string").as("key"))
+      println(s"SCALE bloom present=" + graft.ops.Sketches
+        .bloomMembership(kmvRows.select(col("u").cast("string").as("u")),
+          col("u"), probes, widthBits = 1048576, numHashes = 5)
+        .where(col("present")).count())
+    }
+
     // surgical span masking over the same corpus: positional window
     // walk (~30M windows), dup-tail join, covered-token filter
     time("span mask: 2M docs, 4-token windows") {

@@ -212,14 +212,28 @@ object Sketches {
     * replayed micro-batch changes nothing). Deterministic md5 positions
     * + integer bit arithmetic → exactly cross-checkable, like the rest
     * of the sketch family. */
+  /** Kirsch-Mitzenmacher double hashing: ONE md5 per key yields two
+    * independent 60-bit slices h1/h2, and position j is
+    * (h1 + j*h2) mod width — 5 positions for the price of one hash,
+    * with the same false-positive guarantees. numHashes ≤ 8 keeps
+    * h1 + j*h2 < 2^63 (no overflow in checked engines). */
+  private def bloomSlices(keyCol: Column, salt: String): (Column, Column) = {
+    val md5hex = md5(concat_ws("", lit(salt), keyCol))
+    (conv(substring(md5hex, 1, 15), 16, 10).cast("long"),
+      conv(substring(md5hex, 17, 15), 16, 10).cast("long"))
+  }
+
   def bloomBits(df: DataFrame, keyCol: Column, widthBits: Int,
                 numHashes: Int, salt: String = "bloom"): DataFrame = {
     require(widthBits >= 62, "widthBits must be >= 62")
-    require(numHashes >= 1, "numHashes must be >= 1")
+    require(numHashes >= 1 && numHashes <= 8,
+      "numHashes must be in [1, 8] (overflow-free double hashing)")
+    val (h1, h2) = bloomSlices(keyCol, salt)
     df.where(keyCol.isNotNull)
-      .select(explode(sequence(lit(0), lit(numHashes - 1))).as("j"), keyCol.as("k"))
-      .select(pmod(Dedup.hash60(concat_ws("", lit(salt), col("j"), col("k"))),
-        lit(widthBits)).as("p"))
+      .select(h1.as("h1"), h2.as("h2"))
+      .select(explode(sequence(lit(0), lit(numHashes - 1))).as("j"),
+        col("h1"), col("h2"))
+      .select(pmod(col("h1") + col("j") * col("h2"), lit(widthBits)).as("p"))
       // 62 bits per word: shift 62/63 overflows engines with CHECKED
       // shifts (DuckDB), and 62 keeps every word positive everywhere
       .select(expr("p div 62").as("word"),
@@ -236,11 +250,13 @@ object Sketches {
   def bloomContains(bits: DataFrame, probes: DataFrame, widthBits: Int,
                     numHashes: Int, salt: String = "bloom"): DataFrame = {
     val merged = bits.groupBy(col("word")).agg(expr("bit_or(bits)").as("bits"))
+    val (h1, h2) = bloomSlices(col("key"), salt)
     val cells = broadcast(probes
-      .select(col("key"), explode(sequence(lit(0), lit(numHashes - 1))).as("j"))
+      .select(col("key"), h1.as("h1"), h2.as("h2"))
+      .select(col("key"), explode(sequence(lit(0), lit(numHashes - 1))).as("j"),
+        col("h1"), col("h2"))
       .select(col("key"),
-        pmod(Dedup.hash60(concat_ws("", lit(salt), col("j"), col("key"))),
-          lit(widthBits)).as("p"))
+        pmod(col("h1") + col("j") * col("h2"), lit(widthBits)).as("p"))
       .select(col("key"), expr("p div 62").as("word"),
         expr("shiftleft(1L, cast(p % 62 as int))").as("m")))
     cells.join(merged, Seq("word"), "left")

@@ -1232,12 +1232,15 @@ object PipelineQueries {
          | bench AS (SELECT doc_id, md5(text) AS key FROM documents
          |   WHERE doc_id % 10 = 0),
          | js AS (SELECT unnest(range(5)) AS j),
-         | pos AS (SELECT ${hex15.format("'bloom' || CAST(j AS VARCHAR) || k")} % 4096 AS p
-         |  FROM corpus CROSS JOIN js),
+         | ch AS (SELECT ${hex15.format("'bloom' || k")} AS h1,
+         |   ('0x' || substr(md5('bloom' || k), 17, 15))::BIGINT AS h2 FROM corpus),
+         | pos AS (SELECT (h1 + j * h2) % 4096 AS p FROM ch CROSS JOIN js),
          | bm AS (SELECT p // 62 AS word, bit_or(1::BIGINT << (p % 62)) AS bits
          |  FROM pos GROUP BY 1),
-         | cells AS (SELECT key, ${hex15.format("'bloom' || CAST(j AS VARCHAR) || key")} % 4096 AS p
-         |  FROM (SELECT DISTINCT key FROM bench) CROSS JOIN js),
+         | bh AS (SELECT key, ${hex15.format("'bloom' || key")} AS h1,
+         |   ('0x' || substr(md5('bloom' || key), 17, 15))::BIGINT AS h2
+         |  FROM (SELECT DISTINCT key FROM bench)),
+         | cells AS (SELECT key, (h1 + j * h2) % 4096 AS p FROM bh CROSS JOIN js),
          | hit AS (SELECT key,
          |   bool_and((coalesce(bits, 0) & (1::BIGINT << (p % 62))) <> 0) AS maybe
          |  FROM (SELECT key, p // 62 AS word, p FROM cells) c
