@@ -177,12 +177,18 @@ object Decontaminate {
         (-col("best.nbid")).cast("long").as("benchmark_id"), col("n_matches"))
   }
 
-  /** One-shot form: builds (and leaves unpersisted) the index inline. */
+  /** One-shot form: builds the index inline, pinning its shingle frame
+    * through [[Dedup.sharedPersist]] — `rarePostings` derives from the
+    * same subtree, so the candidate pass and the containment verify
+    * join both read the one persisted copy instead of re-shingling the
+    * corpus (CacheManager substitutes the cached subplan). */
   def flagFuzzyRare(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, shingleSize: Int = 3,
-                    threshold: Double = 0.5, dfCap: Int = 100): DataFrame =
-    flagFuzzyRare(rareShingleIndex(corpus, idCol, textCol, shingleSize, dfCap),
+                    threshold: Double = 0.5, dfCap: Int = 100): DataFrame = {
+    val idx = rareShingleIndex(corpus, idCol, textCol, shingleSize, dfCap)
+    flagFuzzyRare(idx.copy(shingles = Dedup.sharedPersist(idx.shingles)),
       benchmark, idCol, textCol, shingleSize, threshold)
+  }
 
   /** The complement workflow: corpus minus contaminated docs (the frame
     * a training job would actually read). */

@@ -29,22 +29,42 @@ object Dedup {
     * canonicalized plan makes a re-invocation over the same input reuse
     * the already-persisted blocks instead. Entries live until
     * [[clearSharedPersists]] — the same session-scoped lifecycle as the
-    * query-layer fixture caches. */
-  private val sharedPersists = scala.collection.concurrent.TrieMap[
-    (Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]()
+    * query-layer fixture caches — and the registry is a bounded LRU, so
+    * a long-lived session that never clears (a per-micro-batch
+    * spanDupScoreAgainst loop, say) evicts-and-unpersists its oldest
+    * plan instead of accumulating executor storage without limit. */
+  private val MaxSharedPersists = 64
+  private val sharedPersists = new java.util.LinkedHashMap[
+      (org.apache.spark.sql.SparkSession,
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+      DataFrame](16, 0.75f, /*accessOrder=*/ true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(org.apache.spark.sql.SparkSession,
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame])
+        : Boolean =
+      size > MaxSharedPersists && { e.getValue.unpersist(false); true }
+  }
 
   private[ops] def sharedPersist(df: DataFrame): DataFrame =
-    sharedPersists.getOrElseUpdate(
-      // key on the canonicalized plan OBJECT: structural equality covers
-      // LocalRelation data too (its toString does not — two in-memory
-      // frames with the same schema would collide on a string key)
-      (System.identityHashCode(df.sparkSession),
-        df.queryExecution.analyzed.canonicalized),
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    sharedPersists.synchronized {
+      // key on the session REFERENCE (SparkSession equality is identity,
+      // so no cross-session hash collisions) plus the canonicalized plan
+      // OBJECT: structural equality covers LocalRelation data too (its
+      // toString does not — two in-memory frames with the same schema
+      // would collide on a string key)
+      val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
+      val got = sharedPersists.get(key)
+      if (got != null) got
+      else {
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sharedPersists.put(key, p)
+        p
+      }
+    }
 
   /** Release every shared persisted intermediate (all sessions). */
-  def clearSharedPersists(): Unit = {
-    sharedPersists.values.foreach(_.unpersist(false))
+  def clearSharedPersists(): Unit = sharedPersists.synchronized {
+    sharedPersists.values.forEach(v => v.unpersist(false))
     sharedPersists.clear()
   }
 

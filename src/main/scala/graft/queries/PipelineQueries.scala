@@ -58,11 +58,28 @@ object PipelineQueries {
   private val ivfStoreCache =
     scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]()
 
+  /** Temp layout roots created this JVM, deleted by ONE shutdown hook —
+    * a long-lived session otherwise strands a parquet tree per
+    * (session, dir, tag) in the system temp dir. */
+  private val tmpLayoutRoots =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val tmpLayoutHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tmpLayoutRoots.forEach { root =>
+        try {
+          java.nio.file.Files.walk(root).sorted(
+              java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+      }))
+
   private def storedLayout(s: SparkSession, dir: String, tag: String,
                            build: => DataFrame): DataFrame =
     ivfStoreCache.getOrElseUpdate((System.identityHashCode(s).toString, dir, tag), {
-      val path = java.nio.file.Files.createTempDirectory(s"graft-$tag")
-        .resolve("corpus").toString
+      tmpLayoutHook
+      val root = java.nio.file.Files.createTempDirectory(s"graft-$tag")
+      tmpLayoutRoots.add(root)
+      val path = root.resolve("corpus").toString
       build.write.partitionBy("cell").parquet(path)
       s.read.parquet(path)
     })

@@ -364,14 +364,43 @@ object StreamIngest {
     w.start()
   }
 
+  /** Marker file recording the highest batch id folded into `batch=-1`
+    * by [[compactSpanIndex]]. Readers ignore any `batch=<id>` dir with
+    * id ≤ the marker: a micro-batch REPLAYED after compaction (crash
+    * between the foreachBatch parquet write and the checkpoint commit,
+    * or a compaction run while the query was live) re-creates its
+    * batch dir, and without the marker its sum-monoid counts would land
+    * ON TOP of the already-folded rows — double counting that breaks
+    * the exactly-once contract. */
+  private val CompactedThroughMarker = "_compacted_through"
+
+  private[graft] def compactedThrough(indexPath: String): Long = {
+    val p = graft.tsdb.BlockIO.child(indexPath, CompactedThroughMarker)
+    if (graft.tsdb.BlockIO.exists(p))
+      graft.tsdb.BlockIO.readString(p).trim.toLong
+    else Long.MinValue
+  }
+
+  /** Live (not-yet-folded) rows of a span-index store: the compacted
+    * `batch=-1` partition plus every batch dir NEWER than the
+    * compaction marker. */
+  private def liveSpanPartials(spark: SparkSession, indexPath: String): DataFrame = {
+    val through = compactedThrough(indexPath)
+    val all = spark.read.parquet(indexPath)
+    val live =
+      if (through == Long.MinValue) all
+      else all.where(col("batch") === -1L || col("batch") > through)
+    live.drop("batch") // the replay-idempotency partition key
+  }
+
   /** The queryable multi-doc span tail over a [[spanIndexStream]] store:
     * merge the appended partials (sum doc counts, min first doc) and keep
     * spans in ≥ `minDocs` documents. Output schema matches the batch
-    * [[graft.ops.Dedup.spanIndex]] exactly. */
+    * [[graft.ops.Dedup.spanIndex]] exactly. Batch dirs at or below the
+    * [[compactSpanIndex]] marker are ignored (replayed stale partials). */
   def spanIndexView(spark: SparkSession, indexPath: String,
                     minDocs: Int = 2): DataFrame =
-    spark.read.parquet(indexPath)
-      .drop("batch") // the replay-idempotency partition key
+    liveSpanPartials(spark, indexPath)
       .groupBy(col("span_digest"))
       .agg(sum(col("n_docs")).as("n_docs"), min(col("first_doc")).as("first_doc"))
       .where(col("n_docs") >= minDocs)
@@ -379,12 +408,25 @@ object StreamIngest {
   /** Collapse a [[spanIndexStream]] store's accumulated partials to one
     * row per digest (keeping singletons — see [[spanIndexStream]]).
     * Same atomic-ish temp-dir swap as block compaction
-    * ([[graft.tsdb.TsMaintenance.compact]]). */
+    * ([[graft.tsdb.TsMaintenance.compact]]).
+    *
+    * Exactly-once across compaction: the max folded batch id is
+    * recorded in a [[CompactedThroughMarker]] file inside the store,
+    * and every reader ([[spanIndexView]], a re-run of this method)
+    * ignores batch dirs ≤ that id — so a batch replayed AFTER its
+    * partials were folded is inert rather than double-counted. Prefer
+    * running compaction with the owning stream stopped and fully
+    * committed; the marker makes the overlap safe either way. */
   def compactSpanIndex(spark: SparkSession, indexPath: String,
                        targetFiles: Int = 8): Unit = {
     import graft.tsdb.BlockIO
-    val merged = spark.read.parquet(indexPath)
-      .drop("batch")
+    // fold only live partials; a stale replayed dir ≤ the existing
+    // marker must not be re-added
+    val priorThrough = compactedThrough(indexPath)
+    val maxFolded = BlockIO.listDirNames(indexPath)
+      .collect { case s if s.startsWith("batch=") => s.stripPrefix("batch=").toLong }
+      .foldLeft(priorThrough)(math.max)
+    val merged = liveSpanPartials(spark, indexPath)
       .groupBy(col("span_digest"))
       .agg(sum(col("n_docs")).as("n_docs"), min(col("first_doc")).as("first_doc"))
       .repartition(targetFiles)
@@ -393,6 +435,8 @@ object StreamIngest {
     // keeping the store uniformly batch-partitioned for discovery
     merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(tmp + "/batch=-1")
+    BlockIO.writeString(BlockIO.child(tmp, CompactedThroughMarker),
+      maxFolded.toString)
     val old = indexPath + ".old"
     BlockIO.rename(indexPath, old)
     BlockIO.rename(tmp, indexPath)

@@ -122,6 +122,24 @@ class TsdbBlockTable(val rootPath: String, tableSchema: StructType)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TsdbScanBuilder(rootPath, tableSchema,
       Option(options.get("seriesPerPartition")).map(_.toInt).getOrElse(256))
+
+  /** The block-dir set this table resolved at load time. Part of table
+    * EQUALITY (below): two loads of the same root compare equal only
+    * while the store holds the same immutable blocks, so canonicalized
+    * plans match across separate `spark.read.format("graft-tsdb")`
+    * calls (what [[graft.tsdb.ChunkPeerCache]] and Spark's own
+    * CacheManager/exchange-reuse key on), yet a store that gained a
+    * block yields an UNEQUAL table — cached relations over the old
+    * block set can never serve the grown store. */
+  private lazy val blockSet: Seq[String] = TsdbBlockTable.blockDirs(rootPath)
+
+  override def equals(other: Any): Boolean = other match {
+    case t: TsdbBlockTable =>
+      t.rootPath == rootPath && t.schema() == tableSchema && t.blockSet == blockSet
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (rootPath, tableSchema).hashCode() // blockSet only refines equals
 }
 
 class TsdbScanBuilder(rootPath: String, tableSchema: StructType, seriesPerPartition: Int)
@@ -407,10 +425,16 @@ class TsdbScan(rootPath: String, required: StructType, mint: Long, maxt: Long,
     }
   }
 
+  /** The session that planned this scan — captured at construction so
+    * repeated `createReaderFactory` calls (re-planning, AQE) reuse ONE
+    * broadcast of ITS Hadoop conf rather than re-broadcasting from
+    * whatever session happens to be active at call time. */
+  private val planningContext = org.apache.spark.sql.SparkSession.active.sparkContext
+  private lazy val confBroadcast = planningContext.broadcast(
+    new BlockIO.SerConf(planningContext.hadoopConfiguration))
+
   override def createReaderFactory(): PartitionReaderFactory =
-    TsdbReaderFactory(org.apache.spark.sql.SparkSession.active.sparkContext
-      .broadcast(new BlockIO.SerConf(
-        org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)))
+    TsdbReaderFactory(confBroadcast)
 
   /** Runtime IO counters (range reads, bytes, cache hit/miss) — rolled
     * up from per-task [[TsdbMetrics.taskValues]] into the scan node. */
@@ -590,22 +614,30 @@ object TsdbIndexCache {
   * `pkg/chunkr/groupcache.go:17-27,132-255`): per-task values roll up
   * into the SQL UI / listener metrics of the BatchScan node, so scan
   * amplification is visible per QUERY, not just per JVM. */
-object TsdbMetrics {
-  import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
+/** Each metric is its own TOP-LEVEL class with a zero-argument
+  * constructor: Spark's `SQLAppStatusListener` re-instantiates the
+  * metric class reflectively when aggregating task values into the SQL
+  * UI, and a parameterized (or inner) class makes every aggregation
+  * pass log a SparkException stack trace instead of a number. */
+sealed abstract class TsdbSumMetric(metricName: String, desc: String)
+  extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = metricName
+  override def description(): String = desc
+}
+final class RangeReadsMetric extends TsdbSumMetric("rangeReads", "chunk range reads issued")
+final class BytesFetchedMetric extends TsdbSumMetric("bytesFetched", "chunk bytes fetched")
+final class ChunkCacheHitsMetric extends TsdbSumMetric("chunkCacheHits", "chunk record cache hits")
+final class ChunkCacheMissesMetric extends TsdbSumMetric("chunkCacheMisses", "chunk record cache misses")
+final class IndexCacheHitsMetric extends TsdbSumMetric("indexCacheHits", "parsed index cache hits")
+final class IndexCacheMissesMetric extends TsdbSumMetric("indexCacheMisses", "parsed index cache misses")
 
-  private final class SumMetric(metricName: String, desc: String)
-    extends CustomSumMetric {
-    override def name(): String = metricName
-    override def description(): String = desc
-  }
+object TsdbMetrics {
+  import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
 
   val all: Array[CustomMetric] = Array(
-    new SumMetric("rangeReads", "chunk range reads issued"),
-    new SumMetric("bytesFetched", "chunk bytes fetched"),
-    new SumMetric("chunkCacheHits", "chunk record cache hits"),
-    new SumMetric("chunkCacheMisses", "chunk record cache misses"),
-    new SumMetric("indexCacheHits", "parsed index cache hits"),
-    new SumMetric("indexCacheMisses", "parsed index cache misses"))
+    new RangeReadsMetric, new BytesFetchedMetric,
+    new ChunkCacheHitsMetric, new ChunkCacheMissesMetric,
+    new IndexCacheHitsMetric, new IndexCacheMissesMetric)
 
   private final case class TaskVal(metricName: String, v: Long) extends CustomTaskMetric {
     override def name(): String = metricName

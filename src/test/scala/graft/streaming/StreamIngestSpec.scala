@@ -335,6 +335,28 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(compacted == batch)
     // singletons survive compaction (future batches may duplicate them)
     assert(spark.read.parquet(idx).where(col("n_docs") === 1).count() > 0)
+
+    // a batch REPLAYED after compaction (crash between its parquet
+    // write and the checkpoint commit) re-creates its batch dir; the
+    // _compacted_through marker makes readers ignore the stale partials
+    // instead of adding them on top of the already-folded rows
+    assert(StreamIngest.compactedThrough(idx) == 1L)
+    b2.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(graft.functions.shingles(col("text"), 3)).as("span"))
+      .groupBy(org.apache.spark.sql.functions.md5(col("span")).as("span_digest"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+        org.apache.spark.sql.functions.min(col("doc_id")).as("first_doc"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$idx/batch=1")
+    spark.catalog.refreshByPath(idx)
+    assert(StreamIngest.spanIndexView(spark, idx, minDocs = 2)
+      .collect().map(key).toSet == batch)
+    // a second compaction must not re-fold the stale dir either
+    StreamIngest.compactSpanIndex(spark, idx, targetFiles = 1)
+    assert(StreamIngest.spanIndexView(spark, idx, minDocs = 2)
+      .collect().map(key).toSet == batch)
   }
 
   test("streaming HLL: register max-merge equals the batch sketch on the union") {
