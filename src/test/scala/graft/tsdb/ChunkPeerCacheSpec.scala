@@ -1,0 +1,66 @@
+package graft.tsdb
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** The peer tier over graft-tsdb scans (the reference's groupcache
+  * layer, `pkg/chunkr/groupcache.go:36-130`, re-expressed as a
+  * persisted relation in the executors' BlockManagers): a repeated
+  * selection must be served entirely from cached partitions — no chunk
+  * IO, and not even a local RecordCache lookup, because the scan never
+  * runs again. */
+class ChunkPeerCacheSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private lazy val root: String = {
+    val dir = Files.createTempDirectory("peercache")
+    val corpus = for {
+      job <- Seq("api", "web"); inst <- (0 to 2).map("i-" + _)
+    } yield (
+      Seq(Label("__name__", "up"), Label("job", job), Label("instance", inst)),
+      (0 until 200).map(i => Sample(1700000000000L + i * 15000L, i.toDouble)))
+    TsdbBlock.write(dir.resolve("b"), corpus, TsdbBlock.syntheticUlid(77))
+    dir.resolve("b").toString
+  }
+
+  private def sel = spark.read.format("graft-tsdb").load(root)
+    .where(col("job") === "api")
+
+  test("repeat query is a peer-tier hit: same relation, zero scan work") {
+    val (h0, m0) = (ChunkPeerCache.hits, ChunkPeerCache.misses)
+    val first = ChunkPeerCache.cached(sel)
+    assert(ChunkPeerCache.misses == m0 + 1)
+    assert(first.count() == 3 * 200) // materializes into the BlockManager
+
+    // a fresh, structurally identical query resolves to the SAME cached
+    // relation (canonical-plan key: root + matchers + columns)
+    val second = ChunkPeerCache.cached(sel)
+    assert(ChunkPeerCache.hits == h0 + 1)
+    assert(second eq first)
+
+    // the repeat run reads cached partitions — it must not touch the
+    // segment files NOR the executor-local RecordCache: the tsdb reader
+    // simply never runs again
+    val (rh0, rm0) = (ChunkFile.RecordCache.hits, ChunkFile.RecordCache.misses)
+    ChunkFile.bytesFetched.set(0)
+    assert(second.count() == 3 * 200)
+    assert(ChunkFile.bytesFetched.get() == 0, "peer-tier hit must do zero chunk IO")
+    assert(ChunkFile.RecordCache.hits == rh0 && ChunkFile.RecordCache.misses == rm0,
+      "peer-tier hit must not consult the local record cache")
+    assert(second.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "repeat query must be served from the cached relation")
+
+    // a different selection is its own entry (and a miss)
+    val other = ChunkPeerCache.cached(
+      spark.read.format("graft-tsdb").load(root).where(col("job") === "web"))
+    assert(ChunkPeerCache.misses == m0 + 2)
+    assert(other.count() == 3 * 200)
+
+    ChunkPeerCache.clear()
+    assert(ChunkPeerCache.entryCount == 0)
+  }
+}
