@@ -294,6 +294,153 @@ object ScaleCheck {
         .agg(sum(col("n_removed"))).head().getLong(0))
     }
     bigDocs.unpersist(false)
+
+    // --- round 7: many-block pruning flatness ---
+    // The reference's core deployment is "query years of 2h blocks in
+    // S3" (db.go:62-122, querier.go:31-43): what matters at that scale
+    // is that a selective query's cost tracks the blocks its TIME RANGE
+    // selects, not the store's total block count. 240 blocks = 20 days;
+    // every path below goes through the Hadoop-FS BlockIO abstraction
+    // (the same code that serves s3a:// roots).
+    val nBlocks = 240
+    val mbRoot = java.nio.file.Files
+      .createTempDirectory("graft-scale-manyblocks").toString
+    time(s"write $nBlocks native 2h blocks (20 series x 240 samples each)") {
+      (0 until nBlocks).foreach { b =>
+        val bt0 = t0ms + b.toLong * 7200000L
+        val corpus = for (s <- 0 until 20) yield (
+          Seq(Label("__name__", "up"), Label("job", "job-" + (s % 5)),
+            Label("instance", "i-" + s)),
+          (0 until 240).map(i => Sample(bt0 + i * 30000L, (s + i).toDouble)))
+        TsdbBlock.write(BlockIO.child(mbRoot, f"b$b%04d"), corpus,
+          TsdbBlock.syntheticUlid(1000L + b))
+      }
+    }
+    val mb = spark.read.format("graft-tsdb").load(mbRoot)
+    def plannedBlocks(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[graft.tsdb.datasource.TsdbScan]
+            .planInputPartitions()
+            .map(_.asInstanceOf[graft.tsdb.datasource.TsdbInputPartition].blockDir)
+            .distinct.length
+      }.getOrElse(0)
+    def blockWindow(first: Int, n: Int): org.apache.spark.sql.DataFrame =
+      mb.where(col("t").between(t0ms + first.toLong * 7200000L,
+          t0ms + (first + n).toLong * 7200000L - 1) &&
+        col("instance") === "i-3")
+    val w1 = blockWindow(100, 1)
+    val w4 = blockWindow(100, 4)
+    require(plannedBlocks(w1) == 1, s"1-block window planned ${plannedBlocks(w1)} blocks")
+    require(plannedBlocks(w4) == 4, s"4-block window planned ${plannedBlocks(w4)} blocks")
+    time("dsv2 240 blocks: 1-series select, 2h window (1 block, cold)") {
+      w1.count()
+    }
+    val t1 = { val t0 = System.nanoTime(); w1.count(); (System.nanoTime() - t0) / 1e9 }
+    val t4 = { val t0 = System.nanoTime(); w4.count(); (System.nanoTime() - t0) / 1e9 }
+    println(f"SCALE pruning: 1-block $t1%.2f s, 4-block $t4%.2f s (warm)")
+    val tAll = time("dsv2 240 blocks: full-store scan (contrast)") {
+      val t0 = System.nanoTime(); mb.count(); (System.nanoTime() - t0) / 1e9 }
+    // flatness: a 4-block window must cost a small fraction of the full
+    // 240-block scan — driver planning reads per-block METADATA only,
+    // so cost tracks selected blocks
+    require(t4 < math.max(0.5, 0.35 * tAll),
+      f"pruning not flat: 4-block $t4%.2f s vs full $tAll%.2f s")
+    time("dsv2 240 blocks: selective matcher across ALL blocks (postings x240)") {
+      mb.where(col("instance") === "i-3").count()
+    }
+
+    // --- round 7: multi-segment block at real size ---
+    // writeDistributed's segment split at the production 512 MiB cap:
+    // 7200 series x 10k incompressible samples ≈ 700 MiB of chunk bytes
+    // -> the writer must split chunks across >= 2 segment files and both
+    // readers must stitch refs across them. Chunk bytes never touch the
+    // driver (executor-side encode + segment assembly); the driver holds
+    // per-chunk METADATA only.
+    val segRoot = java.nio.file.Files
+      .createTempDirectory("graft-scale-multiseg").toString
+    val segDir = BlockIO.child(segRoot, "big")
+    time("writeDistributed: 72M incompressible samples (multi-segment)") {
+      val rows = spark.range(7200L * 10000)
+        .select((col("id") / 10000).cast("long").as("series"),
+          pmod(col("id"), lit(10000)).as("k"))
+        .select(col("series"), (lit(t0ms) + col("k") * 1000L).as("t"),
+          // int-hash-valued doubles defeat XOR compression -> real bytes
+          (hash(col("series"), col("k")).cast("double") / 1000.0).as("v"))
+      val cano = TsSchema.canonicalizeStatic(rows, Seq(
+          "__name__" -> lit("big_metric"),
+          "series" -> col("series").cast("string")),
+          promoted = Seq(Labels.MetricName, "series"))
+        .select(col("labels"), col("fingerprint"), col("t"), col("v"))
+      val meta = TsdbBlock.writeDistributed(cano, segDir,
+        TsdbBlock.syntheticUlid(424242L))
+      println(s"SCALE multiseg samples=${meta.stats.numSamples} " +
+        s"series=${meta.stats.numSeries}")
+    }
+    val segFiles = BlockIO.listNames(BlockIO.child(segDir, "chunks"))
+    val segBytes = segFiles.map(f =>
+      BlockIO.fileSize(BlockIO.child(BlockIO.child(segDir, "chunks"), f))).sum
+    println(s"SCALE multiseg segments=${segFiles.size} " +
+      f"chunkBytes=${segBytes / 1048576.0}%.0f MiB")
+    require(segFiles.size >= 2,
+      s"expected >=2 segment files over 512 MiB, got ${segFiles.size}")
+    val segDs = spark.read.format("graft-tsdb").load(segDir)
+    time("multiseg: 1-series select (coalesced ranges across segments)") {
+      ChunkFile.bytesFetched.set(0)
+      val n = segDs.where(col("series") === "4242").count()
+      println(s"SCALE multiseg rows=$n " +
+        f"bytesFetched=${ChunkFile.bytesFetched.get() / 1024.0}%.0f KiB " +
+        f"of ${segBytes / 1048576.0}%.0f MiB")
+      require(ChunkFile.bytesFetched.get() < segBytes / 100,
+        "selective read must fetch a small fraction of the segments")
+    }
+
+    // --- round 7: ANN probe pruning at 1024 cells ---
+    // the static-partition-filter claim at production cell counts:
+    // 200k vectors over 1024 cells, nprobe=8 -> the scan plans 8 cell
+    // dirs out of 1024, and driver-side probe resolution stays bounded
+    // (8 query vectors x 1024 centroid rows).
+    val annDim = 16
+    def synthVec(seed: org.apache.spark.sql.Column) = transform(
+      sequence(lit(0), lit(annDim - 1)),
+      d => hash(seed, d).cast("double") / lit(Int.MaxValue.toDouble))
+    val annCents = spark.range(1024)
+      .select(col("id").as("cell"), synthVec(col("id") + 900000).as("centv"))
+    val annRoot = java.nio.file.Files
+      .createTempDirectory("graft-scale-ann").resolve("corpus").toString
+    time("ivf: assign 200k vectors to 1024 cells + write partitionBy(cell)") {
+      graft.ops.Similarity.ivfAssign(
+          spark.range(200000).select(col("id"), synthVec(col("id")).as("v")),
+          "id", "v", annCents, "cell", "centv")
+        .write.partitionBy("cell").mode("overwrite").parquet(annRoot)
+    }
+    val annStored = spark.read.parquet(annRoot)
+    val annQueries = spark.range(8)
+      .select(col("id").as("qid"), synthVec(col("id") + 777).as("qv"))
+    val probed = graft.ops.Similarity.probedCellSet(
+      annQueries, "qid", "qv", annCents, "cell", "centv", nprobe = 8)
+    println(s"SCALE ann probedCells=${probed.size} of 1024")
+    require(probed.size <= 8 * 8, s"probe set not bounded: ${probed.size}")
+    val annPruned = annStored.where(col("cell").isin(probed: _*))
+    val annScan = annPruned.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val annPlanned = annScan.relation.location.listFiles(
+      annScan.partitionFilters, annScan.dataFilters)
+      .map(_.values.toString).distinct.length
+    require(annPlanned == probed.size,
+      s"planned $annPlanned cell dirs, probed ${probed.size}")
+    println(s"SCALE ann plannedCellDirs=$annPlanned (of 1024)")
+    time("ivf stored: top-10 for 8 queries, nprobe=8 over 1024 cells") {
+      graft.ops.Similarity.ivfTopKStored(annQueries, annStored,
+        "qid", "qv", annCents, "cell", "centv", k = 10, nprobe = 8).count()
+    }
+    val tProbe0 = System.nanoTime()
+    graft.ops.Similarity.ivfTopKStored(annQueries, annStored,
+      "qid", "qv", annCents, "cell", "centv", k = 10, nprobe = 8).count()
+    println(f"SCALE ann warmQuery=${(System.nanoTime() - tProbe0) / 1e9}%.2f s" +
+      f" (${(System.nanoTime() - tProbe0) / 1e9 / 8}%.3f s/query, 8 probes each)")
+
     graft.ops.Dedup.clearSharedPersists()
     spark.stop()
   }

@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Prometheus NATIVE histograms, minimally: sparse exponential buckets
+  * behind the existing classic-bucket `histogram_quantile`.
+  *
+  * Format facts (public Prometheus data model / exposition docs): at
+  * resolution `schema` n ∈ [-4, 8], positive bucket i covers
+  * `(2^((i-1)·2^-n), 2^(i·2^-n)]` — consecutive bounds differ by the
+  * base `2^(2^-n)` — a zero bucket holds observations with
+  * `|v| ≤ zeroThreshold`, and total `count` / `sum` ride along. This
+  * module models the positive spectrum + zero bucket (the engine's
+  * metric corpus is non-negative; a negative spectrum is the same
+  * machinery mirrored) and converts BOTH ways to classic cumulative
+  * `le` buckets, so [[PromOps.histogramQuantile]] — and through it the
+  * PromQL front-end — serves native-schema data unchanged. Quantile
+  * semantics are therefore the CLASSIC ones (linear interpolation from
+  * the previous *present* bucket's bound): sparse gaps widen the
+  * interpolation interval rather than using the bucket's exact
+  * exponential lower bound — the documented cost of "minimal
+  * conversion, one quantile code path" (README support matrix).
+  *
+  * Scale shape: one map-side-combined aggregation per (group, bucket
+  * idx) — the shuffle carries at most `groups × occupied buckets`
+  * count rows, never observations. Occupied buckets are bounded by the
+  * value spectrum: at schema 2 a [2^-10, 2^20] spread is ≤ 120
+  * buckets. Bucket rows are a sum-monoid ([[merge]]), so partials
+  * stream exactly like the count-min/histogram stores in
+  * [[graft.streaming.StreamIngest]].
+  *
+  * Histogram-frame layout (one row per group):
+  * `groupCols…, schema:int, count:long, sum:double, zero_count:long,
+  * buckets:array<struct<idx:long,cnt:long>>` (sorted by idx). */
+object NativeHistogram {
+
+  /** Native bucket index of a positive observation: the smallest i
+    * with `v ≤ 2^(i·2^-schema)`, i.e. `ceil(log2(v) · 2^schema)`.
+    * log2 is computed as `ln(v)/ln 2` with the correctly-rounded
+    * `ln 2` literal so an external engine (the DuckDB oracle) lands on
+    * bit-identical indices. */
+  def bucketIdx(v: Column, schema: Int): Column =
+    ceil(log(v) / lit(math.log(2.0)) * lit(math.pow(2.0, schema))).cast("long")
+
+  /** Upper bound `2^(idx·2^-schema)` of a native bucket (`2^-schema`
+    * is IEEE-exact for |schema| ≤ 8, so the exponent product is the
+    * same on every engine). */
+  def bucketUpper(idx: Column, schema: Column): Column =
+    pow(lit(2.0), idx.cast("double") * pow(lit(2.0), -schema.cast("double")))
+
+  /** Aggregate raw observations into one native histogram per group.
+    * Observations ≤ 0 land in the zero bucket (`zeroThreshold` = 0 —
+    * the corpus convention here); null values must be filtered by the
+    * caller (they are observations of nothing, not zeros). */
+  def observe(df: DataFrame, valueCol: Column, schema: Int,
+              groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    val idx = when(valueCol > 0.0, bucketIdx(valueCol, schema))
+    df.select(g :+ idx.as("_idx") :+ valueCol.cast("double").as("_v"): _*)
+      .groupBy(g :+ col("_idx"): _*)
+      .agg(count(lit(1)).as("_cnt"), sum(col("_v")).as("_sv"))
+      .groupBy(g: _*)
+      .agg(
+        sum(col("_cnt")).as("count"),
+        sum(col("_sv")).as("sum"),
+        sum(when(col("_idx").isNull, col("_cnt")).otherwise(0L)).as("zero_count"),
+        // collect_list drops the nulls the zero bucket leaves behind
+        sort_array(collect_list(when(col("_idx").isNotNull,
+          struct(col("_idx").as("idx"), col("_cnt").as("cnt"))))).as("buckets"))
+      .withColumn("schema", lit(schema))
+  }
+
+  private val EmptyBuckets =
+    array().cast("array<struct<idx:bigint,cnt:bigint>>")
+
+  /** Merge several histogram rows per group into one — the sum-monoid
+    * that makes native histograms shippable as partials (per-executor,
+    * per-micro-batch, per-block). Rows merge within their `schema`;
+    * mixed resolutions stay separate rows (Prometheus would downscale
+    * first — out of minimal scope, and silently merging them would be
+    * wrong). */
+  def merge(nh: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val keys = groupCols :+ "schema"
+    val g = keys.map(col)
+    val basic = nh.groupBy(g: _*).agg(
+      sum(col("count")).as("count"), sum(col("sum")).as("sum"),
+      sum(col("zero_count")).as("zero_count"))
+    val buckets = nh.select(g :+ explode(col("buckets")).as("b"): _*)
+      .groupBy(g :+ col("b.idx").as("idx"): _*)
+      .agg(sum(col("b.cnt")).as("cnt"))
+      .groupBy(g: _*)
+      .agg(sort_array(collect_list(struct(col("idx"), col("cnt")))).as("buckets"))
+    basic.join(buckets, keys, "left") // explode dropped all-zero-bucket rows
+      .withColumn("buckets", coalesce(col("buckets"), EmptyBuckets))
+  }
+
+  /** Native → classic: one cumulative `le` row per occupied bucket
+    * (upper bound as `le`, zero-bucket mass below the first), an
+    * explicit `le = 0` row when the zero bucket is occupied, and the
+    * `+Inf` row carrying the total. Input: ONE histogram row per group
+    * ([[merge]] first if partials). The output frame is exactly what
+    * [[PromOps.histogramQuantile]] consumes. */
+  def toClassic(nh: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col("b.idx"))
+    val pos = nh.select(g :+ col("zero_count") :+ col("schema") :+
+        explode(col("buckets")).as("b"): _*)
+      .select(g :+ bucketUpper(col("b.idx"), col("schema")).as("le") :+
+        (col("zero_count") + sum(col("b.cnt")).over(w)).as("cum"): _*)
+    val zero = nh.where(col("zero_count") > 0)
+      .select(g :+ lit(0.0).as("le") :+ col("zero_count").as("cum"): _*)
+    val inf = nh.select(g :+ lit(Double.PositiveInfinity).as("le") :+
+      col("count").as("cum"): _*)
+    pos.unionByName(zero).unionByName(inf)
+  }
+
+  /** Classic → native: de-cumulate `(le, cum)` buckets, map each finite
+    * positive bound onto its native index (an exact power
+    * `le = 2^(i·2^-schema)` lands on i; anything else on the covering
+    * bucket), fold `le ≤ 0` mass into the zero bucket. The `+Inf`
+    * bucket's mass exists only in `count` (no finite bucket can carry
+    * it); classic buckets carry no `sum`, so it is null. */
+  def fromClassic(buckets: DataFrame, schema: Int,
+                  groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col("le"))
+    val d = buckets
+      .withColumn("cnt",
+        col("cum") - coalesce(lag(col("cum"), 1).over(w), lit(0L)))
+      .withColumn("_idx", when(col("le") > 0.0 &&
+        col("le") =!= Double.PositiveInfinity, bucketIdx(col("le"), schema)))
+    // totals + zero mass in one pass; +Inf mass reaches `count` only
+    val totals = d.groupBy(g: _*).agg(
+      max(col("cum")).as("count"),
+      sum(when(col("le") <= 0.0, col("cnt")).otherwise(0L)).as("zero_count"))
+    // distinct classic bounds may share one covering native bucket
+    val bk = d.where(col("_idx").isNotNull)
+      .groupBy(g :+ col("_idx").as("idx"): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+      .groupBy(g: _*)
+      .agg(sort_array(collect_list(struct(col("idx"), col("cnt")))).as("buckets"))
+    totals.join(bk, groupCols, "left")
+      .withColumn("buckets", coalesce(col("buckets"), EmptyBuckets))
+      .withColumn("sum", lit(null).cast("double")) // classic carries no sum
+      .withColumn("schema", lit(schema))
+      .select(g :+ col("schema") :+ col("count") :+ col("sum") :+
+        col("zero_count") :+ col("buckets"): _*)
+  }
+
+  /** `histogram_quantile(q, native)` — the conversion route: classic
+    * cumulative buckets from [[toClassic]], then the one existing
+    * quantile implementation. */
+  def quantile(nh: DataFrame, q: Double, groupCols: Seq[String]): DataFrame =
+    PromOps.histogramQuantile(toClassic(nh, groupCols), q, groupCols)
+}

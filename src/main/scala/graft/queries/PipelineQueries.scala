@@ -647,6 +647,19 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
 
+    // NATIVE-histogram quantile (sparse exponential buckets at schema 2,
+    // Prometheus native data model) routed through the one classic
+    // histogram_quantile implementation — the minimal classic<->native
+    // conversion; observation -> bucket index is IEEE-deterministic, so
+    // the approximate sketch still carries an exact oracle
+    "q_native_hist_quantile" -> ((s, dir) =>
+      graft.ops.NativeHistogram.quantile(
+        graft.ops.NativeHistogram.observe(Tables.load(s, dir, "events"),
+          col("value"), schema = 2, Seq("event_type")),
+        0.9, Seq("event_type"))
+        .select(col("event_type"), round(col("quantile"), 6).as("q90"))
+        .orderBy(col("event_type"))),
+
     // multimodal: batched mapPartitions decode (JNI-codec integration shape)
     "mm_batch_decode" -> ((s, dir) => {
       val media = Multimodal.synthesize(docs(s, dir), "doc_id", "text", "image", "source")
@@ -1301,6 +1314,32 @@ object PipelineQueries {
          | FROM cc CROSS JOIN qs
          | WHERE cum >= q * n AND (cum - cnt) < q * n
          | ORDER BY event_type, q""".om,
+    // native-histogram quantile: bucket index ceil(log2(v)*4) with the
+    // correctly-rounded ln(2) literal (bit-identical to the Spark side),
+    // upper bound 2^(idx/4), then the classic interpolation formula;
+    // only the final round(_, 6) absorbs cross-engine pow() ulps
+    "q_native_hist_quantile" ->
+      s"""WITH obs AS (SELECT event_type,
+         |   ceil(ln(value) / 0.6931471805599453 * 4)::BIGINT AS idx
+         |  FROM events WHERE value > 0),
+         | b AS (SELECT event_type, idx, count(*) AS cnt FROM obs GROUP BY 1, 2),
+         | tot AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+         | cm AS (SELECT event_type, idx, power(2.0, idx / 4.0) AS le,
+         |   sum(cnt) OVER (PARTITION BY event_type ORDER BY idx) AS cum FROM b),
+         | buckets AS (SELECT event_type, le, cum FROM cm
+         |  UNION ALL SELECT event_type, 'Infinity'::DOUBLE, n FROM tot),
+         | ranked AS (SELECT event_type, le, cum,
+         |   lag(le) OVER w AS prev_le, lag(cum) OVER w AS prev_cum,
+         |   max(cum) OVER (PARTITION BY event_type) AS total,
+         |   max(CASE WHEN le <> 'Infinity'::DOUBLE THEN le END)
+         |     OVER (PARTITION BY event_type) AS max_finite_le
+         |  FROM buckets WINDOW w AS (PARTITION BY event_type ORDER BY le)),
+         | hit AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY le) AS rn
+         |  FROM (SELECT *, 0.9 * total AS rank FROM ranked) WHERE cum >= rank)
+         | SELECT event_type, round(CASE WHEN le = 'Infinity'::DOUBLE THEN max_finite_le
+         |  ELSE coalesce(prev_le, 0.0) + (le - coalesce(prev_le, 0.0)) *
+         |   ((rank - coalesce(prev_cum, 0.0)) / (cum - coalesce(prev_cum, 0.0))) END, 6) AS q90
+         | FROM hit WHERE rn = 1 ORDER BY event_type""".om,
     "decontaminate_clean" ->
       s"""WITH ${tokCte(2)}, $hsCte,
          | bench AS (SELECT DISTINCT unnest(hs) AS h FROM hx WHERE doc_id % 37 = 0),
