@@ -154,4 +154,63 @@ object NativeHistogram {
     * quantile implementation. */
   def quantile(nh: DataFrame, q: Double, groupCols: Seq[String]): DataFrame =
     PromOps.histogramQuantile(toClassic(nh, groupCols), q, groupCols)
+
+  private def bucketLower(idx: Column, schema: Column): Column =
+    bucketUpper(idx - 1, schema)
+
+  /** The PromQL native-histogram stats family at the operator layer:
+    * `histogram_count/sum/avg` are exact reads of the histogram row;
+    * `histogram_stddev/stdvar` use the BUCKET-MIDPOINT estimator — each
+    * bucket's mass placed at the arithmetic midpoint of its bounds, the
+    * zero bucket at 0, moments about the midpoint mean (a documented,
+    * self-consistent estimator choice; any bucket-mass estimator is an
+    * approximation by construction). One pass over the tiny exploded
+    * bucket frame per group. */
+  def stats(nh: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    val ex = nh.select(g ++ Seq(col("count"), col("sum"), col("zero_count"),
+      col("schema"), explode_outer(col("buckets")).as("b")): _*)
+    val mid = (bucketLower(col("b.idx"), col("schema")) +
+      bucketUpper(col("b.idx"), col("schema"))) / 2
+    ex.groupBy(g: _*).agg(
+        first(col("count")).as("count"), first(col("sum")).as("sum"),
+        sum(when(col("b").isNotNull, col("b.cnt") * mid)
+          .otherwise(0.0)).as("_m1"),
+        sum(when(col("b").isNotNull, col("b.cnt") * mid * mid)
+          .otherwise(0.0)).as("_m2"))
+      .withColumn("avg", col("sum") / col("count"))
+      .withColumn("_mean_mid", col("_m1") / col("count"))
+      .withColumn("stdvar", greatest(lit(0.0),
+        col("_m2") / col("count") - col("_mean_mid") * col("_mean_mid")))
+      .withColumn("stddev", sqrt(col("stdvar")))
+      .select(g ++ Seq(col("count"), col("sum"), col("avg"),
+        col("stdvar"), col("stddev")): _*)
+  }
+
+  /** `histogram_fraction(lo, hi, native)`: fraction of observations in
+    * `[lo, hi]`, assuming (as upstream does) a uniform distribution
+    * WITHIN each bucket — a bucket contributes its mass times the
+    * overlapped share of its width; the zero bucket is a point mass at
+    * 0, counted iff `lo ≤ 0 ≤ hi`. `hi = ∞` covers every finite
+    * bucket. */
+  def fraction(nh: DataFrame, lo: Double, hi: Double,
+               groupCols: Seq[String]): DataFrame = {
+    require(lo <= hi, s"fraction bounds out of order: [$lo, $hi]")
+    val g = groupCols.map(col)
+    val ex = nh.select(g ++ Seq(col("count"), col("zero_count"),
+      col("schema"), explode_outer(col("buckets")).as("b")): _*)
+    val lower = bucketLower(col("b.idx"), col("schema"))
+    val upper = bucketUpper(col("b.idx"), col("schema"))
+    val overlap =
+      greatest(lit(0.0), least(lit(hi), upper) - greatest(lit(lo), lower)) /
+        (upper - lower)
+    ex.groupBy(g: _*).agg(
+        first(col("count")).as("count"),
+        first(col("zero_count")).as("zero_count"),
+        sum(when(col("b").isNotNull, col("b.cnt") * overlap)
+          .otherwise(0.0)).as("_mass"))
+      .select(g :+ ((col("_mass") +
+        (if (lo <= 0.0 && hi >= 0.0) col("zero_count") else lit(0L))) /
+        col("count")).as("fraction"): _*)
+  }
 }

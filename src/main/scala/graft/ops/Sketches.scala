@@ -339,4 +339,56 @@ object Sketches {
         round(lit(lo) + lit(width) * (col("bin") +
           (target - (col("cum") - col("cnt"))) / col("cnt")), 6).as("est"))
   }
+
+  /** EXACT per-group top-k frequent keys with BOUNDED shuffle — the
+    * two-pass heavy-hitters shape for key spaces too large to groupBy
+    * whole (token vocabularies, URLs, user ids at 100 TB):
+    *
+    *  1. each partition runs a Misra-Gries summary of size `m` per
+    *     group (bounded memory, amortized O(1) per row) and nominates
+    *     its surviving keys — by the MG retention bound the union of
+    *     nominations contains EVERY key with global frequency > N/m;
+    *  2. an exact recount over the candidate semi-join (broadcast —
+    *     ≤ partitions × groups × m keys) ranks them and keeps k.
+    *
+    * The result equals the true top-k whenever the k-th frequency
+    * exceeds N/m — size `m` to the heaviness you care about (the
+    * documented contract; at m=4096 a key must carry >0.024% of the
+    * stream to be rankable). Ties break lexicographically, so the
+    * output is deterministic however the input is partitioned — which
+    * is what lets an approximate-candidate pass carry an exact oracle.
+    * Output: (grp, key, cnt, rnk ≤ k). */
+  def heavyHitters(df: DataFrame, groupCol: Column, keyCol: Column,
+                   k: Int, m: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = df
+      .select(groupCol.cast("string").as("grp"), keyCol.cast("string").as("key"))
+      .where(col("key").isNotNull)
+    val candidates = pairs.as[(String, String)].mapPartitions { it =>
+      val perGroup = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.HashMap[String, Long]]
+      it.foreach { case (g, key) =>
+        val mg = perGroup.getOrElseUpdate(g,
+          scala.collection.mutable.HashMap.empty[String, Long])
+        mg.get(key) match {
+          case Some(c) => mg.update(key, c + 1)
+          case None if mg.size < m => mg.update(key, 1L)
+          case None => // Misra-Gries step: decrement all, drop zeros
+            val dead = List.newBuilder[String]
+            mg.foreachEntry((kk, c) =>
+              if (c == 1L) dead += kk else mg.update(kk, c - 1))
+            dead.result().foreach(mg.remove)
+        }
+      }
+      perGroup.iterator.flatMap { case (g, mg) => mg.keysIterator.map((g, _)) }
+    }.toDF("grp", "key").distinct()
+    pairs.join(broadcast(candidates), Seq("grp", "key"), "left_semi")
+      .groupBy(col("grp"), col("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("grp"))
+          .orderBy(col("cnt").desc, col("key"))))
+      .where(col("rnk") <= k)
+  }
 }

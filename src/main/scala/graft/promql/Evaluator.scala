@@ -755,6 +755,9 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
       val (apply: Column, newV: Column) = fn match {
         case "label_replace" =>
           val Seq(_, repl, src, regex) = strs
+          // same RE2-dialect contract as selector matchers: constructs
+          // Prometheus would reject error here too
+          graft.tsdb.LabelMatcher.validateRe2Dialect(regex)
           val anchored = graft.tsdb.LabelMatcher.anchored(regex)
           (lv(src).rlike(anchored),
             regexp_replace(lv(src), anchored, repl))

@@ -660,6 +660,39 @@ object PipelineQueries {
         .select(col("event_type"), round(col("quantile"), 6).as("q90"))
         .orderBy(col("event_type"))),
 
+    // heavy hitters: exact per-language top-10 tokens through the
+    // two-pass bounded-shuffle shape (per-partition Misra-Gries
+    // candidates -> exact recount of the candidate semi-join) — the
+    // key space (token vocabulary) never groupBys whole, yet the
+    // result is exact and oracle-checkable (candidate superset bound)
+    "text_heavy_hitters" -> ((s, dir) =>
+      graft.ops.Sketches.heavyHitters(
+        docs(s, dir).select(col("lang"),
+          explode(graft.functions.tokens(col("text"))).as("tok")),
+        col("lang"), col("tok"), k = 10, m = 4096)
+        .select(col("grp").as("lang"), col("key").as("token"),
+          col("cnt"), col("rnk"))
+        .orderBy(col("lang"), col("rnk"))),
+
+    // the native-histogram stats family (histogram_count/sum/avg/
+    // stddev/fraction at the operator layer): exact reads of the
+    // histogram row + the midpoint-estimator moments + uniform-within-
+    // bucket fraction — every value cross-checkable, so the sketch
+    // family stays exactly oracle-gated
+    "q_native_hist_stats" -> ((s, dir) => {
+      val nh = graft.ops.NativeHistogram.observe(Tables.load(s, dir, "events"),
+        col("value"), schema = 2, Seq("event_type"))
+      val st = graft.ops.NativeHistogram.stats(nh, Seq("event_type"))
+      val fr = graft.ops.NativeHistogram.fraction(nh, 25.0, 100.0, Seq("event_type"))
+      st.join(fr, "event_type")
+        .select(col("event_type"), col("count").as("n"),
+          round(col("sum"), 4).as("sum_v"),
+          round(col("avg"), 6).as("avg_v"),
+          round(col("stddev"), 4).as("sd_mid"),
+          round(col("fraction"), 6).as("frac_25_100"))
+        .orderBy(col("event_type"))
+    }),
+
     // multimodal: batched mapPartitions decode (JNI-codec integration shape)
     "mm_batch_decode" -> ((s, dir) => {
       val media = Multimodal.synthesize(docs(s, dir), "doc_id", "text", "image", "source")
@@ -1340,6 +1373,47 @@ object PipelineQueries {
          |  ELSE coalesce(prev_le, 0.0) + (le - coalesce(prev_le, 0.0)) *
          |   ((rank - coalesce(prev_cum, 0.0)) / (cum - coalesce(prev_cum, 0.0))) END, 6) AS q90
          | FROM hit WHERE rn = 1 ORDER BY event_type""".om,
+    // heavy hitters: the oracle is the plain exact top-k — the MG
+    // candidate pass is a superset whenever the k-th frequency clears
+    // N/m (verified with wide margin on this corpus), so approximate
+    // candidates + exact recount hash-match the direct computation
+    "text_heavy_hitters" ->
+      s"""WITH toks AS (SELECT lang,
+         |   unnest(list_filter(regexp_split_to_array(lower(text),
+         |     '[^\\p{L}\\p{N}]+'), x -> x <> '')) AS token
+         |  FROM documents),
+         | c AS (SELECT lang, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+         | r AS (SELECT lang, token, cnt, row_number() OVER (
+         |   PARTITION BY lang ORDER BY cnt DESC, token) AS rnk FROM c)
+         | SELECT lang, token, cnt, rnk FROM r WHERE rnk <= 10
+         | ORDER BY lang, rnk""".om,
+    // native-histogram stats: same bucket indices as the quantile
+    // oracle; moments use the arithmetic bucket midpoint, fraction the
+    // uniform-within-bucket overlap of [25, 100]; rounding absorbs
+    // summation-order ulps (sd to 4, like q_window's variance trick)
+    "q_native_hist_stats" ->
+      s"""WITH obs AS (SELECT event_type, value,
+         |   CASE WHEN value > 0
+         |    THEN ceil(ln(value) / 0.6931471805599453 * 4)::BIGINT END AS idx
+         |  FROM events),
+         | b AS (SELECT event_type, idx, count(*) AS cnt FROM obs
+         |  WHERE idx IS NOT NULL GROUP BY 1, 2),
+         | tot AS (SELECT event_type, count(*) AS n, sum(value) AS sv
+         |  FROM events GROUP BY 1),
+         | m AS (SELECT event_type,
+         |   (power(2.0, (idx - 1) / 4.0) + power(2.0, idx / 4.0)) / 2 AS mid,
+         |   power(2.0, (idx - 1) / 4.0) AS lo_b, power(2.0, idx / 4.0) AS hi_b,
+         |   cnt FROM b),
+         | agg AS (SELECT event_type, sum(cnt * mid) AS m1,
+         |   sum(cnt * mid * mid) AS m2,
+         |   sum(cnt * greatest(0.0, least(100.0, hi_b) - greatest(25.0, lo_b))
+         |     / (hi_b - lo_b)) AS mass
+         |  FROM m GROUP BY 1)
+         | SELECT event_type, n, round(sv, 4) AS sum_v,
+         |  round(sv / n, 6) AS avg_v,
+         |  round(sqrt(greatest(0.0, m2 / n - (m1 / n) * (m1 / n))), 4) AS sd_mid,
+         |  round(mass / n, 6) AS frac_25_100
+         | FROM tot JOIN agg USING (event_type) ORDER BY event_type""".om,
     "decontaminate_clean" ->
       s"""WITH ${tokCte(2)}, $hsCte,
          | bench AS (SELECT DISTINCT unnest(hs) AS h FROM hx WHERE doc_id % 37 = 0),

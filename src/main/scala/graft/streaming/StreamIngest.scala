@@ -606,6 +606,39 @@ object StreamIngest {
     graft.ops.Sketches.bloomContains(
       spark.read.parquet(indexPath).drop("batch"), probes, widthBits, numHashes)
 
+  /** Streaming NATIVE histograms — the sum-monoid streaming form of
+    * [[graft.ops.NativeHistogram]]: each micro-batch writes its
+    * per-group histogram row (sparse exponential buckets + zero bucket
+    * + count/sum — ≤ groups rows per batch, observations never stored),
+    * and the view [[NativeHistogram.merge]]s the partials into exactly
+    * the union's histogram. Same `batch=<id>` Overwrite replay contract
+    * as the other sum-monoid stores ([[histCountStream]]): the
+    * idempotent per-batch directory is what keeps replayed counts from
+    * double-summing. */
+  def nativeHistStream(rows: DataFrame, valueCol: String, schema: Int,
+                       groupCols: Seq[String], indexPath: String,
+                       checkpoint: String,
+                       daemon: Boolean = false): StreamingQuery = {
+    val w: DataStreamWriter[org.apache.spark.sql.Row] = rows.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.ops.NativeHistogram.observe(batch, col(valueCol), schema, groupCols)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$indexPath/batch=$batchId")
+        batch.sparkSession.catalog.refreshByPath(indexPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (daemon) Trigger.ProcessingTime("5 seconds") else Trigger.AvailableNow())
+    w.start()
+  }
+
+  /** One merged native histogram per group over a [[nativeHistStream]]
+    * store — identical to the batch observe on the union; feed it to
+    * [[graft.ops.NativeHistogram.quantile]]/`stats`/`fraction`. */
+  def nativeHistView(spark: SparkSession, indexPath: String,
+                     groupCols: Seq[String]): DataFrame =
+    graft.ops.NativeHistogram.merge(
+      spark.read.parquet(indexPath).drop("batch"), groupCols)
+
   /** Beyond-reference: the streaming form of the batch curation pipeline
     * ([[graft.queries.PipelineQueries]] `pipeline_curate`) — the
     * watermark-bounded exact dedup composed with the STATELESS per-doc

@@ -60,25 +60,91 @@ object LabelMatcher {
   /** Prometheus-anchored form: the full value must match.
     *
     * Dialect note: regexes evaluate in Java's engine (Spark `rlike`),
-    * not Prometheus's RE2. Java is a strict SUPERSET on the surface
-    * PromQL users write (character classes, alternation, repetition,
-    * anchoring all agree); the divergences are (a) Java accepts
-    * backreferences/lookaround that RE2 rejects — queries using them
-    * would error on Prometheus but work here, and (b) RE2 guarantees
-    * linear-time matching while Java can backtrack pathologically, so a
-    * hostile pattern is a DoS vector upstream callers should bound with
-    * their own timeouts. Bare equality-shaped patterns are rewritten to
-    * postings lookups before any regex runs (TsdbRegexRewrite). */
-  def anchored(pattern: String): String = "^(?:" + pattern + ")$"
+    * not Prometheus's RE2. On the surface PromQL users write
+    * (character classes, alternation, repetition, anchoring) the two
+    * agree; the divergences are handled explicitly:
+    *  - Java-only constructs RE2 REJECTS — backreferences, lookaround,
+    *    atomic groups, possessive quantifiers — are rejected here too
+    *    ([[validateRe2Dialect]], called by the `re`/`notRe`
+    *    constructors), so a selector that errors on Prometheus errors
+    *    here instead of silently matching;
+    *  - RE2's named-group spelling `(?P<name>…)` is bridged to Java's
+    *    `(?<name>…)` ([[toJavaDialect]]) so RE2-style patterns run
+    *    unchanged;
+    *  - RE2 guarantees linear-time matching while Java can backtrack
+    *    pathologically, so a hostile pattern is a DoS vector upstream
+    *    callers should bound with their own timeouts.
+    * Bare equality-shaped patterns are rewritten to postings lookups
+    * before any regex runs (TsdbRegexRewrite). */
+  def anchored(pattern: String): String = "^(?:" + toJavaDialect(pattern) + ")$"
+
+  /** RE2 → Java spelling bridge. A literal `(?P<` cannot survive
+    * escaping as that byte sequence, so the blind replace is safe. */
+  def toJavaDialect(pattern: String): String = pattern.replace("(?P<", "(?<")
+
+  /** Reject the Java-regex constructs RE2 has no equivalent for —
+    * mirroring the `error parsing regexp` a user would get from
+    * Prometheus (`vendor/.../labels/selector.go:61-77` compiles
+    * matchers through Go's regexp). Without this, a selector relying on
+    * a backreference or lookaround would silently change meaning when
+    * ported between engines. Scanner-level check: escapes and character
+    * classes are tracked, nothing is compiled. */
+  def validateRe2Dialect(pattern: String): Unit = {
+    def fail(what: String): Nothing = throw new IllegalArgumentException(
+      s"error parsing regexp: $what not supported (RE2 dialect): `$pattern`")
+    var i = 0
+    var inClass = false
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (c == '\\') {
+        if (i + 1 < pattern.length) {
+          val n = pattern.charAt(i + 1)
+          if (!inClass && n.isDigit && n != '0') fail(s"backreference \\$n")
+          if (!inClass && n == 'k') fail("named backreference \\k")
+          i += 2
+        } else i += 1
+      } else if (inClass) {
+        if (c == ']') inClass = false
+        i += 1
+      } else {
+        c match {
+          case '[' => inClass = true
+          case '(' if pattern.startsWith("(?", i) =>
+            val rest = pattern.substring(i + 2)
+            if (rest.startsWith("=")) fail("lookahead (?=")
+            else if (rest.startsWith("!")) fail("negative lookahead (?!")
+            else if (rest.startsWith("<=")) fail("lookbehind (?<=")
+            else if (rest.startsWith("<!")) fail("negative lookbehind (?<!")
+            else if (rest.startsWith(">")) fail("atomic group (?>")
+          case '*' | '+' | '?' | '}' =>
+            if (i + 1 < pattern.length && pattern.charAt(i + 1) == '+' &&
+                // `++` only possessive when the FIRST + quantifies
+                // something; "a++" bad, but "++" alone would be a Java
+                // syntax error anyway — flag conservatively
+                (c != '+' || i > 0))
+              fail(s"possessive quantifier $c+")
+          case _ => ()
+        }
+        i += 1
+      }
+    }
+  }
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
   private def compiled(p: String): java.util.regex.Pattern =
-    cache.computeIfAbsent(p, s => java.util.regex.Pattern.compile("(?:" + s + ")"))
+    cache.computeIfAbsent(p,
+      s => java.util.regex.Pattern.compile("(?:" + toJavaDialect(s) + ")"))
 
   def eq(name: String, value: String) = LabelMatcher(MatchType.Eq, name, value)
   def neq(name: String, value: String) = LabelMatcher(MatchType.Neq, name, value)
-  def re(name: String, value: String) = LabelMatcher(MatchType.Re, name, value)
-  def notRe(name: String, value: String) = LabelMatcher(MatchType.NotRe, name, value)
+  def re(name: String, value: String) = {
+    validateRe2Dialect(value)
+    LabelMatcher(MatchType.Re, name, value)
+  }
+  def notRe(name: String, value: String) = {
+    validateRe2Dialect(value)
+    LabelMatcher(MatchType.NotRe, name, value)
+  }
   def prefix(name: String, value: String) = LabelMatcher(MatchType.Prefix, name, value)
 
   /** Matcher for "label is absent": equality with "" (P5). */

@@ -78,6 +78,41 @@ class NativeHistogramSpec extends AnyFunSuite {
     assert(cz(rt) == cz(nh))
   }
 
+  test("stats: count/sum/avg exact, stddev from the midpoint estimator") {
+    val df = Seq(("a", 1.0), ("a", 4.0), ("a", 4.0), ("a", 16.0), ("a", 0.0))
+      .toDF("g", "v")
+    val st = NativeHistogram.stats(
+      NativeHistogram.observe(df, col("v"), 0, Seq("g")), Seq("g")).head()
+    assert(st.getLong(st.fieldIndex("count")) == 5L)
+    assert(st.getDouble(st.fieldIndex("sum")) == 25.0)
+    assert(st.getDouble(st.fieldIndex("avg")) == 5.0)
+    // schema 0 buckets: 1.0 -> idx 0 (bounds (0.5,1], mid 0.75);
+    // 4.0 x2 -> idx 2 ((2,4], mid 3); 16.0 -> idx 4 ((8,16], mid 12);
+    // zero bucket mass at 0. mean_mid = (0.75 + 6 + 12 + 0)/5 = 3.75
+    // m2 = 0.5625 + 18 + 144 = 162.5625; var = 32.5125 - 14.0625 = 18.45
+    val stdvar = st.getDouble(st.fieldIndex("stdvar"))
+    assert(math.abs(stdvar - 18.45) < 1e-9, s"stdvar=$stdvar")
+    assert(math.abs(st.getDouble(st.fieldIndex("stddev")) -
+      math.sqrt(18.45)) < 1e-9)
+  }
+
+  test("fraction: uniform-within-bucket overlap, zero bucket as point mass") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("a", 4.0), ("a", 16.0), ("a", -1.0))
+      .toDF("g", "v")
+    val nh = NativeHistogram.observe(df, col("v"), 0, Seq("g"))
+    def frac(lo: Double, hi: Double): Double =
+      NativeHistogram.fraction(nh, lo, hi, Seq("g")).head().getDouble(1)
+    // full line covers everything (zero bucket included)
+    assert(frac(-10, Double.PositiveInfinity) == 1.0)
+    // [0,0] catches exactly the zero-bucket point mass: 1/5
+    assert(frac(0.0, 0.0) == 0.2)
+    // (2,4] holds 2 of 5 observations; [2,4] overlaps that bucket fully
+    // and nothing else that intersects -> 2/5
+    assert(frac(2.0, 4.0) == 0.4)
+    // half of bucket (2,4] -> uniform assumption gives half its mass
+    assert(frac(3.0, 4.0) == 0.2)
+  }
+
   test("quantile equals the classic computation on equivalent buckets") {
     val vals = (1 to 1000).map(i => ("q", (i % 317 + 1).toDouble))
     val nh = NativeHistogram.observe(vals.toDF("g", "v"), col("v"), 3, Seq("g"))

@@ -655,6 +655,28 @@ class OpsSpec extends AnyFunSuite {
     assert(dup == out)
   }
 
+  test("heavy hitters: exact top-k under the MG bound, any partitioning") {
+    // zipf-ish: key j appears 1000/j times in group "w"; a long uniform
+    // tail in the same group stresses the decrement path (m << tail)
+    val heavy = (1 to 20).flatMap(j => Seq.fill(1000 / j)(("w", s"k$j")))
+    val tail = (1 to 3000).map(i => ("w", s"tail$i"))
+    val expected = (1 to 10).map(j => (s"k$j", (1000 / j).toLong))
+    for (parts <- Seq(1, 7)) {
+      val df = spark.sparkContext
+        .parallelize(new scala.util.Random(7).shuffle(heavy ++ tail), parts)
+        .toDF("g", "u")
+      val got = Sketches.heavyHitters(df, col("g"), col("u"), k = 10, m = 256)
+        .orderBy(col("rnk")).collect()
+        .map(r => (r.getString(1), r.getLong(2)))
+      assert(got.toSeq == expected, s"parts=$parts")
+    }
+    // ties break lexicographically: three keys at the same count
+    val ties = Seq.fill(5)(Seq(("t", "b"), ("t", "a"), ("t", "c"))).flatten
+    val gt = Sketches.heavyHitters(ties.toDF("g", "u"), col("g"), col("u"),
+      k = 2, m = 16).orderBy(col("rnk")).collect().map(_.getString(1))
+    assert(gt.toSeq == Seq("a", "b"))
+  }
+
   test("HLL sketch: calibrated, duplicate-invariant, linear-counting floor") {
     val df = (1L to 5000L).map(i => (if (i <= 12) "tiny" else "big", i))
       .toDF("g", "u")

@@ -359,6 +359,44 @@ class StreamIngestSpec extends AnyFunSuite {
       .collect().map(key).toSet == batch)
   }
 
+  test("streaming native histogram: merged partials equal the batch observe") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("graft-nhstream")
+    val idx = root.resolve("hist").toString
+    val ckpt = root.resolve("ckpt").toString
+    val mem = MemoryStream[(String, Double)] // (group, value)
+    val rows = mem.toDF().select(col("_1").as("g"), col("_2").as("v"))
+    val query = StreamIngest.nativeHistStream(rows, "v", schema = 2,
+      Seq("g"), idx, ckpt, daemon = true)
+
+    val b1 = (1 to 300).map(i => ("a", (i % 53 + 1).toDouble)) :+ ("a", 0.0)
+    val b2 = (1 to 200).map(i => ("a", (i % 91 + 1).toDouble)) :+ ("a", -3.0)
+    mem.addData(b1: _*)
+    query.processAllAvailable()
+    mem.addData(b2: _*)
+    query.processAllAvailable()
+    query.stop()
+
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getString(r.fieldIndex("g")), r.getLong(r.fieldIndex("count")),
+        r.getLong(r.fieldIndex("zero_count")),
+        math.round(r.getDouble(r.fieldIndex("sum")) * 1e6),
+        r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("buckets"))
+          .map(b => (b.getLong(0), b.getLong(1))))
+    }.toSet
+    val streamed = StreamIngest.nativeHistView(spark, idx, Seq("g"))
+    val batch = graft.ops.NativeHistogram.observe(
+      (b1 ++ b2).toDF("g", "v"), col("v"), 2, Seq("g"))
+    assert(key(streamed) == key(batch))
+    // and the served quantile goes through the same classic route
+    val qs = graft.ops.NativeHistogram.quantile(streamed, 0.9, Seq("g"))
+      .head().getDouble(1)
+    val qb = graft.ops.NativeHistogram.quantile(batch, 0.9, Seq("g"))
+      .head().getDouble(1)
+    assert(qs == qb)
+  }
+
   test("streaming HLL: register max-merge equals the batch sketch on the union") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

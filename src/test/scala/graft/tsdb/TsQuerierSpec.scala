@@ -84,6 +84,21 @@ class TsQuerierSpec extends AnyFunSuite {
       LabelMatcher.neq("job", "web"), LabelMatcher.notRe("instance", "i-[0-2]")))
   }
 
+  test("RE2 dialect: Java-only constructs rejected, RE2 spellings bridged") {
+    // constructs RE2 (and therefore Prometheus) errors on must error
+    // here too instead of silently matching
+    for (bad <- Seq("(a)\\1", "a(?=b)", "a(?!b)", "(?<=a)b", "(?<!a)b",
+        "(?>ab)c", "a*+b", "a++", "ab?+", "a{2,3}+", "(?P<g>a)\\k<g>"))
+      assertThrows[IllegalArgumentException](LabelMatcher.re("l", bad))
+    // the PromQL surface stays accepted
+    for (ok <- Seq("api|web", "i-1[0-9]", "job-.*", "(?i)Api", "a+?b*?",
+        "[+*?]", "\\\\d+", "(?:grp)+", "(?P<g>api)-canary", "a\\0b"))
+      LabelMatcher.re("l", ok)
+    // RE2 named-group spelling executes through the Java bridge
+    assert(LabelMatcher.re("l", "(?P<env>api)-canary").matches("api-canary"))
+    assert(!LabelMatcher.re("l", "(?P<env>api)-canary").matches("web-canary"))
+  }
+
   test("absent-label matchers: mode='' and site!=''") {
     check(t0, tEnd, Seq(LabelMatcher.eq("__name__", "temperature_celsius"),
       LabelMatcher.absent("job")))
