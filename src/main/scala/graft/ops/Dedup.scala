@@ -212,6 +212,38 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Cross-corpus near-dedup: which documents of a NEW batch
+    * near-duplicate an EXISTING corpus — the incremental-ingestion form
+    * of [[minhashLsh]]. The corpus side is the amortized artifact: its
+    * [[minhashSignatures]] frame (id, shingle set, signature, band
+    * keys), at 100 TB a parquet table refreshed with the corpus and
+    * bucketed by band key, so per run only the NEW batch is shingled
+    * and hashed. Candidates are (band, band_key) matches between the
+    * batch and the index — the same banding recall guarantee as the
+    * within-corpus path — verified by exact Jaccard over the shingle
+    * sets. Output: one (new_id, corpus_id, jaccard ≥ threshold) row
+    * per verified match. */
+  def minhashLshAgainst(newDocs: DataFrame, idCol: String, textCol: String,
+                        corpusIndex: DataFrame,
+                        numHashes: Int = 16, bands: Int = 4,
+                        shingleSize: Int = 3,
+                        threshold: Double = 0.6): DataFrame = {
+    val nsigs = sharedPersist(
+      minhashSignatures(newDocs, idCol, textCol, numHashes, shingleSize, bands))
+    val nb = lshBuckets(nsigs, bands)
+      .select(col("band"), col("band_key"), col("id").as("new_id"))
+    val cb = lshBuckets(corpusIndex, bands)
+      .select(col("band"), col("band_key"), col("id").as("corpus_id"))
+    nb.join(cb, Seq("band", "band_key"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+      .join(nsigs.select(col("id").as("new_id"), col("hs").as("hs1")), "new_id")
+      .join(corpusIndex.select(col("id").as("corpus_id"), col("hs").as("hs2")),
+        "corpus_id")
+      .withColumn("jaccard", jaccardOf(col("hs1"), col("hs2")))
+      .where(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** Jaccard similarity of two pre-deduped arrays. */
   def jaccardOf(a: Column, b: Column): Column =
     round(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)), 6)

@@ -27,6 +27,18 @@ object PipelineQueries {
         numHashes = 16, bands = 4, shingleSize = 3, threshold = 0.2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Per-(session, dir) corpus minhash-signature index — the amortized
+    * corpus side of cross-corpus near-dedup (at 100 TB: a parquet
+    * artifact refreshed with the corpus, bucketed by band key). */
+  private val lshIndexCache =
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+
+  private def lshCorpusIndex(s: SparkSession, dir: String): DataFrame =
+    lshIndexCache.getOrElseUpdate((System.identityHashCode(s).toString, dir),
+      Dedup.minhashSignatures(docs(s, dir).where(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", numHashes = 16, shingleSize = 3, bands = 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private def pqCb(s: SparkSession, dir: String): Array[Double] =
     pqCbCache.getOrElseUpdate(
       (System.identityHashCode(s).toString, dir),
@@ -117,6 +129,7 @@ object PipelineQueries {
     * query/run; Bench warms + reports them as separate labeled lines. */
   def fixtures: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "fx_lsh_pairs" -> ((s, dir) => { lshPairs(s, dir).count(); () }),
+    "fx_lsh_corpus_index" -> ((s, dir) => { lshCorpusIndex(s, dir).count(); () }),
     "fx_pq_codebooks" -> ((s, dir) => { pqCb(s, dir); () }),
     "fx_kmeans_centroids" -> ((s, dir) => { kmCentroids(s, dir).count(); () }),
     "fx_rare_index" -> ((s, dir) => { rareIdx(s, dir).rarePostings.count(); () }),
@@ -170,6 +183,16 @@ object PipelineQueries {
     // MinHash + LSH banding → candidate pairs → exact-Jaccard verify
     "dedup_minhash_lsh" -> ((s, dir) =>
       lshPairs(s, dir).orderBy(col("id1"), col("id2"))),
+
+    // cross-corpus near-dedup: a NEW batch (doc_id % 10 = 0) against
+    // the EXISTING corpus's amortized signature index — the
+    // incremental-ingestion shape, where only the batch is shingled
+    // and hashed per run
+    "dedup_lsh_against" -> ((s, dir) =>
+      Dedup.minhashLshAgainst(docs(s, dir).where(col("doc_id") % 10 === 0),
+        "doc_id", "text", lshCorpusIndex(s, dir),
+        numHashes = 16, bands = 4, shingleSize = 3, threshold = 0.2)
+        .orderBy(col("new_id"), col("corpus_id"))),
 
     // duplicate-cluster assignment: connected components over the
     // verified LSH pairs — every doc in a near-dup cluster labeled with
@@ -1081,6 +1104,28 @@ object PipelineQueries {
     "dedup_minhash_lsh" ->
       s"""WITH $lshPairCtes
          | SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY id1, id2""".om,
+    // cross-corpus variant: band keys over the whole table (signatures
+    // are per-doc, so computing them jointly ≡ per side), candidates
+    // split batch-vs-corpus instead of id1 < id2
+    "dedup_lsh_against" ->
+      s"""WITH ${tokCte(3)}, $hsCte, ${seedsCte(16)},
+         | ex AS (SELECT doc_id, unnest(hs) AS h FROM hx),
+         | sig AS (SELECT doc_id, seed, min((h * a + b) % ${Dedup.MinhashP}) AS mh
+         |   FROM ex CROSS JOIN seeds GROUP BY doc_id, seed),
+         | bandkey AS (SELECT doc_id, seed // 4 AS band,
+         |   md5(string_agg(mh::VARCHAR, '|' ORDER BY seed)) AS band_key
+         |   FROM sig GROUP BY doc_id, band),
+         | cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+         |   FROM bandkey a JOIN bandkey b
+         |     ON a.band = b.band AND a.band_key = b.band_key
+         |   WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+         | j AS (SELECT new_id, corpus_id,
+         |   round(len(list_intersect(h1.hs, h2.hs))::DOUBLE /
+         |         len(list_distinct(list_concat(h1.hs, h2.hs))), 6) AS jaccard
+         |   FROM cand JOIN hx h1 ON h1.doc_id = new_id
+         |     JOIN hx h2 ON h2.doc_id = corpus_id)
+         | SELECT new_id, corpus_id, jaccard FROM j WHERE jaccard >= 0.2
+         | ORDER BY new_id, corpus_id""".om,
     "text_tfidf" ->
       s"""WITH words AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

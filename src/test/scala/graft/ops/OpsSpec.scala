@@ -392,6 +392,27 @@ class OpsSpec extends AnyFunSuite {
     assert(out.head.getDouble(2) == 1.0)
   }
 
+  test("minhashLshAgainst equals the within-corpus pairs across the split") {
+    // 40 docs, near-dup pairs planted every 4 ids; batch = id % 5 == 0
+    val docs = (1L to 40L).map(i =>
+      (i, s"body token stream w${i % 4} x${i % 4} y${i % 4} z${i % 4} " +
+        s"common filler words here ${i % 4}")).toDF("doc_id", "text")
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val idx = Dedup.minhashSignatures(corpus, "doc_id", "text",
+      numHashes = 16, shingleSize = 3, bands = 4)
+    val got = Dedup.minhashLshAgainst(batch, "doc_id", "text", idx,
+        numHashes = 16, bands = 4, shingleSize = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // reference: the whole-corpus LSH restricted to batch×corpus pairs
+    val whole = Dedup.minhashLsh(docs, "doc_id", "text", 16, 4, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, j) =>
+        Seq((a, b, j), (b, a, j)) // both orientations; filter to batch side
+      }.filter { case (n, c, _) => n % 5 == 0 && c % 5 != 0 }.toSet
+    assert(got == whole && got.nonEmpty)
+  }
+
   test("simhash: identical docs share hash; hamming 0 pair found") {
     val df = docsDF(1L -> "alpha beta gamma", 2L -> "alpha beta gamma", 3L -> "delta epsilon zeta")
     val hashes = df.select(col("doc_id"), Dedup.simhash64(col("text")).as("h"))
