@@ -667,23 +667,82 @@ object StreamIngest {
     * cleaning the batch union: no state beyond the dedup horizon, and
     * the benchmark side broadcast per batch exactly as in the batch
     * path. Output append is the same at-least-once-on-crash contract as
-    * [[ingestStream]] (the curated corpus is a plain parquet table). */
+    * [[ingestStream]] (the curated corpus is a plain parquet table).
+    *
+    * With `nearDupIndexPath` set, an incremental NEAR-dup gate runs
+    * after decontamination ([[admitNearDupFree]]): batch docs that
+    * near-duplicate anything previously admitted are dropped, and
+    * survivors' minhash signatures append to the growing index. */
   def curateToStore(docs: DataFrame, tsCol: String, idCol: String,
                     textCol: String, benchmark: DataFrame,
                     storePath: String, checkpoint: String,
                     watermark: String = "10 minutes",
                     minQuality: Double = 0.2, shingleSize: Int = 2,
                     threshold: Double = 0.4,
-                    daemon: Boolean = false): StreamingQuery = {
+                    daemon: Boolean = false,
+                    nearDupIndexPath: Option[String] = None,
+                    nearDupThreshold: Double = 0.6): StreamingQuery = {
     val curated = curateStream(docs, tsCol, textCol, watermark, minQuality)
     val w: DataStreamWriter[org.apache.spark.sql.Row] = curated.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        graft.ops.Decontaminate.clean(batch, benchmark, idCol, textCol,
-            shingleSize, threshold)
-          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(storePath)
+        val cleaned = graft.ops.Decontaminate.clean(batch, benchmark, idCol,
+          textCol, shingleSize, threshold)
+        nearDupIndexPath match {
+          case None =>
+            cleaned.write.mode(org.apache.spark.sql.SaveMode.Append)
+              .parquet(storePath)
+          case Some(ix) => admitNearDupFree(cleaned, idCol, textCol, ix,
+            nearDupThreshold, storePath)
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(if (daemon) Trigger.ProcessingTime("5 seconds") else Trigger.AvailableNow())
     w.start()
+  }
+
+  /** The incremental NEAR-dup gate of the curation stream — the
+    * streaming consumer of [[graft.ops.Dedup.minhashLshAgainst]]:
+    * documents of this micro-batch that near-duplicate anything already
+    * ADMITTED to the corpus are dropped, and the survivors' minhash
+    * signatures are appended to the growing index at `indexPath`, so
+    * later batches (and later runs — the index is a plain parquet
+    * table) compare against everything that came before. Within-batch
+    * near-dups are not collapsed here (the watermark dedup upstream
+    * removes exact repeats; run the batch [[graft.ops.Dedup.minhashLsh]]
+    * over the corpus on the maintenance cadence for the rest). Index
+    * appends share the corpus append's at-least-once-on-crash contract:
+    * a replayed batch re-appends signatures, and duplicate index rows
+    * only make the gate STRICTER (the same candidate pairs re-verify),
+    * never admit a duplicate. */
+  private def admitNearDupFree(batch: DataFrame, idCol: String,
+                               textCol: String, indexPath: String,
+                               threshold: Double, storePath: String): Unit = {
+    import graft.ops.Dedup
+    val spark = batch.sparkSession
+    val persisted = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val survivors = {
+      val hasIndex = graft.tsdb.BlockIO.isDirectory(indexPath) &&
+        graft.tsdb.BlockIO.listNames(indexPath)
+          .exists(n => !n.startsWith("_") && !n.startsWith("."))
+      if (!hasIndex) persisted
+      else {
+        val dupIds = Dedup.minhashLshAgainst(persisted, idCol, textCol,
+            spark.read.parquet(indexPath), numHashes = 16, bands = 4,
+            shingleSize = 3, threshold = threshold)
+          .select(col("new_id").as(idCol)).distinct()
+        persisted.join(dupIds, Seq(idCol), "left_anti")
+      }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      survivors.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(storePath)
+      // admitted docs join the index so the NEXT batch sees them
+      Dedup.minhashSignatures(survivors, idCol, textCol,
+          numHashes = 16, shingleSize = 3, bands = 4)
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(indexPath)
+    } finally {
+      survivors.unpersist(false)
+      persisted.unpersist(false)
+    }
   }
 }

@@ -45,10 +45,18 @@ object TsDeletions {
     case "prefix" => MatchType.Prefix
   }
 
-  /** Pending deletion records (empty when none). */
+  /** Pending deletion records (empty when none). The part files are
+    * enumerated and read EXPLICITLY: handing Spark the `_deletions`
+    * dir root trips the hidden-path filter (underscore prefix) and
+    * logs a spurious "All paths were ignored" warning on every read —
+    * noise in any log-scraping pipeline. */
   def list(spark: SparkSession, store: String): Seq[Deletion] = {
     if (!BlockIO.isDirectory(dir(store))) return Seq.empty
-    spark.read.schema(schema).parquet(dir(store)).collect().toSeq
+    val parts = BlockIO.listNames(dir(store))
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      .map(n => BlockIO.child(dir(store), n))
+    if (parts.isEmpty) return Seq.empty
+    spark.read.schema(schema).parquet(parts: _*).collect().toSeq
       .map { r =>
         Deletion(r.getLong(0), r.getLong(1), r.getLong(2),
           r.getSeq[Row](3).map(m =>

@@ -574,6 +574,45 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(out == Seq(1L, 5L))
   }
 
+  test("curateToStore near-dup gate: later batches drop near-dups of admitted docs") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("graft-curatelsh")
+    val store = root.resolve("corpus").toString
+    val lshIx = root.resolve("lshindex").toString
+    val ckpt = root.resolve("ckpt").toString
+    val benchmark = Seq((900L, "completely unrelated benchmark text payload"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, Long, String)]
+    val docsStream = mem.toDF().select(timestamp_millis(col("_1")).as("ts"),
+      col("_2").as("doc_id"), col("_3").as("text"))
+    val query = StreamIngest.curateToStore(docsStream, "ts", "doc_id", "text",
+      benchmark, store, ckpt, daemon = true,
+      nearDupIndexPath = Some(lshIx), nearDupThreshold = 0.5)
+
+    val t0 = 1700000000000L
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    mem.addData((t0, 1L, base))
+    query.processAllAvailable()
+    // batch 2: a NEAR-dup of doc 1 (one token changed — not an exact
+    // dup, so the watermark dedup cannot catch it) + a fresh doc
+    mem.addData(
+      (t0 + 60000L, 2L, base.replace("omicron", "psi")),
+      (t0 + 61000L, 3L, "a totally different document about growing basil " +
+        "indoors with plenty of light and patience every single day"))
+    query.processAllAvailable()
+    query.stop()
+
+    val out = spark.read.parquet(store).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 3L), s"got $out")
+    // the index holds exactly the admitted docs' signatures
+    val ix = spark.read.parquet(lshIx).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ix == Seq(1L, 3L), s"index $ix")
+  }
+
   test("streaming curation: dedup + quality floor + langid in one stream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
