@@ -395,6 +395,29 @@ object ScaleCheck {
         "selective read must fetch a small fraction of the segments")
     }
 
+    // --- round 7: exact heavy hitters over 10M rows ---
+    // 1M distinct keys (far beyond what a whole groupBy should carry at
+    // 100 TB) but only ~100 heavy ones: the MG candidate pass bounds
+    // memory at m per partition and the recount is a semi-joined
+    // aggregation — assert the result equals the direct top-10
+    val hhRows = spark.range(10000000).select(
+      lit("g").as("g"),
+      // ~90% of rows concentrate on 100 heavy keys, rest on 1M tail
+      when(pmod(col("id"), lit(10)) < 9,
+        concat(lit("hot"), pmod(col("id"), lit(100))))
+        .otherwise(concat(lit("cold"), pmod(col("id"), lit(1000000))))
+        .as("u"))
+    time("heavy hitters: 10M rows, 1M distinct, m=4096, k=10") {
+      val got = graft.ops.Sketches.heavyHitters(hhRows, col("g"), col("u"),
+        k = 10, m = 4096).orderBy(col("rnk"))
+        .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+      val direct = hhRows.groupBy(col("u")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("u")).limit(10)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      require(got == direct, s"heavy hitters diverged: $got vs $direct")
+      println(s"SCALE heavyHitters top1=${got.head}")
+    }
+
     // --- round 7: ANN probe pruning at 1024 cells ---
     // the static-partition-filter claim at production cell counts:
     // 200k vectors over 1024 cells, nprobe=8 -> the scan plans 8 cell
