@@ -55,7 +55,14 @@ object Dedup {
       val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
       val got = sharedPersists.get(key)
       if (got != null) got
-      else {
+      else if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) {
+        // already pinned outside this registry (e.g. a fixture cache
+        // persisted the same plan directly): CacheManager will substitute
+        // the cached subplan anyway, and persisting again only logs
+        // "Asked to cache already cached data" — return as-is and leave
+        // the lifecycle with whoever persisted first
+        df
+      } else {
         val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         sharedPersists.put(key, p)
         p
