@@ -1,6 +1,9 @@
 package graft.tsdb
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.storage.StorageLevel
 
 /** The peer tier of the chunk cache — the reference's groupcache layer
@@ -19,14 +22,17 @@ import org.apache.spark.storage.StorageLevel
   * cache is not a custom RPC layer; it is "persist the decoded scan".
   *
   * This registry makes that a first-class, *bounded* tier over
-  * `graft-tsdb` scans, keyed by the scan's canonicalized plan (root
-  * path + pushed matchers + time window + columns): repeated queries
-  * over the same selection — the hot-dashboard shape the reference
-  * built groupcache for — decode chunks ONCE cluster-wide and serve
-  * every later run from executor memory, cross-executor via remote
-  * block fetch. Entries evict LRU with `unpersist` (never stale:
-  * blocks are immutable ULID dirs, and a new block changes the scan's
-  * plan through the block list, so a grown store simply misses).
+  * `graft-tsdb` scans, keyed at (root path + block set + time window +
+  * columns) with label matchers applied ABOVE the cached decoded
+  * relation — the reference's sharing granularity, which keys on chunk
+  * ranges rather than whole queries, so overlapping-but-distinct
+  * selections share cache. Repeated and overlapping queries — the
+  * hot-dashboard shape the reference built groupcache for — decode
+  * chunks ONCE cluster-wide and serve every later run from executor
+  * memory, cross-executor via remote block fetch. Entries evict LRU
+  * with `unpersist` (never stale: blocks are immutable ULID dirs, and
+  * a new block changes the table's block set, so a grown store simply
+  * misses).
   *
   * Tiering vs [[ChunkFile.RecordCache]]: RecordCache is the
   * executor-local hot tier (decoded records, zero-IO re-decode within
@@ -54,26 +60,84 @@ object ChunkPeerCache {
   def misses: Long = missCount.get()
   def entryCount: Int = relations.synchronized { relations.size }
 
-  /** Route `scan` through the peer tier: the first call per distinct
-    * (session, canonical plan) persists the decoded relation
-    * (`MEMORY_AND_DISK` — spill, don't recompute, on memory pressure);
-    * every later call with an equivalent plan returns the SAME cached
-    * relation, so its partitions are served from whichever executor's
-    * BlockManager holds them. Works for any DataFrame, but is designed
-    * for `graft-tsdb` scans, whose plan embeds the block root, pushed
-    * matchers and time window. */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** Decompose `Filter*(SubqueryAlias*(tsdb relation))` into the relation
+    * and the flat conjunct list; anything else (projections, joins,
+    * non-tsdb sources) is left to the exact-plan path. */
+  private def split(p: LogicalPlan): Option[(LogicalPlan, Seq[Expression])] =
+    p match {
+      case Filter(cond, child) =>
+        split(child).map { case (b, cs) => (b, conjuncts(cond) ++ cs) }
+      case a: SubqueryAlias => split(a.child)
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[datasource.TsdbBlockTable] => Some((r, Nil))
+      case _ => None
+    }
+
+  /** Route `scan` through the peer tier.
+    *
+    * Sharing granularity mirrors the reference's groupcache, which keys
+    * on chunk RANGES, not queries (`groupcache.go:36-130`) — two
+    * different selections over the same chunks share cache. Here the
+    * shared unit is the decoded relation at (root, block set, time
+    * window, columns): a `Filter*(tsdb relation)` scan is decomposed,
+    * conjuncts over the time column `t` stay BELOW the cache (the time
+    * window drives block/chunk pruning and bounds what is decoded —
+    * caching above it would decode the whole store for a 2h dashboard),
+    * and label-matcher conjuncts are re-applied ABOVE the cached
+    * relation, remapped by column name. So a NEW matcher over an
+    * already-cached (root, window) is a peer hit served from executor
+    * memory — zero chunk IO — exactly the overlapping-selection shape
+    * groupcache accelerates. A changed window, grown block set or
+    * different column schema misses (the canonical key embeds all
+    * three; blocks are immutable ULID dirs, so entries are never
+    * stale).
+    *
+    * The first call per key persists (`MEMORY_AND_DISK` — spill, don't
+    * recompute, on memory pressure); plans this decomposition doesn't
+    * cover fall back to exact-canonical-plan reuse. */
   def cached(scan: DataFrame,
              level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
     relations.synchronized {
-      val key = (scan.sparkSession, scan.queryExecution.analyzed.canonicalized)
-      val got = relations.get(key)
-      if (got != null) { hitCount.incrementAndGet(); got }
-      else {
-        missCount.incrementAndGet()
-        val p = scan.persist(level)
-        relations.put(key, p)
-        p
+      val analyzed = scan.queryExecution.analyzed
+      val lifted = split(analyzed).flatMap { case (rel, conds) =>
+        val (timeConds, matcherConds) =
+          conds.partition(_.references.forall(_.name == "t"))
+        if (matcherConds.isEmpty) None
+        else {
+          // base = relation + time window, built from this scan's own
+          // attributes (no remap needed); canonicalization normalizes
+          // exprIds and conjunct order, so an equivalent window over an
+          // equal table (TsdbBlockTable equality = root + schema +
+          // block set) from a separate load keys identically
+          val baseDf = timeConds.foldLeft(
+            GraftSqlBridge.ofRows(scan.sparkSession, rel))(
+            (d, c) => d.where(GraftSqlBridge.column(c)))
+          Some((baseDf, matcherConds))
+        }
       }
+      val (keyDf, above) = lifted.getOrElse((scan, Seq.empty[Expression]))
+      val key = (scan.sparkSession, keyDf.queryExecution.analyzed.canonicalized)
+      val got = relations.get(key)
+      val base =
+        if (got != null) { hitCount.incrementAndGet(); got }
+        else {
+          missCount.incrementAndGet()
+          val p = keyDf.persist(level)
+          relations.put(key, p)
+          p
+        }
+      // matchers re-apply above the cached relation: rebind their
+      // attribute references (this scan's exprIds) to the cached base's
+      // output by name — the relation schema is flat and names unique
+      val byName = base.queryExecution.analyzed.output.map(a => a.name -> a).toMap
+      above.foldLeft(base)((d, c) => d.where(GraftSqlBridge.column(c.transform {
+        case a: AttributeReference => byName.getOrElse(a.name, a)
+      })))
     }
 
   /** Drop every cached relation (all sessions) and reset nothing else —

@@ -17,4 +17,11 @@ object GraftSqlBridge {
     * the analyzer never visits in that context). */
   def toCatalyst(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Wrap an analyzed `LogicalPlan` back into a `DataFrame` — what a
+    * plan-level cache needs to rebuild the sub-plan it keys on
+    * (`Dataset.ofRows` is `private[sql]`). */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

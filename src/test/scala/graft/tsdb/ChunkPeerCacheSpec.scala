@@ -37,10 +37,10 @@ class ChunkPeerCacheSpec extends AnyFunSuite {
     assert(first.count() == 3 * 200) // materializes into the BlockManager
 
     // a fresh, structurally identical query resolves to the SAME cached
-    // relation (canonical-plan key: root + matchers + columns)
+    // relation (canonical key: root + block set + window + columns)
     val second = ChunkPeerCache.cached(sel)
     assert(ChunkPeerCache.hits == h0 + 1)
-    assert(second eq first)
+    assert(second.count() == first.count())
 
     // the repeat run reads cached partitions — it must not touch the
     // segment files NOR the executor-local RecordCache: the tsdb reader
@@ -54,11 +54,37 @@ class ChunkPeerCacheSpec extends AnyFunSuite {
     assert(second.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
       "repeat query must be served from the cached relation")
 
-    // a different selection is its own entry (and a miss)
+    // a DIFFERENT matcher over the same (root, window, columns) shares
+    // the cached decoded relation — the reference's groupcache keys on
+    // chunk ranges, not queries (`groupcache.go:36-130`), so
+    // overlapping-but-distinct selections must be peer hits, not origin
+    // reads: zero chunk IO, matcher applied above the cached relation
+    ChunkFile.bytesFetched.set(0)
     val other = ChunkPeerCache.cached(
       spark.read.format("graft-tsdb").load(root).where(col("job") === "web"))
-    assert(ChunkPeerCache.misses == m0 + 2)
+    assert(ChunkPeerCache.hits == h0 + 2, "new matcher over cached blocks must be a peer hit")
     assert(other.count() == 3 * 200)
+    assert(ChunkFile.bytesFetched.get() == 0,
+      "distinct-matcher peer hit must do zero chunk IO")
+    assert(other.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "distinct matcher must be served from the cached relation")
+
+    // a different TIME window is its own entry (and a miss): the window
+    // bounds what is decoded, so it stays below the cache in the key
+    val windowed = ChunkPeerCache.cached(
+      spark.read.format("graft-tsdb").load(root)
+        .where(col("t") < lit(1700000000000L + 100 * 15000L))
+        .where(col("job") === "api"))
+    assert(ChunkPeerCache.misses == m0 + 2)
+    assert(windowed.count() == 3 * 100)
+
+    // ...and a REPEAT of that window with yet another matcher hits it
+    val windowed2 = ChunkPeerCache.cached(
+      spark.read.format("graft-tsdb").load(root)
+        .where(col("t") < lit(1700000000000L + 100 * 15000L))
+        .where(col("instance") === "i-1"))
+    assert(ChunkPeerCache.hits == h0 + 3)
+    assert(windowed2.count() == 2 * 100)
 
     ChunkPeerCache.clear()
     assert(ChunkPeerCache.entryCount == 0)
