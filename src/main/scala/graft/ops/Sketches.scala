@@ -360,12 +360,29 @@ object Sketches {
     * Output: (grp, key, cnt, rnk ≤ k). */
   def heavyHitters(df: DataFrame, groupCol: Column, keyCol: Column,
                    k: Int, m: Int = 4096): DataFrame = {
+    val pairs = df
+      .select(groupCol.cast("string").as("grp"), keyCol.cast("string").as("key"))
+      .where(col("key").isNotNull)
+    recountTopK(pairs, mgCandidates(df, groupCol, keyCol, m), k)
+  }
+
+  /** The nomination half of [[heavyHitters]]: per-partition Misra-Gries
+    * summaries of capacity `m`, emitted as the distinct (grp, key)
+    * candidate set. The MG guarantee — any key whose frequency in the
+    * scanned rows exceeds rows/m survives the summary — makes this set a
+    * SUPERSET of every key heavier than rows/m. Exposed separately
+    * because the set is union-mergeable across splits of the data (a key
+    * heavier than N/m over a union of batches must, by pigeonhole,
+    * exceed its batch's threshold in at least one batch), which is what
+    * the streaming form builds on. */
+  def mgCandidates(df: DataFrame, groupCol: Column, keyCol: Column,
+                   m: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val pairs = df
       .select(groupCol.cast("string").as("grp"), keyCol.cast("string").as("key"))
       .where(col("key").isNotNull)
-    val candidates = pairs.as[(String, String)].mapPartitions { it =>
+    pairs.as[(String, String)].mapPartitions { it =>
       val perGroup = scala.collection.mutable.HashMap
         .empty[String, scala.collection.mutable.HashMap[String, Long]]
       it.foreach { case (g, key) =>
@@ -383,6 +400,15 @@ object Sketches {
       }
       perGroup.iterator.flatMap { case (g, mg) => mg.keysIterator.map((g, _)) }
     }.toDF("grp", "key").distinct()
+  }
+
+  /** The exact half of [[heavyHitters]]: recount the candidate semi-join
+    * over the full `(grp, key)` pair stream and keep the top k per group
+    * (deterministic lexicographic tie-break). Any candidate SUPERSET of
+    * the true heavies yields the identical result, so batch and
+    * streaming candidate generation interchange freely. */
+  private[graft] def recountTopK(pairs: DataFrame, candidates: DataFrame,
+                                 k: Int): DataFrame =
     pairs.join(broadcast(candidates), Seq("grp", "key"), "left_semi")
       .groupBy(col("grp"), col("key"))
       .agg(count(lit(1)).as("cnt"))
@@ -390,5 +416,4 @@ object Sketches {
         Window.partitionBy(col("grp"))
           .orderBy(col("cnt").desc, col("key"))))
       .where(col("rnk") <= k)
-  }
 }

@@ -639,6 +639,51 @@ object StreamIngest {
     graft.ops.NativeHistogram.merge(
       spark.read.parquet(indexPath).drop("batch"), groupCols)
 
+  /** Streaming heavy hitters — the candidate half of
+    * [[graft.ops.Sketches.heavyHitters]] run per micro-batch: each batch
+    * writes only its bounded Misra-Gries candidate set (≤ partitions × m
+    * `(grp, key)` rows — raw observations are never stored). The union
+    * of per-batch candidate sets is a SUPERSET of every key with
+    * frequency > N/m over the whole stream: a key that never exceeds its
+    * batch's local threshold in ANY batch cannot, by pigeonhole, exceed
+    * the global one. Candidate sets are idempotent under set-union, so
+    * the `batch=<id>` Overwrite replay contract makes replays harmless,
+    * like [[bloomBitsStream]]. */
+  def heavyHittersStream(rows: DataFrame, groupCol: String, keyCol: String,
+                         m: Int, indexPath: String, checkpoint: String,
+                         daemon: Boolean = false): StreamingQuery = {
+    val w: DataStreamWriter[org.apache.spark.sql.Row] = rows.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.ops.Sketches.mgCandidates(batch, col(groupCol), col(keyCol), m)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$indexPath/batch=$batchId")
+        batch.sparkSession.catalog.refreshByPath(indexPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (daemon) Trigger.ProcessingTime("5 seconds") else Trigger.AvailableNow())
+    w.start()
+  }
+
+  /** Top-k per group over a [[heavyHittersStream]] candidate store —
+    * identical to the batch [[graft.ops.Sketches.heavyHitters]] on the
+    * union whenever the k-th frequency exceeds N/m (the batch contract):
+    * both recount EXACTLY over the corpus, and any candidate superset of
+    * the true heavies recounts to the same answer. `corpus` is the
+    * accumulated stream content — the parquet table the ingest path
+    * already appends ([[ingestStream]]/[[curateToStore]]) — so the
+    * recount is one bounded broadcast semi-join + aggregation, never a
+    * full top-N sort. */
+  def heavyHittersView(spark: SparkSession, indexPath: String,
+                       corpus: DataFrame, groupCol: String, keyCol: String,
+                       k: Int): DataFrame = {
+    val pairs = corpus
+      .select(col(groupCol).cast("string").as("grp"),
+        col(keyCol).cast("string").as("key"))
+      .where(col("key").isNotNull)
+    graft.ops.Sketches.recountTopK(pairs,
+      spark.read.parquet(indexPath).drop("batch").distinct(), k)
+  }
+
   /** Beyond-reference: the streaming form of the batch curation pipeline
     * ([[graft.queries.PipelineQueries]] `pipeline_curate`) — the
     * watermark-bounded exact dedup composed with the STATELESS per-doc
@@ -700,39 +745,102 @@ object StreamIngest {
     w.start()
   }
 
-  /** The incremental NEAR-dup gate of the curation stream — the
-    * streaming consumer of [[graft.ops.Dedup.minhashLshAgainst]]:
+  /** Per-micro-batch near-dup FLAGS against the growing signature index
+    * at `indexPath` — the shared core of the curation gates: the batch
+    * comes back with a `near_dup_of` column holding the smallest
+    * already-indexed near-duplicate's id, or null for a novel document.
+    * The index is read FRESH each call (a new file listing per batch —
+    * the reason the gate lives in `foreachBatch` rather than a
+    * stream-static join, whose file listing freezes at stream start).
+    * Before the index has any data every document is novel. */
+  private def nearDupFlags(batch: DataFrame, idCol: String, textCol: String,
+                           indexPath: String, threshold: Double): DataFrame = {
+    val spark = batch.sparkSession
+    val hasIndex = graft.tsdb.BlockIO.isDirectory(indexPath) &&
+      graft.tsdb.BlockIO.listNames(indexPath)
+        .exists(n => !n.startsWith("_") && !n.startsWith("."))
+    if (!hasIndex)
+      batch.withColumn("near_dup_of",
+        lit(null).cast(batch.schema(batch.schema.fieldIndex(idCol)).dataType))
+    else {
+      val matches = graft.ops.Dedup.minhashLshAgainst(batch, idCol, textCol,
+          spark.read.parquet(indexPath), numHashes = 16, bands = 4,
+          shingleSize = 3, threshold = threshold)
+        .groupBy(col("new_id"))
+        .agg(min(col("corpus_id")).as("near_dup_of"))
+        .select(col("new_id").as(idCol), col("near_dup_of"))
+      batch.join(matches, Seq(idCol), "left")
+    }
+  }
+
+  /** [[curateStream]] with the incremental near-dup gate folded in — the
+    * non-store counterpart of [[curateToStore]]'s gate, for pipelines
+    * that own their sink: upstream, the watermark-bounded exact dedup ×
+    * quality floor × langid of [[curateStream]]; then per micro-batch
+    * the surviving documents are flagged against the growing minhash
+    * signature index ([[nearDupFlags]] — `near_dup_of` names the
+    * already-seen near-duplicate, null means novel), NOVEL documents'
+    * signatures append to the index so later batches (and later runs)
+    * compare against everything admitted before, and the flagged batch
+    * is handed to `sink`. The sink decides drop-vs-route — flagged rows
+    * are delivered, not silently swallowed, because a real pipeline
+    * audits its rejects. Same at-least-once-on-crash contract as
+    * [[curateToStore]]: a replayed batch re-appends signatures, and
+    * duplicate index rows only make the gate stricter. */
+  def curateStreamGated(docs: DataFrame, tsCol: String, idCol: String,
+                        textCol: String, nearDupIndexPath: String,
+                        checkpoint: String,
+                        watermark: String = "10 minutes",
+                        minQuality: Double = 0.2,
+                        nearDupThreshold: Double = 0.6,
+                        daemon: Boolean = false)
+                       (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val curated = curateStream(docs, tsCol, textCol, watermark, minQuality)
+    val w: DataStreamWriter[org.apache.spark.sql.Row] = curated.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val persisted = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val flagged = nearDupFlags(persisted, idCol, textCol,
+              nearDupIndexPath, nearDupThreshold)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            sink(flagged, batchId)
+            // novel docs join the index so the NEXT batch sees them
+            graft.ops.Dedup.minhashSignatures(
+                flagged.where(col("near_dup_of").isNull), idCol, textCol,
+                numHashes = 16, shingleSize = 3, bands = 4)
+              .write.mode(org.apache.spark.sql.SaveMode.Append)
+              .parquet(nearDupIndexPath)
+          } finally flagged.unpersist(false)
+        } finally persisted.unpersist(false)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (daemon) Trigger.ProcessingTime("5 seconds") else Trigger.AvailableNow())
+    w.start()
+  }
+
+  /** The incremental NEAR-dup gate of the store-ending curation stream —
+    * the streaming consumer of [[graft.ops.Dedup.minhashLshAgainst]]:
     * documents of this micro-batch that near-duplicate anything already
-    * ADMITTED to the corpus are dropped, and the survivors' minhash
-    * signatures are appended to the growing index at `indexPath`, so
-    * later batches (and later runs — the index is a plain parquet
-    * table) compare against everything that came before. Within-batch
-    * near-dups are not collapsed here (the watermark dedup upstream
-    * removes exact repeats; run the batch [[graft.ops.Dedup.minhashLsh]]
-    * over the corpus on the maintenance cadence for the rest). Index
-    * appends share the corpus append's at-least-once-on-crash contract:
-    * a replayed batch re-appends signatures, and duplicate index rows
-    * only make the gate STRICTER (the same candidate pairs re-verify),
-    * never admit a duplicate. */
+    * ADMITTED to the corpus are dropped ([[nearDupFlags]] decides), and
+    * the survivors' minhash signatures are appended to the growing index
+    * at `indexPath`, so later batches (and later runs — the index is a
+    * plain parquet table) compare against everything that came before.
+    * Within-batch near-dups are not collapsed here (the watermark dedup
+    * upstream removes exact repeats; run the batch
+    * [[graft.ops.Dedup.minhashLsh]] over the corpus on the maintenance
+    * cadence for the rest). Index appends share the corpus append's
+    * at-least-once-on-crash contract: a replayed batch re-appends
+    * signatures, and duplicate index rows only make the gate STRICTER
+    * (the same candidate pairs re-verify), never admit a duplicate. */
   private def admitNearDupFree(batch: DataFrame, idCol: String,
                                textCol: String, indexPath: String,
                                threshold: Double, storePath: String): Unit = {
     import graft.ops.Dedup
-    val spark = batch.sparkSession
     val persisted = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val survivors = {
-      val hasIndex = graft.tsdb.BlockIO.isDirectory(indexPath) &&
-        graft.tsdb.BlockIO.listNames(indexPath)
-          .exists(n => !n.startsWith("_") && !n.startsWith("."))
-      if (!hasIndex) persisted
-      else {
-        val dupIds = Dedup.minhashLshAgainst(persisted, idCol, textCol,
-            spark.read.parquet(indexPath), numHashes = 16, bands = 4,
-            shingleSize = 3, threshold = threshold)
-          .select(col("new_id").as(idCol)).distinct()
-        persisted.join(dupIds, Seq(idCol), "left_anti")
-      }
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val survivors = nearDupFlags(persisted, idCol, textCol, indexPath, threshold)
+      .where(col("near_dup_of").isNull).drop("near_dup_of")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       survivors.write.mode(org.apache.spark.sql.SaveMode.Append)
         .parquet(storePath)

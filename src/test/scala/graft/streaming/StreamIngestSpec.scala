@@ -397,6 +397,44 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(qs == qb)
   }
 
+  test("streaming heavy hitters: candidate-union recount equals the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("graft-hhstream")
+    val idx = root.resolve("cands").toString
+    val ckpt = root.resolve("ckpt").toString
+    val mem = MemoryStream[(String, String)] // (group, key)
+    val rows = mem.toDF().select(col("_1").as("g"), col("_2").as("w"))
+    val query = StreamIngest.heavyHittersStream(rows, "g", "w", m = 8,
+      idx, ckpt, daemon = true)
+
+    // heavies shift weight between batches; tails churn the m=8 summaries
+    val b1 = Seq.fill(60)(("a", "h1")) ++ Seq.fill(40)(("a", "h2")) ++
+      Seq.fill(25)(("a", "h3")) ++ (1 to 20).map(i => ("a", s"t$i"))
+    val b2 = Seq.fill(35)(("a", "h1")) ++ Seq.fill(50)(("a", "h2")) ++
+      Seq.fill(20)(("a", "h3")) ++ (15 to 34).map(i => ("a", s"t$i"))
+    mem.addData(b1: _*)
+    query.processAllAvailable()
+    mem.addData(b2: _*)
+    query.processAllAvailable()
+    query.stop()
+
+    // the view recounts the stored candidate union against the corpus
+    // the ingest path accumulates — here, the batch union itself
+    val union = (b1 ++ b2).toDF("g", "w")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getString(r.fieldIndex("grp")), r.getString(r.fieldIndex("key")),
+        r.getLong(r.fieldIndex("cnt")), r.getInt(r.fieldIndex("rnk")))
+    }.toSet
+    val streamed = StreamIngest.heavyHittersView(spark, idx, union, "g", "w", k = 3)
+    val batch = graft.ops.Sketches.heavyHitters(union, col("g"), col("w"), k = 3, m = 8)
+    assert(key(streamed) == key(batch))
+    // counts are EXACT (recount, not summary estimates), ranking is the
+    // true top-3: k-th frequency 45 clears the N/m ≈ 34 contract line
+    assert(key(streamed) == Set(("a", "h1", 95L, 1), ("a", "h2", 90L, 2),
+      ("a", "h3", 45L, 3)))
+  }
+
   test("streaming HLL: register max-merge equals the batch sketch on the union") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -611,6 +649,53 @@ class StreamIngestSpec extends AnyFunSuite {
     val ix = spark.read.parquet(lshIx).select("id").collect()
       .map(_.getLong(0)).sorted.toSeq
     assert(ix == Seq(1L, 3L), s"index $ix")
+  }
+
+  test("curateStreamGated: cross-batch near-dup flagged against the growing index") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("graft-curategate")
+    val lshIx = root.resolve("lshindex").toString
+    val ckpt = root.resolve("ckpt").toString
+    val mem = MemoryStream[(Long, Long, String)] // (t ms, doc_id, text)
+    val docsStream = mem.toDF().select(timestamp_millis(col("_1")).as("ts"),
+      col("_2").as("doc_id"), col("_3").as("text"))
+    // the pipeline's own sink: collect (doc_id, near_dup_of) per batch —
+    // flagged rows are DELIVERED (the sink routes rejects), not dropped
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Option[Long])]()
+    val query = StreamIngest.curateStreamGated(docsStream, "ts", "doc_id",
+      "text", lshIx, ckpt, minQuality = 0.0, nearDupThreshold = 0.5,
+      daemon = true) { (batch, _) =>
+      got ++= batch.select("doc_id", "near_dup_of").collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      ()
+    }
+
+    val t0 = 1700000000000L
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    mem.addData((t0, 1L, base), (t0 + 1000L, 2L,
+      "a totally different document about growing basil indoors with " +
+        "plenty of light and patience every single day"))
+    query.processAllAvailable()
+    // batch 2: a NEAR-dup of doc 1 (one token changed — not an exact dup,
+    // so the watermark dedup upstream cannot catch it) + a fresh doc
+    mem.addData(
+      (t0 + 60000L, 3L, base.replace("omicron", "psi")),
+      (t0 + 61000L, 4L, "meanwhile an unrelated essay on tending a sour" +
+        "dough starter through a cold winter week by week"))
+    query.processAllAvailable()
+    query.stop()
+
+    val flags = got.toMap
+    assert(flags.keySet == Set(1L, 2L, 3L, 4L), s"got $flags")
+    assert(flags(1L).isEmpty && flags(2L).isEmpty && flags(4L).isEmpty)
+    assert(flags(3L) == Some(1L),
+      "cross-batch near-duplicate must be flagged with the indexed doc id")
+    // only NOVEL docs' signatures joined the index
+    val ix = spark.read.parquet(lshIx).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ix == Seq(1L, 2L, 4L), s"index $ix")
   }
 
   test("streaming curation: dedup + quality floor + langid in one stream") {
