@@ -155,6 +155,32 @@ object NativeHistogram {
   def quantile(nh: DataFrame, q: Double, groupCols: Seq[String]): DataFrame =
     PromOps.histogramQuantile(toClassic(nh, groupCols), q, groupCols)
 
+  /** Native-histogram SERIES for the PromQL engine — Prometheus's
+    * "classic view" of native histograms: each (group labels, t)
+    * histogram row becomes cumulative `<metric>` bucket samples labeled
+    * with `le` at the NATIVE exponential bounds (no precision loss —
+    * the bounds are the native ones, not a fixed classic grid). The
+    * output is long-form `(labels map, t, v)`, i.e. exactly what
+    * [[graft.tsdb.TsSchema.canonicalize]] + [[graft.tsdb.TsQuerier]]
+    * serve, so `histogram_quantile(φ, <metric>)` — and any other PromQL
+    * over the bucket series — evaluates through the ordinary
+    * [[graft.promql.Evaluator]] path with no histogram-specific code in
+    * the engine. `le` round-trips double → string → double exactly
+    * (Java toString), so the quantile math is bit-identical to
+    * [[quantile]]. */
+  def toClassicSeries(nh: DataFrame, metric: String, groupLabels: Seq[String],
+                      tCol: String): DataFrame = {
+    val classic = toClassic(nh, groupLabels :+ tCol)
+    val leStr = when(col("le") === Double.PositiveInfinity, lit("+Inf"))
+      .otherwise(col("le").cast("string"))
+    val entries =
+      Seq(lit(graft.tsdb.Labels.MetricName), lit(metric)) ++
+        groupLabels.flatMap(g => Seq(lit(g), col(g).cast("string"))) ++
+        Seq(lit("le"), leStr)
+    classic.select(map(entries: _*).as("labels"),
+      col(tCol).cast("long").as("t"), col("cum").cast("double").as("v"))
+  }
+
   private def bucketLower(idx: Column, schema: Column): Column =
     bucketUpper(idx - 1, schema)
 

@@ -586,6 +586,30 @@ object TsQueries {
         .orderBy(col("user"), col("big"), col("t"))
     }),
 
+    // PromQL over NATIVE histograms, via the classic view: per
+    // (event_type, day) native histograms (sparse exponential buckets,
+    // schema 2) exposed as cumulative le-bucket SERIES at the native
+    // bounds (NativeHistogram.toClassicSeries), served by an ordinary
+    // TsQuerier, and histogram_quantile evaluated by the PromQL
+    // front-end — no histogram-specific code in the evaluator
+    "ts_promql_native_hist" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          (Tables.tsMillis(col("ts")) -
+            pmod(Tables.tsMillis(col("ts")), lit(86400000L))).as("day_t"))
+        .where(col("day_t").between(Mint, Maxt))
+      val nh = graft.ops.NativeHistogram.observe(ev, col("value"),
+        schema = 2, Seq("event_type", "day_t"))
+      val q = new TsQuerier(TsSchema.canonicalize(
+        graft.ops.NativeHistogram.toClassicSeries(nh, "latency",
+          Seq("event_type"), "day_t")))
+      graft.promql.PromQL.rangeQuery(q,
+        "histogram_quantile(0.9, latency)", Mint, Maxt, 86400000L)
+        .select(TsSchema.labelValue(col("labels"), "event_type").as("event_type"),
+          col("t"), round(col("v"), 6).as("q90"))
+        .orderBy(col("event_type"), col("t"))
+    }),
+
     // recording rule: the e2e expression materialized into a store as a
     // new metric, then selected back through the ordinary querier — the
     // oracle is the SAME SQL as ts_promql_e2e because the rule series
@@ -927,6 +951,36 @@ object TsQueries {
     s"""SELECT name, "user", t, v FROM ($oracleBase) WHERE t BETWEEN $Mint AND $Maxt AND ($pred) ORDER BY name, "user", t, v"""
 
   val oracles: Map[String, String] = Map(
+    // native-histogram quantile through the PromQL front-end: same
+    // bucket math as q_native_hist_quantile (correctly-rounded ln(2)
+    // literal, bit-identical bucket indices) with the day dimension of
+    // the step grid added; each day-start histogram serves exactly its
+    // own step, so the oracle needs no lookback modeling
+    "ts_promql_native_hist" ->
+      s"""WITH ev AS (SELECT event_type, "value" AS value,
+         |   epoch_ms(ts) - epoch_ms(ts) % 86400000 AS t FROM events),
+         | evw AS (SELECT * FROM ev WHERE t BETWEEN $Mint AND $Maxt),
+         | obs AS (SELECT event_type, t,
+         |   ceil(ln(value) / 0.6931471805599453 * 4)::BIGINT AS idx
+         |  FROM evw WHERE value > 0),
+         | b AS (SELECT event_type, t, idx, count(*) AS cnt FROM obs GROUP BY 1, 2, 3),
+         | tot AS (SELECT event_type, t, count(*) AS n FROM evw GROUP BY 1, 2),
+         | cm AS (SELECT event_type, t, idx, power(2.0, idx / 4.0) AS le,
+         |   sum(cnt) OVER (PARTITION BY event_type, t ORDER BY idx) AS cum FROM b),
+         | buckets AS (SELECT event_type, t, le, cum FROM cm
+         |  UNION ALL SELECT event_type, t, 'Infinity'::DOUBLE, n FROM tot),
+         | ranked AS (SELECT event_type, t, le, cum,
+         |   lag(le) OVER w AS prev_le, lag(cum) OVER w AS prev_cum,
+         |   max(cum) OVER (PARTITION BY event_type, t) AS total,
+         |   max(CASE WHEN le <> 'Infinity'::DOUBLE THEN le END)
+         |     OVER (PARTITION BY event_type, t) AS max_finite_le
+         |  FROM buckets WINDOW w AS (PARTITION BY event_type, t ORDER BY le)),
+         | hit AS (SELECT *, row_number() OVER (PARTITION BY event_type, t ORDER BY le) AS rn
+         |  FROM (SELECT *, 0.9 * total AS rank FROM ranked) WHERE cum >= rank)
+         | SELECT event_type, t, round(CASE WHEN le = 'Infinity'::DOUBLE THEN max_finite_le
+         |  ELSE coalesce(prev_le, 0.0) + (le - coalesce(prev_le, 0.0)) *
+         |   ((rank - coalesce(prev_cum, 0.0)) / (cum - coalesce(prev_cum, 0.0))) END, 6) AS q90
+         | FROM hit WHERE rn = 1 ORDER BY event_type, t""".stripMargin.replace("\n", " "),
     "ts_select_eq" -> flatOracle("name = 'click'"),
     "ts_select_regex" -> flatOracle(
       "regexp_matches(name, '^(?:cl.*|sign.*)$') AND regexp_matches(\"user\", '^(?:[0-4][0-9])$')"),
