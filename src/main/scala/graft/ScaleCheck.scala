@@ -464,6 +464,119 @@ object ScaleCheck {
     println(f"SCALE ann warmQuery=${(System.nanoTime() - tProbe0) / 1e9}%.2f s" +
       f" (${(System.nanoTime() - tProbe0) / 1e9 / 8}%.3f s/query, 8 probes each)")
 
+    // --- round 8: END-TO-END curation at 2M docs ---
+    // The pipeline_curate shape as ONE run over 2M documents — quality
+    // floor × near-dup gate (vs the amortized signature index, keep-first)
+    // × span ceiling × decontamination — with wall time AND shuffle
+    // volume recorded (PLANS.md cites these numbers). Stage outcomes are
+    // asserted against independently-computed planted counts, so the run
+    // proves each stage did its job at scale, not just that it finished.
+    // Dedup gates run BEFORE span scoring (same order as curateStream:
+    // a duplicate must never re-enter scoring).
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+    })
+    val nCur = 2000000L
+    val nPrior = 100000L
+    // planted classes, in generator priority order:
+    //  punct  (id%211=0): pure punctuation → quality floor
+    //  boiler (id%97=0):  30-token corpus-wide boilerplate → span ceiling
+    //  copy   (id%50=0):  exact text of a PRIOR-corpus doc → near-dup gate
+    //  contam (id%9973=0, class unique): text planted in the benchmark
+    // The gate is CROSS-corpus (new batch vs the amortized prior-corpus
+    // signature index) — the production shape, and deliberately not
+    // within-batch: within one batch, near-dup candidates ARE span-dup
+    // candidates, so banding 20k boilerplate docs against each other
+    // would form ~200M degenerate-bucket pairs that the span ceiling is
+    // the right tool for. Ordering mirrors curateStream: gates before
+    // scoring, so a duplicate never re-enters scoring.
+    val uniqueText = (seed: org.apache.spark.sql.Column) => concat(
+      lit("doc "), seed.cast("string"), lit(" "),
+      concat_ws(" ", (0 until 36).map(j =>
+        concat(lit(s"tok$j-"), pmod(seed * (2 * j + 1) + j, lit(50021)).cast("string"))): _*))
+    val priorText = (seed: org.apache.spark.sql.Column) => concat(
+      lit("prior "), seed.cast("string"), lit(" "),
+      concat_ws(" ", (0 until 36).map(j =>
+        concat(lit(s"ptok$j-"), pmod(seed * (2 * j + 3) + j, lit(50021)).cast("string"))): _*))
+    val curDocs = spark.range(nCur).select(col("id").as("doc_id"),
+      when(pmod(col("id"), lit(211)) === 0, lit("!!! ??? !!! ??? !!!"))
+        .when(pmod(col("id"), lit(97)) === 0, concat(
+          lit((0 until 30).map(j => s"boiler$j").mkString(" ")),
+          lit(" doc "), col("id").cast("string")))
+        .when(pmod(col("id"), lit(50)) === 0, priorText(pmod(col("id"), lit(nPrior))))
+        .otherwise(uniqueText(col("id"))).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    curDocs.count() // materialize outside the timers
+    val isPunct = (c: org.apache.spark.sql.Column) => pmod(c, lit(211)) === 0
+    val isBoiler = (c: org.apache.spark.sql.Column) =>
+      !isPunct(c) && pmod(c, lit(97)) === 0
+    val isCopy = (c: org.apache.spark.sql.Column) =>
+      !isPunct(c) && !isBoiler(c) && pmod(c, lit(50)) === 0
+    // expected stage outcomes, computed from the class rules alone
+    val ids = spark.range(nCur)
+    val nPunct = ids.where(isPunct(col("id"))).count()
+    val nCopyDropped = ids.where(isCopy(col("id"))).count()
+    val nBoiler = ids.where(isBoiler(col("id"))).count()
+    val nContam = ids.where(pmod(col("id"), lit(9973)) === 0 && col("id") > 0 &&
+      !isPunct(col("id")) && !isBoiler(col("id")) && !isCopy(col("id"))).count()
+    val bench = spark.range(1, nCur / 9973 + 1)
+      .select((col("id") * 9973).as("doc_id"), uniqueText(col("id") * 9973).as("text"))
+    // the amortized artifact: the PRIOR corpus's minhash-signature index
+    // (at 100 TB a parquet table refreshed with the corpus, never
+    // per-run work)
+    val curIndex = time(s"curation index: minhash signatures, $nPrior prior docs") {
+      val ix = graft.ops.Dedup.minhashSignatures(
+        spark.range(nPrior).select(col("id").as("doc_id"),
+          priorText(col("id")).as("text")),
+        "doc_id", "text", numHashes = 16, shingleSize = 3, bands = 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ix.count(); ix
+    }
+    val shuffle0 = shuffleBytes.get()
+    time("curate 2M docs end-to-end (quality × near-dup × span × decontam)") {
+      // 1. quality floor — doc-local, codegen'd
+      val afterQuality = curDocs
+        .where(graft.ops.TextAnalysis.qualityScore(col("text")) >= 0.2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nQ = afterQuality.count()
+      // 2. near-dup gate: batch docs near-duplicating the prior corpus
+      val gateDrops = graft.ops.Dedup.minhashLshAgainst(afterQuality,
+          "doc_id", "text", curIndex, numHashes = 16, bands = 4,
+          shingleSize = 3, threshold = 0.9)
+        .select(col("new_id").as("doc_id")).distinct()
+      val afterGate = afterQuality.join(gateDrops, Seq("doc_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nG = afterGate.count()
+      // 3. span ceiling over the gate survivors
+      val spanKeep = graft.ops.Dedup.spanDupScore(afterGate, "doc_id", "text",
+          spanTokens = 5, maxDupFrac = 0.5)
+        .where(col("keep")).select(col("doc_id"))
+      val afterSpan = afterGate.join(spanKeep, Seq("doc_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nS = afterSpan.count()
+      // 4. decontamination vs the planted benchmark
+      val cleaned = graft.ops.Decontaminate.clean(afterSpan, bench,
+        "doc_id", "text", shingleSize = 3, threshold = 0.8)
+      val nFinal = cleaned.count()
+      println(s"SCALE curate stages: 2M -> quality $nQ -> gate $nG " +
+        s"-> span $nS -> decontam $nFinal")
+      require(nCur - nQ == nPunct, s"quality dropped ${nCur - nQ}, expected $nPunct")
+      require(nQ - nG == nCopyDropped, s"gate dropped ${nQ - nG}, expected $nCopyDropped")
+      require(nG - nS == nBoiler, s"span dropped ${nG - nS}, expected $nBoiler")
+      require(nS - nFinal == nContam, s"decontam dropped ${nS - nFinal}, expected $nContam")
+      afterQuality.unpersist(false); afterGate.unpersist(false)
+      afterSpan.unpersist(false)
+    }
+    println(f"SCALE curate shuffleWrite=${(shuffleBytes.get() - shuffle0) / 1073741824.0}%.2f GiB " +
+      f"(indexBuild+pipeline total=${shuffleBytes.get() / 1073741824.0}%.2f GiB)")
+    curIndex.unpersist(false)
+    curDocs.unpersist(false)
+
     graft.ops.Dedup.clearSharedPersists()
     spark.stop()
   }
