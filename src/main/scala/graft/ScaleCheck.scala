@@ -18,6 +18,15 @@ object ScaleCheck {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_SCALE_SECTION=curate runs just the end-to-end
+    // curation rehearsal (iteration on one section shouldn't cost the
+    // ~25-minute full sweep)
+    if (sys.env.get("SPARK_GRAFT_SCALE_SECTION").contains("curate")) {
+      curateAtScale(spark)
+      graft.ops.Dedup.clearSharedPersists()
+      spark.stop()
+      return
+    }
     val dir = java.nio.file.Files.createTempDirectory("graft-scale").resolve("store").toString
 
     def time[T](name: String)(f: => T): T = {
@@ -464,15 +473,27 @@ object ScaleCheck {
     println(f"SCALE ann warmQuery=${(System.nanoTime() - tProbe0) / 1e9}%.2f s" +
       f" (${(System.nanoTime() - tProbe0) / 1e9 / 8}%.3f s/query, 8 probes each)")
 
-    // --- round 8: END-TO-END curation at 2M docs ---
-    // The pipeline_curate shape as ONE run over 2M documents — quality
-    // floor × near-dup gate (vs the amortized signature index, keep-first)
-    // × span ceiling × decontamination — with wall time AND shuffle
-    // volume recorded (PLANS.md cites these numbers). Stage outcomes are
-    // asserted against independently-computed planted counts, so the run
-    // proves each stage did its job at scale, not just that it finished.
-    // Dedup gates run BEFORE span scoring (same order as curateStream:
-    // a duplicate must never re-enter scoring).
+    curateAtScale(spark)
+
+    graft.ops.Dedup.clearSharedPersists()
+    spark.stop()
+  }
+
+  /** The round-8 END-TO-END curation rehearsal at 2M docs — the
+    * pipeline_curate shape as ONE run: quality floor × near-dup gate
+    * (vs the amortized signature index, keep-first) × span ceiling ×
+    * decontamination — with wall time AND shuffle volume recorded
+    * (PLANS.md cites these numbers). Stage outcomes are asserted
+    * against independently-computed planted counts, so the run proves
+    * each stage did its job at scale, not just that it finished.
+    * Dedup gates run BEFORE span scoring (same order as curateStream:
+    * a duplicate must never re-enter scoring). Standalone entry:
+    * SPARK_GRAFT_SCALE_SECTION=curate runMain graft.ScaleCheck. */
+  private def curateAtScale(spark: SparkSession): Unit = {
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"SCALE $name ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    }
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
@@ -495,10 +516,17 @@ object ScaleCheck {
     // would form ~200M degenerate-bucket pairs that the span ceiling is
     // the right tool for. Ordering mirrors curateStream: gates before
     // scoring, so a duplicate never re-enters scoring.
+    //
+    // "Unique" tokens must be unique with FULL entropy — each token
+    // carries `seed * odd + j` undiminished. A modular token space
+    // (an earlier draft used mod 50021) silently breaks the planted
+    // classes at this scale: 2M docs ⇒ ~40 docs share every token
+    // sequence mod 50021, every 5-token window repeats corpus-wide,
+    // and the span ceiling (correctly) drops the whole corpus.
     val uniqueText = (seed: org.apache.spark.sql.Column) => concat(
       lit("doc "), seed.cast("string"), lit(" "),
       concat_ws(" ", (0 until 36).map(j =>
-        concat(lit(s"tok$j-"), pmod(seed * (2 * j + 1) + j, lit(50021)).cast("string"))): _*))
+        concat(lit(s"tok$j-"), (seed * (2 * j + 1) + j).cast("string"))): _*))
     val priorText = (seed: org.apache.spark.sql.Column) => concat(
       lit("prior "), seed.cast("string"), lit(" "),
       concat_ws(" ", (0 until 36).map(j =>
@@ -576,8 +604,5 @@ object ScaleCheck {
       f"(indexBuild+pipeline total=${shuffleBytes.get() / 1073741824.0}%.2f GiB)")
     curIndex.unpersist(false)
     curDocs.unpersist(false)
-
-    graft.ops.Dedup.clearSharedPersists()
-    spark.stop()
   }
 }
