@@ -2,21 +2,42 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Central table loader for the driver's parquet corpus.
   *
-  * `events.ts` is written as Parquet TIMESTAMP(NANOS), which Spark only
-  * reads as a raw LONG under `spark.sql.legacy.parquet.nanosAsLong` (the
-  * conf is dynamic, so we set it on the session at read time — safe to do
-  * from inside a query function regardless of which harness built the
-  * session). Downstream code uses [[eventsTsMicros]] for a proper
-  * TimestampType column (truncated ns→µs, exactly how DuckDB reads the
-  * same file) and [[eventsTsMillis]] for epoch-ms longs. */
+  * `events.ts` has shipped in two physical layouts across testdata
+  * generations: Parquet TIMESTAMP(NANOS) (Spark reads it as a raw LONG
+  * under `spark.sql.legacy.parquet.nanosAsLong` — dynamic conf, set at
+  * read time) and TIMESTAMP(MICROS) isAdjustedToUTC=false (Spark reads
+  * it as TIMESTAMP_NTZ; the conf does not apply). [[load]] normalizes
+  * BOTH to the same column every downstream query expects: epoch-NANOS
+  * as a raw LONG. The timestamp→epoch interpretation is pure NTZ
+  * wall-clock arithmetic (`timestampdiff` against the NTZ epoch),
+  * matching how DuckDB's `epoch_ms(ts)` reads the identical file in the
+  * oracle — the session timezone never enters. Downstream code uses [[tsMicros]]
+  * for a proper TimestampType column and [[tsMillis]] for epoch-ms
+  * longs. */
 object Tables {
   def load(s: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      df.schema("ts").dataType match {
+        case TimestampNTZType =>
+          // NTZ − NTZ is pure wall-clock arithmetic — no session
+          // timezone anywhere, exactly DuckDB's epoch_ms(ts) reading of
+          // the identical file (any cast-based route silently shifts by
+          // the session offset)
+          df.withColumn("ts", expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+          ) * 1000L)
+        case TimestampType =>
+          df.withColumn("ts", unix_micros(col("ts")) * 1000L)
+        case _ => df // already a nanos long
+      }
+    } else df
   }
 
   // NOTE: Column./ is DOUBLE division; epoch-nanos (~1.7e18) exceed
