@@ -169,7 +169,7 @@ object NativeHistogram {
     * (Java toString), so the quantile math is bit-identical to
     * [[quantile]]. */
   def toClassicSeries(nh: DataFrame, metric: String, groupLabels: Seq[String],
-                      tCol: String): DataFrame = {
+                      tCol: String, countSumSeries: Boolean = false): DataFrame = {
     val classic = toClassic(nh, groupLabels :+ tCol)
     val leStr = when(col("le") === Double.PositiveInfinity, lit("+Inf"))
       .otherwise(col("le").cast("string"))
@@ -177,8 +177,24 @@ object NativeHistogram {
       Seq(lit(graft.tsdb.Labels.MetricName), lit(metric)) ++
         groupLabels.flatMap(g => Seq(lit(g), col(g).cast("string"))) ++
         Seq(lit("le"), leStr)
-    classic.select(map(entries: _*).as("labels"),
+    val buckets = classic.select(map(entries: _*).as("labels"),
       col(tCol).cast("long").as("t"), col("cum").cast("double").as("v"))
+    if (!countSumSeries) buckets
+    else {
+      // the classic-convention companions: `<metric>_count` /
+      // `<metric>_sum` series (no `le` label), exact reads of the
+      // native row — so `m_sum / m_count` (PromQL average) and every
+      // other classic-histogram workflow runs with no engine support
+      def flat(name: String, v: Column): DataFrame = {
+        val e = Seq(lit(graft.tsdb.Labels.MetricName), lit(name)) ++
+          groupLabels.flatMap(g => Seq(lit(g), col(g).cast("string")))
+        nh.select(map(e: _*).as("labels"),
+          col(tCol).cast("long").as("t"), v.cast("double").as("v"))
+      }
+      buckets
+        .unionByName(flat(metric + "_count", col("count")))
+        .unionByName(flat(metric + "_sum", col("sum")))
+    }
   }
 
   private def bucketLower(idx: Column, schema: Column): Column =

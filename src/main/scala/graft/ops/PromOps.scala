@@ -310,4 +310,46 @@ object PromOps {
                 (col("cum") - coalesce(col("prev_cum"), lit(0.0d)))))
         .as("quantile"): _*)
   }
+
+  /** PromQL `histogram_fraction(lo, hi, …)` over cumulative `le`
+    * buckets: estimated fraction of observations in `[lo, hi]`.
+    *
+    * Same input shape and interpolation family as [[histogramQuantile]]
+    * (this is its inverse): mass is uniform within each bucket, the
+    * lowest bucket's lower bound is 0 (unless its upper bound is ≤ 0, in
+    * which case the bucket is a point mass at its bound), and — exactly
+    * dual to the quantile's "+Inf rank returns the largest finite
+    * bound" — the +Inf bucket's mass sits as a point at the largest
+    * finite bound. So `fraction(0, quantile(φ)) ≈ φ` and
+    * `fraction(-Inf, +Inf) = 1` by construction. Groups with zero
+    * observations are dropped (a 0/0 fraction, upstream's NaN).
+    *
+    * One pass: per-bucket overlap share, one groupBy — no windows beyond
+    * the lag/total frame shared with the quantile. */
+  def histogramFraction(buckets: DataFrame, lo: Double, hi: Double,
+                        groupCols: Seq[String]): DataFrame = {
+    require(lo <= hi, s"fraction bounds out of order: [$lo, $hi]")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("le"))
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val d = buckets
+      .withColumn("prev_cum", coalesce(lag(col("cum"), 1).over(w), lit(0.0d)))
+      .withColumn("lower",
+        coalesce(lag(col("le"), 1).over(w), least(col("le"), lit(0.0d))))
+      .withColumn("total", max(col("cum")).over(wAll))
+      .withColumn("max_finite_le",
+        max(when(col("le") =!= Double.PositiveInfinity, col("le"))).over(wAll))
+      .withColumn("cnt", col("cum") - col("prev_cum"))
+    val pointAt = when(col("le") === Double.PositiveInfinity,
+        coalesce(col("max_finite_le"), lit(0.0d)))   // +Inf mass: dual of quantile
+      .otherwise(col("le"))                           // zero-width bucket
+    val overlap = least(lit(hi), col("le")) - greatest(lit(lo), col("lower"))
+    val contrib = when(
+        col("le") === Double.PositiveInfinity || col("le") === col("lower"),
+        when(pointAt.between(lo, hi), col("cnt")).otherwise(lit(0.0d)))
+      .otherwise(col("cnt") *
+        greatest(overlap, lit(0.0d)) / (col("le") - col("lower")))
+    d.where(col("total") > 0)
+      .groupBy(groupCols.map(col): _*)
+      .agg((sum(contrib) / first(col("total"))).as("fraction"))
+  }
 }

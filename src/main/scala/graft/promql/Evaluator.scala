@@ -847,6 +847,23 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
         withLe.select(col("gkey"), col("t"), col("le"), col("v").as("cum")),
         phi, Seq("gkey", "t"))
         .select(col("gkey").as("labels"), col("t"), col("quantile").as("v"))
+    case HistFrac(lo, hi, arg) =>
+      // identical bucket-frame preparation to histogram_quantile, then
+      // the shared uniform-within-bucket overlap estimator
+      val in = eval(arg)
+      val leStr = graft.tsdb.TsSchema.labelValue(col("labels"), "le")
+      val withLe = in
+        .withColumn("gkey", filter(col("labels"), e =>
+          e.getField("name") =!= "le" &&
+            e.getField("name") =!= Labels.MetricName))
+        .withColumn("le",
+          when(leStr === "+Inf", lit(Double.PositiveInfinity))
+            .otherwise(leStr.cast("double")))
+        .where(col("le").isNotNull)
+      graft.ops.PromOps.histogramFraction(
+        withLe.select(col("gkey"), col("t"), col("le"), col("v").as("cum")),
+        lo, hi, Seq("gkey", "t"))
+        .select(col("gkey").as("labels"), col("t"), col("fraction").as("v"))
     case Num(v) => sys.error(s"bare scalar $v is not a vector expression")
   }
 }

@@ -46,6 +46,12 @@ object PromExpr {
   /** `histogram_quantile(φ, expr)` over an instant vector carrying
     * cumulative `le` buckets. */
   final case class HistQ(phi: Double, arg: PromExpr) extends PromExpr
+  /** `histogram_fraction(lo, hi, expr)` over an instant vector carrying
+    * cumulative `le` buckets: estimated fraction of observations in
+    * `[lo, hi]`, uniform-within-bucket (same interpolation family as
+    * `histogram_quantile`). */
+  final case class HistFrac(lo: Double, hi: Double, arg: PromExpr)
+      extends PromExpr
   /** `absent(selector)` / `absent_over_time(selector[range])`: 1 at
     * each step where the selector matches no series (in the lookback
     * window / in the `[range]` window), labeled from the selector's
@@ -159,6 +165,18 @@ final class Parser(input: String) {
     ws()
     val start = pos
     if (peek == '+' || peek == '-') pos += 1
+    // Prometheus number literals include Inf / NaN (case-insensitive)
+    if (peek.isLetter) {
+      val w = new StringBuilder
+      while (peek.isLetter) { w += peek; pos += 1 }
+      val neg = input.charAt(start) == '-'
+      w.result().toLowerCase match {
+        case "inf" => return if (neg) Double.NegativeInfinity
+                             else Double.PositiveInfinity
+        case "nan" => return Double.NaN
+        case other => err(s"expected number, got '$other'")
+      }
+    }
     while (peek.isDigit) pos += 1
     if (peek == '.') { pos += 1; while (peek.isDigit) pos += 1 }
     if (peek == 'e' || peek == 'E') {
@@ -463,6 +481,15 @@ final class Parser(input: String) {
       val arg = parseExpr(0)
       ws(); eat(')')
       HistQ(phi, arg)
+    } else if (name == "histogram_fraction") {
+      ws(); eat('(')
+      val lo = number()
+      ws(); eat(',')
+      val hi = number()
+      ws(); eat(',')
+      val arg = parseExpr(0)
+      ws(); eat(')')
+      HistFrac(lo, hi, arg)
     } else if (scalarFns.contains(name)) {
       ws(); eat('(')
       ws()

@@ -610,6 +610,50 @@ object TsQueries {
         .orderBy(col("event_type"), col("t"))
     }),
 
+    // histogram_fraction through the same classic-view route: fraction
+    // of observations in [1.5, 75] per (event_type, day), bounds chosen
+    // to land strictly inside buckets so both partial-overlap ends of
+    // the uniform-within-bucket estimator are exercised
+    "ts_promql_hist_fraction" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          (Tables.tsMillis(col("ts")) -
+            pmod(Tables.tsMillis(col("ts")), lit(86400000L))).as("day_t"))
+        .where(col("day_t").between(Mint, Maxt))
+      val nh = graft.ops.NativeHistogram.observe(ev, col("value"),
+        schema = 2, Seq("event_type", "day_t"))
+      val q = new TsQuerier(TsSchema.canonicalize(
+        graft.ops.NativeHistogram.toClassicSeries(nh, "latency",
+          Seq("event_type"), "day_t")))
+      graft.promql.PromQL.rangeQuery(q,
+        "histogram_fraction(1.5, 75, latency)", Mint, Maxt, 86400000L)
+        .select(TsSchema.labelValue(col("labels"), "event_type").as("event_type"),
+          col("t"), round(col("v"), 6).as("frac"))
+        .orderBy(col("event_type"), col("t"))
+    }),
+
+    // the classic-convention companion series (`latency_count` /
+    // `latency_sum`, exact reads of the native row) driven through a
+    // plain PromQL binary op — the histogram average with no
+    // histogram-specific evaluator code at all
+    "ts_promql_native_hist_avg" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          (Tables.tsMillis(col("ts")) -
+            pmod(Tables.tsMillis(col("ts")), lit(86400000L))).as("day_t"))
+        .where(col("day_t").between(Mint, Maxt))
+      val nh = graft.ops.NativeHistogram.observe(ev, col("value"),
+        schema = 2, Seq("event_type", "day_t"))
+      val q = new TsQuerier(TsSchema.canonicalize(
+        graft.ops.NativeHistogram.toClassicSeries(nh, "latency",
+          Seq("event_type"), "day_t", countSumSeries = true)))
+      graft.promql.PromQL.rangeQuery(q,
+        "latency_sum / latency_count", Mint, Maxt, 86400000L)
+        .select(TsSchema.labelValue(col("labels"), "event_type").as("event_type"),
+          col("t"), round(col("v"), 6).as("avg_v"))
+        .orderBy(col("event_type"), col("t"))
+    }),
+
     // recording rule: the e2e expression materialized into a store as a
     // new metric, then selected back through the ordinary querier — the
     // oracle is the SAME SQL as ts_promql_e2e because the rule series
@@ -981,6 +1025,47 @@ object TsQueries {
          |  ELSE coalesce(prev_le, 0.0) + (le - coalesce(prev_le, 0.0)) *
          |   ((rank - coalesce(prev_cum, 0.0)) / (cum - coalesce(prev_cum, 0.0))) END, 6) AS q90
          | FROM hit WHERE rn = 1 ORDER BY event_type, t""".stripMargin.replace("\n", " "),
+    // same bucket frame as ts_promql_native_hist, then the
+    // uniform-within-bucket overlap estimator: each bucket ((prev
+    // present le | 0), le] contributes its count times the overlapped
+    // share of its width; the +Inf bucket is a point mass at the
+    // largest finite bound (dual of the quantile's +Inf rule — empty
+    // here since every value lands in a finite bucket)
+    "ts_promql_hist_fraction" ->
+      s"""WITH ev AS (SELECT event_type, "value" AS value,
+         |   epoch_ms(ts) - epoch_ms(ts) % 86400000 AS t FROM events),
+         | evw AS (SELECT * FROM ev WHERE t BETWEEN $Mint AND $Maxt),
+         | obs AS (SELECT event_type, t,
+         |   ceil(ln(value) / 0.6931471805599453 * 4)::BIGINT AS idx
+         |  FROM evw WHERE value > 0),
+         | b AS (SELECT event_type, t, idx, count(*) AS cnt FROM obs GROUP BY 1, 2, 3),
+         | tot AS (SELECT event_type, t, count(*) AS n FROM evw GROUP BY 1, 2),
+         | cm AS (SELECT event_type, t, idx, power(2.0, idx / 4.0) AS le,
+         |   sum(cnt) OVER (PARTITION BY event_type, t ORDER BY idx) AS cum FROM b),
+         | buckets AS (SELECT event_type, t, le, cum FROM cm
+         |  UNION ALL SELECT event_type, t, 'Infinity'::DOUBLE, n FROM tot),
+         | ranked AS (SELECT event_type, t, le, cum,
+         |   coalesce(lag(le) OVER w, least(le, 0.0)) AS lower,
+         |   cum - coalesce(lag(cum) OVER w, 0) AS cnt,
+         |   max(cum) OVER (PARTITION BY event_type, t) AS total,
+         |   max(CASE WHEN le <> 'Infinity'::DOUBLE THEN le END)
+         |     OVER (PARTITION BY event_type, t) AS max_finite_le
+         |  FROM buckets WINDOW w AS (PARTITION BY event_type, t ORDER BY le)),
+         | c AS (SELECT event_type, t, total,
+         |   CASE WHEN le = 'Infinity'::DOUBLE THEN
+         |     CASE WHEN coalesce(max_finite_le, 0.0) BETWEEN 1.5 AND 75.0
+         |       THEN cnt ELSE 0 END
+         |   ELSE cnt * greatest(least(75.0, le) - greatest(1.5, lower), 0.0)
+         |     / (le - lower) END AS contrib FROM ranked)
+         | SELECT event_type, t, round(sum(contrib) / max(total), 6) AS frac
+         | FROM c GROUP BY event_type, t ORDER BY event_type, t""".stripMargin.replace("\n", " "),
+    // exact: observe() counts every row and sums every value, so the
+    // PromQL `latency_sum / latency_count` is plain per-group average
+    "ts_promql_native_hist_avg" ->
+      s"""SELECT event_type, epoch_ms(ts) - epoch_ms(ts) % 86400000 AS t,
+         | round(sum("value") / count(*), 6) AS avg_v FROM events
+         | WHERE epoch_ms(ts) - epoch_ms(ts) % 86400000 BETWEEN $Mint AND $Maxt
+         | GROUP BY 1, 2 ORDER BY event_type, t""".stripMargin.replace("\n", " "),
     "ts_select_eq" -> flatOracle("name = 'click'"),
     "ts_select_regex" -> flatOracle(
       "regexp_matches(name, '^(?:cl.*|sign.*)$') AND regexp_matches(\"user\", '^(?:[0-4][0-9])$')"),

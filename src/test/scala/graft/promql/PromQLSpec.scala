@@ -244,6 +244,42 @@ class PromQLSpec extends AnyFunSuite {
     assert(math.abs(out(1)._2 - 0.46) < 1e-12)
   }
 
+  test("histogram_fraction is the quantile's uniform-within-bucket dual") {
+    // same two histograms as the quantile test. [0.1, 0.55]: the first
+    // bucket (0, 0.1] overlaps only at the point 0.1 (measure zero);
+    // the second (0.1, 1] contributes 0.45/0.9 of its mass; the +Inf
+    // mass is a point at the largest finite bound 1.0, outside.
+    // i-0: 10·0.5/40 = 0.125; i-1: 25·0.5/30 = 0.41666…
+    val rows = for {
+      (inst, counts) <- Seq("i-0" -> Seq(10.0, 20.0, 40.0),
+                            "i-1" -> Seq(5.0, 30.0, 30.0))
+      (le, c) <- Seq("0.1", "1", "+Inf").zip(counts)
+    } yield (inst, le, c)
+    val df = spark.createDataFrame(rows).toDF("inst", "le", "c")
+    val longForm = df.select(
+      map(lit("__name__"), lit("lat_bucket"), lit("inst"), col("inst"),
+        lit("le"), col("le")).as("labels"),
+      lit(T0).as("t"), col("c").as("v"))
+    val q = new TsQuerier(TsSchema.canonicalize(longForm, promoted = Seq()),
+      promoted = Seq())
+    def frac(expr: String): Seq[(String, Double)] =
+      PromQL.rangeQuery(q, expr, T0, T0, 60000L)
+        .select(TsSchema.labelValue(col("labels"), "inst").as("i"), col("v"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val out = frac("histogram_fraction(0.1, 0.55, lat_bucket)")
+    assert(out.map(_._1) == Seq("i-0", "i-1"))
+    assert(math.abs(out(0)._2 - 0.125) < 1e-12)
+    assert(math.abs(out(1)._2 - 12.5 / 30.0) < 1e-12)
+    // (-Inf, +Inf) covers everything — including the +Inf point mass —
+    // and exercises the Inf number literals in the parser
+    val all = frac("histogram_fraction(-Inf, +Inf, lat_bucket)")
+    assert(all.map(_._2) == Seq(1.0, 1.0))
+    // fraction(0, quantile(φ)) recovers φ when the quantile lands
+    // strictly inside a bucket: i-1's median is 0.46
+    val half = frac("histogram_fraction(0, 0.46, lat_bucket)")
+    assert(math.abs(half(1)._2 - 0.5) < 1e-12)
+  }
+
   test("stddev/stdvar/quantile over time") {
     // i-0 window (T0, T0+10m]: v = 10,20,..,200 — median = 105,
     // var_pop = (4·10²·(20²-1))/12·... use the closed forms:
