@@ -80,7 +80,7 @@ object Decontaminate {
       .select(col("band"), col("band_key"), col("id").as("cid"))
     val bb = Dedup.lshBuckets(bs, bands)
       .select(col("band"), col("band_key"), col("id").as("bid"))
-    val cands = cb.join(bb, Seq("band", "band_key"))
+    val cands = cb.join(bb.hint("merge"), Seq("band", "band_key"))
       .select(col("cid"), col("bid")).distinct()
     cands
       .join(cs.select(col("id").as("cid"), col("hs").as("chs")), "cid")
@@ -161,7 +161,7 @@ object Decontaminate {
         Dedup.shingleHashes(col(textCol), shingleSize).as("bhs"))
       .where(size(col("bhs")) > 0)
     val bex = bs.select(col("bid"), explode(col("bhs")).as("h"))
-    val cands = index.rarePostings.join(bex, "h")
+    val cands = index.rarePostings.join(bex.hint("merge"), "h")
       .select(col("cid"), col("bid")).distinct()
     cands
       .join(index.shingles, "cid")

@@ -194,7 +194,13 @@ object Dedup {
       }
     val l = b.select(col("band"), col("band_key"), col("id").as("id1"))
     val r = b.select(col("band"), col("band_key"), col("id").as("id2"))
-    l.join(r, Seq("band", "band_key"))
+    // every candidate-generation join in this package pins sort-merge:
+    // both sides are post-explode (band buckets / shingle postings), and
+    // Catalyst sizes them BEFORE the explode — an underestimate by the
+    // fan-out factor that makes it broadcast a fact-sized side (slower
+    // even at sf0.1, driver-bound at scale). Genuinely tiny frames
+    // (per-doc sizes, centroids) stay explicit broadcast()s.
+    l.join(r.hint("merge"), Seq("band", "band_key"))
       .where(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
   }
@@ -241,7 +247,7 @@ object Dedup {
       .select(col("band"), col("band_key"), col("id").as("new_id"))
     val cb = lshBuckets(corpusIndex, bands)
       .select(col("band"), col("band_key"), col("id").as("corpus_id"))
-    nb.join(cb, Seq("band", "band_key"))
+    nb.join(cb.hint("merge"), Seq("band", "band_key"))
       .select(col("new_id"), col("corpus_id")).distinct()
       .join(nsigs.select(col("id").as("new_id"), col("hs").as("hs1")), "new_id")
       .join(corpusIndex.select(col("id").as("corpus_id"), col("hs").as("hs2")),
@@ -279,7 +285,7 @@ object Dedup {
     val sizes = base.select(col("id"), size(col("hs")).cast("long").as("n"))
     val l = ex.select(col("blk"), col("h"), col("id").as("id1"))
     val r = ex.select(col("blk"), col("h"), col("id").as("id2"))
-    l.join(r, Seq("blk", "h"))
+    l.join(r.hint("merge"), Seq("blk", "h"))
       .where(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("c"))
@@ -341,7 +347,7 @@ object Dedup {
     val l = banded.select(col("band"), col("band_key"), col("sh").as("sh1"))
     val r = banded.select(col("band"), col("band_key"), col("sh").as("sh2"))
     // distinct simhash pairs within hamming range (deduped across bands)
-    val shPairs = l.join(r, Seq("band", "band_key")).where(col("sh1") < col("sh2"))
+    val shPairs = l.join(r.hint("merge"), Seq("band", "band_key")).where(col("sh1") < col("sh2"))
       .select(col("sh1"), col("sh2"),
         bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxDist) // filter BEFORE the distinct shuffle
@@ -658,7 +664,7 @@ object Dedup {
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
     val l = bucketed.select(col("table"), col("bucket"), col("id").as("id1"))
     val r = bucketed.select(col("table"), col("bucket"), col("id").as("id2"))
-    val cands = l.join(r, Seq("table", "bucket"))
+    val cands = l.join(r.hint("merge"), Seq("table", "bucket"))
       .where(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
     cands

@@ -145,7 +145,7 @@ object Similarity {
     }
     val qb = bucketed(queries, qId, qVec, "query_id")
     val cb = bucketed(corpus, cId, cVec, "corpus_id")
-    val cands = qb.join(cb, Seq("table", "bucket"))
+    val cands = qb.join(cb.hint("merge"), Seq("table", "bucket"))
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("query_id_v").as("qv"),
         col("corpus_id"), col("corpus_id_v").as("cv"))
