@@ -817,6 +817,19 @@ class OpsSpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"))
+    // the containment join is pinned to sort-merge: Catalyst sizes the
+    // interval side pre-explode, so left to itself it broadcasts a
+    // fact-sized relation (slower at sf0.1, driver-bound at scale)
+    assert(plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"))
+    val bcast = RangeJoin.pointInInterval(points, intervals,
+      bucketWidth = 16L, broadcastIntervals = true)
+    assert(bcast.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    // the LSH candidate self-join carries the same pin
+    val sigs = Seq((1L, Seq(1L, 2L), Seq(10L)), (2L, Seq(1L, 2L), Seq(10L)),
+      (3L, Seq(9L, 9L), Seq(11L))).toDF("id", "sig", "hs")
+    val lshPlan = Dedup.lshCandidatePairs(sigs, bands = 2)
+      .queryExecution.executedPlan.toString
+    assert(lshPlan.contains("SortMergeJoin"))
   }
 
   test("temperatureMix flattens a skewed histogram, downsample-only") {
