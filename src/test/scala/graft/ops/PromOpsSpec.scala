@@ -96,4 +96,45 @@ class PromOpsSpec extends AnyFunSuite {
     // rank 9.5 → +Inf bucket → largest finite bound
     assert(q(0.95) == 1.0)
   }
+
+  test("histogramFraction invariants over random bucket frames") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // random cumulative frames: 1-5 finite buckets at irrational-ish
+    // bounds (no generated probe can land exactly on one), optional
+    // +Inf mass
+    val frameGen = for {
+      n <- Gen.choose(1, 5)
+      les <- Gen.listOfN(n, Gen.choose(1, 9999).map(_ * 0.7001))
+      incs <- Gen.listOfN(n, Gen.choose(0L, 50L))
+      infExtra <- Gen.choose(0L, 10L)
+    } yield {
+      val sorted = les.distinct.sorted
+      val cums = sorted.indices.map(i => incs.take(i + 1).sum + 1)
+      sorted.zip(cums) :+ (Double.PositiveInfinity, cums.last + infExtra)
+    }
+    def frac(rows: Seq[(Double, Long)], lo: Double, hi: Double): Double =
+      PromOps.histogramFraction(
+        rows.map { case (le, c) => ("m", le, c) }.toDF("name", "le", "cum"),
+        lo, hi, Seq("name")).head().getAs[Double]("fraction")
+    val params = Gen.Parameters.default
+    (1 to 12).foreach { i =>
+      val rows = frameGen.apply(params, Seed(i.toLong)).get
+      val maxF = rows.map(_._1).filter(_.isFinite).max
+      // everything is covered, and [0, maxFinite] covers it too (the
+      // +Inf mass is a point at the largest finite bound)
+      assert(math.abs(frac(rows, Double.NegativeInfinity,
+        Double.PositiveInfinity) - 1.0) < 1e-9)
+      assert(math.abs(frac(rows, 0.0, maxF) - 1.0) < 1e-9)
+      // monotone in hi, bounded in [0,1]
+      val probes = Seq(maxF * 0.25 + 0.003, maxF * 0.5 + 0.003, maxF * 0.9)
+      val fs = probes.map(p => frac(rows, 0.0, p))
+      assert(fs.zip(fs.tail).forall { case (a, b) => a <= b + 1e-12 })
+      assert(fs.forall(f => f >= -1e-12 && f <= 1 + 1e-12))
+      // additive split at a non-bound probe point
+      val mid = maxF * 0.37 + 0.001
+      assert(math.abs(frac(rows, 0.0, mid) + frac(rows, mid, maxF) -
+        frac(rows, 0.0, maxF)) < 1e-9)
+    }
+  }
 }
