@@ -244,6 +244,31 @@ class PromQLSpec extends AnyFunSuite {
     assert(math.abs(out(1)._2 - 0.46) < 1e-12)
   }
 
+  test("histogram_quantile composes over increase of bucket counters") {
+    // THE production dashboard query: quantile over the rate/increase of
+    // cumulative le-bucket counters. Three counters sampled at T0,
+    // T0+1m, T0+2m; increase over the left-open 2m window at T0+2m is
+    // the last-minus-first of the two in-window samples:
+    //   le=0.1: 2→4  ⇒ 2;  le=1: 5→10 ⇒ 5;  +Inf: 6→12 ⇒ 6
+    // median rank 3 lands in (0.1, 1]: 0.1 + 0.9·(3−2)/(5−2) = 0.4
+    val rows = for {
+      (le, vs) <- Seq("0.1" -> Seq(0.0, 2.0, 4.0), "1" -> Seq(0.0, 5.0, 10.0),
+                      "+Inf" -> Seq(0.0, 6.0, 12.0))
+      (v, k) <- vs.zipWithIndex
+    } yield (le, T0 + k * 60000L, v)
+    val df = spark.createDataFrame(rows).toDF("le", "t", "v")
+    val longForm = df.select(
+      map(lit("__name__"), lit("lat_bucket"), lit("le"), col("le")).as("labels"),
+      col("t"), col("v"))
+    val q = new TsQuerier(TsSchema.canonicalize(longForm, promoted = Seq()),
+      promoted = Seq())
+    val out = PromQL.rangeQuery(q,
+      "histogram_quantile(0.5, increase(lat_bucket[2m]))",
+      T0 + 120000L, T0 + 120000L, 60000L)
+      .select(col("v")).collect().map(_.getDouble(0)).toSeq
+    assert(out.size == 1 && math.abs(out.head - 0.4) < 1e-12)
+  }
+
   test("histogram_fraction is the quantile's uniform-within-bucket dual") {
     // same two histograms as the quantile test. [0.1, 0.55]: the first
     // bucket (0, 0.1] overlaps only at the point 0.1 (measure zero);
