@@ -157,9 +157,12 @@ object Decontaminate {
   def flagFuzzyRare(index: RareShingleIndex, benchmark: DataFrame,
                     idCol: String, textCol: String, shingleSize: Int,
                     threshold: Double): DataFrame = {
-    val bs = benchmark.select(col(idCol).as("bid"),
+    // pinned: both the candidate pass (exploded below) and the
+    // containment verify read the benchmark's shingle sets — without the
+    // persist the benchmark is shingled once per consumer
+    val bs = Dedup.sharedPersist(benchmark.select(col(idCol).as("bid"),
         Dedup.shingleHashes(col(textCol), shingleSize).as("bhs"))
-      .where(size(col("bhs")) > 0)
+      .where(size(col("bhs")) > 0))
     val bex = bs.select(col("bid"), explode(col("bhs")).as("h"))
     val cands = index.rarePostings.join(bex.hint("merge"), "h")
       .select(col("cid"), col("bid")).distinct()
