@@ -10,6 +10,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC") // match Verify's session
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // plans here legitimately exceed 25 fields (wide pipeline schemas);
+      // raising the cap keeps the "Truncated the string representation"
+      // WARN from landing in the stdout tail the driver parses
+      .config("spark.sql.debug.maxToStringFields", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Fixed pre-bench warm protocol (round-7 verdict item #1) — every run
@@ -49,31 +53,58 @@ object Bench {
     // regression from noise (round-7 verdict item #1).
     val reps = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(_.toIntOption).getOrElse(3))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+    // Contention evidence (round-8 verdict item #1): wall time alone cannot
+    // distinguish a slow operator from a loaded machine — r8's official
+    // artifact overstated total 36% purely from co-tenant load. Record
+    // per-query PROCESS CPU time (which stays flat when the wall stretches
+    // under external contention) and /proc/loadavg at start/end, so a
+    // noisy run is classifiable from the artifact without a re-run:
+    // wall >> cpu at low in-process parallelism, or loadavg >> this JVM's
+    // core count, means contention, not regression.
+    def processCpuSec(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean =>
+          b.getProcessCpuTime / 1e9
+        case _ => -1.0
       }
-      val times = Vector.fill(reps)(once()).sorted
-      name -> times
+    def loadavg(): Vector[Double] =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).toVector.map(_.toDouble)
+      catch { case _: Throwable => Vector.empty }
+    val loadStart = loadavg()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def once(): (Double, Double) = {
+        val t0 = System.nanoTime(); val c0 = processCpuSec()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        ((System.nanoTime() - t0) / 1e9, processCpuSec() - c0)
+      }
+      val runs = Vector.fill(reps)(once())
+      (name, runs.map(_._1).sorted, runs.map(_._2).sorted)
     }
+    val loadEnd = loadavg()
     def median(ts: Vector[Double]): Double = ts(ts.size / 2)
     // long-lived sessions must not pin per-plan persisted frames forever
     graft.ops.Dedup.clearSharedPersists()
     def s3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def s2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val total = results.map(r => median(r._2)).sum
+    val cpuTotal = results.map(r => median(r._3)).sum
+    val cores = Runtime.getRuntime.availableProcessors()
     val fxSum = fixtures.map(_._2).sum
     val fxJson = fixtures.map { case (k, v) => "\"" + k + "\":" + s2(v) }
       .mkString("{", ",", "}")
+    def loadJson(l: Vector[Double]) = l.map(s2).mkString("[", ",", "]")
+    val envJson = s""""cpu_total":${s3(cpuTotal)},"cores":$cores,"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)}"""
     // Full per-query spread — every query, no char cap — goes to a file
     // the driver (and judge) can read: bench.json at the repo root.
     val fullJson = {
-      val qs = results.map { case (k, ts) =>
+      val qs = results.map { case (k, ts, _) =>
         "\"" + k + "\":" + ts.map(s3).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","reps":$reps,"queries_spread":$qs,"fixtures":$fxJson,"fixtures_sum":${s2(fxSum)},"sf":"$sfDir"}"""
+      val qsCpu = results.map { case (k, _, cs) =>
+        "\"" + k + "\":" + cs.map(s3).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","reps":$reps,$envJson,"queries_spread":$qs,"queries_cpu":$qsCpu,"fixtures":$fxJson,"fixtures_sum":${s2(fxSum)},"sf":"$sfDir"}"""
     }
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
@@ -86,11 +117,11 @@ object Bench {
     // judge scrutinizes) and fold the fastest remainder into
     // omitted_n/omitted_sum so the total stays exact. The slowest queries
     // additionally carry their [min, median, max] spread inline.
-    val medians = results.map { case (k, ts) => k -> median(ts) }
+    val medians = results.map { case (k, ts, _) => k -> median(ts) }
     val byCost = medians.sortBy(-_._2)
     val spreadN = 8
     val spreadKeys = byCost.take(spreadN).map(_._1).toSet
-    val spreadJson = results.filter(r => spreadKeys(r._1)).map { case (k, ts) =>
+    val spreadJson = results.filter(r => spreadKeys(r._1)).map { case (k, ts, _) =>
       "\"" + k + "\":[" + s3(ts.head) + "," + s3(median(ts)) + "," + s3(ts.last) + "]"
     }.mkString("{", ",", "}")
     def line(keep: Int): String = {
@@ -101,7 +132,7 @@ object Bench {
       val omitted =
         if (rest.isEmpty) ""
         else s""","omitted_n":${rest.size},"omitted_sum":${s3(rest.map(_._2).sum)}"""
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","reps":$reps,"queries":$qs$omitted,"spread":$spreadJson,"fixtures":$fxJson,"fixtures_sum":${s2(fxSum)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","reps":$reps,$envJson,"queries":$qs$omitted,"spread":$spreadJson,"fixtures":$fxJson,"fixtures_sum":${s2(fxSum)},"sf":"$sfDir"}"""
     }
     // Sub-0.25s queries fold into omitted_n/omitted_sum by default —
     // they're noise-floor numbers the judge reads only in aggregate —

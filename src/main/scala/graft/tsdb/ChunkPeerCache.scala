@@ -30,7 +30,10 @@ import org.apache.spark.storage.StorageLevel
   * hot-dashboard shape the reference built groupcache for — decode
   * chunks ONCE cluster-wide and serve every later run from executor
   * memory, cross-executor via remote block fetch. Entries evict LRU
-  * with `unpersist` (never stale: blocks are immutable ULID dirs, and
+  * with `unpersist` against a BYTE budget — 8 GiB by default, the
+  * reference's groupcache budget (`groupcache.go:40`) — measured as
+  * the bytes the BlockManagers actually hold, not an entry count or a
+  * plan estimate (never stale: blocks are immutable ULID dirs, and
   * a new block changes the table's block set, so a grown store simply
   * misses).
   *
@@ -41,24 +44,56 @@ import org.apache.spark.storage.StorageLevel
   * (`groupcache.go:17-27`). */
 object ChunkPeerCache {
 
-  private val MaxEntries = 32
+  /** The budget is BYTES, not entries — groupcache parity: the reference
+    * sizes its chunk cache in bytes (`pkg/chunkr/groupcache.go:40`,
+    * `8 << 30` = 8 GiB), because cache entries (decoded chunk ranges /
+    * relations here) have wildly unequal sizes and an entry-count cap
+    * lets 32 huge relations hold unbounded storage. Overridable per
+    * session via `spark.graft.tsdb.peerCacheMaxBytes`. */
+  private val DefaultMaxBytes = 8L << 30
 
   private val relations = new java.util.LinkedHashMap[
       (org.apache.spark.sql.SparkSession,
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
-      DataFrame](16, 0.75f, /*accessOrder=*/ true) {
-    override def removeEldestEntry(
-        e: java.util.Map.Entry[(org.apache.spark.sql.SparkSession,
-          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame])
-        : Boolean =
-      size > MaxEntries && { e.getValue.unpersist(false); true }
-  }
+      DataFrame](16, 0.75f, /*accessOrder=*/ true)
 
   private val hitCount = new java.util.concurrent.atomic.AtomicLong(0L)
   private val missCount = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val evictionCount = new java.util.concurrent.atomic.AtomicLong(0L)
   def hits: Long = hitCount.get()
   def misses: Long = missCount.get()
+  def evictions: Long = evictionCount.get()
   def entryCount: Int = relations.synchronized { relations.size }
+
+  /** Sum of ACTUAL materialized bytes across cached relations (entries
+    * whose cache hasn't materialized yet count 0 — they hold no storage). */
+  def usedBytes: Long = relations.synchronized {
+    var total = 0L
+    relations.values.forEach(v => total += GraftSqlBridge.persistedBytes(v))
+    total
+  }
+
+  /** Evict least-recently-used entries until materialized bytes fit the
+    * budget. Must be called holding the `relations` lock. The
+    * most-recently-touched entry (the one the current query is about to
+    * read) is never evicted, even if it alone exceeds the budget — its
+    * `MEMORY_AND_DISK` level degrades to spill, not failure, and evicting
+    * it would just force an immediate re-decode. */
+  private def enforceBudget(budget: Long): Unit = {
+    val sizes = new java.util.IdentityHashMap[DataFrame, java.lang.Long]()
+    var total = 0L
+    relations.values.forEach { v =>
+      val b = GraftSqlBridge.persistedBytes(v); sizes.put(v, b); total += b
+    }
+    val it = relations.entrySet().iterator()
+    while (total > budget && relations.size > 1 && it.hasNext) {
+      val e = it.next() // access-ordered: eldest first
+      e.getValue.unpersist(false)
+      total -= sizes.get(e.getValue)
+      it.remove()
+      evictionCount.incrementAndGet()
+    }
+  }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -131,6 +166,12 @@ object ChunkPeerCache {
           relations.put(key, p)
           p
         }
+      // byte-budgeted LRU (groupcache parity): entries materialize lazily,
+      // so the budget is enforced on every route-through against the
+      // bytes the BlockManagers ACTUALLY hold right now
+      enforceBudget(scala.util.Try(scan.sparkSession.conf
+        .get("spark.graft.tsdb.peerCacheMaxBytes").toLong)
+        .getOrElse(DefaultMaxBytes))
       // matchers re-apply above the cached relation: rebind their
       // attribute references (this scan's exprIds) to the cached base's
       // output by name — the relation schema is flat and names unique

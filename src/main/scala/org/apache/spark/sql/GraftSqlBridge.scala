@@ -24,4 +24,20 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** ACTUAL accumulated bytes of a persisted DataFrame's materialized
+    * in-memory relation — the `CachedRDDBuilder.sizeInBytesStats`
+    * accumulator the executors fill as cached batches are built. 0 while
+    * the cache entry exists but no partition has materialized yet, and 0
+    * for a frame that is not cached at all. This is storage truth (what
+    * the BlockManagers actually hold), not a plan-stats estimate — the
+    * right currency for a byte-budgeted cache tier. */
+  def persistedBytes(df: DataFrame): Long =
+    df.asInstanceOf[classic.Dataset[_]].sparkSession.sharedState.cacheManager
+      .lookupCachedData(df.asInstanceOf[classic.Dataset[_]]) match {
+      case scala.Some(cd) =>
+        val b = cd.cachedRepresentation.cacheBuilder
+        if (b.isCachedColumnBuffersLoaded) b.sizeInBytesStats.value else 0L
+      case _ => 0L
+    }
 }

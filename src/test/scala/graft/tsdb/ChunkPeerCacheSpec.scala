@@ -89,4 +89,39 @@ class ChunkPeerCacheSpec extends AnyFunSuite {
     ChunkPeerCache.clear()
     assert(ChunkPeerCache.entryCount == 0)
   }
+
+  test("byte budget evicts LRU — groupcache parity: bytes, not entries") {
+    ChunkPeerCache.clear()
+    // reference: 8 GiB BYTE budget (`groupcache.go:40`, 8<<30); shrink it
+    // to 1 byte so any materialized relation overflows immediately
+    spark.conf.set("spark.graft.tsdb.peerCacheMaxBytes", "1")
+    try {
+      val e0 = ChunkPeerCache.evictions
+      val a = ChunkPeerCache.cached(sel)
+      assert(a.count() == 3 * 200) // materialize A into the BlockManager
+      assert(ChunkPeerCache.usedBytes > 0,
+        "materialized entry must report its actual storage bytes")
+      // routing a second window inserts B; A (LRU, over budget) must go
+      val b = ChunkPeerCache.cached(
+        spark.read.format("graft-tsdb").load(root)
+          .where(col("t") < lit(1700000000000L + 100 * 15000L))
+          .where(col("job") === "api"))
+      assert(ChunkPeerCache.evictions == e0 + 1,
+        "A's materialized bytes exceed the budget → LRU eviction")
+      assert(ChunkPeerCache.entryCount == 1)
+      assert(b.count() == 3 * 100)
+      // the most-recently-used entry survives even when it alone exceeds
+      // the budget: evicting it would only force an immediate re-decode
+      val b2 = ChunkPeerCache.cached(
+        spark.read.format("graft-tsdb").load(root)
+          .where(col("t") < lit(1700000000000L + 100 * 15000L))
+          .where(col("instance") === "i-1"))
+      assert(b2.count() == 2 * 100)
+      assert(ChunkPeerCache.entryCount == 1, "hit on B — no new entry")
+      assert(ChunkPeerCache.evictions == e0 + 1, "MRU entry is never evicted")
+    } finally {
+      spark.conf.unset("spark.graft.tsdb.peerCacheMaxBytes")
+      ChunkPeerCache.clear()
+    }
+  }
 }
