@@ -109,14 +109,17 @@ object Decontaminate {
     *    shingles with corpus document frequency ≤ dfCap — the candidate
     *    side, bounded at ≤ dfCap docs per shingle by construction. */
   final case class RareShingleIndex(shingles: DataFrame, rarePostings: DataFrame) {
-    /** Pin both frames (the in-session analog of writing the index to
-      * storage). The postings pin PRE-PARTITIONED on the shingle hash —
-      * the cached relation keeps that partitioning in its plan, so every
-      * later probe join streams the (big) postings side with no exchange
-      * and no per-run sort; only the (small) probe side shuffles. The
+    /** A pinned COPY of this index (the in-session analog of writing it
+      * to storage) — the receiver is left untouched; use the RETURNED
+      * index (`val idx = raw.persisted()`), not the receiver, or the
+      * probe joins run against unpersisted, unpartitioned postings. The
+      * postings pin PRE-PARTITIONED on the shingle hash — the cached
+      * relation keeps that partitioning in its plan, so every later
+      * probe join streams the (big) postings side with no exchange and
+      * no per-run sort; only the (small) probe side shuffles. The
       * storage analog is a table bucketed by `h`. Caller owns the
       * lifecycle — see PipelineQueries' fixture cache. */
-    def persist(): RareShingleIndex = {
+    def persisted(): RareShingleIndex = {
       shingles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val parted = rarePostings.repartition(col("h"))
       parted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -237,8 +237,14 @@ object NativeHistogram {
     * bucket. */
   def fraction(nh: DataFrame, lo: Double, hi: Double,
                groupCols: Seq[String]): DataFrame = {
-    require(lo <= hi, s"fraction bounds out of order: [$lo, $hi]")
     val g = groupCols.map(col)
+    // degenerate bounds degrade as upstream does (promql/quantile.go):
+    // NaN bounds → NaN, inverted → 0, empty histogram → NaN — no throw
+    if (lo.isNaN || hi.isNaN || lo > hi) {
+      val v = if (lo.isNaN || hi.isNaN) Double.NaN else 0.0
+      return nh.select(g :+ when(col("count") > 0, lit(v))
+        .otherwise(lit(Double.NaN)).as("fraction"): _*)
+    }
     val ex = nh.select(g ++ Seq(col("count"), col("zero_count"),
       col("schema"), explode_outer(col("buckets")).as("b")): _*)
     val lower = bucketLower(col("b.idx"), col("schema"))

@@ -328,7 +328,16 @@ object PromOps {
     * the lag/total frame shared with the quantile. */
   def histogramFraction(buckets: DataFrame, lo: Double, hi: Double,
                         groupCols: Seq[String]): DataFrame = {
-    require(lo <= hi, s"fraction bounds out of order: [$lo, $hi]")
+    // degenerate bounds degrade the way upstream's histogramFraction
+    // does (promql/quantile.go): NaN bounds → NaN, inverted bounds → 0
+    // — never an eval-time throw (a dashboard typo must not kill the
+    // query); zero-observation groups stay NaN (0/0) on both paths
+    if (lo.isNaN || hi.isNaN || lo > hi) {
+      val v = if (lo.isNaN || hi.isNaN) Double.NaN else 0.0
+      return buckets.groupBy(groupCols.map(col): _*)
+        .agg(when(max(col("cum")) > 0, lit(v))
+          .otherwise(lit(Double.NaN)).as("fraction"))
+    }
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("le"))
     val wAll = Window.partitionBy(groupCols.map(col): _*)
     val d = buckets

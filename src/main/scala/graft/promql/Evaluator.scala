@@ -833,38 +833,96 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
     case HistQ(phi, arg) =>
       // group on labels-minus-(le, name), parse `le` ("+Inf" included),
       // then the shared Prometheus interpolation over the bucket frame
-      val in = eval(arg)
-      val leStr = graft.tsdb.TsSchema.labelValue(col("labels"), "le")
-      val withLe = in
-        .withColumn("gkey", filter(col("labels"), e =>
-          e.getField("name") =!= "le" &&
-            e.getField("name") =!= Labels.MetricName))
-        .withColumn("le",
-          when(leStr === "+Inf", lit(Double.PositiveInfinity))
-            .otherwise(leStr.cast("double")))
-        .where(col("le").isNotNull)
       graft.ops.PromOps.histogramQuantile(
-        withLe.select(col("gkey"), col("t"), col("le"), col("v").as("cum")),
-        phi, Seq("gkey", "t"))
+        leBuckets(eval(arg)), phi, Seq("gkey", "t"))
         .select(col("gkey").as("labels"), col("t"), col("quantile").as("v"))
     case HistFrac(lo, hi, arg) =>
       // identical bucket-frame preparation to histogram_quantile, then
       // the shared uniform-within-bucket overlap estimator
-      val in = eval(arg)
-      val leStr = graft.tsdb.TsSchema.labelValue(col("labels"), "le")
-      val withLe = in
-        .withColumn("gkey", filter(col("labels"), e =>
-          e.getField("name") =!= "le" &&
-            e.getField("name") =!= Labels.MetricName))
-        .withColumn("le",
-          when(leStr === "+Inf", lit(Double.PositiveInfinity))
-            .otherwise(leStr.cast("double")))
-        .where(col("le").isNotNull)
       graft.ops.PromOps.histogramFraction(
-        withLe.select(col("gkey"), col("t"), col("le"), col("v").as("cum")),
-        lo, hi, Seq("gkey", "t"))
+        leBuckets(eval(arg)), lo, hi, Seq("gkey", "t"))
         .select(col("gkey").as("labels"), col("t"), col("fraction").as("v"))
+    case HistStats(stat, arg) => histStats(stat, arg)
     case Num(v) => sys.error(s"bare scalar $v is not a vector expression")
+  }
+
+  /** `(gkey = labels − {le, __name__}, t, le, cum)` bucket frame from a
+    * classic-view instant vector — the shared preparation for the
+    * `histogram_*` family ("+Inf" parses to `Double.PositiveInfinity`;
+    * series with no parseable `le` drop out). */
+  private def leBuckets(in: DataFrame): DataFrame = {
+    val leStr = graft.tsdb.TsSchema.labelValue(col("labels"), "le")
+    in.withColumn("gkey", filter(col("labels"), e =>
+        e.getField("name") =!= "le" &&
+          e.getField("name") =!= Labels.MetricName))
+      .withColumn("le",
+        when(leStr === "+Inf", lit(Double.PositiveInfinity))
+          .otherwise(leStr.cast("double")))
+      .where(col("le").isNotNull)
+      .select(col("gkey"), col("t"), col("le"), col("v").as("cum"))
+  }
+
+  /** The native-histogram stats family over the classic view
+    * (Prometheus serves `histogram_count/sum/avg/stddev/stdvar` as
+    * PromQL functions on native-histogram samples; here the samples
+    * are classic-view `le` bucket series + `_count`/`_sum` companions,
+    * so):
+    *  - `count` reads the `+Inf` bucket's cumulative value — exact;
+    *  - `sum` reads the `_sum` companion series (requires a named
+    *    metric selector argument, the classic-view convention) — exact;
+    *  - `avg` is their per-(series, step) ratio — exact;
+    *  - `stddev`/`stdvar` place each de-cumulated bucket's mass at the
+    *    midpoint of `(previous present le | 0, le]` — the same
+    *    interpolation family as `histogram_quantile` over the classic
+    *    view, where sparse gaps widen the bucket — with `le = 0` (the
+    *    zero bucket) a point mass at 0; mass above the largest finite
+    *    bucket carries no location and is excluded from the moments. */
+  private def histStats(stat: String, arg: PromExpr): DataFrame = {
+    def counts = leBuckets(eval(arg))
+      .where(col("le") === Double.PositiveInfinity)
+      .groupBy(col("gkey"), col("t")).agg(max(col("cum")).as("v"))
+      .select(col("gkey").as("labels"), col("t"), col("v"))
+    def sums = arg match {
+      case s: Selector if s.rangeMs.isEmpty =>
+        val ms = s.matchers.map(m =>
+          if (m.name == Labels.MetricName && m.tpe == graft.tsdb.MatchType.Eq)
+            m.copy(value = m.value + "_sum")
+          else m)
+        if (ms == s.matchers)
+          sys.error(s"histogram_$stat needs a named metric selector " +
+            "(the `_sum` companion series carries the sum)")
+        // the function's output drops the metric name (PromQL rule),
+        // which also aligns these labels with `counts`' group key
+        eval(s.copy(matchers = ms))
+          .withColumn("labels", dropName(col("labels")))
+      case _ => sys.error(s"histogram_$stat needs an instant metric selector")
+    }
+    stat match {
+      case "count" => counts
+      case "sum" => sums
+      case "avg" =>
+        val c = counts.select(col("labels"), col("t"), col("v").as("_n"))
+        sums.join(c, Seq("labels", "t"))
+          .select(col("labels"), col("t"), (col("v") / col("_n")).as("v"))
+      case _ => // stddev / stdvar
+        val w = Window.partitionBy(col("gkey"), col("t")).orderBy(col("le"))
+        val d = leBuckets(eval(arg))
+          .withColumn("cnt",
+            col("cum") - coalesce(lag(col("cum"), 1).over(w), lit(0.0)))
+          .withColumn("mid",
+            (coalesce(lag(col("le"), 1).over(w), lit(0.0)) + col("le")) / 2)
+        val finite = col("le") =!= Double.PositiveInfinity
+        val agg = d.groupBy(col("gkey"), col("t")).agg(
+          max(col("cum")).as("_n"),
+          sum(when(finite, col("cnt") * col("mid")).otherwise(0.0)).as("_m1"),
+          sum(when(finite, col("cnt") * col("mid") * col("mid"))
+            .otherwise(0.0)).as("_m2"))
+        val stdvar = greatest(lit(0.0),
+          col("_m2") / col("_n") -
+            (col("_m1") / col("_n")) * (col("_m1") / col("_n")))
+        val v = if (stat == "stdvar") stdvar else sqrt(stdvar)
+        agg.select(col("gkey").as("labels"), col("t"), v.as("v"))
+    }
   }
 }
 

@@ -52,6 +52,11 @@ object PromExpr {
     * `histogram_quantile`). */
   final case class HistFrac(lo: Double, hi: Double, arg: PromExpr)
       extends PromExpr
+  /** `histogram_count/sum/avg/stddev/stdvar(expr)` over the classic
+    * view of native histograms (`le` bucket series plus the
+    * `_count`/`_sum` companion series). `stat` is the suffix after
+    * `histogram_`. */
+  final case class HistStats(stat: String, arg: PromExpr) extends PromExpr
   /** `absent(selector)` / `absent_over_time(selector[range])`: 1 at
     * each step where the selector matches no series (in the lookback
     * window / in the `[range]` window), labeled from the selector's
@@ -238,6 +243,11 @@ final class Parser(input: String) {
   /** Calendar functions default their argument to `vector(time())`. */
   private val calendarFns = Set("minute", "hour", "day_of_week",
     "day_of_month", "day_of_year", "days_in_month", "month", "year")
+
+  /** The native-histogram stats family (Prometheus `histogram_count`
+    * etc.), served here over the classic view. */
+  private val histStatFns = Set("histogram_count", "histogram_sum",
+    "histogram_avg", "histogram_stddev", "histogram_stdvar")
 
   private def labelList(): Seq[String] = {
     ws(); eat('(')
@@ -490,6 +500,11 @@ final class Parser(input: String) {
       val arg = parseExpr(0)
       ws(); eat(')')
       HistFrac(lo, hi, arg)
+    } else if (histStatFns.contains(name)) {
+      ws(); eat('(')
+      val arg = parseExpr(0)
+      ws(); eat(')')
+      HistStats(name.stripPrefix("histogram_"), arg)
     } else if (scalarFns.contains(name)) {
       ws(); eat('(')
       ws()

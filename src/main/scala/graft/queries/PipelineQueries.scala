@@ -19,10 +19,10 @@ object PipelineQueries {
     * and the cluster assignment are two consumers of ONE expensive
     * pipeline — compute it once, as a production dedup job would. */
   private val lshPairsCache =
-    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+    SessionFixtures.register(scala.collection.concurrent.TrieMap[(String, String), DataFrame]())
 
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
-    lshPairsCache.getOrElseUpdate((System.identityHashCode(s).toString, dir),
+    lshPairsCache.getOrElseUpdate((SessionFixtures.key(s), dir),
       Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
         numHashes = 16, bands = 4, shingleSize = 3, threshold = 0.2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -31,17 +31,17 @@ object PipelineQueries {
     * corpus side of cross-corpus near-dedup (at 100 TB: a parquet
     * artifact refreshed with the corpus, bucketed by band key). */
   private val lshIndexCache =
-    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+    SessionFixtures.register(scala.collection.concurrent.TrieMap[(String, String), DataFrame]())
 
   private def lshCorpusIndex(s: SparkSession, dir: String): DataFrame =
-    lshIndexCache.getOrElseUpdate((System.identityHashCode(s).toString, dir),
+    lshIndexCache.getOrElseUpdate((SessionFixtures.key(s), dir),
       Dedup.minhashSignatures(docs(s, dir).where(col("doc_id") % 10 =!= 0),
         "doc_id", "text", numHashes = 16, shingleSize = 3, bands = 4)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def pqCb(s: SparkSession, dir: String): Array[Double] =
     pqCbCache.getOrElseUpdate(
-      (System.identityHashCode(s).toString, dir),
+      (SessionFixtures.key(s), dir),
       Similarity.pqCodebooks(embs(s, dir), "vec_id", "embedding", m = 8, k = 16))
 
   /** Per-(session, dir) trained IVF centroids (a k×dim LocalRelation):
@@ -49,10 +49,10 @@ object PipelineQueries {
     * knn_ivfpq) — the production shape, where an index is trained once
     * and served by many queries. */
   private val kmCache =
-    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+    SessionFixtures.register(scala.collection.concurrent.TrieMap[(String, String), DataFrame]())
 
   private def kmCentroids(s: SparkSession, dir: String): DataFrame =
-    kmCache.getOrElseUpdate((System.identityHashCode(s).toString, dir),
+    kmCache.getOrElseUpdate((SessionFixtures.key(s), dir),
       Similarity.kmeansCentroids(embs(s, dir), "vec_id", "embedding",
         k = 10, iters = 3))
 
@@ -68,7 +68,7 @@ object PipelineQueries {
     * resolve to a static partition filter and unprobed cell directories
     * are never read (plan-asserted in OpsSpec). */
   private val ivfStoreCache =
-    scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]()
+    SessionFixtures.register(scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]())
 
   /** Temp layout roots created this JVM, deleted by ONE shutdown hook —
     * a long-lived session otherwise strands a parquet tree per
@@ -87,7 +87,7 @@ object PipelineQueries {
 
   private def storedLayout(s: SparkSession, dir: String, tag: String,
                            build: => DataFrame): DataFrame =
-    ivfStoreCache.getOrElseUpdate((System.identityHashCode(s).toString, dir, tag), {
+    ivfStoreCache.getOrElseUpdate((SessionFixtures.key(s), dir, tag), {
       tmpLayoutHook
       val root = java.nio.file.Files.createTempDirectory(s"graft-$tag")
       tmpLayoutRoots.add(root)
@@ -114,14 +114,14 @@ object PipelineQueries {
     * of the corpus alone, so it is built once and consumed by every
     * decontamination run (at 100 TB: a materialized parquet artifact
     * refreshed with the corpus, not per-query work). */
-  private val rareIdxCache = scala.collection.concurrent
-    .TrieMap[(String, String), graft.ops.Decontaminate.RareShingleIndex]()
+  private val rareIdxCache = SessionFixtures.register(scala.collection.concurrent
+    .TrieMap[(String, String), graft.ops.Decontaminate.RareShingleIndex]())
 
   private def rareIdx(s: SparkSession, dir: String): graft.ops.Decontaminate.RareShingleIndex =
-    rareIdxCache.getOrElseUpdate((System.identityHashCode(s).toString, dir),
+    rareIdxCache.getOrElseUpdate((SessionFixtures.key(s), dir),
       graft.ops.Decontaminate.rareShingleIndex(
         docs(s, dir).where(col("doc_id") % 10 =!= 0), "doc_id", "text",
-        shingleSize = 3, dfCap = 100).persist())
+        shingleSize = 3, dfCap = 100).persisted())
 
   /** Shared-fixture builders (see TsQueries.fixtures): the verified LSH
     * pair set, the trained PQ codebooks, the trained IVF centroids and
@@ -774,7 +774,8 @@ object PipelineQueries {
   /** Per-(session, dir) trained PQ codebooks (driver-resident: m·k
     * subvectors — tiny). */
   private val pqCbCache =
-    scala.collection.concurrent.TrieMap[(String, String), Array[Double]]()
+    SessionFixtures.register(
+      scala.collection.concurrent.TrieMap[(String, String), Array[Double]]())
 
   /** Shared split spec for `sample_split` — the oracle regenerates the
     * cumulative double boundaries with the same fold, so the SQL CASE

@@ -24,10 +24,10 @@ object TsQueries {
     * cached columnar form — the same shape a real deployment gets from
     * reading the written store (TsStore.read) instead of re-deriving it. */
   private val storeCache =
-    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+    SessionFixtures.register(scala.collection.concurrent.TrieMap[(String, String), DataFrame]())
 
   def store(s: SparkSession, dir: String): DataFrame =
-    storeCache.getOrElseUpdate((System.identityHashCode(s).toString, dir), buildStore(s, dir).cache())
+    storeCache.getOrElseUpdate((SessionFixtures.key(s), dir), buildStore(s, dir).cache())
 
   /** events → canonical long-form series store (SURVEY.md §1.3), via the
     * codegen'd static-label fast path. */
@@ -50,10 +50,10 @@ object TsQueries {
   /** Chunked-form variant of the same store (SURVEY.md §7.4): chunk rows
     * are pruned by label + min_t/max_t BEFORE exploding samples. */
   private val chunkedCache =
-    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+    SessionFixtures.register(scala.collection.concurrent.TrieMap[(String, String), DataFrame]())
 
   private def chunkedStore(s: SparkSession, dir: String): DataFrame =
-    chunkedCache.getOrElseUpdate((System.identityHashCode(s).toString, dir),
+    chunkedCache.getOrElseUpdate((SessionFixtures.key(s), dir),
       // derive from the CACHED canonical long form — the two storage
       // forms share one canonicalization pass; building the chunked rows
       // is then a single shuffle on the series key
@@ -67,10 +67,10 @@ object TsQueries {
     * read-back query. Driver-side assembly is the test-scale shape of the
     * shipper path; production ingest is the distributed TsdbBlock.ingest. */
   private val blockDirCache =
-    scala.collection.concurrent.TrieMap[(String, String), String]()
+    SessionFixtures.register(scala.collection.concurrent.TrieMap[(String, String), String]())
 
   private def dsv2BlockDir(s: SparkSession, dir: String): String =
-    blockDirCache.getOrElseUpdate((System.identityHashCode(s).toString, dir), {
+    blockDirCache.getOrElseUpdate((SessionFixtures.key(s), dir), {
       val root = java.nio.file.Files.createTempDirectory("graft_dsv2_block")
       // XOR encoding runs on executors; the driver only assembles the
       // segment + index layout (TsdbBlock.writeDistributed)
@@ -82,10 +82,10 @@ object TsQueries {
   /** Per-(session, dir) parquet store with two pending deletion records,
     * for the Delta-style delete workflow query (TsDeletions). */
   private val deleteStoreCache =
-    scala.collection.concurrent.TrieMap[(String, String), String]()
+    SessionFixtures.register(scala.collection.concurrent.TrieMap[(String, String), String]())
 
   private def deleteStore(s: SparkSession, dir: String): String =
-    deleteStoreCache.getOrElseUpdate((System.identityHashCode(s).toString, dir), {
+    deleteStoreCache.getOrElseUpdate((SessionFixtures.key(s), dir), {
       // deletes are metadata-only: the log lives under <store>/_deletions
       // and never needs the data files present, so the fixture appends
       // the two records to an empty dir and the query masks the cached
@@ -105,10 +105,10 @@ object TsQueries {
   /** Per-(session, dir) store holding one materialized recording rule
     * (the e2e expression recorded as a new metric). */
   private val ruleStoreCache =
-    scala.collection.concurrent.TrieMap[(String, String), String]()
+    SessionFixtures.register(scala.collection.concurrent.TrieMap[(String, String), String]())
 
   private def ruleStore(s: SparkSession, dir: String): String =
-    ruleStoreCache.getOrElseUpdate((System.identityHashCode(s).toString, dir), {
+    ruleStoreCache.getOrElseUpdate((SessionFixtures.key(s), dir), {
       val p = java.nio.file.Files.createTempDirectory("graft_rules")
         .resolve("store").toString
       graft.promql.RecordingRules.record(querier(s, dir), p,
@@ -124,11 +124,11 @@ object TsQueries {
     * `_count`/`_sum` companion series: the extra series carry their own
     * `__name__` values, so bucket-only queries are unaffected. */
   private val nativeHistCache =
-    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+    SessionFixtures.register(scala.collection.concurrent.TrieMap[(String, String), DataFrame]())
 
   private def nativeHistView(s: SparkSession, dir: String): DataFrame =
     nativeHistCache.getOrElseUpdate(
-      (System.identityHashCode(s).toString, dir), {
+      (SessionFixtures.key(s), dir), {
         val ev = Tables.load(s, dir, "events")
           .select(col("event_type"), col("value"),
             (Tables.tsMillis(col("ts")) -
@@ -652,6 +652,27 @@ object TsQueries {
         .orderBy(col("event_type"), col("t"))
     }),
 
+    // the full Prometheus stats family as evaluator-level FUNCTIONS
+    // (`histogram_count/sum/avg/stddev/stdvar`), all five parser routes
+    // over one classic-view store: count reads the +Inf bucket, sum the
+    // `_sum` companion, avg their ratio (all exact); stddev/stdvar use
+    // the classic-interpolation bucket-midpoint estimator (midpoint of
+    // (previous present le | 0, le]) — the same family as
+    // histogram_quantile over the classic view
+    "ts_promql_native_hist_stats" -> ((s, dir) => {
+      val q = nativeHistQuerier(s, dir)
+      def run(expr: String, alias: String, scale: Int) =
+        graft.promql.PromQL.rangeQuery(q, expr, Mint, Maxt, 86400000L)
+          .select(TsSchema.labelValue(col("labels"), "event_type").as("event_type"),
+            col("t"), round(col("v"), scale).as(alias))
+      run("histogram_count(latency)", "cnt", 6)
+        .join(run("histogram_sum(latency)", "sum_v", 4), Seq("event_type", "t"))
+        .join(run("histogram_avg(latency)", "avg_v", 6), Seq("event_type", "t"))
+        .join(run("histogram_stddev(latency)", "stddev_v", 6), Seq("event_type", "t"))
+        .join(run("histogram_stdvar(latency)", "stdvar_v", 4), Seq("event_type", "t"))
+        .orderBy(col("event_type"), col("t"))
+    }),
+
     // recording rule: the e2e expression materialized into a store as a
     // new metric, then selected back through the ordinary querier — the
     // oracle is the SAME SQL as ts_promql_e2e because the rule series
@@ -1057,6 +1078,39 @@ object TsQueries {
          |     / (le - lower) END AS contrib FROM ranked)
          | SELECT event_type, t, round(sum(contrib) / max(total), 6) AS frac
          | FROM c GROUP BY event_type, t ORDER BY event_type, t""".stripMargin.replace("\n", " "),
+    // the stats family: count/sum/avg are exact reads of the corpus;
+    // stddev/stdvar replicate the classic-interpolation bucket-midpoint
+    // estimator over the same bucket frame as ts_promql_native_hist —
+    // de-cumulate consecutive present les, mass at (prev_le + le)/2,
+    // +Inf mass excluded from the moments
+    "ts_promql_native_hist_stats" ->
+      s"""WITH ev AS (SELECT event_type, "value" AS value,
+         |   epoch_ms(ts) - epoch_ms(ts) % 86400000 AS t FROM events),
+         | evw AS (SELECT * FROM ev WHERE t BETWEEN $Mint AND $Maxt),
+         | obs AS (SELECT event_type, t,
+         |   ceil(ln(value) / 0.6931471805599453 * 4)::BIGINT AS idx
+         |  FROM evw WHERE value > 0),
+         | b AS (SELECT event_type, t, idx, count(*) AS cnt FROM obs GROUP BY 1, 2, 3),
+         | tot AS (SELECT event_type, t, count(*) AS n, sum(value) AS sv
+         |  FROM evw GROUP BY 1, 2),
+         | cm AS (SELECT event_type, t, idx, power(2.0, idx / 4.0) AS le,
+         |   sum(cnt) OVER (PARTITION BY event_type, t ORDER BY idx) AS cum FROM b),
+         | buckets AS (SELECT event_type, t, le, cum FROM cm
+         |  UNION ALL SELECT event_type, t, 'Infinity'::DOUBLE, n FROM tot),
+         | dd AS (SELECT event_type, t, le,
+         |   (cum - coalesce(lag(cum) OVER w, 0))::DOUBLE AS cnt,
+         |   (coalesce(lag(le) OVER w, 0.0) + le) / 2 AS mid
+         |  FROM buckets WINDOW w AS (PARTITION BY event_type, t ORDER BY le)),
+         | mo AS (SELECT event_type, t,
+         |   sum(CASE WHEN le <> 'Infinity'::DOUBLE THEN cnt * mid ELSE 0 END) AS m1,
+         |   sum(CASE WHEN le <> 'Infinity'::DOUBLE THEN cnt * mid * mid ELSE 0 END) AS m2
+         |  FROM dd GROUP BY 1, 2)
+         | SELECT tot.event_type, tot.t, round(tot.n::DOUBLE, 6) AS cnt,
+         |  round(tot.sv, 4) AS sum_v, round(tot.sv / tot.n, 6) AS avg_v,
+         |  round(sqrt(greatest(0.0, mo.m2 / tot.n - (mo.m1 / tot.n) * (mo.m1 / tot.n))), 6) AS stddev_v,
+         |  round(greatest(0.0, mo.m2 / tot.n - (mo.m1 / tot.n) * (mo.m1 / tot.n)), 4) AS stdvar_v
+         | FROM tot JOIN mo ON tot.event_type = mo.event_type AND tot.t = mo.t
+         | ORDER BY tot.event_type, tot.t""".stripMargin.replace("\n", " "),
     // exact: observe() counts every row and sums every value, so the
     // PromQL `latency_sum / latency_count` is plain per-group average
     "ts_promql_native_hist_avg" ->

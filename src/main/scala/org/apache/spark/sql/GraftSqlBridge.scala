@@ -25,6 +25,12 @@ object GraftSqlBridge {
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Never-reused session identity (`sessionUUID` is `private[sql]`) —
+    * the right key for per-session caches, where an identity hash can
+    * collide after GC. */
+  def sessionUUID(s: SparkSession): String =
+    s.asInstanceOf[classic.SparkSession].sessionUUID
+
   /** ACTUAL accumulated bytes of a persisted DataFrame's materialized
     * in-memory relation — the `CachedRDDBuilder.sizeInBytesStats`
     * accumulator the executors fill as cached batches are built. 0 while

@@ -303,6 +303,42 @@ class PromQLSpec extends AnyFunSuite {
     // strictly inside a bucket: i-1's median is 0.46
     val half = frac("histogram_fraction(0, 0.46, lat_bucket)")
     assert(math.abs(half(1)._2 - 0.5) < 1e-12)
+    // degenerate bounds degrade the way upstream does (no eval-time
+    // throw): NaN bounds → NaN, inverted bounds → 0
+    val nan = frac("histogram_fraction(NaN, NaN, lat_bucket)")
+    assert(nan.size == 2 && nan.forall(_._2.isNaN))
+    val inv = frac("histogram_fraction(2, 1, lat_bucket)")
+    assert(inv.map(_._2) == Seq(0.0, 0.0))
+  }
+
+  test("histogram_count/sum/avg/stddev/stdvar evaluator functions") {
+    // one histogram: le (0.1, 1, +Inf) cum (10, 30, 30) → masses 10 at
+    // mid 0.05 and 20 at mid 0.55 (classic-interpolation midpoints), no
+    // +Inf mass. n = 30; m1 = 11.5; m2 = 6.075 →
+    // stdvar = 6.075/30 − (11.5/30)² = 1/18 exactly.
+    // The `_sum` companion carries 12.3 → avg = 12.3/30 = 0.41.
+    val bdf = spark.createDataFrame(
+      Seq(("0.1", 10.0), ("1", 30.0), ("+Inf", 30.0))).toDF("le", "c")
+    val buckets = bdf.select(
+      map(lit("__name__"), lit("lat_bucket"), lit("le"), col("le")).as("labels"),
+      lit(T0).as("t"), col("c").as("v"))
+    val sums = spark.createDataFrame(Seq(Tuple1(12.3))).toDF("s").select(
+      map(lit("__name__"), lit("lat_bucket_sum")).as("labels"),
+      lit(T0).as("t"), col("s").as("v"))
+    val q = new TsQuerier(
+      TsSchema.canonicalize(buckets.unionByName(sums), promoted = Seq()),
+      promoted = Seq())
+    def one(expr: String): Double = {
+      val vs = PromQL.rangeQuery(q, expr, T0, T0, 60000L)
+        .select(col("v")).collect().map(_.getDouble(0)).toSeq
+      assert(vs.size == 1, s"$expr returned ${vs.size} series")
+      vs.head
+    }
+    assert(one("histogram_count(lat_bucket)") == 30.0)
+    assert(one("histogram_sum(lat_bucket)") == 12.3)
+    assert(math.abs(one("histogram_avg(lat_bucket)") - 0.41) < 1e-12)
+    assert(math.abs(one("histogram_stdvar(lat_bucket)") - 1.0 / 18) < 1e-12)
+    assert(math.abs(one("histogram_stddev(lat_bucket)") - math.sqrt(1.0 / 18)) < 1e-12)
   }
 
   test("stddev/stdvar/quantile over time") {
