@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** REAL image-header decode as a native Catalyst expression: parses the
+  * published PNG and JPEG container formats (pure JVM, no codec
+  * library) from a `BINARY` column and returns
+  * `struct<format, width, height, channels>`, or null when the bytes
+  * are neither.
+  *
+  *  - PNG (RFC 2083): 8-byte signature, then the IHDR chunk —
+  *    4-byte big-endian width and height at offsets 16/20, bit depth
+  *    at 24, color type at 25 (0 gray → 1 channel, 2 RGB → 3,
+  *    3 palette → 1, 4 gray+alpha → 2, 6 RGBA → 4).
+  *  - JPEG (ITU T.81): SOI marker, then a marker-segment walk —
+  *    each segment is 0xFF, a marker byte, and a 2-byte big-endian
+  *    length covering itself; the frame header (SOF0–SOF15, minus the
+  *    non-frame C4/C8/CC codes) carries sample precision, height,
+  *    width, and the component count (= channels).
+  *
+  * This replaces the round-1..8 decode STUB: the bytes on the wire are
+  * real container headers and the decode actually parses them. Pixel
+  * decode (inflate/DCT) stays out of scope in this sandbox — a codec
+  * call slots into [[graft.ops.Multimodal.decodeBatched]]'s
+  * per-partition init, and nothing in the plumbing changes.
+  *
+  * `doGenCode` keeps the call inside whole-stage codegen (one virtual
+  * call on a referenced object — the [[PqEncodeExpr]] pattern). */
+case class MediaHeaderExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = MediaHeaderExpr.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "media_header"
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  /** Null when the payload is neither a PNG nor a JPEG header. */
+  def compute(b: Array[Byte]): InternalRow = {
+    val png = parsePng(b)
+    if (png != null) png else parseJpeg(b)
+  }
+
+  private def be4(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  private def be2(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  private val PngSig =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def parsePng(b: Array[Byte]): InternalRow = {
+    if (b.length < 26) return null
+    var i = 0
+    while (i < 8) { if (b(i) != PngSig(i)) return null; i += 1 }
+    // first chunk must be IHDR (length 13): type at 12..15, data at 16
+    if (be4(b, 8) != 13 || b(12) != 'I' || b(13) != 'H' ||
+      b(14) != 'D' || b(15) != 'R') return null
+    val channels = (b(25) & 0xff) match {
+      case 0 => 1 // grayscale
+      case 2 => 3 // truecolor
+      case 3 => 1 // palette index
+      case 4 => 2 // gray + alpha
+      case 6 => 4 // truecolor + alpha
+      case _ => return null
+    }
+    InternalRow(UTF8String.fromString("png"),
+      be4(b, 16), be4(b, 20), channels)
+  }
+
+  private def parseJpeg(b: Array[Byte]): InternalRow = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return null
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return null // lost marker sync
+      val marker = b(i + 1) & 0xff
+      if (marker == 0xff) { i += 1 } // fill byte before a marker
+      else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) {
+        i += 2 // standalone: TEM, RSTn, SOI, EOI — no length field
+      } else if (marker >= 0xc0 && marker <= 0xcf &&
+        marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+        // SOFn frame header: len(2) precision(1) height(2) width(2) ncomp(1)
+        if (i + 9 >= b.length) return null
+        return InternalRow(UTF8String.fromString("jpeg"),
+          be2(b, i + 7), be2(b, i + 5), b(i + 9) & 0xff)
+      } else {
+        i += 2 + be2(b, i + 2) // skip segment (length covers itself)
+      }
+    }
+    null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("mediaHeader", this,
+      classOf[MediaHeaderExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("hdr")
+      s"""
+         |InternalRow $tmp = $self.compute($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MediaHeaderExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false)))
+
+  /** Column wrapper: codegen'd PNG/JPEG header decode over a binary
+    * payload column. */
+  def media_header(payload: Column): Column =
+    GraftSqlBridge.column(MediaHeaderExpr(GraftSqlBridge.expression(payload)))
+}

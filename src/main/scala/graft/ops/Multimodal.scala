@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * `BINARY` columns beside typed metadata; decode / feature-extract /
   * frame-sample are per-partition batch transforms.
   *
-  * The actual codec step is STUBBED (this container ships no image/audio
-  * libraries): `decodeStub` derives deterministic fake dimensions from the
-  * bytes. Everything around it — schema, batched `mapPartitions`
-  * signature, partitioning, output shape — is the real scale path: on a
-  * cluster the stub body is replaced by a JNI/codec call and nothing else
-  * changes.
+  * The header decode is REAL: [[synthesizeImages]] builds payloads with
+  * actual PNG/JPEG container headers (published formats) and
+  * [[decodeHeader]] parses them back with a codegen'd native expression
+  * ([[graft.functions.MediaHeaderExpr]]) — no codec library needed for
+  * dimensions/channels. Only PIXEL decode (inflate/DCT) and the feature
+  * model remain out of sandbox scope: `featureStub` stands in for an
+  * embedding model, and a real codec slots into [[decodeBatched]]'s
+  * per-partition init without changing any plumbing.
   *
   * Scale design (100 TB of media): payloads stay in their scan partition
   * end-to-end (no shuffle introduced by decode); metadata-only queries
@@ -44,16 +46,71 @@ object Multimodal {
         lit("application/octet-stream").as("mime"),
         length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes")).as("meta"))
 
-  /** STUB decode: deterministic fake (width, height, channels) from the
-    * payload bytes — a real build calls the codec here. Pure column
-    * expressions, so the "decode" stays codegen'd and partition-local. */
-  def decodeStub(payload: Column): Column = {
-    val h = conv(substring(md5(payload), 1, 15), 16, 10).cast("long")
-    struct(
-      (pmod(h, lit(1024L)) + 32L).as("width"),
-      (pmod(shiftright(h, 10), lit(1024L)) + 32L).as("height"),
-      (pmod(h, lit(3L)) + 1L).as("channels"))
+  private def be4(c: Column): Column = unhex(lpad(hex(c.cast("long")), 8, "0"))
+  private def be2(c: Column): Column = unhex(lpad(hex(c.cast("long")), 4, "0"))
+  private def be1(c: Column): Column = unhex(lpad(hex(c.cast("long")), 2, "0"))
+
+  /** Media table whose payloads carry REAL container headers: each doc
+    * becomes a PNG (even ids) or JPEG (odd ids) whose header bytes are
+    * built to the published format — PNG signature + IHDR with big-endian
+    * dimensions and a color type, or JPEG SOI + APP0/JFIF + SOF0 frame
+    * header — followed by the document text as the (opaque) body.
+    * Dimensions/channels are deterministic functions of the id so an
+    * external oracle can recompute what a correct decode must return:
+    * `width = id % 1024 + 32`, `height = (id div 7) % 1024 + 32`,
+    * `channels = 1 when id % 3 = 0 else 3`. All column expressions —
+    * construction is codegen'd and partition-local. */
+  def synthesizeImages(df: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
+    val width = pmod(id, lit(1024L)) + 32L
+    val height = pmod(expr(s"$idCol div 7"), lit(1024L)) + 32L
+    val channels = when(pmod(id, lit(3L)) === 0, 1L).otherwise(3L)
+    val body = encode(col(textCol), "UTF-8")
+    // PNG: 8-byte signature; IHDR chunk = len(13) "IHDR" width height
+    // bit-depth(8) color-type compression(0) filter(0) interlace(0) crc
+    val pngColorType = when(channels === 1, 0L).otherwise(2L)
+    val png = concat(
+      lit(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)),
+      be4(lit(13L)), lit("IHDR".getBytes("US-ASCII")),
+      be4(width), be4(height),
+      lit(Array[Byte](8)), be1(pngColorType),
+      lit(Array[Byte](0, 0, 0)), be4(lit(0L)), // crc not validated by header readers
+      body)
+    // JPEG: SOI; APP0/JFIF (16-byte segment); SOF0 frame header with
+    // len = 8 + 3·ncomp, precision 8, height, width, then per-component
+    // (id, sampling, quant-table) triples
+    val sof0len = lit(8L) + channels * 3L
+    val compSpecs = // 3 components' specs; truncated to 3·ncomp bytes
+      lit(Array(0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+        .map(_.toByte)).substr(lit(1), (channels * 3L).cast("int"))
+    val jpeg = concat(
+      lit(Array(0xff, 0xd8).map(_.toByte)), // SOI
+      lit(Array(0xff, 0xe0, 0x00, 0x10).map(_.toByte)), // APP0, len 16
+      lit("JFIF".getBytes("US-ASCII")),
+      lit(Array(0x00, 0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00)
+        .map(_.toByte)), // version 1.1, no density/thumbnail
+      lit(Array(0xff, 0xc0).map(_.toByte)), be2(sof0len), // SOF0
+      lit(Array[Byte](8)), be2(height), be2(width),
+      be1(channels), compSpecs,
+      body)
+    val payload = when(pmod(id, lit(2L)) === 0, png).otherwise(jpeg)
+    val mime = when(pmod(id, lit(2L)) === 0, "image/png").otherwise("image/jpeg")
+    df.select(
+      id.as("media_id"),
+      lit("image").as("kind"),
+      payload.as("payload"),
+      struct(
+        col(sourceCol).as("source"),
+        mime.as("mime"),
+        length(payload).cast("long").as("n_bytes")).as("meta"))
   }
+
+  /** REAL header decode (replaces the round-1..8 stub): parse the PNG /
+    * JPEG container header from the payload bytes — a codegen'd native
+    * expression, partition-local, null for unrecognized bytes. */
+  def decodeHeader(payload: Column): Column =
+    graft.functions.MediaHeaderExpr.media_header(payload)
 
   /** STUB feature extraction: fixed-length deterministic feature vector
     * from payload bytes (stands in for an image/audio embedding model). */

@@ -510,16 +510,21 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // multimodal: binary payload plumbing + stubbed decode (metadata query
-    // never reads the payload column — Parquet column pruning)
+    // multimodal: REAL binary header decode — payloads carry actual
+    // PNG/JPEG container headers (built to the published formats) and
+    // the codegen'd MediaHeaderExpr parses dimensions/channels back out
+    // of the bytes; the oracle recomputes what a correct decode must
+    // return from the deterministic construction
     "mm_decode" -> ((s, dir) => {
-      val media = Multimodal.synthesize(docs(s, dir), "doc_id", "text", "image", "source")
-      media.select(col("media_id"), col("kind"), col("meta.source").as("source"),
+      val media = Multimodal.synthesizeImages(docs(s, dir), "doc_id", "text", "source")
+      media.select(col("media_id"), col("meta.mime").as("mime"),
         col("meta.n_bytes").as("n_bytes"),
-        Multimodal.decodeStub(col("payload")).as("d"))
-        .select(col("media_id"), col("kind"), col("source"), col("n_bytes"),
-          col("d.width").as("width"), col("d.height").as("height"),
-          col("d.channels").as("channels"))
+        Multimodal.decodeHeader(col("payload")).as("d"))
+        .select(col("media_id"), col("mime"), col("n_bytes"),
+          col("d.format").as("format"),
+          col("d.width").cast("long").as("width"),
+          col("d.height").cast("long").as("height"),
+          col("d.channels").cast("long").as("channels"))
         .orderBy(col("media_id"))
     }),
 
@@ -1652,13 +1657,20 @@ object PipelineQueries {
          |   list_transform(t, tok -> ${hex15.format("tok")})),
          |   (acc, h) -> (acc * 31 + h) % 2147483647) AS fp
          | FROM toks ORDER BY doc_id""".om,
+    // the decode is a REAL byte-level parse on the Spark side; the oracle
+    // recomputes the expected results from the deterministic payload
+    // construction (header sizes: PNG = 8 sig + 25 IHDR chunk = 33;
+    // JPEG = 2 SOI + 18 APP0 + 2 SOF marker + 8 + 3·channels)
     "mm_decode" ->
-      s"""SELECT doc_id AS media_id, 'image' AS kind, source,
-         | octet_length(encode(text)) AS n_bytes,
-         | (${hex15.format("text")} % 1024) + 32 AS width,
-         | ((${hex15.format("text")} >> 10) % 1024) + 32 AS height,
-         | (${hex15.format("text")} % 3) + 1 AS channels
-         | FROM documents ORDER BY media_id""".om,
+      """SELECT doc_id AS media_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS mime,
+        | octet_length(encode(text)) + CASE WHEN doc_id % 2 = 0 THEN 33
+        |   ELSE 30 + 3 * (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END) END AS n_bytes,
+        | CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        | (doc_id % 1024) + 32 AS width,
+        | ((doc_id // 7) % 1024) + 32 AS height,
+        | CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS channels
+        | FROM documents ORDER BY media_id""".om,
     "mm_batch_decode" ->
       s"""SELECT doc_id AS media_id, octet_length(encode(text)) > 0 AS decoded_ok,
          | ${hex15.format("text")} AS checksum

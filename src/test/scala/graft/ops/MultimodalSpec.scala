@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** The REAL header decode: payloads built to the published PNG/JPEG
+  * container formats round-trip through the codegen'd
+  * [[graft.functions.MediaHeaderExpr]], and foreign bytes decode to
+  * null instead of throwing. */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  test("synthesizeImages payloads round-trip through the header decode") {
+    val docs = Seq(
+      (0L, "even id: png, channels 1 (0 % 3 = 0)", "s3://a"),
+      (7L, "odd id: jpeg, height bucket moves at id 7", "s3://b"),
+      (9L, "odd id, 9 % 3 = 0: grayscale jpeg", "s3://c"),
+      (1030L, "width wraps: 1030 % 1024 + 32 = 38", "s3://d")
+    ).toDF("doc_id", "text", "source")
+    val out = Multimodal.synthesizeImages(docs, "doc_id", "text", "source")
+      .select(col("media_id"), col("meta.mime").as("mime"),
+        Multimodal.decodeHeader(col("payload")).as("d"))
+      .select(col("media_id"), col("mime"), col("d.format"), col("d.width"),
+        col("d.height"), col("d.channels"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getInt(4), r.getInt(5))).sortBy(_._1).toSeq
+    assert(out == Seq(
+      (0L, "image/png", "png", 32, 32, 1),
+      (7L, "image/jpeg", "jpeg", 39, 33, 3),
+      (9L, "image/jpeg", "jpeg", 41, 33, 1),
+      (1030L, "image/png", "png", 38, 179, 3)))
+  }
+
+  test("decode parses independently-built headers and nulls foreign bytes") {
+    // a hand-built PNG IHDR (RGBA 640x480) and JPEG with a COM segment
+    // BEFORE the SOF0 — the segment walk must skip it — plus junk bytes
+    val png = Array[Int](
+      0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, // signature
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80, 0, 0, 0x01, 0xe0, // 640 x 480
+      8, 6, 0, 0, 0, // bit depth 8, color type 6 = RGBA
+      0xde, 0xad, 0xbe, 0xef).map(_.toByte) // crc (unchecked)
+    val jpeg = Array[Int](
+      0xff, 0xd8, // SOI
+      0xff, 0xfe, 0x00, 0x06, 'n', 'o', 't', 'e', // COM segment, len 6
+      0xff, 0xc2, 0x00, 0x0b, 8, 0x00, 0x64, 0x00, 0xc8, 1, // SOF2 200x100, 1 comp
+      0x01, 0x11, 0x00).map(_.toByte)
+    val junk = "not an image at all".getBytes("UTF-8")
+    val df = Seq((1L, png), (2L, jpeg), (3L, junk)).toDF("id", "payload")
+    val got = df.select(col("id"), Multimodal.decodeHeader(col("payload")).as("d"))
+      .select(col("id"), col("d.format"), col("d.width"), col("d.height"),
+        col("d.channels"))
+      .collect().sortBy(_.getLong(0))
+    assert(got(0).getString(1) == "png" && got(0).getInt(2) == 640 &&
+      got(0).getInt(3) == 480 && got(0).getInt(4) == 4)
+    assert(got(1).getString(1) == "jpeg" && got(1).getInt(2) == 200 &&
+      got(1).getInt(3) == 100 && got(1).getInt(4) == 1)
+    assert(got(2).isNullAt(1), "foreign bytes must decode to null, not throw")
+  }
+}
