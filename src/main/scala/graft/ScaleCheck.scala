@@ -600,8 +600,22 @@ object ScaleCheck {
       afterQuality.unpersist(false); afterGate.unpersist(false)
       afterSpan.unpersist(false)
     }
-    println(f"SCALE curate shuffleWrite=${(shuffleBytes.get() - shuffle0) / 1073741824.0}%.2f GiB " +
+    val pipelineBytes = shuffleBytes.get() - shuffle0
+    println(f"SCALE curate shuffleWrite=${pipelineBytes / 1073741824.0}%.2f GiB " +
       f"(indexBuild+pipeline total=${shuffleBytes.get() / 1073741824.0}%.2f GiB)")
+    // The shape invariant the timings only imply: past the first
+    // projection every shuffle in the composed pipeline is digest-only
+    // (minhash signatures, span-window hashes, shingle digests, ids) —
+    // the 36-token document text itself is never re-shuffled. Measured
+    // ~5.3 KiB/doc on a quiet runner; asserted at ~1.5x headroom so a
+    // regression that starts shuffling text (≳ +450 B/doc/stage across
+    // four stages, plus join overhead) fails the run rather than just
+    // reading slower in a table.
+    val perDoc = pipelineBytes.toDouble / nCur
+    println(f"SCALE curate shuffle/doc=${perDoc / 1024}%.2f KiB")
+    require(perDoc <= 8 * 1024,
+      f"curate pipeline shuffled ${perDoc / 1024}%.2f KiB/doc, budget 8 KiB/doc " +
+        "— a stage is likely re-shuffling document text instead of digests")
     curIndex.unpersist(false)
     curDocs.unpersist(false)
   }

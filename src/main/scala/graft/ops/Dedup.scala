@@ -693,4 +693,68 @@ object Dedup {
       .where(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication — k-means-cluster the embedding space, search for
+    * duplicate pairs ONLY within a cluster, and from each duplicated
+    * pair keep the member LESS similar to its cluster centroid (the
+    * paper's diversity-preserving keep rule: the more-central copy is
+    * redundant with the cluster's mass). Complements [[embeddingNearDup]]
+    * (brute within caller blocks) and [[embeddingNearDupLsh]] (SRP-LSH
+    * bands): here the blocking structure is LEARNED from the data.
+    *
+    * Scale shape (100 TB): centroids are a broadcast k×dim
+    * LocalRelation ([[Similarity.kmeansCentroids]] trains them in
+    * `iters` map-side-combined passes); assignment is one min(struct)
+    * aggregation — the corpus never shuffles for it; candidate pairs
+    * form only inside a cluster, the paper's tractability trick — k
+    * grows with n so cluster sizes stay bounded (SemDeDup used k=50,000
+    * on LAION-440M). The self-join on the cell id pins sort-merge like
+    * every other banded candidate join here (no pre-explode broadcast
+    * misestimate); its payload is the vectors themselves, so at extreme
+    * scale feed [[Similarity.scalarQuantize]]d vectors to cut the
+    * shuffle 8×.
+    *
+    * Determinism: assignment tie-breaks min-cell (same min(struct) as
+    * [[Similarity.ivfAssign]]); the keep rule tie-breaks on id; all
+    * compared cosines are rounded to 6 decimals — bit-reproducible by
+    * an external engine (the DuckDB oracle unrolls the same Lloyd
+    * rounds).
+    *
+    * Returns every input id with its cell, centroid cosine, and a
+    * `keep` flag (false = semantic duplicate, drop). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, centIdCol: String, centVecCol: String,
+                    tau: Double): DataFrame = {
+    import graft.functions.VectorExpressions.cosine_native
+    val c = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val cent = centroids.select(col(centIdCol).as("cell"),
+      col(centVecCol).cast("array<double>").as("centv"))
+    val assigned = sharedPersist(
+      c.crossJoin(broadcast(cent))
+        .withColumn("d", cosine_native(col("v"), col("centv")))
+        .groupBy(col("id"))
+        .agg(first(col("v")).as("v"),
+          min(struct((-col("d")).as("nd"), col("cell").as("cell"))).as("best"))
+        .select(col("id"), col("v"), col("best").getField("cell").as("cell"),
+          round(-col("best").getField("nd"), 6).as("cent_cos")))
+    val l = assigned.select(col("cell"), col("id").as("id1"), col("v").as("v1"),
+      col("cent_cos").as("c1"))
+    val r = assigned.select(col("cell"), col("id").as("id2"), col("v").as("v2"),
+      col("cent_cos").as("c2"))
+    val dups = l.join(r.hint("merge"), Seq("cell"))
+      .where(col("id1") < col("id2"))
+      .where(round(cosine_native(col("v1"), col("v2")), 6) >= tau)
+    // from each duplicate pair drop the member MORE similar to the
+    // centroid (tie: the higher id) — keep the diversity outlier
+    val removed = dups.select(
+        when(col("c1") > col("c2") ||
+             (col("c1") === col("c2") && col("id1") > col("id2")), col("id1"))
+          .otherwise(col("id2")).as("id"))
+      .distinct()
+    assigned
+      .join(removed.withColumn("rm", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell"), col("cent_cos"),
+        not(coalesce(col("rm"), lit(false))).as("keep"))
+  }
 }

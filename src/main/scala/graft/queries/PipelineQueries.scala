@@ -418,6 +418,19 @@ object PipelineQueries {
         dim = 64, planesPerTable = 4, tables = 2, threshold = 0.3)
         .orderBy(col("id1"), col("id2"))),
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup with LEARNED
+    // blocking — trained-kmeans clusters bound the pairwise search, and
+    // from each duplicate pair the member closer to its centroid is
+    // dropped (keep the diversity outlier). Reuses the shared
+    // deterministic kmCentroids fixture, so the cluster-blocked
+    // approximate dedup still gets an EXACT oracle (the same unrolled
+    // Lloyd CTE rounds as knn_ivf_trained)
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticDedup(embs(s, dir), "vec_id", "embedding",
+        kmCentroids(s, dir), "cell", "centv", tau = 0.35)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id"))),
+
     // exact brute-force cosine top-k (query set = vec_id < 8, broadcast)
     "knn_brute" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -1604,6 +1617,20 @@ object PipelineQueries {
          | ORDER BY query_id, rnk""".om,
     "knn_ivfpq" -> ivfPqOracle,
     "dedup_embedding_lsh" -> srpLshOracle,
+    "dedup_semantic" ->
+      s"""WITH $eCte,
+         | ${kmeansIvfCtes()},
+         | ac AS (SELECT corpus_id AS id, cv, best.cell AS cell,
+         |   round(-best.nd, 6) AS ccos FROM asg),
+         | dups AS (SELECT a.id AS id1, a.ccos AS c1, b.id AS id2, b.ccos AS c2
+         |  FROM ac a JOIN ac b ON a.cell = b.cell AND a.id < b.id
+         |  WHERE round(${cosSql("a.cv", "b.cv")}, 6) >= 0.35),
+         | removed AS (SELECT DISTINCT CASE WHEN c1 > c2 OR (c1 = c2 AND id1 > id2)
+         |   THEN id1 ELSE id2 END AS id FROM dups)
+         | SELECT ac.id AS vec_id, ac.cell, ac.ccos AS cent_cos,
+         |  (removed.id IS NULL) AS keep
+         | FROM ac LEFT JOIN removed ON removed.id = ac.id
+         | ORDER BY vec_id""".om,
     "knn_ivf_trained" -> kmeansIvfOracle,
     "knn_ivf" -> ivfSampledOracle,
     "knn_lsh" -> lshTopKOracle,

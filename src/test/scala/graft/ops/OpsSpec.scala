@@ -912,6 +912,32 @@ class OpsSpec extends AnyFunSuite {
       .forall(brute.contains))
   }
 
+  test("semanticDedup: within-cluster pairs drop the centroid-closer member") {
+    // two well-separated clusters around [1,0,0,0] and [0,1,0,0]
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0, 0.0)))
+      .toDF("cell", "centv")
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.01, 0.0, 0.0)),    // cluster 0, dup pair with 2, MORE central → dropped
+      (2L, Seq(0.95, 0.05, 0.3, 0.0)),   // cluster 0, kept (diversity outlier)
+      (3L, Seq(0.7, 0.0, 0.7, 0.0)),     // cluster 0, below tau vs both → kept
+      (11L, Seq(0.0, 1.0, 0.0, 0.0)),    // cluster 1, dup pair with 12, MORE central → dropped
+      (12L, Seq(0.0, 0.95, 0.0, 0.3122)),// cluster 1, kept
+      (13L, Seq(0.0, 0.6, 0.8, 0.0)),    // cluster 1, below tau → kept
+      (21L, Seq(0.72, 0.7, 0.0, 0.0)),   // cluster 0 …
+      (22L, Seq(0.7, 0.72, 0.0, 0.0))    // … cluster 1: cos≈0.9996 but DIFFERENT
+    ).toDF("id", "v")                    //   clusters → both kept (blocked search)
+    val out = Dedup.semanticDedup(vecs, "id", "v", cents, "cell", "centv", tau = 0.9)
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 0L), (2L, 0L), (3L, 0L), (11L, 1L), (12L, 1L), (13L, 1L),
+        (21L, 0L), (22L, 1L)))
+    assert(out.map(r => (r.getLong(0), r.getBoolean(3))).toMap ==
+      Map(1L -> false, 2L -> true, 3L -> true,
+        11L -> false, 12L -> true, 13L -> true, 21L -> true, 22L -> true))
+    // centroid cosine is reported for every row, rounded to 6 decimals
+    assert(out.forall(r => r.getDouble(2) > 0.5 && r.getDouble(2) <= 1.0))
+  }
+
   test("cosine: native expression matches HOF formulation bit-exactly") {
     val df = Seq(
       (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
