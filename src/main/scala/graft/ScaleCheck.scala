@@ -222,6 +222,39 @@ object ScaleCheck {
         vecs, "id", "v", dim = 64, planesPerTable = 16, tables = 2,
         threshold = 0.9).count())
     }
+    // --- round 9: SemDeDup cluster-blocked semantic dedup at scale ---
+    // 100k base vectors + 1,000 planted exact copies (ids 200000+k copy
+    // id 100·k) over 512 cells: hash-random vectors are near-orthogonal
+    // (|cos| ≪ 0.9), so at tau=0.9 the dup set is EXACTLY the planted
+    // copies — and each copy shares its original's cell, ties on
+    // centroid cosine, and loses the id tie-break. Asserts both the
+    // removal count and that cluster blocking kept the pairwise search
+    // sub-quadratic (cluster size ~200 → ~10^7 candidate cosines, not
+    // the 5×10^9 of all-pairs).
+    // NB: the copy must hash the SOURCE ordinal — rename it first, or the
+    // transform lambda's col("id") resolves against the aliased output
+    val sdCopies = spark.range(1000).select(col("id").as("k"))
+      .select((col("k") + 200000).as("id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          hash(col("k") * 100, d).cast("double") / lit(Int.MaxValue.toDouble)).as("v"))
+    val sdVecs = spark.range(100000).select(col("id"),
+      transform(sequence(lit(0), lit(63)), d =>
+        hash(col("id"), d).cast("double") / lit(Int.MaxValue.toDouble)).as("v"))
+      .union(sdCopies)
+    val sdCents = spark.range(512).select(col("id").as("cell"),
+      transform(sequence(lit(0), lit(63)), d =>
+        hash(col("id") + 555000, d).cast("double") / lit(Int.MaxValue.toDouble))
+        .as("centv"))
+    time("SemDeDup: 101k × 64-dim vectors over 512 cells (tau=0.9)") {
+      val sd = graft.ops.Dedup.semanticDedup(sdVecs, "id", "v",
+        sdCents, "cell", "centv", tau = 0.9)
+      val removed = sd.where(!col("keep")).select(col("id")).collect()
+        .map(_.getLong(0)).sorted
+      require(removed.length == 1000 && removed.forall(_ >= 200000L),
+        s"SemDeDup removed ${removed.length} (${removed.take(5).mkString(",")}…), " +
+          "expected exactly the 1000 planted copies")
+      println(s"SCALE semanticDedup removed=${removed.length} planted copies")
+    }
 
     // --- round 5: bucketed range join + KMV sketch at scale ---
     // 5M points × 500k intervals over 1000 keys: the containment join
@@ -345,11 +378,17 @@ object ScaleCheck {
     time("dsv2 240 blocks: 1-series select, 2h window (1 block, cold)") {
       w1.count()
     }
-    val t1 = { val t0 = System.nanoTime(); w1.count(); (System.nanoTime() - t0) / 1e9 }
-    val t4 = { val t0 = System.nanoTime(); w4.count(); (System.nanoTime() - t0) / 1e9 }
-    println(f"SCALE pruning: 1-block $t1%.2f s, 4-block $t4%.2f s (warm)")
-    val tAll = time("dsv2 240 blocks: full-store scan (contrast)") {
-      val t0 = System.nanoTime(); mb.count(); (System.nanoTime() - t0) / 1e9 }
+    // min-of-3: the STRUCTURAL pruning property is the plannedBlocks
+    // asserts above; the timing ratio below is a sanity bound, and a
+    // single warm iteration can double under JIT/GC noise (observed
+    // 0.13 s → 0.53 s run-over-run) — the min is the stable statistic
+    def best3(f: => Unit): Double = (0 until 3).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }.min
+    val t1 = best3(w1.count())
+    val t4 = best3(w4.count())
+    println(f"SCALE pruning: 1-block $t1%.2f s, 4-block $t4%.2f s (warm, best of 3)")
+    val tAll = time("dsv2 240 blocks: full-store scan (contrast)") { best3(mb.count()) }
     // flatness: a 4-block window must cost a small fraction of the full
     // 240-block scan — driver planning reads per-block METADATA only,
     // so cost tracks selected blocks
@@ -441,9 +480,14 @@ object ScaleCheck {
     val annRoot = java.nio.file.Files
       .createTempDirectory("graft-scale-ann").resolve("corpus").toString
     time("ivf: assign 200k vectors to 1024 cells + write partitionBy(cell)") {
+      // repartition on the partition column first: each cell dir is
+      // written by ONE task (1024 files total), not by every task that
+      // happens to hold rows of that cell (up to tasks×cells files —
+      // the small-files antipattern object stores punish)
       graft.ops.Similarity.ivfAssign(
           spark.range(200000).select(col("id"), synthVec(col("id")).as("v")),
           "id", "v", annCents, "cell", "centv")
+        .repartition(col("cell"))
         .write.partitionBy("cell").mode("overwrite").parquet(annRoot)
     }
     val annStored = spark.read.parquet(annRoot)

@@ -161,7 +161,9 @@ object Similarity {
     * centroids here are deterministic samples (every nth vector) — at
     * scale you'd train them; assignment + probing mechanics are the same.
     * Returns the corpus augmented with its nearest-centroid cell id, to be
-    * written `partitionBy("cell")` so probes prune partitions. */
+    * written `partitionBy("cell")` so probes prune partitions — and
+    * `repartition(col("cell"))` FIRST, so each cell dir gets one file
+    * instead of one per (task × cell). */
   def ivfAssign(corpus: DataFrame, cId: String, cVec: String,
                 centroids: DataFrame, centId: String, centVec: String): DataFrame = {
     val c = corpus.select(col(cId).as("corpus_id"), col(cVec).cast("array<double>").as("cv"))
@@ -171,12 +173,18 @@ object Similarity {
     // corpus vector instead of ncentroids rows plus per-key sort state.
     // struct ordering = (-d asc, cell asc) ≡ (d desc, cell asc) — the
     // same deterministic tie-break the old window used.
+    // The vector itself must NOT ride through the crossJoin: the argmax
+    // runs over slim (id, d, cell) rows — ncentroids× blowup of 24 bytes,
+    // not of the vector — and cv rejoins by id afterwards (measured 7×
+    // at 101k vectors × 512 cells; the gap widens with ncentroids).
     c.crossJoin(broadcast(cent))
-      .withColumn("d", cosine_native(col("cv"), col("centv")))
+      .select(col("corpus_id"), cosine_native(col("cv"), col("centv")).as("d"),
+        col("cell"))
       .groupBy(col("corpus_id"))
-      .agg(first(col("cv")).as("cv"),
-        min(struct((-col("d")).as("nd"), col("cell").as("cell"))).as("best"))
-      .select(col("corpus_id"), col("cv"), col("best").getField("cell").as("cell"))
+      .agg(min(struct((-col("d")).as("nd"), col("cell").as("cell"))).as("best"))
+      .select(col("corpus_id"), col("best").getField("cell").as("cell"))
+      .join(c, "corpus_id")
+      .select(col("corpus_id"), col("cv"), col("cell"))
   }
 
   /** Deterministic k-means-lite centroid training (Lloyd iterations)

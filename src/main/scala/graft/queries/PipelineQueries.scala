@@ -92,7 +92,10 @@ object PipelineQueries {
       val root = java.nio.file.Files.createTempDirectory(s"graft-$tag")
       tmpLayoutRoots.add(root)
       val path = root.resolve("corpus").toString
-      build.write.partitionBy("cell").parquet(path)
+      // one writer task per cell dir (repartition on the partition
+      // column), not one file per (task × cell) — the small-files
+      // antipattern object stores punish
+      build.repartition(col("cell")).write.partitionBy("cell").parquet(path)
       s.read.parquet(path)
     })
 
