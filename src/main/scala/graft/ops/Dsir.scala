@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+  * 2023): pick raw-pool documents whose hashed-n-gram distribution matches
+  * a target corpus. Two bag-of-hashed-ngrams models (add-alpha smoothed)
+  * are fit — p over the target, q over the raw pool — and each raw doc is
+  * scored by its log importance weight `log p(doc) − log q(doc) =
+  * Σ_grams (log p_b − log q_b)`; selection is Gumbel-top-k over the
+  * weights (the paper's soft resample, derandomized here via the shared
+  * md5 hash-unit scheme so the DuckDB oracle replays it exactly).
+  *
+  * 100 TB shape: the two model fits are ONE map-side-combined aggregation
+  * each, bounded by the bucket count B (≤ B rows survive the combine
+  * regardless of corpus size); the log-likelihood-ratio table is ≤ B rows
+  * and broadcast; per-doc scoring is a map-side gram explode into that
+  * broadcast join followed by one doc-keyed partial-aggregated shuffle
+  * (one row per doc per partition — document text never shuffles);
+  * selection is a rank-limit (TakeOrdered), k-bounded. Nothing is
+  * quadratic and nothing driver-side exceeds two scalars + k rows.
+  */
+object Dsir {
+
+  /** Unigram + bigram list of a document, WITH multiplicity — DSIR models
+    * count mass, unlike the distinct shingle sets dedup uses. The token
+    * array is bound once via the single-element-transform trick (see
+    * [[graft.functions.shingles]]) so the tokenizer runs once per doc. */
+  def grams(text: Column): Column =
+    element_at(transform(array(tokens(text)), ts =>
+      concat(ts, transform(
+        filter(sequence(lit(0), greatest(size(ts) - 2, lit(0))),
+          i => i + 2 <= size(ts)),
+        i => concat_ws(" ", slice(ts, i + 1, lit(2)))))), 1)
+
+  /** Exploded hashed features `(id, b)` — one row per gram occurrence,
+    * bucket = 60-bit md5 hash mod `buckets`. Map-side only. */
+  def features(df: DataFrame, idCol: String, textCol: String,
+               buckets: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(grams(col(textCol))).as("g"))
+      .select(col("id"), pmod(Dedup.hash60(col("g")), lit(buckets.toLong)).as("b"))
+
+  /** Smoothed log-likelihood-ratio table `(b, lr)` over every bucket
+    * observed in either corpus: `lr = ln p_target(b) − ln p_raw(b)` with
+    * add-alpha smoothing over `buckets` outcomes. ≤ `buckets` rows — the
+    * broadcastable model artifact. A raw-pool doc's buckets are by
+    * construction a subset of the raw model's support, so scoring never
+    * needs the unobserved-bucket default. */
+  def logRatios(targetFeats: DataFrame, rawFeats: DataFrame,
+                buckets: Int, alpha: Double): DataFrame = {
+    def bucketCounts(f: DataFrame, as: String) =
+      f.groupBy("b").agg(count(lit(1)).as(as))
+    val tc = bucketCounts(targetFeats, "tc")
+    val qc = bucketCounts(rawFeats, "qc")
+    // two scalars to the driver — the model normalizers
+    val tn = tc.agg(sum("tc")).first().getLong(0).toDouble
+    val qn = qc.agg(sum("qc")).first().getLong(0).toDouble
+    tc.join(qc, Seq("b"), "full_outer")
+      .select(col("b"),
+        (log((coalesce(col("tc"), lit(0L)) + alpha) / (tn + alpha * buckets)) -
+         log((coalesce(col("qc"), lit(0L)) + alpha) / (qn + alpha * buckets)))
+          .as("lr"))
+  }
+
+  /** Per-raw-doc importance weights `(id, n_grams, logw)` — logw rounded
+    * to 6 places so both engines agree on the value AND on any ordering
+    * derived from it. */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+                        idCol: String, textCol: String,
+                        buckets: Int = 4096, alpha: Double = 1.0): DataFrame = {
+    val rawFeats = Dedup.sharedPersist(features(raw, idCol, textCol, buckets))
+    val ratios = logRatios(features(target, idCol, textCol, buckets),
+      rawFeats, buckets, alpha)
+    rawFeats.join(broadcast(ratios), Seq("b"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"), round(sum("lr"), 6).as("logw"))
+  }
+
+  /** Gumbel-top-k resample: `(rnk, id, logw, key)` for the `k` raw docs
+    * with the largest `logw + Gumbel(md5-unit)` key. Adding noise ~
+    * Gumbel(0,1) to the log weight and taking top-k samples WITHOUT
+    * replacement proportionally to the importance weights (the
+    * Gumbel-max trick); `temperature` 0 disables the noise (hard top-k).
+    * The key is rounded to 6 places and tie-broken on id so the rank is
+    * engine-independent. */
+  def resample(raw: DataFrame, target: DataFrame,
+               idCol: String, textCol: String, k: Int,
+               buckets: Int = 4096, alpha: Double = 1.0,
+               temperature: Double = 1.0, salt: String = "dsir"): DataFrame = {
+    val w = importanceWeights(raw, target, idCol, textCol, buckets, alpha)
+    val u = Sampling.hashUnit(col("id"), salt)
+    val keyed = w.withColumn("key",
+      round(col("logw") + lit(temperature) * -log(-log(u)), 6))
+    val top = keyed.orderBy(col("key").desc, col("id")).limit(k)
+    top.withColumn("rnk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("key").desc, col("id"))).cast("long"))
+      .select(col("rnk"), col("id"), col("logw"), col("key"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Dsir, Multimodal, Similarity, TextAnalysis}
 import graft.functions._
 
 /** Training-data pipeline operators (dedup, similarity search, text
@@ -749,6 +749,30 @@ object PipelineQueries {
       Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
         .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"), length(col("frame")).cast("long").as("frame_bytes"))
         .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // DSIR (Xie et al. 2023): per-doc log importance weight of the raw
+    // pool (source <> src1) under hashed unigram+bigram models fit on the
+    // src1 target corpus vs the pool itself
+    "dsir_weights" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dsir.importanceWeights(
+        d.where(col("source") =!= "src1"), d.where(col("source") === "src1"),
+        "doc_id", "text", buckets = 4096, alpha = 1.0)
+        .select(col("id").as("doc_id"), col("n_grams"), col("logw"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR selection: Gumbel-top-64 over the importance weights (the
+    // paper's soft resample, derandomized via the shared md5 hash-unit)
+    "dsir_select" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dsir.resample(
+        d.where(col("source") =!= "src1"), d.where(col("source") === "src1"),
+        "doc_id", "text", k = 64, buckets = 4096, alpha = 1.0)
+        .select(col("rnk"), col("id").as("doc_id"), col("logw"),
+          col("key").as("gkey"))
+        .orderBy(col("rnk"))
     })
   )
 
@@ -1712,8 +1736,47 @@ object PipelineQueries {
         | kept AS (SELECT media_id, i, octet_length(encode(substr(text, i * 64 + 1, 64))) AS frame_bytes,
         |   row_number() OVER (PARTITION BY media_id ORDER BY i) - 1 AS frame_idx
         |   FROM f WHERE i % 2 = 0 AND length(substr(text, i * 64 + 1, 64)) > 0)
-        | SELECT media_id, frame_idx, frame_bytes FROM kept ORDER BY media_id, frame_idx""".om
+        | SELECT media_id, frame_idx, frame_bytes FROM kept ORDER BY media_id, frame_idx""".om,
+    "dsir_weights" ->
+      s"""WITH $dsirCtes
+         | SELECT f.doc_id, count(*) AS n_grams, round(sum(lr), 6) AS logw
+         | FROM feat f JOIN r USING (b) WHERE f.source <> 'src1'
+         | GROUP BY f.doc_id ORDER BY f.doc_id""".om,
+    "dsir_select" ->
+      s"""WITH $dsirCtes,
+         | w AS (SELECT f.doc_id, round(sum(lr), 6) AS logw
+         |   FROM feat f JOIN r USING (b) WHERE f.source <> 'src1'
+         |   GROUP BY f.doc_id),
+         | keyed AS (SELECT doc_id, logw,
+         |   round(logw + -ln(-ln(${hex15.format("'dsir' || CAST(doc_id AS VARCHAR)")} / 1152921504606846976.0)), 6) AS gkey
+         |  FROM w),
+         | ranked AS (SELECT row_number() OVER (ORDER BY gkey DESC, doc_id) AS rnk,
+         |   doc_id, logw, gkey FROM keyed)
+         | SELECT rnk, doc_id, logw, gkey FROM ranked WHERE rnk <= 64 ORDER BY rnk""".om
   )
+
+  /** Shared DSIR CTE chain: hashed unigram+bigram features of every doc
+    * (mirrors Dsir.features at 4096 buckets) and the add-one-smoothed
+    * log-likelihood-ratio table `r(b, lr)` of the src1 target model vs
+    * the raw-pool model (mirrors Dsir.logRatios). */
+  private lazy val dsirCtes =
+    s"""toks AS (SELECT doc_id, source,
+       |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS t
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, source, unnest(t) AS g FROM toks
+       |  UNION ALL
+       |  SELECT doc_id, source, unnest(list_transform(range(greatest(len(t) - 1, 0)),
+       |    i -> t[i + 1] || ' ' || t[i + 2])) AS g FROM toks),
+       |feat AS (SELECT doc_id, source, ${hex15.format("g")} % 4096 AS b FROM grams),
+       |tc AS (SELECT b, count(*) AS ct FROM feat WHERE source = 'src1' GROUP BY b),
+       |qc AS (SELECT b, count(*) AS cq FROM feat WHERE source <> 'src1' GROUP BY b),
+       |tn AS (SELECT CAST(sum(ct) AS DOUBLE) AS tn FROM tc),
+       |qn AS (SELECT CAST(sum(cq) AS DOUBLE) AS qn FROM qc),
+       |r AS (SELECT coalesce(tc.b, qc.b) AS b,
+       |   ln((coalesce(ct, 0) + 1.0) / (tn + 4096.0)) -
+       |   ln((coalesce(cq, 0) + 1.0) / (qn + 4096.0)) AS lr
+       |  FROM tc FULL JOIN qc ON tc.b = qc.b CROSS JOIN tn CROSS JOIN qn)""".om
 
   implicit private class OneLine(val s: String) extends AnyVal {
     def om: String = s.stripMargin.replace("\n", " ")

@@ -938,6 +938,52 @@ class OpsSpec extends AnyFunSuite {
     assert(out.forall(r => r.getDouble(2) > 0.5 && r.getDouble(2) <= 1.0))
   }
 
+  test("dsir: grams keep multiplicity; target-like docs outweigh and win selection") {
+    // grams = unigrams ++ bigrams WITH multiplicity (count mass, not sets)
+    val g = docsDF(1L -> "a a b").select(Dsir.grams(col("text")))
+      .head().getSeq[String](0)
+    assert(g == Seq("a", "a", "b", "a a", "a b"))
+    assert(docsDF(2L -> "a").select(Dsir.grams(col("text")))
+      .head().getSeq[String](0) == Seq("a"))
+    assert(docsDF(3L -> "").select(Dsir.grams(col("text")))
+      .head().getSeq[String](0).isEmpty)
+
+    // target corpus speaks one vocabulary; the raw pool mixes docs that
+    // match it with docs from a disjoint vocabulary
+    val target = docsDF(
+      100L -> "solar wind turbine grid power",
+      101L -> "wind power grid solar energy",
+      102L -> "turbine energy solar grid wind")
+    val raw = docsDF(
+      1L -> "solar wind power grid energy turbine",  // target-like
+      2L -> "wind turbine grid solar",               // target-like
+      3L -> "cat dog bird fish lizard hamster",      // off-distribution
+      4L -> "pizza pasta salad soup bread cheese")   // off-distribution
+    val w = Dsir.importanceWeights(raw, target, "doc_id", "text",
+      buckets = 512, alpha = 1.0)
+    val byId = w.collect().map(r =>
+      r.getAs[Long]("id") -> r.getAs[Double]("logw")).toMap
+    assert(Seq(1L, 2L).map(byId).min > Seq(3L, 4L).map(byId).max)
+
+    // hard top-k (temperature 0) selects exactly the target-like docs
+    val sel = Dsir.resample(raw, target, "doc_id", "text", k = 2,
+      buckets = 512, alpha = 1.0, temperature = 0.0)
+    assert(sel.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // rnk is 1..k dense and ordered by key desc
+    val rows = sel.orderBy("rnk").collect()
+    assert(rows.map(_.getAs[Long]("rnk")).toSeq == Seq(1L, 2L))
+    assert(rows.map(_.getAs[Double]("key")).toSeq.reverse.sorted.reverse ==
+      rows.map(_.getAs[Double]("key")).toSeq)
+
+    // plan shape: the B-bounded ratio table broadcasts (no fact-sized
+    // shuffle for the scoring join) and selection is a bounded TakeOrdered
+    val plan = w.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    val selPlan = Dsir.resample(raw, target, "doc_id", "text", k = 2,
+      buckets = 512, alpha = 1.0).queryExecution.executedPlan.toString
+    assert(selPlan.contains("TakeOrderedAndProject"))
+  }
+
   test("cosine: native expression matches HOF formulation bit-exactly") {
     val df = Seq(
       (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
