@@ -27,6 +27,12 @@ object ScaleCheck {
       spark.stop()
       return
     }
+    if (sys.env.get("SPARK_GRAFT_SCALE_SECTION").contains("dsir")) {
+      dsirAtScale(spark)
+      graft.ops.Dedup.clearSharedPersists()
+      spark.stop()
+      return
+    }
     val dir = java.nio.file.Files.createTempDirectory("graft-scale").resolve("store").toString
 
     def time[T](name: String)(f: => T): T = {
@@ -517,10 +523,47 @@ object ScaleCheck {
     println(f"SCALE ann warmQuery=${(System.nanoTime() - tProbe0) / 1e9}%.2f s" +
       f" (${(System.nanoTime() - tProbe0) / 1e9 / 8}%.3f s/query, 8 probes each)")
 
+    dsirAtScale(spark)
+
     curateAtScale(spark)
 
     graft.ops.Dedup.clearSharedPersists()
     spark.stop()
+  }
+
+  /** Round-9 DSIR rehearsal at 1M raw docs: a 2,000-doc planted subset
+    * shares the 10k-doc target corpus's vocabulary; the importance
+    * weights must separate it completely, so hard top-k selection
+    * returns EXACTLY the planted set. The gram explode never shuffles
+    * (map-side into the broadcast ratio join), both model fits collapse
+    * to ≤ buckets rows before their exchanges, and selection is a
+    * k-bounded TakeOrdered — the shapes that keep DSIR one cheap pass
+    * over a 100 TB pool. Standalone: SPARK_GRAFT_SCALE_SECTION=dsir. */
+  private def dsirAtScale(spark: SparkSession): Unit = {
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"SCALE $name ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    }
+    val words = 30
+    def synthDoc(seed: org.apache.spark.sql.Column, vocab: String, vocabSize: Int) =
+      concat_ws(" ", transform(sequence(lit(1), lit(words)),
+        i => concat(lit(vocab), pmod(hash(seed, i), lit(vocabSize)))))
+    // planted: every 500th raw doc speaks the target's 200-word
+    // vocabulary; the rest draw from a disjoint 100k-word vocabulary
+    val raw = spark.range(1000000).select(col("id"),
+      when(pmod(col("id"), lit(500)) === 0, synthDoc(col("id"), "t", 200))
+        .otherwise(synthDoc(col("id"), "w", 100000)).as("text"))
+    val target = spark.range(10000).select((col("id") + 5000000L).as("id"),
+      synthDoc(col("id") + 5000000L, "t", 200).as("text"))
+    time("dsir: score 1M docs vs 10k-doc target, select top-2000") {
+      val got = graft.ops.Dsir.resample(raw, target, "id", "text",
+        k = 2000, buckets = 4096, alpha = 1.0, temperature = 0.0)
+        .select("id").collect().map(_.getLong(0)).toSet
+      require(got.size == 2000 && got.forall(_ % 500 == 0),
+        s"selected set is not the planted set (n=${got.size}, " +
+          s"offenders=${got.filter(_ % 500 != 0).take(5)})")
+      println(s"SCALE dsir selected=${got.size}/2000 planted, 0 impostors")
+    }
   }
 
   /** The round-8 END-TO-END curation rehearsal at 2M docs — the
