@@ -42,41 +42,68 @@ object Dsir {
     df.select(col(idCol).as("id"), explode(grams(col(textCol))).as("g"))
       .select(col("id"), pmod(Dedup.hash60(col("g")), lit(buckets.toLong)).as("b"))
 
-  /** Smoothed log-likelihood-ratio table `(b, lr)` over every bucket
-    * observed in either corpus: `lr = ln p_target(b) − ln p_raw(b)` with
-    * add-alpha smoothing over `buckets` outcomes. ≤ `buckets` rows — the
-    * broadcastable model artifact. A raw-pool doc's buckets are by
-    * construction a subset of the raw model's support, so scoring never
-    * needs the unobserved-bucket default. */
-  def logRatios(targetFeats: DataFrame, rawFeats: DataFrame,
-                buckets: Int, alpha: Double): DataFrame = {
-    def bucketCounts(f: DataFrame, as: String) =
-      f.groupBy("b").agg(count(lit(1)).as(as))
-    val tc = bucketCounts(targetFeats, "tc")
-    val qc = bucketCounts(rawFeats, "qc")
-    // two scalars to the driver — the model normalizers
-    val tn = tc.agg(sum("tc")).first().getLong(0).toDouble
-    val qn = qc.agg(sum("qc")).first().getLong(0).toDouble
-    tc.join(qc, Seq("b"), "full_outer")
+  /** Per-bucket gram counts `(b, c)` of a corpus — the sufficient
+    * statistic of the bag-of-hashed-ngrams model. ≤ `buckets` rows after
+    * ONE map-side-combined aggregation, and a sum-monoid: counts from
+    * corpus shards or micro-batches add into exactly the union's model
+    * (the streaming form appends these per batch). */
+  def bucketCounts(df: DataFrame, textCol: String, buckets: Int): DataFrame =
+    df.select(explode(grams(col(textCol))).as("g"))
+      .select(pmod(Dedup.hash60(col("g")), lit(buckets.toLong)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+
+  /** Score exploded features against two count models: broadcast-joins
+    * the ≤ `buckets`-row smoothed log-likelihood-ratio table
+    * (`lr = ln p_target(b) − ln p_raw(b)`, add-alpha over `buckets`
+    * outcomes) and sums per doc. Buckets outside both models' support
+    * (possible only when the frame is not part of the raw fit) take the
+    * both-unseen default ratio. logw rounds to 6 places so both engines
+    * agree on the value AND on any ordering derived from it. */
+  private def scoreFeatures(feats: DataFrame, targetCounts: DataFrame,
+                            rawCounts: DataFrame,
+                            buckets: Int, alpha: Double): DataFrame = {
+    // two scalars to the driver — the model normalizers (empty model → 0)
+    def total(c: DataFrame) =
+      c.agg(coalesce(sum("c"), lit(0L))).first().getLong(0).toDouble
+    val tn = total(targetCounts)
+    val qn = total(rawCounts)
+    val ratios = targetCounts.withColumnRenamed("c", "tc")
+      .join(rawCounts.withColumnRenamed("c", "qc"), Seq("b"), "full_outer")
       .select(col("b"),
         (log((coalesce(col("tc"), lit(0L)) + alpha) / (tn + alpha * buckets)) -
          log((coalesce(col("qc"), lit(0L)) + alpha) / (qn + alpha * buckets)))
           .as("lr"))
+    val defaultLr = math.log(alpha / (tn + alpha * buckets)) -
+      math.log(alpha / (qn + alpha * buckets))
+    feats.join(broadcast(ratios), Seq("b"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum(coalesce(col("lr"), lit(defaultLr))), 6).as("logw"))
   }
 
-  /** Per-raw-doc importance weights `(id, n_grams, logw)` — logw rounded
-    * to 6 places so both engines agree on the value AND on any ordering
-    * derived from it. */
+  /** Per-raw-doc importance weights `(id, n_grams, logw)`: fit the target
+    * model on `target`, the pool model on `raw` itself (the paper's
+    * setting), and score every raw doc. */
   def importanceWeights(raw: DataFrame, target: DataFrame,
                         idCol: String, textCol: String,
                         buckets: Int = 4096, alpha: Double = 1.0): DataFrame = {
     val rawFeats = Dedup.sharedPersist(features(raw, idCol, textCol, buckets))
-    val ratios = logRatios(features(target, idCol, textCol, buckets),
-      rawFeats, buckets, alpha)
-    rawFeats.join(broadcast(ratios), Seq("b"))
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_grams"), round(sum("lr"), 6).as("logw"))
+    scoreFeatures(rawFeats,
+      bucketCounts(target, textCol, buckets),
+      rawFeats.groupBy("b").agg(count(lit(1)).as("c")),
+      buckets, alpha)
   }
+
+  /** Weights of an arbitrary frame against PRE-FIT count models — the
+    * amortized/streaming form: the pool counts come from a maintained
+    * store (e.g. [[graft.streaming.StreamIngest.dsirPoolCounts]]), the
+    * target counts from a one-time fit, and only the frame is tokenized
+    * per call. */
+  def weightsAgainst(frame: DataFrame, idCol: String, textCol: String,
+                     targetCounts: DataFrame, rawCounts: DataFrame,
+                     buckets: Int = 4096, alpha: Double = 1.0): DataFrame =
+    scoreFeatures(features(frame, idCol, textCol, buckets),
+      targetCounts, rawCounts, buckets, alpha)
 
   /** Gumbel-top-k resample: `(rnk, id, logw, key)` for the `k` raw docs
     * with the largest `logw + Gumbel(md5-unit)` key. Adding noise ~

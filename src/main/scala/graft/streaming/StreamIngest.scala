@@ -684,6 +684,37 @@ object StreamIngest {
       spark.read.parquet(indexPath).drop("batch").distinct(), k)
   }
 
+  /** Streaming DSIR pool model — the sum-monoid member of the streaming
+    * family for importance-resampling data selection
+    * ([[graft.ops.Dsir]]): each micro-batch writes its hashed-gram
+    * bucket counts (≤ `buckets` rows — the model's sufficient statistic)
+    * to a `batch=<id>` directory with Overwrite, so a replayed batch
+    * rewrites rather than double-counts (load-bearing for a sum, as with
+    * the histogram stream). The accumulated store IS the raw-pool model
+    * q, refined as the pool streams past; score any frame against it
+    * with [[graft.ops.Dsir.weightsAgainst]] + [[dsirPoolCounts]]. */
+  def dsirCountStream(docs: DataFrame, textCol: String, buckets: Int,
+                      indexPath: String, checkpoint: String,
+                      daemon: Boolean = false): StreamingQuery = {
+    val w: DataStreamWriter[org.apache.spark.sql.Row] = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.ops.Dsir.bucketCounts(batch, textCol, buckets)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$indexPath/batch=$batchId")
+        batch.sparkSession.catalog.refreshByPath(indexPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (daemon) Trigger.ProcessingTime("5 seconds") else Trigger.AvailableNow())
+    w.start()
+  }
+
+  /** Accumulated pool-model counts over a [[dsirCountStream]] store —
+    * identical to [[graft.ops.Dsir.bucketCounts]] on the union of every
+    * batch streamed so far (counts are a sum-monoid). */
+  def dsirPoolCounts(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(indexPath).drop("batch")
+      .groupBy("b").agg(sum(col("c")).as("c"))
+
   /** Beyond-reference: the streaming form of the batch curation pipeline
     * ([[graft.queries.PipelineQueries]] `pipeline_curate`) — the
     * watermark-bounded exact dedup composed with the STATELESS per-doc

@@ -525,6 +525,57 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(math.abs(streamed(0.5) - 500.0) <= 8.0) // one-bin error bound
   }
 
+  test("streaming DSIR pool model: accumulated counts give batch-identical weights") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("graft-dsirstream")
+    val idx = root.resolve("counts").toString
+    val ckpt = root.resolve("ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val query = StreamIngest.dsirCountStream(docs, "text", buckets = 512,
+      idx, ckpt, daemon = true)
+
+    val b1 = Seq(1L -> "solar wind power grid", 2L -> "cat dog bird fish")
+    val b2 = Seq(3L -> "wind turbine solar energy", 4L -> "pizza pasta soup")
+    mem.addData(b1: _*)
+    query.processAllAvailable()
+    mem.addData(b2: _*)
+    query.processAllAvailable()
+    query.stop()
+
+    val pool = (b1 ++ b2).toDF("doc_id", "text")
+    // the accumulated store equals the batch fit on the union
+    val streamed = StreamIngest.dsirPoolCounts(spark, idx)
+    val batchFit = graft.ops.Dsir.bucketCounts(pool, "text", 512)
+    assert(streamed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      batchFit.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+
+    // replayed batch rewrites its directory — counts do NOT double
+    // (refresh mirrors what dsirCountStream does after each batch write)
+    graft.ops.Dsir.bucketCounts(b1.toDF("doc_id", "text"), "text", 512)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$idx/batch=0")
+    spark.catalog.refreshByPath(idx)
+    val replayed = StreamIngest.dsirPoolCounts(spark, idx)
+    assert(replayed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      batchFit.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+
+    // scoring against the streamed pool model equals the batch path
+    val target = Seq(10L -> "solar wind turbine grid power",
+      11L -> "wind power grid solar energy").toDF("doc_id", "text")
+    val viaStream = graft.ops.Dsir.weightsAgainst(pool, "doc_id", "text",
+        graft.ops.Dsir.bucketCounts(target, "text", 512), replayed,
+        buckets = 512, alpha = 1.0)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Double]("logw"))).toMap
+    val direct = graft.ops.Dsir.importanceWeights(pool, target,
+        "doc_id", "text", buckets = 512, alpha = 1.0)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Double]("logw"))).toMap
+    assert(viaStream == direct)
+  }
+
   test("streaming count-min: summed counter partials equal the batch sketch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
