@@ -127,3 +127,90 @@ object MediaHeaderExpr {
   def media_header(payload: Column): Column =
     GraftSqlBridge.column(MediaHeaderExpr(GraftSqlBridge.expression(payload)))
 }
+
+/** REAL audio-header decode: parses the published WAV container (RIFF,
+  * little-endian) from a `BINARY` column — `RIFF` + `WAVE` form header,
+  * then a word-aligned chunk walk collecting the `fmt ` chunk (PCM
+  * format word, channel count, sample rate, block align, bits per
+  * sample) and the `data` chunk size, from which the frame count is
+  * `data_size / block_align`. Returns
+  * `struct<format, sample_rate, channels, bits_per_sample, n_frames>`,
+  * or null when the bytes are not a WAV (missing form header, no
+  * `fmt `/`data` chunk, or a chunk walk that runs off the payload).
+  * Same codegen shape as [[MediaHeaderExpr]]. */
+case class AudioHeaderExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = AudioHeaderExpr.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_header"
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  private def le4(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL)) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  private def le2(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
+      b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
+
+  def compute(b: Array[Byte]): InternalRow = {
+    if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
+    var i = 12
+    var sampleRate = -1L
+    var channels = -1
+    var bits = -1
+    var blockAlign = -1
+    var dataSize = -1L
+    while (i + 8 <= b.length) {
+      val size = le4(b, i + 4)
+      if (tag(b, i, "fmt ") && size >= 16 && i + 8 + 16 <= b.length) {
+        channels = le2(b, i + 8 + 2)
+        sampleRate = le4(b, i + 8 + 4)
+        blockAlign = le2(b, i + 8 + 12)
+        bits = le2(b, i + 8 + 14)
+      } else if (tag(b, i, "data")) {
+        dataSize = size
+      }
+      i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even offsets
+      if (size < 0 || size > b.length) return null // corrupt size word
+    }
+    if (sampleRate < 0 || dataSize < 0) return null
+    val frames = if (blockAlign > 0) dataSize / blockAlign else 0L
+    InternalRow(UTF8String.fromString("wav"),
+      sampleRate.toInt, channels, bits, frames)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("audioHeader", this,
+      classOf[AudioHeaderExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("hdr")
+      s"""
+         |InternalRow $tmp = $self.compute($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AudioHeaderExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits_per_sample", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false)))
+
+  /** Column wrapper: codegen'd WAV header decode over a binary payload
+    * column. */
+  def audio_header(payload: Column): Column =
+    GraftSqlBridge.column(AudioHeaderExpr(GraftSqlBridge.expression(payload)))
+}

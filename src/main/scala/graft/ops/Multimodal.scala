@@ -112,6 +112,57 @@ object Multimodal {
   def decodeHeader(payload: Column): Column =
     graft.functions.MediaHeaderExpr.media_header(payload)
 
+  private def byteAt(c: Column, k: Int): Column =
+    be1(pmod(shiftright(c.cast("long"), 8 * k), lit(256L)))
+  private def le2l(c: Column): Column = concat(byteAt(c, 0), byteAt(c, 1))
+  private def le4l(c: Column): Column =
+    concat(byteAt(c, 0), byteAt(c, 1), byteAt(c, 2), byteAt(c, 3))
+
+  /** Media table whose payloads carry REAL WAV (RIFF) containers — the
+    * audio counterpart of [[synthesizeImages]]: a canonical 44-byte
+    * PCM header (RIFF/WAVE form, `fmt ` chunk with little-endian rate /
+    * channels / block align / bits, `data` chunk) followed by the
+    * document text as the (opaque) sample body. Rate and channel count
+    * are deterministic functions of the id so an external oracle can
+    * recompute what a correct decode must return:
+    * `sample_rate ∈ {8000,16000,22050,44100,48000} by id % 5`,
+    * `channels = 1 + id % 2`, 16-bit PCM,
+    * `n_frames = data_bytes / (2 · channels)`. All column
+    * expressions — construction is codegen'd and partition-local. */
+  def synthesizeAudio(df: DataFrame, idCol: String, textCol: String,
+                      sourceCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
+    val rateSel = pmod(id, lit(5L))
+    val sampleRate = when(rateSel === 0, 8000L).when(rateSel === 1, 16000L)
+      .when(rateSel === 2, 22050L).when(rateSel === 3, 44100L)
+      .otherwise(48000L)
+    val channels = lit(1L) + pmod(id, lit(2L))
+    val blockAlign = channels * 2L // 16-bit PCM
+    val body = encode(col(textCol), "UTF-8")
+    val dataSize = length(body).cast("long")
+    val wav = concat(
+      lit("RIFF".getBytes("US-ASCII")), le4l(dataSize + 36L),
+      lit("WAVE".getBytes("US-ASCII")),
+      lit("fmt ".getBytes("US-ASCII")), le4l(lit(16L)),
+      le2l(lit(1L)), le2l(channels), le4l(sampleRate),
+      le4l(sampleRate * blockAlign), le2l(blockAlign), le2l(lit(16L)),
+      lit("data".getBytes("US-ASCII")), le4l(dataSize),
+      body)
+    df.select(
+      id.as("media_id"),
+      lit("audio").as("kind"),
+      wav.as("payload"),
+      struct(
+        col(sourceCol).as("source"),
+        lit("audio/wav").as("mime"),
+        length(wav).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  /** REAL WAV header decode — the audio counterpart of [[decodeHeader]]:
+    * codegen'd RIFF chunk walk, null for non-WAV bytes. */
+  def decodeAudioHeader(payload: Column): Column =
+    graft.functions.AudioHeaderExpr.audio_header(payload)
+
   /** STUB feature extraction: fixed-length deterministic feature vector
     * from payload bytes (stands in for an image/audio embedding model). */
   def featureStub(payload: Column, dim: Int): Column =

@@ -544,6 +544,24 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // audio payloads carry REAL WAV/RIFF containers and the codegen'd
+    // AudioHeaderExpr walks the chunk list back out of the bytes; the
+    // oracle recomputes the expected fields from the deterministic
+    // construction
+    "mm_audio_decode" -> ((s, dir) => {
+      val media = Multimodal.synthesizeAudio(docs(s, dir), "doc_id", "text", "source")
+      media.select(col("media_id"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"),
+        Multimodal.decodeAudioHeader(col("payload")).as("d"))
+        .select(col("media_id"), col("mime"), col("n_bytes"),
+          col("d.format").as("format"),
+          col("d.sample_rate").cast("long").as("sample_rate"),
+          col("d.channels").cast("long").as("channels"),
+          col("d.bits_per_sample").cast("long").as("bits_per_sample"),
+          col("d.n_frames").as("n_frames"))
+        .orderBy(col("media_id"))
+    }),
+
     // as-of join: each click paired with the user's latest purchase at or
     // before it (one shuffle on the key; no range explosion)
     "q_asof_join" -> ((s, dir) => {
@@ -1724,6 +1742,19 @@ object PipelineQueries {
         | (doc_id % 1024) + 32 AS width,
         | ((doc_id // 7) % 1024) + 32 AS height,
         | CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS channels
+        | FROM documents ORDER BY media_id""".om,
+    // WAV parse: canonical 44-byte PCM header (12 form + 24 fmt + 8 data
+    // header) + text body; rate/channels/frames recomputed from the
+    // deterministic construction
+    "mm_audio_decode" ->
+      """SELECT doc_id AS media_id, 'audio/wav' AS mime,
+        | octet_length(encode(text)) + 44 AS n_bytes,
+        | 'wav' AS format,
+        | CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+        |   WHEN 3 THEN 44100 ELSE 48000 END + 0 * doc_id AS sample_rate,
+        | 1 + doc_id % 2 AS channels,
+        | 16 + 0 * doc_id AS bits_per_sample,
+        | octet_length(encode(text)) // (2 * (1 + doc_id % 2)) AS n_frames
         | FROM documents ORDER BY media_id""".om,
     "mm_batch_decode" ->
       s"""SELECT doc_id AS media_id, octet_length(encode(text)) > 0 AS decoded_ok,

@@ -60,4 +60,60 @@ class MultimodalSpec extends AnyFunSuite {
       got(1).getInt(3) == 100 && got(1).getInt(4) == 1)
     assert(got(2).isNullAt(1), "foreign bytes must decode to null, not throw")
   }
+
+  test("synthesizeAudio payloads round-trip through the WAV header decode") {
+    val docs = Seq(
+      (0L, "8000 Hz mono", "s3://a"),          // id%5=0, id%2=0
+      (3L, "44100 Hz stereo here", "s3://b"),  // id%5=3, id%2=1
+      (9L, "48000 Hz stereo", "s3://c")        // id%5=4, id%2=1
+    ).toDF("doc_id", "text", "source")
+    val out = Multimodal.synthesizeAudio(docs, "doc_id", "text", "source")
+      .select(col("media_id"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"),
+        Multimodal.decodeAudioHeader(col("payload")).as("d"))
+      .select(col("media_id"), col("mime"), col("n_bytes"), col("d.format"),
+        col("d.sample_rate"), col("d.channels"), col("d.bits_per_sample"),
+        col("d.n_frames"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getInt(4), r.getInt(5), r.getInt(6), r.getLong(7)))
+      .sortBy(_._1).toSeq
+    // n_frames = text bytes / (2 * channels), floored
+    assert(out == Seq(
+      (0L, "audio/wav", 12L + 44, "wav", 8000, 1, 16, 6L),
+      (3L, "audio/wav", 20L + 44, "wav", 44100, 2, 16, 5L),
+      (9L, "audio/wav", 15L + 44, "wav", 48000, 2, 16, 3L)))
+  }
+
+  test("WAV chunk walk: extra chunks, odd-size padding, corrupt sizes") {
+    def le2(v: Int) = Array(v & 0xff, (v >> 8) & 0xff)
+    def le4(v: Int) = Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
+    def chunk(tag: String, data: Array[Int]) =
+      tag.getBytes("US-ASCII").map(_.toInt) ++ le4(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0) else Array.empty[Int])
+    val fmt = chunk("fmt ", le2(1) ++ le2(2) ++ le4(22050) ++
+      le4(22050 * 4) ++ le2(4) ++ le2(16))
+    // a LIST chunk with an ODD size before fmt — the walk must pad to
+    // even — then fmt, then data
+    val wav = ("RIFF".getBytes("US-ASCII").map(_.toInt) ++ le4(0) ++
+      "WAVE".getBytes("US-ASCII").map(_.toInt) ++
+      chunk("LIST", Array(1, 2, 3)) ++ fmt ++
+      chunk("data", Array.fill(10)(7))).map(_.toByte)
+    val truncated = wav.take(20)
+    val corrupt = ("RIFF".getBytes("US-ASCII").map(_.toInt) ++ le4(0) ++
+      "WAVE".getBytes("US-ASCII").map(_.toInt) ++
+      "data".getBytes("US-ASCII").map(_.toInt) ++
+      Array(0xff, 0xff, 0xff, 0x7f)).map(_.toByte) // size word beyond payload
+    val df = Seq((1L, wav), (2L, truncated), (3L, corrupt),
+      (4L, "plainly not audio".getBytes("UTF-8"))).toDF("id", "payload")
+    val got = df.select(col("id"),
+        Multimodal.decodeAudioHeader(col("payload")).as("d"))
+      .select(col("id"), col("d.format"), col("d.sample_rate"),
+        col("d.channels"), col("d.n_frames"))
+      .collect().sortBy(_.getLong(0))
+    assert(got(0).getString(1) == "wav" && got(0).getInt(2) == 22050 &&
+      got(0).getInt(3) == 2 && got(0).getLong(4) == 2L) // 10 bytes / align 4
+    assert(got(1).isNullAt(1), "truncated header must decode to null")
+    assert(got(2).isNullAt(1), "corrupt size word must decode to null")
+    assert(got(3).isNullAt(1), "foreign bytes must decode to null")
+  }
 }
