@@ -116,4 +116,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2).isNullAt(1), "corrupt size word must decode to null")
     assert(got(3).isNullAt(1), "foreign bytes must decode to null")
   }
+
+  test("property: header decoders never throw on mutated or random bytes") {
+    val docs = Seq((0L, "png seed payload", "s"), (1L, "jpeg seed", "s"))
+      .toDF("doc_id", "text", "source")
+    val imgSeeds = Multimodal.synthesizeImages(docs, "doc_id", "text", "source")
+      .select("payload").collect().map(_.getAs[Array[Byte]](0))
+    val wavSeed = Multimodal.synthesizeAudio(docs, "doc_id", "text", "source")
+      .select("payload").collect().map(_.getAs[Array[Byte]](0))
+    val seeds = imgSeeds ++ wavSeed
+    val rnd = new scala.util.Random(42)
+    val variants = (0 until 300).map { i =>
+      val base = seeds(rnd.nextInt(seeds.length))
+      val b = rnd.nextInt(3) match {
+        case 0 => // flip 1-8 bytes anywhere (headers included)
+          val c = base.clone()
+          (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+            c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+          }
+          c
+        case 1 => base.take(rnd.nextInt(base.length + 1)) // truncate
+        case 2 => Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)
+      }
+      (i.toLong, b)
+    }
+    val got = variants.toDF("id", "payload")
+      .select(col("id"),
+        Multimodal.decodeHeader(col("payload")).as("img"),
+        Multimodal.decodeAudioHeader(col("payload")).as("aud"))
+      .collect() // the property: evaluation completes, no exception escapes
+    got.foreach { r =>
+      if (!r.isNullAt(1)) {
+        val img = r.getStruct(1)
+        assert(Set("png", "jpeg")(img.getString(0)))
+        assert(img.getInt(3) >= 0 && img.getInt(3) <= 255) // channels byte
+      }
+      if (!r.isNullAt(2)) {
+        val aud = r.getStruct(2)
+        assert(aud.getString(0) == "wav")
+        assert(aud.getLong(4) >= 0, "frame count must not go negative")
+      }
+    }
+  }
 }
