@@ -44,6 +44,9 @@ object BlockWatcher {
       val eventSyncs: AtomicLong,
       /** syncs triggered by the ticker (incl. the initial refresh) */
       val tickSyncs: AtomicLong,
+      /** syncs (or onIngest callbacks) that threw — the loop survives
+        * them; a growing count with flat `ingested` is the alert signal */
+      val syncErrors: AtomicLong,
       /** false when the root is non-local and the loop is polling-only */
       val watching: Boolean) {
     def close(): Unit = {
@@ -71,6 +74,7 @@ object BlockWatcher {
     val nIngested = new AtomicLong(0)
     val nEvent = new AtomicLong(0)
     val nTick = new AtomicLong(0)
+    val nErrors = new AtomicLong(0)
     val watched = localDir(blocksRoot)
     val thread = new Thread(() => {
       val ws: Option[WatchService] = watched.map { p =>
@@ -78,10 +82,20 @@ object BlockWatcher {
         p.register(w, StandardWatchEventKinds.ENTRY_CREATE)
         w
       }
+      // a failed sync (transient FS error, a block readable only on the
+      // next tick, a throwing onIngest callback) must not kill the loop —
+      // the reference's shipper logs sync errors and keeps its ticker
+      // running (shipper.go sync error path); a dead watcher is strictly
+      // worse than a late one
       def sync(counter: AtomicLong): Unit = {
-        val got = TsdbBlock.syncDir(spark, blocksRoot, storePath)
         counter.incrementAndGet()
-        if (got.nonEmpty) { nIngested.addAndGet(got.size.toLong); onIngest(got) }
+        try {
+          val got = TsdbBlock.syncDir(spark, blocksRoot, storePath)
+          if (got.nonEmpty) { nIngested.addAndGet(got.size.toLong); onIngest(got) }
+        } catch {
+          case ie: InterruptedException => throw ie
+          case scala.util.control.NonFatal(_) => nErrors.incrementAndGet()
+        }
       }
       try {
         sync(nTick) // initial refresh — the shipper syncs pre-existing blocks first
@@ -112,6 +126,6 @@ object BlockWatcher {
     thread.setDaemon(true)
     thread.setName("graft-block-watcher")
     thread.start()
-    new Handle(thread, stop, nIngested, nEvent, nTick, watched.isDefined)
+    new Handle(thread, stop, nIngested, nEvent, nTick, nErrors, watched.isDefined)
   }
 }

@@ -65,6 +65,31 @@ class BlockWatcherSpec extends AnyFunSuite {
     } finally h.close()
   }
 
+  test("a throwing onIngest callback does not kill the loop") {
+    val root = Files.createTempDirectory("graft-watch-err")
+    val store = root.resolve("store").toString
+    val blocks = Files.createDirectory(root.resolve("blocks"))
+    val h = BlockWatcher.watch(spark, blocks.toString, store, tickMs = 120000L,
+      onIngest = got => if (got.contains(TsdbBlock.syntheticUlid(64)))
+        sys.error("downstream hook failure"))
+    try {
+      assert(await()(h.tickSyncs.get() >= 1))
+      val ulid = TsdbBlock.syntheticUlid(64)
+      val st = Files.createTempDirectory("graft-watch-err-st").resolve(ulid)
+      TsdbBlock.write(Files.createDirectory(st), corpus(), ulid)
+      Files.move(st, blocks.resolve(ulid))
+      assert(await()(h.syncErrors.get() == 1L), "callback failure must be counted")
+      // the block WAS ingested before the hook threw, and the loop survives
+      // to ingest the next one
+      val ulid2 = TsdbBlock.syntheticUlid(65)
+      val st2 = Files.createTempDirectory("graft-watch-err-st2").resolve(ulid2)
+      TsdbBlock.write(Files.createDirectory(st2), corpus(shiftMs = 72000000L), ulid2)
+      Files.move(st2, blocks.resolve(ulid2))
+      assert(await()(h.ingested.get() == 2L),
+        s"loop must survive the failed hook (errors=${h.syncErrors.get()})")
+    } finally h.close()
+  }
+
   test("a missing/non-local root degrades to ticker-only polling") {
     val root = Files.createTempDirectory("graft-watch-none")
     val h = BlockWatcher.watch(spark, root.resolve("nonexistent").toString,
