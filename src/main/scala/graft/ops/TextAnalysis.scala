@@ -50,6 +50,76 @@ object TextAnalysis {
       lit(1.0d)), 6)
   }
 
+  /** C4 cleanup battery (Raffel et al. 2020 §2.2, public): the line and
+    * page heuristics C4 applied to Common Crawl, as one doc-local struct.
+    * Line level — keep lines that end in terminal punctuation, carry ≥ 5
+    * whitespace words, and do not mention "javascript". Page level — at
+    * least 3 retained lines, no "lorem ipsum", no curly brace. The kept
+    * text's md5 digest is included so the TRANSFORM (not just the
+    * decision) is oracle-checked. All codegen'd built-ins; one pass. */
+  def c4Filters(text: Column): Column = {
+    val lines = split(text, "\n")
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"']\\s*$") &&
+        size(filter(split(l, "\\s+"), w => w =!= "")) >= 5 &&
+        !lower(l).rlike("javascript"))
+    val hasLorem = lower(text).rlike("lorem ipsum")
+    val hasBrace = text.rlike("\\{")
+    struct(
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept_lines"),
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"),
+      (size(kept) >= 3 && !hasLorem && !hasBrace).as("keep"),
+      md5(concat_ws("\n", kept)).as("kept_digest"))
+  }
+
+  /** Gopher quality-rule battery (Rae et al. 2021 §A1.1, public): the
+    * per-document filters MassiveWeb applied, as one doc-local struct —
+    * word count in [50, 100k], mean word length in [3, 10],
+    * symbol-to-word ratio (# and ellipsis) ≤ 0.1, ≤ 90% of lines
+    * starting with a bullet, ≤ 30% ending in an ellipsis, ≥ 80% of
+    * words with an alphabetic character, and ≥ 2 hits from the Gopher
+    * stop-word list. Ratios round to 6 places and the keep decision is
+    * computed FROM the rounded values, so the decision is
+    * engine-portable. */
+  def gopherRules(text: Column): Column = {
+    val words = filter(split(text, "\\s+"), w => w =!= "")
+    val nWords = size(words)
+    val meanLen = round(
+      aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        greatest(nWords, lit(1)), 6)
+    val nEllipsis = ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3) +
+      (length(text) - length(regexp_replace(text, "…", "")))
+    val nHash = length(text) - length(regexp_replace(text, "#", ""))
+    val symRatio = round((nHash + nEllipsis).cast("double") /
+      greatest(nWords, lit(1)), 6)
+    val lines = split(text, "\n")
+    val bulletFrac = round(
+      size(filter(lines, l => l.rlike("^\\s*[•\\-\\*]"))).cast("double") /
+        greatest(size(lines), lit(1)), 6)
+    val ellipsisFrac = round(
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("double") /
+        greatest(size(lines), lit(1)), 6)
+    val alphaFrac = round(
+      size(filter(words, w => w.rlike("\\p{L}"))).cast("double") /
+        greatest(nWords, lit(1)), 6)
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = size(array_intersect(array_distinct(tokens(text)),
+      array(gopherStops.map(lit): _*)))
+    struct(
+      nWords.cast("long").as("n_words"),
+      meanLen.as("mean_word_len"),
+      symRatio.as("symbol_ratio"),
+      bulletFrac.as("bullet_line_frac"),
+      ellipsisFrac.as("ellipsis_line_frac"),
+      alphaFrac.as("alpha_word_frac"),
+      stopHits.cast("long").as("n_stop_hits"),
+      (nWords.between(50, 100000) && meanLen.between(3.0, 10.0) &&
+        symRatio <= 0.1 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+        alphaFrac >= 0.8 && stopHits >= 2).as("keep"))
+  }
+
   /** Per-language stopword profiles for the n-gram/stopword language-ID
     * heuristic. Tiny on purpose: the mechanism (broadcast profile match +
     * argmax) is what scales, the wordlists are swappable. */

@@ -399,6 +399,40 @@ object PipelineQueries {
         md5(TextAnalysis.scrubPii(col("text"))).as("scrubbed_digest"))
         .orderBy(col("doc_id"))),
 
+    // C4 cleanup battery (Raffel et al. 2020): line keeps + page flags +
+    // the kept-text digest, so the transform itself is oracle-checked.
+    // The corpus text is single-line, so a deterministic literal-replace
+    // chain derives a multi-line page from it (same synthesize-from-text
+    // convention as the multimodal payloads) — lines then vary in length
+    // and terminal punctuation and the filter branches all exercise
+    "text_c4_filters" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.c4Filters(
+            replace(replace(replace(col("text"),
+              lit(" table "), lit(" table.\n")),
+              lit(" query "), lit(" query!\n")),
+              lit(" spark "), lit(" spark\n"))).as("f"))
+        .select(col("doc_id"), col("f.n_lines").as("n_lines"),
+          col("f.n_kept_lines").as("n_kept_lines"),
+          col("f.has_lorem").as("has_lorem"),
+          col("f.has_brace").as("has_brace"),
+          col("f.keep").as("keep"), col("f.kept_digest").as("kept_digest"))
+        .orderBy(col("doc_id"))),
+
+    // Gopher quality-rule battery (Rae et al. 2021): the MassiveWeb
+    // per-doc filters, keep decided from the rounded ratios
+    "text_gopher_rules" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.gopherRules(col("text")).as("g"))
+        .select(col("doc_id"), col("g.n_words").as("n_words"),
+          col("g.mean_word_len").as("mean_word_len"),
+          col("g.symbol_ratio").as("symbol_ratio"),
+          col("g.bullet_line_frac").as("bullet_line_frac"),
+          col("g.ellipsis_line_frac").as("ellipsis_line_frac"),
+          col("g.alpha_word_frac").as("alpha_word_frac"),
+          col("g.n_stop_hits").as("n_stop_hits"), col("g.keep").as("keep"))
+        .orderBy(col("doc_id"))),
+
     // n-gram Jaccard all-pairs within (lang, source) blocks
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
@@ -1601,6 +1635,57 @@ object PipelineQueries {
         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |   '[0-9]{9,}', '<NUM>', 'g')) AS scrubbed_digest
         | FROM documents ORDER BY doc_id""".om,
+    "text_c4_filters" ->
+      """WITH p AS (SELECT doc_id,
+        |   replace(replace(replace(text,
+        |     ' table ', ' table.' || chr(10)),
+        |     ' query ', ' query!' || chr(10)),
+        |     ' spark ', ' spark' || chr(10)) AS text FROM documents),
+        | l AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines
+        |   FROM p),
+        | k AS (SELECT doc_id, lines,
+        |   list_filter(lines, x -> regexp_matches(x, '[.!?"'']\s*$')
+        |     AND len(list_filter(regexp_split_to_array(x, '\s+'), w -> w <> '')) >= 5
+        |     AND NOT regexp_matches(lower(x), 'javascript')) AS kept,
+        |   contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |   contains(text, '{') AS has_brace
+        |  FROM l)
+        | SELECT doc_id, len(lines)::BIGINT AS n_lines,
+        |  len(kept)::BIGINT AS n_kept_lines, has_lorem, has_brace,
+        |  (len(kept) >= 3 AND NOT has_lorem AND NOT has_brace) AS keep,
+        |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS kept_digest
+        | FROM k ORDER BY doc_id""".om,
+    "text_gopher_rules" ->
+      """WITH w AS (SELECT doc_id, text,
+        |   list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words,
+        |   string_split(text, chr(10)) AS lines FROM documents),
+        | m AS (SELECT doc_id, text, words, lines, len(words) AS n_words,
+        |   round(list_sum(list_transform(words, x -> len(x)))::DOUBLE /
+        |     greatest(len(words), 1), 6) AS mean_word_len,
+        |   (len(text) - len(replace(text, '...', ''))) // 3 +
+        |     (len(text) - len(replace(text, '…', ''))) AS n_ell,
+        |   (len(text) - len(replace(text, '#', ''))) AS n_hash
+        |  FROM w),
+        | r AS (SELECT doc_id, n_words, mean_word_len,
+        |   round((n_hash + n_ell)::DOUBLE / greatest(n_words, 1), 6) AS symbol_ratio,
+        |   round(len(list_filter(lines, x -> regexp_matches(x, '^\s*[•\-\*]')))::DOUBLE /
+        |     greatest(len(lines), 1), 6) AS bullet_line_frac,
+        |   round(len(list_filter(lines, x -> regexp_matches(x, '(\.\.\.|…)\s*$')))::DOUBLE /
+        |     greatest(len(lines), 1), 6) AS ellipsis_line_frac,
+        |   round(len(list_filter(words, x -> regexp_matches(x, '\p{L}')))::DOUBLE /
+        |     greatest(len(words), 1), 6) AS alpha_word_frac,
+        |   len(list_intersect(
+        |     list_distinct(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')),
+        |     ['the','be','to','of','and','that','have','with'])) AS n_stop_hits
+        |  FROM m)
+        | SELECT doc_id, n_words::BIGINT AS n_words, mean_word_len, symbol_ratio,
+        |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+        |  n_stop_hits::BIGINT AS n_stop_hits,
+        |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
+        |   AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+        |   AND n_stop_hits >= 2) AS keep
+        | FROM r ORDER BY doc_id""".om,
     "dedup_ngram_jaccard" ->
       s"""WITH ${tokCte(2)}, $hsCte,
          | ex AS (SELECT doc_id, lang, source, len(hs) AS n, unnest(hs) AS h FROM hx),

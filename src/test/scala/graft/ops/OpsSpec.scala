@@ -938,6 +938,45 @@ class OpsSpec extends AnyFunSuite {
     assert(out.forall(r => r.getDouble(2) > 0.5 && r.getDouble(2) <= 1.0))
   }
 
+  test("c4 filters: line keeps, page flags, and the kept digest") {
+    val page = Seq(
+      "This line has enough words and ends well.",   // kept
+      "Too short ends.",                             // < 5 words
+      "This line has enough words but no terminal punct", // no punct
+      "Enable javascript to view this page now!",    // javascript line
+      "Another long enough sentence closes here!").mkString("\n")
+    val out = docsDF(1L -> page, 2L -> (page + "\nlorem ipsum dolor."),
+        3L -> (page + "\nif (x) { return; }"))
+      .select(col("doc_id"), TextAnalysis.c4Filters(col("text")).as("f"))
+      .select(col("doc_id"), col("f.*")).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_lines") == 5 &&
+      out(0).getAs[Long]("n_kept_lines") == 2)
+    assert(!out(0).getAs[Boolean]("keep"), "only 2 kept lines, C4 needs 3")
+    // the digest is over exactly the kept lines, joined in order
+    val expect = java.security.MessageDigest.getInstance("MD5").digest(
+      ("This line has enough words and ends well.\n" +
+        "Another long enough sentence closes here!").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(out(0).getAs[String]("kept_digest") == expect)
+    assert(out(1).getAs[Boolean]("has_lorem") && !out(1).getAs[Boolean]("keep"))
+    assert(out(2).getAs[Boolean]("has_brace") && !out(2).getAs[Boolean]("keep"))
+  }
+
+  test("gopher rules: each filter trips on its own planted violation") {
+    val good = (1 to 60).map(i => s"word$i the of and").mkString(" ")
+    val bullets = (1 to 10).map(_ => "• item with five words here.").mkString("\n")
+    val symbols = (1 to 60).map(_ => "the of ### and").mkString(" ")
+    val out = docsDF(1L -> good, 2L -> bullets, 3L -> symbols, 4L -> "tiny doc the of")
+      .select(col("doc_id"), TextAnalysis.gopherRules(col("text")).as("g"))
+      .select(col("doc_id"), col("g.*")).orderBy("doc_id").collect()
+    assert(out(0).getAs[Boolean]("keep"), "clean doc must pass")
+    assert(out(1).getAs[Double]("bullet_line_frac") == 1.0 &&
+      !out(1).getAs[Boolean]("keep"))
+    assert(out(2).getAs[Double]("symbol_ratio") > 0.1 &&
+      !out(2).getAs[Boolean]("keep"))
+    assert(out(3).getAs[Long]("n_words") < 50 && !out(3).getAs[Boolean]("keep"))
+  }
+
   test("dsir: grams keep multiplicity; target-like docs outweigh and win selection") {
     // grams = unigrams ++ bigrams WITH multiplicity (count mass, not sets)
     val g = docsDF(1L -> "a a b").select(Dsir.grams(col("text")))
