@@ -433,6 +433,25 @@ object PipelineQueries {
           col("g.n_stop_hits").as("n_stop_hits"), col("g.keep").as("keep"))
         .orderBy(col("doc_id"))),
 
+    // BPE application (Sennrich et al. 2016): token counts + encoded-doc
+    // digest under the fixed merge table — the whole encode chain is
+    // literal replaces both engines execute identically
+    "text_bpe_tokens" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_words"),
+          graft.ops.Bpe.tokenCount(col("text"), graft.ops.Bpe.DefaultMerges)
+            .as("n_bpe_tokens"),
+          md5(concat_ws("|",
+            graft.ops.Bpe.encodedWords(col("text"), graft.ops.Bpe.DefaultMerges)))
+            .as("bpe_digest"))
+        .orderBy(col("doc_id"))),
+
+    // BPE training: 3 merge-learning rounds over the corpus (argmax
+    // adjacent pair, merge, recount) — the oracle unrolls the rounds
+    "text_bpe_train" -> ((s, dir) =>
+      graft.ops.Bpe.trainRounds(docs(s, dir), "text", rounds = 3)
+        .orderBy(col("round"))),
+
     // n-gram Jaccard all-pairs within (lang, source) blocks
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
@@ -1686,6 +1705,33 @@ object PipelineQueries {
         |   AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
         |   AND n_stop_hits >= 2) AS keep
         | FROM r ORDER BY doc_id""".om,
+    "text_bpe_tokens" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |   list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS t
+         |  FROM documents),
+         | e AS (SELECT doc_id, t, list_transform(t, w -> $bpeEncodeSql) AS enc FROM toks)
+         | SELECT doc_id, len(t)::BIGINT AS n_words,
+         |  coalesce(list_sum(list_transform(enc,
+         |    x -> len(x) - len(replace(x, ' ', '')) - 1)), 0)::BIGINT AS n_bpe_tokens,
+         |  md5(coalesce(array_to_string(enc, '|'), '')) AS bpe_digest
+         | FROM e ORDER BY doc_id""".om,
+    "text_bpe_train" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |   list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS t
+         |  FROM documents),
+         | w0 AS (SELECT unnest(list_transform(t,
+         |   w -> ' ' || regexp_replace(w, '(.)', '\\1 ', 'g'))) AS e FROM toks),
+         | ${bpeRoundCtes(1, "w0")},
+         | w1 AS (SELECT replace(e, ' ' || m1.a || ' ' || m1.b || ' ',
+         |   ' ' || m1.a || m1.b || ' ') AS e FROM w0, m1),
+         | ${bpeRoundCtes(2, "w1")},
+         | w2 AS (SELECT replace(e, ' ' || m2.a || ' ' || m2.b || ' ',
+         |   ' ' || m2.a || m2.b || ' ') AS e FROM w1, m2),
+         | ${bpeRoundCtes(3, "w2")}
+         | SELECT 1::BIGINT AS round, a, b, cnt FROM m1
+         | UNION ALL SELECT 2::BIGINT, a, b, cnt FROM m2
+         | UNION ALL SELECT 3::BIGINT, a, b, cnt FROM m3
+         | ORDER BY round""".om,
     "dedup_ngram_jaccard" ->
       s"""WITH ${tokCte(2)}, $hsCte,
          | ex AS (SELECT doc_id, lang, source, len(hs) AS n, unnest(hs) AS h FROM hx),
@@ -1870,6 +1916,26 @@ object PipelineQueries {
          |   doc_id, logw, gkey FROM keyed)
          | SELECT rnk, doc_id, logw, gkey FROM ranked WHERE rnk <= 64 ORDER BY rnk""".om
   )
+
+  /** DuckDB mirror of [[graft.ops.Bpe.encodeWord]] under the default
+    * merge table: the identical literal-replace chain, generated FROM
+    * the Scala table so the two can never drift. `w` is the
+    * list_transform lambda variable at the call site. */
+  private lazy val bpeEncodeSql: String =
+    graft.ops.Bpe.DefaultMerges.foldLeft(
+      "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')") { case (s, (a, b)) =>
+      s"replace($s, ' $a $b ', ' $a$b ')"
+    }
+
+  /** One unrolled BPE training round over encoded strings `src(e)`:
+    * `p<r>` = adjacent symbol pairs, `m<r>` = the argmax pair (count
+    * desc, lexicographic tiebreak — deterministic in both engines). */
+  private def bpeRoundCtes(r: Int, src: String): String =
+    s"""p$r AS (SELECT unnest(list_transform(range(greatest(len(s) - 1, 0)),
+       |   i -> {'a': s[i + 1], 'b': s[i + 2]})) AS p
+       |  FROM (SELECT string_split(trim(e), ' ') AS s FROM $src)),
+       |m$r AS (SELECT p.a AS a, p.b AS b, count(*) AS cnt FROM p$r
+       |  GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1)""".om
 
   /** Shared DSIR CTE chain: hashed unigram+bigram features of every doc
     * (mirrors Dsir.features at 4096 buckets) and the add-one-smoothed

@@ -938,6 +938,34 @@ class OpsSpec extends AnyFunSuite {
     assert(out.forall(r => r.getDouble(2) > 0.5 && r.getDouble(2) <= 1.0))
   }
 
+  test("bpe: encode applies merges greedily leftmost; training learns the planted pair") {
+    // hand-checked encode under merges (t,h) then (th,e): "theta" →
+    // " t h e t a " → " th e t a " → " the t a " = 3 symbols
+    val enc = docsDF(1L -> "theta")
+      .select(Bpe.encodeWord(lit("theta"), Seq("t" -> "h", "th" -> "e")))
+      .head().getString(0)
+    assert(enc == " the t a ")
+    assert(docsDF(1L -> "theta ll lll")
+      .select(Bpe.tokenCount(col("text"), Seq("t" -> "h", "th" -> "e", "l" -> "l")))
+      .head().getLong(0) == 3 + 1 + 2)
+    // "lll" under (l,l): leftmost non-overlap → " ll l " = 2 symbols
+    assert(docsDF(2L -> "lll")
+      .select(Bpe.encodeWord(lit("lll"), Seq("l" -> "l"))).head().getString(0)
+      == " ll l ")
+
+    // training: "ab" dominates the corpus; round 2 learns the pair that
+    // extends it, proving the round-1 merge fed the round-2 counts
+    val corpus = docsDF(
+      1L -> "abc abc abc abd", 2L -> "abc abe xy")
+    val rounds = Bpe.trainRounds(corpus, "text", 3)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // pairs: (a,b)×6, (b,c)×4, (b,d)(b,e)(x,y)×1 → round 1: (a,b) 6
+    assert(rounds(0) == (1L, "a", "b", 6L))
+    // after merging: symbols "ab c"×4, "ab d", "ab e" → (ab,c) 4
+    assert(rounds(1) == (2L, "ab", "c", 4L))
+  }
+
   test("c4 filters: line keeps, page flags, and the kept digest") {
     val page = Seq(
       "This line has enough words and ends well.",   // kept
