@@ -506,4 +506,42 @@ object Similarity {
     ivfPqSearch(queries, storedEncoded.where(col("cell").isin(cells: _*)),
       qId, qVec, centroids, centId, centVec, codebook, m, k, topK, nprobe)
   }
+
+  /** Exact-cosine rerank of an approximate candidate list — the
+    * production two-stage ANN serving pattern (FAISS's refine step):
+    * a cheap recall stage (ADC / LSH / SQ) over-fetches `candK`
+    * candidates per query, then only those survivors are re-scored
+    * against the RAW corpus vectors and re-ranked to `topK`. Quantized
+    * distance error affects recall only, never the final ordering.
+    *
+    * `candidates` is any (query_id, corpus_id, cos) frame — e.g.
+    * [[ivfPqSearch]] run with `topK = candK`. The approximate score is
+    * carried through as `cos_adc` so recall diagnostics stay visible.
+    *
+    * Scale shape: the candidate list is queries×candK rows — broadcast
+    * it (with the query vectors) into the corpus scan, so the corpus
+    * never shuffles and the exact math runs on queries×candK pairs
+    * instead of queries×corpus. The final window sorts ≤candK rows per
+    * query. */
+  def rerankExact(candidates: DataFrame, queries: DataFrame, corpus: DataFrame,
+                  qId: String, qVec: String, cId: String, cVec: String,
+                  candK: Int, topK: Int): DataFrame = {
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id"))
+    val cand = candidates
+      .select(col("query_id"), col("corpus_id"), col("cos"))
+      .withColumn("cand_rnk", row_number().over(wCand))
+      .where(col("cand_rnk") <= candK)
+      .select(col("query_id"), col("corpus_id"), col("cos").as("cos_adc"))
+    val q = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("qv"))
+    val c = corpus.select(col(cId).as("corpus_id"), col(cVec).cast("array<double>").as("cv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
+    broadcast(cand.join(q, "query_id"))
+      .join(c, "corpus_id")
+      .withColumn("cos", round(cosine_native(col("qv"), col("cv")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topK)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("corpus_id"), col("cos"), col("cos_adc"))
+  }
 }

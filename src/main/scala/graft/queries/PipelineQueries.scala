@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Dsir, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{CorpusShuffle, Dedup, Dsir, Multimodal, Similarity, TextAnalysis}
 import graft.functions._
 
 /** Training-data pipeline operators (dedup, similarity search, text
@@ -669,6 +669,46 @@ object PipelineQueries {
       Similarity.ivfPqSearchStored(e.where(col("vec_id") < 8), ivfPqStore(s, dir),
         "vec_id", "embedding", kmCentroids(s, dir), "cell", "centv",
         pqCb(s, dir), m = 8, k = 16, topK = 5, nprobe = 3)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // deterministic global corpus shuffle: the seeded md5 permutation
+    // plus each row's global ordinal and running token count — computed
+    // with a range partition + two-pass prefix sum, never a
+    // single-partition window (see CorpusShuffle's scale note)
+    "shuffle_order" -> ((s, dir) =>
+      CorpusShuffle.shuffledWithOrdinals(docs(s, dir), "doc_id",
+          TextAnalysis.wordCount(col("text")), seed = "r9")
+        .select(col("id").as("doc_id"), col("n_tokens"), col("ord"),
+          col("tok_before"))
+        .orderBy(col("ord"))),
+
+    // token-budgeted shard plan over the shuffled order: a document
+    // belongs to the shard its first token lands in (the streaming cut
+    // rule) — shard_id is closed-form from the prefix sum, so the
+    // whole training-data layout is exactly oracle-checked
+    "shuffle_shards" -> ((s, dir) =>
+      CorpusShuffle.tokenShards(docs(s, dir), "doc_id",
+          TextAnalysis.wordCount(col("text")), seed = "r9", budget = 20000L)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("ord"),
+          col("shard_id"), col("shard_pos"))
+        .orderBy(col("ord"))),
+
+    // two-stage ANN serving (the FAISS refine pattern): the stored
+    // IVFADC index over-fetches candK=25 candidates per query on cheap
+    // quantized distances, then ONLY those survivors are re-scored with
+    // exact cosine against the raw vectors — quantization error moves
+    // recall, never the final ordering. The candidate list (queries ×
+    // candK rows) broadcasts into the raw-vector join, so the corpus
+    // never shuffles for the refine stage
+    "knn_ivfpq_rerank" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cands = Similarity.ivfPqSearchStored(e.where(col("vec_id") < 8),
+        ivfPqStore(s, dir), "vec_id", "embedding",
+        kmCentroids(s, dir), "cell", "centv",
+        pqCb(s, dir), m = 8, k = 16, topK = 25, nprobe = 3)
+      Similarity.rerankExact(cands, e.where(col("vec_id") < 8), e,
+        "vec_id", "embedding", "vec_id", "embedding", candK = 25, topK = 5)
         .orderBy(col("query_id"), col("rnk"))
     }),
 
@@ -1792,6 +1832,49 @@ object PipelineQueries {
          | SELECT query_id, rnk, corpus_id, cos FROM rankedq WHERE rnk <= 5
          | ORDER BY query_id, rnk""".om,
     "knn_ivfpq" -> ivfPqOracle,
+    "shuffle_order" ->
+      s"""WITH t AS (SELECT doc_id,
+         |   len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tokens,
+         |   md5('r9:' || doc_id) AS skey FROM documents)
+         | SELECT doc_id, n_tokens,
+         |  (row_number() OVER (ORDER BY skey, doc_id) - 1) AS ord,
+         |  coalesce(sum(n_tokens) OVER (ORDER BY skey, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_before
+         | FROM t ORDER BY ord""".om,
+    "shuffle_shards" ->
+      s"""WITH t AS (SELECT doc_id,
+         |   len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tokens,
+         |   md5('r9:' || doc_id) AS skey FROM documents),
+         | o AS (SELECT doc_id, n_tokens,
+         |  (row_number() OVER (ORDER BY skey, doc_id) - 1) AS ord,
+         |  coalesce(sum(n_tokens) OVER (ORDER BY skey, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tb
+         | FROM t)
+         | SELECT doc_id, n_tokens, ord, (tb // 20000) AS shard_id,
+         |  (row_number() OVER (PARTITION BY (tb // 20000) ORDER BY ord) - 1) AS shard_pos
+         | FROM o ORDER BY ord""".om,
+    "knn_ivfpq_rerank" ->
+      s"""WITH $eCte,
+         | ${kmeansIvfCtes()},
+         | $pqReconCtes,
+         | scored AS (SELECT p.query_id, a.corpus_id,
+         |   round(${cosSql("p.qv", "r.cv")}, 6) AS cos
+         |  FROM pr p JOIN asg a ON a.best.cell = p.cell
+         |  JOIN recon r ON r.vec_id = a.corpus_id
+         |  WHERE p.query_id <> a.corpus_id),
+         | cand AS (SELECT query_id, corpus_id, cos AS cos_adc,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS crnk
+         |  FROM scored),
+         | ex AS (SELECT c.query_id, c.corpus_id, c.cos_adc,
+         |   round(${cosSql("q.v", "t.v")}, 6) AS cos
+         |  FROM cand c JOIN e q ON q.vec_id = c.query_id
+         |  JOIN e t ON t.vec_id = c.corpus_id
+         |  WHERE c.crnk <= 25),
+         | rr AS (SELECT query_id, corpus_id, cos, cos_adc,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
+         |  FROM ex)
+         | SELECT query_id, rnk, corpus_id, cos, cos_adc FROM rr WHERE rnk <= 5
+         | ORDER BY query_id, rnk""".om,
     "dedup_embedding_lsh" -> srpLshOracle,
     "dedup_semantic" ->
       s"""WITH $eCte,

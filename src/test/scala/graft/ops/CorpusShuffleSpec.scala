@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+class CorpusShuffleSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  // 200 docs over 7 input partitions so the range repartition and the
+  // prefix-sum offsets are actually exercised across partitions
+  private def corpus = (0L until 200L).map(i => (i, 1L + (i * 37) % 90))
+    .toDF("doc_id", "n_tokens").repartition(7)
+
+  test("shuffledWithOrdinals matches a single-threaded sort of the same keys") {
+    val got = CorpusShuffle.shuffledWithOrdinals(
+        corpus, "doc_id", col("n_tokens"), seed = "s1")
+      .orderBy("ord").collect()
+    // local reference: order by (md5 key, id), then running count/sum
+    val keyed = corpus.select(col("doc_id"),
+        CorpusShuffle.shuffleKey("s1", col("doc_id")).as("skey"), col("n_tokens"))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    var tok = 0L
+    keyed.zipWithIndex.foreach { case ((_, id, n), i) =>
+      assert(got(i).getLong(0) == id, s"ord $i id")
+      assert(got(i).getLong(1) == n, s"ord $i tokens")
+      assert(got(i).getLong(2) == i.toLong, s"ord $i ordinal")
+      assert(got(i).getLong(3) == tok, s"ord $i tok_before")
+      tok += n
+    }
+    // the permutation actually shuffles (not the identity order)
+    assert(keyed.map(_._2).take(20).toSeq != (0L until 20L).toSeq)
+  }
+
+  test("two runs and a different partitioning produce the identical plan") {
+    val a = CorpusShuffle.shuffledWithOrdinals(corpus, "doc_id",
+      col("n_tokens"), "s2").orderBy("ord").collect().map(_.toSeq).toSeq
+    val b = CorpusShuffle.shuffledWithOrdinals(corpus.repartition(3), "doc_id",
+      col("n_tokens"), "s2").orderBy("ord").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // a different seed is a different permutation
+    val c = CorpusShuffle.shuffledWithOrdinals(corpus, "doc_id",
+      col("n_tokens"), "s3").orderBy("ord").collect().map(_.toSeq).toSeq
+    assert(a.map(_.head) != c.map(_.head))
+  }
+
+  test("tokenShards: streaming cut rule, contiguous shards, bounded overshoot") {
+    val budget = 500L
+    val shards = CorpusShuffle.tokenShards(corpus, "doc_id",
+        col("n_tokens"), "s1", budget)
+      .orderBy("ord").collect()
+    // shard ids are non-decreasing along the shuffle order, starting at 0
+    val ids = shards.map(_.getLong(3))
+    assert(ids.head == 0L)
+    assert(ids.zip(ids.tail).forall { case (a, b) => b == a || b == a + 1 || b > a },
+      "shard ids must be non-decreasing")
+    // the cut rule itself: walking the shuffle order with a local
+    // running sum, every document's shard is exactly its first token's
+    // budget bin (this is the whole definition — mass bounds follow)
+    var cum = 0L
+    shards.foreach { r =>
+      assert(r.getLong(3) == cum / budget,
+        s"doc ${r.getLong(0)} at cum $cum: shard ${r.getLong(3)}")
+      cum += r.getLong(1)
+    }
+    val byShard = shards.groupBy(_.getLong(3)).toSeq.sortBy(_._1)
+    // shard_pos is a dense 0-based sequence within each shard
+    byShard.foreach { case (sid, rows) =>
+      assert(rows.sortBy(_.getLong(2)).map(_.getLong(4)).toSeq ==
+        rows.indices.map(_.toLong), s"shard $sid positions")
+    }
+    // total conservation: every doc in exactly one shard
+    assert(shards.length == 200)
+  }
+
+  test("scale shape: no single-partition global window in the plan") {
+    val df = CorpusShuffle.shuffledWithOrdinals(corpus, "doc_id",
+      col("n_tokens"), "s4")
+    // the ordinal assignment is partition-parallel: the result RDD keeps
+    // the range partitioning (one partition per range), and the plan has
+    // no Window operator at all
+    assert(df.rdd.getNumPartitions > 1,
+      "ordinals must be computed partition-parallel, not via a global sort")
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"))
+  }
+}

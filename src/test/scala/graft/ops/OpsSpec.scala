@@ -583,6 +583,38 @@ class OpsSpec extends AnyFunSuite {
     assert(pruned.nonEmpty && pruned.forall(r => math.abs(r.getDouble(3)) <= 1.0))
   }
 
+  test("rerankExact over full-coverage candidates equals brute force") {
+    val vecs = (0L until 30L).map { i =>
+      (i, (0 until 8).map(d => math.sin(i * 2.3 + d * 0.9) + 0.05 * d))
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(vecs, "vec_id", "embedding", m = 4, k = 4)
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding", k = 3, iters = 2)
+    val queries = vecs.where(col("vec_id") < 3)
+    // recall stage: ADC candidates with EVERY cell probed and candK =
+    // corpus size → full coverage, so exact rerank must reproduce the
+    // brute-force ranking bit-for-bit (quantization error only ever
+    // moves recall, never the refined ordering)
+    val cands = Similarity.ivfPqTopK(queries, vecs,
+      "vec_id", "embedding", "vec_id", "embedding",
+      cents, "cell", "centv", cb, m = 4, k = 4, topK = 30, nprobe = 3)
+    val refined = Similarity.rerankExact(cands, queries, vecs,
+        "vec_id", "embedding", "vec_id", "embedding", candK = 30, topK = 5)
+      .orderBy("query_id", "rnk")
+    val brute = Similarity.bruteForceTopK(queries, vecs,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rnk")
+    assert(refined.select("query_id", "rnk", "corpus_id", "cos")
+      .collect().map(_.toSeq).toSeq == brute.collect().map(_.toSeq).toSeq)
+    // the ADC score rides along for recall diagnostics and is a valid cosine
+    assert(refined.collect().forall(r => math.abs(r.getDouble(4)) <= 1.0 + 1e-9))
+    // refine-stage plan shape: the queries×candK candidate list is the
+    // BROADCAST side of the raw-vector join — the corpus never shuffles
+    // for the rerank
+    val plan = refined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast candidate join in rerank plan:\n$plan")
+  }
+
   test("stored IVF/IVFADC layouts: probes read only their cell partitions") {
     val vecs = (0L until 40L).map { i =>
       (i, (0 until 8).map(d => math.sin(i * 1.9 + d * 0.8)))
