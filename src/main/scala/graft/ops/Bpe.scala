@@ -82,18 +82,54 @@ object Bpe {
     top.headOption.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
   }
 
+  /** Frequency-weighted argmax pair over a DISTINCT-WORD table — same
+    * count as [[topPair]] over the raw corpus (an occurrence count is a
+    * word-frequency-weighted count over distinct words), but each round
+    * only re-encodes the vocabulary, not the corpus. */
+  private def topPairWeighted(words: DataFrame,
+                              merges: Seq[(String, String)]): Option[(String, String, Long)] = {
+    val top = words
+      .select(split(trim(encodeWord(col("w"), merges)), " ").as("syms"),
+        col("freq"))
+      .select(explode(element_at(transform(array(struct(col("syms").as("ss"),
+          col("freq").as("f"))), s =>
+        transform(
+          filter(sequence(lit(0), greatest(size(s.getField("ss")) - 2, lit(0))),
+            i => i + 2 <= size(s.getField("ss"))),
+          i => struct(element_at(s.getField("ss"), i + 1).as("a"),
+            element_at(s.getField("ss"), i + 2).as("b"),
+            s.getField("f").as("f")))), 1)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("p.f")).as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(1).collect()
+    top.headOption.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+  }
+
   /** Learn `rounds` merges from the corpus — the BPE training loop.
     * Each round's winner merges into the representation before the
-    * next count. Returns one row per round: (round, a, b, cnt). */
+    * next count. Returns one row per round: (round, a, b, cnt).
+    *
+    * The corpus-sized work happens ONCE: the corpus collapses to a
+    * distinct-word frequency table (one tokenize + one shuffle on the
+    * word — the standard BPE-trainer representation, Sennrich's
+    * learn_bpe vocab dict), persisted across rounds. Every round then
+    * re-encodes only the VOCABULARY under the current merges and takes
+    * a frequency-weighted pair argmax — vocab-sized jobs, identical
+    * counts. At 100 TB the vocab table is millions of rows regardless
+    * of corpus size, so round cost is flat in the corpus. */
   def trainRounds(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var merges = Seq.empty[(String, String)]
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var r = 1
     var continue = true
     while (r <= rounds && continue) {
-      topPair(df, textCol, merges) match {
+      topPairWeighted(words, merges) match {
         case Some((a, b, cnt)) =>
           out += ((r, a, b, cnt))
           merges = merges :+ (a -> b)
@@ -101,6 +137,7 @@ object Bpe {
       }
       r += 1
     }
+    words.unpersist()
     out.result().toDF("round", "a", "b", "cnt")
       .select(col("round").cast("long").as("round"), col("a"), col("b"), col("cnt"))
   }

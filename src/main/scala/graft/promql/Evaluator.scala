@@ -770,6 +770,23 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
       in.withColumn("labels",
         when(apply, when(newV === "", without).otherwise(replaced))
           .otherwise(col("labels")))
+    case SortFn(fn, arg, ls) =>
+      // presentation ordering of the instant vector (upstream sorts
+      // only the final result; values and labels pass through): per
+      // step, by value (sort / sort_desc) or by the named labels'
+      // values (sort_by_label / _desc), full label set as the
+      // deterministic tie-break. The result stays schema-compatible,
+      // so a sort composes anywhere an instant vector does.
+      val in = eval(arg)
+      val lv: String => Column =
+        n => graft.tsdb.TsSchema.labelValue(col("labels"), n)
+      val keys: Seq[Column] = fn match {
+        case "sort" => Seq(col("v").asc)
+        case "sort_desc" => Seq(col("v").desc)
+        case "sort_by_label" => ls.map(l => lv(l).asc)
+        case "sort_by_label_desc" => ls.map(l => lv(l).desc)
+      }
+      in.orderBy((col("t").asc +: keys :+ col("labels").asc): _*)
     case Absent(sel) =>
       // the step grid is tiny and driver-known (nSteps rows) — generate
       // it, anti-join the steps where the selector matched anything, and

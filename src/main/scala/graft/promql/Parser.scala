@@ -84,6 +84,14 @@ object PromExpr {
     * it mentions. Data-side labels win on collision. */
   final case class InfoFn(arg: PromExpr, sel: Seq[LabelMatcher]) extends PromExpr
   final case class Num(v: Double) extends PromExpr
+
+  /** `sort(v)` / `sort_desc(v)` (order by value) and
+    * `sort_by_label(v, "l", ...)` / `sort_by_label_desc(v, "l", ...)`
+    * (order by the named labels' values; 3.x feature). Presentation
+    * ordering of an instant vector — values and labels pass through
+    * untouched. */
+  final case class SortFn(fn: String, arg: PromExpr,
+                          labels: Seq[String]) extends PromExpr
 }
 
 /** Recursive-descent parser for the PromQL subset the evaluator
@@ -389,16 +397,6 @@ final class Parser(input: String) {
       val arg = parseExpr(0)
       ws(); eat(')')
       if (name == "vector") VectorOf(arg) else ScalarOf(arg)
-    } else if (name == "sort" || name == "sort_desc" ||
-               name == "sort_by_label" || name == "sort_by_label_desc") {
-      // presentation-only in Prometheus (instant-query ordering);
-      // results are row sets here, so all four sorts are the identity —
-      // the label arguments of sort_by_label* are parsed and discarded
-      ws(); eat('(')
-      val arg = parseExpr(0)
-      while ({ ws(); peek == ',' }) { pos += 1; stringLit() }
-      ws(); eat(')')
-      arg
     } else if (aggOps(name)) {
       // by/without clause may come before or after the parens
       var by = Seq.empty[String]
@@ -456,6 +454,20 @@ final class Parser(input: String) {
         case _ if name == "absent" => err("absent() takes an instant selector")
         case _ => err("absent_over_time() takes a [range] selector")
       }
+    } else if (name == "sort" || name == "sort_desc") {
+      ws(); eat('(')
+      val arg = parseExpr(0)
+      ws(); eat(')')
+      SortFn(name, arg, Nil)
+    } else if (name == "sort_by_label" || name == "sort_by_label_desc") {
+      ws(); eat('(')
+      val arg = parseExpr(0)
+      val ls = Seq.newBuilder[String]
+      while ({ ws(); peek == ',' }) { pos += 1; ls += stringLit() }
+      ws(); eat(')')
+      val got = ls.result()
+      if (got.isEmpty) err(s"$name(v, \"label\", ...) needs at least one label")
+      SortFn(name, arg, got)
     } else if (name == "label_replace" || name == "label_join") {
       ws(); eat('(')
       val arg = parseExpr(0)

@@ -584,6 +584,21 @@ object TsQueries {
           col("t"), round(col("v"), 4).as("v"))
         .orderBy(col("user"), col("t"))),
 
+    // Parser-driven sort_desc (presentation ordering of the instant
+    // vector): values/labels pass through, and the defining sort key
+    // (per step, value desc then label) is surfaced as `pos` so the
+    // oracle gates the full order, not just the row set
+    "ts_promql_sort" -> ((s, dir) =>
+      graft.promql.PromQL.rangeQuery(querier(s, dir),
+        "sort_desc(sum by (user) (sum_over_time(purchase[2d])))",
+        Mint, Maxt, 172800000L)
+        .select(TsSchema.labelValue(col("labels"), "user").as("user"),
+          col("t"), round(col("v"), 4).as("v"))
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("t"))
+            .orderBy(col("v").desc, col("user"))).cast("long"))
+        .orderBy(col("t"), col("pos"))),
+
     // Parser-driven SUBQUERY: the inner instant selector re-evaluated
     // at 1d resolution (5m lookback per inner instant), then averaged
     // over the outer 2d window — the oracle rebuilds both step grids
@@ -1387,6 +1402,18 @@ object TsQueries {
          |             PARTITION BY step_t ORDER BY v DESC, "user") AS rnk FROM byu)
          | SELECT "user", step_t AS t, round(v, 4) AS v
          | FROM ranked WHERE rnk <= 3 ORDER BY "user", t""".stripMargin.replace("\n", " "),
+    "ts_promql_sort" ->
+      s"""WITH steps AS (SELECT unnest(range($Mint, $Maxt + 1, 172800000)) AS step_t),
+         | raw AS (SELECT name, "user", big, t, v FROM ($oracleBase)
+         |         WHERE name = 'purchase' AND t > $Mint - 172800000 AND t <= $Maxt),
+         | win AS (SELECT r."user", r.big, r.t, r.v, s.step_t
+         |         FROM raw r JOIN steps s
+         |           ON r.t > s.step_t - 172800000 AND r.t <= s.step_t),
+         | ser AS (SELECT "user", big, step_t, sum(v) AS sv FROM win GROUP BY 1, 2, 3),
+         | byu AS (SELECT "user", step_t, round(sum(sv), 4) AS v FROM ser GROUP BY 1, 2)
+         | SELECT "user", step_t AS t, v, row_number() OVER (
+         |   PARTITION BY step_t ORDER BY v DESC, "user") AS pos
+         | FROM byu ORDER BY t, pos""".stripMargin.replace("\n", " "),
     "ts_promql_subquery" ->
       s"""WITH isteps AS (
          |   SELECT unnest(range($Mint - 172800000, $Maxt + 1, 86400000)) AS is_t),

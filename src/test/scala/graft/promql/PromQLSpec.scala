@@ -381,6 +381,26 @@ class PromQLSpec extends AnyFunSuite {
       Map(true -> 1.0, false -> 0.0))
   }
 
+  test("sort family orders the instant vector presentationally") {
+    // collect WITHOUT re-sorting: the assertion is the row order itself
+    def ordered(q: String): Seq[(String, Double)] =
+      PromQL.rangeQuery(querier, q, T0 + 600000L, T0 + 600000L, 60000L)
+        .select(to_json(col("labels")).as("l"), col("v"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // one step, two req series: i-0 = 200, i-1 = 20
+    assert(ordered("sort(req)").map(_._2) == Seq(20.0, 200.0))
+    assert(ordered("sort_desc(req)").map(_._2) == Seq(200.0, 20.0))
+    assert(ordered("""sort_by_label(req, "inst")""")
+      .map(_._1.contains("i-0")) == Seq(true, false))
+    assert(ordered("""sort_by_label_desc(req, "inst")""")
+      .map(_._1.contains("i-0")) == Seq(false, true))
+    // values and labels pass through untouched, so a sort composes
+    // inside any vector expression
+    assert(ordered("sum(sort_desc(req))").map(_._2) == Seq(220.0))
+    // at least one label argument is required
+    intercept[IllegalArgumentException](PromQL.parse("sort_by_label(req)"))
+  }
+
   test("label_replace and label_join rewrite the label set") {
     val rep = rows(
       """label_replace(req{inst="i-0"}, "shard", "$1", "inst", "i-(.*)")""",
@@ -535,7 +555,7 @@ class PromQLSpec extends AnyFunSuite {
     assert(one("month(vector(1700000600))") == 11.0)
   }
 
-  test("@ start()/end() pin to the window edges; sort is identity") {
+  test("@ start()/end() pin to the window edges; sort keeps the row set") {
     // grid T0+10m..T0+20m: @ start() pins every step to T0+10m (200)
     val st = rows("""req{inst="i-0"} @ start()""",
       T0 + 600000L, T0 + 1200000L, 60000L)
@@ -571,7 +591,7 @@ class PromQLSpec extends AnyFunSuite {
     }
   }
 
-  test("sort_by_label/_desc parse as identity; limitk/limit_ratio sample series") {
+  test("sort_by_label/_desc keep the row set; limitk/limit_ratio sample series") {
     val at = T0 + 300000L
     val all = rows("req", at, at, 60000L)
     assert(all.size == 2)
