@@ -175,6 +175,27 @@ object TextAnalysis {
       (acc, t) => pmod(acc * 31L + conv(substring(md5(t), 1, 15), 16, 10).cast("long"), mod))
   }
 
+  /** Character-level Shannon entropy in bits — a classic quality /
+    * gibberish signal (natural language sits ~4–4.5 bits/char; base64
+    * blobs and keyboard mash score high, repeated-char padding scores
+    * near 0). Doc-local column expression (no shuffle): the distinct
+    * characters are SORTED before the Σ −p·log₂p fold so the floating
+    * sum order is deterministic and an external engine reproduces it
+    * bit-for-bit at 6-digit rounding. Empty text ⇒ 0. */
+  def charEntropy(text: Column): Column =
+    // the char array binds ONCE via the single-element transform trick
+    // (a bare reference inside the fold would re-run split per char)
+    element_at(transform(
+      array(struct(filter(split(text, ""), c => c =!= "").as("cs"))), s => {
+        val cs = s.getField("cs")
+        val n = size(cs).cast("double")
+        when(size(cs) > 0,
+          -aggregate(array_sort(array_distinct(cs)), lit(0.0d), (acc, ch) => {
+            val p = size(filter(cs, c => c === ch)).cast("double") / n
+            acc + p * log2(p)
+          })).otherwise(lit(0.0d))
+      }), 1)
+
   /** Repetition metrics (Gopher-style quality rules, public): per
     * document, the fraction of DISTINCT word bigrams and the fraction of
     * occurrences claimed by the single most frequent bigram — low

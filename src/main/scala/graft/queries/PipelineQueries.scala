@@ -542,6 +542,15 @@ object PipelineQueries {
           col("n_words"), col("n_tokens_est"))
         .orderBy(col("doc_id"))),
 
+    // character-level Shannon entropy: the classic gibberish / padding
+    // detector (language ~4–4.5 bits/char, base64 high, repetition low)
+    // — doc-local, deterministic fold order, exactly oracle-checked
+    "text_entropy" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          round(TextAnalysis.charEntropy(col("text")), 6).as("char_entropy"))
+        .orderBy(col("doc_id"))),
+
     "text_quality" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
@@ -1893,6 +1902,17 @@ object PipelineQueries {
     "knn_ivf_trained" -> kmeansIvfOracle,
     "knn_ivf" -> ivfSampledOracle,
     "knn_lsh" -> lshTopKOracle,
+    "text_entropy" ->
+      s"""WITH c AS (SELECT doc_id, length(text) AS n_chars,
+         |   list_filter(regexp_split_to_array(text, ''), x -> x <> '') AS cs
+         |  FROM documents)
+         | SELECT doc_id, n_chars,
+         |  CASE WHEN len(cs) = 0 THEN 0.0 ELSE round(-list_sum(list_transform(
+         |    list_sort(list_distinct(cs)), ch ->
+         |      (len(list_filter(cs, x -> x = ch))::DOUBLE / len(cs)) *
+         |      log2(len(list_filter(cs, x -> x = ch))::DOUBLE / len(cs)))), 6)
+         |  END AS char_entropy
+         | FROM c ORDER BY doc_id""".om,
     "text_stats" ->
       s"""WITH ${tokCte(1)}
          | SELECT doc_id, length(text) AS n_chars, len(t) AS n_tokens,

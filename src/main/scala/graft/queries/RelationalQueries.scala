@@ -225,6 +225,26 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Z-order (Morton) clustering key for the multi-dimensional write
+    // layout: user and time buckets bit-interleaved, then per z-cell
+    // (the 16×16 box a clustered file would cover) min/max extents of
+    // BOTH dimensions — the tightness of those boxes is exactly the
+    // file-statistics pruning a scan gets on either dimension
+    "q_zorder" -> ((s, dir) => {
+      import graft.ops.ZOrder
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), Tables.tsMillis(col("ts")).as("t"))
+        .withColumn("ub", ZOrder.rangeBucket(col("user_id"), 0L, 255L, 8))
+        .withColumn("tb", ZOrder.rangeBucket(col("t"),
+          1704067200000L, 1706745599999L, 8))
+      ev.withColumn("zval", ZOrder.zValue(Seq(col("ub"), col("tb")), 8))
+        .groupBy(shiftright(col("zval"), 8).as("zcell"))
+        .agg(count(lit(1)).as("n"), sum(col("zval")).as("z_sum"),
+          min(col("ub")).as("ub_min"), max(col("ub")).as("ub_max"),
+          min(col("tb")).as("tb_min"), max(col("tb")).as("tb_max"))
+        .orderBy(col("zcell"))
+    }),
+
     // CUBE + GROUPING(): all four aggregation lattices in one pass, with
     // the grouping bitmap distinguishing which dimensions are rolled up
     "q_cube" -> ((s, dir) =>
@@ -338,6 +358,18 @@ object RelationalQueries {
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         | round(sum("value"), 2) AS sum_v, count(*) AS n
         | FROM events GROUP BY event_type ORDER BY event_type""".om,
+    "q_zorder" ->
+      s"""WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS t FROM events),
+         | b AS (SELECT event_id,
+         |   (least(greatest(user_id, 0), 255) * 256 // 256) AS ub,
+         |   ((least(greatest(t, 1704067200000), 1706745599999) - 1704067200000)
+         |     * 256 // 2678400000) AS tb
+         |  FROM ev),
+         | z AS (SELECT event_id, ub, tb,
+         |   ${graft.ops.ZOrder.zValueSql(Seq("ub", "tb"), 8)} AS zval FROM b)
+         | SELECT (zval >> 8) AS zcell, count(*) AS n, sum(zval)::BIGINT AS z_sum,
+         |  min(ub) AS ub_min, max(ub) AS ub_max, min(tb) AS tb_min, max(tb) AS tb_max
+         | FROM z GROUP BY 1 ORDER BY zcell""".om,
     "q_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS prio,
         | CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,

@@ -452,6 +452,19 @@ class OpsSpec extends AnyFunSuite {
     assert(sigs.select("id").as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("charEntropy: hand values, padding low, uniform high, empty zero") {
+    val out = Seq("aaaa", "ab", "abcd", "", "aab")
+      .toDF("text")
+      .select(col("text"), TextAnalysis.charEntropy(col("text")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("aaaa") == 0.0)           // single symbol: no information
+    assert(math.abs(out("ab") - 1.0) < 1e-12)   // fair coin
+    assert(math.abs(out("abcd") - 2.0) < 1e-12) // uniform over 4
+    assert(out("") == 0.0)
+    // H(1/3, 2/3) = log2(3) - 2/3
+    assert(math.abs(out("aab") - (math.log(3) / math.log(2) - 2.0 / 3)) < 1e-12)
+  }
+
   test("langId picks profile by stopword ratio, ties deterministic") {
     val en = docsDF(1L -> "the cat and the dog of it")
     assert(en.select(TextAnalysis.langId(col("text"))).head().getString(0) == "en")
