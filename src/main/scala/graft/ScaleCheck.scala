@@ -33,6 +33,11 @@ object ScaleCheck {
       spark.stop()
       return
     }
+    if (sys.env.get("SPARK_GRAFT_SCALE_SECTION").contains("shuffle")) {
+      shuffleAtScale(spark)
+      spark.stop()
+      return
+    }
     val dir = java.nio.file.Files.createTempDirectory("graft-scale").resolve("store").toString
 
     def time[T](name: String)(f: => T): T = {
@@ -539,6 +544,52 @@ object ScaleCheck {
     * to ≤ buckets rows before their exchanges, and selection is a
     * k-bounded TakeOrdered — the shapes that keep DSIR one cheap pass
     * over a 100 TB pool. Standalone: SPARK_GRAFT_SCALE_SECTION=dsir. */
+  /** Corpus shuffle + shard planning at 20M rows: the two-pass prefix
+    * sum must produce a valid permutation (dense ordinals, conserved
+    * token mass) with only the one range exchange plus per-partition
+    * streams — the shapes that make a deterministic global training
+    * order writable at 100 TB without a single-partition sort.
+    * Standalone: SPARK_GRAFT_SCALE_SECTION=shuffle. */
+  private def shuffleAtScale(spark: SparkSession): Unit = {
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"SCALE $name ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    }
+    val n = 20000000L
+    // synthetic token counts 1..512, arithmetic total known in closed form
+    val docs = spark.range(n).select(col("id"),
+      (pmod(col("id") * 2654435761L, lit(512L)) + 1L).as("n_tokens"))
+    val totalTokens = docs.agg(sum(col("n_tokens"))).head.getLong(0)
+    val shards = time(s"tokenShards over ${n / 1000000}M docs (budget 1M tokens)") {
+      val out = graft.ops.CorpusShuffle.tokenShards(
+        docs, "id", col("n_tokens"), seed = "scale", budget = 1000000L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    }
+    val agg = time("permutation + conservation invariants") {
+      shards.agg(
+        count(lit(1)).as("rows"),
+        countDistinct(col("ord")).as("dord"),
+        max(col("ord")).as("mord"),
+        sum(col("n_tokens")).as("toks"),
+        countDistinct(col("shard_id")).as("nshards"),
+        max(col("shard_id")).as("mshard")).head()
+    }
+    require(agg.getLong(0) == n && agg.getLong(1) == n &&
+      agg.getLong(2) == n - 1,
+      s"ordinals must be a dense permutation: $agg")
+    require(agg.getLong(3) == totalTokens, "token mass conserved")
+    // start-offset cut rule ⇒ shard ids are exactly 0..floor((T-1)/B)
+    val expectShards = (totalTokens - 1) / 1000000L + 1
+    require(agg.getLong(4) == expectShards &&
+      agg.getLong(5) == expectShards - 1,
+      s"dense shard ids 0..${expectShards - 1}, got $agg")
+    println(s"SCALE shuffle ${n} docs -> ${agg.getLong(4)} shards, " +
+      s"$totalTokens tokens, invariants hold")
+    shards.unpersist(false)
+  }
+
   private def dsirAtScale(spark: SparkSession): Unit = {
     def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f

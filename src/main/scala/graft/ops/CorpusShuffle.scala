@@ -33,47 +33,78 @@ object CorpusShuffle {
   def shuffleKey(seed: String, id: Column): Column =
     md5(concat_ws(":", lit(seed), id.cast("string")))
 
+  /** Deterministic range partitioner over the md5 shuffle key: the
+    * partition is the key's leading 32 hex bits scaled into
+    * `numPartitions` buckets. md5 output is uniform, so the buckets are
+    * balanced BY CONSTRUCTION — no sampling pass, no sampled boundaries
+    * to disagree between jobs — and bucket i holds a contiguous key
+    * range below bucket i+1, so partition order is global key order. */
   /** Globally shuffle `df` into the seeded order and assign each row
     * its 0-based global ordinal `ord` plus the running token count
     * `tok_before` (tokens of all rows strictly ahead of it). Emits
     * (id, n_tokens, ord, tok_before) in shuffle order.
     *
-    * The range-partitioned intermediate is persisted for the span of
-    * the two passes: range boundaries come from sampling, so pass 1
-    * (stats) and pass 2 (ordinals) must see the SAME physical
-    * partitioning, not a recomputed one. */
+    * Scale mechanics — one Tungsten exchange, one spill-safe sort, all
+    * prefix math on bucket-granular driver state:
+    *
+    *  - rows get a BUCKET: the key's leading 32 hex bits scaled into
+    *    16·shuffle-partitions slots. The bucket is a monotone function
+    *    of the key, so (bucket, skey, id) order IS (skey, id) order.
+    *  - `repartition(nParts, bucket)` hash-partitions on the bucket
+    *    value — every bucket lands WHOLLY in one partition, and the
+    *    assignment is deterministic arithmetic, not sampling, so a
+    *    partition recomputed after cache eviction or executor loss is
+    *    bit-identical (a sampled `repartitionByRange` cannot promise
+    *    that: resampled boundaries silently reshuffle rows).
+    *  - `sortWithinPartitions(bucket, skey, id)` groups each bucket
+    *    contiguously. Physical partition order never matters — only
+    *    per-bucket offsets do.
+    *  - pass 1 aggregates per-bucket (rows, tokens) — map-side
+    *    combined, one tiny row per bucket to the driver.
+    *  - pass 2 streams each cached partition once, re-seeding the
+    *    running counters from the broadcast offsets at every bucket
+    *    boundary.
+    *
+    * The persisted sorted layout is columnar (DataFrame cache) and is
+    * the only materialization; the corpus crosses the wire exactly
+    * once. */
   def shuffledWithOrdinals(df: DataFrame, idCol: String, tokensCol: Column,
                            seed: String): DataFrame = {
     val spark = df.sparkSession
-    val keyed = df.select(col(idCol).cast("long").as("id"),
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val nBuckets = nParts * 16
+    val hex32 = conv(substring(col("skey"), 1, 8), 16, 10).cast("long")
+    val parted = df.select(col(idCol).cast("long").as("id"),
         tokensCol.cast("long").as("n_tokens"))
       .withColumn("skey", shuffleKey(seed, col("id")))
-    val parted = keyed
-      .repartitionByRange(col("skey"), col("id"))
-      .sortWithinPartitions(col("skey"), col("id"))
+      .withColumn("bucket", shiftright(hex32 * nBuckets, 32))
+      .repartition(nParts, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("skey"), col("id"))
+      .select(col("bucket"), col("id"), col("n_tokens"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // pass 1: per-partition (rows, tokens) — one row per partition
-    val stats = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var n = 0L; var tok = 0L
-      it.foreach { r => n += 1; tok += r.getLong(1) }
-      Iterator((pid, n, tok))
-    }.collect().sortBy(_._1)
-    val nParts = parted.rdd.getNumPartitions
-    val ordOff = new Array[Long](nParts)
-    val tokOff = new Array[Long](nParts)
+    // pass 1: per-bucket (rows, tokens) — map-side-combined partials,
+    // nBuckets rows to the driver; this action also builds the cache
+    val ordOff = new Array[Long](nBuckets)
+    val tokOff = new Array[Long](nBuckets)
+    val stats = parted.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("tok"))
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
     var ro = 0L; var to = 0L
-    stats.foreach { case (pid, n, tok) =>
-      ordOff(pid) = ro; tokOff(pid) = to; ro += n; to += tok
+    stats.foreach { case (b, n, tok) =>
+      ordOff(b) = ro; tokOff(b) = to; ro += n; to += tok
     }
     val bOrd = spark.sparkContext.broadcast(ordOff)
     val bTok = spark.sparkContext.broadcast(tokOff)
-    // pass 2: stream each partition once, counters seeded from the
-    // broadcast prefix offsets — partition-local, no further exchange
-    val rows = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var ord = bOrd.value(pid); var tok = bTok.value(pid)
+    // pass 2: stream each cached partition once; counters re-seed from
+    // the broadcast offsets at each bucket boundary
+    val rows = parted.rdd.mapPartitions { it =>
+      var cur = -1L; var ord = 0L; var tok = 0L
       it.map { r =>
-        val out = Row(r.getLong(0), r.getLong(1), ord, tok)
-        ord += 1; tok += r.getLong(1)
+        val b = r.getLong(0)
+        if (b != cur) { cur = b; ord = bOrd.value(b.toInt); tok = bTok.value(b.toInt) }
+        val out = Row(r.getLong(1), r.getLong(2), ord, tok)
+        ord += 1; tok += r.getLong(2)
         out
       }
     }
@@ -90,19 +121,25 @@ object CorpusShuffle {
     * overshooting by at most one document), with its 0-based position
     * within the shard. Emits (id, n_tokens, ord, shard_id, shard_pos).
     *
-    * The shard_id is closed-form from the prefix sum (`tok_before /
-    * budget`); only shard_pos needs a window, and its groups are
-    * budget-bounded (≈ budget/avg_tokens rows), so that exchange is
-    * small and skew-free by construction — shard keys are contiguous
-    * ordinal ranges of uniform mass. */
+    * Both shard columns are closed-form from the prefix sum: shard_id
+    * is `tok_before / budget`, and because a shard is a CONTIGUOUS
+    * ordinal range, shard_pos is `ord - min(ord) of the shard` — a
+    * map-side-combined aggregate (one tiny row per shard) joined back,
+    * never a full-row window shuffle over the corpus. */
   def tokenShards(df: DataFrame, idCol: String, tokensCol: Column,
                   seed: String, budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
     val ordered = shuffledWithOrdinals(df, idCol, tokensCol, seed)
-    val w = Window.partitionBy(col("shard_id")).orderBy(col("ord"))
-    ordered
       .withColumn("shard_id", (col("tok_before") / budget).cast("long"))
-      .withColumn("shard_pos", (row_number().over(w) - 1).cast("long"))
+    // per-shard first ordinal: partial-aggregated to ≤ one row per
+    // (shard, partition) before the exchange; the join back is
+    // dim-sized (shard count), so Catalyst/AQE broadcasts it and the
+    // corpus-side rows never shuffle again (they re-stream from the
+    // persisted range layout)
+    val firstOrd = ordered.groupBy(col("shard_id"))
+      .agg(min(col("ord")).as("shard_ord0"))
+    ordered.join(firstOrd, "shard_id")
+      .withColumn("shard_pos", (col("ord") - col("shard_ord0")).cast("long"))
       .select(col("id"), col("n_tokens"), col("ord"),
         col("shard_id"), col("shard_pos"))
   }
