@@ -214,3 +214,103 @@ object AudioHeaderExpr {
   def audio_header(payload: Column): Column =
     GraftSqlBridge.column(AudioHeaderExpr(GraftSqlBridge.expression(payload)))
 }
+
+/** REAL video-container header decode: parses the published ISO-BMFF /
+  * MP4 box structure (ISO/IEC 14496-12) from a `BINARY` column — the
+  * leading `ftyp` box (major brand), a top-level box walk to `moov`
+  * (children: `mvhd` version-0 for timescale and duration, one `trak`
+  * per track) and `mdat` (media payload size). Returns
+  * `struct<format, brand, timescale, duration, n_tracks, data_bytes>`,
+  * or null when the bytes are not a v0 MP4 (no leading ftyp, missing
+  * moov/mvhd, or any box size that escapes its container). Unknown
+  * boxes at either level are skipped by size — the normal ISO-BMFF
+  * reader contract. Same codegen shape as [[MediaHeaderExpr]]. */
+case class VideoHeaderExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = VideoHeaderExpr.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "video_header"
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  private def be4u(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
+      b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
+
+  def compute(b: Array[Byte]): InternalRow = {
+    if (b.length < 16) return null
+    val ftypSize = be4u(b, 0)
+    if (ftypSize < 16 || ftypSize > b.length || !tag(b, 4, "ftyp")) return null
+    val brand = new String(b, 8, 4, "US-ASCII")
+    var i = ftypSize.toInt
+    var timescale = -1L
+    var duration = -1L
+    var tracks = 0
+    var dataBytes = -1L
+    var foundMoov = false
+    while (i + 8 <= b.length) {
+      val sz = be4u(b, i)
+      if (sz < 8 || i + sz > b.length) return null // escapes the payload
+      if (tag(b, i + 4, "moov")) {
+        foundMoov = true
+        var j = i + 8
+        val end = i + sz.toInt
+        while (j + 8 <= end) {
+          val csz = be4u(b, j)
+          if (csz < 8 || j + csz > end) return null // escapes moov
+          if (tag(b, j + 4, "mvhd")) {
+            // version-0 mvhd: ver(1) flags(3) ctime(4) mtime(4)
+            // timescale(4) duration(4) at fixed offsets from the header
+            if (csz < 32 || (b(j + 8) & 0xff) != 0) return null
+            timescale = be4u(b, j + 20)
+            duration = be4u(b, j + 24)
+          } else if (tag(b, j + 4, "trak")) {
+            tracks += 1
+          }
+          j += csz.toInt
+        }
+      } else if (tag(b, i + 4, "mdat")) {
+        dataBytes = sz - 8
+      }
+      i += sz.toInt
+    }
+    if (!foundMoov || timescale <= 0) return null
+    InternalRow(UTF8String.fromString("mp4"), UTF8String.fromString(brand),
+      timescale, duration, tracks, dataBytes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("videoHeader", this,
+      classOf[VideoHeaderExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("hdr")
+      s"""
+         |InternalRow $tmp = $self.compute($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VideoHeaderExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("brand", StringType, nullable = false),
+    StructField("timescale", LongType, nullable = false),
+    StructField("duration", LongType, nullable = false),
+    StructField("n_tracks", IntegerType, nullable = false),
+    StructField("data_bytes", LongType, nullable = false)))
+
+  /** Column wrapper: codegen'd MP4/ISO-BMFF header decode over a binary
+    * payload column. */
+  def video_header(payload: Column): Column =
+    GraftSqlBridge.column(VideoHeaderExpr(GraftSqlBridge.expression(payload)))
+}

@@ -163,6 +163,87 @@ object Multimodal {
   def decodeAudioHeader(payload: Column): Column =
     graft.functions.AudioHeaderExpr.audio_header(payload)
 
+  private def be2b(c: Column): Column = concat(byteAt(c, 1), byteAt(c, 0))
+  private def be4b(c: Column): Column =
+    concat(byteAt(c, 3), byteAt(c, 2), byteAt(c, 1), byteAt(c, 0))
+
+  // the ISO-BMFF unity transform matrix (9 × 16.16/2.30 fixed-point)
+  private val UnityMatrix: Array[Byte] = {
+    val m = java.nio.ByteBuffer.allocate(36)
+    m.putInt(0x00010000).putInt(0).putInt(0)
+    m.putInt(0).putInt(0x00010000).putInt(0)
+    m.putInt(0).putInt(0).putInt(0x40000000)
+    m.array()
+  }
+
+  /** Media table whose payloads carry REAL MP4 (ISO-BMFF) containers —
+    * the video counterpart of [[synthesizeAudio]]: a 16-byte `ftyp`
+    * (major brand `isom`), a `moov` with a spec-complete 108-byte
+    * version-0 `mvhd` (timescale, movie duration, unity matrix) and one
+    * 100-byte `trak`/`tkhd` per track, then the document text as the
+    * `mdat` body. Timescale, duration and track count are deterministic
+    * functions of the id/text so an external oracle recomputes what a
+    * correct box walk must return:
+    * `timescale ∈ {600, 1000, 90000} by id % 3`,
+    * `duration = data_bytes · 40`, `n_tracks = 1 + id % 2`.
+    * All column expressions — construction is codegen'd and
+    * partition-local. */
+  def synthesizeVideo(df: DataFrame, idCol: String, textCol: String,
+                      sourceCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
+    val tsSel = pmod(id, lit(3L))
+    val timescale = when(tsSel === 0, 600L).when(tsSel === 1, 1000L)
+      .otherwise(90000L)
+    val nTracks = lit(1L) + pmod(id, lit(2L))
+    val body = encode(col(textCol), "UTF-8")
+    val dataSize = length(body).cast("long")
+    val duration = dataSize * 40L
+    val ftyp = concat(be4b(lit(16L)), lit("ftyp".getBytes("US-ASCII")),
+      lit("isom".getBytes("US-ASCII")), be4b(lit(0L)))
+    val mvhd = concat(be4b(lit(108L)), lit("mvhd".getBytes("US-ASCII")),
+      be4b(lit(0L)),            // version 0 + flags
+      be4b(lit(0L)), be4b(lit(0L)), // creation/modification time
+      be4b(timescale), be4b(duration),
+      be4b(lit(0x00010000L)),   // rate 1.0
+      be2b(lit(0x0100L)),       // volume 1.0
+      be2b(lit(0L)), be4b(lit(0L)), be4b(lit(0L)), // reserved
+      lit(UnityMatrix),
+      lit(new Array[Byte](24)), // pre_defined
+      be4b(nTracks + 1L))       // next_track_ID
+    def trak(trackId: Column): Column =
+      concat(be4b(lit(100L)), lit("trak".getBytes("US-ASCII")),
+        be4b(lit(92L)), lit("tkhd".getBytes("US-ASCII")),
+        be4b(lit(7L)),            // version 0, flags: enabled|in-movie|in-preview
+        be4b(lit(0L)), be4b(lit(0L)), // creation/modification time
+        be4b(trackId), be4b(lit(0L)), // track_ID, reserved
+        be4b(duration),
+        be4b(lit(0L)), be4b(lit(0L)), // reserved(8)
+        be2b(lit(0L)), be2b(lit(0L)), // layer, alternate_group
+        be2b(lit(0L)), be2b(lit(0L)), // volume (0 for video), reserved
+        lit(UnityMatrix),
+        be4b(lit(0L)), be4b(lit(0L))) // width, height (16.16)
+    val moov = concat(
+      be4b(lit(8L) + 108L + nTracks * 100L),
+      lit("moov".getBytes("US-ASCII")),
+      mvhd, trak(lit(1L)),
+      when(nTracks === 2L, trak(lit(2L))).otherwise(lit(Array.empty[Byte])))
+    val mdat = concat(be4b(dataSize + 8L), lit("mdat".getBytes("US-ASCII")), body)
+    val mp4 = concat(ftyp, moov, mdat)
+    df.select(
+      id.as("media_id"),
+      lit("video").as("kind"),
+      mp4.as("payload"),
+      struct(
+        col(sourceCol).as("source"),
+        lit("video/mp4").as("mime"),
+        length(mp4).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  /** REAL MP4 header decode — the video counterpart of [[decodeHeader]]:
+    * codegen'd ISO-BMFF box walk, null for non-MP4 bytes. */
+  def decodeVideoHeader(payload: Column): Column =
+    graft.functions.VideoHeaderExpr.video_header(payload)
+
   /** STUB feature extraction: fixed-length deterministic feature vector
     * from payload bytes (stands in for an image/audio embedding model). */
   def featureStub(payload: Column, dim: Int): Column =

@@ -624,6 +624,23 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // real MP4/ISO-BMFF container round-trip: synthesized payloads carry
+    // spec-complete ftyp/moov(mvhd+trak)/mdat boxes; the decode is a
+    // codegen'd box walk recovering timescale/duration/tracks/mdat size
+    "mm_video_decode" -> ((s, dir) => {
+      val media = Multimodal.synthesizeVideo(docs(s, dir), "doc_id", "text", "source")
+      media.select(col("media_id"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"),
+        Multimodal.decodeVideoHeader(col("payload")).as("d"))
+        .select(col("media_id"), col("mime"), col("n_bytes"),
+          col("d.format").as("format"), col("d.brand").as("brand"),
+          col("d.timescale").as("timescale"),
+          col("d.duration").as("duration"),
+          col("d.n_tracks").cast("long").as("n_tracks"),
+          col("d.data_bytes").as("data_bytes"))
+        .orderBy(col("media_id"))
+    }),
+
     // as-of join: each click paired with the user's latest purchase at or
     // before it (one shuffle on the key; no range explosion)
     "q_asof_join" -> ((s, dir) => {
@@ -1989,6 +2006,15 @@ object PipelineQueries {
         | 1 + doc_id % 2 AS channels,
         | 16 + 0 * doc_id AS bits_per_sample,
         | octet_length(encode(text)) // (2 * (1 + doc_id % 2)) AS n_frames
+        | FROM documents ORDER BY media_id""".om,
+    "mm_video_decode" ->
+      """SELECT doc_id AS media_id, 'video/mp4' AS mime,
+        | 16 + (8 + 108 + (1 + doc_id % 2) * 100) + 8 + octet_length(encode(text)) AS n_bytes,
+        | 'mp4' AS format, 'isom' AS brand,
+        | CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END + 0 * doc_id AS timescale,
+        | octet_length(encode(text)) * 40 AS duration,
+        | 1 + doc_id % 2 AS n_tracks,
+        | octet_length(encode(text)) AS data_bytes
         | FROM documents ORDER BY media_id""".om,
     "mm_batch_decode" ->
       s"""SELECT doc_id AS media_id, octet_length(encode(text)) > 0 AS decoded_ok,

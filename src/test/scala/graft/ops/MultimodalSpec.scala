@@ -117,6 +117,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(3).isNullAt(1), "foreign bytes must decode to null")
   }
 
+  test("synthesizeVideo payloads round-trip through the MP4 box walk") {
+    val docs = Seq(
+      (0L, "one track 600", "s3://a"),    // id%3=0, id%2=0 → 1 track
+      (1L, "two tracks 1000!", "s3://b"), // id%3=1, id%2=1 → 2 tracks
+      (5L, "two tracks 90k", "s3://c")    // id%3=2, id%2=1 → 2 tracks
+    ).toDF("doc_id", "text", "source")
+    val out = Multimodal.synthesizeVideo(docs, "doc_id", "text", "source")
+      .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
+        Multimodal.decodeVideoHeader(col("payload")).as("d"))
+      .select(col("media_id"), col("n_bytes"), col("d.format"), col("d.brand"),
+        col("d.timescale"), col("d.duration"), col("d.n_tracks"),
+        col("d.data_bytes"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getLong(5), r.getInt(6), r.getLong(7)))
+      .sortBy(_._1).toSeq
+    // n_bytes = 16 (ftyp) + 8+108+tracks·100 (moov) + 8+text (mdat)
+    assert(out == Seq(
+      (0L, 16L + 216 + 8 + 13, "mp4", "isom", 600L, 13L * 40, 1, 13L),
+      (1L, 16L + 316 + 8 + 16, "mp4", "isom", 1000L, 16L * 40, 2, 16L),
+      (5L, 16L + 316 + 8 + 14, "mp4", "isom", 90000L, 14L * 40, 2, 14L)))
+  }
+
+  test("MP4 box walk: unknown boxes skipped, escaping sizes null") {
+    def be4(v: Int) = Array((v >> 24) & 0xff, (v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff)
+    def box(tag: String, body: Array[Int]): Array[Int] =
+      be4(8 + body.length) ++ tag.getBytes("US-ASCII").map(_.toInt) ++ body
+    val mvhd = box("mvhd", be4(0) ++ be4(0) ++ be4(0) ++ be4(1000) ++ be4(777) ++
+      Array.fill(80)(0))
+    // a free box at top level and INSIDE moov must both be skipped
+    val good = (box("ftyp", "isom".getBytes("US-ASCII").map(_.toInt) ++ be4(0)) ++
+      box("free", Array(9, 9, 9)) ++
+      box("moov", box("free", Array(1)) ++ mvhd ++
+        box("trak", Array.fill(12)(0)) ++ box("trak", Array.fill(4)(0))) ++
+      box("mdat", Array.fill(25)(6))).map(_.toByte)
+    // a child whose size escapes moov
+    val escaping = (box("ftyp", "isom".getBytes("US-ASCII").map(_.toInt) ++ be4(0)) ++
+      box("moov", be4(4096) ++ "mvhd".getBytes("US-ASCII").map(_.toInt))).map(_.toByte)
+    val df = Seq((1L, good), (2L, escaping),
+      (3L, "not an mp4 container".getBytes("UTF-8"))).toDF("id", "payload")
+    val got = df.select(col("id"),
+        Multimodal.decodeVideoHeader(col("payload")).as("d"))
+      .select(col("id"), col("d.format"), col("d.timescale"), col("d.duration"),
+        col("d.n_tracks"), col("d.data_bytes"))
+      .collect().sortBy(_.getLong(0))
+    assert(got(0).getString(1) == "mp4" && got(0).getLong(2) == 1000L &&
+      got(0).getLong(3) == 777L && got(0).getInt(4) == 2 &&
+      got(0).getLong(5) == 25L)
+    assert(got(1).isNullAt(1), "escaping child size must decode to null")
+    assert(got(2).isNullAt(1), "foreign bytes must decode to null")
+  }
+
   test("property: header decoders never throw on mutated or random bytes") {
     val docs = Seq((0L, "png seed payload", "s"), (1L, "jpeg seed", "s"))
       .toDF("doc_id", "text", "source")
@@ -124,7 +175,9 @@ class MultimodalSpec extends AnyFunSuite {
       .select("payload").collect().map(_.getAs[Array[Byte]](0))
     val wavSeed = Multimodal.synthesizeAudio(docs, "doc_id", "text", "source")
       .select("payload").collect().map(_.getAs[Array[Byte]](0))
-    val seeds = imgSeeds ++ wavSeed
+    val mp4Seed = Multimodal.synthesizeVideo(docs, "doc_id", "text", "source")
+      .select("payload").collect().map(_.getAs[Array[Byte]](0))
+    val seeds = imgSeeds ++ wavSeed ++ mp4Seed
     val rnd = new scala.util.Random(42)
     val variants = (0 until 300).map { i =>
       val base = seeds(rnd.nextInt(seeds.length))
@@ -143,7 +196,8 @@ class MultimodalSpec extends AnyFunSuite {
     val got = variants.toDF("id", "payload")
       .select(col("id"),
         Multimodal.decodeHeader(col("payload")).as("img"),
-        Multimodal.decodeAudioHeader(col("payload")).as("aud"))
+        Multimodal.decodeAudioHeader(col("payload")).as("aud"),
+        Multimodal.decodeVideoHeader(col("payload")).as("vid"))
       .collect() // the property: evaluation completes, no exception escapes
     got.foreach { r =>
       if (!r.isNullAt(1)) {
@@ -155,6 +209,11 @@ class MultimodalSpec extends AnyFunSuite {
         val aud = r.getStruct(2)
         assert(aud.getString(0) == "wav")
         assert(aud.getLong(4) >= 0, "frame count must not go negative")
+      }
+      if (!r.isNullAt(3)) {
+        val vid = r.getStruct(3)
+        assert(vid.getString(0) == "mp4")
+        assert(vid.getInt(4) >= 0, "track count must not go negative")
       }
     }
   }
