@@ -43,6 +43,31 @@ object Packing {
         concat_ws(" ", col("ctoks")).as("chunk"))
   }
 
+  /** Length-bucketed batching plan — the inference/serving counterpart
+    * of [[pack]]: sequences padded to their bucket's ceiling instead of
+    * a global max, so padding waste is bounded by the bucket width.
+    * Each document lands in bucket `ceil(n_tokens / width) · width`;
+    * per bucket the plan reports the document count, real token mass,
+    * padded token mass (docs × bucket ceiling) and the padding waste
+    * ratio. One map-side-combined aggregation — the per-bucket output
+    * is `distinct lengths / width` rows regardless of corpus size. */
+  def lengthBuckets(df: DataFrame, idCol: String, tokensCol: Column,
+                    width: Long): DataFrame = {
+    require(width > 0, "width must be positive")
+    val n = tokensCol.cast("long")
+    // ceil to the bucket boundary; empty docs still occupy one width
+    val bucket = greatest(
+      call_function("div", n + (width - 1), lit(width)) * width, lit(width))
+    df.select(col(idCol).as("id"), n.as("n_tokens"), bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("real_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("bucket"))
+      .withColumn("waste_ratio",
+        round(lit(1.0d) - col("real_tokens").cast("double") /
+          col("padded_tokens"), 6))
+  }
+
   /** Pack documents into ~`budget`-token training sequences per group
     * (e.g. per source): documents are laid out in a DETERMINISTIC
     * order (ascending id) as one concatenated token stream, the stream

@@ -175,6 +175,59 @@ object TextAnalysis {
       (acc, t) => pmod(acc * 31L + conv(substring(md5(t), 1, 15), 16, 10).cast("long"), mod))
   }
 
+  /** Canonical text normalization — the ftfy-lite cleanup pass every
+    * curation pipeline runs before hashing or training: typographic
+    * quotes/dashes/ellipsis mapped to ASCII, non-breaking spaces and
+    * carriage returns removed, horizontal whitespace runs collapsed,
+    * ends trimmed. A deterministic chain of literal replaces plus one
+    * global regexp, so an external engine reproduces the normalized
+    * digest exactly — [[NormalizeReps]] is public so the oracle SQL is
+    * GENERATED from the same replacement table. Map-side only. */
+  val NormalizeReps: Seq[(String, String)] = Seq(
+      " " -> " ",   // non-breaking space
+      "‘" -> "'", "’" -> "'",       // curly single quotes
+      "“" -> "\"", "”" -> "\"",     // curly double quotes
+      "–" -> "-", "—" -> "-",       // en/em dash
+      "…" -> "...",                      // ellipsis
+      "\r" -> "")
+
+  def normalizeText(text: Column): Column = {
+    val replaced = NormalizeReps.foldLeft(text) { case (c, (a, b)) =>
+      replace(c, lit(a), lit(b))
+    }
+    trim(regexp_replace(replaced, "[ \\t]+", " "))
+  }
+
+  /** Corpus word-bigram language-model count table — the KenLM-prep
+    * shape every n-gram LM build starts from: positional adjacent-pair
+    * counts with a count cutoff, joined to their unigram prefix counts
+    * for the conditional MLE `p(w2|w1) = c(w1 w2) / c(w1)`.
+    *
+    * Scale shape: pair explode is map-side (cost ∝ corpus tokens, no
+    * shuffle); both counts are map-side-combined aggregations whose
+    * exchanges carry one row per distinct gram; the prefix join runs
+    * over the two aggregated tables (one row per word each side), so
+    * nothing corpus-sized crosses the wire after the two count
+    * shuffles. The cutoff prunes the long tail BEFORE the join. */
+  def bigramLm(df: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    val toks = df.select(tokens(col(textCol)).as("t"))
+    val uni = toks.select(explode(col("t")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val pairs = toks.select(explode(element_at(transform(
+        array(struct(col("t").as("ts"))), s =>
+          transform(
+            filter(sequence(lit(0), greatest(size(s.getField("ts")) - 2, lit(0))),
+              i => i + 2 <= size(s.getField("ts"))),
+            i => struct(element_at(s.getField("ts"), i + 1).as("w1"),
+              element_at(s.getField("ts"), i + 2).as("w2")))), 1)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= minCount)
+      .join(uni, "w1")
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        round(col("c12").cast("double") / col("c1"), 6).as("p"))
+  }
+
   /** Character-level Shannon entropy in bits — a classic quality /
     * gibberish signal (natural language sits ~4–4.5 bits/char; base64
     * blobs and keyboard mash score high, repeated-char padding scores

@@ -542,6 +542,34 @@ object PipelineQueries {
           col("n_words"), col("n_tokens_est"))
         .orderBy(col("doc_id"))),
 
+    // corpus word-bigram LM count table (KenLM-prep): cutoff-pruned
+    // adjacent-pair counts joined to unigram prefix counts for the
+    // conditional MLE p(w2|w1) — two count shuffles, word-keyed join
+    // over the aggregated tables only
+    "text_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLm(docs(s, dir), "text", minCount = 5L)
+        .orderBy(col("w1"), col("w2"))),
+
+    // ftfy-lite canonical normalization: quote/dash/ellipsis folding,
+    // nbsp/CR removal, whitespace collapse — the digest gates the whole
+    // literal-replace chain, whose SQL mirror is generated from the
+    // same replacement table
+    "text_normalize" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_raw"),
+          length(TextAnalysis.normalizeText(col("text"))).cast("long")
+            .as("n_chars_norm"),
+          md5(TextAnalysis.normalizeText(col("text"))).as("norm_digest"))
+        .orderBy(col("doc_id"))),
+
+    // length-bucketed batching plan (the serving-side counterpart of
+    // pack_sequences): per 32-token bucket, document count, real vs
+    // padded token mass and the padding waste ratio
+    "pack_length_buckets" -> ((s, dir) =>
+      graft.ops.Packing.lengthBuckets(docs(s, dir), "doc_id",
+          TextAnalysis.wordCount(col("text")), width = 32L)
+        .orderBy(col("bucket"))),
+
     // character-level Shannon entropy: the classic gibberish / padding
     // detector (language ~4–4.5 bits/char, base64 high, repetition low)
     // — doc-local, deterministic fold order, exactly oracle-checked
@@ -927,6 +955,18 @@ object PipelineQueries {
        |  FROM toks)""".stripMargin.replace("\n", " ")
 
   private val hex15 = "('0x' || substr(md5(%s), 1, 15))::BIGINT"
+
+  /** The normalizeText chain as SQL, GENERATED from the same
+    * replacement table the Spark side folds over (single source of
+    * truth — an edit to [[TextAnalysis.NormalizeReps]] changes both
+    * engines or neither). */
+  private def normalizeSqlExpr: String = {
+    def q(s: String) = s.replace("'", "''")
+    val chain = TextAnalysis.NormalizeReps.foldLeft("text") {
+      case (e, (a, b)) => s"replace($e, '${q(a)}', '${q(b)}')"
+    }
+    s"trim(regexp_replace($chain, '[ \\t]+', ' ', 'g'))"
+  }
 
   /** HLL estimate numerator alpha * m^2 * 2^33 for m = 64, computed
     * ONCE in Scala and interpolated into both engines' plans (Double
@@ -1919,6 +1959,31 @@ object PipelineQueries {
     "knn_ivf_trained" -> kmeansIvfOracle,
     "knn_ivf" -> ivfSampledOracle,
     "knn_lsh" -> lshTopKOracle,
+    "text_bigram_lm" ->
+      s"""WITH ${tokCte(1)},
+         | pr AS (SELECT unnest(list_transform(range(greatest(len(t) - 1, 0)),
+         |     i -> {'w1': t[i + 1], 'w2': t[i + 2]})) AS p FROM toks),
+         | bi AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c12
+         |   FROM pr GROUP BY 1, 2 HAVING count(*) >= 5),
+         | uni AS (SELECT w1, count(*) AS c1
+         |   FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY 1)
+         | SELECT w1, w2, c12, c1, round(c12::DOUBLE / c1, 6) AS p
+         | FROM bi JOIN uni USING (w1) ORDER BY w1, w2""".om,
+    "text_normalize" ->
+      s"""WITH n AS (SELECT doc_id, length(text) AS n_chars_raw,
+         |   $normalizeSqlExpr AS norm FROM documents)
+         | SELECT doc_id, n_chars_raw, length(norm) AS n_chars_norm,
+         |  md5(norm) AS norm_digest
+         | FROM n ORDER BY doc_id""".om,
+    "pack_length_buckets" ->
+      s"""WITH t AS (SELECT doc_id,
+         |   len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n
+         |  FROM documents),
+         | b AS (SELECT doc_id, n, greatest(((n + 31) // 32) * 32, 32) AS bucket FROM t)
+         | SELECT bucket, count(*) AS n_docs, sum(n)::BIGINT AS real_tokens,
+         |  (count(*) * bucket)::BIGINT AS padded_tokens,
+         |  round(1.0 - sum(n)::DOUBLE / (count(*) * bucket), 6) AS waste_ratio
+         | FROM b GROUP BY 1 ORDER BY bucket""".om,
     "text_entropy" ->
       s"""WITH c AS (SELECT doc_id, length(text) AS n_chars,
          |   list_filter(regexp_split_to_array(text, ''), x -> x <> '') AS cs

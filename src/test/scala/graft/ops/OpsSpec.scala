@@ -452,6 +452,52 @@ class OpsSpec extends AnyFunSuite {
     assert(sigs.select("id").as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("bigramLm: positional counts, cutoff, conditional MLE") {
+    val docs = Seq(
+      (1L, "the cat sat on the cat mat"),
+      (2L, "the cat ran")).toDF("doc_id", "text")
+    val lm = TextAnalysis.bigramLm(docs, "text", minCount = 2L)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // "the cat" appears 3 times; "the" appears 3 times → p = 1.0
+    assert(lm(("the", "cat")) == ((3L, 3L, 1.0)))
+    // everything else is below the cutoff of 2
+    assert(lm.size == 1)
+    val all = TextAnalysis.bigramLm(docs, "text", minCount = 1L)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(4))).toMap
+    // "cat" occurs 3 times: → sat, mat(terminal doesn't pair), ran;
+    // pairs are positional: cat→sat 1/3, cat→ran 1/3, cat→mat 1/3
+    // p is rounded to 6 decimals by the operator
+    assert(all(("cat", "sat")) == 0.333333)
+    assert(all(("cat", "ran")) == 0.333333)
+    assert(all(("cat", "mat")) == 0.333333)
+  }
+
+  test("normalizeText folds typography and collapses whitespace") {
+    val out = Seq(
+      "“Smart” ‘quotes’ — and nbsp",
+      "tabs\t\tand   runs \r\nhere",
+      "  trimmed  ").toDF("text")
+      .select(TextAnalysis.normalizeText(col("text")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out(0) == "\"Smart\" 'quotes' - and nbsp")
+    assert(out(1) == "tabs and runs \nhere")
+    assert(out(2) == "trimmed")
+  }
+
+  test("lengthBuckets: ceiling buckets, mass conservation, waste ratio") {
+    val docs = Seq((1L, 1L), (2L, 32L), (3L, 33L), (4L, 64L), (5L, 0L))
+      .toDF("doc_id", "n")
+    val out = Packing.lengthBuckets(docs, "doc_id", col("n"), width = 32L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // bucket 32: docs with n=1, 32, 0 → 3 docs, 33 real, 96 padded
+    assert(out(32L) == ((3L, 33L, 96L, math.rint((1 - 33.0 / 96) * 1e6) / 1e6)))
+    // bucket 64: n=33 and n=64
+    assert(out(64L)._1 == 2L && out(64L)._2 == 97L && out(64L)._3 == 128L)
+    assert(out.values.map(_._2).sum == 130L) // token mass conserved
+  }
+
   test("charEntropy: hand values, padding low, uniform high, empty zero") {
     val out = Seq("aaaa", "ab", "abcd", "", "aab")
       .toDF("text")
