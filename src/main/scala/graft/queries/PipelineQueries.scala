@@ -542,6 +542,24 @@ object PipelineQueries {
           col("n_words"), col("n_tokens_est"))
         .orderBy(col("doc_id"))),
 
+    // the composed training-data WRITE path, end to end with one exact
+    // oracle: normalize → token count + entropy quality gate →
+    // deterministic global shuffle → token-budgeted shards. Every
+    // stage is the already-gated operator; the composition proves they
+    // agree on one frame
+    "pipeline_train_prep" -> ((s, dir) => {
+      val gated = docs(s, dir)
+        .withColumn("norm", TextAnalysis.normalizeText(col("text")))
+        .withColumn("n_tokens", TextAnalysis.wordCount(col("norm")))
+        .withColumn("ent", round(TextAnalysis.charEntropy(col("norm")), 6))
+        .where(col("n_tokens") >= 5 && col("ent") >= 4.0)
+      CorpusShuffle.tokenShards(gated, "doc_id", col("n_tokens"),
+          seed = "prep", budget = 10000L)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("ord"),
+          col("shard_id"), col("shard_pos"))
+        .orderBy(col("ord"))
+    }),
+
     // corpus word-bigram LM count table (KenLM-prep): cutoff-pruned
     // adjacent-pair counts joined to unigram prefix counts for the
     // conditional MLE p(w2|w1) — two count shuffles, word-keyed join
@@ -764,6 +782,42 @@ object PipelineQueries {
       Similarity.rerankExact(cands, e.where(col("vec_id") < 8), e,
         "vec_id", "embedding", "vec_id", "embedding", candK = 25, topK = 5)
         .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // measured recall of the two-stage serving pattern: per query,
+    // top-5 overlap with exact brute force for the raw IVFADC search
+    // vs the reranked search — the refine stage's quality win as a
+    // number, not a claim. The expensive inputs (stored index, trained
+    // centroids, codebooks) are the same shared fixtures the searches
+    // themselves use
+    "knn_recall_gain" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.where(col("vec_id") < 8)
+      val brute = Similarity.bruteForceTopK(q, e,
+          "vec_id", "embedding", "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id"))
+      val adc = Similarity.ivfPqSearchStored(q, ivfPqStore(s, dir),
+          "vec_id", "embedding", kmCentroids(s, dir), "cell", "centv",
+          pqCb(s, dir), m = 8, k = 16, topK = 5, nprobe = 3)
+        .select(col("query_id"), col("corpus_id"))
+      val rr = Similarity.rerankExact(
+          Similarity.ivfPqSearchStored(q, ivfPqStore(s, dir),
+            "vec_id", "embedding", kmCentroids(s, dir), "cell", "centv",
+            pqCb(s, dir), m = 8, k = 16, topK = 25, nprobe = 3),
+          q, e, "vec_id", "embedding", "vec_id", "embedding",
+          candK = 25, topK = 5)
+        .select(col("query_id"), col("corpus_id"))
+      def recall(m: DataFrame, name: String) =
+        m.join(brute, Seq("query_id", "corpus_id"))
+          .groupBy(col("query_id"))
+          .agg((count(lit(1)) / 5.0d).as(name))
+      q.select(col("vec_id").as("query_id"))
+        .join(recall(adc, "recall_adc"), Seq("query_id"), "left")
+        .join(recall(rr, "recall_rerank"), Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("recall_adc"), lit(0.0d)).as("recall_adc"),
+          coalesce(col("recall_rerank"), lit(0.0d)).as("recall_rerank"))
+        .orderBy(col("query_id"))
     }),
 
     // SimHash near-dup pairs: banded hamming-distance blocking
@@ -1898,6 +1952,43 @@ object PipelineQueries {
          | SELECT query_id, rnk, corpus_id, cos FROM rankedq WHERE rnk <= 5
          | ORDER BY query_id, rnk""".om,
     "knn_ivfpq" -> ivfPqOracle,
+    "knn_recall_gain" ->
+      s"""WITH $eCte,
+         | ${kmeansIvfCtes()},
+         | $pqReconCtes,
+         | bscored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |   round(${cosSql("q.v", "c.v")}, 6) AS cos
+         |  FROM e q JOIN e c ON q.vec_id < 8 AND q.vec_id <> c.vec_id),
+         | brute AS (SELECT query_id, corpus_id FROM (SELECT query_id, corpus_id,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
+         |  FROM bscored) WHERE rnk <= 5),
+         | scored AS (SELECT p.query_id, a.corpus_id,
+         |   round(${cosSql("p.qv", "r.cv")}, 6) AS cos
+         |  FROM pr p JOIN asg a ON a.best.cell = p.cell
+         |  JOIN recon r ON r.vec_id = a.corpus_id
+         |  WHERE p.query_id <> a.corpus_id),
+         | adc AS (SELECT query_id, corpus_id FROM (SELECT query_id, corpus_id,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
+         |  FROM scored) WHERE rnk <= 5),
+         | cand AS (SELECT query_id, corpus_id,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS crnk
+         |  FROM scored),
+         | ex AS (SELECT c.query_id, c.corpus_id,
+         |   round(${cosSql("q.v", "t.v")}, 6) AS cos
+         |  FROM cand c JOIN e q ON q.vec_id = c.query_id
+         |  JOIN e t ON t.vec_id = c.corpus_id WHERE c.crnk <= 25),
+         | rr AS (SELECT query_id, corpus_id FROM (SELECT query_id, corpus_id,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
+         |  FROM ex) WHERE rnk <= 5),
+         | ra AS (SELECT query_id, count(*) / 5.0 AS recall_adc
+         |  FROM adc JOIN brute USING (query_id, corpus_id) GROUP BY query_id),
+         | rb AS (SELECT query_id, count(*) / 5.0 AS recall_rerank
+         |  FROM rr JOIN brute USING (query_id, corpus_id) GROUP BY query_id),
+         | qq AS (SELECT DISTINCT vec_id AS query_id FROM e WHERE vec_id < 8)
+         | SELECT query_id, coalesce(recall_adc, 0.0) AS recall_adc,
+         |  coalesce(recall_rerank, 0.0) AS recall_rerank
+         | FROM qq LEFT JOIN ra USING (query_id) LEFT JOIN rb USING (query_id)
+         | ORDER BY query_id""".om,
     "shuffle_order" ->
       s"""WITH t AS (SELECT doc_id,
          |   len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tokens,
@@ -1959,6 +2050,28 @@ object PipelineQueries {
     "knn_ivf_trained" -> kmeansIvfOracle,
     "knn_ivf" -> ivfSampledOracle,
     "knn_lsh" -> lshTopKOracle,
+    "pipeline_train_prep" ->
+      s"""WITH nn AS (SELECT doc_id, $normalizeSqlExpr AS norm FROM documents),
+         | f AS (SELECT doc_id,
+         |   len(list_filter(regexp_split_to_array(norm, '\\s+'), x -> x <> '')) AS n_tokens,
+         |   list_filter(regexp_split_to_array(norm, ''), x -> x <> '') AS cs
+         |  FROM nn),
+         | g AS (SELECT doc_id, n_tokens,
+         |  CASE WHEN len(cs) = 0 THEN 0.0 ELSE round(-list_sum(list_transform(
+         |    list_sort(list_distinct(cs)), ch ->
+         |      (len(list_filter(cs, x -> x = ch))::DOUBLE / len(cs)) *
+         |      log2(len(list_filter(cs, x -> x = ch))::DOUBLE / len(cs)))), 6)
+         |  END AS ent FROM f),
+         | k AS (SELECT doc_id, n_tokens FROM g WHERE n_tokens >= 5 AND ent >= 4.0),
+         | t AS (SELECT doc_id, n_tokens, md5('prep:' || doc_id) AS skey FROM k),
+         | o AS (SELECT doc_id, n_tokens,
+         |  (row_number() OVER (ORDER BY skey, doc_id) - 1) AS ord,
+         |  coalesce(sum(n_tokens) OVER (ORDER BY skey, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tb
+         | FROM t)
+         | SELECT doc_id, n_tokens, ord, (tb // 10000) AS shard_id,
+         |  (row_number() OVER (PARTITION BY (tb // 10000) ORDER BY ord) - 1) AS shard_pos
+         | FROM o ORDER BY ord""".om,
     "text_bigram_lm" ->
       s"""WITH ${tokCte(1)},
          | pr AS (SELECT unnest(list_transform(range(greatest(len(t) - 1, 0)),
