@@ -115,6 +115,28 @@ object CorpusShuffle {
       StructField("tok_before", LongType, nullable = false))))
   }
 
+  /** Materialize a shard plan into files: join the plan back to the
+    * full rows and write `partitionBy("shard_id")`, one writer (and so
+    * ONE file) per shard directory, rows inside each file in exact
+    * shuffle order. This is the plan becoming the training dataset:
+    * a reader that consumes shard directories in id order and rows in
+    * file order replays the seeded global permutation.
+    *
+    * Scale shape: the plan is (id, ord, shard) — document payloads join
+    * it by id (one shuffle of the corpus, the write movement itself);
+    * `repartition(shard_id)` gives every shard directory exactly one
+    * writer instead of tasks×shards small files (the object-store
+    * antipattern), and the within-partition sort on `ord` makes file
+    * order the shuffle order. */
+  def writeShards(df: DataFrame, idCol: String, plan: DataFrame,
+                  path: String): Unit = {
+    df.withColumn("id", col(idCol).cast("long"))
+      .join(plan.select(col("id"), col("ord"), col("shard_id")), "id")
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("ord"))
+      .write.partitionBy("shard_id").mode("overwrite").parquet(path)
+  }
+
   /** Token-budgeted shard plan over the shuffled order: a document
     * belongs to the shard its FIRST token lands in (the same streaming
     * cut rule as [[Packing.pack]] — shards fill to ~`budget` tokens,

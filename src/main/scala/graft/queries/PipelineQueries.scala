@@ -542,6 +542,23 @@ object PipelineQueries {
           col("n_words"), col("n_tokens_est"))
         .orderBy(col("doc_id"))),
 
+    // per-(lang, source) corpus report card: volume, token mass, mean
+    // quality, and language-id agreement with the labeled lang — the
+    // one-page summary a curation run ships with; one
+    // map-side-combined aggregation over doc-local signals
+    "corpus_report" -> ((s, dir) =>
+      docs(s, dir).select(col("lang"), col("source"),
+          TextAnalysis.wordCount(col("text")).as("n_tokens"),
+          TextAnalysis.qualityScore(col("text")).as("q"),
+          TextAnalysis.langId(col("text")).as("pred"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          round(avg(col("q")), 4).as("avg_quality"),
+          round(avg(when(col("pred") === col("lang"), 1.0d).otherwise(0.0d)), 4)
+            .as("langid_acc"))
+        .orderBy(col("lang"), col("source"))),
+
     // the composed training-data WRITE path, end to end with one exact
     // oracle: normalize → token count + entropy quality gate →
     // deterministic global shuffle → token-budgeted shards. Every
@@ -2050,6 +2067,18 @@ object PipelineQueries {
     "knn_ivf_trained" -> kmeansIvfOracle,
     "knn_ivf" -> ivfSampledOracle,
     "knn_lsh" -> lshTopKOracle,
+    "corpus_report" ->
+      s"""WITH ${tokCte(1)},
+         | $langidCtes,
+         | pd AS (SELECT doc_id, CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS pred
+         |   FROM best),
+         | qd AS (SELECT doc_id, lang, source,
+         |   len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tokens,
+         |   $qualitySqlExpr AS quality FROM toks)
+         | SELECT lang, source, count(*) AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens,
+         |  round(avg(quality), 4) AS avg_quality,
+         |  round(avg(CASE WHEN pd.pred = qd.lang THEN 1.0 ELSE 0.0 END), 4) AS langid_acc
+         | FROM qd JOIN pd USING (doc_id) GROUP BY 1, 2 ORDER BY 1, 2""".om,
     "pipeline_train_prep" ->
       s"""WITH nn AS (SELECT doc_id, $normalizeSqlExpr AS norm FROM documents),
          | f AS (SELECT doc_id,

@@ -75,6 +75,35 @@ class CorpusShuffleSpec extends AnyFunSuite {
     assert(shards.length == 200)
   }
 
+  test("writeShards: one file per shard, file order replays the permutation") {
+    val docs = (0L until 120L).map(i => (i, 1L + i % 40, s"doc-$i"))
+      .toDF("doc_id", "n_tokens", "body").repartition(5)
+    val plan = CorpusShuffle.tokenShards(docs, "doc_id", col("n_tokens"),
+      seed = "w1", budget = 300L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards")
+      .resolve("out").toString
+    CorpusShuffle.writeShards(docs, "doc_id", plan, dir)
+    // exactly one parquet file per shard directory
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard_id=")).sortBy(_.getName)
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: ${files.length} files")
+    }
+    // replaying shards in id order, rows in FILE order, reproduces the
+    // seeded global permutation exactly
+    val replayed = shardDirs.flatMap { d =>
+      spark.read.parquet(d.getAbsolutePath)
+        .select("doc_id", "ord", "body").collect()
+    }
+    val expected = plan.orderBy("ord").collect()
+    assert(replayed.map(_.getLong(1)).toSeq == expected.map(_.getLong(2)).toSeq,
+      "file order must be shuffle order")
+    assert(replayed.map(r => r.getString(2)) ===
+      replayed.map(r => s"doc-${r.getLong(0)}"), "payload rides the join")
+  }
+
   test("scale shape: no single-partition global window in the plan") {
     val df = CorpusShuffle.shuffledWithOrdinals(corpus, "doc_id",
       col("n_tokens"), "s4")
