@@ -115,6 +115,51 @@ object CorpusShuffle {
       StructField("tok_before", LongType, nullable = false))))
   }
 
+  /** Incremental shard append — training corpora GROW, and shards
+    * already written (and possibly already consumed by a run) must stay
+    * frozen. New documents shuffle deterministically among THEMSELVES
+    * (same seeded key) and take ordinals/token offsets continuing after
+    * the existing plan; the straddling shard (the old plan's last, if
+    * under budget) fills up first, then fresh shards open. Returns ONLY
+    * the delta rows, same schema as [[tokenShards]] — union with the
+    * old plan for the full layout.
+    *
+    * This is deliberately NOT equal to re-running [[tokenShards]] on
+    * the union (that would interleave new docs into written shards);
+    * the append contract is immutability of everything already
+    * planned. Driver state: four scalars from one aggregate over the
+    * old plan. */
+  def tokenShardsAppend(plan: DataFrame, df: DataFrame, idCol: String,
+                        tokensCol: Column, seed: String,
+                        budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val base = plan.agg(
+      count(lit(1)).as("n"), sum(col("n_tokens")).as("tok"),
+      max(col("shard_id")).as("last_shard")).head()
+    val (n0, tok0) =
+      if (base.isNullAt(1)) (0L, 0L) else (base.getLong(0), base.getLong(1))
+    val lastShard = if (base.isNullAt(2)) -1L else base.getLong(2)
+    val lastShardOrd0 =
+      if (lastShard < 0) -1L
+      else plan.where(col("shard_id") === lastShard)
+        .agg(min(col("ord"))).head().getLong(0)
+    val fresh = shuffledWithOrdinals(df, idCol, tokensCol, seed)
+      .withColumn("ord", col("ord") + n0)
+      .withColumn("tok_before", col("tok_before") + tok0)
+      .withColumn("shard_id", (col("tok_before") / budget).cast("long"))
+    // per-shard first ordinal over the COMBINED corpus: new shards own
+    // their min; the straddling shard's origin lives in the old plan
+    val firstOrd = fresh.groupBy(col("shard_id"))
+      .agg(min(col("ord")).as("ord0"))
+      .withColumn("shard_ord0",
+        when(col("shard_id") === lastShard, lit(lastShardOrd0))
+          .otherwise(col("ord0")))
+    fresh.join(firstOrd.select(col("shard_id"), col("shard_ord0")), "shard_id")
+      .withColumn("shard_pos", (col("ord") - col("shard_ord0")).cast("long"))
+      .select(col("id"), col("n_tokens"), col("ord"),
+        col("shard_id"), col("shard_pos"))
+  }
+
   /** Materialize a shard plan into files: join the plan back to the
     * full rows and write `partitionBy("shard_id")`, one writer (and so
     * ONE file) per shard directory, rows inside each file in exact

@@ -783,6 +783,21 @@ object PipelineQueries {
           col("shard_id"), col("shard_pos"))
         .orderBy(col("ord"))),
 
+    // incremental shard append: the old plan's shards stay frozen, the
+    // new batch shuffles among itself and continues the ordinals/token
+    // stream — the straddling shard fills first, then fresh shards open
+    "shuffle_shards_append" -> ((s, dir) => {
+      val all = docs(s, dir)
+      val tok = TextAnalysis.wordCount(col("text"))
+      val plan = CorpusShuffle.tokenShards(all.where(col("doc_id") % 10 =!= 0),
+        "doc_id", tok, seed = "r9", budget = 20000L)
+      CorpusShuffle.tokenShardsAppend(plan, all.where(col("doc_id") % 10 === 0),
+          "doc_id", tok, seed = "r9", budget = 20000L)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("ord"),
+          col("shard_id"), col("shard_pos"))
+        .orderBy(col("ord"))
+    }),
+
     // two-stage ANN serving (the FAISS refine pattern): the stored
     // IVFADC index over-fetches candK=25 candidates per query on cheap
     // quantized distances, then ONLY those survivors are re-scored with
@@ -2027,6 +2042,33 @@ object PipelineQueries {
          | SELECT doc_id, n_tokens, ord, (tb // 20000) AS shard_id,
          |  (row_number() OVER (PARTITION BY (tb // 20000) ORDER BY ord) - 1) AS shard_pos
          | FROM o ORDER BY ord""".om,
+    "shuffle_shards_append" ->
+      s"""WITH t AS (SELECT doc_id,
+         |   len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tokens,
+         |   md5('r9:' || doc_id) AS skey FROM documents),
+         | o AS (SELECT doc_id, n_tokens,
+         |  (row_number() OVER (ORDER BY skey, doc_id) - 1) AS ord,
+         |  coalesce(sum(n_tokens) OVER (ORDER BY skey, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tb
+         | FROM t WHERE doc_id % 10 <> 0),
+         | op AS (SELECT doc_id, n_tokens, ord, (tb // 20000) AS shard_id FROM o),
+         | ag AS (SELECT count(*) AS n0, coalesce(sum(n_tokens), 0)::BIGINT AS tok0,
+         |   max(shard_id) AS last_shard FROM op),
+         | lo AS (SELECT min(ord) AS last_ord0 FROM op, ag WHERE op.shard_id = ag.last_shard),
+         | nn AS (SELECT doc_id, n_tokens,
+         |  ((row_number() OVER (ORDER BY skey, doc_id) - 1) + n0) AS ord,
+         |  (coalesce(sum(n_tokens) OVER (ORDER BY skey, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + tok0)::BIGINT AS tb
+         | FROM t, ag WHERE doc_id % 10 = 0),
+         | ns AS (SELECT doc_id, n_tokens, ord, (tb // 20000) AS shard_id FROM nn),
+         | f0 AS (SELECT shard_id, min(ord) AS ord0 FROM ns GROUP BY 1),
+         | fo AS (SELECT f0.shard_id,
+         |   CASE WHEN f0.shard_id = ag.last_shard THEN lo.last_ord0
+         |        ELSE f0.ord0 END AS shard_ord0
+         |  FROM f0, ag, lo)
+         | SELECT ns.doc_id, ns.n_tokens, ns.ord, ns.shard_id,
+         |  (ns.ord - fo.shard_ord0) AS shard_pos
+         | FROM ns JOIN fo USING (shard_id) ORDER BY ns.ord""".om,
     "knn_ivfpq_rerank" ->
       s"""WITH $eCte,
          | ${kmeansIvfCtes()},

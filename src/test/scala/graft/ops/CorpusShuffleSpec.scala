@@ -75,6 +75,42 @@ class CorpusShuffleSpec extends AnyFunSuite {
     assert(shards.length == 200)
   }
 
+  test("tokenShardsAppend: frozen prefix, straddling shard fills, cut rule holds") {
+    val budget = 400L
+    val old = corpus.where(col("doc_id") < 150)
+    val fresh = corpus.where(col("doc_id") >= 150)
+    val plan = CorpusShuffle.tokenShards(old, "doc_id", col("n_tokens"), "a1", budget)
+    val delta = CorpusShuffle.tokenShardsAppend(plan, fresh, "doc_id",
+      col("n_tokens"), "a1", budget)
+    val oldRows = plan.orderBy("ord").collect()
+    val newRows = delta.orderBy("ord").collect()
+    // ordinals continue densely after the frozen prefix
+    assert(newRows.head.getLong(2) == oldRows.length.toLong)
+    assert(newRows.map(_.getLong(2)).toSeq ==
+      (oldRows.length.toLong until (oldRows.length + newRows.length).toLong))
+    // the UNION satisfies the global streaming cut rule end to end —
+    // i.e. the append continued the token stream exactly
+    var cum = 0L
+    (oldRows ++ newRows).foreach { r =>
+      assert(r.getLong(3) == cum / budget,
+        s"doc ${r.getLong(0)} at cum $cum: shard ${r.getLong(3)}")
+      cum += r.getLong(1)
+    }
+    // shard_pos in the straddling shard continues the old count
+    val lastOldShard = oldRows.map(_.getLong(3)).max
+    val oldInLast = oldRows.count(_.getLong(3) == lastOldShard)
+    val straddlers = newRows.filter(_.getLong(3) == lastOldShard)
+    if (straddlers.nonEmpty)
+      assert(straddlers.head.getLong(4) == oldInLast.toLong,
+        "straddling shard position must continue the frozen prefix")
+    // positions are dense within every purely-new shard
+    newRows.groupBy(_.getLong(3)).foreach { case (sid, rows) =>
+      if (sid != lastOldShard)
+        assert(rows.sortBy(_.getLong(2)).map(_.getLong(4)).toSeq ==
+          rows.indices.map(_.toLong), s"shard $sid")
+    }
+  }
+
   test("writeShards: one file per shard, file order replays the permutation") {
     val docs = (0L until 120L).map(i => (i, 1L + i % 40, s"doc-$i"))
       .toDF("doc_id", "n_tokens", "body").repartition(5)

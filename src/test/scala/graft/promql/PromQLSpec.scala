@@ -401,6 +401,41 @@ class PromQLSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](PromQL.parse("sort_by_label(req)"))
   }
 
+  test("property: the parser never throws anything but a parse error") {
+    // mutated real queries and raw garbage: every input either parses
+    // or raises IllegalArgumentException — no stack overflow, NPE, or
+    // index error escapes, whatever bytes arrive on the API
+    val seeds = Seq(
+      "sum by (job) (rate(http_req{env=\"prod\"}[5m]))",
+      "histogram_quantile(0.9, sum by (le) (rate(lat_bucket[5m])))",
+      "topk(3, avg_over_time(mem[1h:5m] offset 1d))",
+      "label_replace(up, \"dst\", \"$1\", \"src\", \"(.*)\")",
+      "sort_by_label(req, \"inst\") / on(inst) group_left sum(req)",
+      "clamp(predict_linear(disk[4h], 3600), 0, 1e9)")
+    val rnd = new scala.util.Random(7)
+    val chars = "(){}[]\",=~!<>+-*/%.:@0123456789abcdefghij_ "
+    (0 until 500).foreach { i =>
+      val q = rnd.nextInt(3) match {
+        case 0 => // mutate a seed: splice random chars in
+          val s = seeds(rnd.nextInt(seeds.length)).toCharArray
+          (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+            s(rnd.nextInt(s.length)) = chars.charAt(rnd.nextInt(chars.length))
+          }
+          new String(s)
+        case 1 => seeds(rnd.nextInt(seeds.length))
+          .take(rnd.nextInt(seeds.head.length))
+        case 2 => (0 until rnd.nextInt(40))
+          .map(_ => chars.charAt(rnd.nextInt(chars.length))).mkString
+      }
+      try { PromQL.parse(q); () }
+      catch {
+        case _: IllegalArgumentException => () // the parse-error contract
+        case e: Throwable =>
+          fail(s"input $i ${e.getClass.getSimpleName} on: $q")
+      }
+    }
+  }
+
   test("label_replace and label_join rewrite the label set") {
     val rep = rows(
       """label_replace(req{inst="i-0"}, "shard", "$1", "inst", "i-(.*)")""",
