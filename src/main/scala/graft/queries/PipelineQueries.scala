@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{CorpusShuffle, Dedup, Dsir, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Classifier, CorpusShuffle, Dedup, Dsir, Eval, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.functions._
 
 /** Training-data pipeline operators (dedup, similarity search, text
@@ -1024,8 +1024,58 @@ object PipelineQueries {
         .select(col("rnk"), col("id").as("doc_id"), col("logw"),
           col("key").as("gkey"))
         .orderBy(col("rnk"))
-    })
+    }),
+
+    // fastText-style NB quality/language filter: train on the md5-split
+    // train half (pos = English seeds, neg = the rest), score the
+    // held-out half — per-doc posterior log-odds and calibrated p.
+    // (The synthetic corpus draws text independently of lang, so AUC
+    // hovers near 0.5 here BY CONSTRUCTION — the oracle gates the exact
+    // model/metric arithmetic; ClassifierSpec plants a separable signal
+    // and asserts the same code drives AUC ≈ 1.)
+    "qc_score" -> ((s, dir) =>
+      qcScored(s, dir)
+        .select(col("id").as("doc_id"), col("n_grams"),
+          col("logodds"), col("p_pos"))
+        .orderBy(col("doc_id"))),
+
+    // classifier evaluation at threshold 0: confusion counts and the
+    // derived accuracy / precision / recall / F1, one aggregate row
+    "qc_confusion" -> ((s, dir) =>
+      Eval.confusion(qcScored(s, dir), col("label"), col("logodds"), 0.0)),
+
+    // exact ROC-AUC (Mann-Whitney midranks over the score-distinct
+    // aggregate) next to the bounded-state binned estimate
+    "qc_auc" -> ((s, dir) =>
+      Eval.rocAuc(qcScored(s, dir), col("label"), col("logodds"))
+        .crossJoin(Eval.rocAucBinned(qcScored(s, dir), col("label"),
+          col("p_pos"), bins = 1000))),
+
+    // reliability buckets: mean predicted p vs empirical positive rate
+    "qc_calibration" -> ((s, dir) =>
+      Eval.calibration(qcScored(s, dir), col("label"), col("p_pos"), bins = 10)
+        .orderBy(col("bin")))
   )
+
+  /** Per-(session, dir) scored held-out split of the NB quality filter —
+    * one trained model and one scoring pass feed all four qc_* queries,
+    * as a production eval job would. */
+  private val qcCache =
+    SessionFixtures.register(scala.collection.concurrent.TrieMap[(String, String), DataFrame]())
+
+  private def qcScored(s: SparkSession, dir: String): DataFrame =
+    qcCache.getOrElseUpdate((SessionFixtures.key(s), dir), {
+      val d = docs(s, dir)
+      val isTrain = Sampling.hashUnit(col("doc_id"), "qcsplit") < 0.5
+      val train = d.where(isTrain)
+      val test = d.where(!isTrain)
+      Classifier.trainScore(
+          train.where(col("lang") === "en"), train.where(col("lang") =!= "en"),
+          test, "doc_id", "text")
+        .join(test.select(col("doc_id").as("id"),
+          (col("lang") === "en").as("label")), Seq("id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   // ---- oracle SQL (DuckDB dialect) ----
 
@@ -2292,8 +2342,92 @@ object PipelineQueries {
          |  FROM w),
          | ranked AS (SELECT row_number() OVER (ORDER BY gkey DESC, doc_id) AS rnk,
          |   doc_id, logw, gkey FROM keyed)
-         | SELECT rnk, doc_id, logw, gkey FROM ranked WHERE rnk <= 64 ORDER BY rnk""".om
+         | SELECT rnk, doc_id, logw, gkey FROM ranked WHERE rnk <= 64 ORDER BY rnk""".om,
+    "qc_score" ->
+      s"""WITH $qcCtes
+         | SELECT doc_id, n_grams, logodds, p_pos FROM scored ORDER BY doc_id""".om,
+    "qc_confusion" ->
+      s"""WITH $qcCtes,
+         | c AS (SELECT
+         |   count(*) FILTER (WHERE logodds >= 0 AND label) AS tp,
+         |   count(*) FILTER (WHERE logodds >= 0 AND NOT label) AS fp,
+         |   count(*) FILTER (WHERE logodds < 0 AND label) AS fn,
+         |   count(*) FILTER (WHERE logodds < 0 AND NOT label) AS tn
+         |  FROM scored)
+         | SELECT tp, fp, fn, tn,
+         |  round((tp + tn) / nullif(CAST(tp + fp + fn + tn AS DOUBLE), 0), 6) AS accuracy,
+         |  round(tp / nullif(CAST(tp + fp AS DOUBLE), 0), 6) AS precision,
+         |  round(tp / nullif(CAST(tp + fn AS DOUBLE), 0), 6) AS recall,
+         |  round(2 * tp / nullif(CAST(2 * tp + fp + fn AS DOUBLE), 0), 6) AS f1
+         | FROM c""".om,
+    "qc_auc" ->
+      s"""WITH $qcCtes,
+         | g AS (SELECT logodds AS s, count(*) AS n,
+         |   count(*) FILTER (WHERE label) AS np FROM scored GROUP BY 1),
+         | r AS (SELECT n, np,
+         |   sum(n) OVER (ORDER BY s) - n + (n + 1) / 2.0 AS avgrank FROM g),
+         | a AS (SELECT sum(np) AS n1, sum(n - np) AS n0,
+         |   sum(np * avgrank) AS rs FROM r),
+         | gb AS (SELECT least(CAST(floor(p_pos * 1000) AS BIGINT), 999) AS cell,
+         |   count(*) AS n, count(*) FILTER (WHERE label) AS np
+         |  FROM scored GROUP BY 1),
+         | rb AS (SELECT n, np,
+         |   sum(n) OVER (ORDER BY cell) - n + (n + 1) / 2.0 AS avgrank FROM gb),
+         | ab AS (SELECT sum(np) AS n1, sum(n - np) AS n0,
+         |   sum(np * avgrank) AS rs FROM rb)
+         | SELECT CAST(a.n1 AS BIGINT) AS n_pos, CAST(a.n0 AS BIGINT) AS n_neg,
+         |  round((a.rs - a.n1 * (a.n1 + 1) / 2.0) / (a.n1 * a.n0), 6) AS auc,
+         |  1000 AS bins,
+         |  round((ab.rs - ab.n1 * (ab.n1 + 1) / 2.0) / (ab.n1 * ab.n0), 6) AS auc_binned
+         | FROM a, ab""".om,
+    "qc_calibration" ->
+      s"""WITH $qcCtes
+         | SELECT least(CAST(floor(p_pos * 10) AS BIGINT), 9) AS bin,
+         |  count(*) AS n, round(avg(p_pos), 6) AS mean_p,
+         |  round(count(*) FILTER (WHERE label) / nullif(CAST(count(*) AS DOUBLE), 0), 6) AS pos_rate
+         | FROM scored GROUP BY 1 ORDER BY bin""".om
   )
+
+  /** Shared NB-quality-filter CTE chain, mirroring [[graft.ops.Classifier]]
+    * exactly: md5-unit train/test split, hashed unigram+bigram features
+    * at 4096 buckets, add-one-smoothed per-bucket log-likelihood weights
+    * (pos = train English, neg = train rest) plus the log-prior-odds
+    * bias, and the held-out half scored with zero-gram docs kept. */
+  private lazy val qcCtes =
+    s"""toks AS (SELECT doc_id, lang,
+       |  ${hex15.format("'qcsplit' || CAST(doc_id AS VARCHAR)")} / 1152921504606846976.0 < 0.5 AS tr,
+       |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS t
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, lang, tr, unnest(t) AS g FROM toks
+       |  UNION ALL
+       |  SELECT doc_id, lang, tr, unnest(list_transform(range(greatest(len(t) - 1, 0)),
+       |    i -> t[i + 1] || ' ' || t[i + 2])) AS g FROM toks),
+       |feat AS (SELECT doc_id, lang, tr, ${hex15.format("g")} % 4096 AS b FROM grams),
+       |pc AS (SELECT b, count(*) AS cp FROM feat WHERE tr AND lang = 'en' GROUP BY b),
+       |ncn AS (SELECT b, count(*) AS cn FROM feat WHERE tr AND lang <> 'en' GROUP BY b),
+       |pn AS (SELECT CAST(coalesce(sum(cp), 0) AS DOUBLE) AS pn FROM pc),
+       |qn AS (SELECT CAST(coalesce(sum(cn), 0) AS DOUBLE) AS qn FROM ncn),
+       |dpn AS (SELECT CAST(count(*) FILTER (WHERE tr AND lang = 'en') AS DOUBLE) AS dp,
+       |   CAST(count(*) FILTER (WHERE tr AND lang <> 'en') AS DOUBLE) AS dn FROM toks),
+       |wt AS (SELECT coalesce(pc.b, ncn.b) AS b,
+       |   ln((coalesce(cp, 0) + 1.0) / (pn + 4096.0)) -
+       |   ln((coalesce(cn, 0) + 1.0) / (qn + 4096.0)) AS w
+       |  FROM pc FULL JOIN ncn ON pc.b = ncn.b CROSS JOIN pn CROSS JOIN qn),
+       |dw AS (SELECT ln(1.0 / (pn + 4096.0)) - ln(1.0 / (qn + 4096.0)) AS dw
+       |  FROM pn, qn),
+       |bias AS (SELECT ln((dp + 1.0) / (dp + dn + 2.0)) -
+       |   ln((dn + 1.0) / (dp + dn + 2.0)) AS bias FROM dpn),
+       |persum AS (SELECT doc_id, count(*) AS n_grams,
+       |   sum(coalesce(w, dw)) AS gs
+       |  FROM feat LEFT JOIN wt USING (b) CROSS JOIN dw WHERE NOT tr
+       |  GROUP BY doc_id),
+       |scored AS (SELECT d.doc_id, d.lang = 'en' AS label,
+       |   coalesce(n_grams, 0) AS n_grams,
+       |   round(bias + coalesce(gs, 0), 6) AS logodds,
+       |   round(1.0 / (1.0 + exp(-round(bias + coalesce(gs, 0), 6))), 6) AS p_pos
+       |  FROM toks d LEFT JOIN persum USING (doc_id) CROSS JOIN bias
+       |  WHERE NOT d.tr)""".om
 
   /** DuckDB mirror of [[graft.ops.Bpe.encodeWord]] under the default
     * merge table: the identical literal-replace chain, generated FROM
