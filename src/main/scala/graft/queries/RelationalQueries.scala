@@ -208,6 +208,28 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // ordered funnel (view → click → purchase within 7 days): chained
+    // min(when) windows over ONE user partition — greedy-earliest chain,
+    // provably the deepest (window anchored at step 1), single shuffle
+    "q_funnel" -> ((s, dir) =>
+      graft.ops.Behavior.funnel(
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"), Tables.tsMillis(col("ts")).as("t")),
+        col("user_id"), col("event_type"), col("t"),
+        steps = Seq("view", "click", "purchase"), windowMs = 604800000L)
+        .orderBy(col("step"))),
+
+    // cohort retention triangle: cohort = day of first signup, active =
+    // any purchase at day offset 0..14 — key-bounded aggregations only
+    "q_retention" -> ((s, dir) =>
+      graft.ops.Behavior.retention(
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"), Tables.tsMillis(col("ts")).as("t")),
+        col("user_id"), col("event_type"), col("t"),
+        cohortType = "signup", activityType = "purchase",
+        periodMs = 86400000L, epochMs = 1704067200000L, maxOffset = 14)
+        .orderBy(col("cohort_period"), col("offset"))),
+
     // salted two-stage aggregation (skew mitigation): spread each group
     // key over 16 sub-keys, partially aggregate, combine — exact distinct
     // + sum + count, identical to the direct GROUP BY (oracle-checked)
@@ -354,6 +376,43 @@ object RelationalQueries {
         |  min(t) AS session_start, max(t) AS session_end
         | FROM sessions GROUP BY user_id, session_id HAVING count(*) >= 3
         | ORDER BY user_id, session_id""".om,
+    "q_funnel" ->
+      """WITH f0 AS (SELECT user_id AS u, event_type AS et, epoch_ms(ts) AS t FROM events),
+        | f1 AS (SELECT *, min(CASE WHEN et = 'view' THEN t END)
+        |   OVER (PARTITION BY u) AS s1 FROM f0),
+        | f2 AS (SELECT *, min(CASE WHEN et = 'click' AND t > s1
+        |     AND t <= s1 + 604800000 THEN t END) OVER (PARTITION BY u) AS s2 FROM f1),
+        | f3 AS (SELECT *, min(CASE WHEN et = 'purchase' AND t > s2
+        |     AND t <= s1 + 604800000 THEN t END) OVER (PARTITION BY u) AS s3 FROM f2),
+        | per_u AS (SELECT u, max(s1) AS s1, max(s2) AS s2, max(s3) AS s3
+        |  FROM f3 GROUP BY u),
+        | c AS (SELECT count(*) AS n0, count(s1) AS n1, count(s2) AS n2,
+        |   count(s3) AS n3 FROM per_u)
+        | SELECT step, step_name, n_users, conv_from_prev, conv_from_entry FROM (
+        |  SELECT 1 AS step, 'view' AS step_name, n1 AS n_users,
+        |   round(n1 / nullif(CAST(n0 AS DOUBLE), 0), 6) AS conv_from_prev,
+        |   round(n1 / nullif(CAST(n0 AS DOUBLE), 0), 6) AS conv_from_entry FROM c
+        |  UNION ALL
+        |  SELECT 2, 'click', n2, round(n2 / nullif(CAST(n1 AS DOUBLE), 0), 6),
+        |   round(n2 / nullif(CAST(n0 AS DOUBLE), 0), 6) FROM c
+        |  UNION ALL
+        |  SELECT 3, 'purchase', n3, round(n3 / nullif(CAST(n2 AS DOUBLE), 0), 6),
+        |   round(n3 / nullif(CAST(n0 AS DOUBLE), 0), 6) FROM c)
+        | ORDER BY step""".om,
+    "q_retention" ->
+      """WITH ev AS (SELECT user_id AS u, event_type AS et,
+        |   CAST(floor((epoch_ms(ts) - 1704067200000) / 86400000) AS BIGINT) AS p
+        |  FROM events),
+        | cohort AS (SELECT u, min(p) AS cp FROM ev WHERE et = 'signup' GROUP BY u),
+        | act AS (SELECT DISTINCT u, p AS ap FROM ev WHERE et = 'purchase'),
+        | sizes AS (SELECT cp, count(*) AS n_cohort FROM cohort GROUP BY cp),
+        | hit AS (SELECT c.cp, a.ap - c.cp AS off, count(*) AS n_active
+        |  FROM act a JOIN cohort c USING (u)
+        |  WHERE a.ap >= c.cp AND a.ap - c.cp <= 14 GROUP BY c.cp, a.ap - c.cp)
+        | SELECT h.cp AS cohort_period, h.off AS "offset", s.n_cohort, h.n_active,
+        |  round(h.n_active / CAST(s.n_cohort AS DOUBLE), 6) AS retention
+        | FROM hit h JOIN sizes s USING (cp)
+        | ORDER BY cohort_period, "offset"""".om,
     "q_salted_agg" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         | round(sum("value"), 2) AS sum_v, count(*) AS n
