@@ -208,6 +208,29 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // declarative data-validation suite (the Deequ pattern): row-local
+    // constraints fold into ONE map-side-combined agg, uniqueness is an
+    // exact key-tuple distinct, referential integrity a counted
+    // anti-join — the report is rows, ready to land in a table and diff
+    "q_checks" -> ((s, dir) => {
+      import graft.ops.Checks
+      Checks.run(t(s, dir, "lineitem"),
+        rowChecks = Seq(
+          Checks.completeness("l_orderkey"),
+          Checks.inRange("l_quantity", 1, 50),
+          Checks.inRange("l_discount", 0, 0.05, minFrac = 0.5),
+          Checks.inSet("l_returnflag", Seq("A", "N", "R")),
+          Checks.RowCheck("matches_regex", "l_shipdate",
+            date_format(col("l_shipdate"), "yyyy-MM-dd")
+              .rlike("^\\d{4}-\\d{2}-\\d{2}$"), 1.0),
+          Checks.nonNegative("l_tax")),
+        uniques = Seq(
+          Checks.UniqueCheck(Seq("l_orderkey", "l_linenumber")),
+          Checks.UniqueCheck(Seq("l_orderkey"), minRatio = 0.9)),
+        refs = Seq(Checks.RefCheck("l_orderkey",
+          t(s, dir, "orders").select(col("o_orderkey")), broadcastKeys = true)))
+    }),
+
     // ordered funnel (view → click → purchase within 7 days): chained
     // min(when) windows over ONE user partition — greedy-earliest chain,
     // provably the deepest (window anchored at step 1), single shuffle
@@ -376,6 +399,34 @@ object RelationalQueries {
         |  min(t) AS session_start, max(t) AS session_end
         | FROM sessions GROUP BY user_id, session_id HAVING count(*) >= 3
         | ORDER BY user_id, session_id""".om,
+    "q_checks" ->
+      """WITH m AS (SELECT count(*) AS n,
+        |  sum(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS c0,
+        |  sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS c1,
+        |  sum(CASE WHEN l_discount BETWEEN 0 AND 0.05 THEN 1 ELSE 0 END) AS c2,
+        |  sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS c3,
+        |  sum(CASE WHEN regexp_matches(strftime(l_shipdate, '%Y-%m-%d'), '^\d{4}-\d{2}-\d{2}$') THEN 1 ELSE 0 END) AS c4,
+        |  sum(CASE WHEN l_tax >= 0 THEN 1 ELSE 0 END) AS c5
+        | FROM lineitem),
+        | u1 AS (SELECT count(*) AS n, count(DISTINCT (l_orderkey, l_linenumber)) AS d FROM lineitem),
+        | u2 AS (SELECT count(*) AS n, count(DISTINCT l_orderkey) AS d FROM lineitem),
+        | rf AS (SELECT count(*) AS n,
+        |   sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS orphans
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |   ON l.l_orderkey = o.o_orderkey),
+        | rep AS (
+        |  SELECT 'completeness' AS "check", 'l_orderkey' AS "column",
+        |   round(c0 / CAST(n AS DOUBLE), 6) AS metric, 1.0::DOUBLE AS threshold FROM m
+        |  UNION ALL SELECT 'in_range', 'l_quantity', round(c1 / CAST(n AS DOUBLE), 6), 1.0::DOUBLE FROM m
+        |  UNION ALL SELECT 'in_range', 'l_discount', round(c2 / CAST(n AS DOUBLE), 6), 0.5::DOUBLE FROM m
+        |  UNION ALL SELECT 'in_set', 'l_returnflag', round(c3 / CAST(n AS DOUBLE), 6), 1.0::DOUBLE FROM m
+        |  UNION ALL SELECT 'matches_regex', 'l_shipdate', round(c4 / CAST(n AS DOUBLE), 6), 1.0::DOUBLE FROM m
+        |  UNION ALL SELECT 'non_negative', 'l_tax', round(c5 / CAST(n AS DOUBLE), 6), 1.0::DOUBLE FROM m
+        |  UNION ALL SELECT 'unique', 'l_orderkey,l_linenumber', round(d / CAST(n AS DOUBLE), 6), 1.0::DOUBLE FROM u1
+        |  UNION ALL SELECT 'unique', 'l_orderkey', round(d / CAST(n AS DOUBLE), 6), 0.9::DOUBLE FROM u2
+        |  UNION ALL SELECT 'ref_integrity', 'l_orderkey', round(1.0 - orphans / CAST(n AS DOUBLE), 6), 1.0::DOUBLE FROM rf)
+        | SELECT "check", "column", metric, threshold, metric >= threshold AS pass
+        | FROM rep ORDER BY "check", "column"""".om,
     "q_funnel" ->
       """WITH f0 AS (SELECT user_id AS u, event_type AS et, epoch_ms(ts) AS t FROM events),
         | f1 AS (SELECT *, min(CASE WHEN et = 'view' THEN t END)
