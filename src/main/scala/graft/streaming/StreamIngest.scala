@@ -684,6 +684,49 @@ object StreamIngest {
       spark.read.parquet(indexPath).drop("batch").distinct(), k)
   }
 
+  /** Streaming data-validation gate — the streaming consumer of
+    * [[graft.ops.Checks]]: each micro-batch is admitted to
+    * `storePath/batch=<id>` ONLY when its constraint suite passes; a
+    * failing batch lands WHOLE in `quarantinePath/batch=<id>` with its
+    * report rows beside it (`<quarantinePath>_reports/batch=<id>`), so
+    * bad data never mixes into the corpus and the failure is
+    * diagnosable from the report alone — the Deequ gate, run where the
+    * data arrives instead of after it has already landed.
+    *
+    * The report is ≤ |constraints| rows, so collecting the verdict is
+    * driver-bounded by construction. An empty batch passes vacuously
+    * (null metrics assert nothing). `batch=<id>` Overwrite dirs make
+    * replays idempotent on BOTH destinations — a batch that failed,
+    * was quarantined, and is replayed after a crash overwrites its own
+    * quarantine copy, never double-lands. */
+  def validatedStream(rows: DataFrame,
+                      rowChecks: Seq[graft.ops.Checks.RowCheck],
+                      uniques: Seq[graft.ops.Checks.UniqueCheck],
+                      storePath: String, quarantinePath: String,
+                      checkpoint: String,
+                      daemon: Boolean = false): StreamingQuery = {
+    require(rowChecks.nonEmpty || uniques.nonEmpty, "empty check suite")
+    val w: DataStreamWriter[org.apache.spark.sql.Row] = rows.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val persisted = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val report = graft.ops.Checks.run(persisted, rowChecks, uniques)
+          val verdicts = report.collect()
+          val pass = verdicts.forall(r =>
+            r.isNullAt(r.fieldIndex("pass")) || r.getBoolean(r.fieldIndex("pass")))
+          val dst = if (pass) storePath else quarantinePath
+          persisted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$dst/batch=$batchId")
+          if (!pass)
+            report.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"${quarantinePath}_reports/batch=$batchId")
+        } finally persisted.unpersist(false)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (daemon) Trigger.ProcessingTime("5 seconds") else Trigger.AvailableNow())
+    w.start()
+  }
+
   /** Streaming DSIR pool model — the sum-monoid member of the streaming
     * family for importance-resampling data selection
     * ([[graft.ops.Dsir]]): each micro-batch writes its hashed-gram

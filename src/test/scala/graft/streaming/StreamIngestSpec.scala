@@ -773,4 +773,44 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_tokens_est") >= 12L)
     assert(r.getAs[Double]("quality") >= 0.2)
   }
+
+  test("validated stream: passing batches land, failing batches quarantine with report") {
+    import spark.implicits._
+    import graft.ops.Checks
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("graft-vstream")
+    val store = root.resolve("store").toString
+    val quarantine = root.resolve("bad").toString
+    val ckpt = root.resolve("ckpt").toString
+    val mem = MemoryStream[(Long, java.lang.Double, String)]
+    val s = mem.toDF().select(col("_1").as("id"), col("_2").as("v"),
+      col("_3").as("cat"))
+    val suite = Seq(Checks.completeness("v"), Checks.inRange("v", 0, 100))
+    val uniq = Seq(Checks.UniqueCheck(Seq("id")))
+
+    // batch 0: clean — admitted
+    mem.addData((1L, 10.0, "a"), (2L, 20.0, "b"))
+    StreamIngest.validatedStream(s, suite, uniq, store, quarantine, ckpt)
+      .awaitTermination()
+    assert(spark.read.parquet(store).count() == 2)
+
+    // batch 1: a null v AND a duplicate id — quarantined whole
+    mem.addData((3L, 30.0, "a"), (3L, null, "c"))
+    StreamIngest.validatedStream(s, suite, uniq, store, quarantine, ckpt)
+      .awaitTermination()
+    assert(spark.read.parquet(store).count() == 2, "bad batch must not land")
+    assert(spark.read.parquet(quarantine).count() == 2)
+    val rep = spark.read.parquet(s"${quarantine}_reports")
+      .where(!col("pass")).collect()
+    assert(rep.map(_.getAs[String]("check")).toSet ==
+      Set("completeness", "in_range", "unique"),
+      "report must name the failing constraints (null v fails range too)")
+
+    // batch 2: clean again — the gate reopens
+    mem.addData((4L, java.lang.Double.valueOf(40.0), "d"))
+    StreamIngest.validatedStream(s, suite, uniq, store, quarantine, ckpt)
+      .awaitTermination()
+    assert(spark.read.parquet(store).count() == 3)
+    assert(spark.read.parquet(quarantine).count() == 2)
+  }
 }
