@@ -208,6 +208,15 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // column profiling (the survey you run BEFORE writing constraints):
+    // typed extrema in one agg pass, cardinality + mode from a melted
+    // (column, value) aggregate — never a per-column pass over the table
+    "q_profile" -> ((s, dir) =>
+      graft.ops.Profile.profile(
+        Tables.load(s, dir, "events")
+          .select(col("event_type"), col("user_id"), col("props")),
+        Seq("event_type", "user_id", "props"))),
+
     // declarative data-validation suite (the Deequ pattern): row-local
     // constraints fold into ONE map-side-combined agg, uniqueness is an
     // exact key-tuple distinct, referential integrity a counted
@@ -399,6 +408,32 @@ object RelationalQueries {
         |  min(t) AS session_start, max(t) AS session_end
         | FROM sessions GROUP BY user_id, session_id HAVING count(*) >= 3
         | ORDER BY user_id, session_id""".om,
+    "q_profile" ->
+      """WITH m AS (
+        |  SELECT 'event_type' AS "column", count(*) AS n_rows,
+        |   CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |   CAST(min(event_type) AS VARCHAR) AS min_v, CAST(max(event_type) AS VARCHAR) AS max_v FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', count(*),
+        |   CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |   CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR) FROM events
+        |  UNION ALL
+        |  SELECT 'props', count(*),
+        |   CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |   CAST(min(props) AS VARCHAR), CAST(max(props) AS VARCHAR) FROM events),
+        | melt AS (
+        |  SELECT 'event_type' AS "column", CAST(event_type AS VARCHAR) AS v FROM events WHERE event_type IS NOT NULL
+        |  UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events WHERE user_id IS NOT NULL
+        |  UNION ALL SELECT 'props', CAST(props AS VARCHAR) FROM events WHERE props IS NOT NULL),
+        | vc AS (SELECT "column", v, count(*) AS cnt FROM melt GROUP BY 1, 2),
+        | pc AS (SELECT "column", count(*) AS n_distinct FROM vc GROUP BY 1),
+        | tp AS (SELECT "column", v AS top_v, cnt AS top_n FROM vc
+        |  QUALIFY row_number() OVER (PARTITION BY "column" ORDER BY cnt DESC, v DESC) = 1)
+        | SELECT m."column", n_rows, n_null,
+        |  round(n_null / CAST(n_rows AS DOUBLE), 6) AS null_frac,
+        |  coalesce(n_distinct, 0) AS n_distinct, min_v, max_v, top_v, top_n
+        | FROM m LEFT JOIN pc USING ("column") LEFT JOIN tp USING ("column")
+        | ORDER BY "column"""".om,
     "q_checks" ->
       """WITH m AS (SELECT count(*) AS n,
         |  sum(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS c0,
