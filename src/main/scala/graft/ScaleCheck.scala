@@ -38,6 +38,12 @@ object ScaleCheck {
       spark.stop()
       return
     }
+    if (sys.env.get("SPARK_GRAFT_SCALE_SECTION").contains("govern")) {
+      governAtScale(spark)
+      graft.ops.Dedup.clearSharedPersists()
+      spark.stop()
+      return
+    }
     val dir = java.nio.file.Files.createTempDirectory("graft-scale").resolve("store").toString
 
     def time[T](name: String)(f: => T): T = {
@@ -588,6 +594,110 @@ object ScaleCheck {
     println(s"SCALE shuffle ${n} docs -> ${agg.getLong(4)} shards, " +
       s"$totalTokens tokens, invariants hold")
     shards.unpersist(false)
+  }
+
+  /** Governance-family rehearsal: funnel + retention over 12M events
+    * with PLANTED structure (expected counts computed independently,
+    * asserted exactly), the validation suite + profiler over the same
+    * frame (12M-row exact tuple distinct, 24M-row melt), and the NB
+    * classifier scoring 1M docs against disjoint planted vocabularies
+    * (AUC must be exactly 1.0, zero confusion errors). Standalone:
+    * SPARK_GRAFT_SCALE_SECTION=govern. */
+  private def governAtScale(spark: SparkSession): Unit = {
+    import graft.ops.{Behavior, Checks, Classifier, Eval, Profile}
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"SCALE $name ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    }
+    val nUsers = 3000000L
+    // per user: view@u*1000, click@+10; every 10th user purchases @+20
+    // (completes); every 5th-but-not-10th user purchases @-5 — BEFORE
+    // its view, so it must NOT count toward the funnel
+    val ev = spark.range(nUsers).select(col("id").as("u"),
+        explode(array(
+          struct(lit("view").as("et"), (col("id") * 1000L).as("t")),
+          struct(lit("click").as("et"), (col("id") * 1000L + 10L).as("t")),
+          struct(when(pmod(col("id"), lit(10)) === 0, "purchase")
+            .otherwise("noise").as("et"), (col("id") * 1000L + 20L).as("t")),
+          struct(when(pmod(col("id"), lit(5)) === 0 && pmod(col("id"), lit(10)) =!= 0,
+              "purchase").otherwise("noise2").as("et"),
+            (col("id") * 1000L - 5L).as("t")))).as("e"))
+      .select(col("u"), col("e.et").as("et"), col("e.t").as("t"))
+
+    time(s"funnel over ${nUsers * 4} events (planted completion classes)") {
+      val rows = Behavior.funnel(ev, col("u"), col("et"), col("t"),
+        Seq("view", "click", "purchase"), windowMs = 50L)
+        .orderBy("step").collect()
+      val got = rows.map(r => (r.getInt(0), r.getLong(2))).toSeq
+      require(got == Seq((1, nUsers), (2, nUsers), (3, nUsers / 10)),
+        s"funnel counts $got != planted (pre-view purchases must not count)")
+    }
+
+    // retention: signup at day u%10, purchase at day u%10 + u%3 —
+    // gcd(10,3)=1 so every (cohort, offset) cell is exactly N/30 users
+    val rev = spark.range(nUsers).select(col("id").as("u"),
+        explode(array(
+          struct(lit("signup").as("et"), pmod(col("id"), lit(10)).as("t")),
+          struct(lit("purchase").as("et"),
+            (pmod(col("id"), lit(10)) + pmod(col("id"), lit(3))).as("t")))).as("e"))
+      .select(col("u"), col("e.et").as("et"), col("e.t").as("t"))
+    time(s"retention triangle over ${nUsers * 2} events (30 exact cells)") {
+      val cells = Behavior.retention(rev, col("u"), col("et"), col("t"),
+        "signup", "purchase", periodMs = 1L, epochMs = 0L, maxOffset = 2)
+        .collect()
+      require(cells.length == 30, s"expected 30 cells, got ${cells.length}")
+      cells.foreach { r =>
+        require(r.getAs[Long]("n_cohort") == nUsers / 10 &&
+          r.getAs[Long]("n_active") == nUsers / 30 &&
+          r.getAs[Double]("retention") == 0.333333,
+          s"cell ${r.toSeq} != planted N/30")
+      }
+    }
+
+    time(s"validation suite over ${nUsers * 4} rows (incl. exact tuple distinct)") {
+      val rep = Checks.run(ev,
+        rowChecks = Seq(Checks.completeness("et"),
+          Checks.inSet("et", Seq("view", "click", "purchase", "noise", "noise2"))),
+        uniques = Seq(Checks.UniqueCheck(Seq("u", "t")))).collect()
+      require(rep.length == 3 && rep.forall(_.getAs[Boolean]("pass")),
+        s"all planted constraints must pass: ${rep.mkString("; ")}")
+    }
+
+    time(s"profile over ${nUsers * 4} rows x 2 columns (melted cardinality)") {
+      val p = Profile.profile(ev, Seq("et", "u")).orderBy("column").collect()
+      val et = p(0); val u = p(1)
+      require(et.getAs[Long]("n_distinct") == 5 &&
+        et.getAs[String]("top_v") == "view" &&
+        et.getAs[Long]("top_n") == nUsers,
+        s"et profile ${et.toSeq} != planted (view/click tie -> larger string)")
+      require(u.getAs[Long]("n_distinct") == nUsers, s"u profile ${u.toSeq}")
+    }
+
+    // classifier: disjoint planted vocabularies → perfect separation
+    val words = 30
+    def synthDoc(seed: org.apache.spark.sql.Column, vocab: String, vocabSize: Int) =
+      concat_ws(" ", transform(sequence(lit(1), lit(words)),
+        i => concat(lit(vocab), pmod(hash(seed, i), lit(vocabSize)))))
+    val pos = spark.range(10000).select(col("id"), synthDoc(col("id"), "p", 300).as("text"))
+    val neg = spark.range(10000).select((col("id") + 10000000L).as("id"),
+      synthDoc(col("id") + 10000000L, "q", 300).as("text"))
+    val corpus = spark.range(1000000).select(col("id"),
+      (pmod(col("id"), lit(2)) === 0).as("label"),
+      when(pmod(col("id"), lit(2)) === 0, synthDoc(col("id"), "p", 300))
+        .otherwise(synthDoc(col("id"), "q", 300)).as("text"))
+    time("NB classifier: train on 20k seeds, score 1M docs, exact AUC") {
+      val scored = Classifier.trainScore(pos, neg, corpus, "id", "text")
+        .join(corpus.select(col("id"), col("label")), Seq("id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val auc = Eval.rocAuc(scored, col("label"), col("logodds"))
+          .head().getAs[Double]("auc")
+        require(auc == 1.0, s"disjoint vocabularies must separate perfectly, auc=$auc")
+        val c = Eval.confusion(scored, col("label"), col("logodds"), 0.0).head()
+        require(c.getAs[Long]("fp") == 0 && c.getAs[Long]("fn") == 0,
+          s"confusion ${c.toSeq}")
+      } finally { scored.unpersist(false); () }
+    }
   }
 
   private def dsirAtScale(spark: SparkSession): Unit = {
