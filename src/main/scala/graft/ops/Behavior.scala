@@ -30,7 +30,6 @@ object Behavior {
                       windowMs: Long): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
     require(windowMs > 0, "windowMs must be positive")
-    val w = Window.partitionBy(userCol)
     val base = events.select(userCol.as("u"), typeCol.as("et"), tsCol.as("t"))
     val chained = steps.zipWithIndex.foldLeft(base) { case (df, (step, i)) =>
       val cond =

@@ -74,7 +74,10 @@ object Checks {
     val frames = Seq.newBuilder[DataFrame]
 
     if (rowChecks.nonEmpty) {
-      // one aggregation for every row-local check
+      // one aggregation for every row-local check. The VERDICT compares
+      // the UNROUNDED fraction — at a billion rows one bad row rounds
+      // to metric 1.000000, and a gate that passes on the rounded value
+      // would admit it; the reported metric alone is display-rounded
       val aggs = count(lit(1)).as("n_rows") +:
         rowChecks.zipWithIndex.map { case (c, i) =>
           sum(when(c.pred, 1L).otherwise(0L)).as(s"c$i")
@@ -82,10 +85,10 @@ object Checks {
       val one = df.agg(aggs.head, aggs.tail: _*)
       frames += one.select(explode(array(rowChecks.zipWithIndex.map {
           case (c, i) =>
-            val frac = round(when(col("n_rows") === 0, lit(null))
-              .otherwise(col(s"c$i").cast("double") / col("n_rows")), 6)
+            val frac = when(col("n_rows") === 0, lit(null))
+              .otherwise(col(s"c$i").cast("double") / col("n_rows"))
             struct(lit(c.name).as("check"), lit(c.column).as("column"),
-              frac.as("metric"), lit(c.minFrac).as("threshold"),
+              round(frac, 6).as("metric"), lit(c.minFrac).as("threshold"),
               (frac >= c.minFrac).as("pass"))
         }: _*)).as("r")).select(col("r.*"))
     }
@@ -93,26 +96,30 @@ object Checks {
     uniques.foreach { u =>
       val m = df.agg(count(lit(1)).as("n"),
           count_distinct(struct(u.columns.map(col): _*)).as("d"))
-        .select(round(when(col("n") === 0, lit(null))
-          .otherwise(col("d").cast("double") / col("n")), 6).as("metric"))
+        .select(when(col("n") === 0, lit(null))
+          .otherwise(col("d").cast("double") / col("n")).as("frac"))
       frames += m.select(lit("unique").as("check"),
-        lit(u.columns.mkString(",")).as("column"), col("metric"),
-        lit(u.minRatio).as("threshold"), (col("metric") >= u.minRatio).as("pass"))
+        lit(u.columns.mkString(",")).as("column"),
+        round(col("frac"), 6).as("metric"),
+        lit(u.minRatio).as("threshold"), (col("frac") >= u.minRatio).as("pass"))
     }
 
-    refs.foreach { r =>
-      val keys0 = r.refKeys.toDF("__ref_key").distinct()
-      val keys = if (r.broadcastKeys) broadcast(keys0) else keys0
-      val orphans = df.select(col(r.column).as("__ref_key"))
-        .join(keys, Seq("__ref_key"), "left_anti")
-        .agg(count(lit(1)).as("orphans"))
+    if (refs.nonEmpty) {
+      // ONE shared row count for every ref denominator, not a scan per check
       val total = df.agg(count(lit(1)).as("n"))
-      frames += orphans.crossJoin(total)
-        .select(round(when(col("n") === 0, lit(null))
-          .otherwise(lit(1d) - col("orphans").cast("double") / col("n")), 6).as("metric"))
-        .select(lit("ref_integrity").as("check"), lit(r.column).as("column"),
-          col("metric"), lit(r.minFrac).as("threshold"),
-          (col("metric") >= r.minFrac).as("pass"))
+      refs.foreach { r =>
+        val keys0 = r.refKeys.toDF("__ref_key").distinct()
+        val keys = if (r.broadcastKeys) broadcast(keys0) else keys0
+        val orphans = df.select(col(r.column).as("__ref_key"))
+          .join(keys, Seq("__ref_key"), "left_anti")
+          .agg(count(lit(1)).as("orphans"))
+        frames += orphans.crossJoin(total)
+          .select(when(col("n") === 0, lit(null))
+            .otherwise(lit(1d) - col("orphans").cast("double") / col("n")).as("frac"))
+          .select(lit("ref_integrity").as("check"), lit(r.column).as("column"),
+            round(col("frac"), 6).as("metric"), lit(r.minFrac).as("threshold"),
+            (col("frac") >= r.minFrac).as("pass"))
+      }
     }
 
     frames.result().reduce(_ unionByName _)

@@ -451,16 +451,17 @@ object RelationalQueries {
         |   ON l.l_orderkey = o.o_orderkey),
         | rep AS (
         |  SELECT 'completeness' AS "check", 'l_orderkey' AS "column",
-        |   round(c0 / CAST(n AS DOUBLE), 6) AS metric, 1.0::DOUBLE AS threshold FROM m
-        |  UNION ALL SELECT 'in_range', 'l_quantity', round(c1 / CAST(n AS DOUBLE), 6), 1.0::DOUBLE FROM m
-        |  UNION ALL SELECT 'in_range', 'l_discount', round(c2 / CAST(n AS DOUBLE), 6), 0.5::DOUBLE FROM m
-        |  UNION ALL SELECT 'in_set', 'l_returnflag', round(c3 / CAST(n AS DOUBLE), 6), 1.0::DOUBLE FROM m
-        |  UNION ALL SELECT 'matches_regex', 'l_shipdate', round(c4 / CAST(n AS DOUBLE), 6), 1.0::DOUBLE FROM m
-        |  UNION ALL SELECT 'non_negative', 'l_tax', round(c5 / CAST(n AS DOUBLE), 6), 1.0::DOUBLE FROM m
-        |  UNION ALL SELECT 'unique', 'l_orderkey,l_linenumber', round(d / CAST(n AS DOUBLE), 6), 1.0::DOUBLE FROM u1
-        |  UNION ALL SELECT 'unique', 'l_orderkey', round(d / CAST(n AS DOUBLE), 6), 0.9::DOUBLE FROM u2
-        |  UNION ALL SELECT 'ref_integrity', 'l_orderkey', round(1.0 - orphans / CAST(n AS DOUBLE), 6), 1.0::DOUBLE FROM rf)
-        | SELECT "check", "column", metric, threshold, metric >= threshold AS pass
+        |   c0 / CAST(n AS DOUBLE) AS frac, 1.0::DOUBLE AS threshold FROM m
+        |  UNION ALL SELECT 'in_range', 'l_quantity', c1 / CAST(n AS DOUBLE), 1.0::DOUBLE FROM m
+        |  UNION ALL SELECT 'in_range', 'l_discount', c2 / CAST(n AS DOUBLE), 0.5::DOUBLE FROM m
+        |  UNION ALL SELECT 'in_set', 'l_returnflag', c3 / CAST(n AS DOUBLE), 1.0::DOUBLE FROM m
+        |  UNION ALL SELECT 'matches_regex', 'l_shipdate', c4 / CAST(n AS DOUBLE), 1.0::DOUBLE FROM m
+        |  UNION ALL SELECT 'non_negative', 'l_tax', c5 / CAST(n AS DOUBLE), 1.0::DOUBLE FROM m
+        |  UNION ALL SELECT 'unique', 'l_orderkey,l_linenumber', d / CAST(n AS DOUBLE), 1.0::DOUBLE FROM u1
+        |  UNION ALL SELECT 'unique', 'l_orderkey', d / CAST(n AS DOUBLE), 0.9::DOUBLE FROM u2
+        |  UNION ALL SELECT 'ref_integrity', 'l_orderkey', 1.0 - orphans / CAST(n AS DOUBLE), 1.0::DOUBLE FROM rf)
+        | SELECT "check", "column", round(frac, 6) AS metric, threshold,
+        |  frac >= threshold AS pass
         | FROM rep ORDER BY "check", "column"""".om,
     "q_funnel" ->
       """WITH f0 AS (SELECT user_id AS u, event_type AS et, epoch_ms(ts) AS t FROM events),

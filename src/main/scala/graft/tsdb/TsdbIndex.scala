@@ -226,26 +226,36 @@ object TsdbIndex {
     /** Postings offset table: (name, value) → postings section offset. */
     val postingsTable: Map[(String, String), Long] = {
       val r = new Reader(buf, toc.postingsOffsets.toInt)
-      r.be32() // len
+      val len = r.be32()
+      val start = r.pos
       val n = r.be32()
-      (0 until n).map { _ =>
+      val out = (0 until n).map { _ =>
         val k = r.uvarint().toInt
         val keys = (0 until k).map(_ => r.utf8(r.uvarint().toInt))
         val off = r.uvarint()
         (if (keys.size == 2) (keys(0), keys(1)) else ("", "")) -> off
       }.toMap
+      r.pos = start + len
+      require(r.be32() == crc(buf, start, start + len),
+        "postings offset table crc mismatch")
+      out
     }
 
     /** Label offset table: name → label-value index offset. */
     val labelTable: Map[String, Long] = {
       val r = new Reader(buf, toc.labelOffsets.toInt)
-      r.be32()
+      val len = r.be32()
+      val start = r.pos
       val n = r.be32()
-      (0 until n).map { _ =>
+      val out = (0 until n).map { _ =>
         val k = r.uvarint().toInt
         val keys = (0 until k).map(_ => r.utf8(r.uvarint().toInt))
         keys.head -> r.uvarint()
       }.toMap
+      r.pos = start + len
+      require(r.be32() == crc(buf, start, start + len),
+        "label offset table crc mismatch")
+      out
     }
 
     /** Sorted distinct label names present in this block (from the label
@@ -255,17 +265,28 @@ object TsdbIndex {
     def labelValues(name: String): Seq[String] =
       labelTable.get(name).map { off =>
         val r = new Reader(buf, off.toInt)
-        r.be32(); r.be32() // len, #names
+        val len = r.be32()
+        val start = r.pos
+        r.be32() // #names
         val n = r.be32()
-        (0 until n).map(_ => symbols(r.be32()))
+        val out = (0 until n).map(_ => symbols(r.be32()))
+        r.pos = start + len
+        require(r.be32() == crc(buf, start, start + len),
+          s"label index crc mismatch for '$name'")
+        out
       }.getOrElse(Seq.empty)
 
     def postings(name: String, value: String): Seq[Long] =
       postingsTable.get((name, value)).map { off =>
         val r = new Reader(buf, off.toInt)
-        r.be32()
+        val len = r.be32()
+        val start = r.pos
         val n = r.be32()
-        (0 until n).map(_ => r.be32().toLong)
+        val out = (0 until n).map(_ => r.be32().toLong)
+        r.pos = start + len
+        require(r.be32() == crc(buf, start, start + len),
+          s"postings crc mismatch for ($name, $value)")
+        out
       }.getOrElse(Seq.empty)
 
     def allPostings: Seq[Long] = postings("", "")

@@ -67,4 +67,16 @@ class ChecksSpec extends AnyFunSuite {
   test("empty suite is rejected") {
     intercept[IllegalArgumentException](Checks.run(tbl))
   }
+
+  test("verdict uses the UNROUNDED fraction — display rounding cannot admit bad data") {
+    // 2/3 rounds to 0.666667 == the threshold, but the true fraction
+    // 0.6666… is below it: the gate must fail even though the printed
+    // metric equals the printed threshold (the billion-row analogue:
+    // one bad row rounds to metric 1.000000)
+    val df = Seq(Some(1.0), Some(2.0), None).toDF("v")
+    val r = Checks.run(df,
+      rowChecks = Seq(Checks.completeness("v", minFrac = 0.666667))).head()
+    assert(r.getAs[Double]("metric") == 0.666667)
+    assert(!r.getAs[Boolean]("pass"))
+  }
 }

@@ -422,8 +422,9 @@ class PromQLSpec extends AnyFunSuite {
             s(rnd.nextInt(s.length)) = chars.charAt(rnd.nextInt(chars.length))
           }
           new String(s)
-        case 1 => seeds(rnd.nextInt(seeds.length))
-          .take(rnd.nextInt(seeds.head.length))
+        case 1 =>
+          val sd = seeds(rnd.nextInt(seeds.length))
+          sd.take(rnd.nextInt(sd.length))
         case 2 => (0 until rnd.nextInt(40))
           .map(_ => chars.charAt(rnd.nextInt(chars.length))).mkString
       }

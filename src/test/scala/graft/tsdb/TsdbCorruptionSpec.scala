@@ -64,8 +64,11 @@ class TsdbCorruptionSpec extends AnyFunSuite {
       assert(got == baseline, s"SILENT WRONG DATA on $what")
       false
     } catch {
+      // the failed equality assertion MUST escape — ScalaTest's
+      // TestFailedException is a RuntimeException, so a bare
+      // `case _: Exception` would swallow the battery's entire purpose
+      case e: org.scalatest.exceptions.TestFailedException => throw e
       case _: Exception => true
-      case e: AssertionError => throw e
     }
 
   test("every single-byte index mutation: exception or baseline, never wrong data") {
@@ -136,7 +139,10 @@ class TsdbCorruptionSpec extends AnyFunSuite {
       try {
         val got = Tombstones.read(d)
         assert(got == base, s"SILENT WRONG TOMBSTONES at byte $pos")
-      } catch { case _: Exception => () }
+      } catch {
+        case e: org.scalatest.exceptions.TestFailedException => throw e
+        case _: Exception => ()
+      }
     }
     Files.write(p, b)
     assert(Tombstones.read(d) == base)
