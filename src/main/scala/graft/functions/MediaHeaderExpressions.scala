@@ -9,10 +9,10 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** REAL image-header decode as a native Catalyst expression: parses the
-  * published PNG and JPEG container formats (pure JVM, no codec
-  * library) from a `BINARY` column and returns
+  * published PNG, JPEG, GIF, and BMP container formats (pure JVM, no
+  * codec library) from a `BINARY` column and returns
   * `struct<format, width, height, channels>`, or null when the bytes
-  * are neither.
+  * are none of them.
   *
   *  - PNG (RFC 2083): 8-byte signature, then the IHDR chunk —
   *    4-byte big-endian width and height at offsets 16/20, bit depth
@@ -41,10 +41,14 @@ case class MediaHeaderExpr(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[Array[Byte]])
 
-  /** Null when the payload is neither a PNG nor a JPEG header. */
+  /** Null when the payload is none of PNG / JPEG / GIF / BMP. */
   def compute(b: Array[Byte]): InternalRow = {
     val png = parsePng(b)
-    if (png != null) png else parseJpeg(b)
+    if (png != null) return png
+    val jpeg = parseJpeg(b)
+    if (jpeg != null) return jpeg
+    val gif = parseGif(b)
+    if (gif != null) gif else parseBmp(b)
   }
 
   private def be4(b: Array[Byte], i: Int): Int =
@@ -53,6 +57,44 @@ case class MediaHeaderExpr(child: Expression) extends UnaryExpression {
 
   private def be2(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  private def le4(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  private def le2(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  /** GIF87a/GIF89a: 6-byte signature, then the logical screen
+    * descriptor — little-endian width and height. GIF pixels are
+    * palette indices, so channels = 1 (the PNG palette convention). */
+  private def parseGif(b: Array[Byte]): InternalRow = {
+    if (b.length < 13) return null
+    if (b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8' ||
+      (b(4) != '7' && b(4) != '9') || b(5) != 'a') return null
+    InternalRow(UTF8String.fromString("gif"), le2(b, 6), le2(b, 8), 1)
+  }
+
+  /** BMP: "BM" file header, then a BITMAPINFOHEADER-or-later DIB
+    * header (size ≥ 40) — little-endian signed width/height (negative
+    * height = top-down row order) and bits-per-pixel (≤8 palette → 1
+    * channel, 16 → 2, 24 → 3, 32 → 4). */
+  private def parseBmp(b: Array[Byte]): InternalRow = {
+    if (b.length < 30) return null
+    if (b(0) != 'B' || b(1) != 'M') return null
+    if (le4(b, 14) < 40) return null
+    val w = le4(b, 18)
+    val h = le4(b, 22)
+    if (w <= 0 || h == 0 || h == Int.MinValue) return null
+    val channels = le2(b, 28) match {
+      case 1 | 4 | 8 => 1
+      case 16 => 2
+      case 24 => 3
+      case 32 => 4
+      case _ => return null
+    }
+    InternalRow(UTF8String.fromString("bmp"), w, math.abs(h), channels)
+  }
 
   private val PngSig =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)

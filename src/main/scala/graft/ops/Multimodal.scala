@@ -107,10 +107,52 @@ object Multimodal {
   }
 
   /** REAL header decode (replaces the round-1..8 stub): parse the PNG /
-    * JPEG container header from the payload bytes — a codegen'd native
-    * expression, partition-local, null for unrecognized bytes. */
+    * JPEG / GIF / BMP container header from the payload bytes — a
+    * codegen'd native expression, partition-local, null for
+    * unrecognized bytes. */
   def decodeHeader(payload: Column): Column =
     graft.functions.MediaHeaderExpr.media_header(payload)
+
+  /** Media table carrying REAL GIF (even ids) / BMP (odd ids)
+    * containers — the legacy-format counterpart of [[synthesizeImages]],
+    * same deterministic dimension/channel functions of the id so the
+    * oracle recomputes what a correct decode must return. GIF: 6-byte
+    * signature + little-endian logical screen descriptor + body +
+    * trailer (header overhead 14 with the trailer). BMP: "BM" file
+    * header + BITMAPINFOHEADER with signed little-endian dimensions
+    * and bits-per-pixel (8 or 24), 54 header bytes. */
+  def synthesizeGifBmp(df: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
+    val width = pmod(id, lit(1024L)) + 32L
+    val height = pmod(expr(s"$idCol div 7"), lit(1024L)) + 32L
+    val channels = when(pmod(id, lit(3L)) === 0, 1L).otherwise(3L)
+    val body = encode(col(textCol), "UTF-8")
+    val gif = concat(
+      lit("GIF89a".getBytes("US-ASCII")),
+      le2l(width), le2l(height),
+      lit(Array[Byte](0, 0, 0)), // packed (no GCT), background, aspect
+      body,
+      lit(Array(0x3b).map(_.toByte))) // trailer
+    val bpp = when(channels === 1, 8L).otherwise(24L)
+    val bmp = concat(
+      lit("BM".getBytes("US-ASCII")),
+      le4l(length(body) + 54L), le4l(lit(0L)), le4l(lit(54L)), // file header
+      le4l(lit(40L)), le4l(width), le4l(height), // BITMAPINFOHEADER
+      le2l(lit(1L)), le2l(bpp),
+      lit(Array.fill[Byte](24)(0)), // compression/size/ppm/palette fields
+      body)
+    val payload = when(pmod(id, lit(2L)) === 0, gif).otherwise(bmp)
+    val mime = when(pmod(id, lit(2L)) === 0, "image/gif").otherwise("image/bmp")
+    df.select(
+      id.as("media_id"),
+      lit("image").as("kind"),
+      payload.as("payload"),
+      struct(
+        col(sourceCol).as("source"),
+        mime.as("mime"),
+        length(payload).cast("long").as("n_bytes")).as("meta"))
+  }
 
   private def byteAt(c: Column, k: Int): Column =
     be1(pmod(shiftright(c.cast("long"), 8 * k), lit(256L)))

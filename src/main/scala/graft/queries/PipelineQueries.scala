@@ -669,6 +669,22 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // the legacy image formats through the SAME decoder: GIF logical
+    // screen descriptors and BMP BITMAPINFOHEADERs, little-endian
+    // dimensions parsed back out of real container bytes
+    "mm_gif_bmp_decode" -> ((s, dir) => {
+      val media = Multimodal.synthesizeGifBmp(docs(s, dir), "doc_id", "text", "source")
+      media.select(col("media_id"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"),
+        Multimodal.decodeHeader(col("payload")).as("d"))
+        .select(col("media_id"), col("mime"), col("n_bytes"),
+          col("d.format").as("format"),
+          col("d.width").cast("long").as("width"),
+          col("d.height").cast("long").as("height"),
+          col("d.channels").cast("long").as("channels"))
+        .orderBy(col("media_id"))
+    }),
+
     // audio payloads carry REAL WAV/RIFF containers and the codegen'd
     // AudioHeaderExpr walks the chunk list back out of the bytes; the
     // oracle recomputes the expected fields from the deterministic
@@ -2292,6 +2308,18 @@ object PipelineQueries {
         | (doc_id % 1024) + 32 AS width,
         | ((doc_id // 7) % 1024) + 32 AS height,
         | CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS channels
+        | FROM documents ORDER BY media_id""".om,
+    // GIF/BMP parse: GIF = 13-byte header + body + 1 trailer; BMP =
+    // 54-byte header + body; gif channels always 1 (palette indices)
+    "mm_gif_bmp_decode" ->
+      """SELECT doc_id AS media_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'image/gif' ELSE 'image/bmp' END AS mime,
+        | octet_length(encode(text)) + CASE WHEN doc_id % 2 = 0 THEN 14 ELSE 54 END AS n_bytes,
+        | CASE WHEN doc_id % 2 = 0 THEN 'gif' ELSE 'bmp' END AS format,
+        | (doc_id % 1024) + 32 AS width,
+        | ((doc_id // 7) % 1024) + 32 AS height,
+        | CASE WHEN doc_id % 2 = 0 THEN 1
+        |   ELSE (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END) END AS channels
         | FROM documents ORDER BY media_id""".om,
     // WAV parse: canonical 44-byte PCM header (12 form + 24 fmt + 8 data
     // header) + text body; rate/channels/frames recomputed from the

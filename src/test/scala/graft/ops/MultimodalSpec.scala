@@ -61,6 +61,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2).isNullAt(1), "foreign bytes must decode to null, not throw")
   }
 
+  test("GIF/BMP: round-trip, top-down BMP, 16bpp, pre-BITMAPINFOHEADER nulls") {
+    val docs = Seq((0L, "gif, channels n/a (palette)", "s"),
+      (9L, "bmp 8bpp (9 % 3 = 0)", "s"), (7L, "bmp 24bpp", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Multimodal.synthesizeGifBmp(docs, "doc_id", "text", "source")
+      .select(col("media_id"), Multimodal.decodeHeader(col("payload")).as("d"))
+      .select(col("media_id"), col("d.format"), col("d.width"),
+        col("d.height"), col("d.channels"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getInt(3), r.getInt(4))).sortBy(_._1).toSeq
+    assert(out == Seq((0L, "gif", 32, 32, 1), (7L, "bmp", 39, 33, 3),
+      (9L, "bmp", 41, 33, 1)))
+
+    // hand-built BMPs: negative height (top-down) must abs; 16bpp → 2
+    // channels; a BITMAPCOREHEADER (size 12 < 40) is not parsed
+    def bmp(w: Int, h: Int, bpp: Int, dib: Int = 40): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(70)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(70).putInt(0).putInt(54)
+      b.putInt(dib).putInt(w).putInt(h).putShort(1).putShort(bpp.toShort)
+      b.array()
+    }
+    val rows = Seq((1L, bmp(640, -480, 32)), (2L, bmp(10, 20, 16)),
+        (3L, bmp(10, 20, 24, dib = 12)), (4L, bmp(0, 20, 24)))
+      .toDF("id", "payload")
+      .select(col("id"), Multimodal.decodeHeader(col("payload")).as("d"))
+      .orderBy("id").collect()
+    val topDown = rows(0).getStruct(1)
+    assert(topDown.getInt(1) == 640 && topDown.getInt(2) == 480 &&
+      topDown.getInt(3) == 4)
+    assert(rows(1).getStruct(1).getInt(3) == 2) // 16bpp
+    assert(rows(2).isNullAt(1), "BITMAPCOREHEADER is out of scope -> null")
+    assert(rows(3).isNullAt(1), "zero width -> null")
+  }
+
   test("synthesizeAudio payloads round-trip through the WAV header decode") {
     val docs = Seq(
       (0L, "8000 Hz mono", "s3://a"),          // id%5=0, id%2=0
@@ -177,7 +212,9 @@ class MultimodalSpec extends AnyFunSuite {
       .select("payload").collect().map(_.getAs[Array[Byte]](0))
     val mp4Seed = Multimodal.synthesizeVideo(docs, "doc_id", "text", "source")
       .select("payload").collect().map(_.getAs[Array[Byte]](0))
-    val seeds = imgSeeds ++ wavSeed ++ mp4Seed
+    val gifBmpSeeds = Multimodal.synthesizeGifBmp(docs, "doc_id", "text", "source")
+      .select("payload").collect().map(_.getAs[Array[Byte]](0))
+    val seeds = imgSeeds ++ wavSeed ++ mp4Seed ++ gifBmpSeeds
     val rnd = new scala.util.Random(42)
     val variants = (0 until 300).map { i =>
       val base = seeds(rnd.nextInt(seeds.length))
@@ -202,8 +239,9 @@ class MultimodalSpec extends AnyFunSuite {
     got.foreach { r =>
       if (!r.isNullAt(1)) {
         val img = r.getStruct(1)
-        assert(Set("png", "jpeg")(img.getString(0)))
+        assert(Set("png", "jpeg", "gif", "bmp")(img.getString(0)))
         assert(img.getInt(3) >= 0 && img.getInt(3) <= 255) // channels byte
+        assert(img.getInt(2) >= 0, "height must not go negative") // abs'd BMP
       }
       if (!r.isNullAt(2)) {
         val aud = r.getStruct(2)
