@@ -727,6 +727,45 @@ object StreamIngest {
     w.start()
   }
 
+  /** Streaming classifier gate — the streaming consumer of a persisted
+    * [[graft.ops.Classifier.NbModel]] (train once on curated seeds,
+    * ship the parquet artifact, gate every arriving micro-batch): docs
+    * scoring `p_pos >= minP` land in `storePath/batch=<id>`, the rest
+    * in `rejectPath/batch=<id>` WITH their scores (rejects are
+    * delivered, not swallowed — the quality-filter audit trail every
+    * curation pipeline keeps). The model loads once per stream start
+    * and its ≤buckets-row weight table broadcasts into each batch's
+    * scoring join; Overwrite batch dirs keep replays idempotent. */
+  def classifierGatedStream(docs: DataFrame, idCol: String, textCol: String,
+                            modelPath: String, minP: Double,
+                            storePath: String, rejectPath: String,
+                            checkpoint: String,
+                            daemon: Boolean = false): StreamingQuery = {
+    val model = graft.ops.Classifier.load(docs.sparkSession, modelPath)
+    val w: DataStreamWriter[org.apache.spark.sql.Row] = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val persisted = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val scored = graft.ops.Classifier.score(persisted, idCol, textCol, model)
+            .withColumnRenamed("id", idCol)
+          val joined = persisted.join(
+            scored.select(col(idCol), col("logodds"), col("p_pos")), Seq(idCol))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            joined.where(col("p_pos") >= minP)
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"$storePath/batch=$batchId")
+            joined.where(col("p_pos") < minP)
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"$rejectPath/batch=$batchId")
+          } finally joined.unpersist(false)
+        } finally persisted.unpersist(false)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (daemon) Trigger.ProcessingTime("5 seconds") else Trigger.AvailableNow())
+    w.start()
+  }
+
   /** Streaming DSIR pool model — the sum-monoid member of the streaming
     * family for importance-resampling data selection
     * ([[graft.ops.Dsir]]): each micro-batch writes its hashed-gram

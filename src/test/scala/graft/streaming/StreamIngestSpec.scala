@@ -813,4 +813,36 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(store).count() == 3)
     assert(spark.read.parquet(quarantine).count() == 2)
   }
+
+  test("classifier-gated stream: persisted model admits pos-vocab, rejects carry scores") {
+    import spark.implicits._
+    import graft.ops.Classifier
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("graft-cstream")
+    val modelDir = root.resolve("model").toString
+    val store = root.resolve("store").toString
+    val rejects = root.resolve("rejects").toString
+    val ckpt = root.resolve("ckpt").toString
+    // train offline on disjoint vocabularies, persist the artifact
+    val pos = (0L until 30L).map(i => (i, s"alpha beta gamma delta run$i"))
+      .toDF("doc_id", "text")
+    val neg = (100L until 130L).map(i => (i, s"omega sigma tau rho run$i"))
+      .toDF("doc_id", "text")
+    Classifier.trainNb(pos, neg, "text").save(modelDir)
+
+    val mem = MemoryStream[(Long, String)]
+    val s = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    mem.addData((1L, "alpha beta gamma keep me"), (2L, "omega sigma tau drop me"),
+      (3L, "beta delta alpha gamma alpha"))
+    StreamIngest.classifierGatedStream(s, "doc_id", "text", modelDir,
+      minP = 0.5, store, rejects, ckpt).awaitTermination()
+    val kept = spark.read.parquet(store).collect()
+    assert(kept.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 3L))
+    // admitted rows carry their scores; rejects are delivered with theirs
+    assert(kept.forall(_.getAs[Double]("p_pos") >= 0.5))
+    val rej = spark.read.parquet(rejects).collect()
+    assert(rej.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L))
+    assert(rej.head.getAs[Double]("p_pos") < 0.5 &&
+      !rej.head.getAs[Double]("logodds").isNaN)
+  }
 }
