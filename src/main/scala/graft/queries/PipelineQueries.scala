@@ -1070,7 +1070,25 @@ object PipelineQueries {
     // reliability buckets: mean predicted p vs empirical positive rate
     "qc_calibration" -> ((s, dir) =>
       Eval.calibration(qcScored(s, dir), col("label"), col("p_pos"), bins = 10)
-        .orderBy(col("bin")))
+        .orderBy(col("bin"))),
+
+    // source-mix drift between two corpus snapshots (even/odd split):
+    // per-category PSI and JS terms — the drill-down view of the drift
+    // monitor a pipeline runs before mixing a new crawl in
+    "drift_source_terms" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.Drift.categoricalTerms(
+        d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
+        col("source"))
+    }),
+
+    // the one-row summary of the same comparison: PSI / JS / chi-square
+    "drift_source_summary" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.Drift.categoricalSummary(
+        d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
+        col("source"))
+    })
   )
 
   /** Per-(session, dir) scored held-out split of the NB quality filter —
@@ -2413,8 +2431,44 @@ object PipelineQueries {
          | SELECT least(CAST(floor(p_pos * 10) AS BIGINT), 9) AS bin,
          |  count(*) AS n, round(avg(p_pos), 6) AS mean_p,
          |  round(count(*) FILTER (WHERE label) / nullif(CAST(count(*) AS DOUBLE), 0), 6) AS pos_rate
-         | FROM scored GROUP BY 1 ORDER BY bin""".om
+         | FROM scored GROUP BY 1 ORDER BY bin""".om,
+    "drift_source_terms" ->
+      s"""WITH $driftCtes
+         | SELECT category, n_ref, n_cur, round(p, 6) AS p_ref, round(q, 6) AS p_cur,
+         |  round((p - q) * (ln(p) - ln(q)), 6) AS psi_term,
+         |  round((p * (ln(p) - ln(m)) + q * (ln(q) - ln(m))) / 2, 6) AS js_term
+         | FROM y ORDER BY category""".om,
+    "drift_source_summary" ->
+      s"""WITH $driftCtes
+         | SELECT CAST(count(*) AS BIGINT) AS n_categories,
+         |  CAST(sum(n_ref) AS BIGINT) AS n_ref, CAST(sum(n_cur) AS BIGINT) AS n_cur,
+         |  round(sum((p - q) * (ln(p) - ln(q))), 6) AS psi,
+         |  round(sum(p * (ln(p) - ln(m)) + q * (ln(q) - ln(m))) / 2, 6) AS js,
+         |  round(sum(pow(n_ref - nr * sh, 2) / (nr * sh) +
+         |    pow(n_cur - nc * sh, 2) / (nc * sh)), 6) AS chi2
+         | FROM y""".om
   )
+
+  /** Shared drift CTE chain mirroring [[graft.ops.Drift]]: per-category
+    * counts of the even/odd corpus snapshots, add-0.5 smoothing over
+    * the category union, p/q/m probability columns. */
+  private lazy val driftCtes =
+    """r AS (SELECT source AS category, count(*) AS n_ref FROM documents
+      |  WHERE doc_id % 2 = 0 AND source IS NOT NULL GROUP BY 1),
+      |c AS (SELECT source AS category, count(*) AS n_cur FROM documents
+      |  WHERE doc_id % 2 = 1 AND source IS NOT NULL GROUP BY 1),
+      |j AS (SELECT coalesce(r.category, c.category) AS category,
+      |   CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+      |   CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+      |  FROM r FULL JOIN c ON r.category = c.category),
+      |t AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS nr,
+      |   CAST(sum(n_cur) AS DOUBLE) AS nc, CAST(count(*) AS DOUBLE) AS k FROM j),
+      |y AS (SELECT category, n_ref, n_cur, nr, nc,
+      |   (n_ref + 0.5) / (nr + 0.5 * k) AS p,
+      |   (n_cur + 0.5) / (nc + 0.5 * k) AS q,
+      |   ((n_ref + 0.5) / (nr + 0.5 * k) + (n_cur + 0.5) / (nc + 0.5 * k)) / 2 AS m,
+      |   (n_ref + n_cur) / (nr + nc) AS sh
+      |  FROM j, t)""".om
 
   /** Shared NB-quality-filter CTE chain, mirroring [[graft.ops.Classifier]]
     * exactly: md5-unit train/test split, hashed unigram+bigram features

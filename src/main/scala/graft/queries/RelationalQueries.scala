@@ -240,6 +240,17 @@ object RelationalQueries {
           t(s, dir, "orders").select(col("o_orderkey")), broadcastKeys = true)))
     }),
 
+    // numeric drift monitor: the value distribution of the month's
+    // first half vs its second, fixed-width binned — PSI / JS / chi2
+    "q_drift_value" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("value"), Tables.tsMillis(col("ts")).as("t"))
+      val cut = 1705276800000L // 2024-01-15
+      graft.ops.Drift.numericDrift(
+        ev.where(col("t") < cut), ev.where(col("t") >= cut),
+        col("value"), lo = 0.0, hi = 500.0, bins = 20)
+    }),
+
     // ordered funnel (view → click → purchase within 7 days): chained
     // min(when) windows over ONE user partition — greedy-earliest chain,
     // provably the deepest (window anchored at step 1), single shuffle
@@ -463,6 +474,31 @@ object RelationalQueries {
         | SELECT "check", "column", round(frac, 6) AS metric, threshold,
         |  frac >= threshold AS pass
         | FROM rep ORDER BY "check", "column"""".om,
+    "q_drift_value" ->
+      """WITH r0 AS (SELECT CAST(least(greatest(floor(("value" - 0) / 25.0), 0), 19) AS BIGINT) AS b
+        |  FROM events WHERE epoch_ms(ts) < 1705276800000 AND "value" IS NOT NULL),
+        | c0 AS (SELECT CAST(least(greatest(floor(("value" - 0) / 25.0), 0), 19) AS BIGINT) AS b
+        |  FROM events WHERE epoch_ms(ts) >= 1705276800000 AND "value" IS NOT NULL),
+        | r AS (SELECT CAST(b AS VARCHAR) AS category, count(*) AS n_ref FROM r0 GROUP BY 1),
+        | c AS (SELECT CAST(b AS VARCHAR) AS category, count(*) AS n_cur FROM c0 GROUP BY 1),
+        | j AS (SELECT coalesce(r.category, c.category) AS category,
+        |   CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+        |   CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+        |  FROM r FULL JOIN c ON r.category = c.category),
+        | t AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS nr,
+        |   CAST(sum(n_cur) AS DOUBLE) AS nc, CAST(count(*) AS DOUBLE) AS k FROM j),
+        | y AS (SELECT n_ref, n_cur, nr, nc,
+        |   (n_ref + 0.5) / (nr + 0.5 * k) AS p, (n_cur + 0.5) / (nc + 0.5 * k) AS q,
+        |   ((n_ref + 0.5) / (nr + 0.5 * k) + (n_cur + 0.5) / (nc + 0.5 * k)) / 2 AS m,
+        |   (n_ref + n_cur) / (nr + nc) AS sh
+        |  FROM j, t)
+        | SELECT CAST(count(*) AS BIGINT) AS n_categories,
+        |  CAST(sum(n_ref) AS BIGINT) AS n_ref, CAST(sum(n_cur) AS BIGINT) AS n_cur,
+        |  round(sum((p - q) * (ln(p) - ln(q))), 6) AS psi,
+        |  round(sum(p * (ln(p) - ln(m)) + q * (ln(q) - ln(m))) / 2, 6) AS js,
+        |  round(sum(pow(n_ref - nr * sh, 2) / (nr * sh) +
+        |    pow(n_cur - nc * sh, 2) / (nc * sh)), 6) AS chi2
+        | FROM y""".om,
     "q_funnel" ->
       """WITH f0 AS (SELECT user_id AS u, event_type AS et, epoch_ms(ts) AS t FROM events),
         | f1 AS (SELECT *, min(CASE WHEN et = 'view' THEN t END)
