@@ -90,6 +90,38 @@ object Eval {
           (col("n1") * col("n0"))).as("auc_binned"))
   }
 
+  /** Multiclass confusion matrix in sparse form: `(actual, predicted,
+    * n)` — one map-side-combined aggregation, ≤ |classes|² rows. */
+  def confusionMatrix(df: DataFrame, actual: Column, predicted: Column): DataFrame =
+    df.groupBy(actual.cast("string").as("actual"),
+        predicted.cast("string").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("actual"), col("predicted"))
+
+  /** Per-class precision / recall / F1 over the union of actual and
+    * predicted classes (a class never predicted still reports, with
+    * null precision): `(class, n_actual, n_predicted, tp, precision,
+    * recall, f1)`. Everything derives from the bounded confusion
+    * matrix — the corpus is scanned once. */
+  def classReport(df: DataFrame, actual: Column, predicted: Column): DataFrame = {
+    val cm = confusionMatrix(df, actual, predicted)
+    val at = cm.groupBy(col("actual").as("cls")).agg(sum("n").as("n_actual"))
+    val pt = cm.groupBy(col("predicted").as("cls")).agg(sum("n").as("n_predicted"))
+    val dg = cm.where(col("actual") === col("predicted"))
+      .select(col("actual").as("cls"), col("n").as("tp"))
+    at.join(pt, Seq("cls"), "full_outer").join(dg, Seq("cls"), "left")
+      .select(col("cls").as("class"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("class"), col("n_actual"), col("n_predicted"), col("tp"),
+        rate(col("tp"), col("n_predicted")).as("precision"),
+        rate(col("tp"), col("n_actual")).as("recall"),
+        rate(lit(2) * col("tp"),
+          col("n_actual") + col("n_predicted")).as("f1"))
+      .orderBy(col("class"))
+  }
+
   /** Calibration (reliability) buckets over a [0,1] score: per bucket
     * `(bin, n, mean_p, pos_rate)` — a well-calibrated classifier has
     * `mean_p ≈ pos_rate` down the table. Single aggregation, ≤ `bins`

@@ -624,6 +624,15 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // the langId heuristic EVALUATED against the labeled lang column:
+    // per-class precision/recall/F1 from the bounded confusion matrix —
+    // closing the loop on an engine component with ground truth
+    "langid_report" -> ((s, dir) => {
+      val pr = docs(s, dir).select(col("lang").as("actual"),
+        TextAnalysis.langId(col("text")).as("predicted"))
+      Eval.classReport(pr, col("actual"), col("predicted"))
+    }),
+
     // order-sensitive rolling-hash fingerprint
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -2281,6 +2290,27 @@ object PipelineQueries {
       s"""WITH ${tokCte(1)}, $langidCtes
          | SELECT doc_id, CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS lang_pred
          | FROM best ORDER BY doc_id""".om,
+    "langid_report" ->
+      s"""WITH ${tokCte(1)}, $langidCtes,
+         | pr AS (SELECT toks.lang AS actual,
+         |   CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS predicted
+         |  FROM toks JOIN best USING (doc_id)),
+         | cm AS (SELECT actual, predicted, count(*) AS n FROM pr GROUP BY 1, 2),
+         | at AS (SELECT actual AS cls, sum(n) AS n_actual FROM cm GROUP BY 1),
+         | pt AS (SELECT predicted AS cls, sum(n) AS n_predicted FROM cm GROUP BY 1),
+         | dg AS (SELECT actual AS cls, n AS tp FROM cm WHERE actual = predicted),
+         | cl AS (SELECT coalesce(at.cls, pt.cls) AS cls,
+         |   CAST(coalesce(n_actual, 0) AS BIGINT) AS n_actual,
+         |   CAST(coalesce(n_predicted, 0) AS BIGINT) AS n_predicted
+         |  FROM at FULL JOIN pt ON at.cls = pt.cls),
+         | r AS (SELECT cl.cls, n_actual, n_predicted,
+         |   CAST(coalesce(tp, 0) AS BIGINT) AS tp
+         |  FROM cl LEFT JOIN dg ON cl.cls = dg.cls)
+         | SELECT cls AS class, n_actual, n_predicted, tp,
+         |  round(tp / nullif(CAST(n_predicted AS DOUBLE), 0), 6) AS precision,
+         |  round(tp / nullif(CAST(n_actual AS DOUBLE), 0), 6) AS recall,
+         |  round(2 * tp / nullif(CAST(n_actual + n_predicted AS DOUBLE), 0), 6) AS f1
+         | FROM r ORDER BY class""".om,
     "pipeline_curate" ->
       s"""WITH ${tokCte(1)}, $langidCtes,
          | q AS (SELECT doc_id, $qualitySqlExpr AS quality FROM toks),

@@ -102,6 +102,28 @@ class ClassifierSpec extends AnyFunSuite {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("classReport: hand-computed multiclass metrics, never-predicted class kept") {
+    val df = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"), // a: tp 2, fn 1
+      ("b", "a"), ("b", "b"),             // b: tp 1, fp 1 (from a), fn 1
+      ("c", "a"))                          // c never predicted
+      .toDF("actual", "predicted")
+    val r = Eval.classReport(df, col("actual"), col("predicted"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(("a", 3L, 4L, 2L), ("b", 2L, 2L, 1L), ("c", 1L, 0L, 0L)))
+    val rows = Eval.classReport(df, col("actual"), col("predicted")).collect()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows(0).getAs[Double]("precision") == 0.5) // 2/4
+    assert(rows(0).getAs[Double]("recall") == r6(2.0 / 3))
+    assert(rows(0).getAs[Double]("f1") == r6(4.0 / 7)) // 2tp/(na+np)
+    assert(rows(2).isNullAt(rows(2).fieldIndex("precision")), "0 predictions -> null")
+    assert(rows(2).getAs[Double]("recall") == 0.0)
+    val cm = Eval.confusionMatrix(df, col("actual"), col("predicted")).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    assert(cm.toSeq == Seq(("a", "a", 2L), ("a", "b", 1L), ("b", "a", 1L),
+      ("b", "b", 1L), ("c", "a", 1L)))
+  }
+
   test("confusion: degenerate one-class input yields null metrics, not NaN") {
     val df = Seq((0.9, true), (0.2, true)).toDF("s", "label")
     val r = Eval.confusion(df, col("label"), col("s"), 0.5).head()
