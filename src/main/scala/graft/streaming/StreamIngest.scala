@@ -381,16 +381,49 @@ object StreamIngest {
     else Long.MinValue
   }
 
-  /** Live (not-yet-folded) rows of a span-index store: the compacted
-    * `batch=-1` partition plus every batch dir NEWER than the
-    * compaction marker. */
-  private def liveSpanPartials(spark: SparkSession, indexPath: String): DataFrame = {
+  /** Live (not-yet-folded) rows of any `batch=<id>`-partitioned monoid
+    * store: the compacted `batch=-1` partition plus every batch dir
+    * NEWER than the compaction marker. Every view over such a store
+    * reads through this, so [[compactMonoidStore]] is valid for ALL of
+    * them — and a batch REPLAYED after its partials were folded is
+    * inert rather than double-counted. */
+  def livePartials(spark: SparkSession, indexPath: String): DataFrame = {
     val through = compactedThrough(indexPath)
     val all = spark.read.parquet(indexPath)
     val live =
       if (through == Long.MinValue) all
       else all.where(col("batch") === -1L || col("batch") > through)
     live.drop("batch") // the replay-idempotency partition key
+  }
+
+  /** Collapse ANY `batch=<id>` monoid store's accumulated partials via
+    * its own merge `fold` (sum counts, max registers, min hashes,
+    * distinct candidates, …) — the generalization of the span-index
+    * compaction: fold the live partials into `batch=-1`, record the
+    * highest folded batch id in the marker, atomically swap. The fold
+    * MUST be the same merge the store's view applies, so
+    * view(compact(store)) ≡ view(store) by the monoid laws. Prefer
+    * running with the owning stream stopped and committed; the marker
+    * makes the overlap safe either way. */
+  def compactMonoidStore(spark: SparkSession, indexPath: String,
+                         targetFiles: Int = 8)
+                        (fold: DataFrame => DataFrame): Unit = {
+    import graft.tsdb.BlockIO
+    val priorThrough = compactedThrough(indexPath)
+    val maxFolded = BlockIO.listDirNames(indexPath)
+      .collect { case s if s.startsWith("batch=") => s.stripPrefix("batch=").toLong }
+      .foldLeft(priorThrough)(math.max)
+    val merged = fold(livePartials(spark, indexPath)).repartition(targetFiles)
+    val tmp = indexPath + ".compact"
+    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(tmp + "/batch=-1")
+    BlockIO.writeString(BlockIO.child(tmp, CompactedThroughMarker),
+      maxFolded.toString)
+    val old = indexPath + ".old"
+    BlockIO.rename(indexPath, old)
+    BlockIO.rename(tmp, indexPath)
+    BlockIO.delete(old, recursive = true)
+    spark.catalog.refreshByPath(indexPath)
   }
 
   /** The queryable multi-doc span tail over a [[spanIndexStream]] store:
@@ -400,7 +433,7 @@ object StreamIngest {
     * [[compactSpanIndex]] marker are ignored (replayed stale partials). */
   def spanIndexView(spark: SparkSession, indexPath: String,
                     minDocs: Int = 2): DataFrame =
-    liveSpanPartials(spark, indexPath)
+    livePartials(spark, indexPath)
       .groupBy(col("span_digest"))
       .agg(sum(col("n_docs")).as("n_docs"), min(col("first_doc")).as("first_doc"))
       .where(col("n_docs") >= minDocs)
@@ -418,31 +451,10 @@ object StreamIngest {
     * running compaction with the owning stream stopped and fully
     * committed; the marker makes the overlap safe either way. */
   def compactSpanIndex(spark: SparkSession, indexPath: String,
-                       targetFiles: Int = 8): Unit = {
-    import graft.tsdb.BlockIO
-    // fold only live partials; a stale replayed dir ≤ the existing
-    // marker must not be re-added
-    val priorThrough = compactedThrough(indexPath)
-    val maxFolded = BlockIO.listDirNames(indexPath)
-      .collect { case s if s.startsWith("batch=") => s.stripPrefix("batch=").toLong }
-      .foldLeft(priorThrough)(math.max)
-    val merged = liveSpanPartials(spark, indexPath)
-      .groupBy(col("span_digest"))
-      .agg(sum(col("n_docs")).as("n_docs"), min(col("first_doc")).as("first_doc"))
-      .repartition(targetFiles)
-    val tmp = indexPath + ".compact"
-    // compacted rows land in batch=-1 (no live stream writes that id),
-    // keeping the store uniformly batch-partitioned for discovery
-    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(tmp + "/batch=-1")
-    BlockIO.writeString(BlockIO.child(tmp, CompactedThroughMarker),
-      maxFolded.toString)
-    val old = indexPath + ".old"
-    BlockIO.rename(indexPath, old)
-    BlockIO.rename(tmp, indexPath)
-    BlockIO.delete(old, recursive = true)
-    spark.catalog.refreshByPath(indexPath)
-  }
+                       targetFiles: Int = 8): Unit =
+    compactMonoidStore(spark, indexPath, targetFiles)(
+      _.groupBy(col("span_digest"))
+        .agg(sum(col("n_docs")).as("n_docs"), min(col("first_doc")).as("first_doc")))
 
   /** Beyond-reference: streaming HyperLogLog — the incremental form of
     * [[graft.ops.Sketches.hllDistinct]]. Registers are a MAX-monoid
@@ -475,8 +487,7 @@ object StreamIngest {
     * stream's. */
   def hllEstimateView(spark: SparkSession, indexPath: String, m: Int): DataFrame =
     graft.ops.Sketches.hllEstimate(
-      spark.read.parquet(indexPath)
-        .drop("batch")
+      livePartials(spark, indexPath)
         .groupBy(col("grp"), col("idx")).agg(max(col("mj")).as("mj")), m)
 
   /** Streaming KMV — the bottom-k counterpart of [[hllRegisterStream]]:
@@ -507,7 +518,7 @@ object StreamIngest {
     * `k` must match the stream's. */
   def kmvEstimateView(spark: SparkSession, indexPath: String, k: Int): DataFrame =
     graft.ops.Sketches.kmvEstimateFromHashes(
-      spark.read.parquet(indexPath).drop("batch"), k)
+      livePartials(spark, indexPath), k)
 
   /** Streaming histogram — the sum-monoid member of the streaming
     * sketch family (HLL registers merge by max, KMV hashes by min,
@@ -541,7 +552,7 @@ object StreamIngest {
                        lo: Double, hi: Double, nBins: Int,
                        qs: Seq[Double]): DataFrame =
     graft.ops.Sketches.histQuantilesFromCounts(
-      spark.read.parquet(indexPath).drop("batch"), nBins, lo, hi, qs)
+      livePartials(spark, indexPath), nBins, lo, hi, qs)
 
   /** Streaming count-min — frequency's member of the streaming sketch
     * family: per-batch (r, c, cnt) counter partials (≤ depth × width
@@ -571,7 +582,7 @@ object StreamIngest {
   def cmFrequencyView(spark: SparkSession, indexPath: String,
                       probes: DataFrame, depth: Int, width: Int): DataFrame =
     graft.ops.Sketches.cmEstimate(
-      spark.read.parquet(indexPath).drop("batch"), probes, depth, width)
+      livePartials(spark, indexPath), probes, depth, width)
 
   /** Streaming Bloom filter — membership's member of the family: each
     * micro-batch writes its sparse (word, bits) partials; OR-merge is
@@ -604,7 +615,7 @@ object StreamIngest {
                         probes: DataFrame, widthBits: Int,
                         numHashes: Int): DataFrame =
     graft.ops.Sketches.bloomContains(
-      spark.read.parquet(indexPath).drop("batch"), probes, widthBits, numHashes)
+      livePartials(spark, indexPath), probes, widthBits, numHashes)
 
   /** Streaming NATIVE histograms — the sum-monoid streaming form of
     * [[graft.ops.NativeHistogram]]: each micro-batch writes its
@@ -637,7 +648,7 @@ object StreamIngest {
   def nativeHistView(spark: SparkSession, indexPath: String,
                      groupCols: Seq[String]): DataFrame =
     graft.ops.NativeHistogram.merge(
-      spark.read.parquet(indexPath).drop("batch"), groupCols)
+      livePartials(spark, indexPath), groupCols)
 
   /** Streaming heavy hitters — the candidate half of
     * [[graft.ops.Sketches.heavyHitters]] run per micro-batch: each batch
@@ -681,7 +692,7 @@ object StreamIngest {
         col(keyCol).cast("string").as("key"))
       .where(col("key").isNotNull)
     graft.ops.Sketches.recountTopK(pairs,
-      spark.read.parquet(indexPath).drop("batch").distinct(), k)
+      livePartials(spark, indexPath).distinct(), k)
   }
 
   /** Streaming data-validation gate — the streaming consumer of
@@ -794,7 +805,7 @@ object StreamIngest {
     * identical to [[graft.ops.Dsir.bucketCounts]] on the union of every
     * batch streamed so far (counts are a sum-monoid). */
   def dsirPoolCounts(spark: SparkSession, indexPath: String): DataFrame =
-    spark.read.parquet(indexPath).drop("batch")
+    livePartials(spark, indexPath)
       .groupBy("b").agg(sum(col("c")).as("c"))
 
   /** Beyond-reference: the streaming form of the batch curation pipeline

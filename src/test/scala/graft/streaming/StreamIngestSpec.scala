@@ -574,6 +574,22 @@ class StreamIngestSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[Long]("id") ->
         (r.getAs[Long]("n_grams"), r.getAs[Double]("logw"))).toMap
     assert(viaStream == direct)
+
+    // generic monoid compaction: fold the sum store to batch=-1; the
+    // view is unchanged, the store is one partition + marker, and a
+    // batch replayed AFTER folding is inert (not double-counted)
+    def counts() = StreamIngest.dsirPoolCounts(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = counts()
+    StreamIngest.compactMonoidStore(spark, idx, targetFiles = 1)(
+      _.groupBy("b").agg(sum(col("c")).as("c")))
+    assert(counts() == before)
+    assert(StreamIngest.compactedThrough(idx) == 1L)
+    graft.ops.Dsir.bucketCounts(b2.toDF("doc_id", "text"), "text", 512)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$idx/batch=1")
+    spark.catalog.refreshByPath(idx)
+    assert(counts() == before, "stale replayed partials must be ignored")
   }
 
   test("streaming count-min: summed counter partials equal the batch sketch") {
