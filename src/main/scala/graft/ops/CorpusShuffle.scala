@@ -146,7 +146,7 @@ object CorpusShuffle {
     val fresh = shuffledWithOrdinals(df, idCol, tokensCol, seed)
       .withColumn("ord", col("ord") + n0)
       .withColumn("tok_before", col("tok_before") + tok0)
-      .withColumn("shard_id", (col("tok_before") / budget).cast("long"))
+      .withColumn("shard_id", expr(s"tok_before div ${budget}L"))
     // per-shard first ordinal over the COMBINED corpus: new shards own
     // their min; the straddling shard's origin lives in the old plan
     val firstOrd = fresh.groupBy(col("shard_id"))
@@ -197,7 +197,7 @@ object CorpusShuffle {
                   seed: String, budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
     val ordered = shuffledWithOrdinals(df, idCol, tokensCol, seed)
-      .withColumn("shard_id", (col("tok_before") / budget).cast("long"))
+      .withColumn("shard_id", expr(s"tok_before div ${budget}L"))
     // per-shard first ordinal: partial-aggregated to ≤ one row per
     // (shard, partition) before the exchange; the join back is
     // dim-sized (shard count), so Catalyst/AQE broadcasts it and the
