@@ -211,6 +211,78 @@ case class SimhashExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Fused linear scorer over hashed unigram+bigram features — the hot
+  * path of [[graft.ops.Classifier]] (and the same feature space as
+  * [[graft.ops.Dsir]]): tokenize → unigram+bigram (WITH multiplicity,
+  * the count-mass convention) → 60-bit md5 bucket → dense
+  * weight-array lookup, ONE doc-local pass. Semantically identical to
+  * `Dsir.features(df).join(weights).groupBy(id).agg(count, sum)` with
+  * unseen buckets taking the default weight — the array arrives dense
+  * (one slot per bucket, pre-filled with the default), so scoring a
+  * document never explodes 2n−1 gram rows through a join: the ≤4096-
+  * double table rides into codegen as a plan reference. Returns
+  * `struct(n_grams: long, gram_sum: double)`; an empty document scores
+  * (0, 0.0). */
+case class NbScoreExpr(child: Expression, weights: Array[Double])
+  extends UnaryExpression {
+
+  override def dataType: DataType = NbScoreExpr.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "nb_score"
+
+  private val buckets = weights.length
+
+  def compute(input: UTF8String): InternalRow = {
+    val md5 = MinhashExpressions.threadMd5.get()
+    val text = input.toLowerCase.toString
+    val raw = MinhashExpressions.splitter.split(text, -1)
+    var nTok = 0
+    val toks = new Array[String](raw.length)
+    var i = 0
+    while (i < raw.length) {
+      if (raw(i).nonEmpty) { toks(nTok) = raw(i); nTok += 1 }
+      i += 1
+    }
+    def weightOf(s: String): Double = {
+      md5.reset()
+      val d = md5.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var k = 0
+      while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+      weights(((h >>> 4) % buckets).toInt) // first 15 md5 hex = high 60 bits
+    }
+    var sum = 0.0d
+    i = 0
+    while (i < nTok) { sum += weightOf(toks(i)); i += 1 }
+    val sb = new java.lang.StringBuilder()
+    i = 0
+    while (i + 1 < nTok) {
+      sb.setLength(0)
+      sb.append(toks(i)).append(' ').append(toks(i + 1))
+      sum += weightOf(sb.toString)
+      i += 1
+    }
+    InternalRow(nTok.toLong + math.max(nTok - 1, 0).toLong, sum)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("nbScore", this, classOf[NbScoreExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NbScoreExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("gram_sum", DoubleType, nullable = false)))
+}
+
 object MinhashExpressions {
   private[functions] val splitter = Pattern.compile("[^\\p{L}\\p{N}]+")
   /** MessageDigest is stateful and NOT thread-safe; expression instances
@@ -233,4 +305,9 @@ object MinhashExpressions {
   /** Distinct shingle-hash set only (n-gram Jaccard path). */
   def shingle_hashes_native(text: Column, shingleSize: Int): Column =
     minhash_packed(text, shingleSize, 0).getField("hs")
+
+  /** struct(n_grams, gram_sum) in one fused pass (see [[NbScoreExpr]]). */
+  def nb_score(text: Column, denseWeights: Array[Double]): Column =
+    GraftSqlBridge.column(NbScoreExpr(
+      GraftSqlBridge.expression(text.cast("string")), denseWeights))
 }

@@ -77,15 +77,48 @@ object Classifier {
     NbModel(weights, bias, defaultW, buckets)
   }
 
+  /** The model's weight table as a dense array (one slot per bucket,
+    * unseen slots pre-filled with `defaultW`) — ≤ `buckets` rows to the
+    * driver, the form the fused scorer indexes. */
+  def denseWeights(model: NbModel): Array[Double] = {
+    val arr = Array.fill(model.buckets)(model.defaultW)
+    model.weights.collect().foreach { r =>
+      arr(r.getAs[Long]("b").toInt) = r.getAs[Double]("w")
+    }
+    arr
+  }
+
   /** Score a corpus: `(id, n_grams, logodds, p_pos)`. `logodds` is the
     * NB posterior log-odds `bias + Σ_grams w_b`, rounded to 6 places so
     * both engines agree on the value AND anything ranked by it; `p_pos`
     * is the calibrated posterior `sigmoid(logodds)` computed FROM the
     * rounded log-odds (a consistent function of an agreed value) and
     * rounded likewise. Documents with zero grams survive with
-    * `n_grams = 0` and the prior-only score. */
+    * `n_grams = 0` and the prior-only score.
+    *
+    * Scoring is the fused codegen'd [[graft.functions.NbScoreExpr]] —
+    * one doc-local pass indexing the dense weight array, so a document
+    * never explodes its 2n−1 gram rows through a join and the corpus
+    * crosses no shuffle at all. [[scoreViaJoin]] is the
+    * explode-and-join formulation the fused path is spec-gated
+    * against. */
   def score(df: DataFrame, idCol: String, textCol: String,
             model: NbModel): DataFrame = {
+    val s = graft.functions.MinhashExpressions.nb_score(
+      col(textCol), denseWeights(model))
+    val logodds = round(lit(model.bias) + coalesce(col("s.gram_sum"), lit(0d)), 6)
+    df.select(col(idCol).as("id"), s.as("s"))
+      .select(col("id"), coalesce(col("s.n_grams"), lit(0L)).as("n_grams"),
+        logodds.as("logodds"),
+        round(lit(1d) / (lit(1d) + exp(-logodds)), 6).as("p_pos"))
+  }
+
+  /** The explode → broadcast-join → per-doc aggregate formulation of
+    * [[score]] (shared feature machinery with [[Dsir]]) — kept as the
+    * cross-check the fused expression is spec-gated against, and as
+    * the no-driver-collect fallback. */
+  def scoreViaJoin(df: DataFrame, idCol: String, textCol: String,
+                   model: NbModel): DataFrame = {
     val perDoc = Dsir.features(df, idCol, textCol, model.buckets)
       .join(broadcast(model.weights), Seq("b"), "left")
       .groupBy("id")

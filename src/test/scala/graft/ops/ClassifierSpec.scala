@@ -69,6 +69,23 @@ class ClassifierSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("fused scorer ≡ explode-and-join scorer, including empty/unseen docs") {
+    val train = planted.where(col("doc_id") % 2 === 0)
+    val m = Classifier.trainNb(train.where(col("label")),
+      train.where(!col("label")), "text")
+    val probe = planted.select(col("doc_id"), col("text"))
+      .union(Seq((1000L, ""), (1001L, "zzz qqq unseen vocab rows")).toDF("doc_id", "text"))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSeq
+    assert(rows(Classifier.score(probe, "doc_id", "text", m)) ==
+      rows(Classifier.scoreViaJoin(probe, "doc_id", "text", m)))
+    // and the fused plan has no shuffle at all below the scorer
+    val plan = Classifier.score(probe, "doc_id", "text", m)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"fused scoring must not shuffle:\n$plan")
+  }
+
   test("rocAuc: hand-computed midrank tie case") {
     // scores: pos {3, 2, 2}, neg {2, 1}; ranks (asc, midrank):
     // 1 -> 1; the three 2s -> 3; 3 -> 5
@@ -133,11 +150,11 @@ class ClassifierSpec extends AnyFunSuite {
     assert(allNeg.isNullAt(allNeg.fieldIndex("accuracy")))
   }
 
-  test("scoring joins the model as the broadcast side (corpus never shuffles)") {
+  test("join-path scoring broadcasts the model (corpus never shuffles)") {
     val train = planted
     val m = Classifier.trainNb(train.where(col("label")),
       train.where(!col("label")), "text")
-    val plan = Classifier.score(planted, "doc_id", "text", m)
+    val plan = Classifier.scoreViaJoin(planted, "doc_id", "text", m)
       .queryExecution.executedPlan.toString()
     assert(plan.contains("BroadcastHashJoin"),
       s"model join should broadcast:\n$plan")
