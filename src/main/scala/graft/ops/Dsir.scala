@@ -52,33 +52,42 @@ object Dsir {
       .select(pmod(Dedup.hash60(col("g")), lit(buckets.toLong)).as("b"))
       .groupBy("b").agg(count(lit(1)).as("c"))
 
-  /** Score exploded features against two count models: broadcast-joins
-    * the ≤ `buckets`-row smoothed log-likelihood-ratio table
+  /** Score a frame against two count models, FUSED: the ≤ `buckets`-row
+    * smoothed log-likelihood-ratio table
     * (`lr = ln p_target(b) − ln p_raw(b)`, add-alpha over `buckets`
-    * outcomes) and sums per doc. Buckets outside both models' support
-    * (possible only when the frame is not part of the raw fit) take the
-    * both-unseen default ratio. logw rounds to 6 places so both engines
-    * agree on the value AND on any ordering derived from it. */
-  private def scoreFeatures(feats: DataFrame, targetCounts: DataFrame,
-                            rawCounts: DataFrame,
-                            buckets: Int, alpha: Double): DataFrame = {
+    * outcomes) collects into a dense array (unseen buckets pre-filled
+    * with the both-unseen default ratio) and each document sums its
+    * grams' ratios in ONE codegen'd doc-local pass
+    * ([[graft.functions.NbScoreExpr]] — the same fused scorer the NB
+    * classifier rides): no gram rows exist, the frame crosses no
+    * shuffle. Zero-gram docs are dropped, matching the exploded
+    * formulation this replaced (no feature rows → no output row; the
+    * spec gates the two paths equal). logw rounds to 6 places so both
+    * engines agree on the value AND on any ordering derived from it. */
+  private def scoreFused(frame: DataFrame, idCol: String, textCol: String,
+                         targetCounts: DataFrame, rawCounts: DataFrame,
+                         buckets: Int, alpha: Double): DataFrame = {
     // two scalars to the driver — the model normalizers (empty model → 0)
     def total(c: DataFrame) =
       c.agg(coalesce(sum("c"), lit(0L))).first().getLong(0).toDouble
     val tn = total(targetCounts)
     val qn = total(rawCounts)
-    val ratios = targetCounts.withColumnRenamed("c", "tc")
+    val defaultLr = math.log(alpha / (tn + alpha * buckets)) -
+      math.log(alpha / (qn + alpha * buckets))
+    val dense = Array.fill(buckets)(defaultLr)
+    targetCounts.withColumnRenamed("c", "tc")
       .join(rawCounts.withColumnRenamed("c", "qc"), Seq("b"), "full_outer")
       .select(col("b"),
         (log((coalesce(col("tc"), lit(0L)) + alpha) / (tn + alpha * buckets)) -
          log((coalesce(col("qc"), lit(0L)) + alpha) / (qn + alpha * buckets)))
           .as("lr"))
-    val defaultLr = math.log(alpha / (tn + alpha * buckets)) -
-      math.log(alpha / (qn + alpha * buckets))
-    feats.join(broadcast(ratios), Seq("b"), "left")
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_grams"),
-        round(sum(coalesce(col("lr"), lit(defaultLr))), 6).as("logw"))
+      .collect() // ≤ buckets rows — the model, not data
+      .foreach(r => dense(r.getAs[Long]("b").toInt) = r.getAs[Double]("lr"))
+    val s = graft.functions.MinhashExpressions.nb_score(col(textCol), dense)
+    frame.select(col(idCol).as("id"), s.as("s"))
+      .where(col("s.n_grams") > 0)
+      .select(col("id"), col("s.n_grams").as("n_grams"),
+        round(col("s.gram_sum"), 6).as("logw"))
   }
 
   /** Per-raw-doc importance weights `(id, n_grams, logw)`: fit the target
@@ -86,13 +95,11 @@ object Dsir {
     * setting), and score every raw doc. */
   def importanceWeights(raw: DataFrame, target: DataFrame,
                         idCol: String, textCol: String,
-                        buckets: Int = 4096, alpha: Double = 1.0): DataFrame = {
-    val rawFeats = Dedup.sharedPersist(features(raw, idCol, textCol, buckets))
-    scoreFeatures(rawFeats,
+                        buckets: Int = 4096, alpha: Double = 1.0): DataFrame =
+    scoreFused(raw, idCol, textCol,
       bucketCounts(target, textCol, buckets),
-      rawFeats.groupBy("b").agg(count(lit(1)).as("c")),
+      bucketCounts(raw, textCol, buckets),
       buckets, alpha)
-  }
 
   /** Weights of an arbitrary frame against PRE-FIT count models — the
     * amortized/streaming form: the pool counts come from a maintained
@@ -102,8 +109,7 @@ object Dsir {
   def weightsAgainst(frame: DataFrame, idCol: String, textCol: String,
                      targetCounts: DataFrame, rawCounts: DataFrame,
                      buckets: Int = 4096, alpha: Double = 1.0): DataFrame =
-    scoreFeatures(features(frame, idCol, textCol, buckets),
-      targetCounts, rawCounts, buckets, alpha)
+    scoreFused(frame, idCol, textCol, targetCounts, rawCounts, buckets, alpha)
 
   /** Gumbel-top-k resample: `(rnk, id, logw, key)` for the `k` raw docs
     * with the largest `logw + Gumbel(md5-unit)` key. Adding noise ~

@@ -1133,13 +1133,36 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Double]("key")).toSeq.reverse.sorted.reverse ==
       rows.map(_.getAs[Double]("key")).toSeq)
 
-    // plan shape: the B-bounded ratio table broadcasts (no fact-sized
-    // shuffle for the scoring join) and selection is a bounded TakeOrdered
+    // plan shape: scoring is the FUSED doc-local expression (the
+    // B-bounded ratio table rides in as a dense plan-reference array —
+    // no join, no shuffle of the raw pool at all) and selection is a
+    // bounded TakeOrdered
     val plan = w.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"fused DSIR scoring must not shuffle or join:\n$plan")
     val selPlan = Dsir.resample(raw, target, "doc_id", "text", k = 2,
       buckets = 512, alpha = 1.0).queryExecution.executedPlan.toString
     assert(selPlan.contains("TakeOrderedAndProject"))
+
+    // the fused path equals the exploded-features formulation it
+    // replaced (shared feature machinery with the NB classifier)
+    val tc = Dsir.bucketCounts(target, "text", 512)
+    val rc = Dsir.bucketCounts(raw, "text", 512)
+    def total(c: org.apache.spark.sql.DataFrame) =
+      c.agg(coalesce(sum("c"), lit(0L))).first().getLong(0).toDouble
+    val (tn, qn) = (total(tc), total(rc))
+    val ratios = tc.withColumnRenamed("c", "tc")
+      .join(rc.withColumnRenamed("c", "qc"), Seq("b"), "full_outer")
+      .select(col("b"),
+        (log((coalesce(col("tc"), lit(0L)) + 1.0) / (tn + 512.0)) -
+         log((coalesce(col("qc"), lit(0L)) + 1.0) / (qn + 512.0))).as("lr"))
+    val viaJoin = Dsir.features(raw, "doc_id", "text", 512)
+      .join(ratios, Seq("b"), "left")
+      .groupBy("id").agg(count(lit(1)).as("n_grams"),
+        round(sum(col("lr")), 6).as("logw"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(w.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      == viaJoin)
   }
 
   test("cosine: native expression matches HOF formulation bit-exactly") {
