@@ -401,6 +401,51 @@ class PromQLSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](PromQL.parse("sort_by_label(req)"))
   }
 
+  test("property: the EVALUATOR completes or raises the documented error on grammar-generated queries") {
+    // well-formed-by-construction expressions over the fixture store
+    // (plus an absent metric): every one must either evaluate to rows
+    // (possibly zero) or raise IllegalArgumentException — no MatchError,
+    // ClassCastException, NPE, or analysis error escapes the API
+    val rnd = new scala.util.Random(11)
+    def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.length))
+    val ranges = Seq("2m", "5m", "90s")
+    def sel(): String = {
+      val m = pick(Seq("req", "mem", "absent_metric"))
+      val matcher = pick(Seq("", """{inst="i-0"}""", """{inst=~"i-.*"}""",
+        """{inst!="i-9"}"""))
+      val off = pick(Seq("", "", " offset 2m"))
+      s"$m$matcher$off"
+    }
+    def gen(depth: Int): String =
+      if (depth <= 0) sel()
+      else pick[() => String](Seq(
+        () => sel(),
+        () => s"${pick(Seq("rate", "increase", "delta", "avg_over_time",
+          "max_over_time", "count_over_time", "last_over_time"))}(${sel()}[${pick(ranges)}])",
+        () => s"${pick(Seq("sum", "min", "max", "avg", "count"))} by (inst) (${gen(depth - 1)})",
+        () => s"${pick(Seq("sum", "avg"))}(${gen(depth - 1)})",
+        () => s"topk(2, ${gen(depth - 1)})",
+        () => s"quantile(0.9, ${gen(depth - 1)})",
+        () => s"(${gen(depth - 1)}) ${pick(Seq("+", "-", "*", "/", ">", "<="))} (${gen(depth - 1)})",
+        () => s"(${gen(depth - 1)}) ${pick(Seq("+", "*"))} ${rnd.nextInt(10)}",
+        () => s"${pick(Seq("abs", "ceil", "floor", "exp", "ln", "sqrt", "sgn"))}(${gen(depth - 1)})",
+        () => s"clamp(${gen(depth - 1)}, 0, 100)",
+        () => s"histogram_quantile(0.9, ${gen(depth - 1)})",
+        () => s"scalar(${gen(depth - 1)}) * vector(1)",
+        () => s"avg_over_time((${gen(depth - 1)})[4m:1m])",
+        () => s"label_replace(${gen(depth - 1)}, \"dst\", \"$$1\", \"inst\", \"(.*)\")"
+      ))()
+    (0 until 36).foreach { i =>
+      val q = gen(2)
+      try { rows(q, T0, T0 + 600000L, 120000L); () }
+      catch {
+        case _: IllegalArgumentException => () // the documented error contract
+        case e: Throwable =>
+          fail(s"query $i leaked ${e.getClass.getName} on: $q\n${e.getMessage}")
+      }
+    }
+  }
+
   test("property: the parser never throws anything but a parse error") {
     // mutated real queries and raw garbage: every input either parses
     // or raises IllegalArgumentException — no stack overflow, NPE, or
