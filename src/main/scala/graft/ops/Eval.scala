@@ -122,6 +122,25 @@ object Eval {
       .orderBy(col("class"))
   }
 
+  /** One-row multiclass summary over the [[classReport]] rows:
+    * `(n, accuracy, macro_precision, macro_recall, macro_f1)` — macro =
+    * unweighted mean over classes WITH actual members (a
+    * never-observed, only-predicted class contributes a zero-recall
+    * row to nothing); null per-class precision (never predicted)
+    * counts as 0 in the macro mean, the standard convention. */
+  def classSummary(df: DataFrame, actual: Column, predicted: Column): DataFrame = {
+    val rep = classReport(df, actual, predicted)
+      .where(col("n_actual") > 0)
+    rep.agg(
+        sum("n_actual").as("n"), sum("tp").as("tp"),
+        avg(coalesce(col("precision"), lit(0d))).as("mp"),
+        avg(coalesce(col("recall"), lit(0d))).as("mr"),
+        avg(coalesce(col("f1"), lit(0d))).as("mf"))
+      .select(col("n"), rate(col("tp"), col("n")).as("accuracy"),
+        m6(col("mp")).as("macro_precision"), m6(col("mr")).as("macro_recall"),
+        m6(col("mf")).as("macro_f1"))
+  }
+
   /** Calibration (reliability) buckets over a [0,1] score: per bucket
     * `(bin, n, mean_p, pos_rate)` — a well-calibrated classifier has
     * `mean_p ≈ pos_rate` down the table. Single aggregation, ≤ `bins`

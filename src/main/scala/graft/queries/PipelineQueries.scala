@@ -633,6 +633,13 @@ object PipelineQueries {
       Eval.classReport(pr, col("actual"), col("predicted"))
     }),
 
+    // the one-row macro summary of the same evaluation
+    "langid_summary" -> ((s, dir) => {
+      val pr = docs(s, dir).select(col("lang").as("actual"),
+        TextAnalysis.langId(col("text")).as("predicted"))
+      Eval.classSummary(pr, col("actual"), col("predicted"))
+    }),
+
     // order-sensitive rolling-hash fingerprint
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -2462,6 +2469,30 @@ object PipelineQueries {
          |  count(*) AS n, round(avg(p_pos), 6) AS mean_p,
          |  round(count(*) FILTER (WHERE label) / nullif(CAST(count(*) AS DOUBLE), 0), 6) AS pos_rate
          | FROM scored GROUP BY 1 ORDER BY bin""".om,
+    "langid_summary" ->
+      s"""WITH ${tokCte(1)}, $langidCtes,
+         | pr AS (SELECT toks.lang AS actual,
+         |   CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS predicted
+         |  FROM toks JOIN best USING (doc_id)),
+         | cm AS (SELECT actual, predicted, count(*) AS n FROM pr GROUP BY 1, 2),
+         | at AS (SELECT actual AS cls, sum(n) AS n_actual FROM cm GROUP BY 1),
+         | pt AS (SELECT predicted AS cls, sum(n) AS n_predicted FROM cm GROUP BY 1),
+         | dg AS (SELECT actual AS cls, n AS tp FROM cm WHERE actual = predicted),
+         | r AS (SELECT at.cls, n_actual,
+         |   coalesce(n_predicted, 0) AS n_predicted, coalesce(tp, 0) AS tp
+         |  FROM at LEFT JOIN pt ON at.cls = pt.cls LEFT JOIN dg ON at.cls = dg.cls
+         |  WHERE n_actual > 0),
+         | ag AS (SELECT CAST(sum(n_actual) AS BIGINT) AS n,
+         |   CAST(sum(tp) AS BIGINT) AS tp,
+         |   avg(CASE WHEN n_predicted = 0 THEN 0
+         |     ELSE round(tp / CAST(n_predicted AS DOUBLE), 6) END) AS mp,
+         |   avg(round(tp / CAST(n_actual AS DOUBLE), 6)) AS mr,
+         |   avg(round(2 * tp / CAST(n_actual + n_predicted AS DOUBLE), 6)) AS mf
+         |  FROM r)
+         | SELECT n, round(tp / CAST(n AS DOUBLE), 6) AS accuracy,
+         |  round(mp, 6) AS macro_precision, round(mr, 6) AS macro_recall,
+         |  round(mf, 6) AS macro_f1
+         | FROM ag""".om,
     "drift_source_terms" ->
       s"""WITH $driftCtes
          | SELECT category, n_ref, n_cur, round(p, 6) AS p_ref, round(q, 6) AS p_cur,

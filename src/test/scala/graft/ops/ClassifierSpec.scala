@@ -141,6 +141,23 @@ class ClassifierSpec extends AnyFunSuite {
       ("b", "b", 1L), ("c", "a", 1L)))
   }
 
+  test("classSummary: macro means over observed classes only; null precision counts 0") {
+    val df = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"),
+      ("a", "y"), // y is predicted-only: must not dilute the macro means
+      ("b", "a"), ("b", "b"),
+      ("c", "a")) // c never predicted: precision null -> 0 in the macro
+      .toDF("actual", "predicted")
+    val s = Eval.classSummary(df, col("actual"), col("predicted")).head()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(s.getAs[Long]("n") == 7)
+    assert(s.getAs[Double]("accuracy") == r6(3.0 / 7))
+    // observed classes (a, b, c): precision a 2/4, b 1/2, c 0 (null->0)
+    assert(s.getAs[Double]("macro_precision") == r6((0.5 + 0.5 + 0.0) / 3))
+    // recall: a 2/4, b 1/2, c 0 — class y (never actual) excluded
+    assert(s.getAs[Double]("macro_recall") == r6((0.5 + 0.5 + 0.0) / 3))
+  }
+
   test("confusion: degenerate one-class input yields null metrics, not NaN") {
     val df = Seq((0.9, true), (0.2, true)).toDF("s", "label")
     val r = Eval.confusion(df, col("label"), col("s"), 0.5).head()
