@@ -62,18 +62,30 @@ object Drift {
       .orderBy(col("category"))
   }
 
+  /** Per-category counts of a snapshot — the reference side of the
+    * monitor is FIT ONCE from the blessed corpus and persisted as a
+    * table; every later comparison (batch or per-micro-batch) joins
+    * against it instead of re-counting the reference. */
+  def categoryCounts(df: DataFrame, catCol: Column): DataFrame =
+    df.where(catCol.isNotNull)
+      .groupBy(catCol.cast("string").as("category"))
+      .agg(count(lit(1)).as("n"))
+
   /** One-row drift summary: `(n_categories, n_ref, n_cur, psi, js, chi2)`.
     * Computed from the UNROUNDED term algebra (the terms table rounds
     * for display); the statistics themselves round to 6. */
   def categoricalSummary(ref: DataFrame, cur: DataFrame, catCol: Column,
-                         alpha: Double = 0.5): DataFrame = {
+                         alpha: Double = 0.5): DataFrame =
+    summaryFromCounts(categoryCounts(ref, catCol),
+      categoryCounts(cur, catCol), alpha)
+
+  /** [[categoricalSummary]] over PRE-FIT `(category, n)` count tables —
+    * the amortized/streaming form. */
+  def summaryFromCounts(refCounts: DataFrame, curCounts: DataFrame,
+                        alpha: Double = 0.5): DataFrame = {
     require(alpha > 0, "alpha must be positive")
-    def counts(df: DataFrame, name: String) =
-      df.where(catCol.isNotNull)
-        .groupBy(catCol.cast("string").as("category"))
-        .agg(count(lit(1)).as(name))
-    val joined = counts(ref, "n_ref")
-      .join(counts(cur, "n_cur"), Seq("category"), "full_outer")
+    val joined = refCounts.toDF("category", "n_ref")
+      .join(curCounts.toDF("category", "n_cur"), Seq("category"), "full_outer")
       .select(coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
     val tot = joined.agg(sum("n_ref"), sum("n_cur"), count(lit(1))).head()

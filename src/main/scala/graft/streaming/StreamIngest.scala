@@ -738,6 +738,37 @@ object StreamIngest {
     w.start()
   }
 
+  /** Streaming drift monitor — the streaming consumer of
+    * [[graft.ops.Drift]]: every micro-batch's category mix is compared
+    * against a BLESSED reference count table (fit once via
+    * `Drift.categoryCounts`, loaded at stream start) and one summary
+    * row per batch lands in `monitorPath/batch=<id>`:
+    * `(n_categories, n_ref, n_cur, psi, js, chi2, alert)` with `alert`
+    * = psi ≥ `psiAlert`. The monitor table IS the alert feed — tail it,
+    * graph it, join it to batch ids; Overwrite dirs keep replays
+    * idempotent (a replayed batch rewrites its own verdict). Each
+    * batch's count is ≤ |categories| rows; the reference never
+    * recounts. */
+  def driftMonitorStream(rows: DataFrame, catCol: String,
+                         refCountsPath: String, monitorPath: String,
+                         checkpoint: String, psiAlert: Double = 0.25,
+                         alpha: Double = 0.5,
+                         daemon: Boolean = false): StreamingQuery = {
+    val refCounts = rows.sparkSession.read.parquet(refCountsPath)
+    val w: DataStreamWriter[org.apache.spark.sql.Row] = rows.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.ops.Drift.summaryFromCounts(refCounts,
+            graft.ops.Drift.categoryCounts(batch, col(catCol)), alpha)
+          .withColumn("alert", col("psi") >= psiAlert)
+          .coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$monitorPath/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (daemon) Trigger.ProcessingTime("5 seconds") else Trigger.AvailableNow())
+    w.start()
+  }
+
   /** Streaming classifier gate — the streaming consumer of a persisted
     * [[graft.ops.Classifier.NbModel]] (train once on curated seeds,
     * ship the parquet artifact, gate every arriving micro-batch): docs

@@ -830,6 +830,43 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(quarantine).count() == 2)
   }
 
+  test("drift monitor stream: stable batch quiet, shifted batch alerts") {
+    import spark.implicits._
+    import graft.ops.Drift
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("graft-driftstream")
+    val refPath = root.resolve("ref").toString
+    val monitor = root.resolve("monitor").toString
+    val ckpt = root.resolve("ckpt").toString
+    // blessed mix: 2/3 "web", 1/3 "books"
+    val blessed = (Seq.fill(40)("web") ++ Seq.fill(20)("books")).toDF("src")
+    Drift.categoryCounts(blessed, col("src")).write.parquet(refPath)
+
+    val mem = MemoryStream[String]
+    val s = mem.toDF().select(col("value").as("src"))
+    // batch 0: the same mix — quiet
+    mem.addData(Seq.fill(20)("web") ++ Seq.fill(10)("books"): _*)
+    StreamIngest.driftMonitorStream(s, "src", refPath, monitor, ckpt,
+      psiAlert = 0.25).awaitTermination()
+    // batch 1: all one novel source — loud
+    mem.addData(Seq.fill(30)("spam"): _*)
+    StreamIngest.driftMonitorStream(s, "src", refPath, monitor, ckpt,
+      psiAlert = 0.25).awaitTermination()
+
+    val rows = spark.read.parquet(monitor).orderBy("batch").collect()
+    assert(rows.length == 2)
+    assert(!rows(0).getAs[Boolean]("alert") &&
+      rows(0).getAs[Double]("psi") < 0.05, s"stable batch: ${rows(0)}")
+    assert(rows(1).getAs[Boolean]("alert") &&
+      rows(1).getAs[Double]("psi") > 1.0, s"shifted batch: ${rows(1)}")
+    // per-batch verdicts equal the batch operator on the same pair
+    val direct = Drift.summaryFromCounts(
+      spark.read.parquet(refPath),
+      Drift.categoryCounts(Seq.fill(30)("spam").toDF("src"), col("src")))
+      .head()
+    assert(rows(1).getAs[Double]("psi") == direct.getAs[Double]("psi"))
+  }
+
   test("classifier-gated stream: persisted model admits pos-vocab, rejects carry scores") {
     import spark.implicits._
     import graft.ops.Classifier
