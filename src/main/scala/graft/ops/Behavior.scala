@@ -91,4 +91,46 @@ object Behavior {
         col("n_cohort"), col("n_active"),
         round(col("n_active").cast("double") / col("n_cohort"), 6).as("retention"))
   }
+
+  /** Gap-based sessionization: per user, events sorted by time belong
+    * to the same session while the gap to the previous event is
+    * ≤ `gapMs`; a strictly larger gap (or no previous event) starts a
+    * new one. Appends `session_idx` — the 1-based ordinal of the
+    * session in the user's history — keeping every input column.
+    *
+    * Deterministic under timestamp ties BY CONSTRUCTION, not by
+    * tiebreak: the boundary flag is summed with the default RANGE
+    * frame, so all peer rows (equal `tsCol`) read the same cumulative
+    * value, and a peer group contributes exactly one boundary flag
+    * total regardless of which physical row `lag` anchors outside the
+    * group — any SQL engine reproduces the assignment exactly.
+    *
+    * 100 TB shape: the lag and the running sum share ONE partitioning
+    * on the user key, so Catalyst plans a single exchange and computes
+    * both in the same sorted pass. */
+  def sessionize(events: DataFrame, userCol: Column, tsCol: Column,
+                 gapMs: Long): DataFrame = {
+    require(gapMs > 0, "gapMs must be positive")
+    val byUser = Window.partitionBy(userCol).orderBy(tsCol)
+    val prev = lag(tsCol, 1).over(byUser)
+    events
+      .withColumn("session_new",
+        when(prev.isNull || tsCol - prev > gapMs, 1L).otherwise(0L))
+      // default frame with ORDER BY = RANGE unbounded..current: ties peer
+      .withColumn("session_idx", sum(col("session_new")).over(byUser))
+      .drop("session_new")
+  }
+
+  /** Per-session summary over [[sessionize]]: `(user, session_idx,
+    * start_t, end_t, n_events, n_types, duration_ms)`. The group-by
+    * on (user, session) is key-bounded — one exchange past the
+    * session-assignment pass, carrying one row per session. */
+  def sessionStats(events: DataFrame, userCol: Column, typeCol: Column,
+                   tsCol: Column, gapMs: Long): DataFrame =
+    sessionize(events, userCol, tsCol, gapMs)
+      .groupBy(userCol.as("user"), col("session_idx"))
+      .agg(min(tsCol).as("start_t"), max(tsCol).as("end_t"),
+        count(lit(1)).as("n_events"),
+        countDistinct(typeCol).as("n_types"),
+        (max(tsCol) - min(tsCol)).as("duration_ms"))
 }

@@ -300,6 +300,59 @@ object TextAnalysis {
         col("df_docs"), col("tfidf"))
   }
 
+  /** Okapi BM25 ranked retrieval (Robertson & Walker, TREC-3; the
+    * Lucene-default non-negative IDF `ln(1 + (N − df + ½)/(df + ½))`):
+    * for each literal query, the top-`k` documents by
+    * `Σ_terms idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`,
+    * ranked on the 6-rounded score with doc-id tie-break. Repeated
+    * query terms count once (set-of-terms form). The retrieval every
+    * curation pipeline runs against its own corpus: decontamination
+    * probes, eval-set mining, dedup candidate triage.
+    *
+    * 100 TB shape: the query-term table broadcasts into the token
+    * stream, so the tf aggregation shuffles only matching tokens
+    * (bounded by docs × query terms, not corpus tokens); document
+    * length is computed doc-locally (no explode); the one corpus-wide
+    * shuffle carries bare `(doc_id, length)` pairs into the candidate
+    * join. Scalars (N, avgdl) are the only driver-side values. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(String, String)], k: Int = 5,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qterms = queries.flatMap { case (qid, qtext) =>
+      qtext.split(" ").filter(_.nonEmpty).distinct.map(t => (qid, t))
+    }.toDF("query_id", "term")
+    val terms = qterms.select(col("term")).distinct()
+    val words = df
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("word"))
+      .where(col("word") =!= "")
+    val cand = words.join(broadcast(terms), col("word") === col("term")).drop("term")
+    val tf = cand.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("word")).agg(count(lit(1)).as("df_docs"))
+    val dl = df.select(col(idCol).as("doc_id"),
+      size(filter(split(col(textCol), " "), w => w =!= "")).cast("long").as("dl"))
+    val totals = dl.agg(count(lit(1)), sum(col("dl"))).head()
+    val nDocs = totals.getLong(0)
+    val avgdl = totals.getLong(1).toDouble / nDocs
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df_docs") + 0.5) / (col("df_docs") + 0.5))
+    val contrib = idf * col("tf") * (k1 + 1) /
+      (col("tf") + (lit(1 - b) + col("dl") * (b / avgdl)) * k1)
+    val scored = tf
+      .join(broadcast(dfc), "word")
+      .join(dl, "doc_id")
+      .join(broadcast(qterms), col("word") === col("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(contrib), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("score"))
+  }
+
   /** CCNet-style language-model quality scoring: per-document mean
     * negative log-likelihood under an add-one-smoothed unigram model
     * fitted on the corpus itself (low = looks like the corpus, high =

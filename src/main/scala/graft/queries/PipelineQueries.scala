@@ -237,6 +237,18 @@ object PipelineQueries {
       TextAnalysis.tfIdfTopK(docs(s, dir), "doc_id", "text", k = 3)
         .orderBy(col("doc_id"), col("rnk"))),
 
+    // BM25 ranked retrieval: top-5 docs per literal query, Lucene-form
+    // non-negative IDF — query terms broadcast into the token stream,
+    // so the tf shuffle is bounded by docs × query terms
+    "text_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text",
+        queries = Seq(
+          "q1" -> "hash join merge",
+          "q2" -> "vector scan filter",
+          "q3" -> "customer order line"),
+        k = 5)
+        .orderBy(col("query_id"), col("rnk"))),
+
     // sequence chunking: 64-token windows advancing by 48 (overlap 16);
     // chunk text digested so the oracle hash-checks the exact content
     "pack_chunks" -> ((s, dir) =>
@@ -1553,6 +1565,30 @@ object PipelineQueries {
          | SELECT doc_id, rnk::BIGINT AS rnk, word, tf::BIGINT AS tf,
          |  df_docs::BIGINT AS df_docs, tfidf
          | FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".om,
+    "text_bm25" ->
+      s"""WITH q(query_id, term) AS (VALUES
+         |  ('q1','hash'),('q1','join'),('q1','merge'),
+         |  ('q2','vector'),('q2','scan'),('q2','filter'),
+         |  ('q3','customer'),('q3','order'),('q3','line')),
+         | words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         | w AS (SELECT doc_id, word FROM words WHERE word <> ''),
+         | tf AS (SELECT doc_id, word, count(*) AS tf FROM w
+         |  WHERE word IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, word),
+         | dfc AS (SELECT word, count(*) AS df_docs FROM tf GROUP BY word),
+         | dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
+         | n AS (SELECT count(*) AS n_docs,
+         |   (SELECT sum(dl) FROM dl)::DOUBLE / count(*) AS avgdl FROM documents),
+         | contrib AS (SELECT q.query_id, tf.doc_id,
+         |   ln(1 + (n.n_docs - dfc.df_docs + 0.5) / (dfc.df_docs + 0.5)) *
+         |   tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / n.avgdl)) AS c
+         |  FROM tf JOIN dfc USING (word) JOIN dl USING (doc_id)
+         |  JOIN q ON q.term = tf.word CROSS JOIN n),
+         | scored AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
+         |  FROM contrib GROUP BY query_id, doc_id),
+         | ranked AS (SELECT *, row_number() OVER
+         |   (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM scored)
+         | SELECT query_id, rnk::BIGINT AS rnk, doc_id, score
+         | FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".om,
     "pack_chunks" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          | ch AS (SELECT doc_id,

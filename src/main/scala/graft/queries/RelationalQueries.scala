@@ -273,6 +273,16 @@ object RelationalQueries {
         periodMs = 86400000L, epochMs = 1704067200000L, maxOffset = 14)
         .orderBy(col("cohort_period"), col("offset"))),
 
+    // gap-based sessionization (12h idle gap — the synthetic table's
+    // users average ~11h between events): lag + range-framed running
+    // sum share one user exchange; tie-deterministic by construction
+    "q_sessionize" -> ((s, dir) =>
+      graft.ops.Behavior.sessionStats(
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"), Tables.tsMillis(col("ts")).as("t")),
+        col("user_id"), col("event_type"), col("t"), gapMs = 43200000L)
+        .orderBy(col("user"), col("session_idx"))),
+
     // salted two-stage aggregation (skew mitigation): spread each group
     // key over 16 sub-keys, partially aggregate, combine — exact distinct
     // + sum + count, identical to the direct GROUP BY (oracle-checked)
@@ -536,6 +546,17 @@ object RelationalQueries {
         |  round(h.n_active / CAST(s.n_cohort AS DOUBLE), 6) AS retention
         | FROM hit h JOIN sizes s USING (cp)
         | ORDER BY cohort_period, "offset"""".om,
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS et, epoch_ms(ts) AS t FROM events),
+        | l AS (SELECT u, et, t, lag(t) OVER (PARTITION BY u ORDER BY t) AS pt FROM e),
+        | f AS (SELECT u, et, t,
+        |   CASE WHEN pt IS NULL OR t - pt > 43200000 THEN 1 ELSE 0 END AS ns FROM l),
+        | s AS (SELECT u, et, t,
+        |   CAST(sum(ns) OVER (PARTITION BY u ORDER BY t) AS BIGINT) AS sid FROM f)
+        | SELECT u AS "user", sid AS session_idx, min(t) AS start_t, max(t) AS end_t,
+        |  count(*) AS n_events, count(DISTINCT et) AS n_types,
+        |  max(t) - min(t) AS duration_ms
+        | FROM s GROUP BY u, sid ORDER BY "user", session_idx""".om,
     "q_salted_agg" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         | round(sum("value"), 2) AS sum_v, count(*) AS n

@@ -76,4 +76,50 @@ class BehaviorSpec extends AnyFunSuite {
       Seq((0L, 0L, 2L, 1L), (0L, 2L, 2L, 1L), (1L, 0L, 1L, 1L)))
     assert(out(0).getAs[Double]("retention") == 0.5)
   }
+
+  test("sessionize: gap boundary is strict, sessions ordinal per user") {
+    val df = ev(
+      // u1: 0,10 | 25 (gap 15 > 10) | 30,40 (gap exactly 10 stays)
+      (1L, "x", 0L), (1L, "x", 10L), (1L, "x", 25L), (1L, "x", 30L),
+      (1L, "y", 40L),
+      // u2: single event → session 1
+      (2L, "x", 100L))
+    val out = Behavior.sessionize(df, col("u"), col("t"), gapMs = 10L)
+      .orderBy("u", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 1L), (1L, 10L, 1L), (1L, 25L, 2L), (1L, 30L, 2L),
+      (1L, 40L, 2L), (2L, 100L, 1L)))
+  }
+
+  test("sessionize: timestamp ties land in one session (range-frame peers)") {
+    // the tie group at t=50 follows a session-breaking gap; whichever
+    // physical row lag anchors outside the group, ALL peers must share
+    // the new session's index
+    val df = ev((1L, "a", 0L), (1L, "b", 50L), (1L, "c", 50L), (1L, "d", 50L))
+    val out = Behavior.sessionize(df, col("u"), col("t"), gapMs = 10L)
+      .where(col("t") === 50L).select(col("session_idx"))
+      .distinct().collect()
+    assert(out.length == 1 && out(0).getLong(0) == 2L)
+  }
+
+  test("sessionStats: per-session aggregates; one user exchange for assignment") {
+    val df = ev(
+      (1L, "view", 0L), (1L, "click", 5L), (1L, "view", 100L),
+      (2L, "view", 7L))
+    val out = Behavior.sessionStats(df, col("u"), col("et"), col("t"), gapMs = 10L)
+      .orderBy("user", "session_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 0L, 5L, 2L, 2L, 5L),
+      (1L, 2L, 100L, 100L, 1L, 1L, 0L),
+      (2L, 1L, 7L, 7L, 1L, 1L, 0L)))
+    // the lag and running-sum windows must share one exchange on u
+    val plan = Behavior.sessionize(df, col("u"), col("t"), gapMs = 10L)
+      .queryExecution.executedPlan.toString()
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected a single user-key exchange, got $exchanges:\n$plan")
+  }
 }

@@ -355,6 +355,52 @@ class OpsSpec extends AnyFunSuite {
     assert(TextAnalysis.repetition(docsDF(2L -> "only"), "doc_id", "text").count() == 0)
   }
 
+  test("bm25: idf ranks the rarer term, length normalization, hand-checked score") {
+    // 'rare' in 1 doc, 'common' in all 4; doc 1 is twice as long
+    val df = docsDF(
+      1L -> "rare common common pad pad pad pad pad",
+      2L -> "common pad pad",
+      3L -> "common rare pad",
+      4L -> "common pad pad")
+    val out = TextAnalysis.bm25TopK(df, "doc_id", "text",
+      queries = Seq("q" -> "rare common"), k = 4)
+      .orderBy("rnk").collect()
+    // docs containing 'rare' (1 and 3) must outrank docs with only
+    // 'common'; between them the SHORTER doc 3 wins (length norm)
+    assert(out.map(_.getLong(2)).take(2).toSeq == Seq(3L, 1L))
+    // hand-check doc 3's score: N=4, dl=3, avgdl=(8+3+3+3)/4=4.25
+    // idf_rare = ln(1+(4-2+.5)/(2+.5)) = ln(2), idf_common = ln(1+(4-4+.5)/(4+.5))
+    val k1 = 1.2; val b = 0.75
+    def term(idf: Double, tf: Double, dl: Double) =
+      idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / 4.25))
+    val expected = BigDecimal(
+      term(math.log(2.0), 1, 3) + term(math.log(1 + 0.5 / 4.5), 1, 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getAs[Double]("score") == expected)
+  }
+
+  test("bm25: repeated query terms count once; k truncates; ties break by doc id") {
+    val df = docsDF(1L -> "a b", 2L -> "a b", 3L -> "c")
+    val out = TextAnalysis.bm25TopK(df, "doc_id", "text",
+      queries = Seq("q" -> "a a b"), k = 1).collect()
+    assert(out.length == 1 && out(0).getLong(2) == 1L) // tie 1 vs 2 → min id
+    val both = TextAnalysis.bm25TopK(df, "doc_id", "text",
+      queries = Seq("q" -> "a"), k = 5).collect()
+    assert(both.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L)) // doc 3 never scores
+  }
+
+  test("bm25 plan: query terms broadcast into the token stream (no corpus-side build)") {
+    val df = docsDF(1L -> "a b", 2L -> "a c")
+    val plan = TextAnalysis.bm25TopK(df, "doc_id", "text",
+      queries = Seq("q" -> "a b"), k = 2)
+      .queryExecution.executedPlan.toString()
+    // both the term semi-filter and the per-query fan-out ride explicit
+    // broadcasts of the (tiny, literal) query-term table; the df_docs
+    // side is term-bounded and broadcast too
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj >= 3, s"expected >=3 broadcast joins (terms, dfc, qterms):\n$plan")
+  }
+
   test("salted aggregation equals the direct group-by on a skewed frame") {
     // 10k rows on one hot key + 100 on a cold key
     val df = spark.range(10100).select(
