@@ -76,6 +76,18 @@ object Sampling {
       coalesce(assign, lit(splits.last._1)))
   }
 
+  /** Leakage-safe split: rows sharing a group (a near-dup cluster, a
+    * repository, a domain) are assigned as a UNIT — the hash key is
+    * the group id, with the row's own key as the singleton fallback
+    * (null group) — so a near-duplicate of a held-out document can
+    * never land in train. Everything else is [[split]]: map-side,
+    * reproducible, stable under corpus growth — now at group
+    * granularity (new members of an existing group inherit its split). */
+  def splitByGroup(df: DataFrame, keyCol: Column, groupCol: Column,
+                   splits: Seq[(String, Double)],
+                   salt: String = "graft"): DataFrame =
+    split(df, coalesce(groupCol, keyCol), splits, salt)
+
   /** Weighted sampling WITHOUT replacement, k per stratum — the
     * Efraimidis–Spirakis A-ES scheme made deterministic: each row draws
     * its reproducible uniform u from the md5 hash and ranks by the key

@@ -386,6 +386,20 @@ object PipelineQueries {
         col("doc_id"), splitSpec)
         .orderBy(col("doc_id"))),
 
+    // leakage-safe split: near-dup CLUSTERS are the split unit (hash of
+    // the cluster representative; singletons fall back to their own id)
+    // — a near-duplicate of a held-out doc can never land in train
+    "sample_split_leakfree" -> ((s, dir) => {
+      val clusters = Dedup.connectedComponents(lshPairs(s, dir))
+        .select(col("id").as("doc_id"), col("component").as("cluster"))
+      graft.ops.Sampling.splitByGroup(
+        docs(s, dir).select(col("doc_id"), col("lang"))
+          .join(clusters, Seq("doc_id"), "left"),
+        col("doc_id"), col("cluster"), splitSpec)
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet-style LM quality scoring: mean NLL under an add-one unigram
     // model fitted on the corpus (outlier docs score high)
     "text_unigram_logprob" -> ((s, dir) =>
@@ -1954,6 +1968,22 @@ object PipelineQueries {
       s"""SELECT doc_id, lang,
          | ${splitCaseSql(s"(${hex15.format("'graft' || CAST(doc_id AS VARCHAR)")} / 1152921504606846976.0)")} AS split
          | FROM documents ORDER BY doc_id""".om,
+    "sample_split_leakfree" ->
+      s"""WITH RECURSIVE $lshPairCtes,
+         | pairs AS (SELECT id1, id2 FROM j WHERE jaccard >= 0.2),
+         | edges AS (SELECT id1 AS id, id2 AS nb FROM pairs
+         |   UNION SELECT id2, id1 FROM pairs),
+         | reach AS (
+         |   SELECT id, id AS comp FROM (SELECT DISTINCT id FROM edges)
+         |   UNION
+         |   SELECT e.id, r.comp FROM edges e JOIN reach r ON e.nb = r.id),
+         | clus AS (SELECT id AS doc_id, min(comp) AS cluster FROM reach GROUP BY id),
+         | keyed AS (SELECT d.doc_id, d.lang,
+         |   COALESCE(c.cluster, d.doc_id) AS sk
+         |  FROM documents d LEFT JOIN clus c USING (doc_id))
+         | SELECT doc_id, lang,
+         |  ${splitCaseSql(s"(${hex15.format("'graft' || CAST(sk AS VARCHAR)")} / 1152921504606846976.0)")} AS split
+         | FROM keyed ORDER BY doc_id""".om,
     "text_unigram_logprob" ->
       s"""WITH ${tokCte(1)},
          | ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),

@@ -75,6 +75,25 @@ class OpsSpec extends AnyFunSuite {
     assert(m.count() == 250 && m.select("stratum").distinct().head().getString(0) == "a")
   }
 
+  test("splitByGroup: a group never straddles splits; singletons match plain split") {
+    val df = (1L to 300L).map(i => (i, if (i <= 200) Some(i % 20) else None))
+      .toDF("doc_id", "grp")
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val out = Sampling.splitByGroup(df, col("doc_id"), col("grp"), splits)
+    // every non-null group lands in exactly one split
+    val perGroup = out.where(col("grp").isNotNull)
+      .groupBy("grp").agg(countDistinct(col("split")).as("n")).collect()
+    assert(perGroup.nonEmpty && perGroup.forall(_.getLong(1) == 1L))
+    // null-group rows fall back to their own key: identical to split()
+    val solo = out.where(col("grp").isNull)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val plain = Sampling.split(df.where(col("grp").isNull), col("doc_id"), splits)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(solo == plain && solo.size == 100)
+    // all three splits are populated at this n (sanity on the hash spread)
+    assert(out.select("split").distinct().count() == 3)
+  }
+
   test("native minhash expression is bit-identical to the HOF formulation") {
     val texts = Seq(
       1L -> "The quick brown fox jumps over the lazy dog",
