@@ -698,6 +698,47 @@ object ScaleCheck {
           s"confusion ${c.toSeq}")
       } finally { scored.unpersist(false); () }
     }
+
+    // sessionization: 1M users × 50 events, every 10th step jumps 2h
+    // past the 1h gap → EXACTLY 5 sessions/user of 10 events spanning
+    // 9 ten-minute steps each — count, composition, and duration all
+    // closed-form
+    val sev = spark.range(1000000L * 50)
+      .select((col("id") / 50).cast("long").as("u"),
+        pmod(col("id"), lit(50)).as("k"))
+      .select(col("u"), lit("e").as("et"),
+        (col("k") * 600000L + (col("k") / 10).cast("long") * 7200000L).as("t"))
+    time("sessionize 50M events / 1M users (planted 5M sessions)") {
+      val st = Behavior.sessionStats(sev, col("u"), col("et"), col("t"),
+        gapMs = 3600000L)
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("n_events")).as("d_ev"),
+          countDistinct(col("duration_ms")).as("d_dur"),
+          max(col("n_events")).as("ev"), max(col("duration_ms")).as("dur"))
+        .head()
+      require(st.getLong(0) == 5000000L && st.getLong(1) == 1 &&
+        st.getLong(2) == 1 && st.getLong(3) == 10L &&
+        st.getLong(4) == 9L * 600000L,
+        s"session stats ${st.toSeq} != planted (5M sessions of 10 events)")
+    }
+
+    // BM25: 2M synth docs + 5 planted needle docs; the needle query
+    // must return exactly the planted set, and a common-term query
+    // times the broadcast-semi-join retrieval path over 60M tokens
+    val bmCorpus = spark.range(2000000).select(col("id"),
+        synthDoc(col("id"), "p", 300).as("text"))
+      .union(spark.range(5).select((col("id") + 9000000L).as("id"),
+        concat(lit("needle needle "), synthDoc(col("id"), "p", 300)).as("text")))
+    time("bm25 over 2M docs (planted needle set + common-term throughput)") {
+      val hits = graft.ops.TextAnalysis.bm25TopK(bmCorpus, "id", "text",
+        queries = Seq("qn" -> "needle", "qc" -> "p1 p2 p3"), k = 5)
+        .collect()
+      val needleIds = hits.filter(_.getString(0) == "qn").map(_.getLong(2)).toSet
+      require(needleIds == (0L until 5L).map(_ + 9000000L).toSet,
+        s"needle query returned $needleIds, not the planted set")
+      require(hits.count(_.getString(0) == "qc") == 5,
+        "common-term query must fill its top-5")
+    }
   }
 
   private def dsirAtScale(spark: SparkSession): Unit = {
