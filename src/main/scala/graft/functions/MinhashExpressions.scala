@@ -283,6 +283,73 @@ object NbScoreExpr {
     StructField("gram_sum", DoubleType, nullable = false)))
 }
 
+/** Fused BM25 term-frequency pass: split on the SINGLE SPACE character
+  * (`string_split(text, ' ')` parity with the SQL oracle and
+  * [[graft.ops.TextAnalysis.tfIdfTopK]]'s tokenization), then in ONE
+  * doc-local scan count the total token count and each query term's
+  * occurrences. Returns `struct(dl: long, tf: array<long>)` with `tf`
+  * aligned to the constructor's term order.
+  *
+  * Why a native expression (extension ladder step (b)): the
+  * explode-then-broadcast-semi-join formulation materializes every
+  * corpus token (≈30× the document count) before the filter; this scans
+  * each document once with a terms-sized hash lookup and shuffles
+  * NOTHING — scoring becomes a pure map-side expression over `(dl,
+  * tf)`, so only score-positive candidates ever reach the top-k
+  * exchange. */
+case class TermCountsExpr(child: Expression, terms: Array[String])
+  extends UnaryExpression {
+
+  override def dataType: DataType = TermCountsExpr.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "bm25_term_counts"
+
+  @transient private lazy val index: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    var i = 0
+    while (i < terms.length) { m.put(terms(i), Integer.valueOf(i)); i += 1 }
+    m
+  }
+
+  def compute(input: UTF8String): InternalRow = {
+    val s = input.toString
+    val counts = new Array[Long](terms.length)
+    var dl = 0L
+    val n = s.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        if (i > start) { // empty splits (consecutive spaces) don't count
+          dl += 1
+          val idx = index.get(s.substring(start, i))
+          if (idx != null) counts(idx.intValue()) += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    InternalRow(dl, new GenericArrayData(counts))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("termCounts", this, classOf[TermCountsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TermCountsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("dl", LongType, nullable = false),
+    StructField("tf", ArrayType(LongType, containsNull = false), nullable = false)))
+}
+
 object MinhashExpressions {
   private[functions] val splitter = Pattern.compile("[^\\p{L}\\p{N}]+")
   /** MessageDigest is stateful and NOT thread-safe; expression instances
@@ -310,4 +377,9 @@ object MinhashExpressions {
   def nb_score(text: Column, denseWeights: Array[Double]): Column =
     GraftSqlBridge.column(NbScoreExpr(
       GraftSqlBridge.expression(text.cast("string")), denseWeights))
+
+  /** struct(dl, tf) in one fused pass (see [[TermCountsExpr]]). */
+  def term_counts(text: Column, terms: Array[String]): Column =
+    GraftSqlBridge.column(TermCountsExpr(
+      GraftSqlBridge.expression(text.cast("string")), terms))
 }

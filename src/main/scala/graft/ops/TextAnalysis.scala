@@ -309,43 +309,56 @@ object TextAnalysis {
     * curation pipeline runs against its own corpus: decontamination
     * probes, eval-set mining, dedup candidate triage.
     *
-    * 100 TB shape: the query-term table broadcasts into the token
-    * stream, so the tf aggregation shuffles only matching tokens
-    * (bounded by docs × query terms, not corpus tokens); document
-    * length is computed doc-locally (no explode); the one corpus-wide
-    * shuffle carries bare `(doc_id, length)` pairs into the candidate
-    * join. Scalars (N, avgdl) are the only driver-side values. */
+    * 100 TB shape: ZERO corpus shuffle. The fused
+    * [[graft.functions.TermCountsExpr]] counts document length and each
+    * query term's occurrences in one codegen'd doc-local pass (the
+    * explode-then-join formulation materialized every corpus token
+    * first); corpus statistics (N, avgdl, per-term df) fold into ONE
+    * map-side-combined aggregation returning a terms-sized row; scoring
+    * is then a pure map-side expression over `(dl, tf)` with the idf
+    * constants baked in, so only score-positive candidates ever reach
+    * the per-query top-k exchange. Driver-side state: |terms| + 2
+    * scalars. */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
                queries: Seq[(String, String)], k: Int = 5,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queries.nonEmpty, "need at least one query")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val qterms = queries.flatMap { case (qid, qtext) =>
-      qtext.split(" ").filter(_.nonEmpty).distinct.map(t => (qid, t))
-    }.toDF("query_id", "term")
-    val terms = qterms.select(col("term")).distinct()
-    val words = df
-      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("word"))
-      .where(col("word") =!= "")
-    val cand = words.join(broadcast(terms), col("word") === col("term")).drop("term")
-    val tf = cand.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-    val dfc = tf.groupBy(col("word")).agg(count(lit(1)).as("df_docs"))
-    val dl = df.select(col(idCol).as("doc_id"),
-      size(filter(split(col(textCol), " "), w => w =!= "")).cast("long").as("dl"))
-    val totals = dl.agg(count(lit(1)), sum(col("dl"))).head()
-    val nDocs = totals.getLong(0)
-    val avgdl = totals.getLong(1).toDouble / nDocs
-    val idf = log(lit(1.0) +
-      (lit(nDocs.toDouble) - col("df_docs") + 0.5) / (col("df_docs") + 0.5))
-    val contrib = idf * col("tf") * (k1 + 1) /
-      (col("tf") + (lit(1 - b) + col("dl") * (b / avgdl)) * k1)
-    val scored = tf
-      .join(broadcast(dfc), "word")
-      .join(dl, "doc_id")
-      .join(broadcast(qterms), col("word") === col("term"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(round(sum(contrib), 6).as("score"))
+    val perQuery = queries.map { case (qid, qtext) =>
+      qid -> qtext.split(" ").filter(_.nonEmpty).distinct.toSeq
+    }
+    val terms: Array[String] = perQuery.flatMap(_._2).distinct.toArray
+    require(terms.nonEmpty, "queries carry no terms")
+    val tc = graft.functions.MinhashExpressions.term_counts(col(textCol), terms)
+    val base = df.select(col(idCol).as("doc_id"), tc.as("tc"))
+      .select(col("doc_id"), col("tc.dl").as("dl"), col("tc.tf").as("tf"))
+    // one pass: N, Σdl, and every term's document frequency
+    val dfAggs = terms.indices.map(j =>
+      sum(when(col("tf").getItem(j) > 0L, 1L).otherwise(0L)))
+    val head = base.agg(count(lit(1)), (sum(col("dl")) +: dfAggs): _*).head()
+    val nDocs = head.getLong(0)
+    val avgdl = head.getLong(1).toDouble / nDocs
+    val idf: Array[Double] = terms.indices.map { j =>
+      val dfc = head.getLong(2 + j).toDouble
+      math.log(1.0 + (nDocs - dfc + 0.5) / (dfc + 0.5))
+    }.toArray
+    val norm = (lit(1 - b) + col("dl") * (b / avgdl)) * k1
+    def contrib(j: Int) = {
+      val tf = col("tf").getItem(j)
+      lit(idf(j)) * tf * (k1 + 1) / (tf + norm)
+    }
+    val qStructs = perQuery.map { case (qid, qts) =>
+      val js = qts.map(t => terms.indexOf(t))
+      // match on tf (not on the rounded score): a doc with only
+      // ultra-common terms may round to 0.0 but still ranks, exactly
+      // as in the join formulation and the SQL oracle
+      val matched = js.map(j => col("tf").getItem(j)).reduce(_ + _) > 0L
+      val score = round(js.map(contrib).reduce(_ + _), 6)
+      struct(lit(qid).as("query_id"), when(matched, score).as("score"))
+    }
+    val scored = base
+      .select(col("doc_id"), explode(array(qStructs: _*)).as("q"))
+      .select(col("q.query_id").as("query_id"), col("doc_id"), col("q.score").as("score"))
+      .where(col("score").isNotNull)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))

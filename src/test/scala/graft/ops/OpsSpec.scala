@@ -408,16 +408,59 @@ class OpsSpec extends AnyFunSuite {
     assert(both.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L)) // doc 3 never scores
   }
 
-  test("bm25 plan: query terms broadcast into the token stream (no corpus-side build)") {
+  test("bm25 plan: zero corpus shuffle — no joins, only the top-k exchange") {
     val df = docsDF(1L -> "a b", 2L -> "a c")
     val plan = TextAnalysis.bm25TopK(df, "doc_id", "text",
       queries = Seq("q" -> "a b"), k = 2)
       .queryExecution.executedPlan.toString()
-    // both the term semi-filter and the per-query fan-out ride explicit
-    // broadcasts of the (tiny, literal) query-term table; the df_docs
-    // side is term-bounded and broadcast too
-    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
-    assert(bhj >= 3, s"expected >=3 broadcast joins (terms, dfc, qterms):\n$plan")
+    assert(!plan.contains("Join"), s"fused bm25 must not join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected exactly the query-partitioned top-k exchange, got $exchanges:\n$plan")
+  }
+
+  test("bm25 fused pass is value-identical to the exploded-join formulation") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("a", "b", "c", "d", "e", "f", "g", "h")
+    val df = docsDF((1L to 200L).map(i =>
+      i -> Seq.fill(3 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")): _*)
+    val queries = Seq("q1" -> "a b", "q2" -> "g h c", "q3" -> "zz a")
+    val k1 = 1.2; val b = 0.75; val k = 10
+    val fused = TextAnalysis.bm25TopK(df, "doc_id", "text", queries, k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // the pre-fusion shape: explode tokens, broadcast-join terms,
+    // aggregate tf, join df_docs + dl, score, rank
+    import spark.implicits._
+    val qterms = queries.flatMap { case (qid, qt) =>
+      qt.split(" ").filter(_.nonEmpty).distinct.map(t => (qid, t))
+    }.toDF("query_id", "term")
+    val words = df.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+    val tf = words.join(broadcast(qterms.select(col("term")).distinct()),
+        col("word") === col("term")).drop("term")
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("word")).agg(count(lit(1)).as("df_docs"))
+    val dl = df.select(col("doc_id"),
+      size(filter(split(col("text"), " "), w => w =!= "")).cast("long").as("dl"))
+    val totals = dl.agg(count(lit(1)), sum(col("dl"))).head()
+    val nDocs = totals.getLong(0); val avgdl = totals.getLong(1).toDouble / nDocs
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df_docs") + 0.5) / (col("df_docs") + 0.5))
+    val contrib = idf * col("tf") * (k1 + 1) /
+      (col("tf") + (lit(1 - b) + col("dl") * (b / avgdl)) * k1)
+    val scored = tf.join(broadcast(dfc), "word").join(dl, "doc_id")
+      .join(broadcast(qterms), col("word") === col("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(contrib), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    val joined = scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(1),
+        r.getDouble(2))).toSet
+    assert(fused == joined)
   }
 
   test("salted aggregation equals the direct group-by on a skewed frame") {
