@@ -53,6 +53,30 @@ object StreamIngest {
     w.start()
   }
 
+  /** Continuous ingest from the Prometheus TEXT EXPOSITION format:
+    * watch `inputDir` for scrape/federate text files, parse each line
+    * with the codegen'd [[graft.tsdb.Exposition]] expression
+    * (comment/malformed lines dropped, timestamp-less samples stamped
+    * `defaultTsMs`), canonicalize, append — the same
+    * at-least-once-on-crash contract as [[ingestStream]]. */
+  def expositionIngestStream(spark: SparkSession, inputDir: String,
+                             storePath: String, checkpoint: String,
+                             defaultTsMs: Long,
+                             promoted: Seq[String] = TsSchema.DefaultPromoted,
+                             daemon: Boolean = false): StreamingQuery = {
+    val in = spark.readStream.text(inputDir)
+    val longForm = graft.tsdb.Exposition.parse(in, col("value"), lit(defaultTsMs))
+    val canonical = TsSchema.canonicalize(longForm, promoted)
+    val w: DataStreamWriter[org.apache.spark.sql.Row] = canonical.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.partitionBy("block_start")
+          .mode(org.apache.spark.sql.SaveMode.Append).parquet(storePath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (daemon) Trigger.ProcessingTime("5 seconds") else Trigger.AvailableNow())
+    w.start()
+  }
+
   /** The full shipper lifecycle as ONE checkpointed stream: each
     * micro-batch appends to the partitioned store, then ships every 2h
     * window that closed — `beforeMs` = (max event time seen so far) −

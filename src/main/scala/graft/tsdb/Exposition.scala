@@ -1,0 +1,65 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Prometheus text exposition format (0.0.4) — the `/metrics` scrape
+  * and `/federate` wire format the reference's upstream feeds on
+  * (public spec: Prometheus "Exposition formats" docs). [[parse]]
+  * turns a line stream into the long form every ingest path here
+  * consumes; [[render]] is its inverse over the canonical store form,
+  * so a downstream Prometheus can federate FROM this engine. Both are
+  * doc-local (codegen'd parse expression / codegen'd string ops) —
+  * they run map-side at scan speed over a 100 TB scrape archive.
+  */
+object Exposition {
+
+  /** Exposition lines → long form `(labels map incl __name__, t, v)`.
+    * Comment (`# HELP`/`# TYPE`/any `#`), blank, and malformed lines
+    * are DROPPED (a scraper skips bad lines, it does not fail the
+    * scrape); [[parseReport]] counts them. Lines without the optional
+    * timestamp take `defaultTsMs` — the scrape-time stamping upstream
+    * Prometheus applies. */
+  def parse(lines: DataFrame, lineCol: Column, defaultTsMs: Column): DataFrame =
+    lines
+      .select(graft.functions.ExpositionExpressions.exposition_parse(lineCol).as("p"))
+      .where(col("p").isNotNull)
+      .select(col("p.labels").as("labels"),
+        coalesce(col("p.t"), defaultTsMs).as("t"),
+        col("p.v").as("v"))
+
+  /** One-row parse audit: total lines, comment/blank lines, parsed
+    * samples, and dropped (malformed) lines — map-side-combined, so
+    * the report costs one scan whatever the archive size. */
+  def parseReport(lines: DataFrame, lineCol: Column): DataFrame = {
+    val trimmed = ltrim(lineCol, " \t")
+    val isComment = trimmed === "" || substring(trimmed, 1, 1) === "#"
+    val parsed = graft.functions.ExpositionExpressions.exposition_parse(lineCol)
+    lines.agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(isComment, 1L).otherwise(0L)).as("n_comment"),
+      sum(when(parsed.isNotNull, 1L).otherwise(0L)).as("n_samples"),
+      sum(when(!isComment && parsed.isNull, 1L).otherwise(0L)).as("n_malformed"))
+  }
+
+  /** Canonical store form → exposition lines. Labels are already
+    * sorted in the canonical array (the reference's `Labels` total
+    * order), values get the `\\`, `\"`, `\n` escapes, doubles render
+    * via the JVM round-trip form (`Infinity`/`NaN` parse back), and
+    * the timestamp is always emitted — the `/federate` convention. */
+  def render(canonical: DataFrame): DataFrame = {
+    def esc(c: Column): Column =
+      regexp_replace(regexp_replace(regexp_replace(c,
+        "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n")
+    val others = filter(col("labels"),
+      e => e.getField("name") =!= Labels.MetricName)
+    val pairs = transform(others, e =>
+      concat(e.getField("name"), lit("=\""), esc(e.getField("value")), lit("\"")))
+    canonical.select(concat(
+      TsSchema.labelValue(col("labels"), Labels.MetricName),
+      when(size(pairs) > 0,
+        concat(lit("{"), array_join(pairs, ","), lit("}"))).otherwise(lit("")),
+      lit(" "), col("v").cast("string"),
+      lit(" "), col("t").cast("string")).as("line"))
+  }
+}
