@@ -49,7 +49,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "dedup_span_index" -> (8L << 20),      // rolling-hash windows, no text
     "text_ccnet_buckets" -> (256L << 10),  // token stats + per-doc NLL
     "ts_promql_topk" -> (512L << 10),      // partial-agg + group-limit bounded
-    "knn_ivf" -> (256L << 10))             // probed cells only
+    "knn_ivf" -> (256L << 10),             // probed cells only
+    "text_bm25" -> (128L << 10),           // fused: only top-k candidates shuffle
+    "q_sessionize" -> (1L << 20))          // 3-column events + per-session rows
 
   for ((name, budget) <- budgets)
     test(s"$name shuffles within its ${budget >> 20} MiB budget at sf0.01") {
