@@ -610,6 +610,54 @@ final class RemoteReadServer(querier: => TsQuerier, port: Int = 0, threads: Int 
     QueryApi.seriesJson(frames.reduce(_ unionByName _))
   }
 
+  // beyond-reference: /federate — the endpoint an UPSTREAM Prometheus
+  // scrapes to pull this engine's series (public federation docs): for
+  // each match[] instant selector, the LATEST sample per series within
+  // the staleness lookback (5m, upstream's default), rendered in the
+  // text exposition format by graft.tsdb.Exposition. `time` overrides
+  // now() for reproducible pulls. The collect is federation-bounded:
+  // one row per matched series, never raw samples.
+  server.createContext("/federate", (ex: HttpExchange) => {
+    try {
+      val all = QueryApi.paramsList(ex)
+      val sels = all.collect { case ("match[]", v) => v }
+      if (sels.isEmpty)
+        throw new IllegalArgumentException("missing parameter 'match[]'")
+      val params = all.toMap
+      val atMs = params.get("time").map(QueryApi.toMs)
+        .getOrElse(System.currentTimeMillis())
+      val lookbackMs = 300000L
+      import org.apache.spark.sql.functions._
+      val frames = sels.map { s =>
+        graft.promql.PromQL.parse(s) match {
+          case sel: graft.promql.PromExpr.Selector if sel.rangeMs.isEmpty =>
+            querier.selectLong(atMs - lookbackMs, atMs, sel.matchers)
+              .select(col("labels"), col("t"), col("v"))
+          case _ => throw new IllegalArgumentException(
+            s"match[] must be an instant selector: '$s'")
+        }
+      }
+      // union + group dedupes series across overlapping selectors
+      val latest = frames.reduce(_ unionByName _)
+        .groupBy(col("labels"))
+        .agg(max(col("t")).as("t"), max_by(col("v"), col("t")).as("v"))
+      val lines = graft.tsdb.Exposition.render(latest)
+        .collect().map(_.getString(0)).sorted
+      val body = (lines.mkString("\n") + "\n").getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    } catch {
+      case e: Exception =>
+        val msg = ("federate error: " + e.getMessage).getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type", "text/plain")
+        ex.sendResponseHeaders(400, msg.length)
+        ex.getResponseBody.write(msg)
+        ex.close()
+    }
+  })
+
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = { server.stop(0); pool.shutdown() }
 }

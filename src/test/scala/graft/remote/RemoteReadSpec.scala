@@ -324,4 +324,42 @@ class RemoteReadServerSpec extends AnyFunSuite {
         bad.body().contains("missing parameter 'match[]'"))
     } finally server.stop()
   }
+
+  test("GET /federate: latest sample per series in exposition format") {
+    val server = new RemoteReadServer(mkQuerier)
+    val port = server.start()
+    try {
+      val http = HttpClient.newHttpClient()
+      def get(pathAndQuery: String): HttpResponse[String] = http.send(
+        HttpRequest.newBuilder(
+          new URI(s"http://127.0.0.1:$port$pathAndQuery")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val m = java.net.URLEncoder.encode(
+        """http_requests_total{job=~"api.*",instance="i-0"}""", "UTF-8")
+      // time pinned at the last sample; 5m lookback covers it
+      val resp = get(s"/federate?match%5B%5D=$m&time=1700000735")
+      assert(resp.statusCode() == 200, resp.body())
+      assert(resp.headers().firstValue("Content-Type").get
+        .startsWith("text/plain"))
+      val lines = resp.body().split("\n").filter(_.nonEmpty)
+      // one line per matched series (api + api-canary, instance i-0),
+      // carrying ONLY the latest sample (t=...735000, v=2*49)
+      assert(lines.length == 2, lines.mkString("|"))
+      assert(lines.forall(_.endsWith(" 98.0 1700000735000")))
+      assert(lines.exists(_.startsWith(
+        """http_requests_total{instance="i-0",job="api"}""")))
+      assert(lines.exists(_.startsWith(
+        """http_requests_total{instance="i-0",job="api-canary"}""")))
+      // the rendered lines parse back through the exposition parser
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, lit}
+      val back = graft.tsdb.Exposition.parse(
+        lines.toSeq.toDF("line"), col("line"), lit(0L)).collect()
+      assert(back.length == 2 &&
+        back.forall(r => r.getLong(1) == 1700000735000L && r.getDouble(2) == 98.0))
+      // a range selector is rejected with a 400
+      val mr = java.net.URLEncoder.encode("http_requests_total[5m]", "UTF-8")
+      assert(get(s"/federate?match%5B%5D=$mr&time=1700000735").statusCode() == 400)
+    } finally server.stop()
+  }
 }
