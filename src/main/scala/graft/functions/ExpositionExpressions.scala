@@ -172,6 +172,7 @@ object ExpositionParseExpr {
     if (tok.isEmpty) return Double.NaN
     val neg = tok.startsWith("-")
     val body = if (neg || tok.startsWith("+")) tok.substring(1) else tok
+    if (body.isEmpty) return Double.NaN // a bare sign is not a number
     if (body.equalsIgnoreCase("inf") || body.equalsIgnoreCase("infinity"))
       return if (neg) Double.NegativeInfinity else Double.PositiveInfinity
     if (body.equalsIgnoreCase("nan")) return Double.NaN

@@ -83,6 +83,45 @@ class ExpositionSpec extends AnyFunSuite {
     assert(back.where(col("t") === -1L).count() == 0)
   }
 
+  test("fuzz: random generated series round-trip; arbitrary junk never throws") {
+    val rnd = new scala.util.Random(42)
+    def randLabelValue(): String = {
+      val chars = "ab \\\"\nüλ}{=,#".toCharArray
+      (0 until rnd.nextInt(12)).map(_ => chars(rnd.nextInt(chars.length))).mkString
+    }
+    // generated canonical series → render → parse → same labels/t/v
+    import org.apache.spark.sql.{Row, SaveMode}
+    import scala.jdk.CollectionConverters._
+    val rows = (1 to 200).map { i =>
+      val labels = Map("__name__" -> s"m_$i") ++
+        (0 until rnd.nextInt(4)).map(j => s"l$j" -> randLabelValue())
+      val v = rnd.nextInt(5) match {
+        case 0 => rnd.nextDouble() * 1e12
+        case 1 => -rnd.nextDouble() / 1e9
+        case 2 => Double.PositiveInfinity
+        case 3 => rnd.nextInt(100).toDouble
+        case _ => Double.MinPositiveValue
+      }
+      Row(labels, 1700000000000L + i, v)
+    }.asJava
+    val canon = TsSchema.canonicalize(
+      spark.createDataFrame(rows, graft.streaming.StreamIngest.inputSchema))
+    val back = TsSchema.canonicalize(Exposition.parse(
+      Exposition.render(canon), col("line"), lit(-1L)))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("fingerprint"), col("t"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(key(back) == key(canon) && back.count() == 200)
+    // junk lines: parser returns null (drops), never throws
+    val alphabet = "ab{}\"\\=, \t#0.9eE+-\nxyz"
+    val junk = (1 to 500).map { _ =>
+      (0 until rnd.nextInt(40)).map(_ =>
+        alphabet.charAt(rnd.nextInt(alphabet.length))).mkString
+    }
+    val n = Exposition.parse(junk.toDF("line"), col("line"), lit(0L)).count()
+    assert(n >= 0) // the count itself proves no line threw
+  }
+
   test("streaming exposition ingest lands in a queryable store") {
     val root = Files.createTempDirectory("graft-expo")
     val in = root.resolve("in"); Files.createDirectories(in)
