@@ -283,6 +283,22 @@ object RelationalQueries {
         col("user_id"), col("event_type"), col("t"), gapMs = 43200000L)
         .orderBy(col("user"), col("session_idx"))),
 
+    // SCD2 dimension history over the user's event_type state, built
+    // INCREMENTALLY: first half-month -> history, second half merged in
+    // (the daily-merge path) — oracle checks against the one-shot
+    // window chain, the spec holds the incremental ≡ one-shot law
+    "q_scd2" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), Tables.tsMillis(col("ts")).as("t"))
+      val cut = 1705276800000L // 2024-01-15
+      val endOfTime = 4102444800000L
+      val hist = graft.ops.Scd.scd2(ev.where(col("t") < cut),
+        Seq("user_id"), Seq("event_type"), "t", endOfTime)
+      graft.ops.Scd.scd2Merge(hist, ev.where(col("t") >= cut),
+        Seq("user_id"), Seq("event_type"), "t", endOfTime)
+        .orderBy(col("user_id"), col("valid_from"), col("event_type"))
+    }),
+
     // salted two-stage aggregation (skew mitigation): spread each group
     // key over 16 sub-keys, partially aggregate, combine — exact distinct
     // + sum + count, identical to the direct GROUP BY (oracle-checked)
@@ -557,6 +573,15 @@ object RelationalQueries {
         |  count(*) AS n_events, count(DISTINCT et) AS n_types,
         |  max(t) - min(t) AS duration_ms
         | FROM s GROUP BY u, sid ORDER BY "user", session_idx""".om,
+    "q_scd2" ->
+      """WITH u AS (SELECT user_id AS k, event_type AS et, epoch_ms(ts) AS t FROM events),
+        | o AS (SELECT k, et, t, lag(et) OVER (PARTITION BY k ORDER BY t, et) AS pe FROM u),
+        | ch AS (SELECT k, et, t FROM o WHERE pe IS NULL OR pe <> et),
+        | h AS (SELECT k, et, t AS valid_from,
+        |   coalesce(lead(t) OVER (PARTITION BY k ORDER BY t, et), 4102444800000)
+        |     AS valid_to FROM ch)
+        | SELECT k AS user_id, et AS event_type, valid_from, valid_to
+        | FROM h ORDER BY user_id, valid_from, event_type""".om,
     "q_salted_agg" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         | round(sum("value"), 2) AS sum_v, count(*) AS n

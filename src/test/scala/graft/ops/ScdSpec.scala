@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** SCD2 semantics on hand fixtures + the incremental ≡ one-shot merge
+  * law (the DuckDB oracle covers bulk parity on the events table). */
+class ScdSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private val End = 4102444800000L // 2100-01-01, repo "unbounded" epoch
+
+  private def upd(rows: (Long, String, Long)*) =
+    rows.toSeq.toDF("k", "state", "t")
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("k", "valid_from", "state").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+
+  test("scd2: change detection, interval chaining, open tail") {
+    val h = Scd.scd2(upd(
+      (1L, "a", 10L), (1L, "a", 20L), // no-op repeat collapses
+      (1L, "b", 30L), (1L, "a", 40L), // back-and-forth = two more versions
+      (2L, "x", 5L)),
+      Seq("k"), Seq("state"), "t", End)
+    assert(rowsOf(h) == Seq(
+      (1L, "a", 10L, 30L), (1L, "b", 30L, 40L), (1L, "a", 40L, End),
+      (2L, "x", 5L, End)))
+  }
+
+  test("scd2: (ts, attrs) tie-break makes same-ms conflicts deterministic") {
+    val h = Scd.scd2(upd((1L, "b", 10L), (1L, "a", 10L)),
+      Seq("k"), Seq("state"), "t", End)
+    // attrs order: 'a' sorts first -> 'a' [10,10) is a zero-width
+    // version, 'b' stays open; any engine replays exactly this
+    assert(rowsOf(h) == Seq((1L, "a", 10L, 10L), (1L, "b", 10L, End)))
+  }
+
+  test("scd2Merge: closes, inserts, no-ops, stale drops; ≡ one-shot") {
+    val first = upd((1L, "a", 10L), (1L, "b", 30L), (2L, "x", 5L))
+    val second = upd(
+      (1L, "b", 50L),  // no-op: value unchanged
+      (1L, "c", 60L),  // real change: closes b@30
+      (2L, "x", 3L),   // stale: at/before open valid_from -> dropped
+      (3L, "n", 70L))  // new key
+    val hist1 = Scd.scd2(first, Seq("k"), Seq("state"), "t", End)
+    val merged = Scd.scd2Merge(hist1, second, Seq("k"), Seq("state"), "t", End)
+    assert(rowsOf(merged) == Seq(
+      (1L, "a", 10L, 30L), (1L, "b", 30L, 60L), (1L, "c", 60L, End),
+      (2L, "x", 5L, End), (3L, "n", 70L, End)))
+    // the merge law: incremental equals the one-shot rebuild over the
+    // union of non-stale updates
+    val oneShot = Scd.scd2(
+      first.unionByName(second.where(!(col("k") === 2L && col("t") === 3L))),
+      Seq("k"), Seq("state"), "t", End)
+    assert(rowsOf(merged) == rowsOf(oneShot))
+  }
+
+  test("scd2 plan: change detection and interval windows share one key exchange") {
+    val plan = Scd.scd2(upd((1L, "a", 10L)), Seq("k"), Seq("state"), "t", End)
+      .queryExecution.executedPlan.toString()
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected a single key exchange, got $exchanges:\n$plan")
+  }
+}
