@@ -299,6 +299,30 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("valid_from"), col("event_type"))
     }),
 
+    // user state-transition matrix: each event range-joins to the SCD2
+    // version valid at t-1 (the state it ARRIVED in) via the bucketed
+    // containment join; the oracle computes the same matrix with a
+    // plain lag — two structurally different plans must agree, which
+    // pins the interval boundaries exactly
+    "q_scd2_transitions" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), Tables.tsMillis(col("ts")).as("t"))
+      val hist = graft.ops.Scd.scd2(ev,
+        Seq("user_id"), Seq("event_type"), "t", 4102444800000L)
+      val points = ev.select(col("user_id").as("key"),
+        (col("t") - 1).as("t"), col("event_type").as("et"))
+      val intervals = hist.select(col("user_id").as("key"),
+        col("event_type").as("prev_state"), col("valid_from").as("lo"),
+        // clamp the open tail to the data horizon so bucket explode
+        // stays month-bounded
+        least(col("valid_to") - 1, lit(1706745600000L)).as("hi"))
+      graft.ops.RangeJoin.pointInInterval(points, intervals, bucketWidth = 86400000L)
+        .groupBy(col("prev_state"), col("et"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("prev_state"), col("et").as("event_type"), col("n"))
+        .orderBy(col("prev_state"), col("event_type"))
+    }),
+
     // salted two-stage aggregation (skew mitigation): spread each group
     // key over 16 sub-keys, partially aggregate, combine — exact distinct
     // + sum + count, identical to the direct GROUP BY (oracle-checked)
@@ -582,6 +606,11 @@ object RelationalQueries {
         |     AS valid_to FROM ch)
         | SELECT k AS user_id, et AS event_type, valid_from, valid_to
         | FROM h ORDER BY user_id, valid_from, event_type""".om,
+    "q_scd2_transitions" ->
+      """WITH u AS (SELECT user_id AS k, event_type AS et, epoch_ms(ts) AS t FROM events),
+        | l AS (SELECT k, et, t, lag(et) OVER (PARTITION BY k ORDER BY t) AS pe FROM u)
+        | SELECT pe AS prev_state, et AS event_type, count(*) AS n
+        | FROM l WHERE pe IS NOT NULL GROUP BY pe, et ORDER BY prev_state, event_type""".om,
     "q_salted_agg" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         | round(sum("value"), 2) AS sum_v, count(*) AS n
