@@ -722,6 +722,30 @@ object ScaleCheck {
         s"session stats ${st.toSeq} != planted (5M sessions of 10 events)")
     }
 
+    // SCD2 over the same 50M-event frame with a planted alternating
+    // state (flips every 10th step) → EXACTLY 5 versions/user; closed
+    // versions all span the same closed-form 13.2M ms
+    val scdEv = spark.range(1000000L * 50)
+      .select((col("id") / 50).cast("long").as("u"),
+        pmod(col("id"), lit(50)).as("k"))
+      .select(col("u"),
+        pmod((col("k") / 10).cast("long"), lit(2)).cast("string").as("state"),
+        (col("k") * 600000L + (col("k") / 10).cast("long") * 7200000L).as("t"))
+    time("scd2 history over 50M updates / 1M users (planted 5M versions)") {
+      val eot = 4102444800000L
+      val st = graft.ops.Scd.scd2(scdEv, Seq("u"), Seq("state"), "t", eot)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("valid_to") === eot, 1L).otherwise(0L)).as("open"),
+          countDistinct(when(col("valid_to") =!= eot,
+            col("valid_to") - col("valid_from"))).as("d_span"),
+          max(when(col("valid_to") =!= eot,
+            col("valid_to") - col("valid_from"))).as("span"))
+        .head()
+      require(st.getLong(0) == 5000000L && st.getLong(1) == 1000000L &&
+        st.getLong(2) == 1 && st.getLong(3) == 13200000L,
+        s"scd2 stats ${st.toSeq} != planted (5M versions, uniform closed span)")
+    }
+
     // BM25: 2M synth docs + 5 planted needle docs; the needle query
     // must return exactly the planted set, and a common-term query
     // times the broadcast-semi-join retrieval path over 60M tokens

@@ -719,6 +719,70 @@ object StreamIngest {
       livePartials(spark, indexPath).distinct(), k)
   }
 
+  /** Streaming SCD2 dimension maintenance — the streaming consumer of
+    * [[graft.ops.Scd]]: each micro-batch of updates folds into the
+    * dimension history via `scd2Merge` and the result snapshots under
+    * `epoch=<batchId>` (Overwrite). A batch reads the latest epoch
+    * STRICTLY BELOW its own id, so a crash replay of batch N rebuilds
+    * from N−1 and overwrites the same dir — bit-identical, idempotent.
+    * Snapshots are dimension-sized (never fact-sized); [[scd2Vacuum]]
+    * prunes superseded epochs. */
+  def scd2Stream(updates: DataFrame, keyCols: Seq[String], valueCols: Seq[String],
+                 tsCol: String, dimPath: String, checkpoint: String,
+                 endOfTime: Long = 4102444800000L,
+                 daemon: Boolean = false): StreamingQuery = {
+    val w: DataStreamWriter[org.apache.spark.sql.Row] = updates.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val current = latestEpochBelow(spark, dimPath, batchId) match {
+          case Some(p) => spark.read.parquet(s"$dimPath/epoch=$p")
+          case None => // empty history with the right schema
+            graft.ops.Scd.scd2(batch.limit(0), keyCols, valueCols, tsCol, endOfTime)
+        }
+        graft.ops.Scd.scd2Merge(current, batch, keyCols, valueCols, tsCol, endOfTime)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$dimPath/epoch=$batchId")
+        spark.catalog.refreshByPath(dimPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (daemon) Trigger.ProcessingTime("5 seconds") else Trigger.AvailableNow())
+    w.start()
+  }
+
+  /** The dimension as of the newest committed epoch. */
+  def scd2View(spark: SparkSession, dimPath: String): DataFrame = {
+    val latest = epochIds(spark, dimPath).maxOption.getOrElse(
+      throw new IllegalStateException(s"no scd2 epochs under $dimPath"))
+    spark.read.parquet(s"$dimPath/epoch=$latest")
+  }
+
+  /** Drop every epoch snapshot superseded by the newest one. */
+  def scd2Vacuum(spark: SparkSession, dimPath: String): Int = {
+    val ids = epochIds(spark, dimPath)
+    if (ids.isEmpty) return 0
+    val fs = new org.apache.hadoop.fs.Path(dimPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val stale = ids.filter(_ != ids.max)
+    stale.foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dimPath/epoch=$id"), true)
+    }
+    stale.size
+  }
+
+  private def epochIds(spark: SparkSession, dimPath: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dimPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("epoch="))
+      .map(_.stripPrefix("epoch=").toLong)
+  }
+
+  private def latestEpochBelow(spark: SparkSession, dimPath: String,
+                               batchId: Long): Option[Long] =
+    epochIds(spark, dimPath).filter(_ < batchId).maxOption
+
   /** Streaming data-validation gate — the streaming consumer of
     * [[graft.ops.Checks]]: each micro-batch is admitted to
     * `storePath/batch=<id>` ONLY when its constraint suite passes; a

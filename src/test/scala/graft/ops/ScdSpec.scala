@@ -58,6 +58,34 @@ class ScdSpec extends AnyFunSuite {
     assert(rowsOf(merged) == rowsOf(oneShot))
   }
 
+  test("scd2Stream: per-batch merge snapshots; view ≡ one-shot; vacuum prunes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-scd2")
+    val dim = root.resolve("dim").toString
+    val ckpt = root.resolve("ckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.StreamIngest.scd2Stream(
+      mem.toDF().toDF("k", "state", "t"),
+      Seq("k"), Seq("state"), "t", dim, ckpt, End, daemon = true)
+    try {
+      mem.addData((1L, "a", 10L), (2L, "x", 5L))
+      q.processAllAvailable()
+      mem.addData((1L, "b", 30L), (3L, "n", 40L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val view = graft.streaming.StreamIngest.scd2View(spark, dim)
+    val oneShot = Scd.scd2(
+      upd((1L, "a", 10L), (2L, "x", 5L), (1L, "b", 30L), (3L, "n", 40L)),
+      Seq("k"), Seq("state"), "t", End)
+    assert(rowsOf(view) == rowsOf(oneShot))
+    // both epochs exist until vacuum keeps only the newest
+    assert(graft.streaming.StreamIngest.scd2Vacuum(spark, dim) == 1)
+    assert(rowsOf(graft.streaming.StreamIngest.scd2View(spark, dim)) ==
+      rowsOf(oneShot))
+  }
+
   test("scd2 plan: change detection and interval windows share one key exchange") {
     val plan = Scd.scd2(upd((1L, "a", 10L)), Seq("k"), Seq("state"), "t", End)
       .queryExecution.executedPlan.toString()
