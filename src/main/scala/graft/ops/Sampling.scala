@@ -88,6 +88,39 @@ object Sampling {
                    salt: String = "graft"): DataFrame =
     split(df, coalesce(groupCol, keyCol), splits, salt)
 
+  /** Training-mixture plan: given per-row token counts and target
+    * mixture weights, the per-source sampling table a data recipe
+    * publishes — available tokens, target share, target tokens under
+    * `budgetTokens`, and `epochs` = target/available (>1 means the
+    * source repeats, the up-weighting pattern of public LLM recipes).
+    * Sources absent from `weights` get weight 0 (excluded); weights
+    * normalize over the GIVEN map, so a weighted source missing from
+    * the corpus still consumes its share of the budget (epochs null).
+    * One map-side-combined aggregation; the weight table broadcasts. */
+  def mixturePlan(df: DataFrame, stratumCol: Column, tokensCol: Column,
+                  weights: Seq[(String, Double)],
+                  budgetTokens: Long): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0) &&
+      weights.exists(_._2 > 0), "need non-negative weights, at least one > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val total = weights.map(_._2).sum
+    val wdf = weights.map { case (s, w) => (s, w / total) }
+      .toDF("source", "weight")
+    val avail = df.groupBy(stratumCol.as("source"))
+      .agg(sum(tokensCol).cast("long").as("avail_tokens"),
+        count(lit(1)).as("n_docs"))
+    wdf.join(avail, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("avail_tokens"), lit(0L)).as("avail_tokens"),
+        round(col("weight"), 6).as("weight"),
+        round(col("weight") * budgetTokens).cast("long").as("target_tokens"),
+        when(col("avail_tokens") > 0,
+          round(col("weight") * budgetTokens / col("avail_tokens"), 4))
+          .as("epochs"))
+  }
+
   /** Weighted sampling WITHOUT replacement, k per stratum — the
     * Efraimidis–Spirakis A-ES scheme made deterministic: each row draws
     * its reproducible uniform u from the md5 hash and ranks by the key

@@ -70,4 +70,31 @@ object Scd {
     closed.unionByName(
       scd2(replay.unionByName(fresh), keyCols, valueCols, tsCol, endOfTime))
   }
+
+  /** Temporal (as-of) enrichment: each fact row picks up the history
+    * version valid at its timestamp — `valid_from <= t < valid_to` —
+    * via the bucketed containment join ([[RangeJoin.pointInInterval]],
+    * sort-merge-pinned, sub-quadratic). `horizonMs` clamps the open
+    * tail (valid_to = endOfTime) to the fact data's horizon so the
+    * bucket explode stays data-bounded, never epoch-bounded. Facts
+    * need columns `key` and `t`; history columns pass through. */
+  def asOf(facts: DataFrame, history: DataFrame,
+           keyCols: Seq[String], tsCol: String,
+           horizonMs: Long, bucketWidth: Long): DataFrame = {
+    require(keyCols.size == 1,
+      "asOf composes RangeJoin.pointInInterval, which keys on ONE column; " +
+        "concat composite keys first")
+    val intervals = history
+      .withColumnRenamed(keyCols.head, "key")
+      .withColumn("lo", col("valid_from"))
+      .withColumn("hi", least(col("valid_to") - 1, lit(horizonMs)))
+      .drop("valid_from", "valid_to")
+    val points = facts
+      .withColumnRenamed(keyCols.head, "key")
+      .withColumnRenamed(tsCol, "t")
+    RangeJoin.pointInInterval(points, intervals, bucketWidth)
+      .drop("lo", "hi")
+      .withColumnRenamed("key", keyCols.head)
+      .withColumnRenamed("t", tsCol)
+  }
 }

@@ -386,6 +386,19 @@ object PipelineQueries {
         col("doc_id"), splitSpec)
         .orderBy(col("doc_id"))),
 
+    // training-mixture plan: the per-source epochs table of public LLM
+    // data recipes — weighted sources against a token budget, epochs>1
+    // = repetition; a weighted-but-absent source still reserves budget
+    "sample_mixture_plan" -> ((s, dir) =>
+      graft.ops.Sampling.mixturePlan(
+        docs(s, dir).select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        col("source"), col("n_tokens"),
+        weights = Seq("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0,
+          "src_books" -> 1.0),
+        budgetTokens = 1000000L)
+        .orderBy(col("source"))),
+
     // leakage-safe split: near-dup CLUSTERS are the split unit (hash of
     // the cluster representative; singletons fall back to their own id)
     // — a near-duplicate of a held-out doc can never land in train
@@ -1968,6 +1981,20 @@ object PipelineQueries {
       s"""SELECT doc_id, lang,
          | ${splitCaseSql(s"(${hex15.format("'graft' || CAST(doc_id AS VARCHAR)")} / 1152921504606846976.0)")} AS split
          | FROM documents ORDER BY doc_id""".om,
+    "sample_mixture_plan" ->
+      s"""WITH w(source, wt) AS (VALUES
+         |  ('src0', 4.0), ('src1', 2.0), ('src2', 1.0), ('src_books', 1.0)),
+         | n AS (SELECT source, count(*) AS n_docs,
+         |   sum(len(string_split(text, ' ')))::BIGINT AS avail
+         |  FROM documents GROUP BY source),
+         | t AS (SELECT sum(wt) AS tot FROM w)
+         | SELECT w.source, coalesce(n.n_docs, 0)::BIGINT AS n_docs,
+         |  coalesce(n.avail, 0)::BIGINT AS avail_tokens,
+         |  round(w.wt / t.tot, 6) AS weight,
+         |  CAST(round(w.wt / t.tot * 1000000) AS BIGINT) AS target_tokens,
+         |  CASE WHEN coalesce(n.avail, 0) > 0
+         |   THEN round(w.wt / t.tot * 1000000 / n.avail, 4) END AS epochs
+         | FROM w CROSS JOIN t LEFT JOIN n USING (source) ORDER BY source""".om,
     "sample_split_leakfree" ->
       s"""WITH RECURSIVE $lshPairCtes,
          | pairs AS (SELECT id1, id2 FROM j WHERE jaccard >= 0.2),

@@ -309,14 +309,11 @@ object RelationalQueries {
         .select(col("user_id"), col("event_type"), Tables.tsMillis(col("ts")).as("t"))
       val hist = graft.ops.Scd.scd2(ev,
         Seq("user_id"), Seq("event_type"), "t", 4102444800000L)
-      val points = ev.select(col("user_id").as("key"),
-        (col("t") - 1).as("t"), col("event_type").as("et"))
-      val intervals = hist.select(col("user_id").as("key"),
-        col("event_type").as("prev_state"), col("valid_from").as("lo"),
-        // clamp the open tail to the data horizon so bucket explode
-        // stays month-bounded
-        least(col("valid_to") - 1, lit(1706745600000L)).as("hi"))
-      graft.ops.RangeJoin.pointInInterval(points, intervals, bucketWidth = 86400000L)
+      graft.ops.Scd.asOf(
+        ev.select(col("user_id"), (col("t") - 1).as("t"), col("event_type").as("et")),
+        hist.withColumnRenamed("event_type", "prev_state"),
+        keyCols = Seq("user_id"), tsCol = "t",
+        horizonMs = 1706745600000L, bucketWidth = 86400000L)
         .groupBy(col("prev_state"), col("et"))
         .agg(count(lit(1)).as("n"))
         .select(col("prev_state"), col("et").as("event_type"), col("n"))

@@ -75,6 +75,19 @@ class OpsSpec extends AnyFunSuite {
     assert(m.count() == 250 && m.select("stratum").distinct().head().getString(0) == "a")
   }
 
+  test("mixturePlan: normalized shares, repetition epochs, absent source reserves") {
+    val df = Seq(("a", 100L), ("a", 100L), ("b", 800L)).toDF("src", "toks")
+    val plan = Sampling.mixturePlan(df, col("src"), col("toks"),
+      Seq("a" -> 3.0, "b" -> 1.0, "c" -> 0.0), budgetTokens = 1000L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), Option(r.get(5))))
+    assert(plan.toSeq == Seq(
+      ("a", 2L, 200L, 0.75, 750L, Some(3.75)), // epochs > 1: source repeats
+      ("b", 1L, 800L, 0.25, 250L, Some(0.3125)),
+      ("c", 0L, 0L, 0.0, 0L, None)))           // weighted-but-absent: reserved
+  }
+
   test("splitByGroup: a group never straddles splits; singletons match plain split") {
     val df = (1L to 300L).map(i => (i, if (i <= 200) Some(i % 20) else None))
       .toDF("doc_id", "grp")

@@ -86,6 +86,21 @@ class ScdSpec extends AnyFunSuite {
       rowsOf(oneShot))
   }
 
+  test("asOf: facts pick the version valid at t; boundary goes to the new version") {
+    val hist = Scd.scd2(upd(
+      (1L, "a", 10L), (1L, "b", 30L), (2L, "x", 5L)),
+      Seq("k"), Seq("state"), "t", End)
+    val facts = Seq((1L, 10L, "f1"), (1L, 29L, "f2"), (1L, 30L, "f3"),
+      (2L, 100L, "f4"), (1L, 9L, "f5"), (3L, 50L, "f6"))
+      .toDF("k", "t", "tag")
+    val out = Scd.asOf(facts, hist, Seq("k"), "t",
+      horizonMs = 1000L, bucketWidth = 16L)
+      .select(col("tag"), col("state")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // f5 precedes all history and f6's key has none: both drop
+    assert(out == Map("f1" -> "a", "f2" -> "a", "f3" -> "b", "f4" -> "x"))
+  }
+
   test("scd2 plan: change detection and interval windows share one key exchange") {
     val plan = Scd.scd2(upd((1L, "a", 10L)), Seq("k"), Seq("state"), "t", End)
       .queryExecution.executedPlan.toString()
