@@ -44,6 +44,11 @@ object ScaleCheck {
       spark.stop()
       return
     }
+    if (sys.env.get("SPARK_GRAFT_SCALE_SECTION").contains("expo")) {
+      expoAtScale(spark)
+      spark.stop()
+      return
+    }
     val dir = java.nio.file.Files.createTempDirectory("graft-scale").resolve("store").toString
 
     def time[T](name: String)(f: => T): T = {
@@ -550,6 +555,46 @@ object ScaleCheck {
     * to ≤ buckets rows before their exchanges, and selection is a
     * k-bounded TakeOrdered — the shapes that keep DSIR one cheap pass
     * over a 100 TB pool. Standalone: SPARK_GRAFT_SCALE_SECTION=dsir. */
+  /** Exposition round-trip at 20M samples: 100k series × 200 samples
+    * render to wire lines and parse back; count, value mass, and the
+    * per-row fingerprint xor must all survive EXACTLY (xor is
+    * order-free and overflow-free, so the equality is content
+    * equality under the unique (series, t) construction). Both
+    * directions are map-side — the printed walls ARE the per-core
+    * scrape-archive throughput. Standalone:
+    * SPARK_GRAFT_SCALE_SECTION=expo. */
+  private def expoAtScale(spark: SparkSession): Unit = {
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"SCALE $name ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    }
+    import graft.tsdb.{Exposition, TsSchema}
+    val n = 20000000L
+    val canon = TsSchema.canonicalizeStatic(
+      spark.range(n).select(
+        concat(lit("metric_"), pmod(col("id"), lit(1000))).as("name"),
+        concat(lit("job-"), pmod(col("id"), lit(100))).as("job"),
+        concat(lit("i-"), col("id") % 100000L).as("instance"),
+        (lit(1700000000000L) + (col("id") / 100000L).cast("long") * 15000L).as("t"),
+        (col("id") % 997L).cast("double").as("v")),
+      pairs = Seq("__name__" -> col("name"), "job" -> col("job"),
+        "instance" -> col("instance")))
+      .drop("name")
+    def digest(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.agg(count(lit(1)), sum(col("v")),
+        expr("bit_xor(xxhash64(fingerprint, t, v))")).head()
+      (r.getLong(0), r.getDouble(1), r.getLong(2))
+    }
+    val before = time(s"exposition digest of $n canonical samples")(digest(canon))
+    val lines = Exposition.render(canon)
+    val back = TsSchema.canonicalize(
+      Exposition.parse(lines, col("line"), lit(-1L)))
+    val after = time(s"exposition render -> parse -> canonicalize $n samples")(
+      digest(back))
+    require(before == after,
+      s"round-trip digest drifted: $before != $after")
+  }
+
   /** Corpus shuffle + shard planning at 20M rows: the two-pass prefix
     * sum must produce a valid permutation (dense ordinals, conserved
     * token mass) with only the one range exchange plus per-partition
