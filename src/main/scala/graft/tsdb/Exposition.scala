@@ -33,13 +33,18 @@ object Exposition {
     * the report costs one scan whatever the archive size. */
   def parseReport(lines: DataFrame, lineCol: Column): DataFrame = {
     val trimmed = ltrim(lineCol, " \t")
-    val isComment = trimmed === "" || substring(trimmed, 1, 1) === "#"
-    val parsed = graft.functions.ExpositionExpressions.exposition_parse(lineCol)
-    lines.agg(
-      count(lit(1)).as("n_lines"),
-      sum(when(isComment, 1L).otherwise(0L)).as("n_comment"),
-      sum(when(parsed.isNotNull, 1L).otherwise(0L)).as("n_samples"),
-      sum(when(!isComment && parsed.isNull, 1L).otherwise(0L)).as("n_malformed"))
+    // project the parse ONCE per line; the agg references the column
+    // (a second inline use would re-run the expression per condition)
+    lines
+      .select(
+        (trimmed === "" || substring(trimmed, 1, 1) === "#").as("is_comment"),
+        graft.functions.ExpositionExpressions.exposition_parse(lineCol).as("p"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("is_comment"), 1L).otherwise(0L)).as("n_comment"),
+        sum(when(col("p").isNotNull, 1L).otherwise(0L)).as("n_samples"),
+        sum(when(!col("is_comment") && col("p").isNull, 1L).otherwise(0L))
+          .as("n_malformed"))
   }
 
   /** Canonical store form → exposition lines. Labels are already
