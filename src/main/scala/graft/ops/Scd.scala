@@ -36,8 +36,11 @@ object Scd {
       .orderBy(col(tsCol), attrs)
     updates
       .select((keyCols ++ valueCols).map(col) :+ col(tsCol): _*)
+      // null-safe: a NULL attribute value is a real state (e.g. "field
+      // cleared"), and the first row's missing lag is always a change —
+      // plain =!= would return NULL on either and silently collapse
       .withColumn("_prev", lag(attrs, 1).over(w))
-      .where(col("_prev").isNull || col("_prev") =!= attrs)
+      .where(!(col("_prev") <=> attrs))
       .withColumn("valid_from", col(tsCol))
       .withColumn("valid_to",
         coalesce(lead(col(tsCol), 1).over(w), lit(endOfTime)))

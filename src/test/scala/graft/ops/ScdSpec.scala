@@ -30,6 +30,17 @@ class ScdSpec extends AnyFunSuite {
       (2L, "x", 5L, End)))
   }
 
+  test("scd2: NULL attribute values are real states (null-safe change detect)") {
+    val df = Seq((1L, Some("a"), 10L), (1L, None, 20L), (1L, None, 25L),
+      (1L, Some("a"), 30L)).toDF("k", "state", "t")
+    val h = Scd.scd2(df, Seq("k"), Seq("state"), "t", End)
+      .orderBy("valid_from").collect()
+      .map(r => (Option(r.getString(1)), r.getLong(2), r.getLong(3)))
+    // a -> NULL is a change; NULL -> NULL collapses; NULL -> a reopens
+    assert(h.toSeq == Seq(
+      (Some("a"), 10L, 20L), (None, 20L, 30L), (Some("a"), 30L, End)))
+  }
+
   test("scd2: (ts, attrs) tie-break makes same-ms conflicts deterministic") {
     val h = Scd.scd2(upd((1L, "b", 10L), (1L, "a", 10L)),
       Seq("k"), Seq("state"), "t", End)
