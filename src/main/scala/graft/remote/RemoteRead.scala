@@ -415,7 +415,35 @@ final class RemoteReadServer(querier: => TsQuerier, port: Int = 0, threads: Int 
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
   server.setExecutor(pool)
 
+  // per-endpoint request counters, self-exposed on /metrics in the
+  // text exposition format — the convention every service in the
+  // reference's ecosystem follows
+  private val requestCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private def hit(path: String): Unit = {
+    requestCounts.computeIfAbsent(path,
+      _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+    ()
+  }
+
+  server.createContext("/metrics", (ex: HttpExchange) => {
+    hit("/metrics")
+    import scala.jdk.CollectionConverters._
+    val lines = Seq(
+      "# HELP graft_http_requests_total Requests served per endpoint.",
+      "# TYPE graft_http_requests_total counter") ++
+      requestCounts.asScala.toSeq.sortBy(_._1).map { case (p, c) =>
+        s"""graft_http_requests_total{path="$p"} ${c.get}"""
+      }
+    val body = (lines.mkString("\n") + "\n").getBytes("UTF-8")
+    ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4")
+    ex.sendResponseHeaders(200, body.length)
+    ex.getResponseBody.write(body)
+    ex.close()
+  })
+
   server.createContext("/read", (ex: HttpExchange) => {
+    hit("/read")
     // once the streamed path has committed its 200 headers, an error can
     // no longer be reported in-band: re-sending headers on a committed
     // exchange throws a SECONDARY exception and leaks the exchange. Track
@@ -484,6 +512,7 @@ final class RemoteReadServer(querier: => TsQuerier, port: Int = 0, threads: Int 
   // a drop-in remote_write target, no sidecar needed)
   writeSink.foreach { sink =>
     server.createContext("/write", (ex: HttpExchange) => {
+      hit("/write")
       try {
         if (ex.getRequestMethod != "POST") {
           ex.sendResponseHeaders(405, -1); ex.close()
@@ -511,6 +540,7 @@ final class RemoteReadServer(querier: => TsQuerier, port: Int = 0, threads: Int 
   // {"resultType":"matrix","result":[{"metric":{...},"values":
   // [[seconds, "v"], ...]}]}}.
   server.createContext("/api/v1/query_range", (ex: HttpExchange) => {
+    hit("/api/v1/query_range")
     try {
       val params = QueryApi.params(ex)
       def need(k: String) = params.getOrElse(k,
@@ -541,6 +571,7 @@ final class RemoteReadServer(querier: => TsQuerier, port: Int = 0, threads: Int 
     * handler. */
   private def jsonContext(path: String)(f: HttpExchange => String): Unit =
     server.createContext(path, (ex: HttpExchange) => {
+      hit(path)
       try {
         val body = f(ex).getBytes("UTF-8")
         ex.getResponseHeaders.set("Content-Type", "application/json")
@@ -618,6 +649,7 @@ final class RemoteReadServer(querier: => TsQuerier, port: Int = 0, threads: Int 
   // now() for reproducible pulls. The collect is federation-bounded:
   // one row per matched series, never raw samples.
   server.createContext("/federate", (ex: HttpExchange) => {
+    hit("/federate")
     try {
       val all = QueryApi.paramsList(ex)
       val sels = all.collect { case ("match[]", v) => v }

@@ -360,6 +360,18 @@ class RemoteReadServerSpec extends AnyFunSuite {
       // a range selector is rejected with a 400
       val mr = java.net.URLEncoder.encode("http_requests_total[5m]", "UTF-8")
       assert(get(s"/federate?match%5B%5D=$mr&time=1700000735").statusCode() == 400)
+      // the server self-exposes request counters on /metrics, and the
+      // lines parse through its own exposition parser
+      val metrics = get("/metrics")
+      assert(metrics.statusCode() == 200)
+      val mlines = metrics.body().split("\n").toSeq
+      val parsed = graft.tsdb.Exposition.parse(
+        mlines.toDF("line"), org.apache.spark.sql.functions.col("line"),
+        org.apache.spark.sql.functions.lit(0L))
+        .collect().map(r => (r.getMap[String, String](0)("path"), r.getDouble(2))).toMap
+      // two /federate hits above (one OK, one 400) both count
+      assert(parsed("/federate") == 2.0 && parsed("/metrics") == 1.0,
+        s"counters: $parsed")
     } finally server.stop()
   }
 }
