@@ -1,0 +1,85 @@
+package graft.remote
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tsdb.{Exposition, TsSchema}
+
+/** Exposition-format scrape client — the pull half of the federation
+  * loop ([[RemoteReadServer]]'s `/federate` and `/metrics` are the
+  * push half): GET an exposition endpoint, parse the lines with the
+  * engine's own codegen'd parser, stamp timestamp-less samples with
+  * scrape time (upstream Prometheus's convention), canonicalize,
+  * append to a store.
+  *
+  * Shape: the HTTP fetch and line split are driver-side (one scrape
+  * body is endpoint-sized, never corpus-sized); parse + canonicalize
+  * + partitioned append are ordinary distributed jobs, so a large
+  * federation pull still lands in parallel. [[Loop]] is the
+  * ShipperDaemon-style driver singleton: ticker thread, failure
+  * counters, close() drains the in-flight scrape. */
+object Scraper {
+
+  private val http = HttpClient.newHttpClient()
+
+  /** One scrape: returns the number of samples ingested. Non-200
+    * responses throw (the loop counts them; a one-shot caller sees the
+    * error). */
+  def scrapeOnce(spark: SparkSession, url: String, storePath: String,
+                 scrapeTsMs: Long): Long = {
+    val resp = http.send(
+      HttpRequest.newBuilder(new URI(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200,
+      s"scrape $url: HTTP ${resp.statusCode()}")
+    import spark.implicits._
+    val lines = resp.body().split("\n").toSeq.toDF("line")
+    val canonical = TsSchema.canonicalize(
+      Exposition.parse(lines, col("line"), lit(scrapeTsMs)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = canonical.count()
+      if (n > 0)
+        canonical.write.partitionBy("block_start")
+          .mode(SaveMode.Append).parquet(storePath)
+      n
+    } finally { canonical.unpersist(false); () }
+  }
+
+  /** Interval scrape loop. `close()` stops the ticker and waits for an
+    * in-flight scrape to finish; failures increment a counter and the
+    * loop keeps running (a scrape target being down must not kill the
+    * collector). */
+  final class Loop(spark: SparkSession, url: String, storePath: String,
+                   intervalMs: Long) extends AutoCloseable {
+    require(intervalMs > 0, "intervalMs must be positive")
+    @volatile private var running = true
+    val scrapes = new java.util.concurrent.atomic.AtomicLong(0)
+    val failures = new java.util.concurrent.atomic.AtomicLong(0)
+    val samples = new java.util.concurrent.atomic.AtomicLong(0)
+    private val thread = new Thread(() => {
+      while (running) {
+        try {
+          samples.addAndGet(
+            scrapeOnce(spark, url, storePath, System.currentTimeMillis()))
+          scrapes.incrementAndGet()
+        } catch {
+          case _: InterruptedException => // closing
+          case scala.util.control.NonFatal(_) => failures.incrementAndGet()
+        }
+        try { if (running) Thread.sleep(intervalMs) }
+        catch { case _: InterruptedException => () }
+      }
+    }, s"graft-scraper-$url")
+    thread.setDaemon(true)
+    thread.start()
+
+    override def close(): Unit = {
+      running = false
+      thread.interrupt()
+      thread.join(30000)
+    }
+  }
+}

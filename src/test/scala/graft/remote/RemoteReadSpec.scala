@@ -374,4 +374,25 @@ class RemoteReadServerSpec extends AnyFunSuite {
         s"counters: $parsed")
     } finally server.stop()
   }
+
+  test("scraper pulls /federate into a second store (full federation loop)") {
+    val server = new RemoteReadServer(mkQuerier)
+    val port = server.start()
+    val store = java.nio.file.Files.createTempDirectory("graft-scrape")
+      .resolve("store").toString
+    try {
+      val m = java.net.URLEncoder.encode(
+        """http_requests_total{instance="i-0"}""", "UTF-8")
+      val n = Scraper.scrapeOnce(spark,
+        s"http://127.0.0.1:$port/federate?match%5B%5D=$m&time=1700000735",
+        store, scrapeTsMs = 1700000735000L)
+      assert(n == 3) // api, api-canary, web at instance i-0
+      val q = TsStore.read(spark, store)
+      val s = q.selectStreams(0, Long.MaxValue,
+        Seq(LabelMatcher.eq("job", "api"))).collect()
+      // the federated store holds exactly the latest upstream sample
+      assert(s.length == 1 && s.head.samples.toSeq ==
+        Seq(Sample(1700000735000L, 98.0)))
+    } finally server.stop()
+  }
 }
