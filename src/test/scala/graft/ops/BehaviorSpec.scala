@@ -103,6 +103,29 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getLong(0) == 2L)
   }
 
+  test("property: session count and sizes match an independent fold oracle") {
+    val rnd = new scala.util.Random(23)
+    (1 to 8).foreach { _ =>
+      val gap = 5L + rnd.nextInt(20)
+      val rows = (0 until 30 + rnd.nextInt(50)).map { _ =>
+        (1L + rnd.nextInt(4), "e", rnd.nextInt(300).toLong)
+      }.distinct // unique (u, t): ties are covered by the dedicated test
+      // oracle: plain Scala fold over the sorted per-user timeline
+      val expect = rows.groupBy(_._1).view.mapValues { es =>
+        val ts = es.map(_._3).sorted
+        ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+          if (t - acc.head.head > gap) List(t) :: acc
+          else (t :: acc.head) :: acc.tail
+        }.map(_.size).reverse
+      }.toMap
+      val got = Behavior.sessionStats(ev(rows: _*), col("u"), col("et"), col("t"), gap)
+        .orderBy("user", "session_idx").collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.sortBy(_.getLong(1)).map(_.getLong(4)).toList).toMap
+      assert(got == expect, s"gap=$gap rows=$rows")
+    }
+  }
+
   test("sessionStats: per-session aggregates; one user exchange for assignment") {
     val df = ev(
       (1L, "view", 0L), (1L, "click", 5L), (1L, "view", 100L),

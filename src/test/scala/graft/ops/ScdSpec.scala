@@ -112,6 +112,27 @@ class ScdSpec extends AnyFunSuite {
     assert(out == Map("f1" -> "a", "f2" -> "a", "f3" -> "b", "f4" -> "x"))
   }
 
+  test("property: merge(scd2(before cut), after) ≡ scd2(all) for any time cut") {
+    // a time-cut partition never produces stale updates (every
+    // second-half ts ≥ cut > every first-half valid_from), so the merge
+    // law must hold EXACTLY for random streams and random cuts
+    val rnd = new scala.util.Random(11)
+    (1 to 8).foreach { _ =>
+      val n = 20 + rnd.nextInt(40)
+      val rows = (0 until n).map { i =>
+        (1L + rnd.nextInt(4), rnd.nextInt(3).toString, rnd.nextInt(100).toLong)
+      }
+      val cut = 1L + rnd.nextInt(99)
+      val df = upd(rows: _*)
+      val merged = Scd.scd2Merge(
+        Scd.scd2(df.where(col("t") < cut), Seq("k"), Seq("state"), "t", End),
+        df.where(col("t") >= cut), Seq("k"), Seq("state"), "t", End)
+      val oneShot = Scd.scd2(df, Seq("k"), Seq("state"), "t", End)
+      assert(rowsOf(merged) == rowsOf(oneShot),
+        s"law broke at cut=$cut over $rows")
+    }
+  }
+
   test("scd2 plan: change detection and interval windows share one key exchange") {
     val plan = Scd.scd2(upd((1L, "a", 10L)), Seq("k"), Seq("state"), "t", End)
       .queryExecution.executedPlan.toString()
