@@ -32,11 +32,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Extension ladder step (b): a doc-local codegen'd expression — one
   * pass per line, no regex backtracking, no UDF — so a 100 TB scrape
   * archive parses map-side at scan speed. */
-case class ExpositionParseExpr(child: Expression) extends UnaryExpression {
+case class ExpositionParseExpr(child: Expression,
+                               openMetrics: Boolean = false)
+  extends UnaryExpression {
 
   override def dataType: DataType = ExpositionParseExpr.schema
   override def nullable: Boolean = true
-  override def prettyName: String = "exposition_parse"
+  override def prettyName: String =
+    if (openMetrics) "openmetrics_parse" else "exposition_parse"
 
   // format constraint the code can't show: label *names* never carry
   // escapes, only quoted label values do
@@ -120,15 +123,28 @@ case class ExpositionParseExpr(child: Expression) extends UnaryExpression {
       return null
     skipBlanks()
     var ts: java.lang.Long = null
-    if (i < n) {
+    if (i < n && !(openMetrics && s.charAt(i) == '#')) {
       val t0 = i
-      if (s.charAt(i) == '+' || s.charAt(i) == '-') i += 1
-      while (i < n && s.charAt(i) >= '0' && s.charAt(i) <= '9') i += 1
-      if (i == t0 || (i == t0 + 1 && !Character.isDigit(s.charAt(t0)))) return null
-      try ts = java.lang.Long.valueOf(s.substring(t0, i))
-      catch { case _: NumberFormatException => return null }
+      if (openMetrics) {
+        // OpenMetrics 1.0: timestamp is DECIMAL SECONDS (float allowed)
+        while (i < n && s.charAt(i) != ' ' && s.charAt(i) != '\t') i += 1
+        val sec = ExpositionParseExpr.parseValue(s.substring(t0, i))
+        if (sec.isNaN || sec.isInfinite) return null
+        ts = java.lang.Long.valueOf(math.round(sec * 1000.0))
+      } else {
+        if (s.charAt(i) == '+' || s.charAt(i) == '-') i += 1
+        while (i < n && s.charAt(i) >= '0' && s.charAt(i) <= '9') i += 1
+        if (i == t0 || (i == t0 + 1 && !Character.isDigit(s.charAt(t0)))) return null
+        try ts = java.lang.Long.valueOf(s.substring(t0, i))
+        catch { case _: NumberFormatException => return null }
+      }
       skipBlanks()
-      if (i < n) return null // trailing junk
+    }
+    if (i < n) {
+      // OpenMetrics: a '#' here starts an EXEMPLAR — metadata this
+      // engine does not store; accept and ignore the rest of the line
+      if (openMetrics && s.charAt(i) == '#') i = n
+      else return null // classic dialect: trailing junk
     }
     val ka = new Array[AnyRef](keys.size()); keys.toArray(ka)
     val va = new Array[AnyRef](vals.size()); vals.toArray(va)
@@ -190,4 +206,11 @@ object ExpositionExpressions {
   def exposition_parse(line: Column): Column =
     GraftSqlBridge.column(ExpositionParseExpr(
       GraftSqlBridge.expression(line.cast("string"))))
+
+  /** OpenMetrics 1.0 dialect: decimal-SECONDS timestamps (converted to
+    * ms), exemplar tails (` # {...} v t`) accepted and ignored,
+    * `# EOF` dropping out as any other comment. */
+  def openmetrics_parse(line: Column): Column =
+    GraftSqlBridge.column(ExpositionParseExpr(
+      GraftSqlBridge.expression(line.cast("string")), openMetrics = true))
 }

@@ -28,6 +28,19 @@ object Exposition {
         coalesce(col("p.t"), defaultTsMs).as("t"),
         col("p.v").as("v"))
 
+  /** OpenMetrics 1.0 dialect of [[parse]]: timestamps arrive in
+    * decimal SECONDS (converted to ms), exemplar tails are accepted
+    * and ignored (this engine stores samples, not exemplars), and the
+    * `# EOF` terminator drops out as any other comment. */
+  def parseOpenMetrics(lines: DataFrame, lineCol: Column,
+                       defaultTsMs: Column): DataFrame =
+    lines
+      .select(graft.functions.ExpositionExpressions.openmetrics_parse(lineCol).as("p"))
+      .where(col("p").isNotNull)
+      .select(col("p.labels").as("labels"),
+        coalesce(col("p.t"), defaultTsMs).as("t"),
+        col("p.v").as("v"))
+
   /** One-row parse audit: total lines, comment/blank lines, parsed
     * samples, and dropped (malformed) lines — map-side-combined, so
     * the report costs one scan whatever the archive size. */

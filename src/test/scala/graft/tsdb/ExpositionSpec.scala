@@ -61,6 +61,30 @@ class ExpositionSpec extends AnyFunSuite {
       s"report ${rep.toSeq}")
   }
 
+  test("OpenMetrics dialect: seconds timestamps, exemplar tails, # EOF") {
+    def om(lines: String*) =
+      Exposition.parseOpenMetrics(lines.toSeq.toDF("line"), col("line"), lit(999L))
+        .collect()
+        .map(r => (r.getMap[String, String](0).toMap, r.getLong(1), r.getDouble(2)))
+    val out = om(
+      "# TYPE acme_http_router_request_seconds summary",
+      "acme_http_router_request_seconds_sum{path=\"/api/v1\"} 9036.32 1520879607.789",
+      "requests_total 3 1700000000",
+      "with_exemplar_total 17 1520879607.789 # {trace_id=\"KOO5S4vxi0o\"} 0.67",
+      "exemplar_no_ts_total 8 # {span_id=\"x\"} 1.0 1520879607.789",
+      "# EOF")
+    assert(out.length == 4)
+    assert(out(0)._2 == 1520879607789L && out(0)._3 == 9036.32)
+    assert(out(1)._2 == 1700000000000L) // integer seconds scale to ms too
+    assert(out(2)._2 == 1520879607789L) // exemplar tail ignored
+    assert(out(3)._2 == 999L)           // no ts: scrape default, exemplar ignored
+    // the classic dialect must NOT accept the exemplar tail (trailing junk)
+    assert(parse(
+      "with_exemplar_total 17 1520879607 # {trace_id=\"K\"} 0.67").isEmpty)
+    // a NaN seconds timestamp is malformed, not a sample at t=NaN
+    assert(om("bad_total 1 NaN").isEmpty)
+  }
+
   test("render -> parse round-trips the canonical store form") {
     import org.apache.spark.sql.{Row, SaveMode}
     import scala.jdk.CollectionConverters._
