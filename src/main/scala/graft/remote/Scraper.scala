@@ -24,20 +24,35 @@ object Scraper {
 
   private val http = HttpClient.newHttpClient()
 
+  /** Content negotiation, upstream Prometheus's convention: offer
+    * OpenMetrics 1.0 and classic text, let the target's Content-Type
+    * pick the parse dialect (exposition_format.md — the scraper must
+    * not assume; a target may only speak one). */
+  private val AcceptHeader =
+    "application/openmetrics-text;version=1.0.0;q=0.8,text/plain;version=0.0.4;q=0.5"
+
   /** One scrape: returns the number of samples ingested. Non-200
     * responses throw (the loop counts them; a one-shot caller sees the
-    * error). */
+    * error). The parse dialect follows the response Content-Type:
+    * `application/openmetrics-text` → OpenMetrics (seconds timestamps,
+    * exemplar tails), anything else → classic text exposition. */
   def scrapeOnce(spark: SparkSession, url: String, storePath: String,
                  scrapeTsMs: Long): Long = {
     val resp = http.send(
-      HttpRequest.newBuilder(new URI(url)).GET().build(),
+      HttpRequest.newBuilder(new URI(url)).GET()
+        .header("Accept", AcceptHeader).build(),
       HttpResponse.BodyHandlers.ofString())
     require(resp.statusCode() == 200,
       s"scrape $url: HTTP ${resp.statusCode()}")
+    val openMetrics = resp.headers().firstValue("Content-Type")
+      .map[Boolean](_.toLowerCase.contains("application/openmetrics-text"))
+      .orElse(false)
     import spark.implicits._
     val lines = resp.body().split("\n").toSeq.toDF("line")
-    val canonical = TsSchema.canonicalize(
-      Exposition.parse(lines, col("line"), lit(scrapeTsMs)))
+    val parsed =
+      if (openMetrics) Exposition.parseOpenMetrics(lines, col("line"), lit(scrapeTsMs))
+      else Exposition.parse(lines, col("line"), lit(scrapeTsMs))
+    val canonical = TsSchema.canonicalize(parsed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = canonical.count()

@@ -395,4 +395,43 @@ class RemoteReadServerSpec extends AnyFunSuite {
         Seq(Sample(1700000735000L, 98.0)))
     } finally server.stop()
   }
+
+  test("scraper negotiates OpenMetrics by Content-Type") {
+    // a target that only speaks OpenMetrics 1.0: decimal-seconds
+    // timestamps, exemplar tails, `# EOF` terminator — and asserts the
+    // scraper OFFERED the dialect in its Accept header
+    val seenAccept = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val target = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    target.createContext("/metrics", exchange => {
+      seenAccept.set(exchange.getRequestHeaders.getFirst("Accept"))
+      val body = Seq(
+        "# TYPE boiler_pressure_bars gauge",
+        "boiler_pressure_bars{site=\"a\"} 6.5 1700000100.25",
+        "boiler_pressure_bars{site=\"b\"} 7.0 # {trace_id=\"t1\"} 6.9",
+        "# EOF").mkString("\n").getBytes("UTF-8")
+      exchange.getResponseHeaders.set("Content-Type",
+        "application/openmetrics-text; version=1.0.0; charset=utf-8")
+      exchange.sendResponseHeaders(200, body.length)
+      exchange.getResponseBody.write(body); exchange.close()
+    })
+    target.start()
+    val store = java.nio.file.Files.createTempDirectory("graft-om-scrape")
+      .resolve("store").toString
+    try {
+      val port = target.getAddress.getPort
+      val n = Scraper.scrapeOnce(spark, s"http://127.0.0.1:$port/metrics",
+        store, scrapeTsMs = 1700000200000L)
+      assert(n == 2)
+      assert(seenAccept.get.contains("application/openmetrics-text"),
+        s"Accept header was: ${seenAccept.get}")
+      val s = TsStore.read(spark, store).selectStreams(0, Long.MaxValue,
+        Seq(LabelMatcher.eq("__name__", "boiler_pressure_bars")))
+        .collect().sortBy(_.labels("site"))
+      // seconds → ms; the exemplar-tail line falls back to scrape time
+      assert(s.map(_.samples.toSeq) === Seq(
+        Seq(Sample(1700000100250L, 6.5)),
+        Seq(Sample(1700000200000L, 7.0))))
+    } finally target.stop(0)
+  }
 }
