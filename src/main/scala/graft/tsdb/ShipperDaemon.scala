@@ -78,20 +78,24 @@ object ShipperDaemon {
 }
 
 /** CLI entry — the reference's `shipper` subcommand:
-  * `runMain graft.ShipperMain <storePath> <blocksDir> [tickMs]`.
-  * Runs until SIGTERM/SIGINT; the shutdown hook performs the final
-  * ship before the JVM exits. */
+  * `runMain graft.ShipperMain <storePath> <blocksDir> [tickMs]
+  * [--config=agni.yml]`. The config flag applies the reference's
+  * remote-store YAML ([[GraftConfig]]) as s3a settings, so
+  * `<blocksDir>` may be `s3a://bucket/...`. Runs until SIGTERM/SIGINT;
+  * the shutdown hook performs the final ship before the JVM exits. */
 object ShipperMain {
-  def main(args: Array[String]): Unit = {
-    val store = args(0)
-    val blocks = args(1)
-    val tickMs = if (args.length > 2) args(2).toLong else 30000L
+  def main(rawArgs: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val (_, args) =
+      GraftConfig.fromArgs(rawArgs, spark.sparkContext.hadoopConfiguration)
+    val store = args(0)
+    val blocks = args(1)
+    val tickMs = if (args.length > 2) args(2).toLong else 30000L
     val h = ShipperDaemon.start(spark, store, blocks, tickMs)
     sys.addShutdownHook { h.close() } // final ship on SIGTERM
     println(s"SHIPPING $store -> $blocks every ${tickMs}ms")
