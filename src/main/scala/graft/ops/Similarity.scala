@@ -329,6 +329,25 @@ object Similarity {
       qId, qVec, centroids, centId, centVec, k, nprobe)
   }
 
+  /** Index maintenance: append NEW vectors to a stored IVF layout
+    * WITHOUT retraining — the FAISS add-after-train contract. The batch
+    * is assigned against the index's EXISTING centroids (the layout's
+    * invariant: probes and stored cells must agree on the same centroid
+    * set; retraining would orphan every previously-written cell dir)
+    * and lands `repartition(cell)`-first, so an append adds at most one
+    * file per TOUCHED cell instead of tasks×cells — at a 1000-cell
+    * index fed hourly that is the difference between O(batches) and
+    * O(batches×cells) files. Recall on new vectors degrades only as the
+    * corpus drifts from the trained centroids (standard IVF behavior);
+    * retrain + rewrite is a deliberate offline job, not an append. */
+  def ivfAppendStored(newVectors: DataFrame, dir: String,
+                      cId: String, cVec: String,
+                      centroids: DataFrame, centId: String, centVec: String): Unit =
+    ivfAssign(newVectors, cId, cVec, centroids, centId, centVec)
+      .repartition(col("cell"))
+      .write.partitionBy("cell")
+      .mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+
   // ---- product quantization (the memory rung between SQ and IVF) ------
   // m subspaces × k centroids: a D-dim float64 vector becomes m bytes
   // (m=8, k=16 → 8 codes for a 64-dim vector, 64× smaller than float64).

@@ -77,6 +77,32 @@ object StreamIngest {
     w.start()
   }
 
+  /** Streaming ANN index maintenance: watch `inputDir` for new
+    * embedding parquet, assign each micro-batch against the index's
+    * FROZEN centroids and append into the stored cell-partitioned IVF
+    * layout ([[graft.ops.Similarity.ivfAppendStored]] — the FAISS
+    * add-after-train contract). Serving reads (`ivfTopKStored`) see new
+    * vectors at micro-batch granularity with the same static-partition
+    * probe pruning; the at-least-once-on-crash window matches
+    * [[ingestStream]] (a replayed batch re-appends; dedup by id is the
+    * reader's keep-first if it cares). */
+  def ivfIndexStream(spark: SparkSession, inputDir: String,
+                     schema: org.apache.spark.sql.types.StructType,
+                     indexDir: String, checkpoint: String,
+                     idCol: String, vecCol: String,
+                     centroids: DataFrame,
+                     daemon: Boolean = false): StreamingQuery = {
+    val in = spark.readStream.schema(schema).parquet(inputDir)
+    val w: DataStreamWriter[org.apache.spark.sql.Row] = in.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.Similarity.ivfAppendStored(batch, indexDir,
+          idCol, vecCol, centroids, "cell", "centv")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (daemon) Trigger.ProcessingTime("5 seconds") else Trigger.AvailableNow())
+    w.start()
+  }
+
   /** The full shipper lifecycle as ONE checkpointed stream: each
     * micro-batch appends to the partitioned store, then ships every 2h
     * window that closed — `beforeMs` = (max event time seen so far) −

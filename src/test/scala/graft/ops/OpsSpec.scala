@@ -737,6 +737,43 @@ class OpsSpec extends AnyFunSuite {
     assert(fromStore == fromMem)
   }
 
+  test("IVF append-after-train: stored index grows without retraining") {
+    val all = (0L until 40L).map { i =>
+      (i, (0 until 8).map(d => math.sin(i * 1.9 + d * 0.8)))
+    }.toDF("vec_id", "embedding")
+    val base = all.where(col("vec_id") < 30)
+    val late = all.where(col("vec_id") >= 30)
+    // centroids are trained ONCE, on the base corpus — the index invariant
+    val cents = Similarity.kmeansCentroids(base, "vec_id", "embedding", k = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-append")
+      .resolve("index").toString
+    Similarity.ivfAssign(base, "vec_id", "embedding", cents, "cell", "centv")
+      .repartition(col("cell")).write.partitionBy("cell").parquet(dir)
+    Similarity.ivfAppendStored(late, dir, "vec_id", "embedding", cents, "cell", "centv")
+    val stored = spark.read.parquet(dir)
+    assert(stored.count() == 40)
+    // the appended index answers exactly like a fresh in-memory
+    // assignment of the FULL corpus against the same frozen centroids
+    val q = all.where(col("vec_id") < 2)
+    val fromStore = Similarity.ivfTopKStored(q, stored, "vec_id", "embedding",
+        cents, "cell", "centv", k = 3, nprobe = 2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val fromMem = Similarity.ivfTopK(q,
+        Similarity.ivfAssign(all, "vec_id", "embedding", cents, "cell", "centv"),
+        "vec_id", "embedding", cents, "cell", "centv", k = 3, nprobe = 2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(fromStore == fromMem)
+    // repartition(cell)-first: one append adds at most ONE file per
+    // touched cell dir (build + append → ≤2 data files per cell)
+    val cellDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { cd =>
+      val n = cd.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n <= 2, s"${cd.getName} has $n data files after one append")
+    }
+  }
+
   test("ivfPqTopK with all cells probed equals flat pqTopK") {
     // 24 deterministic 8-dim vectors; m=4 subspaces × k=4 codewords
     val vecs = (0L until 24L).map { i =>

@@ -47,6 +47,51 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(s.head.samples.map(_.t) == s.head.samples.map(_.t).sorted)
   }
 
+  test("ivf index stream: micro-batches append to the stored layout, exactly once") {
+    import graft.ops.Similarity
+    val root = Files.createTempDirectory("graft-ivf-stream")
+    val in = root.resolve("in").toString
+    val index = root.resolve("index").toString
+    val ckpt = root.resolve("ckpt").toString
+    import spark.implicits._
+    def vecs(from: Long, until: Long) = (from until until).map { i =>
+      (i, (0 until 8).map(d => math.sin(i * 1.9 + d * 0.8)))
+    }.toDF("vec_id", "embedding")
+    val schema = vecs(0, 1).schema
+    // frozen centroids from the first corpus slice
+    val cents = Similarity.kmeansCentroids(vecs(0, 30), "vec_id", "embedding",
+      k = 4, iters = 2).persist()
+    cents.count()
+
+    vecs(0, 30).coalesce(1).write.mode(SaveMode.Append).parquet(in)
+    StreamIngest.ivfIndexStream(spark, in, schema, index, ckpt,
+      "vec_id", "embedding", cents).awaitTermination()
+    assert(spark.read.parquet(index).count() == 30)
+
+    // a later embedding batch arrives; restart assigns + appends only it
+    vecs(30, 40).coalesce(1).write.mode(SaveMode.Append).parquet(in)
+    StreamIngest.ivfIndexStream(spark, in, schema, index, ckpt,
+      "vec_id", "embedding", cents).awaitTermination()
+    assert(spark.read.parquet(index).count() == 40)
+
+    // nothing new: checkpoint prevents re-appends
+    StreamIngest.ivfIndexStream(spark, in, schema, index, ckpt,
+      "vec_id", "embedding", cents).awaitTermination()
+    assert(spark.read.parquet(index).count() == 40)
+
+    // the maintained index serves identically to a one-shot build
+    val q = vecs(0, 2)
+    val fromStore = Similarity.ivfTopKStored(q, spark.read.parquet(index),
+        "vec_id", "embedding", cents, "cell", "centv", k = 3, nprobe = 2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val fromMem = Similarity.ivfTopK(q,
+        Similarity.ivfAssign(vecs(0, 40), "vec_id", "embedding", cents, "cell", "centv"),
+        "vec_id", "embedding", cents, "cell", "centv", k = 3, nprobe = 2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(fromStore == fromMem)
+    cents.unpersist()
+  }
+
   test("downsample stream: closed windows materialize incrementally") {
     val root = Files.createTempDirectory("graft-downstream")
     val in = root.resolve("in").toString
