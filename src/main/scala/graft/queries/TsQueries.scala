@@ -250,6 +250,14 @@ object TsQueries {
     // values + series count per label name, over unique series only
     "ts_cardinality" -> ((s, dir) => querier(s, dir).labelStats()),
 
+    // /api/v1/status/tsdb top-k list: series count per label PAIR
+    // (value desc, name asc — deterministic through the limit boundary)
+    "ts_tsdb_pairs" -> ((s, dir) => {
+      import s.implicits._
+      querier(s, dir).tsdbStats(10).seriesCountByLabelValuePair
+        .toDF("name", "value")
+    }),
+
     // P13 tombstone interval mask: deletions applied as a broadcast
     // anti-join (the reference's deletedIterator, querier.go:845-883 —
     // always-empty there, block.go:73-75; modeled as a real table here)
@@ -1158,6 +1166,13 @@ object TsQueries {
          |   UNION ALL SELECT 'big', big FROM series WHERE big <> '')
          |SELECT label, count(DISTINCT value) AS n_values, count(*) AS n_series
          |  FROM lab GROUP BY label ORDER BY label""".stripMargin.replace("\n", " "),
+    "ts_tsdb_pairs" ->
+      s"""WITH series AS (SELECT DISTINCT name, "user", big FROM ($oracleBase)),
+         | lab AS (SELECT '__name__' AS lname, name AS value FROM series
+         |   UNION ALL SELECT 'user', "user" FROM series
+         |   UNION ALL SELECT 'big', big FROM series WHERE big <> '')
+         |SELECT lname || '=' || value AS name, CAST(count(*) AS BIGINT) AS value
+         |  FROM lab GROUP BY 1 ORDER BY value DESC, name LIMIT 10""".stripMargin.replace("\n", " "),
     "ts_tombstone" ->
       s"""SELECT name, "user", t, v FROM ($oracleBase)
          | WHERE t BETWEEN $Mint AND $Maxt

@@ -620,6 +620,13 @@ final class RemoteReadServer(querier: => TsQuerier, port: Int = 0, threads: Int 
     }
   }
 
+  // /api/v1/status/tsdb — the cardinality dashboard an operator reads
+  // to find the label exploding the index; `limit` as upstream
+  jsonContext("/api/v1/status/tsdb") { ex =>
+    val limit = QueryApi.params(ex).get("limit").map(_.toInt).getOrElse(10)
+    QueryApi.tsdbStatsJson(querier.tsdbStats(limit))
+  }
+
   jsonContext("/api/v1/series") { ex =>
     val all = QueryApi.paramsList(ex)
     val sels = all.collect { case ("match[]", v) => v }
@@ -820,6 +827,21 @@ object QueryApi {
   def stringListJson(values: Seq[String]): String =
     values.map(jsonStr).mkString(
       """{"status":"success","data":[""", ",", "]}")
+
+  /** `/api/v1/status/tsdb` response body (Prometheus HTTP API docs:
+    * TSDB Stats) from an engine-side [[graft.tsdb.TsdbStats]]. */
+  def tsdbStatsJson(s: graft.tsdb.TsdbStats): String = {
+    def list(xs: Seq[(String, Long)]): String =
+      xs.map { case (n, v) => s"""{"name":${jsonStr(n)},"value":$v}""" }
+        .mkString("[", ",", "]")
+    s"""{"status":"success","data":{""" +
+      s""""headStats":{"numSeries":${s.numSeries},"numLabelPairs":${s.numLabelPairs},""" +
+      s""""chunkCount":${s.chunkCount},"minTime":${s.minTime},"maxTime":${s.maxTime}},""" +
+      s""""seriesCountByMetricName":${list(s.seriesCountByMetricName)},""" +
+      s""""labelValueCountByLabelName":${list(s.labelValueCountByLabelName)},""" +
+      s""""memoryInBytesByLabelName":${list(s.memoryInBytesByLabelName)},""" +
+      s""""seriesCountByLabelValuePair":${list(s.seriesCountByLabelValuePair)}}}"""
+  }
 
   /** Series-discovery result: distinct label sets of a `labels` frame,
     * streamed one series at a time. */

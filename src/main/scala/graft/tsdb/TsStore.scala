@@ -161,7 +161,62 @@ final class TsQuerier(data: DataFrame, promoted: Seq[String] = TsSchema.DefaultP
       .agg(countDistinct(col("l.value")).as("n_values"),
         count(lit(1)).as("n_series"))
       .orderBy(col("label"))
+
+  /** The `/api/v1/status/tsdb` statistics bundle (Prometheus HTTP API):
+    * head-style totals plus the four top-`limit` cardinality lists an
+    * operator reads to find the label exploding the index.
+    *
+    * Scale shape: every aggregation runs over the DISTINCT series set
+    * (persisted once), each top-`limit` list is an ordered `limit(n)` —
+    * TakeOrdered, no global sort materialization — so the driver
+    * receives 4·limit rows plus five scalars whatever the store size.
+    * `chunkCount` = distinct (series, 2h block) pairs — the store's
+    * analog of head chunks; `memoryInBytes` counts UTF-8 label-pair
+    * bytes (name+value) over unique series, the closest store-side
+    * analog of Prometheus's per-label memory accounting. */
+  def tsdbStats(limit: Int = 10): TsdbStats = {
+    require(limit > 0, "limit must be positive")
+    val series = data.select(col("fingerprint"), col("labels")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pairs = series.select(explode(col("labels")).as("l"))
+        .select(col("l.name").as("name"), col("l.value").as("value"))
+      def top(df: DataFrame): Seq[(String, Long)] =
+        df.orderBy(col("value").desc, col("name")).limit(limit)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val tRow = data.agg(min(col("t")), max(col("t"))).head()
+      TsdbStats(
+        numSeries = series.count(),
+        numLabelPairs = pairs.distinct().count(),
+        chunkCount = data.select(col("fingerprint"), col("block_start"))
+          .distinct().count(),
+        minTime = tRow.getLong(0), maxTime = tRow.getLong(1),
+        seriesCountByMetricName = top(
+          series.select(TsSchema.labelValue(col("labels"), Labels.MetricName).as("name"))
+            .where(col("name") =!= "")
+            .groupBy(col("name")).agg(count(lit(1)).as("value"))),
+        labelValueCountByLabelName = top(
+          pairs.groupBy(col("name")).agg(countDistinct(col("value")).as("value"))),
+        memoryInBytesByLabelName = top(
+          pairs.groupBy(col("name")).agg(
+            sum(octet_length(col("name")) + octet_length(col("value")))
+              .cast("long").as("value"))),
+        seriesCountByLabelValuePair = top(
+          pairs.groupBy(concat(col("name"), lit("="), col("value")).as("name"))
+            .agg(count(lit(1)).as("value"))))
+    } finally { series.unpersist(false); () }
+  }
 }
+
+/** Result of [[TsQuerier.tsdbStats]] — the `/api/v1/status/tsdb`
+  * response body, engine-side. Each list is (name, value), value-desc
+  * then name-asc (deterministic ties). */
+final case class TsdbStats(numSeries: Long, numLabelPairs: Long,
+                           chunkCount: Long, minTime: Long, maxTime: Long,
+                           seriesCountByMetricName: Seq[(String, Long)],
+                           labelValueCountByLabelName: Seq[(String, Long)],
+                           memoryInBytesByLabelName: Seq[(String, Long)],
+                           seriesCountByLabelValuePair: Seq[(String, Long)])
 
 object TsStore {
   /** Open a store written by [[write]]. */

@@ -325,6 +325,49 @@ class RemoteReadServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("GET /api/v1/status/tsdb: cardinality dashboard") {
+    val server = new RemoteReadServer(mkQuerier)
+    val port = server.start()
+    try {
+      val http = HttpClient.newHttpClient()
+      val resp = http.send(
+        HttpRequest.newBuilder(new URI(
+          s"http://127.0.0.1:$port/api/v1/status/tsdb")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200, resp.body())
+      val b = resp.body()
+      // fixture: 9 series (3 jobs × 3 instances), one metric, 50 samples
+      // each, all inside one 2h block → chunkCount = 9
+      assert(b.contains(""""headStats":{"numSeries":9,"numLabelPairs":7,""" +
+        """"chunkCount":9,"minTime":1700000000000,"maxTime":1700000735000}"""), b)
+      assert(b.contains(""""seriesCountByMetricName":[{"name":"http_requests_total","value":9}]"""), b)
+      // value desc, name asc through ties
+      assert(b.contains(""""labelValueCountByLabelName":[{"name":"instance","value":3},""" +
+        """{"name":"job","value":3},{"name":"__name__","value":1}]"""), b)
+      // per-series pair bytes: __name__ (8+19)·9=243, instance (8+3)·9=99,
+      // job (3+3)·3 + (3+10)·3 + (3+3)·3 = 75
+      assert(b.contains(""""memoryInBytesByLabelName":[{"name":"__name__","value":243},""" +
+        """{"name":"instance","value":99},{"name":"job","value":75}]"""), b)
+      assert(b.contains(""""seriesCountByLabelValuePair":[""" +
+        """{"name":"__name__=http_requests_total","value":9},""" +
+        """{"name":"instance=i-0","value":3},{"name":"instance=i-1","value":3},""" +
+        """{"name":"instance=i-2","value":3},{"name":"job=api","value":3},""" +
+        """{"name":"job=api-canary","value":3},{"name":"job=web","value":3}]"""), b)
+      // limit narrows every list
+      val lim = http.send(
+        HttpRequest.newBuilder(new URI(
+          s"http://127.0.0.1:$port/api/v1/status/tsdb?limit=1")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      assert(lim.contains(""""seriesCountByLabelValuePair":[{"name":"__name__=http_requests_total","value":9}]"""), lim)
+      // a bad limit is the standard error envelope
+      val bad = http.send(
+        HttpRequest.newBuilder(new URI(
+          s"http://127.0.0.1:$port/api/v1/status/tsdb?limit=0")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(bad.statusCode() == 400 && bad.body().contains("limit must be positive"))
+    } finally server.stop()
+  }
+
   test("GET /federate: latest sample per series in exposition format") {
     val server = new RemoteReadServer(mkQuerier)
     val port = server.start()
