@@ -200,6 +200,81 @@ object ExpositionParseExpr {
   }
 }
 
+/** Parser for ONE metadata comment line of the exposition format:
+  * `# HELP <name> <docstring>` / `# TYPE <name> <type>` /
+  * `# UNIT <name> <unit>` (UNIT is OpenMetrics 1.0). Returns
+  * `struct(kind, metric, text)` or NULL for every other line —
+  * samples, blanks, plain comments, `# EOF`. HELP docstrings unescape
+  * `\\` and `\n` LEFT-TO-RIGHT (the upstream rule: `\\n` is
+  * backslash-n, not backslash-newline — a naive double-replace gets
+  * this wrong). Same codegen'd one-pass shape as
+  * [[ExpositionParseExpr]]. */
+case class ExpoMetaParseExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ExpoMetaParseExpr.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "exposition_meta_parse"
+
+  def compute(input: UTF8String): InternalRow = {
+    val s = input.toString
+    val n = s.length
+    var i = 0
+    while (i < n && (s.charAt(i) == ' ' || s.charAt(i) == '\t')) i += 1
+    if (i >= n || s.charAt(i) != '#') return null
+    i += 1
+    while (i < n && (s.charAt(i) == ' ' || s.charAt(i) == '\t')) i += 1
+    val k0 = i
+    while (i < n && s.charAt(i) != ' ' && s.charAt(i) != '\t') i += 1
+    val kind = s.substring(k0, i)
+    if (kind != "HELP" && kind != "TYPE" && kind != "UNIT") return null
+    while (i < n && (s.charAt(i) == ' ' || s.charAt(i) == '\t')) i += 1
+    val m0 = i
+    while (i < n && s.charAt(i) != ' ' && s.charAt(i) != '\t') i += 1
+    if (i == m0) return null // no metric name
+    val metric = s.substring(m0, i)
+    if (i < n) i += 1 // single separator space; rest is the text verbatim
+    val raw = s.substring(math.min(i, n))
+    val text =
+      if (kind == "HELP" && raw.indexOf('\\') >= 0) {
+        val sb = new java.lang.StringBuilder(raw.length)
+        var j = 0
+        while (j < raw.length) {
+          val c = raw.charAt(j)
+          if (c == '\\' && j + 1 < raw.length) {
+            raw.charAt(j + 1) match {
+              case '\\' => sb.append('\\'); j += 2
+              case 'n'  => sb.append('\n'); j += 2
+              case other => sb.append('\\').append(other); j += 2 // lenient
+            }
+          } else { sb.append(c); j += 1 }
+        }
+        sb.toString
+      } else raw
+    InternalRow(UTF8String.fromString(kind), UTF8String.fromString(metric),
+      UTF8String.fromString(text))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("expoMetaParse", this, classOf[ExpoMetaParseExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $self.compute($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ExpoMetaParseExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("metric", StringType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+}
+
 object ExpositionExpressions {
   /** struct(labels, t, v) from one exposition-format line; null for
     * comment/blank/malformed lines. */
@@ -213,4 +288,10 @@ object ExpositionExpressions {
   def openmetrics_parse(line: Column): Column =
     GraftSqlBridge.column(ExpositionParseExpr(
       GraftSqlBridge.expression(line.cast("string")), openMetrics = true))
+
+  /** `# HELP`/`# TYPE`/`# UNIT` metadata comment lines →
+    * `struct(kind, metric, text)`; NULL for everything else. */
+  def exposition_meta_parse(line: Column): Column =
+    GraftSqlBridge.column(ExpoMetaParseExpr(
+      GraftSqlBridge.expression(line.cast("string"))))
 }

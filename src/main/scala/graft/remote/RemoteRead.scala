@@ -404,7 +404,8 @@ object Proto {
   * lifecycle of the reference (`server.go:64-97`): body → snappy →
   * ReadRequest → per-query select → Matrix → ReadResponse → snappy. */
 final class RemoteReadServer(querier: => TsQuerier, port: Int = 0, threads: Int = 8,
-                             writeSink: Option[Seq[SampleStream] => Unit] = None) {
+                             writeSink: Option[Seq[SampleStream] => Unit] = None,
+                             metadataSource: Option[() => org.apache.spark.sql.DataFrame] = None) {
   // by-name querier: each request resolves a FRESH store view (the
   // reference re-locks its block list per query, querier.go:25-46), so
   // data appended between requests — e.g. via /write — is visible
@@ -618,6 +619,30 @@ final class RemoteReadServer(querier: => TsQuerier, port: Int = 0, threads: Int 
         throw new IllegalArgumentException(
           "expected /api/v1/label/<name>/values")
     }
+  }
+
+  // /api/v1/metadata — scrape-harvested # HELP/# TYPE/# UNIT (upstream
+  // response shape: data maps metric → [{type, help, unit}]); params
+  // `metric` (exact filter) and `limit` (number of metrics) as upstream
+  jsonContext("/api/v1/metadata") { ex =>
+    val params = QueryApi.params(ex)
+    val rows = metadataSource match {
+      case None => Array.empty[org.apache.spark.sql.Row]
+      case Some(src) =>
+        import org.apache.spark.sql.functions.col
+        val base = src()
+        val filtered = params.get("metric")
+          .map(m => base.where(col("metric") === m)).getOrElse(base)
+        val limited = params.get("limit").map(_.toInt)
+          .map(l => filtered.orderBy(col("metric")).limit(l))
+          .getOrElse(filtered.orderBy(col("metric")))
+        limited.collect()
+    }
+    rows.map { r =>
+      QueryApi.jsonStr(r.getString(0)) +
+        s""":[{"type":${QueryApi.jsonStr(if (r.getString(1).isEmpty) "unknown" else r.getString(1))},""" +
+        s""""help":${QueryApi.jsonStr(r.getString(2))},"unit":${QueryApi.jsonStr(r.getString(3))}}]"""
+    }.mkString("""{"status":"success","data":{""", ",", "}}")
   }
 
   // /api/v1/status/tsdb — the cardinality dashboard an operator reads

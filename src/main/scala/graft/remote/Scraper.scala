@@ -35,9 +35,14 @@ object Scraper {
     * responses throw (the loop counts them; a one-shot caller sees the
     * error). The parse dialect follows the response Content-Type:
     * `application/openmetrics-text` → OpenMetrics (seconds timestamps,
-    * exemplar tails), anything else → classic text exposition. */
+    * exemplar tails), anything else → classic text exposition.
+    * With `metadataPath` set, `# HELP`/`# TYPE`/`# UNIT` lines are
+    * ALSO harvested ([[graft.tsdb.Exposition.parseMetadata]]) and
+    * appended there, stamped with scrape time — the feed behind
+    * `/api/v1/metadata` ([[metadataView]] reads it back
+    * latest-wins). */
   def scrapeOnce(spark: SparkSession, url: String, storePath: String,
-                 scrapeTsMs: Long): Long = {
+                 scrapeTsMs: Long, metadataPath: Option[String] = None): Long = {
     val resp = http.send(
       HttpRequest.newBuilder(new URI(url)).GET()
         .header("Accept", AcceptHeader).build(),
@@ -59,8 +64,27 @@ object Scraper {
       if (n > 0)
         canonical.write.partitionBy("block_start")
           .mode(SaveMode.Append).parquet(storePath)
+      metadataPath.foreach { mp =>
+        Exposition.parseMetadata(lines, col("line"))
+          .withColumn("scraped_at", lit(scrapeTsMs))
+          .write.mode(SaveMode.Append).parquet(mp)
+      }
       n
     } finally { canonical.unpersist(false); () }
+  }
+
+  /** Latest-wins metadata view over a [[scrapeOnce]] metadata dir: one
+    * row per metric, the most recent scrape's (mtype, help, unit) —
+    * max-struct per metric, map-side-combined (re-scrapes append; this
+    * collapses them at read, the same keep-latest shape as replica
+    * dedup). */
+  def metadataView(spark: SparkSession, metadataPath: String) = {
+    import org.apache.spark.sql.functions.{max, struct}
+    spark.read.parquet(metadataPath)
+      .groupBy(col("metric"))
+      .agg(max(struct(col("scraped_at"), col("mtype"), col("help"), col("unit"))).as("m"))
+      .select(col("metric"), col("m.mtype").as("mtype"),
+        col("m.help").as("help"), col("m.unit").as("unit"))
   }
 
   /** Interval scrape loop. `close()` stops the ticker and waits for an

@@ -41,6 +41,27 @@ object Exposition {
         coalesce(col("p.t"), defaultTsMs).as("t"),
         col("p.v").as("v"))
 
+  /** Metric metadata from `# HELP`/`# TYPE`/`# UNIT` comment lines —
+    * the half of a scrape body [[parse]] deliberately drops, and what
+    * `/api/v1/metadata` serves upstream. One row per metric:
+    * `(metric, mtype, help, unit)`, absent kinds empty. Within one
+    * body a metric carries each kind at most once (the format's rule);
+    * on violation `max` picks deterministically. Map-side-combined —
+    * the shuffle carries one slim row per metric, never sample
+    * lines. */
+  def parseMetadata(lines: DataFrame, lineCol: Column): DataFrame =
+    lines
+      .select(graft.functions.ExpositionExpressions.exposition_meta_parse(lineCol).as("m"))
+      .where(col("m").isNotNull)
+      .groupBy(col("m.metric").as("metric"))
+      .agg(
+        coalesce(max(when(col("m.kind") === "TYPE", col("m.text"))), lit(""))
+          .as("mtype"),
+        coalesce(max(when(col("m.kind") === "HELP", col("m.text"))), lit(""))
+          .as("help"),
+        coalesce(max(when(col("m.kind") === "UNIT", col("m.text"))), lit(""))
+          .as("unit"))
+
   /** One-row parse audit: total lines, comment/blank lines, parsed
     * samples, and dropped (malformed) lines — map-side-combined, so
     * the report costs one scan whatever the archive size. */

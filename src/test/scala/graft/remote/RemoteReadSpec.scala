@@ -439,6 +439,56 @@ class RemoteReadServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("scrape metadata loop: HELP/TYPE harvested, served at /api/v1/metadata") {
+    val upstream = new RemoteReadServer(mkQuerier)
+    val port = upstream.start()
+    val root = java.nio.file.Files.createTempDirectory("graft-meta")
+    val store = root.resolve("store").toString
+    val meta = root.resolve("meta").toString
+    try {
+      // scrape our own /metrics twice (self-exposed counters carry
+      // HELP + TYPE); the second scrape appends — the view collapses
+      val u = s"http://127.0.0.1:$port/metrics"
+      assert(Scraper.scrapeOnce(spark, u, store, 1700000000000L,
+        metadataPath = Some(meta)) >= 1)
+      Scraper.scrapeOnce(spark, u, store, 1700000060000L,
+        metadataPath = Some(meta))
+      val view = Scraper.metadataView(spark, meta).collect()
+      assert(view.length == 1)
+      assert((view.head.getString(0), view.head.getString(1), view.head.getString(2)) ==
+        ("graft_http_requests_total", "counter", "Requests served per endpoint."))
+
+      // a server wired to the harvested store serves the upstream shape
+      val serving = new RemoteReadServer(mkQuerier,
+        metadataSource = Some(() => Scraper.metadataView(spark, meta)))
+      val p2 = serving.start()
+      try {
+        val http = HttpClient.newHttpClient()
+        def get(q: String) = http.send(
+          HttpRequest.newBuilder(new URI(
+            s"http://127.0.0.1:$p2/api/v1/metadata$q")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(get("").body() ==
+          """{"status":"success","data":{"graft_http_requests_total":""" +
+          """[{"type":"counter","help":"Requests served per endpoint.","unit":""}]}}""")
+        // exact-metric filter; a miss is an empty data object
+        assert(get("?metric=graft_http_requests_total").body().contains("counter"))
+        assert(get("?metric=nope").body() == """{"status":"success","data":{}}""")
+      } finally serving.stop()
+      // a server with no metadata source answers empty, not 404
+      val bare = new RemoteReadServer(mkQuerier)
+      val p3 = bare.start()
+      try {
+        val resp = HttpClient.newHttpClient().send(
+          HttpRequest.newBuilder(new URI(
+            s"http://127.0.0.1:$p3/api/v1/metadata")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(resp.statusCode() == 200 &&
+          resp.body() == """{"status":"success","data":{}}""")
+      } finally bare.stop()
+    } finally upstream.stop()
+  }
+
   test("scraper negotiates OpenMetrics by Content-Type") {
     // a target that only speaks OpenMetrics 1.0: decimal-seconds
     // timestamps, exemplar tails, `# EOF` terminator — and asserts the

@@ -85,6 +85,26 @@ class ExpositionSpec extends AnyFunSuite {
     assert(om("bad_total 1 NaN").isEmpty)
   }
 
+  test("metadata parse: HELP/TYPE/UNIT, left-to-right escapes, last-wins") {
+    val lines = Seq(
+      "# HELP http_requests_total The total\\nnumber of \\\\n requests.",
+      "# TYPE http_requests_total counter",
+      "# TYPE boiler_pressure_bars gauge",
+      "# UNIT boiler_pressure_bars bars",
+      "# EOF",                                  // terminator: not metadata
+      "# just a comment",                       // plain comment: ignored
+      "http_requests_total 5 1700000000000",    // sample: ignored
+      "# TYPE http_requests_total gauge")       // duplicate kind: max picks
+    val out = Exposition.parseMetadata(lines.toDF("line"), col("line"))
+      .orderBy("metric").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(out.length == 2)
+    assert(out(0) == ("boiler_pressure_bars", "gauge", "", "bars"))
+    // `\\n` is backslash-n (left-to-right), `\n` is a newline
+    assert(out(1) == ("http_requests_total", "gauge",
+      "The total\nnumber of \\n requests.", ""))
+  }
+
   test("render -> parse round-trips the canonical store form") {
     import org.apache.spark.sql.{Row, SaveMode}
     import scala.jdk.CollectionConverters._
