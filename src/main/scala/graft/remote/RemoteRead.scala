@@ -645,6 +645,14 @@ final class RemoteReadServer(querier: => TsQuerier, port: Int = 0, threads: Int 
     }.mkString("""{"status":"success","data":{""", ",", "}}")
   }
 
+  // /api/v1/status/buildinfo — Grafana's datasource probe reads the
+  // version for feature detection; Prometheus-compatible backends
+  // (Thanos/Mimir convention) answer with the API level they speak
+  jsonContext("/api/v1/status/buildinfo") { _ =>
+    """{"status":"success","data":{"version":"2.54.0","revision":"graft",""" +
+      """"branch":"","buildUser":"","buildDate":"","goVersion":""}}"""
+  }
+
   // /api/v1/status/tsdb — the cardinality dashboard an operator reads
   // to find the label exploding the index; `limit` as upstream
   jsonContext("/api/v1/status/tsdb") { ex =>

@@ -365,6 +365,12 @@ class RemoteReadServerSpec extends AnyFunSuite {
           s"http://127.0.0.1:$port/api/v1/status/tsdb?limit=0")).GET().build(),
         HttpResponse.BodyHandlers.ofString())
       assert(bad.statusCode() == 400 && bad.body().contains("limit must be positive"))
+      // buildinfo: the Grafana feature-detection probe
+      val bi = http.send(
+        HttpRequest.newBuilder(new URI(
+          s"http://127.0.0.1:$port/api/v1/status/buildinfo")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(bi.statusCode() == 200 && bi.body().contains(""""version":"2.54.0""""))
     } finally server.stop()
   }
 
