@@ -33,13 +33,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * pass per line, no regex backtracking, no UDF — so a 100 TB scrape
   * archive parses map-side at scan speed. */
 case class ExpositionParseExpr(child: Expression,
-                               openMetrics: Boolean = false)
+                               openMetrics: Boolean = false,
+                               exemplars: Boolean = false)
   extends UnaryExpression {
+  require(!exemplars || openMetrics,
+    "exemplars are an OpenMetrics construct (openMetrics must be set)")
 
-  override def dataType: DataType = ExpositionParseExpr.schema
+  override def dataType: DataType =
+    if (exemplars) ExpositionParseExpr.exemplarSchema
+    else ExpositionParseExpr.schema
   override def nullable: Boolean = true
   override def prettyName: String =
-    if (openMetrics) "openmetrics_parse" else "exposition_parse"
+    if (exemplars) "openmetrics_parse_ex"
+    else if (openMetrics) "openmetrics_parse"
+    else "exposition_parse"
 
   // format constraint the code can't show: label *names* never carry
   // escapes, only quoted label values do
@@ -55,47 +62,36 @@ case class ExpositionParseExpr(child: Expression,
         (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
     def nameChar(c: Char, colon: Boolean): Boolean =
       nameStart(c, colon) || (c >= '0' && c <= '9')
-    skipBlanks()
-    if (i >= n || s.charAt(i) == '#') return null
-    // metric name
-    if (!nameStart(s.charAt(i), colon = true)) return null
-    val nm0 = i
-    while (i < n && nameChar(s.charAt(i), colon = true)) i += 1
-    val metric = s.substring(nm0, i)
-    val keys = new java.util.ArrayList[UTF8String]()
-    val vals = new java.util.ArrayList[UTF8String]()
-    val seen = new java.util.HashSet[String]()
-    keys.add(UTF8String.fromString("__name__"))
-    vals.add(UTF8String.fromString(metric))
-    seen.add("__name__")
-    skipBlanks()
-    if (i < n && s.charAt(i) == '{') {
+    // `{name="value",...}` block, cursor ON the '{'; false = malformed
+    def labelBlock(keys: java.util.ArrayList[UTF8String],
+                   vals: java.util.ArrayList[UTF8String],
+                   seen: java.util.HashSet[String]): Boolean = {
       i += 1
       var done = false
       while (!done) {
         skipBlanks()
-        if (i >= n) return null
+        if (i >= n) return false
         if (s.charAt(i) == '}') { i += 1; done = true }
         else {
-          if (!nameStart(s.charAt(i), colon = false)) return null
+          if (!nameStart(s.charAt(i), colon = false)) return false
           val l0 = i
           while (i < n && nameChar(s.charAt(i), colon = false)) i += 1
           val lname = s.substring(l0, i)
-          if (!seen.add(lname)) return null
+          if (!seen.add(lname)) return false
           skipBlanks()
-          if (i >= n || s.charAt(i) != '=') return null
+          if (i >= n || s.charAt(i) != '=') return false
           i += 1
           skipBlanks()
-          if (i >= n || s.charAt(i) != '"') return null
+          if (i >= n || s.charAt(i) != '"') return false
           i += 1
           val sb = new java.lang.StringBuilder()
           var closed = false
           while (!closed) {
-            if (i >= n) return null
+            if (i >= n) return false
             val c = s.charAt(i)
             if (c == '"') { closed = true; i += 1 }
             else if (c == '\\') {
-              if (i + 1 >= n) return null
+              if (i + 1 >= n) return false
               s.charAt(i + 1) match {
                 case '\\' => sb.append('\\')
                 case '"'  => sb.append('"')
@@ -110,10 +106,33 @@ case class ExpositionParseExpr(child: Expression,
           skipBlanks()
           if (i < n && s.charAt(i) == ',') i += 1
           else if (i < n && s.charAt(i) == '}') { i += 1; done = true }
-          else return null
+          else return false
         }
       }
+      true
     }
+    def toMap(keys: java.util.ArrayList[UTF8String],
+              vals: java.util.ArrayList[UTF8String]): ArrayBasedMapData = {
+      val ka = new Array[AnyRef](keys.size()); keys.toArray(ka)
+      val va = new Array[AnyRef](vals.size()); vals.toArray(va)
+      new ArrayBasedMapData(new GenericArrayData(ka), new GenericArrayData(va))
+    }
+    skipBlanks()
+    if (i >= n || s.charAt(i) == '#') return null
+    // metric name
+    if (!nameStart(s.charAt(i), colon = true)) return null
+    val nm0 = i
+    while (i < n && nameChar(s.charAt(i), colon = true)) i += 1
+    val metric = s.substring(nm0, i)
+    val keys = new java.util.ArrayList[UTF8String]()
+    val vals = new java.util.ArrayList[UTF8String]()
+    val seen = new java.util.HashSet[String]()
+    keys.add(UTF8String.fromString("__name__"))
+    vals.add(UTF8String.fromString(metric))
+    seen.add("__name__")
+    skipBlanks()
+    if (i < n && s.charAt(i) == '{' && !labelBlock(keys, vals, seen))
+      return null
     skipBlanks()
     if (i >= n) return null // no value
     val v0 = i
@@ -140,18 +159,50 @@ case class ExpositionParseExpr(child: Expression,
       }
       skipBlanks()
     }
+    var exMap: ArrayBasedMapData = null
+    var exV: java.lang.Double = null
+    var exT: java.lang.Long = null
     if (i < n) {
-      // OpenMetrics: a '#' here starts an EXEMPLAR — metadata this
-      // engine does not store; accept and ignore the rest of the line
-      if (openMetrics && s.charAt(i) == '#') i = n
+      if (openMetrics && s.charAt(i) == '#') {
+        if (!exemplars) i = n
+        // OpenMetrics exemplar tail: `# {labels} value [ts_seconds]`
+        else {
+          i += 1; skipBlanks()
+          if (i >= n || s.charAt(i) != '{') return null
+          val ek = new java.util.ArrayList[UTF8String]()
+          val ev = new java.util.ArrayList[UTF8String]()
+          if (!labelBlock(ek, ev, new java.util.HashSet[String]())) return null
+          skipBlanks()
+          if (i >= n) return null // exemplar value is required
+          val e0 = i
+          while (i < n && s.charAt(i) != ' ' && s.charAt(i) != '\t') i += 1
+          val exval = ExpositionParseExpr.parseValue(s.substring(e0, i))
+          if (exval.isNaN && !ExpositionParseExpr.isNanToken(s.substring(e0, i)))
+            return null
+          exV = exval
+          skipBlanks()
+          if (i < n) {
+            val t0 = i
+            while (i < n && s.charAt(i) != ' ' && s.charAt(i) != '\t') i += 1
+            val sec = ExpositionParseExpr.parseValue(s.substring(t0, i))
+            if (sec.isNaN || sec.isInfinite) return null
+            exT = java.lang.Long.valueOf(math.round(sec * 1000.0))
+            skipBlanks()
+            if (i < n) return null // trailing junk after exemplar
+          }
+          exMap = toMap(ek, ev)
+        }
+      }
       else return null // classic dialect: trailing junk
     }
-    val ka = new Array[AnyRef](keys.size()); keys.toArray(ka)
-    val va = new Array[AnyRef](vals.size()); vals.toArray(va)
-    InternalRow(
-      new ArrayBasedMapData(new GenericArrayData(ka), new GenericArrayData(va)),
-      if (ts == null) null else ts.longValue(): java.lang.Long,
-      value)
+    if (exemplars)
+      InternalRow(toMap(keys, vals),
+        if (ts == null) null else ts.longValue(): java.lang.Long,
+        value, exMap, exV, exT)
+    else
+      InternalRow(toMap(keys, vals),
+        if (ts == null) null else ts.longValue(): java.lang.Long,
+        value)
   }
 
   override def nullSafeEval(input: Any): Any =
@@ -174,6 +225,14 @@ object ExpositionParseExpr {
       nullable = false),
     StructField("t", LongType, nullable = true),
     StructField("v", DoubleType, nullable = false)))
+
+  /** [[schema]] + the OpenMetrics exemplar tail (null fields when the
+    * line carries no exemplar). */
+  val exemplarSchema: StructType = StructType(schema.fields ++ Seq(
+    StructField("ex_labels", MapType(StringType, StringType, valueContainsNull = false),
+      nullable = true),
+    StructField("ex_v", DoubleType, nullable = true),
+    StructField("ex_t", LongType, nullable = true)))
 
   private[functions] def isNanToken(tok: String): Boolean = {
     val t = if (tok.startsWith("+") || tok.startsWith("-")) tok.substring(1) else tok
@@ -294,4 +353,11 @@ object ExpositionExpressions {
   def exposition_meta_parse(line: Column): Column =
     GraftSqlBridge.column(ExpoMetaParseExpr(
       GraftSqlBridge.expression(line.cast("string"))))
+
+  /** OpenMetrics parse that KEEPS the exemplar tail: the sample struct
+    * plus `(ex_labels, ex_v, ex_t)` — null when the line has none. */
+  def openmetrics_parse_ex(line: Column): Column =
+    GraftSqlBridge.column(ExpositionParseExpr(
+      GraftSqlBridge.expression(line.cast("string")),
+      openMetrics = true, exemplars = true))
 }

@@ -405,7 +405,8 @@ object Proto {
   * ReadRequest → per-query select → Matrix → ReadResponse → snappy. */
 final class RemoteReadServer(querier: => TsQuerier, port: Int = 0, threads: Int = 8,
                              writeSink: Option[Seq[SampleStream] => Unit] = None,
-                             metadataSource: Option[() => org.apache.spark.sql.DataFrame] = None) {
+                             metadataSource: Option[() => org.apache.spark.sql.DataFrame] = None,
+                             exemplarSource: Option[() => org.apache.spark.sql.DataFrame] = None) {
   // by-name querier: each request resolves a FRESH store view (the
   // reference re-locks its block list per query, querier.go:25-46), so
   // data appended between requests — e.g. via /write — is visible
@@ -645,6 +646,32 @@ final class RemoteReadServer(querier: => TsQuerier, port: Int = 0, threads: Int 
     }.mkString("""{"status":"success","data":{""", ",", "}}")
   }
 
+  // /api/v1/query_exemplars — scrape-harvested OpenMetrics exemplars
+  // for the series matching `query` within [start, end] (upstream
+  // shape: seriesLabels + exemplars[{labels, value, timestamp}])
+  jsonContext("/api/v1/query_exemplars") { ex =>
+    import org.apache.spark.sql.functions.{coalesce, col, element_at, lit}
+    val params = QueryApi.params(ex)
+    val q = params.getOrElse("query",
+      throw new IllegalArgumentException("missing parameter 'query'"))
+    val matchers = graft.promql.PromQL.parse(q) match {
+      case sel: graft.promql.PromExpr.Selector if sel.rangeMs.isEmpty => sel.matchers
+      case _ => throw new IllegalArgumentException(
+        s"query must be an instant selector: '$q'")
+    }
+    val mint = params.get("start").map(QueryApi.toMs).getOrElse(0L)
+    val maxt = params.get("end").map(QueryApi.toMs).getOrElse(4102444800000L)
+    val rows = exemplarSource match {
+      case None => Array.empty[org.apache.spark.sql.Row]
+      case Some(src) =>
+        val base = src().where(col("t").between(mint, maxt))
+        matchers.foldLeft(base)((d, m) => d.where(m.predicate(
+            coalesce(element_at(col("labels"), m.name), lit("")))))
+          .orderBy(col("t")).collect()
+    }
+    QueryApi.exemplarsJson(rows)
+  }
+
   // /api/v1/status/buildinfo — Grafana's datasource probe reads the
   // version for feature detection; Prometheus-compatible backends
   // (Thanos/Mimir convention) answer with the API level they speak
@@ -860,6 +887,31 @@ object QueryApi {
   def stringListJson(values: Seq[String]): String =
     values.map(jsonStr).mkString(
       """{"status":"success","data":[""", ",", "]}")
+
+  /** `/api/v1/query_exemplars` response body from harvested exemplar
+    * rows `(labels map, ex_labels map, v, t)`: grouped by owning
+    * series, exemplars time-ordered, value rendered as a STRING and
+    * timestamp as seconds — the upstream wire shape. */
+  def exemplarsJson(rows: Array[org.apache.spark.sql.Row]): String = {
+    def mapJson(m: Map[String, String]): String =
+      m.toSeq.sortBy(_._1)
+        .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
+        .mkString("{", ",", "}")
+    val bySeries = rows
+      .map { r =>
+        (r.getMap[String, String](r.fieldIndex("labels")).toMap,
+          r.getMap[String, String](r.fieldIndex("ex_labels")).toMap,
+          r.getDouble(r.fieldIndex("v")), r.getLong(r.fieldIndex("t")))
+      }
+      .groupBy(_._1).toSeq.sortBy(s => mapJson(s._1))
+    bySeries.map { case (series, exs) =>
+      s"""{"seriesLabels":${mapJson(series)},"exemplars":[""" +
+        exs.sortBy(_._4).map { case (_, exl, v, t) =>
+          val ts = if (t % 1000 == 0) (t / 1000).toString else (t / 1000.0).toString
+          s"""{"labels":${mapJson(exl)},"value":${jsonStr(fmt(v))},"timestamp":$ts}"""
+        }.mkString(",") + "]}"
+    }.mkString("""{"status":"success","data":[""", ",", "]}")
+  }
 
   /** `/api/v1/status/tsdb` response body (Prometheus HTTP API docs:
     * TSDB Stats) from an engine-side [[graft.tsdb.TsdbStats]]. */

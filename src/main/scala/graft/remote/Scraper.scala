@@ -39,10 +39,14 @@ object Scraper {
     * With `metadataPath` set, `# HELP`/`# TYPE`/`# UNIT` lines are
     * ALSO harvested ([[graft.tsdb.Exposition.parseMetadata]]) and
     * appended there, stamped with scrape time — the feed behind
-    * `/api/v1/metadata` ([[metadataView]] reads it back
-    * latest-wins). */
+    * `/api/v1/metadata` ([[metadataView]] reads it back latest-wins).
+    * With `exemplarPath` set and an OpenMetrics target, exemplar tails
+    * are harvested too ([[graft.tsdb.Exposition.parseExemplars]]) —
+    * the feed behind `/api/v1/query_exemplars`; classic targets carry
+    * none, so nothing is written there. */
   def scrapeOnce(spark: SparkSession, url: String, storePath: String,
-                 scrapeTsMs: Long, metadataPath: Option[String] = None): Long = {
+                 scrapeTsMs: Long, metadataPath: Option[String] = None,
+                 exemplarPath: Option[String] = None): Long = {
     val resp = http.send(
       HttpRequest.newBuilder(new URI(url)).GET()
         .header("Accept", AcceptHeader).build(),
@@ -68,6 +72,11 @@ object Scraper {
         Exposition.parseMetadata(lines, col("line"))
           .withColumn("scraped_at", lit(scrapeTsMs))
           .write.mode(SaveMode.Append).parquet(mp)
+      }
+      if (openMetrics) exemplarPath.foreach { ep =>
+        val ex = Exposition.parseExemplars(lines, col("line"), lit(scrapeTsMs))
+        if (!ex.isEmpty)
+          ex.write.mode(SaveMode.Append).parquet(ep)
       }
       n
     } finally { canonical.unpersist(false); () }

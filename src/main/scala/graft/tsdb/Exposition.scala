@@ -41,6 +41,23 @@ object Exposition {
         coalesce(col("p.t"), defaultTsMs).as("t"),
         col("p.v").as("v"))
 
+  /** OpenMetrics EXEMPLARS (` # {trace_id="..."} value [ts]` tails —
+    * the trace-correlation references behind `/api/v1/query_exemplars`):
+    * one row per exemplar-carrying line, `(labels, ex_labels, v, t)`
+    * where `labels` is the owning series (incl `__name__`), `v`/`t` the
+    * exemplar's own value and ms timestamp (timestamp-less exemplars
+    * take `defaultTsMs` — scrape time, upstream's rule). Map-side only;
+    * non-exemplar lines drop at the scan. */
+  def parseExemplars(lines: DataFrame, lineCol: Column,
+                     defaultTsMs: Column): DataFrame =
+    lines
+      .select(graft.functions.ExpositionExpressions.openmetrics_parse_ex(lineCol).as("p"))
+      .where(col("p").isNotNull && col("p.ex_v").isNotNull)
+      .select(col("p.labels").as("labels"),
+        col("p.ex_labels").as("ex_labels"),
+        col("p.ex_v").as("v"),
+        coalesce(col("p.ex_t"), defaultTsMs).as("t"))
+
   /** Metric metadata from `# HELP`/`# TYPE`/`# UNIT` comment lines —
     * the half of a scrape body [[parse]] deliberately drops, and what
     * `/api/v1/metadata` serves upstream. One row per metric:

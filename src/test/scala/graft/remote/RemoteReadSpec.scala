@@ -515,12 +515,13 @@ class RemoteReadServerSpec extends AnyFunSuite {
       exchange.getResponseBody.write(body); exchange.close()
     })
     target.start()
-    val store = java.nio.file.Files.createTempDirectory("graft-om-scrape")
-      .resolve("store").toString
+    val root = java.nio.file.Files.createTempDirectory("graft-om-scrape")
+    val store = root.resolve("store").toString
+    val exDir = root.resolve("exemplars").toString
     try {
       val port = target.getAddress.getPort
       val n = Scraper.scrapeOnce(spark, s"http://127.0.0.1:$port/metrics",
-        store, scrapeTsMs = 1700000200000L)
+        store, scrapeTsMs = 1700000200000L, exemplarPath = Some(exDir))
       assert(n == 2)
       assert(seenAccept.get.contains("application/openmetrics-text"),
         s"Accept header was: ${seenAccept.get}")
@@ -531,6 +532,34 @@ class RemoteReadServerSpec extends AnyFunSuite {
       assert(s.map(_.samples.toSeq) === Seq(
         Seq(Sample(1700000100250L, 6.5)),
         Seq(Sample(1700000200000L, 7.0))))
+      // the exemplar tail was harvested and serves the upstream shape
+      val serving = new RemoteReadServer(mkQuerier,
+        exemplarSource = Some(() => spark.read.parquet(exDir)))
+      val p2 = serving.start()
+      try {
+        val http = HttpClient.newHttpClient()
+        def get(q: String) = http.send(
+          HttpRequest.newBuilder(new URI(
+            s"http://127.0.0.1:$p2/api/v1/query_exemplars?query=$q")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        val sel = java.net.URLEncoder.encode(
+          """boiler_pressure_bars{site="b"}""", "UTF-8")
+        assert(get(sel).body() ==
+          """{"status":"success","data":[{"seriesLabels":""" +
+          """{"__name__":"boiler_pressure_bars","site":"b"},""" +
+          """"exemplars":[{"labels":{"trace_id":"t1"},"value":"6.9",""" +
+          """"timestamp":1700000200}]}]}""")
+        // a non-matching selector returns an empty data array
+        val none = java.net.URLEncoder.encode(
+          """boiler_pressure_bars{site="zz"}""", "UTF-8")
+        assert(get(none).body() == """{"status":"success","data":[]}""")
+        // time-range filtering excludes the exemplar
+        assert(http.send(
+          HttpRequest.newBuilder(new URI(
+            s"http://127.0.0.1:$p2/api/v1/query_exemplars?query=$sel&end=1700000100")).GET().build(),
+          HttpResponse.BodyHandlers.ofString()).body() ==
+          """{"status":"success","data":[]}""")
+      } finally serving.stop()
     } finally target.stop(0)
   }
 }

@@ -85,6 +85,34 @@ class ExpositionSpec extends AnyFunSuite {
     assert(om("bad_total 1 NaN").isEmpty)
   }
 
+  test("exemplar parse: labels, value, optional seconds timestamp") {
+    def ex(lines: String*) =
+      Exposition.parseExemplars(lines.toSeq.toDF("line"), col("line"), lit(999L))
+        .collect()
+        .map(r => (r.getMap[String, String](0).toMap,
+          r.getMap[String, String](1).toMap, r.getDouble(2), r.getLong(3)))
+    val out = ex(
+      "with_ts_total{job=\"api\"} 17 1520879607.789 # {trace_id=\"KOO5S4vxi0o\"} 0.67 1520879607.5",
+      "no_ts_total 8 # {span_id=\"x\"} 1.25",
+      "empty_labels_total 3 # {} 2.0 1700000000",
+      "plain_total 5 1700000000",   // no exemplar: no row
+      "# EOF")
+    assert(out.length == 3)
+    assert(out(0) == (Map("__name__" -> "with_ts_total", "job" -> "api"),
+      Map("trace_id" -> "KOO5S4vxi0o"), 0.67, 1520879607500L))
+    assert(out(1) == (Map("__name__" -> "no_ts_total"),
+      Map("span_id" -> "x"), 1.25, 999L)) // scrape-time default
+    assert(out(2) == (Map("__name__" -> "empty_labels_total"),
+      Map.empty[String, String], 2.0, 1700000000000L))
+    // malformed exemplars invalidate the line (value required; junk tail)
+    assert(ex("bad_total 1 # {a=\"b\"}").isEmpty)
+    assert(ex("bad_total 1 # {a=\"b\"} 2.0 1700000000 junk").isEmpty)
+    // the sample half still parses through the exemplar-keeping parser:
+    // same line count as parseOpenMetrics sees
+    val lines = Seq("with_ts_total 1 1700000000", "no_ts 2").toDF("line")
+    assert(Exposition.parseOpenMetrics(lines, col("line"), lit(0L)).count() == 2)
+  }
+
   test("metadata parse: HELP/TYPE/UNIT, left-to-right escapes, last-wins") {
     val lines = Seq(
       "# HELP http_requests_total The total\\nnumber of \\\\n requests.",
