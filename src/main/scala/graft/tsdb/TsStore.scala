@@ -184,13 +184,16 @@ final class TsQuerier(data: DataFrame, promoted: Seq[String] = TsSchema.DefaultP
       def top(df: DataFrame): Seq[(String, Long)] =
         df.orderBy(col("value").desc, col("name")).limit(limit)
           .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      val tRow = data.agg(min(col("t")), max(col("t"))).head()
+      // chunk count AND time bounds from ONE scan + one map-side-combined
+      // shuffle: per-(series, block) min/max roll up to the global bounds
+      val chunkRow = data.groupBy(col("fingerprint"), col("block_start"))
+        .agg(min(col("t")).as("mn"), max(col("t")).as("mx"))
+        .agg(count(lit(1)), min(col("mn")), max(col("mx"))).head()
       TsdbStats(
         numSeries = series.count(),
         numLabelPairs = pairs.distinct().count(),
-        chunkCount = data.select(col("fingerprint"), col("block_start"))
-          .distinct().count(),
-        minTime = tRow.getLong(0), maxTime = tRow.getLong(1),
+        chunkCount = chunkRow.getLong(0),
+        minTime = chunkRow.getLong(1), maxTime = chunkRow.getLong(2),
         seriesCountByMetricName = top(
           series.select(TsSchema.labelValue(col("labels"), Labels.MetricName).as("name"))
             .where(col("name") =!= "")
