@@ -11,7 +11,7 @@ import graft.tsdb.{Labels, TsQuerier, TsStore}
   * in-engine PromQL front-end).
   *
   * Usage: `runMain graft.ServeMain [storeDirOrSfDir] [port]
-  * [--config=agni.yml]`
+  * [--config=agni.yml] [--rules=rules.yml]`
   *  - a dir containing `events.parquet` → served read-only via the
   *    events mapping;
   *  - otherwise treated as a canonical store written by TsStore.write /
@@ -28,8 +28,13 @@ object ServeMain {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (_, args) = graft.tsdb.GraftConfig.fromArgs(
+    val (_, args0) = graft.tsdb.GraftConfig.fromArgs(
       rawArgs, spark.sparkContext.hadoopConfiguration)
+    // --rules=<path>: serve /api/v1/rules and /api/v1/alerts from a
+    // Prometheus rule file (re-read per request, so edits apply live —
+    // the batch analog of the upstream SIGHUP reload)
+    val (ruleFlags, args) = args0.partition(_.startsWith("--rules="))
+    val rulesPath = ruleFlags.lastOption.map(_.substring("--rules=".length))
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val port = if (args.length > 1) args(1).toInt else 19090
     val isEventsDir = graft.tsdb.BlockIO.exists(
@@ -40,7 +45,11 @@ object ServeMain {
       else TsStore.read(spark, dir)
     val server = new RemoteReadServer(querier, port,
       writeSink = if (isEventsDir) None
-        else Some(RemoteWrite.appendToStore(spark, dir)))
+        else Some(RemoteWrite.appendToStore(spark, dir)),
+      rulesSource = rulesPath.map { p => () =>
+        graft.promql.Rules.parse(graft.tsdb.BlockIO.readString(
+          p, spark.sparkContext.hadoopConfiguration), p) },
+      rulesFile = rulesPath.getOrElse("rules.yml"))
     println("LISTENING on " + server.start())
     Thread.sleep(Long.MaxValue)
   }

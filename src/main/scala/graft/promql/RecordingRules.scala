@@ -34,16 +34,22 @@ object RecordingRules {
   def record(querier: TsQuerier, destPath: String, ruleName: String,
              expr: String, mint: Long, maxt: Long, stepMs: Long,
              promoted: Seq[String] = TsSchema.DefaultPromoted,
-             lookbackMs: Long = 5 * 60 * 1000L): Long = {
+             lookbackMs: Long = 5 * 60 * 1000L,
+             extraLabels: Seq[(String, String)] = Nil): Long = {
     require(ruleName.nonEmpty && ruleName.forall(c =>
       c.isLetterOrDigit || c == '_' || c == ':'),
       s"bad rule metric name '$ruleName'")
     val out = PromQL.rangeQuery(querier, expr, mint, maxt, stepMs, lookbackMs)
+    // rule-file `labels:` override result labels of the same name
+    // (upstream recording-rule semantics); drop them before appending
+    val dropped = extraLabels.map(_._1).toSet + Labels.MetricName
+    val attached = array((
+      (Labels.MetricName -> ruleName) +: extraLabels).map { case (k, v) =>
+        struct(lit(k).as("name"), lit(v).as("value")) }: _*)
     val renamed = out.select(
       map_from_entries(concat(
-        filter(col("labels"), e => e.getField("name") =!= Labels.MetricName),
-        array(struct(lit(Labels.MetricName).as("name"),
-          lit(ruleName).as("value"))))).as("labels"),
+        filter(col("labels"), e => !e.getField("name").isin(dropped.toSeq: _*)),
+        attached)).as("labels"),
       col("t"), col("v"))
     val canonical = TsSchema.canonicalize(renamed, promoted)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

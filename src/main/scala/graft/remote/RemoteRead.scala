@@ -406,7 +406,9 @@ object Proto {
 final class RemoteReadServer(querier: => TsQuerier, port: Int = 0, threads: Int = 8,
                              writeSink: Option[Seq[SampleStream] => Unit] = None,
                              metadataSource: Option[() => org.apache.spark.sql.DataFrame] = None,
-                             exemplarSource: Option[() => org.apache.spark.sql.DataFrame] = None) {
+                             exemplarSource: Option[() => org.apache.spark.sql.DataFrame] = None,
+                             rulesSource: Option[() => Seq[graft.promql.RuleGroup]] = None,
+                             rulesFile: String = "rules.yml") {
   // by-name querier: each request resolves a FRESH store view (the
   // reference re-locks its block list per query, querier.go:25-46), so
   // data appended between requests — e.g. via /write — is visible
@@ -708,6 +710,40 @@ final class RemoteReadServer(querier: => TsQuerier, port: Int = 0, threads: Int 
     QueryApi.seriesJson(frames.reduce(_ unionByName _))
   }
 
+  // beyond-reference: /api/v1/rules + /api/v1/alerts — the
+  // rule-manager half of the Prometheus HTTP API, served from a parsed
+  // rule file (graft.promql.Rules) with alert state computed per
+  // request against the CURRENT store view (the by-name querier), so
+  // data appended since startup moves alerts between
+  // inactive/pending/firing. `time` overrides now() for reproducible
+  // reads — same convention as /federate. State cost is bounded: two
+  // grid evaluations per alerting rule, result rows per alert
+  // INSTANCE, never raw samples.
+  jsonContext("/api/v1/rules") { ex =>
+    val params = QueryApi.params(ex)
+    val atMs = params.get("time").map(QueryApi.toMs)
+      .getOrElse(System.currentTimeMillis())
+    val all = rulesSource.map(_()).getOrElse(Seq.empty)
+    val groups = params.get("type") match {
+      case Some("alert") => all.map(g => g.copy(rules = g.rules.filter(_.isAlert)))
+      case Some("record") => all.map(g => g.copy(rules = g.rules.filterNot(_.isAlert)))
+      case Some(other) => throw new IllegalArgumentException(
+        s"bad parameter 'type': expected alert|record, got '$other'")
+      case None => all
+    }
+    val active = graft.promql.Rules.activeAlerts(querier, groups, atMs)
+    QueryApi.rulesJson(groups, active, rulesFile, atMs)
+  }
+
+  jsonContext("/api/v1/alerts") { ex =>
+    val params = QueryApi.params(ex)
+    val atMs = params.get("time").map(QueryApi.toMs)
+      .getOrElse(System.currentTimeMillis())
+    val groups = rulesSource.map(_()).getOrElse(Seq.empty)
+    QueryApi.alertsJson(
+      graft.promql.Rules.activeAlerts(querier, groups, atMs))
+  }
+
   // beyond-reference: /federate — the endpoint an UPSTREAM Prometheus
   // scrapes to pull this engine's series (public federation docs): for
   // each match[] instant selector, the LATEST sample per series within
@@ -946,6 +982,52 @@ object QueryApi {
     }
     sb.append("]}")
     sb.toString
+  }
+
+  private def pairsJson(pairs: Seq[(String, String)]): String =
+    pairs.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
+      .mkString("{", ",", "}")
+
+  private def alertJson(a: graft.promql.Rules.ActiveAlert): String =
+    s"""{"labels":${pairsJson(a.labels)}""" +
+      s""","annotations":${pairsJson(a.rule.annotations.sortBy(_._1))}""" +
+      s""","state":${jsonStr(a.state)}""" +
+      s""","activeAt":${jsonStr(java.time.Instant.ofEpochMilli(a.activeAt).toString)}""" +
+      s""","value":${jsonStr(fmt(a.v))}}"""
+
+  /** `/api/v1/alerts` response body (Prometheus HTTP API docs:
+    * Alerts): every pending/firing alert instance, flat. */
+  def alertsJson(active: Seq[graft.promql.Rules.ActiveAlert]): String =
+    active.map(alertJson).mkString(
+      """{"status":"success","data":{"alerts":[""", ",", "]}}")
+
+  /** `/api/v1/rules` response body (Prometheus HTTP API docs: Rules):
+    * configured groups with per-rule state; alert instances nested
+    * under their owning rule. */
+  def rulesJson(groups: Seq[graft.promql.RuleGroup],
+                active: Seq[graft.promql.Rules.ActiveAlert],
+                file: String, atMs: Long): String = {
+    val lastEval = jsonStr(java.time.Instant.ofEpochMilli(atMs).toString)
+    def ruleJson(g: graft.promql.RuleGroup, r: graft.promql.Rule): String = {
+      val common = s""""name":${jsonStr(r.name)},"query":${jsonStr(r.expr)}""" +
+        s""","labels":${pairsJson(r.labels.sortBy(_._1))}""" +
+        s""","health":"ok","lastEvaluation":$lastEval"""
+      if (r.isAlert) {
+        val mine = active.filter(a => a.group == g.name && a.rule == r)
+        val state =
+          if (mine.exists(_.state == "firing")) "firing"
+          else if (mine.nonEmpty) "pending" else "inactive"
+        s"""{$common,"duration":${r.forMs / 1000.0}""" +
+          s""","annotations":${pairsJson(r.annotations.sortBy(_._1))}""" +
+          s""","alerts":[${mine.map(alertJson).mkString(",")}]""" +
+          s""","state":${jsonStr(state)},"type":"alerting"}"""
+      } else s"""{$common,"type":"recording"}"""
+    }
+    groups.map { g =>
+      s"""{"name":${jsonStr(g.name)},"file":${jsonStr(file)}""" +
+        s""","interval":${g.intervalMs / 1000.0}""" +
+        s""","rules":[${g.rules.map(ruleJson(g, _)).mkString(",")}]}"""
+    }.mkString("""{"status":"success","data":{"groups":[""", ",", "]}}")
   }
 
   /** Prometheus prints values with Go's shortest-round-trip float
