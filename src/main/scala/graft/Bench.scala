@@ -72,7 +72,13 @@ object Bench {
         .split("\\s+").take(3).toVector.map(_.toDouble)
       catch { case _: Throwable => Vector.empty }
     val loadStart = loadavg()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration filter (mirrors Verify's SPARK_GRAFT_ONLY): run a
+    // subset; the artifact then defaults to /tmp so a partial run can
+    // never clobber the committed full-suite bench.json
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       def once(): (Double, Double) = {
         val t0 = System.nanoTime(); val c0 = processCpuSec()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -107,7 +113,8 @@ object Bench {
       s"""{"metric":"total","value":${s3(total)},"unit":"sec","reps":$reps,$envJson,"queries_spread":$qs,"queries_cpu":$qsCpu,"fixtures":$fxJson,"fixtures_sum":${s2(fxSum)},"sf":"$sfDir"}"""
     }
     try {
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        if (only.isDefined) "/tmp/bench_only.json" else "bench.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (fullJson + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }

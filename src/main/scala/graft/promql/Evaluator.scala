@@ -895,10 +895,23 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
     *    zero bucket) a point mass at 0; mass above the largest finite
     *    bucket carries no location and is excluded from the moments. */
   private def histStats(stat: String, arg: PromExpr): DataFrame = {
-    def counts = leBuckets(eval(arg))
-      .where(col("le") === Double.PositiveInfinity)
-      .groupBy(col("gkey"), col("t")).agg(max(col("cum")).as("v"))
-      .select(col("gkey").as("labels"), col("t"), col("v"))
+    // count only ever reads the "+Inf" bucket: push that as a MATCHER
+    // into the selector (store-side postings/predicate pushdown) rather
+    // than scanning every bucket series and filtering after the grid
+    // aggregation — at scale this is a ~|buckets|× input cut
+    def counts = {
+      val narrowed = arg match {
+        case s: Selector if s.rangeMs.isEmpty &&
+            !s.matchers.exists(_.name == "le") =>
+          s.copy(matchers = s.matchers :+
+            graft.tsdb.LabelMatcher.eq("le", "+Inf"))
+        case other => other
+      }
+      leBuckets(eval(narrowed))
+        .where(col("le") === Double.PositiveInfinity)
+        .groupBy(col("gkey"), col("t")).agg(max(col("cum")).as("v"))
+        .select(col("gkey").as("labels"), col("t"), col("v"))
+    }
     def sums = arg match {
       case s: Selector if s.rangeMs.isEmpty =>
         val ms = s.matchers.map(m =>
