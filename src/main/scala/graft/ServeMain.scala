@@ -43,13 +43,19 @@ object ServeMain {
       if (isEventsDir)
         new TsQuerier(TsQueries.store(spark, dir), promoted = Seq(Labels.MetricName))
       else TsStore.read(spark, dir)
+    // /api/v1/status/config serves the raw --config file, re-read per
+    // request (live, same convention as --rules)
+    val configPath = rawArgs.filter(_.startsWith("--config="))
+      .lastOption.map(_.substring("--config=".length))
     val server = new RemoteReadServer(querier, port,
       writeSink = if (isEventsDir) None
         else Some(RemoteWrite.appendToStore(spark, dir)),
       rulesSource = rulesPath.map { p => () =>
         graft.promql.Rules.parse(graft.tsdb.BlockIO.readString(
           p, spark.sparkContext.hadoopConfiguration), p) },
-      rulesFile = rulesPath.getOrElse("rules.yml"))
+      rulesFile = rulesPath.getOrElse("rules.yml"),
+      configSource = configPath.map { p => () =>
+        graft.tsdb.BlockIO.readString(p, spark.sparkContext.hadoopConfiguration) })
     println("LISTENING on " + server.start())
     Thread.sleep(Long.MaxValue)
   }

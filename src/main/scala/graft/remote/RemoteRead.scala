@@ -408,7 +408,9 @@ final class RemoteReadServer(querier: => TsQuerier, port: Int = 0, threads: Int 
                              metadataSource: Option[() => org.apache.spark.sql.DataFrame] = None,
                              exemplarSource: Option[() => org.apache.spark.sql.DataFrame] = None,
                              rulesSource: Option[() => Seq[graft.promql.RuleGroup]] = None,
-                             rulesFile: String = "rules.yml") {
+                             rulesFile: String = "rules.yml",
+                             targetsSource: Option[() => Seq[Scraper.TargetStatus]] = None,
+                             configSource: Option[() => String] = None) {
   // by-name querier: each request resolves a FRESH store view (the
   // reference re-locks its block list per query, querier.go:25-46), so
   // data appended between requests — e.g. via /write — is visible
@@ -674,12 +676,110 @@ final class RemoteReadServer(querier: => TsQuerier, port: Int = 0, threads: Int 
     QueryApi.exemplarsJson(rows)
   }
 
+  // /-/healthy and /-/ready — the liveness/readiness probes every
+  // Prometheus-compatible deployment manifest points at; plain text,
+  // always 200 once the HTTP server is up (the store view resolves
+  // per request, so "started" IS "ready" here)
+  private def probe(path: String, text: String): Unit =
+    server.createContext(path, (ex: HttpExchange) => {
+      hit(path)
+      val body = (text + "\n").getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+  probe("/-/healthy", "Graft is Healthy.")
+  probe("/-/ready", "Graft is Ready.")
+
+  private val startedAtMs = System.currentTimeMillis()
+
+  // /api/v1/status/runtimeinfo — uptime/runtime facts an operator's
+  // dashboard shows; JVM stand-ins for the upstream Go fields
+  jsonContext("/api/v1/status/runtimeinfo") { _ =>
+    val rt = Runtime.getRuntime
+    s"""{"status":"success","data":{""" +
+      s""""startTime":${QueryApi.jsonStr(java.time.Instant.ofEpochMilli(startedAtMs).toString)},""" +
+      s""""CWD":${QueryApi.jsonStr(System.getProperty("user.dir"))},""" +
+      s""""reloadConfigSuccess":true,""" +
+      s""""goroutineCount":${Thread.activeCount()},""" +
+      s""""GOMAXPROCS":${rt.availableProcessors()},""" +
+      s""""GOGC":"","GODEBUG":"",""" +
+      s""""storageRetention":"0s"}}"""
+  }
+
+  // /api/v1/status/flags — the engine knobs that shape query behavior
+  // (upstream serves its CLI flags; the Spark-native analogs are conf)
+  jsonContext("/api/v1/status/flags") { _ =>
+    def conf(k: String, dflt: String) =
+      try org.apache.spark.sql.SparkSession.active.conf.get(k, dflt)
+      catch { case _: Throwable => dflt }
+    s"""{"status":"success","data":{""" +
+      s""""query.lookback-delta":"5m",""" +
+      s""""spark.sql.shuffle.partitions":${QueryApi.jsonStr(conf("spark.sql.shuffle.partitions", ""))},""" +
+      s""""spark.graft.tsdb.peerCacheMaxBytes":${QueryApi.jsonStr(conf("spark.graft.tsdb.peerCacheMaxBytes", (8L << 30).toString))}}}"""
+  }
+
+  // /api/v1/status/config — the loaded configuration, verbatim (the
+  // operator's "what is this server actually running with")
+  jsonContext("/api/v1/status/config") { _ =>
+    val yaml = configSource.map(_()).getOrElse("")
+    s"""{"status":"success","data":{"yaml":${QueryApi.jsonStr(yaml)}}}"""
+  }
+
+  // /api/v1/targets — scrape-pool state from the attached Scraper
+  // loops (upstream's activeTargets): health, last scrape, last error
+  jsonContext("/api/v1/targets") { ex =>
+    val state = QueryApi.params(ex).get("state")
+    val all = targetsSource.map(_()).getOrElse(Seq.empty)
+    val shown = state match {
+      case Some("active") | None => all
+      case Some("dropped") => Seq.empty // no relabeling → nothing dropped
+      case Some("any") => all
+      case Some(other) => throw new IllegalArgumentException(
+        s"bad parameter 'state': expected active|dropped|any, got '$other'")
+    }
+    val entries = shown.map { t =>
+      s"""{"scrapeUrl":${QueryApi.jsonStr(t.url)},""" +
+        s""""health":${QueryApi.jsonStr(t.health)},""" +
+        s""""lastScrape":${QueryApi.jsonStr(
+          if (t.lastScrapeMs == 0) "0001-01-01T00:00:00Z"
+          else java.time.Instant.ofEpochMilli(t.lastScrapeMs).toString)},""" +
+        s""""lastScrapeDuration":${t.lastDurationSec},""" +
+        s""""lastError":${QueryApi.jsonStr(t.lastError)},""" +
+        s""""scrapesTotal":${t.scrapes},"failuresTotal":${t.failures},""" +
+        s""""samplesTotal":${t.samples},"labels":{},"discoveredLabels":{}}"""
+    }
+    s"""{"status":"success","data":{"activeTargets":[${entries.mkString(",")}],"droppedTargets":[]}}"""
+  }
+
   // /api/v1/status/buildinfo — Grafana's datasource probe reads the
   // version for feature detection; Prometheus-compatible backends
   // (Thanos/Mimir convention) answer with the API level they speak
   jsonContext("/api/v1/status/buildinfo") { _ =>
     """{"status":"success","data":{"version":"2.54.0","revision":"graft",""" +
       """"branch":"","buildUser":"","buildDate":"","goVersion":""}}"""
+  }
+
+  // /api/v1/format_query — the upstream prettifier endpoint: parse,
+  // pretty-print, return the canonical form (Format's contract is
+  // round-trip fidelity, property-gated in PromQLSpec)
+  jsonContext("/api/v1/format_query") { ex =>
+    val q = QueryApi.params(ex).getOrElse("query",
+      throw new IllegalArgumentException("missing parameter 'query'"))
+    """{"status":"success","data":""" +
+      QueryApi.jsonStr(graft.promql.Format.format(
+        graft.promql.PromQL.parse(q))) + "}"
+  }
+
+  // /api/v1/parse_query — the upstream (experimental) AST endpoint:
+  // the parsed tree as typed JSON, for editors/linters that want
+  // structure instead of text
+  jsonContext("/api/v1/parse_query") { ex =>
+    val q = QueryApi.params(ex).getOrElse("query",
+      throw new IllegalArgumentException("missing parameter 'query'"))
+    """{"status":"success","data":""" +
+      graft.promql.Format.json(graft.promql.PromQL.parse(q)) + "}"
   }
 
   // /api/v1/status/tsdb — the cardinality dashboard an operator reads

@@ -96,6 +96,15 @@ object Scraper {
         col("m.help").as("help"), col("m.unit").as("unit"))
   }
 
+  /** Per-target scrape state as `/api/v1/targets` reports it
+    * (upstream's activeTargets entry): health is "up" after a
+    * successful last scrape, "down" after a failed one, "unknown"
+    * before the first attempt. */
+  final case class TargetStatus(url: String, health: String,
+                                lastScrapeMs: Long, lastDurationSec: Double,
+                                lastError: String, scrapes: Long,
+                                failures: Long, samples: Long)
+
   /** Interval scrape loop. `close()` stops the ticker and waits for an
     * in-flight scrape to finish; failures increment a counter and the
     * loop keeps running (a scrape target being down must not kill the
@@ -107,15 +116,34 @@ object Scraper {
     val scrapes = new java.util.concurrent.atomic.AtomicLong(0)
     val failures = new java.util.concurrent.atomic.AtomicLong(0)
     val samples = new java.util.concurrent.atomic.AtomicLong(0)
+    @volatile private var lastScrapeMs = 0L
+    @volatile private var lastDurationSec = 0.0
+    @volatile private var lastError = ""
+
+    /** Snapshot for `/api/v1/targets`. */
+    def status: TargetStatus = TargetStatus(url,
+      health = if (lastScrapeMs == 0) "unknown"
+               else if (lastError.isEmpty) "up" else "down",
+      lastScrapeMs, lastDurationSec, lastError,
+      scrapes.get, failures.get, samples.get)
+
     private val thread = new Thread(() => {
       while (running) {
+        val t0 = System.nanoTime()
         try {
-          samples.addAndGet(
-            scrapeOnce(spark, url, storePath, System.currentTimeMillis()))
+          val now = System.currentTimeMillis()
+          samples.addAndGet(scrapeOnce(spark, url, storePath, now))
           scrapes.incrementAndGet()
+          lastScrapeMs = now
+          lastDurationSec = (System.nanoTime() - t0) / 1e9
+          lastError = ""
         } catch {
           case _: InterruptedException => // closing
-          case scala.util.control.NonFatal(_) => failures.incrementAndGet()
+          case scala.util.control.NonFatal(e) =>
+            failures.incrementAndGet()
+            lastScrapeMs = System.currentTimeMillis()
+            lastDurationSec = (System.nanoTime() - t0) / 1e9
+            lastError = String.valueOf(e.getMessage)
         }
         try { if (running) Thread.sleep(intervalMs) }
         catch { case _: InterruptedException => () }

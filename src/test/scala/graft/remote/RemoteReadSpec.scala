@@ -562,4 +562,54 @@ class RemoteReadServerSpec extends AnyFunSuite {
       } finally serving.stop()
     } finally target.stop(0)
   }
+
+  test("liveness, runtimeinfo, flags, config and targets endpoints") {
+    val loop = new Scraper.Loop(spark, "http://127.0.0.1:1/metrics",
+      java.nio.file.Files.createTempDirectory("graft-t").resolve("s").toString,
+      intervalMs = 3600000L) // port 1: connection refused -> "down"
+    val server = new RemoteReadServer(mkQuerier,
+      targetsSource = Some(() => Seq(loop.status)),
+      configSource = Some(() => "bucket: b1\n"))
+    val port = server.start()
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      def get(pq: String) = http.send(
+        java.net.http.HttpRequest.newBuilder(
+          new java.net.URI(s"http://127.0.0.1:$port$pq")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+
+      val healthy = get("/-/healthy")
+      assert(healthy.statusCode() == 200 &&
+        healthy.body() == "Graft is Healthy.\n")
+      assert(get("/-/ready").body() == "Graft is Ready.\n")
+
+      val ri = get("/api/v1/status/runtimeinfo").body()
+      assert(ri.contains("\"startTime\":") && ri.contains("\"GOMAXPROCS\":"))
+      assert(ri.contains("\"reloadConfigSuccess\":true"))
+
+      val fl = get("/api/v1/status/flags").body()
+      assert(fl.contains("\"query.lookback-delta\":\"5m\""))
+      assert(fl.contains("spark.sql.shuffle.partitions"))
+
+      // jsonStr escapes control chars as unicode escapes (valid JSON);
+      // concatenated to keep the Scala lexer from decoding the escape
+      assert(get("/api/v1/status/config").body() ==
+        """{"status":"success","data":{"yaml":"bucket: b1""" +
+          "\\u000a" + "\"}}")
+
+      // the failing loop flips to "down" with a lastError after a tick
+      val deadline = System.currentTimeMillis() + 15000
+      while (loop.status.health == "unknown" &&
+             System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val tg = get("/api/v1/targets").body()
+      assert(tg.contains("\"scrapeUrl\":\"http://127.0.0.1:1/metrics\""), tg)
+      assert(tg.contains("\"health\":\"down\""), tg)
+      assert(tg.contains("\"failuresTotal\":"), tg)
+      assert(tg.contains("\"droppedTargets\":[]"), tg)
+      // state filter: dropped is empty, bogus is a 400
+      assert(get("/api/v1/targets?state=dropped").body()
+        .contains("\"activeTargets\":[]"))
+      assert(get("/api/v1/targets?state=bogus").statusCode() == 400)
+    } finally { server.stop(); loop.close() }
+  }
 }
