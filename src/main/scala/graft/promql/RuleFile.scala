@@ -256,4 +256,33 @@ object Rules {
     for (g <- groups; r <- g.rules if !r.isAlert) yield
       r.name -> RecordingRules.record(querier, destPath, r.name, r.expr,
         mint, maxt, g.intervalMs, extraLabels = r.labels)
+
+  /** CONTINUOUS evaluation of a rule file over a streaming store: one
+    * [[graft.streaming.StreamIngest.rulesStream]] per group — each
+    * group evaluates at its own `interval`, recording rules
+    * materialize as new metrics, alerting rules as alert-name series,
+    * rule labels attached, incremental markers keep replays
+    * exactly-once. Returns `(group, query)`; await each to drain (or
+    * pass `daemon = true` for a 5 s ticker). */
+  def streamAll(spark: org.apache.spark.sql.SparkSession, inputDir: String,
+                storePath: String, checkpointRoot: String, startMs: Long,
+                groups: Seq[RuleGroup], lagMs: Long = 10 * 60 * 1000L,
+                daemon: Boolean = false)
+      : Seq[(String, org.apache.spark.sql.streaming.StreamingQuery)] = {
+    // marker files (and output series) are keyed by RULE name: a name
+    // reused across groups would share markers and interleave outputs
+    val names = groups.flatMap(_.rules.map(_.name))
+    require(names.distinct.size == names.size,
+      s"rule names must be unique across groups for streaming evaluation: " +
+        names.diff(names.distinct).distinct.mkString(", "))
+    groups.map { g =>
+      g.name -> graft.streaming.StreamIngest.rulesStream(
+        spark, inputDir, storePath,
+        checkpointRoot + "/" + g.name, startMs, g.intervalMs,
+        rules = g.rules.filterNot(_.isAlert).map(r => r.name -> r.expr),
+        alerts = g.rules.filter(_.isAlert).map(r => (r.name, r.expr, r.forMs)),
+        lagMs = lagMs, daemon = daemon,
+        ruleLabels = g.rules.map(r => r.name -> r.labels).toMap)
+    }
+  }
 }

@@ -160,7 +160,9 @@ object StreamIngest {
                   alerts: Seq[(String, String, Long)] = Seq.empty,
                   lagMs: Long = 10 * 60 * 1000L,
                   promoted: Seq[String] = TsSchema.DefaultPromoted,
-                  daemon: Boolean = false): StreamingQuery = {
+                  daemon: Boolean = false,
+                  ruleLabels: Map[String, Seq[(String, String)]] = Map.empty)
+      : StreamingQuery = {
     import java.nio.file.{Files, Paths}
     val rulesDir = Paths.get(storePath, "_rules")
     def markerOf(name: String): Long = {
@@ -193,7 +195,8 @@ object StreamIngest {
             if (from <= closed) {
               graft.promql.RecordingRules.record(
                 graft.tsdb.TsStore.read(s2, storePath, promoted), storePath,
-                name, expr, from, closed, stepMs, promoted)
+                name, expr, from, closed, stepMs, promoted,
+                extraLabels = ruleLabels.getOrElse(name, Nil))
               setMarker(name, closed)
             }
           }
@@ -203,13 +206,19 @@ object StreamIngest {
               val firing = graft.promql.AlertRules.firing(
                 graft.tsdb.TsStore.read(s2, storePath, promoted),
                 expr, from, closed, stepMs, forMs)
+              // rule-file `labels:` override result labels of the same
+              // name (upstream alert semantics), then the alert name
+              val extra = ruleLabels.getOrElse(name, Nil)
+              val dropped = extra.map(_._1).toSet + graft.tsdb.Labels.MetricName
+              val attach = array((
+                (graft.tsdb.Labels.MetricName -> name) +: extra).map {
+                  case (k, v) => struct(lit(k).as("name"), lit(v).as("value"))
+                }: _*)
               val renamed = firing.select(
                 map_from_entries(concat(
                   filter(col("labels"),
-                    e => e.getField("name") =!= graft.tsdb.Labels.MetricName),
-                  array(struct(
-                    lit(graft.tsdb.Labels.MetricName).as("name"),
-                    lit(name).as("value"))))).as("labels"),
+                    e => !e.getField("name").isin(dropped.toSeq: _*)),
+                  attach)).as("labels"),
                 col("t"), col("v"))
               TsSchema.canonicalize(renamed, promoted)
                 .write.partitionBy("block_start")

@@ -148,4 +148,69 @@ class RulesSpec extends AnyFunSuite {
       assert(get(s"/api/v1/rules?type=bogus").statusCode() == 400)
     } finally server.stop()
   }
+
+  test("streamAll: rule file evaluated continuously over a streaming store") {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("rulefile-stream")
+    val in = root.resolve("in").toString
+    val store = root.resolve("store").toString
+    val ckpt = root.resolve("ckpt").toString
+    val t0s = 1700000000000L - (1700000000000L % 60000L)
+    def write(fromK: Int, untilK: Int): Unit = {
+      val rows = (for {
+        job <- Seq("api", "web"); k <- fromK until untilK
+      } yield Row(Map("__name__" -> "up", "job" -> job),
+        t0s + k * 15000L, k.toDouble)).asJava
+      spark.createDataFrame(rows, graft.streaming.StreamIngest.inputSchema)
+        .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append).parquet(in)
+    }
+    val text =
+      """groups:
+        |  - name: g1
+        |    interval: 1m
+        |    rules:
+        |      - record: up:sum
+        |        expr: sum(up)
+        |        labels:
+        |          team: infra
+        |      - alert: UpHigh
+        |        expr: sum(up) > 50
+        |        for: 2m
+        |        labels:
+        |          severity: page
+        |""".stripMargin
+    def run(): Unit = Rules.streamAll(spark, in, store, ckpt, t0s,
+      Rules.parse(text), lagMs = 120000L).foreach(_._2.awaitTermination())
+
+    write(0, 100)
+    run()
+    def series(name: String) = graft.tsdb.TsStore.read(spark, store)
+      .selectLong(0L, Long.MaxValue / 2,
+        Seq(graft.tsdb.LabelMatcher.eq("__name__", name)))
+    // recording: sum(up) at minute m = 8m, m=0..22 closed under 2m lag;
+    // rule labels attached
+    val rec = series("up:sum").collect()
+    assert(rec.length == 23)
+    val labels = rec.head.getSeq[Row](rec.head.fieldIndex("labels"))
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels == Map("__name__" -> "up:sum", "team" -> "infra"))
+    // alert: 8m > 50 from m=7, for=2m fires from m=9; severity attached
+    val al = series("UpHigh").collect()
+    assert(al.map(_.getLong(al.head.fieldIndex("t"))).sorted.toSeq ==
+      (9 to 22).map(m => t0s + m * 60000L))
+    val alLabels = al.head.getSeq[Row](al.head.fieldIndex("labels"))
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(alLabels("severity") == "page")
+    // resume: markers keep replays exactly-once
+    write(100, 140)
+    run()
+    assert(series("up:sum").collect().map(
+      _.getLong(rec.head.fieldIndex("t"))).sorted.toSeq ==
+      (0 to 32).map(m => t0s + m * 60000L))
+    // duplicate rule names across groups are rejected up front
+    intercept[IllegalArgumentException](Rules.streamAll(spark, in, store,
+      ckpt, t0s, Rules.parse(
+        "groups:\n  - name: a\n    rules:\n      - record: r\n        expr: x\n" +
+        "  - name: b\n    rules:\n      - record: r\n        expr: y\n")))
+  }
 }
