@@ -49,6 +49,11 @@ object ScaleCheck {
       spark.stop()
       return
     }
+    if (sys.env.get("SPARK_GRAFT_SCALE_SECTION").contains("nhist")) {
+      nativeHistAtScale(spark)
+      spark.stop()
+      return
+    }
     val dir = java.nio.file.Files.createTempDirectory("graft-scale").resolve("store").toString
 
     def time[T](name: String)(f: => T): T = {
@@ -593,6 +598,115 @@ object ScaleCheck {
       digest(back))
     require(before == after,
       s"round-trip digest drifted: $before != $after")
+  }
+
+  /** Native histograms at 50M observations: the observe() aggregation
+    * must shuffle only (group × occupied-bucket) count rows — never
+    * observations — and the result must be EXACT: total count
+    * conservation, exact sum (integer-valued doubles), and the
+    * sum-monoid law (observe(half1) ⊎ observe(half2) == observe(all),
+    * the property that makes the streaming form bit-identical to
+    * batch). Then the classic view + PromQL histogram_quantile runs
+    * end-to-end over the same frame — the full native-hist query path
+    * at a group count (7200 series-days) the sf fixtures never reach.
+    * Standalone: SPARK_GRAFT_SCALE_SECTION=nhist. */
+  private def nativeHistAtScale(spark: SparkSession): Unit = {
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"SCALE $name ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    }
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+    })
+    import graft.ops.NativeHistogram
+    val n = 50000000L
+    val t0ms = 1704844800000L
+    // 240 event types × 30 days = 7200 histogram groups; values span
+    // ~6 decades so schema-2 occupancy is realistic (~80 buckets);
+    // integer-valued doubles keep the sums order-independent-exact
+    def obs(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      concat(lit("et_"), pmod(col("id"), lit(240))).as("event_type"),
+      // day from id/240 so the two keys are independent (30 | 240
+      // would otherwise collapse the cross product to 240 groups)
+      (lit(t0ms) + pmod(expr("id div 240"), lit(30)) * 86400000L).as("day_t"),
+      (pmod(col("id") * 2654435761L, lit(1000000L)) + 1L)
+        .cast("double").as("value"))
+    val groups = Seq("event_type", "day_t")
+
+    shuffleBytes.set(0L)
+    val full = time(s"native-hist observe: $n obs -> 7200 groups") {
+      val f = NativeHistogram.observe(obs(0, n), col("value"), 2, groups)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      f.count(); f
+    }
+    val obsShuffle = shuffleBytes.get()
+    println(f"SCALE native-hist observe shuffle ${obsShuffle / 1024.0 / 1024.0}%.1f MiB")
+    // partial-aggregate shuffle: bounded by partitions x occupied
+    // (group, bucket) cells (~32 x 267k rows, measured ~114 MiB), NOT
+    // by the 50M observations (~1.5 GiB at this row width) — the term
+    // that stays flat when observations grow 100x
+    require(obsShuffle < 256L * 1024 * 1024,
+      f"observe shuffled ${obsShuffle / 1024.0 / 1024.0}%.1f MiB — observation-sized, not bucket-sized")
+
+    // exactness: count conservation + exact integer-valued sum
+    val tot = full.agg(sum(col("count")), sum(col("sum")),
+      sum(size(col("buckets"))), count(lit(1))).head()
+    require(tot.getLong(0) == n, s"count drifted: ${tot.getLong(0)} != $n")
+    val expectSum = spark.range(0, n)
+      .select((pmod(col("id") * 2654435761L, lit(1000000L)) + 1L).as("v"))
+      .agg(sum(col("v"))).head().getLong(0)
+    require(tot.getDouble(1) == expectSum.toDouble,
+      s"sum drifted: ${tot.getDouble(1)} != $expectSum")
+    require(tot.getLong(3) == 7200L, s"groups: ${tot.getLong(3)} != 7200")
+    println(s"SCALE native-hist occupied buckets total ${tot.getLong(2)} " +
+      s"(${tot.getLong(2) / 7200} per group)")
+
+    // monoid law at scale: halves merged == whole (bit-identical)
+    val merged = time("native-hist merge(half1, half2) == whole") {
+      val m = NativeHistogram.merge(
+        NativeHistogram.observe(obs(0, n / 2), col("value"), 2, groups)
+          .unionByName(
+            NativeHistogram.observe(obs(n / 2, n), col("value"), 2, groups)),
+        groups)
+      m.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      m.count(); m
+    }
+    val diff = merged.as("m").join(full.as("f"), groups)
+      .where(col("m.count") =!= col("f.count") or
+        (col("m.sum") =!= col("f.sum")) or
+        (col("m.zero_count") =!= col("f.zero_count")) or
+        (expr("m.buckets") =!= expr("f.buckets")))
+      .count()
+    require(diff == 0, s"$diff groups differ between merged halves and whole")
+    merged.unpersist(false)
+
+    // the full query path: classic view -> TsQuerier -> PromQL
+    val classic = time("classic view of 7200 native groups") {
+      val c = TsSchema.canonicalize(NativeHistogram.toClassicSeries(
+        full, "latency", Seq("event_type"), "day_t", countSumSeries = true))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c.count(); c
+    }
+    val q = new TsQuerier(classic)
+    val steps = time("promql histogram_quantile(0.9, latency) @1d over 30d") {
+      graft.promql.PromQL.rangeQuery(q,
+        "histogram_quantile(0.9, latency)",
+        t0ms, t0ms + 29L * 86400000L, 86400000L).count()
+    }
+    require(steps == 7200L, s"quantile steps: $steps != 7200")
+    val cnt = time("promql histogram_count(latency) (le=+Inf pushdown)") {
+      graft.promql.PromQL.rangeQuery(q,
+        "histogram_count(latency)",
+        t0ms, t0ms + 29L * 86400000L, 86400000L)
+        .agg(sum(col("v"))).head().getDouble(0)
+    }
+    require(cnt == n.toDouble, s"histogram_count total: $cnt != $n")
+    classic.unpersist(false); full.unpersist(false)
   }
 
   /** Corpus shuffle + shard planning at 20M rows: the two-pass prefix
