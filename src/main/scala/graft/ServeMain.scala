@@ -42,7 +42,10 @@ object ServeMain {
     def querier: TsQuerier =
       if (isEventsDir)
         new TsQuerier(TsQueries.store(spark, dir), promoted = Seq(Labels.MetricName))
-      else TsStore.read(spark, dir)
+      // deletion-masked: admin delete_series is visible to the next
+      // query immediately (mask re-read per request), physical after
+      // clean_tombstones
+      else new TsQuerier(graft.tsdb.TsDeletions.readMasked(spark, dir))
     // /api/v1/status/config serves the raw --config file, re-read per
     // request (live, same convention as --rules)
     val configPath = rawArgs.filter(_.startsWith("--config="))
@@ -55,7 +58,8 @@ object ServeMain {
           p, spark.sparkContext.hadoopConfiguration), p) },
       rulesFile = rulesPath.getOrElse("rules.yml"),
       configSource = configPath.map { p => () =>
-        graft.tsdb.BlockIO.readString(p, spark.sparkContext.hadoopConfiguration) })
+        graft.tsdb.BlockIO.readString(p, spark.sparkContext.hadoopConfiguration) },
+      adminStore = if (isEventsDir) None else Some((spark, dir)))
     println("LISTENING on " + server.start())
     Thread.sleep(Long.MaxValue)
   }

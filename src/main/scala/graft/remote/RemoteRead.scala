@@ -410,7 +410,8 @@ final class RemoteReadServer(querier: => TsQuerier, port: Int = 0, threads: Int 
                              rulesSource: Option[() => Seq[graft.promql.RuleGroup]] = None,
                              rulesFile: String = "rules.yml",
                              targetsSource: Option[() => Seq[Scraper.TargetStatus]] = None,
-                             configSource: Option[() => String] = None) {
+                             configSource: Option[() => String] = None,
+                             adminStore: Option[(org.apache.spark.sql.SparkSession, String)] = None) {
   // by-name querier: each request resolves a FRESH store view (the
   // reference re-locks its block list per query, querier.go:25-46), so
   // data appended between requests — e.g. via /write — is visible
@@ -751,6 +752,73 @@ final class RemoteReadServer(querier: => TsQuerier, port: Int = 0, threads: Int 
         s""""samplesTotal":${t.samples},"labels":{},"discoveredLabels":{}}"""
     }
     s"""{"status":"success","data":{"activeTargets":[${entries.mkString(",")}],"droppedTargets":[]}}"""
+  }
+
+  // Admin API (upstream gates it behind --web.enable-admin-api; here
+  // the gate is the adminStore parameter): POST-only, 204 on success,
+  // acting directly on the canonical store the server fronts.
+  //  - delete_series: append deletion-log records (visible to queries
+  //    immediately via the per-request mask, physical later)
+  //  - clean_tombstones: materialize the pending log (partition-local
+  //    block rewrites, the upstream tombstone-compaction semantic)
+  //  - snapshot: consistent file-level copy under snapshots/<name>
+  adminStore.foreach { case (spark, store) =>
+    def adminContext(path: String)(f: HttpExchange => Option[String]): Unit =
+      server.createContext(path, (ex: HttpExchange) => {
+        hit(path)
+        try {
+          if (ex.getRequestMethod != "POST" && ex.getRequestMethod != "PUT") {
+            ex.sendResponseHeaders(405, -1); ex.close()
+          } else f(ex) match {
+            case None => ex.sendResponseHeaders(204, -1); ex.close()
+            case Some(body) =>
+              val b = body.getBytes("UTF-8")
+              ex.getResponseHeaders.set("Content-Type", "application/json")
+              ex.sendResponseHeaders(200, b.length)
+              ex.getResponseBody.write(b)
+              ex.close()
+          }
+        } catch {
+          case e: Exception =>
+            val msg = ("""{"status":"error","errorType":"bad_data","error":""" +
+              QueryApi.jsonStr(String.valueOf(e.getMessage)) + "}").getBytes("UTF-8")
+            ex.getResponseHeaders.set("Content-Type", "application/json")
+            ex.sendResponseHeaders(400, msg.length)
+            ex.getResponseBody.write(msg)
+            ex.close()
+        }
+      })
+
+    adminContext("/api/v1/admin/tsdb/delete_series") { ex =>
+      val all = QueryApi.paramsList(ex)
+      val sels = all.collect { case ("match[]", v) => v }
+      if (sels.isEmpty)
+        throw new IllegalArgumentException("missing parameter 'match[]'")
+      val params = all.toMap
+      val mint = params.get("start").map(QueryApi.toMs).getOrElse(Long.MinValue / 2)
+      val maxt = params.get("end").map(QueryApi.toMs).getOrElse(Long.MaxValue / 2)
+      sels.foreach { s =>
+        graft.promql.PromQL.parse(s) match {
+          case sel: graft.promql.PromExpr.Selector if sel.rangeMs.isEmpty =>
+            graft.tsdb.TsDeletions.delete(spark, store, sel.matchers, mint, maxt)
+          case _ => throw new IllegalArgumentException(
+            s"match[] must be an instant selector: '$s'")
+        }
+      }
+      None
+    }
+
+    adminContext("/api/v1/admin/tsdb/clean_tombstones") { _ =>
+      graft.tsdb.TsDeletions.materialize(spark, store)
+      None
+    }
+
+    adminContext("/api/v1/admin/tsdb/snapshot") { ex =>
+      val skip = QueryApi.params(ex).get("skip_head").contains("true")
+      val name = graft.tsdb.TsMaintenance.snapshot(spark, store,
+        skipPending = skip)
+      Some(s"""{"status":"success","data":{"name":${QueryApi.jsonStr(name)}}}""")
+    }
   }
 
   // /api/v1/status/buildinfo — Grafana's datasource probe reads the

@@ -137,6 +137,18 @@ object BlockIO {
     require(fs.rename(hp, new HPath(dst)), s"rename $src -> $dst failed")
   }
 
+  /** Recursive directory copy (`FileUtil.copy`, no delete of source) —
+    * the snapshot primitive. Driver-side file IO: callers copy block
+    * dirs whose file COUNT is bounded (segments per block), never
+    * per-row data through the driver. */
+  def copyDir(src: String, dst: String, conf: Configuration = null): Unit = {
+    val (sfs, sp) = fsPath(src, conf)
+    val (dfs, dp) = fsPath(dst, conf)
+    require(org.apache.hadoop.fs.FileUtil.copy(
+      sfs, sp, dfs, dp, false, resolved(conf)),
+      s"copy $src -> $dst failed")
+  }
+
   /** Positional-read handle over one file — the object-store range-GET
     * primitive (`FSDataInputStream.readFully(pos, …)`; on s3a each call
     * is one ranged GET). */

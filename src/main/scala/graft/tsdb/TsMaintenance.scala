@@ -92,4 +92,34 @@ object TsMaintenance {
     }
     downDropped + (0L -> rawDropped)
   }
+
+  /** Consistent on-disk SNAPSHOT of a store (the `/api/v1/admin/tsdb/
+    * snapshot` semantic): copy every `block_start=*` partition dir —
+    * blocks are immutable once written, so a file-level copy of each
+    * is internally consistent — into `store/_snapshots/<name>` and
+    * return the name (`<utc-stamp>-<nanos>`, the upstream shape). The
+    * underscore prefix keeps Spark partition discovery (and so every
+    * reader) out of the snapshot tree, same convention as
+    * `_deletions`. The deletion log is copied too unless
+    * `skipPending` — a snapshot should see the same mask queries see;
+    * downsample dirs and markers ride along for the same reason.
+    * Driver-side file IO bounded by file COUNT (segments per block),
+    * not rows; on an object store this is a server-side copy per
+    * object. */
+  def snapshot(spark: SparkSession, store: String,
+               skipPending: Boolean = false, nowMs: Long = 0L): String = {
+    val at = if (nowMs != 0L) nowMs else System.currentTimeMillis()
+    val stamp = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(at))
+    val name = s"$stamp-${System.nanoTime()}"
+    val dst = BlockIO.child(BlockIO.child(store, "_snapshots"), name)
+    val parts = BlockIO.listNames(store).filter(n =>
+      n.startsWith("block_start=") || n.startsWith("_downsample") ||
+        (!skipPending && n == "_deletions"))
+    parts.foreach { n =>
+      BlockIO.copyDir(BlockIO.child(store, n), BlockIO.child(dst, n))
+    }
+    name
+  }
 }

@@ -612,4 +612,70 @@ class RemoteReadServerSpec extends AnyFunSuite {
       assert(get("/api/v1/targets?state=bogus").statusCode() == 400)
     } finally { server.stop(); loop.close() }
   }
+
+  test("admin API: delete_series -> masked queries, clean_tombstones, snapshot") {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("graft-admin")
+    val store = root.resolve("store").toString
+    val rows = (for (job <- Seq("api", "web"); k <- 0 until 10) yield
+      Row(Map("__name__" -> "up", "job" -> job),
+        1700000000000L + k * 15000L, k.toDouble)).asJava
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "labels map<string,string>, t long, v double")
+    TsStore.write(spark.createDataFrame(rows, schema), store)
+    def querier = new TsQuerier(
+      graft.tsdb.TsDeletions.readMasked(spark, store))
+    val server = new RemoteReadServer(querier,
+      adminStore = Some((spark, store)))
+    val port = server.start()
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      def post(pq: String) = http.send(
+        java.net.http.HttpRequest.newBuilder(
+          new java.net.URI(s"http://127.0.0.1:$port$pq"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.noBody()).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      def get(pq: String) = http.send(
+        java.net.http.HttpRequest.newBuilder(
+          new java.net.URI(s"http://127.0.0.1:$port$pq")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+
+      // GET is rejected (admin actions are POST), bad selector is a 400
+      assert(get("/api/v1/admin/tsdb/delete_series?match[]=up").statusCode() == 405)
+      assert(post("/api/v1/admin/tsdb/delete_series").statusCode() == 400)
+      val badSel = java.net.URLEncoder.encode("up[5m]", "UTF-8")
+      assert(post(s"/api/v1/admin/tsdb/delete_series?match[]=$badSel").statusCode() == 400)
+
+      // delete job=api in a sub-range: 204, and queries mask immediately
+      val sel = java.net.URLEncoder.encode("""up{job="api"}""", "UTF-8")
+      val del = post(s"/api/v1/admin/tsdb/delete_series?match[]=$sel" +
+        "&start=1700000000&end=1700000060")
+      assert(del.statusCode() == 204, del.body())
+      val left = querier.selectLong(0, Long.MaxValue / 2,
+        Seq(LabelMatcher.eq("job", "api"))).count()
+      assert(left == 5) // k=0..4 (t<=1700000060000) masked, 5..9 survive
+      assert(querier.selectLong(0, Long.MaxValue / 2,
+        Seq(LabelMatcher.eq("job", "web"))).count() == 10)
+
+      // snapshot BEFORE materialization carries the pending log
+      val snap = post("/api/v1/admin/tsdb/snapshot")
+      assert(snap.statusCode() == 200, snap.body())
+      val name = snap.body().split("\"name\":\"")(1).takeWhile(_ != '"')
+      val snapDir = graft.tsdb.BlockIO.child(
+        graft.tsdb.BlockIO.child(store, "_snapshots"), name)
+      assert(new TsQuerier(graft.tsdb.TsDeletions.readMasked(spark, snapDir))
+        .selectLong(0, Long.MaxValue / 2,
+          Seq(LabelMatcher.eq("job", "api"))).count() == 5)
+
+      // clean_tombstones makes the deletion physical and clears the log
+      assert(post("/api/v1/admin/tsdb/clean_tombstones").statusCode() == 204)
+      assert(graft.tsdb.TsDeletions.list(spark, store).isEmpty)
+      assert(spark.read.parquet(store)
+        .where(org.apache.spark.sql.functions.col("l_job") === "api")
+        .count() == 5)
+      // snapshots are NOT store blocks: the masked read still sees 15
+      assert(querier.selectLong(0, Long.MaxValue / 2, Seq(
+        LabelMatcher.eq("__name__", "up"))).count() == 15)
+    } finally server.stop()
+  }
 }
