@@ -189,24 +189,37 @@ final class TsQuerier(data: DataFrame, promoted: Seq[String] = TsSchema.DefaultP
       val chunkRow = data.groupBy(col("fingerprint"), col("block_start"))
         .agg(min(col("t")).as("mn"), max(col("t")).as("mx"))
         .agg(count(lit(1)), min(col("mn")), max(col("mx"))).head()
-      TsdbStats(
-        numSeries = series.count(),
-        numLabelPairs = pairs.distinct().count(),
-        chunkCount = chunkRow.getLong(0),
-        minTime = chunkRow.getLong(1), maxTime = chunkRow.getLong(2),
-        seriesCountByMetricName = top(
-          series.select(TsSchema.labelValue(col("labels"), Labels.MetricName).as("name"))
-            .where(col("name") =!= "")
-            .groupBy(col("name")).agg(count(lit(1)).as("value"))),
-        labelValueCountByLabelName = top(
-          pairs.groupBy(col("name")).agg(countDistinct(col("value")).as("value"))),
-        memoryInBytesByLabelName = top(
-          pairs.groupBy(col("name")).agg(
-            sum(octet_length(col("name")) + octet_length(col("value")))
-              .cast("long").as("value"))),
-        seriesCountByLabelValuePair = top(
-          pairs.groupBy(concat(col("name"), lit("="), col("value")).as("name"))
-            .agg(count(lit(1)).as("value"))))
+      // the three per-name statistics share ONE exchange: pair series
+      // counts roll up from a (name, value)-keyed partial, and both
+      // per-name lists reduce the SAME grouped frame (value count =
+      // exact distinct since (name, value) is already unique there;
+      // byte mass weighs each pair by its series count) — one
+      // pairs-sized shuffle instead of three
+      val byPair = pairs.groupBy(col("name"), col("value"))
+        .agg(count(lit(1)).as("n_series"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val byName = byPair.groupBy(col("name")).agg(
+          count(lit(1)).as("n_values"),
+          sum((octet_length(col("name")) + octet_length(col("value")))
+            * col("n_series")).cast("long").as("bytes"))
+        val pairTotal = byPair.count()
+        TsdbStats(
+          numSeries = series.count(),
+          numLabelPairs = pairTotal,
+          chunkCount = chunkRow.getLong(0),
+          minTime = chunkRow.getLong(1), maxTime = chunkRow.getLong(2),
+          seriesCountByMetricName = top(
+            byPair.where(col("name") === Labels.MetricName)
+              .select(col("value").as("name"), col("n_series").as("value"))),
+          labelValueCountByLabelName = top(
+            byName.select(col("name"), col("n_values").as("value"))),
+          memoryInBytesByLabelName = top(
+            byName.select(col("name"), col("bytes").as("value"))),
+          seriesCountByLabelValuePair = top(
+            byPair.select(concat(col("name"), lit("="), col("value")).as("name"),
+              col("n_series").as("value"))))
+      } finally { byPair.unpersist(false); () }
     } finally { series.unpersist(false); () }
   }
 }
