@@ -558,7 +558,8 @@ final class RemoteReadServer(querier: => TsQuerier, port: Int = 0, threads: Int 
       val df = graft.promql.PromQL.rangeQuery(
         querier, need("query"), startMs, endMs, stepMs,
         extrapolate = params.get("extrapolate").contains("true"))
-      val body = QueryApi.matrixJson(df).getBytes("UTF-8")
+      val body = QueryApi.matrixJson(df,
+        withStats = params.get("stats").exists(_.nonEmpty)).getBytes("UTF-8")
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(200, body.length)
       ex.getResponseBody.write(body)
@@ -607,7 +608,8 @@ final class RemoteReadServer(querier: => TsQuerier, port: Int = 0, threads: Int 
       .getOrElse(System.currentTimeMillis())
     QueryApi.vectorJson(graft.promql.PromQL.instantQuery(
       querier, need("query"), atMs,
-      extrapolate = params.get("extrapolate").contains("true")))
+      extrapolate = params.get("extrapolate").contains("true")),
+      withStats = params.get("stats").exists(_.nonEmpty))
   }
 
   jsonContext("/api/v1/labels") { _ =>
@@ -1030,8 +1032,21 @@ object QueryApi {
     * growing JSON buffer via toLocalIterator — peak driver memory is
     * the encoded response, not row objects (same discipline as the
     * remote-read path). */
-  def matrixJson(result: org.apache.spark.sql.DataFrame): String = {
+  /** Execution statistics appended into the data object when the
+    * upstream `stats` query param is present: wall time of the whole
+    * evaluation+render (execution happens inside the streamed
+    * iteration, so this IS eval time) and result sizes counted during
+    * the same pass. `resultSeries`/`resultSamples` instead of
+    * upstream's engine-internal sample-churn counters — the store-side
+    * analogs an operator actually acts on. */
+  private def statsJson(evalSec: Double, series: Long, samples: Long): String =
+    s""","stats":{"timings":{"evalTotalTime":$evalSec},""" +
+      s""""samples":{"resultSeries":$series,"resultSamples":$samples}}"""
+
+  def matrixJson(result: org.apache.spark.sql.DataFrame,
+                 withStats: Boolean = false): String = {
     import scala.jdk.CollectionConverters._
+    val t0 = System.nanoTime()
     val series = result
       .groupBy(col("labels"))
       .agg(sort_array(collect_list(struct(col("t"), col("v")))).as("samples"))
@@ -1039,6 +1054,7 @@ object QueryApi {
     val sb = new StringBuilder(
       """{"status":"success","data":{"resultType":"matrix","result":[""")
     var firstSeries = true
+    var nSeries = 0L; var nSamples = 0L
     series.toLocalIterator().asScala.foreach { row =>
       if (!firstSeries) sb.append(',')
       firstSeries = false
@@ -1048,6 +1064,7 @@ object QueryApi {
         jsonStr(l.getString(0)) + ":" + jsonStr(l.getString(1))).mkString(","))
       sb.append("""},"values":[""")
       val samples = row.getSeq[org.apache.spark.sql.Row](1)
+      nSeries += 1; nSamples += samples.size
       sb.append(samples.map { s =>
         val t = s.getLong(0); val v = s.getDouble(1)
         val ts = if (t % 1000 == 0) (t / 1000).toString else (t / 1000.0).toString
@@ -1055,22 +1072,29 @@ object QueryApi {
       }.mkString(","))
       sb.append("]}")
     }
-    sb.append("]}}")
+    sb.append("]")
+    if (withStats)
+      sb.append(statsJson((System.nanoTime() - t0) / 1e9, nSeries, nSamples))
+    sb.append("}}")
     sb.toString
   }
 
   /** Instant-query result: the Prometheus `vector` envelope — one
     * `[seconds, "v"]` value per series. Same streaming discipline as
     * [[matrixJson]]. */
-  def vectorJson(result: org.apache.spark.sql.DataFrame): String = {
+  def vectorJson(result: org.apache.spark.sql.DataFrame,
+                 withStats: Boolean = false): String = {
     import scala.jdk.CollectionConverters._
+    val t0 = System.nanoTime()
     val rows = result.orderBy(col("labels"))
     val sb = new StringBuilder(
       """{"status":"success","data":{"resultType":"vector","result":[""")
     var first = true
+    var n = 0L
     rows.toLocalIterator().asScala.foreach { row =>
       if (!first) sb.append(',')
       first = false
+      n += 1
       sb.append("""{"metric":{""")
       val labels = row.getSeq[org.apache.spark.sql.Row](
         row.fieldIndex("labels"))
@@ -1082,7 +1106,10 @@ object QueryApi {
       sb.append("""},"value":[""").append(ts).append(',')
         .append(jsonStr(fmt(v))).append("]}")
     }
-    sb.append("]}}")
+    sb.append("]")
+    if (withStats)
+      sb.append(statsJson((System.nanoTime() - t0) / 1e9, n, n))
+    sb.append("}}")
     sb.toString
   }
 

@@ -276,6 +276,15 @@ class RemoteReadServerSpec extends AnyFunSuite {
       // 5m window at t=1700000300 holds samples k=1..20 per instance:
       // 19 deltas × 2 × 3 instances = 114
       assert(body.contains("[1700000300,\"114\"]"))
+      // stats=all appends execution statistics into the data object
+      val withStats = http.send(
+        HttpRequest.newBuilder(new URI(uri + "&stats=all")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      assert(withStats.contains(""""stats":{"timings":{"evalTotalTime":"""),
+        withStats)
+      assert(withStats.contains(""""samples":{"resultSeries":2,"resultSamples":4}"""),
+        withStats)
+      assert(!body.contains(""""stats""""))
       // a bad query reports the Prometheus error envelope
       val bad = http.send(
         HttpRequest.newBuilder(new URI(
