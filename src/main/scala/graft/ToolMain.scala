@@ -9,6 +9,10 @@ import org.apache.spark.sql.functions._
   *  - `check-rules <file...>` — parse each rule file AND each rule's
   *    PromQL expression (a rule file whose expr only fails at eval
   *    time is the upstream lint's whole reason to exist)
+  *  - `test-rules <file...>` — rule UNIT tests (`promtool test
+  *    rules`): synthetic input series in the upstream expanding
+  *    notation, expression and alert assertions evaluated by the
+  *    engine's own evaluator ([[graft.promql.RuleTests]])
   *  - `check-config <file>` — validate an `agni.yml` remote-store
   *    config
   *  - `backfill <openmetricsFile> <storeDir>` — `promtool tsdb
@@ -46,6 +50,8 @@ object ToolMain {
           out: String => Unit): Int = args.toSeq match {
     case "check-rules" +: files if files.nonEmpty =>
       files.map(f => checkRules(spark, f, out)).max
+    case "test-rules" +: files if files.nonEmpty =>
+      files.map(f => testRules(spark, f, out)).max
     case "check-config" +: Seq(f) =>
       try {
         graft.tsdb.GraftConfig.load(f, spark.sparkContext.hadoopConfiguration)
@@ -57,7 +63,7 @@ object ToolMain {
     case "query" +: Seq(dir, expr, startS, endS, stepS) =>
       query(spark, dir, expr, startS.toLong, endS.toLong, stepS.toLong, out)
     case _ =>
-      out("usage: check-rules <file...> | check-config <file> | " +
+      out("usage: check-rules <file...> | test-rules <file...> | check-config <file> | " +
         "backfill <openmetricsFile> <storeDir> | " +
         "tsdb-analyze <storeDir> [topK] | " +
         "query <storeDir> <expr> <startSec> <endSec> <stepSec>")
@@ -82,6 +88,24 @@ object ToolMain {
       val n = groups.map(_.rules.size).sum
       out(s"SUCCESS: $file: ${groups.size} groups, $n rules")
       0
+    } catch { case e: Exception => out(s"FAILED: ${e.getMessage}"); 1 }
+
+  private def testRules(spark: SparkSession, file: String,
+                        out: String => Unit): Int =
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val tf = graft.promql.RuleTests.parse(
+        graft.tsdb.BlockIO.readString(file, conf), file)
+      // rule_files resolve relative to the TEST file (promtool's rule)
+      val base = new org.apache.hadoop.fs.Path(file).getParent
+      val failures = graft.promql.RuleTests.run(spark, tf, rf =>
+        graft.promql.Rules.parse(graft.tsdb.BlockIO.readString(
+          new org.apache.hadoop.fs.Path(base, rf).toString, conf), rf))
+      if (failures.isEmpty) {
+        out(s"SUCCESS: $file: ${tf.cases.size} test cases"); 0
+      } else {
+        failures.foreach(f => out(s"FAILED: $file: ${f.what}")); 1
+      }
     } catch { case e: Exception => out(s"FAILED: ${e.getMessage}"); 1 }
 
   private def backfill(spark: SparkSession, src: String, dst: String,

@@ -40,17 +40,7 @@ object RecordingRules {
       c.isLetterOrDigit || c == '_' || c == ':'),
       s"bad rule metric name '$ruleName'")
     val out = PromQL.rangeQuery(querier, expr, mint, maxt, stepMs, lookbackMs)
-    // rule-file `labels:` override result labels of the same name
-    // (upstream recording-rule semantics); drop them before appending
-    val dropped = extraLabels.map(_._1).toSet + Labels.MetricName
-    val attached = array((
-      (Labels.MetricName -> ruleName) +: extraLabels).map { case (k, v) =>
-        struct(lit(k).as("name"), lit(v).as("value")) }: _*)
-    val renamed = out.select(
-      map_from_entries(concat(
-        filter(col("labels"), e => !e.getField("name").isin(dropped.toSeq: _*)),
-        attached)).as("labels"),
-      col("t"), col("v"))
+    val renamed = attachName(out, ruleName, extraLabels)
     val canonical = TsSchema.canonicalize(renamed, promoted)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = canonical.count() // one evaluation feeds both count and write
@@ -67,4 +57,21 @@ object RecordingRules {
              expr: String, mint: Long, maxt: Long, stepMs: Long): Long =
     record(TsStore.read(spark, storePath), storePath, ruleName, expr,
       mint, maxt, stepMs)
+
+  /** `(labels, t, v)` frame with `__name__` replaced by `ruleName` and
+    * rule labels attached (overriding result labels of the same name —
+    * upstream recording-rule semantics). Output labels are a MAP
+    * column ready for [[TsSchema.canonicalize]]. */
+  def attachName(out: org.apache.spark.sql.DataFrame, ruleName: String,
+                 extraLabels: Seq[(String, String)] = Nil): org.apache.spark.sql.DataFrame = {
+    val dropped = extraLabels.map(_._1).toSet + Labels.MetricName
+    val attached = array((
+      (Labels.MetricName -> ruleName) +: extraLabels).map { case (k, v) =>
+        struct(lit(k).as("name"), lit(v).as("value")) }: _*)
+    out.select(
+      map_from_entries(concat(
+        filter(col("labels"), e => !e.getField("name").isin(dropped.toSeq: _*)),
+        attached)).as("labels"),
+      col("t"), col("v"))
+  }
 }
