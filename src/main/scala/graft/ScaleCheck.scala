@@ -546,6 +546,8 @@ object ScaleCheck {
 
     dsirAtScale(spark)
 
+    nativeHistAtScale(spark)
+
     curateAtScale(spark)
 
     graft.ops.Dedup.clearSharedPersists()
