@@ -12,7 +12,7 @@ import graft.tsdb.{Labels, TsQuerier, TsStore}
   * in-engine PromQL front-end).
   *
   * Usage: `runMain graft.ServeMain [storeDirOrSfDir] [port]
-  * [--config=agni.yml] [--rules=rules.yml]`
+  * [--config=agni.yml] [--rules=rules.yml] [--alertmanager=url]`
   *  - a dir containing `events.parquet` → served read-only via the
   *    events mapping;
   *  - a dir of native TSDB BLOCKS (`<ulid>/meta.json` children — the
@@ -66,8 +66,13 @@ object ServeMain {
     // --rules=<path>: serve /api/v1/rules and /api/v1/alerts from a
     // Prometheus rule file (re-read per request, so edits apply live —
     // the batch analog of the upstream SIGHUP reload)
-    val (ruleFlags, args) = args0.partition(_.startsWith("--rules="))
+    val (ruleFlags, args1) = args0.partition(_.startsWith("--rules="))
     val rulesPath = ruleFlags.lastOption.map(_.substring("--rules=".length))
+    // --alertmanager=<url> (with --rules): rule-manager tick loop —
+    // evaluate the rule file each minute against the current store
+    // view, POST firing alerts to the Alertmanager v2 API
+    val (amFlags, args) = args1.partition(_.startsWith("--alertmanager="))
+    val alertmanager = amFlags.lastOption.map(_.substring("--alertmanager=".length))
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val port = if (args.length > 1) args(1).toInt else 19090
     val isEventsDir = graft.tsdb.BlockIO.exists(
@@ -99,6 +104,13 @@ object ServeMain {
         graft.tsdb.BlockIO.readString(p, spark.sparkContext.hadoopConfiguration) },
       adminStore = if (isEventsDir || isBlocksDir) None
         else Some((spark, dir)))
+    alertmanager.foreach { url =>
+      val groups = () => rulesPath.map(p => graft.promql.Rules.parse(
+        graft.tsdb.BlockIO.readString(
+          p, spark.sparkContext.hadoopConfiguration), p)).getOrElse(Seq.empty)
+      new graft.promql.Notifier.Loop(querier, groups, url, 60000L)
+      ()
+    }
     println("LISTENING on " + server.start())
     Thread.sleep(Long.MaxValue)
   }

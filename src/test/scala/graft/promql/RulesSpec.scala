@@ -213,4 +213,49 @@ class RulesSpec extends AnyFunSuite {
         "groups:\n  - name: a\n    rules:\n      - record: r\n        expr: x\n" +
         "  - name: b\n    rules:\n      - record: r\n        expr: y\n")))
   }
+
+  test("Notifier: firing alerts POST to Alertmanager v2; loop counts") {
+    // capture receiver
+    val received = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val am = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    am.createContext("/api/v2/alerts", (ex: com.sun.net.httpserver.HttpExchange) => {
+      received.put(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    am.start()
+    val url = s"http://127.0.0.1:${am.getAddress.getPort}/api/v2/alerts"
+    try {
+      val gs = Rules.parse(ruleText).take(1)
+      val active = Rules.activeAlerts(mkQuerier, gs, tEnd)
+      // body carries ONLY firing instances, in the v2 shape
+      val b = Notifier.body(active)
+      assert(b.contains(""""alertname":"HighErr"""") && b.contains("startsAt"), b)
+      assert(!b.contains(""""state""""))
+      // HighErr fires for job=a; AnyErr (for=0) fires for a and b -> 3
+      assert(Notifier.push(url, active) == 3)
+      val got = received.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+      assert(got == b)
+      // nothing firing -> no POST at all
+      assert(Notifier.push(url, active.filterNot(_.state == "firing")) == 0)
+      assert(received.poll(300, java.util.concurrent.TimeUnit.MILLISECONDS) == null)
+      // loop form: ticks and sends, unreachable target only counts
+      val loop = new Notifier.Loop(mkQuerier, () => gs, url, 3600000L,
+        now = () => tEnd)
+      try {
+        val deadline = System.currentTimeMillis() + 15000
+        while (loop.ticks.get() == 0 && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        assert(loop.ticks.get() >= 1 && loop.sent.get() >= 3)
+      } finally loop.close()
+      val dead = new Notifier.Loop(mkQuerier, () => gs,
+        "http://127.0.0.1:1/api/v2/alerts", 3600000L, now = () => tEnd)
+      try {
+        val deadline = System.currentTimeMillis() + 15000
+        while (dead.failures.get() == 0 && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        assert(dead.failures.get() >= 1 && dead.sent.get() == 0)
+      } finally dead.close()
+    } finally am.stop(0)
+  }
 }
