@@ -416,4 +416,80 @@ object Sketches {
         Window.partitionBy(col("grp"))
           .orderBy(col("cnt").desc, col("key"))))
       .where(col("rnk") <= k)
+
+  // ---- deterministic bottom-k sample quantile sketch ------------------
+
+  /** The sample stage of the quantile sketch: per group, the `s` rows
+    * whose 60-bit md5 row hash is smallest — (grp, h, v). Hashing a
+    * unique row id gives a uniform-without-replacement sample that is a
+    * PURE FUNCTION of the data (bottom-k sampling, Cohen & Kaplan 2007),
+    * so unlike `percentile_approx` (GK, accumulation-order-dependent)
+    * the sketch and everything derived from it is bit-reproducible by
+    * any engine with md5 — the rank-query counterpart of the KMV/HLL
+    * cardinality sketches above, with the SAME merge law: bottom-k sets
+    * are a monoid (the s smallest of a union are among the union of
+    * each part's s smallest), so partials from partitions, shards or
+    * micro-batches merge by re-taking bottom-s
+    * ([[graft.streaming.StreamIngest.qsampleStream]]).
+    *
+    * Scale shape: one shuffle keyed on the group; the `row_number <= s`
+    * window compiles to WindowGroupLimit with a PARTIAL pass, so each
+    * map task forwards at most s rows per group — the exchange carries
+    * O(groups × s × partitions) rows, never the data stream.
+    *
+    * Rank guarantee (DKW over a simple random sample): every sample
+    * quantile is within ε = sqrt(ln(2/δ)/(2s)) of the true rank with
+    * probability 1-δ — s=4096 gives ±2.1% rank error at δ=1e-6,
+    * independent of group size. NULL ids/values excluded (quantile
+    * semantics ignore NULLs; the hash of a NULL id would be the bare
+    * salt and collide across rows). */
+  def qsampleBottomK(df: DataFrame, groupCol: Column, uidCol: Column,
+                     valueCol: Column, s: Int,
+                     salt: String = "qsk"): DataFrame = {
+    require(s >= 2, "s must be >= 2")
+    val h = Dedup.hash60(concat_ws("", lit(salt), uidCol))
+    df.where(uidCol.isNotNull && valueCol.isNotNull)
+      .select(groupCol.as("grp"), h.as("h"),
+        valueCol.cast("double").as("v"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("h"), col("v"))))
+      .where(col("rnk") <= s)
+      .select(col("grp"), col("h"), col("v"))
+  }
+
+  /** Finalize (grp, h, v) sample partials into per-(grp, q) quantile
+    * estimates. Re-takes bottom-s first (a union of bottom-s partials
+    * can hold more than s rows — this is the merge), then serves each
+    * requested quantile as the sample value at rank
+    * `max(1, ceil(q·n))` — the type-1 (lower, discontinuous) empirical
+    * quantile, chosen over interpolation because the estimate is then
+    * an ACTUAL data value, reproduced bit-for-bit by the oracle with no
+    * float arithmetic. Ties on v break by h, so the output is
+    * deterministic however the input was partitioned. Exact (equals the
+    * true type-1 quantile) whenever a group has at most s rows. Output:
+    * (grp, q, est). */
+  def qsampleQuantiles(sample: DataFrame, s: Int,
+                       qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must lie in (0, 1]")
+    val kept = sample
+      .withColumn("hr", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("h"), col("v"))))
+      .where(col("hr") <= s)
+    kept
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("v"), col("h"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+      .select(col("grp"), col("r"), col("n"), col("v"),
+        explode(array(qs.map(lit): _*)).as("q"))
+      .where(col("r") === greatest(lit(1L), ceil(col("q") * col("n"))))
+      .select(col("grp"), col("q"), col("v").as("est"))
+  }
+
+  /** One-shot per-group quantile sketch: sample + serve. */
+  def qsampleQuantile(df: DataFrame, groupCol: Column, uidCol: Column,
+                      valueCol: Column, s: Int, qs: Seq[Double],
+                      salt: String = "qsk"): DataFrame =
+    qsampleQuantiles(qsampleBottomK(df, groupCol, uidCol, valueCol, s, salt),
+      s, qs)
 }

@@ -995,6 +995,28 @@ object PipelineQueries {
         .select(col("grp").as("event_type"), col("q"), col("est"))
         .orderBy(col("event_type"), col("q"))),
 
+    // deterministic bottom-k sample quantile sketch: the s smallest md5
+    // row hashes per group are a uniform sample that is a pure function
+    // of the data, so the APPROXIMATE rank estimate (sample value at
+    // rank ceil(q·n)) is exactly oracle-checked — percentile_approx's
+    // portable, mergeable counterpart, emitted next to the exact
+    // interpolated quantile for calibration
+    "q_quantile_sketch" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val est = graft.ops.Sketches.qsampleQuantile(ev, col("event_type"),
+        col("event_id"), col("value"), s = 128, qs = Seq(0.5, 0.9, 0.99))
+      val exact = ev.groupBy(col("event_type").as("grp"))
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("e50"),
+          round(expr("percentile(value, 0.9)"), 4).as("e90"),
+          round(expr("percentile(value, 0.99)"), 4).as("e99"))
+      est.join(exact, "grp")
+        .select(col("grp").as("event_type"), col("q"), col("est"),
+          when(col("q") === 0.5, col("e50"))
+            .when(col("q") === 0.9, col("e90"))
+            .otherwise(col("e99")).as("exact_v"))
+        .orderBy(col("event_type"), col("q"))
+    }),
+
     // sketch surface: deterministic register-level HLL (md5-bucketed
     // registers + exact-integer harmonic sum — portable, unlike Spark's
     // HLL++ whose register layout is implementation-private) next to
@@ -1782,6 +1804,29 @@ object PipelineQueries {
          |  FROM events GROUP BY 1)
          | SELECT grp AS event_type, est, exact_users
          | FROM e JOIN x USING (grp) ORDER BY event_type""".om,
+    // bottom-k sample quantile sketch: the s=128 smallest md5 row hashes
+    // per group, rank estimate = sample value at ceil(q·n) (type-1) —
+    // bit-reproducible because the estimate is an actual data value
+    "q_quantile_sketch" ->
+      s"""WITH hx AS (SELECT event_type AS grp,
+         |   ${hex15.format("'qsk' || CAST(event_id AS VARCHAR)")} AS h,
+         |   CAST(value AS DOUBLE) AS v FROM events
+         |   WHERE event_id IS NOT NULL AND value IS NOT NULL),
+         | smp AS (SELECT grp, h, v,
+         |   row_number() OVER (PARTITION BY grp ORDER BY h, v) AS hr FROM hx),
+         | rk AS (SELECT grp, v,
+         |   row_number() OVER (PARTITION BY grp ORDER BY v, h) AS r,
+         |   count(*) OVER (PARTITION BY grp) AS n FROM smp WHERE hr <= 128),
+         | qq AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+         | e AS (SELECT grp, q, v AS est FROM rk CROSS JOIN qq
+         |   WHERE r = greatest(1, ceil(q * n))),
+         | x AS (SELECT event_type AS grp,
+         |   round(quantile_cont(value, 0.5), 4) AS e50,
+         |   round(quantile_cont(value, 0.9), 4) AS e90,
+         |   round(quantile_cont(value, 0.99), 4) AS e99 FROM events GROUP BY 1)
+         | SELECT grp AS event_type, q, est,
+         |  CASE WHEN q = 0.5 THEN e50 WHEN q = 0.9 THEN e90 ELSE e99 END AS exact_v
+         | FROM e JOIN x USING (grp) ORDER BY event_type, q""".om,
     // deterministic register-level HLL: md5 slice 1-15 → register index,
     // slice 17-24 → rank (33 - bit length); harmonic denominator summed
     // as exact integers (2^(33-mj), empty registers 2^33) so the only

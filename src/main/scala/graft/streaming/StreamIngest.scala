@@ -579,6 +579,39 @@ object StreamIngest {
     graft.ops.Sketches.kmvEstimateFromHashes(
       livePartials(spark, indexPath), k)
 
+  /** Streaming quantile sketch — the rank-query member of the streaming
+    * sketch family: each micro-batch writes its ≤ s smallest-hash
+    * (grp, h, v) sample rows ([[graft.ops.Sketches.qsampleBottomK]],
+    * ≤ groups × s rows per batch); the s smallest hashes of the union
+    * are among the union of each batch's s smallest, so the view
+    * re-takes bottom-s over the partials and lands on EXACTLY the batch
+    * sketch. Same `batch=<id>` Overwrite replay contract; min-merge is
+    * insensitive to duplicated partials, like the KMV. */
+  def qsampleStream(rows: DataFrame, groupCol: String, uidCol: String,
+                    valueCol: String, s: Int, indexPath: String,
+                    checkpoint: String,
+                    daemon: Boolean = false): StreamingQuery = {
+    val w: DataStreamWriter[org.apache.spark.sql.Row] = rows.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.ops.Sketches.qsampleBottomK(batch, col(groupCol), col(uidCol),
+            col(valueCol), s)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$indexPath/batch=$batchId")
+        batch.sparkSession.catalog.refreshByPath(indexPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (daemon) Trigger.ProcessingTime("5 seconds") else Trigger.AvailableNow())
+    w.start()
+  }
+
+  /** Current quantile estimates over a [[qsampleStream]] store —
+    * identical to the batch [[graft.ops.Sketches.qsampleQuantile]] on
+    * the union of all batches. `s` must match the stream's. */
+  def qsampleQuantileView(spark: SparkSession, indexPath: String, s: Int,
+                          qs: Seq[Double]): DataFrame =
+    graft.ops.Sketches.qsampleQuantiles(
+      livePartials(spark, indexPath), s, qs)
+
   /** Streaming histogram — the sum-monoid member of the streaming
     * sketch family (HLL registers merge by max, KMV hashes by min,
     * histogram bins by SUM): each micro-batch writes its per-(group,

@@ -925,6 +925,39 @@ class OpsSpec extends AnyFunSuite {
     assert(dup == out)
   }
 
+  test("quantile sketch: exact under s, rank-calibrated over s, merge law") {
+    // exact: a group with n <= s rows IS the sample → type-1 quantile
+    val small = (1L to 100L).map(i => ("t", i, i.toDouble)).toDF("g", "id", "v")
+    val se = Sketches.qsampleQuantile(small, col("g"), col("id"), col("v"),
+      s = 128, qs = Seq(0.5, 0.9, 1.0)).collect()
+      .map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(se == Map(0.5 -> 50.0, 0.9 -> 90.0, 1.0 -> 100.0))
+
+    // calibrated: 10k known-rank values, s=256 → DKW rank error well
+    // under 3σ = 3/(2·sqrt(256)) ≈ 0.094 for this fixed seedless hash
+    val big = (1L to 10000L).map(i => ("b", i, i.toDouble)).toDF("g", "id", "v")
+    val be = Sketches.qsampleQuantile(big, col("g"), col("id"), col("v"),
+      s = 256, qs = Seq(0.25, 0.5, 0.9)).collect()
+      .map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    be.foreach { case (q, est) =>
+      assert(math.abs(est / 10000.0 - q) < 0.1, s"q=$q est=$est") }
+
+    // merge law: bottom-s partials from an arbitrary split re-take to
+    // EXACTLY the one-shot sketch — and partitioning never matters
+    val h1 = Sketches.qsampleBottomK(big.where(col("id") % 3 === 0),
+      col("g"), col("id"), col("v"), s = 256)
+    val h2 = Sketches.qsampleBottomK(big.where(col("id") % 3 =!= 0),
+      col("g"), col("id"), col("v"), s = 256)
+    val merged = Sketches.qsampleQuantiles(h1.union(h2), s = 256,
+      qs = Seq(0.25, 0.5, 0.9)).collect()
+      .map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(merged == be)
+    val reparted = Sketches.qsampleQuantile(big.repartition(7),
+      col("g"), col("id"), col("v"), s = 256, qs = Seq(0.25, 0.5, 0.9))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(reparted == be)
+  }
+
   test("heavy hitters: exact top-k under the MG bound, any partitioning") {
     // zipf-ish: key j appears 1000/j times in group "w"; a long uniform
     // tail in the same group stresses the decrement path (m << tail)

@@ -539,6 +539,41 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(streamed("b") == 2.0) // below k → exact count survives merge
   }
 
+  test("streaming quantile sketch: bottom-s partials equal the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("graft-qskstream")
+    val idx = root.resolve("sample").toString
+    val ckpt = root.resolve("ckpt").toString
+    val mem = MemoryStream[(String, Long, Double)]
+    val rows = mem.toDF().select(col("_1").as("g"), col("_2").as("id"),
+      col("_3").as("v"))
+    val query = StreamIngest.qsampleStream(rows, "g", "id", "v", s = 64,
+      idx, ckpt, daemon = true)
+
+    mem.addData((1L to 500L).map(i => ("a", i, i.toDouble)): _*)
+    query.processAllAvailable()
+    mem.addData((501L to 1000L).map(i => ("a", i, i.toDouble))
+      ++ Seq(("b", 1L, 10.0), ("b", 2L, 20.0)): _*)
+    query.processAllAvailable()
+    query.stop()
+
+    val qs = Seq(0.5, 0.9)
+    val streamed = StreamIngest.qsampleQuantileView(spark, idx, s = 64, qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    val batch = graft.ops.Sketches.qsampleQuantile(
+      ((1L to 1000L).map(i => ("a", i, i.toDouble))
+        ++ Seq(("b", 1L, 10.0), ("b", 2L, 20.0))).toDF("g", "id", "v"),
+      col("g"), col("id"), col("v"), s = 64, qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    // the s smallest hashes of the union are among the union of each
+    // batch's s smallest → the re-taken view IS the batch sketch
+    assert(streamed == batch)
+    assert(streamed(("b", 0.5)) == 10.0) // n <= s → exact type-1 quantile
+  }
+
   test("streaming histogram: summed bin partials equal the batch quantiles") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
