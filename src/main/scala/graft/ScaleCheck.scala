@@ -54,6 +54,16 @@ object ScaleCheck {
       spark.stop()
       return
     }
+    if (sys.env.get("SPARK_GRAFT_SCALE_SECTION").contains("qsketch")) {
+      qsketchAtScale(spark)
+      spark.stop()
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_SECTION").contains("web")) {
+      webIngestAtScale(spark)
+      spark.stop()
+      return
+    }
     val dir = java.nio.file.Files.createTempDirectory("graft-scale").resolve("store").toString
 
     def time[T](name: String)(f: => T): T = {
@@ -547,6 +557,10 @@ object ScaleCheck {
     dsirAtScale(spark)
 
     nativeHistAtScale(spark)
+
+    qsketchAtScale(spark)
+
+    webIngestAtScale(spark)
 
     curateAtScale(spark)
 
@@ -1092,5 +1106,175 @@ object ScaleCheck {
         "— a stage is likely re-shuffling document text instead of digests")
     curIndex.unpersist(false)
     curDocs.unpersist(false)
+  }
+
+  /** Round-10 quantile-sketch rehearsal at 50M rows → 20 groups, s=4096:
+    * the per-group sample shuffle must be WindowGroupLimit-bounded
+    * (groups × s × partitions rows, never the data stream), every
+    * estimate must sit within the DKW rank band (±3/(2√s) ≈ ±2.3%), and
+    * the bottom-k merge law must hold bit-identically at scale — the
+    * properties that price a 100 TB percentile dashboard at one bounded
+    * exchange. Standalone: SPARK_GRAFT_SCALE_SECTION=qsketch. */
+  private def qsketchAtScale(spark: SparkSession): Unit = {
+    import graft.ops.Sketches
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"SCALE $name ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    }
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+    })
+    val n = 50000000L
+    val s = 4096
+    val qs = Seq(0.5, 0.9, 0.99)
+    // group g holds values {g, g+20, g+40, ...}: the true rank of value
+    // v within its group is (v-g)/20 + 1, so calibration is closed-form
+    def rows(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      concat(lit("g"), pmod(col("id"), lit(20))).as("g"),
+      col("id").as("uid"), col("id").cast("double").as("v"))
+
+    // the plan must bound the exchange BEFORE it happens: the bottom-s
+    // heap aggregate runs in partial mode below the shuffle
+    val plan = Sketches.qsampleBottomK(rows(0, n), col("g"), col("uid"),
+      col("v"), s).queryExecution.executedPlan.toString
+    require(plan.contains("partial_bottom_k_sample"),
+      "sample stage lost its partial-mode heap aggregate below the exchange")
+
+    shuffleBytes.set(0L)
+    val est = time(s"qsketch: $n rows -> 20 groups x s=$s, 3 quantiles") {
+      Sketches.qsampleQuantile(rows(0, n), col("g"), col("uid"), col("v"),
+        s, qs).collect()
+    }
+    val sampleShuffle = shuffleBytes.get()
+    println(f"SCALE qsketch shuffle ${sampleShuffle / 1024.0 / 1024.0}%.1f MiB")
+    // 20 groups x 4096 x 32 partitions x ~30B ≈ 75 MiB worst case; the
+    // 50M-row stream at this width would be ~1.6 GiB
+    require(sampleShuffle < 512L * 1024 * 1024,
+      f"sample shuffled ${sampleShuffle / 1024.0 / 1024.0}%.1f MiB — stream-sized, not sample-sized")
+
+    require(est.length == 20 * qs.length, s"expected 60 estimates, got ${est.length}")
+    val nPerGroup = n / 20
+    est.foreach { r =>
+      val g = r.getString(0).stripPrefix("g").toLong
+      val q = r.getDouble(1); val v = r.getDouble(2)
+      val rank = ((v - g) / 20.0 + 1.0) / nPerGroup
+      require(math.abs(rank - q) < 3.0 / (2.0 * math.sqrt(s)),
+        f"g$g q=$q rank=$rank%.4f outside the DKW band")
+    }
+    println("SCALE qsketch all 60 estimates inside the DKW rank band")
+
+    // merge law at scale: bottom-s partials of an arbitrary split
+    // re-take to the identical sketch
+    time("qsketch merge(half1, half2) == whole") {
+      val h1 = Sketches.qsampleBottomK(rows(0, n / 2), col("g"), col("uid"), col("v"), s)
+      val h2 = Sketches.qsampleBottomK(rows(n / 2, n), col("g"), col("uid"), col("v"), s)
+      val merged = Sketches.qsampleQuantiles(h1.union(h2), s, qs).collect()
+        .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      val whole = est.map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      require(merged == whole, "merged sketch diverged from the one-shot sketch")
+    }
+  }
+
+  /** Round-10 web-ingest rehearsal: 32 per-record-gzip WARC segments ×
+    * 8k pages (the Common Crawl layout) are written DISTRIBUTED (one
+    * file per task — the unit of parallelism a 100k-segment crawl
+    * ships), then streamed back through records → htmlDocuments →
+    * canonical-URL dedup → link-density boilerplate gate, with every
+    * stage's drop count asserted against its planted class. Per-task
+    * memory is O(maxPayload); nothing about the path holds a file in
+    * memory. Standalone: SPARK_GRAFT_SCALE_SECTION=web. */
+  private def webIngestAtScale(spark: SparkSession): Unit = {
+    import graft.ops.WebText
+    import graft.sources.WarcReader
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"SCALE $name ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    }
+    val nFiles = 32
+    val docsPerFile = 8000
+    val nDocs = nFiles.toLong * docsPerFile
+    val root = java.nio.file.Files.createTempDirectory("graft-scale-warc")
+    val dirStr = root.toString
+
+    // write segments distributed: one gzip-multi-member WARC per task.
+    // Plants: odd ids are URL-variants of the preceding even id (same
+    // canonical), ids % 16 == 0 are link-soup boilerplate.
+    time(s"write $nFiles WARC segments x $docsPerFile pages (distributed)") {
+      import spark.implicits._
+      spark.range(nFiles.toLong).repartition(nFiles).as[Long].map { f =>
+        val out = new java.io.BufferedOutputStream(
+          java.nio.file.Files.newOutputStream(
+            java.nio.file.Paths.get(dirStr, f"seg-$f%05d.warc.gz")), 1 << 16)
+        try {
+          (0 until docsPerFile).foreach { i =>
+            val g = f * docsPerFile + i
+            val url =
+              if (g % 2 == 1) s"HTTPS://WWW.ex.com/p/${g / 2}?utm_source=x&b=2&a=1#f"
+              else s"https://ex.com/p/${g / 2}?a=1&b=2"
+            val body =
+              if (g % 16 == 0) "<body>" + (1 to 12).map(j =>
+                s"""<a href="/nav$j">section $j link text</a>""").mkString(" ") + "</body>"
+              else s"<html><title>doc $g</title><body><p>" +
+                s"prose page number $g with ${"filler words " * 10}" +
+                s"</p><a href=\"/next\">next</a></body></html>"
+            val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+              s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n")
+              .getBytes("ISO-8859-1") ++ body.getBytes("UTF-8")
+            val head = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Record-ID: <urn:doc:$g>\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n" +
+              s"WARC-Target-URI: $url\r\n" +
+              s"Content-Type: application/http; msgtype=response\r\n" +
+              s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1")
+            // one gzip MEMBER per record, CC-style; a fresh closed
+            // stream per member releases its deflater's native memory
+            val bos = new java.io.ByteArrayOutputStream(2048)
+            val gz = new java.util.zip.GZIPOutputStream(bos)
+            gz.write(head); gz.write(http); gz.write("\r\n\r\n".getBytes("ISO-8859-1"))
+            gz.close()
+            out.write(bos.toByteArray)
+          }
+        } finally out.close()
+        f
+      }.collect()
+    }
+
+    val docs = time(s"read+extract $nDocs pages (records -> htmlDocuments)") {
+      val d = WarcReader.htmlDocuments(WarcReader.records(spark, dirStr))
+        .select(col("url"), col("text"),
+          WebText.linkDensity(col("html")).as("ld"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      require(d.count() == nDocs, "lost records in the parse")
+      d
+    }
+
+    val deduped = time("canonical-URL dedup (odd ids collapse into even)") {
+      // keep the variant already in canonical form (the even-id page —
+      // lowercase sorts after the odd 'HTTPS://WWW.' twin, so desc)
+      val d = docs.withColumn("curl", WebText.canonicalizeUrl(col("url")))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("curl"))
+            .orderBy(col("url").desc)))
+        .where(col("rnk") === 1).drop("rnk")
+      val kept = d.count()
+      require(kept == nDocs / 2,
+        s"URL dedup kept $kept, planted ${nDocs / 2} canonical pages")
+      d
+    }
+
+    time("link-density boilerplate gate (ids % 16 planted as soup)") {
+      val kept = deduped.where(col("ld") < 0.5).count()
+      // survivors of dedup are the even ids; soup ids (g % 16 == 0) are
+      // all even, so exactly nDocs/16 of the nDocs/2 survivors drop
+      val expect = nDocs / 2 - nDocs / 16
+      require(kept == expect, s"boilerplate gate kept $kept, expected $expect")
+    }
+    docs.unpersist(false)
+    println(f"SCALE web ingest end-to-end ok: $nDocs pages, " +
+      f"${nDocs / 2 - nDocs / 16} curated")
   }
 }

@@ -432,10 +432,15 @@ object Sketches {
     * micro-batches merge by re-taking bottom-s
     * ([[graft.streaming.StreamIngest.qsampleStream]]).
     *
-    * Scale shape: one shuffle keyed on the group; the `row_number <= s`
-    * window compiles to WindowGroupLimit with a PARTIAL pass, so each
-    * map task forwards at most s rows per group — the exchange carries
-    * O(groups × s × partitions) rows, never the data stream.
+    * Scale shape: one shuffle keyed on the group, bounded by
+    * CONSTRUCTION — the bottom-s heap is a custom
+    * TypedImperativeAggregate
+    * ([[graft.functions.SampleAggregates.BottomKSampleAgg]]) whose
+    * partial mode folds each partition into a ≤ s-entry heap before the
+    * exchange, so at most one serialized heap per (group × partition)
+    * crosses the wire however large the input. (A `row_number <= s`
+    * window only gets its partial WindowGroupLimit pass when s is under
+    * Spark's 1000-row rule threshold — useless at real sketch sizes.)
     *
     * Rank guarantee (DKW over a simple random sample): every sample
     * quantile is within ε = sqrt(ln(2/δ)/(2s)) of the true rank with
@@ -451,10 +456,11 @@ object Sketches {
     df.where(uidCol.isNotNull && valueCol.isNotNull)
       .select(groupCol.as("grp"), h.as("h"),
         valueCol.cast("double").as("v"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("grp")).orderBy(col("h"), col("v"))))
-      .where(col("rnk") <= s)
-      .select(col("grp"), col("h"), col("v"))
+      .groupBy(col("grp"))
+      .agg(graft.functions.SampleAggregates
+        .bottom_k_sample(col("h"), col("v"), s).as("smp"))
+      .select(col("grp"), explode(col("smp")).as("e"))
+      .select(col("grp"), col("e.h").as("h"), col("e.v").as("v"))
   }
 
   /** Finalize (grp, h, v) sample partials into per-(grp, q) quantile

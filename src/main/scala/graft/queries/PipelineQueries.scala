@@ -636,6 +636,49 @@ object PipelineQueries {
           md5(TextAnalysis.normalizeText(col("text"))).as("norm_digest"))
         .orderBy(col("doc_id"))),
 
+    // HTML → text extraction (the WARC-ingest front half, WebText):
+    // markup synthesized around each document deterministically in BOTH
+    // engines, so the script/comment-drop, tag-strip, entity-decode and
+    // whitespace rules — plus the link-density boilerplate signal — are
+    // exactly oracle-checked end to end
+    "text_html_extract" -> ((s, dir) => {
+      val html = concat(lit("<html><head><title>"), col("source"),
+        lit(" #"), col("doc_id"),
+        lit("</title><script>var x = '<p>no</p>';</script></head><body><h1>"),
+        col("lang"), lit(" &amp; co</h1><!-- hidden -->\n<p>"), col("text"),
+        lit("</p>\n<a href=\"https://ex.com/"), col("doc_id"),
+        lit("?utm_source=x&b=2\">more</a></body></html>"))
+      docs(s, dir).select(col("doc_id"),
+          graft.ops.WebText.htmlTitle(html).as("title"),
+          graft.ops.WebText.htmlToText(html).as("txt"),
+          graft.ops.WebText.linkDensity(html).as("link_density"))
+        .select(col("doc_id"), col("title"),
+          length(col("txt")).cast("long").as("text_len"),
+          substring(col("txt"), 1, 60).as("snippet"), col("link_density"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // URL canonicalization dedup (the C4 recipe's first pass): three
+    // synthesized variants per doc — www + default port + tracking params
+    // + fragment + trailing slash vs the clean form vs query-less — the
+    // first two collapse to one canonical key, counted per key
+    "dedup_url" -> ((s, dir) => {
+      val variant = col("doc_id") % 3
+      val url = concat(
+        when(variant === 0, lit("HTTPS://WWW.")).otherwise(lit("https://")),
+        col("source"), lit(".example.com"),
+        when(variant === 0, lit(":443")).otherwise(lit("")),
+        lit("/"), col("lang"), lit("/"), col("doc_id") % 5,
+        when(variant === 0, lit("/?utm_source=feed&b=2&a=1#frag"))
+          .when(variant === 1, lit("?a=1&b=2"))
+          .otherwise(lit("")))
+      docs(s, dir)
+        .select(col("doc_id"), graft.ops.WebText.canonicalizeUrl(url).as("url"))
+        .groupBy(col("url"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
+        .orderBy(col("url"))
+    }),
+
     // length-bucketed batching plan (the serving-side counterpart of
     // pack_sequences): per 32-token bucket, document count, real vs
     // padded token mass and the padding waste ratio
@@ -1202,6 +1245,11 @@ object PipelineQueries {
        |  FROM toks)""".stripMargin.replace("\n", " ")
 
   private val hex15 = "('0x' || substr(md5(%s), 1, 15))::BIGINT"
+
+  /** [[graft.ops.WebText]]'s URL grammar, verbatim (RE2-safe: no
+    * backreferences), for the canonicalization oracle. */
+  private val urlRe =
+    "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$"
 
   /** The normalizeText chain as SQL, GENERATED from the same
     * replacement table the Spark side folds over (single source of
@@ -2397,6 +2445,68 @@ object PipelineQueries {
          | SELECT doc_id, n_chars_raw, length(norm) AS n_chars_norm,
          |  md5(norm) AS norm_digest
          | FROM n ORDER BY doc_id""".om,
+    // WebText HTML extraction, rule for rule: script/style elements and
+    // comments out, tags to spaces, six-entity decode (&amp; LAST),
+    // whitespace collapse; link density = linked chars / visible chars
+    "text_html_extract" ->
+      s"""WITH h AS (SELECT doc_id, '<html><head><title>' || source || ' #' ||
+         |   CAST(doc_id AS VARCHAR) ||
+         |   '</title><script>var x = ''<p>no</p>'';</script></head><body><h1>' ||
+         |   lang || ' &amp; co</h1><!-- hidden -->' || chr(10) || '<p>' || text ||
+         |   '</p>' || chr(10) || '<a href="https://ex.com/' ||
+         |   CAST(doc_id AS VARCHAR) || '?utm_source=x&b=2">more</a></body></html>'
+         |   AS html FROM documents),
+         | x1 AS (SELECT doc_id, html,
+         |   regexp_replace(html, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g') AS t FROM h),
+         | x2 AS (SELECT doc_id, html,
+         |   regexp_replace(t, '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g') AS t FROM x1),
+         | x3 AS (SELECT doc_id, html, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM x2),
+         | x4 AS (SELECT doc_id, html, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM x3),
+         | x5 AS (SELECT doc_id, html, replace(replace(replace(replace(replace(replace(t,
+         |   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+         |   '&nbsp;', ' '), '&amp;', '&') AS t FROM x4),
+         | tx AS (SELECT doc_id, html,
+         |   trim(regexp_replace(t, '\\s+', ' ', 'g')) AS txt FROM x5),
+         | ld AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+         |    array_to_string(regexp_extract_all(html, '(?is)<a\\s[^>]*>(.*?)</a\\s*>', 1), ' '),
+         |    '(?s)<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS lt FROM h)
+         | SELECT tx.doc_id,
+         |  trim(regexp_extract(tx.html, '(?is)<title[^>]*>([^<]*)</title>', 1)) AS title,
+         |  length(txt) AS text_len, substr(txt, 1, 60) AS snippet,
+         |  round(length(lt)::DOUBLE / greatest(length(txt), 1), 6) AS link_density
+         | FROM tx JOIN ld USING (doc_id) ORDER BY doc_id""".om,
+    // WebText URL canonicalization, rule for rule: lowercase scheme/host,
+    // www + default-port strip, fragment drop, tracking-param filter +
+    // param sort, trailing-slash trim, empty path -> '/'
+    "dedup_url" ->
+      s"""WITH u AS (SELECT doc_id,
+         |   (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END) ||
+         |   source || '.example.com' ||
+         |   (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END) ||
+         |   '/' || lang || '/' || CAST(doc_id % 5 AS VARCHAR) ||
+         |   (CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&b=2&a=1#frag'
+         |         WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '' END) AS url
+         |  FROM documents),
+         | p AS (SELECT doc_id, url,
+         |   lower(coalesce(regexp_extract(url, '$urlRe', 1), '')) AS scheme,
+         |   lower(coalesce(regexp_extract(url, '$urlRe', 2), '')) AS host0,
+         |   coalesce(regexp_extract(url, '$urlRe', 3), '') AS path0,
+         |   coalesce(regexp_extract(url, '$urlRe', 4), '') AS qs FROM u),
+         | q AS (SELECT doc_id, url, scheme, host0,
+         |   regexp_replace(host0, '^www\\.', '') AS host1,
+         |   regexp_replace(path0, '/+${"$"}', '') AS path1,
+         |   coalesce(array_to_string(list_sort(list_filter(string_split(qs, '&'),
+         |     x -> x <> '' AND NOT regexp_matches(x,
+         |       '^(utm_[a-z]+|fbclid|gclid|msclkid|ref)='))), '&'), '') AS q2 FROM p),
+         | c AS (SELECT doc_id, CASE WHEN host0 = '' THEN url ELSE
+         |   scheme || '://' ||
+         |   (CASE WHEN scheme = 'http' THEN regexp_replace(host1, ':80${"$"}', '')
+         |         WHEN scheme = 'https' THEN regexp_replace(host1, ':443${"$"}', '')
+         |         ELSE host1 END) ||
+         |   (CASE WHEN path1 = '' THEN '/' ELSE path1 END) ||
+         |   (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) END AS url FROM q)
+         | SELECT url, count(*) AS n_docs, min(doc_id) AS keep_doc
+         | FROM c GROUP BY url ORDER BY url""".om,
     "pack_length_buckets" ->
       s"""WITH t AS (SELECT doc_id,
          |   len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n

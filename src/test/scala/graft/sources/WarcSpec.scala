@@ -1,0 +1,122 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import java.nio.file.{Files, Path}
+import java.util.zip.GZIPOutputStream
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** WARC ingest: streaming record parse (plain + per-record-gzip
+  * multi-member files, the Common Crawl layout), HTTP header lift,
+  * payload truncation, and the records → html-documents bridge. */
+class WarcSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+
+  private def warcRecord(typ: String, uri: String, body: Array[Byte],
+                         ct: String): Array[Byte] = {
+    val head = new StringBuilder()
+      .append("WARC/1.0\r\n")
+      .append(s"WARC-Type: $typ\r\n")
+      .append(s"WARC-Record-ID: <urn:uuid:$typ-${body.length}>\r\n")
+      .append("WARC-Date: 2026-01-01T00:00:00Z\r\n")
+    if (uri.nonEmpty) head.append(s"WARC-Target-URI: $uri\r\n")
+    head.append(s"Content-Type: $ct\r\n")
+      .append(s"Content-Length: ${body.length}\r\n\r\n")
+    head.toString.getBytes(ISO_8859_1) ++ body ++
+      "\r\n\r\n".getBytes(ISO_8859_1)
+  }
+
+  private def httpResponse(html: String,
+                           mime: String = "text/html; charset=utf-8"): Array[Byte] = {
+    val body = html.getBytes(UTF_8)
+    (s"HTTP/1.1 200 OK\r\nContent-Type: $mime\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(ISO_8859_1) ++ body
+  }
+
+  private def gz(b: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val g = new GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  private val htmlA =
+    "<html><head><title> Page A </title><script>var x = '<p>no</p>';" +
+      "</script></head><body><h1>Alpha &amp; Beta</h1><p>real text</p>" +
+      "<a href=\"https://ex.com/a?utm_source=t&b=2&a=1\">link</a></body></html>"
+  private val htmlB =
+    "<html><title>B</title><body><!-- hidden -->Bravo body</body></html>"
+
+  private def fixture(): Path = {
+    val dir = Files.createTempDirectory("graft-warc")
+    // plain file: warcinfo + response + request
+    val plain =
+      warcRecord("warcinfo", "", "software: graft-test\r\n".getBytes(ISO_8859_1),
+        "application/warc-fields") ++
+      warcRecord("response", "https://ex.com/a", httpResponse(htmlA),
+        "application/http; msgtype=response") ++
+      warcRecord("request", "https://ex.com/a",
+        ("GET /a HTTP/1.1\r\nHost: ex.com\r\n\r\n").getBytes(ISO_8859_1),
+        "application/http; msgtype=request")
+    Files.write(dir.resolve("a.warc"), plain)
+    // gzip file: TWO members, one per record — the Common Crawl layout;
+    // GZIPInputStream must cross the member boundary
+    val g = gz(warcRecord("response", "https://ex.com/b", httpResponse(htmlB),
+      "application/http; msgtype=response")) ++
+      gz(warcRecord("response", "https://ex.com/c",
+        httpResponse("<html><body>" + ("c" * 500) + "</body></html>"),
+        "application/http; msgtype=response"))
+    Files.write(dir.resolve("b.warc.gz"), g)
+    dir
+  }
+
+  test("records: parse plain + multi-member gzip, lift HTTP headers") {
+    val dir = fixture()
+    val recs = WarcReader.records(spark, dir.toString).collect()
+      .map(r => (r.getString(0).split('/').last, r.getString(2),
+        r.getString(3), r.getInt(7), r.getString(8),
+        new String(r.getAs[Array[Byte]]("payload"), UTF_8),
+        r.getBoolean(11)))
+    assert(recs.length == 5)
+    val byUri = recs.filter(_._2 == "response").map(r => r._3 -> r).toMap
+    assert(byUri.keySet == Set("https://ex.com/a", "https://ex.com/b",
+      "https://ex.com/c"))
+    // HTTP headers lifted, payload is the BODY only
+    val a = byUri("https://ex.com/a")
+    assert(a._4 == 200 && a._5 == "text/html; charset=utf-8")
+    assert(a._6 == htmlA && !a._7)
+    // both gzip members surfaced
+    assert(byUri("https://ex.com/b")._6 == htmlB)
+    assert(byUri("https://ex.com/c")._6.contains("c" * 500))
+    // non-HTTP records keep their raw block
+    val info = recs.find(_._2 == "warcinfo").get
+    assert(info._6.startsWith("software: graft-test") && info._4 == 0)
+  }
+
+  test("records: oversized payloads truncate with a flag, stream survives") {
+    val dir = fixture()
+    val recs = WarcReader.records(spark, dir.toString, maxPayloadBytes = 120)
+      .collect().map(r => (r.getString(3),
+        r.getAs[Array[Byte]]("payload").length, r.getLong(10), r.getBoolean(11)))
+    // the 500-char body exceeds the cap: kept bytes < full length, flagged
+    val c = recs.find(_._1 == "https://ex.com/c").get
+    assert(c._4 && c._2 < c._3 && c._3 > 500)
+    // later records in the same file still parse (skip path consumed the rest)
+    assert(recs.count(_._1.nonEmpty) >= 3)
+  }
+
+  test("htmlDocuments: responses → (url, text, title) via WebText") {
+    val dir = fixture()
+    val docs = WarcReader.htmlDocuments(WarcReader.records(spark, dir.toString))
+      .collect().map(r => r.getAs[String]("url") ->
+        (r.getAs[String]("text"), r.getAs[String]("title"))).toMap
+    assert(docs.size == 3)
+    // script content dropped, entities decoded, whitespace collapsed
+    assert(docs("https://ex.com/a")._1 == "Page A Alpha & Beta real text link")
+    assert(docs("https://ex.com/a")._2 == "Page A")
+    // comments dropped
+    assert(docs("https://ex.com/b")._1 == "B Bravo body")
+  }
+}
