@@ -79,5 +79,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftSqlBridge.toCatalyst(
           graft.functions.tsdb_encode_chunk(GraftSqlBridge.column(args.head)))
       }))
+    // aggregate: the analyzer wraps a bare AggregateFunction from a
+    // registry builder in its AggregateExpression during resolution
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bottom_k_sample"),
+      new ExpressionInfo(
+        classOf[graft.functions.SampleAggregates.BottomKSampleAgg].getName,
+        "graft_bottom_k_sample"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_bottom_k_sample(h, v, s) takes (hash, value, int-literal size)")
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val s = args(2) match {
+          case Literal(v: Int, _) => v
+          case other => sys.error(
+            s"graft_bottom_k_sample: s must be an int literal, got $other")
+        }
+        graft.functions.SampleAggregates.BottomKSampleAgg(args(0), args(1), s)
+      }))
   }
 }

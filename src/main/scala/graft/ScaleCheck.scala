@@ -1201,46 +1201,29 @@ object ScaleCheck {
     val root = java.nio.file.Files.createTempDirectory("graft-scale-warc")
     val dirStr = root.toString
 
-    // write segments distributed: one gzip-multi-member WARC per task.
-    // Plants: odd ids are URL-variants of the preceding even id (same
-    // canonical), ids % 16 == 0 are link-soup boilerplate.
+    // write segments distributed through the real writer (one
+    // gzip-multi-member segment per task). Plants: odd ids are
+    // URL-variants of the preceding even id (same canonical),
+    // ids % 16 == 0 are link-soup boilerplate.
     time(s"write $nFiles WARC segments x $docsPerFile pages (distributed)") {
-      import spark.implicits._
-      spark.range(nFiles.toLong).repartition(nFiles).as[Long].map { f =>
-        val out = new java.io.BufferedOutputStream(
-          java.nio.file.Files.newOutputStream(
-            java.nio.file.Paths.get(dirStr, f"seg-$f%05d.warc.gz")), 1 << 16)
-        try {
-          (0 until docsPerFile).foreach { i =>
-            val g = f * docsPerFile + i
-            val url =
-              if (g % 2 == 1) s"HTTPS://WWW.ex.com/p/${g / 2}?utm_source=x&b=2&a=1#f"
-              else s"https://ex.com/p/${g / 2}?a=1&b=2"
-            val body =
-              if (g % 16 == 0) "<body>" + (1 to 12).map(j =>
-                s"""<a href="/nav$j">section $j link text</a>""").mkString(" ") + "</body>"
-              else s"<html><title>doc $g</title><body><p>" +
-                s"prose page number $g with ${"filler words " * 10}" +
-                s"</p><a href=\"/next\">next</a></body></html>"
-            val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
-              s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n")
-              .getBytes("ISO-8859-1") ++ body.getBytes("UTF-8")
-            val head = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
-              s"WARC-Record-ID: <urn:doc:$g>\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n" +
-              s"WARC-Target-URI: $url\r\n" +
-              s"Content-Type: application/http; msgtype=response\r\n" +
-              s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1")
-            // one gzip MEMBER per record, CC-style; a fresh closed
-            // stream per member releases its deflater's native memory
-            val bos = new java.io.ByteArrayOutputStream(2048)
-            val gz = new java.util.zip.GZIPOutputStream(bos)
-            gz.write(head); gz.write(http); gz.write("\r\n\r\n".getBytes("ISO-8859-1"))
-            gz.close()
-            out.write(bos.toByteArray)
-          }
-        } finally out.close()
-        f
-      }.collect()
+      val id2 = expr("id div 2").cast("string")
+      val pages = spark.range(nDocs).select(
+        when(col("id") % 2 === 1,
+          concat(lit("HTTPS://WWW.ex.com/p/"), id2, lit("?utm_source=x&b=2&a=1#f")))
+          .otherwise(concat(lit("https://ex.com/p/"), id2, lit("?a=1&b=2")))
+          .as("url"),
+        when(col("id") % 16 === 0,
+          lit("<body>" + (1 to 12).map(j =>
+            s"""<a href="/nav$j">section $j link text</a>""").mkString(" ") +
+            "</body>"))
+          .otherwise(concat(lit("<html><title>doc "), col("id"),
+            lit("</title><body><p>prose page number "), col("id"),
+            lit(" with " + ("filler words " * 10) +
+              "</p><a href=\"/next\">next</a></body></html>")))
+          .as("payload"))
+      val written = graft.sources.WarcWriter.write(
+        pages.repartition(nFiles), dirStr)
+      require(written == nFiles, s"wrote $written segments, expected $nFiles")
     }
 
     val docs = time(s"read+extract $nDocs pages (records -> htmlDocuments)") {

@@ -72,6 +72,16 @@ object WarcReader {
         graft.ops.WebText.htmlTitle(html).as("title"))
   }
 
+  /** WET-style extracted-text records ([[WarcWriter.writeConversions]]'s
+    * output, or Common Crawl's own `.warc.wet.gz` conversion records)
+    * rendered to (url, date, text). */
+  def textDocuments(records: DataFrame): DataFrame =
+    records
+      .where(col("warc_type") === "conversion" &&
+        col("content_type").startsWith("text/plain"))
+      .select(col("target_uri").as("url"), col("warc_date").as("date"),
+        col("payload").cast("string").as("text"))
+
   // ---- streaming record parser ----------------------------------------
 
   /** Lazily parse one WARC file into records; the stream is closed on

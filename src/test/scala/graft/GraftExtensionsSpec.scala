@@ -25,6 +25,29 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_bottom_k_sample aggregates from SQL, matches the Scala API") {
+    withExtendedSession { s =>
+      import org.apache.spark.sql.functions._
+      s.range(0, 1000)
+        .select((col("id") % 4).cast("string").as("g"), col("id").as("uid"),
+          col("id").cast("double").as("v"))
+        .createOrReplaceTempView("qsk_rows")
+      // SQL route: same md5-prefix hash as Dedup.hash60, s = 8
+      val sql = s.sql(
+        """SELECT g, e.h AS h, e.v AS v FROM (
+          |  SELECT g, graft_bottom_k_sample(
+          |    CAST(conv(substring(md5(concat('qsk', CAST(uid AS STRING))), 1, 15), 16, 10) AS BIGINT),
+          |    v, 8) AS smp
+          |  FROM qsk_rows GROUP BY g
+          |) LATERAL VIEW explode(smp) AS e""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val api = graft.ops.Sketches.qsampleBottomK(
+        s.table("qsk_rows"), col("g"), col("uid"), col("v"), s = 8)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(sql == api && api.size == 32)
+    }
+  }
+
   test("graft_cosine is callable from SQL and matches the HOF formulation") {
     withExtendedSession { s =>
       val r = s.sql(

@@ -107,6 +107,40 @@ class WarcSpec extends AnyFunSuite {
     assert(recs.count(_._1.nonEmpty) >= 3)
   }
 
+  test("writer round-trip: responses and WET conversions re-read exactly") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = (0 until 200).map(i =>
+      (s"https://ex.com/w/$i", s"<html><title>w$i</title><body>page $i body</body></html>"))
+      .toDF("url", "payload")
+    // response segments: write (4 tasks), read back through the reader
+    val respDir = Files.createTempDirectory("graft-warcw-resp").toString
+    val nResp = WarcWriter.write(docs.repartition(4), respDir)
+    assert(nResp == 4)
+    val rt = WarcReader.htmlDocuments(WarcReader.records(spark, respDir))
+      .select(col("url"), col("html")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rt.size == 200)
+    (0 until 200).foreach { i =>
+      assert(rt(s"https://ex.com/w/$i") ==
+        s"<html><title>w$i</title><body>page $i body</body></html>")
+    }
+    // WET conversion segments: extracted text round-trips bare
+    val wetDir = Files.createTempDirectory("graft-warcw-wet").toString
+    val wet = docs.select(col("url"),
+      graft.ops.WebText.htmlToText(col("payload")).as("text"))
+    WarcWriter.writeConversions(wet.repartition(2), wetDir)
+    val back = WarcReader.textDocuments(WarcReader.records(spark, wetDir))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(back.size == 200)
+    assert(back("https://ex.com/w/7") == "w7 page 7 body")
+    // uncompressed segments parse identically
+    val plainDir = Files.createTempDirectory("graft-warcw-plain").toString
+    WarcWriter.write(docs.limit(5).repartition(1), plainDir, gzip = false)
+    assert(WarcReader.records(spark, plainDir).count() == 5)
+  }
+
   test("htmlDocuments: responses → (url, text, title) via WebText") {
     val dir = fixture()
     val docs = WarcReader.htmlDocuments(WarcReader.records(spark, dir.toString))
