@@ -658,6 +658,21 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // damped PageRank over a synthesized link graph (2 out-links per
+    // doc, affine formulas): fixed 10 iterations with dangling-mass
+    // redistribution — deterministic, so the unrolled-CTE oracle
+    // reproduces every rank to rounding
+    "q_pagerank" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val edges = d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % 500).as("dst"))
+        .union(d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 31 + 11) % 500).as("dst")))
+      graft.ops.LinkGraph.pagerank(edges, damping = 0.85, iters = 10)
+        .select(col("n").as("node"), round(col("r"), 6).as("rank"))
+        .orderBy(col("node"))
+    }),
+
     // URL canonicalization dedup (the C4 recipe's first pass): three
     // synthesized variants per doc — www + default port + tracking params
     // + fragment + trailing slash vs the clean form vs query-less — the
@@ -1250,6 +1265,37 @@ object PipelineQueries {
     * backreferences), for the canonicalization oracle. */
   private val urlRe =
     "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$"
+
+  /** Unrolled-CTE PageRank: one (dangling-mass, rank) CTE pair per
+    * iteration, the float expressions SHAPED exactly like
+    * [[graft.ops.LinkGraph.pagerank]]'s ((1.0 - d)/N, d·(inc + dm/N))
+    * so both engines execute the same IEEE ops; cross-engine noise is
+    * only the contribution-sum order, absorbed by the final round(6). */
+  private def pagerankSql(iters: Int): String = {
+    val sb = new StringBuilder(
+      "WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (" +
+        " SELECT doc_id AS src, (doc_id*7+3) % 500 AS dst FROM documents" +
+        " UNION ALL SELECT doc_id, (doc_id*31+11) % 500 FROM documents)" +
+        " WHERE src <> dst)," +
+        " nodes AS MATERIALIZED (SELECT src AS n FROM e UNION SELECT dst FROM e)," +
+        " deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src)," +
+        " nn AS MATERIALIZED (SELECT count(*)::BIGINT AS cnt FROM nodes)," +
+        " r0 AS MATERIALIZED (SELECT n, 1.0 / cnt AS r FROM nodes CROSS JOIN nn)")
+    for (k <- 1 to iters) {
+      val p = s"r${k - 1}"
+      sb.append(
+        s", d$k AS MATERIALIZED (SELECT coalesce(sum(r), 0.0) AS dm FROM $p" +
+          s" WHERE n NOT IN (SELECT src FROM deg))" +
+          s", r$k AS MATERIALIZED (SELECT nodes.n," +
+          s" (1.0 - 0.85) / cnt + 0.85 * (coalesce(i.inc, 0.0) + dm / cnt) AS r" +
+          s" FROM nodes CROSS JOIN nn CROSS JOIN d$k" +
+          s" LEFT JOIN (SELECT e.dst AS n, sum($p.r / deg.deg) AS inc" +
+          s" FROM e JOIN deg USING (src) JOIN $p ON $p.n = e.src" +
+          s" GROUP BY e.dst) i ON i.n = nodes.n)")
+    }
+    sb.append(s" SELECT n AS node, round(r, 6) AS rank FROM r$iters ORDER BY node")
+    sb.toString
+  }
 
   /** The normalizeText chain as SQL, GENERATED from the same
     * replacement table the Spark side folds over (single source of
@@ -2475,6 +2521,7 @@ object PipelineQueries {
          |  length(txt) AS text_len, substr(txt, 1, 60) AS snippet,
          |  round(length(lt)::DOUBLE / greatest(length(txt), 1), 6) AS link_density
          | FROM tx JOIN ld USING (doc_id) ORDER BY doc_id""".om,
+    "q_pagerank" -> pagerankSql(10),
     // WebText URL canonicalization, rule for rule: lowercase scheme/host,
     // www + default-port strip, fragment drop, tracking-param filter +
     // param sort, trailing-slash trim, empty path -> '/'

@@ -925,6 +925,29 @@ class OpsSpec extends AnyFunSuite {
     assert(dup == out)
   }
 
+  test("pagerank: cycle uniform, star concentrates, dangling redistributes") {
+    import graft.ops.LinkGraph
+    // directed 5-cycle: perfectly symmetric, every rank is exactly 1/5
+    val cycle = (0L to 4L).map(i => (i, (i + 1) % 5)).toDF("src", "dst")
+    val cr = LinkGraph.pagerank(cycle, 0.85, 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    cr.values.foreach(v => assert(math.abs(v - 0.2) < 1e-12))
+    // star: 6 leaves all pointing at node 0 — the hub dominates, mass
+    // conserved at 1 (dangling hub redistributes everywhere)
+    val star = (1L to 6L).map(i => (i, 0L)).toDF("src", "dst")
+    val sr = LinkGraph.pagerank(star, 0.85, 20).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(sr.values.sum - 1.0) < 1e-9, s"mass ${sr.values.sum}")
+    assert(sr(0L) > 0.4 && sr(0L) > 3 * sr(1L), s"hub ${sr(0L)} leaf ${sr(1L)}")
+    // leaves are symmetric
+    assert((2L to 6L).forall(i => math.abs(sr(i) - sr(1L)) < 1e-12))
+    // duplicate edges and self-loops don't change the graph
+    val noisy = star.union(star).union(Seq((3L, 3L)).toDF("src", "dst"))
+    val nr = LinkGraph.pagerank(noisy, 0.85, 20).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(nr == sr)
+  }
+
   test("quantile sketch: exact under s, rank-calibrated over s, merge law") {
     // exact: a group with n <= s rows IS the sample → type-1 quantile
     val small = (1L to 100L).map(i => ("t", i, i.toDouble)).toDF("g", "id", "v")
