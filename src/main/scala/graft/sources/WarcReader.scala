@@ -42,10 +42,17 @@ object WarcReader {
     * `*.warc` / `*.warc.gz`), one Spark task per file. */
   def records(spark: SparkSession, dir: String,
               maxPayloadBytes: Int = 2 << 20): DataFrame = {
-    val conf = new BlockIO.SerConf(spark.sparkContext.hadoopConfiguration)
-    val files = BlockIO.listNames(dir, conf.value)
+    val files = BlockIO.listNames(dir)
       .filter(n => n.endsWith(".warc") || n.endsWith(".warc.gz"))
       .sorted.map(n => BlockIO.child(dir, n))
+    recordsForFiles(spark, files, maxPayloadBytes)
+  }
+
+  /** WARC records of an explicit segment list (the unit the streaming
+    * ingest hands over per micro-batch), one Spark task per file. */
+  def recordsForFiles(spark: SparkSession, files: Seq[String],
+                      maxPayloadBytes: Int = 2 << 20): DataFrame = {
+    val conf = new BlockIO.SerConf(spark.sparkContext.hadoopConfiguration)
     import spark.implicits._
     val parallelism =
       math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))

@@ -612,6 +612,59 @@ object StreamIngest {
     graft.ops.Sketches.qsampleQuantiles(
       livePartials(spark, indexPath), s, qs)
 
+  /** Continuous crawl ingest: WARC segments LANDING in `dir` stream
+    * into an extracted-documents store.
+    *
+    * Spark's file source does the segment tracking (checkpointed
+    * seen-files log → each segment exactly once, new arrivals picked up
+    * per trigger), but is used for NAMES ONLY — the `binaryFile` format
+    * prunes the content column away, so nothing file-sized crosses the
+    * source; each micro-batch hands its segment list to
+    * [[graft.sources.WarcReader.recordsForFiles]], which streams every
+    * file through the bounded parser (one task per segment, O(maxPayload)
+    * memory). Extraction is [[graft.sources.WarcReader.htmlDocuments]] +
+    * canonical URL. Output rows land under `batch=<id>` with Overwrite —
+    * the same replay-idempotency contract as every store here (a
+    * replayed batch rewrites its own directory, never duplicates).
+    * [[warcDocsView]] serves the accumulated corpus. */
+  def warcIngestStream(spark: SparkSession, dir: String, docsPath: String,
+                       checkpoint: String, maxPayloadBytes: Int = 2 << 20,
+                       daemon: Boolean = false): StreamingQuery = {
+    val names = spark.readStream.format("binaryFile")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .option("pathGlobFilter", "*.warc*").load(dir)
+      .select(col("path"))
+    val w: DataStreamWriter[org.apache.spark.sql.Row] = names.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val files = batch.collect().map(_.getString(0)).toSeq.sorted
+        if (files.nonEmpty) {
+          val recs = graft.sources.WarcReader.recordsForFiles(
+            batch.sparkSession, files, maxPayloadBytes)
+          graft.sources.WarcReader.htmlDocuments(recs)
+            .withColumn("curl", graft.ops.WebText.canonicalizeUrl(col("url")))
+            .drop("html")
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$docsPath/batch=$batchId")
+          batch.sparkSession.catalog.refreshByPath(docsPath)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (daemon) Trigger.ProcessingTime("5 seconds") else Trigger.AvailableNow())
+    w.start()
+  }
+
+  /** The accumulated extracted corpus of a [[warcIngestStream]] store. */
+  def warcDocsView(spark: SparkSession, docsPath: String): DataFrame =
+    spark.read.parquet(docsPath).drop("batch")
+
   /** Streaming histogram — the sum-monoid member of the streaming
     * sketch family (HLL registers merge by max, KMV hashes by min,
     * histogram bins by SUM): each micro-batch writes its per-(group,

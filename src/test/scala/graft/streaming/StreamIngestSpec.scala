@@ -539,6 +539,48 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(streamed("b") == 2.0) // below k → exact count survives merge
   }
 
+  test("warc ingest stream: each landing segment extracted exactly once") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory("graft-warcstream")
+    val crawl = root.resolve("crawl").toString
+    val docsP = root.resolve("docs").toString
+    val ckpt = root.resolve("ckpt").toString
+    new java.io.File(crawl).mkdirs()
+    def segment(ids: Range): Unit = {
+      val df = ids.map(i => (s"https://ex.com/s/$i",
+        s"<html><title>s$i</title><body>segment doc $i</body></html>"))
+        .toDF("url", "payload")
+      graft.sources.WarcWriter.write(df.repartition(1), crawl)
+      ()
+    }
+    segment(0 until 40)
+    segment(40 until 80)
+    val q = StreamIngest.warcIngestStream(spark, crawl, docsP, ckpt,
+      daemon = true)
+    q.processAllAvailable()
+    assert(StreamIngest.warcDocsView(spark, docsP).count() == 80)
+    // a segment LANDS mid-stream: next trigger picks up only the new file
+    segment(80 until 100)
+    q.processAllAvailable()
+    q.stop()
+    val docs = StreamIngest.warcDocsView(spark, docsP)
+    assert(docs.count() == 100)
+    // exactly once: every url distinct, extraction + canonical url real
+    assert(docs.select(col("curl")).distinct().count() == 100)
+    val d7 = docs.where(col("url") === "https://ex.com/s/7").head()
+    assert(d7.getAs[String]("text") == "s7 segment doc 7")
+    assert(d7.getAs[String]("title") == "s7")
+    // restart on the same checkpoint: the seen-file log replays nothing
+    segment(100 until 110)
+    val q2 = StreamIngest.warcIngestStream(spark, crawl, docsP, ckpt,
+      daemon = true)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(StreamIngest.warcDocsView(spark, docsP).count() == 110)
+  }
+
   test("streaming quantile sketch: bottom-s partials equal the batch sketch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
