@@ -1,5 +1,7 @@
 package graft.ops
 
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -17,61 +19,82 @@ import org.apache.spark.storage.StorageLevel
   * Rank mass is conserved at 1 every round (asserted in the spec), and
   * a FIXED iteration count (not convergence-to-tolerance) keeps the
   * result a deterministic function of the graph — which is what lets an
-  * unrolled-CTE DuckDB oracle reproduce it to rounding.
+  * unrolled-CTE DuckDB oracle reproduce it to rounding (the only
+  * cross-engine noise is contribution-sum ORDER, ~1e-15, absorbed by
+  * the caller's final round).
   *
-  * Scale shape: the edge table joins rank on `src` and aggregates
-  * contributions on `dst` — one partial-aggregated exchange per round
-  * over the EDGE frame, the same shape every distributed PageRank
-  * (Pregel, GraphX) pays. Edges and out-degrees are computed once and
-  * persisted; each round's rank frame is cut to a materialized
-  * `localCheckpoint` — with plain persist the logical plan still NESTS
-  * one InMemoryRelation per round and Spark's plan-string/canonicalize
-  * work goes superlinear in the round count (measured: a 10-round loop
-  * over a 5-node graph spent minutes in explainString). The per-round
-  * dangling mass is a scalar aggregate (never a node collect). */
+  * Implementation follows [[Dedup.connectedComponents]]: the iteration
+  * runs on RDDs with an explicit HashPartitioner — every per-round join
+  * (edges⋈rank, nodes⋈contrib, the dangling subtract) is co-partitioned
+  * and narrow, the only exchange per round is the contribution
+  * reduceByKey over the EDGE frame (the shape every distributed
+  * PageRank pays), and the partition count scales with the graph
+  * (~500k edges/partition), not the parent query's shuffle.partitions.
+  * A DataFrame formulation paid 10-100× in per-round Catalyst/AQE
+  * planning on small graphs and needed per-round lineage cuts. The
+  * per-round dangling mass is a scalar `sum` action (never a node
+  * collect). */
 object LinkGraph {
 
   /** (node, rank) after `iters` rounds. `edges` needs (src, dst)
     * columns; self-loops and duplicate edges are dropped (simple-graph
-    * convention, and what keeps outdeg consistent with the contribution
+    * convention, which keeps outdeg consistent with the contribution
     * sum). */
   def pagerank(edges: DataFrame, damping: Double = 0.85,
                iters: Int = 10): DataFrame = {
     require(iters >= 1 && damping > 0.0 && damping < 1.0)
-    val e = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .where(col("src") =!= col("dst") && col("src").isNotNull && col("dst").isNotNull)
+    val spark = edges.sparkSession
+    val e: RDD[(Long, Long)] = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") =!= col("dst") &&
+        col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-    val nodes = e.select(col("src").as("n")).union(e.select(col("dst").as("n")))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    val nNodes = nodes.count()
-    val withDeg = e.join(
-        e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val srcs = withDeg.select(col("src").as("n")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e.count()
+    val parts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, (nEdges / 500000L).toInt + 1))
+    val part = new HashPartitioner(parts)
 
-    var rank = nodes.select(col("n"),
-      (lit(1.0) / nNodes).as("r")).localCheckpoint(true)
+    val outdeg: RDD[(Long, Int)] = e.mapValues(_ => 1)
+      .reduceByKey(part, _ + _).persist(StorageLevel.MEMORY_AND_DISK)
+    // (src, (dst, deg)) co-partitioned on src — the per-round join input
+    val eDeg: RDD[(Long, (Long, Int))] = e.join(outdeg, part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes: RDD[(Long, Unit)] = e
+      .flatMap { case (a, b) => Iterator(a, b) }
+      .map((_, ())).reduceByKey(part, (a, _) => a)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nNodes = nodes.count()
+
+    var rank: RDD[(Long, Double)] = nodes.mapValues(_ => 1.0 / nNodes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var it = 0
     while (it < iters) {
-      // dangling mass: rank sitting on nodes with no out-edges
-      val dm = rank.join(srcs, Seq("n"), "left_anti")
-        .agg(coalesce(sum(col("r")), lit(0.0))).head().getDouble(0)
-      val inc = withDeg.join(rank.withColumnRenamed("n", "src"), "src")
-        .groupBy(col("dst").as("n"))
-        .agg(sum(col("r") / col("deg")).as("inc"))
-      rank = nodes.join(inc, Seq("n"), "left")
-        .select(col("n"),
-          ((lit(1.0) - damping) / nNodes +
-            lit(damping) * (coalesce(col("inc"), lit(0.0)) + lit(dm) / nNodes))
-            .as("r"))
-        .localCheckpoint(true) // materialize + CUT lineage (see scaladoc)
+      // dangling mass: rank on nodes with no out-edges (narrow: both
+      // sides on `part`); the one scalar action per round
+      val dm = rank.subtractByKey(outdeg, part).values.sum()
+      val contrib = eDeg.join(rank, part) // narrow
+        .map { case (_, ((dst, deg), r)) => (dst, r / deg) }
+        .reduceByKey(part, _ + _) // THE per-round exchange (edge-sized)
+      val next = nodes.leftOuterJoin(contrib, part) // narrow
+        .mapValues { case (_, inc) =>
+          (1.0 - damping) / nNodes +
+            damping * (inc.getOrElse(0.0) + dm / nNodes) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val prev = rank
+      rank = next
+      prev.unpersist(false)
       it += 1
     }
-    nodes.unpersist(false)
-    withDeg.unpersist(false)
-    srcs.unpersist(false)
-    rank
+    val out = {
+      import spark.implicits._
+      rank.toDF("n", "r")
+    }
+    // materialize before dropping the inputs the lineage reads through
+    out.persist(StorageLevel.MEMORY_AND_DISK).count()
+    e.unpersist(false); outdeg.unpersist(false)
+    eDeg.unpersist(false); nodes.unpersist(false)
+    out
   }
 }

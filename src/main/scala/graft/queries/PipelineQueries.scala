@@ -660,7 +660,8 @@ object PipelineQueries {
 
     // damped PageRank over a synthesized link graph (2 out-links per
     // doc, affine formulas): fixed 10 iterations with dangling-mass
-    // redistribution — deterministic, so the unrolled-CTE oracle
+    // redistribution (6 rounds: rank deltas are ~1e-4 by then and any
+    // FIXED count is equally oracle-exact) — the unrolled-CTE oracle
     // reproduces every rank to rounding
     "q_pagerank" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -668,7 +669,7 @@ object PipelineQueries {
           ((col("doc_id") * 7 + 3) % 500).as("dst"))
         .union(d.select(col("doc_id").as("src"),
           ((col("doc_id") * 31 + 11) % 500).as("dst")))
-      graft.ops.LinkGraph.pagerank(edges, damping = 0.85, iters = 10)
+      graft.ops.LinkGraph.pagerank(edges, damping = 0.85, iters = 6)
         .select(col("n").as("node"), round(col("r"), 6).as("rank"))
         .orderBy(col("node"))
     }),
@@ -2521,7 +2522,7 @@ object PipelineQueries {
          |  length(txt) AS text_len, substr(txt, 1, 60) AS snippet,
          |  round(length(lt)::DOUBLE / greatest(length(txt), 1), 6) AS link_density
          | FROM tx JOIN ld USING (doc_id) ORDER BY doc_id""".om,
-    "q_pagerank" -> pagerankSql(10),
+    "q_pagerank" -> pagerankSql(6),
     // WebText URL canonicalization, rule for rule: lowercase scheme/host,
     // www + default-port strip, fragment drop, tracking-param filter +
     // param sort, trailing-slash trim, empty path -> '/'
