@@ -658,6 +658,35 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // robots.txt gate (RFC 9309 prefix subset): per-host bodies are
+    // synthesized in BOTH engines — even-digit hosts carry an exact
+    // graftbot group (selected over *), odd hosts only * — and five url
+    // shapes exercise longest-match, allow-over-deny and no-match paths;
+    // the whole parse (comment strip, group runs, agent selection) and
+    // the gate run identically in SQL
+    "q_robots_gate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val hosts = d.select(col("source").as("host")).distinct()
+      val even = substring(col("host"), -1, 1).cast("int") % 2 === 0
+      val robots = hosts.select(col("host"), when(even, lit(
+          "# policy\nUser-agent: otherbot\nUser-agent: graftbot\n" +
+            "Disallow: /en\nAllow: /en/ok\nDisallow:\n\n" +
+            "User-agent: *\nDisallow: /\n"))
+        .otherwise(lit(
+          "User-agent: *\nDisallow: /private\nAllow: /private/open\n"))
+        .as("body"))
+      val pv = pmod(col("doc_id"), lit(5))
+      val urls = d.select(col("source").as("host"),
+        when(pv === 0, lit("/en/zz"))
+          .when(pv === 1, concat(lit("/en/ok/p"), col("doc_id")))
+          .when(pv === 2, lit("/private/x"))
+          .when(pv === 3, lit("/private/open/y"))
+          .otherwise(lit("/")).as("path"))
+      graft.ops.Robots.allowed(urls,
+          graft.ops.Robots.rules(robots, "graftbot"))
+        .orderBy(col("host"), col("path"))
+    }),
+
     // damped PageRank over a synthesized link graph (2 out-links per
     // doc, affine formulas): fixed 10 iterations with dangling-mass
     // redistribution (6 rounds: rank deltas are ~1e-4 by then and any
@@ -2523,6 +2552,58 @@ object PipelineQueries {
          |  round(length(lt)::DOUBLE / greatest(length(txt), 1), 6) AS link_density
          | FROM tx JOIN ld USING (doc_id) ORDER BY doc_id""".om,
     "q_pagerank" -> pagerankSql(6),
+    // robots.txt parse + gate, window-for-window: comment strip, group
+    // runs (lag over line index), exact-agent-over-* selection, prefix
+    // join, longest-match-then-allow via lexicographic struct max
+    "q_robots_gate" ->
+      s"""WITH hosts AS (SELECT DISTINCT source AS host FROM documents),
+         | rb AS (SELECT host, CASE WHEN CAST(right(host, 1) AS INT) % 2 = 0
+         |   THEN '# policy' || chr(10) || 'User-agent: otherbot' || chr(10) ||
+         |     'User-agent: graftbot' || chr(10) || 'Disallow: /en' || chr(10) ||
+         |     'Allow: /en/ok' || chr(10) || 'Disallow:' || chr(10) || chr(10) ||
+         |     'User-agent: *' || chr(10) || 'Disallow: /' || chr(10)
+         |   ELSE 'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) ||
+         |     'Allow: /private/open' || chr(10) END AS body FROM hosts),
+         | ln AS (SELECT host, u.z.i - 1 AS idx,
+         |   trim(regexp_replace(u.z.l, '#.*${"$"}', '')) AS line
+         |  FROM (SELECT host, string_split(body, chr(10)) AS arr FROM rb) t,
+         |   unnest(list_transform(t.arr, (x, i) -> {'l': x, 'i': i})) AS u(z)),
+         | kv AS (SELECT host, idx,
+         |   lower(trim(coalesce(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1), ''))) AS k,
+         |   trim(coalesce(regexp_extract(line, '^[A-Za-z-]+\\s*:(.*)${"$"}', 1), '')) AS v
+         |  FROM ln),
+         | g0 AS (SELECT host, idx, k, v,
+         |   CASE WHEN k = 'user-agent' THEN 1 ELSE 0 END AS is_ua
+         |  FROM kv WHERE k IN ('user-agent', 'allow', 'disallow')),
+         | g1 AS (SELECT host, idx, k, v, is_ua, CASE WHEN is_ua = 1 AND
+         |   coalesce(lag(is_ua) OVER (PARTITION BY host ORDER BY idx), 0) = 0
+         |   THEN 1 ELSE 0 END AS starts FROM g0),
+         | g2 AS (SELECT host, idx, k, v, is_ua,
+         |   sum(starts) OVER (PARTITION BY host ORDER BY idx) AS gid FROM g1),
+         | g3 AS (SELECT * FROM g2 WHERE gid >= 1),
+         | ag AS (SELECT host, gid, lower(v) AS ua FROM g3 WHERE is_ua = 1),
+         | ex AS (SELECT DISTINCT host, true AS he FROM ag WHERE ua = 'graftbot'),
+         | tgt AS (SELECT DISTINCT ag.host, gid FROM ag LEFT JOIN ex USING (host)
+         |  WHERE CASE WHEN coalesce(he, false) THEN ua = 'graftbot'
+         |        ELSE ua = '*' END),
+         | rl AS (SELECT DISTINCT g3.host, (k = 'allow') AS allow, v AS path,
+         |   length(v) AS plen
+         |  FROM g3 JOIN tgt ON g3.host = tgt.host AND g3.gid = tgt.gid
+         |  WHERE is_ua = 0 AND v <> ''),
+         | u AS (SELECT DISTINCT source AS host, CASE doc_id % 5
+         |   WHEN 0 THEN '/en/zz'
+         |   WHEN 1 THEN '/en/ok/p' || CAST(doc_id AS VARCHAR)
+         |   WHEN 2 THEN '/private/x'
+         |   WHEN 3 THEN '/private/open/y'
+         |   ELSE '/' END AS path FROM documents),
+         | m AS (SELECT u.host, u.path,
+         |   max(CASE WHEN rl.path IS NOT NULL
+         |     THEN {'plen': rl.plen, 'allow': rl.allow} END) AS best
+         |  FROM u LEFT JOIN rl ON u.host = rl.host
+         |    AND starts_with(u.path, rl.path)
+         |  GROUP BY u.host, u.path)
+         | SELECT host, path, coalesce(best.allow, true) AS allowed
+         | FROM m ORDER BY host, path""".om,
     // WebText URL canonicalization, rule for rule: lowercase scheme/host,
     // www + default-port strip, fragment drop, tracking-param filter +
     // param sort, trailing-slash trim, empty path -> '/'
