@@ -31,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 48g of the box's 128 GiB: at 24g the 185-query bench suite's
+  // accumulated fixture caches tipped individual reps into GC/eviction
+  // storms (one rep of ts_promql_native_hist_stats burned 574 CPU-s vs
+  // a ~6 CPU-s norm; round 9 documented the same anomaly once)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -97,4 +97,55 @@ object LinkGraph {
     eDeg.unpersist(false); nodes.unpersist(false)
     out
   }
+
+  /** k-hop BFS frontier over the directed link graph: every node
+    * reachable from `seeds` within `maxHops`, with its hop distance —
+    * crawl-frontier planning (which pages a depth-k crawl from the seed
+    * set would fetch) and the graph-distance feature in one op.
+    *
+    * Same execution shape as [[pagerank]]: co-partitioned RDD rounds,
+    * the only per-round exchange the edge-sized frontier expansion
+    * reduceByKey; rounds stop early when a frontier is empty. All
+    * arithmetic is INTEGER (min-distance monoid), so the result is
+    * bit-exact for any engine — the oracle is an unrolled min-join per
+    * hop. Output: (n, dist). */
+  def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0)
+    val spark = edges.sparkSession
+    val e: RDD[(Long, Long)] = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e.count()
+    val parts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, (nEdges / 500000L).toInt + 1))
+    val part = new HashPartitioner(parts)
+    val adj = e.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+
+    var dist: RDD[(Long, Int)] = seeds.select(col("n").cast("long"))
+      .distinct().rdd.map(r => (r.getLong(0), 0))
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = dist
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty()) {
+      val next = adj.join(frontier, part) // narrow
+        .map { case (_, (dst, d)) => (dst, d + 1) }
+        .reduceByKey(part, (a: Int, b: Int) => math.min(a, b)) // THE per-hop exchange
+      // new nodes only: already-settled distances are already minimal
+      frontier = next.subtractByKey(dist, part)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      dist = dist.union(frontier).partitionBy(part)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      hop += 1
+    }
+    val out = {
+      import spark.implicits._
+      dist.toDF("n", "dist")
+    }
+    out.persist(StorageLevel.MEMORY_AND_DISK).count()
+    e.unpersist(false); adj.unpersist(false)
+    out
+  }
 }

@@ -658,6 +658,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // k-hop BFS crawl frontier over the same synthesized link graph as
+    // q_pagerank: which pages a depth-4 crawl from seeds {0, 1} fetches,
+    // with hop distances — integer min-monoid, so bit-exact anywhere
+    "q_link_bfs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val edges = d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % 500).as("dst"))
+        .union(d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 31 + 11) % 500).as("dst")))
+      val seeds = d.where(col("doc_id").isin(0L, 1L))
+        .select(col("doc_id").as("n"))
+      graft.ops.LinkGraph.bfs(edges, seeds, maxHops = 4)
+        .select(col("n").as("node"), col("dist"))
+        .orderBy(col("node"))
+    }),
+
     // robots.txt gate (RFC 9309 prefix subset): per-host bodies are
     // synthesized in BOTH engines — even-digit hosts carry an exact
     // graftbot group (selected over *), odd hosts only * — and five url
@@ -1324,6 +1340,28 @@ object PipelineQueries {
           s" GROUP BY e.dst) i ON i.n = nodes.n)")
     }
     sb.append(s" SELECT n AS node, round(r, 6) AS rank FROM r$iters ORDER BY node")
+    sb.toString
+  }
+
+  /** Unrolled per-hop BFS: frontier = new dst set, settled = union —
+    * pure integer logic, bit-exact against [[graft.ops.LinkGraph.bfs]]. */
+  private def bfsSql(maxHops: Int): String = {
+    val sb = new StringBuilder(
+      "WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (" +
+        " SELECT doc_id AS src, (doc_id*7+3) % 500 AS dst FROM documents" +
+        " UNION ALL SELECT doc_id, (doc_id*31+11) % 500 FROM documents))," +
+        " d0 AS MATERIALIZED (SELECT DISTINCT doc_id AS n, 0 AS dist" +
+        " FROM documents WHERE doc_id IN (0, 1))")
+    for (k <- 1 to maxHops) {
+      val p = k - 1
+      sb.append(
+        s", f$k AS MATERIALIZED (SELECT DISTINCT e.dst AS n FROM e" +
+          s" JOIN d$p ON e.src = d$p.n AND d$p.dist = $p" +
+          s" WHERE e.dst NOT IN (SELECT n FROM d$p))" +
+          s", d$k AS MATERIALIZED (SELECT n, dist FROM d$p" +
+          s" UNION ALL SELECT n, $k AS dist FROM f$k)")
+    }
+    sb.append(s" SELECT n AS node, dist FROM d$maxHops ORDER BY node")
     sb.toString
   }
 
@@ -2552,6 +2590,7 @@ object PipelineQueries {
          |  round(length(lt)::DOUBLE / greatest(length(txt), 1), 6) AS link_density
          | FROM tx JOIN ld USING (doc_id) ORDER BY doc_id""".om,
     "q_pagerank" -> pagerankSql(6),
+    "q_link_bfs" -> bfsSql(4),
     // robots.txt parse + gate, window-for-window: comment strip, group
     // runs (lag over line index), exact-agent-over-* selection, prefix
     // join, longest-match-then-allow via lexicographic struct max

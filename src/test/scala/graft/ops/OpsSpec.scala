@@ -948,6 +948,27 @@ class OpsSpec extends AnyFunSuite {
     assert(nr == sr)
   }
 
+  test("bfs frontier: exact hop layers, settled wins, early stop") {
+    import graft.ops.LinkGraph
+    // 1→2→3→4→5 chain + a shortcut 1→3: layer distances are minimal
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("n")
+    val d = LinkGraph.bfs(e, seeds, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // shortcut beats the chain: 3 is at hop 1, so 4 at 2, 5 at 3
+    assert(d == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3))
+    // maxHops truncates the frontier
+    val d1 = LinkGraph.bfs(e, seeds, maxHops = 1).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d1 == Map(1L -> 0, 2L -> 1, 3L -> 1))
+    // cycles settle at first visit; exhausted frontiers stop early
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val dc = LinkGraph.bfs(cyc, seeds, maxHops = 10).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(dc == Map(1L -> 0, 2L -> 1))
+  }
+
   test("quantile sketch: exact under s, rank-calibrated over s, merge law") {
     // exact: a group with n <= s rows IS the sample → type-1 quantile
     val small = (1L to 100L).map(i => ("t", i, i.toDouble)).toDF("g", "id", "v")
