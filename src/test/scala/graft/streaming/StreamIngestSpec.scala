@@ -581,6 +581,66 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(StreamIngest.warcDocsView(spark, docsP).count() == 110)
   }
 
+  test("crawl → curation composition: segments stream into a curated store") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory("graft-crawlcurate")
+    val crawl = root.resolve("crawl").toString
+    val docsP = root.resolve("docs").toString
+    val store = root.resolve("corpus").toString
+    val lshIx = root.resolve("lshindex").toString
+    val ck1 = root.resolve("ck1").toString
+    val ck2 = root.resolve("ck2").toString
+    new java.io.File(crawl).mkdirs()
+    val leaked = "the benchmark question asks what is the capital of france exactly"
+    val benchmark = Seq((900L, leaked)).toDF("doc_id", "text")
+    def page(i: Long, text: String) = (s"https://ex.com/c/$i",
+      s"<html><title>c$i</title><body><p>$text</p></body></html>")
+    def writeSegment(rows: Seq[(String, String)]): Unit = {
+      graft.sources.WarcWriter.write(rows.toDF("url", "payload").repartition(1), crawl)
+      ()
+    }
+    def base(i: Long) =
+      s"ordinary training document number $i with plenty of informative words"
+
+    // wave 1: 10 good pages + a junk page + a benchmark-contaminated page
+    writeSegment((0L until 10L).map(i => page(i, base(i))) ++
+      Seq(page(90L, "!!! ??? !!!"), page(91L, leaked)))
+    // stage 1: crawl dir → extracted docs store
+    val ingest = StreamIngest.warcIngestStream(spark, crawl, docsP, ck1,
+      daemon = true)
+    ingest.processAllAvailable()
+    // stage 2: docs store (as a file stream) → curated corpus, composing
+    // the near-dup gate on top — the two stages share no code, only the
+    // parquet contract
+    val sch = spark.read.parquet(docsP).schema
+    val docsStream = spark.readStream.schema(sch).parquet(docsP)
+      .select(to_timestamp(col("date")).as("ts"),
+        graft.ops.Dedup.hash60(col("curl")).as("doc_id"), col("text"))
+    val curate = StreamIngest.curateToStore(docsStream, "ts", "doc_id",
+      "text", benchmark, store, ck2, daemon = true,
+      nearDupIndexPath = Some(lshIx))
+    curate.processAllAvailable()
+    assert(spark.read.parquet(store).count() == 10) // junk + leak dropped
+
+    // wave 2: 3 novel pages + a near-duplicate of page 3's text
+    writeSegment(Seq(page(100L, base(100L)), page(101L, base(101L)),
+      page(102L, base(102L)),
+      page(103L, base(3L) + " tail")))
+    ingest.processAllAvailable()
+    curate.processAllAvailable()
+    ingest.stop(); curate.stop()
+
+    val texts = spark.read.parquet(store).select(col("text")).collect()
+      .map(_.getString(0)).toSet
+    assert(texts.size == 13, s"got ${texts.size}") // 10 + 3 novel; near-dup dropped
+    assert(!texts.exists(_.endsWith(" tail")))
+    // extracted text carries the <title> prefix — part of the HTML rules
+    assert(texts.contains(s"c100 ${base(100L)}") &&
+      texts.contains(s"c3 ${base(3L)}"))
+  }
+
   test("streaming quantile sketch: bottom-s partials equal the batch sketch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
