@@ -719,6 +719,29 @@ object PipelineQueries {
         .orderBy(col("node"))
     }),
 
+    // block-level main-content extraction (the jusText heuristic:
+    // boilerplate lives in short, link-dense blocks): nav/footer link
+    // soup synthesized around each document in BOTH engines drops, the
+    // prose paragraph survives — block split, per-block link mass and
+    // the keep-filter all replicated lambda-for-lambda in SQL
+    "text_main_content" -> ((s, dir) => {
+      val page = concat(
+        lit("<body><nav><a href=\"/1\">home link one</a> " +
+          "<a href=\"/2\">about link two</a> " +
+          "<a href=\"/3\">contact link three</a></nav><h1>"),
+        col("source"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><footer><a href=\"/t\">terms</a>" +
+          "<a href=\"/p\">privacy</a></footer></body>"))
+      docs(s, dir).select(col("doc_id"),
+          size(graft.ops.WebText.blocks(page)).cast("long").as("n_blocks"),
+          graft.ops.WebText.mainContent(page).as("main"))
+        .select(col("doc_id"), col("n_blocks"),
+          length(col("main")).cast("long").as("main_len"),
+          md5(col("main")).as("main_digest"))
+        .orderBy(col("doc_id"))
+    }),
+
     // URL canonicalization dedup (the C4 recipe's first pass): three
     // synthesized variants per doc — www + default port + tracking params
     // + fragment + trailing slash vs the clean form vs query-less — the
@@ -2643,6 +2666,41 @@ object PipelineQueries {
          |  GROUP BY u.host, u.path)
          | SELECT host, path, coalesce(best.allow, true) AS allowed
          | FROM m ORDER BY host, path""".om,
+    // WebText block extraction, lambda for lambda: block-tag split,
+    // per-fragment link mass + visible text, n_chars>0 blocks, the
+    // (minChars, maxLinkShare) keep-filter, single-space join
+    "text_main_content" ->
+      s"""WITH h AS (SELECT doc_id,
+         |   '<body><nav><a href="/1">home link one</a> <a href="/2">about link two</a> <a href="/3">contact link three</a></nav><h1>'
+         |   || source || '</h1><p>' || text ||
+         |   '</p><footer><a href="/t">terms</a><a href="/p">privacy</a></footer></body>'
+         |   AS page FROM documents),
+         | c AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(page,
+         |   '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+         |   '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+         |   '(?s)<!--.*?-->', ' ', 'g') AS cleaned FROM h),
+         | b AS (SELECT doc_id, list_filter(list_transform(
+         |   regexp_split_to_array(cleaned,
+         |    '(?is)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|section|article|header|footer|nav|aside|main|blockquote|figure|br|hr)\\b[^>]*>'),
+         |   f -> {'text': trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+         |       regexp_replace(f, '(?s)<[^>]*>', ' ', 'g'),
+         |       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+         |       '&nbsp;', ' '), '&amp;', '&'), '\\s+', ' ', 'g')),
+         |     'link_chars': length(trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+         |       regexp_replace(coalesce(array_to_string(regexp_extract_all(f,
+         |         '(?is)<a\\s[^>]*>(.*?)</a\\s*>', 1), ' '), ''),
+         |       '(?s)<[^>]*>', ' ', 'g'),
+         |       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+         |       '&nbsp;', ' '), '&amp;', '&'), '\\s+', ' ', 'g')))}),
+         |   x -> length(x['text']) > 0) AS blocks FROM c),
+         | m AS (SELECT doc_id, len(blocks)::BIGINT AS n_blocks,
+         |   coalesce(array_to_string(list_transform(list_filter(blocks,
+         |     x -> length(x['text']) >= 40 AND
+         |       CAST(x['link_chars'] AS DOUBLE) / length(x['text']) <= 0.4),
+         |     x -> x['text']), ' '), '') AS main FROM b)
+         | SELECT doc_id, n_blocks, length(main)::BIGINT AS main_len,
+         |  md5(main) AS main_digest
+         | FROM m ORDER BY doc_id""".om,
     // WebText URL canonicalization, rule for rule: lowercase scheme/host,
     // www + default-port strip, fragment drop, tracking-param filter +
     // param sort, trailing-slash trim, empty path -> '/'

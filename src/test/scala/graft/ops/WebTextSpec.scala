@@ -47,6 +47,35 @@ class WebTextSpec extends AnyFunSuite {
     assert(d(1) < 0.05, s"prose density ${d(1)}")
   }
 
+  test("blocks + mainContent: prose survives, nav/footer link soup drops") {
+    val prose1 = "This is the first real paragraph of the article with " +
+      "enough words to clear the minimum character floor easily."
+    val prose2 = "A second substantive paragraph follows with more real " +
+      "content and a single inline <a href=\"/ref\">reference</a> link."
+    val page = "<html><head><script>nav.init()</script></head><body>" +
+      "<nav>" + (1 to 8).map(i => s"""<a href="/$i">menu item $i</a>""").mkString(" ") + "</nav>" +
+      s"<article><h1>Title words here</h1><p>$prose1</p><p>$prose2</p></article>" +
+      "<footer><a href=\"/tos\">terms</a> <a href=\"/priv\">privacy</a></footer>" +
+      "</body></html>"
+    val row = Seq(page).toDF("h")
+      .select(WebText.mainContent(col("h")).as("main"),
+        size(WebText.blocks(col("h"))).as("nblocks")).head()
+    val main = row.getString(0)
+    // both prose paragraphs kept (inline link text stays inside its block)
+    assert(main.contains("first real paragraph"))
+    assert(main.contains("second substantive paragraph") && main.contains("reference"))
+    // nav menu, footer links, short title block all dropped
+    assert(!main.contains("menu item") && !main.contains("privacy") &&
+      !main.contains("Title words"))
+    assert(row.getInt(1) >= 4) // nav, title, 2 prose, footer blocks seen
+    // a page that is ALL soup extracts to empty
+    val soup = "<body>" + (1 to 9).map(i =>
+      s"""<a href="/$i">long navigation entry number $i for the menu</a>""").mkString(" ") + "</body>"
+    val m2 = Seq(soup).toDF("h")
+      .select(WebText.mainContent(col("h"))).head().getString(0)
+    assert(m2 == "")
+  }
+
   test("canonicalizeUrl: case, www, ports, params, fragments, slashes") {
     // scheme+host lowercase, www and default port dropped, path case kept
     assert(canon1("HTTP://WWW.Ex.COM:80/Path/") == "http://ex.com/Path")
