@@ -257,6 +257,96 @@ object AudioHeaderExpr {
     GraftSqlBridge.column(AudioHeaderExpr(GraftSqlBridge.expression(payload)))
 }
 
+/** REAL PCM sample decode + feature extraction — the step past
+  * [[AudioHeaderExpr]]'s container walk: the `data` chunk is decoded as
+  * interleaved little-endian signed 16-bit PCM (the one WAV sample
+  * format that needs no codec library — pure integer arithmetic) and
+  * reduced to the classic audio-curation features in the SAME one-byte
+  * pass: sample count, peak amplitude, zero crossings (strict sign
+  * flips) and the exact integer sum of squares (energy — callers derive
+  * RMS as `sqrt(sum_sq / n)`, keeping this expression float-free so any
+  * engine reproduces it bit-for-bit). Null for non-WAV or non-16-bit
+  * payloads. Truncated data chunks decode the bytes present. */
+case class AudioPcmStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = AudioPcmStatsExpr.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_pcm_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  private def le4(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL)) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
+      b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
+
+  def compute(b: Array[Byte]): InternalRow = {
+    if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
+    var i = 12
+    var bits = -1
+    var dataAt = -1
+    var dataLen = 0L
+    while (i + 8 <= b.length) {
+      val size = le4(b, i + 4)
+      if (size < 0 || size > b.length) return null
+      if (tag(b, i, "fmt ") && size >= 16 && i + 8 + 16 <= b.length)
+        bits = (b(i + 8 + 14) & 0xff) | ((b(i + 8 + 15) & 0xff) << 8)
+      else if (tag(b, i, "data")) { dataAt = i + 8; dataLen = size }
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (bits != 16 || dataAt < 0) return null
+    val end = math.min(b.length.toLong, dataAt + dataLen).toInt
+    var k = dataAt
+    var n = 0L
+    var peak = 0L
+    var crossings = 0L
+    var sumSq = 0L
+    var prev = 0
+    while (k + 1 < end) {
+      val s = ((b(k) & 0xff) | (b(k + 1) << 8)).toShort.toInt
+      n += 1
+      val a = math.abs(s.toLong)
+      if (a > peak) peak = a
+      sumSq += s.toLong * s
+      if (n > 1 && ((prev < 0 && s > 0) || (prev > 0 && s < 0))) crossings += 1
+      prev = s
+      k += 2
+    }
+    InternalRow(n, peak, crossings, sumSq)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("audioPcm", this,
+      classOf[AudioPcmStatsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("pcm")
+      s"""
+         |InternalRow $tmp = $self.compute($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AudioPcmStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_samples", LongType, nullable = false),
+    StructField("peak", LongType, nullable = false),
+    StructField("zero_crossings", LongType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false)))
+
+  /** Column wrapper: codegen'd one-pass 16-bit PCM decode + features. */
+  def audio_pcm_stats(payload: Column): Column =
+    GraftSqlBridge.column(AudioPcmStatsExpr(GraftSqlBridge.expression(payload)))
+}
+
 /** REAL video-container header decode: parses the published ISO-BMFF /
   * MP4 box structure (ISO/IEC 14496-12) from a `BINARY` column — the
   * leading `ftyp` box (major brand), a top-level box walk to `moov`

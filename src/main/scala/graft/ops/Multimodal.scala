@@ -205,6 +205,46 @@ object Multimodal {
   def decodeAudioHeader(payload: Column): Column =
     graft.functions.AudioHeaderExpr.audio_header(payload)
 
+  /** Media table whose payloads carry WAV containers with a REAL PCM
+    * waveform (not opaque text bytes): mono 16-bit, `128 + id % 64`
+    * samples with byte `j` of the data chunk = `(id·7 + j·37) mod 256` —
+    * a deterministic sawtooth-ish signal whose sign flips exercise every
+    * feature [[decodeAudioPcm]] extracts, and whose closed form lets an
+    * external oracle recompute the decoded samples exactly without
+    * parsing bytes. Construction is synth-side HOF over ≤ 384-byte
+    * arrays (fixture cost, not a hot path). */
+  def synthesizeAudioTone(df: DataFrame, idCol: String,
+                          sourceCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
+    val rateSel = pmod(id, lit(5L))
+    val sampleRate = when(rateSel === 0, 8000L).when(rateSel === 1, 16000L)
+      .when(rateSel === 2, 22050L).when(rateSel === 3, 44100L)
+      .otherwise(48000L)
+    val nSamples = lit(128L) + pmod(id, lit(64L))
+    val body = unhex(concat_ws("",
+      transform(sequence(lit(0L), nSamples * 2L - 1L),
+        j => lpad(hex(pmod(id * 7L + j * 37L, lit(256L))), 2, "0"))))
+    val dataSize = nSamples * 2L
+    val wav = concat(
+      lit("RIFF".getBytes("US-ASCII")), le4l(dataSize + 36L),
+      lit("WAVE".getBytes("US-ASCII")),
+      lit("fmt ".getBytes("US-ASCII")), le4l(lit(16L)),
+      le2l(lit(1L)), le2l(lit(1L)), le4l(sampleRate),
+      le4l(sampleRate * 2L), le2l(lit(2L)), le2l(lit(16L)),
+      lit("data".getBytes("US-ASCII")), le4l(dataSize),
+      body)
+    df.select(id.as("media_id"), lit("audio").as("kind"), wav.as("payload"),
+      struct(col(sourceCol).as("source"), lit("audio/wav").as("mime"),
+        length(wav).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  /** REAL 16-bit PCM sample decode + one-pass features (count, peak,
+    * zero crossings, exact integer energy) — the audio modality's decode
+    * slot FILLED (PCM needs no codec library), null for non-WAV or
+    * non-16-bit payloads. */
+  def decodeAudioPcm(payload: Column): Column =
+    graft.functions.AudioPcmStatsExpr.audio_pcm_stats(payload)
+
   private def be2b(c: Column): Column = concat(byteAt(c, 1), byteAt(c, 0))
   private def be4b(c: Column): Column =
     concat(byteAt(c, 3), byteAt(c, 2), byteAt(c, 1), byteAt(c, 0))

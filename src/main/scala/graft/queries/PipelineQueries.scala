@@ -885,6 +885,23 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL PCM decode: tone-synthesized WAV payloads (closed-form
+    // waveform) through the one-pass int16 sample decode — count, peak,
+    // strict-sign-flip zero crossings, exact integer energy, RMS derived
+    // from the exact sum so both engines hit the same double
+    "mm_audio_features" -> ((s, dir) => {
+      val media = Multimodal.synthesizeAudioTone(docs(s, dir), "doc_id", "source")
+      media.select(col("media_id"),
+          Multimodal.decodeAudioPcm(col("payload")).as("f"))
+        .select(col("media_id"),
+          col("f.n_samples").as("n_samples"), col("f.peak").as("peak"),
+          col("f.zero_crossings").as("zero_crossings"),
+          col("f.sum_sq").as("sum_sq"),
+          round(sqrt(col("f.sum_sq").cast("double") / col("f.n_samples")), 6)
+            .as("rms"))
+        .orderBy(col("media_id"))
+    }),
+
     // real MP4/ISO-BMFF container round-trip: synthesized payloads carry
     // spec-complete ftyp/moov(mvhd+trak)/mdat boxes; the decode is a
     // codegen'd box walk recovering timescale/duration/tracks/mdat size
@@ -2853,6 +2870,29 @@ object PipelineQueries {
     // WAV parse: canonical 44-byte PCM header (12 form + 24 fmt + 8 data
     // header) + text body; rate/channels/frames recomputed from the
     // deterministic construction
+    // PCM decode recomputed from the tone's closed form (byte j of the
+    // data chunk = (id*7 + j*37) mod 256, LE int16 pairs) — no byte
+    // parsing needed, the waveform IS the spec
+    "mm_audio_features" ->
+      s"""WITH d AS (SELECT doc_id AS media_id, 128 + doc_id % 64 AS ns
+         |  FROM documents),
+         | sm AS (SELECT media_id, ns, list_transform(range(0, ns), k ->
+         |   CASE WHEN ((media_id*7 + 2*k*37) % 256) +
+         |     256*((media_id*7 + (2*k+1)*37) % 256) >= 32768
+         |   THEN ((media_id*7 + 2*k*37) % 256) +
+         |     256*((media_id*7 + (2*k+1)*37) % 256) - 65536
+         |   ELSE ((media_id*7 + 2*k*37) % 256) +
+         |     256*((media_id*7 + (2*k+1)*37) % 256) END) AS s FROM d),
+         | f AS (SELECT media_id, ns::BIGINT AS n_samples,
+         |   list_max(list_transform(s, v -> abs(v)))::BIGINT AS peak,
+         |   list_sum(list_transform(range(1, ns), k ->
+         |     CASE WHEN (s[CAST(k AS INT)] < 0 AND s[CAST(k AS INT) + 1] > 0)
+         |            OR (s[CAST(k AS INT)] > 0 AND s[CAST(k AS INT) + 1] < 0)
+         |     THEN 1 ELSE 0 END))::BIGINT AS zero_crossings,
+         |   list_sum(list_transform(s, v -> v*v))::BIGINT AS sum_sq FROM sm)
+         | SELECT media_id, n_samples, peak, zero_crossings, sum_sq,
+         |  round(sqrt(CAST(sum_sq AS DOUBLE) / n_samples), 6) AS rms
+         | FROM f ORDER BY media_id""".om,
     "mm_audio_decode" ->
       """SELECT doc_id AS media_id, 'audio/wav' AS mime,
         | octet_length(encode(text)) + 44 AS n_bytes,

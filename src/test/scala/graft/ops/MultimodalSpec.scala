@@ -119,6 +119,37 @@ class MultimodalSpec extends AnyFunSuite {
       (9L, "audio/wav", 15L + 44, "wav", 48000, 2, 16, 3L)))
   }
 
+  test("PCM sample decode: features match a JVM reference, nulls foreign bytes") {
+    val docs = Seq((5L, "s3://a"), (12L, "s3://b")).toDF("doc_id", "source")
+    val got = Multimodal.synthesizeAudioTone(docs, "doc_id", "source")
+      .select(col("media_id"), Multimodal.decodeAudioPcm(col("payload")).as("f"))
+      .select(col("media_id"), col("f.n_samples"), col("f.peak"),
+        col("f.zero_crossings"), col("f.sum_sq"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // independent JVM reference from the tone's closed form
+    def ref(id: Long): (Long, Long, Long, Long) = {
+      val n = 128 + id % 64
+      val s = (0L until n).map { k =>
+        (((id * 7 + 2 * k * 37) % 256) +
+          256 * ((id * 7 + (2 * k + 1) * 37) % 256)).toInt match {
+          case x if x >= 32768 => x - 65536
+          case x => x
+        }
+      }
+      val zc = s.sliding(2).count(p =>
+        (p(0) < 0 && p(1) > 0) || (p(0) > 0 && p(1) < 0))
+      (n, s.map(v => math.abs(v.toLong)).max, zc.toLong,
+        s.map(v => v.toLong * v).sum)
+    }
+    assert(got(5L) == ref(5L) && got(12L) == ref(12L))
+    // sign flips actually occur (the features aren't degenerate)
+    assert(got(5L)._3 > 0 && got(5L)._2 > 16384)
+    // non-WAV and non-16-bit payloads decode to null
+    val foreign = Seq(Tuple1("not a riff payload".getBytes("UTF-8"))).toDF("p")
+    assert(foreign.select(Multimodal.decodeAudioPcm(col("p"))).head().isNullAt(0))
+  }
+
   test("WAV chunk walk: extra chunks, odd-size padding, corrupt sizes") {
     def le2(v: Int) = Array(v & 0xff, (v >> 8) & 0xff)
     def le4(v: Int) = Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
