@@ -347,6 +347,96 @@ object AudioPcmStatsExpr {
     GraftSqlBridge.column(AudioPcmStatsExpr(GraftSqlBridge.expression(payload)))
 }
 
+/** REAL pixel decode for the uncompressed image format — BMP's 24bpp
+  * pixel array needs no codec library, just the published layout:
+  * little-endian BGR triples, rows padded to 4-byte strides, stored
+  * bottom-up (top-down when the header height is negative). Decoded
+  * pixels reduce to order-free curation features in the same byte pass:
+  * pixel count, exact integer per-channel sums (callers derive channel
+  * means), and max luminance (BT.709 integer weights ×10000, no
+  * floats). Null for non-BMP, non-24bpp, or compressed payloads;
+  * truncated pixel arrays decode the complete rows present. */
+case class ImagePixelStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ImagePixelStatsExpr.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_pixel_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  private def le4(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL)) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  private def le2(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  def compute(b: Array[Byte]): InternalRow = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
+    val dataOffset = le4(b, 10)
+    if (le4(b, 14) < 40) return null // pre-BITMAPINFOHEADER
+    val w = le4(b, 18).toInt
+    val hRaw = le4(b, 22).toInt // negative = top-down (order-free here)
+    val h = math.abs(hRaw)
+    val bpp = le2(b, 28)
+    val compression = le4(b, 30)
+    if (w <= 0 || h == 0 || bpp != 24 || compression != 0L) return null
+    if (dataOffset < 54 || dataOffset > b.length) return null
+    val stride = ((w * 3 + 3) / 4) * 4
+    val rows = math.min(h.toLong, (b.length - dataOffset) / stride).toInt
+    var n = 0L
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var maxLum = 0L
+    var r = 0
+    while (r < rows) {
+      var x = 0
+      var i = dataOffset.toInt + r * stride
+      while (x < w) {
+        val bl = b(i) & 0xff; val g = b(i + 1) & 0xff; val rd = b(i + 2) & 0xff
+        sumB += bl; sumG += g; sumR += rd
+        val lum = 2126L * rd + 7152L * g + 722L * bl // BT.709 ×10000
+        if (lum > maxLum) maxLum = lum
+        n += 1
+        x += 1; i += 3
+      }
+      r += 1
+    }
+    InternalRow(w.toLong, h.toLong, n, sumR, sumG, sumB, maxLum)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("imagePixels", this,
+      classOf[ImagePixelStatsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("px")
+      s"""
+         |InternalRow $tmp = $self.compute($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ImagePixelStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("n_pixels", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false),
+    StructField("max_lum", LongType, nullable = false)))
+
+  /** Column wrapper: codegen'd one-pass 24bpp BMP pixel decode +
+    * features. */
+  def image_pixel_stats(payload: Column): Column =
+    GraftSqlBridge.column(ImagePixelStatsExpr(GraftSqlBridge.expression(payload)))
+}
+
 /** REAL video-container header decode: parses the published ISO-BMFF /
   * MP4 box structure (ISO/IEC 14496-12) from a `BINARY` column — the
   * leading `ftyp` box (major brand), a top-level box walk to `moov`

@@ -245,6 +245,50 @@ object Multimodal {
   def decodeAudioPcm(payload: Column): Column =
     graft.functions.AudioPcmStatsExpr.audio_pcm_stats(payload)
 
+  /** Media table whose payloads carry BMP containers with a REAL 24bpp
+    * pixel ARRAY (rows bottom-up, 4-byte stride padding — the published
+    * layout), pixel (x, y) channels closed-form in (id, x, y):
+    * `B = (id + 3x + 7y) mod 256, G = (5id + 11x + y) mod 256,
+    * R = (9id + x + 13y) mod 256`, dims `w = 8 + id mod 9,
+    * h = 4 + id mod 5` — so an external oracle recomputes the decoded
+    * features from the formula without parsing bytes. Synth-side HOF
+    * over ≤ ~400-byte images (fixture cost, not a hot path). */
+  def synthesizeBitmap(df: DataFrame, idCol: String,
+                       sourceCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
+    val w = pmod(id, lit(9L)) + 8L
+    val h = pmod(id, lit(5L)) + 4L
+    val stride = ((w * 3L + 3L) / lit(4L)).cast("long") * 4L
+    val padHex = repeat(lit("00"), (stride - w * 3L).cast("int"))
+    def hx(c: Column): Column = lpad(hex(pmod(c, lit(256L))), 2, "0")
+    // bottom-up: file row r is image row y = h-1-r
+    val rowsHex = transform(sequence(lit(0L), h - 1L), r => {
+      val y = h - 1L - r
+      concat(concat_ws("", transform(sequence(lit(0L), w - 1L), x =>
+        concat(hx(id + x * 3L + y * 7L),        // B
+          hx(id * 5L + x * 11L + y),            // G
+          hx(id * 9L + x + y * 13L)))), padHex) // R
+    })
+    val body = unhex(concat_ws("", rowsHex))
+    val bmp = concat(
+      lit("BM".getBytes("US-ASCII")),
+      le4l(stride * h + 54L), le4l(lit(0L)), le4l(lit(54L)),
+      le4l(lit(40L)), le4l(w), le4l(h),
+      le2l(lit(1L)), le2l(lit(24L)),
+      lit(Array.fill[Byte](24)(0)),
+      body)
+    df.select(id.as("media_id"), lit("image").as("kind"), bmp.as("payload"),
+      struct(col(sourceCol).as("source"), lit("image/bmp").as("mime"),
+        length(bmp).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  /** REAL 24bpp BMP pixel decode + one-pass order-free features (count,
+    * exact per-channel sums, max BT.709 luminance ×10000) — the image
+    * modality's decode slot filled for the uncompressed format; null for
+    * non-BMP/non-24bpp/compressed payloads. */
+  def decodeImagePixels(payload: Column): Column =
+    graft.functions.ImagePixelStatsExpr.image_pixel_stats(payload)
+
   private def be2b(c: Column): Column = concat(byteAt(c, 1), byteAt(c, 0))
   private def be4b(c: Column): Column =
     concat(byteAt(c, 3), byteAt(c, 2), byteAt(c, 1), byteAt(c, 0))

@@ -902,6 +902,22 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL pixel decode: bitmap payloads with closed-form 24bpp pixel
+    // arrays (bottom-up rows, stride padding) through the one-pass
+    // decode — exact per-channel sums, max BT.709 integer luminance
+    "mm_image_pixels" -> ((s, dir) => {
+      val media = Multimodal.synthesizeBitmap(docs(s, dir), "doc_id", "source")
+      media.select(col("media_id"),
+          Multimodal.decodeImagePixels(col("payload")).as("f"))
+        .select(col("media_id"), col("f.width").as("width"),
+          col("f.height").as("height"), col("f.n_pixels").as("n_pixels"),
+          col("f.sum_r").as("sum_r"), col("f.sum_g").as("sum_g"),
+          col("f.sum_b").as("sum_b"), col("f.max_lum").as("max_lum"),
+          round(col("f.sum_r").cast("double") / col("f.n_pixels"), 6)
+            .as("mean_r"))
+        .orderBy(col("media_id"))
+    }),
+
     // real MP4/ISO-BMFF container round-trip: synthesized payloads carry
     // spec-complete ftyp/moov(mvhd+trak)/mdat boxes; the decode is a
     // codegen'd box walk recovering timescale/duration/tracks/mdat size
@@ -2870,6 +2886,27 @@ object PipelineQueries {
     // WAV parse: canonical 44-byte PCM header (12 form + 24 fmt + 8 data
     // header) + text body; rate/channels/frames recomputed from the
     // deterministic construction
+    // pixel decode recomputed from the bitmap's closed form (channel
+    // values affine in (id, x, y) mod 256) — order-free integer features
+    "mm_image_pixels" ->
+      s"""WITH d AS (SELECT doc_id AS media_id, 8 + doc_id % 9 AS w,
+         |   4 + doc_id % 5 AS h FROM documents),
+         | px AS (SELECT media_id, w, h, flatten(list_transform(range(0, h), y ->
+         |   list_transform(range(0, w), x ->
+         |     {'r': (media_id*9 + x + y*13) % 256,
+         |      'g': (media_id*5 + x*11 + y) % 256,
+         |      'b': (media_id + x*3 + y*7) % 256}))) AS ps FROM d),
+         | f AS (SELECT media_id, w::BIGINT AS width, h::BIGINT AS height,
+         |   len(ps)::BIGINT AS n_pixels,
+         |   list_sum(list_transform(ps, p -> p['r']))::BIGINT AS sum_r,
+         |   list_sum(list_transform(ps, p -> p['g']))::BIGINT AS sum_g,
+         |   list_sum(list_transform(ps, p -> p['b']))::BIGINT AS sum_b,
+         |   list_max(list_transform(ps, p ->
+         |     2126*p['r'] + 7152*p['g'] + 722*p['b']))::BIGINT AS max_lum
+         |  FROM px)
+         | SELECT media_id, width, height, n_pixels, sum_r, sum_g, sum_b,
+         |  max_lum, round(CAST(sum_r AS DOUBLE) / n_pixels, 6) AS mean_r
+         | FROM f ORDER BY media_id""".om,
     // PCM decode recomputed from the tone's closed form (byte j of the
     // data chunk = (id*7 + j*37) mod 256, LE int16 pairs) — no byte
     // parsing needed, the waveform IS the spec

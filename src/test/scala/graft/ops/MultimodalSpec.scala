@@ -150,6 +150,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(foreign.select(Multimodal.decodeAudioPcm(col("p"))).head().isNullAt(0))
   }
 
+  test("BMP pixel decode: features match a JVM reference, stride + nulls") {
+    val docs = Seq((4L, "s3://a"), (11L, "s3://b")).toDF("doc_id", "source")
+    val got = Multimodal.synthesizeBitmap(docs, "doc_id", "source")
+      .select(col("media_id"), Multimodal.decodeImagePixels(col("payload")).as("f"))
+      .select(col("media_id"), col("f.width"), col("f.height"),
+        col("f.n_pixels"), col("f.sum_r"), col("f.sum_g"), col("f.sum_b"),
+        col("f.max_lum"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    def ref(id: Long) = {
+      val w = 8 + id % 9; val h = 4 + id % 5
+      val px = for (y <- 0L until h; x <- 0L until w) yield
+        ((id * 9 + x + y * 13) % 256, (id * 5 + x * 11 + y) % 256,
+          (id + x * 3 + y * 7) % 256)
+      (w, h, w * h, px.map(_._1).sum, px.map(_._2).sum, px.map(_._3).sum,
+        px.map(p => 2126 * p._1 + 7152 * p._2 + 722 * p._3).max)
+    }
+    assert(got(4L) == ref(4L) && got(11L) == ref(11L))
+    // id 4: w=12 (stride 36, no padding); id 11: w=10 (stride 32, 2 pad
+    // bytes per row) — both matched the reference, so striding is right
+    assert(got(11L)._1 == 10L)
+    // non-BMP / 8bpp / compressed payloads decode to null
+    val foreign = Seq(Tuple1("definitely not a bitmap!".getBytes("UTF-8"))).toDF("p")
+    assert(foreign.select(Multimodal.decodeImagePixels(col("p"))).head().isNullAt(0))
+    val eightBpp = Multimodal.synthesizeGifBmp(
+      Seq((3L, "text body here", "s")).toDF("doc_id", "text", "source"),
+      "doc_id", "text", "source") // id 3 -> BMP branch, channels=1 -> 8bpp
+    assert(eightBpp.select(Multimodal.decodeImagePixels(col("payload")))
+      .head().isNullAt(0))
+  }
+
   test("WAV chunk walk: extra chunks, odd-size padding, corrupt sizes") {
     def le2(v: Int) = Array(v & 0xff, (v >> 8) & 0xff)
     def le4(v: Int) = Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
