@@ -437,6 +437,137 @@ object ImagePixelStatsExpr {
     GraftSqlBridge.column(ImagePixelStatsExpr(GraftSqlBridge.expression(payload)))
 }
 
+/** REAL PNG pixel decode — the compressed image format is decodable
+  * with NO codec library because its codec is the JDK: zlib inflate
+  * (`java.util.zip.Inflater`) plus the five published scanline filters
+  * (None/Sub/Up/Average/Paeth, RFC 2083 §6). Full decode path: chunk
+  * walk with CRC32 verification (null on corruption — a real decoder's
+  * behavior), IHDR validation (8-bit RGB, no interlace), multi-IDAT
+  * concatenation, inflate, per-row un-filtering, then the same
+  * order-free features as [[ImagePixelStatsExpr]] so image curation is
+  * container-agnostic. Not whole-stage-codegen'd arithmetic (inflate is
+  * a JNI call) but still one virtual call per row via `doGenCode`. */
+case class PngPixelStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ImagePixelStatsExpr.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "png_pixel_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  private def be4(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  private val Sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    .map(_.toByte)
+
+  def compute(b: Array[Byte]): InternalRow = {
+    if (b.length < 8 + 25 || !java.util.Arrays.equals(
+        java.util.Arrays.copyOf(b, 8), Sig)) return null
+    var i = 8
+    var w = -1; var h = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (i + 12 <= b.length && !sawEnd) {
+      val len = be4(b, i)
+      if (len < 0 || i + 12 + len > b.length) return null
+      val typ = new String(b, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, i + 4, 4 + len.toInt)
+      if (crc.getValue != be4(b, i + 8 + len.toInt)) return null // corrupt
+      typ match {
+        case "IHDR" =>
+          if (len != 13) return null
+          w = be4(b, i + 8).toInt; h = be4(b, i + 12).toInt
+          val depth = b(i + 16) & 0xff; val color = b(i + 17) & 0xff
+          val interlace = b(i + 20) & 0xff
+          if (depth != 8 || color != 2 || interlace != 0) return null
+        case "IDAT" => idat.write(b, i + 8, len.toInt)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunks skipped
+      }
+      i += 12 + len.toInt
+    }
+    if (w <= 0 || h <= 0 || idat.size() == 0) return null
+    val stride = 1 + 3 * w
+    val raw = new Array[Byte](stride * h)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    try {
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return null // truncated stream
+        off += n
+      }
+      if (off < raw.length) return null
+    } catch { case _: java.util.zip.DataFormatException => return null
+    } finally inf.end()
+    // un-filter in place into a pixel buffer (RFC 2083 §6.3-6.6)
+    val px = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * stride) & 0xff
+      if (ft > 4) return null
+      var x = 0
+      while (x < 3 * w) {
+        val cur = raw(y * stride + 1 + x) & 0xff
+        val left = if (x >= 3) px(y * 3 * w + x - 3) & 0xff else 0
+        val up = if (y > 0) px((y - 1) * 3 * w + x) & 0xff else 0
+        val ul = if (x >= 3 && y > 0) px((y - 1) * 3 * w + x - 3) & 0xff else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + ((left + up) >> 1)
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            cur + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+        }
+        px(y * 3 * w + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    var n = 0L; var sumR = 0L; var sumG = 0L; var sumB = 0L; var maxLum = 0L
+    var k = 0
+    while (k + 2 < px.length + 1) {
+      val r = px(k) & 0xff; val g = px(k + 1) & 0xff; val bl = px(k + 2) & 0xff
+      sumR += r; sumG += g; sumB += bl
+      val lum = 2126L * r + 7152L * g + 722L * bl
+      if (lum > maxLum) maxLum = lum
+      n += 1; k += 3
+    }
+    InternalRow(w.toLong, h.toLong, n, sumR, sumG, sumB, maxLum)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pngPixels", this,
+      classOf[PngPixelStatsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("png")
+      s"""
+         |InternalRow $tmp = $self.compute($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PngPixelStatsExpr {
+  /** Column wrapper: full PNG pixel decode (CRC-verified chunk walk,
+    * JDK inflate, all five un-filters) + order-free features. */
+  def png_pixel_stats(payload: Column): Column =
+    GraftSqlBridge.column(PngPixelStatsExpr(GraftSqlBridge.expression(payload)))
+}
+
 /** REAL video-container header decode: parses the published ISO-BMFF /
   * MP4 box structure (ISO/IEC 14496-12) from a `BINARY` column — the
   * leading `ftyp` box (major brand), a top-level box walk to `moov`

@@ -289,6 +289,91 @@ object Multimodal {
   def decodeImagePixels(payload: Column): Column =
     graft.functions.ImagePixelStatsExpr.image_pixel_stats(payload)
 
+  /** One REAL PNG image (RFC 2083): 8-bit RGB, per-row filters CYCLING
+    * through all five types (a real encoder's shape — None/Sub/Up/
+    * Average/Paeth at row y mod 5, deltas properly applied), zlib IDAT
+    * via the JDK Deflater, CRC-correct chunks. Pixel (x, y) channels are
+    * the same closed form as [[synthesizeBitmap]]'s, dims
+    * `w = 9 + id mod 8, h = 5 + id mod 4` — so the oracle recomputes the
+    * decoded features from the formula while the payload exercises the
+    * full inflate + un-filter path. */
+  def buildPng(id: Long): Array[Byte] = {
+    val w = (9 + id % 8).toInt
+    val h = (5 + id % 4).toInt
+    val px = Array.ofDim[Int](h, 3 * w)
+    for (y <- 0 until h; x <- 0 until w) {
+      px(y)(3 * x) = ((id * 9 + x + y * 13) % 256).toInt
+      px(y)(3 * x + 1) = ((id * 5 + x * 11 + y) % 256).toInt
+      px(y)(3 * x + 2) = ((id + x * 3 + y * 7) % 256).toInt
+    }
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      val ft = y % 5
+      raw.write(ft)
+      for (x <- 0 until 3 * w) {
+        val cur = px(y)(x)
+        val left = if (x >= 3) px(y)(x - 3) else 0
+        val up = if (y > 0) px(y - 1)(x) else 0
+        val ul = if (x >= 3 && y > 0) px(y - 1)(x - 3) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) >> 1
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        raw.write((cur - pred) & 0xff)
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw.toByteArray); deflater.finish()
+    val idat = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished()) idat.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    def be4(v: Long): Array[Byte] = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      be4(data.length.toLong) ++ t ++ data ++ be4(crc.getValue)
+    }
+    val ihdr = be4(w.toLong) ++ be4(h.toLong) ++
+      Array[Byte](8, 2, 0, 0, 0) // depth 8, RGB, deflate, adaptive, no interlace
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", idat.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Media table whose payloads are REAL PNGs ([[buildPng]]) — built
+    * JVM-side per row (Deflater isn't expressible as column arithmetic;
+    * fixture cost, partition-local). */
+  def synthesizePng(df: DataFrame, idCol: String,
+                    sourceCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(sourceCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, src) =>
+        val bytes = buildPng(id)
+        (id, "image", bytes, src, "image/png", bytes.length.toLong) }
+      .toDF("media_id", "kind", "payload", "source", "mime", "n_bytes")
+      .select(col("media_id"), col("kind"), col("payload"),
+        struct(col("source"), col("mime"), col("n_bytes")).as("meta"))
+  }
+
+  /** REAL PNG pixel decode: CRC-verified chunk walk, JDK inflate, all
+    * five scanline un-filters, then the same order-free features as
+    * [[decodeImagePixels]] — image curation stays container-agnostic.
+    * Null for non-PNG, non-8-bit-RGB, interlaced or corrupt payloads. */
+  def decodePngPixels(payload: Column): Column =
+    graft.functions.PngPixelStatsExpr.png_pixel_stats(payload)
+
   private def be2b(c: Column): Column = concat(byteAt(c, 1), byteAt(c, 0))
   private def be4b(c: Column): Column =
     concat(byteAt(c, 3), byteAt(c, 2), byteAt(c, 1), byteAt(c, 0))

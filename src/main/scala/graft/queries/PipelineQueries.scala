@@ -918,6 +918,20 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL PNG decode: CRC-verified chunks, JDK-inflate IDAT, all five
+    // scanline un-filters (the synth CYCLES filter types per row), same
+    // closed-form pixels as the bitmap path — container-agnostic features
+    "mm_png_pixels" -> ((s, dir) => {
+      val media = Multimodal.synthesizePng(docs(s, dir), "doc_id", "source")
+      media.select(col("media_id"),
+          Multimodal.decodePngPixels(col("payload")).as("f"))
+        .select(col("media_id"), col("f.width").as("width"),
+          col("f.height").as("height"), col("f.n_pixels").as("n_pixels"),
+          col("f.sum_r").as("sum_r"), col("f.sum_g").as("sum_g"),
+          col("f.sum_b").as("sum_b"), col("f.max_lum").as("max_lum"))
+        .orderBy(col("media_id"))
+    }),
+
     // real MP4/ISO-BMFF container round-trip: synthesized payloads carry
     // spec-complete ftyp/moov(mvhd+trak)/mdat boxes; the decode is a
     // codegen'd box walk recovering timescale/duration/tracks/mdat size
@@ -2886,6 +2900,25 @@ object PipelineQueries {
     // WAV parse: canonical 44-byte PCM header (12 form + 24 fmt + 8 data
     // header) + text body; rate/channels/frames recomputed from the
     // deterministic construction
+    // PNG decode recomputed from the same closed form at the PNG dims —
+    // the oracle never touches bytes; inflate + un-filter are gated by
+    // landing on exactly these numbers
+    "mm_png_pixels" ->
+      s"""WITH d AS (SELECT doc_id AS media_id, 9 + doc_id % 8 AS w,
+         |   5 + doc_id % 4 AS h FROM documents),
+         | px AS (SELECT media_id, w, h, flatten(list_transform(range(0, h), y ->
+         |   list_transform(range(0, w), x ->
+         |     {'r': (media_id*9 + x + y*13) % 256,
+         |      'g': (media_id*5 + x*11 + y) % 256,
+         |      'b': (media_id + x*3 + y*7) % 256}))) AS ps FROM d)
+         | SELECT media_id, w::BIGINT AS width, h::BIGINT AS height,
+         |  len(ps)::BIGINT AS n_pixels,
+         |  list_sum(list_transform(ps, p -> p['r']))::BIGINT AS sum_r,
+         |  list_sum(list_transform(ps, p -> p['g']))::BIGINT AS sum_g,
+         |  list_sum(list_transform(ps, p -> p['b']))::BIGINT AS sum_b,
+         |  list_max(list_transform(ps, p ->
+         |    2126*p['r'] + 7152*p['g'] + 722*p['b']))::BIGINT AS max_lum
+         | FROM px ORDER BY media_id""".om,
     // pixel decode recomputed from the bitmap's closed form (channel
     // values affine in (id, x, y) mod 256) — order-free integer features
     "mm_image_pixels" ->

@@ -182,6 +182,39 @@ class MultimodalSpec extends AnyFunSuite {
       .head().isNullAt(0))
   }
 
+  test("PNG pixel decode: inflate + all five un-filters, CRC gate") {
+    // h = 5 + id%4 >= 5, so every image cycles through ALL filter types
+    val docs = Seq((2L, "s3://a"), (7L, "s3://b")).toDF("doc_id", "source")
+    val got = Multimodal.synthesizePng(docs, "doc_id", "source")
+      .select(col("media_id"), Multimodal.decodePngPixels(col("payload")).as("f"))
+      .select(col("media_id"), col("f.width"), col("f.height"),
+        col("f.n_pixels"), col("f.sum_r"), col("f.sum_g"), col("f.sum_b"),
+        col("f.max_lum"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    def ref(id: Long) = {
+      val w = 9 + id % 8; val h = 5 + id % 4
+      val px = for (y <- 0L until h; x <- 0L until w) yield
+        ((id * 9 + x + y * 13) % 256, (id * 5 + x * 11 + y) % 256,
+          (id + x * 3 + y * 7) % 256)
+      (w, h, w * h, px.map(_._1).sum, px.map(_._2).sum, px.map(_._3).sum,
+        px.map(p => 2126 * p._1 + 7152 * p._2 + 722 * p._3).max)
+    }
+    // matching the reference proves the round-trip through deflate AND
+    // the Sub/Up/Average/Paeth reconstruction (the encoder applied them)
+    assert(got(2L) == ref(2L) && got(7L) == ref(7L))
+    // a single flipped payload byte fails the CRC gate → null
+    val png = Multimodal.buildPng(2L)
+    val corrupt = png.clone(); corrupt(40) = (corrupt(40) ^ 0x01).toByte
+    val dec = Seq(Tuple1(png), Tuple1(corrupt)).toDF("p")
+      .select(Multimodal.decodePngPixels(col("p"))).collect()
+    assert(!dec(0).isNullAt(0) && dec(1).isNullAt(0))
+    // foreign bytes null
+    val foreign = Seq(Tuple1("not a png".getBytes("UTF-8"))).toDF("p")
+    assert(foreign.select(Multimodal.decodePngPixels(col("p"))).head().isNullAt(0))
+  }
+
   test("WAV chunk walk: extra chunks, odd-size padding, corrupt sizes") {
     def le2(v: Int) = Array(v & 0xff, (v >> 8) & 0xff)
     def le4(v: Int) = Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
