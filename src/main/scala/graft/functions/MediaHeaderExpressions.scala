@@ -568,6 +568,167 @@ object PngPixelStatsExpr {
     GraftSqlBridge.column(PngPixelStatsExpr(GraftSqlBridge.expression(payload)))
 }
 
+/** REAL GIF pixel decode — LZW is pure integer/dictionary work, so the
+  * second compressed image format also decodes with no codec library:
+  * header + logical-screen walk, global color table, extension-block
+  * skip, then genuine variable-code-width LZW decompression (prefix/
+  * suffix string table to 4096 entries, width 9→12 growing one entry
+  * EARLY relative to the encoder — the decoder learns each string one
+  * code later than the encoder defined it — clear-code reset, the
+  * KwKwK `code == next` special case, little-endian bit unpacking
+  * across ≤255-byte sub-blocks), palette lookup, and the shared
+  * order-free image features. Null for non-GIF, interlaced,
+  * local-color-table, no-GCT or corrupt payloads. */
+case class GifPixelStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ImagePixelStatsExpr.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "gif_pixel_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  private def le2(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  def compute(b: Array[Byte]): InternalRow = {
+    if (b.length < 13 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F' ||
+      b(3) != '8' || (b(4) != '7' && b(4) != '9') || b(5) != 'a') return null
+    val packed = b(10) & 0xff
+    if ((packed & 0x80) == 0) return null // no global color table
+    val gctEntries = 2 << (packed & 7)
+    var i = 13
+    if (i + 3 * gctEntries > b.length) return null
+    val palAt = i
+    i += 3 * gctEntries
+    // walk to the first image descriptor, skipping extensions
+    while (i < b.length && (b(i) & 0xff) == 0x21) {
+      i += 2 // introducer + label
+      while (i < b.length && (b(i) & 0xff) != 0) i += 1 + (b(i) & 0xff)
+      i += 1
+    }
+    if (i >= b.length || (b(i) & 0xff) != 0x2c) return null
+    if (i + 10 > b.length) return null
+    val w = le2(b, i + 5); val h = le2(b, i + 7)
+    val ipacked = b(i + 9) & 0xff
+    if ((ipacked & 0x80) != 0 || (ipacked & 0x40) != 0) return null // LCT/interlace
+    i += 10
+    if (i >= b.length) return null
+    val minCode = b(i) & 0xff
+    if (minCode < 2 || minCode > 8) return null
+    i += 1
+    // concatenate the data sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    while (i < b.length && (b(i) & 0xff) != 0) {
+      val n = b(i) & 0xff
+      if (i + 1 + n > b.length) return null
+      data.write(b, i + 1, n)
+      i += 1 + n
+    }
+    val stream = data.toByteArray
+    if (w <= 0 || h <= 0 || stream.isEmpty) return null
+    // --- LZW ---
+    val Clear = 1 << minCode; val End = Clear + 1
+    val prefix = new Array[Int](4096); val suffix = new Array[Int](4096)
+    var next = End + 1; var codeSize = minCode + 1
+    var bitBuf = 0L; var bitCnt = 0; var pos = 0
+    var prev = -1
+    val out = new Array[Int](w * h)
+    var outAt = 0
+    val stack = new Array[Int](4097); var sp = 0
+    def pushString(code: Int): Int = { // returns the string's FIRST byte
+      var c = code
+      while (c >= Clear + 2) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+      stack(sp) = c; sp += 1
+      c
+    }
+    def firstOf(code: Int): Int = {
+      var c = code
+      while (c >= Clear + 2) c = prefix(c)
+      c
+    }
+    var done = false
+    while (!done) {
+      while (bitCnt < codeSize && pos < stream.length) {
+        bitBuf |= (stream(pos) & 0xffL) << bitCnt; bitCnt += 8; pos += 1
+      }
+      if (bitCnt < codeSize) return null // truncated stream
+      val code = (bitBuf & ((1L << codeSize) - 1)).toInt
+      bitBuf >>= codeSize; bitCnt -= codeSize
+      if (code == Clear) { next = End + 1; codeSize = minCode + 1; prev = -1 }
+      else if (code == End) done = true
+      else {
+        if (prev == -1) {
+          if (code >= Clear) return null // first code must be a literal
+          if (outAt >= out.length) return null
+          out(outAt) = code; outAt += 1
+          prev = code
+        } else {
+          if (code > next || (code == next && next >= 4096)) return null
+          val first = if (code == next) {
+            // KwKwK: the not-yet-defined entry is str(prev) + head(prev);
+            // the appended head goes at the stack BOTTOM (pops last)
+            val f = firstOf(prev)
+            stack(sp) = f; sp += 1
+            pushString(prev)
+            f
+          } else pushString(code)
+          if (outAt + sp > out.length) return null
+          while (sp > 0) { sp -= 1; out(outAt) = stack(sp); outAt += 1 }
+          if (next < 4096) {
+            prefix(next) = prev; suffix(next) = first
+            next += 1
+            if (next == (1 << codeSize) - 1 && codeSize < 12) codeSize += 1
+          }
+          prev = code
+        }
+      }
+      if (outAt == out.length && !done) {
+        // all pixels decoded; tolerate a missing explicit End
+        done = true
+      }
+    }
+    if (outAt != out.length) return null
+    // palette lookup + features
+    var n = 0L; var sumR = 0L; var sumG = 0L; var sumB = 0L; var maxLum = 0L
+    var k = 0
+    while (k < out.length) {
+      val idx = out(k)
+      if (idx >= gctEntries) return null
+      val r = b(palAt + 3 * idx) & 0xff
+      val g = b(palAt + 3 * idx + 1) & 0xff
+      val bl = b(palAt + 3 * idx + 2) & 0xff
+      sumR += r; sumG += g; sumB += bl
+      val lum = 2126L * r + 7152L * g + 722L * bl
+      if (lum > maxLum) maxLum = lum
+      n += 1; k += 1
+    }
+    InternalRow(w.toLong, h.toLong, n, sumR, sumG, sumB, maxLum)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("gifPixels", this,
+      classOf[GifPixelStatsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("gif")
+      s"""
+         |InternalRow $tmp = $self.compute($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GifPixelStatsExpr {
+  /** Column wrapper: full GIF pixel decode (LZW + palette) + order-free
+    * features. */
+  def gif_pixel_stats(payload: Column): Column =
+    GraftSqlBridge.column(GifPixelStatsExpr(GraftSqlBridge.expression(payload)))
+}
+
 /** REAL video-container header decode: parses the published ISO-BMFF /
   * MP4 box structure (ISO/IEC 14496-12) from a `BINARY` column — the
   * leading `ftyp` box (major brand), a top-level box walk to `moov`

@@ -374,6 +374,106 @@ object Multimodal {
   def decodePngPixels(payload: Column): Column =
     graft.functions.PngPixelStatsExpr.png_pixel_stats(payload)
 
+  /** One REAL GIF89a image: 256-entry global color table, one image
+    * block, pixel INDICES compressed with a genuine variable-code-width
+    * LZW encoder (dictionary to 4096, code width 9→12, clear-code
+    * reset on overflow, little-endian bit packing into ≤255-byte
+    * sub-blocks — the published GIF dialect). Palette entry i and pixel
+    * index (x, y) are closed-form in id, so the oracle recomputes the
+    * decoded features while the payload exercises real dictionary
+    * decompression. Dims `w = 7 + id mod 10, h = 6 + id mod 3`. */
+  def buildGif(id: Long, wOverride: Int = 0, hOverride: Int = 0): Array[Byte] = {
+    val w = if (wOverride > 0) wOverride else (7 + id % 10).toInt
+    val h = if (hOverride > 0) hOverride else (6 + id % 3).toInt
+    val indices = Array.tabulate(h, w)((y, x) => ((id + x * 3 + y * 7) % 256).toInt)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le2(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le2(w); le2(h)
+    out.write(0xf7) // GCT present, 8-bit resolution, 256 entries
+    out.write(0); out.write(0)
+    for (i <- 0 until 256) { // closed-form palette
+      out.write(((id + 7 * i) % 256).toInt)  // R
+      out.write(((id * 3 + 5 * i) % 256).toInt) // G
+      out.write(((id * 5 + 11 * i) % 256).toInt) // B
+    }
+    out.write(0x2c) // image descriptor
+    le2(0); le2(0); le2(w); le2(h)
+    out.write(0) // no LCT, not interlaced
+    out.write(8) // LZW minimum code size
+    // --- real GIF-LZW: string table over (prefix code, suffix byte) ---
+    val Clear = 256; val End = 257
+    val bits = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    var codeSize = 9
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt; bitCnt += codeSize
+      while (bitCnt >= 8) { bits.write((bitBuf & 0xff).toInt); bitBuf >>= 8; bitCnt -= 8 }
+    }
+    var table = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    var next = End + 1
+    emit(Clear)
+    val flat = indices.flatten
+    var cur = flat(0)
+    var i = 1
+    while (i < flat.length) {
+      val c = flat(i)
+      table.get((cur, c)) match {
+        case Some(code) => cur = code
+        case None =>
+          emit(cur)
+          if (next < 4096) {
+            table.update((cur, c), next)
+            next += 1
+            // encoder grows when the table reaches the width's capacity
+            // (the matching decoder grows ONE entry early — it learns
+            // each string one code later than the encoder defined it)
+            if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+          } else {
+            emit(Clear)
+            table = scala.collection.mutable.HashMap.empty
+            next = End + 1; codeSize = 9
+          }
+          cur = c
+      }
+      i += 1
+    }
+    emit(cur); emit(End)
+    if (bitCnt > 0) bits.write((bitBuf & 0xff).toInt)
+    val stream = bits.toByteArray
+    var off = 0
+    while (off < stream.length) { // ≤255-byte sub-blocks
+      val n = math.min(255, stream.length - off)
+      out.write(n); out.write(stream, off, n); off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Media table whose payloads are REAL LZW-compressed GIFs
+    * ([[buildGif]]) — JVM-side per row, like [[synthesizePng]]. */
+  def synthesizeGifReal(df: DataFrame, idCol: String,
+                        sourceCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(sourceCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, src) =>
+        val bytes = buildGif(id)
+        (id, "image", bytes, src, "image/gif", bytes.length.toLong) }
+      .toDF("media_id", "kind", "payload", "source", "mime", "n_bytes")
+      .select(col("media_id"), col("kind"), col("payload"),
+        struct(col("source"), col("mime"), col("n_bytes")).as("meta"))
+  }
+
+  /** REAL GIF pixel decode: header + color table + image block walk,
+    * genuine variable-width LZW dictionary decompression, palette
+    * lookup, then the shared order-free image features. Null for
+    * non-GIF, interlaced, local-color-table or corrupt payloads. */
+  def decodeGifPixels(payload: Column): Column =
+    graft.functions.GifPixelStatsExpr.gif_pixel_stats(payload)
+
   private def be2b(c: Column): Column = concat(byteAt(c, 1), byteAt(c, 0))
   private def be4b(c: Column): Column =
     concat(byteAt(c, 3), byteAt(c, 2), byteAt(c, 1), byteAt(c, 0))

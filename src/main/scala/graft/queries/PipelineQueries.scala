@@ -932,6 +932,20 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL GIF decode: genuine variable-width LZW streams (dictionary,
+    // clear codes, sub-block packing) through the full decompress +
+    // palette path — closed-form indices and palette gate it exactly
+    "mm_gif_pixels" -> ((s, dir) => {
+      val media = Multimodal.synthesizeGifReal(docs(s, dir), "doc_id", "source")
+      media.select(col("media_id"),
+          Multimodal.decodeGifPixels(col("payload")).as("f"))
+        .select(col("media_id"), col("f.width").as("width"),
+          col("f.height").as("height"), col("f.n_pixels").as("n_pixels"),
+          col("f.sum_r").as("sum_r"), col("f.sum_g").as("sum_g"),
+          col("f.sum_b").as("sum_b"), col("f.max_lum").as("max_lum"))
+        .orderBy(col("media_id"))
+    }),
+
     // real MP4/ISO-BMFF container round-trip: synthesized payloads carry
     // spec-complete ftyp/moov(mvhd+trak)/mdat boxes; the decode is a
     // codegen'd box walk recovering timescale/duration/tracks/mdat size
@@ -2900,6 +2914,26 @@ object PipelineQueries {
     // WAV parse: canonical 44-byte PCM header (12 form + 24 fmt + 8 data
     // header) + text body; rate/channels/frames recomputed from the
     // deterministic construction
+    // GIF decode recomputed from the closed forms: pixel index affine in
+    // (id, x, y), channels affine in (id, index) — LZW + palette gated
+    // by landing on exactly these numbers
+    "mm_gif_pixels" ->
+      s"""WITH d AS (SELECT doc_id AS media_id, 7 + doc_id % 10 AS w,
+         |   6 + doc_id % 3 AS h FROM documents),
+         | px AS (SELECT media_id, w, h, flatten(list_transform(range(0, h), y ->
+         |   list_transform(range(0, w), x ->
+         |     {'r': (media_id + 7*((media_id + x*3 + y*7) % 256)) % 256,
+         |      'g': (media_id*3 + 5*((media_id + x*3 + y*7) % 256)) % 256,
+         |      'b': (media_id*5 + 11*((media_id + x*3 + y*7) % 256)) % 256})))
+         |   AS ps FROM d)
+         | SELECT media_id, w::BIGINT AS width, h::BIGINT AS height,
+         |  len(ps)::BIGINT AS n_pixels,
+         |  list_sum(list_transform(ps, p -> p['r']))::BIGINT AS sum_r,
+         |  list_sum(list_transform(ps, p -> p['g']))::BIGINT AS sum_g,
+         |  list_sum(list_transform(ps, p -> p['b']))::BIGINT AS sum_b,
+         |  list_max(list_transform(ps, p ->
+         |    2126*p['r'] + 7152*p['g'] + 722*p['b']))::BIGINT AS max_lum
+         | FROM px ORDER BY media_id""".om,
     // PNG decode recomputed from the same closed form at the PNG dims —
     // the oracle never touches bytes; inflate + un-filter are gated by
     // landing on exactly these numbers

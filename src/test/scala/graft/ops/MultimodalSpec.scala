@@ -215,6 +215,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(foreign.select(Multimodal.decodePngPixels(col("p"))).head().isNullAt(0))
   }
 
+  test("GIF LZW decode: dictionary round-trip, width growth, KwKwK, nulls") {
+    def ref(id: Long, w: Long, h: Long) = {
+      val px = for (y <- 0L until h; x <- 0L until w) yield {
+        val i = (id + x * 3 + y * 7) % 256
+        ((id + 7 * i) % 256, (id * 3 + 5 * i) % 256, (id * 5 + 11 * i) % 256)
+      }
+      (w, h, w * h, px.map(_._1).sum, px.map(_._2).sum, px.map(_._3).sum,
+        px.map(p => 2126 * p._1 + 7152 * p._2 + 722 * p._3).max)
+    }
+    // query-sized images (9-bit codes only)
+    val docs = Seq((6L, "s3://a"), (13L, "s3://b")).toDF("doc_id", "source")
+    val got = Multimodal.synthesizeGifReal(docs, "doc_id", "source")
+      .select(col("media_id"), Multimodal.decodeGifPixels(col("payload")).as("f"))
+      .select(col("media_id"), col("f.width"), col("f.height"),
+        col("f.n_pixels"), col("f.sum_r"), col("f.sum_g"), col("f.sum_b"),
+        col("f.max_lum"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(got(6L) == ref(6L, 13, 6) && got(13L) == ref(13L, 10, 7))
+    // a LARGE image pushes the dictionary past 511 and 1023: the
+    // encoder/decoder width-growth pairing (decoder one entry early) and
+    // the KwKwK special case both get exercised for real
+    val big = Seq(Tuple1(Multimodal.buildGif(5L, 64, 48))).toDF("p")
+      .select(Multimodal.decodeGifPixels(col("p")).as("f"))
+      .select(col("f.n_pixels"), col("f.sum_r"), col("f.max_lum")).head()
+    val bigRef = ref(5L, 64, 48)
+    assert(big.getLong(0) == 64L * 48 && big.getLong(1) == bigRef._4 &&
+      big.getLong(2) == bigRef._7)
+    // the old text-body GIF (no real LZW stream) and foreign bytes → null
+    val fake = Multimodal.synthesizeGifBmp(
+      Seq((2L, "text body", "s")).toDF("doc_id", "text", "source"),
+      "doc_id", "text", "source") // id 2 -> GIF branch, opaque body
+    assert(fake.select(Multimodal.decodeGifPixels(col("payload")))
+      .head().isNullAt(0))
+    val foreign = Seq(Tuple1("GIF8 but not really".getBytes("UTF-8"))).toDF("p")
+    assert(foreign.select(Multimodal.decodeGifPixels(col("p"))).head().isNullAt(0))
+  }
+
   test("WAV chunk walk: extra chunks, odd-size padding, corrupt sizes") {
     def le2(v: Int) = Array(v & 0xff, (v >> 8) & 0xff)
     def le4(v: Int) = Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
