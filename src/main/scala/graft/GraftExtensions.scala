@@ -79,6 +79,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftSqlBridge.toCatalyst(
           graft.functions.tsdb_encode_chunk(GraftSqlBridge.column(args.head)))
       }))
+    // media decoders + web-text ops: one unary registration each
+    Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
+      "graft_pcm_stats" -> graft.functions.AudioPcmStatsExpr.audio_pcm_stats,
+      "graft_bmp_pixels" -> graft.functions.ImagePixelStatsExpr.image_pixel_stats,
+      "graft_png_pixels" -> graft.functions.PngPixelStatsExpr.png_pixel_stats,
+      "graft_gif_pixels" -> graft.functions.GifPixelStatsExpr.gif_pixel_stats,
+      "graft_html_text" -> graft.ops.WebText.htmlToText,
+      "graft_html_title" -> graft.ops.WebText.htmlTitle,
+      "graft_html_main" -> (c => graft.ops.WebText.mainContent(c)),
+      "graft_url_canon" -> graft.ops.WebText.canonicalizeUrl
+    ).foreach { case (name, fn) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"$name(x) takes one argument")
+          import org.apache.spark.sql.GraftSqlBridge
+          GraftSqlBridge.toCatalyst(fn(GraftSqlBridge.column(args.head)))
+        }))
+    }
     // aggregate: the analyzer wraps a bare AggregateFunction from a
     // registry builder in its AggregateExpression during resolution
     ext.injectFunction((

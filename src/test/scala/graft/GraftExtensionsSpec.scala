@@ -48,6 +48,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("media decoders and web-text ops are callable from SQL") {
+    withExtendedSession { s =>
+      val html = "<html><title>T</title><body><script>x</script>" +
+        "<p>hello &amp; world</p></body></html>"
+      val row = s.sql(
+        s"""SELECT graft_html_text('$html') AS t, graft_html_title('$html') AS ti,
+           | graft_url_canon('HTTPS://WWW.Ex.com/a/?utm_source=x&b=2&a=1#f') AS u
+           |""".stripMargin).head()
+      assert(row.getString(0) == "T hello & world")
+      assert(row.getString(1) == "T")
+      assert(row.getString(2) == "https://ex.com/a?a=1&b=2")
+      // decoders reach SQL: a real PNG through graft_png_pixels
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val png = Seq(Tuple1(graft.ops.Multimodal.buildPng(3L))).toDF("p")
+      png.createOrReplaceTempView("png_rows")
+      val f = s.sql("SELECT graft_png_pixels(p).n_pixels AS n FROM png_rows").head()
+      assert(f.getLong(0) == (9 + 3 % 8) * (5 + 3 % 4))
+    }
+  }
+
   test("graft_cosine is callable from SQL and matches the HOF formulation") {
     withExtendedSession { s =>
       val r = s.sql(

@@ -338,6 +338,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2).isNullAt(1), "foreign bytes must decode to null")
   }
 
+  test("property: pixel/sample decoders never throw on mutated bytes") {
+    // the FULL decoders (inflate, LZW, un-filter, PCM walk) face the
+    // same corpus-of-garbage contract as the header walks: decode or
+    // null, never throw — a crawl pipeline meets every corruption
+    val docs = Seq((0L, "s"), (7L, "s")).toDF("doc_id", "source")
+    val seeds =
+      Multimodal.synthesizePng(docs, "doc_id", "source")
+        .select("payload").collect().map(_.getAs[Array[Byte]](0)) ++
+      Seq(Multimodal.buildGif(3L), Multimodal.buildGif(9L, 40, 30)) ++
+      Multimodal.synthesizeBitmap(docs, "doc_id", "source")
+        .select("payload").collect().map(_.getAs[Array[Byte]](0)) ++
+      Multimodal.synthesizeAudioTone(docs, "doc_id", "source")
+        .select("payload").collect().map(_.getAs[Array[Byte]](0))
+    val rnd = new scala.util.Random(7)
+    val variants = (0 until 400).map { i =>
+      val base = seeds(rnd.nextInt(seeds.length))
+      val b = rnd.nextInt(3) match {
+        case 0 =>
+          val c = base.clone()
+          (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+            c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte }
+          c
+        case 1 => base.take(rnd.nextInt(base.length + 1))
+        case 2 => Array.fill(rnd.nextInt(80))(rnd.nextInt(256).toByte)
+      }
+      (i.toLong, b)
+    }
+    // collect() forces every decode; any throw fails the test
+    val n = variants.toDF("id", "payload").select(col("id"),
+        Multimodal.decodePngPixels(col("payload")).as("png"),
+        Multimodal.decodeGifPixels(col("payload")).as("gif"),
+        Multimodal.decodeImagePixels(col("payload")).as("bmp"),
+        Multimodal.decodeAudioPcm(col("payload")).as("pcm"))
+      .collect().length
+    assert(n == 400)
+  }
+
   test("property: header decoders never throw on mutated or random bytes") {
     val docs = Seq((0L, "png seed payload", "s"), (1L, "jpeg seed", "s"))
       .toDF("doc_id", "text", "source")
