@@ -729,6 +729,118 @@ object GifPixelStatsExpr {
     GraftSqlBridge.column(GifPixelStatsExpr(GraftSqlBridge.expression(payload)))
 }
 
+/** REAL video frame decode for the codec-free format — Y4M (YUV4MPEG2)
+  * stores raw 4:2:0 planar frames, so the video modality gets genuine
+  * pixel access with no codec library, completing the raw-format set
+  * (WAV→audio, BMP→image, Y4M→video). Parses the published header
+  * (`YUV4MPEG2 W.. H.. F.. C420..`), walks `FRAME` markers, and reduces
+  * the planes in one pass to the temporal features a video-curation
+  * pipeline keys on: frame count, exact luma/chroma sums, max luma, and
+  * MOTION — the exact integer sum of |Y_t − Y_{t−1}| across frames (the
+  * static-content/slideshow signal). Null for non-Y4M, odd-dimension or
+  * non-4:2:0 payloads; a truncated tail frame is dropped. */
+case class Y4mStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = Y4mStatsExpr.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "y4m_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  def compute(b: Array[Byte]): InternalRow = {
+    val magic = "YUV4MPEG2 "
+    if (b.length < magic.length + 8) return null
+    var i = 0
+    while (i < magic.length) {
+      if (b(i) != magic.charAt(i)) return null
+      i += 1
+    }
+    var nl = i
+    while (nl < b.length && b(nl) != '\n') nl += 1
+    if (nl >= b.length) return null
+    val header = new String(b, i, nl - i, java.nio.charset.StandardCharsets.US_ASCII)
+    var w = -1; var h = -1; var c420 = true // C absent defaults to 4:2:0
+    header.split(' ').foreach { p =>
+      if (p.startsWith("W")) w = p.drop(1).toIntOption.getOrElse(-1)
+      else if (p.startsWith("H")) h = p.drop(1).toIntOption.getOrElse(-1)
+      else if (p.startsWith("C")) c420 = p.drop(1).startsWith("420")
+    }
+    if (w <= 0 || h <= 0 || (w & 1) == 1 || (h & 1) == 1 || !c420) return null
+    val ySize = w * h
+    val cSize = (w / 2) * (h / 2)
+    val frameBytes = ySize + 2 * cSize
+    var pos = nl + 1
+    var frames = 0L
+    var sumY = 0L; var sumU = 0L; var sumV = 0L
+    var maxY = 0L; var motion = 0L
+    var prevY: Array[Byte] = null
+    while (pos < b.length) {
+      // FRAME marker line (parameters allowed up to the newline)
+      if (pos + 5 > b.length || b(pos) != 'F' || b(pos + 1) != 'R' ||
+        b(pos + 2) != 'A' || b(pos + 3) != 'M' || b(pos + 4) != 'E') return null
+      var fe = pos + 5
+      while (fe < b.length && b(fe) != '\n') fe += 1
+      if (fe >= b.length) return null
+      val dataAt = fe + 1
+      if (dataAt + frameBytes > b.length) {
+        pos = b.length // truncated tail frame: drop it
+      } else {
+        var k = 0
+        while (k < ySize) {
+          val y = b(dataAt + k) & 0xff
+          sumY += y
+          if (y > maxY) maxY = y
+          if (prevY != null) motion += math.abs(y - (prevY(k) & 0xff))
+          k += 1
+        }
+        k = 0
+        while (k < cSize) {
+          sumU += b(dataAt + ySize + k) & 0xff
+          sumV += b(dataAt + ySize + cSize + k) & 0xff
+          k += 1
+        }
+        prevY = java.util.Arrays.copyOfRange(b, dataAt, dataAt + ySize)
+        frames += 1
+        pos = dataAt + frameBytes
+      }
+    }
+    if (frames == 0) return null
+    InternalRow(w.toLong, h.toLong, frames, sumY, sumU, sumV, maxY, motion)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("y4mStats", this,
+      classOf[Y4mStatsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("y4m")
+      s"""
+         |InternalRow $tmp = $self.compute($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Y4mStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("sum_y", LongType, nullable = false),
+    StructField("sum_u", LongType, nullable = false),
+    StructField("sum_v", LongType, nullable = false),
+    StructField("max_y", LongType, nullable = false),
+    StructField("motion", LongType, nullable = false)))
+
+  /** Column wrapper: Y4M raw-frame decode + temporal features. */
+  def y4m_stats(payload: Column): Column =
+    GraftSqlBridge.column(Y4mStatsExpr(GraftSqlBridge.expression(payload)))
+}
+
 /** REAL video-container header decode: parses the published ISO-BMFF /
   * MP4 box structure (ISO/IEC 14496-12) from a `BINARY` column — the
   * leading `ftyp` box (major brand), a top-level box walk to `moov`

@@ -474,6 +474,55 @@ object Multimodal {
   def decodeGifPixels(payload: Column): Column =
     graft.functions.GifPixelStatsExpr.gif_pixel_stats(payload)
 
+  /** One REAL Y4M (YUV4MPEG2) clip: 4:2:0 planar raw frames, plane
+    * values closed-form in (id, x, y, t) —
+    * `Y = (id + 3x + 7y + 11t) mod 256`,
+    * `U = (3·id + 5x + y + 13t) mod 256`,
+    * `V = (5·id + x + 11y + 7t) mod 256` — dims `w = 8 + 2(id mod 5),
+    * h = 6 + 2(id mod 3)`, `frames = 3 + id mod 4`. The per-frame +11
+    * luma drift plants non-trivial MOTION the oracle recomputes. */
+  def buildY4m(id: Long): Array[Byte] = {
+    val w = (8 + 2 * (id % 5)).toInt
+    val h = (6 + 2 * (id % 3)).toInt
+    val frames = (3 + id % 4).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n"
+      .getBytes("US-ASCII"))
+    for (t <- 0 until frames) {
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      for (y <- 0 until h; x <- 0 until w)
+        out.write(((id + 3 * x + 7 * y + 11 * t) % 256).toInt)
+      for (y <- 0 until h / 2; x <- 0 until w / 2)
+        out.write(((3 * id + 5 * x + y + 13 * t) % 256).toInt)
+      for (y <- 0 until h / 2; x <- 0 until w / 2)
+        out.write(((5 * id + x + 11 * y + 7 * t) % 256).toInt)
+    }
+    out.toByteArray
+  }
+
+  /** Media table whose payloads are REAL Y4M clips ([[buildY4m]]) —
+    * JVM-side per row, like [[synthesizePng]]. */
+  def synthesizeY4m(df: DataFrame, idCol: String,
+                    sourceCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(sourceCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, src) =>
+        val bytes = buildY4m(id)
+        (id, "video", bytes, src, "video/x-yuv4mpeg", bytes.length.toLong) }
+      .toDF("media_id", "kind", "payload", "source", "mime", "n_bytes")
+      .select(col("media_id"), col("kind"), col("payload"),
+        struct(col("source"), col("mime"), col("n_bytes")).as("meta"))
+  }
+
+  /** REAL raw-frame video decode (Y4M 4:2:0) + temporal features —
+    * frame count, exact plane sums, max luma and exact |ΔY| motion —
+    * the video modality's codec-free decode slot filled. Null for
+    * non-Y4M payloads; truncated tail frames drop. */
+  def decodeY4m(payload: Column): Column =
+    graft.functions.Y4mStatsExpr.y4m_stats(payload)
+
   private def be2b(c: Column): Column = concat(byteAt(c, 1), byteAt(c, 0))
   private def be4b(c: Column): Column =
     concat(byteAt(c, 3), byteAt(c, 2), byteAt(c, 1), byteAt(c, 0))

@@ -946,6 +946,21 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL raw-frame video decode: Y4M 4:2:0 planes with closed-form
+    // values and a per-frame luma drift — frame walk, plane sums and the
+    // exact |ΔY| motion signal all gated against the formula
+    "mm_y4m_video" -> ((s, dir) => {
+      val media = Multimodal.synthesizeY4m(docs(s, dir), "doc_id", "source")
+      media.select(col("media_id"),
+          Multimodal.decodeY4m(col("payload")).as("f"))
+        .select(col("media_id"), col("f.width").as("width"),
+          col("f.height").as("height"), col("f.n_frames").as("n_frames"),
+          col("f.sum_y").as("sum_y"), col("f.sum_u").as("sum_u"),
+          col("f.sum_v").as("sum_v"), col("f.max_y").as("max_y"),
+          col("f.motion").as("motion"))
+        .orderBy(col("media_id"))
+    }),
+
     // real MP4/ISO-BMFF container round-trip: synthesized payloads carry
     // spec-complete ftyp/moov(mvhd+trak)/mdat boxes; the decode is a
     // codegen'd box walk recovering timescale/duration/tracks/mdat size
@@ -2914,6 +2929,39 @@ object PipelineQueries {
     // WAV parse: canonical 44-byte PCM header (12 form + 24 fmt + 8 data
     // header) + text body; rate/channels/frames recomputed from the
     // deterministic construction
+    // Y4M decode recomputed from the plane formulas — including the
+    // motion sum |Y_t - Y_{t-1}| with its mod-256 wraparounds
+    "mm_y4m_video" ->
+      s"""WITH d AS (SELECT doc_id AS media_id, 8 + 2*(doc_id % 5) AS w,
+         |   6 + 2*(doc_id % 3) AS h, 3 + doc_id % 4 AS nf FROM documents),
+         | f AS (SELECT media_id, w::BIGINT AS width, h::BIGINT AS height,
+         |   nf::BIGINT AS n_frames,
+         |   list_sum(flatten(list_transform(range(0, nf), t ->
+         |     flatten(list_transform(range(0, h), y ->
+         |       list_transform(range(0, w), x ->
+         |         (media_id + 3*x + 7*y + 11*t) % 256))))))::BIGINT AS sum_y,
+         |   list_sum(flatten(list_transform(range(0, nf), t ->
+         |     flatten(list_transform(range(0, h//2), y ->
+         |       list_transform(range(0, w//2), x ->
+         |         (3*media_id + 5*x + y + 13*t) % 256))))))::BIGINT AS sum_u,
+         |   list_sum(flatten(list_transform(range(0, nf), t ->
+         |     flatten(list_transform(range(0, h//2), y ->
+         |       list_transform(range(0, w//2), x ->
+         |         (5*media_id + x + 11*y + 7*t) % 256))))))::BIGINT AS sum_v,
+         |   list_max(flatten(list_transform(range(0, nf), t ->
+         |     flatten(list_transform(range(0, h), y ->
+         |       list_transform(range(0, w), x ->
+         |         (media_id + 3*x + 7*y + 11*t) % 256))))))::BIGINT AS max_y,
+         |   coalesce(list_sum(flatten(list_transform(range(1, nf), t ->
+         |     flatten(list_transform(range(0, h), y ->
+         |       list_transform(range(0, w), x ->
+         |         abs(((media_id + 3*x + 7*y + 11*t) % 256) -
+         |             ((media_id + 3*x + 7*y + 11*(t-1)) % 256)))))))), 0)::BIGINT
+         |     AS motion
+         |  FROM d)
+         | SELECT media_id, width, height, n_frames, sum_y, sum_u, sum_v,
+         |  max_y, motion
+         | FROM f ORDER BY media_id""".om,
     // GIF decode recomputed from the closed forms: pixel index affine in
     // (id, x, y), channels affine in (id, index) — LZW + palette gated
     // by landing on exactly these numbers

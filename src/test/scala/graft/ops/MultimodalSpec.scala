@@ -338,6 +338,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2).isNullAt(1), "foreign bytes must decode to null")
   }
 
+  test("Y4M raw video decode: plane sums, motion, truncated tail drops") {
+    def ref(id: Long) = {
+      val w = 8 + 2 * (id % 5); val h = 6 + 2 * (id % 3); val nf = 3 + id % 4
+      val ys = for (t <- 0L until nf; y <- 0L until h; x <- 0L until w)
+        yield (id + 3 * x + 7 * y + 11 * t) % 256
+      val us = for (t <- 0L until nf; y <- 0L until h / 2; x <- 0L until w / 2)
+        yield (3 * id + 5 * x + y + 13 * t) % 256
+      val vs = for (t <- 0L until nf; y <- 0L until h / 2; x <- 0L until w / 2)
+        yield (5 * id + x + 11 * y + 7 * t) % 256
+      val motion = (for (t <- 1L until nf; y <- 0L until h; x <- 0L until w)
+        yield math.abs((id + 3 * x + 7 * y + 11 * t) % 256 -
+          (id + 3 * x + 7 * y + 11 * (t - 1)) % 256)).sum
+      (w, h, nf, ys.sum, us.sum, vs.sum, ys.max, motion)
+    }
+    val docs = Seq((4L, "s3://a"), (9L, "s3://b")).toDF("doc_id", "source")
+    val got = Multimodal.synthesizeY4m(docs, "doc_id", "source")
+      .select(col("media_id"), Multimodal.decodeY4m(col("payload")).as("f"))
+      .select(col("media_id"), col("f.width"), col("f.height"),
+        col("f.n_frames"), col("f.sum_y"), col("f.sum_u"), col("f.sum_v"),
+        col("f.max_y"), col("f.motion"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+    assert(got(4L) == ref(4L) && got(9L) == ref(9L))
+    // drift of +11/frame means real motion is planted
+    assert(got(4L)._8 > 0)
+    // a truncated tail frame drops; the complete prefix still decodes
+    val full = Multimodal.buildY4m(4L)
+    val cut = full.take(full.length - 7)
+    val dec = Seq(Tuple1(cut)).toDF("p")
+      .select(Multimodal.decodeY4m(col("p")).as("f"))
+      .select(col("f.n_frames")).head()
+    assert(dec.getLong(0) == ref(4L)._3 - 1)
+    // foreign bytes null
+    val foreign = Seq(Tuple1("YUV4MPEG2 but junk".getBytes("UTF-8"))).toDF("p")
+    assert(foreign.select(Multimodal.decodeY4m(col("p"))).head().isNullAt(0))
+  }
+
   test("property: pixel/sample decoders never throw on mutated bytes") {
     // the FULL decoders (inflate, LZW, un-filter, PCM walk) face the
     // same corpus-of-garbage contract as the header walks: decode or
