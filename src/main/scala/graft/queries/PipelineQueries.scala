@@ -99,6 +99,29 @@ object PipelineQueries {
       s.read.parquet(path)
     })
 
+  /** Per-(session, dir) WebDataset tar layout derived from `documents`:
+    * shard = doc_id % 8, members `<doc_id>.txt` (text) + `<doc_id>.cls`
+    * (lang), written ONCE by [[graft.sources.TarWriter.writeSamples]]
+    * and re-read by every mm_webdataset rep — the production shape,
+    * where shards are written by curation and read by training. */
+  private val wdsCache =
+    SessionFixtures.register(scala.collection.concurrent.TrieMap[(String, String), String]())
+
+  private def wdsStore(s: SparkSession, dir: String): String =
+    wdsCache.getOrElseUpdate((SessionFixtures.key(s), dir), {
+      tmpLayoutHook
+      val root = java.nio.file.Files.createTempDirectory("graft-wds")
+      tmpLayoutRoots.add(root)
+      val samples = docs(s, dir).select(
+        pmod(col("doc_id"), lit(8)).cast("string").as("shard"),
+        col("doc_id").cast("string").as("key"),
+        map(lit("txt"), encode(col("text"), "UTF-8"),
+          lit("cls"), encode(col("lang"), "UTF-8")).as("parts"))
+      graft.sources.TarWriter.writeSamples(samples, root.toString,
+        gzip = false, prefix = "wds")
+      root.toString
+    })
+
   /** Sampled-centroid assigned corpus (knn_ivf's index). */
   private def ivfStore(s: SparkSession, dir: String): DataFrame =
     storedLayout(s, dir, "ivf", {
@@ -1296,6 +1319,34 @@ object PipelineQueries {
       Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
         .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"), length(col("frame")).cast("long").as("frame_bytes"))
         .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // WebDataset round-trip THROUGH the tar format: documents leave as
+    // one ustar shard per doc_id%8 (txt + cls members per sample), come
+    // back through TarReader's streaming parser, regroup into samples,
+    // and the per-shard counts / byte mass / payload md5 checksums must
+    // land on what the oracle computes straight from the parquet — the
+    // writer's header math, padding, shard cut and the reader's walk
+    // are all on the hash path
+    "mm_webdataset" -> ((s, dir) => {
+      val path = wdsStore(s, dir)
+      graft.sources.TarReader.webdatasetSamples(
+          graft.sources.TarReader.entries(s, path))
+        .select(
+          regexp_extract(col("shard"), "wds-([0-9]+)-", 1)
+            .cast("bigint").as("shard_id"),
+          col("n_parts"), col("n_bytes"),
+          conv(substring(md5(element_at(col("parts"), "txt")), 1, 9), 16, 10)
+            .cast("bigint").as("th"),
+          conv(substring(md5(element_at(col("parts"), "cls")), 1, 9), 16, 10)
+            .cast("bigint").as("ch"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_samples"),
+          sum(col("n_parts")).as("n_parts"),
+          sum(col("n_bytes")).as("n_bytes"),
+          sum(col("th")).as("txt_checksum"),
+          sum(col("ch")).as("cls_checksum"))
+        .orderBy(col("shard_id"))
     }),
 
     // DSIR (Xie et al. 2023): per-doc log importance weight of the raw
@@ -3076,6 +3127,13 @@ object PipelineQueries {
         |   row_number() OVER (PARTITION BY media_id ORDER BY i) - 1 AS frame_idx
         |   FROM f WHERE i % 2 = 0 AND length(substr(text, i * 64 + 1, 64)) > 0)
         | SELECT media_id, frame_idx, frame_bytes FROM kept ORDER BY media_id, frame_idx""".om,
+    "mm_webdataset" ->
+      """SELECT doc_id % 8 AS shard_id, count(*)::BIGINT AS n_samples,
+        | (count(*) * 2)::BIGINT AS n_parts,
+        | sum(octet_length(encode(text)) + octet_length(encode(lang)))::BIGINT AS n_bytes,
+        | sum(('0x' || substr(md5(text), 1, 9))::BIGINT)::BIGINT AS txt_checksum,
+        | sum(('0x' || substr(md5(lang), 1, 9))::BIGINT)::BIGINT AS cls_checksum
+        | FROM documents GROUP BY 1 ORDER BY shard_id""".om,
     "dsir_weights" ->
       s"""WITH $dsirCtes
          | SELECT f.doc_id, count(*) AS n_grams, round(sum(lr), 6) AS logw

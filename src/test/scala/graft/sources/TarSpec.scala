@@ -83,6 +83,55 @@ class TarSpec extends AnyFunSuite {
     assert(rows.exists(_._1 == "000003.cls"))
   }
 
+  test("TarWriter round-trip: write -> TarReader reads bytes back exactly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tarw").toString
+    val rows = Seq(
+      ("a.txt", "alpha".getBytes(UTF_8)),
+      ("b.bin", Array.tabulate(700)(i => (i * 7).toByte)), // crosses a block
+      (("d/" * 60) + "deep.txt", "deep".getBytes(UTF_8))) // ustar prefix split
+    val n = TarWriter.write(
+      spark.createDataset(rows).toDF("name", "payload").repartition(1),
+      dir, gzip = false)
+    assert(n == 1)
+    val back = TarReader.entries(spark, dir).collect()
+      .map(r => r.getString(1) -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(back.keySet == rows.map(_._1).toSet)
+    rows.foreach { case (k, v) => assert(back(k).sameElements(v), k) }
+    // the shard is also readable by the JDK-independent header math:
+    // sizes survive and nothing is truncated
+    val sizes = TarReader.entries(spark, dir).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    rows.foreach { case (k, v) => assert(sizes(k) == v.length.toLong) }
+  }
+
+  test("TarWriter.writeSamples: shard column cuts files, gz, regroup identity") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tarws").toString
+    val samples = Seq(
+      (0, "s0", Map("txt" -> "t0".getBytes(UTF_8), "cls" -> "9".getBytes(UTF_8))),
+      (0, "s1", Map("txt" -> "t1".getBytes(UTF_8))),
+      (1, "s2", Map("txt" -> "t2".getBytes(UTF_8), "json" -> "{}".getBytes(UTF_8))))
+    val n = TarWriter.writeSamples(
+      spark.createDataset(samples).toDF("shard", "key", "parts"),
+      dir, gzip = true)
+    assert(n == 2) // one shard file per distinct shard value
+    val re = TarReader.webdatasetSamples(TarReader.entries(spark, dir))
+      .collect().map { r =>
+        r.getString(1) -> r.getMap[String, Array[Byte]](2).view
+          .mapValues(new String(_, UTF_8)).toMap
+      }.toMap
+    assert(re == Map(
+      "s0" -> Map("txt" -> "t0", "cls" -> "9"),
+      "s1" -> Map("txt" -> "t1"),
+      "s2" -> Map("txt" -> "t2", "json" -> "{}")))
+    // shard integrity: both members of a sample landed in the SAME file
+    val byShardFile = TarReader.entries(spark, dir).collect()
+      .groupBy(_.getString(0)).values.map(_.map(_.getString(1)).toSet)
+    assert(byShardFile.exists(s => s("s0.txt") && s("s0.cls") && s("s1.txt")))
+    assert(byShardFile.exists(s => s("s2.txt") && s("s2.json")))
+  }
+
   test("webdatasetSamples: members regroup into per-key modality maps") {
     val dir = fixture()
     val s = TarReader.webdatasetSamples(TarReader.entries(spark, dir.toString))
