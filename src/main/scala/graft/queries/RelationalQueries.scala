@@ -39,6 +39,33 @@ object RelationalQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // interval×interval overlap join (ops.RangeJoin.intervalOverlap):
+    // lineitem transit intervals against deterministic per-supplier
+    // maintenance windows — pairs where the shipment was in transit
+    // during a window, each pair exactly once (bucket-of-greatest-lo
+    // dedup filter, no distinct), overlap length aggregated per
+    // supplier
+    "q_interval_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_suppkey").as("key"),
+        datediff(to_date(col("l_shipdate")), to_date(lit("1970-01-01")))
+          .cast("long").as("lo"),
+        (datediff(to_date(col("l_shipdate")), to_date(lit("1970-01-01")))
+          .cast("long") +
+          (col("l_orderkey") * 7 + col("l_linenumber")) % 30 + 1).as("hi"))
+      val win = t(s, dir, "supplier").select(
+        col("s_suppkey").as("key"),
+        (lit(8035L) + (col("s_suppkey") * 97) % 2500).cast("long").as("rlo"),
+        (lit(8035L) + (col("s_suppkey") * 97) % 2500 +
+          col("s_suppkey") % 60 + 10).cast("long").as("rhi"))
+      graft.ops.RangeJoin.intervalOverlap(li, win, bucketWidth = 32L)
+        .groupBy(col("key").as("suppkey"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(least(col("hi"), col("rhi")) - greatest(col("lo"), col("rlo"))
+            + lit(1)).as("overlap_days"))
+        .orderBy(col("suppkey"))
+    }),
+
     // TPC-H Q1 shape: scan + groupBy aggregate (map-side partials, one shuffle)
     "q1_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -629,6 +656,20 @@ object RelationalQueries {
         | CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
         | count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
         | FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) ORDER BY gid, status, prio""".om,
+    "q_interval_join" ->
+      """WITH li AS (SELECT l_suppkey AS key,
+        |   datediff('day', DATE '1970-01-01', l_shipdate) AS lo,
+        |   datediff('day', DATE '1970-01-01', l_shipdate)
+        |     + (l_orderkey * 7 + l_linenumber) % 30 + 1 AS hi FROM lineitem),
+        | win AS (SELECT s_suppkey AS key,
+        |   8035 + (s_suppkey * 97) % 2500 AS rlo,
+        |   8035 + (s_suppkey * 97) % 2500 + s_suppkey % 60 + 10 AS rhi
+        |  FROM supplier)
+        | SELECT li.key AS suppkey, count(*) AS n_overlaps,
+        |  sum(least(hi, rhi) - greatest(lo, rlo) + 1)::BIGINT AS overlap_days
+        | FROM li JOIN win ON li.key = win.key
+        |   AND lo <= rhi AND rlo <= hi
+        | GROUP BY 1 ORDER BY 1""".om,
     "q_range_join" ->
       """WITH li AS (SELECT l_orderkey, l_linenumber, l_suppkey,
         |   datediff('day', DATE '1970-01-01', l_shipdate) AS d FROM lineitem),

@@ -1158,6 +1158,41 @@ class OpsSpec extends AnyFunSuite {
     assert(lshPlan.contains("SortMergeJoin"))
   }
 
+  test("interval overlap join: exactly-once pairs across buckets, pinned plan") {
+    // [0,100] spans 7 width-16 buckets and overlaps each right interval
+    // in several of them — the bucket-of-greatest-lo filter must keep
+    // each pair exactly once; closed ends: [10,20]×[20,25] touches
+    val left = Seq((1L, 0L, 100L, "wide"), (1L, 10L, 20L, "narrow"),
+      (2L, 5L, 6L, "other")).toDF("key", "lo", "hi", "lid")
+    val right = Seq((1L, 20L, 25L), (1L, 50L, 90L), (1L, 101L, 200L),
+      (2L, 7L, 9L)).toDF("key", "rlo", "rhi")
+    val out = RangeJoin.intervalOverlap(left, right, bucketWidth = 16L)
+    val got = out.select("lid", "rlo", "rhi").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet == Set(("wide", 20L, 25L), ("wide", 50L, 90L),
+      ("narrow", 20L, 25L)))
+    assert(got.length == 3) // multi-bucket co-coverage did not duplicate
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"))
+    assert(RangeJoin.intervalOverlap(left, right, 16L, broadcastRight = true)
+      .queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    // randomized cross-check against the quadratic definition
+    val rnd = new scala.util.Random(7)
+    val ls = (1 to 120).map { i =>
+      val lo = rnd.nextInt(300).toLong; (rnd.nextInt(3).toLong, lo, lo + rnd.nextInt(60), s"l$i") }
+    val rs = (1 to 120).map { _ =>
+      val lo = rnd.nextInt(300).toLong; (rnd.nextInt(3).toLong, lo, lo + rnd.nextInt(60)) }
+    val expect = (for {
+      (k, lo, hi, id) <- ls; (k2, rlo, rhi) <- rs
+      if k == k2 && lo <= rhi && rlo <= hi
+    } yield (id, rlo, rhi)).sorted
+    val fast = RangeJoin.intervalOverlap(
+        ls.toDF("key", "lo", "hi", "lid"), rs.toDF("key", "rlo", "rhi"), 16L)
+      .select("lid", "rlo", "rhi").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(fast == expect)
+  }
+
   test("temperatureMix flattens a skewed histogram, downsample-only") {
     val df = ((1L to 400L).map((_, "big")) ++ (401L to 500L).map((_, "small")))
       .toDF("doc_id", "s")
