@@ -665,6 +665,51 @@ object StreamIngest {
   def warcDocsView(spark: SparkSession, docsPath: String): DataFrame =
     spark.read.parquet(docsPath).drop("batch")
 
+  /** Continuous WebDataset ingest — [[warcIngestStream]]'s shape for
+    * tar shards: shards landing under `dir` stream into a regrouped
+    * samples store (`key`, `parts: map<ext, payload>`, counts). Same
+    * contract: the file source reads segment NAMES only (content
+    * pruned — shards are parsed by [[graft.sources.TarReader]]'s
+    * streaming walk, never materialized whole), the checkpointed
+    * seen-files log makes each shard exactly-once, and each batch
+    * writes an idempotent `batch=<id>` directory so a replayed batch
+    * overwrites itself instead of duplicating samples. */
+  def tarIngestStream(spark: SparkSession, dir: String, samplesPath: String,
+                      checkpoint: String, maxPayloadBytes: Int = 16 << 20,
+                      daemon: Boolean = false): StreamingQuery = {
+    val names = spark.readStream.format("binaryFile")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .option("pathGlobFilter", "*.tar*").load(dir)
+      .select(col("path"))
+    val w: DataStreamWriter[org.apache.spark.sql.Row] = names.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val files = batch.collect().map(_.getString(0)).toSeq.sorted
+        if (files.nonEmpty) {
+          val entries = graft.sources.TarReader.entriesForFiles(
+            batch.sparkSession, files, maxPayloadBytes)
+          graft.sources.TarReader.webdatasetSamples(entries)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$samplesPath/batch=$batchId")
+          batch.sparkSession.catalog.refreshByPath(samplesPath)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (daemon) Trigger.ProcessingTime("5 seconds") else Trigger.AvailableNow())
+    w.start()
+  }
+
+  /** The accumulated samples of a [[tarIngestStream]] store. */
+  def tarSamplesView(spark: SparkSession, samplesPath: String): DataFrame =
+    spark.read.parquet(samplesPath).drop("batch")
+
   /** Streaming histogram — the sum-monoid member of the streaming
     * sketch family (HLL registers merge by max, KMV hashes by min,
     * histogram bins by SUM): each micro-batch writes its per-(group,

@@ -581,6 +581,49 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(StreamIngest.warcDocsView(spark, docsP).count() == 110)
   }
 
+  test("tar ingest stream: each landing WebDataset shard regrouped exactly once") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory("graft-tarstream")
+    val inbox = root.resolve("inbox").toString
+    val samplesP = root.resolve("samples").toString
+    val ckpt = root.resolve("ckpt").toString
+    new java.io.File(inbox).mkdirs()
+    def shard(ids: Range): Unit = {
+      val df = ids.map(i => (1, s"s$i",
+          Map("txt" -> s"caption $i".getBytes("UTF-8"),
+            "cls" -> s"${i % 3}".getBytes("UTF-8"))))
+        .toDF("shard", "key", "parts")
+      graft.sources.TarWriter.writeSamples(df, inbox,
+        prefix = s"in${ids.start}")
+      ()
+    }
+    shard(0 until 30)
+    val q = StreamIngest.tarIngestStream(spark, inbox, samplesP, ckpt,
+      daemon = true)
+    q.processAllAvailable()
+    assert(StreamIngest.tarSamplesView(spark, samplesP).count() == 30)
+    // a shard LANDS mid-stream: next trigger picks up only the new file
+    shard(30 until 50)
+    q.processAllAvailable()
+    q.stop()
+    val samples = StreamIngest.tarSamplesView(spark, samplesP)
+    assert(samples.count() == 50)
+    assert(samples.select(col("key")).distinct().count() == 50)
+    val s7 = samples.where(col("key") === "s7").head()
+    assert(new String(s7.getAs[Map[String, Array[Byte]]]("parts")("txt"),
+      "UTF-8") == "caption 7")
+    assert(s7.getAs[Long]("n_parts") == 2L)
+    // restart on the same checkpoint: the seen-file log replays nothing
+    shard(50 until 60)
+    val q2 = StreamIngest.tarIngestStream(spark, inbox, samplesP, ckpt,
+      daemon = true)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(StreamIngest.tarSamplesView(spark, samplesP).count() == 60)
+  }
+
   test("crawl → curation composition: segments stream into a curated store") {
     import org.apache.spark.sql.functions._
     val spark0 = spark
