@@ -437,6 +437,103 @@ object ImagePixelStatsExpr {
     GraftSqlBridge.column(ImagePixelStatsExpr(GraftSqlBridge.expression(payload)))
 }
 
+/** Perceptual difference-hash (dHash) over a REAL 24bpp BMP decode —
+  * the image modality's NEAR-dup key, the pixel analog of text
+  * simhash: a 56-bit signature that is invariant to uniform brightness
+  * shifts and stable under small pixel noise (each bit is a luminance
+  * ORDER between neighboring grid samples, not a level).
+  *
+  * Grid: 8×8 BT.709 integer luminances point-sampled at the cell
+  * centers `x_c = (2c+1)·w/16`, `y_r = (2r+1)·h/16` (floor division —
+  * exact integer math, any image size ≥ 1×1, replicable in SQL by the
+  * oracle). Bit `r·7 + c` (r, c in 0..7×0..6) is set iff
+  * `lum[r][c+1] > lum[r][c]` — 56 bits, leaving the sign bit and
+  * band-key headroom clear (the same reason text simhash is 60-bit).
+  * Bottom-up and top-down row orders both map to IMAGE coordinates
+  * before sampling (unlike the order-free stats expression, the hash
+  * depends on orientation). Null for non-BMP/non-24bpp payloads. */
+case class ImageDHashExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_dhash"
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  private def le4(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL)) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  private def le2(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  def compute(b: Array[Byte]): Any = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
+    val dataOffset = le4(b, 10)
+    if (le4(b, 14) < 40) return null
+    val w = le4(b, 18).toInt
+    val hRaw = le4(b, 22).toInt
+    val h = math.abs(hRaw)
+    val bpp = le2(b, 28)
+    val compression = le4(b, 30)
+    if (w <= 0 || h == 0 || bpp != 24 || compression != 0L) return null
+    if (dataOffset < 54 || dataOffset > b.length) return null
+    val stride = ((w * 3 + 3) / 4) * 4
+    if ((b.length - dataOffset) / stride < h) return null // truncated
+    val lum = new Array[Long](64)
+    var r = 0
+    while (r < 8) {
+      val y = (2 * r + 1) * h / 16
+      // bottom-up files store image row y at file row h-1-y
+      val fileRow = if (hRaw > 0) h - 1 - y else y
+      var c = 0
+      while (c < 8) {
+        val x = (2 * c + 1) * w / 16
+        val i = dataOffset.toInt + fileRow * stride + x * 3
+        val bl = b(i) & 0xff; val g = b(i + 1) & 0xff; val rd = b(i + 2) & 0xff
+        lum(r * 8 + c) = 2126L * rd + 7152L * g + 722L * bl
+        c += 1
+      }
+      r += 1
+    }
+    var hash = 0L
+    var bit = 0
+    r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 7) {
+        if (lum(r * 8 + c + 1) > lum(r * 8 + c)) hash |= (1L << bit)
+        bit += 1; c += 1
+      }
+      r += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("imageDhash", this,
+      classOf[ImageDHashExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("dh")
+      s"""
+         |Object $tmp = $self.compute($c);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Long) $tmp).longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ImageDHashExpr {
+  /** Column wrapper: codegen'd 56-bit perceptual dHash of a BMP. */
+  def image_dhash(payload: Column): Column =
+    GraftSqlBridge.column(ImageDHashExpr(GraftSqlBridge.expression(payload)))
+}
+
 /** REAL PNG pixel decode — the compressed image format is decodable
   * with NO codec library because its codec is the JDK: zlib inflate
   * (`java.util.zip.Inflater`) plus the five published scanline filters

@@ -289,6 +289,49 @@ object Multimodal {
   def decodeImagePixels(payload: Column): Column =
     graft.functions.ImagePixelStatsExpr.image_pixel_stats(payload)
 
+  /** Perceptual 56-bit difference hash over a real BMP pixel decode —
+    * the image modality's near-dup key (see
+    * [[graft.functions.ImageDHashExpr]] for the grid/bit contract).
+    * Null for payloads the decoder rejects. */
+  def imageDHash(payload: Column): Column =
+    graft.functions.ImageDHashExpr.image_dhash(payload)
+
+  /** Image near-dup pairs — text simhash's banded-Hamming shape applied
+    * to [[imageDHash]]: one codegen'd decode+hash pass per image, the
+    * band self-join over DISTINCT hash values (4 bands × 14 bits; by
+    * pigeonhole any pair within `maxDist` ≤ 3 shares a band), bit_count
+    * filter BEFORE the distinct shuffle, then value pairs expand to
+    * image id pairs. Sub-quadratic at any corpus size for the same
+    * reason the text path is: candidates are per-band-key groups, never
+    * all-pairs. Output: (id1, id2, hamming), id1 < id2, each pair once. */
+  def imageNearDupPairs(media: DataFrame, idCol: String, payloadCol: String,
+                        maxDist: Int = 3): DataFrame = {
+    val imgs = Dedup.sharedPersist(
+      media.select(col(idCol).as("id"), imageDHash(col(payloadCol)).as("dh"))
+        .where(col("dh").isNotNull))
+    val values = imgs.select(col("dh")).distinct()
+    val banded = values.select(col("dh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("dh"), b * 14).bitwiseAND(0x3fffL)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val l = banded.select(col("band"), col("band_key"), col("dh").as("dh1"))
+    val r = banded.select(col("band"), col("band_key"), col("dh").as("dh2"))
+    val dhPairs = l.join(r.hint("merge"), Seq("band", "band_key"))
+      .where(col("dh1") < col("dh2"))
+      .select(col("dh1"), col("dh2"),
+        bit_count(col("dh1").bitwiseXOR(col("dh2"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxDist)
+      .distinct()
+      .unionByName(values.select(col("dh").as("dh1"), col("dh").as("dh2"),
+        lit(0L).as("hamming")))
+    dhPairs
+      .join(imgs.select(col("dh").as("dh1"), col("id").as("ida")), "dh1")
+      .join(imgs.select(col("dh").as("dh2"), col("id").as("idb")), "dh2")
+      .where(col("dh1") =!= col("dh2") || col("ida") < col("idb"))
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"), col("hamming"))
+  }
+
   /** One REAL PNG image (RFC 2083): 8-bit RGB, per-row filters CYCLING
     * through all five types (a real encoder's shape — None/Sub/Up/
     * Average/Paeth at row y mod 5, deltas properly applied), zlib IDAT

@@ -941,6 +941,28 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // perceptual dHash per image: real BMP decode → 8×8 center-sampled
+    // BT.709 luma grid → 56-bit neighbor-order hash, one codegen'd pass
+    // per payload; the oracle recomputes every sample and bit from the
+    // synth's closed-form pixels
+    "mm_image_dhash" -> ((s, dir) => {
+      val media = Multimodal.synthesizeBitmap(docs(s, dir), "doc_id", "source")
+      media.select(col("media_id"),
+          Multimodal.imageDHash(col("payload")).as("dhash"))
+        .orderBy(col("media_id"))
+    }),
+
+    // image NEAR-dup pairs: banded Hamming self-join over the dHash
+    // values (4×14-bit bands, sub-quadratic) — the oracle brute-forces
+    // all pairs over the recomputed hashes, so banding recall at
+    // maxDist ≤ bands-1 is itself under test
+    "mm_image_neardup" -> ((s, dir) => {
+      val media = Multimodal.synthesizeBitmap(
+        docs(s, dir).where(col("doc_id") % 17 === 0), "doc_id", "source")
+      Multimodal.imageNearDupPairs(media, "media_id", "payload")
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // REAL PNG decode: CRC-verified chunks, JDK-inflate IDAT, all five
     // scanline un-filters (the synth CYCLES filter types per row), same
     // closed-form pixels as the bitmap path — container-agnostic features
@@ -3073,6 +3095,42 @@ object PipelineQueries {
          | SELECT media_id, width, height, n_pixels, sum_r, sum_g, sum_b,
          |  max_lum, round(CAST(sum_r AS DOUBLE) / n_pixels, 6) AS mean_r
          | FROM f ORDER BY media_id""".om,
+    // dHash recomputed sample-for-sample from the closed-form pixels:
+    // 8×8 center samples x_c=(2c+1)w//16, y_r=(2r+1)h//16, bit r*7+c set
+    // iff lum[r][c+1] > lum[r][c] (DuckDB lists are 1-indexed)
+    "mm_image_dhash" ->
+      s"""WITH d AS (SELECT doc_id AS media_id, 8 + doc_id % 9 AS w,
+         |   4 + doc_id % 5 AS h FROM documents),
+         | g AS (SELECT media_id, list_transform(range(0, 8), r ->
+         |   list_transform(range(0, 8), c ->
+         |     2126*((media_id*9 + ((2*c+1)*w)//16 + (((2*r+1)*h)//16)*13) % 256)
+         |   + 7152*((media_id*5 + (((2*c+1)*w)//16)*11 + ((2*r+1)*h)//16) % 256)
+         |   +  722*((media_id + (((2*c+1)*w)//16)*3 + (((2*r+1)*h)//16)*7) % 256))) AS lum
+         |  FROM d)
+         | SELECT media_id, list_sum(flatten(list_transform(range(0, 8), r ->
+         |   list_transform(range(0, 7), c ->
+         |     CASE WHEN lum[r+1][c+2] > lum[r+1][c+1]
+         |     THEN 1::BIGINT << (r*7+c) ELSE 0::BIGINT END))))::BIGINT AS dhash
+         | FROM g ORDER BY media_id""".om,
+    "mm_image_neardup" ->
+      s"""WITH d AS (SELECT doc_id AS media_id, 8 + doc_id % 9 AS w,
+         |   4 + doc_id % 5 AS h FROM documents WHERE doc_id % 17 = 0),
+         | g AS (SELECT media_id, list_transform(range(0, 8), r ->
+         |   list_transform(range(0, 8), c ->
+         |     2126*((media_id*9 + ((2*c+1)*w)//16 + (((2*r+1)*h)//16)*13) % 256)
+         |   + 7152*((media_id*5 + (((2*c+1)*w)//16)*11 + ((2*r+1)*h)//16) % 256)
+         |   +  722*((media_id + (((2*c+1)*w)//16)*3 + (((2*r+1)*h)//16)*7) % 256))) AS lum
+         |  FROM d),
+         | hh AS (SELECT media_id, list_sum(flatten(list_transform(range(0, 8), r ->
+         |   list_transform(range(0, 7), c ->
+         |     CASE WHEN lum[r+1][c+2] > lum[r+1][c+1]
+         |     THEN 1::BIGINT << (r*7+c) ELSE 0::BIGINT END))))::BIGINT AS dh
+         |  FROM g)
+         | SELECT a.media_id AS id1, b.media_id AS id2,
+         |  bit_count(xor(a.dh, b.dh))::BIGINT AS hamming
+         | FROM hh a JOIN hh b ON a.media_id < b.media_id
+         | WHERE bit_count(xor(a.dh, b.dh)) <= 3
+         | ORDER BY id1, id2""".om,
     // PCM decode recomputed from the tone's closed form (byte j of the
     // data chunk = (id*7 + j*37) mod 256, LE int16 pairs) — no byte
     // parsing needed, the waveform IS the spec

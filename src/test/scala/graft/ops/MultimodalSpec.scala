@@ -182,6 +182,65 @@ class MultimodalSpec extends AnyFunSuite {
       .head().isNullAt(0))
   }
 
+  test("image dHash: brightness invariance, orientation, JVM reference, nulls") {
+    // hand-built 16×16 24bpp BMPs (stride 48, no padding)
+    def bmp(h: Int, pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val w = 16
+      val out = new java.io.ByteArrayOutputStream()
+      def le4(v: Int): Unit =
+        (0 until 4).foreach(i => out.write((v >> (8 * i)) & 0xff))
+      def le2(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      out.write('B'); out.write('M'); le4(54 + w * 3 * math.abs(h)); le4(0); le4(54)
+      le4(40); le4(w); le4(h); le2(1); le2(24); (0 until 24).foreach(_ => out.write(0))
+      val hh = math.abs(h)
+      for (fr <- 0 until hh; x <- 0 until w) {
+        val y = if (h > 0) hh - 1 - fr else fr // bottom-up vs top-down
+        val (r, g, b) = pixel(x, y)
+        out.write(b); out.write(g); out.write(r)
+      }
+      out.toByteArray
+    }
+    def dhash(payloads: Array[Byte]*): Seq[Any] = {
+      val df = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        .toDF("id", "payload")
+      df.select(Multimodal.imageDHash(col("payload"))).collect()
+        .map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSeq
+    }
+    val grad = (x: Int, y: Int) => (x * 10, y * 10, (x + y) * 5)
+    val bright = (x: Int, y: Int) => (x * 10 + 40, y * 10 + 40, (x + y) * 5 + 40)
+    val Seq(base, shifted, topDown, noise) = dhash(
+      bmp(16, grad), bmp(16, bright), bmp(-16, grad),
+      bmp(16, (x, y) => (((x * 97 + y * 31) % 7) * 36, ((x * 13 + y * 53) % 5) * 50,
+        ((x * 29 + y * 3) % 11) * 23)))
+    // dHash encodes luminance ORDER, so a uniform +40 shift is identity
+    assert(base == shifted)
+    // orientation is normalized to image coordinates before sampling
+    assert(base == topDown)
+    // an unrelated pattern is far: a monotone gradient's hash is all-ones
+    assert(base != noise)
+    // JVM reference for the gradient: every rightward neighbor is
+    // brighter, so all 56 bits are set
+    assert(base == (1L << 56) - 1)
+    // truncated pixel array and foreign bytes decode to null
+    val truncated = bmp(16, grad).take(200)
+    assert(dhash(truncated, "not an image".getBytes("UTF-8")) == Seq(null, null))
+  }
+
+  test("image near-dup pairs: banded join finds shifted copies, not strangers") {
+    val docs = Seq((0L, "s"), (17L, "s"), (34L, "s")).toDF("doc_id", "source")
+    val media = Multimodal.synthesizeBitmap(docs, "doc_id", "source")
+    // plant an exact duplicate of image 0 under a new id
+    val dup = media.where(col("media_id") === 0L)
+      .withColumn("media_id", col("media_id") + 1000L)
+    val all = media.unionByName(dup)
+    val pairs = Multimodal.imageNearDupPairs(all, "media_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains((0L, 1000L, 0L))) // the planted dup, hamming 0
+    val plan = Multimodal.imageNearDupPairs(all, "media_id", "payload")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin")) // candidate join stays pinned
+  }
+
   test("PNG pixel decode: inflate + all five un-filters, CRC gate") {
     // h = 5 + id%4 >= 5, so every image cycles through ALL filter types
     val docs = Seq((2L, "s3://a"), (7L, "s3://b")).toDF("doc_id", "source")
