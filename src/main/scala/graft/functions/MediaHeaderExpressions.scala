@@ -437,6 +437,183 @@ object ImagePixelStatsExpr {
     GraftSqlBridge.column(ImagePixelStatsExpr(GraftSqlBridge.expression(payload)))
 }
 
+/** Perceptual audio fingerprint over a REAL 16-bit PCM decode — the
+  * audio modality's near-dup key: the sample stream splits into 57
+  * equal frames `[f·n/57, (f+1)·n/57)`, each frame's exact integer
+  * energy `Σ s²` is computed in one pass, and bit `f` (0..55) is set
+  * iff `energy[f+1] > energy[f]` — a gain-resistant ENERGY-ENVELOPE
+  * ORDER signature (uniform amplitude scaling preserves every
+  * comparison), the time-domain analog of image dHash. Null for
+  * non-WAV/non-16-bit payloads and clips shorter than 57 samples. */
+case class AudioFingerprintExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_fingerprint"
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  private def le4(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL)) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
+      b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
+
+  def compute(b: Array[Byte]): Any = {
+    if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
+    var i = 12
+    var bits = -1
+    var dataAt = -1
+    var dataLen = 0L
+    while (i + 8 <= b.length) {
+      val size = le4(b, i + 4)
+      if (size < 0 || size > b.length) return null
+      if (tag(b, i, "fmt ") && size >= 16 && i + 8 + 16 <= b.length)
+        bits = (b(i + 8 + 14) & 0xff) | ((b(i + 8 + 15) & 0xff) << 8)
+      else if (tag(b, i, "data")) { dataAt = i + 8; dataLen = size }
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (bits != 16 || dataAt < 0) return null
+    val end = math.min(b.length.toLong, dataAt + dataLen).toInt
+    val n = (end - dataAt) / 2
+    if (n < 57) return null
+    val energy = new Array[Long](57)
+    var f = 0
+    while (f < 57) {
+      val from = (f.toLong * n / 57).toInt
+      val until = ((f + 1).toLong * n / 57).toInt
+      var k = from
+      var e = 0L
+      while (k < until) {
+        val s = ((b(dataAt + 2 * k) & 0xff) | (b(dataAt + 2 * k + 1) << 8))
+          .toShort.toLong
+        e += s * s
+        k += 1
+      }
+      energy(f) = e
+      f += 1
+    }
+    var hash = 0L
+    f = 0
+    while (f < 56) {
+      if (energy(f + 1) > energy(f)) hash |= (1L << f)
+      f += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("audioFp", this,
+      classOf[AudioFingerprintExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("afp")
+      s"""
+         |Object $tmp = $self.compute($c);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Long) $tmp).longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AudioFingerprintExpr {
+  /** Column wrapper: codegen'd 56-bit PCM energy-envelope fingerprint. */
+  def audio_fingerprint(payload: Column): Column =
+    GraftSqlBridge.column(AudioFingerprintExpr(GraftSqlBridge.expression(payload)))
+}
+
+/** Perceptual keyframe hash over a REAL Y4M decode — the video
+  * modality's near-dup key: frame 0's luma plane is center-sampled on
+  * the same 8×8 grid as [[ImageDHashExpr]] (`x_c = (2c+1)·w/16`,
+  * `y_r = (2r+1)·h/16`) and bit `r·7 + c` is set iff
+  * `Y[r][c+1] > Y[r][c]` — the keyframe signature video dedup
+  * pipelines bucket on before any temporal verification. Null when the
+  * stream has no complete first frame or is not 4:2:0. */
+case class VideoDHashExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "video_dhash"
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  def compute(b: Array[Byte]): Any = {
+    val magic = "YUV4MPEG2 "
+    if (b.length < magic.length + 8) return null
+    var i = 0
+    while (i < magic.length) {
+      if (b(i) != magic.charAt(i)) return null
+      i += 1
+    }
+    var nl = i
+    while (nl < b.length && b(nl) != '\n') nl += 1
+    if (nl >= b.length) return null
+    val header = new String(b, i, nl - i, java.nio.charset.StandardCharsets.US_ASCII)
+    var w = -1; var h = -1; var c420 = true
+    header.split(' ').foreach { p =>
+      if (p.startsWith("W")) w = p.drop(1).toIntOption.getOrElse(-1)
+      else if (p.startsWith("H")) h = p.drop(1).toIntOption.getOrElse(-1)
+      else if (p.startsWith("C")) c420 = p.drop(1).startsWith("420")
+    }
+    if (w <= 0 || h <= 0 || (w & 1) == 1 || (h & 1) == 1 || !c420) return null
+    var pos = nl + 1
+    if (pos + 5 > b.length || b(pos) != 'F' || b(pos + 1) != 'R' ||
+      b(pos + 2) != 'A' || b(pos + 3) != 'M' || b(pos + 4) != 'E') return null
+    var fe = pos + 5
+    while (fe < b.length && b(fe) != '\n') fe += 1
+    if (fe >= b.length) return null
+    val dataAt = fe + 1
+    if (dataAt + w * h > b.length) return null // incomplete first luma plane
+    var hash = 0L
+    var bit = 0
+    var r = 0
+    while (r < 8) {
+      val y = (2 * r + 1) * h / 16
+      var c = 0
+      var prev = 0
+      while (c < 8) {
+        val x = (2 * c + 1) * w / 16
+        val lum = b(dataAt + y * w + x) & 0xff
+        if (c > 0 && lum > prev) hash |= (1L << bit)
+        if (c > 0) bit += 1
+        prev = lum
+        c += 1
+      }
+      r += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("videoDhash", this,
+      classOf[VideoDHashExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("vdh")
+      s"""
+         |Object $tmp = $self.compute($c);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Long) $tmp).longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VideoDHashExpr {
+  /** Column wrapper: codegen'd 56-bit Y4M keyframe luma-order hash. */
+  def video_dhash(payload: Column): Column =
+    GraftSqlBridge.column(VideoDHashExpr(GraftSqlBridge.expression(payload)))
+}
+
 /** Perceptual difference-hash (dHash) over a REAL 24bpp BMP decode —
   * the image modality's NEAR-dup key, the pixel analog of text
   * simhash: a 56-bit signature that is invariant to uniform brightness

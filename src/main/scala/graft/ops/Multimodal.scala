@@ -305,9 +305,37 @@ object Multimodal {
     * reason the text path is: candidates are per-band-key groups, never
     * all-pairs. Output: (id1, id2, hamming), id1 < id2, each pair once. */
   def imageNearDupPairs(media: DataFrame, idCol: String, payloadCol: String,
-                        maxDist: Int = 3): DataFrame = {
+                        maxDist: Int = 3): DataFrame =
+    bandedHammingPairs(media, idCol, imageDHash(col(payloadCol)), maxDist)
+
+  /** Audio near-dup pairs over the 56-bit PCM energy-envelope
+    * fingerprint ([[graft.functions.AudioFingerprintExpr]]) — same
+    * banded shape and guarantees as [[imageNearDupPairs]]. */
+  def audioNearDupPairs(media: DataFrame, idCol: String, payloadCol: String,
+                        maxDist: Int = 3): DataFrame =
+    bandedHammingPairs(media, idCol, audioFingerprint(col(payloadCol)), maxDist)
+
+  /** Video near-dup pairs over the 56-bit Y4M keyframe luma hash
+    * ([[graft.functions.VideoDHashExpr]]) — same banded shape and
+    * guarantees as [[imageNearDupPairs]]. */
+  def videoNearDupPairs(media: DataFrame, idCol: String, payloadCol: String,
+                        maxDist: Int = 3): DataFrame =
+    bandedHammingPairs(media, idCol, videoDHash(col(payloadCol)), maxDist)
+
+  /** 56-bit PCM energy-envelope fingerprint; null for undecodable or
+    * sub-57-sample payloads. */
+  def audioFingerprint(payload: Column): Column =
+    graft.functions.AudioFingerprintExpr.audio_fingerprint(payload)
+
+  /** 56-bit Y4M keyframe luma-order hash; null without a complete
+    * first frame. */
+  def videoDHash(payload: Column): Column =
+    graft.functions.VideoDHashExpr.video_dhash(payload)
+
+  private def bandedHammingPairs(media: DataFrame, idCol: String,
+                                 hash: Column, maxDist: Int): DataFrame = {
     val imgs = Dedup.sharedPersist(
-      media.select(col(idCol).as("id"), imageDHash(col(payloadCol)).as("dh"))
+      media.select(col(idCol).as("id"), hash.as("dh"))
         .where(col("dh").isNotNull))
     val values = imgs.select(col("dh")).distinct()
     val banded = values.select(col("dh"),

@@ -963,6 +963,26 @@ object PipelineQueries {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // audio near-dup key: 57-frame energy envelope of the decoded PCM
+    // stream, bit f = energy[f+1] > energy[f] — gain-resistant, exact
+    // integer math the oracle replays sample by sample
+    "mm_audio_fingerprint" -> ((s, dir) => {
+      val media = Multimodal.synthesizeAudioTone(docs(s, dir), "doc_id", "source")
+      media.select(col("media_id"),
+          Multimodal.audioFingerprint(col("payload")).as("fp"))
+        .orderBy(col("media_id"))
+    }),
+
+    // video near-dup key: keyframe luma-order hash (frame 0's Y plane
+    // on the image dHash grid) — the bucket key video dedup verifies
+    // temporally behind
+    "mm_video_dhash" -> ((s, dir) => {
+      val media = Multimodal.synthesizeY4m(docs(s, dir), "doc_id", "source")
+      media.select(col("media_id"),
+          Multimodal.videoDHash(col("payload")).as("dhash"))
+        .orderBy(col("media_id"))
+    }),
+
     // REAL PNG decode: CRC-verified chunks, JDK-inflate IDAT, all five
     // scanline un-filters (the synth CYCLES filter types per row), same
     // closed-form pixels as the bitmap path — container-agnostic features
@@ -3131,6 +3151,41 @@ object PipelineQueries {
          | FROM hh a JOIN hh b ON a.media_id < b.media_id
          | WHERE bit_count(xor(a.dh, b.dh)) <= 3
          | ORDER BY id1, id2""".om,
+    // energy envelope replayed from the tone's closed form: 57 frames
+    // [f·ns/57, (f+1)·ns/57), exact integer energies, order bits
+    "mm_audio_fingerprint" ->
+      s"""WITH d AS (SELECT doc_id AS media_id, 128 + doc_id % 64 AS ns
+         |  FROM documents),
+         | sm AS (SELECT media_id, ns, list_transform(range(0, ns), k ->
+         |   CASE WHEN ((media_id*7 + 2*k*37) % 256) +
+         |     256*((media_id*7 + (2*k+1)*37) % 256) >= 32768
+         |   THEN ((media_id*7 + 2*k*37) % 256) +
+         |     256*((media_id*7 + (2*k+1)*37) % 256) - 65536
+         |   ELSE ((media_id*7 + 2*k*37) % 256) +
+         |     256*((media_id*7 + (2*k+1)*37) % 256) END) AS s FROM d),
+         | en AS (SELECT media_id, list_transform(range(0, 57), f ->
+         |   coalesce(list_sum(list_transform(
+         |     range((f*ns)//57, ((f+1)*ns)//57), k ->
+         |       s[CAST(k AS INT) + 1] * s[CAST(k AS INT) + 1])), 0)) AS e
+         |  FROM sm)
+         | SELECT media_id, list_sum(list_transform(range(0, 56), f ->
+         |   CASE WHEN e[CAST(f AS INT) + 2] > e[CAST(f AS INT) + 1]
+         |   THEN 1::BIGINT << f ELSE 0::BIGINT END))::BIGINT AS fp
+         | FROM en ORDER BY media_id""".om,
+    // keyframe hash replayed from Y(x, y, t=0) = (id + 3x + 7y) mod 256
+    // on the 8×8 center-sample grid
+    "mm_video_dhash" ->
+      s"""WITH d AS (SELECT doc_id AS media_id, 8 + 2*(doc_id % 5) AS w,
+         |   6 + 2*(doc_id % 3) AS h FROM documents),
+         | g AS (SELECT media_id, list_transform(range(0, 8), r ->
+         |   list_transform(range(0, 8), c ->
+         |     (media_id + 3*(((2*c+1)*w)//16) + 7*(((2*r+1)*h)//16)) % 256)) AS lum
+         |  FROM d)
+         | SELECT media_id, list_sum(flatten(list_transform(range(0, 8), r ->
+         |   list_transform(range(0, 7), c ->
+         |     CASE WHEN lum[r+1][c+2] > lum[r+1][c+1]
+         |     THEN 1::BIGINT << (r*7+c) ELSE 0::BIGINT END))))::BIGINT AS dhash
+         | FROM g ORDER BY media_id""".om,
     // PCM decode recomputed from the tone's closed form (byte j of the
     // data chunk = (id*7 + j*37) mod 256, LE int16 pairs) — no byte
     // parsing needed, the waveform IS the spec

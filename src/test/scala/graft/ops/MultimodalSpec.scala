@@ -241,6 +241,74 @@ class MultimodalSpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin")) // candidate join stays pinned
   }
 
+  test("audio fingerprint: gain invariance, envelope sensitivity, nulls") {
+    // minimal 16-bit mono WAV around explicit samples
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w4(s: String): Unit = s.foreach(c => out.write(c))
+      def le4(v: Int): Unit = (0 until 4).foreach(i => out.write((v >> (8 * i)) & 0xff))
+      def le2(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      val dataLen = samples.length * 2
+      w4("RIFF"); le4(36 + dataLen); w4("WAVE")
+      w4("fmt "); le4(16); le2(1); le2(1); le4(8000); le4(16000); le2(2); le2(16)
+      w4("data"); le4(dataLen)
+      samples.foreach(s => le2(s & 0xffff))
+      out.toByteArray
+    }
+    def fp(payloads: Array[Byte]*): Seq[Any] = {
+      val df = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        .toDF("id", "payload")
+      df.select(Multimodal.audioFingerprint(col("payload"))).collect()
+        .map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSeq
+    }
+    // a rising-then-falling envelope over 570 samples (10 per frame)
+    val env = (0 until 570).map(k => (if (k < 285) k else 570 - k) * 20)
+    val Seq(base, doubled, reshaped, short) = fp(
+      wav(env), wav(env.map(_ * 2)), wav(env.sorted),
+      wav(Seq.fill(40)(100)))
+    // uniform gain preserves every energy ORDER comparison
+    assert(base == doubled)
+    // the triangle sets exactly the rising half's bits; a monotone
+    // envelope sets all 56 — shape is what the hash encodes
+    assert(base == (1L << 28) - 1)
+    assert(reshaped == (1L << 56) - 1)
+    // fewer than 57 samples cannot be framed
+    assert(short == null)
+    assert(fp("RIFFxxxxWAVE".getBytes("US-ASCII")) == Seq(null))
+  }
+
+  test("video keyframe hash: matches frame-0 luma order, ignores later frames") {
+    val docs = Seq((2L, "s"), (9L, "s")).toDF("doc_id", "source")
+    val got = Multimodal.synthesizeY4m(docs, "doc_id", "source")
+      .select(col("media_id"), Multimodal.videoDHash(col("payload")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ref(id: Long): Long = {
+      val w = (8 + 2 * (id % 5)).toInt; val h = (6 + 2 * (id % 3)).toInt
+      def lum(c: Int, r: Int) =
+        (id + 3 * ((2 * c + 1) * w / 16) + 7 * ((2 * r + 1) * h / 16)) % 256
+      (for (r <- 0 until 8; c <- 0 until 7 if lum(c + 1, r) > lum(c, r))
+        yield 1L << (r * 7 + c)).sum
+    }
+    assert(got(2L) == ref(2L) && got(9L) == ref(9L))
+    // stripping every frame after the first leaves the hash unchanged
+    val one = Multimodal.synthesizeY4m(docs, "doc_id", "source")
+      .collect().map { r =>
+        val b = r.getAs[Array[Byte]]("payload")
+        val id = r.getLong(0)
+        val w = (8 + 2 * (id % 5)).toInt; val h = (6 + 2 * (id % 3)).toInt
+        val hdr = b.indexOf('\n'.toByte) + 1
+        val frame = b.indexOf('\n'.toByte, hdr) + 1
+        (id, b.take(frame + w * h + 2 * (w / 2) * (h / 2)))
+      }.toSeq.toDF("id", "payload")
+    val oneHashes = one.select(col("id"), Multimodal.videoDHash(col("payload")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oneHashes == got)
+    // a stream with no complete first frame is null
+    val stub = "YUV4MPEG2 W8 H6 F25:1\nFRAME\nxx".getBytes("US-ASCII")
+    assert(Seq(Tuple1(stub)).toDF("payload")
+      .select(Multimodal.videoDHash(col("payload"))).head().isNullAt(0))
+  }
+
   test("PNG pixel decode: inflate + all five un-filters, CRC gate") {
     // h = 5 + id%4 >= 5, so every image cycles through ALL filter types
     val docs = Seq((2L, "s3://a"), (7L, "s3://b")).toDF("doc_id", "source")
