@@ -85,6 +85,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_bmp_pixels" -> graft.functions.ImagePixelStatsExpr.image_pixel_stats,
       "graft_png_pixels" -> graft.functions.PngPixelStatsExpr.png_pixel_stats,
       "graft_gif_pixels" -> graft.functions.GifPixelStatsExpr.gif_pixel_stats,
+      "graft_image_dhash" -> graft.functions.ImageDHashExpr.image_dhash,
+      "graft_audio_fingerprint" ->
+        graft.functions.AudioFingerprintExpr.audio_fingerprint,
+      "graft_video_dhash" -> graft.functions.VideoDHashExpr.video_dhash,
       "graft_html_text" -> graft.ops.WebText.htmlToText,
       "graft_html_title" -> graft.ops.WebText.htmlTitle,
       "graft_html_main" -> (c => graft.ops.WebText.mainContent(c)),

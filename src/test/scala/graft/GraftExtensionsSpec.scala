@@ -66,6 +66,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       png.createOrReplaceTempView("png_rows")
       val f = s.sql("SELECT graft_png_pixels(p).n_pixels AS n FROM png_rows").head()
       assert(f.getLong(0) == (9 + 3 % 8) * (5 + 3 % 4))
+      // perceptual fingerprints reach SQL: a real Y4M keyframe hash
+      val y4m = Seq(Tuple1(graft.ops.Multimodal.buildY4m(2L))).toDF("p")
+      y4m.createOrReplaceTempView("y4m_rows")
+      val vh = s.sql("SELECT graft_video_dhash(p) AS h FROM y4m_rows").head()
+      val viaColumn = y4m.select(graft.ops.Multimodal.videoDHash(col("p")))
+        .head().getLong(0)
+      assert(vh.getLong(0) == viaColumn)
+      // null gate survives the SQL path too
+      assert(s.sql("SELECT graft_image_dhash(CAST('nope' AS BINARY)) IS NULL")
+        .head().getBoolean(0))
+      assert(s.sql(
+        "SELECT graft_audio_fingerprint(CAST('nope' AS BINARY)) IS NULL")
+        .head().getBoolean(0))
     }
   }
 
