@@ -64,6 +64,12 @@ object ScaleCheck {
       spark.stop()
       return
     }
+    if (sys.env.get("SPARK_GRAFT_SCALE_SECTION").contains("media")) {
+      mediaDedupAtScale(spark)
+      graft.ops.Dedup.clearSharedPersists()
+      spark.stop()
+      return
+    }
     val dir = java.nio.file.Files.createTempDirectory("graft-scale").resolve("store").toString
 
     def time[T](name: String)(f: => T): T = {
@@ -561,6 +567,8 @@ object ScaleCheck {
     qsketchAtScale(spark)
 
     webIngestAtScale(spark)
+
+    mediaDedupAtScale(spark)
 
     curateAtScale(spark)
 
@@ -1188,6 +1196,79 @@ object ScaleCheck {
     * stage's drop count asserted against its planted class. Per-task
     * memory is O(maxPayload); nothing about the path holds a file in
     * memory. Standalone: SPARK_GRAFT_SCALE_SECTION=web. */
+  /** Image near-dedup at 1M images: avalanche-mixed 16×16 BMPs (every
+    * pair of distinct seeds is Hamming-far with overwhelming margin),
+    * ids ≡ 0 (mod 5) planted as one-pixel-perturbed copies of id+1
+    * (the perturbed pixel IS a grid sample, flipping ≤ 2 of the 56
+    * bits). The decode+hash pass streams payloads map-side — ONLY
+    * (id, hash) longs ever cross an exchange, the invariant that keeps
+    * image dedup viable when the payload mass is petabytes. Asserted:
+    * every planted pair found (banding recall at dist ≤ bands-1 is a
+    * pigeonhole THEOREM, so a miss is a bug), false pairs ≤ 100 (at
+    * random-hash density the expectation is ≪ 1), total shuffle write
+    * ≪ payload mass. Standalone: SPARK_GRAFT_SCALE_SECTION=media. */
+  private def mediaDedupAtScale(spark: SparkSession): Unit = {
+    import spark.implicits._
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"SCALE $name ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    }
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleWrite.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val n = 1000000L
+    val planted = n / 5
+    val payloadBytes = n * (54L + 16 * 48) // 822 B per image
+    val media = spark.range(n).as[Long].map { id =>
+      val seed = if (id % 5 == 0) id + 1 else id
+      def mix(a: Long): Long = {
+        var x = a; x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+        x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L; x ^= x >>> 33; x
+      }
+      val out = new java.io.ByteArrayOutputStream(822)
+      def le4(v: Int): Unit =
+        (0 until 4).foreach(i => out.write((v >> (8 * i)) & 0xff))
+      def le2(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      out.write('B'); out.write('M'); le4(822); le4(0); le4(54)
+      le4(40); le4(16); le4(16); le2(1); le2(24)
+      (0 until 24).foreach(_ => out.write(0))
+      for (fr <- 0 until 16; x <- 0 until 16) {
+        val y = 15 - fr // bottom-up
+        val m = mix(seed * 1048573L + x * 65537L + y)
+        val bump = if (id % 5 == 0 && x == 3 && y == 3) 1 else 0
+        out.write(((m & 0xff) + bump).toInt & 0xff) // B
+        out.write(((m >>> 8) & 0xff).toInt)         // G
+        out.write(((m >>> 16) & 0xff).toInt)        // R
+      }
+      (id, out.toByteArray)
+    }.toDF("media_id", "payload")
+    val pairs = time(s"dHash + banded pairs over $n images (decode map-side)") {
+      graft.ops.Multimodal.imageNearDupPairs(media, "media_id", "payload")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    time("assert planted recall + false-pair bound + shuffle bound") {
+      val total = pairs.count()
+      val plantedFound = pairs
+        .where(col("id2") === col("id1") + 1 && col("id1") % 5 === 0).count()
+      require(plantedFound == planted,
+        s"found $plantedFound of $planted planted near-dup pairs")
+      require(total - planted <= 100,
+        s"${total - planted} unplanted pairs — hash space degraded")
+      val sw = shuffleWrite.get()
+      require(sw < payloadBytes / 2,
+        s"shuffled $sw bytes against ${payloadBytes}B of payload — " +
+          "payloads are crossing an exchange")
+      println(f"SCALE media dedup: $total pairs ($planted planted), " +
+        f"shuffle ${sw / 1e6}%.1f MB vs payload ${payloadBytes / 1e6}%.1f MB")
+    }
+    pairs.unpersist(false)
+    spark.sparkContext.removeSparkListener(listener)
+  }
+
   private def webIngestAtScale(spark: SparkSession): Unit = {
     import graft.ops.WebText
     import graft.sources.WarcReader
