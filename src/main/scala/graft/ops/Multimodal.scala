@@ -332,6 +332,40 @@ object Multimodal {
   def videoDHash(payload: Column): Column =
     graft.functions.VideoDHashExpr.video_dhash(payload)
 
+  /** Corpus-side artifact for incremental media dedup: the (id, 56-bit
+    * hash) frame — at 100 TB a parquet table refreshed with the corpus
+    * and bucketed by band key, so per ingest only the NEW batch decodes.
+    * `hash` is any of [[imageDHash]] / [[audioFingerprint]] /
+    * [[videoDHash]]. */
+  def mediaHashIndex(media: DataFrame, idCol: String,
+                     hash: Column): DataFrame =
+    media.select(col(idCol).as("id"), hash.as("dh"))
+      .where(col("dh").isNotNull)
+
+  /** Cross-corpus media near-dedup — [[Dedup.minhashLshAgainst]]'s
+    * shape for perceptual hashes: which payloads of a NEW batch are
+    * within `maxDist` Hamming of an EXISTING corpus's
+    * [[mediaHashIndex]]. Only the new batch decodes; candidates are
+    * (band, band_key) matches against the index (same pigeonhole recall
+    * as the self-join path). Output: (new_id, corpus_id, hamming). */
+  def mediaNearDupAgainst(newMedia: DataFrame, idCol: String, hash: Column,
+                          corpusIndex: DataFrame,
+                          maxDist: Int = 3): DataFrame = {
+    val nh = Dedup.sharedPersist(mediaHashIndex(newMedia, idCol, hash))
+    def banded(df: DataFrame, idAs: String, dhAs: String) =
+      df.select(col("id").as(idAs), col("dh").as(dhAs),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("dh"), b * 14).bitwiseAND(0x3fffL)): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    banded(nh, "new_id", "dh1")
+      .join(banded(corpusIndex, "corpus_id", "dh2").hint("merge"),
+        Seq("band", "band_key"))
+      .select(col("new_id"), col("corpus_id"),
+        bit_count(col("dh1").bitwiseXOR(col("dh2"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxDist)
+      .distinct()
+  }
+
   private def bandedHammingPairs(media: DataFrame, idCol: String,
                                  hash: Column, maxDist: Int): DataFrame = {
     val imgs = Dedup.sharedPersist(

@@ -160,7 +160,8 @@ object PipelineQueries {
     "fx_kmeans_centroids" -> ((s, dir) => { kmCentroids(s, dir).count(); () }),
     "fx_rare_index" -> ((s, dir) => { rareIdx(s, dir).rarePostings.count(); () }),
     "fx_ivf_store" -> ((s, dir) => { ivfStore(s, dir).count(); () }),
-    "fx_ivfpq_store" -> ((s, dir) => { ivfPqStore(s, dir).count(); () }))
+    "fx_ivfpq_store" -> ((s, dir) => { ivfPqStore(s, dir).count(); () }),
+    "fx_wds_store" -> ((s, dir) => { wdsStore(s, dir); () }))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: one shuffle on a 128-bit digest

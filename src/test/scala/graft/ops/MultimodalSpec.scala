@@ -309,6 +309,31 @@ class MultimodalSpec extends AnyFunSuite {
       .select(Multimodal.videoDHash(col("payload"))).head().isNullAt(0))
   }
 
+  test("cross-corpus media dedup: new batch checked against a hash index") {
+    val corpusDocs = Seq((0L, "s"), (17L, "s"), (34L, "s")).toDF("doc_id", "source")
+    val corpus = Multimodal.synthesizeBitmap(corpusDocs, "doc_id", "source")
+    val index = Multimodal.mediaHashIndex(corpus, "media_id",
+      Multimodal.imageDHash(col("payload"))).collect()
+    // the index is the persisted artifact: rebuild a frame from it
+    val idxDf = index.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .toDF("id", "dh")
+    // new batch: an exact copy of corpus image 17 plus a fresh image
+    val newMedia = Multimodal.synthesizeBitmap(
+        Seq((17L, "s"), (200L, "s")).toDF("doc_id", "source"),
+        "doc_id", "source")
+      .withColumn("media_id", col("media_id") + 5000L)
+    val got = Multimodal.mediaNearDupAgainst(newMedia, "media_id",
+        Multimodal.imageDHash(col("payload")), idxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.contains((5017L, 17L, 0L))) // the copy names its original
+    // the fresh image matches nothing at hamming 0 with its own id
+    assert(!got.exists(p => p._1 == 5200L && p._3 == 0L && p._2 != 200L))
+    val plan = Multimodal.mediaNearDupAgainst(newMedia, "media_id",
+        Multimodal.imageDHash(col("payload")), idxDf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"))
+  }
+
   test("PNG pixel decode: inflate + all five un-filters, CRC gate") {
     // h = 5 + id%4 >= 5, so every image cycles through ALL filter types
     val docs = Seq((2L, "s3://a"), (7L, "s3://b")).toDF("doc_id", "source")
