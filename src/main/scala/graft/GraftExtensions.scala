@@ -89,6 +89,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_audio_fingerprint" ->
         graft.functions.AudioFingerprintExpr.audio_fingerprint,
       "graft_video_dhash" -> graft.functions.VideoDHashExpr.video_dhash,
+      "graft_deflate_ratio" ->
+        graft.functions.DeflateRatioExpr.deflate_ratio,
       "graft_html_text" -> graft.ops.WebText.htmlToText,
       "graft_html_title" -> graft.ops.WebText.htmlTitle,
       "graft_html_main" -> (c => graft.ops.WebText.mainContent(c)),

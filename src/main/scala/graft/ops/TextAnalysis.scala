@@ -235,6 +235,16 @@ object TextAnalysis {
     * characters are SORTED before the Σ −p·log₂p fold so the floating
     * sum order is deterministic and an external engine reproduces it
     * bit-for-bit at 6-digit rounding. Empty text ⇒ 0. */
+  /** Deflate compression ratio of the text (deflated/raw bytes, level 6
+    * raw-deflate) — the Gopher/RedPajama-family long-range repetition
+    * signal: templated/duplicated content compresses far below prose.
+    * Doc-local, codegen'd, no token model; see
+    * [[graft.functions.DeflateRatioExpr]]. No SQL oracle can exist
+    * (DuckDB has no deflate) — spec-gated against reference byte counts
+    * and ordering properties in `OpsSpec`. */
+  def compressionRatio(text: Column): Column =
+    graft.functions.DeflateRatioExpr.deflate_ratio(text)
+
   def charEntropy(text: Column): Column =
     // the char array binds ONCE via the single-element transform trick
     // (a bare reference inside the fold would re-run split per char)

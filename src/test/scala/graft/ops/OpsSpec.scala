@@ -1158,6 +1158,29 @@ class OpsSpec extends AnyFunSuite {
     assert(lshPlan.contains("SortMergeJoin"))
   }
 
+  test("compressionRatio orders repetition below prose below noise") {
+    val rep = "the same line of boilerplate text repeats here. " * 60
+    val prose = "Information theory tells us natural language carries " +
+      "roughly one bit per character of genuine surprise, wandering " +
+      "between topics, numbers like 1848 and names like Shannon." * 3
+    val noise = new scala.util.Random(11).alphanumeric.take(2000).mkString
+    val got = Seq(("rep", rep), ("prose", prose), ("noise", noise), ("empty", ""))
+      .toDF("k", "t")
+      .select(col("k"), TextAnalysis.compressionRatio(col("t")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("rep") < 0.1) // long-range duplication collapses
+    assert(got("rep") < got("prose") && got("prose") < got("noise"))
+    assert(got("empty") == 1.0)
+    // the ratio is EXACTLY deflated/raw at level 6 raw-deflate: check
+    // one value against a direct JDK reference
+    val d = new java.util.zip.Deflater(6, true)
+    d.setInput(prose.getBytes("UTF-8")); d.finish()
+    val buf = new Array[Byte](1 << 20)
+    val n = d.deflate(buf); d.end()
+    assert(math.abs(got("prose") -
+      n.toDouble / prose.getBytes("UTF-8").length) < 1e-12)
+  }
+
   test("interval overlap join: exactly-once pairs across buckets, pinned plan") {
     // [0,100] spans 7 width-16 buckets and overlaps each right interval
     // in several of them — the bucket-of-greatest-lo filter must keep
