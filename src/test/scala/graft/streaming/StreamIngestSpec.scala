@@ -624,6 +624,64 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(StreamIngest.tarSamplesView(spark, samplesP).count() == 60)
   }
 
+  test("tar ingest → media-dedup composition: arriving images checked vs corpus") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory("graft-targate")
+    val inbox = root.resolve("inbox").toString
+    val samplesP = root.resolve("samples").toString
+    val ckpt = root.resolve("ckpt").toString
+    new java.io.File(inbox).mkdirs()
+    def bmpPayload(id: Long): Array[Byte] =
+      graft.ops.Multimodal.synthesizeBitmap(
+        Seq((id, "s")).toDF("doc_id", "source"), "doc_id", "source")
+        .head().getAs[Array[Byte]]("payload")
+    def shard(name: String, ids: Seq[Long], imageOf: Long => Long): Unit = {
+      val df = ids.map(i => (1, s"k$i",
+          Map("bmp" -> bmpPayload(imageOf(i)),
+            "txt" -> s"caption $i".getBytes("UTF-8"))))
+        .toDF("shard", "key", "parts")
+      graft.sources.TarWriter.writeSamples(df, inbox, prefix = name)
+      ()
+    }
+    // wave 1: the corpus
+    shard("w1", Seq(10L, 11L, 12L), identity)
+    val q = StreamIngest.tarIngestStream(spark, inbox, samplesP, ckpt,
+      daemon = true)
+    q.processAllAvailable()
+    def imagesOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("key"), element_at(col("parts"), "bmp").as("payload"))
+    // the corpus-side artifact: hash index over everything ingested so far
+    val index = graft.ops.Multimodal.mediaHashIndex(
+      imagesOf(StreamIngest.tarSamplesView(spark, samplesP)), "key",
+      graft.ops.Multimodal.imageDHash(col("payload")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("id", "dh")
+    // wave 2 lands: one fresh image, one exact copy of corpus image 11
+    shard("w2", Seq(20L, 21L), i => if (i == 21L) 11L else i)
+    q.processAllAvailable()
+    q.stop()
+    val newKeys = Set("k20", "k21")
+    val wave2 = imagesOf(StreamIngest.tarSamplesView(spark, samplesP))
+      .where(col("key").isin(newKeys.toSeq: _*))
+    val flagged = graft.ops.Multimodal.mediaNearDupAgainst(wave2, "key",
+        graft.ops.Multimodal.imageDHash(col("payload")), index)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // the copy names its corpus original at hamming 0
+    assert(flagged.contains(("k21", "k11", 0L)))
+    // flags are never spurious: every hamming-0 flag is a genuine hash
+    // equality between the new sample and the named corpus member (the
+    // gradient synth DOES produce natural collisions — those are real
+    // near-dups at the hash's resolution, not false positives)
+    val hashes = (graft.ops.Multimodal.mediaHashIndex(
+        imagesOf(StreamIngest.tarSamplesView(spark, samplesP)), "key",
+        graft.ops.Multimodal.imageDHash(col("payload")))
+      .collect().map(r => r.getString(0) -> r.getLong(1))).toMap
+    flagged.filter(_._3 == 0L).foreach { case (a, b, _) =>
+      assert(hashes(a) == hashes(b), s"spurious hamming-0 flag ($a, $b)") }
+  }
+
   test("crawl → curation composition: segments stream into a curated store") {
     import org.apache.spark.sql.functions._
     val spark0 = spark
