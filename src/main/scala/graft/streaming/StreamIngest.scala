@@ -661,9 +661,12 @@ object StreamIngest {
     w.start()
   }
 
-  /** The accumulated extracted corpus of a [[warcIngestStream]] store. */
+  /** The accumulated extracted corpus of a [[warcIngestStream]] store.
+    * Reads through [[livePartials]], so [[compactMonoidStore]] with the
+    * identity fold bin-packs the per-batch small files and a batch
+    * replayed after compaction is inert, not duplicated. */
   def warcDocsView(spark: SparkSession, docsPath: String): DataFrame =
-    spark.read.parquet(docsPath).drop("batch")
+    livePartials(spark, docsPath)
 
   /** Continuous WebDataset ingest — [[warcIngestStream]]'s shape for
     * tar shards: shards landing under `dir` stream into a regrouped
@@ -706,9 +709,11 @@ object StreamIngest {
     w.start()
   }
 
-  /** The accumulated samples of a [[tarIngestStream]] store. */
+  /** The accumulated samples of a [[tarIngestStream]] store. Reads
+    * through [[livePartials]] — see [[warcDocsView]]'s compaction
+    * contract. */
   def tarSamplesView(spark: SparkSession, samplesPath: String): DataFrame =
-    spark.read.parquet(samplesPath).drop("batch")
+    livePartials(spark, samplesPath)
 
   /** Streaming histogram — the sum-monoid member of the streaming
     * sketch family (HLL registers merge by max, KMV hashes by min,

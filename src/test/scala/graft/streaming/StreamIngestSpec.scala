@@ -622,6 +622,26 @@ class StreamIngestSpec extends AnyFunSuite {
     q2.processAllAvailable()
     q2.stop()
     assert(StreamIngest.tarSamplesView(spark, samplesP).count() == 60)
+    // identity-fold compaction: per-batch small files bin-pack into the
+    // batch=-1 partition, the view is unchanged, and a REPLAYED batch
+    // directory is inert afterwards (marker-gated), not double-counted
+    val before = StreamIngest.tarSamplesView(spark, samplesP)
+      .select(col("key")).collect().map(_.getString(0)).sorted.toSeq
+    StreamIngest.compactMonoidStore(spark, samplesP, targetFiles = 2)(identity)
+    val after = StreamIngest.tarSamplesView(spark, samplesP)
+    assert(after.select(col("key")).collect().map(_.getString(0)).sorted.toSeq
+      == before)
+    val batchDirs = new java.io.File(samplesP).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).toSet
+    assert(batchDirs == Set("batch=-1"))
+    // simulate a stale replay of batch 0: its rows must not reappear
+    StreamIngest.tarSamplesView(spark, samplesP).limit(5)
+      .withColumn("batch", lit(0L))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$samplesP/batch=0")
+    spark.catalog.refreshByPath(samplesP)
+    assert(StreamIngest.tarSamplesView(spark, samplesP).count() == 60)
   }
 
   test("tar ingest → media-dedup composition: arriving images checked vs corpus") {
