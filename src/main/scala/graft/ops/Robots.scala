@@ -88,4 +88,36 @@ object Robots {
       .select(col("host"), col("path"),
         coalesce(col("best.allow"), lit(true)).as("allowed"))
   }
+
+  /** Politeness schedule over a fetch frontier — the planning step
+    * between the [[allowed]] gate and the fetcher: within each host,
+    * FIFO slots in deterministic path order, spaced by the host's
+    * crawl delay (the de-facto `Crawl-delay` extension — absent hosts
+    * get `defaultDelayMs`). Output: (host, path, slot, fetch_at_ms)
+    * with `fetch_at_ms = startMs + slot · delay`, so a fetcher fleet
+    * that honors the timestamps never exceeds one request per delay
+    * per host, regardless of how many workers it spreads across.
+    *
+    * Scale shape: the delay table is per-host (dim-sized, broadcast);
+    * the slot assignment is a per-host window — politeness is
+    * INHERENTLY per-host sequential, so a mega-host's long tail is a
+    * property of the plan, not the planner (its schedule stretches in
+    * TIME, not in any executor's memory: the window sorts one host's
+    * frontier partition, nothing global). */
+  def crawlSchedule(frontier: DataFrame, delays: DataFrame,
+                    defaultDelayMs: Long = 1000L,
+                    startMs: Long = 0L,
+                    hostCol: String = "host",
+                    pathCol: String = "path"): DataFrame = {
+    val d = broadcast(delays.select(col("host").as("__dh"),
+      col("delay_ms").cast("long").as("__delay")))
+    frontier.select(col(hostCol).as("host"), col(pathCol).as("path"))
+      .join(d, col("host") === col("__dh"), "left")
+      .withColumn("slot", row_number().over(
+        Window.partitionBy(col("host")).orderBy(col("path")))
+        .cast("long") - 1L)
+      .select(col("host"), col("path"), col("slot"),
+        (lit(startMs) + col("slot") *
+          coalesce(col("__delay"), lit(defaultDelayMs))).as("fetch_at_ms"))
+  }
 }

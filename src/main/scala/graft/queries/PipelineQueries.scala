@@ -727,6 +727,27 @@ object PipelineQueries {
         .orderBy(col("host"), col("path"))
     }),
 
+    // politeness schedule: robots-gated frontier → per-host FIFO fetch
+    // slots spaced by the host's crawl delay (hosts ending in an even
+    // digit declare 500 ms, others fall back to the 1000 ms default) —
+    // the plan a fetcher fleet honors to stay at one request per delay
+    // per host
+    "q_crawl_schedule" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pv = pmod(col("doc_id"), lit(5))
+      val frontier = d.select(col("source").as("host"),
+        when(pv === 0, lit("/en/zz"))
+          .when(pv === 1, concat(lit("/en/ok/p"), col("doc_id")))
+          .when(pv === 2, lit("/private/x"))
+          .when(pv === 3, lit("/private/open/y"))
+          .otherwise(lit("/")).as("path")).distinct()
+      val delays = d.select(col("source").as("host")).distinct()
+        .where(substring(col("host"), -1, 1).cast("int") % 2 === 0)
+        .withColumn("delay_ms", lit(500L))
+      graft.ops.Robots.crawlSchedule(frontier, delays)
+        .orderBy(col("host"), col("slot"))
+    }),
+
     // damped PageRank over a synthesized link graph (2 out-links per
     // doc, affine formulas): fixed 10 iterations with dangling-mass
     // redistribution (6 rounds: rank deltas are ~1e-4 by then and any
@@ -2787,6 +2808,22 @@ object PipelineQueries {
     // robots.txt parse + gate, window-for-window: comment strip, group
     // runs (lag over line index), exact-agent-over-* selection, prefix
     // join, longest-match-then-allow via lexicographic struct max
+    "q_crawl_schedule" ->
+      """WITH fr AS (SELECT DISTINCT source AS host,
+        |   CASE doc_id % 5 WHEN 0 THEN '/en/zz'
+        |    WHEN 1 THEN '/en/ok/p' || doc_id
+        |    WHEN 2 THEN '/private/x'
+        |    WHEN 3 THEN '/private/open/y' ELSE '/' END AS path
+        |  FROM documents),
+        | dl AS (SELECT DISTINCT source AS host, 500 AS delay_ms
+        |  FROM documents WHERE CAST(right(source, 1) AS INT) % 2 = 0),
+        | sl AS (SELECT fr.host, path,
+        |   row_number() OVER (PARTITION BY fr.host ORDER BY path) - 1 AS slot,
+        |   coalesce(dl.delay_ms, 1000) AS delay_ms
+        |  FROM fr LEFT JOIN dl ON fr.host = dl.host)
+        | SELECT host, path, slot::BIGINT AS slot,
+        |  (slot * delay_ms)::BIGINT AS fetch_at_ms
+        | FROM sl ORDER BY host, slot""".om,
     "q_robots_gate" ->
       s"""WITH hosts AS (SELECT DISTINCT source AS host FROM documents),
          | rb AS (SELECT host, CASE WHEN CAST(right(host, 1) AS INT) % 2 = 0

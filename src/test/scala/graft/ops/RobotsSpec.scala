@@ -62,4 +62,30 @@ class RobotsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getBoolean(2))).toMap
     assert(!out("h3") && out("h4"))
   }
+
+  test("crawlSchedule: per-host FIFO spacing, declared vs default delay") {
+    import org.apache.spark.sql.functions.col
+    val frontier = Seq(("slow.com", "/a"), ("slow.com", "/b"), ("slow.com", "/c"),
+      ("fast.com", "/a"), ("fast.com", "/b")).toDF("host", "path")
+    val delays = Seq(("slow.com", 5000L)).toDF("host", "delay_ms")
+    val out = Robots.crawlSchedule(frontier, delays, defaultDelayMs = 1000L,
+        startMs = 100L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // declared delay paces slow.com at 5 s; fast.com falls back to 1 s
+    assert(out(("slow.com", "/a")) == (0L, 100L))
+    assert(out(("slow.com", "/b")) == (1L, 5100L))
+    assert(out(("slow.com", "/c")) == (2L, 10100L))
+    assert(out(("fast.com", "/b")) == (1L, 1100L))
+    // two hosts' schedules are independent: same slot, different times
+    assert(out(("fast.com", "/a"))._1 == out(("slow.com", "/a"))._1)
+    // consecutive same-host fetches are never closer than the delay
+    val byHost = out.toSeq.groupBy(_._1._1)
+    byHost.foreach { case (h, rows) =>
+      val times = rows.map(_._2._2).sorted
+      val gap = if (h == "slow.com") 5000L else 1000L
+      times.sliding(2).foreach {
+        case Seq(a, b) => assert(b - a >= gap); case _ => () }
+    }
+  }
 }
