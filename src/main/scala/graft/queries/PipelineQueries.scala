@@ -985,6 +985,31 @@ object PipelineQueries {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // joint multimodal sample gate — the curation step a (text, image,
+    // audio) training sample passes as a UNIT: caption length from the
+    // text, exact integer mean luminance from the real BMP decode,
+    // clipping peak from the real PCM decode, one keep verdict; every
+    // signal is exact integer math the oracle replays
+    "mm_sample_gate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val img = Multimodal.synthesizeBitmap(d, "doc_id", "source")
+        .select(col("media_id").as("doc_id"),
+          Multimodal.decodeImagePixels(col("payload")).as("f"))
+        .select(col("doc_id"),
+          expr("(2126 * f.sum_r + 7152 * f.sum_g + 722 * f.sum_b) div f.n_pixels")
+            .as("mean_lum"))
+      val aud = Multimodal.synthesizeAudioTone(d, "doc_id", "source")
+        .select(col("media_id").as("doc_id"),
+          Multimodal.decodeAudioPcm(col("payload")).as("a"))
+        .select(col("doc_id"), col("a.peak").as("peak"))
+      d.select(col("doc_id"), col("n_chars"))
+        .join(img, "doc_id").join(aud, "doc_id")
+        .withColumn("keep", col("n_chars") >= 200L &&
+          col("mean_lum").between(1000000L, 1500000L) &&
+          col("peak") < 30000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // audio near-dup key: 57-frame energy envelope of the decoded PCM
     // stream, bit f = energy[f+1] > energy[f] — gain-resistant, exact
     // integer math the oracle replays sample by sample
@@ -3189,6 +3214,34 @@ object PipelineQueries {
          | FROM hh a JOIN hh b ON a.media_id < b.media_id
          | WHERE bit_count(xor(a.dh, b.dh)) <= 3
          | ORDER BY id1, id2""".om,
+    "mm_sample_gate" ->
+      s"""WITH d AS (SELECT doc_id, n_chars, 8 + doc_id % 9 AS w,
+         |   4 + doc_id % 5 AS h, 128 + doc_id % 64 AS ns FROM documents),
+         | px AS (SELECT doc_id, n_chars, ns, w*h AS np,
+         |   flatten(list_transform(range(0, h), y ->
+         |     list_transform(range(0, w), x ->
+         |       {'r': (doc_id*9 + x + y*13) % 256,
+         |        'g': (doc_id*5 + x*11 + y) % 256,
+         |        'b': (doc_id + x*3 + y*7) % 256}))) AS ps FROM d),
+         | im AS (SELECT doc_id, n_chars, ns,
+         |   (2126*list_sum(list_transform(ps, p -> p['r']))
+         |    + 7152*list_sum(list_transform(ps, p -> p['g']))
+         |    + 722*list_sum(list_transform(ps, p -> p['b']))) // np AS mean_lum
+         |  FROM px),
+         | au AS (SELECT doc_id, list_max(list_transform(range(0, ns), k ->
+         |   abs(CASE WHEN ((doc_id*7 + 2*k*37) % 256) +
+         |     256*((doc_id*7 + (2*k+1)*37) % 256) >= 32768
+         |   THEN ((doc_id*7 + 2*k*37) % 256) +
+         |     256*((doc_id*7 + (2*k+1)*37) % 256) - 65536
+         |   ELSE ((doc_id*7 + 2*k*37) % 256) +
+         |     256*((doc_id*7 + (2*k+1)*37) % 256) END))) AS peak
+         |  FROM im)
+         | SELECT im.doc_id, n_chars, mean_lum::BIGINT AS mean_lum,
+         |  peak::BIGINT AS peak,
+         |  (n_chars >= 200 AND mean_lum BETWEEN 1000000 AND 1500000
+         |   AND peak < 30000) AS keep
+         | FROM im JOIN au ON im.doc_id = au.doc_id
+         | ORDER BY im.doc_id""".om,
     // energy envelope replayed from the tone's closed form: 57 frames
     // [f·ns/57, (f+1)·ns/57), exact integer energies, order bits
     "mm_audio_fingerprint" ->
