@@ -1030,6 +1030,18 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // image near-dup CLUSTERS: connected components over the banded
+    // pairs, min-id labels — what media dedup ships (text
+    // dedup_clusters' shape on perceptual hashes)
+    "mm_image_clusters" -> ((s, dir) => {
+      val media = Multimodal.synthesizeBitmap(
+        docs(s, dir).where(col("doc_id") % 17 === 0), "doc_id", "source")
+      Dedup.connectedComponents(
+          Multimodal.imageNearDupPairs(media, "media_id", "payload"))
+        .select(col("id").as("media_id"), col("component").as("cluster"))
+        .orderBy(col("media_id"))
+    }),
+
     // REAL PNG decode: CRC-verified chunks, JDK-inflate IDAT, all five
     // scanline un-filters (the synth CYCLES filter types per row), same
     // closed-form pixels as the bitmap path — container-agnostic features
@@ -3242,6 +3254,31 @@ object PipelineQueries {
          |   AND peak < 30000) AS keep
          | FROM im JOIN au ON im.doc_id = au.doc_id
          | ORDER BY im.doc_id""".om,
+    "mm_image_clusters" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id AS media_id, 8 + doc_id % 9 AS w,
+         |   4 + doc_id % 5 AS h FROM documents WHERE doc_id % 17 = 0),
+         | g AS (SELECT media_id, list_transform(range(0, 8), r ->
+         |   list_transform(range(0, 8), c ->
+         |     2126*((media_id*9 + ((2*c+1)*w)//16 + (((2*r+1)*h)//16)*13) % 256)
+         |   + 7152*((media_id*5 + (((2*c+1)*w)//16)*11 + ((2*r+1)*h)//16) % 256)
+         |   +  722*((media_id + (((2*c+1)*w)//16)*3 + (((2*r+1)*h)//16)*7) % 256))) AS lum
+         |  FROM d),
+         | hh AS (SELECT media_id, list_sum(flatten(list_transform(range(0, 8), r ->
+         |   list_transform(range(0, 7), c ->
+         |     CASE WHEN lum[r+1][c+2] > lum[r+1][c+1]
+         |     THEN 1::BIGINT << (r*7+c) ELSE 0::BIGINT END))))::BIGINT AS dh
+         |  FROM g),
+         | pairs AS (SELECT a.media_id AS id1, b.media_id AS id2
+         |  FROM hh a JOIN hh b ON a.media_id < b.media_id
+         |  WHERE bit_count(xor(a.dh, b.dh)) <= 3),
+         | edges AS (SELECT id1 AS id, id2 AS nb FROM pairs
+         |   UNION SELECT id2, id1 FROM pairs),
+         | reach AS (
+         |   SELECT id, id AS comp FROM (SELECT DISTINCT id FROM edges)
+         |   UNION
+         |   SELECT e.id, r.comp FROM edges e JOIN reach r ON e.nb = r.id)
+         | SELECT id AS media_id, min(comp) AS cluster FROM reach
+         | GROUP BY id ORDER BY media_id""".om,
     // energy envelope replayed from the tone's closed form: 57 frames
     // [f·ns/57, (f+1)·ns/57), exact integer energies, order bits
     "mm_audio_fingerprint" ->
