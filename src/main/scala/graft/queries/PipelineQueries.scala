@@ -1042,6 +1042,42 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // cluster-representative selection for media: keep the
+    // HIGHEST-RESOLUTION image per near-dup cluster (ties → lowest id)
+    // — dedup_keep_best's shape on perceptual clusters
+    "mm_image_keep_best" -> ((s, dir) => {
+      val media = Multimodal.synthesizeBitmap(
+        docs(s, dir).where(col("doc_id") % 17 === 0), "doc_id", "source")
+      val clusters = Dedup.connectedComponents(
+          Multimodal.imageNearDupPairs(media, "media_id", "payload"))
+        .select(col("id").as("media_id"), col("component").as("cluster"))
+      val quality = media.select(col("media_id"),
+        Multimodal.decodeImagePixels(col("payload")).getField("n_pixels")
+          .as("n_pixels"))
+      clusters.join(quality, "media_id")
+        .groupBy(col("cluster"))
+        .agg(max(struct(col("n_pixels").as("q"),
+            (-col("media_id")).as("nid"))).as("best"),
+          count(lit(1)).as("cluster_size"))
+        .select(col("cluster"), (-col("best.nid")).as("keep_id"),
+          col("best.q").as("n_pixels"), col("cluster_size"))
+        .orderBy(col("cluster"))
+    }),
+
+    // audio near-dup pairs over the energy-envelope fingerprint — the
+    // banded join's audio instantiation; every id ≡ 0 (mod 34) clip is
+    // re-ingested under a shifted id (the re-upload case), so the
+    // planted hamming-0 pairs and any natural envelope collisions are
+    // both against the brute-force oracle
+    "mm_audio_neardup" -> ((s, dir) => {
+      val base = Multimodal.synthesizeAudioTone(
+        docs(s, dir).where(col("doc_id") % 17 === 0), "doc_id", "source")
+      val dup = base.where(col("media_id") % 34 === 0)
+        .withColumn("media_id", col("media_id") + 100000L)
+      Multimodal.audioNearDupPairs(base.unionByName(dup), "media_id", "payload")
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // REAL PNG decode: CRC-verified chunks, JDK-inflate IDAT, all five
     // scanline un-filters (the synth CYCLES filter types per row), same
     // closed-form pixels as the bitmap path — container-agnostic features
@@ -3279,6 +3315,63 @@ object PipelineQueries {
          |   SELECT e.id, r.comp FROM edges e JOIN reach r ON e.nb = r.id)
          | SELECT id AS media_id, min(comp) AS cluster FROM reach
          | GROUP BY id ORDER BY media_id""".om,
+    "mm_image_keep_best" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id AS media_id, 8 + doc_id % 9 AS w,
+         |   4 + doc_id % 5 AS h FROM documents WHERE doc_id % 17 = 0),
+         | g AS (SELECT media_id, w*h AS np, list_transform(range(0, 8), r ->
+         |   list_transform(range(0, 8), c ->
+         |     2126*((media_id*9 + ((2*c+1)*w)//16 + (((2*r+1)*h)//16)*13) % 256)
+         |   + 7152*((media_id*5 + (((2*c+1)*w)//16)*11 + ((2*r+1)*h)//16) % 256)
+         |   +  722*((media_id + (((2*c+1)*w)//16)*3 + (((2*r+1)*h)//16)*7) % 256))) AS lum
+         |  FROM d),
+         | hh AS (SELECT media_id, np, list_sum(flatten(list_transform(range(0, 8), r ->
+         |   list_transform(range(0, 7), c ->
+         |     CASE WHEN lum[r+1][c+2] > lum[r+1][c+1]
+         |     THEN 1::BIGINT << (r*7+c) ELSE 0::BIGINT END))))::BIGINT AS dh
+         |  FROM g),
+         | pairs AS (SELECT a.media_id AS id1, b.media_id AS id2
+         |  FROM hh a JOIN hh b ON a.media_id < b.media_id
+         |  WHERE bit_count(xor(a.dh, b.dh)) <= 3),
+         | edges AS (SELECT id1 AS id, id2 AS nb FROM pairs
+         |   UNION SELECT id2, id1 FROM pairs),
+         | reach AS (
+         |   SELECT id, id AS comp FROM (SELECT DISTINCT id FROM edges)
+         |   UNION
+         |   SELECT e.id, r.comp FROM edges e JOIN reach r ON e.nb = r.id),
+         | cl AS (SELECT id AS media_id, min(comp) AS cluster FROM reach GROUP BY id),
+         | sc AS (SELECT cluster, cl.media_id, np::BIGINT AS np
+         |  FROM cl JOIN hh ON cl.media_id = hh.media_id),
+         | best AS (SELECT cluster, count(*) AS cluster_size,
+         |   max({'q': np, 'nid': -media_id}) AS b FROM sc GROUP BY cluster)
+         | SELECT cluster, CAST(-(b.nid) AS BIGINT) AS keep_id,
+         |  b.q AS n_pixels, cluster_size::BIGINT AS cluster_size
+         | FROM best ORDER BY cluster""".om,
+    "mm_audio_neardup" ->
+      s"""WITH d AS (SELECT doc_id AS media_id, 128 + doc_id % 64 AS ns
+         |  FROM documents WHERE doc_id % 17 = 0),
+         | sm AS (SELECT media_id, ns, list_transform(range(0, ns), k ->
+         |   CASE WHEN ((media_id*7 + 2*k*37) % 256) +
+         |     256*((media_id*7 + (2*k+1)*37) % 256) >= 32768
+         |   THEN ((media_id*7 + 2*k*37) % 256) +
+         |     256*((media_id*7 + (2*k+1)*37) % 256) - 65536
+         |   ELSE ((media_id*7 + 2*k*37) % 256) +
+         |     256*((media_id*7 + (2*k+1)*37) % 256) END) AS s FROM d),
+         | en AS (SELECT media_id, list_transform(range(0, 57), f ->
+         |   coalesce(list_sum(list_transform(
+         |     range((f*ns)//57, ((f+1)*ns)//57), k ->
+         |       s[CAST(k AS INT) + 1] * s[CAST(k AS INT) + 1])), 0)) AS e
+         |  FROM sm),
+         | h0 AS (SELECT media_id, list_sum(list_transform(range(0, 56), f ->
+         |   CASE WHEN e[CAST(f AS INT) + 2] > e[CAST(f AS INT) + 1]
+         |   THEN 1::BIGINT << f ELSE 0::BIGINT END))::BIGINT AS fp
+         |  FROM en),
+         | hh AS (SELECT media_id, fp FROM h0
+         |  UNION ALL SELECT media_id + 100000, fp FROM h0 WHERE media_id % 34 = 0)
+         | SELECT a.media_id AS id1, b.media_id AS id2,
+         |  bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+         | FROM hh a JOIN hh b ON a.media_id < b.media_id
+         | WHERE bit_count(xor(a.fp, b.fp)) <= 3
+         | ORDER BY id1, id2""".om,
     // energy envelope replayed from the tone's closed form: 57 frames
     // [f·ns/57, (f+1)·ns/57), exact integer energies, order bits
     "mm_audio_fingerprint" ->
