@@ -1078,6 +1078,18 @@ object PipelineQueries {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // video near-dup pairs over the keyframe luma hash — the banded
+    // join's video instantiation; every id ≡ 0 (mod 34) clip
+    // re-ingested under a shifted id, brute-force oracle
+    "mm_video_neardup" -> ((s, dir) => {
+      val base = Multimodal.synthesizeY4m(
+        docs(s, dir).where(col("doc_id") % 17 === 0), "doc_id", "source")
+      val dup = base.where(col("media_id") % 34 === 0)
+        .withColumn("media_id", col("media_id") + 100000L)
+      Multimodal.videoNearDupPairs(base.unionByName(dup), "media_id", "payload")
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // REAL PNG decode: CRC-verified chunks, JDK-inflate IDAT, all five
     // scanline un-filters (the synth CYCLES filter types per row), same
     // closed-form pixels as the bitmap path — container-agnostic features
@@ -3393,6 +3405,25 @@ object PipelineQueries {
          |   CASE WHEN e[CAST(f AS INT) + 2] > e[CAST(f AS INT) + 1]
          |   THEN 1::BIGINT << f ELSE 0::BIGINT END))::BIGINT AS fp
          | FROM en ORDER BY media_id""".om,
+    "mm_video_neardup" ->
+      s"""WITH d AS (SELECT doc_id AS media_id, 8 + 2*(doc_id % 5) AS w,
+         |   6 + 2*(doc_id % 3) AS h FROM documents WHERE doc_id % 17 = 0),
+         | g AS (SELECT media_id, list_transform(range(0, 8), r ->
+         |   list_transform(range(0, 8), c ->
+         |     (media_id + 3*(((2*c+1)*w)//16) + 7*(((2*r+1)*h)//16)) % 256)) AS lum
+         |  FROM d),
+         | h0 AS (SELECT media_id, list_sum(flatten(list_transform(range(0, 8), r ->
+         |   list_transform(range(0, 7), c ->
+         |     CASE WHEN lum[r+1][c+2] > lum[r+1][c+1]
+         |     THEN 1::BIGINT << (r*7+c) ELSE 0::BIGINT END))))::BIGINT AS dh
+         |  FROM g),
+         | hh AS (SELECT media_id, dh FROM h0
+         |  UNION ALL SELECT media_id + 100000, dh FROM h0 WHERE media_id % 34 = 0)
+         | SELECT a.media_id AS id1, b.media_id AS id2,
+         |  bit_count(xor(a.dh, b.dh))::BIGINT AS hamming
+         | FROM hh a JOIN hh b ON a.media_id < b.media_id
+         | WHERE bit_count(xor(a.dh, b.dh)) <= 3
+         | ORDER BY id1, id2""".om,
     // keyframe hash replayed from Y(x, y, t=0) = (id + 3x + 7y) mod 256
     // on the 8×8 center-sample grid
     "mm_video_dhash" ->

@@ -132,6 +132,29 @@ class TarSpec extends AnyFunSuite {
     assert(byShardFile.exists(s => s("s2.txt") && s("s2.json")))
   }
 
+  test("property: mutated shard bytes never throw and never hang") {
+    val dir = fixture()
+    val shardPath = dir.resolve("shard1.tar")
+    val clean = Files.readAllBytes(shardPath)
+    val rnd = new scala.util.Random(42)
+    val mdir = Files.createTempDirectory("graft-tar-fuzz")
+    (0 until 60).foreach { i =>
+      val b = clean.clone()
+      // flip 1-4 random bytes anywhere (headers, sizes, checksums, data)
+      (0 to rnd.nextInt(4)).foreach { _ =>
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte }
+      Files.write(mdir.resolve(f"m$i%03d.tar"), b)
+    }
+    // truncations at every region boundary flavor
+    Seq(100, 511, 512, 600, 1024, clean.length - 1).zipWithIndex.foreach {
+      case (n, i) => Files.write(mdir.resolve(s"t$i.tar"), clean.take(n)) }
+    // a parse over the whole mutated directory returns SOME rows and
+    // throws nothing; payload sizes stay within the cap
+    val rows = TarReader.entries(spark, mdir.toString, maxPayloadBytes = 4096)
+      .collect()
+    assert(rows.forall(_.getAs[Array[Byte]]("payload").length <= 4096))
+  }
+
   test("webdatasetSamples: members regroup into per-key modality maps") {
     val dir = fixture()
     val s = TarReader.webdatasetSamples(TarReader.entries(spark, dir.toString))
