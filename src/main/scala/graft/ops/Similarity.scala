@@ -563,4 +563,156 @@ object Similarity {
       .select(col("query_id"), col("rnk").cast("long").as("rnk"),
         col("corpus_id"), col("cos"), col("cos_adc"))
   }
+
+  /** A fitted PCA: the corpus mean, the top-k principal axes (rows,
+    * orthonormal, descending variance) and each axis's explained
+    * variance. k×dim + dim doubles — always broadcastable. */
+  final case class Pca(mean: Array[Double], components: Array[Array[Double]],
+                       explained: Array[Double])
+
+  /** Fit PCA over an embedding column in ONE distributed pass: each
+    * partition accumulates its local (count, Σx, Σxxᵀ) — d(d+1)/2 + d
+    * doubles, dim-sized not data-sized — partials reduce to the driver,
+    * and the d×d covariance eigenproblem solves there by cyclic Jacobi
+    * (d is an embedding dimension, 64–4096; the DATA never leaves the
+    * executors and never shuffles: the exchange is one Gram partial per
+    * partition). The rotation is the OPQ-lite pre-step for PQ/IVF —
+    * projecting onto the top axes concentrates variance in the leading
+    * subvectors — and the fit is the same shape at any corpus size.
+    *
+    * Sign convention: each component's largest-|coordinate| entry is
+    * made positive, so fits are comparable across runs. */
+  def pcaFit(corpus: DataFrame, vecCol: String, k: Int): Pca = {
+    val data = corpus.select(col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+    import data.sparkSession.implicits._
+    val dim = data.select(size(col("v"))).head().getInt(0)
+    require(k >= 1 && k <= dim, s"k=$k outside 1..$dim")
+    val tri = dim * (dim + 1) / 2
+    // one flat partial per partition: [n, sum(d), upper-tri gram(tri)]
+    val partial = data.as[Seq[Double]].mapPartitions { it =>
+      val acc = new Array[Double](1 + dim + tri)
+      it.foreach { v =>
+        acc(0) += 1.0
+        var i = 0
+        while (i < dim) { acc(1 + i) += v(i); i += 1 }
+        var t = 0
+        i = 0
+        while (i < dim) {
+          var j = i
+          while (j < dim) { acc(1 + dim + t) += v(i) * v(j); t += 1; j += 1 }
+          i += 1
+        }
+      }
+      Iterator.single(acc)
+    }.reduce { (a, b) =>
+      val out = new Array[Double](a.length)
+      var i = 0
+      while (i < a.length) { out(i) = a(i) + b(i); i += 1 }
+      out
+    }
+    val n = partial(0)
+    require(n >= 2, "pcaFit needs at least 2 vectors")
+    val mean = Array.tabulate(dim)(i => partial(1 + i) / n)
+    // covariance from the raw Gram: C_ij = Σxᵢxⱼ/n − μᵢμⱼ
+    val c = Array.ofDim[Double](dim, dim)
+    var t = 0
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val v = partial(1 + dim + t) / n - mean(i) * mean(j)
+        c(i)(j) = v; c(j)(i) = v; t += 1; j += 1
+      }
+      i += 1
+    }
+    val (vals, vecs) = jacobiEigen(c)
+    val order = vals.indices.sortBy(ix => -vals(ix)).take(k)
+    val comps = order.map { ix =>
+      val comp = Array.tabulate(dim)(r => vecs(r)(ix))
+      var big = 0
+      var bi = 1
+      while (bi < dim) {
+        if (math.abs(comp(bi)) > math.abs(comp(big))) big = bi
+        bi += 1
+      }
+      if (comp(big) < 0) comp.map(-_) else comp
+    }.toArray
+    Pca(mean, comps, order.map(ix => math.max(vals(ix), 0.0)).toArray)
+  }
+
+  /** Project the embedding column onto a fitted [[Pca]] — map-side
+    * (the k×dim matrix broadcasts; same UDF justification as the
+    * k-means assignment loop: HOFs are CodegenFallback and the matrix
+    * is data-independent). Output column: `array<double>` length k. */
+  def pcaProject(df: DataFrame, vecCol: String, pca: Pca,
+                 outCol: String = "pvec"): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast((pca.mean, pca.components))
+    val proj = udf { v: Seq[Double] =>
+      val (mean, comps) = bc.value
+      val x = v.toArray
+      comps.map { comp =>
+        var s = 0.0
+        var i = 0
+        val n = math.min(x.length, comp.length)
+        while (i < n) { s += (x(i) - mean(i)) * comp(i); i += 1 }
+        s
+      }.toSeq
+    }
+    df.withColumn(outCol, proj(col(vecCol)))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix — exact
+    * enough for covariance work in a few sweeps, no linear-algebra
+    * dependency. Returns (eigenvalues, eigenvector COLUMNS). */
+  private[ops] def jacobiEigen(m: Array[Array[Double]],
+                               sweeps: Int = 30): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < sweeps && off > 1e-12) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          off += a(p)(q) * a(p)(q)
+          if (math.abs(a(p)(q)) > 1e-14) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val tSign = if (theta >= 0) 1.0 else -1.0
+            val tVal = tSign / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val cos = 1.0 / math.sqrt(tVal * tVal + 1.0)
+            val sin = tVal * cos
+            var r = 0
+            while (r < d) {
+              val arp = a(r)(p); val arq = a(r)(q)
+              a(r)(p) = cos * arp - sin * arq
+              a(r)(q) = sin * arp + cos * arq
+              r += 1
+            }
+            r = 0
+            while (r < d) {
+              val apr = a(p)(r); val aqr = a(q)(r)
+              a(p)(r) = cos * apr - sin * aqr
+              a(q)(r) = sin * apr + cos * aqr
+              r += 1
+            }
+            r = 0
+            while (r < d) {
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = cos * vrp - sin * vrq
+              v(r)(q) = sin * vrp + cos * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
 }

@@ -1158,6 +1158,49 @@ class OpsSpec extends AnyFunSuite {
     assert(lshPlan.contains("SortMergeJoin"))
   }
 
+  test("pcaFit recovers planted axes; projection; partition invariance") {
+    // plant a 2-factor structure in 8 dims: x = a·u + b·v + tiny noise,
+    // u ⟂ v, var(a)=9, var(b)=1 — the top two axes must come back as
+    // ±u, ±v in that order
+    val dim = 8
+    val u = Array(1.0, 0, 0, 0, 0, 0, 0, 0)
+    val vAxis = Array(0.0, 1, 0, 0, 0, 0, 0, 0)
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 2000).map { _ =>
+      val a = rnd.nextGaussian() * 3.0
+      val b = rnd.nextGaussian() * 1.0
+      Seq.tabulate(dim)(i => a * u(i) + b * vAxis(i) + rnd.nextGaussian() * 0.01)
+    }
+    val df = rows.toDF("v")
+    val pca = Similarity.pcaFit(df, "v", k = 3)
+    def dot(x: Array[Double], y: Array[Double]) =
+      x.zip(y).map { case (p, q) => p * q }.sum
+    // axis recovery (sign-normalized): |<c0,u>| ≈ 1, |<c1,v>| ≈ 1
+    assert(math.abs(dot(pca.components(0), u)) > 0.999)
+    assert(math.abs(dot(pca.components(1), vAxis)) > 0.999)
+    // orthonormal components, descending explained variance
+    assert(math.abs(dot(pca.components(0), pca.components(0)) - 1.0) < 1e-9)
+    assert(math.abs(dot(pca.components(0), pca.components(1))) < 1e-9)
+    assert(pca.explained(0) > pca.explained(1) &&
+      pca.explained(1) > pca.explained(2))
+    assert(math.abs(pca.explained(0) - 9.0) < 0.7) // var(a)
+    assert(math.abs(pca.explained(1) - 1.0) < 0.12)
+    // projection: first coordinate carries the a-factor
+    val proj = Similarity.pcaProject(df, "v", pca)
+      .select(col("pvec")).head().getSeq[Double](0)
+    assert(proj.length == 3)
+    val x0 = rows.head.toArray
+    val expect0 = dot(x0.zip(pca.mean).map { case (p, m) => p - m },
+      pca.components(0))
+    assert(math.abs(proj.head - expect0) < 1e-9)
+    // the fit is partition-layout independent (Gram partials commute up
+    // to ulps; Jacobi is driver-side deterministic)
+    val pca13 = Similarity.pcaFit(df.repartition(13), "v", k = 3)
+    pca.components(0).zip(pca13.components(0)).foreach { case (p, q) =>
+      assert(math.abs(p - q) < 1e-6) }
+    assert(math.abs(pca.explained(0) - pca13.explained(0)) < 1e-6)
+  }
+
   test("compressionRatio orders repetition below prose below noise") {
     val rep = "the same line of boilerplate text repeats here. " * 60
     val prose = "Information theory tells us natural language carries " +
