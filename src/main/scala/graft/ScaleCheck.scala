@@ -70,6 +70,12 @@ object ScaleCheck {
       spark.stop()
       return
     }
+    if (sys.env.get("SPARK_GRAFT_SCALE_SECTION").contains("wds")) {
+      webdatasetAtScale(spark)
+      graft.ops.Dedup.clearSharedPersists()
+      spark.stop()
+      return
+    }
     val dir = java.nio.file.Files.createTempDirectory("graft-scale").resolve("store").toString
 
     def time[T](name: String)(f: => T): T = {
@@ -569,6 +575,8 @@ object ScaleCheck {
     webIngestAtScale(spark)
 
     mediaDedupAtScale(spark)
+
+    webdatasetAtScale(spark)
 
     curateAtScale(spark)
 
@@ -1267,6 +1275,120 @@ object ScaleCheck {
     }
     pairs.unpersist(false)
     spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** End-to-end WebDataset curation at 260k samples: avalanche-mixed
+    * BMP payloads with three planted defect classes added as separate
+    * id ranges (so every class count is exact BY CONSTRUCTION):
+    * undecodable bytes, exact copies of base images (the re-upload
+    * case), and over-bright frames. The pipeline is the production
+    * shape: decode gate (null hash) → photometric gate (mean luma) →
+    * cross-corpus near-dup against the base index → curated samples
+    * leave as tar shards via TarWriter and re-read EXACTLY via
+    * TarReader. Every stage's drop count asserted equal to its planted
+    * class. Standalone: SPARK_GRAFT_SCALE_SECTION=wds. */
+  private def webdatasetAtScale(spark: SparkSession): Unit = {
+    import spark.implicits._
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"SCALE $name ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    }
+    val n = 200000L
+    val c = 20000L
+    def mix(a: Long): Long = {
+      var x = a; x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L; x ^= x >>> 33; x
+    }
+    def bmp(seed: Long, brighten: Boolean): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(822)
+      def le4(v: Int): Unit =
+        (0 until 4).foreach(i => out.write((v >> (8 * i)) & 0xff))
+      def le2(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      out.write('B'); out.write('M'); le4(822); le4(0); le4(54)
+      le4(40); le4(16); le4(16); le2(1); le2(24)
+      (0 until 24).foreach(_ => out.write(0))
+      for (fr <- 0 until 16; x <- 0 until 16) {
+        val m = mix(seed * 1048573L + x * 65537L + (15 - fr))
+        def ch(v: Long): Int =
+          if (brighten) ((v & 0xff) | 0xc0L).toInt else (v & 0xff).toInt
+        out.write(ch(m)); out.write(ch(m >>> 8)); out.write(ch(m >>> 16))
+      }
+      out.toByteArray
+    }
+    // base 0..n-1; corrupt n..n+c-1; dup 2n..2n+c-1 (copy of id-2n);
+    // bright 3n..3n+c-1 — disjoint ranges, exact class accounting
+    val media = spark.range(4L * n).as[Long].flatMap { id =>
+      if (id < n) Iterator.single((id, bmp(id, brighten = false)))
+      else if (id < n + c)
+        Iterator.single((id, Array.tabulate(200)(i => (mix(id + i) & 0xff).toByte)))
+      else if (id >= 2 * n && id < 2 * n + c)
+        Iterator.single((id, bmp(id - 2 * n, brighten = false)))
+      else if (id >= 3 * n && id < 3 * n + c)
+        Iterator.single((id, bmp(id, brighten = true)))
+      else Iterator.empty
+    }.toDF("media_id", "payload")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = n + 3 * c
+    require(media.count() == total)
+
+    val decoded = time(s"decode gate over $total payloads (hash null = drop)") {
+      val d = media.withColumn("dh",
+          graft.ops.Multimodal.imageDHash(col("payload")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dropped = d.where(col("dh").isNull).count()
+      require(dropped == c, s"decode gate dropped $dropped, planted $c corrupt")
+      d.where(col("dh").isNotNull)
+    }
+
+    val lumaKept = time("photometric gate (mean luma window)") {
+      val withLum = decoded.withColumn("f",
+          graft.ops.Multimodal.decodeImagePixels(col("payload")))
+        .withColumn("mean_lum",
+          expr("(2126 * f.sum_r + 7152 * f.sum_g + 722 * f.sum_b) div f.n_pixels"))
+      val kept = withLum.where(col("mean_lum") < 1700000L).drop("f", "mean_lum")
+      val dropped = withLum.where(col("mean_lum") >= 1700000L).count()
+      require(dropped == c, s"photometric gate dropped $dropped, planted $c bright")
+      kept
+    }
+
+    val curated = time("cross-corpus near-dup vs the base index") {
+      val index = lumaKept.where(col("media_id") < n)
+        .select(col("media_id").as("id"), col("dh"))
+      val incoming = lumaKept.where(col("media_id") >= n)
+      val flagged = graft.ops.Multimodal.mediaNearDupAgainst(
+          incoming, "media_id", col("dh"), index)
+        .select(col("new_id")).distinct()
+      val nFlagged = flagged.count()
+      require(nFlagged == c, s"near-dup flagged $nFlagged, planted $c copies")
+      lumaKept.join(flagged.withColumnRenamed("new_id", "media_id"),
+        Seq("media_id"), "left_anti")
+    }
+
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-scale-wds").toString
+    time(s"write curated corpus as 16 tar shards (TarWriter)") {
+      val samples = curated.select(
+        pmod(col("media_id"), lit(16L)).cast("string").as("shard"),
+        col("media_id").cast("string").as("key"),
+        map(lit("bmp"), col("payload")).as("parts"))
+      val shards = graft.sources.TarWriter.writeSamples(samples, outDir)
+      require(shards == 16, s"wrote $shards shards, expected 16")
+    }
+    time("re-read the shards: every curated sample comes back exactly") {
+      val back = graft.sources.TarReader.webdatasetSamples(
+        graft.sources.TarReader.entries(spark, outDir))
+      require(back.count() == n, s"re-read ${back.count()}, curated $n")
+      // content fidelity: order-free xor of payload md5 prefixes
+      def digest(df: org.apache.spark.sql.DataFrame, payload: org.apache.spark.sql.Column) =
+        df.select(conv(substring(md5(payload), 1, 9), 16, 10).cast("long").as("h"))
+          .agg(sum(col("h"))).head().getLong(0)
+      val a = digest(curated, col("payload"))
+      val b = digest(back, element_at(col("parts"), "bmp"))
+      require(a == b, "payload mass changed through the tar round-trip")
+    }
+    media.unpersist(false)
+    println(f"SCALE webdataset curation ok: $total in, $n curated, " +
+      f"3 x $c planted drops exact")
   }
 
   private def webIngestAtScale(spark: SparkSession): Unit = {
