@@ -662,6 +662,45 @@ object Similarity {
     df.withColumn(outCol, proj(col(vecCol)))
   }
 
+  /** OPQ-lite: project onto ALL principal axes, then deal the
+    * decorrelated coordinates round-robin across the `m` PQ subspaces
+    * (`out[j·sub + t] = proj[t·m + j]`) so every subspace receives a
+    * mix of high- and low-variance directions — the cheap approximation
+    * of OPQ's variance-balancing rotation. Feeding [[pqEncode]] this
+    * representation instead of raw vectors drops quantization error on
+    * correlated data (spec-asserted); rotation is an isometry, so L2
+    * geometry (and thus recon MSE comparisons) carry over. Requires a
+    * full-rank fit: `pcaFit(df, vecCol, k = dim)`. */
+  def pcaBalancedProject(df: DataFrame, vecCol: String, pca: Pca, m: Int,
+                         outCol: String = "pvec"): DataFrame = {
+    val dim = pca.components.length
+    require(dim == pca.mean.length,
+      s"pcaBalancedProject needs a full-rank fit (k = dim = ${pca.mean.length}, got $dim components)")
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val bc = df.sparkSession.sparkContext.broadcast((pca.mean, pca.components))
+    val proj = udf { v: Seq[Double] =>
+      val (mean, comps) = bc.value
+      val x = v.toArray
+      val p = comps.map { comp =>
+        var s = 0.0
+        var i = 0
+        val n = math.min(x.length, comp.length)
+        while (i < n) { s += (x(i) - mean(i)) * comp(i); i += 1 }
+        s
+      }
+      val out = new Array[Double](dim)
+      var j = 0
+      while (j < m) {
+        var t = 0
+        while (t < sub) { out(j * sub + t) = p(t * m + j); t += 1 }
+        j += 1
+      }
+      out.toSeq
+    }
+    df.withColumn(outCol, proj(col(vecCol)))
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix — exact
     * enough for covariance work in a few sweeps, no linear-algebra
     * dependency. Returns (eigenvalues, eigenvector COLUMNS). */

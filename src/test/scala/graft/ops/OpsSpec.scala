@@ -1201,6 +1201,47 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(pca.explained(0) - pca13.explained(0)) < 1e-6)
   }
 
+  test("pcaBalancedProject cuts PQ quantization error on correlated data") {
+    // correlated data: x = R·z with decaying axis variances and a fixed
+    // dense rotation R (seeded Gram-Schmidt) — exactly the case where
+    // raw-coordinate PQ subspaces quantize badly
+    val dim = 16; val m = 4; val kCodes = 16
+    val rnd = new scala.util.Random(9)
+    val basis = {
+      val raw = Array.fill(dim)(Array.fill(dim)(rnd.nextGaussian()))
+      for (i <- 0 until dim) {
+        for (j <- 0 until i) {
+          val d = raw(i).zip(raw(j)).map { case (a, b) => a * b }.sum
+          for (t <- 0 until dim) raw(i)(t) -= d * raw(j)(t)
+        }
+        val n = math.sqrt(raw(i).map(x => x * x).sum)
+        for (t <- 0 until dim) raw(i)(t) /= n
+      }
+      raw
+    }
+    val rows = (0 until 4000).map { i =>
+      val z = Array.tabulate(dim)(d => rnd.nextGaussian() * math.pow(2.0, -d / 4.0))
+      (i.toLong, Seq.tabulate(dim)(t => basis.indices.map(d => basis(d)(t) * z(d)).sum))
+    }
+    val df = rows.toDF("vec_id", "v")
+    def mse(encodedFrom: org.apache.spark.sql.DataFrame, vecCol: String): Double = {
+      val cb = Similarity.pqCodebooks(encodedFrom, "vec_id", vecCol, m, kCodes)
+      val enc = Similarity.pqEncode(encodedFrom, "vec_id", vecCol, cb, m, kCodes)
+      encodedFrom.select(col("vec_id").as("id"), col(vecCol).as("orig"))
+        .join(enc, "id")
+        .select(aggregate(zip_with(col("orig"),
+            Similarity.pqRecon(col("codes"), cb, m, kCodes),
+            (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x).as("e"))
+        .agg(avg(col("e"))).head().getDouble(0)
+    }
+    val rawMse = mse(df, "v")
+    val pca = Similarity.pcaFit(df, "v", k = dim)
+    val balanced = Similarity.pcaBalancedProject(df, "v", pca, m)
+    val balMse = mse(balanced, "pvec")
+    assert(balMse < rawMse * 0.9,
+      s"balanced PQ mse $balMse not below raw $rawMse by 10%")
+  }
+
   test("compressionRatio orders repetition below prose below noise") {
     val rep = "the same line of boilerplate text repeats here. " * 60
     val prose = "Information theory tells us natural language carries " +
