@@ -98,6 +98,76 @@ object LinkGraph {
     out
   }
 
+  /** Personalized PageRank: the teleport distribution concentrates on
+    * `seeds` instead of spreading uniformly — the crawl-prioritization
+    * and related-page score (how reachable is each node from the pages
+    * you trust). Same co-partitioned loop as [[pagerank]] — one
+    * edge-sized reduceByKey per round — with two differences: the
+    * restart vector `s` (1/|seeds| on seeds, 0 elsewhere; a broadcast
+    * set, never a join) replaces 1/n everywhere, including the
+    * dangling-mass redistribution, and the walk starts AT the seeds
+    * (`r0 = s`). Nodes outside the seed component converge to 0, which
+    * is the point. Seeds with no edges still appear in the output. */
+  def personalizedPagerank(edges: DataFrame, seeds: Seq[Long],
+                           damping: Double = 0.85,
+                           iters: Int = 10): DataFrame = {
+    require(seeds.nonEmpty, "personalizedPagerank needs at least one seed")
+    require(iters >= 1 && damping > 0.0 && damping < 1.0)
+    val spark = edges.sparkSession
+    val seedSet = seeds.toSet
+    val bcSeeds = spark.sparkContext.broadcast(seedSet)
+    val sMass = 1.0 / seedSet.size
+    val e: RDD[(Long, Long)] = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") =!= col("dst") &&
+        col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e.count()
+    val parts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, (nEdges / 500000L).toInt + 1))
+    val part = new HashPartitioner(parts)
+    val outdeg: RDD[(Long, Int)] = e.mapValues(_ => 1)
+      .reduceByKey(part, _ + _).persist(StorageLevel.MEMORY_AND_DISK)
+    val eDeg: RDD[(Long, (Long, Int))] = e.join(outdeg, part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes: RDD[(Long, Unit)] = e
+      .flatMap { case (a, b) => Iterator(a, b) }
+      .union(spark.sparkContext.parallelize(seeds))
+      .map((_, ())).reduceByKey(part, (a, _) => a)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def sOf(n: Long): Double = if (bcSeeds.value(n)) sMass else 0.0
+    var rank: RDD[(Long, Double)] = nodes
+      .map { case (n, _) => (n, sOf(n)) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var it = 0
+    while (it < iters) {
+      val dm = rank.subtractByKey(outdeg, part).values.sum()
+      val contrib = eDeg.join(rank, part)
+        .map { case (_, ((dst, deg), r)) => (dst, r / deg) }
+        .reduceByKey(part, _ + _)
+      val next = nodes.leftOuterJoin(contrib, part)
+        .map { case (n, (_, inc)) =>
+          val s = sOf(n)
+          (n, (1.0 - damping) * s +
+            damping * (inc.getOrElse(0.0) + dm * s)) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val prev = rank
+      rank = next
+      prev.unpersist(false)
+      it += 1
+    }
+    val out = {
+      import spark.implicits._
+      rank.toDF("n", "r")
+    }
+    out.persist(StorageLevel.MEMORY_AND_DISK).count()
+    e.unpersist(false); outdeg.unpersist(false)
+    eDeg.unpersist(false); nodes.unpersist(false)
+    out
+  }
+
   /** k-hop BFS frontier over the directed link graph: every node
     * reachable from `seeds` within `maxHops`, with its hop distance —
     * crawl-frontier planning (which pages a depth-k crawl from the seed

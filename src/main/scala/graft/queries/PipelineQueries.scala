@@ -764,6 +764,21 @@ object PipelineQueries {
         .orderBy(col("node"))
     }),
 
+    // personalized PageRank from a trusted seed set — the crawl
+    // prioritization score: teleport mass concentrates on seeds 0,1,2,
+    // nodes unreachable from them converge to 0
+    "q_ppr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val edges = d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % 500).as("dst"))
+        .union(d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 31 + 11) % 500).as("dst")))
+      graft.ops.LinkGraph.personalizedPagerank(edges, seeds = Seq(0L, 1L, 2L),
+          damping = 0.85, iters = 6)
+        .select(col("n").as("node"), round(col("r"), 6).as("rank"))
+        .orderBy(col("node"))
+    }),
+
     // block-level main-content extraction (the jusText heuristic:
     // boilerplate lives in short, link-dense blocks): nav/footer link
     // soup synthesized around each document in BOTH engines drops, the
@@ -1637,6 +1652,39 @@ object PipelineQueries {
           s" LEFT JOIN (SELECT e.dst AS n, sum($p.r / deg.deg) AS inc" +
           s" FROM e JOIN deg USING (src) JOIN $p ON $p.n = e.src" +
           s" GROUP BY e.dst) i ON i.n = nodes.n)")
+    }
+    sb.append(s" SELECT n AS node, round(r, 6) AS rank FROM r$iters ORDER BY node")
+    sb.toString
+  }
+
+  /** Unrolled personalized PageRank — [[pagerankSql]]'s structure with
+    * the seed restart vector replacing 1/n everywhere (start, teleport,
+    * dangling redistribution), FP expression shapes mirrored. */
+  private def pprSql(iters: Int, seeds: Seq[Long]): String = {
+    val seedList = seeds.mkString("(", ", ", ")")
+    val ns = seeds.size
+    val sb = new StringBuilder(
+      "WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (" +
+        " SELECT doc_id AS src, (doc_id*7+3) % 500 AS dst FROM documents" +
+        " UNION ALL SELECT doc_id, (doc_id*31+11) % 500 FROM documents)" +
+        " WHERE src <> dst)," +
+        " nodes AS MATERIALIZED (SELECT src AS n FROM e UNION SELECT dst FROM e" +
+        s" UNION SELECT unnest(${seeds.mkString("[", ", ", "]")}))," +
+        " deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src)," +
+        " sv AS MATERIALIZED (SELECT n," +
+        s" CASE WHEN n IN $seedList THEN 1.0 / $ns ELSE 0.0 END AS s FROM nodes)," +
+        " r0 AS MATERIALIZED (SELECT n, s AS r FROM sv)")
+    for (k <- 1 to iters) {
+      val p = s"r${k - 1}"
+      sb.append(
+        s", d$k AS MATERIALIZED (SELECT coalesce(sum(r), 0.0) AS dm FROM $p" +
+          s" WHERE n NOT IN (SELECT src FROM deg))" +
+          s", r$k AS MATERIALIZED (SELECT sv.n," +
+          s" (1.0 - 0.85) * sv.s + 0.85 * (coalesce(i.inc, 0.0) + dm * sv.s) AS r" +
+          s" FROM sv CROSS JOIN d$k" +
+          s" LEFT JOIN (SELECT e.dst AS n, sum($p.r / deg.deg) AS inc" +
+          s" FROM e JOIN deg USING (src) JOIN $p ON $p.n = e.src" +
+          s" GROUP BY e.dst) i ON i.n = sv.n)")
     }
     sb.append(s" SELECT n AS node, round(r, 6) AS rank FROM r$iters ORDER BY node")
     sb.toString
@@ -2889,6 +2937,7 @@ object PipelineQueries {
          |  round(length(lt)::DOUBLE / greatest(length(txt), 1), 6) AS link_density
          | FROM tx JOIN ld USING (doc_id) ORDER BY doc_id""".om,
     "q_pagerank" -> pagerankSql(6),
+    "q_ppr" -> pprSql(6, Seq(0L, 1L, 2L)),
     "q_link_bfs" -> bfsSql(4),
     // robots.txt parse + gate, window-for-window: comment strip, group
     // runs (lag over line index), exact-agent-over-* selection, prefix

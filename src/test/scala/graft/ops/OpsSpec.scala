@@ -1158,6 +1158,25 @@ class OpsSpec extends AnyFunSuite {
     assert(lshPlan.contains("SortMergeJoin"))
   }
 
+  test("personalized PageRank: mass stays near seeds, unreachable nodes get zero") {
+    // two disconnected components: 0->1->2->0 (seeded) and 10->11->10
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (10L, 11L), (11L, 10L))
+      .toDF("src", "dst")
+    val r = LinkGraph.personalizedPagerank(edges, seeds = Seq(0L),
+        damping = 0.85, iters = 20)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // the unseeded component receives NOTHING — the defining property
+    assert(r(10L) == 0.0 && r(11L) == 0.0)
+    // seed component carries all the mass, seed ranked highest
+    assert(math.abs(r(0L) + r(1L) + r(2L) - 1.0) < 1e-9)
+    assert(r(0L) > r(1L) && r(1L) > r(2L))
+    // a seed with no edges at all still appears (pure restart mass)
+    val iso = LinkGraph.personalizedPagerank(edges, seeds = Seq(99L),
+        damping = 0.85, iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(iso(99L) > 0.9) // dangling seed: all mass returns to it
+  }
+
   test("pcaFit recovers planted axes; projection; partition invariance") {
     // plant a 2-factor structure in 8 dims: x = a·u + b·v + tiny noise,
     // u ⟂ v, var(a)=9, var(b)=1 — the top two axes must come back as
