@@ -168,6 +168,79 @@ object LinkGraph {
     out
   }
 
+  /** HITS hubs & authorities (Kleinberg): the mutual-reinforcement
+    * iteration — `auth(n) = Σ_{m→n} hub(m)`, `hub(n) = Σ_{n→m} auth(n's
+    * targets)` — L1-normalized each half-step so the fixpoint is
+    * scale-free and every intermediate stays bounded (L1 rather than
+    * the classical L2: a sum is one exchange and mirrors exactly in the
+    * SQL oracle, and the RANKING fixpoint is the same). Hub scores
+    * separate link-soup pages (high hub, low auth) from linked-to
+    * content (high auth) — the web-spam signal PageRank alone misses.
+    *
+    * Execution shape: the forward and reverse edge lists are hash
+    * co-partitioned once; each round is two edge-sized reduceByKey
+    * exchanges (auth pull, hub pull) and two scalar sums. */
+  def hits(edges: DataFrame, iters: Int = 10): DataFrame = {
+    require(iters >= 1)
+    val spark = edges.sparkSession
+    val e: RDD[(Long, Long)] = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") =!= col("dst") &&
+        col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e.count()
+    val parts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, (nEdges / 500000L).toInt + 1))
+    val part = new HashPartitioner(parts)
+    val fwd = e.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    val rev = e.map { case (s, d) => (d, s) }
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes: RDD[(Long, Unit)] = e
+      .flatMap { case (a, b) => Iterator(a, b) }
+      .map((_, ())).reduceByKey(part, (a, _) => a)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nNodes = nodes.count()
+    var hub: RDD[(Long, Double)] = nodes.mapValues(_ => 1.0 / nNodes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var auth: RDD[(Long, Double)] = hub
+    var it = 0
+    while (it < iters) {
+      val authRaw = fwd.join(hub, part)
+        .map { case (_, (dst, h)) => (dst, h) }
+        .reduceByKey(part, _ + _)
+      val authSum = authRaw.values.sum()
+      val nextAuth = nodes.leftOuterJoin(authRaw, part)
+        .mapValues { case (_, v) =>
+          if (authSum == 0.0) 0.0 else v.getOrElse(0.0) / authSum }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val hubRaw = rev.join(nextAuth, part)
+        .map { case (_, (src, a)) => (src, a) }
+        .reduceByKey(part, _ + _)
+      val hubSum = hubRaw.values.sum()
+      val nextHub = nodes.leftOuterJoin(hubRaw, part)
+        .mapValues { case (_, v) =>
+          if (hubSum == 0.0) 0.0 else v.getOrElse(0.0) / hubSum }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val (ph, pa) = (hub, auth)
+      hub = nextHub
+      auth = nextAuth
+      if (it > 0) { ph.unpersist(false); pa.unpersist(false) }
+      it += 1
+    }
+    val out = {
+      import spark.implicits._
+      hub.join(auth, part)
+        .map { case (n, (h, a)) => (n, h, a) }
+        .toDF("n", "hub", "auth")
+    }
+    out.persist(StorageLevel.MEMORY_AND_DISK).count()
+    e.unpersist(false); fwd.unpersist(false); rev.unpersist(false)
+    nodes.unpersist(false)
+    out
+  }
+
   /** k-hop BFS frontier over the directed link graph: every node
     * reachable from `seeds` within `maxHops`, with its hop distance —
     * crawl-frontier planning (which pages a depth-k crawl from the seed

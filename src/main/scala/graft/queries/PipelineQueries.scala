@@ -779,6 +779,21 @@ object PipelineQueries {
         .orderBy(col("node"))
     }),
 
+    // HITS hubs & authorities over the same link graph — the
+    // mutual-reinforcement pair PageRank misses: link-soup pages score
+    // hub-high/auth-low, linked-to content the reverse
+    "q_hits" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val edges = d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % 500).as("dst"))
+        .union(d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 31 + 11) % 500).as("dst")))
+      graft.ops.LinkGraph.hits(edges, iters = 4)
+        .select(col("n").as("node"), round(col("hub"), 6).as("hub"),
+          round(col("auth"), 6).as("auth"))
+        .orderBy(col("node"))
+    }),
+
     // block-level main-content extraction (the jusText heuristic:
     // boilerplate lives in short, link-dense blocks): nav/footer link
     // soup synthesized around each document in BOTH engines drops, the
@@ -1687,6 +1702,39 @@ object PipelineQueries {
           s" GROUP BY e.dst) i ON i.n = sv.n)")
     }
     sb.append(s" SELECT n AS node, round(r, 6) AS rank FROM r$iters ORDER BY node")
+    sb.toString
+  }
+
+  /** Unrolled HITS — two L1-normalized pulls per round, FP shapes
+    * mirrored against [[graft.ops.LinkGraph.hits]]. */
+  private def hitsSql(iters: Int): String = {
+    val sb = new StringBuilder(
+      "WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (" +
+        " SELECT doc_id AS src, (doc_id*7+3) % 500 AS dst FROM documents" +
+        " UNION ALL SELECT doc_id, (doc_id*31+11) % 500 FROM documents)" +
+        " WHERE src <> dst)," +
+        " nodes AS MATERIALIZED (SELECT src AS n FROM e UNION SELECT dst FROM e)," +
+        " nn AS MATERIALIZED (SELECT count(*)::BIGINT AS cnt FROM nodes)," +
+        " h0 AS MATERIALIZED (SELECT n, 1.0 / cnt AS v FROM nodes CROSS JOIN nn)")
+    for (k <- 1 to iters) {
+      val ph = s"h${k - 1}"
+      sb.append(
+        s", ar$k AS MATERIALIZED (SELECT e.dst AS n, sum(h.v) AS raw" +
+          s" FROM e JOIN $ph h ON h.n = e.src GROUP BY e.dst)" +
+          s", asum$k AS MATERIALIZED (SELECT coalesce(sum(raw), 0.0) AS s FROM ar$k)" +
+          s", a$k AS MATERIALIZED (SELECT nodes.n," +
+          s" CASE WHEN s = 0.0 THEN 0.0 ELSE coalesce(ar$k.raw, 0.0) / s END AS v" +
+          s" FROM nodes CROSS JOIN asum$k LEFT JOIN ar$k ON ar$k.n = nodes.n)" +
+          s", hr$k AS MATERIALIZED (SELECT e.src AS n, sum(a.v) AS raw" +
+          s" FROM e JOIN a$k a ON a.n = e.dst GROUP BY e.src)" +
+          s", hsum$k AS MATERIALIZED (SELECT coalesce(sum(raw), 0.0) AS s FROM hr$k)" +
+          s", h$k AS MATERIALIZED (SELECT nodes.n," +
+          s" CASE WHEN s = 0.0 THEN 0.0 ELSE coalesce(hr$k.raw, 0.0) / s END AS v" +
+          s" FROM nodes CROSS JOIN hsum$k LEFT JOIN hr$k ON hr$k.n = nodes.n)")
+    }
+    sb.append(s" SELECT h$iters.n AS node, round(h$iters.v, 6) AS hub," +
+      s" round(a$iters.v, 6) AS auth" +
+      s" FROM h$iters JOIN a$iters ON h$iters.n = a$iters.n ORDER BY node")
     sb.toString
   }
 
@@ -2938,6 +2986,7 @@ object PipelineQueries {
          | FROM tx JOIN ld USING (doc_id) ORDER BY doc_id""".om,
     "q_pagerank" -> pagerankSql(6),
     "q_ppr" -> pprSql(6, Seq(0L, 1L, 2L)),
+    "q_hits" -> hitsSql(4),
     "q_link_bfs" -> bfsSql(4),
     // robots.txt parse + gate, window-for-window: comment strip, group
     // runs (lag over line index), exact-agent-over-* selection, prefix

@@ -1158,6 +1158,23 @@ class OpsSpec extends AnyFunSuite {
     assert(lshPlan.contains("SortMergeJoin"))
   }
 
+  test("HITS separates link-soup hubs from linked-to authorities") {
+    // node 0 is pure hub (links to all content), 1..4 pure authorities,
+    // node 9 links only to the hub (so the hub also gets some auth)
+    val edges = (Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (9L, 0L)))
+      .toDF("src", "dst")
+    val r = LinkGraph.hits(edges, iters = 10)
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    val (hub0, auth0) = r(0L)
+    val (hub1, auth1) = r(1L)
+    assert(hub0 > 0.9) // the soup page dominates hub mass
+    assert(auth1 > auth0) // content outranks the hub as authority
+    assert(hub1 == 0.0) // pure authorities link to nothing
+    // normalization: each vector sums to 1
+    assert(math.abs(r.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(r.values.map(_._2).sum - 1.0) < 1e-9)
+  }
+
   test("personalized PageRank: mass stays near seeds, unreachable nodes get zero") {
     // two disconnected components: 0->1->2->0 (seeded) and 10->11->10
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (10L, 11L), (11L, 10L))
