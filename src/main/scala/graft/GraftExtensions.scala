@@ -123,5 +123,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.SampleAggregates.BottomKSampleAgg(args(0), args(1), s)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hll"),
+      new ExpressionInfo(
+        classOf[graft.functions.SampleAggregates.HllSketchAgg].getName,
+        "graft_hll"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          "graft_hll(key[, m]) takes a key and an optional int-literal m")
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val m = if (args.length == 2) args(1) match {
+          case Literal(v: Int, _) => v
+          case other => sys.error(
+            s"graft_hll: m must be an int literal, got $other")
+        } else 64
+        graft.functions.SampleAggregates.HllSketchAgg(args.head, m)
+      }))
   }
 }

@@ -110,4 +110,108 @@ object SampleAggregates {
     GraftSqlBridge.column(
       BottomKSampleAgg(GraftSqlBridge.toCatalyst(h),
         GraftSqlBridge.toCatalyst(v), s).toAggregateExpression())
+
+  /** Deterministic HyperLogLog distinct estimate as ONE aggregate call
+    * — `SELECT grp, graft_hll(key, 64) ... GROUP BY grp` — producing
+    * BIT-IDENTICAL estimates to the register-frame formulation
+    * ([[graft.ops.Sketches.hllDistinct]]): same salted md5, same
+    * 60-bit index / 32-bit rank slices, same exact-integer harmonic
+    * sum and linear-counting branch, same HALF_UP rounding. The
+    * register-frame form stays the choice when registers themselves
+    * are the artifact (streaming partials, cross-batch merges); this
+    * form bounds the exchange at m bytes per (group × partition) with
+    * no intermediate frame — COUNT DISTINCT at 100 TB as a drop-in
+    * SQL aggregate.
+    *
+    * The buffer is the register array itself (m bytes, rank ≤ 33
+    * fits a byte); merge is element-wise max — the HLL monoid. */
+  final case class HllSketchAgg(
+      child: Expression, m: Int, salt: String = "hll",
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+    require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "hll_sketch"
+
+    @transient private lazy val md5 =
+      java.security.MessageDigest.getInstance("MD5")
+
+    override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+    override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+      val k = child.eval(input)
+      if (k != null) {
+        md5.reset()
+        val digest = md5.digest(
+          (salt + k.toString).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 15 hex chars = high 60 bits of bytes 0..7
+        var h64 = 0L
+        var i = 0
+        while (i < 8) { h64 = (h64 << 8) | (digest(i) & 0xffL); i += 1 }
+        val idx = ((h64 >>> 4) % m).toInt
+        // hex chars 17..24 = bytes 8..11
+        var v32 = 0L
+        i = 8
+        while (i < 12) { v32 = (v32 << 8) | (digest(i) & 0xffL); i += 1 }
+        val rank =
+          if (v32 == 0L) 33
+          else 33 - (64 - java.lang.Long.numberOfLeadingZeros(v32))
+        if (rank > buf(idx)) buf(idx) = rank.toByte
+      }
+      buf
+    }
+
+    override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < m) {
+        if (other(i) > buf(i)) buf(i) = other(i)
+        i += 1
+      }
+      buf
+    }
+
+    override def eval(buf: Array[Byte]): Any = {
+      var z = 0L
+      var vZero = 0
+      var i = 0
+      while (i < m) {
+        val r = buf(i) & 0xff
+        if (r == 0) { vZero += 1; z += 8589934592L }
+        else z += 1L << (33 - r)
+        i += 1
+      }
+      val numer = graft.ops.Sketches.hllAlpha(m) * m * m * 8589934592.0d
+      val raw = numer / z
+      val est =
+        if (raw <= 2.5 * m && vZero > 0)
+          m.toDouble * math.log(m.toDouble / vZero)
+        else raw
+      // valueOf (string repr), not the exact-binary constructor — the
+      // same choice Spark's Round makes, so boundary halves agree
+      java.math.BigDecimal.valueOf(est)
+        .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+
+    override def serialize(buf: Array[Byte]): Array[Byte] = buf
+    override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+    override def withNewMutableAggBufferOffset(o: Int): HllSketchAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): HllSketchAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): HllSketchAgg =
+      copy(child = newChildren(0))
+  }
+
+  /** `hll_sketch(key, m)` as a Column aggregate. */
+  def hll_sketch(key: Column, m: Int, salt: String = "hll"): Column =
+    GraftSqlBridge.column(
+      HllSketchAgg(GraftSqlBridge.toCatalyst(key), m, salt)
+        .toAggregateExpression())
 }

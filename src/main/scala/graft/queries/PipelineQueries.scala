@@ -1440,6 +1440,18 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
 
+    // the same deterministic HLL as ONE custom aggregate (TypedImperative
+    // — m-byte buffers per group×partition, no register frame): must be
+    // bit-identical to q_sketches' register formulation, so it shares
+    // the register-level DuckDB oracle
+    "q_hll_agg" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .where(col("user_id").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(graft.functions.SampleAggregates.hll_sketch(col("user_id"), 64)
+          .as("approx_users"))
+        .orderBy(col("event_type"))),
+
     // NATIVE-histogram quantile (sparse exponential buckets at schema 2,
     // Prometheus native data model) routed through the one classic
     // histogram_quantile implementation — the minimal classic<->native
@@ -2407,6 +2419,21 @@ object PipelineQueries {
          |   round(quantile_cont(value, 0.99), 4) AS p99 FROM events GROUP BY 1)
          | SELECT grp AS event_type, est AS approx_users, p50, p99
          | FROM e JOIN p USING (grp) ORDER BY event_type""".om,
+    "q_hll_agg" ->
+      s"""WITH h AS (SELECT event_type,
+         |   ('0x' || substr(md5('hll' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 64 AS idx,
+         |   ('0x' || substr(md5('hll' || CAST(user_id AS VARCHAR)), 17, 8))::BIGINT AS v
+         |  FROM events WHERE user_id IS NOT NULL),
+         | regs AS (SELECT event_type, idx,
+         |   max(CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END) AS mj
+         |  FROM h GROUP BY event_type, idx),
+         | z AS (SELECT event_type,
+         |   sum(1::BIGINT << (33 - mj)) + (64 - count(*)) * 8589934592 AS z,
+         |   64 - count(*) AS v_zero
+         |  FROM regs GROUP BY event_type)
+         | SELECT event_type, round(CASE WHEN $hllNumer / z <= 160.0 AND v_zero > 0
+         |   THEN 64.0 * ln(64.0 / v_zero) ELSE $hllNumer / z END, 2) AS approx_users
+         | FROM z ORDER BY event_type""".om,
     // bloom: OR-monoid bitmap of md5 positions, all-bits-set membership
     "q_bloom_decontam" ->
       s"""WITH corpus AS (SELECT DISTINCT md5(text) AS k FROM documents

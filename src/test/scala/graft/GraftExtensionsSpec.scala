@@ -82,6 +82,36 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_hll matches the register-frame HLL bit-for-bit, any layout") {
+    withExtendedSession { s =>
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val rnd = new scala.util.Random(3)
+      val df = (0 until 20000)
+        .map(i => (s"g${i % 3}", (rnd.nextInt(5000) * 1337L)))
+        .toDF("grp", "k")
+      val viaFrame = graft.ops.Sketches.hllDistinct(df, col("grp"), col("k"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      df.createOrReplaceTempView("hll_rows")
+      val viaSql = s.sql(
+        "SELECT grp, graft_hll(k, 64) AS est FROM hll_rows GROUP BY grp")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(viaSql == viaFrame) // bit-identical, not approximately equal
+      // partition layout cannot move the estimate (max-monoid merge)
+      val viaAgg13 = df.repartition(13)
+        .groupBy(col("grp"))
+        .agg(graft.functions.SampleAggregates.hll_sketch(col("k"), 64).as("est"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(viaAgg13 == viaFrame)
+      // sanity: estimates are near the true per-group cardinality
+      val truth = df.groupBy(col("grp"))
+        .agg(countDistinct(col("k")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      viaFrame.foreach { case (g, est) =>
+        assert(math.abs(est - truth(g)) / truth(g) < 0.25, s"$g: $est vs ${truth(g)}") }
+    }
+  }
+
   test("graft_cosine is callable from SQL and matches the HOF formulation") {
     withExtendedSession { s =>
       val r = s.sql(
