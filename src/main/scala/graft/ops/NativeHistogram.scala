@@ -214,16 +214,29 @@ object NativeHistogram {
       col("schema"), explode_outer(col("buckets")).as("b")): _*)
     val mid = (bucketLower(col("b.idx"), col("schema")) +
       bucketUpper(col("b.idx"), col("schema"))) / 2
-    ex.groupBy(g: _*).agg(
+    val mids = ex.select(g ++ Seq(col("count"), col("sum"),
+      col("zero_count"), col("b"), mid.as("_mid")): _*)
+    // DEVIATION form: Σ cnt·(mid − mean)² (+ the zero bucket's point
+    // mass at 0: zero_count·mean²), never E[x²]−E[x]² — the latter's
+    // cancellation surfaces a spurious ~1e-6 stddev when all mass sits
+    // in one bucket, and the two engines cancel DIFFERENTLY
+    val mean = mids.groupBy(g: _*).agg(
         first(col("count")).as("count"), first(col("sum")).as("sum"),
-        sum(when(col("b").isNotNull, col("b.cnt") * mid)
-          .otherwise(0.0)).as("_m1"),
-        sum(when(col("b").isNotNull, col("b.cnt") * mid * mid)
-          .otherwise(0.0)).as("_m2"))
-      .withColumn("avg", col("sum") / col("count"))
+        first(col("zero_count")).as("_z"),
+        sum(when(col("b").isNotNull, col("b.cnt") * col("_mid"))
+          .otherwise(0.0)).as("_m1"))
       .withColumn("_mean_mid", col("_m1") / col("count"))
-      .withColumn("stdvar", greatest(lit(0.0),
-        col("_m2") / col("count") - col("_mean_mid") * col("_mean_mid")))
+    val dev = mids.select(g ++ Seq(col("b"), col("_mid")): _*)
+      .join(mean.select(g ++ Seq(col("_mean_mid").as("_mm")): _*), groupCols)
+      .groupBy(g: _*).agg(
+        sum(when(col("b").isNotNull,
+          col("b.cnt") * (col("_mid") - col("_mm")) *
+            (col("_mid") - col("_mm"))).otherwise(0.0)).as("_dev2"))
+    mean.join(dev, groupCols)
+      .withColumn("avg", col("sum") / col("count"))
+      .withColumn("stdvar",
+        (col("_dev2") + col("_z") * col("_mean_mid") * col("_mean_mid")) /
+          col("count"))
       .withColumn("stddev", sqrt(col("stdvar")))
       .select(g ++ Seq(col("count"), col("sum"), col("avg"),
         col("stdvar"), col("stddev")): _*)

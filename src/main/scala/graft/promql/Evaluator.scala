@@ -942,14 +942,22 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
           .withColumn("mid",
             (coalesce(lag(col("le"), 1).over(w), lit(0.0)) + col("le")) / 2)
         val finite = col("le") =!= Double.PositiveInfinity
-        val agg = d.groupBy(col("gkey"), col("t")).agg(
-          max(col("cum")).as("_n"),
-          sum(when(finite, col("cnt") * col("mid")).otherwise(0.0)).as("_m1"),
-          sum(when(finite, col("cnt") * col("mid") * col("mid"))
-            .otherwise(0.0)).as("_m2"))
-        val stdvar = greatest(lit(0.0),
-          col("_m2") / col("_n") -
-            (col("_m1") / col("_n")) * (col("_m1") / col("_n")))
+        // DEVIATION form (upstream's): Σ cnt·(mid − mean)² / n — unlike
+        // E[x²]−E[x]², exact zero when all mass sits in one bucket
+        // (mid == mean exactly), no catastrophic cancellation for a
+        // tiny spread to surface as a spurious 1e-6 stddev
+        val mean = d.groupBy(col("gkey"), col("t")).agg(
+            max(col("cum")).as("_n"),
+            sum(when(finite, col("cnt") * col("mid")).otherwise(0.0)).as("_m1"))
+          .select(col("gkey"), col("t"), col("_n"),
+            (col("_m1") / col("_n")).as("_mean"))
+        val agg = d.join(mean, Seq("gkey", "t"))
+          .groupBy(col("gkey"), col("t")).agg(
+            max(col("_n")).as("_n"),
+            sum(when(finite,
+              col("cnt") * (col("mid") - col("_mean")) *
+                (col("mid") - col("_mean"))).otherwise(0.0)).as("_dev2"))
+        val stdvar = col("_dev2") / col("_n")
         val v = if (stat == "stdvar") stdvar else sqrt(stdvar)
         agg.select(col("gkey").as("labels"), col("t"), v.as("v"))
     }

@@ -2561,15 +2561,24 @@ object PipelineQueries {
          |   power(2.0, (idx - 1) / 4.0) AS lo_b, power(2.0, idx / 4.0) AS hi_b,
          |   cnt FROM b),
          | agg AS (SELECT event_type, sum(cnt * mid) AS m1,
-         |   sum(cnt * mid * mid) AS m2,
          |   sum(cnt * greatest(0.0, least(100.0, hi_b) - greatest(25.0, lo_b))
          |     / (hi_b - lo_b)) AS mass
-         |  FROM m GROUP BY 1)
-         | SELECT event_type, n, round(sv, 4) AS sum_v,
+         |  FROM m GROUP BY 1),
+         | zc AS (SELECT event_type, count(*) AS z FROM obs
+         |  WHERE idx IS NULL GROUP BY 1),
+         | mean AS (SELECT agg.event_type, m1 / tot.n AS mean_mid, mass,
+         |   tot.n AS n, tot.sv AS sv, coalesce(zc.z, 0) AS z
+         |  FROM agg JOIN tot USING (event_type)
+         |  LEFT JOIN zc ON zc.event_type = agg.event_type),
+         | dev AS (SELECT m.event_type,
+         |   sum(cnt * (mid - mean_mid) * (mid - mean_mid)) AS dev2
+         |  FROM m JOIN mean ON m.event_type = mean.event_type GROUP BY 1)
+         | SELECT mean.event_type, n, round(sv, 4) AS sum_v,
          |  round(sv / n, 6) AS avg_v,
-         |  round(sqrt(greatest(0.0, m2 / n - (m1 / n) * (m1 / n))), 4) AS sd_mid,
+         |  round(sqrt((dev2 + z * mean_mid * mean_mid) / n), 4) AS sd_mid,
          |  round(mass / n, 6) AS frac_25_100
-         | FROM tot JOIN agg USING (event_type) ORDER BY event_type""".om,
+         | FROM mean JOIN dev ON mean.event_type = dev.event_type
+         | ORDER BY mean.event_type""".om,
     "decontaminate_clean" ->
       s"""WITH ${tokCte(2)}, $hsCte,
          | bench AS (SELECT DISTINCT unnest(hs) AS h FROM hx WHERE doc_id % 37 = 0),

@@ -1120,18 +1120,25 @@ object TsQueries {
          |   sum(cnt) OVER (PARTITION BY event_type, t ORDER BY idx) AS cum FROM b),
          | buckets AS (SELECT event_type, t, le, cum FROM cm
          |  UNION ALL SELECT event_type, t, 'Infinity'::DOUBLE, n FROM tot),
-         | dd AS (SELECT event_type, t, le,
+         | dd AS MATERIALIZED (SELECT event_type, t, le,
          |   (cum - coalesce(lag(cum) OVER w, 0))::DOUBLE AS cnt,
          |   (coalesce(lag(le) OVER w, 0.0) + le) / 2 AS mid
          |  FROM buckets WINDOW w AS (PARTITION BY event_type, t ORDER BY le)),
-         | mo AS (SELECT event_type, t,
-         |   sum(CASE WHEN le <> 'Infinity'::DOUBLE THEN cnt * mid ELSE 0 END) AS m1,
-         |   sum(CASE WHEN le <> 'Infinity'::DOUBLE THEN cnt * mid * mid ELSE 0 END) AS m2
-         |  FROM dd GROUP BY 1, 2)
+         | mn AS MATERIALIZED (SELECT dd.event_type, dd.t,
+         |   sum(CASE WHEN le <> 'Infinity'::DOUBLE THEN cnt * mid ELSE 0 END)
+         |     / max(tot.n) AS mean
+         |  FROM dd JOIN tot ON dd.event_type = tot.event_type AND dd.t = tot.t
+         |  GROUP BY 1, 2),
+         | mo AS (SELECT dd.event_type, dd.t,
+         |   sum(CASE WHEN le <> 'Infinity'::DOUBLE
+         |    THEN cnt * (mid - mean) * (mid - mean)
+         |    ELSE 0 END) AS dev2
+         |  FROM dd JOIN mn ON dd.event_type = mn.event_type AND dd.t = mn.t
+         |  GROUP BY 1, 2)
          | SELECT tot.event_type, tot.t, round(tot.n::DOUBLE, 6) AS cnt,
          |  round(tot.sv, 4) AS sum_v, round(tot.sv / tot.n, 6) AS avg_v,
-         |  round(sqrt(greatest(0.0, mo.m2 / tot.n - (mo.m1 / tot.n) * (mo.m1 / tot.n))), 6) AS stddev_v,
-         |  round(greatest(0.0, mo.m2 / tot.n - (mo.m1 / tot.n) * (mo.m1 / tot.n)), 4) AS stdvar_v
+         |  round(sqrt(mo.dev2 / tot.n), 6) AS stddev_v,
+         |  round(mo.dev2 / tot.n, 4) AS stdvar_v
          | FROM tot JOIN mo ON tot.event_type = mo.event_type AND tot.t = mo.t
          | ORDER BY tot.event_type, tot.t""".stripMargin.replace("\n", " "),
     // exact: observe() counts every row and sums every value, so the
