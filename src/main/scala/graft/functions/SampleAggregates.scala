@@ -138,14 +138,15 @@ object SampleAggregates {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "hll_sketch"
 
-    @transient private lazy val md5 =
-      java.security.MessageDigest.getInstance("MD5")
-
     override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
 
     override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
       val k = child.eval(input)
       if (k != null) {
+        // per-thread digest (the MinhashExpressions convention):
+        // MessageDigest is stateful and instances of this aggregate may
+        // be shared wherever the plan is
+        val md5 = MinhashExpressions.threadMd5.get()
         md5.reset()
         val digest = md5.digest(
           (salt + k.toString).getBytes(java.nio.charset.StandardCharsets.UTF_8))
