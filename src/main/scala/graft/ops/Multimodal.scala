@@ -354,8 +354,7 @@ object Multimodal {
     val nh = Dedup.sharedPersist(mediaHashIndex(newMedia, idCol, hash))
     def banded(df: DataFrame, idAs: String, dhAs: String) =
       df.select(col("id").as(idAs), col("dh").as(dhAs),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("dh"), b * 14).bitwiseAND(0x3fffL)): _*)))
+        posexplode(array(bandCols(col("dh"), maxDist): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
     banded(nh, "new_id", "dh1")
       .join(banded(corpusIndex, "corpus_id", "dh2").hint("merge"),
@@ -366,6 +365,22 @@ object Multimodal {
       .distinct()
   }
 
+  /** Band decomposition of the ≤56-bit perceptual hashes: `maxDist + 1`
+    * near-equal-width bands, so by pigeonhole ANY pair within `maxDist`
+    * Hamming agrees on at least one whole band — the recall contract
+    * holds for every threshold, not just the default 3 (wider radii
+    * simply pay more candidates through narrower bands). */
+  private def bandCols(dh: Column, maxDist: Int): Seq[Column] = {
+    require(maxDist >= 0 && maxDist < 56,
+      s"maxDist must be in [0, 56) for 56-bit hashes, got $maxDist")
+    val bands = maxDist + 1
+    val cuts = (0 to bands).map(b => b * 56 / bands)
+    (0 until bands).map { b =>
+      val lo = cuts(b)
+      shiftright(dh, lo).bitwiseAND((1L << (cuts(b + 1) - lo)) - 1)
+    }
+  }
+
   private def bandedHammingPairs(media: DataFrame, idCol: String,
                                  hash: Column, maxDist: Int): DataFrame = {
     val imgs = Dedup.sharedPersist(
@@ -373,8 +388,7 @@ object Multimodal {
         .where(col("dh").isNotNull))
     val values = imgs.select(col("dh")).distinct()
     val banded = values.select(col("dh"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("dh"), b * 14).bitwiseAND(0x3fffL)): _*)))
+      posexplode(array(bandCols(col("dh"), maxDist): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
     val l = banded.select(col("band"), col("band_key"), col("dh").as("dh1"))
     val r = banded.select(col("band"), col("band_key"), col("dh").as("dh2"))

@@ -106,43 +106,45 @@ object ArrowIO {
       df.sparkSession.sparkContext.hadoopConfiguration)
     BlockIO.mkdirs(dir, conf.value)
     val n = df.sparkSession.sparkContext.longAccumulator("arrow_files")
+    val job = SinkCommit.jobToken()
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val name =
-          f"$prefix-$pid%05d-${java.util.UUID.randomUUID().toString.take(8)}.arrow"
-        val hp = new HPath(BlockIO.child(dir, name))
-        val out = hp.getFileSystem(conf.value).create(hp, false)
-        val allocator = new RootAllocator()
-        val arrowSchema =
-          new ArrowSchema(schema.fields.map(toArrowField).toList.asJava)
-        val root = VectorSchemaRoot.create(arrowSchema, allocator)
-        val writer = new ArrowFileWriter(root, null, Channels.newChannel(out))
-        try {
-          writer.start()
-          val vectors = root.getFieldVectors.asScala.toArray
-          var rowInBatch = 0
-          def flush(): Unit = if (rowInBatch > 0) {
-            root.setRowCount(rowInBatch)
-            writer.writeBatch()
-            vectors.foreach(_.clear())
-            rowInBatch = 0
-          }
-          it.foreach { row =>
-            var c = 0
-            while (c < vectors.length) {
-              setCell(vectors(c), rowInBatch, row.get(c))
-              c += 1
+        // deterministic (job, partition) name + rename-on-success: task
+        // retries and speculative twins commit exactly one file
+        val won = SinkCommit.committed(dir, f"$prefix-$job-$pid%05d.arrow",
+          conf) { out =>
+          val allocator = new RootAllocator()
+          val arrowSchema =
+            new ArrowSchema(schema.fields.map(toArrowField).toList.asJava)
+          val root = VectorSchemaRoot.create(arrowSchema, allocator)
+          val writer = new ArrowFileWriter(root, null, Channels.newChannel(out))
+          try {
+            writer.start()
+            val vectors = root.getFieldVectors.asScala.toArray
+            var rowInBatch = 0
+            def flush(): Unit = if (rowInBatch > 0) {
+              root.setRowCount(rowInBatch)
+              writer.writeBatch()
+              vectors.foreach(_.clear())
+              rowInBatch = 0
             }
-            rowInBatch += 1
-            if (rowInBatch == batchRows) flush()
+            it.foreach { row =>
+              var c = 0
+              while (c < vectors.length) {
+                setCell(vectors(c), rowInBatch, row.get(c))
+                c += 1
+              }
+              rowInBatch += 1
+              if (rowInBatch == batchRows) flush()
+            }
+            flush()
+            writer.end()
+          } finally {
+            writer.close(); root.close(); allocator.close()
           }
-          flush()
-          writer.end()
-        } finally {
-          writer.close(); out.close(); root.close(); allocator.close()
         }
-        n.add(1L)
+        if (won) n.add(1L)
       }
     }
     n.value.toInt

@@ -27,7 +27,8 @@ import graft.tsdb.BlockIO
 object TarReader {
 
   final case class Entry(shard: String, name: String, size: Long,
-                         payload: Array[Byte], truncated: Boolean)
+                         payload: Array[Byte], truncated: Boolean,
+                         idx: Long)
 
   /** All regular-file members of every `*.tar` / `*.tar.gz` under
     * `dir`, one Spark task per shard. */
@@ -55,18 +56,35 @@ object TarReader {
 
   /** WebDataset regrouping: members → one row per (shard, sample key),
     * key = member name minus its final extension, with
-    * `parts: map<ext, payload>` plus part count and byte mass. The
+    * `parts: map<ext, payload>` plus kept part count and byte mass. The
     * grouping shuffles only within shards in practice (keys are
     * shard-local by construction), and payloads cross the exchange
-    * once — there is no cheaper shape for a regroup. */
+    * ONCE — there is no cheaper shape for a regroup.
+    *
+    * A shard may legally carry two members with the same key+ext (tar
+    * extract keeps the later one); this regroup applies the same
+    * last-wins rule — by archive position — instead of tripping
+    * Spark's default `EXCEPTION` map-key dedup policy. The dedup runs
+    * inside the already-grouped member array (sample-sized, a few
+    * modalities), so it adds no exchange. */
   def webdatasetSamples(entries: DataFrame): DataFrame =
     entries
       .withColumn("key", regexp_replace(col("name"), "\\.[^./]+$", ""))
       .withColumn("ext", lower(regexp_extract(col("name"), "\\.([^./]+)$", 1)))
       .groupBy(col("shard"), col("key"))
-      .agg(map_from_entries(collect_list(struct(col("ext"), col("payload"))))
-        .as("parts"),
-        count(lit(1)).as("n_parts"), sum(col("size")).as("n_bytes"))
+      .agg(sort_array(collect_list(struct(col("idx"), col("ext"),
+        col("payload"), col("size")))).as("ms"))
+      // keep member i only if no LATER member repeats its ext (the array
+      // is idx-sorted, so "later" = archive order); O(k²) over a
+      // per-sample k of a few modalities
+      .withColumn("kept", expr(
+        "filter(ms, (m, i) -> !exists(slice(ms, i + 2, size(ms) - i - 1), " +
+          "l -> l.ext = m.ext))"))
+      .select(col("shard"), col("key"),
+        map_from_entries(expr("transform(kept, m -> struct(m.ext, m.payload))"))
+          .as("parts"),
+        expr("size(kept)").cast("long").as("n_parts"),
+        expr("aggregate(kept, 0L, (a, m) -> a + m.size)").as("n_bytes"))
 
   // ---- streaming shard parser ------------------------------------------
 
@@ -83,12 +101,14 @@ object TarReader {
     new Iterator[Entry] {
       private var nextE: Entry = null
       private var done = false
+      private var memberIdx = -1L
       private def advance(): Unit = {
         if (nextE != null || done) return
         try {
           var e: Entry = null
           while (e == null && !done) {
-            e = readMember(in, path, maxPayloadBytes).orNull
+            e = readMember(in, path, maxPayloadBytes,
+              { memberIdx += 1; memberIdx }).orNull
             if (e == null) done = true
             else if (e.name == null) e = null // skipped non-file member
           }
@@ -104,7 +124,7 @@ object TarReader {
   /** One member; None at end-of-archive (zero block or EOF); a
     * placeholder with `name == null` for skipped non-file members. */
   private def readMember(in: InputStream, shard: String,
-                         maxPayload: Int): Option[Entry] = {
+                         maxPayload: Int, idx: Long): Option[Entry] = {
     val hdr = new Array[Byte](512)
     if (!readFully(in, hdr)) return None
     if (hdr.forall(_ == 0)) return None // end-of-archive zero block
@@ -122,10 +142,10 @@ object TarReader {
       val buf = new Array[Byte](keep)
       if (!readFully(in, buf)) return None
       skipFully(in, padded - keep)
-      Some(Entry(shard, name, size, buf, truncated = size > keep))
+      Some(Entry(shard, name, size, buf, truncated = size > keep, idx))
     } else { // dirs, links, PAX/GNU extensions: consume and skip
       skipFully(in, padded)
-      Some(Entry(shard, null, size, Array.empty, truncated = false))
+      Some(Entry(shard, null, size, Array.empty, truncated = false, idx))
     }
   }
 

@@ -15,10 +15,13 @@ import graft.tsdb.BlockIO
   *
   * Scale shape mirrors [[WarcWriter]]: one SHARD per task, streamed
   * member by member with O(one member) task memory, landed through
-  * Hadoop `FileSystem` (`file://`/`hdfs://`/`s3a://`). Names are
-  * `<prefix>-<partition>-<uuid>.tar[.gz]` — write-once unique, never
-  * clobbering a concurrent writer (bench reps and speculative tasks
-  * both produce fresh files; readers list the directory).
+  * Hadoop `FileSystem` (`file://`/`hdfs://`/`s3a://`). Shards commit
+  * through [[SinkCommit]] (temp name + rename-on-success, final names
+  * deterministic per job token + partition) so task retries and
+  * speculative twins yield exactly one visible file per shard and a
+  * failed attempt's partial bytes never match a reader's extension
+  * filter. Separate `write` calls draw fresh job tokens and coexist
+  * in one directory (bench reps, incremental appends).
   *
   * Headers are POSIX.1-1988 ustar: octal size, correct checksum, data
   * padded to 512-byte blocks, two zero blocks at the end — byte-level
@@ -37,28 +40,22 @@ object TarWriter {
     val prepared = df.select(col("name").cast("string").as("name"),
       col("payload").cast("binary").as("payload"))
     val ext = if (gzip) ".tar.gz" else ".tar"
+    val job = SinkCommit.jobToken()
     val n = df.sparkSession.sparkContext.longAccumulator("tar_shards")
     prepared.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val name =
-          f"$prefix-$pid%05d-${java.util.UUID.randomUUID().toString.take(8)}$ext"
-        val out = open(dir, name, gzip, conf)
-        try {
+        val won = SinkCommit.committed(dir, f"$prefix-$job-$pid%05d$ext",
+          conf) { raw =>
+          val out = if (gzip) new GZIPOutputStream(raw, 64 * 1024) else raw
           it.foreach(r => emit(out, r.getString(0), r.getAs[Array[Byte]](1)))
           out.write(new Array[Byte](1024)) // end-of-archive
-        } finally out.close()
-        n.add(1L)
+          out match { case g: GZIPOutputStream => g.finish(); case _ => () }
+        }
+        if (won) n.add(1L)
       }
     }
     n.value.toInt
-  }
-
-  private def open(dir: String, name: String, gzip: Boolean,
-                   conf: BlockIO.SerConf): java.io.OutputStream = {
-    val hp = new HPath(BlockIO.child(dir, name))
-    val raw = hp.getFileSystem(conf.value).create(hp, false)
-    if (gzip) new GZIPOutputStream(raw, 64 * 1024) else raw
   }
 
   private def emit(out: java.io.OutputStream, name: String,
@@ -94,26 +91,35 @@ object TarWriter {
         concat(col("key"), lit("."), col("ext")).as("name"),
         col("payload").cast("binary").as("payload"))
     val ext = if (gzip) ".tar.gz" else ".tar"
+    val job = SinkCommit.jobToken()
     val n = samples.sparkSession.sparkContext.longAccumulator("tar_shards")
     members.foreachPartition { (it: Iterator[Row]) =>
       var cur: String = null
+      var pending: SinkCommit.Pending = null
       var out: java.io.OutputStream = null
-      def close(): Unit = if (out != null) {
-        out.write(new Array[Byte](1024)); out.close(); out = null; n.add(1L)
+      // shard names are unique per file (hash repartition on shard), so
+      // the final name is deterministic per (job, shard) and retries /
+      // speculative twins race the same rename — exactly-once per shard
+      def finish(): Unit = if (pending != null) {
+        out.write(new Array[Byte](1024)) // end-of-archive
+        out match { case g: GZIPOutputStream => g.finish(); case _ => () }
+        if (pending.commit()) n.add(1L)
+        pending = null; out = null
       }
       try {
         it.foreach { r =>
           val shard = r.getString(0)
           if (shard != cur) {
-            close(); cur = shard
+            finish(); cur = shard
             val safe = shard.replaceAll("[^A-Za-z0-9._-]", "_")
-            out = open(dir,
-              s"$prefix-$safe-${java.util.UUID.randomUUID().toString.take(8)}$ext",
-              gzip, conf)
+            pending = SinkCommit.start(dir, s"$prefix-$safe-$job$ext", conf)
+            out = if (gzip) new GZIPOutputStream(pending.raw, 64 * 1024)
+                  else pending.raw
           }
           emit(out, r.getString(1), r.getAs[Array[Byte]](2))
         }
-      } finally close()
+        finish()
+      } finally if (pending != null) pending.abort()
     }
     n.value.toInt
   }
@@ -128,9 +134,16 @@ object TarWriter {
       if (nameBytes.length <= 100) ("", name)
       else {
         val cut = name.lastIndexOf('/', name.length - 1)
-        require(cut > 0 && name.length - cut - 1 <= 100 && cut <= 155,
-          s"member name too long for ustar: $name")
-        (name.substring(0, cut), name.substring(cut + 1))
+        require(cut > 0, s"member name too long for ustar: $name")
+        val (p, b) = (name.substring(0, cut), name.substring(cut + 1))
+        // the 100/155 ustar limits are BYTE limits — validate the UTF-8
+        // encodings, not character counts, or a multi-byte base segment
+        // would be silently truncated mid-codepoint by later field puts
+        require(
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8).length <= 100 &&
+          p.getBytes(java.nio.charset.StandardCharsets.UTF_8).length <= 155,
+          s"member name too long for ustar (byte limits 155/100): $name")
+        (p, b)
       }
     val h = new Array[Byte](512)
     put(h, 0, base); put(h, 100, "0000644\u0000")

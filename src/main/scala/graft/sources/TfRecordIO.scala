@@ -42,17 +42,17 @@ object TfRecordIO {
     BlockIO.mkdirs(dir, conf.value)
     val prepared = df.select(col("payload").cast("binary").as("payload"))
     val ext = if (gzip) ".tfrecord.gz" else ".tfrecord"
+    val job = SinkCommit.jobToken()
     val n = df.sparkSession.sparkContext.longAccumulator("tfrecord_shards")
     prepared.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val name =
-          f"$prefix-$pid%05d-${java.util.UUID.randomUUID().toString.take(8)}$ext"
-        val hp = new HPath(BlockIO.child(dir, name))
-        val raw = hp.getFileSystem(conf.value).create(hp, false)
-        val out = if (gzip)
-          new java.util.zip.GZIPOutputStream(raw, 64 * 1024) else raw
-        try {
+        // deterministic (job, partition) name + rename-on-success: task
+        // retries and speculative twins commit exactly one shard
+        val won = SinkCommit.committed(dir, f"$prefix-$job-$pid%05d$ext",
+          conf) { raw =>
+          val out = if (gzip)
+            new java.util.zip.GZIPOutputStream(raw, 64 * 1024) else raw
           val lenBuf = new Array[Byte](8)
           it.foreach { r =>
             val payload = r.getAs[Array[Byte]](0)
@@ -64,8 +64,12 @@ object TfRecordIO {
             out.write(payload)
             writeLe4(out, maskedCrc(payload, payload.length))
           }
-        } finally out.close()
-        n.add(1L)
+          out match {
+            case g: java.util.zip.GZIPOutputStream => g.finish()
+            case _ => ()
+          }
+        }
+        if (won) n.add(1L)
       }
     }
     n.value.toInt

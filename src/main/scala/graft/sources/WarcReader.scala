@@ -143,7 +143,16 @@ object WarcReader {
         h.substring(i + 1).trim)
       h = readLine(in)
     }
-    val len = headers.getOrElse("content-length", "0").toLong
+    // a garbled Content-Length means the stream can no longer be framed
+    // — stop the file (same stance as trailing garbage), never fail the
+    // task on one corrupt record
+    val len = headers.get("content-length") match {
+      case None => 0L
+      case Some(v) => v.toLongOption match {
+        case Some(l) if l >= 0 => l
+        case _ => return None
+      }
+    }
     val warcType = headers.getOrElse("warc-type", "")
     val block = readBlock(in, len, maxPayload)
     // trailing record separator: CRLF CRLF (tolerate missing at EOF)

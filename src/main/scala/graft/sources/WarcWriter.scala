@@ -51,14 +51,15 @@ object WarcWriter {
        else lit("text/html; charset=utf-8")).as("mime"),
       (if (cols("status")) col("status").cast("int") else lit(200)).as("status"))
     val ext = if (gzip) ".warc.gz" else ".warc"
+    val job = SinkCommit.jobToken()
     val n = df.sparkSession.sparkContext.longAccumulator("warc_segments")
     prepared.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val name = f"seg-$pid%05d-${java.util.UUID.randomUUID().toString.take(8)}$ext"
-        val hp = new HPath(BlockIO.child(dir, name))
-        val out = hp.getFileSystem(conf.value).create(hp, false)
-        try {
+        // deterministic (job, partition) name + rename-on-success: task
+        // retries and speculative twins commit exactly one segment
+        val won = SinkCommit.committed(dir, f"seg-$job-$pid%05d$ext",
+          conf) { out =>
           it.foreach { r =>
             val bytes = record(recordType, r.getString(0),
               r.getAs[Array[Byte]](1), r.getString(2), r.getString(3),
@@ -72,8 +73,8 @@ object WarcWriter {
               out.write(bos.toByteArray)
             } else out.write(bytes)
           }
-        } finally out.close()
-        n.add(1L)
+        }
+        if (won) n.add(1L)
       }
     }
     n.value.toInt

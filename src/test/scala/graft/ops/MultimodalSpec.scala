@@ -334,6 +334,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin"))
   }
 
+  test("banded pairs: pigeonhole recall holds at maxDist >= 4") {
+    // drive the banded join through a literal hash column so distances
+    // are exact by construction: pairs at Hamming 4 and 5 spread across
+    // the OLD fixed 14-bit bands (one flipped bit per band) — invisible
+    // to a 4-band plan, recovered by the maxDist+1-band plan
+    val base = 0x00a5c3e1f2b4d6L // 56-bit
+    val d4 = base ^ ((1L << 2) | (1L << 16) | (1L << 30) | (1L << 44))
+    val d5 = base ^ ((1L << 3) | (1L << 17) | (1L << 31) | (1L << 45) |
+      (1L << 55))
+    val far = base ^ 0xffL // Hamming 8: outside every radius here
+    val corpus = Seq((1L, base)).toDF("id", "dh")
+    val batch = Seq((10L, d4), (11L, d5), (12L, far)).toDF("id", "dh")
+    def hits(maxDist: Int): Set[(Long, Long)] =
+      Multimodal.mediaNearDupAgainst(batch, "id", col("dh"), corpus,
+          maxDist = maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(hits(4) == Set((10L, 4L)))
+    assert(hits(5) == Set((10L, 4L), (11L, 5L)))
+    // the default radius is unchanged by the generalization
+    assert(hits(3).isEmpty)
+    intercept[IllegalArgumentException](hits(-1))
+    intercept[IllegalArgumentException](hits(56))
+  }
+
   test("PNG pixel decode: inflate + all five un-filters, CRC gate") {
     // h = 5 + id%4 >= 5, so every image cycles through ALL filter types
     val docs = Seq((2L, "s3://a"), (7L, "s3://b")).toDF("doc_id", "source")

@@ -167,4 +167,49 @@ class TarSpec extends AnyFunSuite {
     assert(s("000003") == (2L, Set("txt", "cls"), Some("x" * 900)))
     assert(s("deep/path/000002") == (1L, Set("txt"), Some("deep caption")))
   }
+
+  test("webdatasetSamples: duplicate key+ext keeps the LAST member (tar rule)") {
+    val dir = Files.createTempDirectory("graft-tardup")
+    val s = new ByteArrayOutputStream()
+    s.write(member("000000.txt", "first".getBytes(UTF_8)))
+    s.write(member("000000.cls", "1".getBytes(UTF_8)))
+    s.write(member("000000.txt", "second wins".getBytes(UTF_8)))
+    s.write(new Array[Byte](1024))
+    Files.write(dir.resolve("dup.tar"), s.toByteArray)
+    // legal tar; must regroup last-wins, not trip the EXCEPTION map policy
+    val rows = TarReader.webdatasetSamples(
+      TarReader.entries(spark, dir.toString)).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val parts = r.getMap[String, Array[Byte]](2).view
+      .mapValues(new String(_, UTF_8)).toMap
+    assert(parts == Map("txt" -> "second wins", "cls" -> "1"))
+    assert(r.getLong(3) == 2L) // kept parts, not raw member count
+    assert(r.getLong(4) == "second wins".length.toLong + 1L) // kept bytes
+  }
+
+  test("sink commit: .inprogress temps are invisible to readers") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tarcommit").toString
+    val df = Seq(("a.txt", "A".getBytes(UTF_8))).toDF("name", "payload")
+    assert(TarWriter.write(df.repartition(1), dir) == 1)
+    // a failed attempt's partial file keeps its temp suffix — the
+    // extension filter must never match it
+    Files.write(java.nio.file.Paths.get(dir, ".junk.tar.7.inprogress"),
+      Array[Byte](1, 2, 3))
+    val visible = graft.tsdb.BlockIO.listNames(dir).filter(_.endsWith(".tar"))
+    assert(visible.size == 1)
+    val names = TarReader.entries(spark, dir).collect().map(_.getString(1))
+    assert(names.toSeq == Seq("a.txt"))
+  }
+
+  test("ustar header: 100/155 limits are BYTE limits on the UTF-8 form") {
+    // base segment of 60 two-byte codepoints = 120 bytes > 100: reject
+    // loudly instead of truncating mid-codepoint
+    val bad = "dir/" + ("é" * 60)
+    intercept[IllegalArgumentException](TarWriter.header(bad, 1L))
+    // a >100-char ASCII name whose split segments fit passes
+    val ok = ("p" * 50) + "/" + ("b" * 90)
+    assert(TarWriter.header(ok, 1L).length == 512)
+  }
 }

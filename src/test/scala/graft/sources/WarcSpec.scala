@@ -153,4 +153,64 @@ class WarcSpec extends AnyFunSuite {
     // comments dropped
     assert(docs("https://ex.com/b")._1 == "B Bravo body")
   }
+
+  test("malformed Content-Length stops the file, never fails the task") {
+    val dir = Files.createTempDirectory("graft-warc-cl")
+    val good = warcRecord("response", "https://ok.com/1",
+      httpResponse("<html>ok</html>"), "application/http; msgtype=response")
+    // once framing is garbled the rest of the byte stream is unframeable:
+    // the parser must stop the FILE (like trailing garbage), not throw
+    val broken = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+      "Content-Length: 12abc\r\n\r\n").getBytes(ISO_8859_1) ++
+      "hello world!".getBytes(UTF_8) ++ "\r\n\r\n".getBytes(ISO_8859_1)
+    val after = warcRecord("resource", "https://ok.com/2",
+      "tail".getBytes(UTF_8), "text/plain")
+    Files.write(dir.resolve("seg.warc"), good ++ broken ++ after)
+    // negative and empty values take the same stop-the-file path
+    Files.write(dir.resolve("neg.warc"),
+      ("WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: -4\r\n\r\n")
+        .getBytes(ISO_8859_1) ++ after)
+    val uris = WarcReader.records(spark, dir.toString).collect()
+      .map(_.getString(3))
+    assert(uris.toSeq == Seq("https://ok.com/1"))
+  }
+
+  test("fuzz battery: mutated/truncated/torn segments never throw") {
+    val dir = fixture()
+    val clean = Files.readAllBytes(dir.resolve("a.warc"))
+    val cleanGz = Files.readAllBytes(dir.resolve("b.warc.gz"))
+    val rnd = new scala.util.Random(1311)
+    val mdir = Files.createTempDirectory("graft-warc-fuzz")
+    // random byte flips anywhere: version lines, headers, lengths, payloads
+    (0 until 60).foreach { i =>
+      val b = clean.clone()
+      (0 to rnd.nextInt(4)).foreach { _ =>
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte }
+      Files.write(mdir.resolve(f"m$i%03d.warc"), b)
+    }
+    // truncations: mid-version-line, mid-header, mid-payload, mid-separator
+    Seq(3, 20, 80, clean.length / 2, clean.length - 2).zipWithIndex.foreach {
+      case (n, i) => Files.write(mdir.resolve(s"t$i.warc"), clean.take(n)) }
+    // torn header: cut inside the header block, then splice a fresh record
+    val cut = clean.toSeq.indexOfSlice(
+      "Content-Length".getBytes(ISO_8859_1).toSeq)
+    Files.write(mdir.resolve("torn.warc"),
+      clean.take(cut + 5) ++ warcRecord("resource", "https://ex.com/spliced",
+        "x".getBytes(UTF_8), "text/plain"))
+    // gzip corruption mid-member: earlier members still parse, no throw
+    (0 until 20).foreach { i =>
+      val b = cleanGz.clone()
+      b(cleanGz.length / 2 + rnd.nextInt(cleanGz.length / 2 - 1)) =
+        rnd.nextInt(256).toByte
+      Files.write(mdir.resolve(f"g$i%03d.warc.gz"), b)
+    }
+    Seq(10, cleanGz.length / 2).zipWithIndex.foreach { case (n, i) =>
+      Files.write(mdir.resolve(s"gt$i.warc.gz"), cleanGz.take(n)) }
+    val rows = WarcReader.records(spark, mdir.toString,
+      maxPayloadBytes = 4096).collect()
+    // parse survives the whole directory; kept payloads respect the cap
+    assert(rows.forall(_.getAs[Array[Byte]]("payload").length <= 4096))
+    // untouched prefixes still yield records (the battery isn't vacuous)
+    assert(rows.nonEmpty)
+  }
 }
