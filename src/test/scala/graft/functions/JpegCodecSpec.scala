@@ -1,0 +1,232 @@
+package graft.functions
+
+import java.awt.image.BufferedImage
+import javax.imageio.ImageIO
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Baseline JPEG codec: flat-block exactness (the property the SQL
+  * oracles lean on), two-directional conformance against the JDK's
+  * independent ImageIO JPEG implementation, restart markers, 4:2:0,
+  * and a mutation battery. */
+class JpegCodecSpec extends AnyFunSuite {
+
+  private def flatGray(w: Int, h: Int)(v: (Int, Int) => Int): Array[Byte] = {
+    val g = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { g(y * w + x) = v(x / 8, y / 8).toByte; x += 1 }
+      y += 1
+    }
+    g
+  }
+
+  test("flat 8x8 blocks round-trip bit-exactly with a DC-8 table") {
+    val (w, h) = (24, 16)
+    def v(bx: Int, by: Int): Int = (37 + 41 * bx + 83 * by) % 256
+    val gray = flatGray(w, h)(v)
+    val jpg = JpegCodec.encodeGray(w, h, gray, JpegCodec.flatExactTable())
+    val img = JpegCodec.decode(jpg)
+    assert(img != null && img.w == w && img.h == h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val want = v(x / 8, y / 8)
+        val at = 3 * (y * w + x)
+        assert((img.px(at) & 0xff) == want, s"pixel ($x,$y)")
+        assert(img.px(at) == img.px(at + 1) && img.px(at) == img.px(at + 2))
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  test("restart markers: DRI stream decodes identically to the plain one") {
+    val (w, h) = (40, 24) // 15 MCUs; interval 4 → RST0..RST2
+    def v(bx: Int, by: Int): Int = (11 + 29 * bx + 67 * by) % 256
+    val gray = flatGray(w, h)(v)
+    val plain = JpegCodec.encodeGray(w, h, gray, JpegCodec.flatExactTable())
+    val rst = JpegCodec.encodeGray(w, h, gray, JpegCodec.flatExactTable(),
+      restartInterval = 4)
+    assert(rst.containsSlice(Array(0xff.toByte, 0xdd.toByte))) // DRI present
+    val a = JpegCodec.decode(plain)
+    val b = JpegCodec.decode(rst)
+    assert(a != null && b != null)
+    assert(java.util.Arrays.equals(a.px, b.px))
+  }
+
+  private def smoothGray(w: Int, h: Int): Array[Byte] = {
+    val g = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        g(y * w + x) =
+          ((128 + 80 * math.sin(x / 7.0) * math.cos(y / 5.0)).toInt & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    g
+  }
+
+  test("our encoder vs the JDK decoder: ImageIO reads our gray stream") {
+    val (w, h) = (37, 23) // non-multiples: pad path under test
+    val gray = smoothGray(w, h)
+    val jpg = JpegCodec.encodeGray(w, h, gray, JpegCodec.quantTable(92))
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    assert(ref != null && ref.getWidth == w && ref.getHeight == h)
+    val ours = JpegCodec.decode(jpg)
+    assert(ours != null)
+    var maxDiff = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ref.getRaster.getSample(x, y, 0)
+        val o = ours.px(3 * (y * w + x)) & 0xff
+        maxDiff = math.max(maxDiff, math.abs(r - o))
+        x += 1
+      }
+      y += 1
+    }
+    // same bitstream, two IDCT implementations: ±1 rounding at most
+    assert(maxDiff <= 1, s"maxDiff=$maxDiff")
+  }
+
+  test("the JDK encoder vs our decoder: we read an ImageIO stream") {
+    val (w, h) = (48, 32)
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val gray = smoothGray(w, h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        bi.getRaster.setSample(x, y, 0, gray(y * w + x) & 0xff); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(bi, "jpg", bos))
+    val jpg = bos.toByteArray
+    val ours = JpegCodec.decode(jpg)
+    assert(ours != null && ours.w == w && ours.h == h)
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    var maxDiff = 0
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ref.getRaster.getSample(x, y, 0)
+        val o = ours.px(3 * (y * w + x)) & 0xff
+        maxDiff = math.max(maxDiff, math.abs(r - o))
+        x += 1
+      }
+      y += 1
+    }
+    assert(maxDiff <= 1, s"maxDiff=$maxDiff")
+  }
+
+  test("color 4:4:4 and 4:2:0: ImageIO agrees within upsampling slack") {
+    val (w, h) = (32, 24)
+    val rgb = new Array[Byte](3 * w * h)
+    var i = 0
+    while (i < w * h) {
+      val x = i % w; val y = i / w
+      rgb(3 * i) = ((100 + 60 * math.sin(x / 6.0)).toInt & 0xff).toByte
+      rgb(3 * i + 1) = ((120 + 50 * math.cos(y / 5.0)).toInt & 0xff).toByte
+      rgb(3 * i + 2) = ((90 + 40 * math.sin((x + y) / 8.0)).toInt & 0xff).toByte
+      i += 1
+    }
+    for ((jpg, tol) <- Seq(
+      (JpegCodec.encode444(w, h, rgb, JpegCodec.quantTable(95)), 2),
+      (JpegCodec.encode420(w, h, rgb, JpegCodec.quantTable(95)), 12))) {
+      val ours = JpegCodec.decode(jpg)
+      assert(ours != null && ours.w == w && ours.h == h)
+      val ref = ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+      assert(ref != null)
+      var worst = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = ref.getRGB(x, y)
+          val at = 3 * (y * w + x)
+          worst = math.max(worst, math.abs(((p >> 16) & 0xff) -
+            (ours.px(at) & 0xff)))
+          worst = math.max(worst, math.abs(((p >> 8) & 0xff) -
+            (ours.px(at + 1) & 0xff)))
+          worst = math.max(worst, math.abs((p & 0xff) -
+            (ours.px(at + 2) & 0xff)))
+          x += 1
+        }
+        y += 1
+      }
+      // 4:4:4 differs only by IDCT/YCbCr rounding; 4:2:0 also by the
+      // upsampling filter choice (box here, interpolating in ImageIO)
+      assert(worst <= tol, s"worst=$worst tol=$tol")
+    }
+  }
+
+  test("4:2:0 flat MCUs: chroma constant per 16x16 decodes near-exactly") {
+    val (w, h) = (32, 32)
+    val rgb = new Array[Byte](3 * w * h)
+    var i = 0
+    while (i < w * h) {
+      val mx = (i % w) / 16; val my = (i / w) / 16
+      rgb(3 * i) = (60 + 50 * mx).toByte
+      rgb(3 * i + 1) = (80 + 40 * my).toByte
+      rgb(3 * i + 2) = (100 + 30 * (mx + my)).toByte
+      i += 1
+    }
+    val jpg = JpegCodec.encode420(w, h, rgb, JpegCodec.flatExactTable())
+    val img = JpegCodec.decode(jpg)
+    assert(img != null)
+    var worst = 0
+    i = 0
+    while (i < 3 * w * h) {
+      worst = math.max(worst, math.abs((img.px(i) & 0xff) - (rgb(i) & 0xff)))
+      i += 1
+    }
+    // flat DCT path is lossless; only the YCbCr round-trip rounds
+    assert(worst <= 2, s"worst=$worst")
+  }
+
+  test("mutation battery: corrupt streams null out, never throw") {
+    val (w, h) = (24, 16)
+    val jpg = JpegCodec.encodeGray(w, h, smoothGray(w, h),
+      JpegCodec.quantTable(80), restartInterval = 2)
+    val rnd = new scala.util.Random(1107)
+    var nulls = 0
+    (0 until 200).foreach { _ =>
+      val b = jpg.clone()
+      (0 to rnd.nextInt(4)).foreach { _ =>
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte }
+      val r = JpegCodec.decode(b) // must not throw
+      if (r == null) nulls += 1
+      else assert(r.w > 0 && r.h > 0 && r.px.length == 3 * r.w * r.h)
+    }
+    (0 until 40).foreach { i =>
+      assert(JpegCodec.decode(jpg.take(i * jpg.length / 40)) == null ||
+        true) // truncation: no throw is the property
+    }
+    assert(nulls > 0) // the battery actually corrupted framing sometimes
+    // foreign bytes
+    assert(JpegCodec.decode(Array[Byte](1, 2, 3)) == null)
+    assert(JpegCodec.decode("GIF89a".getBytes("US-ASCII")) == null)
+  }
+
+  test("PixelDecode.decode dispatches all four containers by magic") {
+    val (w, h) = (16, 8)
+    def v(bx: Int, by: Int): Int = (50 + 70 * bx + 90 * by) % 256
+    val gray = flatGray(w, h)(v)
+    val jpg = JpegCodec.encodeGray(w, h, gray, JpegCodec.flatExactTable())
+    val viaSniff = PixelDecode.decode(jpg)
+    val direct = JpegCodec.decode(jpg)
+    assert(viaSniff != null && direct != null)
+    assert(java.util.Arrays.equals(viaSniff.px, direct.px))
+    assert(PixelDecode.decode(Array[Byte]()) == null)
+    assert(PixelDecode.decode(null) == null)
+  }
+}
