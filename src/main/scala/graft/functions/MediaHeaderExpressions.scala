@@ -535,6 +535,120 @@ object AudioFingerprintExpr {
   * `Y[r][c+1] > Y[r][c]` — the keyframe signature video dedup
   * pipelines bucket on before any temporal verification. Null when the
   * stream has no complete first frame or is not 4:2:0. */
+/** TEMPORAL video hash — up to `k` per-frame 56-bit luma-order hashes
+  * at evenly spaced frame indices `⌊i·(n−1)/(k−1)⌋` (distinct,
+  * ascending). [[VideoDHashExpr]] keys on frame 0 only, so a re-encode
+  * with a trimmed or replaced leader never becomes a candidate; with k
+  * sampled frames matched ANY-to-ANY in the banded join, a planted
+  * offset re-upload shares the content of some sampled frame and is
+  * recovered ([[graft.ops.Multimodal.videoNearDupPairsTemporal]]).
+  * Cost stays O(k·64) comparisons per candidate pair and the walk is
+  * one linear pass. Null without a complete first frame. */
+case class VideoFrameHashesExpr(child: Expression, k: Int)
+  extends UnaryExpression {
+
+  require(k >= 2 && k <= 64, s"k must be in [2, 64], got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "video_frame_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  private def frameHash(b: Array[Byte], dataAt: Int, w: Int, h: Int): Long = {
+    var hash = 0L
+    var bit = 0
+    var r = 0
+    while (r < 8) {
+      val y = (2 * r + 1) * h / 16
+      var c = 0
+      var prev = 0
+      while (c < 8) {
+        val x = (2 * c + 1) * w / 16
+        val lum = b(dataAt + y * w + x) & 0xff
+        if (c > 0 && lum > prev) hash |= (1L << bit)
+        if (c > 0) bit += 1
+        prev = lum
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  def compute(b: Array[Byte]): Any = {
+    val magic = "YUV4MPEG2 "
+    if (b.length < magic.length + 8) return null
+    var i = 0
+    while (i < magic.length) {
+      if (b(i) != magic.charAt(i)) return null
+      i += 1
+    }
+    var nl = i
+    while (nl < b.length && b(nl) != '\n') nl += 1
+    if (nl >= b.length) return null
+    val header = new String(b, i, nl - i,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    var w = -1; var h = -1; var c420 = true
+    header.split(' ').foreach { p =>
+      if (p.startsWith("W")) w = p.drop(1).toIntOption.getOrElse(-1)
+      else if (p.startsWith("H")) h = p.drop(1).toIntOption.getOrElse(-1)
+      else if (p.startsWith("C")) c420 = p.drop(1).startsWith("420")
+    }
+    if (w <= 0 || h <= 0 || (w & 1) == 1 || (h & 1) == 1 || !c420) return null
+    val frameBytes = w * h + 2 * (w / 2) * (h / 2)
+    // one linear walk: hash every complete frame's luma plane
+    val hashes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var pos = nl + 1
+    var guard = 0
+    while (pos + 5 <= b.length && guard < 1000000) {
+      if (b(pos) != 'F' || b(pos + 1) != 'R' || b(pos + 2) != 'A' ||
+        b(pos + 3) != 'M' || b(pos + 4) != 'E') pos = b.length
+      else {
+        var fe = pos + 5
+        while (fe < b.length && b(fe) != '\n') fe += 1
+        if (fe >= b.length || fe + 1 + w * h > b.length) pos = b.length
+        else {
+          hashes += frameHash(b, fe + 1, w, h)
+          pos = fe + 1 + frameBytes
+        }
+      }
+      guard += 1
+    }
+    val n = hashes.length
+    if (n == 0) return null
+    // evenly spaced distinct indices, closed-form for the oracle
+    val idx = (0 until k).map(j => j * (n - 1) / (k - 1)).distinct
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      idx.map(hashes(_)).toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("videoFrameHashes", this,
+      classOf[VideoFrameHashesExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("vfh")
+      s"""
+         |Object $tmp = $self.compute($c);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  (org.apache.spark.sql.catalyst.util.ArrayData) $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VideoFrameHashesExpr {
+  /** Column wrapper: k evenly sampled per-frame 56-bit luma hashes. */
+  def video_frame_hashes(payload: Column, k: Int = 4): Column =
+    GraftSqlBridge.column(
+      VideoFrameHashesExpr(GraftSqlBridge.expression(payload), k))
+}
+
 case class VideoDHashExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
@@ -808,6 +922,48 @@ object JpegPixelStatsExpr {
     * features. */
   def jpeg_pixel_stats(payload: Column): Column =
     GraftSqlBridge.column(JpegPixelStatsExpr(GraftSqlBridge.expression(payload)))
+}
+
+/** Container-AGNOSTIC pixel stats: sniff the magic, run the matching
+  * real decoder ([[PixelDecode.decode]] — BMP, PNG, GIF or baseline
+  * JPEG), emit the shared order-free features. The expression a mixed
+  * crawl corpus actually needs — per-format routing stays inside the
+  * decode, not in the query. Null when no decoder owns the bytes. */
+case class AnyPixelStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ImagePixelStatsExpr.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "any_pixel_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  def compute(b: Array[Byte]): InternalRow = {
+    val img = PixelDecode.decode(b)
+    if (img == null) null else PixelDecode.stats(img)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("anyPixels", this,
+      classOf[AnyPixelStatsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("anypx")
+      s"""
+         |InternalRow $tmp = $self.compute($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AnyPixelStatsExpr {
+  /** Column wrapper: sniffed BMP/PNG/GIF/JPEG pixel decode +
+    * order-free features. */
+  def any_pixel_stats(payload: Column): Column =
+    GraftSqlBridge.column(AnyPixelStatsExpr(GraftSqlBridge.expression(payload)))
 }
 
 /** REAL video frame decode for the codec-free format — Y4M (YUV4MPEG2)

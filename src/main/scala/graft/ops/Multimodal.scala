@@ -322,6 +322,89 @@ object Multimodal {
                         maxDist: Int = 3): DataFrame =
     bandedHammingPairs(media, idCol, videoDHash(col(payloadCol)), maxDist)
 
+  /** Up to `k` per-frame 56-bit luma hashes at evenly spaced frame
+    * indices ([[graft.functions.VideoFrameHashesExpr]]) — the temporal
+    * near-dup key a trimmed/offset re-upload cannot dodge the way it
+    * dodges the frame-0-only [[videoDHash]]. */
+  def videoTemporalHashes(payload: Column, k: Int = 4): Column =
+    graft.functions.VideoFrameHashesExpr.video_frame_hashes(payload, k)
+
+  /** TEMPORAL video near-dup pairs: the banded Hamming join over every
+    * sampled frame hash of every clip, matched ANY-to-ANY, collapsed
+    * to the MINIMUM pairwise distance per clip pair. A re-encode whose
+    * leader is trimmed or replaced shares the content of some later
+    * sampled frame, so it still lands in a common band — the case the
+    * keyframe-only join provably misses. Scale shape is unchanged:
+    * candidates stay per-(band, band_key) groups, k·k ≤ 16 candidate
+    * rows per genuinely-close clip pair, and only 8-byte hashes cross
+    * the exchange. Output: (id1, id2, hamming = min), id1 < id2. */
+  def videoNearDupPairsTemporal(media: DataFrame, idCol: String,
+                                payloadCol: String, k: Int = 4,
+                                maxDist: Int = 3): DataFrame = {
+    val vh = Dedup.sharedPersist(
+      media.select(col(idCol).as("id"),
+          videoTemporalHashes(col(payloadCol), k).as("hs"))
+        .where(col("hs").isNotNull)
+        .select(col("id"), explode(col("hs")).as("dh"))
+        .distinct()) // a clip's repeated frame hashes collapse up front
+    val banded = vh.select(col("id"), col("dh"),
+      posexplode(array(bandCols(col("dh"), maxDist): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val l = banded.select(col("band"), col("band_key"),
+      col("id").as("ida"), col("dh").as("dh1"))
+    val r = banded.select(col("band"), col("band_key"),
+      col("id").as("idb"), col("dh").as("dh2"))
+    l.join(r.hint("merge"), Seq("band", "band_key"))
+      .where(col("ida") < col("idb"))
+      .select(col("ida").as("id1"), col("idb").as("id2"),
+        bit_count(col("dh1").bitwiseXOR(col("dh2"))).cast("long")
+          .as("hamming"))
+      .where(col("hamming") <= maxDist)
+      .groupBy(col("id1"), col("id2"))
+      .agg(min(col("hamming")).as("hamming"))
+  }
+
+  /** One Y4M clip with real TEMPORAL structure: the luma plane's
+    * horizontal gradient changes per frame
+    * (`Y = (3·id + (5 + 7·((id+t) mod 4))·x + 11·y) mod 256`, chroma
+    * constant), so per-frame dHashes genuinely differ — unlike
+    * [[buildY4m]]'s uniform per-frame drift, which dHash (correctly)
+    * ignores. `trim` drops that many leader frames, the planted
+    * re-upload case. Frames: `4 + id mod 4`, dims like [[buildY4m]]. */
+  def buildY4mScene(id: Long, trim: Int = 0): Array[Byte] = {
+    val w = (8 + 2 * (id % 5)).toInt
+    val h = (6 + 2 * (id % 3)).toInt
+    val frames = (4 + id % 4).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n"
+      .getBytes("US-ASCII"))
+    for (t <- trim until frames) {
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      val a = 5 + 7 * ((id + t) % 4)
+      for (y <- 0 until h; x <- 0 until w)
+        out.write(((id * 3 + a * x + 11 * y) % 256).toInt)
+      for (_ <- 0 until 2 * (h / 2) * (w / 2))
+        out.write(((id + t) % 256).toInt)
+    }
+    out.toByteArray
+  }
+
+  /** Media table of temporal-scene clips ([[buildY4mScene]]) —
+    * JVM-side per row, like [[synthesizeY4m]]. */
+  def synthesizeY4mScene(df: DataFrame, idCol: String, sourceCol: String,
+                         trim: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(sourceCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, src) =>
+        val bytes = buildY4mScene(id, trim)
+        (id, "video", bytes, src, "video/x-yuv4mpeg", bytes.length.toLong) }
+      .toDF("media_id", "kind", "payload", "source", "mime", "n_bytes")
+      .select(col("media_id"), col("kind"), col("payload"),
+        struct(col("source"), col("mime"), col("n_bytes")).as("meta"))
+  }
+
   /** 56-bit PCM energy-envelope fingerprint; null for undecodable or
     * sub-57-sample payloads. */
   def audioFingerprint(payload: Column): Column =
@@ -592,6 +675,19 @@ object Multimodal {
     * non-GIF, interlaced, local-color-table or corrupt payloads. */
   def decodeGifPixels(payload: Column): Column =
     graft.functions.GifPixelStatsExpr.gif_pixel_stats(payload)
+
+  /** REAL baseline JPEG pixel decode (T.81 Huffman + dequant + IDCT +
+    * chroma upsampling + YCbCr→RGB, [[graft.functions.JpegCodec]]) +
+    * the shared order-free image features — the format most crawl
+    * images arrive in. Null for non-JPEG/progressive/corrupt. */
+  def decodeJpegPixels(payload: Column): Column =
+    graft.functions.JpegPixelStatsExpr.jpeg_pixel_stats(payload)
+
+  /** Container-agnostic pixel stats: sniff BMP/PNG/GIF/JPEG by magic,
+    * decode with the matching real decoder, shared features — what a
+    * MIXED-format corpus calls. Null when no decoder owns the bytes. */
+  def decodeAnyPixels(payload: Column): Column =
+    graft.functions.AnyPixelStatsExpr.any_pixel_stats(payload)
 
   /** One REAL Y4M (YUV4MPEG2) clip: 4:2:0 planar raw frames, plane
     * values closed-form in (id, x, y, t) —

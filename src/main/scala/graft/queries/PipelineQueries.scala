@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Classifier, CorpusShuffle, Dedup, Dsir, Eval, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Classifier, CorpusShuffle, Dedup, Dsir, Eval, MediaScenes, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.functions._
 
 /** Training-data pipeline operators (dedup, similarity search, text
@@ -107,8 +107,12 @@ object PipelineQueries {
   private val imgClustersCache =
     SessionFixtures.register(scala.collection.concurrent.TrieMap[(String, String), DataFrame]())
 
+  /** The MIXED-format image corpus: every sampled scene in all four
+    * containers (BMP+PNG+GIF+JPEG, `media_id = 10·doc_id + container`)
+    * — near-dup machinery downstream must work ACROSS formats, which
+    * is the property a real crawl needs. */
   private def media17(s: SparkSession, dir: String): DataFrame =
-    Multimodal.synthesizeBitmap(
+    MediaScenes.synthesizeMixed(
       docs(s, dir).where(col("doc_id") % 17 === 0), "doc_id", "source")
 
   private def imageClusters(s: SparkSession, dir: String): DataFrame =
@@ -1017,23 +1021,25 @@ object PipelineQueries {
     // BT.709 luma grid → 56-bit neighbor-order hash, one codegen'd pass
     // per payload; the oracle recomputes every sample and bit from the
     // synth's closed-form pixels
+    // dHash over the MIXED-format corpus: each scene rides in all four
+    // containers (BMP+PNG+GIF+JPEG — four REAL decoders, one of them a
+    // full T.81 baseline JPEG), and the hash is container-invariant by
+    // construction, so the oracle recomputes it once per scene from
+    // the closed-form block values
     "mm_image_dhash" -> ((s, dir) => {
-      val media = Multimodal.synthesizeBitmap(docs(s, dir), "doc_id", "source")
+      val media = MediaScenes.synthesizeMixed(docs(s, dir), "doc_id", "source")
       media.select(col("media_id"),
           Multimodal.imageDHash(col("payload")).as("dhash"))
         .orderBy(col("media_id"))
     }),
 
-    // image NEAR-dup pairs: banded Hamming self-join over the dHash
-    // values (4×14-bit bands, sub-quadratic) — the oracle brute-forces
-    // all pairs over the recomputed hashes, so banding recall at
-    // maxDist ≤ bands-1 is itself under test
-    "mm_image_neardup" -> ((s, dir) => {
-      val media = Multimodal.synthesizeBitmap(
-        docs(s, dir).where(col("doc_id") % 17 === 0), "doc_id", "source")
-      Multimodal.imageNearDupPairs(media, "media_id", "payload")
-        .orderBy(col("id1"), col("id2"))
-    }),
+    // image NEAR-dup pairs over the MIXED corpus: banded Hamming
+    // self-join; every scene's four container renditions are planted
+    // hamming-0 near-dups, so CROSS-FORMAT recall is itself under the
+    // brute-force oracle along with banding recall at maxDist ≤ 3
+    "mm_image_neardup" -> ((s, dir) =>
+      Multimodal.imageNearDupPairs(media17(s, dir), "media_id", "payload")
+        .orderBy(col("id1"), col("id2"))),
 
     // joint multimodal sample gate — the curation step a (text, image,
     // audio) training sample passes as a UNIT: caption length from the
@@ -1091,8 +1097,10 @@ object PipelineQueries {
     // — dedup_keep_best's shape on perceptual clusters
     "mm_image_keep_best" -> ((s, dir) => {
       val clusters = imageClusters(s, dir)
+      // container-agnostic quality: the mixed corpus needs the sniffed
+      // decode (n_pixels from whichever of the four decoders owns it)
       val quality = media17(s, dir).select(col("media_id"),
-        Multimodal.decodeImagePixels(col("payload")).getField("n_pixels")
+        Multimodal.decodeAnyPixels(col("payload")).getField("n_pixels")
           .as("n_pixels"))
       clusters.join(quality, "media_id")
         .groupBy(col("cluster"))
@@ -1115,6 +1123,34 @@ object PipelineQueries {
       val dup = base.where(col("media_id") % 34 === 0)
         .withColumn("media_id", col("media_id") + 100000L)
       Multimodal.audioNearDupPairs(base.unionByName(dup), "media_id", "payload")
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // TEMPORAL video hashes: k=4 evenly sampled per-frame luma hashes
+    // over clips with REAL per-frame spatial change (the gradient
+    // rotates with t) — each sampled frame recomputed by the oracle
+    "mm_video_frame_hashes" -> ((s, dir) => {
+      val media = Multimodal.synthesizeY4mScene(docs(s, dir), "doc_id",
+        "source")
+      media.select(col("media_id"),
+          posexplode(Multimodal.videoTemporalHashes(col("payload"))))
+        .withColumnRenamed("pos", "slot").withColumnRenamed("col", "fhash")
+        .orderBy(col("media_id"), col("slot"))
+    }),
+
+    // TEMPORAL video near-dup: every id ≡ 0 (mod 34) clip re-uploaded
+    // TRIMMED (leader frame dropped) under a shifted id — invisible to
+    // the keyframe-only hash, recovered by the any-to-any sampled-frame
+    // join; brute-force min-hamming oracle over the same sampled sets
+    "mm_video_temporal_neardup" -> ((s, dir) => {
+      val base = Multimodal.synthesizeY4mScene(
+        docs(s, dir).where(col("doc_id") % 17 === 0), "doc_id", "source")
+      val dup = Multimodal.synthesizeY4mScene(
+        docs(s, dir).where(col("doc_id") % 34 === 0), "doc_id", "source",
+        trim = 1)
+        .withColumn("media_id", col("media_id") + 100000L)
+      Multimodal.videoNearDupPairsTemporal(base.unionByName(dup),
+          "media_id", "payload")
         .orderBy(col("id1"), col("id2"))
     }),
 
@@ -1142,6 +1178,57 @@ object PipelineQueries {
           col("f.sum_r").as("sum_r"), col("f.sum_g").as("sum_g"),
           col("f.sum_b").as("sum_b"), col("f.max_lum").as("max_lum"))
         .orderBy(col("media_id"))
+    }),
+
+    // REAL baseline JPEG decode: genuine T.81 streams (per-image
+    // optimal Huffman tables, FDCT-coded, restart-free) through the
+    // full marker-walk + Huffman + dequant + IDCT path — flat 8×8
+    // blocks under a DC-step-8 table are bit-exact, so the oracle
+    // recomputes every pixel from the closed-form block values
+    "mm_jpeg_pixels" -> ((s, dir) => {
+      val media = MediaScenes.synthesize(docs(s, dir), "doc_id", "source",
+        "jpeg")
+      media.select(col("media_id"),
+          Multimodal.decodeJpegPixels(col("payload")).as("f"))
+        .select(col("media_id"), col("f.width").as("width"),
+          col("f.height").as("height"), col("f.n_pixels").as("n_pixels"),
+          col("f.sum_r").as("sum_r"), col("f.sum_g").as("sum_g"),
+          col("f.sum_b").as("sum_b"), col("f.max_lum").as("max_lum"))
+        .orderBy(col("media_id"))
+    }),
+
+    // measured dHash recall under planted REAL transforms (brightness,
+    // 2× upscale, JPEG re-encode, block jitter): the banded join's
+    // found-pair count per transform against the brute-force within-3
+    // ground truth — the number a user sizes thresholds with. Recall
+    // at ≤ 3 must be exact (pigeonhole), so n_found ≡ n_within3.
+    "mm_image_recall" -> ((s, dir) => {
+      val d = docs(s, dir).where(col("doc_id") % 17 === 0)
+      val orig = MediaScenes.synthesize(d, "doc_id", "source", "bmp")
+      val index = Multimodal.mediaHashIndex(orig, "media_id",
+        Multimodal.imageDHash(col("payload")))
+      val perTransform = MediaScenes.Transforms.filter(_ != "none").map { t =>
+        val v =
+          if (t == "reenc") MediaScenes.synthesize(d, "doc_id", "source", "jpeg")
+          else MediaScenes.synthesize(d, "doc_id", "source", "bmp", t)
+        val vHash = Multimodal.mediaHashIndex(v, "media_id",
+          Multimodal.imageDHash(col("payload")))
+        // ground truth: exact hamming of each planted (orig, variant)
+        val truth = vHash.select(col("id"), col("dh").as("dh_v"))
+          .join(index.select(col("id"), col("dh").as("dh_o")), "id")
+          .select(bit_count(col("dh_v").bitwiseXOR(col("dh_o")))
+            .cast("long").as("hamming"))
+        val found = Multimodal.mediaNearDupAgainst(v, "media_id",
+            Multimodal.imageDHash(col("payload")), index, maxDist = 3)
+          .where(col("new_id") === col("corpus_id"))
+        truth.agg(count(lit(1)).as("n_planted"),
+            sum(when(col("hamming") <= 3L, 1L).otherwise(0L)).as("n_within3"),
+            sum(col("hamming")).as("sum_hamming"))
+          .crossJoin(found.agg(count(lit(1)).as("n_found")))
+          .select(lit(t).as("transform"), col("n_planted"),
+            col("n_within3"), col("n_found"), col("sum_hamming"))
+      }
+      perTransform.reduce(_.unionByName(_)).orderBy(col("transform"))
     }),
 
     // REAL GIF decode: genuine variable-width LZW streams (dictionary,
@@ -3361,6 +3448,65 @@ object PipelineQueries {
          |  list_max(list_transform(ps, p ->
          |    2126*p['r'] + 7152*p['g'] + 722*p['b']))::BIGINT AS max_lum
          | FROM px ORDER BY media_id""".om,
+    // baseline JPEG decode recomputed from the flat-block scene form:
+    // every 8×8 block is constant, so Huffman+IDCT is bit-exact and
+    // sums collapse to 64× the block-value sum
+    "mm_jpeg_pixels" ->
+      s"""WITH d AS (SELECT doc_id AS media_id, 16 + 8*(doc_id % 3) AS w,
+         |   16 + 8*(doc_id % 2) AS h FROM documents),
+         | bs AS (SELECT media_id, w, h, flatten(list_transform(range(0, h//8), by ->
+         |   list_transform(range(0, w//8), bx ->
+         |     (media_id*7 + bx*37 + by*101) % 200))) AS vs FROM d)
+         | SELECT media_id, w::BIGINT AS width, h::BIGINT AS height,
+         |  (w*h)::BIGINT AS n_pixels,
+         |  (64*list_sum(vs))::BIGINT AS sum_r,
+         |  (64*list_sum(vs))::BIGINT AS sum_g,
+         |  (64*list_sum(vs))::BIGINT AS sum_b,
+         |  (10000*list_max(vs))::BIGINT AS max_lum
+         | FROM bs ORDER BY media_id""".om,
+    // planted-transform recall: variant hashes recomputed closed-form
+    // per transform; the banded join's exact recall at <= 3 means
+    // n_found must equal the brute-force n_within3
+    "mm_image_recall" ->
+      s"""WITH d AS (SELECT doc_id, 16 + 8*(doc_id % 3) AS w,
+         |   16 + 8*(doc_id % 2) AS h FROM documents WHERE doc_id % 17 = 0),
+         | go AS (SELECT doc_id, list_transform(range(0, 8), r ->
+         |   list_transform(range(0, 8), c ->
+         |     (doc_id*7 + ((((2*c+1)*w)//16)//8)*37
+         |      + ((((2*r+1)*h)//16)//8)*101) % 200)) AS lum
+         |  FROM d),
+         | ho AS (SELECT doc_id, list_sum(flatten(list_transform(range(0, 8), r ->
+         |   list_transform(range(0, 7), c ->
+         |     CASE WHEN lum[r+1][c+2] > lum[r+1][c+1]
+         |     THEN 1::BIGINT << (r*7+c) ELSE 0::BIGINT END))))::BIGINT AS dh
+         |  FROM go),
+         | gj AS (SELECT doc_id, j, list_transform(range(0, 8), r ->
+         |   list_transform(range(0, 8), c ->
+         |     (doc_id*7 + ((((2*c+1)*w)//16)//8)*37
+         |      + ((((2*r+1)*h)//16)//8)*101) % 200
+         |     + CASE WHEN (((((2*c+1)*w)//16)//8)
+         |         + ((((2*r+1)*h)//16)//8)) % j = 0 THEN 48 ELSE 0 END)) AS lum
+         |  FROM d CROSS JOIN (SELECT unnest([5, 2]) AS j)),
+         | hj AS (SELECT doc_id, j, list_sum(flatten(list_transform(range(0, 8), r ->
+         |   list_transform(range(0, 7), c ->
+         |     CASE WHEN lum[r+1][c+2] > lum[r+1][c+1]
+         |     THEN 1::BIGINT << (r*7+c) ELSE 0::BIGINT END))))::BIGINT AS dh
+         |  FROM gj),
+         | jt AS (SELECT CASE WHEN j = 5 THEN 'jitter1' ELSE 'jitter3' END AS transform,
+         |   count(*) AS n_planted,
+         |   sum(CASE WHEN bit_count(xor(hj.dh, ho.dh)) <= 3
+         |     THEN 1 ELSE 0 END) AS n_within3,
+         |   sum(bit_count(xor(hj.dh, ho.dh))) AS sum_hamming
+         |  FROM hj JOIN ho USING (doc_id) GROUP BY 1),
+         | idt AS (SELECT t AS transform, count(*) AS n_planted,
+         |   count(*) AS n_within3, 0 AS sum_hamming
+         |  FROM ho CROSS JOIN (SELECT unnest(['bright', 'upscale2', 'reenc']) AS t)
+         |  GROUP BY 1)
+         | SELECT transform, n_planted::BIGINT AS n_planted,
+         |  n_within3::BIGINT AS n_within3, n_within3::BIGINT AS n_found,
+         |  sum_hamming::BIGINT AS sum_hamming
+         | FROM (SELECT * FROM jt UNION ALL SELECT * FROM idt)
+         | ORDER BY transform""".om,
     // pixel decode recomputed from the bitmap's closed form (channel
     // values affine in (id, x, y) mod 256) — order-free integer features
     "mm_image_pixels" ->
@@ -3386,36 +3532,39 @@ object PipelineQueries {
     // 8×8 center samples x_c=(2c+1)w//16, y_r=(2r+1)h//16, bit r*7+c set
     // iff lum[r][c+1] > lum[r][c] (DuckDB lists are 1-indexed)
     "mm_image_dhash" ->
-      s"""WITH d AS (SELECT doc_id AS media_id, 8 + doc_id % 9 AS w,
-         |   4 + doc_id % 5 AS h FROM documents),
-         | g AS (SELECT media_id, list_transform(range(0, 8), r ->
+      s"""WITH d AS (SELECT doc_id, 16 + 8*(doc_id % 3) AS w,
+         |   16 + 8*(doc_id % 2) AS h FROM documents),
+         | g AS (SELECT doc_id, list_transform(range(0, 8), r ->
          |   list_transform(range(0, 8), c ->
-         |     2126*((media_id*9 + ((2*c+1)*w)//16 + (((2*r+1)*h)//16)*13) % 256)
-         |   + 7152*((media_id*5 + (((2*c+1)*w)//16)*11 + ((2*r+1)*h)//16) % 256)
-         |   +  722*((media_id + (((2*c+1)*w)//16)*3 + (((2*r+1)*h)//16)*7) % 256))) AS lum
-         |  FROM d)
-         | SELECT media_id, list_sum(flatten(list_transform(range(0, 8), r ->
-         |   list_transform(range(0, 7), c ->
-         |     CASE WHEN lum[r+1][c+2] > lum[r+1][c+1]
-         |     THEN 1::BIGINT << (r*7+c) ELSE 0::BIGINT END))))::BIGINT AS dhash
-         | FROM g ORDER BY media_id""".om,
-    "mm_image_neardup" ->
-      s"""WITH d AS (SELECT doc_id AS media_id, 8 + doc_id % 9 AS w,
-         |   4 + doc_id % 5 AS h FROM documents WHERE doc_id % 17 = 0),
-         | g AS (SELECT media_id, list_transform(range(0, 8), r ->
-         |   list_transform(range(0, 8), c ->
-         |     2126*((media_id*9 + ((2*c+1)*w)//16 + (((2*r+1)*h)//16)*13) % 256)
-         |   + 7152*((media_id*5 + (((2*c+1)*w)//16)*11 + ((2*r+1)*h)//16) % 256)
-         |   +  722*((media_id + (((2*c+1)*w)//16)*3 + (((2*r+1)*h)//16)*7) % 256))) AS lum
+         |     (doc_id*7 + ((((2*c+1)*w)//16)//8)*37
+         |      + ((((2*r+1)*h)//16)//8)*101) % 200)) AS lum
          |  FROM d),
-         | hh AS (SELECT media_id, list_sum(flatten(list_transform(range(0, 8), r ->
+         | hh AS (SELECT doc_id, list_sum(flatten(list_transform(range(0, 8), r ->
          |   list_transform(range(0, 7), c ->
          |     CASE WHEN lum[r+1][c+2] > lum[r+1][c+1]
          |     THEN 1::BIGINT << (r*7+c) ELSE 0::BIGINT END))))::BIGINT AS dh
-         |  FROM g)
+         |  FROM g),
+         | mm AS (SELECT doc_id*10 + i AS media_id, dh FROM hh
+         |   CROSS JOIN (SELECT unnest(range(0, 4)) AS i))
+         | SELECT media_id, dh AS dhash FROM mm ORDER BY media_id""".om,
+    "mm_image_neardup" ->
+      s"""WITH d AS (SELECT doc_id, 16 + 8*(doc_id % 3) AS w,
+         |   16 + 8*(doc_id % 2) AS h FROM documents WHERE doc_id % 17 = 0),
+         | g AS (SELECT doc_id, list_transform(range(0, 8), r ->
+         |   list_transform(range(0, 8), c ->
+         |     (doc_id*7 + ((((2*c+1)*w)//16)//8)*37
+         |      + ((((2*r+1)*h)//16)//8)*101) % 200)) AS lum
+         |  FROM d),
+         | hh AS (SELECT doc_id, list_sum(flatten(list_transform(range(0, 8), r ->
+         |   list_transform(range(0, 7), c ->
+         |     CASE WHEN lum[r+1][c+2] > lum[r+1][c+1]
+         |     THEN 1::BIGINT << (r*7+c) ELSE 0::BIGINT END))))::BIGINT AS dh
+         |  FROM g),
+         | mm AS (SELECT doc_id*10 + i AS media_id, dh FROM hh
+         |   CROSS JOIN (SELECT unnest(range(0, 4)) AS i))
          | SELECT a.media_id AS id1, b.media_id AS id2,
          |  bit_count(xor(a.dh, b.dh))::BIGINT AS hamming
-         | FROM hh a JOIN hh b ON a.media_id < b.media_id
+         | FROM mm a JOIN mm b ON a.media_id < b.media_id
          | WHERE bit_count(xor(a.dh, b.dh)) <= 3
          | ORDER BY id1, id2""".om,
     "mm_sample_gate" ->
@@ -3447,21 +3596,22 @@ object PipelineQueries {
          | FROM im JOIN au ON im.doc_id = au.doc_id
          | ORDER BY im.doc_id""".om,
     "mm_image_clusters" ->
-      s"""WITH RECURSIVE d AS (SELECT doc_id AS media_id, 8 + doc_id % 9 AS w,
-         |   4 + doc_id % 5 AS h FROM documents WHERE doc_id % 17 = 0),
-         | g AS (SELECT media_id, list_transform(range(0, 8), r ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, 16 + 8*(doc_id % 3) AS w,
+         |   16 + 8*(doc_id % 2) AS h FROM documents WHERE doc_id % 17 = 0),
+         | g AS (SELECT doc_id, list_transform(range(0, 8), r ->
          |   list_transform(range(0, 8), c ->
-         |     2126*((media_id*9 + ((2*c+1)*w)//16 + (((2*r+1)*h)//16)*13) % 256)
-         |   + 7152*((media_id*5 + (((2*c+1)*w)//16)*11 + ((2*r+1)*h)//16) % 256)
-         |   +  722*((media_id + (((2*c+1)*w)//16)*3 + (((2*r+1)*h)//16)*7) % 256))) AS lum
+         |     (doc_id*7 + ((((2*c+1)*w)//16)//8)*37
+         |      + ((((2*r+1)*h)//16)//8)*101) % 200)) AS lum
          |  FROM d),
-         | hh AS (SELECT media_id, list_sum(flatten(list_transform(range(0, 8), r ->
+         | hh AS (SELECT doc_id, list_sum(flatten(list_transform(range(0, 8), r ->
          |   list_transform(range(0, 7), c ->
          |     CASE WHEN lum[r+1][c+2] > lum[r+1][c+1]
          |     THEN 1::BIGINT << (r*7+c) ELSE 0::BIGINT END))))::BIGINT AS dh
          |  FROM g),
+         | mm AS (SELECT doc_id*10 + i AS media_id, dh FROM hh
+         |   CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
          | pairs AS (SELECT a.media_id AS id1, b.media_id AS id2
-         |  FROM hh a JOIN hh b ON a.media_id < b.media_id
+         |  FROM mm a JOIN mm b ON a.media_id < b.media_id
          |  WHERE bit_count(xor(a.dh, b.dh)) <= 3),
          | edges AS (SELECT id1 AS id, id2 AS nb FROM pairs
          |   UNION SELECT id2, id1 FROM pairs),
@@ -3472,21 +3622,24 @@ object PipelineQueries {
          | SELECT id AS media_id, min(comp) AS cluster FROM reach
          | GROUP BY id ORDER BY media_id""".om,
     "mm_image_keep_best" ->
-      s"""WITH RECURSIVE d AS (SELECT doc_id AS media_id, 8 + doc_id % 9 AS w,
-         |   4 + doc_id % 5 AS h FROM documents WHERE doc_id % 17 = 0),
-         | g AS (SELECT media_id, w*h AS np, list_transform(range(0, 8), r ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, 16 + 8*(doc_id % 3) AS w,
+         |   16 + 8*(doc_id % 2) AS h FROM documents WHERE doc_id % 17 = 0),
+         | g AS (SELECT doc_id, list_transform(range(0, 8), r ->
          |   list_transform(range(0, 8), c ->
-         |     2126*((media_id*9 + ((2*c+1)*w)//16 + (((2*r+1)*h)//16)*13) % 256)
-         |   + 7152*((media_id*5 + (((2*c+1)*w)//16)*11 + ((2*r+1)*h)//16) % 256)
-         |   +  722*((media_id + (((2*c+1)*w)//16)*3 + (((2*r+1)*h)//16)*7) % 256))) AS lum
+         |     (doc_id*7 + ((((2*c+1)*w)//16)//8)*37
+         |      + ((((2*r+1)*h)//16)//8)*101) % 200)) AS lum
          |  FROM d),
-         | hh AS (SELECT media_id, np, list_sum(flatten(list_transform(range(0, 8), r ->
+         | hh AS (SELECT doc_id, list_sum(flatten(list_transform(range(0, 8), r ->
          |   list_transform(range(0, 7), c ->
          |     CASE WHEN lum[r+1][c+2] > lum[r+1][c+1]
          |     THEN 1::BIGINT << (r*7+c) ELSE 0::BIGINT END))))::BIGINT AS dh
          |  FROM g),
+         | mm AS (SELECT doc_id*10 + i AS media_id, dh FROM hh
+         |   CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+         | np AS (SELECT doc_id*10 + i AS media_id, (w*h)::BIGINT AS np
+         |  FROM d CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
          | pairs AS (SELECT a.media_id AS id1, b.media_id AS id2
-         |  FROM hh a JOIN hh b ON a.media_id < b.media_id
+         |  FROM mm a JOIN mm b ON a.media_id < b.media_id
          |  WHERE bit_count(xor(a.dh, b.dh)) <= 3),
          | edges AS (SELECT id1 AS id, id2 AS nb FROM pairs
          |   UNION SELECT id2, id1 FROM pairs),
@@ -3495,8 +3648,8 @@ object PipelineQueries {
          |   UNION
          |   SELECT e.id, r.comp FROM edges e JOIN reach r ON e.nb = r.id),
          | cl AS (SELECT id AS media_id, min(comp) AS cluster FROM reach GROUP BY id),
-         | sc AS (SELECT cluster, cl.media_id, np::BIGINT AS np
-         |  FROM cl JOIN hh ON cl.media_id = hh.media_id),
+         | sc AS (SELECT cluster, cl.media_id, np
+         |  FROM cl JOIN np ON cl.media_id = np.media_id),
          | best AS (SELECT cluster, count(*) AS cluster_size,
          |   max({'q': np, 'nid': -media_id}) AS b FROM sc GROUP BY cluster)
          | SELECT cluster, CAST(-(b.nid) AS BIGINT) AS keep_id,
@@ -3549,6 +3702,50 @@ object PipelineQueries {
          |   CASE WHEN e[CAST(f AS INT) + 2] > e[CAST(f AS INT) + 1]
          |   THEN 1::BIGINT << f ELSE 0::BIGINT END))::BIGINT AS fp
          | FROM en ORDER BY media_id""".om,
+    "mm_video_frame_hashes" ->
+      s"""WITH d AS (SELECT doc_id AS media_id, 8 + 2*(doc_id % 5) AS w,
+         |   6 + 2*(doc_id % 3) AS h, 4 + doc_id % 4 AS n FROM documents),
+         | geom AS (SELECT media_id, w, h, list_sort(list_distinct(
+         |   list_transform(range(0, 4), i -> (i*(n-1))//3))) AS idxs FROM d),
+         | fr AS (SELECT media_id, w, h, s::BIGINT AS slot, idxs[s+1] AS t
+         |  FROM geom, (SELECT unnest(range(0, 4)) AS s) WHERE s < len(idxs))
+         | SELECT media_id, slot, list_sum(flatten(list_transform(range(0, 8), r ->
+         |   list_transform(range(0, 7), c ->
+         |     CASE WHEN (media_id*3 + (5 + 7*((media_id + t) % 4))
+         |           * (((2*(c+1)+1)*w)//16) + 11*(((2*r+1)*h)//16)) % 256
+         |        > (media_id*3 + (5 + 7*((media_id + t) % 4))
+         |           * (((2*c+1)*w)//16) + 11*(((2*r+1)*h)//16)) % 256
+         |     THEN 1::BIGINT << (r*7+c) ELSE 0::BIGINT END))))::BIGINT AS fhash
+         | FROM fr ORDER BY media_id, slot""".om,
+    "mm_video_temporal_neardup" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, doc_id AS media_id, 0 AS trim FROM documents
+         |   WHERE doc_id % 17 = 0
+         |  UNION ALL
+         |  SELECT doc_id, doc_id + 100000, 1 FROM documents
+         |   WHERE doc_id % 34 = 0),
+         | geom AS (SELECT media_id, doc_id, trim, 8 + 2*(doc_id % 5) AS w,
+         |   6 + 2*(doc_id % 3) AS h, (4 + doc_id % 4) - trim AS n FROM base),
+         | fr AS (SELECT media_id, doc_id, w, h,
+         |   unnest(list_sort(list_distinct(
+         |     list_transform(range(0, 4), i -> (i*(n-1))//3)))) + trim AS t
+         |  FROM geom),
+         | fh AS (SELECT media_id, doc_id, t,
+         |   list_sum(flatten(list_transform(range(0, 8), r ->
+         |   list_transform(range(0, 7), c ->
+         |     CASE WHEN (doc_id*3 + (5 + 7*((doc_id + t) % 4))
+         |           * (((2*(c+1)+1)*w)//16) + 11*(((2*r+1)*h)//16)) % 256
+         |        > (doc_id*3 + (5 + 7*((doc_id + t) % 4))
+         |           * (((2*c+1)*w)//16) + 11*(((2*r+1)*h)//16)) % 256
+         |     THEN 1::BIGINT << (r*7+c) ELSE 0::BIGINT END))))::BIGINT AS dh
+         |  FROM fr),
+         | fd AS (SELECT DISTINCT media_id, dh FROM fh),
+         | pr AS (SELECT a.media_id AS id1, b.media_id AS id2,
+         |   min(bit_count(xor(a.dh, b.dh)))::BIGINT AS hamming
+         |  FROM fd a JOIN fd b ON a.media_id < b.media_id
+         |  GROUP BY 1, 2)
+         | SELECT id1, id2, hamming FROM pr WHERE hamming <= 3
+         | ORDER BY id1, id2""".om,
     "mm_video_neardup" ->
       s"""WITH d AS (SELECT doc_id AS media_id, 8 + 2*(doc_id % 5) AS w,
          |   6 + 2*(doc_id % 3) AS h FROM documents WHERE doc_id % 17 = 0),

@@ -334,6 +334,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin"))
   }
 
+  test("temporal video near-dup catches trimmed re-uploads frame-0 misses") {
+    val ids = (0L until 120L by 17L).toSeq
+    val base = ids.map(id => (id, Multimodal.buildY4mScene(id)))
+      .toDF("media_id", "payload")
+    val trimmed = ids.filter(_ % 34 == 0)
+      .map(id => (id + 5000L, Multimodal.buildY4mScene(id, trim = 1)))
+      .toDF("media_id", "payload")
+    val corpus = base.unionByName(trimmed)
+    val planted = ids.filter(_ % 34 == 0).map(id => (id, id + 5000L)).toSet
+    // keyframe-only join: the trimmed leader changes frame 0's content,
+    // so at least one planted re-upload is invisible
+    val frame0 = Multimodal.videoNearDupPairs(corpus, "media_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!planted.subsetOf(frame0),
+      "fixture too easy: frame-0 hashing found every trimmed re-upload")
+    // temporal any-to-any join: every planted pair recovered, hamming 0
+    val temporal = Multimodal.videoNearDupPairsTemporal(corpus,
+        "media_id", "payload")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    planted.foreach { p =>
+      assert(temporal.get(p).contains(0L), s"planted $p not at hamming 0")
+    }
+    // per-frame hashes genuinely differ within a clip (the scene has
+    // real temporal structure, not just brightness drift)
+    val hs = Seq(Tuple1(Multimodal.buildY4mScene(1L)))
+      .toDF("payload")
+      .select(Multimodal.videoTemporalHashes(col("payload")))
+      .head().getSeq[Long](0)
+    assert(hs.distinct.size > 1)
+  }
+
   test("banded pairs: pigeonhole recall holds at maxDist >= 4") {
     // drive the banded join through a literal hash column so distances
     // are exact by construction: pairs at Hamming 4 and 5 spread across
