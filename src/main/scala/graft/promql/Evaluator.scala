@@ -338,13 +338,30 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
           val extendEnd = when(toEnd < threshold, toEnd).otherwise(avgIvl / 2)
           inc * ((sampled + extendStart + extendEnd) / sampled)
         }
+        /** The gauge form of the same edge extrapolation (Prometheus's
+          * `delta`): no reset correction feeds it and no counter
+          * zero-cap applies. */
+        def gaugeExtrapolated(d: Column): Column = {
+          val winStart = lit(mint) + col("k") * stepMs - range
+          val winEnd = lit(mint) + col("k") * stepMs
+          val sampled = (col("max_t") - col("min_t")).cast("double")
+          val avgIvl = sampled / (col("n") - 1)
+          val toStart = (col("min_t") - winStart).cast("double")
+          val toEnd = (winEnd - col("max_t")).cast("double")
+          val threshold = avgIvl * 1.1d
+          val extendStart = when(toStart < threshold, toStart).otherwise(avgIvl / 2)
+          val extendEnd = when(toEnd < threshold, toEnd).otherwise(avgIvl / 2)
+          d * ((sampled + extendStart + extendEnd) / sampled)
+        }
         val value: Column = fn match {
           case "increase" =>
             if (extrapolate) extrapolated(col("inc")) else col("inc")
           case "rate" =>
             if (extrapolate) extrapolated(col("inc")) / (lit(range) / 1000.0d)
             else col("inc") * 1000.0d / (col("max_t") - col("min_t"))
-          case "delta" => col("last_v") - col("first_v")
+          case "delta" =>
+            if (extrapolate) gaugeExtrapolated(col("last_v") - col("first_v"))
+            else col("last_v") - col("first_v")
           case "idelta" => col("last_v") - col("prev_last_v")
           case "irate" =>
             when(col("last_v") >= col("prev_last_v"),
@@ -362,8 +379,12 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
         guarded.withColumn("v", value)
       case other => sys.error(s"unsupported range function $other")
     }
-    // function results drop the metric name (Prometheus semantics)
-    out.select(dropName(col("labels")).as("labels"), stepT, col("v"))
+    // function results drop the metric name (Prometheus semantics) —
+    // EXCEPT last_over_time, which returns the raw sample and keeps it
+    // (upstream functions.go funcLastOverTime)
+    val outLabels =
+      if (fn == "last_over_time") col("labels") else dropName(col("labels"))
+    out.select(outLabels.as("labels"), stepT, col("v"))
   }
 
   private def agg(op: String, by: Seq[String], param: Option[Double],
@@ -708,6 +729,13 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
       .select(col("labels"), col("t"), col("v"))
   }
 
+  /** Top-level entry: a scalar-typed query (`2 + 3*4`, `scalar(v)`,
+    * `time()`) evaluates as its implicit `vector()` — the single `{}`
+    * series, the same rows the HTTP API's scalar result type renders
+    * to. Nested scalar contexts are unaffected. */
+  def evalTop(e: PromExpr): DataFrame =
+    if (isScalarExpr(e)) eval(VectorOf(e)) else eval(e)
+
   /** Evaluate to the canonical result frame
     * `(labels array<struct<name,value>>, t long, v double)` — one row
     * per series per evaluation step where the expression is defined. */
@@ -978,7 +1006,7 @@ object PromQL {
                  extrapolate: Boolean = false,
                  downsamples: Seq[(Long, DataFrame)] = Seq.empty): DataFrame =
     new Evaluator(querier, mint, maxt, stepMs, lookbackMs, extrapolate, downsamples)
-      .eval(parse(query))
+      .evalTop(parse(query))
 
   /** Instant query: a range query with a single evaluation step. */
   def instantQuery(querier: TsQuerier, query: String, at: Long,
