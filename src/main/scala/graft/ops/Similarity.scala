@@ -671,6 +671,44 @@ object Similarity {
     * correlated data (spec-asserted); rotation is an isometry, so L2
     * geometry (and thus recon MSE comparisons) carry over. Requires a
     * full-rank fit: `pcaFit(df, vecCol, k = dim)`. */
+  /** Per-coordinate corpus variances, as the coordinate order OPQ's
+    * balancing statistic wants: indices sorted by variance DESCENDING
+    * (ties by index). One bounded aggregate — dim rows come back to
+    * the driver, never vectors. */
+  def varianceOrder(corpus: DataFrame, vecCol: String): Array[Int] =
+    corpus.select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("i", "x")))
+      .groupBy(col("i")).agg(var_pop(col("x")).as("s2"))
+      .collect()
+      .sortBy(r => (-r.getDouble(1), r.getInt(0)))
+      .map(_.getInt(0))
+
+  /** The SERVING form of OPQ-lite's balancing: a variance-balanced
+    * coordinate PERMUTATION — deal the variance-ranked coordinates
+    * round-robin across the `m` PQ subspaces
+    * (`out[j·sub + t] = in[order[t·m + j]]`) so every subspace gets a
+    * mix of high- and low-variance directions. A permutation is an
+    * orthonormal rotation (the diagonal-free special case), so L2
+    * geometry carries over exactly — and unlike the PCA rotation it is
+    * REPLICABLE in closed-form SQL (variance + rank + reorder), which
+    * is what lets a served OPQ index carry an exact external oracle. */
+  def balancedPermutation(order: Array[Int], m: Int): Array[Int] = {
+    val dim = order.length
+    require(m >= 1 && dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    Array.tabulate(dim)(p => order((p % sub) * m + p / sub))
+  }
+
+  /** Apply a coordinate permutation as a pure Catalyst HOF (no UDF —
+    * the index array is a literal, `transform` + `element_at` stay in
+    * the optimized plan). */
+  def permuteVec(df: DataFrame, vecCol: String, perm: Array[Int],
+                 outCol: String = "pvec"): DataFrame = {
+    val idx = array(perm.map(p => lit(p + 1)): _*) // element_at is 1-based
+    df.withColumn(outCol,
+      transform(idx, p => element_at(col(vecCol), p)))
+  }
+
   def pcaBalancedProject(df: DataFrame, vecCol: String, pca: Pca, m: Int,
                          outCol: String = "pvec"): DataFrame = {
     val dim = pca.components.length

@@ -44,6 +44,23 @@ object PipelineQueries {
       (SessionFixtures.key(s), dir),
       Similarity.pqCodebooks(embs(s, dir), "vec_id", "embedding", m = 8, k = 16))
 
+  /** Per-(session, dir) OPQ serving fixtures: the variance-balanced
+    * coordinate permutation (trained once on the corpus, like a real
+    * OPQ rotation) and the PQ codebooks trained in the PERMUTED space.
+    * Both deterministic, both recomputed closed-form by the oracle. */
+  private val opqCache =
+    SessionFixtures.register(scala.collection.concurrent.TrieMap[(String, String), (Array[Int], Array[Double])]())
+
+  private def opqFix(s: SparkSession, dir: String): (Array[Int], Array[Double]) =
+    opqCache.getOrElseUpdate((SessionFixtures.key(s), dir), {
+      val perm = Similarity.balancedPermutation(
+        Similarity.varianceOrder(embs(s, dir), "embedding"), m = 8)
+      val rotated = Similarity.permuteVec(embs(s, dir), "embedding", perm)
+        .select(col("vec_id"), col("pvec").as("embedding"))
+      (perm, Similarity.pqCodebooks(rotated, "vec_id", "embedding",
+        m = 8, k = 16))
+    })
+
   /** Per-(session, dir) trained IVF centroids (a k×dim LocalRelation):
     * trained ONCE and reused by every IVF consumer (knn_ivf_trained,
     * knn_ivfpq) — the production shape, where an index is trained once
@@ -604,6 +621,23 @@ object PipelineQueries {
       Similarity.pqTopK(
         e.where(col("vec_id") < 8),
         Similarity.pqEncode(e, "vec_id", "embedding", cb, m = 8, k = 16),
+        "vec_id", "embedding", cb, m = 8, k = 16, topK = 5)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // OPQ-rotated PQ serving path: the variance-balanced coordinate
+    // permutation (OPQ-lite's balancing as an exact-oracle-able
+    // rotation) trained on the corpus, PQ codebooks trained in the
+    // permuted space, ADC search served there — same m=8/k=16 code
+    // budget as knn_pq, the rotation applied as a pure Catalyst HOF
+    "knn_opq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val (perm, cb) = opqFix(s, dir)
+      val er = Similarity.permuteVec(e, "embedding", perm)
+        .select(col("vec_id"), col("pvec").as("embedding"))
+      Similarity.pqTopK(
+        er.where(col("vec_id") < 8),
+        Similarity.pqEncode(er, "vec_id", "embedding", cb, m = 8, k = 16),
         "vec_id", "embedding", cb, m = 8, k = 16, topK = 5)
         .orderBy(col("query_id"), col("rnk"))
     }),
@@ -2903,6 +2937,27 @@ object PipelineQueries {
         | ORDER BY query_id, rnk""".om,
     "knn_pq" ->
       s"""WITH $eCte, $pqReconCtes,
+         | scored AS (SELECT q.vec_id AS query_id, r.vec_id AS corpus_id,
+         |   round(${cosSql("q.v", "r.cv")}, 6) AS cos
+         |   FROM e q JOIN recon r ON q.vec_id < 8 AND q.vec_id <> r.vec_id),
+         | rankedq AS (SELECT query_id, corpus_id, cos,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
+         |   FROM scored)
+         | SELECT query_id, rnk, corpus_id, cos FROM rankedq WHERE rnk <= 5
+         | ORDER BY query_id, rnk""".om,
+    // OPQ serving path: the variance-balanced permutation recomputed
+    // closed-form (var_pop + rank + round-robin deal), then the exact
+    // PQ train/encode/ADC pipeline over the PERMUTED vectors
+    "knn_opq" ->
+      s"""WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |   FROM embeddings),
+         | vr AS (SELECT i, var_pop(v[i+1]) AS s2
+         |  FROM e0 CROSS JOIN (SELECT unnest(range(64)) AS i) GROUP BY i),
+         | ordl AS (SELECT list(i ORDER BY s2 DESC, i) AS ol FROM vr),
+         | e AS (SELECT vec_id, list_transform(range(64), p ->
+         |   v[ol[(p % 8) * 8 + (p // 8) + 1] + 1]) AS v
+         |  FROM e0 CROSS JOIN ordl),
+         | $pqReconCtes,
          | scored AS (SELECT q.vec_id AS query_id, r.vec_id AS corpus_id,
          |   round(${cosSql("q.v", "r.cv")}, 6) AS cos
          |   FROM e q JOIN recon r ON q.vec_id < 8 AND q.vec_id <> r.vec_id),

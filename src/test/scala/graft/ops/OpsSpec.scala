@@ -1278,6 +1278,48 @@ class OpsSpec extends AnyFunSuite {
       s"balanced PQ mse $balMse not below raw $rawMse by 10%")
   }
 
+  test("variance-balanced permutation: OPQ serving path cuts PQ error") {
+    // variance skew GROUPED by subspace — the worst case for raw PQ:
+    // all four high-variance coordinates land in subspace 0
+    val dim = 16; val m = 4; val kCodes = 16
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 4000).map { i =>
+      (i.toLong, Seq.tabulate(dim)(t =>
+        rnd.nextGaussian() * (if (t < 4) 4.0 else 0.25)))
+    }
+    val df = rows.toDF("vec_id", "v")
+    val order = Similarity.varianceOrder(df, "v")
+    // descending variance: the four wide coords lead
+    assert(order.take(4).toSet == Set(0, 1, 2, 3))
+    val perm = Similarity.balancedPermutation(order, m)
+    assert(perm.sorted.sameElements(0 until dim)) // a true permutation
+    // round-robin deal: each subspace receives exactly one wide coord
+    (0 until m).foreach { j =>
+      assert(perm.slice(j * (dim / m), (j + 1) * (dim / m))
+        .count(_ < 4) == 1, s"subspace $j")
+    }
+    // permuteVec applies it exactly (pure HOF, no UDF)
+    val got = Similarity.permuteVec(df.limit(1), "v", perm)
+      .select(col("pvec")).head().getSeq[Double](0)
+    val want = perm.map(rows.head._2)
+    assert(got == want.toSeq)
+    def mse(encodedFrom: org.apache.spark.sql.DataFrame, vecCol: String): Double = {
+      val cb = Similarity.pqCodebooks(encodedFrom, "vec_id", vecCol, m, kCodes)
+      val enc = Similarity.pqEncode(encodedFrom, "vec_id", vecCol, cb, m, kCodes)
+      enc.join(encodedFrom.select(col("vec_id").as("id"),
+          col(vecCol).cast("array<double>").as("ov")), "id")
+        .select(Similarity.pqRecon(col("codes"), cb, m, kCodes).as("cv"),
+          col("ov"))
+        .select(aggregate(zip_with(col("cv"), col("ov"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), _ + _).as("e"))
+        .agg(avg(col("e"))).head().getDouble(0)
+    }
+    val rawMse = mse(df, "v")
+    val balMse = mse(Similarity.permuteVec(df, "v", perm), "pvec")
+    assert(balMse < rawMse * 0.9,
+      s"balanced-permutation PQ mse $balMse not below raw $rawMse by 10%")
+  }
+
   test("compressionRatio orders repetition below prose below noise") {
     val rep = "the same line of boilerplate text repeats here. " * 60
     val prose = "Information theory tells us natural language carries " +
