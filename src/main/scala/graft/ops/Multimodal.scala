@@ -341,11 +341,15 @@ object Multimodal {
   def videoNearDupPairsTemporal(media: DataFrame, idCol: String,
                                 payloadCol: String, k: Int = 4,
                                 maxDist: Int = 3): DataFrame = {
+    // explode_outer BEFORE filtering: a plain explode would let the
+    // optimizer infer `size(hashes) > 0` and push it below the
+    // projection, re-evaluating the whole-clip hash walk 3× per row
+    // (plan-audited); the outer form keeps exactly one evaluation and
+    // the null rows drop right after
     val vh = Dedup.sharedPersist(
       media.select(col(idCol).as("id"),
-          videoTemporalHashes(col(payloadCol), k).as("hs"))
-        .where(col("hs").isNotNull)
-        .select(col("id"), explode(col("hs")).as("dh"))
+          explode_outer(videoTemporalHashes(col(payloadCol), k)).as("dh"))
+        .where(col("dh").isNotNull)
         .distinct()) // a clip's repeated frame hashes collapse up front
     val banded = vh.select(col("id"), col("dh"),
       posexplode(array(bandCols(col("dh"), maxDist): _*)))
