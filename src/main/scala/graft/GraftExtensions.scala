@@ -85,7 +85,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_bmp_pixels" -> graft.functions.ImagePixelStatsExpr.image_pixel_stats,
       "graft_png_pixels" -> graft.functions.PngPixelStatsExpr.png_pixel_stats,
       "graft_gif_pixels" -> graft.functions.GifPixelStatsExpr.gif_pixel_stats,
+      "graft_jpeg_pixels" -> graft.functions.JpegPixelStatsExpr.jpeg_pixel_stats,
+      "graft_any_pixels" -> graft.functions.AnyPixelStatsExpr.any_pixel_stats,
       "graft_image_dhash" -> graft.functions.ImageDHashExpr.image_dhash,
+      "graft_video_frame_hashes" ->
+        (c => graft.functions.VideoFrameHashesExpr.video_frame_hashes(c)),
       "graft_audio_fingerprint" ->
         graft.functions.AudioFingerprintExpr.audio_fingerprint,
       "graft_video_dhash" -> graft.functions.VideoDHashExpr.video_dhash,

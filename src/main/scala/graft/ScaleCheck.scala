@@ -70,6 +70,12 @@ object ScaleCheck {
       spark.stop()
       return
     }
+    if (sys.env.get("SPARK_GRAFT_SCALE_SECTION").contains("mixed")) {
+      mixedMediaAtScale(spark)
+      graft.ops.Dedup.clearSharedPersists()
+      spark.stop()
+      return
+    }
     if (sys.env.get("SPARK_GRAFT_SCALE_SECTION").contains("wds")) {
       webdatasetAtScale(spark)
       graft.ops.Dedup.clearSharedPersists()
@@ -575,6 +581,8 @@ object ScaleCheck {
     webIngestAtScale(spark)
 
     mediaDedupAtScale(spark)
+
+    mixedMediaAtScale(spark)
 
     webdatasetAtScale(spark)
 
@@ -1274,6 +1282,162 @@ object ScaleCheck {
         f"shuffle ${sw / 1e6}%.1f MB vs payload ${payloadBytes / 1e6}%.1f MB")
     }
     pairs.unpersist(false)
+    spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** CROSS-FORMAT image dedup + TEMPORAL video dedup at scale — the
+    * round-11 surface under the same discipline as `media`:
+    *
+    * Images: 200k 64×64 flat-8×8-block scenes (avalanche-mixed block
+    * values → every grid sample independent, near-uniform 56-bit
+    * hashes), each landing in ONE of the four containers by id mod 4
+    * (a real crawl's mix), plus 40k planted RE-UPLOADS of the id ≡ 0
+    * (mod 5) scenes in a DIFFERENT container — flat blocks round-trip
+    * bit-exactly through all four codecs (JPEG under the DC-8 table),
+    * so every planted cross-format pair is hamming-0 BY CONSTRUCTION
+    * and a miss is a banding/decoder bug, not noise. Payloads decode
+    * map-side; only 8-byte hashes cross an exchange (asserted ≪
+    * payload mass).
+    *
+    * Video: 100k 64×48 4-frame Y4M clips with avalanche per-pixel luma
+    * (per-frame hashes independent), ids ≡ 0 (mod 5) re-uploaded
+    * TRIMMED (leader frame dropped) under a shifted id — invisible to
+    * the frame-0 hash, guaranteed hamming-0 for the temporal
+    * any-to-any join (the trimmed clip's sampled frames are a subset
+    * of the original's). Asserted: exact planted recovery, false-pair
+    * bound, shuffle ≪ payload. Standalone:
+    * SPARK_GRAFT_SCALE_SECTION=mixed. */
+  private def mixedMediaAtScale(spark: SparkSession): Unit = {
+    import spark.implicits._
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"SCALE $name ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    }
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleWrite.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def mix(a: Long): Long = {
+      var x = a; x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L; x ^= x >>> 33; x
+    }
+    val containers = graft.ops.MediaScenes.Containers
+
+    // ---- cross-format images -----------------------------------------
+    val n = 200000L
+    val imgOff = 10000000L
+    val imgPlanted = n / 5
+    val media = spark.range(n + imgPlanted).as[Long].map { row =>
+      // originals land in container id%4; the planted twin of scene id
+      // (id ≡ 0 mod 5) lands in the NEXT container under id + imgOff
+      val (id, cIdx) =
+        if (row < n) (row, (row % 4).toInt)
+        else { val base = (row - n) * 5; (base, ((base + 1) % 4).toInt) }
+      val gray = new Array[Byte](64 * 64)
+      var by = 0
+      while (by < 8) {
+        var bx = 0
+        while (bx < 8) {
+          val v = (mix(id * 1048573L + bx * 65537L + by) & 0xff).toByte
+          var y = by * 8
+          while (y < by * 8 + 8) {
+            var x = bx * 8
+            while (x < bx * 8 + 8) { gray(y * 64 + x) = v; x += 1 }
+            y += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      val mediaId = if (row < n) id else id + imgOff
+      (mediaId,
+        graft.ops.MediaScenes.containerBytes(containers(cIdx), 64, 64, gray))
+    }.toDF("media_id", "payload")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val imgPayload = time(s"synthesize ${n + imgPlanted} mixed-container images") {
+      media.select(sum(length(col("payload")))).head().getLong(0)
+    }
+    val pairs = time("cross-format dHash + banded pairs (decode map-side)") {
+      graft.ops.Multimodal.imageNearDupPairs(media, "media_id", "payload")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    time("assert cross-format planted recall + bounds") {
+      val total = pairs.count()
+      val plantedFound = pairs.where(col("id2") === col("id1") + imgOff &&
+        col("id1") % 5 === 0 && col("hamming") === 0L).count()
+      require(plantedFound == imgPlanted,
+        s"found $plantedFound of $imgPlanted planted cross-format pairs")
+      require(total - imgPlanted <= 100,
+        s"${total - imgPlanted} unplanted pairs — hash space degraded")
+      val sw = shuffleWrite.get()
+      require(sw < imgPayload / 2,
+        s"shuffled $sw bytes against ${imgPayload}B of payload")
+      println(f"SCALE mixed-format dedup: $total pairs ($imgPlanted planted " +
+        f"cross-format), shuffle ${sw / 1e6}%.1f MB vs payload ${imgPayload / 1e6}%.1f MB")
+    }
+    pairs.unpersist(false)
+    media.unpersist(false)
+
+    // ---- temporal video ----------------------------------------------
+    shuffleWrite.set(0L)
+    val vn = 100000L
+    val vOff = 20000000L
+    val vPlanted = vn / 5
+    val (vw, vh) = (64, 48)
+    val clips = spark.range(vn + vPlanted).as[Long].map { row =>
+      val (id, trim) =
+        if (row < vn) (row, 0)
+        else ((row - vn) * 5, 1)
+      val out = new java.io.ByteArrayOutputStream(
+        64 + 4 * (vw * vh * 3 / 2 + 6))
+      out.write(s"YUV4MPEG2 W$vw H$vh F25:1 Ip A1:1 C420jpeg\n"
+        .getBytes("US-ASCII"))
+      var t = trim
+      while (t < 4) {
+        out.write("FRAME\n".getBytes("US-ASCII"))
+        var y = 0
+        while (y < vh) {
+          var x = 0
+          while (x < vw) {
+            out.write((mix(id * 2097169L + t * 524287L + y * vw + x) & 0xff).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        var c = 0
+        while (c < 2 * (vw / 2) * (vh / 2)) { out.write(128); c += 1 }
+        t += 1
+      }
+      val mediaId = if (row < vn) id else id + vOff
+      (mediaId, out.toByteArray)
+    }.toDF("media_id", "payload")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vidPayload = time(s"synthesize ${vn + vPlanted} Y4M clips (incl. trimmed re-uploads)") {
+      clips.select(sum(length(col("payload")))).head().getLong(0)
+    }
+    val vPairs = time("temporal any-to-any banded join over sampled frame hashes") {
+      graft.ops.Multimodal.videoNearDupPairsTemporal(clips, "media_id", "payload")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    time("assert trimmed-re-upload recovery + bounds") {
+      val total = vPairs.count()
+      val plantedFound = vPairs.where(col("id2") === col("id1") + vOff &&
+        col("id1") % 5 === 0 && col("hamming") === 0L).count()
+      require(plantedFound == vPlanted,
+        s"found $plantedFound of $vPlanted planted trimmed re-uploads")
+      require(total - vPlanted <= 100,
+        s"${total - vPlanted} unplanted pairs — frame-hash space degraded")
+      val sw = shuffleWrite.get()
+      require(sw < vidPayload / 2,
+        s"shuffled $sw bytes against ${vidPayload}B of clip payload")
+      println(f"SCALE temporal video dedup: $total pairs ($vPlanted planted " +
+        f"trims), shuffle ${sw / 1e6}%.1f MB vs payload ${vidPayload / 1e6}%.1f MB")
+    }
+    vPairs.unpersist(false)
+    clips.unpersist(false)
     spark.sparkContext.removeSparkListener(listener)
   }
 

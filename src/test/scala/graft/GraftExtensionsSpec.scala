@@ -73,8 +73,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val viaColumn = y4m.select(graft.ops.Multimodal.videoDHash(col("p")))
         .head().getLong(0)
       assert(vh.getLong(0) == viaColumn)
+      // the JPEG decoder and the sniffing decoder reach SQL: the same
+      // scene in two containers, one hash, matching pixel stats
+      val scene = {
+        val (w, h, g) = graft.ops.MediaScenes.sceneGray(5L, "none")
+        Seq((graft.ops.MediaScenes.jpegBytes(w, h, g),
+          graft.ops.MediaScenes.bmpBytes(w, h, g))).toDF("jpg", "bmp")
+      }
+      scene.createOrReplaceTempView("scene_rows")
+      val sc = s.sql(
+        """SELECT graft_jpeg_pixels(jpg).sum_r AS jr,
+          |  graft_any_pixels(bmp).sum_r AS br,
+          |  graft_image_dhash(jpg) = graft_image_dhash(bmp) AS same
+          |FROM scene_rows""".stripMargin).head()
+      assert(sc.getLong(0) == sc.getLong(1) && sc.getBoolean(2))
+      // temporal frame hashes reach SQL as an array
+      val tfh = s.sql("SELECT graft_video_frame_hashes(p) AS hs FROM y4m_rows")
+        .head().getSeq[Long](0)
+      assert(tfh.nonEmpty)
       // null gate survives the SQL path too
       assert(s.sql("SELECT graft_image_dhash(CAST('nope' AS BINARY)) IS NULL")
+        .head().getBoolean(0))
+      assert(s.sql("SELECT graft_jpeg_pixels(CAST('nope' AS BINARY)) IS NULL")
         .head().getBoolean(0))
       assert(s.sql(
         "SELECT graft_audio_fingerprint(CAST('nope' AS BINARY)) IS NULL")
