@@ -221,8 +221,13 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
           .agg(agg.as("v"))
       case q if q.startsWith("quantile_over_time:") =>
         val phi = q.substring("quantile_over_time:".length).toDouble
+        // same ±Inf stance as the quantile aggregation (upstream parity)
+        val qv =
+          if (phi > 1) lit(Double.PositiveInfinity)
+          else if (phi < 0) lit(Double.NegativeInfinity)
+          else expr(s"percentile(v, $phi)")
         stepped.groupBy(col("fingerprint"), col("labels"), col("k"))
-          .agg(expr(s"percentile(v, $phi)").as("v"))
+          .agg(qv.as("v"))
       case "mad_over_time" =>
         // median absolute deviation (experimental upstream): one sorted
         // collect per (series, step); both medians come from the same
@@ -464,7 +469,12 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
           // `group`: 1 for every group with at least one series
           case "group" => lit(1.0d)
           case "quantile" =>
-            expr(s"percentile(v, ${param.getOrElse(sys.error("quantile needs φ"))})")
+            val phi = param.getOrElse(sys.error("quantile needs φ"))
+            // upstream returns ±Inf (with a warning) for φ outside
+            // [0, 1]; Spark's percentile would reject the literal
+            if (phi > 1) lit(Double.PositiveInfinity)
+            else if (phi < 0) lit(Double.NegativeInfinity)
+            else expr(s"percentile(v, $phi)")
           case other => sys.error(s"unsupported aggregation $other")
         }
         in.groupBy(groupKey(col("labels")).as("labels"), col("t"))
