@@ -11,10 +11,14 @@ package graft.functions
   * separable double-precision IDCT (T.81 A.3.3), box chroma upsampling
   * for arbitrary sampling factors (4:4:4, 4:2:0, 4:2:2, …), and JFIF
   * YCbCr→RGB. Grayscale (1 component) and color (3 components)
-  * frames; progressive (SOF2+), arithmetic and hierarchical frames
-  * null out — a real crawl pipeline routes those by the header's
-  * `format` field first. Returns null, never throws, on any corrupt
-  * or unsupported payload.
+  * frames, sequential (SOF0/SOF1) AND progressive (SOF2 — T.81 G.1.2:
+  * interleaved/single-component DC scans with successive
+  * approximation, spectral AC bands with EOB-run accounting, AC
+  * refinement correction bits), so the ~third of real crawl JPEGs
+  * that are progressive decode too; conformance is against
+  * ImageIO-written SOF2 streams. Arithmetic-coded, lossless and
+  * hierarchical frames null out. Returns null, never throws, on any
+  * corrupt or unsupported payload.
   *
   * Encoder: level shift, separable FDCT, quantization against a
   * caller-supplied or quality-scaled table, zigzag, run-length AC
@@ -153,11 +157,17 @@ object JpegCodec {
 
   /** Decoded planes before color conversion. */
   private final class Component {
+    var id = 0
     var h = 1; var v = 1; var tq = 0
     var dcTab = 0; var acTab = 0
     var planeW = 0; var planeH = 0
     var plane: Array[Byte] = null
     var pred = 0
+    // progressive state: full-image coefficient store (natural order
+    // per block) and block geometry
+    var coefs: Array[Int] = null
+    var blocksW = 0; var blocksH = 0 // padded (MCU multiples)
+    var nbW = 0; var nbH = 0         // used blocks (ceil of comp dims)
   }
 
   def decode(b: Array[Byte]): PixelDecode.Rgb = {
@@ -167,8 +177,9 @@ object JpegCodec {
                  _: OutOfMemoryError => null }
   }
 
-  // format caps: a decode bomb must not allocate unboundedly
-  private val MaxPixels = 64 << 20
+  // format caps: a decode bomb must not allocate unboundedly (the
+  // progressive path keeps 4 B per coefficient per component live)
+  private val MaxPixels = 16 << 20
 
   private def decode0(b: Array[Byte]): PixelDecode.Rgb = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
@@ -179,21 +190,29 @@ object JpegCodec {
     var w = 0; var h = 0
     var comps: Array[Component] = null
     var restartInterval = 0
-    var scanAt = -1
+    var progressive = false
+    var hmax = 1; var vmax = 1
+    var mcusX = 0; var mcusY = 0
+    var scansDone = 0
+    var scanAt = -1   // baseline: position of the single scan's data
+    var eoi = false
     var i = 2
-    while (scanAt < 0) {
+    while (scanAt < 0 && !eoi) {
       if (i + 2 > b.length) return null
       if ((b(i) & 0xff) != 0xff) return null
       var m = b(i + 1) & 0xff
       while (m == 0xff) { i += 1; if (i + 1 >= b.length) return null
         m = b(i + 1) & 0xff }
       i += 2
-      if (m == 0xd9) return null // EOI before any scan
+      if (m == 0xd9) { // EOI: valid end for a progressive stream
+        if (progressive && scansDone > 0) eoi = true else return null
+      }
       else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) () // no payload
       else {
         if (i + 2 > b.length) return null
         val len = be2(b, i)
         if (len < 2 || i + len > b.length) return null
+        var nextI = -1
         m match {
           case 0xdb => // DQT
             var j = i + 2
@@ -230,8 +249,9 @@ object JpegCodec {
               if (tc == 0) dcHuff(th) = t else acHuff(th) = t
               j += 17 + total
             }
-          case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
+          case 0xc0 | 0xc1 | 0xc2 => // baseline / ext sequential / PROGRESSIVE
             if (comps != null) return null
+            progressive = m == 0xc2
             if ((b(i + 2) & 0xff) != 8) return null // precision
             h = be2(b, i + 3); w = be2(b, i + 5)
             val n = b(i + 7) & 0xff
@@ -241,6 +261,7 @@ object JpegCodec {
             var c = 0
             while (c < n) {
               val at = i + 8 + 3 * c
+              comps(c).id = b(at) & 0xff
               comps(c).h = (b(at + 1) & 0xff) >> 4
               comps(c).v = b(at + 1) & 0x0f
               comps(c).tq = b(at + 2) & 0xff
@@ -248,37 +269,100 @@ object JpegCodec {
                 comps(c).v > 4 || comps(c).tq > 3) return null
               c += 1
             }
-          case x if x >= 0xc2 && x <= 0xcf && x != 0xc4 && x != 0xc8 &&
-            x != 0xcc => return null // progressive/arithmetic/lossless
+            comps.foreach { cm =>
+              hmax = math.max(hmax, cm.h); vmax = math.max(vmax, cm.v) }
+            mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+            mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+            comps.foreach { cm =>
+              cm.blocksW = mcusX * cm.h
+              cm.blocksH = mcusY * cm.v
+              cm.nbW = ((w * cm.h + hmax - 1) / hmax + 7) / 8
+              cm.nbH = ((h * cm.v + vmax - 1) / vmax + 7) / 8
+              if (progressive) {
+                if (cm.blocksW.toLong * cm.blocksH * 64 > 16L * MaxPixels)
+                  return null
+                cm.coefs = new Array[Int](cm.blocksW * cm.blocksH * 64)
+              }
+            }
+          case x if x >= 0xc3 && x <= 0xcf && x != 0xc4 && x != 0xc8 &&
+            x != 0xcc => return null // arithmetic / lossless / hierarchical
           case 0xdd => // DRI
             if (len < 4) return null
             restartInterval = be2(b, i + 2)
           case 0xda => // SOS
             if (comps == null) return null
             val ns = b(i + 2) & 0xff
-            if (ns != comps.length) return null // interleaved scans only
+            if (ns < 1 || ns > comps.length) return null
+            val scanComps = new Array[Component](ns)
             var c = 0
             while (c < ns) {
               val cs = b(i + 3 + 2 * c) & 0xff
-              // component selectors are positional in every mainstream
-              // encoder; match by order (ids are 1..n or 0..n-1)
-              comps(c).dcTab = (b(i + 4 + 2 * c) & 0xff) >> 4
-              comps(c).acTab = b(i + 4 + 2 * c) & 0x0f
-              if (comps(c).dcTab > 3 || comps(c).acTab > 3) return null
-              val _ = cs
+              // match by component id; positional fallback for writers
+              // that number 0-based
+              val ci = comps.indexWhere(_.id == cs)
+              scanComps(c) = if (ci >= 0) comps(ci) else comps(c)
+              scanComps(c).dcTab = (b(i + 4 + 2 * c) & 0xff) >> 4
+              scanComps(c).acTab = b(i + 4 + 2 * c) & 0x0f
+              if (scanComps(c).dcTab > 3 || scanComps(c).acTab > 3) return null
               c += 1
             }
-            scanAt = i + len
+            if (!progressive) {
+              if (ns != comps.length) return null // interleaved only
+              scanAt = i + len
+            } else {
+              val ss = b(i + 3 + 2 * ns) & 0xff
+              val se = b(i + 4 + 2 * ns) & 0xff
+              val ah = (b(i + 5 + 2 * ns) & 0xff) >> 4
+              val al = b(i + 5 + 2 * ns) & 0x0f
+              val r = new BitReader(b, i + len)
+              if (!decodeProgressiveScan(r, scanComps, ss, se, ah, al,
+                dcHuff, acHuff, restartInterval, mcusX, mcusY)) return null
+              scansDone += 1
+              nextI = r.pos
+            }
           case _ => () // APPn / COM
         }
-        i += len
+        i = if (nextI >= 0) nextI else i + len
       }
     }
-    // MCU geometry
-    var hmax = 1; var vmax = 1
-    comps.foreach { c => hmax = math.max(hmax, c.h); vmax = math.max(vmax, c.v) }
-    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
-    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    if (progressive) {
+      // all scans in: dequantize + IDCT every used block per component
+      val coef = new Array[Int](64)
+      val out = new Array[Double](64)
+      comps.foreach { cm =>
+        cm.planeW = cm.blocksW * 8
+        cm.planeH = cm.blocksH * 8
+        cm.plane = new Array[Byte](cm.planeW * cm.planeH)
+        val q = qt(cm.tq)
+        var by = 0
+        while (by < cm.nbH) {
+          var bx = 0
+          while (bx < cm.nbW) {
+            val base = (by * cm.blocksW + bx) * 64
+            var k = 0
+            while (k < 64) { coef(k) = cm.coefs(base + k) * q(k); k += 1 }
+            idct(coef, out)
+            var y = 0
+            while (y < 8) {
+              val rowAt = (by * 8 + y) * cm.planeW + bx * 8
+              var x = 0
+              while (x < 8) {
+                val v = math.rint(out(y * 8 + x) + 128.0).toInt
+                cm.plane(rowAt + x) =
+                  (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+                x += 1
+              }
+              y += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        cm.coefs = null
+      }
+      return toRgb(w, h, comps, hmax, vmax)
+    }
+    // ---- baseline: single interleaved scan, block-at-a-time ----
     comps.foreach { c =>
       c.planeW = mcusX * c.h * 8
       c.planeH = mcusY * c.v * 8
@@ -307,7 +391,7 @@ object JpegCodec {
             while (bh < cm.h) {
               if (!decodeBlock(r, cm, dcHuff(cm.dcTab), acHuff(cm.acTab),
                 qt(cm.tq), coef, out)) return null
-              // place the 8×8 block
+              // place the 8x8 block
               val px0 = (mx * cm.h + bh) * 8
               val py0 = (my * cm.v + bv) * 8
               var y = 0
@@ -333,7 +417,214 @@ object JpegCodec {
       }
       my += 1
     }
-    // color convert + crop
+    toRgb(w, h, comps, hmax, vmax)
+  }
+
+  /** One progressive scan (T.81 G.1.2): DC first/refine (interleaved
+    * or single-component), AC first/refine with EOB-run accounting
+    * (single-component only, block raster over the component's used
+    * blocks). Coefficients accumulate UNQUANTIZED into the
+    * component's full-image store; restart markers reset predictors
+    * and the EOB run. */
+  private def decodeProgressiveScan(r: BitReader, scanComps: Array[Component],
+                                    ss: Int, se: Int, ah: Int, al: Int,
+                                    dcHuff: Array[Huff], acHuff: Array[Huff],
+                                    restartInterval: Int,
+                                    mcusX: Int, mcusY: Int): Boolean = {
+    val ns = scanComps.length
+    if (ss < 0 || se > 63 || ss > se || al > 13) return false
+    val isDc = ss == 0
+    if (isDc && se != 0 && ns > 1) return false // interleaved AC is illegal
+    if (!isDc && ns != 1) return false
+    if (ah == 0) scanComps.foreach(_.pred = 0) // fresh predictors per scan
+    var eobrun = 0
+    var mcu = 0
+
+    def checkRestart(): Boolean = {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (!r.restart()) return false
+        scanComps.foreach(_.pred = 0)
+        eobrun = 0
+      }
+      true
+    }
+
+    def dcBlock(cm: Component, base: Int): Boolean = {
+      if (ah == 0) { // first DC scan
+        val dc = dcHuff(cm.dcTab)
+        if (dc == null) return false
+        val t = r.decodeHuff(dc)
+        if (t < 0 || t > 15) return false
+        val diff = r.receiveExtend(t)
+        if (diff == Int.MinValue) return false
+        cm.pred += diff
+        cm.coefs(base) = cm.pred << al
+      } else { // refinement: one bit
+        val bit = r.bit()
+        if (bit < 0) return false
+        if (bit == 1) cm.coefs(base) |= (1 << al)
+      }
+      true
+    }
+
+    def acFirstBlock(cm: Component, base: Int): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      val ac = acHuff(cm.acTab)
+      if (ac == null) return false
+      var k = ss
+      while (k <= se) {
+        val rs = r.decodeHuff(ac)
+        if (rs < 0) return false
+        val run = rs >> 4
+        val sz = rs & 15
+        if (sz == 0) {
+          if (run == 15) k += 16 // ZRL
+          else {
+            eobrun = 1 << run
+            if (run > 0) {
+              val extra = r.bits(run)
+              if (extra < 0) return false
+              eobrun += extra
+            }
+            eobrun -= 1 // this block is part of the run
+            return true
+          }
+        } else {
+          k += run
+          if (k > se) return false
+          val v = r.receiveExtend(sz)
+          if (v == Int.MinValue) return false
+          cm.coefs(base + Zig(k)) = v << al
+          k += 1
+        }
+      }
+      true
+    }
+
+    def acRefineBlock(cm: Component, base: Int): Boolean = {
+      val ac = acHuff(cm.acTab)
+      if (ac == null) return false
+      val p1 = 1 << al
+      val m1 = -1 << al
+      var k = ss
+      if (eobrun == 0) {
+        var stop = false
+        while (k <= se && !stop) {
+          val rs = r.decodeHuff(ac)
+          if (rs < 0) return false
+          var run = rs >> 4
+          val sz = rs & 15
+          var newVal = 0
+          if (sz == 0) {
+            if (run != 15) { // EOBn: run of end-of-band blocks begins
+              eobrun = 1 << run
+              if (run > 0) {
+                val extra = r.bits(run)
+                if (extra < 0) return false
+                eobrun += extra
+              }
+              stop = true
+            }
+            // run == 15 (ZRL): skip 16 zero-history coefficients
+          } else {
+            if (sz != 1) return false
+            val bit = r.bit()
+            if (bit < 0) return false
+            newVal = if (bit == 1) p1 else m1
+          }
+          if (!stop) {
+            // advance over `run` zero-history coefficients, applying
+            // correction bits to every nonzero-history one passed
+            var placed = false
+            while (k <= se && !placed) {
+              val z = base + Zig(k)
+              if (cm.coefs(z) != 0) {
+                val bit = r.bit()
+                if (bit < 0) return false
+                if (bit == 1 && (cm.coefs(z) & p1) == 0)
+                  cm.coefs(z) += (if (cm.coefs(z) >= 0) p1 else m1)
+                k += 1
+              } else {
+                if (run == 0) {
+                  if (newVal != 0) { cm.coefs(z) = newVal; placed = true }
+                  else placed = true // ZRL consumed its 16 zeros
+                  k += 1
+                } else { run -= 1; k += 1 }
+              }
+            }
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // end-of-band: correction bits for the remaining nonzero
+        // coefficients of this block
+        while (k <= se) {
+          val z = base + Zig(k)
+          if (cm.coefs(z) != 0) {
+            val bit = r.bit()
+            if (bit < 0) return false
+            if (bit == 1 && (cm.coefs(z) & p1) == 0)
+              cm.coefs(z) += (if (cm.coefs(z) >= 0) p1 else m1)
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+
+    if (isDc && ns > 1) { // interleaved DC scan: MCU order
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (!checkRestart()) return false
+          var c = 0
+          while (c < ns) {
+            val cm = scanComps(c)
+            var bv = 0
+            while (bv < cm.v) {
+              var bh = 0
+              while (bh < cm.h) {
+                val bx = mx * cm.h + bh
+                val by = my * cm.v + bv
+                if (!dcBlock(cm, (by * cm.blocksW + bx) * 64)) return false
+                bh += 1
+              }
+              bv += 1
+            }
+            c += 1
+          }
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else { // single-component scan: raster over used blocks
+      val cm = scanComps(0)
+      var by = 0
+      while (by < cm.nbH) {
+        var bx = 0
+        while (bx < cm.nbW) {
+          if (!checkRestart()) return false
+          val base = (by * cm.blocksW + bx) * 64
+          val ok =
+            if (isDc && se == 0) dcBlock(cm, base)
+            else if (ah == 0) acFirstBlock(cm, base)
+            else acRefineBlock(cm, base)
+          if (!ok) return false
+          mcu += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    true
+  }
+
+  /** Shared chroma upsampling + JFIF YCbCr to RGB + crop. */
+  private def toRgb(w: Int, h: Int, comps: Array[Component],
+                    hmax: Int, vmax: Int): PixelDecode.Rgb = {
     val px = new Array[Byte](3 * w * h)
     if (comps.length == 1) {
       val cm = comps(0)

@@ -880,12 +880,12 @@ object GifPixelStatsExpr {
     GraftSqlBridge.column(GifPixelStatsExpr(GraftSqlBridge.expression(payload)))
 }
 
-/** REAL baseline JPEG pixel decode — the format virtually every crawl
-  * image arrives in, decoded with no codec library ([[JpegCodec]]:
-  * T.81 marker walk, canonical Huffman, dequant, double-precision
-  * IDCT, chroma upsampling, JFIF YCbCr→RGB), then the shared
-  * order-free features so image curation stays container-agnostic.
-  * Null for non-JPEG, progressive, arithmetic-coded or corrupt
+/** REAL JPEG pixel decode — the format virtually every crawl image
+  * arrives in, decoded with no codec library ([[JpegCodec]]: T.81
+  * marker walk, canonical Huffman, dequant, double-precision IDCT,
+  * chroma upsampling, JFIF YCbCr→RGB; sequential AND progressive),
+  * then the shared order-free features so image curation stays
+  * container-agnostic. Null for non-JPEG, arithmetic-coded or corrupt
   * payloads. */
 case class JpegPixelStatsExpr(child: Expression) extends UnaryExpression {
 

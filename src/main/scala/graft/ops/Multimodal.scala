@@ -680,10 +680,11 @@ object Multimodal {
   def decodeGifPixels(payload: Column): Column =
     graft.functions.GifPixelStatsExpr.gif_pixel_stats(payload)
 
-  /** REAL baseline JPEG pixel decode (T.81 Huffman + dequant + IDCT +
-    * chroma upsampling + YCbCr→RGB, [[graft.functions.JpegCodec]]) +
-    * the shared order-free image features — the format most crawl
-    * images arrive in. Null for non-JPEG/progressive/corrupt. */
+  /** REAL JPEG pixel decode (T.81 Huffman + dequant + IDCT + chroma
+    * upsampling + YCbCr→RGB, sequential AND progressive,
+    * [[graft.functions.JpegCodec]]) + the shared order-free image
+    * features — the format most crawl images arrive in. Null for
+    * non-JPEG/arithmetic/corrupt. */
   def decodeJpegPixels(payload: Column): Column =
     graft.functions.JpegPixelStatsExpr.jpeg_pixel_stats(payload)
 

@@ -193,6 +193,78 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(worst <= 2, s"worst=$worst")
   }
 
+  test("progressive JPEG: ImageIO-written SOF2 streams decode within ±1") {
+    // gray and color, non-multiple-of-8 dims, ImageIO's default
+    // progression script (DC first+refine, AC spectral bands + refines)
+    val (w, h) = (53, 37)
+    def check(img: BufferedImage, channels: Int, tol: Int): Unit = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose(); ios.close()
+      val jpg = bos.toByteArray
+      // it really is progressive: SOF2 marker present, SOF0 absent
+      def hasMarker(mk: Int): Boolean = {
+        var i = 2
+        var found = false
+        while (i + 4 <= jpg.length && !found && (jpg(i) & 0xff) == 0xff) {
+          val m = jpg(i + 1) & 0xff
+          if (m == mk) found = true
+          else if (m == 0xda) i = jpg.length
+          else i += 2 + (((jpg(i + 2) & 0xff) << 8) | (jpg(i + 3) & 0xff))
+        }
+        found
+      }
+      assert(hasMarker(0xc2) && !hasMarker(0xc0), "stream is not SOF2")
+      val ours = JpegCodec.decode(jpg)
+      assert(ours != null && ours.w == w && ours.h == h)
+      val ref = ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+      var worst = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val at = 3 * (y * w + x)
+          if (channels == 1) {
+            // raw sample — getRGB would gamma-convert the gray space
+            worst = math.max(worst, math.abs(ref.getRaster.getSample(x, y, 0) -
+              (ours.px(at) & 0xff)))
+          } else {
+            val p = ref.getRGB(x, y)
+            worst = math.max(worst, math.abs(((p >> 16) & 0xff) -
+              (ours.px(at) & 0xff)))
+            worst = math.max(worst, math.abs(((p >> 8) & 0xff) -
+              (ours.px(at + 1) & 0xff)))
+            worst = math.max(worst, math.abs((p & 0xff) -
+              (ours.px(at + 2) & 0xff)))
+          }
+          x += 1
+        }
+        y += 1
+      }
+      assert(worst <= tol, s"worst=$worst tol=$tol channels=$channels")
+    }
+    val gray = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val g = smoothGray(w, h)
+    for (y <- 0 until h; x <- 0 until w)
+      gray.getRaster.setSample(x, y, 0, g(y * w + x) & 0xff)
+    check(gray, channels = 1, tol = 1)
+    val color = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (128 + 80 * math.sin(x / 6.0)).toInt & 0xff
+      val gg = (128 + 70 * math.cos(y / 5.0)).toInt & 0xff
+      val b = (128 + 60 * math.sin((x + y) / 9.0)).toInt & 0xff
+      color.setRGB(x, y, (r << 16) | (gg << 8) | b)
+    }
+    // ImageIO writes 4:2:0 color by default: upsampling filters differ
+    // (box here, interpolating there) — chroma-edge slack only
+    check(color, channels = 3, tol = 16)
+  }
+
   test("mutation battery: corrupt streams null out, never throw") {
     val (w, h) = (24, 16)
     val jpg = JpegCodec.encodeGray(w, h, smoothGray(w, h),
