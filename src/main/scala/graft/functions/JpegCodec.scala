@@ -190,6 +190,7 @@ object JpegCodec {
     var w = 0; var h = 0
     var comps: Array[Component] = null
     var restartInterval = 0
+    var orientation = 1
     var progressive = false
     var hmax = 1; var vmax = 1
     var mcusX = 0; var mcusY = 0
@@ -286,6 +287,8 @@ object JpegCodec {
             }
           case x if x >= 0xc3 && x <= 0xcf && x != 0xc4 && x != 0xc8 &&
             x != 0xcc => return null // arithmetic / lossless / hierarchical
+          case 0xe1 => // APP1: Exif orientation (tag 0x0112 in IFD0)
+            orientation = exifOrientation(b, i + 2, len - 2, orientation)
           case 0xdd => // DRI
             if (len < 4) return null
             restartInterval = be2(b, i + 2)
@@ -360,7 +363,7 @@ object JpegCodec {
         }
         cm.coefs = null
       }
-      return toRgb(w, h, comps, hmax, vmax)
+      return orient(toRgb(w, h, comps, hmax, vmax), orientation)
     }
     // ---- baseline: single interleaved scan, block-at-a-time ----
     comps.foreach { c =>
@@ -417,7 +420,80 @@ object JpegCodec {
       }
       my += 1
     }
-    toRgb(w, h, comps, hmax, vmax)
+    orient(toRgb(w, h, comps, hmax, vmax), orientation)
+  }
+
+  /** EXIF orientation from an APP1 payload: "Exif\0\0" + TIFF header
+    * (II/MM byte order), IFD0 entry walk for tag 0x0112 (SHORT).
+    * Returns `dflt` when absent or malformed — orientation metadata is
+    * advisory, never a reason to fail a decode. */
+  private def exifOrientation(b: Array[Byte], at: Int, len: Int,
+                              dflt: Int): Int = {
+    if (len < 14) return dflt
+    if (b(at) != 'E' || b(at + 1) != 'x' || b(at + 2) != 'i' ||
+      b(at + 3) != 'f' || b(at + 4) != 0 || b(at + 5) != 0) return dflt
+    val t = at + 6 // TIFF header origin
+    val little =
+      if (b(t) == 'I' && b(t + 1) == 'I') true
+      else if (b(t) == 'M' && b(t + 1) == 'M') false
+      else return dflt
+    def u16(p: Int): Int =
+      if (little) (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+      else ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+    def u32(p: Int): Long =
+      if (little) (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+      else ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+    if (t + 8 > at + len || u16(t + 2) != 42) return dflt
+    val ifd0 = u32(t + 4)
+    if (ifd0 < 0 || t + ifd0 + 2 > at + len) return dflt
+    val e0 = (t + ifd0).toInt
+    val n = u16(e0)
+    var e = 0
+    while (e < n) {
+      val p = e0 + 2 + 12 * e
+      if (p + 12 > at + len) return dflt
+      if (u16(p) == 0x0112 && u16(p + 2) == 3) {
+        val v = u16(p + 8)
+        return if (v >= 1 && v <= 8) v else dflt
+      }
+      e += 1
+    }
+    dflt
+  }
+
+  /** Normalize pixels to EXIF orientation 1 — crawls are full of
+    * camera images whose raster is stored rotated; a hash over the
+    * un-normalized raster would miss the same image re-saved upright. */
+  private def orient(img: PixelDecode.Rgb, o: Int): PixelDecode.Rgb = {
+    if (img == null || o <= 1 || o > 8) return img
+    val (w, h) = (img.w, img.h)
+    val swap = o >= 5
+    val (ow, oh) = if (swap) (h, w) else (w, h)
+    val out = new Array[Byte](3 * ow * oh)
+    var dy = 0
+    while (dy < oh) {
+      var dx = 0
+      while (dx < ow) {
+        val (sx, sy) = o match {
+          case 2 => (w - 1 - dx, dy)
+          case 3 => (w - 1 - dx, h - 1 - dy)
+          case 4 => (dx, h - 1 - dy)
+          case 5 => (dy, dx)
+          case 6 => (dy, h - 1 - dx)
+          case 7 => (w - 1 - dy, h - 1 - dx)
+          case _ => (w - 1 - dy, dx) // 8
+        }
+        val si = 3 * (sy * w + sx)
+        val di = 3 * (dy * ow + dx)
+        out(di) = img.px(si); out(di + 1) = img.px(si + 1)
+        out(di + 2) = img.px(si + 2)
+        dx += 1
+      }
+      dy += 1
+    }
+    new PixelDecode.Rgb(ow, oh, out)
   }
 
   /** One progressive scan (T.81 G.1.2): DC first/refine (interleaved

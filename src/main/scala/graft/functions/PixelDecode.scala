@@ -7,10 +7,13 @@ import org.apache.spark.sql.catalyst.InternalRow
   * work on whatever a real crawl actually contains instead of one
   * format each. All pure JVM, from the published specs: BMP
   * (uncompressed 24bpp), PNG (RFC 2083 — CRC-verified chunks, JDK
-  * inflate, all five scanline filters), GIF (variable-width LZW +
-  * global palette), and baseline JPEG ([[JpegCodec]] — Huffman +
-  * dequant + IDCT + YCbCr). Every decoder returns null (never throws)
-  * on bytes it doesn't own or can't prove whole. */
+  * inflate, all five scanline filters, every 8-bit color type: gray /
+  * RGB / palette / gray+alpha / RGBA), GIF (variable-width LZW,
+  * global or local palette, sequential or interlaced), and JPEG
+  * ([[JpegCodec]] — Huffman + dequant + IDCT + YCbCr, sequential AND
+  * progressive, EXIF-orientation normalized). Every decoder returns
+  * null (never throws) on bytes it doesn't own or can't prove
+  * whole. */
 object PixelDecode {
 
   /** A decoded image: packed RGB bytes, 3·w·h, row-major TOP-DOWN. */
@@ -75,13 +78,17 @@ object PixelDecode {
   private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
     .map(_.toByte)
 
-  /** 8-bit RGB non-interlaced PNG: CRC-verified chunk walk, multi-IDAT
-    * inflate, per-row un-filtering (RFC 2083 §6.3-6.6). */
+  /** 8-bit non-interlaced PNG, every color type (gray / RGB / palette
+    * / gray+alpha / RGBA — alpha dropped, palette resolved):
+    * CRC-verified chunk walk, multi-IDAT inflate, per-row
+    * un-filtering (RFC 2083 §6.3-6.6). */
   def decodePng(b: Array[Byte]): Rgb = {
     if (b.length < 8 + 25 || !java.util.Arrays.equals(
         java.util.Arrays.copyOf(b, 8), PngSig)) return null
     var i = 8
     var w = -1; var h = -1
+    var color = -1
+    var palAt = -1; var palLen = 0
     val idat = new java.io.ByteArrayOutputStream()
     var sawEnd = false
     while (i + 12 <= b.length && !sawEnd) {
@@ -95,9 +102,17 @@ object PixelDecode {
         case "IHDR" =>
           if (len != 13) return null
           w = be4(b, i + 8).toInt; h = be4(b, i + 12).toInt
-          val depth = b(i + 16) & 0xff; val color = b(i + 17) & 0xff
+          val depth = b(i + 16) & 0xff
+          color = b(i + 17) & 0xff
           val interlace = b(i + 20) & 0xff
-          if (depth != 8 || color != 2 || interlace != 0) return null
+          // 8-bit gray / RGB / palette / gray+alpha / RGBA,
+          // non-interlaced (Adam7 and sub-byte depths stay out)
+          if (depth != 8 || interlace != 0 ||
+            !(color == 0 || color == 2 || color == 3 || color == 4 ||
+              color == 6)) return null
+        case "PLTE" =>
+          if (len % 3 != 0) return null
+          palAt = i + 8; palLen = len.toInt
         case "IDAT" => idat.write(b, i + 8, len.toInt)
         case "IEND" => sawEnd = true
         case _ => () // ancillary chunks skipped
@@ -105,8 +120,12 @@ object PixelDecode {
       i += 12 + len.toInt
     }
     if (w <= 0 || h <= 0 || idat.size() == 0) return null
+    if (color == 3 && palAt < 0) return null
     if (w.toLong * h > (64L << 20)) return null
-    val stride = 1 + 3 * w
+    val bpp = color match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+    }
+    val stride = 1 + bpp * w
     val raw = new Array[Byte](stride * h)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
@@ -120,18 +139,19 @@ object PixelDecode {
       if (off < raw.length) return null
     } catch { case _: java.util.zip.DataFormatException => return null
     } finally inf.end()
-    // un-filter into the pixel buffer (RFC 2083 §6.3-6.6)
-    val px = new Array[Byte](3 * w * h)
+    // un-filter into the sample buffer (RFC 2083 6.3-6.6); the filter
+    // "left" distance is one PIXEL = bpp bytes
+    val ln = new Array[Byte](bpp * w * h)
     var y = 0
     while (y < h) {
       val ft = raw(y * stride) & 0xff
       if (ft > 4) return null
       var x = 0
-      while (x < 3 * w) {
+      while (x < bpp * w) {
         val cur = raw(y * stride + 1 + x) & 0xff
-        val left = if (x >= 3) px(y * 3 * w + x - 3) & 0xff else 0
-        val up = if (y > 0) px((y - 1) * 3 * w + x) & 0xff else 0
-        val ul = if (x >= 3 && y > 0) px((y - 1) * 3 * w + x - 3) & 0xff else 0
+        val left = if (x >= bpp) ln(y * bpp * w + x - bpp) & 0xff else 0
+        val up = if (y > 0) ln((y - 1) * bpp * w + x) & 0xff else 0
+        val ul = if (x >= bpp && y > 0) ln((y - 1) * bpp * w + x - bpp) & 0xff else 0
         val v = ft match {
           case 0 => cur
           case 1 => cur + left
@@ -143,26 +163,57 @@ object PixelDecode {
             val pc = math.abs(p - ul)
             cur + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
         }
-        px(y * 3 * w + x) = (v & 0xff).toByte
+        ln(y * bpp * w + x) = (v & 0xff).toByte
         x += 1
       }
       y += 1
     }
+    // expand to packed RGB: palette lookup, gray replication, alpha drop
+    val px = new Array[Byte](3 * w * h)
+    var k = 0
+    while (k < w * h) {
+      val at = 3 * k
+      color match {
+        case 2 =>
+          px(at) = ln(3 * k); px(at + 1) = ln(3 * k + 1)
+          px(at + 2) = ln(3 * k + 2)
+        case 0 =>
+          val g = ln(k)
+          px(at) = g; px(at + 1) = g; px(at + 2) = g
+        case 3 =>
+          val idx = ln(k) & 0xff
+          if (3 * idx + 2 >= palLen) return null
+          px(at) = b(palAt + 3 * idx)
+          px(at + 1) = b(palAt + 3 * idx + 1)
+          px(at + 2) = b(palAt + 3 * idx + 2)
+        case 4 =>
+          val g = ln(2 * k) // alpha dropped
+          px(at) = g; px(at + 1) = g; px(at + 2) = g
+        case 6 =>
+          px(at) = ln(4 * k); px(at + 1) = ln(4 * k + 1)
+          px(at + 2) = ln(4 * k + 2) // alpha dropped
+      }
+      k += 1
+    }
     new Rgb(w, h, px)
   }
 
-  /** GIF87a/89a with a global color table, first image block,
-    * non-interlaced: genuine variable-code-width LZW + palette. */
+  /** GIF87a/89a, first image block: genuine variable-code-width LZW +
+    * palette — global or LOCAL color table, sequential or INTERLACED
+    * (the four-pass row order de-woven after decode). */
   def decodeGif(b: Array[Byte]): Rgb = {
     if (b.length < 13 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F' ||
       b(3) != '8' || (b(4) != '7' && b(4) != '9') || b(5) != 'a') return null
     val packed = b(10) & 0xff
-    if ((packed & 0x80) == 0) return null // no global color table
-    val gctEntries = 2 << (packed & 7)
+    var palAt = -1
+    var palEntries = 0
     var i = 13
-    if (i + 3 * gctEntries > b.length) return null
-    val palAt = i
-    i += 3 * gctEntries
+    if ((packed & 0x80) != 0) { // global color table
+      palEntries = 2 << (packed & 7)
+      if (i + 3 * palEntries > b.length) return null
+      palAt = i
+      i += 3 * palEntries
+    }
     // walk to the first image descriptor, skipping extensions
     while (i < b.length && (b(i) & 0xff) == 0x21) {
       i += 2 // introducer + label
@@ -173,8 +224,15 @@ object PixelDecode {
     if (i + 10 > b.length) return null
     val w = le2(b, i + 5); val h = le2(b, i + 7)
     val ipacked = b(i + 9) & 0xff
-    if ((ipacked & 0x80) != 0 || (ipacked & 0x40) != 0) return null // LCT/interlace
+    val interlaced = (ipacked & 0x40) != 0
     i += 10
+    if ((ipacked & 0x80) != 0) { // LOCAL color table overrides
+      palEntries = 2 << (ipacked & 7)
+      if (i + 3 * palEntries > b.length) return null
+      palAt = i
+      i += 3 * palEntries
+    }
+    if (palAt < 0) return null // no color table at all
     if (i >= b.length) return null
     val minCode = b(i) & 0xff
     if (minCode < 2 || minCode > 8) return null
@@ -247,14 +305,27 @@ object PixelDecode {
       if (outAt == out.length && !done) done = true // tolerate missing End
     }
     if (outAt != out.length) return null
+    // interlaced rows arrive in the four-pass order; de-weave
+    val rowOf: Int => Int =
+      if (!interlaced) identity
+      else {
+        val order = new Array[Int](h)
+        var r = 0
+        Seq((0, 8), (4, 8), (2, 4), (1, 2)).foreach { case (st, sp) =>
+          var y = st
+          while (y < h) { order(r) = y; r += 1; y += sp }
+        }
+        order
+      }
     val px = new Array[Byte](3 * w * h)
     var k = 0
     while (k < out.length) {
       val idx = out(k)
-      if (idx >= gctEntries) return null
-      px(3 * k) = b(palAt + 3 * idx)
-      px(3 * k + 1) = b(palAt + 3 * idx + 1)
-      px(3 * k + 2) = b(palAt + 3 * idx + 2)
+      if (idx >= palEntries) return null
+      val at = 3 * (rowOf(k / w) * w + k % w)
+      px(at) = b(palAt + 3 * idx)
+      px(at + 1) = b(palAt + 3 * idx + 1)
+      px(at + 2) = b(palAt + 3 * idx + 2)
       k += 1
     }
     new Rgb(w, h, px)

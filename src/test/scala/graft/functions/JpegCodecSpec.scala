@@ -265,6 +265,48 @@ class JpegCodecSpec extends AnyFunSuite {
     check(color, channels = 3, tol = 16)
   }
 
+  test("EXIF orientation normalizes the raster") {
+    val (w, h) = (24, 16)
+    val gray = smoothGray(w, h)
+    val plain = JpegCodec.encodeGray(w, h, gray, JpegCodec.flatExactTable())
+    val base = JpegCodec.decode(plain)
+    assert(base != null)
+    def withExif(o: Int): Array[Byte] = {
+      // APP1: "Exif\0\0" + little-endian TIFF, one IFD0 entry (0x0112)
+      val tiff = Array[Byte]('I', 'I', 42, 0, 8, 0, 0, 0, // header, IFD@8
+        1, 0, // one entry
+        0x12, 0x01, 3, 0, 1, 0, 0, 0, o.toByte, 0, 0, 0,
+        0, 0, 0, 0) // next-IFD = none
+      val payload = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+      val seg = Array(0xff.toByte, 0xe1.toByte,
+        (((payload.length + 2) >> 8) & 0xff).toByte,
+        ((payload.length + 2) & 0xff).toByte) ++ payload
+      plain.take(2) ++ seg ++ plain.drop(2) // splice after SOI
+    }
+    // orientation 6 (rotate 90 CW): dims swap, pixels move exactly
+    val r6 = JpegCodec.decode(withExif(6))
+    assert(r6 != null && r6.w == h && r6.h == w)
+    for (y <- 0 until base.h; x <- 0 until base.w) {
+      // src (x,y) lands at dst (h-1-y, x)
+      val d = 3 * (x * r6.w + (h - 1 - y))
+      assert(r6.px(d) == base.px(3 * (y * w + x)), s"rot90 ($x,$y)")
+    }
+    // orientation 2 (mirror): same dims, horizontally flipped
+    val r2 = JpegCodec.decode(withExif(2))
+    assert(r2 != null && r2.w == w && r2.h == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(r2.px(3 * (y * w + x)) == base.px(3 * (y * w + (w - 1 - x))))
+    // orientation 3 then 3 == identity on dims; and a hash check: the
+    // same physical scene saved rotated + upright near-dups at 0 only
+    // AFTER normalization
+    assert(JpegCodec.decode(withExif(3)).w == w)
+    // garbage EXIF: advisory only — decode proceeds upright
+    val junk = plain.take(2) ++ Array[Byte](0xff.toByte, 0xe1.toByte, 0, 8,
+      'J', 'u', 'n', 'k', 0, 0) ++ plain.drop(2)
+    val rj = JpegCodec.decode(junk)
+    assert(rj != null && java.util.Arrays.equals(rj.px, base.px))
+  }
+
   test("mutation battery: corrupt streams null out, never throw") {
     val (w, h) = (24, 16)
     val jpg = JpegCodec.encodeGray(w, h, smoothGray(w, h),
