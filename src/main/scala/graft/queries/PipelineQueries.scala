@@ -1231,6 +1231,22 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // container-AGNOSTIC pixel stats over the mixed corpus: the
+    // sniffing decoder routes each payload to the right real decoder,
+    // and all four containers of a scene must land on identical
+    // closed-form features
+    "mm_mixed_pixels" -> ((s, dir) => {
+      val media = MediaScenes.synthesizeMixed(
+        docs(s, dir).where(col("doc_id") % 11 === 0), "doc_id", "source")
+      media.select(col("media_id"),
+          Multimodal.decodeAnyPixels(col("payload")).as("f"))
+        .select(col("media_id"), col("f.width").as("width"),
+          col("f.height").as("height"), col("f.n_pixels").as("n_pixels"),
+          col("f.sum_r").as("sum_r"), col("f.sum_g").as("sum_g"),
+          col("f.sum_b").as("sum_b"), col("f.max_lum").as("max_lum"))
+        .orderBy(col("media_id"))
+    }),
+
     // measured dHash recall under planted REAL transforms (brightness,
     // 2× upscale, JPEG re-encode, block jitter): the banded join's
     // found-pair count per transform against the brute-force within-3
@@ -3519,6 +3535,21 @@ object PipelineQueries {
          |  (64*list_sum(vs))::BIGINT AS sum_b,
          |  (10000*list_max(vs))::BIGINT AS max_lum
          | FROM bs ORDER BY media_id""".om,
+    "mm_mixed_pixels" ->
+      s"""WITH d AS (SELECT doc_id, 16 + 8*(doc_id % 3) AS w,
+         |   16 + 8*(doc_id % 2) AS h FROM documents WHERE doc_id % 11 = 0),
+         | bs AS (SELECT doc_id, w, h, flatten(list_transform(range(0, h//8), by ->
+         |   list_transform(range(0, w//8), bx ->
+         |     (doc_id*7 + bx*37 + by*101) % 200))) AS vs FROM d),
+         | mm AS (SELECT doc_id*10 + i AS media_id, w, h, vs FROM bs
+         |   CROSS JOIN (SELECT unnest(range(0, 4)) AS i))
+         | SELECT media_id, w::BIGINT AS width, h::BIGINT AS height,
+         |  (w*h)::BIGINT AS n_pixels,
+         |  (64*list_sum(vs))::BIGINT AS sum_r,
+         |  (64*list_sum(vs))::BIGINT AS sum_g,
+         |  (64*list_sum(vs))::BIGINT AS sum_b,
+         |  (10000*list_max(vs))::BIGINT AS max_lum
+         | FROM mm ORDER BY media_id""".om,
     // planted-transform recall: variant hashes recomputed closed-form
     // per transform; the banded join's exact recall at <= 3 means
     // n_found must equal the brute-force n_within3
