@@ -445,6 +445,116 @@ object ImagePixelStatsExpr {
   * ORDER signature (uniform amplitude scaling preserves every
   * comparison), the time-domain analog of image dHash. Null for
   * non-WAV/non-16-bit payloads and clips shorter than 57 samples. */
+/** TEMPORAL audio fingerprints — the trim-tolerant form of
+  * [[AudioFingerprintExpr]]: that expression splits the WHOLE data
+  * chunk into 57 equal frames, so removing a leading silence moves
+  * every frame boundary and the re-upload never matches. Here frames
+  * are FIXED at `frame` samples; a sub-fingerprint is the 56-bit (or
+  * `window−1`-bit) energy-order signature of `window` consecutive
+  * frames, emitted at starts every `stride` frames (≤ 64 of them) —
+  * a clip trimmed by a multiple of `stride·frame` samples shares
+  * whole sub-fingerprints with its original, so the any-to-any banded
+  * join recovers it at hamming 0; finer trims degrade gracefully
+  * (denser stride = the standard recall/cost knob). Null for non-WAV,
+  * non-16-bit, or fewer than `window` frames. */
+case class AudioWindowFingerprintsExpr(child: Expression, frame: Int,
+                                       window: Int, stride: Int)
+  extends UnaryExpression {
+
+  require(frame >= 1 && window >= 2 && window <= 57 && stride >= 1,
+    s"bad windowing: frame=$frame window=$window stride=$stride")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_window_fingerprints"
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  private def le4(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL)) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
+      b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
+
+  def compute(b: Array[Byte]): Any = {
+    if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
+    var i = 12
+    var bits = -1
+    var dataAt = -1
+    var dataLen = 0L
+    while (i + 8 <= b.length) {
+      val size = le4(b, i + 4)
+      if (size < 0 || size > b.length) return null
+      if (tag(b, i, "fmt ") && size >= 16 && i + 8 + 16 <= b.length)
+        bits = (b(i + 8 + 14) & 0xff) | ((b(i + 8 + 15) & 0xff) << 8)
+      else if (tag(b, i, "data")) { dataAt = i + 8; dataLen = size }
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (bits != 16 || dataAt < 0) return null
+    val end = math.min(b.length.toLong, dataAt + dataLen).toInt
+    val n = (end - dataAt) / 2
+    val nFrames = n / frame
+    if (nFrames < window) return null
+    val energy = new Array[Long](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var k = f * frame
+      val until = k + frame
+      var e = 0L
+      while (k < until) {
+        val s = ((b(dataAt + 2 * k) & 0xff) | (b(dataAt + 2 * k + 1) << 8))
+          .toShort.toLong
+        e += s * s
+        k += 1
+      }
+      energy(f) = e
+      f += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var st = 0
+    while (st + window <= nFrames && out.length < 64) {
+      var hash = 0L
+      var g = 0
+      while (g < window - 1) {
+        if (energy(st + g + 1) > energy(st + g)) hash |= (1L << g)
+        g += 1
+      }
+      out += hash
+      st += stride
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("audioWindowFp", this,
+      classOf[AudioWindowFingerprintsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("awf")
+      s"""
+         |Object $tmp = $self.compute($c);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  (org.apache.spark.sql.catalyst.util.ArrayData) $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AudioWindowFingerprintsExpr {
+  /** Column wrapper: strided fixed-frame energy-order sub-fingerprints. */
+  def audio_window_fingerprints(payload: Column, frame: Int = 1024,
+                                window: Int = 57,
+                                stride: Int = 28): Column =
+    GraftSqlBridge.column(AudioWindowFingerprintsExpr(
+      GraftSqlBridge.expression(payload), frame, window, stride))
+}
+
 case class AudioFingerprintExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType

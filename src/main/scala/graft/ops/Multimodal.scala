@@ -214,16 +214,21 @@ object Multimodal {
     * parsing bytes. Construction is synth-side HOF over ≤ 384-byte
     * arrays (fixture cost, not a hot path). */
   def synthesizeAudioTone(df: DataFrame, idCol: String,
-                          sourceCol: String): DataFrame = {
+                          sourceCol: String,
+                          trimSamples: Int = 0): DataFrame = {
     val id = col(idCol).cast("long")
     val rateSel = pmod(id, lit(5L))
     val sampleRate = when(rateSel === 0, 8000L).when(rateSel === 1, 16000L)
       .when(rateSel === 2, 22050L).when(rateSel === 3, 44100L)
       .otherwise(48000L)
-    val nSamples = lit(128L) + pmod(id, lit(64L))
+    // `trimSamples` drops that many LEADER samples (the re-upload-with-
+    // silence-cut case): byte j of the trimmed body is byte j + 2·trim
+    // of the original waveform
+    val nSamples = lit(128L) + pmod(id, lit(64L)) - trimSamples.toLong
     val body = unhex(concat_ws("",
       transform(sequence(lit(0L), nSamples * 2L - 1L),
-        j => lpad(hex(pmod(id * 7L + j * 37L, lit(256L))), 2, "0"))))
+        j => lpad(hex(pmod(id * 7L + (j + 2L * trimSamples) * 37L,
+          lit(256L))), 2, "0"))))
     val dataSize = nSamples * 2L
     val wav = concat(
       lit("RIFF".getBytes("US-ASCII")), le4l(dataSize + 36L),
@@ -340,17 +345,47 @@ object Multimodal {
     * the exchange. Output: (id1, id2, hamming = min), id1 < id2. */
   def videoNearDupPairsTemporal(media: DataFrame, idCol: String,
                                 payloadCol: String, k: Int = 4,
-                                maxDist: Int = 3): DataFrame = {
-    // explode_outer BEFORE filtering: a plain explode would let the
-    // optimizer infer `size(hashes) > 0` and push it below the
-    // projection, re-evaluating the whole-clip hash walk 3× per row
-    // (plan-audited); the outer form keeps exactly one evaluation and
-    // the null rows drop right after
+                                maxDist: Int = 3): DataFrame =
+    temporalHashPairs(media, idCol,
+      videoTemporalHashes(col(payloadCol), k), maxDist)
+
+  /** Strided fixed-frame audio sub-fingerprints
+    * ([[graft.functions.AudioWindowFingerprintsExpr]]) — the
+    * trim-tolerant near-dup key [[audioFingerprint]] (whole-clip
+    * framing) cannot be. */
+  def audioWindowFingerprints(payload: Column, frame: Int = 1024,
+                              window: Int = 57, stride: Int = 28): Column =
+    graft.functions.AudioWindowFingerprintsExpr
+      .audio_window_fingerprints(payload, frame, window, stride)
+
+  /** TEMPORAL audio near-dup pairs: the video path's any-to-any
+    * banded join over strided sub-fingerprints — a clip re-uploaded
+    * with its leading silence cut at `stride·frame`-sample granularity
+    * shares whole windows with its original and lands at hamming 0;
+    * the whole-clip envelope fingerprint provably misses it (its 57
+    * frame boundaries all move). Same scale shape: only 8-byte hashes
+    * cross the exchange, candidates per (band, band_key). */
+  def audioNearDupPairsTemporal(media: DataFrame, idCol: String,
+                                payloadCol: String, frame: Int = 1024,
+                                window: Int = 57, stride: Int = 28,
+                                maxDist: Int = 3): DataFrame =
+    temporalHashPairs(media, idCol,
+      audioWindowFingerprints(col(payloadCol), frame, window, stride),
+      maxDist)
+
+  /** Shared any-to-any temporal matcher: explode a per-clip hash
+    * ARRAY, banded Hamming self-join, min pairwise distance per pair.
+    * `explode_outer` BEFORE filtering — a plain explode would let the
+    * optimizer infer `size(hashes) > 0` and push it below the
+    * projection, re-evaluating the whole-payload hash walk 3× per row
+    * (plan-audited); the outer form keeps exactly one evaluation and
+    * the null rows drop right after. */
+  private def temporalHashPairs(media: DataFrame, idCol: String,
+                                hashes: Column, maxDist: Int): DataFrame = {
     val vh = Dedup.sharedPersist(
-      media.select(col(idCol).as("id"),
-          explode_outer(videoTemporalHashes(col(payloadCol), k)).as("dh"))
+      media.select(col(idCol).as("id"), explode_outer(hashes).as("dh"))
         .where(col("dh").isNotNull)
-        .distinct()) // a clip's repeated frame hashes collapse up front
+        .distinct()) // a clip's repeated sub-hashes collapse up front
     val banded = vh.select(col("id"), col("dh"),
       posexplode(array(bandCols(col("dh"), maxDist): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")

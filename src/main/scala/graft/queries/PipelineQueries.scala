@@ -1188,6 +1188,24 @@ object PipelineQueries {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // TEMPORAL audio near-dup: every id ≡ 0 (mod 34) tone re-uploaded
+    // with its LEADER cut (4 samples = one stride of fixed 2-sample
+    // frames) under a shifted id — invisible to the whole-clip
+    // envelope fingerprint (all 57 frame boundaries move), recovered
+    // by the strided-window any-to-any join; brute-force min-hamming
+    // oracle over the same closed-form sub-fingerprints
+    "mm_audio_temporal_neardup" -> ((s, dir) => {
+      val base = Multimodal.synthesizeAudioTone(
+        docs(s, dir).where(col("doc_id") % 17 === 0), "doc_id", "source")
+      val dup = Multimodal.synthesizeAudioTone(
+        docs(s, dir).where(col("doc_id") % 34 === 0), "doc_id", "source",
+        trimSamples = 4)
+        .withColumn("media_id", col("media_id") + 100000L)
+      Multimodal.audioNearDupPairsTemporal(base.unionByName(dup),
+          "media_id", "payload", frame = 2, window = 57, stride = 2)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // video near-dup pairs over the keyframe luma hash — the banded
     // join's video instantiation; every id ≡ 0 (mod 34) clip
     // re-ingested under a shifted id, brute-force oracle
@@ -3788,6 +3806,37 @@ object PipelineQueries {
          |   CASE WHEN e[CAST(f AS INT) + 2] > e[CAST(f AS INT) + 1]
          |   THEN 1::BIGINT << f ELSE 0::BIGINT END))::BIGINT AS fp
          | FROM en ORDER BY media_id""".om,
+    "mm_audio_temporal_neardup" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, doc_id AS media_id, 0 AS trim FROM documents
+         |   WHERE doc_id % 17 = 0
+         |  UNION ALL
+         |  SELECT doc_id, doc_id + 100000, 4 FROM documents
+         |   WHERE doc_id % 34 = 0),
+         | geom AS (SELECT media_id, doc_id, trim,
+         |   128 + doc_id % 64 - trim AS n FROM base),
+         | sm AS (SELECT media_id, list_transform(range(0, n), k ->
+         |   CASE WHEN ((doc_id*7 + 2*(k+trim)*37) % 256)
+         |       + 256*((doc_id*7 + (2*(k+trim)+1)*37) % 256) >= 32768
+         |   THEN ((doc_id*7 + 2*(k+trim)*37) % 256)
+         |       + 256*((doc_id*7 + (2*(k+trim)+1)*37) % 256) - 65536
+         |   ELSE ((doc_id*7 + 2*(k+trim)*37) % 256)
+         |       + 256*((doc_id*7 + (2*(k+trim)+1)*37) % 256) END) AS ss
+         |  FROM geom),
+         | en AS (SELECT media_id, list_transform(range(0, len(ss)//2), f ->
+         |   ss[2*f+1]*ss[2*f+1] + ss[2*f+2]*ss[2*f+2]) AS es FROM sm),
+         | fp AS (SELECT media_id, list_sum(list_transform(range(0, 56), g ->
+         |   CASE WHEN es[2*si+g+2] > es[2*si+g+1]
+         |   THEN 1::BIGINT << g ELSE 0::BIGINT END))::BIGINT AS dh
+         |  FROM en CROSS JOIN (SELECT unnest(range(0, 32)) AS si)
+         |  WHERE 2*si + 57 <= len(es)),
+         | fd AS (SELECT DISTINCT media_id, dh FROM fp),
+         | pr AS (SELECT a.media_id AS id1, b.media_id AS id2,
+         |   min(bit_count(xor(a.dh, b.dh)))::BIGINT AS hamming
+         |  FROM fd a JOIN fd b ON a.media_id < b.media_id
+         |  GROUP BY 1, 2)
+         | SELECT id1, id2, hamming FROM pr WHERE hamming <= 3
+         | ORDER BY id1, id2""".om,
     "mm_video_frame_hashes" ->
       s"""WITH d AS (SELECT doc_id AS media_id, 8 + 2*(doc_id % 5) AS w,
          |   6 + 2*(doc_id % 3) AS h, 4 + doc_id % 4 AS n FROM documents),

@@ -365,6 +365,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hs.distinct.size > 1)
   }
 
+  test("temporal audio near-dup catches trimmed re-uploads envelope misses") {
+    val d = (0L until 200L by 17L).toSeq.toDF("doc_id")
+      .withColumn("source", lit("s"))
+    val base = Multimodal.synthesizeAudioTone(d, "doc_id", "source")
+    val dup = Multimodal.synthesizeAudioTone(
+        d.where(col("doc_id") % 34 === 0), "doc_id", "source",
+        trimSamples = 4)
+      .withColumn("media_id", col("media_id") + 5000L)
+    val corpus = base.unionByName(dup)
+    val planted = (0L until 200L by 34L).map(id => (id, id + 5000L)).toSet
+    // whole-clip envelope fingerprint: the trim moves every frame
+    // boundary, so at least one planted re-upload is invisible
+    val whole = Multimodal.audioNearDupPairs(corpus, "media_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!planted.subsetOf(whole),
+      "fixture too easy: the whole-clip fingerprint found every trim")
+    // strided-window any-to-any: every planted pair at hamming 0 (the
+    // 4-sample trim is exactly one stride of 2-sample frames)
+    val temporal = Multimodal.audioNearDupPairsTemporal(corpus,
+        "media_id", "payload", frame = 2, window = 57, stride = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    planted.foreach { p =>
+      assert(temporal.get(p).contains(0L), s"planted $p not at hamming 0")
+    }
+    // sub-fingerprints exist and differ across windows
+    val fps = Seq(Tuple1(0L)).toDF("doc_id").withColumn("source", lit("s"))
+    val hs = Multimodal.synthesizeAudioTone(fps, "doc_id", "source")
+      .select(Multimodal.audioWindowFingerprints(col("payload"),
+        frame = 2, window = 57, stride = 2))
+      .head().getSeq[Long](0)
+    assert(hs.size > 1)
+  }
+
   test("banded pairs: pigeonhole recall holds at maxDist >= 4") {
     // drive the banded join through a literal hash column so distances
     // are exact by construction: pairs at Hamming 4 and 5 spread across
