@@ -151,4 +151,25 @@ class PixelDecodeSpec extends AnyFunSuite {
     out.write(0x3b)
     assertMatchesImageIO(out.toByteArray, "interlaced+lct")
   }
+
+  test("fuzz: the new PNG/GIF variants never throw under mutation") {
+    val plte = Array.tabulate(256 * 3)(i => (i % 256).toByte)
+    val fixtures = Seq(
+      png(12, 8, 0, 1, (x, y, _) => (x + y) % 256),
+      png(12, 8, 3, 1, (x, y, _) => (x * y) % 256, plte),
+      png(12, 8, 6, 4, (x, y, c) => (x + y + c) % 256))
+    val rnd = new scala.util.Random(2026)
+    fixtures.foreach { clean =>
+      (0 until 80).foreach { _ =>
+        val b = clean.clone()
+        (0 to rnd.nextInt(4)).foreach { _ =>
+          b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte }
+        val r = PixelDecode.decode(b) // must not throw
+        if (r != null) assert(r.px.length == 3 * r.w * r.h)
+      }
+      (0 until 20).foreach { i =>
+        PixelDecode.decode(clean.take(i * clean.length / 20)) // no throw
+      }
+    }
+  }
 }
