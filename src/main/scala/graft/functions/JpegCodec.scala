@@ -915,14 +915,6 @@ object JpegCodec {
     if (v < 0) 0 else if (v > 255) 255 else v
   }
 
-  private def extractPlane(w: Int, h: Int, gray: Array[Byte], ch: Int,
-                           stride: Int, hs: Int, vs: Int): Plane = {
-    val p = new Array[Int](w * h)
-    var i = 0
-    while (i < w * h) { p(i) = gray(i * stride + ch) & 0xff; i += 1 }
-    pad8(w, h, p)
-  }
-
   private final class Plane(val w: Int, val h: Int, val data: Array[Int])
 
   /** Replicate-pad a plane to 8-multiple dims (block boundary). */

@@ -707,7 +707,11 @@ case class VideoFrameHashesExpr(child: Expression, k: Int)
       else if (p.startsWith("C")) c420 = p.drop(1).startsWith("420")
     }
     if (w <= 0 || h <= 0 || (w & 1) == 1 || (h & 1) == 1 || !c420) return null
-    val frameBytes = w * h + 2 * (w / 2) * (h / 2)
+    // Long math: hostile header dims must fail the bounds check, not
+    // overflow past it into an index exception (null-never-throw)
+    val lumaBytes = w.toLong * h
+    val frameBytes = lumaBytes + 2L * (w / 2) * (h / 2)
+    if (lumaBytes > b.length) return null // no complete frame can exist
     // one linear walk: hash every complete frame's luma plane
     val hashes = scala.collection.mutable.ArrayBuffer.empty[Long]
     var pos = nl + 1
@@ -718,10 +722,11 @@ case class VideoFrameHashesExpr(child: Expression, k: Int)
       else {
         var fe = pos + 5
         while (fe < b.length && b(fe) != '\n') fe += 1
-        if (fe >= b.length || fe + 1 + w * h > b.length) pos = b.length
+        if (fe >= b.length || fe + 1 + lumaBytes > b.length) pos = b.length
         else {
           hashes += frameHash(b, fe + 1, w, h)
-          pos = fe + 1 + frameBytes
+          val next = fe + 1 + frameBytes
+          pos = if (next > b.length) b.length else next.toInt
         }
       }
       guard += 1
@@ -794,7 +799,8 @@ case class VideoDHashExpr(child: Expression) extends UnaryExpression {
     while (fe < b.length && b(fe) != '\n') fe += 1
     if (fe >= b.length) return null
     val dataAt = fe + 1
-    if (dataAt + w * h > b.length) return null // incomplete first luma plane
+    // Long math: hostile dims must fail here, not overflow the check
+    if (dataAt + w.toLong * h > b.length) return null // incomplete luma plane
     var hash = 0L
     var bit = 0
     var r = 0

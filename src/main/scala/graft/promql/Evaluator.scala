@@ -320,44 +320,37 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
             sum(when(col("pv").isNotNull && col("v") =!= col("pv"), 1L)
               .otherwise(0L)).cast("double").as("changes"))
           .where(col("n") >= 2)
-        /** Prometheus's `extrapolatedRate` (functions.go): scale the
-          * observed increase out to the window edges, but never by more
-          * than half the average sample interval per side, and never
-          * past the point where a counter would have been zero. All
-          * column arithmetic — no extra pass. */
-        def extrapolated(inc: Column): Column = {
+        /** Prometheus's `extrapolatedRate` edge logic (functions.go):
+          * scale the observed delta out to the window edges, but never
+          * by more than half the average sample interval per side —
+          * and, for COUNTERS, never past the point where the counter
+          * would have been zero. One definition serves the counter
+          * (`zeroCap = true`: rate/increase) and gauge (`delta`)
+          * forms. All column arithmetic — no extra pass. */
+        def edgeExtrapolated(d: Column, zeroCap: Boolean): Column = {
           val winStart = lit(mint) + col("k") * stepMs - range
           val winEnd = lit(mint) + col("k") * stepMs
           val sampled = (col("max_t") - col("min_t")).cast("double")
           val avgIvl = sampled / (col("n") - 1)
-          val toStart = (col("min_t") - winStart).cast("double")
+          val toStartRaw = (col("min_t") - winStart).cast("double")
           val toEnd = (winEnd - col("max_t")).cast("double")
           val threshold = avgIvl * 1.1d
-          // counters can't extrapolate below zero: cap the start-side
-          // extension at the implied time-to-zero
-          val toZero = sampled * (col("first_v") / inc)
-          val startCap = when(inc > 0 && col("first_v") >= 0 && toZero < toStart,
-            toZero).otherwise(toStart)
+          val toStart =
+            if (!zeroCap) toStartRaw
+            else {
+              val toZero = sampled * (col("first_v") / d)
+              when(d > 0 && col("first_v") >= 0 && toZero < toStartRaw,
+                toZero).otherwise(toStartRaw)
+            }
           val extendStart =
-            when(startCap < threshold, startCap).otherwise(avgIvl / 2)
-          val extendEnd = when(toEnd < threshold, toEnd).otherwise(avgIvl / 2)
-          inc * ((sampled + extendStart + extendEnd) / sampled)
-        }
-        /** The gauge form of the same edge extrapolation (Prometheus's
-          * `delta`): no reset correction feeds it and no counter
-          * zero-cap applies. */
-        def gaugeExtrapolated(d: Column): Column = {
-          val winStart = lit(mint) + col("k") * stepMs - range
-          val winEnd = lit(mint) + col("k") * stepMs
-          val sampled = (col("max_t") - col("min_t")).cast("double")
-          val avgIvl = sampled / (col("n") - 1)
-          val toStart = (col("min_t") - winStart).cast("double")
-          val toEnd = (winEnd - col("max_t")).cast("double")
-          val threshold = avgIvl * 1.1d
-          val extendStart = when(toStart < threshold, toStart).otherwise(avgIvl / 2)
+            when(toStart < threshold, toStart).otherwise(avgIvl / 2)
           val extendEnd = when(toEnd < threshold, toEnd).otherwise(avgIvl / 2)
           d * ((sampled + extendStart + extendEnd) / sampled)
         }
+        def extrapolated(inc: Column): Column =
+          edgeExtrapolated(inc, zeroCap = true)
+        def gaugeExtrapolated(d: Column): Column =
+          edgeExtrapolated(d, zeroCap = false)
         val value: Column = fn match {
           case "increase" =>
             if (extrapolate) extrapolated(col("inc")) else col("inc")

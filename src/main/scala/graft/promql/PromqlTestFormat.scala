@@ -67,8 +67,22 @@ object PromqlTestFormat {
   /** Parse a test script into commands. Lines starting at column 0 are
     * commands; indented lines belong to the preceding command. */
   def parse(text: String): Seq[Cmd] = {
+    def stripComment(l: String): String = {
+      // '#' only starts a comment OUTSIDE double quotes — label values
+      // and regexes may legally contain it
+      var inq = false
+      var j = 0
+      while (j < l.length) {
+        val ch = l.charAt(j)
+        if (inq) { if (ch == '"' && l.charAt(j - 1) != '\\') inq = false }
+        else if (ch == '"') inq = true
+        else if (ch == '#') return l.substring(0, j)
+        j += 1
+      }
+      l
+    }
     val lines = text.split("\n").zipWithIndex
-      .map { case (l, i) => (l.replaceAll("#.*$", "").stripTrailing(), i + 1) }
+      .map { case (l, i) => (stripComment(l).stripTrailing(), i + 1) }
       .filter(_._1.trim.nonEmpty)
     val out = Seq.newBuilder[Cmd]
     var i = 0

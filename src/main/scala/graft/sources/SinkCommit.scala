@@ -34,16 +34,26 @@ object SinkCommit {
     * needed and `finish()` the wrapper before committing), then call
     * exactly one of [[commit]] / [[abort]]. */
   final class Pending private[sources] (fs: FileSystem, tmp: HPath,
-                                        fin: HPath) {
+                                        fin: HPath, claim: HPath) {
     val raw: java.io.OutputStream = fs.create(tmp, true)
 
     /** Close the temp and rename it to the final name. False when a
       * sibling attempt already committed (this attempt's bytes are
-      * discarded — the committed file is byte-equivalent). */
+      * discarded — the committed file is byte-equivalent).
+      *
+      * Exactly-once claim: bare exists+rename is racy on local/POSIX
+      * file systems (rename OVERWRITES an existing destination, so two
+      * speculative twins could both "win" and double-count). A hidden
+      * `.claim` marker created with `createNewFile` — O_EXCL, atomic
+      * on local FS and HDFS alike — elects exactly one committer; the
+      * claim stays behind (readers' extension filters never match it)
+      * so a late retry can never re-elect after a commit. */
     def commit(): Boolean = {
       raw.close()
-      if (fs.exists(fin)) { fs.delete(tmp, false); false }
-      else if (fs.rename(tmp, fin)) true
+      if (fs.exists(fin) || !fs.createNewFile(claim)) {
+        fs.delete(tmp, false)
+        false
+      } else if (fs.rename(tmp, fin)) true
       else { fs.delete(tmp, false); false }
     }
 
@@ -59,7 +69,8 @@ object SinkCommit {
     val attempt = Option(org.apache.spark.TaskContext.get())
       .map(_.taskAttemptId()).getOrElse(0L)
     val tmp = new HPath(BlockIO.child(dir, s".$name.$attempt.inprogress"))
-    new Pending(fin.getFileSystem(conf.value), tmp, fin)
+    val claim = new HPath(BlockIO.child(dir, s".$name.claim"))
+    new Pending(fin.getFileSystem(conf.value), tmp, fin, claim)
   }
 
   /** Run `write` against a pending shard and commit it. Returns true

@@ -112,7 +112,14 @@ object TarWriter {
           if (shard != cur) {
             finish(); cur = shard
             val safe = shard.replaceAll("[^A-Za-z0-9._-]", "_")
-            pending = SinkCommit.start(dir, s"$prefix-$safe-$job$ext", conf)
+            // sanitization can collide ("a/b" and "a:b" both become
+            // "a_b"); a digest of the ORIGINAL value keeps final names
+            // distinct while staying deterministic per (job, shard)
+            val tag = java.security.MessageDigest.getInstance("MD5")
+              .digest(shard.getBytes("UTF-8")).take(3)
+              .map(x => f"$x%02x").mkString
+            pending = SinkCommit.start(dir,
+              s"$prefix-$safe-$tag-$job$ext", conf)
             out = if (gzip) new GZIPOutputStream(pending.raw, 64 * 1024)
                   else pending.raw
           }

@@ -42,6 +42,16 @@ class PromqlConformanceSpec extends AnyFunSuite {
         failures.mkString("  - ", "\n  - ", ""))
   }
 
+  test("notation: '#' inside quoted label values is not a comment") {
+    val cmds = PromqlTestFormat.parse(
+      """load 1m
+        |  m{path="/a#b"} 1 2 3   # a real comment
+        |""".stripMargin)
+    val l = cmds.head.asInstanceOf[PromqlTestFormat.Load]
+    assert(l.series.head._1 == """m{path="/a#b"}""")
+    assert(l.series.head._2 == "1 2 3")
+  }
+
   test("notation: expanding values, gaps, signs, series split") {
     val cmds = PromqlTestFormat.parse(
       """load 30s

@@ -203,6 +203,38 @@ class TarSpec extends AnyFunSuite {
     assert(names.toSeq == Seq("a.txt"))
   }
 
+  test("writeSamples: shard values colliding after sanitization both land") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tarcoll").toString
+    // "a/b" and "a:b" sanitize to the same "a_b" — the digest tag must
+    // keep their final names distinct (first-commit-wins would
+    // otherwise silently drop one whole shard)
+    val samples = Seq(
+      ("a/b", "s0", Map("txt" -> "left".getBytes(UTF_8))),
+      ("a:b", "s1", Map("txt" -> "right".getBytes(UTF_8))))
+    val n = TarWriter.writeSamples(
+      spark.createDataset(samples).toDF("shard", "key", "parts"), dir)
+    assert(n == 2)
+    val back = TarReader.entries(spark, dir).collect()
+      .map(r => new String(r.getAs[Array[Byte]]("payload"), UTF_8)).toSet
+    assert(back == Set("left", "right"))
+  }
+
+  test("sink commit: the claim marker makes the rename race exactly-once") {
+    val dir = Files.createTempDirectory("graft-tarclaim").toString
+    val conf = new graft.tsdb.BlockIO.SerConf(
+      spark.sparkContext.hadoopConfiguration)
+    // first attempt commits; a late retry of the SAME final name must
+    // lose even though rename on a local FS would overwrite
+    assert(SinkCommit.committed(dir, "seg.tar", conf)(_.write(1)))
+    assert(!SinkCommit.committed(dir, "seg.tar", conf)(_.write(2)))
+    val visible = graft.tsdb.BlockIO.listNames(dir).filter(_.endsWith(".tar"))
+    assert(visible == Seq("seg.tar"))
+    // the winner's byte survived; the loser's was discarded
+    assert(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "seg.tar")).toSeq == Seq(1.toByte))
+  }
+
   test("ustar header: 100/155 limits are BYTE limits on the UTF-8 form") {
     // base segment of 60 two-byte codepoints = 120 bytes > 100: reject
     // loudly instead of truncating mid-codepoint
