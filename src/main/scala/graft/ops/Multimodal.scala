@@ -373,6 +373,40 @@ object Multimodal {
       audioWindowFingerprints(col(payloadCol), frame, window, stride),
       maxDist)
 
+  /** Persistable TEMPORAL sub-fingerprint index: one (id, hash) row
+    * per distinct sampled sub-hash of each clip — the array analog of
+    * [[mediaHashIndex]]. At 100 TB this is the parquet artifact an
+    * incremental ingest refreshes; only NEW batches decode. */
+  def temporalHashIndex(media: DataFrame, idCol: String,
+                        hashes: Column): DataFrame =
+    media.select(col(idCol).as("id"), explode_outer(hashes).as("dh"))
+      .where(col("dh").isNotNull)
+      .distinct()
+
+  /** Cross-corpus TEMPORAL near-dup — [[mediaNearDupAgainst]]'s shape
+    * for sub-fingerprint ARRAYS: which clips of a NEW batch are within
+    * `maxDist` of an EXISTING corpus's [[temporalHashIndex]], matched
+    * any-sampled-window-to-any. Only the new batch decodes; the
+    * trimmed-re-upload case that dodges whole-clip hashes is caught
+    * incrementally, at ingest time. Output:
+    * (new_id, corpus_id, hamming = min). */
+  def temporalNearDupAgainst(newIndex: DataFrame, corpusIndex: DataFrame,
+                             maxDist: Int = 3): DataFrame = {
+    def banded(df: DataFrame, idAs: String, dhAs: String) =
+      df.select(col("id").as(idAs), col("dh").as(dhAs),
+        posexplode(array(bandCols(col("dh"), maxDist): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    banded(Dedup.sharedPersist(newIndex), "new_id", "dh1")
+      .join(banded(corpusIndex, "corpus_id", "dh2").hint("merge"),
+        Seq("band", "band_key"))
+      .select(col("new_id"), col("corpus_id"),
+        bit_count(col("dh1").bitwiseXOR(col("dh2"))).cast("long")
+          .as("hamming"))
+      .where(col("hamming") <= maxDist)
+      .groupBy(col("new_id"), col("corpus_id"))
+      .agg(min(col("hamming")).as("hamming"))
+  }
+
   /** Shared any-to-any temporal matcher: explode a per-clip hash
     * ARRAY, banded Hamming self-join, min pairwise distance per pair.
     * `explode_outer` BEFORE filtering — a plain explode would let the

@@ -1206,6 +1206,43 @@ object PipelineQueries {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // INCREMENTAL temporal video dedup: a NEW batch of trimmed
+    // re-uploads checked against the EXISTING corpus's sub-fingerprint
+    // index — the ingest-time shape (only the new batch decodes); the
+    // oracle brute-forces new × corpus over the same closed forms
+    "mm_video_temporal_against" -> ((s, dir) => {
+      val corpus = Multimodal.temporalHashIndex(
+        Multimodal.synthesizeY4mScene(
+          docs(s, dir).where(col("doc_id") % 17 === 0), "doc_id", "source"),
+        "media_id", Multimodal.videoTemporalHashes(col("payload")))
+      val fresh = Multimodal.temporalHashIndex(
+        Multimodal.synthesizeY4mScene(
+          docs(s, dir).where(col("doc_id") % 34 === 0), "doc_id", "source",
+          trim = 1)
+          .withColumn("media_id", col("media_id") + 100000L),
+        "media_id", Multimodal.videoTemporalHashes(col("payload")))
+      Multimodal.temporalNearDupAgainst(fresh, corpus)
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
+    // the audio twin: trimmed tones vs the corpus sub-fingerprint index
+    "mm_audio_temporal_against" -> ((s, dir) => {
+      val corpus = Multimodal.temporalHashIndex(
+        Multimodal.synthesizeAudioTone(
+          docs(s, dir).where(col("doc_id") % 17 === 0), "doc_id", "source"),
+        "media_id", Multimodal.audioWindowFingerprints(col("payload"),
+          frame = 2, window = 57, stride = 2))
+      val fresh = Multimodal.temporalHashIndex(
+        Multimodal.synthesizeAudioTone(
+          docs(s, dir).where(col("doc_id") % 34 === 0), "doc_id", "source",
+          trimSamples = 4)
+          .withColumn("media_id", col("media_id") + 100000L),
+        "media_id", Multimodal.audioWindowFingerprints(col("payload"),
+          frame = 2, window = 57, stride = 2))
+      Multimodal.temporalNearDupAgainst(fresh, corpus)
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
     // video near-dup pairs over the keyframe luma hash — the banded
     // join's video instantiation; every id ≡ 0 (mod 34) clip
     // re-ingested under a shifted id, brute-force oracle
@@ -3837,6 +3874,66 @@ object PipelineQueries {
          |  GROUP BY 1, 2)
          | SELECT id1, id2, hamming FROM pr WHERE hamming <= 3
          | ORDER BY id1, id2""".om,
+    "mm_video_temporal_against" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, doc_id AS media_id, 0 AS trim, 0 AS grp
+         |   FROM documents WHERE doc_id % 17 = 0
+         |  UNION ALL
+         |  SELECT doc_id, doc_id + 100000, 1, 1 FROM documents
+         |   WHERE doc_id % 34 = 0),
+         | geom AS (SELECT media_id, doc_id, trim, grp, 8 + 2*(doc_id % 5) AS w,
+         |   6 + 2*(doc_id % 3) AS h, (4 + doc_id % 4) - trim AS n FROM base),
+         | fr AS (SELECT media_id, doc_id, grp, w, h,
+         |   unnest(list_sort(list_distinct(
+         |     list_transform(range(0, 4), i -> (i*(n-1))//3)))) + trim AS t
+         |  FROM geom),
+         | fh AS (SELECT media_id, grp, t,
+         |   list_sum(flatten(list_transform(range(0, 8), r ->
+         |   list_transform(range(0, 7), c ->
+         |     CASE WHEN (doc_id*3 + (5 + 7*((doc_id + t) % 4))
+         |           * (((2*(c+1)+1)*w)//16) + 11*(((2*r+1)*h)//16)) % 256
+         |        > (doc_id*3 + (5 + 7*((doc_id + t) % 4))
+         |           * (((2*c+1)*w)//16) + 11*(((2*r+1)*h)//16)) % 256
+         |     THEN 1::BIGINT << (r*7+c) ELSE 0::BIGINT END))))::BIGINT AS dh
+         |  FROM fr),
+         | fd AS (SELECT DISTINCT media_id, grp, dh FROM fh),
+         | pr AS (SELECT b.media_id AS new_id, a.media_id AS corpus_id,
+         |   min(bit_count(xor(a.dh, b.dh)))::BIGINT AS hamming
+         |  FROM fd a JOIN fd b ON a.grp = 0 AND b.grp = 1
+         |  GROUP BY 1, 2)
+         | SELECT new_id, corpus_id, hamming FROM pr WHERE hamming <= 3
+         | ORDER BY new_id, corpus_id""".om,
+    "mm_audio_temporal_against" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, doc_id AS media_id, 0 AS trim, 0 AS grp
+         |   FROM documents WHERE doc_id % 17 = 0
+         |  UNION ALL
+         |  SELECT doc_id, doc_id + 100000, 4, 1 FROM documents
+         |   WHERE doc_id % 34 = 0),
+         | geom AS (SELECT media_id, doc_id, trim, grp,
+         |   128 + doc_id % 64 - trim AS n FROM base),
+         | sm AS (SELECT media_id, grp, list_transform(range(0, n), k ->
+         |   CASE WHEN ((doc_id*7 + 2*(k+trim)*37) % 256)
+         |       + 256*((doc_id*7 + (2*(k+trim)+1)*37) % 256) >= 32768
+         |   THEN ((doc_id*7 + 2*(k+trim)*37) % 256)
+         |       + 256*((doc_id*7 + (2*(k+trim)+1)*37) % 256) - 65536
+         |   ELSE ((doc_id*7 + 2*(k+trim)*37) % 256)
+         |       + 256*((doc_id*7 + (2*(k+trim)+1)*37) % 256) END) AS ss
+         |  FROM geom),
+         | en AS (SELECT media_id, grp, list_transform(range(0, len(ss)//2), f ->
+         |   ss[2*f+1]*ss[2*f+1] + ss[2*f+2]*ss[2*f+2]) AS es FROM sm),
+         | fp AS (SELECT media_id, grp, list_sum(list_transform(range(0, 56), g ->
+         |   CASE WHEN es[2*si+g+2] > es[2*si+g+1]
+         |   THEN 1::BIGINT << g ELSE 0::BIGINT END))::BIGINT AS dh
+         |  FROM en CROSS JOIN (SELECT unnest(range(0, 32)) AS si)
+         |  WHERE 2*si + 57 <= len(es)),
+         | fd AS (SELECT DISTINCT media_id, grp, dh FROM fp),
+         | pr AS (SELECT b.media_id AS new_id, a.media_id AS corpus_id,
+         |   min(bit_count(xor(a.dh, b.dh)))::BIGINT AS hamming
+         |  FROM fd a JOIN fd b ON a.grp = 0 AND b.grp = 1
+         |  GROUP BY 1, 2)
+         | SELECT new_id, corpus_id, hamming FROM pr WHERE hamming <= 3
+         | ORDER BY new_id, corpus_id""".om,
     "mm_video_frame_hashes" ->
       s"""WITH d AS (SELECT doc_id AS media_id, 8 + 2*(doc_id % 5) AS w,
          |   6 + 2*(doc_id % 3) AS h, 4 + doc_id % 4 AS n FROM documents),
