@@ -1438,6 +1438,72 @@ object ScaleCheck {
     }
     vPairs.unpersist(false)
     clips.unpersist(false)
+
+    // ---- temporal audio ----------------------------------------------
+    shuffleWrite.set(0L)
+    val an = 100000L
+    val aOff = 30000000L
+    val aPlanted = an / 5
+    val aSamples = 4096 // per clip; frame 32 → 128 frames, window 57
+    val tones = spark.range(an + aPlanted).as[Long].map { row =>
+      val (id, trim) =
+        if (row < an) (row, 0)
+        else ((row - an) * 5, 64) // one stride: 2 frames × 32 samples
+      val n = aSamples - trim
+      val out = new java.io.ByteArrayOutputStream(44 + 2 * n)
+      def le4(v: Int): Unit =
+        (0 until 4).foreach(b => out.write((v >> (8 * b)) & 0xff))
+      def le2(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      out.write("RIFF".getBytes("US-ASCII")); le4(2 * n + 36)
+      out.write("WAVE".getBytes("US-ASCII"))
+      out.write("fmt ".getBytes("US-ASCII")); le4(16)
+      le2(1); le2(1); le4(16000); le4(32000); le2(2); le2(16)
+      out.write("data".getBytes("US-ASCII")); le4(2 * n)
+      var k = 0
+      while (k < n) {
+        val s = (mix(id * 8388617L + (k + trim)) & 0xffff).toInt - 32768
+        out.write(s & 0xff); out.write((s >> 8) & 0xff)
+        k += 1
+      }
+      val mediaId = if (row < an) id else id + aOff
+      (mediaId, out.toByteArray)
+    }.toDF("media_id", "payload")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val audPayload = time(s"synthesize ${an + aPlanted} PCM tones (incl. trimmed re-uploads)") {
+      tones.select(sum(length(col("payload")))).head().getLong(0)
+    }
+    val aPairs = time("temporal any-to-any banded join over strided sub-fingerprints") {
+      graft.ops.Multimodal.audioNearDupPairsTemporal(tones, "media_id",
+          "payload", frame = 32, window = 57, stride = 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    time("assert trimmed-audio recovery + bounds") {
+      val total = aPairs.count()
+      val plantedFound = aPairs.where(col("id2") === col("id1") + aOff &&
+        col("id1") % 5 === 0 && col("hamming") === 0L).count()
+      require(plantedFound == aPlanted,
+        s"found $plantedFound of $aPlanted planted trimmed tones")
+      // energy-ORDER bits are a Markov chain (adjacent bits share a
+      // middle energy, corr −1/4), so the near-zero Hamming tail is
+      // heavier than the iid estimate — observed ~170 accidental pairs
+      // among 4.3M sub-hashes; bound at 1% of the planted mass
+      require(total - aPlanted <= aPlanted / 100,
+        s"${total - aPlanted} unplanted pairs — envelope space degraded")
+      val sw = shuffleWrite.get()
+      // the audio invariant is BYTES PER SUB-HASH, not payload ratio:
+      // these fixture clips are an unrealistic 8 KB (real clips are
+      // MBs for the same ~36 windows), so payload would mislead — what
+      // must hold is that only hash-sized rows cross the exchanges
+      val subHashes = (an + aPlanted) * 36L
+      require(sw < subHashes * 256L,
+        s"shuffled $sw bytes for $subHashes sub-hashes — " +
+          "more than hash-sized rows are crossing the exchanges")
+      println(f"SCALE temporal audio dedup: $total pairs ($aPlanted planted " +
+        f"trims), shuffle ${sw / 1e6}%.1f MB for $subHashes sub-hashes " +
+        f"(payload ${audPayload / 1e6}%.1f MB)")
+    }
+    aPairs.unpersist(false)
+    tones.unpersist(false)
     spark.sparkContext.removeSparkListener(listener)
   }
 
