@@ -90,6 +90,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_image_dhash" -> graft.functions.ImageDHashExpr.image_dhash,
       "graft_video_frame_hashes" ->
         (c => graft.functions.VideoFrameHashesExpr.video_frame_hashes(c)),
+      "graft_audio_window_fp" ->
+        (c => graft.functions.AudioWindowFingerprintsExpr
+          .audio_window_fingerprints(c)),
       "graft_audio_fingerprint" ->
         graft.functions.AudioFingerprintExpr.audio_fingerprint,
       "graft_video_dhash" -> graft.functions.VideoDHashExpr.video_dhash,
