@@ -52,6 +52,8 @@ object ToolMain {
       files.map(f => checkRules(spark, f, out)).max
     case "test-rules" +: files if files.nonEmpty =>
       files.map(f => testRules(spark, f, out)).max
+    case "promql-test" +: files if files.nonEmpty =>
+      files.map(f => promqlTest(spark, f, out)).max
     case "check-config" +: Seq(f) =>
       try {
         graft.tsdb.GraftConfig.load(f, spark.sparkContext.hadoopConfiguration)
@@ -63,7 +65,8 @@ object ToolMain {
     case "query" +: Seq(dir, expr, startS, endS, stepS) =>
       query(spark, dir, expr, startS.toLong, endS.toLong, stepS.toLong, out)
     case _ =>
-      out("usage: check-rules <file...> | test-rules <file...> | check-config <file> | " +
+      out("usage: check-rules <file...> | test-rules <file...> | " +
+        "promql-test <file...> | check-config <file> | " +
         "backfill <openmetricsFile> <storeDir> | " +
         "tsdb-analyze <storeDir> [topK] | " +
         "query <storeDir> <expr> <startSec> <endSec> <stepSec>")
@@ -106,6 +109,26 @@ object ToolMain {
       } else {
         failures.foreach(f => out(s"FAILED: $file: ${f.what}")); 1
       }
+    } catch { case e: Exception => out(s"FAILED: ${e.getMessage}"); 1 }
+
+  /** Run an upstream-notation PromQL test script
+    * ([[graft.promql.PromqlTestFormat]]) — the `promql/testdata`-style
+    * `load` / `eval instant|range` dialect — against this engine's
+    * evaluator with upstream semantics. */
+  private def promqlTest(spark: SparkSession, file: String,
+                         out: String => Unit): Int =
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val cmds = graft.promql.PromqlTestFormat.parse(
+        graft.tsdb.BlockIO.readString(file, conf))
+      val evals = cmds.count {
+        case _: graft.promql.PromqlTestFormat.EvalInstant => true
+        case _: graft.promql.PromqlTestFormat.EvalRange => true
+        case _ => false
+      }
+      val failures = graft.promql.PromqlTestFormat.run(spark, cmds)
+      if (failures.isEmpty) { out(s"SUCCESS: $file: $evals evals"); 0 }
+      else { failures.foreach(f => out(s"FAILED: $file: $f")); 1 }
     } catch { case e: Exception => out(s"FAILED: ${e.getMessage}"); 1 }
 
   private def backfill(spark: SparkSession, src: String, dst: String,

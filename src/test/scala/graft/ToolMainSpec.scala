@@ -44,6 +44,29 @@ class ToolMainSpec extends AnyFunSuite {
     assert(c3 == 1 && o3.size == 2)
   }
 
+  test("promql-test: upstream-notation script passes, failures reported") {
+    val good = Files.createTempFile("pq", ".test")
+    Files.writeString(good,
+      """load 1m
+        |  m{k="a"} 0+2x10
+        |
+        |eval instant at 5m sum(m)
+        |  {} 10
+        |""".stripMargin)
+    val (c0, out0) = run("promql-test", good.toString)
+    assert(c0 == 0 && out0.exists(_.contains("1 evals")))
+    val bad = Files.createTempFile("pq", ".test")
+    Files.writeString(bad,
+      """load 1m
+        |  m{k="a"} 0+2x10
+        |
+        |eval instant at 5m sum(m)
+        |  {} 11
+        |""".stripMargin)
+    val (c1, out1) = run("promql-test", bad.toString)
+    assert(c1 == 1 && out1.exists(_.startsWith("FAILED")))
+  }
+
   test("check-config and usage") {
     val cfg = Files.createTempFile("agni", ".yml")
     Files.writeString(cfg, "bucket: b1\nendpoint: http://s\n")
