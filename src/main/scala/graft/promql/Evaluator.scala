@@ -660,6 +660,10 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
 
   private def scalarFn(fn: String, arg: PromExpr, ps: Seq[Double]): DataFrame = {
     val in = eval(arg)
+    def goLog(base: Column => Column): Column => Column = v =>
+      when(v > 0, base(v))
+        .when(v === 0, lit(Double.NegativeInfinity))
+        .otherwise(lit(Double.NaN))
     val f: Column => Column = fn match {
       case "abs" => abs(_)
       case "sgn" => v => signum(v)
@@ -670,9 +674,11 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
       case "floor" => floor(_).cast("double")
       case "exp" => exp(_)
       case "sqrt" => sqrt(_)
-      case "ln" => log(_)
-      case "log2" => log2(_)
-      case "log10" => log10(_)
+      // Go's math.Log semantics (what upstream inherits): log(0) =
+      // -Inf, log(<0) = NaN — Spark's log family returns NULL for both
+      case "ln" => goLog(log(_))
+      case "log2" => goLog(log2(_))
+      case "log10" => goLog(log10(_))
       case "clamp" => v => least(greatest(v, lit(ps(0))), lit(ps(1)))
       // trigonometric family (Prometheus 2.31+); deg/rad per upstream
       case "sin" => sin(_)
