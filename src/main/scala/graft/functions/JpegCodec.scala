@@ -171,10 +171,12 @@ object JpegCodec {
   }
 
   def decode(b: Array[Byte]): PixelDecode.Rgb = {
+    // no OutOfMemoryError catch: every allocation below is pre-validated
+    // against MaxPixels-derived caps, so an OOME here would be genuine
+    // executor heap exhaustion that must not be masked as "not a JPEG"
     try decode0(b)
     catch { case _: ArrayIndexOutOfBoundsException |
-                 _: NegativeArraySizeException |
-                 _: OutOfMemoryError => null }
+                 _: NegativeArraySizeException => null }
   }
 
   // format caps: a decode bomb must not allocate unboundedly (the
@@ -280,7 +282,11 @@ object JpegCodec {
               cm.nbW = ((w * cm.h + hmax - 1) / hmax + 7) / 8
               cm.nbH = ((h * cm.v + vmax - 1) / vmax + 7) / 8
               if (progressive) {
-                if (cm.blocksW.toLong * cm.blocksH * 64 > 16L * MaxPixels)
+                // MCU padding adds at most one MCU row/column of slack,
+                // so a legitimate component never exceeds ~(w+32)(h+32)
+                // coefficients; 2·MaxPixels caps crafted sampling-factor
+                // bombs at O(MaxPixels) instead of 16× it
+                if (cm.blocksW.toLong * cm.blocksH * 64 > 2L * MaxPixels)
                   return null
                 cm.coefs = new Array[Int](cm.blocksW * cm.blocksH * 64)
               }
@@ -369,7 +375,7 @@ object JpegCodec {
     comps.foreach { c =>
       c.planeW = mcusX * c.h * 8
       c.planeH = mcusY * c.v * 8
-      if (c.planeW.toLong * c.planeH > 4L * MaxPixels) return null
+      if (c.planeW.toLong * c.planeH > 2L * MaxPixels) return null
       c.plane = new Array[Byte](c.planeW * c.planeH)
       if (dcHuff(c.dcTab) == null || acHuff(c.acTab) == null) return null
     }

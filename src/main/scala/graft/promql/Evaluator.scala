@@ -221,9 +221,10 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
           .agg(agg.as("v"))
       case q if q.startsWith("quantile_over_time:") =>
         val phi = q.substring("quantile_over_time:".length).toDouble
-        // same ±Inf stance as the quantile aggregation (upstream parity)
+        // same ±Inf/NaN stance as the quantile aggregation (upstream parity)
         val qv =
-          if (phi > 1) lit(Double.PositiveInfinity)
+          if (phi.isNaN) lit(Double.NaN)
+          else if (phi > 1) lit(Double.PositiveInfinity)
           else if (phi < 0) lit(Double.NegativeInfinity)
           else expr(s"percentile(v, $phi)")
         stepped.groupBy(col("fingerprint"), col("labels"), col("k"))
@@ -464,8 +465,10 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
           case "quantile" =>
             val phi = param.getOrElse(sys.error("quantile needs φ"))
             // upstream returns ±Inf (with a warning) for φ outside
-            // [0, 1]; Spark's percentile would reject the literal
-            if (phi > 1) lit(Double.PositiveInfinity)
+            // [0, 1] and NaN for φ = NaN; Spark's percentile would
+            // reject those literals at analysis
+            if (phi.isNaN) lit(Double.NaN)
+            else if (phi > 1) lit(Double.PositiveInfinity)
             else if (phi < 0) lit(Double.NegativeInfinity)
             else expr(s"percentile(v, $phi)")
           case other => sys.error(s"unsupported aggregation $other")

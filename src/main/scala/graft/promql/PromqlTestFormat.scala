@@ -130,10 +130,14 @@ object PromqlTestFormat {
               val at = dur(parts(3), n)
               val expr = l.trim.split("\\s+", 5).last
               val exp = body().map { case (el, en) =>
-                if (el.contains(" ")) {
-                  val (sel, v) = splitSeriesLine(el, en)
-                  (RuleTests.labelsOf(sel).sortBy(_._1), num(v))
-                } else (RuleTests.labelsOf(el).sortBy(_._1), Double.NaN)
+                // upstream promtool requires an explicit value token on
+                // every instant expectation line (`NaN` spelled out) —
+                // a missing value is a malformed script, not "expect NaN"
+                require(el.contains(" "),
+                  s"line $en: instant expectation needs an explicit value" +
+                    s" (use NaN literally): $el")
+                val (sel, v) = splitSeriesLine(el, en)
+                (RuleTests.labelsOf(sel).sortBy(_._1), num(v))
               }
               out += EvalInstant(at, expr, exp, fail, ordered)
             case "range" =>
@@ -217,7 +221,18 @@ object PromqlTestFormat {
           case (Right(_), true) =>
             failures += s"instant `$expr` @${at / 1000}s: expected failure, evaluated"
           case (Right(rows), false) =>
-            val gotC = if (ordered) rows else rows.sortBy(_._1.toString)
+            // eval_ordered: the engine's DataFrame output carries no row
+            // order guarantee (topk/bottomk end in a window FILTER, and
+            // partitioned collect order is incidental), so re-sort by
+            // value in the expression's declared direction and compare
+            // against the script's sequence — checks the ranking the
+            // notation asserts without depending on physical row order
+            val desc = expr.matches("^(topk|sort_desc)\\b.*")
+            val gotC =
+              if (ordered)
+                rows.sortBy { case (l, v) =>
+                  (if (desc) -v else v, l.toString) }
+              else rows.sortBy(_._1.toString)
             val wantC = if (ordered) want else want.sortBy(_._1.toString)
             val ok = gotC.length == wantC.length &&
               gotC.zip(wantC).forall { case ((gl, gv), (wl, wv)) =>

@@ -220,17 +220,37 @@ class TarSpec extends AnyFunSuite {
     assert(back == Set("left", "right"))
   }
 
-  test("sink commit: the claim marker makes the rename race exactly-once") {
+  test("sink commit: atomic-exclusive publish makes the retry race exactly-once") {
     val dir = Files.createTempDirectory("graft-tarclaim").toString
     val conf = new graft.tsdb.BlockIO.SerConf(
       spark.sparkContext.hadoopConfiguration)
     // first attempt commits; a late retry of the SAME final name must
-    // lose even though rename on a local FS would overwrite
+    // lose even though rename on a local FS would overwrite (the local
+    // publish is a hard link, which fails EEXIST atomically)
     assert(SinkCommit.committed(dir, "seg.tar", conf)(_.write(1)))
     assert(!SinkCommit.committed(dir, "seg.tar", conf)(_.write(2)))
     val visible = graft.tsdb.BlockIO.listNames(dir).filter(_.endsWith(".tar"))
     assert(visible == Seq("seg.tar"))
     // the winner's byte survived; the loser's was discarded
+    assert(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "seg.tar")).toSeq == Seq(1.toByte))
+  }
+
+  test("sink commit: an attempt that dies mid-write never orphans the shard") {
+    val dir = Files.createTempDirectory("graft-tarorphan").toString
+    val conf = new graft.tsdb.BlockIO.SerConf(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate an executor death between writing bytes and publishing:
+    // the Pending is simply abandoned (no commit, no abort — a crash
+    // runs no cleanup). The old marker-file protocol could orphan here;
+    // link-as-commit leaves only an invisible .inprogress temp.
+    val dead = SinkCommit.start(dir, "seg.tar", conf)
+    dead.raw.write(9)
+    dead.raw.flush()
+    // the retry must still be able to commit
+    assert(SinkCommit.committed(dir, "seg.tar", conf)(_.write(1)))
+    val visible = graft.tsdb.BlockIO.listNames(dir).filter(_.endsWith(".tar"))
+    assert(visible == Seq("seg.tar"))
     assert(Files.readAllBytes(
       java.nio.file.Paths.get(dir, "seg.tar")).toSeq == Seq(1.toByte))
   }
