@@ -87,6 +87,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_gif_pixels" -> graft.functions.GifPixelStatsExpr.gif_pixel_stats,
       "graft_jpeg_pixels" -> graft.functions.JpegPixelStatsExpr.jpeg_pixel_stats,
       "graft_any_pixels" -> graft.functions.AnyPixelStatsExpr.any_pixel_stats,
+      "graft_webp_pixels" -> graft.functions.WebpPixelStatsExpr.webp_pixel_stats,
+      "graft_image_container" ->
+        graft.functions.ImageContainerExpr.image_container,
       "graft_image_dhash" -> graft.functions.ImageDHashExpr.image_dhash,
       "graft_video_frame_hashes" ->
         (c => graft.functions.VideoFrameHashesExpr.video_frame_hashes(c)),

@@ -1330,12 +1330,15 @@ object ScaleCheck {
     val n = 200000L
     val imgOff = 10000000L
     val imgPlanted = n / 5
+    val nContainers = containers.size // all five, WebP included
     val media = spark.range(n + imgPlanted).as[Long].map { row =>
-      // originals land in container id%4; the planted twin of scene id
-      // (id ≡ 0 mod 5) lands in the NEXT container under id + imgOff
+      // originals cycle through every container; the planted twin of
+      // scene id (id ≡ 0 mod 5) lands in the NEXT container under
+      // id + imgOff — each planted pair crosses formats by construction
       val (id, cIdx) =
-        if (row < n) (row, (row % 4).toInt)
-        else { val base = (row - n) * 5; (base, ((base + 1) % 4).toInt) }
+        if (row < n) (row, (row % nContainers).toInt)
+        else { val base = (row - n) * 5
+          (base, ((base + 1) % nContainers).toInt) }
       val gray = new Array[Byte](64 * 64)
       var by = 0
       while (by < 8) {

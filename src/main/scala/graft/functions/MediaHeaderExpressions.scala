@@ -1076,10 +1076,92 @@ case class AnyPixelStatsExpr(child: Expression) extends UnaryExpression {
 }
 
 object AnyPixelStatsExpr {
-  /** Column wrapper: sniffed BMP/PNG/GIF/JPEG pixel decode +
+  /** Column wrapper: sniffed BMP/PNG/GIF/JPEG/WebP pixel decode +
     * order-free features. */
   def any_pixel_stats(payload: Column): Column =
     GraftSqlBridge.column(AnyPixelStatsExpr(GraftSqlBridge.expression(payload)))
+}
+
+/** REAL lossless-WebP pixel decode ([[WebpCodec]] — full VP8L: the
+  * four transforms, color cache, LZ77 backward references,
+  * meta-Huffman) + the shared order-free image features. Null for
+  * non-WebP, lossy-VP8 or corrupt payloads. */
+case class WebpPixelStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ImagePixelStatsExpr.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "webp_pixel_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  def compute(b: Array[Byte]): InternalRow = {
+    val img = WebpCodec.decode(b)
+    if (img == null) null else PixelDecode.stats(img)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("webpPixels", this,
+      classOf[WebpPixelStatsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("webp")
+      s"""
+         |InternalRow $tmp = $self.compute($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WebpPixelStatsExpr {
+  /** Column wrapper: full VP8L pixel decode + order-free features. */
+  def webp_pixel_stats(payload: Column): Column =
+    GraftSqlBridge.column(WebpPixelStatsExpr(GraftSqlBridge.expression(payload)))
+}
+
+/** Sniffed container classification for decode/skip ACCOUNTING
+  * ([[PixelDecode.container]]): bmp / png / gif / jpeg /
+  * webp_lossless / webp_lossy, null when no sniffer owns the bytes.
+  * The companion to the decode expressions — an ingest report groups
+  * on this so payloads a decoder skips (today: lossy VP8) are a
+  * visible COUNT in the parse report, not silent nulls. */
+case class ImageContainerExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_container"
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  def compute(b: Array[Byte]): UTF8String = {
+    val c = PixelDecode.container(b)
+    if (c == null) null else UTF8String.fromString(c)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("imgContainer", this,
+      classOf[ImageContainerExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("cont")
+      s"""
+         |UTF8String $tmp = $self.compute($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ImageContainerExpr {
+  /** Column wrapper: sniffed container name for skip accounting. */
+  def image_container(payload: Column): Column =
+    GraftSqlBridge.column(ImageContainerExpr(GraftSqlBridge.expression(payload)))
 }
 
 /** REAL video frame decode for the codec-free format — Y4M (YUV4MPEG2)

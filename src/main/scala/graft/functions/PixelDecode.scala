@@ -9,18 +9,21 @@ import org.apache.spark.sql.catalyst.InternalRow
   * (uncompressed 24bpp), PNG (RFC 2083 — CRC-verified chunks, JDK
   * inflate, all five scanline filters, every 8-bit color type: gray /
   * RGB / palette / gray+alpha / RGBA), GIF (variable-width LZW,
-  * global or local palette, sequential or interlaced), and JPEG
+  * global or local palette, sequential or interlaced), JPEG
   * ([[JpegCodec]] — Huffman + dequant + IDCT + YCbCr, sequential AND
-  * progressive, EXIF-orientation normalized). Every decoder returns
-  * null (never throws) on bytes it doesn't own or can't prove
-  * whole. */
+  * progressive, EXIF-orientation normalized), and lossless WebP
+  * ([[WebpCodec]] — full VP8L: all four transforms, color cache,
+  * LZ77, meta-Huffman; lossy VP8 classifies via
+  * [[WebpCodec.riffKind]] and is counted, not silently dropped).
+  * Every decoder returns null (never throws) on bytes it doesn't own
+  * or can't prove whole. */
 object PixelDecode {
 
   /** A decoded image: packed RGB bytes, 3·w·h, row-major TOP-DOWN. */
   final class Rgb(val w: Int, val h: Int, val px: Array[Byte])
 
-  /** Sniff the container by magic and decode: BMP, PNG, GIF or
-    * baseline JPEG; null for anything else. */
+  /** Sniff the container by magic and decode: BMP, PNG, GIF, baseline
+    * JPEG or lossless WebP; null for anything else. */
   def decode(b: Array[Byte]): Rgb = {
     if (b == null || b.length < 8) return null
     if (b(0) == 'B' && b(1) == 'M') decodeBmp(b)
@@ -30,6 +33,24 @@ object PixelDecode {
       decodeGif(b)
     else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
       JpegCodec.decode(b)
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
+      WebpCodec.decode(b)
+    else null
+  }
+
+  /** Sniffed container name for decode/skip accounting: one of bmp /
+    * png / gif / jpeg / webp_lossless / webp_lossy / null (unknown).
+    * `webp_lossy` is the one sniffable-but-undecodable class — ingest
+    * reports COUNT it so the coverage gap is data, not silence. */
+  def container(b: Array[Byte]): String = {
+    if (b == null || b.length < 8) return null
+    if (b(0) == 'B' && b(1) == 'M') "bmp"
+    else if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G') "png"
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') "gif"
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
+      WebpCodec.riffKind(b)
     else null
   }
 

@@ -8,7 +8,8 @@ import graft.functions.JpegCodec
 /** Cross-container image-scene fixtures for the media-dedup oracles:
   * one SCENE per id — a flat-8×8-block grayscale image whose block
   * values are closed-form in (id, bx, by) — rendered into any of the
-  * four supported containers (BMP, PNG, GIF, baseline JPEG) and
+  * five supported containers (BMP, PNG, GIF, baseline JPEG, lossless
+  * WebP) and
   * through a family of planted TRANSFORMS (brightness shift, 2×
   * nearest upscale, JPEG re-encode, block jitter).
   *
@@ -16,7 +17,7 @@ import graft.functions.JpegCodec
   * bit-exactly — including JPEG under a DC-step-8 quant table
   * ([[JpegCodec.flatExactTable]]) — so a DuckDB oracle recomputes
   * pixels, features and dHashes from the formula alone while the Spark
-  * side exercises four REAL decoders. The same-scene different-
+  * side exercises five REAL decoders. The same-scene different-
   * container rows are guaranteed hamming-0 near-dups, which is exactly
   * the cross-format recall property crawl-scale image dedup needs. */
 object MediaScenes {
@@ -187,16 +188,21 @@ object MediaScenes {
   def jpegBytes(w: Int, h: Int, gray: Array[Byte]): Array[Byte] =
     JpegCodec.encodeGray(w, h, gray, JpegCodec.flatExactTable())
 
+  /** Lossless WebP (VP8L literal stream) — bit-exact for any content. */
+  def webpBytes(w: Int, h: Int, gray: Array[Byte]): Array[Byte] =
+    graft.functions.WebpCodec.encodeGray(w, h, gray)
+
   def containerBytes(container: String, w: Int, h: Int,
                      gray: Array[Byte]): Array[Byte] = container match {
     case "bmp" => bmpBytes(w, h, gray)
     case "png" => pngBytes(w, h, gray)
     case "gif" => gifBytes(w, h, gray)
     case "jpeg" => jpegBytes(w, h, gray)
+    case "webp" => webpBytes(w, h, gray)
     case other => sys.error(s"unknown container: $other")
   }
 
-  val Containers: Seq[String] = Seq("bmp", "png", "gif", "jpeg")
+  val Containers: Seq[String] = Seq("bmp", "png", "gif", "jpeg", "webp")
 
   private def mime(container: String): String = container match {
     case "jpeg" => "image/jpeg"
@@ -221,7 +227,7 @@ object MediaScenes {
         struct(col("source"), col("mime"), col("n_bytes")).as("meta"))
   }
 
-  /** The MIXED-format corpus: every scene in all four containers,
+  /** The MIXED-format corpus: every scene in all five containers,
     * `media_id = 10·id + containerIndex` — the same planted scene is a
     * guaranteed hamming-0 near-dup across containers, so banded-join
     * recall across formats is itself under oracle. */

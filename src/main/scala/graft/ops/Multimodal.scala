@@ -757,11 +757,25 @@ object Multimodal {
   def decodeJpegPixels(payload: Column): Column =
     graft.functions.JpegPixelStatsExpr.jpeg_pixel_stats(payload)
 
-  /** Container-agnostic pixel stats: sniff BMP/PNG/GIF/JPEG by magic,
-    * decode with the matching real decoder, shared features — what a
-    * MIXED-format corpus calls. Null when no decoder owns the bytes. */
+  /** Container-agnostic pixel stats: sniff BMP/PNG/GIF/JPEG/WebP by
+    * magic, decode with the matching real decoder, shared features —
+    * what a MIXED-format corpus calls. Null when no decoder owns the
+    * bytes. */
   def decodeAnyPixels(payload: Column): Column =
     graft.functions.AnyPixelStatsExpr.any_pixel_stats(payload)
+
+  /** REAL lossless-WebP pixel decode (full VP8L — transforms, color
+    * cache, LZ77, meta-Huffman; [[graft.functions.WebpCodec]]) + the
+    * shared order-free features. Null for non-WebP/lossy/corrupt. */
+  def decodeWebpPixels(payload: Column): Column =
+    graft.functions.WebpPixelStatsExpr.webp_pixel_stats(payload)
+
+  /** Sniffed container name (bmp/png/gif/jpeg/webp_lossless/
+    * webp_lossy; null unknown) for decode/skip accounting — the
+    * column an ingest parse report groups on so undecodable
+    * containers are counted, never silently dropped. */
+  def imageContainer(payload: Column): Column =
+    graft.functions.ImageContainerExpr.image_container(payload)
 
   /** One REAL Y4M (YUV4MPEG2) clip: 4:2:0 planar raw frames, plane
     * values closed-form in (id, x, y, t) —

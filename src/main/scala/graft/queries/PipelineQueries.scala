@@ -124,8 +124,9 @@ object PipelineQueries {
   private val imgClustersCache =
     SessionFixtures.register(scala.collection.concurrent.TrieMap[(String, String), DataFrame]())
 
-  /** The MIXED-format image corpus: every sampled scene in all four
-    * containers (BMP+PNG+GIF+JPEG, `media_id = 10·doc_id + container`)
+  /** The MIXED-format image corpus: every sampled scene in all five
+    * containers (BMP+PNG+GIF+JPEG+WebP, `media_id = 10·doc_id +
+    * container`)
     * — near-dup machinery downstream must work ACROSS formats, which
     * is the property a real crawl needs. */
   private def media17(s: SparkSession, dir: String): DataFrame =
@@ -1055,9 +1056,10 @@ object PipelineQueries {
     // BT.709 luma grid → 56-bit neighbor-order hash, one codegen'd pass
     // per payload; the oracle recomputes every sample and bit from the
     // synth's closed-form pixels
-    // dHash over the MIXED-format corpus: each scene rides in all four
-    // containers (BMP+PNG+GIF+JPEG — four REAL decoders, one of them a
-    // full T.81 baseline JPEG), and the hash is container-invariant by
+    // dHash over the MIXED-format corpus: each scene rides in all five
+    // containers (BMP+PNG+GIF+JPEG+WebP — five REAL decoders, among
+    // them a full T.81 baseline JPEG and a full VP8L), and the hash is
+    // container-invariant by
     // construction, so the oracle recomputes it once per scene from
     // the closed-form block values
     "mm_image_dhash" -> ((s, dir) => {
@@ -1068,7 +1070,7 @@ object PipelineQueries {
     }),
 
     // image NEAR-dup pairs over the MIXED corpus: banded Hamming
-    // self-join; every scene's four container renditions are planted
+    // self-join; every scene's five container renditions are planted
     // hamming-0 near-dups, so CROSS-FORMAT recall is itself under the
     // brute-force oracle along with banding recall at maxDist ≤ 3
     "mm_image_neardup" -> ((s, dir) =>
@@ -1286,9 +1288,53 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL lossless-WebP decode: genuine VP8L streams (RIFF container,
+    // canonical prefix codes on the wire) through the full bit-reader
+    // + code-length-code + literal pipeline — lossless, so the oracle
+    // recomputes every pixel from the closed-form block values exactly
+    "mm_webp_pixels" -> ((s, dir) => {
+      val media = MediaScenes.synthesize(docs(s, dir), "doc_id", "source",
+        "webp")
+      media.select(col("media_id"),
+          Multimodal.decodeWebpPixels(col("payload")).as("f"))
+        .select(col("media_id"), col("f.width").as("width"),
+          col("f.height").as("height"), col("f.n_pixels").as("n_pixels"),
+          col("f.sum_r").as("sum_r"), col("f.sum_g").as("sum_g"),
+          col("f.sum_b").as("sum_b"), col("f.max_lum").as("max_lum"))
+        .orderBy(col("media_id"))
+    }),
+
+    // per-container decode/skip ACCOUNTING over the mixed corpus plus
+    // planted lossy-VP8 payloads: the parse report that makes decoder
+    // coverage gaps (today: lossy WebP skips) visible data instead of
+    // silent nulls — every count is closed-form for the oracle
+    "mm_container_report" -> ((s, dir) => {
+      import s.implicits._
+      val base = docs(s, dir).where(col("doc_id") % 11 === 0)
+      val mixed = MediaScenes.synthesizeMixed(base, "doc_id", "source")
+      val lossy = base
+        .select(col("doc_id").cast("long"), col("source").cast("string"))
+        .as[(Long, String)]
+        .map { case (id, src) =>
+          val b = graft.functions.WebpCodec.lossyStub(
+            MediaScenes.sceneW(id), MediaScenes.sceneH(id))
+          (id * 10 + 9, "image", b, src, "image/webp", b.length.toLong) }
+        .toDF("media_id", "kind", "payload", "source", "mime", "n_bytes")
+        .select(col("media_id"), col("kind"), col("payload"),
+          struct(col("source"), col("mime"), col("n_bytes")).as("meta"))
+      mixed.unionByName(lossy)
+        .select(Multimodal.imageContainer(col("payload")).as("container"),
+          Multimodal.decodeAnyPixels(col("payload")).isNotNull.as("decoded"))
+        .groupBy(col("container"))
+        .agg(count(lit(1)).as("n_payloads"),
+          sum(when(col("decoded"), 1L).otherwise(0L)).as("n_decoded"),
+          sum(when(col("decoded"), 0L).otherwise(1L)).as("n_skipped"))
+        .orderBy(col("container"))
+    }),
+
     // container-AGNOSTIC pixel stats over the mixed corpus: the
     // sniffing decoder routes each payload to the right real decoder,
-    // and all four containers of a scene must land on identical
+    // and all five containers of a scene must land on identical
     // closed-form features
     "mm_mixed_pixels" -> ((s, dir) => {
       val media = MediaScenes.synthesizeMixed(
@@ -3590,6 +3636,33 @@ object PipelineQueries {
          |  (64*list_sum(vs))::BIGINT AS sum_b,
          |  (10000*list_max(vs))::BIGINT AS max_lum
          | FROM bs ORDER BY media_id""".om,
+    // VP8L is lossless, so the same closed-form pixel recomputation
+    // holds exactly for any scene content
+    "mm_webp_pixels" ->
+      s"""WITH d AS (SELECT doc_id AS media_id, 16 + 8*(doc_id % 3) AS w,
+         |   16 + 8*(doc_id % 2) AS h FROM documents),
+         | bs AS (SELECT media_id, w, h, flatten(list_transform(range(0, h//8), by ->
+         |   list_transform(range(0, w//8), bx ->
+         |     (media_id*7 + bx*37 + by*101) % 200))) AS vs FROM d)
+         | SELECT media_id, w::BIGINT AS width, h::BIGINT AS height,
+         |  (w*h)::BIGINT AS n_pixels,
+         |  (64*list_sum(vs))::BIGINT AS sum_r,
+         |  (64*list_sum(vs))::BIGINT AS sum_g,
+         |  (64*list_sum(vs))::BIGINT AS sum_b,
+         |  (10000*list_max(vs))::BIGINT AS max_lum
+         | FROM bs ORDER BY media_id""".om,
+    // six sniffed classes, n payloads each = the doc_id % 11 sample;
+    // only lossy VP8 skips (decode null), everything else decodes
+    "mm_container_report" ->
+      s"""WITH c AS (SELECT count(*) AS n FROM documents WHERE doc_id % 11 = 0)
+         | SELECT t.container, c.n::BIGINT AS n_payloads,
+         |  (CASE WHEN t.container = 'webp_lossy' THEN 0 ELSE c.n END)::BIGINT
+         |    AS n_decoded,
+         |  (CASE WHEN t.container = 'webp_lossy' THEN c.n ELSE 0 END)::BIGINT
+         |    AS n_skipped
+         | FROM c CROSS JOIN (SELECT unnest(['bmp', 'png', 'gif', 'jpeg',
+         |   'webp_lossless', 'webp_lossy']) AS container) t
+         | ORDER BY container""".om,
     "mm_mixed_pixels" ->
       s"""WITH d AS (SELECT doc_id, 16 + 8*(doc_id % 3) AS w,
          |   16 + 8*(doc_id % 2) AS h FROM documents WHERE doc_id % 11 = 0),
@@ -3597,7 +3670,7 @@ object PipelineQueries {
          |   list_transform(range(0, w//8), bx ->
          |     (doc_id*7 + bx*37 + by*101) % 200))) AS vs FROM d),
          | mm AS (SELECT doc_id*10 + i AS media_id, w, h, vs FROM bs
-         |   CROSS JOIN (SELECT unnest(range(0, 4)) AS i))
+         |   CROSS JOIN (SELECT unnest(range(0, 5)) AS i))
          | SELECT media_id, w::BIGINT AS width, h::BIGINT AS height,
          |  (w*h)::BIGINT AS n_pixels,
          |  (64*list_sum(vs))::BIGINT AS sum_r,
@@ -3686,7 +3759,7 @@ object PipelineQueries {
          |     THEN 1::BIGINT << (r*7+c) ELSE 0::BIGINT END))))::BIGINT AS dh
          |  FROM g),
          | mm AS (SELECT doc_id*10 + i AS media_id, dh FROM hh
-         |   CROSS JOIN (SELECT unnest(range(0, 4)) AS i))
+         |   CROSS JOIN (SELECT unnest(range(0, 5)) AS i))
          | SELECT media_id, dh AS dhash FROM mm ORDER BY media_id""".om,
     "mm_image_neardup" ->
       s"""WITH d AS (SELECT doc_id, 16 + 8*(doc_id % 3) AS w,
@@ -3702,7 +3775,7 @@ object PipelineQueries {
          |     THEN 1::BIGINT << (r*7+c) ELSE 0::BIGINT END))))::BIGINT AS dh
          |  FROM g),
          | mm AS (SELECT doc_id*10 + i AS media_id, dh FROM hh
-         |   CROSS JOIN (SELECT unnest(range(0, 4)) AS i))
+         |   CROSS JOIN (SELECT unnest(range(0, 5)) AS i))
          | SELECT a.media_id AS id1, b.media_id AS id2,
          |  bit_count(xor(a.dh, b.dh))::BIGINT AS hamming
          | FROM mm a JOIN mm b ON a.media_id < b.media_id
@@ -3750,7 +3823,7 @@ object PipelineQueries {
          |     THEN 1::BIGINT << (r*7+c) ELSE 0::BIGINT END))))::BIGINT AS dh
          |  FROM g),
          | mm AS (SELECT doc_id*10 + i AS media_id, dh FROM hh
-         |   CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+         |   CROSS JOIN (SELECT unnest(range(0, 5)) AS i)),
          | pairs AS (SELECT a.media_id AS id1, b.media_id AS id2
          |  FROM mm a JOIN mm b ON a.media_id < b.media_id
          |  WHERE bit_count(xor(a.dh, b.dh)) <= 3),
@@ -3776,9 +3849,9 @@ object PipelineQueries {
          |     THEN 1::BIGINT << (r*7+c) ELSE 0::BIGINT END))))::BIGINT AS dh
          |  FROM g),
          | mm AS (SELECT doc_id*10 + i AS media_id, dh FROM hh
-         |   CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+         |   CROSS JOIN (SELECT unnest(range(0, 5)) AS i)),
          | np AS (SELECT doc_id*10 + i AS media_id, (w*h)::BIGINT AS np
-         |  FROM d CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+         |  FROM d CROSS JOIN (SELECT unnest(range(0, 5)) AS i)),
          | pairs AS (SELECT a.media_id AS id1, b.media_id AS id2
          |  FROM mm a JOIN mm b ON a.media_id < b.media_id
          |  WHERE bit_count(xor(a.dh, b.dh)) <= 3),

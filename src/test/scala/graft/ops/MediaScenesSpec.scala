@@ -6,13 +6,13 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkSpec
 import graft.functions.PixelDecode
 
-/** Cross-container scene fixtures: the four real decoders must agree
+/** Cross-container scene fixtures: the five real decoders must agree
   * pixel-for-pixel on the same planted scene, and the transform family
   * must land at the advertised hash distances. */
 class MediaScenesSpec extends AnyFunSuite {
   lazy val spark = SparkSpec.spark
 
-  test("all four containers decode to identical pixels and dHash") {
+  test("all five containers decode to identical pixels and dHash") {
     (0L until 12L).foreach { id =>
       val (w, h, g) = MediaScenes.sceneGray(id, "none")
       val decoded = MediaScenes.Containers.map { c =>
@@ -73,17 +73,17 @@ class MediaScenesSpec extends AnyFunSuite {
     assert(dists.exists(_ > 0), "jitter3 never moved a hash")
   }
 
-  test("synthesizeMixed: 4 rows per doc, decodable, spark-side") {
+  test("synthesizeMixed: 5 rows per doc, decodable, spark-side") {
     import spark.implicits._
     val docs = Seq((3L, "s"), (7L, "s")).toDF("doc_id", "source")
     val mixed = MediaScenes.synthesizeMixed(docs, "doc_id", "source")
-    assert(mixed.count() == 8)
+    assert(mixed.count() == 10)
     val hashes = mixed.select(col("media_id"),
         Multimodal.imageDHash(col("payload")).as("dh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(hashes.size == 8 && !hashes.values.exists(_ == 0L))
-    // same scene, four containers, one hash
-    assert(Seq(30L, 31L, 32L, 33L).map(hashes).distinct.size == 1)
-    assert(Seq(70L, 71L, 72L, 73L).map(hashes).distinct.size == 1)
+    assert(hashes.size == 10 && !hashes.values.exists(_ == 0L))
+    // same scene, five containers, one hash
+    assert(Seq(30L, 31L, 32L, 33L, 34L).map(hashes).distinct.size == 1)
+    assert(Seq(70L, 71L, 72L, 73L, 74L).map(hashes).distinct.size == 1)
   }
 }
