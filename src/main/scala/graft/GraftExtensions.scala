@@ -82,6 +82,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // media decoders + web-text ops: one unary registration each
     Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
       "graft_pcm_stats" -> graft.functions.AudioPcmStatsExpr.audio_pcm_stats,
+      "graft_audio_frame_walk" ->
+        graft.functions.AudioFrameWalkExpr.audio_frame_walk,
       "graft_bmp_pixels" -> graft.functions.ImagePixelStatsExpr.image_pixel_stats,
       "graft_png_pixels" -> graft.functions.PngPixelStatsExpr.png_pixel_stats,
       "graft_gif_pixels" -> graft.functions.GifPixelStatsExpr.gif_pixel_stats,

@@ -777,6 +777,14 @@ object Multimodal {
   def imageContainer(payload: Column): Column =
     graft.functions.ImageContainerExpr.image_container(payload)
 
+  /** Compressed-audio frame-header walk (MP3/MP2/MP1 + ADTS AAC —
+    * [[graft.functions.AudioFrameWalk]]): frame count, samples, exact
+    * duration, byte size, rate/channels, VBR flag — the features that
+    * make the audio gate honest on the formats crawl audio actually
+    * ships in. Null when no whole valid frame exists. */
+  def audioFrameWalk(payload: Column): Column =
+    graft.functions.AudioFrameWalkExpr.audio_frame_walk(payload)
+
   /** One REAL Y4M (YUV4MPEG2) clip: 4:2:0 planar raw frames, plane
     * values closed-form in (id, x, y, t) —
     * `Y = (id + 3x + 7y + 11t) mod 256`,

@@ -1304,6 +1304,59 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // compressed-audio frame-header walk over REAL MP3 and ADTS-AAC
+    // streams (genuine sync/bitrate/samplerate fields, ID3v2 tags
+    // skipped, ID3v1 trailers ignored): frame count, samples, exact
+    // integer duration, byte size, VBR flag — every field closed-form
+    // in doc_id for the oracle. This is the walk that makes audio
+    // gates honest on the formats crawl audio actually ships in.
+    "mm_mp3_headers" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.AudioFrameWalk
+      val media = docs(s, dir).select(col("doc_id").cast("long"))
+        .as[Long].map { id =>
+          val out = new java.io.ByteArrayOutputStream()
+          if (id % 2 == 0) { // MPEG1 Layer III
+            if (id % 7 == 0) out.write(AudioFrameWalk.id3v2(33))
+            val frames = (3 + id % 4).toInt
+            val srIdx = (id % 3).toInt
+            var f = 0
+            while (f < frames) {
+              val brIdx = if (id % 4 == 0) (9 + (id + f) % 3).toInt else 9
+              out.write(AudioFrameWalk.mp3Frame(brIdx, srIdx, id % 3 == 0))
+              f += 1
+            }
+            if (id % 11 == 0) { // trailing ID3v1 block ends the walk
+              out.write("TAG".getBytes("US-ASCII"))
+              out.write(new Array[Byte](125))
+            }
+          } else { // ADTS AAC-LC
+            val frames = (4 + id % 3).toInt
+            val freqIdx = (3 + id % 5).toInt
+            val chanCfg = (1 + (id / 3) % 2).toInt
+            var f = 0
+            while (f < frames) {
+              val payload =
+                if (id % 5 == 0) (20 + id % 50).toInt
+                else (20 + (id + f) % 50).toInt
+              out.write(AudioFrameWalk.adtsFrame(freqIdx, chanCfg, payload))
+              f += 1
+            }
+          }
+          (id, out.toByteArray)
+        }.toDF("media_id", "payload")
+      media.select(col("media_id"),
+          Multimodal.audioFrameWalk(col("payload")).as("f"))
+        .select(col("media_id"), col("f.format").as("format"),
+          col("f.n_frames").as("n_frames"),
+          col("f.sample_rate").as("sample_rate"),
+          col("f.channels").as("channels"),
+          col("f.n_samples").as("n_samples"),
+          col("f.duration_ms").as("duration_ms"),
+          col("f.total_bytes").as("total_bytes"), col("f.vbr").as("vbr"))
+        .orderBy(col("media_id"))
+    }),
+
     // per-container decode/skip ACCOUNTING over the mixed corpus plus
     // planted lossy-VP8 payloads: the parse report that makes decoder
     // coverage gaps (today: lossy WebP skips) visible data instead of
@@ -3651,6 +3704,44 @@ object PipelineQueries {
          |  (64*list_sum(vs))::BIGINT AS sum_b,
          |  (10000*list_max(vs))::BIGINT AS max_lum
          | FROM bs ORDER BY media_id""".om,
+    // frame math recomputed per stream: MP3 frame bytes =
+    // 144·kbps·1000 // hz (padding 0), 1152 samples/frame; ADTS frame
+    // bytes = 7 + payload, 1024 samples/frame; duration is the same
+    // floor division the walker does
+    "mm_mp3_headers" ->
+      s"""WITH mp3 AS (
+         |  SELECT doc_id AS media_id, 'mp3' AS format,
+         |    (3 + doc_id % 4)::BIGINT AS n_frames,
+         |    ([44100, 48000, 32000])[(doc_id % 3)::INT + 1]::BIGINT AS sample_rate,
+         |    (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END)::BIGINT AS channels,
+         |    ((3 + doc_id % 4) * 1152)::BIGINT AS n_samples,
+         |    (doc_id % 4 = 0) AS vbr
+         |  FROM documents WHERE doc_id % 2 = 0),
+         | mp3b AS (
+         |  SELECT *, list_sum(list_transform(range(0, n_frames), f ->
+         |    144 * ([128, 160, 192])[CASE WHEN vbr
+         |      THEN ((media_id + f) % 3)::INT + 1 ELSE 1 END] * 1000
+         |      // sample_rate))::BIGINT AS total_bytes
+         |  FROM mp3),
+         | aac AS (
+         |  SELECT doc_id AS media_id, 'aac_adts' AS format,
+         |    (4 + doc_id % 3)::BIGINT AS n_frames,
+         |    ([48000, 44100, 32000, 24000, 22050])[(doc_id % 5)::INT + 1]::BIGINT
+         |      AS sample_rate,
+         |    (1 + (doc_id // 3) % 2)::BIGINT AS channels,
+         |    ((4 + doc_id % 3) * 1024)::BIGINT AS n_samples,
+         |    (doc_id % 5 <> 0) AS vbr
+         |  FROM documents WHERE doc_id % 2 = 1),
+         | aacb AS (
+         |  SELECT *, list_sum(list_transform(range(0, n_frames), f ->
+         |    7 + CASE WHEN media_id % 5 = 0 THEN 20 + media_id % 50
+         |      ELSE 20 + (media_id + f) % 50 END))::BIGINT AS total_bytes
+         |  FROM aac),
+         | u AS (SELECT * FROM mp3b UNION ALL SELECT * FROM aacb)
+         | SELECT media_id, format, n_frames, sample_rate, channels,
+         |  n_samples, (n_samples * 1000 // sample_rate)::BIGINT AS duration_ms,
+         |  total_bytes, vbr
+         | FROM u ORDER BY media_id""".om,
     // six sniffed classes, n payloads each = the doc_id % 11 sample;
     // only lossy VP8 skips (decode null), everything else decodes
     "mm_container_report" ->
