@@ -10,8 +10,11 @@ package graft.functions
   * length AC decode with EXTEND sign recovery, dequantize + dezigzag,
   * separable double-precision IDCT (T.81 A.3.3), box chroma upsampling
   * for arbitrary sampling factors (4:4:4, 4:2:0, 4:2:2, …), and JFIF
-  * YCbCr→RGB. Grayscale (1 component) and color (3 components)
-  * frames, sequential (SOF0/SOF1) AND progressive (SOF2 — T.81 G.1.2:
+  * YCbCr→RGB. Grayscale (1 component), color (3 components — JFIF
+  * YCbCr, or Adobe RGB under APP14 transform 0), and Adobe
+  * 4-component CMYK/YCCK (APP14 transform 0/2, inverted-ink
+  * convention) frames, sequential (SOF0/SOF1) AND progressive (SOF2 —
+  * T.81 G.1.2:
   * interleaved/single-component DC scans with successive
   * approximation, spectral AC bands with EOB-run accounting, AC
   * refinement correction bits), so the ~third of real crawl JPEGs
@@ -193,6 +196,7 @@ object JpegCodec {
     var comps: Array[Component] = null
     var restartInterval = 0
     var orientation = 1
+    var adobeTransform = -1 // APP14: 0 CMYK/RGB, 1 YCbCr, 2 YCCK
     var progressive = false
     var hmax = 1; var vmax = 1
     var mcusX = 0; var mcusY = 0
@@ -258,7 +262,8 @@ object JpegCodec {
             if ((b(i + 2) & 0xff) != 8) return null // precision
             h = be2(b, i + 3); w = be2(b, i + 5)
             val n = b(i + 7) & 0xff
-            if (w <= 0 || h <= 0 || (n != 1 && n != 3)) return null
+            if (w <= 0 || h <= 0 || (n != 1 && n != 3 && n != 4))
+              return null
             if (w.toLong * h > MaxPixels) return null
             comps = Array.fill(n)(new Component)
             var c = 0
@@ -295,6 +300,10 @@ object JpegCodec {
             x != 0xcc => return null // arithmetic / lossless / hierarchical
           case 0xe1 => // APP1: Exif orientation (tag 0x0112 in IFD0)
             orientation = exifOrientation(b, i + 2, len - 2, orientation)
+          case 0xee => // APP14 Adobe: color-transform byte
+            if (len >= 14 && b(i + 2) == 'A' && b(i + 3) == 'd' &&
+              b(i + 4) == 'o' && b(i + 5) == 'b' && b(i + 6) == 'e')
+              adobeTransform = b(i + 13) & 0xff
           case 0xdd => // DRI
             if (len < 4) return null
             restartInterval = be2(b, i + 2)
@@ -369,7 +378,8 @@ object JpegCodec {
         }
         cm.coefs = null
       }
-      return orient(toRgb(w, h, comps, hmax, vmax), orientation)
+      val rgbP = toRgb(w, h, comps, hmax, vmax, adobeTransform)
+      return if (rgbP == null) null else orient(rgbP, orientation)
     }
     // ---- baseline: single interleaved scan, block-at-a-time ----
     comps.foreach { c =>
@@ -426,7 +436,8 @@ object JpegCodec {
       }
       my += 1
     }
-    orient(toRgb(w, h, comps, hmax, vmax), orientation)
+    val rgb = toRgb(w, h, comps, hmax, vmax, adobeTransform)
+    if (rgb == null) null else orient(rgb, orientation)
   }
 
   /** EXIF orientation from an APP1 payload: "Exif\0\0" + TIFF header
@@ -704,10 +715,19 @@ object JpegCodec {
     true
   }
 
-  /** Shared chroma upsampling + JFIF YCbCr to RGB + crop. */
+  /** Shared chroma upsampling + color conversion + crop. 3-component
+    * frames are JFIF YCbCr unless APP14 says transform 0 (Adobe RGB,
+    * stored directly). 4-component frames need an Adobe APP14 and are
+    * CMYK (transform 0) or YCCK (transform 2) in Adobe's INVERTED-ink
+    * convention: stored 255 = no ink, so R = c·k/255 (rounded) on the
+    * stored values, with YCCK first passing its three chroma-coded
+    * channels through the YCbCr math; anything else returns null
+    * (bare 4-component files don't declare their ink polarity). */
   private def toRgb(w: Int, h: Int, comps: Array[Component],
-                    hmax: Int, vmax: Int): PixelDecode.Rgb = {
+                    hmax: Int, vmax: Int, adobe: Int): PixelDecode.Rgb = {
     val px = new Array[Byte](3 * w * h)
+    @inline def samp(cm: Component, x: Int, y: Int): Int =
+      cm.plane((y * cm.v / vmax) * cm.planeW + x * cm.h / hmax) & 0xff
     if (comps.length == 1) {
       val cm = comps(0)
       var y = 0
@@ -721,19 +741,62 @@ object JpegCodec {
         }
         y += 1
       }
-    } else {
+    } else if (comps.length == 3 && adobe == 0) {
+      // Adobe transform 0 with three components: RGB stored directly
+      val cr0 = comps(0); val cg0 = comps(1); val cb0 = comps(2)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val at = 3 * (y * w + x)
+          px(at) = samp(cr0, x, y).toByte
+          px(at + 1) = samp(cg0, x, y).toByte
+          px(at + 2) = samp(cb0, x, y).toByte
+          x += 1
+        }
+        y += 1
+      }
+    } else if (comps.length == 3) {
       val cy = comps(0); val cb = comps(1); val cr = comps(2)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          val yy = cy.plane((y * cy.v / vmax) * cy.planeW + x * cy.h / hmax) & 0xff
-          val u = (cb.plane((y * cb.v / vmax) * cb.planeW + x * cb.h / hmax) & 0xff) - 128
-          val v = (cr.plane((y * cr.v / vmax) * cr.planeW + x * cr.h / hmax) & 0xff) - 128
+          val yy = samp(cy, x, y)
+          val u = samp(cb, x, y) - 128
+          val v = samp(cr, x, y) - 128
           val at = 3 * (y * w + x)
           px(at) = clamp(math.rint(yy + 1.402 * v))
           px(at + 1) = clamp(math.rint(yy - 0.344136 * u - 0.714136 * v))
           px(at + 2) = clamp(math.rint(yy + 1.772 * u))
+          x += 1
+        }
+        y += 1
+      }
+    } else { // 4 components: Adobe CMYK / YCCK only
+      if (adobe != 0 && adobe != 2) return null
+      val c0 = comps(0); val c1 = comps(1); val c2 = comps(2)
+      val ck = comps(3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var c = samp(c0, x, y)
+          var m = samp(c1, x, y)
+          var yl = samp(c2, x, y)
+          val k = samp(ck, x, y)
+          if (adobe == 2) { // YCCK: chroma-coded inverted CMY
+            val u = m - 128
+            val v = yl - 128
+            val nc = iclamp(math.rint(c + 1.402 * v))
+            val nm = iclamp(math.rint(c - 0.344136 * u - 0.714136 * v))
+            yl = iclamp(math.rint(c + 1.772 * u))
+            c = nc; m = nm
+          }
+          val at = 3 * (y * w + x)
+          px(at) = ((c * k + 127) / 255).toByte
+          px(at + 1) = ((m * k + 127) / 255).toByte
+          px(at + 2) = ((yl * k + 127) / 255).toByte
           x += 1
         }
         y += 1
@@ -1050,10 +1113,27 @@ object JpegCodec {
     }
   }
 
+  /** Adobe 4-component 4:4:4:4 CMYK (transform 0) or YCCK (transform
+    * 2): `chans` are the four STORED planes (Adobe inverted-ink
+    * convention — the caller supplies YCC-coded values for YCCK). */
+  def encodeAdobe4(w: Int, h: Int, chans: Array[Array[Byte]],
+                   quant: Array[Int], transform: Int): Array[Byte] = {
+    require(chans.length == 4 && (transform == 0 || transform == 2))
+    val planes = chans.map { ch =>
+      val p = new Array[Int](w * h)
+      var i = 0
+      while (i < w * h) { p(i) = ch(i) & 0xff; i += 1 }
+      pad8(w, h, p)
+    }
+    encodePlanes(w, h, planes, Array(1, 1, 1, 1), Array(1, 1, 1, 1),
+      quant, 0, transform)
+  }
+
   private def encodePlanes(w: Int, h: Int, planes: Array[Plane],
                            hs: Array[Int], vs: Array[Int],
                            quant: Array[Int],
-                           restartInterval: Int): Array[Byte] = {
+                           restartInterval: Int,
+                           adobeTransform: Int = -1): Array[Byte] = {
     val n = planes.length
     val hmax = hs.max; val vmax = vs.max
     val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
@@ -1133,10 +1213,17 @@ object JpegCodec {
     def w8(v: Int): Unit = out.write(v & 0xff)
     def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
     w16(0xffd8) // SOI
-    // APP0 JFIF
-    w16(0xffe0); w16(16)
-    "JFIF".foreach(ch => w8(ch))
-    w8(0); w8(1); w8(1); w8(0); w16(1); w16(1); w8(0); w8(0)
+    if (adobeTransform >= 0) {
+      // APP14 Adobe (JFIF forbids 4 components): version 100, flags 0
+      w16(0xffee); w16(14)
+      "Adobe".foreach(ch => w8(ch))
+      w16(100); w16(0); w16(0); w8(adobeTransform)
+    } else {
+      // APP0 JFIF
+      w16(0xffe0); w16(16)
+      "JFIF".foreach(ch => w8(ch))
+      w8(0); w8(1); w8(1); w8(0); w16(1); w16(1); w8(0); w8(0)
+    }
     // DQT (one table, id 0, 8-bit)
     w16(0xffdb); w16(2 + 1 + 64); w8(0)
     var k = 0

@@ -1304,6 +1304,43 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL Adobe CMYK JPEG decode (APP14 transform 0, inverted-ink
+    // convention — the one real-world JPEG tail format with crawl
+    // share): 4-component interleaved Huffman streams, flat blocks
+    // under the DC-8 table so every stored channel round-trips
+    // bit-exactly and RGB = (c·k+127)//255 is closed-form
+    "mm_cmyk_pixels" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.JpegCodec
+      val media = docs(s, dir).select(col("doc_id").cast("long"))
+        .as[Long].map { id =>
+          val w = MediaScenes.sceneW(id); val h = MediaScenes.sceneH(id)
+          val chans = Array.tabulate(4) { ch =>
+            val g = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                g(y * w + x) = (((id * 7 + ch * 31 + (x / 8) * 37 +
+                  (y / 8) * 101) % 200) + 30).toByte
+                x += 1
+              }
+              y += 1
+            }
+            g
+          }
+          (id, JpegCodec.encodeAdobe4(w, h, chans,
+            JpegCodec.flatExactTable(), transform = 0))
+        }.toDF("media_id", "payload")
+      media.select(col("media_id"),
+          Multimodal.decodeJpegPixels(col("payload")).as("f"))
+        .select(col("media_id"), col("f.width").as("width"),
+          col("f.height").as("height"), col("f.n_pixels").as("n_pixels"),
+          col("f.sum_r").as("sum_r"), col("f.sum_g").as("sum_g"),
+          col("f.sum_b").as("sum_b"), col("f.max_lum").as("max_lum"))
+        .orderBy(col("media_id"))
+    }),
+
     // compressed-audio frame-header walk over REAL MP3 and ADTS-AAC
     // streams (genuine sync/bitrate/samplerate fields, ID3v2 tags
     // skipped, ID3v1 trailers ignored): frame count, samples, exact
@@ -3704,6 +3741,31 @@ object PipelineQueries {
          |  (64*list_sum(vs))::BIGINT AS sum_b,
          |  (10000*list_max(vs))::BIGINT AS max_lum
          | FROM bs ORDER BY media_id""".om,
+    // CMYK pixels recomputed from the closed channel form: channel ch
+    // of block (bx,by) stores (id*7 + ch*31 + bx*37 + by*101) % 200
+    // + 30, and the decoder's inverted-ink math is (c*k + 127) // 255
+    "mm_cmyk_pixels" ->
+      s"""WITH d AS (SELECT doc_id AS media_id, 16 + 8*(doc_id % 3) AS w,
+         |   16 + 8*(doc_id % 2) AS h FROM documents),
+         | bs AS (SELECT media_id, w, h, flatten(list_transform(range(0, h//8), by ->
+         |   list_transform(range(0, w//8), bx ->
+         |     {'c': (media_id*7 + bx*37 + by*101) % 200 + 30,
+         |      'm': (media_id*7 + 31 + bx*37 + by*101) % 200 + 30,
+         |      'y': (media_id*7 + 62 + bx*37 + by*101) % 200 + 30,
+         |      'k': (media_id*7 + 93 + bx*37 + by*101) % 200 + 30}))) AS cs
+         |  FROM d),
+         | px AS (SELECT media_id, w, h, list_transform(cs, p ->
+         |   {'r': (p['c']*p['k'] + 127) // 255,
+         |    'g': (p['m']*p['k'] + 127) // 255,
+         |    'b': (p['y']*p['k'] + 127) // 255}) AS ps FROM bs)
+         | SELECT media_id, w::BIGINT AS width, h::BIGINT AS height,
+         |  (w*h)::BIGINT AS n_pixels,
+         |  (64*list_sum(list_transform(ps, p -> p['r'])))::BIGINT AS sum_r,
+         |  (64*list_sum(list_transform(ps, p -> p['g'])))::BIGINT AS sum_g,
+         |  (64*list_sum(list_transform(ps, p -> p['b'])))::BIGINT AS sum_b,
+         |  list_max(list_transform(ps, p ->
+         |    2126*p['r'] + 7152*p['g'] + 722*p['b']))::BIGINT AS max_lum
+         | FROM px ORDER BY media_id""".om,
     // frame math recomputed per stream: MP3 frame bytes =
     // 144·kbps·1000 // hz (padding 0), 1152 samples/frame; ADTS frame
     // bytes = 7 + payload, 1024 samples/frame; duration is the same

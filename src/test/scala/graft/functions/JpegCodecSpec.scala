@@ -343,4 +343,108 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(PixelDecode.decode(Array[Byte]()) == null)
     assert(PixelDecode.decode(null) == null)
   }
+
+  // flat per-8x8-block 4-channel planes: value closed-form per block
+  private def flatChans(w: Int, h: Int): Array[Array[Byte]] =
+    Array.tabulate(4) { ch =>
+      flatGray(w, h)((bx, by) => (40 + 30 * ch + 50 * bx + 90 * by) % 200 + 30)
+    }
+
+  test("Adobe CMYK (APP14 transform 0): inverted-ink conversion is exact") {
+    val (w, h) = (16, 16)
+    val chans = flatChans(w, h)
+    val jpg = JpegCodec.encodeAdobe4(w, h, chans,
+      JpegCodec.flatExactTable(), transform = 0)
+    val img = JpegCodec.decode(jpg)
+    assert(img != null && img.w == w && img.h == h)
+    // flat blocks + DC-8 table: stored channels round-trip bit-exactly,
+    // so RGB is exactly (c·k + 127) / 255 on the SOURCE values
+    var i = 0
+    while (i < w * h) {
+      val k = chans(3)(i) & 0xff
+      var ch = 0
+      while (ch < 3) {
+        val want = ((chans(ch)(i) & 0xff) * k + 127) / 255
+        assert((img.px(3 * i + ch) & 0xff) == want, s"px $i chan $ch")
+        ch += 1
+      }
+      i += 1
+    }
+    // the sniffing entry point routes it too
+    assert(PixelDecode.decode(jpg) != null)
+    assert(PixelDecode.container(jpg) == "jpeg")
+  }
+
+  test("Adobe YCCK (APP14 transform 2): chroma-coded channels invert") {
+    val (w, h) = (16, 8)
+    // stored channels = YCC-coded inverted CMY + raw K; flat blocks so
+    // the store round-trips exactly and the expected math is closed
+    val chans = flatChans(w, h)
+    val jpg = JpegCodec.encodeAdobe4(w, h, chans,
+      JpegCodec.flatExactTable(), transform = 2)
+    val img = JpegCodec.decode(jpg)
+    assert(img != null)
+    def iclamp(d: Double): Int = {
+      val v = d.toInt; if (v < 0) 0 else if (v > 255) 255 else v
+    }
+    var i = 0
+    while (i < w * h) {
+      val c = chans(0)(i) & 0xff
+      val u = (chans(1)(i) & 0xff) - 128
+      val v = (chans(2)(i) & 0xff) - 128
+      val k = chans(3)(i) & 0xff
+      val rr = iclamp(math.rint(c + 1.402 * v))
+      val gg = iclamp(math.rint(c - 0.344136 * u - 0.714136 * v))
+      val bb = iclamp(math.rint(c + 1.772 * u))
+      assert((img.px(3 * i) & 0xff) == (rr * k + 127) / 255, s"r $i")
+      assert((img.px(3 * i + 1) & 0xff) == (gg * k + 127) / 255, s"g $i")
+      assert((img.px(3 * i + 2) & 0xff) == (bb * k + 127) / 255, s"b $i")
+      i += 1
+    }
+  }
+
+  test("4-component stream: ImageIO raster agrees with our stored planes") {
+    // readRaster bypasses color conversion, so the JDK's independent
+    // Huffman+IDCT must reproduce our flat stored channels exactly
+    val (w, h) = (16, 16)
+    val chans = flatChans(w, h)
+    val jpg = JpegCodec.encodeAdobe4(w, h, chans,
+      JpegCodec.flatExactTable(), transform = 0)
+    val reader = ImageIO.getImageReadersByFormatName("jpg").next()
+    val iis = ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(jpg))
+    reader.setInput(iis)
+    val raster = reader.readRaster(0, null)
+    assert(raster.getWidth == w && raster.getHeight == h)
+    assert(raster.getNumBands == 4)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var band = 0
+        while (band < 4) {
+          assert(raster.getSample(x, y, band) ==
+            (chans(band)(y * w + x) & 0xff), s"($x,$y) band $band")
+          band += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    reader.dispose()
+  }
+
+  test("4-component without a usable APP14 returns null") {
+    val (w, h) = (16, 8)
+    val jpg = JpegCodec.encodeAdobe4(w, h, flatChans(w, h),
+      JpegCodec.flatExactTable(), transform = 0)
+    // strip the APP14 segment (SOI + 16-byte segment): bare 4-comp
+    assert((jpg(2) & 0xff) == 0xff && (jpg(3) & 0xff) == 0xee)
+    val bare = jpg.take(2) ++ jpg.drop(2 + 16)
+    assert(JpegCodec.decode(bare) == null)
+    // transform byte 1 (YCbCr) is meaningless for 4 components
+    val t1 = jpg.clone()
+    t1(17) = 1 // SOI(2) + marker(2) + len(2) + "Adobe"(5) + ver/flags(6)
+    assert(JpegCodec.decode(t1) == null)
+  }
 }
