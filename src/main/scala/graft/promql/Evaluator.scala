@@ -320,7 +320,6 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
               .otherwise(0L)).cast("double").as("resets"),
             sum(when(col("pv").isNotNull && col("v") =!= col("pv"), 1L)
               .otherwise(0L)).cast("double").as("changes"))
-          .where(col("n") >= 2)
         /** Prometheus's `extrapolatedRate` edge logic (functions.go):
           * scale the observed delta out to the window edges, but never
           * by more than half the average sample interval per side —
@@ -371,9 +370,16 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
         }
         val guarded = fn match {
           // a window whose samples share one timestamp has no time span
-          case "rate" => grouped.where(col("max_t") > col("min_t"))
-          case "irate" => grouped.where(col("max_t") > col("prev_last_t"))
-          case _ => grouped
+          case "rate" => grouped.where(col("n") >= 2 &&
+            col("max_t") > col("min_t"))
+          case "irate" => grouped.where(col("n") >= 2 &&
+            col("max_t") > col("prev_last_t"))
+          // resets/changes are defined from ONE sample up (0 then) —
+          // upstream functions.go returns a value for any non-empty
+          // window; the two-sample requirement holds only for the
+          // difference/slope family
+          case "resets" | "changes" => grouped.where(col("n") >= 1)
+          case _ => grouped.where(col("n") >= 2)
         }
         guarded.withColumn("v", value)
       case other => sys.error(s"unsupported range function $other")
@@ -478,9 +484,20 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
     }
   }
 
+  // PromQL arithmetic is Go float64 (IEEE 754): x/0 = ±Inf by the sign
+  // of x, 0/0 and NaN/0 = NaN, mod-by-zero = NaN — Spark's ANSI mode
+  // would throw instead, so zero divisors are routed around the raw
+  // operators (CaseWhen branches evaluate conditionally under codegen)
+  private def ieeeDiv(a: Column, b: Column): Column =
+    when(b =!= 0.0d, a / b)
+      .otherwise(when(a > 0.0d, lit(Double.PositiveInfinity))
+        .when(a < 0.0d, lit(Double.NegativeInfinity))
+        .otherwise(lit(Double.NaN)))
+  private def ieeeMod(a: Column, b: Column): Column =
+    when(b =!= 0.0d, a % b).otherwise(lit(Double.NaN))
   private val arith: Map[String, (Column, Column) => Column] = Map(
-    "+" -> (_ + _), "-" -> (_ - _), "*" -> (_ * _), "/" -> (_ / _),
-    "%" -> ((a, b) => a % b), "^" -> ((a, b) => pow(a, b)),
+    "+" -> (_ + _), "-" -> (_ - _), "*" -> (_ * _), "/" -> (ieeeDiv(_, _)),
+    "%" -> (ieeeMod(_, _)), "^" -> ((a, b) => pow(a, b)),
     "atan2" -> ((a, b) => atan2(a, b)))
   private val cmp: Map[String, (Column, Column) => Column] = Map(
     ">" -> (_ > _), "<" -> (_ < _), ">=" -> (_ >= _), "<=" -> (_ <= _),
@@ -494,12 +511,15 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
   private def stepsGrid: DataFrame =
     session.range(nSteps).select((lit(mint) + col("id") * stepMs).as("t"))
 
-  /** Scalar expressions: `time()`, `scalar(v)`, numbers, and arithmetic
-    * over them — one value per step, never a labeled series. */
+  /** Scalar expressions: `time()`, `scalar(v)`, numbers, arithmetic
+    * over them, and `bool`-modified comparisons between them (upstream
+    * requires `bool` on scalar-scalar comparisons and yields 0/1) —
+    * one value per step, never a labeled series. */
   private def isScalarExpr(e: PromExpr): Boolean = e match {
     case TimeE | _: ScalarOf | _: Num => true
     case b: Bin =>
-      arith.contains(b.op) && isScalarExpr(b.l) && isScalarExpr(b.r)
+      (arith.contains(b.op) || (b.bool && cmp.contains(b.op))) &&
+        isScalarExpr(b.l) && isScalarExpr(b.r)
     case _ => false
   }
 
@@ -517,9 +537,12 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
       stepsGrid.join(per, Seq("t"), "left")
         .withColumn("sv", coalesce(col("sv"), lit(Double.NaN)))
     case b: Bin =>
+      val fold: (Column, Column) => Column =
+        if (arith.contains(b.op)) arith(b.op)
+        else (a, c) => when(cmp(b.op)(a, c), 1.0d).otherwise(0.0d)
       buildScalar(b.l).join(
         buildScalar(b.r).withColumnRenamed("sv", "sv2"), Seq("t"))
-        .select(col("t"), arith(b.op)(col("sv"), col("sv2")).as("sv"))
+        .select(col("t"), fold(col("sv"), col("sv2")).as("sv"))
     case other => sys.error(s"$other is not a scalar expression")
   }
 

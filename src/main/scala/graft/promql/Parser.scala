@@ -149,13 +149,17 @@ final class Parser(input: String) {
     input.substring(start, pos)
   }
 
+  /** Peek the next identifier LOWERCASED — every caller compares it
+    * against keywords (by/without/bool/on/offset/…), and upstream's
+    * lexer matches keywords case-insensitively (`BY`, `BOOL`). The
+    * consuming [[ident]] keeps the original case for real names. */
   private def peekIdent(): Option[String] = {
     ws()
     if (!identStart(peek)) None
     else {
       var i = pos
       while (i < input.length && identChar(input(i))) i += 1
-      Some(input.substring(pos, i))
+      Some(input.substring(pos, i).toLowerCase)
     }
   }
 
@@ -408,7 +412,17 @@ final class Parser(input: String) {
       }
       clause()
       ws(); eat('(')
-      val param = if (paramAggs(name)) { val p = number(); ws(); eat(','); Some(p) } else None
+      // upstream accepts a parenthesized scalar literal as the
+      // parameter (`topk((3), v)`); arbitrary scalar EXPRESSIONS as
+      // parameters stay unsupported (documented deviation)
+      def paramNumber(): Double = {
+        ws()
+        if (peek == '(') { pos += 1; val v = paramNumber(); ws(); eat(')'); v }
+        else number()
+      }
+      val param =
+        if (paramAggs(name)) { val p = paramNumber(); ws(); eat(','); Some(p) }
+        else None
       val arg = parseExpr(0)
       ws(); eat(')')
       clause()
@@ -536,6 +550,7 @@ final class Parser(input: String) {
   private def unary(): PromExpr = {
     ws()
     if (peek == '-') { pos += 1; Bin("-", Num(0), unary(), None) }
+    else if (peek == '+') { pos += 1; unary() } // upstream unary plus
     else if (peek == '(') {
       pos += 1; val e = parseExpr(0); ws(); eat(')'); postfix(e)
     }
@@ -544,9 +559,21 @@ final class Parser(input: String) {
     else {
       val name = ident()
       ws()
-      val aggClause = aggOps(name) &&
+      // inf/nan are NUMBER tokens in the upstream lexer (any case),
+      // never metric names — `inf{}` is a parse error there too
+      name.toLowerCase match {
+        case "inf" => return Num(Double.PositiveInfinity)
+        case "nan" => return Num(Double.NaN)
+        case _ => ()
+      }
+      // aggregation operators are KEYWORDS upstream (case-insensitive:
+      // `SUM(...) BY (job)` parses); function names stay case-sensitive
+      val lower = name.toLowerCase
+      val opName =
+        if (aggOps(lower) || lower == "count_values") lower else name
+      val aggClause = aggOps(opName) &&
         (peekIdent().contains("by") || peekIdent().contains("without"))
-      if (peek == '(' || aggClause) postfix(call(name))
+      if (peek == '(' || aggClause) postfix(call(opName))
       else selector(Some(name))
     }
   }

@@ -130,14 +130,23 @@ object PromqlTestFormat {
               val at = dur(parts(3), n)
               val expr = l.trim.split("\\s+", 5).last
               val exp = body().map { case (el, en) =>
-                // upstream promtool requires an explicit value token on
-                // every instant expectation line (`NaN` spelled out) —
-                // a missing value is a malformed script, not "expect NaN"
-                require(el.contains(" "),
-                  s"line $en: instant expectation needs an explicit value" +
-                    s" (use NaN literally): $el")
-                val (sel, v) = splitSeriesLine(el, en)
-                (RuleTests.labelsOf(sel).sortBy(_._1), num(v))
+                // a bare number is upstream's SCALAR expectation form
+                // (literals.test) — the engine's top-level scalars
+                // surface as an empty-label vector row
+                val scalar =
+                  try Some(num(el)) catch { case _: NumberFormatException => None }
+                scalar match {
+                  case Some(v) => (Seq.empty[(String, String)], v)
+                  case None =>
+                    // upstream promtool requires an explicit value token
+                    // on every series expectation line (`NaN` spelled
+                    // out) — a missing value is a malformed script
+                    require(el.contains(" "),
+                      s"line $en: instant expectation needs an explicit" +
+                        s" value (use NaN literally): $el")
+                    val (sel, v) = splitSeriesLine(el, en)
+                    (RuleTests.labelsOf(sel).sortBy(_._1), num(v))
+                }
               }
               out += EvalInstant(at, expr, exp, fail, ordered)
             case "range" =>
@@ -184,11 +193,12 @@ object PromqlTestFormat {
 
     def rebuild(): Unit = {
       import scala.jdk.CollectionConverters._
-      querier =
-        if (loaded.isEmpty) null
-        else new TsQuerier(TsSchema.canonicalize(
-          spark.createDataFrame(loaded.asJava, schema)))
+      // an empty store is a valid state: literal-only scripts
+      // (upstream literals.test) eval with no load at all
+      querier = new TsQuerier(TsSchema.canonicalize(
+        spark.createDataFrame(loaded.asJava, schema)))
     }
+    rebuild()
 
     def collectInstant(expr: String, atMs: Long)
       : Seq[(Seq[(String, String)], Double)] =
@@ -201,7 +211,7 @@ object PromqlTestFormat {
         }
 
     cmds.foreach {
-      case Clear => loaded = Vector.empty; querier = null
+      case Clear => loaded = Vector.empty; rebuild()
       case Load(step, series) =>
         series.foreach { case (sel, values) =>
           val labels = RuleTests.labelsOf(sel).toMap
