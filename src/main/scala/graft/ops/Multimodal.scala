@@ -383,6 +383,42 @@ object Multimodal {
       .where(col("dh").isNotNull)
       .distinct()
 
+  /** Append one ingest batch's [[temporalHashIndex]] rows to a
+    * persistent `batch=<id>`-partitioned store — the incremental
+    * artifact [[temporalNearDupAgainst]] matches new uploads against.
+    * Overwrite-per-batch-dir makes a replayed batch idempotent, and
+    * the store follows the shared monoid protocol
+    * ([[graft.streaming.StreamIngest.livePartials]]): DISTINCT is an
+    * idempotent fold, so [[compactTemporalIndex]] can bound a year of
+    * daily batches to a handful of files without changing the view. */
+  def temporalIndexAppend(index: DataFrame, indexPath: String,
+                          batchId: Long): Unit = {
+    require(batchId >= 0, "batch ids are non-negative (-1 is the fold)")
+    index.select(col("id"), col("dh"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$indexPath/batch=$batchId")
+    index.sparkSession.catalog.refreshByPath(indexPath)
+  }
+
+  /** The queryable corpus index over a [[temporalIndexAppend]] store:
+    * live partials (the `batch=-1` fold plus batches newer than the
+    * compaction marker) distinct'd back to (id, dh). Feed this as
+    * `corpusIndex` to [[temporalNearDupAgainst]]. */
+  def temporalIndexView(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String): DataFrame =
+    graft.streaming.StreamIngest.livePartials(spark, indexPath)
+      .select(col("id"), col("dh")).distinct()
+
+  /** Fold a [[temporalIndexAppend]] store's accumulated batch dirs
+    * into `batch=-1` (distinct is the store's monoid merge), record
+    * the compaction marker, swap atomically — file count stays
+    * bounded and a batch replayed after folding is ignored rather
+    * than re-counted. */
+  def compactTemporalIndex(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String, targetFiles: Int = 8): Unit =
+    graft.streaming.StreamIngest.compactMonoidStore(
+      spark, indexPath, targetFiles)(_.distinct())
+
   /** Cross-corpus TEMPORAL near-dup — [[mediaNearDupAgainst]]'s shape
     * for sub-fingerprint ARRAYS: which clips of a NEW batch are within
     * `maxDist` of an EXISTING corpus's [[temporalHashIndex]], matched
