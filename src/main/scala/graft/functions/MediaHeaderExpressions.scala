@@ -9,10 +9,13 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** REAL image-header decode as a native Catalyst expression: parses the
-  * published PNG, JPEG, GIF, and BMP container formats (pure JVM, no
-  * codec library) from a `BINARY` column and returns
-  * `struct<format, width, height, channels>`, or null when the bytes
-  * are none of them.
+  * published PNG, JPEG, GIF, BMP, WebP, TIFF, and AVIF/HEIC container
+  * formats (pure JVM, no codec library) from a `BINARY` column and
+  * returns `struct<format, width, height, channels>`, or null when the
+  * bytes are none of them. Dimensions parse for EVERY container the
+  * sniffer classifies — including the ones the pixel decoders skip
+  * (lossy VP8, AVIF, HEIC, TIFF) — so min-resolution / aspect-ratio
+  * gates stay honest on the whole crawl, not just the decodable slice.
   *
   *  - PNG (RFC 2083): 8-byte signature, then the IHDR chunk —
   *    4-byte big-endian width and height at offsets 16/20, bit depth
@@ -23,6 +26,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *    length covering itself; the frame header (SOF0–SOF15, minus the
   *    non-frame C4/C8/CC codes) carries sample precision, height,
   *    width, and the component count (= channels).
+  *  - WebP (RIFF container): the first image chunk wins — VP8L's
+  *    5-byte header (0x2f signature, then LSB-first 14-bit width-1 /
+  *    height-1 and the alpha-hint bit), a VP8 KEYFRAME's uncompressed
+  *    header (frame tag, 0x9d012a sync, 14-bit little-endian scaled
+  *    dims), or VP8X's 24-bit little-endian canvas size (alpha from
+  *    the flags byte).
+  *  - TIFF 6.0: byte-order header (`II*\0` / `MM\0*`), then the IFD0
+  *    entry walk — ImageWidth (256), ImageLength (257), and
+  *    SamplesPerPixel (277, default 1) read as inline SHORT or LONG
+  *    values in the file's endianness.
+  *  - AVIF / HEIF stills (ISO-BMFF): `ftyp` brand classification,
+  *    then the `meta` → `iprp` → `ipco` box walk to the first `ispe`
+  *    (image spatial extents) property — big-endian width/height.
   *
   * This replaces the round-1..8 decode STUB: the bytes on the wire are
   * real container headers and the decode actually parses them. Pixel
@@ -41,14 +57,21 @@ case class MediaHeaderExpr(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[Array[Byte]])
 
-  /** Null when the payload is none of PNG / JPEG / GIF / BMP. */
+  /** Null when the payload is none of PNG / JPEG / GIF / BMP / WebP /
+    * TIFF / AVIF / HEIC. */
   def compute(b: Array[Byte]): InternalRow = {
     val png = parsePng(b)
     if (png != null) return png
     val jpeg = parseJpeg(b)
     if (jpeg != null) return jpeg
     val gif = parseGif(b)
-    if (gif != null) gif else parseBmp(b)
+    if (gif != null) return gif
+    val bmp = parseBmp(b)
+    if (bmp != null) return bmp
+    val webp = parseWebp(b)
+    if (webp != null) return webp
+    val tiff = parseTiff(b)
+    if (tiff != null) tiff else parseIsoBmffStill(b)
   }
 
   private def be4(b: Array[Byte], i: Int): Int =
@@ -139,6 +162,139 @@ case class MediaHeaderExpr(child: Expression) extends UnaryExpression {
       }
     }
     null
+  }
+
+  private def tag4(b: Array[Byte], i: Int, s: String): Boolean =
+    b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
+      b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
+
+  /** RIFF/WEBP chunk walk to the first image chunk: VP8L (lossless),
+    * VP8 keyframe (lossy), or VP8X (extended — canvas size). */
+  private def parseWebp(b: Array[Byte]): InternalRow = {
+    if (b.length < 20 || !tag4(b, 0, "RIFF") || !tag4(b, 8, "WEBP"))
+      return null
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = le4(b, i + 4)
+      if (size < 0 || i + 8 + size > b.length || i + 8 + size < 0)
+        return null
+      val at = i + 8
+      if (tag4(b, i, "VP8L")) {
+        // 5-byte VP8L header: 0x2f, then LSB-first 14+14 bits of
+        // width-1 / height-1, the alpha hint, a 3-bit version
+        if (size < 5 || (b(at) & 0xff) != 0x2f) return null
+        val v = le4(b, at + 1).toInt
+        val w = 1 + (v & 0x3fff)
+        val h = 1 + ((v >> 14) & 0x3fff)
+        val alpha = (v >> 28) & 1
+        return InternalRow(UTF8String.fromString("webp"), w, h,
+          if (alpha == 1) 4 else 3)
+      }
+      if (tag4(b, i, "VP8 ")) {
+        // uncompressed keyframe header: 3-byte frame tag (bit 0 = 0
+        // for keyframes), 0x9d 0x01 0x2a sync, 14-bit scaled dims
+        if (size < 10 || (b(at) & 1) != 0) return null
+        if ((b(at + 3) & 0xff) != 0x9d || (b(at + 4) & 0xff) != 0x01 ||
+          (b(at + 5) & 0xff) != 0x2a) return null
+        val w = le2(b, at + 6) & 0x3fff
+        val h = le2(b, at + 8) & 0x3fff
+        if (w == 0 || h == 0) return null
+        return InternalRow(UTF8String.fromString("webp"), w, h, 3)
+      }
+      if (tag4(b, i, "VP8X")) {
+        // flags byte (bit 4 = alpha), 3 reserved, then 24-bit LE
+        // canvas width-1 / height-1
+        if (size < 10) return null
+        val alpha = (b(at) & 0x10) != 0
+        val w = 1 + ((b(at + 4) & 0xff) | ((b(at + 5) & 0xff) << 8) |
+          ((b(at + 6) & 0xff) << 16))
+        val h = 1 + ((b(at + 7) & 0xff) | ((b(at + 8) & 0xff) << 8) |
+          ((b(at + 9) & 0xff) << 16))
+        return InternalRow(UTF8String.fromString("webp"), w, h,
+          if (alpha) 4 else 3)
+      }
+      i += 8 + size + (size & 1) // chunks are 2-byte aligned
+    }
+    null
+  }
+
+  /** TIFF 6.0 IFD0 walk in the file's endianness: ImageWidth (256),
+    * ImageLength (257), SamplesPerPixel (277, default 1), each an
+    * inline SHORT or LONG. */
+  private def parseTiff(b: Array[Byte]): InternalRow = {
+    if (b.length < 16) return null
+    val le =
+      if (b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) true
+      else if (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42) false
+      else return null
+    def u2(i: Int): Int =
+      if (le) le2(b, i) else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    def u4(i: Int): Long =
+      if (le) le4(b, i) & 0xffffffffL
+      else ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    val ifd = u4(4)
+    if (ifd < 8 || ifd + 2 > b.length) return null
+    val n = u2(ifd.toInt)
+    if (n <= 0 || ifd + 2 + 12L * n > b.length) return null
+    var w = -1L; var h = -1L; var samples = 1L
+    var k = 0
+    while (k < n) {
+      val at = ifd.toInt + 2 + 12 * k
+      val tagId = u2(at)
+      val typ = u2(at + 2)
+      val count = u4(at + 4)
+      // inline value only (count 1, SHORT=3 or LONG=4); SHORT values
+      // sit in the first two bytes of the field in file order
+      if (count == 1 && (typ == 3 || typ == 4)) {
+        val v = if (typ == 3) u2(at + 8).toLong else u4(at + 8)
+        tagId match {
+          case 256 => w = v
+          case 257 => h = v
+          case 277 => samples = v
+          case _ => ()
+        }
+      }
+      k += 1
+    }
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue ||
+      samples <= 0 || samples > 16) return null
+    InternalRow(UTF8String.fromString("tiff"), w.toInt, h.toInt,
+      samples.toInt)
+  }
+
+  /** AVIF/HEIF stills: `ftyp` brand classification (the
+    * [[graft.functions.PixelDecode.container]] rules), then the
+    * `meta` → `iprp` → `ipco` walk to the first `ispe` property. */
+  private def parseIsoBmffStill(b: Array[Byte]): InternalRow = {
+    if (b.length < 16 || !tag4(b, 4, "ftyp")) return null
+    val kind = graft.functions.PixelDecode.container(b)
+    if (kind != "avif" && kind != "heic") return null
+    // locate a child box by fourcc within [from, until)
+    def child(from: Int, until: Int, cc: String): (Int, Int) = {
+      var i = from
+      while (i + 8 <= until) {
+        val sz = be4(b, i)
+        if (sz < 8 || i + sz > until) return (-1, -1)
+        if (tag4(b, i + 4, cc)) return (i + 8, i + sz)
+        i += sz
+      }
+      (-1, -1)
+    }
+    val ftypSize = be4(b, 0)
+    if (ftypSize < 16 || ftypSize > b.length) return null
+    val meta = child(ftypSize, b.length, "meta")
+    if (meta._1 < 0 || meta._1 + 4 > meta._2) return null
+    val iprp = child(meta._1 + 4, meta._2, "iprp") // meta is a FullBox
+    if (iprp._1 < 0) return null
+    val ipco = child(iprp._1, iprp._2, "ipco")
+    if (ipco._1 < 0) return null
+    val ispe = child(ipco._1, ipco._2, "ispe")
+    if (ispe._1 < 0 || ispe._1 + 12 > ispe._2) return null
+    val w = be4(b, ispe._1 + 4) // after the FullBox version/flags word
+    val h = be4(b, ispe._1 + 8)
+    if (w <= 0 || h <= 0) return null
+    InternalRow(UTF8String.fromString(kind), w, h, 3)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -1124,10 +1280,11 @@ object WebpPixelStatsExpr {
 
 /** Sniffed container classification for decode/skip ACCOUNTING
   * ([[PixelDecode.container]]): bmp / png / gif / jpeg /
-  * webp_lossless / webp_lossy, null when no sniffer owns the bytes.
-  * The companion to the decode expressions — an ingest report groups
-  * on this so payloads a decoder skips (today: lossy VP8) are a
-  * visible COUNT in the parse report, not silent nulls. */
+  * webp_lossless / webp_lossy / avif / heic / tiff, null when no
+  * sniffer owns the bytes. The companion to the decode expressions —
+  * an ingest report groups on this so payloads a decoder skips
+  * (today: lossy VP8, AVIF, HEIC, TIFF) are a visible COUNT in the
+  * parse report, not silent nulls. */
 case class ImageContainerExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
@@ -1374,4 +1531,346 @@ object VideoHeaderExpr {
     * payload column. */
   def video_header(payload: Column): Column =
     GraftSqlBridge.column(VideoHeaderExpr(GraftSqlBridge.expression(payload)))
+}
+
+/** REAL Matroska/WebM header decode: an EBML element walk (RFC 8794
+  * variable-length IDs/sizes) over the published Matroska schema —
+  * the EBML header's DocType picks "webm" vs "mkv", then inside the
+  * Segment: Info's TimestampScale (default 1,000,000 ns) and Duration
+  * (a 4- or 8-byte float of timescale ticks), Tracks' TrackEntry
+  * count, and the summed payload bytes of every Cluster. Returns
+  * `struct<format, timescale, duration_ms, n_tracks, n_clusters,
+  * data_bytes>` (duration_ms = round(duration · timescale / 10⁶); -1
+  * when the Info carries no Duration), or null for non-EBML bytes, a
+  * DocType that is neither webm nor matroska, an element that escapes
+  * its parent, or a missing Info. Unknown-size elements (all-ones
+  * length) are legal only on Segment — the streaming convention —
+  * and extend to end-of-payload. WebM is the dominant open crawl
+  * video container; this walk is what lets duration / track gates run
+  * on payloads the frame-level decoders can't. Same codegen shape as
+  * [[MediaHeaderExpr]]. */
+case class EbmlHeaderExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = EbmlHeaderExpr.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "ebml_header"
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  /** EBML varint at `i` within `until`: returns (value, nextOffset),
+    * or null. `keepMarker` = ID form (marker bit retained); size form
+    * strips it and maps all-ones to -1 (unknown). */
+  private def varint(b: Array[Byte], i: Int, until: Int,
+      keepMarker: Boolean): (Long, Int) = {
+    if (i >= until) return null
+    val b0 = b(i) & 0xff
+    if (b0 == 0) return null // >8-byte lengths unsupported
+    val len = java.lang.Integer.numberOfLeadingZeros(b0) - 23 // 1..8
+    if (i + len > until) return null
+    var v: Long = if (keepMarker) b0 else b0 & (0xff >>> len)
+    var k = 1
+    while (k < len) { v = (v << 8) | (b(i + k) & 0xff); k += 1 }
+    if (!keepMarker) {
+      // all-ones payload = unknown size
+      val ones = (1L << (7 * len)) - 1
+      if (v == ones) v = -1L
+    }
+    (v, i + len)
+  }
+
+  def compute(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 8) return null
+    // EBML header element 0x1A45DFA3
+    val hdr = varint(b, 0, b.length, keepMarker = true)
+    if (hdr == null || hdr._1 != 0x1A45DFA3L) return null
+    val hdrSize = varint(b, hdr._2, b.length, keepMarker = false)
+    if (hdrSize == null || hdrSize._1 < 0 ||
+      hdrSize._2 + hdrSize._1 > b.length) return null
+    var docType: String = null
+    var i = hdrSize._2
+    val hdrEnd = (hdrSize._2 + hdrSize._1).toInt
+    while (i < hdrEnd) {
+      val id = varint(b, i, hdrEnd, keepMarker = true)
+      if (id == null) return null
+      val sz = varint(b, id._2, hdrEnd, keepMarker = false)
+      if (sz == null || sz._1 < 0 || sz._2 + sz._1 > hdrEnd) return null
+      if (id._1 == 0x4282L) // DocType
+        docType = new String(b, sz._2, sz._1.toInt,
+          java.nio.charset.StandardCharsets.US_ASCII).takeWhile(_ != 0)
+      i = (sz._2 + sz._1).toInt
+    }
+    val format = docType match {
+      case "webm" => "webm"
+      case "matroska" => "mkv"
+      case _ => return null
+    }
+    // Segment 0x18538067 (unknown size extends to end of payload)
+    val seg = varint(b, hdrEnd, b.length, keepMarker = true)
+    if (seg == null || seg._1 != 0x18538067L) return null
+    val segSize = varint(b, seg._2, b.length, keepMarker = false)
+    if (segSize == null) return null
+    val segEnd =
+      if (segSize._1 < 0) b.length
+      else {
+        if (segSize._2 + segSize._1 > b.length) return null
+        (segSize._2 + segSize._1).toInt
+      }
+    var timescale = 1000000L // Matroska default: ns per tick
+    var durationTicks = -1.0
+    var sawInfo = false
+    var tracks = 0
+    var clusters = 0L
+    var dataBytes = 0L
+    i = segSize._2
+    while (i < segEnd) {
+      val id = varint(b, i, segEnd, keepMarker = true)
+      if (id == null) return null
+      val sz = varint(b, id._2, segEnd, keepMarker = false)
+      if (sz == null || sz._1 < 0 || sz._2 + sz._1 > segEnd) return null
+      val at = sz._2
+      val end = (sz._2 + sz._1).toInt
+      id._1 match {
+        case 0x1549A966L => // Info
+          sawInfo = true
+          var j = at
+          while (j < end) {
+            val cid = varint(b, j, end, keepMarker = true)
+            if (cid == null) return null
+            val csz = varint(b, cid._2, end, keepMarker = false)
+            if (csz == null || csz._1 < 0 || csz._2 + csz._1 > end)
+              return null
+            cid._1 match {
+              case 0x2AD7B1L => // TimestampScale: big-endian uint
+                var v = 0L
+                var k = 0
+                while (k < csz._1) { v = (v << 8) | (b(csz._2 + k) & 0xff); k += 1 }
+                if (v <= 0) return null
+                timescale = v
+              case 0x4489L => // Duration: 4- or 8-byte big-endian float
+                if (csz._1 == 4) {
+                  var bits = 0
+                  var k = 0
+                  while (k < 4) { bits = (bits << 8) | (b(csz._2 + k) & 0xff); k += 1 }
+                  durationTicks = java.lang.Float.intBitsToFloat(bits).toDouble
+                } else if (csz._1 == 8) {
+                  var bits = 0L
+                  var k = 0
+                  while (k < 8) { bits = (bits << 8) | (b(csz._2 + k) & 0xff); k += 1 }
+                  durationTicks = java.lang.Double.longBitsToDouble(bits)
+                } else return null
+              case _ => ()
+            }
+            j = (csz._2 + csz._1).toInt
+          }
+        case 0x1654AE6BL => // Tracks: count TrackEntry (0xAE) children
+          var j = at
+          while (j < end) {
+            val cid = varint(b, j, end, keepMarker = true)
+            if (cid == null) return null
+            val csz = varint(b, cid._2, end, keepMarker = false)
+            if (csz == null || csz._1 < 0 || csz._2 + csz._1 > end)
+              return null
+            if (cid._1 == 0xAEL) tracks += 1
+            j = (csz._2 + csz._1).toInt
+          }
+        case 0x1F43B675L => // Cluster
+          clusters += 1
+          dataBytes += sz._1
+        case _ => ()
+      }
+      i = end
+    }
+    if (!sawInfo) return null
+    val durationMs =
+      if (durationTicks < 0) -1L
+      else math.round(durationTicks * timescale / 1e6)
+    InternalRow(UTF8String.fromString(format), timescale, durationMs,
+      tracks, clusters, dataBytes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("ebmlHeader", this,
+      classOf[EbmlHeaderExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("hdr")
+      s"""
+         |InternalRow $tmp = $self.compute($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object EbmlHeaderExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("timescale", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("n_tracks", IntegerType, nullable = false),
+    StructField("n_clusters", LongType, nullable = false),
+    StructField("data_bytes", LongType, nullable = false)))
+
+  /** Column wrapper: codegen'd Matroska/WebM header decode over a
+    * binary payload column. */
+  def ebml_header(payload: Column): Column =
+    GraftSqlBridge.column(EbmlHeaderExpr(GraftSqlBridge.expression(payload)))
+}
+
+/** REAL Ogg container decode (RFC 3533) with the two codecs a crawl
+  * actually carries: every page's 27-byte header is walked (capture
+  * pattern, version 0, segment lacing table, CRC-32 with the Ogg
+  * polynomial 0x04c11db7 verified over the whole page), the first
+  * packet is identified as an OpusHead (RFC 7845: channel count,
+  * pre-skip, input sample rate) or a Vorbis identification header
+  * (channel count, sample rate), and the LAST page's granule position
+  * gives the stream duration — Opus granules always run at 48 kHz
+  * minus pre-skip; Vorbis granules at the declared rate. Returns
+  * `struct<codec, channels, sample_rate, pre_skip, n_pages,
+  * last_granule, duration_ms>`, or null when the bytes are not a
+  * whole, CRC-clean Ogg stream with a recognized first packet. Same
+  * codegen shape as [[MediaHeaderExpr]]. */
+case class OggHeaderExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = OggHeaderExpr.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "ogg_header"
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  private def le8(b: Array[Byte], i: Int): Long = {
+    var v = 0L
+    var k = 7
+    while (k >= 0) { v = (v << 8) | (b(i + k) & 0xff); k -= 1 }
+    v
+  }
+
+  private def le4(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  private def le2(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  def compute(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 28) return null
+    var i = 0
+    var codec: String = null
+    var channels = -1
+    var rate = -1L
+    var preSkip = 0
+    var pages = 0L
+    var lastGranule = -1L
+    while (i + 27 <= b.length) {
+      if (b(i) != 'O' || b(i + 1) != 'g' || b(i + 2) != 'g' ||
+        b(i + 3) != 'S' || b(i + 4) != 0) return null
+      val granule = le8(b, i + 6)
+      val nSegs = b(i + 26) & 0xff
+      if (i + 27 + nSegs > b.length) return null
+      var payload = 0
+      var k = 0
+      while (k < nSegs) { payload += b(i + 27 + k) & 0xff; k += 1 }
+      val pageLen = 27 + nSegs + payload
+      if (i + pageLen > b.length) return null
+      if (OggHeaderExpr.pageCrc(b, i, pageLen) != le4(b, i + 22))
+        return null // corrupt page
+      if (pages == 0) {
+        // first packet identifies the codec
+        val at = i + 27 + nSegs
+        if (payload >= 19 && b(at) == 'O' && b(at + 1) == 'p' &&
+          b(at + 2) == 'u' && b(at + 3) == 's' && b(at + 4) == 'H' &&
+          b(at + 5) == 'e' && b(at + 6) == 'a' && b(at + 7) == 'd' &&
+          (b(at + 8) & 0xff) == 1) {
+          codec = "opus"
+          channels = b(at + 9) & 0xff
+          preSkip = le2(b, at + 10)
+          rate = le4(b, at + 12) // informational input rate
+        } else if (payload >= 30 && (b(at) & 0xff) == 1 &&
+          b(at + 1) == 'v' && b(at + 2) == 'o' && b(at + 3) == 'r' &&
+          b(at + 4) == 'b' && b(at + 5) == 'i' && b(at + 6) == 's') {
+          codec = "vorbis"
+          channels = b(at + 11) & 0xff
+          rate = le4(b, at + 12)
+        } else return null
+      }
+      if (granule >= 0) lastGranule = granule
+      pages += 1
+      i += pageLen
+    }
+    if (i != b.length || codec == null || channels <= 0 || rate <= 0)
+      return null
+    // Opus granules tick at 48 kHz regardless of the input rate
+    val durationMs =
+      if (lastGranule < 0) -1L
+      else if (codec == "opus")
+        math.max(0L, lastGranule - preSkip) * 1000 / 48000
+      else lastGranule * 1000 / rate
+    InternalRow(UTF8String.fromString(codec), channels, rate, preSkip,
+      pages, lastGranule, durationMs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("oggHeader", this,
+      classOf[OggHeaderExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("hdr")
+      s"""
+         |InternalRow $tmp = $self.compute($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object OggHeaderExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("codec", StringType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("pre_skip", IntegerType, nullable = false),
+    StructField("n_pages", LongType, nullable = false),
+    StructField("last_granule", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+
+  /** The Ogg page CRC: CRC-32, polynomial 0x04c11db7, NOT reflected,
+    * zero init, zero final xor (RFC 3533 §6) — not the zlib CRC. The
+    * 4 CRC bytes themselves are taken as zero. */
+  private val CrcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var n = 0
+    while (n < 256) {
+      var r = n << 24
+      var k = 0
+      while (k < 8) {
+        r = if ((r & 0x80000000) != 0) (r << 1) ^ 0x04c11db7 else r << 1
+        k += 1
+      }
+      t(n) = r
+      n += 1
+    }
+    t
+  }
+
+  private[graft] def pageCrc(b: Array[Byte], from: Int, len: Int): Long = {
+    var crc = 0
+    var i = 0
+    while (i < len) {
+      val byte = if (i >= 22 && i < 26) 0 else b(from + i) & 0xff
+      crc = (crc << 8) ^ CrcTable(((crc >>> 24) ^ byte) & 0xff)
+      i += 1
+    }
+    crc & 0xffffffffL
+  }
+
+  /** Column wrapper: codegen'd Ogg (Opus/Vorbis) header decode over a
+    * binary payload column. */
+  def ogg_header(payload: Column): Column =
+    GraftSqlBridge.column(OggHeaderExpr(GraftSqlBridge.expression(payload)))
 }

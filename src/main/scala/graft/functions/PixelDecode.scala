@@ -7,8 +7,9 @@ import org.apache.spark.sql.catalyst.InternalRow
   * work on whatever a real crawl actually contains instead of one
   * format each. All pure JVM, from the published specs: BMP
   * (uncompressed 24bpp), PNG (RFC 2083 — CRC-verified chunks, JDK
-  * inflate, all five scanline filters, every 8-bit color type: gray /
-  * RGB / palette / gray+alpha / RGBA), GIF (variable-width LZW,
+  * inflate, all five scanline filters, every legal depth 1/2/4/8/16 ×
+  * color type gray / RGB / palette / gray+alpha / RGBA, sequential or
+  * Adam7 interlaced), GIF (variable-width LZW,
   * global or local palette, sequential or interlaced), JPEG
   * ([[JpegCodec]] — Huffman + dequant + IDCT + YCbCr, sequential AND
   * progressive, EXIF-orientation normalized), and lossless WebP
@@ -39,9 +40,10 @@ object PixelDecode {
   }
 
   /** Sniffed container name for decode/skip accounting: one of bmp /
-    * png / gif / jpeg / webp_lossless / webp_lossy / null (unknown).
-    * `webp_lossy` is the one sniffable-but-undecodable class — ingest
-    * reports COUNT it so the coverage gap is data, not silence. */
+    * png / gif / jpeg / webp_lossless / webp_lossy / avif / heic /
+    * tiff / null (unknown). The sniffable-but-undecodable classes
+    * (lossy VP8, AVIF, HEIC, TIFF) exist so ingest reports COUNT them
+    * and the coverage gap is data, not silence. */
   def container(b: Array[Byte]): String = {
     if (b == null || b.length < 8) return null
     if (b(0) == 'B' && b(1) == 'M') "bmp"
@@ -51,7 +53,36 @@ object PixelDecode {
     else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
     else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
       WebpCodec.riffKind(b)
+    else if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')
+      ftypKind(b)
+    else if ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+      (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42)) "tiff"
     else null
+  }
+
+  /** ISO-BMFF `ftyp` brand classification (AVIF vs HEIF stills): scan
+    * the major brand then every compatible brand; "avif"/"avis" wins
+    * over the HEIC family wherever it appears (AVIF files commonly
+    * carry major "avif" with compatible "mif1"). */
+  private def ftypKind(b: Array[Byte]): String = {
+    val size = be4(b, 0)
+    if (size < 16 || size > b.length || (size & 3) != 0) return null
+    var sawHeic = false
+    var i = 8
+    while (i + 4 <= size) {
+      if (i != 12) { // byte 12 is the minor version, not a brand
+        val brand = new String(b, i, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        brand match {
+          case "avif" | "avis" => return "avif"
+          case "heic" | "heix" | "heim" | "heis" | "hevc" | "hevx" |
+               "mif1" | "msf1" => sawHeic = true
+          case _ => ()
+        }
+      }
+      i += 4
+    }
+    if (sawHeic) "heic" else null
   }
 
   private def le4(b: Array[Byte], i: Int): Long =
@@ -99,16 +130,23 @@ object PixelDecode {
   private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
     .map(_.toByte)
 
-  /** 8-bit non-interlaced PNG, every color type (gray / RGB / palette
-    * / gray+alpha / RGBA — alpha dropped, palette resolved):
-    * CRC-verified chunk walk, multi-IDAT inflate, per-row
-    * un-filtering (RFC 2083 §6.3-6.6). */
+  /** Adam7 pass geometry: (xStart, yStart, xStep, yStep) per pass. */
+  private val Adam7 = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** PNG at every legal static depth (1/2/4/8/16 per color type) and
+    * color type (gray / RGB / palette / gray+alpha / RGBA — alpha
+    * dropped, palette resolved, sub-byte samples MSB-first, 16-bit
+    * samples taken at their high byte), sequential or Adam7
+    * INTERLACED: CRC-verified chunk walk, multi-IDAT inflate, per-row
+    * un-filtering within each pass (RFC 2083 §6.3-6.6, §8.5.2). */
   def decodePng(b: Array[Byte]): Rgb = {
     if (b.length < 8 + 25 || !java.util.Arrays.equals(
         java.util.Arrays.copyOf(b, 8), PngSig)) return null
     var i = 8
     var w = -1; var h = -1
-    var color = -1
+    var color = -1; var depth = -1; var interlace = -1
     var palAt = -1; var palLen = 0
     val idat = new java.io.ByteArrayOutputStream()
     var sawEnd = false
@@ -123,14 +161,19 @@ object PixelDecode {
         case "IHDR" =>
           if (len != 13) return null
           w = be4(b, i + 8).toInt; h = be4(b, i + 12).toInt
-          val depth = b(i + 16) & 0xff
+          depth = b(i + 16) & 0xff
           color = b(i + 17) & 0xff
-          val interlace = b(i + 20) & 0xff
-          // 8-bit gray / RGB / palette / gray+alpha / RGBA,
-          // non-interlaced (Adam7 and sub-byte depths stay out)
-          if (depth != 8 || interlace != 0 ||
-            !(color == 0 || color == 2 || color == 3 || color == 4 ||
-              color == 6)) return null
+          interlace = b(i + 20) & 0xff
+          // the spec's legal (color, depth) matrix, both interlace
+          // methods (PNG 1.2 table 11.1)
+          val depthOk = color match {
+            case 0 => depth == 1 || depth == 2 || depth == 4 ||
+              depth == 8 || depth == 16
+            case 2 | 4 | 6 => depth == 8 || depth == 16
+            case 3 => depth == 1 || depth == 2 || depth == 4 || depth == 8
+            case _ => false
+          }
+          if (!depthOk || interlace > 1) return null
         case "PLTE" =>
           if (len % 3 != 0) return null
           palAt = i + 8; palLen = len.toInt
@@ -143,11 +186,23 @@ object PixelDecode {
     if (w <= 0 || h <= 0 || idat.size() == 0) return null
     if (color == 3 && palAt < 0) return null
     if (w.toLong * h > (64L << 20)) return null
-    val bpp = color match {
+    val channels = color match {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
     }
-    val stride = 1 + bpp * w
-    val raw = new Array[Byte](stride * h)
+    // filter "left" distance is one pixel, min one byte (spec §6.2)
+    val bpp = math.max(1, channels * depth / 8)
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (interlace == 0) Array((0, 0, 1, 1)) else Adam7
+    def passDim(full: Int, start: Int, step: Int): Int =
+      if (full > start) (full - start + step - 1) / step else 0
+    def scanBytes(pw: Int): Int = (channels * depth * pw + 7) / 8
+    var total = 0L
+    passes.foreach { case (xs, ys, xstep, ystep) =>
+      val pw = passDim(w, xs, xstep); val ph = passDim(h, ys, ystep)
+      if (pw > 0 && ph > 0) total += ph.toLong * (1 + scanBytes(pw))
+    }
+    if (total > (256L << 20)) return null // decode-bomb cap on raw bytes
+    val raw = new Array[Byte](total.toInt)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     try {
@@ -160,62 +215,90 @@ object PixelDecode {
       if (off < raw.length) return null
     } catch { case _: java.util.zip.DataFormatException => return null
     } finally inf.end()
-    // un-filter into the sample buffer (RFC 2083 6.3-6.6); the filter
-    // "left" distance is one PIXEL = bpp bytes
-    val ln = new Array[Byte](bpp * w * h)
-    var y = 0
-    while (y < h) {
-      val ft = raw(y * stride) & 0xff
-      if (ft > 4) return null
-      var x = 0
-      while (x < bpp * w) {
-        val cur = raw(y * stride + 1 + x) & 0xff
-        val left = if (x >= bpp) ln(y * bpp * w + x - bpp) & 0xff else 0
-        val up = if (y > 0) ln((y - 1) * bpp * w + x) & 0xff else 0
-        val ul = if (x >= bpp && y > 0) ln((y - 1) * bpp * w + x - bpp) & 0xff else 0
-        val v = ft match {
-          case 0 => cur
-          case 1 => cur + left
-          case 2 => cur + up
-          case 3 => cur + ((left + up) >> 1)
-          case 4 =>
-            val p = left + up - ul
-            val pa = math.abs(p - left); val pb = math.abs(p - up)
-            val pc = math.abs(p - ul)
-            cur + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
-        }
-        ln(y * bpp * w + x) = (v & 0xff).toByte
-        x += 1
-      }
-      y += 1
+    // gray expansion to 8 bits: max-value replication (85·v for 2-bit,
+    // 17·v for 4-bit, 255·v for 1-bit); 16-bit keeps the high byte
+    val gscale = depth match {
+      case 1 => 255; case 2 => 85; case 4 => 17; case _ => 1
     }
-    // expand to packed RGB: palette lookup, gray replication, alpha drop
+    // sample s (row-local) from an unfiltered scanline
+    def sampleAt(line: Array[Byte], s: Int): Int = depth match {
+      case 8 => line(s) & 0xff
+      case 16 => line(2 * s) & 0xff // high byte
+      case d => (line(s * d / 8) >> (8 - d - (s * d & 7))) & ((1 << d) - 1)
+    }
     val px = new Array[Byte](3 * w * h)
-    var k = 0
-    while (k < w * h) {
-      val at = 3 * k
-      color match {
-        case 2 =>
-          px(at) = ln(3 * k); px(at + 1) = ln(3 * k + 1)
-          px(at + 2) = ln(3 * k + 2)
-        case 0 =>
-          val g = ln(k)
-          px(at) = g; px(at + 1) = g; px(at + 2) = g
-        case 3 =>
-          val idx = ln(k) & 0xff
-          if (3 * idx + 2 >= palLen) return null
-          px(at) = b(palAt + 3 * idx)
-          px(at + 1) = b(palAt + 3 * idx + 1)
-          px(at + 2) = b(palAt + 3 * idx + 2)
-        case 4 =>
-          val g = ln(2 * k) // alpha dropped
-          px(at) = g; px(at + 1) = g; px(at + 2) = g
-        case 6 =>
-          px(at) = ln(4 * k); px(at + 1) = ln(4 * k + 1)
-          px(at + 2) = ln(4 * k + 2) // alpha dropped
+    var rawAt = 0
+    var ok = true
+    passes.foreach { case (xs, ys, xstep, ystep) =>
+      val pw = passDim(w, xs, xstep); val ph = passDim(h, ys, ystep)
+      if (ok && pw > 0 && ph > 0) {
+        val sb = scanBytes(pw)
+        var prev = new Array[Byte](sb)
+        var cur = new Array[Byte](sb)
+        var row = 0
+        while (ok && row < ph) {
+          val ft = raw(rawAt) & 0xff; rawAt += 1
+          if (ft > 4) ok = false
+          else {
+            var x = 0
+            while (x < sb) {
+              val c = raw(rawAt + x) & 0xff
+              val left = if (x >= bpp) cur(x - bpp) & 0xff else 0
+              val up = if (row > 0) prev(x) & 0xff else 0
+              val ul = if (x >= bpp && row > 0) prev(x - bpp) & 0xff else 0
+              val v = ft match {
+                case 0 => c
+                case 1 => c + left
+                case 2 => c + up
+                case 3 => c + ((left + up) >> 1)
+                case 4 =>
+                  val p = left + up - ul
+                  val pa = math.abs(p - left); val pb = math.abs(p - up)
+                  val pc = math.abs(p - ul)
+                  c + (if (pa <= pb && pa <= pc) left
+                       else if (pb <= pc) up else ul)
+              }
+              cur(x) = (v & 0xff).toByte
+              x += 1
+            }
+            rawAt += sb
+            val y = ys + row * ystep
+            var col = 0
+            while (ok && col < pw) {
+              val at = 3 * (y * w + (xs + col * xstep))
+              color match {
+                case 0 =>
+                  val g = (sampleAt(cur, col) * gscale).toByte
+                  px(at) = g; px(at + 1) = g; px(at + 2) = g
+                case 2 =>
+                  px(at) = sampleAt(cur, 3 * col).toByte
+                  px(at + 1) = sampleAt(cur, 3 * col + 1).toByte
+                  px(at + 2) = sampleAt(cur, 3 * col + 2).toByte
+                case 3 =>
+                  val idx = sampleAt(cur, col)
+                  if (3 * idx + 2 >= palLen) ok = false
+                  else {
+                    px(at) = b(palAt + 3 * idx)
+                    px(at + 1) = b(palAt + 3 * idx + 1)
+                    px(at + 2) = b(palAt + 3 * idx + 2)
+                  }
+                case 4 =>
+                  val g = (sampleAt(cur, 2 * col) * gscale).toByte // alpha dropped
+                  px(at) = g; px(at + 1) = g; px(at + 2) = g
+                case 6 =>
+                  px(at) = sampleAt(cur, 4 * col).toByte
+                  px(at + 1) = sampleAt(cur, 4 * col + 1).toByte
+                  px(at + 2) = sampleAt(cur, 4 * col + 2).toByte // alpha dropped
+              }
+              col += 1
+            }
+            val t = prev; prev = cur; cur = t
+            row += 1
+          }
+        }
       }
-      k += 1
     }
+    if (!ok) return null
     new Rgb(w, h, px)
   }
 

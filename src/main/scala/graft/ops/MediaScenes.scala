@@ -237,4 +237,183 @@ object MediaScenes {
       synthesize(df, idCol, sourceCol, c)
         .withColumn("media_id", col("media_id") * 10L + i.toLong)
     }.reduce(_.unionByName(_))
+
+  /** Minimal ISO-BMFF `ftyp` stub (major brand + compatible "mif1")
+    * for the skip-counting fixtures — sniffs as avif/heic, never
+    * decodes. */
+  def ftypStub(major: String): Array[Byte] = {
+    val out = new Array[Byte](20)
+    out(3) = 20 // box size (big-endian)
+    out(4) = 'f'; out(5) = 't'; out(6) = 'y'; out(7) = 'p'
+    var i = 0
+    while (i < 4) {
+      out(8 + i) = major.charAt(i).toByte // major brand
+      out(16 + i) = "mif1".charAt(i).toByte // one compatible brand
+      i += 1
+    } // bytes 12..15: minor version = 0
+    out
+  }
+
+  /** Minimal little-endian TIFF header stub (II*\0 + IFD offset). */
+  def tiffStub(): Array[Byte] =
+    Array[Byte]('I', 'I', 42, 0, 8, 0, 0, 0)
+
+  // ---------------------------------------- header-walk dim fixtures
+
+  private def putCc(out: Array[Byte], at: Int, s: String): Unit = {
+    out(at) = s.charAt(0).toByte; out(at + 1) = s.charAt(1).toByte
+    out(at + 2) = s.charAt(2).toByte; out(at + 3) = s.charAt(3).toByte
+  }
+
+  private def putBe4(out: Array[Byte], at: Int, v: Int): Unit = {
+    out(at) = (v >> 24).toByte; out(at + 1) = (v >> 16).toByte
+    out(at + 2) = (v >> 8).toByte; out(at + 3) = v.toByte
+  }
+
+  private def bmffBox(cc: String, body: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](8 + body.length)
+    putBe4(out, 0, out.length); putCc(out, 4, cc)
+    System.arraycopy(body, 0, out, 8, body.length)
+    out
+  }
+
+  /** ISO-BMFF still with REAL spatial extents: `ftyp` (major brand +
+    * "mif1") then `meta`{`iprp`{`ipco`{`ispe`(w, h)}}} — classifies as
+    * avif/heic and parses dimensions, never decodes. */
+  def avifIspeStub(major: String, w: Int, h: Int): Array[Byte] = {
+    val ispe = new Array[Byte](20)
+    putBe4(ispe, 0, 20); putCc(ispe, 4, "ispe")
+    putBe4(ispe, 12, w); putBe4(ispe, 16, h)
+    val iprp = bmffBox("iprp", bmffBox("ipco", ispe))
+    val metaBody = new Array[Byte](4 + iprp.length) // FullBox ver/flags
+    System.arraycopy(iprp, 0, metaBody, 4, iprp.length)
+    ftypStub(major) ++ bmffBox("meta", metaBody)
+  }
+
+  /** TIFF 6.0 with a real IFD0: ImageWidth (LONG), ImageLength
+    * (SHORT), SamplesPerPixel (SHORT), in either byte order. */
+  def tiffDimsStub(w: Int, h: Int, samples: Int,
+      bigEndian: Boolean): Array[Byte] = {
+    val out = new Array[Byte](8 + 2 + 3 * 12 + 4)
+    def u2(at: Int, v: Int): Unit =
+      if (bigEndian) { out(at) = (v >> 8).toByte; out(at + 1) = v.toByte }
+      else { out(at) = v.toByte; out(at + 1) = (v >> 8).toByte }
+    def u4(at: Int, v: Int): Unit =
+      if (bigEndian) putBe4(out, at, v)
+      else { out(at) = v.toByte; out(at + 1) = (v >> 8).toByte
+        out(at + 2) = (v >> 16).toByte; out(at + 3) = (v >> 24).toByte }
+    if (bigEndian) { out(0) = 'M'; out(1) = 'M'; out(3) = 42 }
+    else { out(0) = 'I'; out(1) = 'I'; out(2) = 42 }
+    u4(4, 8) // IFD0 offset
+    u2(8, 3) // entry count
+    def entry(at: Int, tag: Int, typ: Int, v: Int): Unit = {
+      u2(at, tag); u2(at + 2, typ); u4(at + 4, 1)
+      if (typ == 3) u2(at + 8, v) else u4(at + 8, v)
+    }
+    entry(10, 256, 4, w) // ImageWidth: LONG
+    entry(22, 257, 3, h) // ImageLength: SHORT
+    entry(34, 277, 3, samples)
+    out // next-IFD offset stays 0
+  }
+
+  // EBML helpers: IDs are written verbatim (marker retained); sizes
+  // use the 4-byte form 0x10000000 | v (v < 2^28)
+  private def ebmlSize(v: Int): Array[Byte] =
+    Array[Byte]((0x10 | (v >> 24)).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+
+  private def ebmlElem(id: Array[Byte], body: Array[Byte]): Array[Byte] =
+    id ++ ebmlSize(body.length) ++ body
+
+  private def beMin(v: Long): Array[Byte] = {
+    var n = 1
+    while (n < 8 && (v >>> (8 * n)) != 0) n += 1
+    val out = new Array[Byte](n)
+    var k = 0
+    while (k < n) { out(k) = (v >>> (8 * (n - 1 - k))).toByte; k += 1 }
+    out
+  }
+
+  /** Matroska/WebM stub with a real Info (TimestampScale + 8-byte
+    * float Duration), `nTracks` TrackEntry children and one Cluster of
+    * `clusterBytes` zero bytes per entry. */
+  def webmStub(docType: String, timescale: Long, durationTicks: Double,
+      nTracks: Int, clusterBytes: Seq[Int]): Array[Byte] = {
+    val docTypeBytes = docType.getBytes("US-ASCII")
+    val header = ebmlElem(Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte),
+      ebmlElem(Array[Byte](0x42, 0x82.toByte), docTypeBytes))
+    val durBits = java.lang.Double.doubleToLongBits(durationTicks)
+    val info = ebmlElem(Array[Byte](0x15, 0x49, 0xA9.toByte, 0x66),
+      ebmlElem(Array[Byte](0x2A, 0xD7.toByte, 0xB1.toByte), beMin(timescale)) ++
+        ebmlElem(Array[Byte](0x44, 0x89.toByte),
+          (0 until 8).map(k => (durBits >>> (8 * (7 - k))).toByte).toArray))
+    val tracks = ebmlElem(Array[Byte](0x16, 0x54, 0xAE.toByte, 0x6B),
+      (0 until nTracks).flatMap { t =>
+        ebmlElem(Array[Byte](0xAE.toByte),
+          ebmlElem(Array[Byte](0xD7.toByte), beMin(t + 1L))) // TrackNumber
+      }.toArray)
+    val clusters = clusterBytes.flatMap { n =>
+      ebmlElem(Array[Byte](0x1F, 0x43, 0xB6.toByte, 0x75),
+        new Array[Byte](n))
+    }.toArray
+    header ++ ebmlElem(Array[Byte](0x18, 0x53, 0x80.toByte, 0x67),
+      info ++ tracks ++ clusters)
+  }
+
+  /** RFC 7845 OpusHead identification packet. */
+  def opusHead(channels: Int, preSkip: Int, inputRate: Long): Array[Byte] = {
+    val out = new Array[Byte](19)
+    "OpusHead".getBytes("US-ASCII").copyToArray(out)
+    out(8) = 1 // version
+    out(9) = channels.toByte
+    out(10) = preSkip.toByte; out(11) = (preSkip >> 8).toByte
+    out(12) = inputRate.toByte; out(13) = (inputRate >> 8).toByte
+    out(14) = (inputRate >> 16).toByte; out(15) = (inputRate >> 24).toByte
+    out // gain 0, mapping family 0
+  }
+
+  /** Vorbis identification header packet. */
+  def vorbisId(channels: Int, rate: Long): Array[Byte] = {
+    val out = new Array[Byte](30)
+    out(0) = 1
+    "vorbis".getBytes("US-ASCII").copyToArray(out, 1)
+    out(11) = channels.toByte
+    out(12) = rate.toByte; out(13) = (rate >> 8).toByte
+    out(14) = (rate >> 16).toByte; out(15) = (rate >> 24).toByte
+    out(28) = 0x66 // blocksizes (2^6 / 2^6)
+    out(29) = 1 // framing bit
+    out
+  }
+
+  /** A whole CRC-clean Ogg stream: the id packet on a BOS page
+    * (granule 0), then one filler page per granule value (payloads
+    * < 255 bytes so every page is a single lacing segment). */
+  def oggStub(idPacket: Array[Byte], granules: Seq[Long]): Array[Byte] = {
+    require(idPacket.length < 255, "id packet must fit one segment")
+    val out = new java.io.ByteArrayOutputStream()
+    def page(payload: Array[Byte], granule: Long, seq: Int,
+        typ: Int): Unit = {
+      val p = new Array[Byte](27 + 1 + payload.length)
+      putCc(p, 0, "OggS")
+      p(5) = typ.toByte
+      var k = 0
+      while (k < 8) { p(6 + k) = (granule >>> (8 * k)).toByte; k += 1 }
+      p(14) = 0x34; p(15) = 0x12 // serial (LE)
+      p(18) = seq.toByte; p(19) = (seq >> 8).toByte
+      p(26) = 1 // one lacing segment
+      p(27) = payload.length.toByte
+      System.arraycopy(payload, 0, p, 28, payload.length)
+      val crc = graft.functions.OggHeaderExpr.pageCrc(p, 0, p.length)
+      p(22) = crc.toByte; p(23) = (crc >> 8).toByte
+      p(24) = (crc >> 16).toByte; p(25) = (crc >> 24).toByte
+      out.write(p, 0, p.length)
+    }
+    page(idPacket, 0L, 0, 0x02) // BOS
+    granules.zipWithIndex.foreach { case (g, k) =>
+      val filler = Array.tabulate[Byte](100)(j => ((j * 7 + k) & 0x7f).toByte)
+      page(filler, g, k + 1,
+        if (k == granules.length - 1) 0x04 else 0)
+    }
+    out.toByteArray
+  }
 }

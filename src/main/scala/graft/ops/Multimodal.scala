@@ -951,6 +951,18 @@ object Multimodal {
   def decodeVideoHeader(payload: Column): Column =
     graft.functions.VideoHeaderExpr.video_header(payload)
 
+  /** REAL Matroska/WebM header decode: codegen'd EBML element walk —
+    * DocType, timescale, float Duration → duration_ms, track and
+    * cluster counts; null for non-EBML bytes. */
+  def decodeEbmlHeader(payload: Column): Column =
+    graft.functions.EbmlHeaderExpr.ebml_header(payload)
+
+  /** REAL Ogg (Opus/Vorbis) header decode: codegen'd CRC-verified page
+    * walk — codec id packet + last-page granule → duration_ms; null
+    * for non-Ogg bytes. */
+  def decodeOggHeader(payload: Column): Column =
+    graft.functions.OggHeaderExpr.ogg_header(payload)
+
   /** STUB feature extraction: fixed-length deterministic feature vector
     * from payload bytes (stands in for an image/audio embedding model). */
   def featureStub(payload: Column, dim: Int): Column =

@@ -1394,25 +1394,132 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // dimension parse across the FULL sniffer surface — including the
+    // containers the pixel decoders skip (lossy VP8, AVIF, HEIC,
+    // TIFF): real VP8L/VP8-keyframe/IFD/ispe headers built closed-form
+    // in (doc_id, kind), so min-resolution gates are provably honest
+    // on the whole crawl, not just the decodable slice
+    "mm_media_dims" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.WebpCodec
+      val media = docs(s, dir).select(col("doc_id").cast("long"))
+        .as[Long].flatMap { id =>
+          def w(k: Int) = 64 + (id % 37).toInt + 10 * k
+          def h(k: Int) = 48 + (id % 29).toInt + 7 * k
+          val gray = new Array[Byte](w(0) * h(0))
+          java.util.Arrays.fill(gray, (id % 200).toByte)
+          Seq(
+            (id * 10 + 0, WebpCodec.encodeGray(w(0), h(0), gray)),
+            (id * 10 + 1, WebpCodec.lossyStub(w(1), h(1))),
+            (id * 10 + 2, MediaScenes.tiffDimsStub(w(2), h(2),
+              1 + (id % 3).toInt, bigEndian = false)),
+            (id * 10 + 3, MediaScenes.tiffDimsStub(w(3), h(3), 3,
+              bigEndian = true)),
+            (id * 10 + 4, MediaScenes.avifIspeStub("avif", w(4), h(4))),
+            (id * 10 + 5, MediaScenes.avifIspeStub("heic", w(5), h(5))))
+        }.toDF("media_id", "payload")
+      media.select(col("media_id"),
+          Multimodal.decodeHeader(col("payload")).as("d"))
+        .select(col("media_id"), col("d.format").as("format"),
+          col("d.width").cast("long").as("width"),
+          col("d.height").cast("long").as("height"),
+          col("d.channels").cast("long").as("channels"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Matroska/WebM header walk (EBML): DocType, timescale, float
+    // Duration folded to exact milliseconds, track + cluster counts —
+    // all closed-form in (doc_id, kind) for the oracle. WebM is the
+    // dominant open crawl video container; this is what lets duration
+    // and track gates run where the frame decoders can't.
+    "mm_webm_headers" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id").cast("long"))
+        .as[Long].flatMap { id =>
+          val nClusters = 1 + (id % 2).toInt
+          val cBytes = 10 + (id % 7).toInt
+          Seq(
+            (id * 2, MediaScenes.webmStub("webm", 1000000L,
+              (1000 + id % 500).toDouble, 1 + (id % 3).toInt,
+              Seq.fill(nClusters)(cBytes))),
+            (id * 2 + 1, MediaScenes.webmStub("matroska", 250000L,
+              (4 * (250 + id % 125)).toDouble, 1 + ((id + 1) % 3).toInt,
+              Seq.fill(nClusters)(cBytes))))
+        }.toDF("media_id", "payload")
+      media.select(col("media_id"),
+          Multimodal.decodeEbmlHeader(col("payload")).as("d"))
+        .select(col("media_id"), col("d.format").as("format"),
+          col("d.timescale").as("timescale"),
+          col("d.duration_ms").as("duration_ms"),
+          col("d.n_tracks").cast("long").as("n_tracks"),
+          col("d.n_clusters").as("n_clusters"),
+          col("d.data_bytes").as("data_bytes"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Ogg page walk (CRC-verified) with the two codecs crawl audio
+    // ships in open containers: OpusHead / Vorbis id packets, last-
+    // page granule → exact duration (Opus granules tick at 48 kHz
+    // minus pre-skip; Vorbis at the declared rate) — every field
+    // closed-form in (doc_id, kind)
+    "mm_ogg_headers" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id").cast("long"))
+        .as[Long].flatMap { id =>
+          val preSkip = 312 + (id % 100).toInt
+          val opusLast = preSkip + 48000L * (2 + id % 4)
+          val nMid = (id % 3).toInt // pages between BOS and last
+          def ramp(last: Long, n: Int): Seq[Long] =
+            (1 to n).map(k => last * k / (n + 1)) :+ last
+          val vorbLast = 44100L * (1 + id % 3) + 441L * (id % 7)
+          Seq(
+            (id * 2, MediaScenes.oggStub(
+              MediaScenes.opusHead(1 + (id % 2).toInt, preSkip, 48000L),
+              ramp(opusLast, nMid))),
+            (id * 2 + 1, MediaScenes.oggStub(
+              MediaScenes.vorbisId(2, 44100L), ramp(vorbLast, nMid))))
+        }.toDF("media_id", "payload")
+      media.select(col("media_id"),
+          Multimodal.decodeOggHeader(col("payload")).as("d"))
+        .select(col("media_id"), col("d.codec").as("codec"),
+          col("d.channels").cast("long").as("channels"),
+          col("d.sample_rate").as("sample_rate"),
+          col("d.pre_skip").cast("long").as("pre_skip"),
+          col("d.n_pages").as("n_pages"),
+          col("d.last_granule").as("last_granule"),
+          col("d.duration_ms").as("duration_ms"))
+        .orderBy(col("media_id"))
+    }),
+
     // per-container decode/skip ACCOUNTING over the mixed corpus plus
-    // planted lossy-VP8 payloads: the parse report that makes decoder
-    // coverage gaps (today: lossy WebP skips) visible data instead of
+    // planted lossy-VP8 / AVIF / HEIC / TIFF payloads: the parse
+    // report that makes decoder coverage gaps visible data instead of
     // silent nulls — every count is closed-form for the oracle
     "mm_container_report" -> ((s, dir) => {
       import s.implicits._
       val base = docs(s, dir).where(col("doc_id") % 11 === 0)
       val mixed = MediaScenes.synthesizeMixed(base, "doc_id", "source")
-      val lossy = base
+      val undecodable = base
         .select(col("doc_id").cast("long"), col("source").cast("string"))
         .as[(Long, String)]
-        .map { case (id, src) =>
-          val b = graft.functions.WebpCodec.lossyStub(
-            MediaScenes.sceneW(id), MediaScenes.sceneH(id))
-          (id * 10 + 9, "image", b, src, "image/webp", b.length.toLong) }
+        .flatMap { case (id, src) =>
+          Seq(
+            (id * 10 + 6, "image",
+              MediaScenes.ftypStub("avif"), src, "image/avif"),
+            (id * 10 + 7, "image",
+              MediaScenes.ftypStub("heic"), src, "image/heic"),
+            (id * 10 + 8, "image",
+              MediaScenes.tiffStub(), src, "image/tiff"),
+            (id * 10 + 9, "image",
+              graft.functions.WebpCodec.lossyStub(
+                MediaScenes.sceneW(id), MediaScenes.sceneH(id)),
+              src, "image/webp")) }
+        .map { case (id, kind, b, src, mime) =>
+          (id, kind, b, src, mime, b.length.toLong) }
         .toDF("media_id", "kind", "payload", "source", "mime", "n_bytes")
         .select(col("media_id"), col("kind"), col("payload"),
           struct(col("source"), col("mime"), col("n_bytes")).as("meta"))
-      mixed.unionByName(lossy)
+      mixed.unionByName(undecodable)
         .select(Multimodal.imageContainer(col("payload")).as("container"),
           Multimodal.decodeAnyPixels(col("payload")).isNotNull.as("decoded"))
         .groupBy(col("container"))
@@ -3804,17 +3911,61 @@ object PipelineQueries {
          |  n_samples, (n_samples * 1000 // sample_rate)::BIGINT AS duration_ms,
          |  total_bytes, vbr
          | FROM u ORDER BY media_id""".om,
-    // six sniffed classes, n payloads each = the doc_id % 11 sample;
-    // only lossy VP8 skips (decode null), everything else decodes
+    // six rows per doc: webp VP8L / webp VP8-keyframe / tiff LE /
+    // tiff BE / avif / heic, dims closed-form in (doc_id, kind)
+    "mm_media_dims" ->
+      s"""WITH k AS (SELECT unnest([0, 1, 2, 3, 4, 5]) AS k)
+         | SELECT doc_id*10 + k AS media_id,
+         |  (['webp', 'webp', 'tiff', 'tiff', 'avif', 'heic'])[k + 1] AS format,
+         |  (64 + doc_id % 37 + 10*k)::BIGINT AS width,
+         |  (48 + doc_id % 29 + 7*k)::BIGINT AS height,
+         |  (CASE WHEN k = 2 THEN 1 + doc_id % 3 ELSE 3 END)::BIGINT AS channels
+         | FROM documents CROSS JOIN k ORDER BY media_id""".om,
+    // two rows per doc: webm (ms-tick timescale) and matroska (250 µs
+    // ticks, duration ticks chosen 4·ms so the fold is exact)
+    "mm_webm_headers" ->
+      s"""WITH k AS (SELECT unnest([0, 1]) AS k)
+         | SELECT doc_id*2 + k AS media_id,
+         |  (CASE WHEN k = 0 THEN 'webm' ELSE 'mkv' END) AS format,
+         |  (CASE WHEN k = 0 THEN 1000000 ELSE 250000 END)::BIGINT AS timescale,
+         |  (CASE WHEN k = 0 THEN 1000 + doc_id % 500
+         |    ELSE 250 + doc_id % 125 END)::BIGINT AS duration_ms,
+         |  (1 + (doc_id + k) % 3)::BIGINT AS n_tracks,
+         |  (1 + doc_id % 2)::BIGINT AS n_clusters,
+         |  ((1 + doc_id % 2) * (10 + doc_id % 7))::BIGINT AS data_bytes
+         | FROM documents CROSS JOIN k ORDER BY media_id""".om,
+    // two rows per doc: Opus (48 kHz granules minus pre-skip) and
+    // Vorbis (granules at the declared rate); granule totals chosen so
+    // the integer millisecond division is exact
+    "mm_ogg_headers" ->
+      s"""WITH k AS (SELECT unnest([0, 1]) AS k)
+         | SELECT doc_id*2 + k AS media_id,
+         |  (CASE WHEN k = 0 THEN 'opus' ELSE 'vorbis' END) AS codec,
+         |  (CASE WHEN k = 0 THEN 1 + doc_id % 2 ELSE 2 END)::BIGINT AS channels,
+         |  (CASE WHEN k = 0 THEN 48000 ELSE 44100 END)::BIGINT AS sample_rate,
+         |  (CASE WHEN k = 0 THEN 312 + doc_id % 100 ELSE 0 END)::BIGINT
+         |    AS pre_skip,
+         |  (2 + doc_id % 3)::BIGINT AS n_pages,
+         |  (CASE WHEN k = 0 THEN 312 + doc_id % 100 + 48000*(2 + doc_id % 4)
+         |    ELSE 44100*(1 + doc_id % 3) + 441*(doc_id % 7) END)::BIGINT
+         |    AS last_granule,
+         |  (CASE WHEN k = 0 THEN 1000*(2 + doc_id % 4)
+         |    ELSE 1000*(1 + doc_id % 3) + 10*(doc_id % 7) END)::BIGINT
+         |    AS duration_ms
+         | FROM documents CROSS JOIN k ORDER BY media_id""".om,
+    // nine sniffed classes, n payloads each = the doc_id % 11 sample;
+    // the sniffable-but-undecodable four (lossy VP8, AVIF, HEIC, TIFF)
+    // skip (decode null), everything else decodes
     "mm_container_report" ->
       s"""WITH c AS (SELECT count(*) AS n FROM documents WHERE doc_id % 11 = 0)
          | SELECT t.container, c.n::BIGINT AS n_payloads,
-         |  (CASE WHEN t.container = 'webp_lossy' THEN 0 ELSE c.n END)::BIGINT
-         |    AS n_decoded,
-         |  (CASE WHEN t.container = 'webp_lossy' THEN c.n ELSE 0 END)::BIGINT
-         |    AS n_skipped
+         |  (CASE WHEN t.container IN ('webp_lossy', 'avif', 'heic', 'tiff')
+         |    THEN 0 ELSE c.n END)::BIGINT AS n_decoded,
+         |  (CASE WHEN t.container IN ('webp_lossy', 'avif', 'heic', 'tiff')
+         |    THEN c.n ELSE 0 END)::BIGINT AS n_skipped
          | FROM c CROSS JOIN (SELECT unnest(['bmp', 'png', 'gif', 'jpeg',
-         |   'webp_lossless', 'webp_lossy']) AS container) t
+         |   'webp_lossless', 'webp_lossy', 'avif', 'heic', 'tiff'])
+         |   AS container) t
          | ORDER BY container""".om,
     "mm_mixed_pixels" ->
       s"""WITH d AS (SELECT doc_id, 16 + 8*(doc_id % 3) AS w,

@@ -1,0 +1,213 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.MediaScenes
+
+/** The header-walk surface for the containers the pixel decoders
+  * don't own: WebP/TIFF/AVIF/HEIC dimensions through
+  * [[MediaHeaderExpr]], Matroska/WebM through [[EbmlHeaderExpr]], and
+  * Ogg (Opus/Vorbis) through [[OggHeaderExpr]] — exact parses of
+  * independently-built fixtures, edge rules, and mutation fuzz
+  * batteries (never throw, null or parse). */
+class MediaContainerWalkSpec extends AnyFunSuite {
+
+  private val media = MediaHeaderExpr(null)
+  private val ebml = EbmlHeaderExpr(null)
+  private val ogg = OggHeaderExpr(null)
+
+  private def dims(r: InternalRow): (String, Int, Int, Int) =
+    (r.getUTF8String(0).toString, r.getInt(1), r.getInt(2), r.getInt(3))
+
+  // ------------------------------------------------------------- images
+
+  test("webp dims: VP8L header, VP8 keyframe, VP8X canvas") {
+    val gray = new Array[Byte](33 * 21)
+    val vp8l = media.compute(WebpCodec.encodeGray(33, 21, gray))
+    assert(dims(vp8l) == ("webp", 33, 21, 3))
+
+    val vp8 = media.compute(WebpCodec.lossyStub(612, 408))
+    assert(dims(vp8) == ("webp", 612, 408, 3))
+
+    // non-keyframe (frame tag bit 0 set) carries no dims -> null
+    val inter = WebpCodec.lossyStub(612, 408)
+    inter(20) = (inter(20) | 1).toByte
+    assert(media.compute(inter) == null)
+
+    // hand-built VP8X: canvas 300x200, alpha flag set
+    val vp8x = new Array[Byte](30)
+    "RIFF".getBytes.copyToArray(vp8x, 0)
+    vp8x(4) = 22 // riff size
+    "WEBP".getBytes.copyToArray(vp8x, 8)
+    "VP8X".getBytes.copyToArray(vp8x, 12)
+    vp8x(16) = 10 // chunk size
+    vp8x(20) = 0x10 // alpha
+    vp8x(24) = (300 - 1).toByte; vp8x(25) = ((300 - 1) >> 8).toByte
+    vp8x(27) = (200 - 1).toByte; vp8x(28) = ((200 - 1) >> 8).toByte
+    assert(dims(media.compute(vp8x)) == ("webp", 300, 200, 4))
+
+    // VP8L alpha hint bit -> 4 channels (hand-built 5-byte header)
+    val la = new Array[Byte](25)
+    "RIFF".getBytes.copyToArray(la, 0)
+    la(4) = 17
+    "WEBP".getBytes.copyToArray(la, 8)
+    "VP8L".getBytes.copyToArray(la, 12)
+    la(16) = 5
+    la(20) = 0x2f
+    // w-1 = 15, h-1 = 9, alpha = 1: LSB-first 14+14+1 bits
+    val v = 15 | (9 << 14) | (1 << 28)
+    la(21) = v.toByte; la(22) = (v >> 8).toByte
+    la(23) = (v >> 16).toByte; la(24) = (v >> 24).toByte
+    assert(dims(media.compute(la)) == ("webp", 16, 10, 4))
+  }
+
+  test("tiff dims: both byte orders, SHORT and LONG, default samples") {
+    assert(dims(media.compute(MediaScenes.tiffDimsStub(800, 600, 3,
+      bigEndian = false))) == ("tiff", 800, 600, 3))
+    assert(dims(media.compute(MediaScenes.tiffDimsStub(123, 45, 1,
+      bigEndian = true))) == ("tiff", 123, 45, 1))
+    // the bare header stub (no IFD entries readable) stays null
+    assert(media.compute(MediaScenes.tiffStub()) == null)
+    // drop SamplesPerPixel (entry count 2): default samples = 1
+    val t = MediaScenes.tiffDimsStub(50, 40, 9, bigEndian = false)
+    t(8) = 2
+    assert(dims(media.compute(t)) == ("tiff", 50, 40, 1))
+  }
+
+  test("avif/heic dims: the meta/iprp/ipco/ispe walk") {
+    assert(dims(media.compute(MediaScenes.avifIspeStub("avif", 1920, 1080)))
+      == ("avif", 1920, 1080, 3))
+    assert(dims(media.compute(MediaScenes.avifIspeStub("heic", 640, 480)))
+      == ("heic", 640, 480, 3))
+    // a bare ftyp (no meta box) classifies but has no dims -> null
+    assert(media.compute(MediaScenes.ftypStub("avif")) == null)
+    assert(PixelDecode.container(MediaScenes.ftypStub("avif")) == "avif")
+  }
+
+  // -------------------------------------------------------------- ebml
+
+  private def ebmlRow(b: Array[Byte]): (String, Long, Long, Int, Long, Long) = {
+    val r = ebml.compute(b)
+    assert(r != null)
+    (r.getUTF8String(0).toString, r.getLong(1), r.getLong(2), r.getInt(3),
+      r.getLong(4), r.getLong(5))
+  }
+
+  test("webm/matroska: timescale, float duration, tracks, clusters") {
+    val b = MediaScenes.webmStub("webm", 1000000L, 12345.0, 2, Seq(64, 32))
+    assert(ebmlRow(b) == ("webm", 1000000L, 12345L, 2, 2L, 96L))
+
+    // 250 us ticks: 4 ticks per ms
+    val mkv = MediaScenes.webmStub("matroska", 250000L, 4000.0, 1, Nil)
+    assert(ebmlRow(mkv) == ("mkv", 250000L, 1000L, 1, 0L, 0L))
+
+    // foreign DocType -> null
+    assert(ebml.compute(MediaScenes.webmStub("ogv", 1000000L, 1.0, 1,
+      Nil)) == null)
+  }
+
+  test("ebml: unknown-size segment extends to end of payload") {
+    val b = MediaScenes.webmStub("webm", 1000000L, 777.0, 1, Seq(16))
+    // find the Segment id (18 53 80 67) and make its 4-byte size the
+    // all-ones (= unknown) form
+    var at = -1
+    var i = 0
+    while (at < 0 && i + 4 <= b.length) {
+      if ((b(i) & 0xff) == 0x18 && (b(i + 1) & 0xff) == 0x53 &&
+        (b(i + 2) & 0xff) == 0x80 && (b(i + 3) & 0xff) == 0x67) at = i
+      i += 1
+    }
+    assert(at > 0)
+    b(at + 4) = 0x1f; b(at + 5) = 0xff.toByte
+    b(at + 6) = 0xff.toByte; b(at + 7) = 0xff.toByte
+    assert(ebmlRow(b) == ("webm", 1000000L, 777L, 1, 1L, 16L))
+  }
+
+  test("ebml: duration absent reports -1; missing Info is null") {
+    // hand-built: EBML header (DocType webm) + Segment{Info{scale}}
+    def elem(id: Array[Int], body: Array[Byte]): Array[Byte] =
+      id.map(_.toByte).toArray ++
+        Array[Byte]((0x10 | (body.length >> 24)).toByte,
+          (body.length >> 16).toByte, (body.length >> 8).toByte,
+          body.length.toByte) ++ body
+    val hdr = elem(Array(0x1a, 0x45, 0xdf, 0xa3),
+      elem(Array(0x42, 0x82), "webm".getBytes("US-ASCII")))
+    val info = elem(Array(0x15, 0x49, 0xa9, 0x66),
+      elem(Array(0x2a, 0xd7, 0xb1), Array[Byte](0x0f, 0x42, 0x40)))
+    val r = ebml.compute(hdr ++ elem(Array(0x18, 0x53, 0x80, 0x67), info))
+    assert(r != null && r.getLong(2) == -1L)
+    val noInfo = ebml.compute(hdr ++
+      elem(Array(0x18, 0x53, 0x80, 0x67), Array.emptyByteArray))
+    assert(noInfo == null)
+  }
+
+  // --------------------------------------------------------------- ogg
+
+  private def oggRow(b: Array[Byte]): (String, Int, Long, Int, Long, Long, Long) = {
+    val r = ogg.compute(b)
+    assert(r != null)
+    (r.getUTF8String(0).toString, r.getInt(1), r.getLong(2), r.getInt(3),
+      r.getLong(4), r.getLong(5), r.getLong(6))
+  }
+
+  test("ogg opus: pre-skip subtracted, 48 kHz granules") {
+    val b = MediaScenes.oggStub(MediaScenes.opusHead(2, 312, 48000L),
+      Seq(24000L, 48312L + 96000L))
+    assert(oggRow(b) ==
+      ("opus", 2, 48000L, 312, 3L, 48312L + 96000L,
+        (48312L + 96000L - 312) * 1000 / 48000))
+  }
+
+  test("ogg vorbis: granules at the declared rate") {
+    val b = MediaScenes.oggStub(MediaScenes.vorbisId(2, 44100L),
+      Seq(44100L * 3))
+    assert(oggRow(b) == ("vorbis", 2, 44100L, 0, 2L, 132300L, 3000L))
+  }
+
+  test("ogg: CRC corruption, truncation, unknown first packet are null") {
+    val good = MediaScenes.oggStub(MediaScenes.opusHead(1, 0, 48000L),
+      Seq(48000L))
+    val bad = good.clone()
+    bad(bad.length - 1) = (bad(bad.length - 1) ^ 0x55).toByte
+    assert(ogg.compute(bad) == null, "payload flip must fail the CRC")
+    assert(ogg.compute(java.util.Arrays.copyOf(good, good.length - 3)) == null)
+    assert(ogg.compute(MediaScenes.oggStub(
+      "FLAC....ignored....".getBytes("US-ASCII"), Seq(1L))) == null)
+  }
+
+  // -------------------------------------------------------------- fuzz
+
+  test("fuzz: every walk survives mutation and truncation") {
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val fixtures: Seq[(Array[Byte], Array[Byte] => AnyRef)] = Seq(
+      (WebpCodec.lossyStub(612, 408), media.compute _),
+      (MediaScenes.tiffDimsStub(800, 600, 3, bigEndian = false),
+        media.compute _),
+      (MediaScenes.tiffDimsStub(12, 34, 1, bigEndian = true),
+        media.compute _),
+      (MediaScenes.avifIspeStub("avif", 1920, 1080), media.compute _),
+      (MediaScenes.webmStub("webm", 1000000L, 5000.0, 2, Seq(32, 16)),
+        ebml.compute _),
+      (MediaScenes.oggStub(MediaScenes.opusHead(2, 312, 48000L),
+        Seq(1000L, 96312L)), ogg.compute _),
+      (MediaScenes.oggStub(MediaScenes.vorbisId(2, 44100L), Seq(44100L)),
+        ogg.compute _))
+    fixtures.foreach { case (base, walk) =>
+      var k = 0
+      while (k < 400) {
+        val b = base.clone()
+        val flips = 1 + rnd.nextInt(4)
+        var f = 0
+        while (f < flips) {
+          b(rnd.nextInt(b.length)) =
+            (b(rnd.nextInt(b.length)) ^ (1 << rnd.nextInt(8))).toByte
+          f += 1
+        }
+        walk(b) // parse or null; never throw
+        walk(java.util.Arrays.copyOf(b, rnd.nextInt(b.length + 1)))
+        k += 1
+      }
+    }
+  }
+}

@@ -104,6 +104,172 @@ class PixelDecodeSpec extends AnyFunSuite {
       "rgba")
   }
 
+  /** The general builder: any legal depth × color type, sequential or
+    * Adam7, per-row filter choice (filters applied for real, so the
+    * decoder's un-filtering is exercised per pass). `sample` returns
+    * the RAW sample value (0..2^depth-1, or 0..65535 at depth 16). */
+  private def pngN(w: Int, h: Int, color: Int, depth: Int, interlace: Int,
+                   sample: (Int, Int, Int) => Int,
+                   plte: Array[Byte] = null,
+                   filterOf: Int => Int = _ => 0): Array[Byte] = {
+    val channels = color match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+    }
+    val bpp = math.max(1, channels * depth / 8)
+    val passes =
+      if (interlace == 0) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val raw = new ByteArrayOutputStream()
+    for ((xs, ys, xstep, ystep) <- passes) {
+      val pw = if (w > xs) (w - xs + xstep - 1) / xstep else 0
+      val ph = if (h > ys) (h - ys + ystep - 1) / ystep else 0
+      if (pw > 0 && ph > 0) {
+        val sb = (channels * depth * pw + 7) / 8
+        var prev = new Array[Byte](sb)
+        for (row <- 0 until ph) {
+          val cur = new Array[Byte](sb)
+          for (col <- 0 until pw; c <- 0 until channels) {
+            val v = sample(xs + col * xstep, ys + row * ystep, c)
+            val s = col * channels + c
+            if (depth == 16) {
+              cur(2 * s) = (v >> 8).toByte; cur(2 * s + 1) = v.toByte
+            } else if (depth == 8) cur(s) = v.toByte
+            else {
+              val bit = s * depth
+              cur(bit / 8) =
+                (cur(bit / 8) | (v << (8 - depth - (bit & 7)))).toByte
+            }
+          }
+          val ft = filterOf(row)
+          raw.write(ft)
+          for (x <- 0 until sb) {
+            val left = if (x >= bpp) cur(x - bpp) & 0xff else 0
+            val up = prev(x) & 0xff // zeroed on each pass's first row
+            val ul = if (x >= bpp) prev(x - bpp) & 0xff else 0
+            val pred = ft match {
+              case 0 => 0
+              case 1 => left
+              case 2 => up
+              case 3 => (left + up) >> 1
+              case 4 =>
+                val p = left + up - ul
+                val pa = math.abs(p - left); val pb = math.abs(p - up)
+                val pc = math.abs(p - ul)
+                if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+            }
+            raw.write(((cur(x) & 0xff) - pred) & 0xff)
+          }
+          prev = cur
+        }
+      }
+    }
+    val ihdr = be4(w) ++ be4(h) ++
+      Array[Byte](depth.toByte, color.toByte, 0, 0, interlace.toByte)
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++
+      (if (plte != null) chunk("PLTE", plte) else Array.empty[Byte]) ++
+      chunk("IDAT", deflate(raw.toByteArray)) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** ImageIO-referenced comparison that knows the depth contract:
+    * sub-byte gray replicates to 8 bits (×255/×85/×17), 16-bit keeps
+    * the high byte (compared against ImageIO's RAW raster samples, so
+    * no dependence on getRGB's own 16→8 rounding); palette and 8-bit
+    * color go through getRGB. */
+  private def assertPngDepth(bytes: Array[Byte], what: String,
+                             depth: Int): Unit = {
+    val ours = PixelDecode.decode(bytes)
+    assert(ours != null, s"$what: our decode nulled")
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(ref != null, s"$what: ImageIO rejected the fixture")
+    assert(ours.w == ref.getWidth && ours.h == ref.getHeight, what)
+    val gray = ref.getColorModel.getColorSpace.getType ==
+      java.awt.color.ColorSpace.TYPE_GRAY
+    val indexed =
+      ref.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
+    val gscale = depth match {
+      case 1 => 255; case 2 => 85; case 4 => 17; case _ => 1
+    }
+    for (y <- 0 until ours.h; x <- 0 until ours.w) {
+      val at = 3 * (y * ours.w + x)
+      if (gray) {
+        val s = ref.getRaster.getSample(x, y, 0)
+        val expect = if (depth == 16) s >> 8 else s * gscale
+        assert((ours.px(at) & 0xff) == expect &&
+          ours.px(at) == ours.px(at + 1) && ours.px(at) == ours.px(at + 2),
+          s"$what: pixel ($x,$y) ours=${ours.px(at) & 0xff} want=$expect")
+      } else if (!indexed && depth == 16) {
+        for (c <- 0 until 3)
+          assert((ours.px(at + c) & 0xff) ==
+            (ref.getRaster.getSample(x, y, c) >> 8),
+            s"$what: pixel ($x,$y) band $c")
+      } else {
+        val p = ref.getRGB(x, y)
+        assert((ours.px(at) & 0xff) == ((p >> 16) & 0xff) &&
+          (ours.px(at + 1) & 0xff) == ((p >> 8) & 0xff) &&
+          (ours.px(at + 2) & 0xff) == (p & 0xff),
+          s"$what: pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("PNG sub-byte depths (1/2/4, gray + palette) decode exactly") {
+    val (w, h) = (13, 9)
+    val filt = (r: Int) => r % 5 // all five filters in every fixture
+    for (d <- Seq(1, 2, 4)) {
+      val max = (1 << d) - 1
+      assertPngDepth(pngN(w, h, 0, d, 0,
+        (x, y, _) => (x * 3 + y * 5) % (max + 1), filterOf = filt),
+        s"gray d$d", d)
+      val pal = Array.tabulate((max + 1) * 3)(i =>
+        ((i * 47 + 11) % 256).toByte)
+      assertPngDepth(pngN(w, h, 3, d, 0,
+        (x, y, _) => (x + y) % (max + 1), plte = pal, filterOf = filt),
+        s"palette d$d", d)
+    }
+  }
+
+  test("PNG 16-bit (gray, gray+alpha, RGB, RGBA) decodes exactly") {
+    val (w, h) = (11, 7)
+    val filt = (r: Int) => (r + 2) % 5
+    assertPngDepth(pngN(w, h, 0, 16, 0,
+      (x, y, _) => (x * 4111 + y * 257) % 65536, filterOf = filt),
+      "gray16", 16)
+    assertPngDepth(pngN(w, h, 4, 16, 0,
+      (x, y, c) => if (c == 0) (x * 911 + y * 5003) % 65536 else 65535,
+      filterOf = filt), "gray+alpha16", 16)
+    assertPngDepth(pngN(w, h, 2, 16, 0,
+      (x, y, c) => (x * 257 + y * 6553 + c * 9973) % 65536,
+      filterOf = filt), "rgb16", 16)
+    assertPngDepth(pngN(w, h, 6, 16, 0,
+      (x, y, c) => if (c < 3) (x * 1009 + y * 313 + c * 771) % 65536
+                   else 65535, filterOf = filt), "rgba16", 16)
+  }
+
+  test("PNG Adam7 interlace decodes exactly at every depth class") {
+    val filt = (r: Int) => (r + 1) % 5
+    // big enough that all 7 passes are non-empty
+    assertPngDepth(pngN(17, 13, 2, 8, 1,
+      (x, y, c) => (x * 7 + y * 13 + c * 31) % 256, filterOf = filt),
+      "adam7 rgb8", 8)
+    assertPngDepth(pngN(17, 13, 0, 4, 1,
+      (x, y, _) => (x + 2 * y) % 16, filterOf = filt), "adam7 gray4", 4)
+    assertPngDepth(pngN(17, 13, 0, 16, 1,
+      (x, y, _) => (x * 3001 + y * 407) % 65536, filterOf = filt),
+      "adam7 gray16", 16)
+    val pal = Array.tabulate(4 * 3)(i => ((i * 63 + 5) % 256).toByte)
+    assertPngDepth(pngN(17, 13, 3, 2, 1,
+      (x, y, _) => (x * y) % 4, plte = pal, filterOf = filt),
+      "adam7 palette2", 2)
+    // sizes where some passes are EMPTY (w or h below pass origins)
+    for ((w, h) <- Seq((1, 1), (3, 2), (2, 9), (8, 1), (5, 5)))
+      assertPngDepth(pngN(w, h, 6, 8, 1,
+        (x, y, c) => if (c < 3) (x * 19 + y * 23 + c * 7) % 256 else 255,
+        filterOf = filt), s"adam7 rgba8 ${w}x$h", 8)
+  }
+
   test("GIF: interlaced and local-color-table streams decode exactly") {
     // build through ImageIO? it writes GIF89a; instead craft via the
     // repo's encoder shape with the flags flipped — simplest is to
@@ -152,12 +318,59 @@ class PixelDecodeSpec extends AnyFunSuite {
     assertMatchesImageIO(out.toByteArray, "interlaced+lct")
   }
 
+  test("container sniffing: ISO-BMFF ftyp brands and TIFF classify") {
+    import graft.ops.MediaScenes
+    assert(PixelDecode.container(MediaScenes.ftypStub("avif")) == "avif")
+    assert(PixelDecode.container(MediaScenes.ftypStub("heic")) == "heic")
+    assert(PixelDecode.container(MediaScenes.ftypStub("mif1")) == "heic")
+    assert(PixelDecode.container(MediaScenes.tiffStub()) == "tiff")
+    // big-endian TIFF
+    assert(PixelDecode.container(
+      Array[Byte]('M', 'M', 0, 42, 0, 0, 0, 8)) == "tiff")
+    // avif wins wherever it appears among compatible brands
+    val heicMajorAvifCompat = {
+      val b = MediaScenes.ftypStub("heic")
+      "avif".zipWithIndex.foreach { case (c, i) => b(16 + i) = c.toByte }
+      b
+    }
+    assert(PixelDecode.container(heicMajorAvifCompat) == "avif")
+    // unknown brands stay null (mp42 major AND compatible); no DECODE
+    val plainMp4 = {
+      val b = MediaScenes.ftypStub("mp42")
+      "mp41".zipWithIndex.foreach { case (c, i) => b(16 + i) = c.toByte }
+      b
+    }
+    assert(PixelDecode.container(plainMp4) == null)
+    assert(PixelDecode.decode(MediaScenes.ftypStub("avif")) == null)
+    assert(PixelDecode.decode(MediaScenes.tiffStub()) == null)
+    // mutation fuzz over the sniffers: never throw
+    val rnd = new scala.util.Random(12)
+    Seq(MediaScenes.ftypStub("avif"), MediaScenes.tiffStub()).foreach {
+      clean =>
+        (0 until 60).foreach { _ =>
+          val b = clean.clone()
+          b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+          PixelDecode.container(b); PixelDecode.decode(b)
+        }
+        (0 until clean.length).foreach { i =>
+          PixelDecode.container(clean.take(i)) }
+    }
+  }
+
   test("fuzz: the new PNG/GIF variants never throw under mutation") {
     val plte = Array.tabulate(256 * 3)(i => (i % 256).toByte)
+    val pal4 = Array.tabulate(16 * 3)(i => (i * 13 % 256).toByte)
     val fixtures = Seq(
       png(12, 8, 0, 1, (x, y, _) => (x + y) % 256),
       png(12, 8, 3, 1, (x, y, _) => (x * y) % 256, plte),
-      png(12, 8, 6, 4, (x, y, c) => (x + y + c) % 256))
+      png(12, 8, 6, 4, (x, y, c) => (x + y + c) % 256),
+      // the depth/interlace variants: sub-byte, 16-bit, Adam7
+      pngN(12, 8, 0, 2, 0, (x, y, _) => (x + y) % 4,
+        filterOf = _ % 5),
+      pngN(12, 8, 3, 4, 1, (x, y, _) => (x * y) % 16, plte = pal4,
+        filterOf = _ % 5),
+      pngN(12, 8, 2, 16, 1, (x, y, c) => (x * 300 + y * 77 + c) % 65536,
+        filterOf = _ % 5))
     val rnd = new scala.util.Random(2026)
     fixtures.foreach { clean =>
       (0 until 80).foreach { _ =>
