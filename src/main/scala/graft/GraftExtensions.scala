@@ -101,6 +101,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_audio_fingerprint" ->
         graft.functions.AudioFingerprintExpr.audio_fingerprint,
       "graft_video_dhash" -> graft.functions.VideoDHashExpr.video_dhash,
+      "graft_media_header" -> graft.functions.MediaHeaderExpr.media_header,
+      "graft_audio_header" -> graft.functions.AudioHeaderExpr.audio_header,
+      "graft_video_header" -> graft.functions.VideoHeaderExpr.video_header,
+      "graft_ebml_header" -> graft.functions.EbmlHeaderExpr.ebml_header,
+      "graft_ogg_header" -> graft.functions.OggHeaderExpr.ogg_header,
       "graft_deflate_ratio" ->
         graft.functions.DeflateRatioExpr.deflate_ratio,
       "graft_html_text" -> graft.ops.WebText.htmlToText,

@@ -327,15 +327,19 @@ object MediaHeaderExpr {
 }
 
 /** REAL audio-header decode: parses the published WAV container (RIFF,
-  * little-endian) from a `BINARY` column — `RIFF` + `WAVE` form header,
-  * then a word-aligned chunk walk collecting the `fmt ` chunk (PCM
-  * format word, channel count, sample rate, block align, bits per
-  * sample) and the `data` chunk size, from which the frame count is
-  * `data_size / block_align`. Returns
+  * little-endian) and the FLAC STREAMINFO block from a `BINARY`
+  * column. WAV: `RIFF` + `WAVE` form header, then a word-aligned chunk
+  * walk collecting the `fmt ` chunk (PCM format word, channel count,
+  * sample rate, block align, bits per sample) and the `data` chunk
+  * size, from which the frame count is `data_size / block_align`.
+  * FLAC: the `fLaC` magic, then the metadata-block walk (1-byte
+  * last-flag + type, 3-byte big-endian length) to STREAMINFO, whose
+  * packed tail carries the 20-bit sample rate, 3-bit channels-1,
+  * 5-bit bits-per-sample-1 and 36-bit total sample count. Returns
   * `struct<format, sample_rate, channels, bits_per_sample, n_frames>`,
-  * or null when the bytes are not a WAV (missing form header, no
-  * `fmt `/`data` chunk, or a chunk walk that runs off the payload).
-  * Same codegen shape as [[MediaHeaderExpr]]. */
+  * or null when the bytes are neither (missing form header, no
+  * `fmt `/`data` chunk / STREAMINFO, or a walk that runs off the
+  * payload). Same codegen shape as [[MediaHeaderExpr]]. */
 case class AudioHeaderExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = AudioHeaderExpr.schema
@@ -356,7 +360,40 @@ case class AudioHeaderExpr(child: Expression) extends UnaryExpression {
     b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
       b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
 
+  /** FLAC metadata walk to STREAMINFO (block type 0, 34 bytes). */
+  private def computeFlac(b: Array[Byte]): InternalRow = {
+    var i = 4
+    var last = false
+    while (!last && i + 4 <= b.length) {
+      val hdr = b(i) & 0xff
+      last = (hdr & 0x80) != 0
+      val typ = hdr & 0x7f
+      val len = ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) |
+        (b(i + 3) & 0xff)
+      if (i + 4 + len > b.length) return null
+      if (typ == 0) {
+        if (len < 34) return null
+        val at = i + 4 + 10 // past block/frame size fields
+        // 20-bit rate | 3-bit channels-1 | 5-bit bps-1 | 36-bit total
+        val rate = ((b(at) & 0xff) << 12) | ((b(at + 1) & 0xff) << 4) |
+          ((b(at + 2) & 0xff) >> 4)
+        val channels = 1 + ((b(at + 2) >> 1) & 0x7)
+        val bps = 1 + (((b(at + 2) & 1) << 4) | ((b(at + 3) & 0xff) >> 4))
+        var total = (b(at + 3) & 0xfL)
+        var k = 0
+        while (k < 4) { total = (total << 8) | (b(at + 4 + k) & 0xff); k += 1 }
+        if (rate <= 0) return null
+        return InternalRow(UTF8String.fromString("flac"),
+          rate, channels, bps, total)
+      }
+      i += 4 + len
+    }
+    null
+  }
+
   def compute(b: Array[Byte]): InternalRow = {
+    if (b.length >= 42 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' &&
+      b(3) == 'C') return computeFlac(b)
     if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
     var i = 12
     var sampleRate = -1L

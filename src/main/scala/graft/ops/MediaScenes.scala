@@ -360,6 +360,36 @@ object MediaScenes {
       info ++ tracks ++ clusters)
   }
 
+  /** FLAC header: `fLaC` magic, a VORBIS_COMMENT padding block first
+    * (so the walk is exercised), then the last-flagged STREAMINFO with
+    * the packed rate / channels / bits / total-samples tail. */
+  def flacStub(rate: Int, channels: Int, bits: Int,
+      totalSamples: Long): Array[Byte] = {
+    val out = new Array[Byte](4 + 4 + 12 + 4 + 34)
+    putCc(out, 0, "fLaC")
+    out(4) = 4 // VORBIS_COMMENT, not last
+    out(6) = 0; out(7) = 12 // 3-byte length
+    var i = 20
+    out(i) = 0x80.toByte // STREAMINFO, last
+    out(i + 3) = 34
+    i += 4
+    // min/max block size (2+2) + min/max frame size (3+3) = 10 bytes
+    out(i) = 0x10; out(i + 1) = 0; out(i + 2) = 0x10 // block size 4096
+    val at = i + 10
+    out(at) = (rate >> 12).toByte
+    out(at + 1) = (rate >> 4).toByte
+    out(at + 2) = (((rate & 0xf) << 4) | ((channels - 1) << 1) |
+      ((bits - 1) >> 4)).toByte
+    out(at + 3) = ((((bits - 1) & 0xf) << 4) |
+      ((totalSamples >> 32) & 0xf)).toInt.toByte
+    var k = 0
+    while (k < 4) {
+      out(at + 4 + k) = (totalSamples >> (8 * (3 - k))).toByte
+      k += 1
+    } // remaining 16 bytes: MD5 of zeros
+    out
+  }
+
   /** RFC 7845 OpusHead identification packet. */
   def opusHead(channels: Int, preSkip: Int, inputRate: Long): Array[Byte] = {
     val out = new Array[Byte](19)

@@ -1491,6 +1491,27 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // FLAC STREAMINFO walk through the SAME audio header decode WAV
+    // uses: the packed 20-bit rate / 3-bit channels / 5-bit bits /
+    // 36-bit total-samples tail, every field closed-form in doc_id
+    "mm_flac_headers" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id").cast("long"))
+        .as[Long].map { id =>
+          val rate = Array(44100, 48000, 96000, 22050)((id % 4).toInt)
+          (id, MediaScenes.flacStub(rate, 1 + (id % 2).toInt,
+            16 + 8 * (id % 2).toInt, 100000L * (1 + id % 5) + id % 997))
+        }.toDF("media_id", "payload")
+      media.select(col("media_id"),
+          Multimodal.decodeAudioHeader(col("payload")).as("d"))
+        .select(col("media_id"), col("d.format").as("format"),
+          col("d.sample_rate").cast("long").as("sample_rate"),
+          col("d.channels").cast("long").as("channels"),
+          col("d.bits_per_sample").cast("long").as("bits_per_sample"),
+          col("d.n_frames").as("n_frames"))
+        .orderBy(col("media_id"))
+    }),
+
     // per-container decode/skip ACCOUNTING over the mixed corpus plus
     // planted lossy-VP8 / AVIF / HEIC / TIFF payloads: the parse
     // report that makes decoder coverage gaps visible data instead of
@@ -3953,6 +3974,14 @@ object PipelineQueries {
          |    ELSE 1000*(1 + doc_id % 3) + 10*(doc_id % 7) END)::BIGINT
          |    AS duration_ms
          | FROM documents CROSS JOIN k ORDER BY media_id""".om,
+    "mm_flac_headers" ->
+      s"""SELECT doc_id AS media_id, 'flac' AS format,
+         |  ([44100, 48000, 96000, 22050])[(doc_id % 4)::INT + 1]::BIGINT
+         |    AS sample_rate,
+         |  (1 + doc_id % 2)::BIGINT AS channels,
+         |  (16 + 8*(doc_id % 2))::BIGINT AS bits_per_sample,
+         |  (100000*(1 + doc_id % 5) + doc_id % 997)::BIGINT AS n_frames
+         | FROM documents ORDER BY media_id""".om,
     // nine sniffed classes, n payloads each = the doc_id % 11 sample;
     // the sniffable-but-undecodable four (lossy VP8, AVIF, HEIC, TIFF)
     // skip (decode null), everything else decodes

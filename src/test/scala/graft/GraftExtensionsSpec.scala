@@ -91,8 +91,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val tfh = s.sql("SELECT graft_video_frame_hashes(p) AS hs FROM y4m_rows")
         .head().getSeq[Long](0)
       assert(tfh.nonEmpty)
+      // container header walks reach SQL: dims for an undecodable
+      // container (TIFF), WebM duration, Ogg/Opus duration
+      val walks = Seq((
+        graft.ops.MediaScenes.tiffDimsStub(800, 600, 3, bigEndian = true),
+        graft.ops.MediaScenes.webmStub("webm", 1000000L, 2500.0, 2, Seq(32)),
+        graft.ops.MediaScenes.oggStub(
+          graft.ops.MediaScenes.opusHead(2, 312, 48000L), Seq(48312L))))
+        .toDF("tif", "mkv", "oga")
+      walks.createOrReplaceTempView("walk_rows")
+      val wr = s.sql(
+        """SELECT graft_media_header(tif).width AS w,
+          |  graft_ebml_header(mkv).duration_ms AS d,
+          |  graft_ogg_header(oga).duration_ms AS o
+          |FROM walk_rows""".stripMargin).head()
+      assert(wr.getInt(0) == 800 && wr.getLong(1) == 2500L &&
+        wr.getLong(2) == 1000L)
       // null gate survives the SQL path too
       assert(s.sql("SELECT graft_image_dhash(CAST('nope' AS BINARY)) IS NULL")
+        .head().getBoolean(0))
+      assert(s.sql("SELECT graft_ebml_header(CAST('nope' AS BINARY)) IS NULL")
+        .head().getBoolean(0))
+      assert(s.sql("SELECT graft_ogg_header(CAST('nope' AS BINARY)) IS NULL")
         .head().getBoolean(0))
       assert(s.sql("SELECT graft_jpeg_pixels(CAST('nope' AS BINARY)) IS NULL")
         .head().getBoolean(0))

@@ -85,6 +85,24 @@ class MediaContainerWalkSpec extends AnyFunSuite {
     assert(PixelDecode.container(MediaScenes.ftypStub("avif")) == "avif")
   }
 
+  // -------------------------------------------------------------- flac
+
+  private val audio = AudioHeaderExpr(null)
+
+  test("flac STREAMINFO: packed rate/channels/bits/total, block walk") {
+    val r = audio.compute(MediaScenes.flacStub(44100, 2, 16, 123456789L))
+    assert(r != null)
+    assert(r.getUTF8String(0).toString == "flac")
+    assert(r.getInt(1) == 44100 && r.getInt(2) == 2 && r.getInt(3) == 16)
+    assert(r.getLong(4) == 123456789L)
+    // a 36-bit total crosses the 4-byte boundary
+    val big = audio.compute(MediaScenes.flacStub(96000, 8, 24, 0xBcdef0123L))
+    assert(big.getLong(4) == 0xBcdef0123L && big.getInt(2) == 8 &&
+      big.getInt(3) == 24)
+    // bare magic with no STREAMINFO is null, not a throw
+    assert(audio.compute("fLaC....".getBytes("US-ASCII")) == null)
+  }
+
   // -------------------------------------------------------------- ebml
 
   private def ebmlRow(b: Array[Byte]): (String, Long, Long, Int, Long, Long) = {
@@ -187,6 +205,7 @@ class MediaContainerWalkSpec extends AnyFunSuite {
       (MediaScenes.tiffDimsStub(12, 34, 1, bigEndian = true),
         media.compute _),
       (MediaScenes.avifIspeStub("avif", 1920, 1080), media.compute _),
+      (MediaScenes.flacStub(44100, 2, 16, 1000000L), audio.compute _),
       (MediaScenes.webmStub("webm", 1000000L, 5000.0, 2, Seq(32, 16)),
         ebml.compute _),
       (MediaScenes.oggStub(MediaScenes.opusHead(2, 312, 48000L),
