@@ -1474,12 +1474,18 @@ object Y4mStatsExpr {
   * MP4 box structure (ISO/IEC 14496-12) from a `BINARY` column — the
   * leading `ftyp` box (major brand), a top-level box walk to `moov`
   * (children: `mvhd` version-0 for timescale and duration, one `trak`
-  * per track) and `mdat` (media payload size). Returns
-  * `struct<format, brand, timescale, duration, n_tracks, data_bytes>`,
-  * or null when the bytes are not a v0 MP4 (no leading ftyp, missing
-  * moov/mvhd, or any box size that escapes its container). Unknown
-  * boxes at either level are skipped by size — the normal ISO-BMFF
-  * reader contract. Same codegen shape as [[MediaHeaderExpr]]. */
+  * per track) and `mdat` (media payload size), plus a TRACK-level walk
+  * inside each `trak`: `tkhd`'s 16.16 fixed-point presentation size,
+  * `mdia`→`hdlr`'s handler type, and `mdia`→`minf`→`stbl`→`stsd`'s
+  * first sample-entry fourcc — the first `vide` track's dimensions and
+  * codec (avc1/hev1/vp09/av01…) surface so resolution and codec gates
+  * run on MP4 payloads. Returns `struct<format, brand, timescale,
+  * duration, n_tracks, data_bytes, video_w, video_h, video_codec>`
+  * (zero dims / empty codec when no video track parses), or null when
+  * the bytes are not a v0 MP4 (no leading ftyp, missing moov/mvhd, or
+  * any box size that escapes its container). Unknown boxes at any
+  * level are skipped by size — the normal ISO-BMFF reader contract.
+  * Same codegen shape as [[MediaHeaderExpr]]. */
 case class VideoHeaderExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = VideoHeaderExpr.schema
@@ -1497,6 +1503,20 @@ case class VideoHeaderExpr(child: Expression) extends UnaryExpression {
     b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
       b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
 
+  /** First child box with fourcc `cc` in [from, until): (dataStart,
+    * boxEnd) or (-1, -1); malformed sizes end the scan. */
+  private def findBox(b: Array[Byte], from: Int, until: Int,
+      cc: String): (Int, Int) = {
+    var i = from
+    while (i + 8 <= until) {
+      val sz = be4u(b, i)
+      if (sz < 8 || i + sz > until) return (-1, -1)
+      if (tag(b, i + 4, cc)) return (i + 8, (i + sz).toInt)
+      i += sz.toInt
+    }
+    (-1, -1)
+  }
+
   def compute(b: Array[Byte]): InternalRow = {
     if (b.length < 16) return null
     val ftypSize = be4u(b, 0)
@@ -1508,6 +1528,9 @@ case class VideoHeaderExpr(child: Expression) extends UnaryExpression {
     var tracks = 0
     var dataBytes = -1L
     var foundMoov = false
+    var videoW = 0
+    var videoH = 0
+    var videoCodec = ""
     while (i + 8 <= b.length) {
       val sz = be4u(b, i)
       if (sz < 8 || i + sz > b.length) return null // escapes the payload
@@ -1526,6 +1549,37 @@ case class VideoHeaderExpr(child: Expression) extends UnaryExpression {
             duration = be4u(b, j + 24)
           } else if (tag(b, j + 4, "trak")) {
             tracks += 1
+            if (videoCodec.isEmpty) {
+              // track-level walk: tkhd presentation size, hdlr handler
+              // type, stsd first sample-entry fourcc
+              val trakEnd = j + csz.toInt
+              val mdia = findBox(b, j + 8, trakEnd, "mdia")
+              val hdlr =
+                if (mdia._1 < 0) (-1, -1)
+                else findBox(b, mdia._1, mdia._2, "hdlr")
+              val isVideo = hdlr._1 >= 0 && hdlr._1 + 12 <= hdlr._2 &&
+                tag(b, hdlr._1 + 8, "vide")
+              if (isVideo) {
+                val tkhd = findBox(b, j + 8, trakEnd, "tkhd")
+                // v0 tkhd data: width/height 16.16 at offsets 76/80
+                if (tkhd._1 >= 0 && tkhd._1 + 84 <= tkhd._2 &&
+                  (b(tkhd._1) & 0xff) == 0) {
+                  videoW = (be4u(b, tkhd._1 + 76) >> 16).toInt
+                  videoH = (be4u(b, tkhd._1 + 80) >> 16).toInt
+                }
+                val minf = findBox(b, mdia._1, mdia._2, "minf")
+                val stbl =
+                  if (minf._1 < 0) (-1, -1)
+                  else findBox(b, minf._1, minf._2, "stbl")
+                val stsd =
+                  if (stbl._1 < 0) (-1, -1)
+                  else findBox(b, stbl._1, stbl._2, "stsd")
+                // stsd data: ver/flags(4) entry_count(4), then the
+                // first sample entry's size(4) + format fourcc(4)
+                if (stsd._1 >= 0 && stsd._1 + 16 <= stsd._2)
+                  videoCodec = new String(b, stsd._1 + 12, 4, "US-ASCII")
+              }
+            }
           }
           j += csz.toInt
         }
@@ -1536,7 +1590,8 @@ case class VideoHeaderExpr(child: Expression) extends UnaryExpression {
     }
     if (!foundMoov || timescale <= 0) return null
     InternalRow(UTF8String.fromString("mp4"), UTF8String.fromString(brand),
-      timescale, duration, tracks, dataBytes)
+      timescale, duration, tracks, dataBytes, videoW, videoH,
+      UTF8String.fromString(videoCodec))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -1562,7 +1617,10 @@ object VideoHeaderExpr {
     StructField("timescale", LongType, nullable = false),
     StructField("duration", LongType, nullable = false),
     StructField("n_tracks", IntegerType, nullable = false),
-    StructField("data_bytes", LongType, nullable = false)))
+    StructField("data_bytes", LongType, nullable = false),
+    StructField("video_w", IntegerType, nullable = false),
+    StructField("video_h", IntegerType, nullable = false),
+    StructField("video_codec", StringType, nullable = false)))
 
   /** Column wrapper: codegen'd MP4/ISO-BMFF header decode over a binary
     * payload column. */

@@ -360,6 +360,57 @@ object MediaScenes {
       info ++ tracks ++ clusters)
   }
 
+  /** MP4 with a REAL video track: ftyp + moov{mvhd, trak{tkhd(16.16
+    * dims), mdia{hdlr('vide'), minf{stbl{stsd(codec entry)}}}},
+    * `nAudio` × audio trak} — exercises the track-level box walk
+    * (dimensions, handler routing, sample-entry fourcc). */
+  def mp4TrackStub(w: Int, h: Int, codec: String, timescale: Long,
+      duration: Long, nAudio: Int): Array[Byte] = {
+    def fullBox(cc: String, body: Array[Byte]): Array[Byte] =
+      bmffBox(cc, new Array[Byte](4) ++ body) // version 0 + flags
+    def mvhd: Array[Byte] = {
+      val body = new Array[Byte](96)
+      putBe4(body, 8, timescale.toInt)
+      putBe4(body, 12, duration.toInt)
+      putBe4(body, 16, 0x00010000) // rate 1.0
+      putBe4(body, 32, 0x00010000); putBe4(body, 48, 0x00010000)
+      putBe4(body, 64, 0x40000000) // unity matrix
+      putBe4(body, 92, nAudio + 2) // next_track_ID
+      fullBox("mvhd", body)
+    }
+    def tkhd(id: Int, tw: Int, th: Int): Array[Byte] = {
+      val body = new Array[Byte](80)
+      putBe4(body, 8, id)
+      putBe4(body, 16, duration.toInt)
+      putBe4(body, 36, 0x00010000); putBe4(body, 52, 0x00010000)
+      putBe4(body, 68, 0x40000000) // unity matrix
+      putBe4(body, 72, tw << 16); putBe4(body, 76, th << 16)
+      fullBox("tkhd", body)
+    }
+    def hdlr(kind: String): Array[Byte] = {
+      val body = new Array[Byte](20) // pre_defined + type + reserved(12)
+      kind.getBytes("US-ASCII").copyToArray(body, 4)
+      fullBox("hdlr", body)
+    }
+    def stsd(fourcc: String): Array[Byte] = {
+      val entry = bmffBox(fourcc, new Array[Byte](8)) // opaque entry body
+      val body = new Array[Byte](4 + entry.length)
+      putBe4(body, 0, 1) // entry_count
+      entry.copyToArray(body, 4)
+      fullBox("stsd", body)
+    }
+    def trak(id: Int, kind: String, fourcc: String, tw: Int,
+        th: Int): Array[Byte] =
+      bmffBox("trak", tkhd(id, tw, th) ++ bmffBox("mdia",
+        hdlr(kind) ++ bmffBox("minf", bmffBox("stbl", stsd(fourcc)))))
+    val traks = trak(1, "vide", codec, w, h) ++
+      (0 until nAudio).flatMap(k => trak(2 + k, "soun", "mp4a", 0, 0))
+    val ftyp = new Array[Byte](16)
+    putBe4(ftyp, 0, 16); putCc(ftyp, 4, "ftyp"); putCc(ftyp, 8, "isom")
+    ftyp ++ bmffBox("moov", mvhd ++ traks) ++
+      bmffBox("mdat", new Array[Byte](24))
+  }
+
   /** FLAC header: `fLaC` magic, a VORBIS_COMMENT padding block first
     * (so the walk is exercised), then the last-flagged STREAMINFO with
     * the packed rate / channels / bits / total-samples tail. */

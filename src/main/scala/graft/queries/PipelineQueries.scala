@@ -1491,6 +1491,32 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // track-level MP4 walk: tkhd 16.16 presentation size, hdlr-routed
+    // video track, stsd sample-entry codec fourcc — resolution/codec
+    // gates on the dominant closed crawl video container, every field
+    // closed-form in doc_id
+    "mm_mp4_tracks" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id").cast("long"))
+        .as[Long].map { id =>
+          val codecs = Array("avc1", "hev1", "vp09", "av01")
+          val codec = codecs((id % 4).toInt)
+          (id, MediaScenes.mp4TrackStub(320 + 16 * (id % 20).toInt,
+            180 + 16 * (id % 11).toInt, codec, 90000L,
+            90000L * (1 + id % 10), nAudio = (id % 2).toInt))
+        }.toDF("media_id", "payload")
+      media.select(col("media_id"),
+          Multimodal.decodeVideoHeader(col("payload")).as("d"))
+        .select(col("media_id"),
+          col("d.video_w").cast("long").as("video_w"),
+          col("d.video_h").cast("long").as("video_h"),
+          col("d.video_codec").as("video_codec"),
+          col("d.n_tracks").cast("long").as("n_tracks"),
+          col("d.timescale").as("timescale"),
+          col("d.duration").as("duration"))
+        .orderBy(col("media_id"))
+    }),
+
     // FLAC STREAMINFO walk through the SAME audio header decode WAV
     // uses: the packed 20-bit rate / 3-bit channels / 5-bit bits /
     // 36-bit total-samples tail, every field closed-form in doc_id
@@ -3974,6 +4000,16 @@ object PipelineQueries {
          |    ELSE 1000*(1 + doc_id % 3) + 10*(doc_id % 7) END)::BIGINT
          |    AS duration_ms
          | FROM documents CROSS JOIN k ORDER BY media_id""".om,
+    "mm_mp4_tracks" ->
+      s"""SELECT doc_id AS media_id,
+         |  (320 + 16*(doc_id % 20))::BIGINT AS video_w,
+         |  (180 + 16*(doc_id % 11))::BIGINT AS video_h,
+         |  (['avc1', 'hev1', 'vp09', 'av01'])[(doc_id % 4)::INT + 1]
+         |    AS video_codec,
+         |  (1 + doc_id % 2)::BIGINT AS n_tracks,
+         |  90000::BIGINT AS timescale,
+         |  (90000*(1 + doc_id % 10))::BIGINT AS duration
+         | FROM documents ORDER BY media_id""".om,
     "mm_flac_headers" ->
       s"""SELECT doc_id AS media_id, 'flac' AS format,
          |  ([44100, 48000, 96000, 22050])[(doc_id % 4)::INT + 1]::BIGINT

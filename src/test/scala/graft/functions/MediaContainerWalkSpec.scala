@@ -103,6 +103,43 @@ class MediaContainerWalkSpec extends AnyFunSuite {
     assert(audio.compute("fLaC....".getBytes("US-ASCII")) == null)
   }
 
+  // --------------------------------------------------------- mp4 tracks
+
+  private val video = VideoHeaderExpr(null)
+
+  test("mp4 track walk: tkhd dims, hdlr routing, stsd codec fourcc") {
+    val r = video.compute(MediaScenes.mp4TrackStub(1280, 720, "avc1",
+      90000L, 900000L, nAudio = 1))
+    assert(r != null)
+    assert(r.getUTF8String(1).toString == "isom")
+    assert(r.getLong(2) == 90000L && r.getLong(3) == 900000L)
+    assert(r.getInt(4) == 2) // one video + one audio trak
+    assert(r.getInt(6) == 1280 && r.getInt(7) == 720)
+    assert(r.getUTF8String(8).toString == "avc1")
+    // zero audio tracks; a different codec fourcc
+    val av1 = video.compute(MediaScenes.mp4TrackStub(640, 360, "av01",
+      600L, 1200L, nAudio = 0))
+    assert(av1.getInt(4) == 1 && av1.getInt(6) == 640 &&
+      av1.getUTF8String(8).toString == "av01")
+    // audio-only trak (the synthesizeVideo shape): dims 0, codec empty
+    val audioOnly = MediaScenes.mp4TrackStub(0, 0, "mp4a", 600L, 600L, 0)
+    // rewrite its hdlr 'vide' to 'soun' so no video track exists
+    var k = 0
+    var found = false
+    while (!found && k + 4 <= audioOnly.length) {
+      if (audioOnly(k) == 'v' && audioOnly(k + 1) == 'i' &&
+        audioOnly(k + 2) == 'd' && audioOnly(k + 3) == 'e') {
+        "soun".getBytes("US-ASCII").copyToArray(audioOnly, k)
+        found = true
+      }
+      k += 1
+    }
+    assert(found)
+    val noVid = video.compute(audioOnly)
+    assert(noVid.getInt(6) == 0 && noVid.getInt(7) == 0 &&
+      noVid.getUTF8String(8).toString == "")
+  }
+
   // -------------------------------------------------------------- ebml
 
   private def ebmlRow(b: Array[Byte]): (String, Long, Long, Int, Long, Long) = {
@@ -206,6 +243,8 @@ class MediaContainerWalkSpec extends AnyFunSuite {
         media.compute _),
       (MediaScenes.avifIspeStub("avif", 1920, 1080), media.compute _),
       (MediaScenes.flacStub(44100, 2, 16, 1000000L), audio.compute _),
+      (MediaScenes.mp4TrackStub(1280, 720, "avc1", 90000L, 900000L, 1),
+        video.compute _),
       (MediaScenes.webmStub("webm", 1000000L, 5000.0, 2, Seq(32, 16)),
         ebml.compute _),
       (MediaScenes.oggStub(MediaScenes.opusHead(2, 312, 48000L),
