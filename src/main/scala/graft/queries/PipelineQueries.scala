@@ -1491,6 +1491,49 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // the INTEGRATION gate for the header-walk surface: min-resolution
+    // on a lossy-WebP image (undecodable pixels, dims from the VP8
+    // keyframe header), resolution + codec on an MP4 video track,
+    // duration on an Ogg/Opus audio stream — a multimodal keep/drop
+    // decision on three payloads NO pixel/sample decoder here can
+    // decode, which is exactly the situation a real crawl puts a gate
+    // in; every field closed-form in doc_id
+    "mm_media_gate" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.WebpCodec
+      val media = docs(s, dir).select(col("doc_id").cast("long"))
+        .as[Long].map { id =>
+          val codecs = Array("avc1", "hev1", "vp09", "av01")
+          (id,
+            WebpCodec.lossyStub(200 + 8 * (id % 100).toInt,
+              150 + 4 * (id % 80).toInt),
+            MediaScenes.mp4TrackStub(320 + 16 * (id % 20).toInt,
+              180 + 16 * (id % 11).toInt, codecs((id % 4).toInt),
+              90000L, 90000L * (1 + id % 10), nAudio = 1),
+            MediaScenes.oggStub(
+              MediaScenes.opusHead(2, 312, 48000L),
+              Seq(312L + 48000L * (2 + id % 8))))
+        }.toDF("doc_id", "img", "vid", "aud")
+      media.select(col("doc_id"),
+          Multimodal.decodeHeader(col("img")).as("i"),
+          Multimodal.decodeVideoHeader(col("vid")).as("v"),
+          Multimodal.decodeOggHeader(col("aud")).as("a"))
+        .select(col("doc_id"),
+          col("i.width").cast("long").as("img_w"),
+          col("i.height").cast("long").as("img_h"),
+          col("v.video_w").cast("long").as("video_w"),
+          col("v.video_codec").as("video_codec"),
+          (col("v.duration") * 1000L / col("v.timescale")).as("video_ms"),
+          col("a.duration_ms").as("audio_ms"))
+        .withColumn("keep",
+          col("img_w") * col("img_h") >= 160000L &&
+            col("video_w") >= 480L &&
+            col("video_codec").isin("avc1", "av01") &&
+            col("video_ms").between(3000L, 9000L) &&
+            col("audio_ms") >= 4000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // track-level MP4 walk: tkhd 16.16 presentation size, hdlr-routed
     // video track, stsd sample-entry codec fourcc — resolution/codec
     // gates on the dominant closed crawl video container, every field
@@ -4018,6 +4061,26 @@ object PipelineQueries {
          |  (16 + 8*(doc_id % 2))::BIGINT AS bits_per_sample,
          |  (100000*(1 + doc_id % 5) + doc_id % 997)::BIGINT AS n_frames
          | FROM documents ORDER BY media_id""".om,
+    // every field the gate reads is a closed form of doc_id: lossy-WebP
+    // dims from the VP8 keyframe header, MP4 tkhd/stsd walk, Ogg/Opus
+    // granule duration — the oracle replays the arithmetic
+    "mm_media_gate" ->
+      s"""WITH m AS (SELECT doc_id,
+         |   (200 + 8*(doc_id % 100))::BIGINT AS img_w,
+         |   (150 + 4*(doc_id % 80))::BIGINT AS img_h,
+         |   (320 + 16*(doc_id % 20))::BIGINT AS video_w,
+         |   (['avc1', 'hev1', 'vp09', 'av01'])[(doc_id % 4)::INT + 1]
+         |     AS video_codec,
+         |   (90000*(1 + doc_id % 10))*1000/90000 AS video_ms,
+         |   (1000*(2 + doc_id % 8))::BIGINT AS audio_ms
+         |  FROM documents)
+         | SELECT doc_id, img_w, img_h, video_w, video_codec, video_ms,
+         |  audio_ms,
+         |  (img_w*img_h >= 160000 AND video_w >= 480
+         |   AND video_codec IN ('avc1', 'av01')
+         |   AND video_ms BETWEEN 3000 AND 9000
+         |   AND audio_ms >= 4000) AS keep
+         | FROM m ORDER BY doc_id""".om,
     // nine sniffed classes, n payloads each = the doc_id % 11 sample;
     // the sniffable-but-undecodable four (lossy VP8, AVIF, HEIC, TIFF)
     // skip (decode null), everything else decodes
