@@ -1330,7 +1330,7 @@ object ScaleCheck {
     val n = 200000L
     val imgOff = 10000000L
     val imgPlanted = n / 5
-    val nContainers = containers.size // all five, WebP included
+    val nContainers = containers.size // all six, lossy VP8 included
     val media = spark.range(n + imgPlanted).as[Long].map { row =>
       // originals cycle through every container; the planted twin of
       // scene id (id ≡ 0 mod 5) lands in the NEXT container under

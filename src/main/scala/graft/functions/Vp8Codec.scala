@@ -47,8 +47,10 @@ object Vp8Codec {
   // ------------------------------------------------------- bool decoder
 
   /** RFC 6386 §7.3 boolean decoder. Reads past the partition end as
-    * zero bytes (legal streams may need a few trailing bits), but
-    * bounds the overrun so corrupt streams terminate. */
+    * zero bytes only up to the value-register slack (encoders flush
+    * the full 32-bit register, so a WHOLE stream never needs more) —
+    * beyond that the stream is truncated and the decode fails, the
+    * same stance libwebp's final-bytes model takes. */
   private[functions] final class Bool(b: Array[Byte], from: Int, until: Int) {
     private var pos = from
     private var range = 255
@@ -59,7 +61,7 @@ object Vp8Codec {
 
     private def next(): Int =
       if (pos < until) { val v = b(pos) & 0xff; pos += 1; v }
-      else { virtualBytes += 1; if (virtualBytes > 64) fail(); 0 }
+      else { virtualBytes += 1; if (virtualBytes > 3) fail(); 0 }
 
     def bit(prob: Int): Int = {
       val split = 1 + (((range - 1) * prob) >> 8)
@@ -1526,6 +1528,115 @@ object Vp8Codec {
     out.write(payload, 0, payload.length)
     if ((payload.length & 1) == 1) out.write(0)
     out.toByteArray
+  }
+
+  /** Closed-form oracle fixture: a grayscale keyframe whose luma is
+    * flat per 16x16 macroblock at exactly `vals` (MB raster order),
+    * chroma 128. Each MB is DC-predicted with a single Y2 DC token
+    * chosen so the WHT→DCT reconstruction lands exactly on the target
+    * (dc2 = 8·r − 4 makes the per-pixel residual exactly r at qi=0,
+    * where y2dc = 8): decoded pixels ARE `vals`, so a SQL oracle can
+    * replay them without modelling the codec. The RGB view is also
+    * exact: gray (v,128,128) → (v,v,v) under the BT.601 math. */
+  def encodeGrayMbFlat(w: Int, h: Int, vals: Array[Int]): Array[Byte] = {
+    val spec = new FrameSpec(w, h, 0) // qi 0: y1dc=4, y2dc=8
+    val mbW = spec.mbW
+    val mbH = spec.mbH
+    require(vals.length == mbW * mbH, s"${vals.length} != ${mbW * mbH}")
+    // replay DC_PRED over the exactly-reconstructed flat MBs
+    val recon = new Array[Int](mbW * mbH)
+    var mbY = 0
+    while (mbY < mbH) {
+      var mbX = 0
+      while (mbX < mbW) {
+        val mb = mbY * mbW + mbX
+        val v = vals(mb)
+        require(v >= 0 && v <= 255, s"luma $v out of range")
+        val pred =
+          if (mbX == 0 && mbY == 0) 128
+          else if (mbY == 0) recon(mb - 1)
+          else if (mbX == 0) recon(mb - mbW)
+          else (recon(mb - 1) + recon(mb - mbW) + 1) >> 1
+        val r = v - pred
+        if (r != 0) {
+          val dc2 = 8 * r - 4
+          spec.y2(mb) = Array(dc2) ++ new Array[Int](15)
+        }
+        recon(mb) = pred + r
+        mbX += 1
+      }
+      mbY += 1
+    }
+    encodeFrame(spec)
+  }
+
+  /** Closed-form oracle fixture for per-4x4-flat grayscale content
+    * (e.g. the 8x8-block oracle scenes): every MB is B_PRED with
+    * all-B_DC subblocks and a per-subblock DC-only residual chosen so
+    * reconstruction is exact (type-3 DC dequant is 4 at qi=0, so
+    * dc = 2·r − 1 puts the IDCT output exactly at r). Decoded pixels
+    * ARE the input scene; frame padding replicates the edge. The
+    * input must be flat within each 4x4 (edge-extended) cell. */
+  def encodeGrayB4x4(w: Int, h: Int, gray: Array[Byte]): Array[Byte] = {
+    require(gray.length == w * h)
+    val spec = new FrameSpec(w, h, 0)
+    val mbW = spec.mbW
+    val mbH = spec.mbH
+    val sbW = mbW * 4
+    val sbH = mbH * 4
+    // per-4x4 target values, edge-extended; require flatness
+    val v = new Array[Int](sbW * sbH)
+    var sy = 0
+    while (sy < sbH) {
+      var sx = 0
+      while (sx < sbW) {
+        val x0 = math.min(sx * 4, w - 1)
+        val y0 = math.min(sy * 4, h - 1)
+        val t = gray(y0 * w + x0) & 0xff
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) {
+            val x = math.min(sx * 4 + c, w - 1)
+            val y = math.min(sy * 4 + r, h - 1)
+            require((gray(y * w + x) & 0xff) == t,
+              s"scene not flat in 4x4 cell ($sx,$sy)")
+            c += 1
+          }
+          r += 1
+        }
+        v(sy * sbW + sx) = t
+        sx += 1
+      }
+      sy += 1
+    }
+    var mb = 0
+    while (mb < mbW * mbH) {
+      spec.bModes(mb) = new Array[Int](16) // all B_DC
+      spec.yCoeff(mb) = new Array[Array[Int]](16)
+      mb += 1
+    }
+    sy = 0
+    while (sy < sbH) {
+      var sx = 0
+      while (sx < sbW) {
+        // replay B_DC: 4 above + 4 left samples, fictitious 127/129
+        val above = if (sy == 0) 127 * 4 else v((sy - 1) * sbW + sx) * 4
+        val left = if (sx == 0) 129 * 4 else v(sy * sbW + sx - 1) * 4
+        val pred = (above + left + 4) >> 3
+        val r = v(sy * sbW + sx) - pred
+        if (r != 0) {
+          val mbIdx = (sy >> 2) * mbW + (sx >> 2)
+          val sb = (sy & 3) * 4 + (sx & 3)
+          val a = new Array[Int](16)
+          a(0) = 2 * r - 1
+          spec.yCoeff(mbIdx)(sb) = a
+        }
+        sx += 1
+      }
+      sy += 1
+    }
+    encodeFrame(spec)
   }
 
   // ----------------------------------------------------------- RGB view

@@ -176,6 +176,15 @@ object Vp8Debug {
       }
       write(nm, s3)
     }
+    // exact-fixture paths: flat-MB gray + per-4x4 B_DC gray
+    val mbVals = Array.tabulate(3 * 2)(i => 20 + 37 * i)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/fx_mb.webp"),
+      Vp8Codec.encodeGrayMbFlat(48, 32, mbVals))
+    val g = new Array[Byte](40 * 24)
+    for (y <- 0 until 24; x <- 0 until 40)
+      g(y * 40 + x) = ((7 * (x / 8) * 37 + (y / 8) * 101) % 200).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/fx_b4.webp"),
+      Vp8Codec.encodeGrayB4x4(40, 24, g))
     println("generated")
   }
 }

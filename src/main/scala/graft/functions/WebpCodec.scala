@@ -1,16 +1,17 @@
 package graft.functions
 
-/** WebP lossless (VP8L) codec, pure JVM from the published container
-  * and bitstream specifications (RIFF container; "WebP Lossless
-  * Bitstream Specification"). The decoder covers the full VP8L
-  * surface: all four transforms (predictor with its 14 modes,
-  * cross-color, subtract-green, color-indexing with sub-byte pixel
-  * packing), color cache, LZ77 backward references with the 120-entry
-  * 2D distance map, meta-Huffman entropy images, and both simple and
-  * code-length-coded Huffman code representations. Lossy WebP ("VP8 "
-  * chunks) is deliberately not decoded — [[riffKind]] classifies it so
-  * ingest can COUNT skipped payloads instead of dropping them
-  * silently.
+/** WebP codec, pure JVM from the published container and bitstream
+  * specifications (RIFF container; "WebP Lossless Bitstream
+  * Specification"; RFC 6386 for lossy VP8 via [[Vp8Codec]]). The VP8L
+  * decoder covers the full lossless surface: all four transforms
+  * (predictor with its 14 modes, cross-color, subtract-green,
+  * color-indexing with sub-byte pixel packing), color cache, LZ77
+  * backward references with the 120-entry 2D distance map,
+  * meta-Huffman entropy images, and both simple and code-length-coded
+  * Huffman code representations. Lossy "VP8 " chunks decode through
+  * the RFC 6386 keyframe decoder, so BOTH WebP flavors now reach the
+  * pixel surface; [[riffKind]] still classifies the flavor for the
+  * per-container ingest accounting.
   *
   * The encoder emits a deliberately simple but fully valid stream (no
   * transforms, literal-coded pixels, per-channel canonical codes:
@@ -60,8 +61,9 @@ object WebpCodec {
     null
   }
 
-  /** Decode a WebP payload to RGB; null unless it carries a whole,
-    * valid VP8L (lossless) stream. */
+  /** Decode a WebP payload to RGB: VP8L (lossless) via [[decodeVp8l]],
+    * VP8 (lossy keyframe) via [[Vp8Codec]]; null unless the container
+    * carries a whole, valid stream of either flavor. */
   def decode(b: Array[Byte]): PixelDecode.Rgb = {
     if (!isWebp(b)) return null
     var i = 12
@@ -70,6 +72,8 @@ object WebpCodec {
       if (size < 0 || i + 8 + size > b.length) return null
       if (fourCc(b, i, "VP8L"))
         return decodeVp8l(b, i + 8, i + 8 + size.toInt)
+      if (fourCc(b, i, "VP8 "))
+        return Vp8Codec.decode(b, i + 8, i + 8 + size.toInt)
       i += 8 + size.toInt + (size.toInt & 1)
     }
     null

@@ -199,13 +199,20 @@ object MediaScenes {
     case "gif" => gifBytes(w, h, gray)
     case "jpeg" => jpegBytes(w, h, gray)
     case "webp" => webpBytes(w, h, gray)
+    // lossy VP8 keyframe, exact for per-4x4-flat scenes (the oracle
+    // scenes are 8x8-block flat) — a REAL arithmetic-coded stream the
+    // RFC 6386 decoder reconstructs bit-exactly
+    case "webp_lossy" =>
+      graft.functions.Vp8Codec.encodeGrayB4x4(w, h, gray)
     case other => sys.error(s"unknown container: $other")
   }
 
-  val Containers: Seq[String] = Seq("bmp", "png", "gif", "jpeg", "webp")
+  val Containers: Seq[String] =
+    Seq("bmp", "png", "gif", "jpeg", "webp", "webp_lossy")
 
   private def mime(container: String): String = container match {
     case "jpeg" => "image/jpeg"
+    case "webp_lossy" => "image/webp"
     case c => s"image/$c"
   }
 

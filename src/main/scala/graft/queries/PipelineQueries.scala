@@ -1304,6 +1304,49 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL lossy-WebP decode: a full RFC 6386 VP8 keyframe stream
+    // (boolean arithmetic coder, B_PRED subblock prediction, DC-only
+    // token residuals solved for exact reconstruction) — the scenes
+    // decode to exactly the closed-form block values, so the same
+    // oracle that gates the lossless containers gates VP8
+    "mm_webp_lossy_pixels" -> ((s, dir) => {
+      val media = MediaScenes.synthesize(docs(s, dir), "doc_id", "source",
+        "webp_lossy")
+      media.select(col("media_id"),
+          Multimodal.decodeAnyPixels(col("payload")).as("f"))
+        .select(col("media_id"), col("f.width").as("width"),
+          col("f.height").as("height"), col("f.n_pixels").as("n_pixels"),
+          col("f.sum_r").as("sum_r"), col("f.sum_g").as("sum_g"),
+          col("f.sum_b").as("sum_b"), col("f.max_lum").as("max_lum"))
+        .orderBy(col("media_id"))
+    }),
+
+    // the OTHER VP8 intra path (16x16 DC prediction + the Y2
+    // second-order WHT, skip-flagged all-zero macroblocks): per-MB
+    // flat frames whose reconstruction is exactly the closed per-MB
+    // value grid
+    "mm_vp8_mb_pixels" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.Vp8Codec
+      val media = docs(s, dir).select(col("doc_id").cast("long"))
+        .as[Long].map { id =>
+          val w = 32 + 16 * (id % 3).toInt
+          val h = 32 + 16 * (id % 2).toInt
+          val vals = Array.tabulate((w / 16) * (h / 16)) { mb =>
+            val mx = mb % (w / 16); val my = mb / (w / 16)
+            ((id * 11 + mx * 53 + my * 89) % 256).toInt
+          }
+          (id, Vp8Codec.encodeGrayMbFlat(w, h, vals))
+        }.toDF("media_id", "payload")
+      media.select(col("media_id"),
+          Multimodal.decodeAnyPixels(col("payload")).as("f"))
+        .select(col("media_id"), col("f.width").as("width"),
+          col("f.height").as("height"), col("f.n_pixels").as("n_pixels"),
+          col("f.sum_r").as("sum_r"), col("f.sum_g").as("sum_g"),
+          col("f.sum_b").as("sum_b"), col("f.max_lum").as("max_lum"))
+        .orderBy(col("media_id"))
+    }),
+
     // REAL Adobe CMYK JPEG decode (APP14 transform 0, inverted-ink
     // convention — the one real-world JPEG tail format with crawl
     // share): 4-component interleaved Huffman streams, flat blocks
@@ -3938,6 +3981,35 @@ object PipelineQueries {
          |  (64*list_sum(vs))::BIGINT AS sum_b,
          |  (10000*list_max(vs))::BIGINT AS max_lum
          | FROM bs ORDER BY media_id""".om,
+    // identical pixels to the lossless containers — the VP8 stream
+    // reconstructs the scene exactly
+    "mm_webp_lossy_pixels" ->
+      s"""WITH d AS (SELECT doc_id AS media_id, 16 + 8*(doc_id % 3) AS w,
+         |   16 + 8*(doc_id % 2) AS h FROM documents),
+         | bs AS (SELECT media_id, w, h, flatten(list_transform(range(0, h//8), by ->
+         |   list_transform(range(0, w//8), bx ->
+         |     (media_id*7 + bx*37 + by*101) % 200))) AS vs FROM d)
+         | SELECT media_id, w::BIGINT AS width, h::BIGINT AS height,
+         |  (w*h)::BIGINT AS n_pixels,
+         |  (64*list_sum(vs))::BIGINT AS sum_r,
+         |  (64*list_sum(vs))::BIGINT AS sum_g,
+         |  (64*list_sum(vs))::BIGINT AS sum_b,
+         |  (10000*list_max(vs))::BIGINT AS max_lum
+         | FROM bs ORDER BY media_id""".om,
+    // flat-MB VP8 frames: per-16x16 value grid replayed closed-form
+    "mm_vp8_mb_pixels" ->
+      s"""WITH d AS (SELECT doc_id AS media_id, 32 + 16*(doc_id % 3) AS w,
+         |   32 + 16*(doc_id % 2) AS h FROM documents),
+         | bs AS (SELECT media_id, w, h, flatten(list_transform(range(0, h//16), my ->
+         |   list_transform(range(0, w//16), mx ->
+         |     (media_id*11 + mx*53 + my*89) % 256))) AS vs FROM d)
+         | SELECT media_id, w::BIGINT AS width, h::BIGINT AS height,
+         |  (w*h)::BIGINT AS n_pixels,
+         |  (256*list_sum(vs))::BIGINT AS sum_r,
+         |  (256*list_sum(vs))::BIGINT AS sum_g,
+         |  (256*list_sum(vs))::BIGINT AS sum_b,
+         |  (10000*list_max(vs))::BIGINT AS max_lum
+         | FROM bs ORDER BY media_id""".om,
     // CMYK pixels recomputed from the closed channel form: channel ch
     // of block (bx,by) stores (id*7 + ch*31 + bx*37 + by*101) % 200
     // + 30, and the decoder's inverted-ink math is (c*k + 127) // 255
@@ -4081,15 +4153,19 @@ object PipelineQueries {
          |   AND video_ms BETWEEN 3000 AND 9000
          |   AND audio_ms >= 4000) AS keep
          | FROM m ORDER BY doc_id""".om,
-    // nine sniffed classes, n payloads each = the doc_id % 11 sample;
-    // the sniffable-but-undecodable four (lossy VP8, AVIF, HEIC, TIFF)
-    // skip (decode null), everything else decodes
+    // nine sniffed classes; webp_lossy appears TWICE per doc — a real
+    // VP8 keyframe from the mixed corpus (decodes) and a truncated
+    // header stub (counted skipped) — so the report shows lossy WebP
+    // decoding AND that partial payloads still surface as data; the
+    // sniffable-but-undecodable three (AVIF, HEIC, TIFF) skip
     "mm_container_report" ->
       s"""WITH c AS (SELECT count(*) AS n FROM documents WHERE doc_id % 11 = 0)
-         | SELECT t.container, c.n::BIGINT AS n_payloads,
-         |  (CASE WHEN t.container IN ('webp_lossy', 'avif', 'heic', 'tiff')
-         |    THEN 0 ELSE c.n END)::BIGINT AS n_decoded,
-         |  (CASE WHEN t.container IN ('webp_lossy', 'avif', 'heic', 'tiff')
+         | SELECT t.container,
+         |  (CASE WHEN t.container = 'webp_lossy' THEN 2*c.n ELSE c.n
+         |   END)::BIGINT AS n_payloads,
+         |  (CASE WHEN t.container IN ('avif', 'heic', 'tiff') THEN 0
+         |    ELSE c.n END)::BIGINT AS n_decoded,
+         |  (CASE WHEN t.container IN ('avif', 'heic', 'tiff', 'webp_lossy')
          |    THEN c.n ELSE 0 END)::BIGINT AS n_skipped
          | FROM c CROSS JOIN (SELECT unnest(['bmp', 'png', 'gif', 'jpeg',
          |   'webp_lossless', 'webp_lossy', 'avif', 'heic', 'tiff'])
@@ -4102,7 +4178,7 @@ object PipelineQueries {
          |   list_transform(range(0, w//8), bx ->
          |     (doc_id*7 + bx*37 + by*101) % 200))) AS vs FROM d),
          | mm AS (SELECT doc_id*10 + i AS media_id, w, h, vs FROM bs
-         |   CROSS JOIN (SELECT unnest(range(0, 5)) AS i))
+         |   CROSS JOIN (SELECT unnest(range(0, 6)) AS i))
          | SELECT media_id, w::BIGINT AS width, h::BIGINT AS height,
          |  (w*h)::BIGINT AS n_pixels,
          |  (64*list_sum(vs))::BIGINT AS sum_r,
@@ -4191,7 +4267,7 @@ object PipelineQueries {
          |     THEN 1::BIGINT << (r*7+c) ELSE 0::BIGINT END))))::BIGINT AS dh
          |  FROM g),
          | mm AS (SELECT doc_id*10 + i AS media_id, dh FROM hh
-         |   CROSS JOIN (SELECT unnest(range(0, 5)) AS i))
+         |   CROSS JOIN (SELECT unnest(range(0, 6)) AS i))
          | SELECT media_id, dh AS dhash FROM mm ORDER BY media_id""".om,
     "mm_image_neardup" ->
       s"""WITH d AS (SELECT doc_id, 16 + 8*(doc_id % 3) AS w,
@@ -4207,7 +4283,7 @@ object PipelineQueries {
          |     THEN 1::BIGINT << (r*7+c) ELSE 0::BIGINT END))))::BIGINT AS dh
          |  FROM g),
          | mm AS (SELECT doc_id*10 + i AS media_id, dh FROM hh
-         |   CROSS JOIN (SELECT unnest(range(0, 5)) AS i))
+         |   CROSS JOIN (SELECT unnest(range(0, 6)) AS i))
          | SELECT a.media_id AS id1, b.media_id AS id2,
          |  bit_count(xor(a.dh, b.dh))::BIGINT AS hamming
          | FROM mm a JOIN mm b ON a.media_id < b.media_id
@@ -4255,7 +4331,7 @@ object PipelineQueries {
          |     THEN 1::BIGINT << (r*7+c) ELSE 0::BIGINT END))))::BIGINT AS dh
          |  FROM g),
          | mm AS (SELECT doc_id*10 + i AS media_id, dh FROM hh
-         |   CROSS JOIN (SELECT unnest(range(0, 5)) AS i)),
+         |   CROSS JOIN (SELECT unnest(range(0, 6)) AS i)),
          | pairs AS (SELECT a.media_id AS id1, b.media_id AS id2
          |  FROM mm a JOIN mm b ON a.media_id < b.media_id
          |  WHERE bit_count(xor(a.dh, b.dh)) <= 3),
@@ -4281,9 +4357,9 @@ object PipelineQueries {
          |     THEN 1::BIGINT << (r*7+c) ELSE 0::BIGINT END))))::BIGINT AS dh
          |  FROM g),
          | mm AS (SELECT doc_id*10 + i AS media_id, dh FROM hh
-         |   CROSS JOIN (SELECT unnest(range(0, 5)) AS i)),
+         |   CROSS JOIN (SELECT unnest(range(0, 6)) AS i)),
          | np AS (SELECT doc_id*10 + i AS media_id, (w*h)::BIGINT AS np
-         |  FROM d CROSS JOIN (SELECT unnest(range(0, 5)) AS i)),
+         |  FROM d CROSS JOIN (SELECT unnest(range(0, 6)) AS i)),
          | pairs AS (SELECT a.media_id AS id1, b.media_id AS id2
          |  FROM mm a JOIN mm b ON a.media_id < b.media_id
          |  WHERE bit_count(xor(a.dh, b.dh)) <= 3),
