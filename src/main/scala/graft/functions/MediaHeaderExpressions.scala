@@ -1277,8 +1277,9 @@ object AnyPixelStatsExpr {
 
 /** REAL lossless-WebP pixel decode ([[WebpCodec]] — full VP8L: the
   * four transforms, color cache, LZ77 backward references,
-  * meta-Huffman) + the shared order-free image features. Null for
-  * non-WebP, lossy-VP8 or corrupt payloads. */
+  * meta-Huffman; lossy VP8 via the RFC 6386 keyframe decoder) + the
+  * shared order-free image features. Null for non-WebP or corrupt
+  * payloads. */
 case class WebpPixelStatsExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ImagePixelStatsExpr.schema

@@ -12,10 +12,10 @@ import org.apache.spark.sql.catalyst.InternalRow
   * Adam7 interlaced), GIF (variable-width LZW,
   * global or local palette, sequential or interlaced), JPEG
   * ([[JpegCodec]] — Huffman + dequant + IDCT + YCbCr, sequential AND
-  * progressive, EXIF-orientation normalized), and lossless WebP
-  * ([[WebpCodec]] — full VP8L: all four transforms, color cache,
-  * LZ77, meta-Huffman; lossy VP8 classifies via
-  * [[WebpCodec.riffKind]] and is counted, not silently dropped).
+  * progressive, EXIF-orientation normalized), and BOTH WebP flavors
+  * ([[WebpCodec]] — full VP8L lossless: all four transforms, color
+  * cache, LZ77, meta-Huffman; and lossy VP8 keyframes through the
+  * RFC 6386 decoder in [[Vp8Codec]], bit-exact with libwebp).
   * Every decoder returns null (never throws) on bytes it doesn't own
   * or can't prove whole. */
 object PixelDecode {
@@ -23,8 +23,8 @@ object PixelDecode {
   /** A decoded image: packed RGB bytes, 3·w·h, row-major TOP-DOWN. */
   final class Rgb(val w: Int, val h: Int, val px: Array[Byte])
 
-  /** Sniff the container by magic and decode: BMP, PNG, GIF, baseline
-    * JPEG or lossless WebP; null for anything else. */
+  /** Sniff the container by magic and decode: BMP, PNG, GIF, JPEG, or
+    * WebP (lossless VP8L or lossy VP8); null for anything else. */
   def decode(b: Array[Byte]): Rgb = {
     if (b == null || b.length < 8) return null
     if (b(0) == 'B' && b(1) == 'M') decodeBmp(b)
@@ -42,8 +42,9 @@ object PixelDecode {
   /** Sniffed container name for decode/skip accounting: one of bmp /
     * png / gif / jpeg / webp_lossless / webp_lossy / avif / heic /
     * tiff / null (unknown). The sniffable-but-undecodable classes
-    * (lossy VP8, AVIF, HEIC, TIFF) exist so ingest reports COUNT them
-    * and the coverage gap is data, not silence. */
+    * (AVIF, HEIC, TIFF — and truncated/partial payloads of any
+    * flavor) exist so ingest reports COUNT them and the coverage gap
+    * is data, not silence. */
   def container(b: Array[Byte]): String = {
     if (b == null || b.length < 8) return null
     if (b(0) == 'B' && b(1) == 'M') "bmp"

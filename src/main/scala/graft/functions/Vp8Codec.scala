@@ -147,10 +147,6 @@ object Vp8Codec {
   private def clamp127(v: Int): Int =
     if (v < 0) 0 else if (v > 127) 127 else v
 
-  /** Dev-only diagnostics sink (set by Vp8Debug); never used in
-    * production paths. */
-  private[functions] var debugSink: StringBuilder = null
-
   private[functions] final class Header {
     var width = 0
     var height = 0
@@ -626,14 +622,6 @@ object Vp8Codec {
     val (h, br) = parseHeader(b, from, until)
     val mbW = (h.width + 15) >> 4
     val mbH = (h.height + 15) >> 4
-    if (debugSink != null)
-      debugSink.append(s"hdr qi=${h.yacQi} ydc=${h.ydcDelta} " +
-        s"y2dc=${h.y2dcDelta} y2ac=${h.y2acDelta} uvdc=${h.uvdcDelta} " +
-        s"uvac=${h.uvacDelta} flt=${h.filterLevel} simple=${h.simpleFilter} " +
-        s"sharp=${h.sharpness} lfd=${h.lfDeltaEnabled} " +
-        s"refd=${h.refLfDelta.mkString(",")} modd=${h.modeLfDelta.mkString(",")} " +
-        s"seg=${h.segEnabled} skipP=${h.probSkipFalse} " +
-        s"parts=${h.parts.length / 2}\n")
     val yStride = mbW * 16
     val uvStride = mbW * 8
     val yPlane = new Array[Byte](yStride * mbH * 16)
@@ -702,12 +690,6 @@ object Vp8Codec {
           }
         }
         uvModes(mbIdx) = walkTree(br, UvModeTree, KfUvModeProb, 0)
-        if (debugSink != null)
-          debugSink.append(s"mb($mbX,$mbY) y=${yModes(mbIdx)} " +
-            s"uv=${uvModes(mbIdx)} skip=${skips(mbIdx)} " +
-            (if (bModes(mbIdx) != null)
-               "b=" + bModes(mbIdx).mkString(",")
-             else "") + "\n")
         mbIdx += 1
         mbX += 1
       }

@@ -802,7 +802,8 @@ object Multimodal {
 
   /** REAL lossless-WebP pixel decode (full VP8L — transforms, color
     * cache, LZ77, meta-Huffman; [[graft.functions.WebpCodec]]) + the
-    * shared order-free features. Null for non-WebP/lossy/corrupt. */
+    * shared order-free features (both flavors: VP8L and VP8). Null
+    * for non-WebP/corrupt. */
   def decodeWebpPixels(payload: Column): Column =
     graft.functions.WebpPixelStatsExpr.webp_pixel_stats(payload)
 

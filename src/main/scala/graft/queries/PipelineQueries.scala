@@ -1535,8 +1535,9 @@ object PipelineQueries {
     }),
 
     // the INTEGRATION gate for the header-walk surface: min-resolution
-    // on a lossy-WebP image (undecodable pixels, dims from the VP8
-    // keyframe header), resolution + codec on an MP4 video track,
+    // on a TRUNCATED lossy-WebP image (undecodable pixels — dims come
+    // from the VP8 keyframe header walk alone, the exact situation a
+    // partial crawl fetch leaves), resolution + codec on an MP4 track,
     // duration on an Ogg/Opus audio stream — a multimodal keep/drop
     // decision on three payloads NO pixel/sample decoder here can
     // decode, which is exactly the situation a real crawl puts a gate
