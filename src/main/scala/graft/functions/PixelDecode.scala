@@ -12,10 +12,12 @@ import org.apache.spark.sql.catalyst.InternalRow
   * Adam7 interlaced), GIF (variable-width LZW,
   * global or local palette, sequential or interlaced), JPEG
   * ([[JpegCodec]] — Huffman + dequant + IDCT + YCbCr, sequential AND
-  * progressive, EXIF-orientation normalized), and BOTH WebP flavors
+  * progressive, EXIF-orientation normalized), BOTH WebP flavors
   * ([[WebpCodec]] — full VP8L lossless: all four transforms, color
   * cache, LZ77, meta-Huffman; and lossy VP8 keyframes through the
-  * RFC 6386 decoder in [[Vp8Codec]], bit-exact with libwebp).
+  * RFC 6386 decoder in [[Vp8Codec]], bit-exact with libwebp), and
+  * baseline TIFF ([[TiffCodec]] — both byte orders, gray/RGB/palette,
+  * strips, uncompressed + PackBits, ImageIO-cross-conformant).
   * Every decoder returns null (never throws) on bytes it doesn't own
   * or can't prove whole. */
 object PixelDecode {
@@ -23,8 +25,9 @@ object PixelDecode {
   /** A decoded image: packed RGB bytes, 3·w·h, row-major TOP-DOWN. */
   final class Rgb(val w: Int, val h: Int, val px: Array[Byte])
 
-  /** Sniff the container by magic and decode: BMP, PNG, GIF, JPEG, or
-    * WebP (lossless VP8L or lossy VP8); null for anything else. */
+  /** Sniff the container by magic and decode: BMP, PNG, GIF, JPEG,
+    * WebP (lossless VP8L or lossy VP8), or baseline TIFF; null for
+    * anything else. */
   def decode(b: Array[Byte]): Rgb = {
     if (b == null || b.length < 8) return null
     if (b(0) == 'B' && b(1) == 'M') decodeBmp(b)
@@ -36,15 +39,18 @@ object PixelDecode {
       JpegCodec.decode(b)
     else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
       WebpCodec.decode(b)
+    else if ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+      (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))
+      TiffCodec.decode(b)
     else null
   }
 
   /** Sniffed container name for decode/skip accounting: one of bmp /
     * png / gif / jpeg / webp_lossless / webp_lossy / avif / heic /
     * tiff / null (unknown). The sniffable-but-undecodable classes
-    * (AVIF, HEIC, TIFF — and truncated/partial payloads of any
-    * flavor) exist so ingest reports COUNT them and the coverage gap
-    * is data, not silence. */
+    * (AVIF, HEIC — and truncated/partial payloads of any flavor)
+    * exist so ingest reports COUNT them and the coverage gap is
+    * data, not silence. */
   def container(b: Array[Byte]): String = {
     if (b == null || b.length < 8) return null
     if (b(0) == 'B' && b(1) == 'M') "bmp"

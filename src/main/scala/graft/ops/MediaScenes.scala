@@ -204,11 +204,13 @@ object MediaScenes {
     // RFC 6386 decoder reconstructs bit-exactly
     case "webp_lossy" =>
       graft.functions.Vp8Codec.encodeGrayB4x4(w, h, gray)
+    case "tiff" =>
+      graft.functions.TiffCodec.encode(w, h, gray, photometric = 1)
     case other => sys.error(s"unknown container: $other")
   }
 
   val Containers: Seq[String] =
-    Seq("bmp", "png", "gif", "jpeg", "webp", "webp_lossy")
+    Seq("bmp", "png", "gif", "jpeg", "webp", "webp_lossy", "tiff")
 
   private def mime(container: String): String = container match {
     case "jpeg" => "image/jpeg"

@@ -1347,6 +1347,28 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL baseline-TIFF decode on the HARD variant (big-endian +
+    // PackBits RLE — the mixed corpus already gates little-endian
+    // uncompressed): lossless, so pixels are the exact closed-form
+    // scene, same oracle as every other lossless container
+    "mm_tiff_pixels" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.TiffCodec
+      val media = docs(s, dir).select(col("doc_id").cast("long"))
+        .as[Long].map { id =>
+          val (w, h, g) = MediaScenes.sceneGray(id, "none")
+          (id, TiffCodec.encode(w, h, g, photometric = 1, le = false,
+            packBits = true))
+        }.toDF("media_id", "payload")
+      media.select(col("media_id"),
+          Multimodal.decodeAnyPixels(col("payload")).as("f"))
+        .select(col("media_id"), col("f.width").as("width"),
+          col("f.height").as("height"), col("f.n_pixels").as("n_pixels"),
+          col("f.sum_r").as("sum_r"), col("f.sum_g").as("sum_g"),
+          col("f.sum_b").as("sum_b"), col("f.max_lum").as("max_lum"))
+        .orderBy(col("media_id"))
+    }),
+
     // REAL Adobe CMYK JPEG decode (APP14 transform 0, inverted-ink
     // convention — the one real-world JPEG tail format with crawl
     // share): 4-component interleaved Huffman streams, flat blocks
@@ -3997,6 +4019,20 @@ object PipelineQueries {
          |  (64*list_sum(vs))::BIGINT AS sum_b,
          |  (10000*list_max(vs))::BIGINT AS max_lum
          | FROM bs ORDER BY media_id""".om,
+    // lossless TIFF (BE + PackBits): identical pixels to the scene
+    "mm_tiff_pixels" ->
+      s"""WITH d AS (SELECT doc_id AS media_id, 16 + 8*(doc_id % 3) AS w,
+         |   16 + 8*(doc_id % 2) AS h FROM documents),
+         | bs AS (SELECT media_id, w, h, flatten(list_transform(range(0, h//8), by ->
+         |   list_transform(range(0, w//8), bx ->
+         |     (media_id*7 + bx*37 + by*101) % 200))) AS vs FROM d)
+         | SELECT media_id, w::BIGINT AS width, h::BIGINT AS height,
+         |  (w*h)::BIGINT AS n_pixels,
+         |  (64*list_sum(vs))::BIGINT AS sum_r,
+         |  (64*list_sum(vs))::BIGINT AS sum_g,
+         |  (64*list_sum(vs))::BIGINT AS sum_b,
+         |  (10000*list_max(vs))::BIGINT AS max_lum
+         | FROM bs ORDER BY media_id""".om,
     // flat-MB VP8 frames: per-16x16 value grid replayed closed-form
     "mm_vp8_mb_pixels" ->
       s"""WITH d AS (SELECT doc_id AS media_id, 32 + 16*(doc_id % 3) AS w,
@@ -4154,17 +4190,17 @@ object PipelineQueries {
          |   AND video_ms BETWEEN 3000 AND 9000
          |   AND audio_ms >= 4000) AS keep
          | FROM m ORDER BY doc_id""".om,
-    // nine sniffed classes; webp_lossy appears TWICE per doc — a real
-    // VP8 keyframe from the mixed corpus (decodes) and a truncated
-    // header stub (counted skipped) — so the report shows lossy WebP
+    // nine sniffed classes; webp_lossy and tiff appear TWICE per doc —
+    // a real stream from the mixed corpus (decodes) and a truncated
+    // header stub (counted skipped) — so the report shows both
     // decoding AND that partial payloads still surface as data; the
-    // sniffable-but-undecodable three (AVIF, HEIC, TIFF) skip
+    // sniffable-but-undecodable two (AVIF, HEIC) skip entirely
     "mm_container_report" ->
       s"""WITH c AS (SELECT count(*) AS n FROM documents WHERE doc_id % 11 = 0)
          | SELECT t.container,
-         |  (CASE WHEN t.container = 'webp_lossy' THEN 2*c.n ELSE c.n
-         |   END)::BIGINT AS n_payloads,
-         |  (CASE WHEN t.container IN ('avif', 'heic', 'tiff') THEN 0
+         |  (CASE WHEN t.container IN ('webp_lossy', 'tiff') THEN 2*c.n
+         |   ELSE c.n END)::BIGINT AS n_payloads,
+         |  (CASE WHEN t.container IN ('avif', 'heic') THEN 0
          |    ELSE c.n END)::BIGINT AS n_decoded,
          |  (CASE WHEN t.container IN ('avif', 'heic', 'tiff', 'webp_lossy')
          |    THEN c.n ELSE 0 END)::BIGINT AS n_skipped
@@ -4179,7 +4215,7 @@ object PipelineQueries {
          |   list_transform(range(0, w//8), bx ->
          |     (doc_id*7 + bx*37 + by*101) % 200))) AS vs FROM d),
          | mm AS (SELECT doc_id*10 + i AS media_id, w, h, vs FROM bs
-         |   CROSS JOIN (SELECT unnest(range(0, 6)) AS i))
+         |   CROSS JOIN (SELECT unnest(range(0, 7)) AS i))
          | SELECT media_id, w::BIGINT AS width, h::BIGINT AS height,
          |  (w*h)::BIGINT AS n_pixels,
          |  (64*list_sum(vs))::BIGINT AS sum_r,
@@ -4268,7 +4304,7 @@ object PipelineQueries {
          |     THEN 1::BIGINT << (r*7+c) ELSE 0::BIGINT END))))::BIGINT AS dh
          |  FROM g),
          | mm AS (SELECT doc_id*10 + i AS media_id, dh FROM hh
-         |   CROSS JOIN (SELECT unnest(range(0, 6)) AS i))
+         |   CROSS JOIN (SELECT unnest(range(0, 7)) AS i))
          | SELECT media_id, dh AS dhash FROM mm ORDER BY media_id""".om,
     "mm_image_neardup" ->
       s"""WITH d AS (SELECT doc_id, 16 + 8*(doc_id % 3) AS w,
@@ -4284,7 +4320,7 @@ object PipelineQueries {
          |     THEN 1::BIGINT << (r*7+c) ELSE 0::BIGINT END))))::BIGINT AS dh
          |  FROM g),
          | mm AS (SELECT doc_id*10 + i AS media_id, dh FROM hh
-         |   CROSS JOIN (SELECT unnest(range(0, 6)) AS i))
+         |   CROSS JOIN (SELECT unnest(range(0, 7)) AS i))
          | SELECT a.media_id AS id1, b.media_id AS id2,
          |  bit_count(xor(a.dh, b.dh))::BIGINT AS hamming
          | FROM mm a JOIN mm b ON a.media_id < b.media_id
@@ -4332,7 +4368,7 @@ object PipelineQueries {
          |     THEN 1::BIGINT << (r*7+c) ELSE 0::BIGINT END))))::BIGINT AS dh
          |  FROM g),
          | mm AS (SELECT doc_id*10 + i AS media_id, dh FROM hh
-         |   CROSS JOIN (SELECT unnest(range(0, 6)) AS i)),
+         |   CROSS JOIN (SELECT unnest(range(0, 7)) AS i)),
          | pairs AS (SELECT a.media_id AS id1, b.media_id AS id2
          |  FROM mm a JOIN mm b ON a.media_id < b.media_id
          |  WHERE bit_count(xor(a.dh, b.dh)) <= 3),
@@ -4358,9 +4394,9 @@ object PipelineQueries {
          |     THEN 1::BIGINT << (r*7+c) ELSE 0::BIGINT END))))::BIGINT AS dh
          |  FROM g),
          | mm AS (SELECT doc_id*10 + i AS media_id, dh FROM hh
-         |   CROSS JOIN (SELECT unnest(range(0, 6)) AS i)),
+         |   CROSS JOIN (SELECT unnest(range(0, 7)) AS i)),
          | np AS (SELECT doc_id*10 + i AS media_id, (w*h)::BIGINT AS np
-         |  FROM d CROSS JOIN (SELECT unnest(range(0, 6)) AS i)),
+         |  FROM d CROSS JOIN (SELECT unnest(range(0, 7)) AS i)),
          | pairs AS (SELECT a.media_id AS id1, b.media_id AS id2
          |  FROM mm a JOIN mm b ON a.media_id < b.media_id
          |  WHERE bit_count(xor(a.dh, b.dh)) <= 3),

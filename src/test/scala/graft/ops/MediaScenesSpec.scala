@@ -73,17 +73,17 @@ class MediaScenesSpec extends AnyFunSuite {
     assert(dists.exists(_ > 0), "jitter3 never moved a hash")
   }
 
-  test("synthesizeMixed: 6 rows per doc, decodable, spark-side") {
+  test("synthesizeMixed: 7 rows per doc, decodable, spark-side") {
     import spark.implicits._
     val docs = Seq((3L, "s"), (7L, "s")).toDF("doc_id", "source")
     val mixed = MediaScenes.synthesizeMixed(docs, "doc_id", "source")
-    assert(mixed.count() == 12)
+    assert(mixed.count() == 14)
     val hashes = mixed.select(col("media_id"),
         Multimodal.imageDHash(col("payload")).as("dh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(hashes.size == 12 && !hashes.values.exists(_ == 0L))
-    // same scene, six containers (lossy VP8 included), one hash
-    assert(Seq(30L, 31L, 32L, 33L, 34L, 35L).map(hashes).distinct.size == 1)
-    assert(Seq(70L, 71L, 72L, 73L, 74L, 75L).map(hashes).distinct.size == 1)
+    assert(hashes.size == 14 && !hashes.values.exists(_ == 0L))
+    // same scene, seven containers (lossy VP8, TIFF included), one hash
+    assert((0 to 6).map(i => hashes(30L + i)).distinct.size == 1)
+    assert((0 to 6).map(i => hashes(70L + i)).distinct.size == 1)
   }
 }
