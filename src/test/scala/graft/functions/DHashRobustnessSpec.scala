@@ -140,4 +140,83 @@ class DHashRobustnessSpec extends AnyFunSuite {
       assert(recall(("noise", t, 50)) >= f50, s"noise/$t/q50 = ${recall(("noise", t, 50))}")
     }
   }
+
+  // ---- the same sweep against REAL libwebp lossy encodes ----------
+
+  private lazy val libwebpAvailable: Boolean =
+    try {
+      val p = new ProcessBuilder("python3", "-c",
+        "import ctypes; ctypes.CDLL('libwebp.so.7')")
+        .redirectErrorStream(true).start()
+      p.waitFor() == 0
+    } catch { case _: Exception => false }
+
+  private def libwebpLossy(w: Int, h: Int, gray: Array[Byte], q: Int)
+      : Array[Byte] = {
+    val dir = java.nio.file.Files.createTempDirectory("dhwebp")
+    val rgb = new Array[Byte](3 * w * h)
+    var i = 0
+    while (i < w * h) {
+      rgb(3 * i) = gray(i); rgb(3 * i + 1) = gray(i)
+      rgb(3 * i + 2) = gray(i)
+      i += 1
+    }
+    val rf = dir.resolve("s.rgb"); val wf = dir.resolve("s.webp")
+    java.nio.file.Files.write(rf, rgb)
+    val tool =
+      if (new java.io.File("tools/webp_ref.py").exists()) "tools/webp_ref.py"
+      else "/root/repo/tools/webp_ref.py"
+    val p = new ProcessBuilder("python3", tool, "encode", rf.toString,
+      w.toString, h.toString, q.toString, wf.toString)
+      .redirectErrorStream(true).start()
+    assert(p.waitFor() == 0, "libwebp encode failed")
+    val out = java.nio.file.Files.readAllBytes(wf)
+    java.nio.file.Files.delete(rf); java.nio.file.Files.delete(wf)
+    java.nio.file.Files.delete(dir)
+    out
+  }
+
+  /** Measured table (24 scenes/cell, gray 64×48, deterministic input;
+    * skipped cleanly without python3 + libwebp):
+    *
+    *  | content  | q95  | q75   | q50   |
+    *  |----------|------|-------|-------|
+    *  | gradient | 1.00 | 1.000 | 1.000 |
+    *  | noise    | 1.00 | 0.958 | 0.875 |
+    *
+    * Same shape as the JPEG sweep but markedly MORE recall-stable:
+    * at the same nominal quality, VP8 keeps noise recall at 0.958/
+    * 0.875 (q75/q50) where JPEG drops to 0.604/0.208 — the loop
+    * filter plus spatial prediction quantizes structure more
+    * uniformly than JPEG's independent 8x8 blocks, so radius-3 dedup
+    * genuinely survives lossy-WebP re-encodes even for adversarial
+    * content. The floors below pin the measured values. */
+  test("recall@3 vs REAL libwebp lossy-WebP quality (external)") {
+    assume(libwebpAvailable, "python3 + libwebp.so.7 not available")
+    val qualities = Seq(95, 75, 50)
+    val n = 24
+    val recall = scala.collection.mutable.Map.empty[(String, Int), Double]
+    for (cls <- Seq("gradient", "noise"); q <- qualities) {
+      var hit = 0
+      for (id <- 0 until n) {
+        val (w, h, g) = scene(cls, id, "none")
+        val baseHash = dhashOf(
+          PixelDecode.decode(graft.ops.MediaScenes.pngBytes(w, h, g)))
+        val webp = libwebpLossy(w, h, g, q)
+        val img = PixelDecode.decode(webp)
+        assert(img != null, s"$cls/q$q id $id: VP8 decode failed")
+        if (java.lang.Long.bitCount(baseHash ^ dhashOf(img)) <= 3) hit += 1
+      }
+      recall((cls, q)) = hit.toDouble / n
+    }
+    info("lossy-WebP recall@3 (24 scenes/cell):")
+    for (cls <- Seq("gradient", "noise"))
+      info(f"$cls%-9s " + qualities.map(q =>
+        f"q$q=${recall((cls, q))}%.3f").mkString("  "))
+    for (q <- qualities)
+      assert(recall(("gradient", q)) == 1.0, s"gradient/q$q")
+    assert(recall(("noise", 95)) == 1.0, s"noise/q95 = ${recall(("noise", 95))}")
+    assert(recall(("noise", 75)) >= 0.90, s"noise/q75 = ${recall(("noise", 75))}")
+    assert(recall(("noise", 50)) >= 0.80, s"noise/q50 = ${recall(("noise", 50))}")
+  }
 }
