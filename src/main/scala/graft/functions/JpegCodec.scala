@@ -449,7 +449,17 @@ object JpegCodec {
     if (len < 14) return dflt
     if (b(at) != 'E' || b(at + 1) != 'x' || b(at + 2) != 'i' ||
       b(at + 3) != 'f' || b(at + 4) != 0 || b(at + 5) != 0) return dflt
-    val t = at + 6 // TIFF header origin
+    exifOrientationTiff(b, at + 6, len - 6, dflt)
+  }
+
+  /** Same walk from a bare TIFF header (WebP EXIF chunks may carry
+    * the payload with or without the "Exif\0\0" prefix). */
+  private[functions] def exifOrientationTiff(b: Array[Byte], tAt: Int,
+                                             tLen: Int, dflt: Int): Int = {
+    val t = tAt
+    val at = tAt
+    val len = tLen
+    if (len < 8) return dflt
     val little =
       if (b(t) == 'I' && b(t + 1) == 'I') true
       else if (b(t) == 'M' && b(t + 1) == 'M') false
@@ -482,8 +492,9 @@ object JpegCodec {
 
   /** Normalize pixels to EXIF orientation 1 — crawls are full of
     * camera images whose raster is stored rotated; a hash over the
-    * un-normalized raster would miss the same image re-saved upright. */
-  private def orient(img: PixelDecode.Rgb, o: Int): PixelDecode.Rgb = {
+    * un-normalized raster would miss the same image re-saved upright.
+    * Shared with [[WebpCodec]] (VP8X EXIF chunks). */
+  private[functions] def orient(img: PixelDecode.Rgb, o: Int): PixelDecode.Rgb = {
     if (img == null || o <= 1 || o > 8) return img
     val (w, h) = (img.w, img.h)
     val swap = o >= 5

@@ -47,7 +47,8 @@ object WebpCodec {
   /** Classify the WebP flavor without decoding: "webp_lossless"
     * (VP8L), "webp_lossy" (VP8), or null for non-WebP / unwalkable
     * containers. VP8X extended containers are walked to their first
-    * image chunk. */
+    * image chunk, including into the first ANMF frame of an
+    * animation. */
   def riffKind(b: Array[Byte]): String = {
     if (!isWebp(b)) return null
     var i = 12
@@ -56,27 +57,71 @@ object WebpCodec {
       if (size < 0 || i + 8 + size > b.length) return null
       if (fourCc(b, i, "VP8L")) return "webp_lossless"
       if (fourCc(b, i, "VP8 ")) return "webp_lossy"
+      if (fourCc(b, i, "ANMF") && size >= 16) {
+        var j = i + 8 + 16
+        val until = i + 8 + size.toInt
+        while (j + 8 <= until) {
+          val ssz = le4(b, j + 4)
+          if (ssz < 0 || j + 8 + ssz > until) return null
+          if (fourCc(b, j, "VP8L")) return "webp_lossless"
+          if (fourCc(b, j, "VP8 ")) return "webp_lossy"
+          j += 8 + ssz.toInt + (ssz.toInt & 1)
+        }
+      }
       i += 8 + size.toInt + (size.toInt & 1) // chunks are 2-byte aligned
     }
     null
   }
 
   /** Decode a WebP payload to RGB: VP8L (lossless) via [[decodeVp8l]],
-    * VP8 (lossy keyframe) via [[Vp8Codec]]; null unless the container
-    * carries a whole, valid stream of either flavor. */
+    * VP8 (lossy keyframe) via [[Vp8Codec]]; animated containers
+    * (VP8X + ANIM/ANMF) decode their FIRST frame — the right identity
+    * for dedup, matching the GIF first-frame stance; a VP8X EXIF
+    * chunk's orientation is normalized exactly like JPEG APP1 (the
+    * raster is rotated upright before hashing). Null unless the
+    * container carries a whole, valid stream. */
   def decode(b: Array[Byte]): PixelDecode.Rgb = {
     if (!isWebp(b)) return null
+    var img: PixelDecode.Rgb = null
+    var orientation = 1
     var i = 12
     while (i + 8 <= b.length) {
       val size = le4(b, i + 4)
-      if (size < 0 || i + 8 + size > b.length) return null
-      if (fourCc(b, i, "VP8L"))
-        return decodeVp8l(b, i + 8, i + 8 + size.toInt)
-      if (fourCc(b, i, "VP8 "))
-        return Vp8Codec.decode(b, i + 8, i + 8 + size.toInt)
+      if (size < 0 || i + 8 + size > b.length)
+        return if (img != null) JpegCodec.orient(img, orientation) else null
+      val from = i + 8
+      val until = i + 8 + size.toInt
+      if (img == null && fourCc(b, i, "VP8L"))
+        img = decodeVp8l(b, from, until)
+      else if (img == null && fourCc(b, i, "VP8 "))
+        img = Vp8Codec.decode(b, from, until)
+      else if (img == null && fourCc(b, i, "ANMF") && size >= 16) {
+        // first animation frame: 16 bytes of frame params, then the
+        // frame's own ALPH?/VP8/VP8L subchunks
+        var j = from + 16
+        while (img == null && j + 8 <= until) {
+          val ssz = le4(b, j + 4)
+          if (ssz < 0 || j + 8 + ssz > until) return null
+          if (fourCc(b, j, "VP8L"))
+            img = decodeVp8l(b, j + 8, j + 8 + ssz.toInt)
+          else if (fourCc(b, j, "VP8 "))
+            img = Vp8Codec.decode(b, j + 8, j + 8 + ssz.toInt)
+          j += 8 + ssz.toInt + (ssz.toInt & 1)
+        }
+      } else if (fourCc(b, i, "EXIF") && size >= 8) {
+        // payload is EXIF metadata, with or without the "Exif\0\0"
+        // prefix depending on the muxer
+        val tAt =
+          if (size >= 14 && b(from) == 'E' && b(from + 1) == 'x' &&
+            b(from + 2) == 'i' && b(from + 3) == 'f' &&
+            b(from + 4) == 0 && b(from + 5) == 0) from + 6
+          else from
+        orientation = JpegCodec.exifOrientationTiff(b, tAt,
+          until - tAt, orientation)
+      }
       i += 8 + size.toInt + (size.toInt & 1)
     }
-    null
+    if (img != null) JpegCodec.orient(img, orientation) else null
   }
 
   // --------------------------------------------------------- bit reading

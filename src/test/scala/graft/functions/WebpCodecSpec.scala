@@ -93,6 +93,98 @@ class WebpCodecSpec extends AnyFunSuite {
     assert(dec != null && dec.w == 8 && dec.h == 8)
   }
 
+  // VP8X container assembly for the EXIF / animation tests
+  private def vp8x(canvasW: Int, canvasH: Int, flags: Int,
+                   chunks: (String, Array[Byte])*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def cc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le4(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+    val body = chunks.map { case (_, p) => 8 + p.length + (p.length & 1) }.sum
+    cc("RIFF"); le4(4 + 8 + 10 + body); cc("WEBP")
+    cc("VP8X"); le4(10)
+    out.write(flags); out.write(0); out.write(0); out.write(0)
+    out.write((canvasW - 1) & 0xff); out.write(((canvasW - 1) >> 8) & 0xff)
+    out.write(((canvasW - 1) >> 16) & 0xff)
+    out.write((canvasH - 1) & 0xff); out.write(((canvasH - 1) >> 8) & 0xff)
+    out.write(((canvasH - 1) >> 16) & 0xff)
+    for ((name, p) <- chunks) {
+      cc(name); le4(p.length); out.write(p)
+      if ((p.length & 1) == 1) out.write(0)
+    }
+    out.toByteArray
+  }
+
+  private def exifPayload(orientation: Int, prefix: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    if (prefix) { out.write("Exif".getBytes("US-ASCII")); out.write(0); out.write(0) }
+    out.write('I'); out.write('I'); out.write(42); out.write(0)
+    out.write(8); out.write(0); out.write(0); out.write(0) // IFD0 at 8
+    out.write(1); out.write(0) // one entry
+    out.write(0x12); out.write(0x01) // tag 0x0112
+    out.write(3); out.write(0) // SHORT
+    out.write(1); out.write(0); out.write(0); out.write(0) // count 1
+    out.write(orientation); out.write(0); out.write(0); out.write(0)
+    out.write(0); out.write(0); out.write(0); out.write(0) // next IFD
+    out.toByteArray
+  }
+
+  test("VP8X EXIF orientation normalizes the lossy raster like JPEG") {
+    // an asymmetric per-4x4 scene so rotation is observable
+    val w = 24; val h = 16
+    val g = new Array[Byte](w * h)
+    for (y <- 0 until h; x <- 0 until w)
+      g(y * w + x) = (20 + (x / 4) * 30 + (y / 4) * 7).toByte
+    val plain = Vp8Codec.encodeGrayB4x4(w, h, g)
+    val vp8 = java.util.Arrays.copyOfRange(plain, 20, plain.length)
+    for (prefix <- Seq(true, false)) {
+      val b = vp8x(w, h, 0x08, "EXIF" -> exifPayload(6, prefix),
+        "VP8 " -> vp8)
+      assert(WebpCodec.riffKind(b) == "webp_lossy")
+      val img = WebpCodec.decode(b)
+      assert(img != null, s"prefix=$prefix")
+      // orientation 6: 90° clockwise — dims swap, (dx,dy) <- (dy, h-1-dx)
+      assert(img.w == h && img.h == w, s"prefix=$prefix dims")
+      for (dy <- 0 until img.h; dx <- 0 until img.w) {
+        val sx = dy
+        val sy = h - 1 - dx
+        assert((img.px(3 * (dy * img.w + dx)) & 0xff) ==
+          (g(sy * w + sx) & 0xff), s"prefix=$prefix ($dx,$dy)")
+      }
+    }
+    // orientation 1 (or absent) leaves the raster alone
+    val b1 = vp8x(w, h, 0x08, "EXIF" -> exifPayload(1, true), "VP8 " -> vp8)
+    val img1 = WebpCodec.decode(b1)
+    assert(img1 != null && img1.w == w && img1.h == h)
+  }
+
+  test("animated WebP decodes its first frame (the dedup identity)") {
+    val w = 16; val h = 16
+    val g = Array.tabulate(w * h)(i => (30 + ((i % w) / 4) * 40).toByte)
+    val plain = Vp8Codec.encodeGrayB4x4(w, h, g)
+    val vp8 = java.util.Arrays.copyOfRange(plain, 20, plain.length)
+    // ANMF frame params: x/3 y/3 (w-1)/3 (h-1)/3 duration/3 flags/1
+    val params = new java.io.ByteArrayOutputStream()
+    def le3(v: Int): Unit = { params.write(v & 0xff)
+      params.write((v >> 8) & 0xff); params.write((v >> 16) & 0xff) }
+    le3(0); le3(0); le3(w - 1); le3(h - 1); le3(100); params.write(0)
+    val anmf = new java.io.ByteArrayOutputStream()
+    anmf.write(params.toByteArray)
+    anmf.write("VP8 ".getBytes("US-ASCII"))
+    anmf.write(vp8.length & 0xff); anmf.write((vp8.length >> 8) & 0xff)
+    anmf.write((vp8.length >> 16) & 0xff); anmf.write((vp8.length >> 24) & 0xff)
+    anmf.write(vp8)
+    if ((vp8.length & 1) == 1) anmf.write(0)
+    val anim = Array[Byte](0, 0, 0, 0, 0, 0) // bg color + loop count
+    val b = vp8x(w, h, 0x02, "ANIM" -> anim, "ANMF" -> anmf.toByteArray)
+    assert(WebpCodec.riffKind(b) == "webp_lossy")
+    assert(PixelDecode.container(b) == "webp_lossy")
+    val img = WebpCodec.decode(b)
+    assert(img != null && img.w == w && img.h == h)
+    for (i <- 0 until w * h)
+      assert((img.px(3 * i) & 0xff) == (g(i) & 0xff), s"px $i")
+  }
+
   // ------------------------------------------------ hand-built streams
 
   /** Canonical code assignment (DEFLATE rule) for emitting symbols. */
