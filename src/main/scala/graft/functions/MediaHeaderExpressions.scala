@@ -883,6 +883,9 @@ case class VideoFrameHashesExpr(child: Expression, k: Int)
   def compute(b: Array[Byte]): Any = {
     val magic = "YUV4MPEG2 "
     if (b.length < magic.length + 8) return null
+    if ((b(0) & 0xff) == 0x1a && (b(1) & 0xff) == 0x45 &&
+      (b(2) & 0xff) == 0xdf && (b(3) & 0xff) == 0xa3)
+      return computeWebm(b)
     var i = 0
     while (i < magic.length) {
       if (b(i) != magic.charAt(i)) return null
@@ -924,6 +927,10 @@ case class VideoFrameHashesExpr(child: Expression, k: Int)
       }
       guard += 1
     }
+    sample(hashes)
+  }
+
+  private def sample(hashes: scala.collection.mutable.ArrayBuffer[Long]): Any = {
     val n = hashes.length
     if (n == 0) return null
     // evenly spaced distinct indices, closed-form for the oracle
@@ -931,6 +938,122 @@ case class VideoFrameHashesExpr(child: Expression, k: Int)
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
       idx.map(hashes(_)).toArray)
   }
+
+  /** WebM/Matroska path: walk Tracks for V_VP8 track numbers, then
+    * every Cluster's un-laced SimpleBlocks; KEYFRAME blocks of a VP8
+    * track decode through [[Vp8Codec]] and hash their luma plane with
+    * the same 8x8 neighbor sampler as the Y4M path — so temporal
+    * near-dup works on REAL VP8-in-WebM videos, not just raw Y4M.
+    * Null when no VP8 keyframe decodes (audio-only, other codecs,
+    * BlockGroup-only streams). */
+  private def computeWebm(b: Array[Byte]): Any = {
+    try {
+      val hdr = Ebml.varint(b, 0, b.length, keepMarker = true)
+      if (hdr == null || hdr._1 != 0x1a45dfa3L) return null
+      val hdrSize = Ebml.varint(b, hdr._2, b.length, keepMarker = false)
+      if (hdrSize == null || hdrSize._1 < 0 ||
+        hdrSize._2 + hdrSize._1 > b.length) return null
+      val hdrEnd = (hdrSize._2 + hdrSize._1).toInt
+      val seg = Ebml.varint(b, hdrEnd, b.length, keepMarker = true)
+      if (seg == null || seg._1 != 0x18538067L) return null
+      val segSize = Ebml.varint(b, seg._2, b.length, keepMarker = false)
+      if (segSize == null) return null
+      val segEnd =
+        if (segSize._1 < 0) b.length
+        else {
+          if (segSize._2 + segSize._1 > b.length) return null
+          (segSize._2 + segSize._1).toInt
+        }
+      val vp8Tracks = scala.collection.mutable.Set.empty[Long]
+      val hashes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var i = segSize._2
+      while (i < segEnd) {
+        val id = Ebml.varint(b, i, segEnd, keepMarker = true)
+        if (id == null) return nullOr(hashes)
+        val sz = Ebml.varint(b, id._2, segEnd, keepMarker = false)
+        if (sz == null || sz._1 < 0 || sz._2 + sz._1 > segEnd)
+          return nullOr(hashes)
+        val at = sz._2
+        val end = (sz._2 + sz._1).toInt
+        id._1 match {
+          case 0x1654ae6bL => // Tracks
+            var j = at
+            while (j < end) {
+              val tid = Ebml.varint(b, j, end, keepMarker = true)
+              if (tid == null) return nullOr(hashes)
+              val tsz = Ebml.varint(b, tid._2, end, keepMarker = false)
+              if (tsz == null || tsz._1 < 0 || tsz._2 + tsz._1 > end)
+                return nullOr(hashes)
+              if (tid._1 == 0xaeL) { // TrackEntry
+                var num = -1L
+                var isVp8 = false
+                var p = tsz._2
+                val tEnd = (tsz._2 + tsz._1).toInt
+                while (p < tEnd) {
+                  val cid = Ebml.varint(b, p, tEnd, keepMarker = true)
+                  if (cid == null) return nullOr(hashes)
+                  val csz = Ebml.varint(b, cid._2, tEnd, keepMarker = false)
+                  if (csz == null || csz._1 < 0 || csz._2 + csz._1 > tEnd)
+                    return nullOr(hashes)
+                  cid._1 match {
+                    case 0xd7L => // TrackNumber
+                      var v = 0L
+                      var q = 0
+                      while (q < csz._1) {
+                        v = (v << 8) | (b(csz._2 + q) & 0xff); q += 1
+                      }
+                      num = v
+                    case 0x86L => // CodecID
+                      val s = new String(b, csz._2, csz._1.toInt,
+                        java.nio.charset.StandardCharsets.US_ASCII)
+                      isVp8 = s.startsWith("V_VP8")
+                    case _ => ()
+                  }
+                  p = (csz._2 + csz._1).toInt
+                }
+                if (isVp8 && num > 0) vp8Tracks += num
+              }
+              j = (tsz._2 + tsz._1).toInt
+            }
+          case 0x1f43b675L => // Cluster
+            var j = at
+            while (j < end) {
+              val cid = Ebml.varint(b, j, end, keepMarker = true)
+              if (cid == null) return nullOr(hashes)
+              val csz = Ebml.varint(b, cid._2, end, keepMarker = false)
+              if (csz == null || csz._1 < 0 || csz._2 + csz._1 > end)
+                return nullOr(hashes)
+              if (cid._1 == 0xa3L && hashes.length < 4096) { // SimpleBlock
+                val bEnd = (csz._2 + csz._1).toInt
+                val trk = Ebml.varint(b, csz._2, bEnd, keepMarker = false)
+                if (trk != null && trk._2 + 3 <= bEnd &&
+                  vp8Tracks.contains(trk._1)) {
+                  val flags = b(trk._2 + 2) & 0xff
+                  val keyframe = (flags & 0x80) != 0
+                  val unlaced = (flags & 0x06) == 0
+                  if (keyframe && unlaced) {
+                    val pl = Vp8Codec.decodePlanes(b, trk._2 + 3, bEnd)
+                    if (pl != null)
+                      hashes += frameHash(pl.y, 0, pl.w, pl.h)
+                  }
+                }
+              }
+              j = (csz._2 + csz._1).toInt
+            }
+          case _ => ()
+        }
+        i = end
+      }
+      nullOr(hashes)
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => null
+      case _: NegativeArraySizeException => null
+    }
+  }
+
+  private def nullOr(
+      hashes: scala.collection.mutable.ArrayBuffer[Long]): Any =
+    if (hashes.isEmpty) null else sample(hashes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("videoFrameHashes", this,
@@ -1645,20 +1768,14 @@ object VideoHeaderExpr {
   * video container; this walk is what lets duration / track gates run
   * on payloads the frame-level decoders can't. Same codegen shape as
   * [[MediaHeaderExpr]]. */
-case class EbmlHeaderExpr(child: Expression) extends UnaryExpression {
-
-  override def dataType: DataType = EbmlHeaderExpr.schema
-  override def nullable: Boolean = true
-  override def prettyName: String = "ebml_header"
-
-  override def nullSafeEval(input: Any): Any =
-    compute(input.asInstanceOf[Array[Byte]])
-
-  /** EBML varint at `i` within `until`: returns (value, nextOffset),
-    * or null. `keepMarker` = ID form (marker bit retained); size form
-    * strips it and maps all-ones to -1 (unknown). */
-  private def varint(b: Array[Byte], i: Int, until: Int,
-      keepMarker: Boolean): (Long, Int) = {
+/** Shared EBML primitives (Matroska/WebM element ids and sizes). */
+private[functions] object Ebml {
+  /** EBML variable-length integer at b[i]: returns (value, next index)
+    * or null when malformed; `keepMarker` keeps the length-marker bits
+    * (element IDs) vs stripping them (sizes). Size value -1 = the
+    * reserved all-ones "unknown size". */
+  def varint(b: Array[Byte], i: Int, until: Int,
+             keepMarker: Boolean): (Long, Int) = {
     if (i >= until) return null
     val b0 = b(i) & 0xff
     if (b0 == 0) return null // >8-byte lengths unsupported
@@ -1674,6 +1791,22 @@ case class EbmlHeaderExpr(child: Expression) extends UnaryExpression {
     }
     (v, i + len)
   }
+}
+
+case class EbmlHeaderExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = EbmlHeaderExpr.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "ebml_header"
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  /** EBML varint at `i` within `until`: returns (value, nextOffset),
+    * or null. `keepMarker` = ID form (marker bit retained); size form
+    * strips it and maps all-ones to -1 (unknown). */
+  private def varint(b: Array[Byte], i: Int, until: Int,
+      keepMarker: Boolean): (Long, Int) = Ebml.varint(b, i, until, keepMarker)
 
   def compute(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 8) return null

@@ -346,6 +346,49 @@ object MediaScenes {
   /** Matroska/WebM stub with a real Info (TimestampScale + 8-byte
     * float Duration), `nTracks` TrackEntry children and one Cluster of
     * `clusterBytes` zero bytes per entry. */
+  /** A REAL VP8-in-WebM clip: one V_VP8 track, each frame a flat-MB
+    * VP8 keyframe ([[graft.functions.Vp8Codec.encodeGrayMbFlat]]) in
+    * an un-laced SimpleBlock — the wire shape an actual WebM video
+    * has, so the temporal near-dup path is gated on real container +
+    * real codec, not just raw Y4M. Fixed 48x32 (3x2 MBs); frame
+    * t's MB value grid is `(id*13 + t*29 + mx*53 + my*89) % 256`
+    * (closed form for the oracle); `trim` drops leading frames (the
+    * trimmed re-upload case) while keeping the ORIGINAL frame values
+    * at the shifted positions. */
+  def buildWebmVp8Scene(id: Long, trim: Int = 0): Array[Byte] = {
+    val w = 48; val h = 32
+    val n = (4 + id % 4).toInt - trim
+    val frames = (0 until n).map { f =>
+      val t = f + trim
+      val vals = Array.tabulate(6) { mb =>
+        val mx = mb % 3; val my = mb / 3
+        (((id * 13 + t * 29 + mx * 53 + my * 89) % 256 + 256) % 256).toInt
+      }
+      val webp = graft.functions.Vp8Codec.encodeGrayMbFlat(w, h, vals)
+      java.util.Arrays.copyOfRange(webp, 20, webp.length) // VP8 payload
+    }
+    val header = ebmlElem(Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte),
+      ebmlElem(Array[Byte](0x42, 0x82.toByte), "webm".getBytes("US-ASCII")))
+    val info = ebmlElem(Array[Byte](0x15, 0x49, 0xA9.toByte, 0x66),
+      ebmlElem(Array[Byte](0x2A, 0xD7.toByte, 0xB1.toByte), beMin(1000000L)))
+    val trackEntry = ebmlElem(Array[Byte](0xAE.toByte),
+      ebmlElem(Array[Byte](0xD7.toByte), beMin(1L)) ++ // TrackNumber
+        ebmlElem(Array[Byte](0x83.toByte), beMin(1L)) ++ // TrackType video
+        ebmlElem(Array[Byte](0x86.toByte), "V_VP8".getBytes("US-ASCII")))
+    val tracks = ebmlElem(Array[Byte](0x16, 0x54, 0xAE.toByte, 0x6B),
+      trackEntry)
+    val blocks = frames.zipWithIndex.flatMap { case (vp8, f) =>
+      val payload = Array[Byte](0x81.toByte, // track 1 varint
+        ((f * 33) >> 8).toByte, (f * 33).toByte, // relative timecode
+        0x80.toByte) ++ vp8 // keyframe, un-laced
+      ebmlElem(Array[Byte](0xA3.toByte), payload)
+    }.toArray
+    val cluster = ebmlElem(Array[Byte](0x1F, 0x43, 0xB6.toByte, 0x75),
+      ebmlElem(Array[Byte](0xE7.toByte), beMin(0L)) ++ blocks)
+    header ++ ebmlElem(Array[Byte](0x18, 0x53, 0x80.toByte, 0x67),
+      info ++ tracks ++ cluster)
+  }
+
   def webmStub(docType: String, timescale: Long, durationTicks: Double,
       nTracks: Int, clusterBytes: Seq[Int]): Array[Byte] = {
     val docTypeBytes = docType.getBytes("US-ASCII")

@@ -1174,6 +1174,42 @@ object PipelineQueries {
         .orderBy(col("media_id"), col("slot"))
     }),
 
+    // the same sampled-frame hashes over REAL WebM/VP8 videos: EBML
+    // track walk finds the V_VP8 track, un-laced keyframe SimpleBlocks
+    // decode through the RFC 6386 decoder, and each frame's luma
+    // hashes with the Y4M sampler — every per-frame hash exactly
+    // recomputed by the oracle from the closed MB-value form
+    "mm_webm_frame_hashes" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id").cast("long"))
+        .as[Long].map(id => (id, MediaScenes.buildWebmVp8Scene(id)))
+        .toDF("media_id", "payload")
+      media.select(col("media_id"),
+          posexplode(Multimodal.videoTemporalHashes(col("payload"))))
+        .withColumnRenamed("pos", "slot").withColumnRenamed("col", "fhash")
+        .orderBy(col("media_id"), col("slot"))
+    }),
+
+    // temporal near-dup END-TO-END on real WebM/VP8: trimmed
+    // re-uploads (leader frame dropped, every SimpleBlock re-muxed)
+    // recovered by the any-to-any sampled-frame join — the exact
+    // pipeline a crawl's VP8 videos go through
+    "mm_webm_temporal_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val base = docs(s, dir).where(col("doc_id") % 17 === 0)
+        .select(col("doc_id").cast("long"))
+        .as[Long].map(id => (id, MediaScenes.buildWebmVp8Scene(id)))
+        .toDF("media_id", "payload")
+      val dup = docs(s, dir).where(col("doc_id") % 34 === 0)
+        .select(col("doc_id").cast("long"))
+        .as[Long].map(id =>
+          (id + 100000L, MediaScenes.buildWebmVp8Scene(id, trim = 1)))
+        .toDF("media_id", "payload")
+      Multimodal.videoNearDupPairsTemporal(base.unionByName(dup),
+          "media_id", "payload")
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // TEMPORAL video near-dup: every id ≡ 0 (mod 34) clip re-uploaded
     // TRIMMED (leader frame dropped) under a shifted id — invisible to
     // the keyframe-only hash, recovered by the any-to-any sampled-frame
@@ -4567,6 +4603,53 @@ object PipelineQueries {
          |           * (((2*c+1)*w)//16) + 11*(((2*r+1)*h)//16)) % 256
          |     THEN 1::BIGINT << (r*7+c) ELSE 0::BIGINT END))))::BIGINT AS fhash
          | FROM fr ORDER BY media_id, slot""".om,
+    // per-frame luma of frame t is the flat 16x16-MB grid
+    // (id*13 + t*29 + mx*53 + my*89) % 256 at 48x32; the sampler hits
+    // mx = ((2c+1)*3)//16, my = ((2r+1)*2)//16
+    "mm_webm_frame_hashes" ->
+      s"""WITH d AS (SELECT doc_id AS media_id, (4 + doc_id % 4) AS n
+         |   FROM documents),
+         | geom AS (SELECT media_id, n, list_sort(list_distinct(
+         |   list_transform(range(0, 4), i -> (i*(n-1))//3))) AS idxs FROM d),
+         | fr AS (SELECT media_id, s::BIGINT AS slot, idxs[s+1] AS t
+         |  FROM geom, (SELECT unnest(range(0, 4)) AS s) WHERE s < len(idxs))
+         | SELECT media_id, slot, list_sum(flatten(list_transform(range(0, 8), r ->
+         |   list_transform(range(0, 7), c ->
+         |     CASE WHEN (media_id*13 + t*29 + (((2*(c+1)+1)*3)//16)*53
+         |           + (((2*r+1)*2)//16)*89) % 256
+         |        > (media_id*13 + t*29 + (((2*c+1)*3)//16)*53
+         |           + (((2*r+1)*2)//16)*89) % 256
+         |     THEN 1::BIGINT << (r*7+c) ELSE 0::BIGINT END))))::BIGINT AS fhash
+         | FROM fr ORDER BY media_id, slot""".om,
+    "mm_webm_temporal_neardup" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, doc_id AS media_id, 0 AS trim FROM documents
+         |   WHERE doc_id % 17 = 0
+         |  UNION ALL
+         |  SELECT doc_id, doc_id + 100000, 1 FROM documents
+         |   WHERE doc_id % 34 = 0),
+         | geom AS (SELECT media_id, doc_id, trim,
+         |   (4 + doc_id % 4) - trim AS n FROM base),
+         | fr AS (SELECT media_id, doc_id,
+         |   unnest(list_sort(list_distinct(
+         |     list_transform(range(0, 4), i -> (i*(n-1))//3)))) + trim AS t
+         |  FROM geom),
+         | fh AS (SELECT media_id, doc_id, t,
+         |   list_sum(flatten(list_transform(range(0, 8), r ->
+         |   list_transform(range(0, 7), c ->
+         |     CASE WHEN (doc_id*13 + t*29 + (((2*(c+1)+1)*3)//16)*53
+         |           + (((2*r+1)*2)//16)*89) % 256
+         |        > (doc_id*13 + t*29 + (((2*c+1)*3)//16)*53
+         |           + (((2*r+1)*2)//16)*89) % 256
+         |     THEN 1::BIGINT << (r*7+c) ELSE 0::BIGINT END))))::BIGINT AS dh
+         |  FROM fr),
+         | fd AS (SELECT DISTINCT media_id, dh FROM fh),
+         | pr AS (SELECT a.media_id AS id1, b.media_id AS id2,
+         |   min(bit_count(xor(a.dh, b.dh)))::BIGINT AS hamming
+         |  FROM fd a JOIN fd b ON a.media_id < b.media_id
+         |  GROUP BY 1, 2)
+         | SELECT id1, id2, hamming FROM pr WHERE hamming <= 3
+         | ORDER BY id1, id2""".om,
     "mm_video_temporal_neardup" ->
       s"""WITH base AS (
          |  SELECT doc_id, doc_id AS media_id, 0 AS trim FROM documents

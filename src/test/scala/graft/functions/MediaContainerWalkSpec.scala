@@ -268,4 +268,55 @@ class MediaContainerWalkSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- WebM/VP8 frame extraction (VideoFrameHashesExpr dispatch) ----
+
+  private def webmHashes(b: Array[Byte]): Array[Long] = {
+    val r = VideoFrameHashesExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(b), 4).compute(b)
+    if (r == null) null
+    else r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+  }
+
+  test("WebM walk: VP8 keyframes hash; flags and codec gate correctly") {
+    val id = 3L // n = 4 + 3%4 = 7 frames
+    val base = MediaScenes.buildWebmVp8Scene(id)
+    val hs = webmHashes(base)
+    assert(hs != null && hs.length == 4, "sampled 4 of the 7 frames")
+    // Y4M and WebM carrying the SAME per-frame content would differ
+    // only by container — here the content differs by design, but the
+    // trimmed WebM re-mux must equal the from-scratch trim build:
+    // flipping frame 0's keyframe flag drops exactly that frame, and
+    // the remaining frames are bytewise the t=1.. builds
+    val patched = base.clone()
+    var at = -1
+    var i = 0
+    while (at < 0 && i < patched.length - 6) {
+      if ((patched(i) & 0xff) == 0xa3) {
+        val sz = Ebml.varint(patched, i + 1, patched.length,
+          keepMarker = false)
+        if (sz != null && sz._2 + 4 <= patched.length &&
+          (patched(sz._2) & 0xff) == 0x81 &&
+          (patched(sz._2 + 3) & 0xff) == 0x80) at = sz._2 + 3
+      }
+      i += 1
+    }
+    assert(at > 0, "found the first SimpleBlock's flags byte")
+    patched(at) = 0 // not a keyframe any more
+    val hsPatched = webmHashes(patched)
+    val hsTrim = webmHashes(MediaScenes.buildWebmVp8Scene(id, trim = 1))
+    assert(hsPatched != null && hsTrim != null)
+    assert(hsPatched.toSeq == hsTrim.toSeq,
+      "non-keyframe block skipped == the trimmed re-mux")
+    // a non-VP8 CodecID gates the whole track out -> null
+    val vp9 = base.clone()
+    val cIdx = new String(vp9.map(_.toChar)).indexOf("V_VP8")
+    assert(cIdx > 0)
+    vp9(cIdx + 4) = '9'.toByte
+    assert(webmHashes(vp9) == null, "V_VP9 track must not decode")
+    // Y4M payloads still route through the original path
+    val y4m = graft.ops.Multimodal.buildY4mScene(5L)
+    assert(webmHashes(y4m) != null)
+  }
 }
