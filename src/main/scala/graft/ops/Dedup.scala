@@ -45,7 +45,7 @@ object Dedup {
       size > MaxSharedPersists && { e.getValue.unpersist(false); true }
   }
 
-  private[ops] def sharedPersist(df: DataFrame): DataFrame =
+  private[graft] def sharedPersist(df: DataFrame): DataFrame =
     sharedPersists.synchronized {
       // key on the session REFERENCE (SparkSession equality is identity,
       // so no cross-session hash collisions) plus the canonicalized plan

@@ -104,7 +104,12 @@ object Eval {
     * recall, f1)`. Everything derives from the bounded confusion
     * matrix — the corpus is scanned once. */
   def classReport(df: DataFrame, actual: Column, predicted: Column): DataFrame = {
-    val cm = confusionMatrix(df, actual, predicted)
+    // the matrix feeds THREE aggregations (actual totals, predicted
+    // totals, diagonal) — unpersisted, each subtree re-ran the full
+    // input scan (for langid_* that is the classifier over every
+    // document, 3×); the matrix itself is bounded at |classes|² rows
+    val cm = graft.ops.Dedup.sharedPersist(
+      confusionMatrix(df, actual, predicted))
     val at = cm.groupBy(col("actual").as("cls")).agg(sum("n").as("n_actual"))
     val pt = cm.groupBy(col("predicted").as("cls")).agg(sum("n").as("n_predicted"))
     val dg = cm.where(col("actual") === col("predicted"))

@@ -279,7 +279,14 @@ object LinkGraph {
       // new nodes only: already-settled distances are already minimal
       frontier = next.subtractByKey(dist, part)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      dist = dist.union(frontier).partitionBy(part)
+      // NARROW merge: both sides are already on `part`, and their key
+      // sets are disjoint by construction, so a co-partitioned full
+      // outer join folds the frontier in without an exchange — the
+      // previous union().partitionBy(part) discarded the partitioner
+      // and re-shuffled the ENTIRE settled set every hop (O(V) bytes
+      // per hop instead of O(frontier))
+      dist = dist.fullOuterJoin(frontier, part)
+        .mapValues { case (d, f) => d.getOrElse(f.get) }
         .persist(StorageLevel.MEMORY_AND_DISK)
       hop += 1
     }

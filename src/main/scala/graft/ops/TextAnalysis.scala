@@ -272,12 +272,31 @@ object TextAnalysis {
       transform(
         filter(sequence(lit(0), greatest(size(ts) - 2, lit(0))), i => i + 2 <= size(ts)),
         i => concat_ws(" ", slice(ts, i + 1, lit(2))))), 1)
-    df.select(col(idCol).as("doc_id"), explode(bigrams).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_bigrams"),
-        round(count(lit(1)) / sum(col("c")), 6).as("distinct_frac"),
-        round(max(col("c")) / sum(col("c")), 6).as("top_frac"))
+    // Both metrics are DOC-LOCAL, so they fuse into one codegen'd pass
+    // with ZERO shuffles: the former explode → groupBy(doc, bigram) →
+    // groupBy(doc) pipeline exchanged every bigram occurrence twice to
+    // compute per-array facts. distinct count = array_distinct; the top
+    // occurrence count = longest run in the sorted array (an aggregate
+    // HOF over (prev, run, best)). Docs with <2 tokens keep dropping
+    // out (no bigrams → no row), as the explode form did.
+    val top = aggregate(
+      array_sort(col("_bg")),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc.getField("prev") <=> x,
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    df.select(col(idCol).as("doc_id"), bigrams.as("_bg"))
+      .where(size(col("_bg")) >= 1)
+      .select(col("doc_id"),
+        size(col("_bg")).cast("long").as("n_bigrams"),
+        round(size(array_distinct(col("_bg"))) / size(col("_bg")), 6)
+          .as("distinct_frac"),
+        round(top / size(col("_bg")), 6).as("top_frac"))
   }
 
   /** TF-IDF keyword extraction: top-`k` terms per document by
@@ -296,6 +315,11 @@ object TextAnalysis {
     val words = df
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("word"))
       .where(col("word") =!= "")
+    // tf feeds both the document-frequency aggregation and the scoring
+    // join; measured round 12: persisting it costs MORE than the second
+    // evaluation (the columnar cache build of a (doc, word)-grained
+    // frame beats re-exploding + partially-aggregated shuffle), so the
+    // double evaluation stays
     val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     val dfc = tf.groupBy(col("word")).agg(count(lit(1)).as("df_docs"))
     val n = df.agg(count(lit(1)).as("n_docs"))
@@ -389,6 +413,15 @@ object TextAnalysis {
     * two scalar totals (token count, vocabulary size) are the only
     * driver-side values. */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Examined for the round-12 optimization pass and deliberately left
+    // in the re-tokenize form: the tempting "tokenize once, aggregate
+    // to (doc, token, multiplicity), persist" rewrite was measured at
+    // 8× the process-CPU of this shape — the model-build exchange here
+    // is already tiny (partial aggregation collapses each partition to
+    // its distinct tokens before the shuffle), the scoring join
+    // broadcasts the model, and the per-doc aggregation ships one row
+    // per doc; a (doc, token) hash aggregation + columnar persist costs
+    // far more than tokenizing the corpus twice more.
     val toks = df.select(col(idCol).as("id"),
       explode(graft.functions.tokens(col(textCol))).as("tok"))
     val lm = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))

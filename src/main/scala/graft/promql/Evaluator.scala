@@ -970,10 +970,15 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
             graft.tsdb.LabelMatcher.eq("le", "+Inf"))
         case other => other
       }
-      leBuckets(eval(narrowed))
-        .where(col("le") === Double.PositiveInfinity)
-        .groupBy(col("gkey"), col("t")).agg(max(col("cum")).as("v"))
-        .select(col("gkey").as("labels"), col("t"), col("v"))
+      // shared-persisted: histogram_count and histogram_avg over the
+      // same selector produce this exact (canonicalized) plan — one
+      // evaluation serves both arms of a stats query instead of two
+      // full store reads; the frame is bounded at series × steps rows
+      graft.ops.Dedup.sharedPersist(
+        leBuckets(eval(narrowed))
+          .where(col("le") === Double.PositiveInfinity)
+          .groupBy(col("gkey"), col("t")).agg(max(col("cum")).as("v"))
+          .select(col("gkey").as("labels"), col("t"), col("v")))
     }
     def sums = arg match {
       case s: Selector if s.rangeMs.isEmpty =>
@@ -986,8 +991,12 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
             "(the `_sum` companion series carries the sum)")
         // the function's output drops the metric name (PromQL rule),
         // which also aligns these labels with `counts`' group key
-        eval(s.copy(matchers = ms))
-          .withColumn("labels", dropName(col("labels")))
+        // shared-persisted for the same reason as `counts`: the _sum
+        // companion read is identical between histogram_sum and
+        // histogram_avg
+        graft.ops.Dedup.sharedPersist(
+          eval(s.copy(matchers = ms))
+            .withColumn("labels", dropName(col("labels"))))
       case _ => sys.error(s"histogram_$stat needs an instant metric selector")
     }
     stat match {
@@ -999,11 +1008,16 @@ final class Evaluator(querier: TsQuerier, mint: Long, maxt: Long,
           .select(col("labels"), col("t"), (col("v") / col("_n")).as("v"))
       case _ => // stddev / stdvar
         val w = Window.partitionBy(col("gkey"), col("t")).orderBy(col("le"))
-        val d = leBuckets(eval(arg))
+        // shared-persisted: the de-cumulated bucket frame feeds BOTH the
+        // mean aggregation and the deviation aggregation (two subtrees
+        // of the self-join below), and histogram_stddev / histogram_stdvar
+        // over the same selector canonicalize to this same frame — one
+        // store read + window pass instead of four
+        val d = graft.ops.Dedup.sharedPersist(leBuckets(eval(arg))
           .withColumn("cnt",
             col("cum") - coalesce(lag(col("cum"), 1).over(w), lit(0.0)))
           .withColumn("mid",
-            (coalesce(lag(col("le"), 1).over(w), lit(0.0)) + col("le")) / 2)
+            (coalesce(lag(col("le"), 1).over(w), lit(0.0)) + col("le")) / 2))
         val finite = col("le") =!= Double.PositiveInfinity
         // DEVIATION form (upstream's): Σ cnt·(mid − mean)² / n — unlike
         // E[x²]−E[x]², exact zero when all mass sits in one bucket

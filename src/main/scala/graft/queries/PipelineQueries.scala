@@ -1938,17 +1938,23 @@ object PipelineQueries {
     "knn_recall_gain" -> ((s, dir) => {
       val e = embs(s, dir)
       val q = e.where(col("vec_id") < 8)
-      val brute = Similarity.bruteForceTopK(q, e,
-          "vec_id", "embedding", "vec_id", "embedding", k = 5)
-        .select(col("query_id"), col("corpus_id"))
-      val adc = Similarity.ivfPqSearchStored(q, ivfPqStore(s, dir),
+      val brute = Dedup.sharedPersist(
+        Similarity.bruteForceTopK(q, e,
+            "vec_id", "embedding", "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("corpus_id")))
+      // ONE stored-index search serves both measurement arms: the raw
+      // ADC top-5 is by definition the first 5 rows of the same
+      // deterministic (cos desc, corpus_id) ranking the rerank arm
+      // over-fetches 25 of — running the search twice (as before) paid
+      // the probed-cell resolution, the store scan and the ranking
+      // window twice for identical rows
+      val cands = Dedup.sharedPersist(
+        Similarity.ivfPqSearchStored(q, ivfPqStore(s, dir),
           "vec_id", "embedding", kmCentroids(s, dir), "cell", "centv",
-          pqCb(s, dir), m = 8, k = 16, topK = 5, nprobe = 3)
+          pqCb(s, dir), m = 8, k = 16, topK = 25, nprobe = 3))
+      val adc = cands.where(col("rnk") <= 5)
         .select(col("query_id"), col("corpus_id"))
-      val rr = Similarity.rerankExact(
-          Similarity.ivfPqSearchStored(q, ivfPqStore(s, dir),
-            "vec_id", "embedding", kmCentroids(s, dir), "cell", "centv",
-            pqCb(s, dir), m = 8, k = 16, topK = 25, nprobe = 3),
+      val rr = Similarity.rerankExact(cands,
           q, e, "vec_id", "embedding", "vec_id", "embedding",
           candK = 25, topK = 5)
         .select(col("query_id"), col("corpus_id"))

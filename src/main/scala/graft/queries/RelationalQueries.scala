@@ -319,8 +319,13 @@ object RelationalQueries {
         .select(col("user_id"), col("event_type"), Tables.tsMillis(col("ts")).as("t"))
       val cut = 1705276800000L // 2024-01-15
       val endOfTime = 4102444800000L
-      val hist = graft.ops.Scd.scd2(ev.where(col("t") < cut),
-        Seq("user_id"), Seq("event_type"), "t", endOfTime)
+      // scd2Merge reads `current` three times (closed passthrough, open
+      // replay, open-row stale-update join). In production `current` is
+      // a stored table — three scans; here it is a window pipeline, so
+      // without the persist the events scan + key shuffle + sort ran 3×
+      val hist = graft.ops.Dedup.sharedPersist(
+        graft.ops.Scd.scd2(ev.where(col("t") < cut),
+          Seq("user_id"), Seq("event_type"), "t", endOfTime))
       graft.ops.Scd.scd2Merge(hist, ev.where(col("t") >= cut),
         Seq("user_id"), Seq("event_type"), "t", endOfTime)
         .orderBy(col("user_id"), col("valid_from"), col("event_type"))

@@ -252,11 +252,12 @@ object TsQueries {
 
     // /api/v1/status/tsdb top-k list: series count per label PAIR
     // (value desc, name asc — deterministic through the limit boundary)
-    "ts_tsdb_pairs" -> ((s, dir) => {
-      import s.implicits._
-      querier(s, dir).tsdbStats(10).seriesCountByLabelValuePair
-        .toDF("name", "value")
-    }),
+    "ts_tsdb_pairs" -> ((s, dir) =>
+      // the one list this query reads, computed engine-side: the full
+      // tsdbStats() bundle ran ~8 driver actions (persists, five scalar
+      // heads, four TakeOrdered collects) to fill fields this query
+      // discarded, then round-tripped the rows through the driver
+      querier(s, dir).seriesCountByLabelValuePairDf(10)),
 
     // P13 tombstone interval mask: deletions applied as a broadcast
     // anti-join (the reference's deletedIterator, querier.go:845-883 —

@@ -162,6 +162,21 @@ final class TsQuerier(data: DataFrame, promoted: Seq[String] = TsSchema.DefaultP
         count(lit(1)).as("n_series"))
       .orderBy(col("label"))
 
+  /** The single `seriesCountByLabelValuePair` list of [[tsdbStats]] as a
+    * DataFrame `(name, value)` — for consumers that need only this list
+    * (the `ts_tsdb_pairs` query): one distinct-series pass, one
+    * (name, value)-keyed map-side-combined aggregation, and an ordered
+    * `limit(n)` (TakeOrdered), with no driver collect and none of the
+    * other six statistics' jobs. Ordering matches [[tsdbStats]]'s `top`
+    * exactly: value desc, name asc. */
+  def seriesCountByLabelValuePairDf(limit: Int = 10): DataFrame =
+    data.select(col("fingerprint"), col("labels")).distinct()
+      .select(explode(col("labels")).as("l"))
+      .groupBy(col("l.name").as("n"), col("l.value").as("v"))
+      .agg(count(lit(1)).as("value"))
+      .select(concat(col("n"), lit("="), col("v")).as("name"), col("value"))
+      .orderBy(col("value").desc, col("name")).limit(limit)
+
   /** The `/api/v1/status/tsdb` statistics bundle (Prometheus HTTP API):
     * head-style totals plus the four top-`limit` cardinality lists an
     * operator reads to find the label exploding the index.
