@@ -10,10 +10,13 @@ import graft.functions._
   * `embeddings` tables, each with a deterministic shape the DuckDB oracle
   * can recompute (all hashing is md5-based; see graft.ops.Dedup). */
 object PipelineQueries {
+  // fanOut: the corpus ships as one single-row-group file per table —
+  // without it every tokenize/shingle/synth/decode pass in this file
+  // runs as ONE task (Tables.fanOut docs the evidence + scale behavior)
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    Tables.fanOut(s.read.parquet(s"$dir/documents.parquet"))
   private def embs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    Tables.fanOut(s.read.parquet(s"$dir/embeddings.parquet"))
 
   /** Per-(session, dir) persisted verified LSH pair set: the pair list
     * and the cluster assignment are two consumers of ONE expensive

@@ -14,6 +14,14 @@ import org.apache.spark.sql.expressions.Window
   * results hash-compare against the DuckDB oracle.
   */
 object RelationalQueries {
+  // NO blanket fanOut here (measured round 12): these queries are
+  // join/aggregation-bound — their first exchange already parallelizes
+  // everything downstream, and the pre-exchange map work (project,
+  // cast) is trivial, so a fan-out exchange only added a full-table
+  // shuffle pass (q1_agg 0.17→0.68 s, q_semi_anti 0.37→0.86 s measured
+  // A/B). The two range-join queries below fan out explicitly: their
+  // interval EXPLODE runs before the join exchange and is the one
+  // relational map stage heavy enough to pay for the pass.
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -24,7 +32,7 @@ object RelationalQueries {
     // (key, bucket) EQUI-join with containment as a post-filter, never
     // a nested loop
     "q_range_join" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select(
+      val li = Tables.fanOut(t(s, dir, "lineitem")).select(
         col("l_orderkey"), col("l_linenumber"),
         col("l_suppkey").as("key"),
         datediff(to_date(col("l_shipdate")), to_date(lit("1970-01-01")))
@@ -46,7 +54,7 @@ object RelationalQueries {
     // dedup filter, no distinct), overlap length aggregated per
     // supplier
     "q_interval_join" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select(
+      val li = Tables.fanOut(t(s, dir, "lineitem")).select(
         col("l_suppkey").as("key"),
         datediff(to_date(col("l_shipdate")), to_date(lit("1970-01-01")))
           .cast("long").as("lo"),

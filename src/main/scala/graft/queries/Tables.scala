@@ -40,6 +40,25 @@ object Tables {
     } else df
   }
 
+  /** Scan-parallelism floor (guide §2.5 "input skew": one unsplittable
+    * split). The driver's corpus tables ship as ONE parquet file with
+    * ONE row group, so Spark's scan yields ONE task and every map-side
+    * pass before the first exchange (tokenize, shingle, hash, media
+    * synth + decode) runs on a single core while the rest of the
+    * machine idles — thread dumps of the bench show exactly one
+    * RUNNABLE task through whole text/media stages. Round-robin
+    * repartition to the session's default parallelism when, and only
+    * when, the scan yields fewer partitions: at production scale a
+    * table has thousands of row-group splits and this wraps to a
+    * no-op, so no gratuitous exchange is ever added to a big scan.
+    * (The repartition itself moves the tiny table once and is
+    * deterministic — Spark sorts before round-robin since
+    * SPARK-23207.) */
+  def fanOut(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < n) df.repartition(n) else df
+  }
+
   // NOTE: Column./ is DOUBLE division; epoch-nanos (~1.7e18) exceed
   // double's 2^53 mantissa, so `ts / 1000000` is off by ±1 on edge values.
   // `div` resolves to IntegralDivide — exact on longs.

@@ -32,7 +32,11 @@ object TsQueries {
   /** events → canonical long-form series store (SURVEY.md §1.3), via the
     * codegen'd static-label fast path. */
   private def buildStore(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(s, dir, "events")
+    // fanOut BEFORE canonicalize: events ships as one single-row-group
+    // file, so without it the canonicalization runs as one task AND —
+    // worse — the .cache() above freezes the store at ONE partition,
+    // serializing the scan of every ts_* query for the whole session
+    val ev = Tables.fanOut(Tables.load(s, dir, "events"))
       .select(col("event_type"), col("user_id"), col("value"),
         Tables.tsMillis(col("ts")).as("t"), col("value").as("v"))
     TsSchema.canonicalizeStatic(ev, Seq(

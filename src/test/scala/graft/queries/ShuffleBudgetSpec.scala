@@ -47,10 +47,18 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "dedup_ngram_jaccard" -> (4L << 20),   // hashed shingle postings, no text
     "dedup_minhash_lsh" -> (2L << 20),     // served from the persisted pair fixture
     "dedup_span_index" -> (8L << 20),      // rolling-hash windows, no text
-    "text_ccnet_buckets" -> (256L << 10),  // token stats + per-doc NLL
+    // round 12: +~120 KiB on the two tightest text budgets — the
+    // scan-parallelism fix (Tables.fanOut, guide §2.5: the corpus
+    // ships as ONE unsplittable row group) moves the raw docs table
+    // through ONE deliberate round-robin exchange before the digest
+    // pipeline, so these now carry one input pass (~60 KiB at sf0.01)
+    // on top of the digest traffic. At scale fanOut is a no-op (a big
+    // table scans as thousands of splits), so the tripwire's purpose —
+    // catching text riding the DIGEST exchanges — is intact.
+    "text_ccnet_buckets" -> (384L << 10),  // token stats + per-doc NLL + 1 fan-out pass
     "ts_promql_topk" -> (512L << 10),      // partial-agg + group-limit bounded
     "knn_ivf" -> (256L << 10),             // probed cells only
-    "text_bm25" -> (128L << 10),           // fused: only top-k candidates shuffle
+    "text_bm25" -> (256L << 10),           // fused: top-k candidates + 1 fan-out pass
     "q_sessionize" -> (1L << 20))          // 3-column events + per-session rows
 
   for ((name, budget) <- budgets)
