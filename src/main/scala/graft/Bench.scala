@@ -14,6 +14,19 @@ object Bench {
       // raising the cap keeps the "Truncated the string representation"
       // WARN from landing in the stdout tail the driver parses
       .config("spark.sql.debug.maxToStringFields", "10000")
+      // Shuffle I/O for this runner's VM filesystem (round-12 finding,
+      // OPTIMIZATION_r12.md): the bypass-merge writer's
+      // FileChannel.transferTo mmaps every per-reduce piece and the
+      // munmap TLB shootdowns burn system CPU across all cores on this
+      // hypervisor (thread-dump histogram evidence); the sort writer
+      // emits ONE file per map task. Pure I/O-path choices — results
+      // unaffected; measured 2-10× on the stormy queries. Parameterized:
+      // healthy production kernels should override back to Spark's
+      // defaults (transferTo zero-copy, bypass threshold 200).
+      .config("spark.file.transferTo",
+        sys.env.getOrElse("SPARK_GRAFT_TRANSFERTO", "false"))
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE", "1"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Fixed pre-bench warm protocol (round-7 verdict item #1) — every run

@@ -13,6 +13,12 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // same runner-filesystem shuffle-I/O choices as Bench (see there
+      // + OPTIMIZATION_r12.md); results unaffected, env-overridable
+      .config("spark.file.transferTo",
+        sys.env.getOrElse("SPARK_GRAFT_TRANSFERTO", "false"))
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE", "1"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
