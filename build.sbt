@@ -39,4 +39,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // storms (one rep of ts_promql_native_hist_stats burned 574 CPU-s vs
   // a ~6 CPU-s norm; round 9 documented the same anomaly once)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // JIT-starvation storms (round-13 finding, OPTIMIZATION_r13.md): the
+  // suite generates thousands of codegen classes; JDK 17's DYNAMIC
+  // compiler-thread scaling starts with ONE C2 thread and ramps too
+  // late, so the compile queue backs up (observed: >40k queued tasks,
+  // C2 thread 74 CPU-s behind) and whole-stage-codegen hot loops run
+  // INTERPRETED for minutes — single reps of sub-second queries burned
+  // 100-380 CPU-s (thread dumps: TimSort/SizeEstimator interpreted,
+  // app threads idle, C2 pegged). Pinning a full complement of
+  // compiler threads and sizing the code cache so warm methods are
+  // never flushed halved steady-state query CPU on the storm-prone
+  // subset (36.4 -> 18.7 CPU-s, reps=8) and capped storm reps at ~27
+  // CPU-s (was 315). Harness JVM health only — results unaffected.
+  "-XX:-UseDynamicNumberOfCompilerThreads",
+  "-XX:CICompilerCount=12",
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -91,14 +91,30 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Shared-persist rep semantics (round-12 verdict item #8): the
+    // registry keys on canonicalized plans, so reps 2-3 of a query whose
+    // INTERNALS are shared-persisted reuse rep 1's materialized blocks —
+    // the median is a warm-execution number. Rather than clearing the
+    // registry per rep (measured: turns every rep of the hist-stats
+    // family into a cold run, ~4.5 s vs 1.2 s — and would make r13
+    // medians incomparable with every prior round's warm medians), the
+    // bench keeps the warm-median methodology and REPORTS THE COLD COST
+    // EXPLICITLY: "value_rep1" below is the sum of first-rep walls
+    // (arrival order, after the fixture warm phase), so both numbers
+    // mean one thing each. SPARK_GRAFT_CLEAR_PER_REP=true opts into
+    // fully cold reps for diagnosis.
+    val clearPerRep = sys.env.get("SPARK_GRAFT_CLEAR_PER_REP").contains("true")
     val results = selected.map { case (name, fn) =>
       def once(): (Double, Double) = {
+        if (clearPerRep) graft.ops.Dedup.clearSharedPersists()
         val t0 = System.nanoTime(); val c0 = processCpuSec()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         ((System.nanoTime() - t0) / 1e9, processCpuSec() - c0)
       }
       val runs = Vector.fill(reps)(once())
-      (name, runs.map(_._1).sorted, runs.map(_._2).sorted)
+      // keep arrival order for rep-1 (cold) reporting alongside the
+      // sorted spread — (name, sorted walls, sorted cpus, first wall)
+      (name, runs.map(_._1).sorted, runs.map(_._2).sorted, runs.head._1)
     }
     val loadEnd = loadavg()
     def median(ts: Vector[Double]): Double = ts(ts.size / 2)
@@ -108,19 +124,32 @@ object Bench {
     def s2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val total = results.map(r => median(r._2)).sum
     val cpuTotal = results.map(r => median(r._3)).sum
+    val totalRep1 = results.map(_._4).sum
     val cores = Runtime.getRuntime.availableProcessors()
+    // Machine-readable contamination flag (round-12 verdict item #1):
+    // the r12 driver bench started at loadavg 17 with 100x in-run rep
+    // spreads and its numbers were unusable; flag such a run in the
+    // artifact itself so PERF comparisons can skip or weight it. Either
+    // signal suffices: external load at start (own JVM contributes ~5
+    // after the fixture phase on 32 cores; r11 quiet runs started at
+    // ~4-5, the contaminated r12 run at 17), or a >3x max/min wall
+    // spread on any non-noise-floor query (r11's worst was 1.8x).
+    val loadContended = loadStart.headOption.exists(_ > math.max(8.0, cores / 4.0))
+    val spreadContended = results.exists { r =>
+      median(r._2) >= 0.5 && r._2.head > 0 && r._2.last / r._2.head > 3.0 }
+    val contended = loadContended || spreadContended
     val fxSum = fixtures.map(_._2).sum
     val fxJson = fixtures.map { case (k, v) => "\"" + k + "\":" + s2(v) }
       .mkString("{", ",", "}")
     def loadJson(l: Vector[Double]) = l.map(s2).mkString("[", ",", "]")
-    val envJson = s""""cpu_total":${s3(cpuTotal)},"cores":$cores,"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)}"""
+    val envJson = s""""cpu_total":${s3(cpuTotal)},"value_rep1":${s3(totalRep1)},"contended":$contended,"cores":$cores,"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)}"""
     // Full per-query spread — every query, no char cap — goes to a file
     // the driver (and judge) can read: bench.json at the repo root.
     val fullJson = {
-      val qs = results.map { case (k, ts, _) =>
+      val qs = results.map { case (k, ts, _, _) =>
         "\"" + k + "\":" + ts.map(s3).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
-      val qsCpu = results.map { case (k, _, cs) =>
+      val qsCpu = results.map { case (k, _, cs, _) =>
         "\"" + k + "\":" + cs.map(s3).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${s3(total)},"unit":"sec","reps":$reps,$envJson,"queries_spread":$qs,"queries_cpu":$qsCpu,"fixtures":$fxJson,"fixtures_sum":${s2(fxSum)},"sf":"$sfDir"}"""
@@ -137,11 +166,11 @@ object Bench {
     // judge scrutinizes) and fold the fastest remainder into
     // omitted_n/omitted_sum so the total stays exact. The slowest queries
     // additionally carry their [min, median, max] spread inline.
-    val medians = results.map { case (k, ts, _) => k -> median(ts) }
+    val medians = results.map { case (k, ts, _, _) => k -> median(ts) }
     val byCost = medians.sortBy(-_._2)
     val spreadN = 8
     val spreadKeys = byCost.take(spreadN).map(_._1).toSet
-    val spreadJson = results.filter(r => spreadKeys(r._1)).map { case (k, ts, _) =>
+    val spreadJson = results.filter(r => spreadKeys(r._1)).map { case (k, ts, _, _) =>
       "\"" + k + "\":[" + s3(ts.head) + "," + s3(median(ts)) + "," + s3(ts.last) + "]"
     }.mkString("{", ",", "}")
     def line(keep: Int): String = {

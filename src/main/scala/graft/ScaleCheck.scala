@@ -82,6 +82,11 @@ object ScaleCheck {
       spark.stop()
       return
     }
+    if (sys.env.get("SPARK_GRAFT_SCALE_SECTION").contains("rangejoin")) {
+      rangeJoinAtScale(spark)
+      spark.stop()
+      return
+    }
     val dir = java.nio.file.Files.createTempDirectory("graft-scale").resolve("store").toString
 
     def time[T](name: String)(f: => T): T = {
@@ -793,6 +798,70 @@ object ScaleCheck {
     println(s"SCALE shuffle ${n} docs -> ${agg.getLong(4)} shards, " +
       s"$totalTokens tokens, invariants hold")
     shards.unpersist(false)
+  }
+
+  /** Range-join strategy rehearsal (round-13 verdict item #4): the
+    * bucketed point-in-interval join's SMJ pin vs shuffled-hash, on a
+    * synthetic corpus with a PLANTED hot key (one key owns ~10% of both
+    * sides — the skew profile that makes SHJ's in-memory build risky at
+    * 100 TB). Results must agree exactly across strategies; wall + CPU
+    * printed per variant. Standalone:
+    * SPARK_GRAFT_SCALE_SECTION=rangejoin. */
+  private def rangeJoinAtScale(spark: SparkSession): Unit = {
+    def cpuS(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime / 1e9
+        case _ => -1.0
+      }
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val c0 = cpuS(); val r = f
+      println(f"SCALE $name wall=${(System.nanoTime() - t0) / 1e9}%8.2f s cpu=${cpuS() - c0}%8.2f s")
+      r
+    }
+    val n = 20000000L
+    val width = 16L
+    // ~10% of rows on key 0 (the hot tenant); the rest spread over 100k
+    // keys; times uniform over ~90 "days", interval lengths 1..30
+    def side(df: org.apache.spark.sql.DataFrame) = df.select(
+      when(pmod(col("id"), lit(10L)) === 0L, 0L)
+        .otherwise(pmod(col("id") * 2654435761L, lit(100000L))).as("key"),
+      pmod(col("id") * 40503L, lit(1440L)).as("d"))
+    val points = side(spark.range(n).toDF())
+      .select(col("key"), col("d").as("t"), col("d").as("payload"))
+    val intervals = side(spark.range(n).toDF())
+      .select(col("key"), col("d").as("lo"),
+        (col("d") + pmod(col("d") * 7L, lit(30L)) + 1L).as("hi"))
+    def agg(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("payload"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def bucketed(hintOn: String) = {
+      val p = points.withColumn("__b",
+        expr(s"(`t` - pmod(`t`, ${width}L)) div ${width}L"))
+      val i = intervals.withColumn("__b",
+        explode(sequence(expr(s"(`lo` - pmod(`lo`, ${width}L)) div ${width}L"),
+          expr(s"(`hi` - pmod(`hi`, ${width}L)) div ${width}L"))))
+      val joined = hintOn match {
+        case "merge"    => p.join(i.hint("merge"), Seq("key", "__b"))
+        case "shj_i"    => p.join(i.hint("shuffle_hash"), Seq("key", "__b"))
+        case "shj_p"    => p.hint("shuffle_hash").join(i, Seq("key", "__b"))
+        case _          => p.join(i, Seq("key", "__b"))
+      }
+      joined.where(col("t") >= col("lo") && col("t") <= col("hi")).drop("__b")
+    }
+    // warm codegen/scan once, then run each strategy twice (2nd = steady)
+    val variants = Seq("merge", "shj_i", "shj_p")
+    var expect: Option[(Long, Long)] = None
+    for (v <- variants; rep <- 1 to 2) {
+      val got = time(s"rangejoin $v rep$rep over ${n / 1000000}M x ${n / 1000000}M (hot key 10%)") {
+        agg(bucketed(v))
+      }
+      expect match {
+        case None => expect = Some(got)
+        case Some(e) => require(e == got, s"strategy $v changed results: $e vs $got")
+      }
+    }
+    println(s"SCALE rangejoin agree: ${expect.get}")
   }
 
   /** Governance-family rehearsal: funnel + retention over 12M events

@@ -574,10 +574,20 @@ object Multimodal {
   }
 
   private def bandedHammingPairs(media: DataFrame, idCol: String,
-                                 hash: Column, maxDist: Int): DataFrame = {
+                                 hash: Column, maxDist: Int): DataFrame =
+    hashNearDupPairs(mediaHashIndex(media, idCol, hash), maxDist)
+
+  /** The banded-Hamming self-join over an ALREADY-COMPUTED
+    * [[mediaHashIndex]] frame (columns `id`, `dh`; extra columns are
+    * dropped) — the decode-once entry point: a corpus whose perceptual
+    * hashes are materialized (the 100 TB parquet artifact, or the
+    * per-session fixture) pays the payload decode zero times per
+    * near-dup run. Same pipeline, guarantees, and output as the
+    * decode-inline form ([[imageNearDupPairs]] etc.), which now
+    * delegates here. */
+  def hashNearDupPairs(index: DataFrame, maxDist: Int = 3): DataFrame = {
     val imgs = Dedup.sharedPersist(
-      media.select(col(idCol).as("id"), hash.as("dh"))
-        .where(col("dh").isNotNull))
+      index.select(col("id"), col("dh")).where(col("dh").isNotNull))
     val values = imgs.select(col("dh")).distinct()
     val banded = values.select(col("dh"),
       posexplode(array(bandCols(col("dh"), maxDist): _*)))

@@ -315,15 +315,18 @@ object TextAnalysis {
     val words = df
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("word"))
       .where(col("word") =!= "")
-    // tf feeds both the document-frequency aggregation and the scoring
-    // join; measured round 12: persisting it costs MORE than the second
-    // evaluation (the columnar cache build of a (doc, word)-grained
-    // frame beats re-exploding + partially-aggregated shuffle), so the
-    // double evaluation stays
     val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-    val dfc = tf.groupBy(col("word")).agg(count(lit(1)).as("df_docs"))
+    // document frequency rides the tf frame as a WINDOW count over the
+    // word partition — tf has exactly one row per (doc, word), so
+    // count(*) over (partition by word) IS df_docs. The former
+    // tf.groupBy(word) + tf⋈dfc self-join evaluated the whole
+    // explode + (doc,word) aggregation subtree TWICE (round-12 measured
+    // that persisting tf costs more than the re-evaluation; the window
+    // needs neither — one tf evaluation, one word exchange)
+    val wWord = org.apache.spark.sql.expressions.Window.partitionBy(col("word"))
     val n = df.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfc, "word").crossJoin(broadcast(n))
+    val scored = tf.withColumn("df_docs", count(lit(1)).over(wWord))
+      .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast("double") / col("df_docs")), 6))
     val w = org.apache.spark.sql.expressions.Window

@@ -32,11 +32,17 @@ object RelationalQueries {
     // (key, bucket) EQUI-join with containment as a post-filter, never
     // a nested loop
     "q_range_join" -> ((s, dir) => {
-      val li = Tables.fanOut(t(s, dir, "lineitem")).select(
-        col("l_orderkey"), col("l_linenumber"),
-        col("l_suppkey").as("key"),
-        datediff(to_date(col("l_shipdate")), to_date(lit("1970-01-01")))
-          .cast("long").as("d"))
+      // points AND intervals below derive from this one projection —
+      // without the persist the scan + fan-out exchange run twice, once
+      // per join side (plans/r13/q_range_join_before.txt nodes 1-7 vs
+      // 8-15). Bounded: 4 long-ish columns of the scanned fact slice
+      // (guide §5 — persist a frame with two consumers).
+      val li = graft.ops.Dedup.sharedPersist(
+        Tables.fanOut(t(s, dir, "lineitem")).select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_suppkey").as("key"),
+          datediff(to_date(col("l_shipdate")), to_date(lit("1970-01-01")))
+            .cast("long").as("d")))
       val points = li.select(col("key"), col("d").as("t"),
         col("l_orderkey"), col("l_linenumber"))
       val intervals = li.select(col("key"), col("d").as("lo"),
